@@ -1,0 +1,26 @@
+"""evaporate_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of HazyResearch/evaporate.
+
+Two layers (see SURVEY.md):
+
+1. **Relational layer** (`plans/`): the declared Spark SQL surface —
+   scans, joins, aggregations, windows, set ops, scalar functions —
+   expressed as DataFrame plans and verified against a DuckDB oracle.
+2. **Semantic/ETL layer** (`semantic/`, `llm/`, `operators/`): the
+   Evaporate document→table pipeline (chunk → LLM extract → function
+   synthesis → sandboxed execution → scoring → ensemble → combine →
+   pivot), rebuilt as DataFrame transforms + Arrow-batched pandas UDFs.
+
+Design notes for 100 TB scale are inlined per module; the general rules:
+expressions stay JVM-side (built-in functions) unless semantics require
+Python, Python paths are Arrow-batched (never per-row UDFs), small sides
+of joins are broadcast, and every LLM-priced operator runs on an
+O(train_size) sample — never the full lake.
+"""
+
+from evaporate_spark.session import get_spark
+from evaporate_spark.config import EvaporateConfig
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "EvaporateConfig", "__version__"]

@@ -1,0 +1,47 @@
+"""Engine configuration.
+
+One dataclass replaces the reference's three duplicated argparse
+surfaces (``reference/evaporate/configs.py:32-263,266-334,337-587``).
+Defaults mirror the reference's published run shape
+(``reference/run.sh:4-27``): train_size 10, top-k 10 functions,
+chunk_size 3000 chars, combiner ``mv``/``ws``, keep threshold 0.5,
+abstention threshold 0.9.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EvaporateConfig:
+    # --- data lake ---
+    data_dir: str = ""                  # directory of files OR parquet path
+    doc_format: str = "parquet"         # parquet | text | binary
+    topic: str = "data lake"            # used in schema-id / validity prompts
+
+    # --- sampling / cascade shape (configs.py:75-94) ---
+    train_size: int = 10                # docs the LLM ever sees
+    num_top_k_scripts: int = 10         # functions ensembled per attribute
+    num_attr_to_cascade: int = 35       # OpenIE attribute budget
+    chunk_size: int = 3000              # chars per chunk
+    max_chunks_per_file: int = 2        # chunk filter cap (profiler_utils.py:364-417)
+
+    # --- scoring gates (configs.py:161-172, evaluate_profiler.py:240) ---
+    keep_thresh: float = 0.5            # min text-F1 vs LLM gold to keep a fn
+    extraction_fraction_thresh: float = 0.9  # abstention gate
+
+    # --- combiner ---
+    combiner_mode: str = "mv"           # mv | ws | top_k
+
+    # --- sandbox (profiler.py:37-46,285-311) ---
+    fn_timeout_s: float = 1.0           # per-call wall clock guard
+    fn_max_timeouts: int = 2            # bail on a function after N timeouts
+
+    # --- llm ---
+    model_name: str = "mock"            # mock | (pluggable client name)
+    seed: int = 0                       # reference pins seed 0 everywhere
+
+    # --- spark ---
+    shuffle_partitions: int | None = None
+    extra_spark_conf: dict[str, str] = field(default_factory=dict)

@@ -1,0 +1,3 @@
+from evaporate_spark.plans.queries import REGISTRY, QuerySpec, get_query, query_names
+
+__all__ = ["REGISTRY", "QuerySpec", "get_query", "query_names"]

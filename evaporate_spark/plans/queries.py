@@ -1,0 +1,642 @@
+"""Declared query catalog: every relational operator the engine supports
+(SURVEY.md §2B), expressed as a DataFrame plan with a paired DuckDB
+oracle SQL string.
+
+Conventions (these make the driver's order-insensitive value-hash
+comparison deterministic):
+
+- Every computed column is aliased identically in the Spark plan and
+  the oracle SQL.
+- Float aggregates are rounded (money → 2dp, ratios/sims → 3-4dp) in
+  BOTH engines, so FP summation order can't flip the hash.
+- Timestamps are emitted as formatted strings (UTC session timezone).
+- Any top-k ordering uses the ROUNDED measure plus a unique key as the
+  tie-break, so near-equal doubles can't reshuffle the selected set.
+
+Scale notes: plans here are purely declarative — Catalyst handles
+pushdown, pruning, join ordering, and with AQE the physical join
+strategy. The only explicit physical hints are ``broadcast()`` on
+bounded dimension tables (region/nation/supplier stay broadcastable at
+any scale factor; customer/part would not, and are never hinted).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from evaporate_spark.sources.catalog import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    description: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered table views
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, description: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, description, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def get_query(name: str) -> QuerySpec:
+    return REGISTRY[name]
+
+
+def query_names() -> list[str]:
+    return list(REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    "TPC-H Q1 shape: full-scan partial+final aggregation over lineitem "
+    "with computed measures; exercises map-side combine and scan-level "
+    "filter pushdown.",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+            ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+            ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+            ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+            COUNT(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_order_priority_rollup",
+    "ROLLUP over (o_orderpriority, o_orderstatus): grouping-sets "
+    "aggregation with subtotal rows.",
+    oracle="""
+        SELECT
+            COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+            COALESCE(o_orderstatus,  'ALL') AS o_orderstatus,
+            COUNT(*)                         AS n_orders,
+            ROUND(SUM(o_totalprice), 2)      AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg",),
+)
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q_distinct_counts",
+    "Exact COUNT(DISTINCT) per group (the approx_count_distinct variant "
+    "is exercised in tests, not against the oracle).",
+    oracle="""
+        SELECT
+            l_returnflag,
+            COUNT(DISTINCT l_partkey) AS n_parts,
+            COUNT(DISTINCT l_suppkey) AS n_supps,
+            COUNT(*)                  AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_value_percentiles",
+    "Exact percentiles (linear interpolation) of order value per "
+    "priority class.",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+            ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+            ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    "TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) + agg + "
+    "deterministic top-10; join order left to Catalyst/AQE.",
+    oracle="""
+        SELECT
+            o_orderkey,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+            o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "bench"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.to_timestamp(F.lit("1998-03-15"))
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.where(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    "TPC-H Q5 shape: 6-way join through region→nation→(customer,supplier) "
+    "with the c_nationkey = s_nationkey locality predicate; small dims "
+    "broadcast explicitly.",
+    oracle="""
+        SELECT
+            n_name,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey  = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    tags=("join", "bench"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, supp, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        cust.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    "TPC-H Q10 shape: revenue lost to returned items per customer, "
+    "deterministic top-20.",
+    oracle="""
+        SELECT
+            c_custkey,
+            c_name,
+            n_name,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey  = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("join",),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, nation = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.where(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_customers_without_orders",
+    "Left-anti join: customers that never placed an order.",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_customers_with_open_orders",
+    "Left-semi join: customers having at least one open ('O') order.",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        )
+    """,
+    tags=("join",),
+)
+def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return cust.join(
+        orders.where(F.col("o_orderstatus") == "O"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_nation_setops",
+    "Set operators: nations with customers INTERSECT / EXCEPT nations "
+    "with suppliers, union-tagged into one result.",
+    oracle="""
+        SELECT n_name, 'both' AS which FROM (
+            SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+            INTERSECT
+            SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        )
+        UNION ALL
+        SELECT n_name, 'customers_only' AS which FROM (
+            SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+            EXCEPT
+            SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        )
+    """,
+    tags=("setop",),
+)
+def q_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp, nation = _t(spark, sf_dir, "customer", "supplier", "nation")
+    cust_nations = (
+        broadcast(nation)
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    supp_nations = (
+        broadcast(nation)
+        .join(supp, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("which", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn("which", F.lit("customers_only"))
+    return both.unionByName(cust_only)
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top_customer_per_nation",
+    "Per-group top-k via row_number() window; deterministic tie-break on "
+    "the unique key.",
+    oracle="""
+        SELECT n_name, c_name, c_acctbal, rnk
+        FROM (
+            SELECT
+                n_name, c_name,
+                ROUND(c_acctbal, 2) AS c_acctbal,
+                ROW_NUMBER() OVER (
+                    PARTITION BY n_name
+                    ORDER BY ROUND(c_acctbal, 2) DESC, c_custkey
+                ) AS rnk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        WHERE rnk <= 3
+    """,
+    tags=("window",),
+)
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation = _t(spark, sf_dir, "customer", "nation")
+    bal = F.round(F.col("c_acctbal"), 2)
+    w = Window.partitionBy("n_name").orderBy(bal.desc(), F.col("c_custkey").asc())
+    return (
+        cust.join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "c_name",
+            bal.alias("c_acctbal"),
+            F.row_number().over(w).alias("rnk"),
+            F.col("c_custkey"),
+        )
+        .where(F.col("rnk") <= 3)
+        .drop("c_custkey")
+    )
+
+
+@register(
+    "q_running_order_total",
+    "Running aggregate: cumulative spend per customer ordered by order "
+    "date (rows-between unbounded preceding frame).",
+    oracle="""
+        SELECT
+            o_custkey,
+            o_orderkey,
+            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+            ROUND(SUM(o_totalprice) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ), 2) AS running_total
+        FROM orders
+    """,
+    tags=("window",),
+)
+def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_user_event_gaps",
+    "lag() window: mean inter-event gap per user in seconds "
+    "(microsecond-exact arithmetic, then rounded).",
+    oracle="""
+        SELECT
+            user_id,
+            COUNT(*)                              AS n_gaps,
+            ROUND(AVG(gap_us) / 1000000.0, 3)     AS avg_gap_s
+        FROM (
+            SELECT
+                user_id,
+                epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) AS gap_us
+            FROM events
+        )
+        WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    """,
+    tags=("window",),
+)
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1000000.0, 3).alias("avg_gap_s"),
+    )
+
+
+@register(
+    "q_order_value_deciles",
+    "ntile() decile assignment over a deterministic total order, "
+    "aggregated back to decile stats.",
+    oracle="""
+        SELECT
+            decile,
+            COUNT(*)                    AS n,
+            ROUND(MIN(o_totalprice), 2) AS lo,
+            ROUND(MAX(o_totalprice), 2) AS hi
+        FROM (
+            SELECT
+                o_totalprice,
+                NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+            FROM orders
+        )
+        GROUP BY decile
+    """,
+    tags=("window",),
+)
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: strings, dates, JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_part_type_stats",
+    "String functions (split_part/upper/concat) + agg over derived keys.",
+    oracle="""
+        SELECT
+            UPPER(split_part(p_type, ' ', 1)) AS type_head,
+            p_brand,
+            COUNT(*)                          AS n_parts,
+            ROUND(AVG(p_retailprice), 2)      AS avg_price,
+            ROUND(MAX(p_retailprice), 2)      AS max_price
+        FROM part
+        GROUP BY type_head, p_brand
+    """,
+    tags=("scalar",),
+)
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.upper(F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))).alias("type_head"),
+            "p_brand",
+            "p_retailprice",
+        )
+        .groupBy("type_head", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_events_json_extract",
+    "JSON path extraction from a string column + numeric cast + agg.",
+    oracle="""
+        SELECT
+            CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+            event_type,
+            COUNT(*)             AS n,
+            ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY k_bucket, event_type
+    """,
+    tags=("scalar",),
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select((k % 10).alias("k_bucket"), "event_type", "value")
+        .groupBy("k_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_events_hourly",
+    "Tumbling-window (hourly) event counts — the batch view of the "
+    "streaming window aggregation in evaporate_spark.streaming.",
+    oracle="""
+        SELECT
+            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+            event_type,
+            COUNT(*)             AS n_events,
+            ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY hour, event_type
+    """,
+    tags=("scalar", "streaming"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "value",
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Settings chosen for a large cluster and tested on local[N]:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) — at 100 TB the static plan is always wrong.
+- Arrow on for every pandas-UDF boundary (the LLM / sandbox operators
+  are Arrow-batched; row-at-a-time Python UDFs are banned in this
+  codebase).
+- UTC session timezone so timestamp semantics are deterministic and
+  match the DuckDB oracle.
+- shuffle partitions default to cores on local mode; on a real cluster
+  leave ``spark.sql.shuffle.partitions`` to AQE's coalescing with a
+  high initial partition number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "evaporate-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real deployment the caller passes nothing and spark-submit wires
+    the cluster manager.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: coalesce post-shuffle partitions, split skewed joins,
+        # switch SMJ->BHJ at runtime when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas UDF / toPandas boundaries.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet uses TIMESTAMP(NANOS); read as long and
+        # convert in the catalog (DuckDB equivalently truncates to micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Driver-side niceties; harmless on cluster.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

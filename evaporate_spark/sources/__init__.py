@@ -1,0 +1,4 @@
+from evaporate_spark.sources.catalog import TABLES, load_table, register_views
+from evaporate_spark.sources.doclake import read_document_lake
+
+__all__ = ["TABLES", "load_table", "register_views", "read_document_lake"]

@@ -1,0 +1,56 @@
+"""Parquet table catalog for the TPC-H-ish testdata (TESTDATA.md).
+
+Scale notes: ``spark.read.parquet`` gives Catalyst the native
+vectorized scan — filters and required-column pruning reach the
+footer/page level (check ``PushedFilters`` / ``ReadSchema`` in
+``.explain``). At 100 TB these tables would be partitioned/bucketed;
+nothing in this module assumes single-file inputs (paths are
+directories-or-files and the reader handles splits).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are always broadcast-join material. At any
+# realistic scale factor these stay tiny relative to the fact tables.
+SMALL_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table from ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
+    # long (spark.sql.legacy.parquet.nanosAsLong). Truncate to micros —
+    # the same thing DuckDB does when reading TIMESTAMP_NS.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every catalog table as a temp view; return the frames."""
+    frames: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        frames[name] = df
+    return frames

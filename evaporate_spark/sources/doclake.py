@@ -1,0 +1,87 @@
+"""Document-lake sources: directory-of-files or parquet → documents DataFrame.
+
+Reference behavior being re-expressed (SURVEY §2A #1-3):
+
+- directory scan skipping dotfiles — ``reference/evaporate/run_profiler.py:20-33``
+- recursive walk — ``reference/evaporate/utils.py:72-113``
+- bytes→str with utf-8 errors ignored, skip ``.swp`` —
+  ``reference/evaporate/profiler_utils.py:347-357``
+
+Spark-first shape: one row per file via the ``binaryFile`` source (which
+is splittable across executors and prunes on path pushdown), decoded
+JVM-side where possible. The canonical engine schema is
+
+    documents(path STRING, content STRING, doc_type STRING, n_bytes BIGINT)
+
+The TESTDATA ``documents.parquet`` table (doc_id, text, lang, source,
+n_chars) is adapted to the same schema by :func:`read_document_lake`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_document_dir(
+    spark: SparkSession,
+    path: str,
+    recursive: bool = True,
+    glob: str | None = None,
+) -> DataFrame:
+    """Read a directory of text/HTML files as documents.
+
+    binaryFile + JVM-side decode: no Python in this path. Dotfiles and
+    editor swap files are skipped like the reference
+    (``run_profiler.py:24-27``, ``profiler_utils.py:352-353``).
+    """
+    reader = spark.read.format("binaryFile")
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return (
+        raw.where(~F.element_at(F.split(F.col("path"), "/"), -1).startswith("."))
+        .where(~F.col("path").endswith(".swp"))
+        .select(
+            F.col("path"),
+            # decode with errors-ignored semantics: try_* keeps ANSI mode
+            # happy; undecodable bytes yield NULL -> ''.
+            F.coalesce(
+                F.expr("try_cast(decode(content, 'UTF-8') as string)"), F.lit("")
+            ).alias("content"),
+            F.when(F.lower(F.col("path")).rlike(r"\.html?$"), F.lit("html"))
+            .otherwise(F.lit("txt"))
+            .alias("doc_type"),
+            F.col("length").alias("n_bytes"),
+        )
+    )
+
+
+def read_document_lake(spark: SparkSession, sf_dir_or_path: str) -> DataFrame:
+    """Read the TESTDATA documents table into the engine schema.
+
+    Accepts either an sf dir (``.../sf0.01``) or a direct parquet path.
+    """
+    path = sf_dir_or_path
+    if not path.endswith(".parquet"):
+        path = f"{sf_dir_or_path}/documents.parquet"
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if {"doc_id", "text"} <= cols:
+        return df.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+            F.col("text").alias("content"),
+            F.lit("txt").alias("doc_type"),
+            F.length("text").cast("bigint").alias("n_bytes"),
+        )
+    if {"path", "content"} <= cols:
+        return df
+    raise ValueError(f"unrecognized documents schema: {sorted(cols)}")
+
+
+def file_type_histogram(docs_dir_df: DataFrame) -> DataFrame:
+    """Suffix histogram (``reference/evaporate/utils.py:98-113``)."""
+    ext = F.lower(F.element_at(F.split(F.element_at(F.split("path", "/"), -1), r"\."), -1))
+    return docs_dir_df.groupBy(ext.alias("file_type")).count()

@@ -1,0 +1,60 @@
+"""Shared test/verification helpers: an in-process DuckDB oracle compare
+mirroring the driver's t2 gate (row-count + schema + order-insensitive
+value comparison), so regressions surface in pytest before the driver
+runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from evaporate_spark.sources.catalog import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Fresh DuckDB connection with every catalog table as a view."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        col = out[c]
+        if col.dtype == object:
+            out[c] = col.astype(str)
+        elif str(col.dtype).startswith(("float", "Float")):
+            # queries round already; this only canonicalizes -0.0 / NaN
+            out[c] = col.map(
+                lambda v: "NaN" if (v is None or (isinstance(v, float) and math.isnan(v))) else f"{v + 0.0:.6f}"
+            )
+        elif str(col.dtype).startswith("datetime"):
+            out[c] = col.astype(str)
+        else:
+            out[c] = col.astype(str)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | None:
+    """Return None on match, else a human-readable diff summary."""
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return f"schema mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+    if len(spark_pdf) != len(oracle_pdf):
+        return f"row-count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    if a.equals(b):
+        return None
+    neq = (a != b).any(axis=1)
+    diff = pd.concat(
+        [a[neq].head(5).add_prefix("spark_"), b[neq].head(5).add_prefix("oracle_")], axis=1
+    )
+    return f"value mismatch on {int(neq.sum())}/{len(a)} rows; first diffs:\n{diff.to_string()}"

@@ -1,0 +1,27 @@
+"""Every declared query in the catalog hash-matches the DuckDB oracle
+(the same check the driver's t2 gate performs, run at sf0.001 for speed).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from evaporate_spark.plans import REGISTRY
+from evaporate_spark.testing import compare_frames
+
+ORACLE_QUERIES = [name for name, spec in REGISTRY.items() if spec.oracle is not None]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, oracle, sf_dir, name):
+    spec = REGISTRY[name]
+    spark_pdf = spec.spark(spark, sf_dir).toPandas()
+    oracle_pdf = oracle.execute(spec.oracle).fetchdf()
+    diff = compare_frames(spark_pdf, oracle_pdf)
+    assert diff is None, f"{name}: {diff}"
+
+
+def test_all_queries_return_rows(spark, sf_dir):
+    for name, spec in REGISTRY.items():
+        n = spec.spark(spark, sf_dir).count()
+        assert n >= 0, name

@@ -1,0 +1,124 @@
+"""Text-analysis column builders: token counting, quality scoring,
+language ID, fingerprinting.
+
+Everything here is a pure Spark ``Column`` expression (JVM-side,
+whole-stage-codegen friendly) — no Python UDFs. At 100 TB these run
+inside the scan stage with zero shuffle.
+
+Reference lineage: generalizes the comparison cleaner
+(``reference/evaporate/evaluate_profiler.py:7-27``) and value
+normalizers (``reference/evaporate/profiler_utils.py:420-458``) into
+a reusable text-stats library; the dedup/quality/lang-id operators are
+engine additions mandated by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/stopword heuristic
+# language-ID operator. Deliberately small and deterministic.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "zh": ("的", "了", "是", "我", "不", "在"),
+}
+
+DEFAULT_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col))
+
+
+def token_count_regex(col: Column | str) -> Column:
+    """BPE-ish token count: word pieces OR single non-space punctuation.
+
+    Mirrors the common ``\\w+|[^\\w\\s]`` pre-tokenizer regex.
+    """
+    return F.size(F.regexp_extract_all(F.col(col) if isinstance(col, str) else col, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    """Share of whitespace tokens that are stopwords (0 when empty)."""
+    toks = ws_tokens(col)
+    quoted = ", ".join(f"'{w}'" for w in stopwords)
+    hits = F.size(F.filter(toks, lambda x: F.expr(f"x IN ({quoted})").alias("x")))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Share of characters that are not alphanumeric/whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[\w\s]", "")
+    return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
+
+
+def avg_word_len(col: Column | str) -> Column:
+    toks = ws_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Rewards mid-length documents with low punctuation noise and a
+    natural stopword rate — the standard cheap pre-filter shape used by
+    large-scale corpus pipelines (C4-style heuristics).
+    """
+    n_tok = token_count_ws(col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * 4, F.lit(1.0))
+    stop = stopword_ratio(col)
+    stop_score = F.least(stop * 5, F.lit(1.0))
+    return F.round((len_score * 0.5 + stop_score * 0.3 + (1 - punct_penalty) * 0.2), 4)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language lexicon hits over
+    whitespace tokens; deterministic alphabetical tie-break; 'und'
+    (undetermined) when no lexicon matches.
+    """
+    toks = ws_tokens(col)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_LEXICONS):  # later langs win ties only if strictly greater
+        quoted = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+        hits = F.size(F.filter(toks, lambda x, q=quoted: F.expr(f"x IN ({q})")))
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical-text fingerprint: lowercase, collapse whitespace, md5.
+
+    The exact-dedup key; also the cache key shape used throughout the
+    semantic layer (content-hash keyed caches, SURVEY §2A #40).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def rolling_hash_shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles as an array of 64-bit hashes (distinct).
+
+    Built from sliding windows over whitespace tokens, hashed JVM-side
+    with xxhash64 — the input representation for MinHash / Jaccard.
+    """
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, lambda i: F.xxhash64(shingle(i))))

@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Five strategies, cheapest-first (the order a 100 TB pipeline applies
+them):
+
+1. **Exact** — group by content fingerprint (md5 of canonical text).
+   One shuffle on a 128-bit key; fully JVM-side.
+2. **N-gram Jaccard within blocks** — exact Jaccard over word-shingle
+   sets, restricted to cheap blocking keys so the pairwise join is
+   bounded (never O(n²) globally).
+3. **MinHash + LSH banding** — signature per doc (m hashes), band→
+   bucket join produces candidate pairs, estimated Jaccard from
+   signature agreement. Scales linearly in docs; the real near-dup
+   path at 100 TB.
+4. **SimHash** — 64-bit locality-sensitive fingerprint; near-dups are
+   pairs within Hamming distance r, found via band-exact-match
+   blocking (Charikar-style, 4 bands of 16 bits for r<=3).
+5. **Embedding cosine** — semantic near-dup over an embedding column,
+   blocked to bound the join.
+
+All hashing is seeded xxhash64 (deterministic across runs/executors —
+the reference's global ``random.seed(0)`` reproducibility requirement,
+re-expressed as keyed hashing; SURVEY §7 risk list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from evaporate_spark.functions.text_stats import fingerprint, rolling_hash_shingles
+
+
+# ---------------------------------------------------------------------------
+# 1. exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by canonical-text fingerprint.
+
+    Returns (fp, keep_id, n_copies): the representative (min id) and
+    multiplicity per distinct content. ``n_copies > 1`` rows are the
+    duplicate clusters.
+    """
+    return (
+        df.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative row (min id) per distinct canonical text."""
+    w_fp = df.withColumn("_fp", fingerprint(text_col))
+    reps = w_fp.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    return (
+        w_fp.join(reps, (w_fp["_fp"] == reps["_fp"]) & (F.col(id_col) == F.col("_keep")))
+        .select(df.columns)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram jaccard within blocks
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over pairs sharing a blocking key.
+
+    Blocking keeps the self-join bounded: the shuffle is on the block
+    key, and within-block pairing is quadratic only in the (small)
+    block size — the classic blocked-ER layout. Returns
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("_id"),
+        rolling_hash_shingles(text_col, k).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    a = sh.select(*block_cols, F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(*block_cols, F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, on=block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. minhash + lsh
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle_hash, i). Arrays stay JVM-side throughout.
+    """
+    sh = rolling_hash_shingles(text_col, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding over MinHash
+    signatures, with signature-estimated Jaccard filtering.
+
+    Plan shape (the 100 TB-safe one): signatures are computed in the
+    scan stage; each doc emits ``bands`` (band_id, bucket_hash) keys;
+    the only shuffle is the bucket-key self-join; candidate pairs are
+    deduped with ``dropDuplicates`` before the estimate filter.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("_id"), minhash_signature(text_col, num_hashes, k).alias("_sig"))
+        .where(F.size("_sig") > 0)
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+    a = banded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = banded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col: Column | str, k: int = 3) -> Column:
+    """Charikar SimHash over word-k-gram shingle hashes: bit i of the
+    fingerprint is the sign of sum(±1 per shingle at bit i).
+
+    Single pass over the shingle array: the fold accumulator is the
+    64-vector of bit sums (zip_with merge), then one final transform
+    packs signs into a long.
+    """
+    sh = rolling_hash_shingles(text_col, k)
+    bit_sums = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # pack sign bits: sum over i of 2^i where bit_sums[i] > 0 (bit 63 via
+    # long min-value to stay in signed-64 range)
+    packed = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda s, i: F.when(
+                s > 0,
+                F.when(i < 63, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(-9223372036854775808).cast("long")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 16-bit
+    bands; any pair within distance 3 agrees exactly on >=1 band, so
+    the self-join runs on band buckets, never all-pairs.
+    """
+    fp = df.select(F.col(id_col).alias("_id"), simhash64(text_col, k).alias("_fp"))
+    banded = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("_fp", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_fp", "bb.band", "bb.bucket")
+    a = banded.select("band", "bucket", F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
+    b = banded.select("band", "bucket", F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: list[str],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic near-dup: cosine >= threshold within blocking keys.
+
+    Blocked exact search; the ANN path for unblocked corpora is
+    evaporate_spark.operators.similarity (LSH/IVF).
+    """
+    from evaporate_spark.operators.similarity import cosine
+
+    v = df.select(
+        *block_cols,
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    a = v.select(*block_cols, F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    b = v.select(*block_cols, F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    return (
+        a.join(b, on=block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

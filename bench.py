@@ -28,9 +28,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="evaporate-spark-bench")
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch JIT/class-loading noise
-    REGISTRY[BENCH_QUERIES[0]].spark(spark, sf_dir).count()
+    # warm the JVM + parquet footers + each query's plan once, so per-query
+    # numbers measure steady-state execution, not first-touch JIT noise —
+    # and every query gets the same warm-up treatment.
+    for name in BENCH_QUERIES:
+        REGISTRY[name].spark(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

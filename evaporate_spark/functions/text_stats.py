@@ -49,10 +49,14 @@ def token_count_regex(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
-    """Share of whitespace tokens that are stopwords (0 when empty)."""
+    """Share of whitespace tokens that are stopwords (0 when empty).
+
+    The membership test is built from the higher-order-function lambda
+    variable itself (``t.isin``) — never ``F.expr`` with a literal
+    column name, which cannot bind to Spark's renamed lambda variables.
+    """
     toks = ws_tokens(col)
-    quoted = ", ".join(f"'{w}'" for w in stopwords)
-    hits = F.size(F.filter(toks, lambda x: F.expr(f"x IN ({quoted})").alias("x")))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
@@ -93,12 +97,19 @@ def lang_id(col: Column | str) -> Column:
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang in sorted(LANG_LEXICONS):  # later langs win ties only if strictly greater
-        quoted = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
-        hits = F.size(F.filter(toks, lambda x, q=quoted: F.expr(f"x IN ({q})")))
+        words = LANG_LEXICONS[lang]
+        # single-argument lambda; membership via the lambda variable
+        # (extra defaulted params would be misread as the (value, index)
+        # two-arg lambda form).
+        hits = F.size(F.filter(toks, _isin_lambda(words)))
         is_better = hits > best_hits
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(is_better, hits).otherwise(best_hits)
     return best_lang
+
+
+def _isin_lambda(words: tuple[str, ...]):
+    return lambda t: t.isin(*words)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -119,6 +130,11 @@ def rolling_hash_shingles(col: Column | str, k: int = 3) -> Column:
     """
     toks = ws_tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # guard: when n < k, sequence(1, n-k+1) would DESCEND (default step
+    # -1) and element_at would hit index 0 → ANSI error. Emit no
+    # shingles for short docs instead.
+    idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
     return F.array_distinct(F.transform(idx, lambda i: F.xxhash64(shingle(i))))

@@ -189,31 +189,32 @@ def simhash64(text_col: Column | str, k: int = 3) -> Column:
     64-vector of bit sums (zip_with merge), then one final transform
     packs signs into a long.
     """
+    # bit positions are unrolled as Python ints: F.shiftright's numBits
+    # parameter must be an int, not a Column.
     sh = rolling_hash_shingles(text_col, k)
     bit_sums = F.aggregate(
         sh,
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            F.array(
+                *[
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for i in range(64)
+                ]
             ),
             lambda a, b: a + b,
         ),
     )
-    # pack sign bits: sum over i of 2^i where bit_sums[i] > 0 (bit 63 via
-    # long min-value to stay in signed-64 range)
+    # pack sign bits: weight[i] = 2^i (bit 63 as long-min to stay in
+    # signed-64 range); literal weight array keeps bit_sums referenced
+    # exactly once in the expression tree.
+    weights = [1 << i for i in range(63)] + [-(1 << 63)]
     packed = F.aggregate(
         F.zip_with(
             bit_sums,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda s, i: F.when(
-                s > 0,
-                F.when(i < 63, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                    F.lit(-9223372036854775808).cast("long")
-                ),
-            ).otherwise(F.lit(0).cast("long")),
+            F.array(*[F.lit(w).cast("long") for w in weights]),
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,

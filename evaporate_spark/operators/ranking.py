@@ -1,0 +1,88 @@
+"""Scalable global ordering operators.
+
+``Window.orderBy(...)`` with no ``partitionBy`` moves every row into a
+single task — correct on a laptop, dead at 100 TB. This module provides
+the standard two-phase alternative:
+
+1. ``repartitionByRange`` on the sort key (sampled range boundaries,
+   deterministic per Spark's RangePartitioner);
+2. per-partition ``row_number`` plus a broadcast map of partition row
+   counts → cumulative offsets (one tiny driver collect, #partitions
+   rows).
+
+The resulting global rank is exact, and NTILE/percent_rank/decile
+assignment become pure per-row arithmetic on it — no global shuffle to
+one task anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global rank over a total order, computed scalably.
+
+    ``order_cols`` must define a total order (include a unique key as
+    the final tie-break). Returns ``(df_with_rank, total_rows)``.
+
+    Two jobs over the input (count pass + rank pass) — the price of not
+    having a single-task global sort. Callers looping over this should
+    ``persist()`` the input first.
+    """
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # persist() is REQUIRED for correctness, not a perf nicety: the
+    # count job and the rank job otherwise re-run repartitionByRange
+    # with different sampling seeds (seed mixes the per-job RDD id),
+    # yielding different range boundaries and therefore wrong offsets.
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        ranged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    total = sum(r["count"] for r in counts)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        ranged.join(off_df, "_pid")
+        .withColumn(rank_col, F.row_number().over(w) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+    return out, total
+
+
+def ntile_from_rank(rank: Column, total_rows: int, buckets: int) -> Column:
+    """Exact NTILE(buckets) bucket id from a 1-based global rank.
+
+    Matches SQL NTILE semantics: the first ``total % buckets`` buckets
+    get ``total//buckets + 1`` rows, the rest ``total//buckets``.
+    """
+    base = total_rows // buckets
+    rem = total_rows % buckets
+    big = rem * (base + 1)
+    if base == 0:
+        return rank.cast("int")
+    return (
+        F.when(rank <= F.lit(big), ((rank - 1) / F.lit(base + 1)).cast("long"))
+        .otherwise(F.lit(rem) + ((rank - F.lit(big) - 1) / F.lit(base)).cast("long"))
+        + 1
+    ).cast("int")

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Re-expresses the reference's embedding retrieval
+(``reference/evaporate/retrieval.py:5-36``: mean-pooled embeddings,
+cosine, top-1 most-similar chunk) as Spark-native operators, and
+generalizes it to the engine's ANN surface (SURVEY §2C):
+
+- :func:`cosine` / :func:`dot` / :func:`l2_norm` — pure ``Column``
+  expressions (zip_with + aggregate), JVM-side, codegen-friendly.
+- :func:`brute_force_topk` — exact top-k neighbors for a (small,
+  broadcast) query set. Scale shape: the pair scoring happens in the
+  corpus scan stage; top-k is taken in TWO window stages —
+  per-(query, input-partition) first, then per-query over the k·P
+  survivors — so no single task ever sees a whole query's pair list.
+- :func:`random_hyperplane_lsh_topk` — the at-scale route: seeded
+  random-hyperplane signatures (sign-of-dot, Charikar), band buckets,
+  exact cosine only within candidate buckets.
+
+All randomness is a seeded ``numpy.random.Generator`` materialized to
+literal hyperplanes at plan build — deterministic across runs and
+executors (SURVEY §7 reproducibility requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length numeric arrays."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _c(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def mean_pool(vectors: Column | str) -> Column:
+    """Element-wise mean of an ``array<array<float>>`` column.
+
+    Parity with the reference's ``mean_pooling``
+    (``reference/evaporate/retrieval.py:10-14``) minus the attention
+    mask (our inputs are unpadded).
+    """
+    vs = _c(vectors)
+    n = F.size(vs)
+    sums = F.aggregate(
+        vs,
+        F.transform(F.element_at(vs, 1), lambda x: x.cast("double") * 0.0),
+        lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x.cast("double")),
+    )
+    return F.when(n > 0, F.transform(sums, lambda s: s / n)).otherwise(vs.getItem(0))
+
+
+def _two_stage_topk(
+    scored: DataFrame, key_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per key without a single-task-per-key global sort.
+
+    Stage 1 prunes to k rows per (key, input partition); stage 2 ranks
+    the k·P survivors per key. Both shuffles are keyed on composite /
+    key columns, never a global order.
+    """
+    w1 = Window.partitionBy(*key_cols, "_pid").orderBy(*order_cols)
+    stage1 = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_pid", "_r1")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return stage1.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k corpus neighbors per query.
+
+    ``queries`` is broadcast (the reference's usage is one query per
+    (attribute, gold value) — always small). Returns
+    (query_id, corpus_id, cosine, rank) with rank 1..k per query and a
+    deterministic corpus-id tie-break.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
+    )
+    scored = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+    ).crossJoin(q).select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        F.round(cosine("_cv", "_qv"), 6).alias("cosine"),
+    )
+    out = _two_stage_topk(
+        scored, [query_id], [F.desc("cosine"), F.asc(corpus_id)], k
+    )
+    return out.select(query_id, corpus_id, "cosine", "rank")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def random_hyperplane_signature(
+    vec: Column | str, dim: int, n_planes: int = 16, seed: int = 0
+) -> Column:
+    """Charikar sign-random-projection signature as an array<int> of
+    0/1 bits. Hyperplanes are seeded literals — identical on every
+    executor, no RNG at runtime."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    return F.array(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        _c(vec),
+                        F.array(*[F.lit(w) for w in plane]),
+                        lambda x, w: x.cast("double") * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                1,
+            ).otherwise(0)
+            for plane in planes
+        ]
+    )
+
+
+def random_hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates must share >=1 LSH band
+    bucket with the query; exact cosine is computed only on candidates.
+
+    The only shuffle keys are (band, bucket) — corpus-size-linear — so
+    this is the 100 TB path; recall is tunable via n_planes/bands.
+    """
+    rows_per_band = n_planes // bands
+
+    def banded(df: DataFrame, id_col: str, vec_col: str, out_id: str, keep_vec: str) -> DataFrame:
+        sig = random_hyperplane_signature(vec_col, dim, n_planes, seed)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(keep_vec),
+            sig.alias("_sig"),
+        ).select(
+            out_id,
+            keep_vec,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("_sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, keep_vec, "bb.band", "bb.bucket")
+    cq = banded(queries, query_id, query_vec, "_qid", "_qv")
+    cc = banded(corpus, corpus_id, corpus_vec, "_cid", "_cv")
+    cand = (
+        cc.join(F.broadcast(cq), on=["band", "bucket"])
+        .select("_qid", "_cid", "_qv", "_cv")
+        .dropDuplicates(["_qid", "_cid"])
+    )
+    scored = cand.select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        F.round(cosine("_cv", "_qv"), 6).alias("cosine"),
+    )
+    out = _two_stage_topk(scored, [query_id], [F.desc("cosine"), F.asc(corpus_id)], k)
+    return out.select(query_id, corpus_id, "cosine", "rank")

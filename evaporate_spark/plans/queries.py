@@ -16,8 +16,11 @@ comparison deterministic):
 Scale notes: plans here are purely declarative — Catalyst handles
 pushdown, pruning, join ordering, and with AQE the physical join
 strategy. The only explicit physical hints are ``broadcast()`` on
-bounded dimension tables (region/nation/supplier stay broadcastable at
-any scale factor; customer/part would not, and are never hinted).
+CONSTANT-cardinality dimension tables (region = 5 rows, nation = 25
+rows at every scale factor). supplier/customer/part grow linearly with
+SF and are never hinted — AQE demotes/promotes those at runtime.
+Global total-order operations (ntile) are computed with the two-phase
+range-partition + offset pattern, never a single-partition window.
 """
 
 from __future__ import annotations
@@ -145,8 +148,8 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_distinct_counts",
-    "Exact COUNT(DISTINCT) per group (the approx_count_distinct variant "
-    "is exercised in tests, not against the oracle).",
+    "Exact COUNT(DISTINCT) per group (see q_approx_distinct for the "
+    "HLL-sketch variant used at scale).",
     oracle="""
         SELECT
             l_returnflag,
@@ -243,8 +246,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     "TPC-H Q5 shape: 6-way join through region→nation→(customer,supplier) "
-    "with the c_nationkey = s_nationkey locality predicate; small dims "
-    "broadcast explicitly.",
+    "with the c_nationkey = s_nationkey locality predicate; only the "
+    "constant-size dims (region/nation) are broadcast-hinted — supplier "
+    "grows linearly with SF, so its join strategy is left to AQE.",
     oracle="""
         SELECT
             n_name,
@@ -276,7 +280,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -515,8 +519,11 @@ def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_order_value_deciles",
-    "ntile() decile assignment over a deterministic total order, "
-    "aggregated back to decile stats.",
+    "Decile assignment over a deterministic global total order, "
+    "aggregated back to decile stats. NOT a single-partition ntile() "
+    "window: uses range-repartition + per-partition row_number + "
+    "broadcast offsets (operators.ranking.global_rank), so the plan "
+    "survives 100x scale while hash-matching SQL NTILE semantics.",
     oracle="""
         SELECT
             decile,
@@ -534,10 +541,14 @@ def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.ranking import global_rank, ntile_from_rank
+
     (orders,) = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked, n = global_rank(
+        orders.select("o_totalprice", "o_orderkey"), ["o_totalprice", "o_orderkey"], rank_col="_rank"
+    )
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.select("o_totalprice", ntile_from_rank(F.col("_rank"), n, 10).alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -28,15 +28,27 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables that are always broadcast-join material. At any
-# realistic scale factor these stay tiny relative to the fact tables.
-SMALL_DIMS = frozenset({"region", "nation", "supplier"})
+# Dimension tables that are always broadcast-join material: only the
+# *constant-cardinality* dims (region = 5 rows, nation = 25 rows at any
+# scale factor). supplier/customer/part grow linearly with SF and must
+# never be hinted — AQE switches to broadcast at runtime when a side is
+# genuinely small.
+SMALL_DIMS = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one catalog table from ``{sf_dir}/{name}.parquet``."""
+    """Load one catalog table from ``{sf_dir}/{name}.parquet``.
+
+    Works on ANY SparkSession (the correctness driver builds its own):
+    the nanos-timestamp handling is a runtime SQLConf set here, not a
+    session-construction option.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); without this conf the
+        # vectorized reader raises PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
     # long (spark.sql.legacy.parquet.nanosAsLong). Truncate to micros —

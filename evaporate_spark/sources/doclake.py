@@ -46,10 +46,13 @@ def read_document_dir(
         .where(~F.col("path").endswith(".swp"))
         .select(
             F.col("path"),
-            # decode with errors-ignored semantics: try_* keeps ANSI mode
-            # happy; undecodable bytes yield NULL -> ''.
+            # errors-tolerant decode (reference contract is utf-8 with
+            # errors ignored, profiler_utils.py:347-357): cast the bytes
+            # and repair invalid sequences — decode() would raise
+            # MALFORMED_CHARACTER_CODING on bad input. Divergence noted:
+            # invalid bytes become U+FFFD instead of being dropped.
             F.coalesce(
-                F.expr("try_cast(decode(content, 'UTF-8') as string)"), F.lit("")
+                F.expr("make_valid_utf8(cast(content as string))"), F.lit("")
             ).alias("content"),
             F.when(F.lower(F.col("path")).rlike(r"\.html?$"), F.lit("html"))
             .otherwise(F.lit("txt"))
@@ -85,3 +88,15 @@ def file_type_histogram(docs_dir_df: DataFrame) -> DataFrame:
     """Suffix histogram (``reference/evaporate/utils.py:98-113``)."""
     ext = F.lower(F.element_at(F.split(F.element_at(F.split("path", "/"), -1), r"\."), -1))
     return docs_dir_df.groupBy(ext.alias("file_type")).count()
+
+
+def directory_tree(docs_dir_df: DataFrame) -> DataFrame:
+    """Directory hierarchy of a document lake: one row per directory
+    with its file count (``reference/evaporate/utils.py:82-95``
+    ``get_directory_hierarchy``, re-expressed as an aggregation)."""
+    parent = F.regexp_replace("path", r"/[^/]+$", "")
+    return (
+        docs_dir_df.groupBy(parent.alias("directory"))
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy("directory")
+    )

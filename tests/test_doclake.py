@@ -1,0 +1,53 @@
+"""Document-lake source: dotfile/swap skipping, non-UTF-8 tolerance,
+directory tree, suffix histogram (SURVEY §2A #1-3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from evaporate_spark.sources.doclake import (
+    directory_tree,
+    file_type_histogram,
+    read_document_dir,
+    read_document_lake,
+)
+
+
+@pytest.fixture(scope="module")
+def lake_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lake")
+    (root / "a.txt").write_text("hello world")
+    (root / "b.html").write_text("<html><body>hi</body></html>")
+    (root / ".hidden").write_text("secret")
+    (root / "c.swp").write_text("swap")
+    (root / "bad.txt").write_bytes(b"good prefix \xff\xfe bad bytes")
+    sub = root / "sub"
+    sub.mkdir()
+    (sub / "d.txt").write_text("nested doc")
+    return str(root)
+
+
+def test_read_document_dir_skips_and_decodes(spark, lake_dir):
+    docs = read_document_dir(spark, lake_dir)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert set(rows) == {"a.txt", "b.html", "bad.txt", "d.txt"}
+    assert rows["a.txt"]["content"] == "hello world"
+    assert rows["a.txt"]["doc_type"] == "txt"
+    assert rows["b.html"]["doc_type"] == "html"
+    # non-UTF-8 input must not crash; valid prefix survives
+    assert rows["bad.txt"]["content"].startswith("good prefix ")
+    assert rows["bad.txt"]["content"] is not None
+
+
+def test_directory_tree_and_histogram(spark, lake_dir):
+    docs = read_document_dir(spark, lake_dir)
+    tree = {r["directory"].rsplit("/", 1)[-1]: r["n_files"] for r in directory_tree(docs).collect()}
+    assert sum(tree.values()) == 4 and tree["sub"] == 1
+    hist = {r["file_type"]: r["count"] for r in file_type_histogram(docs).collect()}
+    assert hist == {"txt": 3, "html": 1}
+
+
+def test_read_document_lake_schema(spark, sf_dir):
+    docs = read_document_lake(spark, sf_dir)
+    assert docs.columns == ["path", "content", "doc_type", "n_bytes"]
+    assert docs.count() == 500

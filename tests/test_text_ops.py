@@ -1,0 +1,245 @@
+"""Executes every dedup / text-stats / similarity operator end-to-end
+(VERDICT r1 rule: no operator without a test that runs it)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evaporate_spark.functions import text_stats as ts
+from evaporate_spark.operators import dedup
+from evaporate_spark.operators.ranking import global_rank, ntile_from_rank
+from evaporate_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    mean_pool,
+    random_hyperplane_lsh_topk,
+)
+from evaporate_spark.sources.doclake import read_document_lake
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_document_lake(spark, sf_dir).cache()
+
+
+def test_token_and_ratio_columns(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is on the mat, sure.",),
+            ("",),
+            ("word",),
+        ],
+        ["content"],
+    )
+    out = df.select(
+        ts.token_count_ws("content").alias("n_ws"),
+        ts.token_count_regex("content").alias("n_re"),
+        ts.stopword_ratio("content").alias("stop"),
+        ts.punct_ratio("content").alias("punct"),
+        ts.avg_word_len("content").alias("awl"),
+        ts.quality_score("content").alias("q"),
+    ).collect()
+    r0 = out[0]
+    assert r0["n_ws"] == 7
+    assert r0["n_re"] == 9  # 7 words + comma + period
+    assert abs(r0["stop"] - 3 / 7) < 1e-9  # the, is, the
+    assert 0 < r0["punct"] < 0.2
+    assert 0 <= r0["q"] <= 1
+    assert out[1]["stop"] == 0.0 and out[1]["punct"] == 0.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is a pet", "en"),
+            ("el perro y la casa de que los", "es"),
+            ("der hund und die katze ist nicht", "de"),
+            ("zzz qqq xxx", "und"),
+        ],
+        ["content", "expected"],
+    )
+    rows = df.select(ts.lang_id("content").alias("lang"), "expected").collect()
+    for r in rows:
+        assert r["lang"] == r["expected"], r
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame([("one two",), ("",), ("a b c d",)], ["content"])
+    sizes = [r[0] for r in df.select(F.size(ts.rolling_hash_shingles("content", 3))).collect()]
+    assert sizes == [0, 0, 2]
+
+
+def test_fingerprint_canonicalizes(spark):
+    df = spark.createDataFrame([("Hello   World ",), ("hello world",)], ["content"])
+    fps = [r[0] for r in df.select(ts.fingerprint("content")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT"), (3, "unique")], ["id", "content"]
+    )
+    groups = dedup.exact_dedup_groups(df, "id", "content").collect()
+    assert {(r["keep_id"], r["n_copies"]) for r in groups} == {(1, 2), (3, 1)}
+    kept = dedup.exact_dedup(df, "id", "content")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3]
+
+
+_NEAR_DUP_A = "the quick brown fox jumps over the lazy dog again and again " * 3
+_NEAR_DUP_B = "the quick brown fox jumps over the lazy dog again and again " * 3 + "extra tail"
+
+
+def _near_dup_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "g", _NEAR_DUP_A),
+            (2, "g", _NEAR_DUP_B),
+            (3, "g", "completely different content about spark query engines and shuffles"),
+            (4, "g", "tiny"),
+        ],
+        ["id", "grp", "content"],
+    )
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        _near_dup_df(spark), "id", "content", ["grp"], threshold=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = dedup.minhash_lsh_pairs(
+        _near_dup_df(spark), "id", "content", threshold=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["est_jaccard"] > 0.5
+
+
+def test_simhash_dup_pairs(spark):
+    # long docs differing in one word: deterministic hamming distance 4
+    base = " ".join(f"token{i} alpha{i % 7} beta{i % 11}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("token20", "changed")),
+            (3, "totally unrelated words about query engines"),
+        ],
+        ["id", "content"],
+    )
+    pairs = dedup.simhash_dup_pairs(df, "id", "content", max_hamming=6).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] <= 6
+
+
+def test_simhash64_deterministic(spark):
+    df = spark.createDataFrame([("some reasonably long piece of text here",)], ["content"])
+    a = df.select(dedup.simhash64("content").alias("h")).collect()[0]["h"]
+    b = df.select(dedup.simhash64("content").alias("h")).collect()[0]["h"]
+    assert a == b and isinstance(a, int)
+
+
+def test_embedding_near_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "g", [1.0, 0.0, 0.0]),
+            (2, "g", [0.999, 0.01, 0.0]),
+            (3, "g", [0.0, 1.0, 0.0]),
+        ],
+        ["id", "grp", "vec"],
+    )
+    pairs = dedup.embedding_near_dup_pairs(df, "id", "vec", ["grp"], threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_cosine_and_mean_pool(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0], [[1.0, 0.0], [0.0, 1.0]])], ["a", "b", "vs"]
+    )
+    row = df.select(
+        cosine("a", "b").alias("c_ab"),
+        cosine("a", "a").alias("c_aa"),
+        mean_pool("vs").alias("mp"),
+    ).collect()[0]
+    assert abs(row["c_ab"]) < 1e-9
+    assert abs(row["c_aa"] - 1.0) < 1e-9
+    assert row["mp"] == [0.5, 0.5]
+
+
+def test_brute_force_topk_on_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", "qid", "qvec", k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        # self is always the nearest neighbor at rank 1
+        assert rs[0]["vec_id"] == qid and rs[0]["cosine"] >= 0.999999
+        sims = [r["cosine"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recovers_self(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = random_hyperplane_lsh_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qvec", dim=dim, k=3
+    ).collect()
+    top1 = {r["qid"]: r["vec_id"] for r in out if r["rank"] == 1}
+    # identical vectors share every band bucket, so self must be found
+    for qid, cid in top1.items():
+        assert cid == qid
+
+
+def test_global_rank_matches_window_ntile(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked, n = global_rank(orders, ["o_totalprice", "o_orderkey"], rank_col="r")
+    assert n == orders.count()
+    got = ranked.select("o_orderkey", "r", ntile_from_rank(F.col("r"), n, 10).alias("d"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = orders.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("r"),
+        F.ntile(10).over(w).alias("d"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_text_stats_run_on_real_documents(docs):
+    out = docs.select(
+        ts.token_count_ws("content").alias("n"),
+        ts.stopword_ratio("content").alias("s"),
+        ts.quality_score("content").alias("q"),
+        ts.lang_id("content").alias("lang"),
+        ts.fingerprint("content").alias("fp"),
+        F.size(ts.rolling_hash_shingles("content")).alias("nsh"),
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+        F.countDistinct("lang").alias("nlang"),
+    ).collect()[0]
+    assert agg["n"] == 500
+    assert 0 <= agg["qmin"] <= agg["qmax"] <= 1
+
+
+def test_dedup_runs_on_real_documents(docs, spark):
+    d = docs.withColumn("blk", F.lit("all"))
+    assert dedup.exact_dedup_groups(d, "path", "content").count() > 0
+    assert dedup.minhash_lsh_pairs(d, "path", "content", threshold=0.9).count() >= 0

@@ -1,0 +1,127 @@
+"""Distributed LLM application: prompt column → completion column.
+
+The reference calls its model once per prompt in a sequential Python
+loop with a sqlite response cache (``reference/evaporate/utils.py:
+36-60,225-298``). Spark-first shape:
+
+- ``mapInPandas`` over the prompt frame: Arrow-batched, one
+  ``complete_batch`` per pandas batch, parallel across partitions.
+- Prompt cache = a parquet table keyed by ``md5(model || prompt)``.
+  Cache hits are resolved by a join (no Python at all); only misses
+  reach the client; new completions are appended back so re-runs are
+  idempotent and cost ~0 tokens (the reference's overwrite_cache
+  contract).
+- Token accounting via a Spark accumulator (the reference threads
+  integer counters through every call).
+
+At 100 TB the cache join is a plain equi-join on a hashed key —
+shuffle-friendly, AQE-broadcastable when the delta is small.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from evaporate_spark.llm.client import LLMClient
+
+CACHE_SCHEMA = "cache_key string, completion string, n_tokens long"
+
+
+def _cache_key(client_name: str, prompt_col) -> "F.Column":
+    return F.md5(F.concat(F.lit(client_name), F.lit("\x00"), prompt_col))
+
+
+def llm_map(
+    df: DataFrame,
+    client: "LLMClient",
+    prompt_col: str = "prompt",
+    out_col: str = "completion",
+    max_tokens: int = 256,
+    cache_dir: str | None = None,
+    token_accumulator=None,
+) -> DataFrame:
+    """Append ``out_col`` = client completion of ``prompt_col``.
+
+    Duplicate prompts are completed once (distinct on the cache key)
+    and joined back — the batch analog of the reference's per-prompt
+    memoization. With ``cache_dir`` set, previously-seen prompts never
+    reach the client again, across runs.
+    """
+    from evaporate_spark.llm.client import approx_token_count
+
+    spark = df.sparkSession
+    keyed = df.withColumn("_ck", _cache_key(client.name, F.col(prompt_col)))
+    distinct_prompts = keyed.select("_ck", F.col(prompt_col).alias("_prompt")).dropDuplicates(
+        ["_ck"]
+    )
+
+    cached: DataFrame | None = None
+    if cache_dir is not None and os.path.isdir(cache_dir) and os.listdir(cache_dir):
+        # drop any stale directory listing a previous read of this path
+        # may have left in the session's FileStatusCache
+        spark.catalog.refreshByPath(cache_dir)
+        cached = (
+            spark.read.schema(CACHE_SCHEMA)
+            .parquet(cache_dir)
+            .dropDuplicates(["cache_key"])
+            .withColumnRenamed("cache_key", "_ck")
+        )
+
+    if cached is not None:
+        misses = distinct_prompts.join(cached.select("_ck"), "_ck", "left_anti")
+    else:
+        misses = distinct_prompts
+
+    def run_batches(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            prompts = pdf["_prompt"].tolist()
+            outs = client.complete_batch(prompts, max_tokens=max_tokens)
+            ntoks = [
+                approx_token_count(p) + approx_token_count(o)
+                for p, o in zip(prompts, outs)
+            ]
+            if token_accumulator is not None:
+                token_accumulator.add(int(sum(ntoks)))
+            yield pdf.assign(_completion=outs, _ntok=ntoks)[
+                ["_ck", "_completion", "_ntok"]
+            ]
+
+    # localCheckpoint materializes the completions ONCE (the only
+    # point the client is invoked) and truncates lineage. Two reasons
+    # this is not an optimization but a correctness requirement:
+    # 1. downstream consumption of the result in multiple actions must
+    #    not re-invoke the client (token double-count, nondeterminism);
+    # 2. re-READING the cache directory here would be fragile — two
+    #    llm_map calls against the same path canonicalize to equal
+    #    scans, and Spark may reuse one (stale) file listing for both
+    #    when the plans meet in a union (observed: second pass loses
+    #    its completions).
+    fresh = misses.mapInPandas(
+        run_batches, schema="_ck string, _completion string, _ntok long"
+    ).localCheckpoint(eager=True)
+
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        fresh.select(
+            F.col("_ck").alias("cache_key"),
+            F.col("_completion").alias("completion"),
+            F.col("_ntok").alias("n_tokens"),
+        ).write.mode("append").parquet(cache_dir)
+
+    answers = fresh.select("_ck", "_completion")
+    if cached is not None:
+        answers = answers.unionByName(
+            cached.select("_ck", F.col("completion").alias("_completion"))
+        )
+
+    return (
+        keyed.join(answers, "_ck", "left")
+        .withColumn(out_col, F.coalesce("_completion", F.lit("")))
+        .drop("_ck", "_completion")
+    )

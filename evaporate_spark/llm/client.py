@@ -1,0 +1,148 @@
+"""LLM client layer: pluggable completion backends for the semantic
+operators.
+
+Re-expresses the reference's manifest-session machinery
+(``reference/evaporate/utils.py:36-60,163-298``) Spark-first:
+
+- A client is a small picklable object with ``complete_batch`` — it is
+  shipped to executors inside ``mapInPandas`` closures (see
+  :mod:`evaporate_spark.llm.apply`), so Arrow batches amortize every
+  call.
+- Token accounting mirrors the reference's threaded token counters: a
+  client counts prompt+completion tokens locally; the distributed path
+  sums per-batch counts through a Spark accumulator.
+- :class:`MockLLM` is the deterministic dict/callable-backed test
+  backend (SURVEY §5 engine test plan) — no network, reproducible.
+
+A production backend (HTTP API) would subclass :class:`LLMClient` and
+implement ``complete_batch`` with its own pooling/retry; everything
+else in the engine is backend-agnostic.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+def approx_token_count(text: str) -> int:
+    """Cheap deterministic token proxy (word pieces + punctuation)."""
+    return len(re.findall(r"\w+|[^\w\s]", text))
+
+
+class LLMClient:
+    """Base class: a picklable completion backend."""
+
+    #: identifier used in cache keys and vote names
+    name: str = "llm"
+
+    def complete(self, prompt: str, max_tokens: int = 256) -> str:
+        raise NotImplementedError
+
+    def complete_batch(self, prompts: list[str], max_tokens: int = 256) -> list[str]:
+        return [self.complete(p, max_tokens=max_tokens) for p in prompts]
+
+
+@dataclass
+class MockLLM(LLMClient):
+    """Deterministic test backend.
+
+    ``responder`` maps a prompt to a completion; ``canned`` overrides
+    by exact prompt match. Falls back to ``default``. Call counts and
+    token totals are tracked per-instance (driver-side use) — the
+    distributed path tracks tokens via accumulator instead, since
+    executor-side copies of this object are independent clones.
+    """
+
+    responder: Callable[[str], str] | None = None
+    canned: dict[str, str] = field(default_factory=dict)
+    default: str = ""
+    name: str = "mock-llm"
+    calls: int = 0
+    tokens: int = 0
+
+    def complete(self, prompt: str, max_tokens: int = 256) -> str:
+        self.calls += 1
+        if prompt in self.canned:
+            out = self.canned[prompt]
+        elif self.responder is not None:
+            out = self.responder(prompt)
+        else:
+            out = self.default
+        self.tokens += approx_token_count(prompt) + approx_token_count(out)
+        return out
+
+
+@dataclass
+class EchoLLM(LLMClient):
+    """Trivial backend that echoes a fixed suffix — wiring smoke tests."""
+
+    suffix: str = ""
+    name: str = "echo-llm"
+
+    def complete(self, prompt: str, max_tokens: int = 256) -> str:
+        return self.suffix
+
+
+@dataclass
+class KeyValueMockLLM(LLMClient):
+    """Deterministic oracle backend for ``key: value``-structured lakes.
+
+    Answers every prompt family the semantic operators emit (extract /
+    synthesize / schema-id / rerank / validity / pick-gold) by reading
+    the ``attr: value`` lines out of the chunk embedded in the prompt.
+    Because prompts carry few-shot examples, the LAST pattern match is
+    always the live question. This is the engine's no-network stand-in
+    for a real model on well-structured documents — used by the driver
+    correctness query and the test suite.
+    """
+
+    name: str = "kv-mock-llm"
+
+    def complete(self, prompt: str, max_tokens: int = 256) -> str:
+        # function synthesis (both template styles)
+        attrs = re.findall(r'to extract the (?:entire )?"([^"]+)" field', prompt)
+        if attrs and "python function" in prompt:
+            attr = attrs[-1]
+            field = re.sub(r"[^A-Za-z0-9]", "_", attr)
+            if "Include any imports" in prompt:
+                return (
+                    "import re\n"
+                    f"def get_{field}_field(text: str):\n"
+                    f"    m = re.search(r'{re.escape(attr)}:\\s*(.+)', text, re.IGNORECASE)\n"
+                    "    return [m.group(1).strip()] if m else []\n"
+                )
+            # continuation style: no imports available after wrapping
+            return (
+                f'lines = [l for l in text.split("\\n") if l.lower().startswith("{attr.lower()}:")]\n'
+                'return [lines[0].split(":", 1)[1].strip()] if lines else []'
+            )
+        # span extraction (context / zero-shot / fallback)
+        attrs = re.findall(r'Return the full "([^"]+)"', prompt) or re.findall(
+            r'What is the "([^"]+)" value', prompt
+        )
+        if attrs:
+            attr = attrs[-1]
+            vals = re.findall(
+                rf"^{re.escape(attr)}:\s*(.+)$", prompt, re.MULTILINE | re.IGNORECASE
+            )
+            return f"[{attr}: {vals[-1].strip()}]" if vals else "[]"
+        # schema discovery: list attr: value lines from the live chunk
+        if "List all relevant attributes" in prompt:
+            chunk = prompt.split("Sample text:")[-1].split("Question:")[0]
+            pairs = re.findall(r"^([A-Za-z0-9 _\-]+):\s*(.+)$", chunk, re.MULTILINE)
+            return "\n".join(f"- {k.strip()}: {v.strip()}" for k, v in pairs)
+        # schema rerank: keep the listed order
+        if "most useful first" in prompt:
+            listed = re.findall(r"^- (.+)$", prompt, re.MULTILINE)
+            return "\n".join(listed)
+        # attribute validity
+        if 'Could "' in prompt:
+            return "Yes"
+        # gold disambiguation: first candidate
+        if "Which single candidate" in prompt:
+            for line in prompt.split("\n"):
+                if line.startswith("- "):
+                    return line[2:]
+        return ""

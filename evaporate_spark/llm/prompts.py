@@ -1,0 +1,158 @@
+"""Prompt templates for the semantic operators.
+
+Same CONTRACTS as the reference prompt set
+(``reference/evaporate/prompts.py``): answer terminated by ``----``,
+span answers in ``[...]`` lists, schema answers as ``- field: value``
+lines, synthesis answers as a ``def get_<field>_field(text)`` Python
+function. The few-shot example text is original to this engine — only
+the input/output shape mirrors the reference (the parsers in
+semantic/* depend on that shape, not on the example wording).
+"""
+
+from __future__ import annotations
+
+# §2A#15 METADATA_EXTRACTION_WITH_LM_CONTEXT analog: span + context
+EXTRACT_WITH_CONTEXT = [
+    """Here is a file sample:
+
+Model number:
+RX-7740
+
+Question: Return the full "model number" from this sample if it exists and the context around it, otherwise output [].
+Answer: [Model number: RX-7740]
+
+----
+
+Here is a file sample:
+
+The committee met twice this spring. Attendance at the second meeting reached 41 members.
+
+Question: Return the full "attendance" from this sample if it exists and the context around it, otherwise output [].
+Answer: [Attendance at the second meeting reached 41 members]
+
+----
+
+Here is a file sample:
+
+{chunk}
+
+Question: Return the full "{attribute}" from this sample if it exists and the context around it, otherwise output [].
+Answer:"""
+]
+
+# §2A#15 zero-shot variant (flan-style models)
+EXTRACT_ZERO_SHOT = [
+    """Sample text:
+
+{chunk}
+
+Question: What is the "{attribute}" value in the text?
+Answer:"""
+]
+
+# §2A#15 EXTRA_PROMPT analog: bare-span fallback when everything came back empty
+EXTRACT_FALLBACK = [
+    """Here is a file sample:
+
+<li data-year="1998" data-rating="8.6">Classic</li>
+
+Question: Return the full "rating" from this sample if it exists, otherwise output [].
+Answer: ['8.6']
+
+----
+
+Here is a file sample:
+
+{chunk}
+
+Question: Return the full "{attribute}" from this sample if it exists, otherwise output [].
+Answer:"""
+]
+
+# §2A#16 METADATA_GENERATION_FOR_FIELDS analog: two synthesis styles
+SYNTHESIZE_FUNCTION = [
+    # bare continuation style: the model completes a started function body
+    """Here is a sample of text:
+
+{chunk}
+
+
+Question: Write a python function to extract the entire "{attribute}" field from text, but not any other metadata. Return the result as a list.
+
+
+import re
+
+def get_{function_field}_field(text: str):
+    \"\"\"
+    Function to extract the "{attribute} field".
+    \"\"\"
+    """,
+    # full-function style with imports
+    """Here is a file sample:
+
+name: orchard-survey
+rows: 1204
+updated: 2021-07-03
+maintainer: field-team
+
+Question: Write a python function called "get_updated_field" to extract the "updated" field from the text. Include any imports.
+
+import re
+
+def get_updated_field(text: str):
+    \"\"\"
+    Function to extract the updated date.
+    \"\"\"
+    match = re.search(r"updated:\\s*(\\S+)", text)
+    return [match.group(1)] if match else []
+
+----
+
+Here is a file sample:
+
+{chunk}
+
+Question: Write a python function called "get_{function_field}_field" to extract the "{attribute}" field from the text. Include any imports.""",
+]
+
+# §2A#12 SCHEMA_ID analog: list attribute: value pairs present in a chunk
+SCHEMA_ID = [
+    """Sample text:
+ingredient: rolled oats
+quantity: 2 cups
+bake time: 25 minutes
+
+Question: List all relevant attributes about 'recipes' that are exactly mentioned in this sample text if any.
+Answer:
+- ingredient: rolled oats
+- quantity: 2 cups
+- bake time: 25 minutes
+
+----
+
+Sample text:
+{chunk}
+
+Question: List all relevant attributes about '{topic}' that are exactly mentioned in this sample text if any.
+Answer:"""
+]
+
+# §2A#13 schema rerank: vote for the most useful keys
+SCHEMA_RERANK = """Here is a list of attributes found in a collection of documents about '{topic}':
+
+{attributes}
+
+Question: Select the {k} attributes that would be the most useful columns of a SQL table about '{topic}'. List one per line, most useful first.
+Answer:"""
+
+# §2A#30 IS_VALID_ATTRIBUTE analog
+IS_VALID_ATTRIBUTE = """Question: Could "{value}" be a "{attribute}" value in a "{topic}" database?
+Answer:"""
+
+# §2A#21 PICK_VALUE_CONTEXT analog: disambiguate multiple gold candidates
+PICK_GOLD_VALUE = """Here are several candidate values extracted for the "{attribute}" field:
+
+{candidates}
+
+Question: Which single candidate is the best "{attribute}" value? Answer with just that value, or "none" if no candidate fits.
+Answer:"""

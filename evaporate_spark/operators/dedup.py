@@ -176,6 +176,57 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_exact_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Shingle-set-identical pairs via LSH candidates + exact verify.
+
+    The LSH→verify pattern: band buckets produce candidates (linear
+    shuffle), then candidates are confirmed by comparing the full
+    sorted shingle sets. For set-equal pairs recall is GUARANTEED
+    (equal sets ⟹ equal signatures ⟹ same bucket in every band), so
+    unlike threshold-based estimation the output is exactly the
+    set-equality relation — deterministic and oracle-checkable.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(rolling_hash_shingles(text_col, k)).alias("_sh"),
+        minhash_signature(text_col, num_hashes, k).alias("_sig"),
+    ).where(F.size("_sh") > 0)
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sh", "bb.band", "bb.bucket")
+    a = banded.select("band", "bucket", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = banded.select("band", "bucket", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("sh_a") == F.col("sh_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. simhash
 # ---------------------------------------------------------------------------

@@ -1,3 +1,5 @@
 from evaporate_spark.plans.queries import REGISTRY, QuerySpec, get_query, query_names
+# importing registers the semantic / dedup / text / similarity entries
+from evaporate_spark.plans import semantic_queries as _semantic_queries  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "get_query", "query_names"]

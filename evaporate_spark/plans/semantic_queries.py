@@ -1,0 +1,329 @@
+"""Registry entries for the semantic / dedup / text-analysis /
+similarity operators, each paired with a DuckDB oracle where the
+semantics are SQL-expressible (driver t2 gate; SURVEY §2A/§2C).
+
+The flagship row is ``q_semantic_closed_ie``: the ENTIRE ClosedIE
+pipeline (chunk → filter → sample → mock-LLM gold → function synthesis
+→ sandboxed exec → F1 scoring → top-k → full-lake apply → majority
+vote) run over a structured rendering of the documents table, hash-
+checked against plain SQL truth — the pipeline must reproduce the
+``source`` column it was shown as ``source: <value>`` lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from evaporate_spark.functions.text_stats import (
+    LANG_LEXICONS,
+    DEFAULT_STOPWORDS,
+    lang_id,
+    punct_ratio,
+    stopword_ratio,
+    token_count_regex,
+    token_count_ws,
+)
+from evaporate_spark.plans.queries import register
+from evaporate_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# semantic pipeline (ClosedIE end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_semantic_closed_ie",
+    "Full ClosedIE profile kernel over a structured document lake "
+    "(SURVEY §2A #15-26+32): the pipeline must recover the 'source' "
+    "attribute it was shown as 'source: <value>' lines, verified "
+    "against the raw column.",
+    oracle="""
+        SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS path,
+               source AS value
+        FROM documents
+    """,
+    tags=("semantic",),
+)
+def q_semantic_closed_ie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.llm.client import KeyValueMockLLM
+    from evaporate_spark.semantic.pipeline import ProfileConfig, profile_attribute
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("doc_id: "), F.col("doc_id").cast("string")),
+            F.concat(F.lit("source: "), F.col("source")),
+            F.concat(F.lit("lang: "), F.col("lang")),
+            F.concat(F.lit("text: "), F.col("text")),
+        ).alias("content"),
+        F.lit("txt").alias("doc_type"),
+        F.length("text").cast("bigint").alias("n_bytes"),
+    )
+    result = profile_attribute(
+        docs,
+        "source",
+        KeyValueMockLLM(),
+        ProfileConfig(train_size=10, chunk_size=2000),
+    )
+    assert result.extractions is not None
+    return result.extractions.select("path", "value")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_exact_dedup_groups",
+    "Exact dedup via canonical-text fingerprint: one shuffle on the "
+    "md5 key, fully JVM-side (the cheapest 100 TB dedup pass).",
+    oracle="""
+        SELECT
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+            MIN(doc_id) AS keep_id,
+            COUNT(*)    AS n_copies
+        FROM documents
+        GROUP BY fp
+    """,
+    tags=("dedup",),
+)
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import exact_dedup_groups
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "doc_id", "text")
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ an id-shifted clone — guarantees each doc has at
+    least one exact near-duplicate, making the dup-pair operators'
+    outputs non-trivial and SQL-predictable."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    clone = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    return d.unionByName(clone)
+
+
+_DOUBLED_SQL = """
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+"""
+
+
+@register(
+    "q_minhash_lsh_dups",
+    "LSH-candidate + exact-verify duplicate pairs (identical trigram "
+    "shingle sets) over the doubled corpus: signatures in the scan "
+    "stage, shuffle only on (band, bucket) — the linear-cost 100 TB "
+    "near-dup path. Recall at set-equality is guaranteed, so the "
+    "oracle can recompute the relation with DuckDB list algebra. The "
+    "threshold-estimation variant (minhash_lsh_pairs) is pytest-"
+    "verified; its estimates are probabilistic and not SQL-oracle-able.",
+    oracle=f"""
+        WITH d AS ({_DOUBLED_SQL}),
+        t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM d
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                       list_transform(
+                           range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       )
+                   )) AS s
+            FROM t WHERE len(toks) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup",),
+)
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import lsh_exact_dup_pairs
+
+    return lsh_exact_dup_pairs(_doubled_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "q_ngram_jaccard_dups",
+    "Blocked exact n-gram Jaccard (block key: 30-char text prefix — "
+    "bounds the pairwise join; classic blocked-ER). Oracle recomputes "
+    "the trigram-shingle Jaccard with DuckDB list algebra.",
+    oracle=f"""
+        WITH d AS ({_DOUBLED_SQL}),
+        t AS (
+            SELECT doc_id, substr(text, 1, 30) AS blk,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM d
+        ),
+        sh AS (
+            SELECT doc_id, blk,
+                   list_distinct(
+                       list_transform(
+                           range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       )
+                   ) AS s
+            FROM t WHERE len(toks) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    """,
+    tags=("dedup",),
+)
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _doubled_docs(spark, sf_dir).withColumn("blk", F.substring("text", 1, 30))
+    return ngram_jaccard_pairs(d, "doc_id", "text", ["blk"], threshold=0.9)
+
+
+@register(
+    "q_simhash_dups",
+    "SimHash near-dup pairs (Hamming ≤ 3) over the doubled corpus via "
+    "4×16-bit pigeonhole banding. xxhash64-based fingerprints are not "
+    "reproducible in DuckDB → rows-only driver check; exact-pair "
+    "semantics are pytest-verified (tests/test_text_ops.py).",
+    oracle=None,
+    tags=("dedup",),
+)
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_doubled_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _quoted(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "q_text_stats",
+    "Per-document text statistics (token counts, stopword/punctuation "
+    "ratios) as pure JVM column expressions — zero-shuffle scan-stage "
+    "work at any scale.",
+    oracle=f"""
+        SELECT
+            doc_id,
+            len(string_split_regex(trim(text), '\\s+'))  AS n_tok_ws,
+            len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tok_re,
+            ROUND(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> list_contains([{_quoted(DEFAULT_STOPWORDS)}], x)))::DOUBLE
+                  / len(string_split_regex(trim(text), '\\s+')), 4) AS stop_ratio,
+            ROUND(length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+                  / length(text), 4) AS punct_ratio
+        FROM documents
+    """,
+    tags=("textstats",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tok_ws"),
+        token_count_regex("text").alias("n_tok_re"),
+        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n                   ".join(
+        f"len(list_filter(toks, x -> list_contains([{_quoted(ws)}], x))) AS h_{lang}"
+        for lang, ws in sorted(LANG_LEXICONS.items())
+    )
+    langs = sorted(LANG_LEXICONS)
+    greatest = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    cases = "\n                ".join(
+        f"WHEN h_{l} = {greatest} THEN '{l}'" for l in langs
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   {hit_cols}
+            FROM t
+        )
+        SELECT CASE
+                WHEN {greatest} = 0 THEN 'und'
+                {cases}
+               END AS lang_guess,
+               COUNT(*) AS n_docs
+        FROM h
+        GROUP BY lang_guess
+    """
+
+
+@register(
+    "q_lang_id_profile",
+    "Heuristic language-ID distribution over the corpus; the oracle "
+    "re-implements the same lexicon-hit argmax in SQL (alphabetical "
+    "first-max tie-break).",
+    oracle=_lang_id_oracle(),
+    tags=("textstats",),
+)
+def q_lang_id_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id(F.lower("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_knn_cosine",
+    "Exact cosine top-5 neighbors for 3 broadcast query vectors; "
+    "two-stage windowed top-k (per-partition prune, then per-query) — "
+    "no single-task global sort at any corpus size.",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe
+            FROM embeddings WHERE vec_id < 3
+        ),
+        s AS (
+            SELECT q.qid, e.vec_id,
+                   ROUND(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+            FROM q, embeddings e
+        ),
+        r AS (
+            SELECT qid, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+            FROM s
+        )
+        SELECT qid, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(emb, queries, "vec_id", "embedding", "qid", "qvec", k=5)

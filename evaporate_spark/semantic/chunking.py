@@ -1,0 +1,138 @@
+"""Document → chunk operators (SURVEY §2A #4-7).
+
+Semantics mirrored from the reference:
+
+- HTML cleaner strips ``<script>/<style>/<svg>`` line-blocks, inline
+  ``style=`` attributes and ``<meta .../>`` tags
+  (``reference/evaporate/profiler_utils.py:218-232,274-279``).
+- txt chunker splits on newline, re-splits oversized pieces on ``". "``
+  then ``", "``, then greedily re-packs to ``chunk_size`` characters
+  joined by newlines (``profiler_utils.py:309-344``).
+- html chunker flattens lines, splits oversized lines on ``"><"``,
+  cleans each piece, then greedily groups (``profiler_utils.py:
+  235-305``; the reference's ``use_raw_text`` NameError bug at line
+  291 is deliberately NOT replicated — we always join with newline,
+  SURVEY §7 "reference bugs to not replicate").
+
+Spark shape: the chunkers are pure Python string functions executed in
+ONE Arrow-batched pandas UDF producing ``array<string>``, then
+``posexplode`` yields ``(path, chunk_id, chunk)``. No shuffle — the
+chunk table is produced in the scan stage and stays partition-local.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_CHUNK_SIZE = 3000
+
+
+def clean_html_text(content: str) -> str:
+    """Remove script/style/svg blocks line-wise, like the reference."""
+    for tag in ("script", "style", "svg"):
+        lines = content.split("\n")
+        kept = []
+        in_block = False
+        for line in lines:
+            if line.strip().startswith(f"<{tag}"):
+                in_block = True
+            if f"</{tag}" in line or "/>" in line:
+                in_block = False
+                if line.strip().startswith(f"<{tag}"):
+                    continue
+            if not in_block:
+                kept.append(line)
+        content = "\n".join(kept)
+    return content
+
+
+def _strip_inline_noise(piece: str) -> str:
+    piece = re.sub(r'style="[^"]*"', "", piece)
+    piece = re.sub(r"<style>.*?</style>", "", piece)
+    piece = re.sub(r"<style.*?/style>", "", piece)
+    piece = re.sub(r"<meta.*?/>", "", piece)
+    return "\n".join(l for l in piece.split("\n") if l.strip())
+
+
+def _greedy_pack(pieces: list[str], chunk_size: int, join_str: str = "\n") -> list[str]:
+    chunks: list[str] = []
+    cur: list[str] = []
+    cur_len = 0
+    for piece in pieces:
+        if cur_len + len(piece) > chunk_size and cur:
+            chunks.append(join_str.join(cur))
+            cur, cur_len = [], 0
+        cur.append(piece)
+        cur_len += len(piece)
+    if cur:
+        chunks.append(join_str.join(cur))
+    return chunks
+
+
+def chunk_txt(content: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[str]:
+    """Newline split → '. ' resplit → ', ' resplit → greedy pack."""
+    pieces = content.split("\n")
+    for sep in (". ", ", "):
+        next_pieces: list[str] = []
+        for p in pieces:
+            if len(p) > chunk_size:
+                next_pieces.extend(p.split(sep))
+            else:
+                next_pieces.append(p)
+        pieces = next_pieces
+    return _greedy_pack(pieces, chunk_size)
+
+
+def chunk_html(content: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[str]:
+    """Clean tags, flatten lines, split oversized lines on '><', pack."""
+    content = clean_html_text(content)
+    lines = [l for l in str(content).split("\n") if l.strip()]
+    flattened: list[str] = []
+    for line in lines:
+        if len(line) > chunk_size:
+            subs = line.split("><")
+            if len(subs) == 1:
+                flattened.append(line)
+            else:
+                flattened.append(subs[0] + ">")
+                flattened.extend("<" + s + ">" for s in subs[1:-1])
+                flattened.append("<" + subs[-1])
+        else:
+            flattened.append(line)
+    cleaned = [c for c in (_strip_inline_noise(p) for p in flattened) if c]
+    return _greedy_pack(cleaned, chunk_size)
+
+
+def chunk_document(content: str, doc_type: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[str]:
+    if content is None:
+        return []
+    if doc_type == "html":
+        return chunk_html(content, chunk_size)
+    return chunk_txt(content, chunk_size)
+
+
+def chunk_documents(docs: DataFrame, chunk_size: int = DEFAULT_CHUNK_SIZE) -> DataFrame:
+    """documents(path, content, doc_type, ...) → chunks(path, chunk_id, chunk).
+
+    One vectorized pandas UDF + posexplode; empty chunks are dropped.
+    """
+
+    @pandas_udf("array<string>")
+    def _chunk(content: pd.Series, doc_type: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                chunk_document(c, t, chunk_size)
+                for c, t in zip(content, doc_type)
+            ]
+        )
+
+    return (
+        docs.select("path", _chunk("content", "doc_type").alias("_chunks"))
+        .select("path", F.posexplode("_chunks").alias("chunk_id", "chunk"))
+        .where(F.trim("chunk") != "")
+    )

@@ -1,0 +1,56 @@
+"""Vote combiners (SURVEY §2A #26; #27 weak supervision lives in
+``ws.py``).
+
+Majority vote re-expressed distributed
+(``reference/evaporate/profiler.py:115-154``): the reference's
+``Counter(votes).most_common(1)`` per file becomes
+groupBy(path, value) + one window — no driver loop, no collect.
+Tie-break matches Counter's insertion-order behavior via the voter
+application index (min index wins), which the caller supplies as the
+order voters were applied.
+
+Abstention gate: when the gold key extracted on ≥ thresh of sample
+files, empty votes are dropped before counting; files left with no
+votes fall back to ''.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def majority_vote(
+    votes: DataFrame,
+    all_paths: DataFrame,
+    voter_order: list[str],
+    extraction_fraction: float = 0.0,
+    extraction_fraction_thresh: float = 0.8,
+) -> DataFrame:
+    """votes(path, voter, value) → (path, value): the modal value per
+    document. ``all_paths`` (one column ``path``) pins the output
+    universe so voteless files still appear with ''."""
+    order_df = F.broadcast(
+        votes.sparkSession.createDataFrame(
+            [(v, i) for i, v in enumerate(voter_order)], "voter string, _vidx int"
+        )
+    )
+    v = votes.join(order_df, "voter", "left").withColumn(
+        "_vidx", F.coalesce("_vidx", F.lit(len(voter_order)))
+    )
+    if extraction_fraction >= extraction_fraction_thresh:
+        v = v.where(F.col("value") != "")
+    counts = v.groupBy("path", "value").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_vidx").alias("_first")
+    )
+    w = Window.partitionBy("path").orderBy(F.desc("_n"), F.asc("_first"), F.asc("value"))
+    winners = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("path", "value")
+    )
+    return (
+        all_paths.select("path")
+        .join(winners, "path", "left")
+        .withColumn("value", F.coalesce("value", F.lit("")))
+    )

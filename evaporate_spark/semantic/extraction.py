@@ -1,0 +1,156 @@
+"""Direct LLM extraction (SURVEY §2A #15): chunks × prompts → one
+extracted value per document.
+
+Reference semantics (``reference/evaporate/profiler.py:454-536``):
+per chunk, prompt the model for the attribute span (context prompt, or
+zero-shot for flan-style models); parse the completion (text before
+``---``, last line, brackets/quotes stripped, ``", "`` split); when
+collecting gold predictions and every chunk came back empty, retry the
+file with the bare-span fallback prompt; per file, order-preserving
+dedup of the extraction lists.
+
+Spark shape: prompt construction and completion parsing are pure
+Column expressions; the only Python is the LLM client inside
+``llm_map``'s ``mapInPandas`` and the final nested-list flattener
+(one Arrow-batched UDF over per-file aggregates). Extraction order is
+made deterministic by sorting on (chunk_id, prompt_idx) — collect_list
+alone would be shuffle-order-dependent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from evaporate_spark.llm.apply import llm_map
+from evaporate_spark.llm.client import LLMClient
+from evaporate_spark.llm.prompts import (
+    EXTRACT_FALLBACK,
+    EXTRACT_WITH_CONTEXT,
+    EXTRACT_ZERO_SHOT,
+)
+from evaporate_spark.semantic.values import clean_function_predictions
+
+VOTE_SCHEMA = "path string, voter string, value string, candidates array<string>"
+
+
+def _prompt_col(template: str, attribute: str) -> F.Column:
+    """Template with {attribute} bound and {chunk} spliced as a Column."""
+    filled = template.replace("{attribute}", attribute)
+    pre, post = filled.split("{chunk}")
+    return F.concat(F.lit(pre), F.col("chunk"), F.lit(post))
+
+
+def _parse_completion(col: str = "completion") -> F.Column:
+    """completion → array<string> of extracted spans (reference parse:
+    take text before '---', last line, strip []'" chars, split ', ')."""
+    ans = F.btrim(F.element_at(F.split(col, "---", 2), 1), F.lit("\n"))
+    last_line = F.element_at(F.split(ans, "\n"), -1)
+    stripped = F.translate(last_line, "[]'\"", "")
+    return F.split(stripped, ", ")
+
+
+def _extract_pass(
+    chunks: DataFrame,
+    template: str,
+    attribute: str,
+    client: LLMClient,
+    prompt_idx: int,
+    max_tokens: int,
+    cache_dir: str | None,
+    token_accumulator,
+) -> DataFrame:
+    prompts = chunks.select(
+        "path", "chunk_id", _prompt_col(template, attribute).alias("prompt")
+    )
+    done = llm_map(
+        prompts,
+        client,
+        cache_dir=cache_dir,
+        max_tokens=max_tokens,
+        token_accumulator=token_accumulator,
+    )
+    return done.select(
+        "path",
+        "chunk_id",
+        F.lit(prompt_idx).alias("prompt_idx"),
+        _parse_completion().alias("extraction"),
+    )
+
+
+def _finalize_udf():
+    @pandas_udf("value string, candidates array<string>")
+    def _finalize(attribute: pd.Series, lists: pd.Series) -> pd.DataFrame:
+        values, cands = [], []
+        for attr, nested in zip(attribute, lists):
+            nested = [list(x) for x in nested]
+            # order-preserving dedup of extraction lists (§2A#18)
+            deduped: list[list[str]] = []
+            for item in nested:
+                if item not in deduped:
+                    deduped.append(item)
+            values.append(clean_function_predictions(deduped, attr))
+            flat: list[str] = []
+            for item in deduped:
+                joined = ", ".join(s for s in item if s)
+                if joined and joined.lower() != "none" and joined not in flat:
+                    flat.append(joined)
+            cands.append(flat)
+        return pd.DataFrame({"value": values, "candidates": cands})
+
+    return _finalize
+
+
+def direct_extract(
+    chunks: DataFrame,
+    attribute: str,
+    client: LLMClient,
+    voter_name: str | None = None,
+    zero_shot: bool = False,
+    collecting_preds: bool = False,
+    max_tokens: int = 100,
+    cache_dir: str | None = None,
+    token_accumulator=None,
+) -> DataFrame:
+    """chunks(path, chunk_id, chunk) → votes(path, voter, value,
+    candidates) with one row per document."""
+    template = (EXTRACT_ZERO_SHOT if zero_shot else EXTRACT_WITH_CONTEXT)[0]
+    parsed = _extract_pass(
+        chunks, template, attribute, client, 0, max_tokens, cache_dir, token_accumulator
+    )
+
+    if collecting_preds:
+        # files where every span came back empty retry with the
+        # bare-span fallback prompt (reference EXTRA_PROMPT pass)
+        non_empty = F.size(F.filter("extraction", lambda x: x != "")) > 0
+        got_nothing = parsed.groupBy("path").agg(
+            F.max(non_empty.cast("int")).alias("_any")
+        ).where(F.col("_any") == 0).select("path")
+        retry_chunks = chunks.join(got_nothing, "path", "left_semi")
+        fallback = _extract_pass(
+            retry_chunks,
+            EXTRACT_FALLBACK[0],
+            attribute,
+            client,
+            1,
+            max_tokens,
+            cache_dir,
+            token_accumulator,
+        )
+        parsed = parsed.unionByName(fallback)
+
+    ordered_lists = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("chunk_id", "prompt_idx", "extraction"))
+        ),
+        lambda s: s["extraction"],
+    )
+    agg = parsed.groupBy("path").agg(ordered_lists.alias("_lists"))
+    out = agg.select(
+        "path",
+        F.lit(voter_name or client.name).alias("voter"),
+        _finalize_udf()(F.lit(attribute), F.col("_lists")).alias("_fin"),
+    )
+    return out.select("path", "voter", "_fin.value", "_fin.candidates")

@@ -1,0 +1,111 @@
+"""Chunk filter: keep the (≤2 per file) chunks most likely to contain
+an attribute (SURVEY §2A #9), plus the context trimmer (§2A #10).
+
+Reference semantics (``reference/evaporate/profiler_utils.py:364-417``),
+re-expressed as filter + window instead of per-file Python loops:
+
+tier 2: chunk contains the attribute literally (case-insensitive);
+tier 1: contains it with all spaces stripped;
+tier 0: fallback — chunks ranked by how many attribute words they
+        contain (>0 required), reference keeps the top 2.
+
+Per file, only the best tier's chunks survive, capped at 2 (tier 0
+ordered by word-match count, tiers 1-2 by chunk order — matching the
+reference's stable-sort behavior). The filter itself pushes to the
+scan; the per-file cap is one window over (path).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_ATTR_SPLIT_CHARS = r"[/\-\(\)\[\]\{\}:\s]+"
+
+
+def attribute_parts(attribute: str) -> list[str]:
+    """Attribute words after punctuation splitting (reference
+    ``get_attribute_parts``)."""
+    return [p for p in re.split(_ATTR_SPLIT_CHARS, attribute.lower()) if p]
+
+
+def _tier(chunk: Column, attribute: str) -> Column:
+    low = F.lower(chunk)
+    direct = low.contains(attribute.lower())
+    nospace = F.regexp_replace(low, r"\s+", "").contains(
+        re.sub(r"\s+", "", attribute.lower())
+    )
+    return F.when(direct, 2).when(nospace, 1).otherwise(0)
+
+
+def _word_score(chunk: Column, attribute: str) -> Column:
+    low = F.lower(chunk)
+    parts = attribute_parts(attribute)
+    if not parts:
+        return F.lit(0)
+    score = F.lit(0)
+    for w in parts:
+        score = score + F.when(low.contains(w), 1).otherwise(0)
+    return score
+
+
+def filter_chunks_for_attribute(
+    chunks: DataFrame,
+    attribute: str,
+    max_chunks_per_file: int = 2,
+    chunk_col: str = "chunk",
+    path_col: str = "path",
+    order_col: str = "chunk_id",
+) -> DataFrame:
+    """chunks(path, chunk_id, chunk) → the ≤2 best chunks per file.
+
+    Files with zero qualifying chunks disappear (the caller decides
+    whether the attribute should be dropped — reference returns None
+    when NO file qualifies).
+    """
+    tiered = chunks.withColumn("_tier", _tier(F.col(chunk_col), attribute)).withColumn(
+        "_wscore", _word_score(F.col(chunk_col), attribute)
+    )
+    best_tier = tiered.withColumn(
+        "_best_tier", F.max("_tier").over(Window.partitionBy(path_col))
+    )
+    qualifying = best_tier.where(
+        (F.col("_tier") == F.col("_best_tier"))
+        & ((F.col("_tier") > 0) | (F.col("_wscore") > 0))
+    )
+    # tiers 1-2 keep chunk order; tier 0 orders by word-match count.
+    # One window covers both: the first key is constant for tiers 1-2,
+    # so chunk order decides — matching the reference's stable sort.
+    ranked = qualifying.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(path_col).orderBy(
+                F.when(F.col("_tier") == 0, -F.col("_wscore")).otherwise(F.lit(0)),
+                F.asc(order_col),
+            )
+        ),
+    )
+    return ranked.where(F.col("_rn") <= max_chunks_per_file).select(
+        path_col, order_col, chunk_col
+    )
+
+
+def trim_chunk(chunk: str, attribute: str, window: int = 20) -> str:
+    """Context trimmer for context-length errors
+    (``reference/evaporate/profiler.py:413-439``): keep a ±window-token
+    span around the first attribute mention, else the best 50-token
+    mini-chunk by attribute-word hits."""
+    toks = chunk.lower().split()
+    attr = attribute.lower()
+    hits = [i for i, t in enumerate(toks) if attr in t]
+    if hits:
+        i = hits[0]
+        return " ".join(toks[max(0, i - window) : min(len(toks), i)])
+    minis = [" ".join(toks[i : i + 50]) for i in range(0, len(toks), 50)]
+    if not minis:
+        return ""
+    parts = attr.split()
+    best = max(range(len(minis)), key=lambda i: sum(1 for p in parts if p in minis[i]))
+    return minis[best]

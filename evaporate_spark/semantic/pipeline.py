@@ -1,0 +1,241 @@
+"""The per-attribute profiling kernel and view assembly — the
+reference's ``run_profiler`` (``reference/evaporate/profiler.py:
+599-747``) as a Spark pipeline (SURVEY §3.3 logical plan):
+
+    chunks ─ filter(attr) ─┬─ sample ─ llm_extract ──────────┐ (gold votes)
+                           ├─ sample ─ llm_synth ─ exec_fns ─┤ (fn votes)
+                           │                                  ├─ score ─ topk
+    full lake ── exec(topk fns) ── votes ── combine(mv|ws) ── pivot ── sink
+
+Driver-materialized state is exactly what the reference materializes:
+the function dictionary, sample votes, and metrics (all ≪ 1 MB under
+the sample-then-generalize cascade). Everything lake-sized stays a
+DataFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from evaporate_spark.llm.client import LLMClient
+from evaporate_spark.llm.prompts import PICK_GOLD_VALUE
+from evaporate_spark.semantic.chunking import chunk_documents
+from evaporate_spark.semantic.combine import majority_vote
+from evaporate_spark.semantic.extraction import direct_extract
+from evaporate_spark.semantic.filtering import filter_chunks_for_attribute
+from evaporate_spark.semantic.sampling import sample_documents
+from evaporate_spark.semantic.sandbox import run_functions
+from evaporate_spark.semantic.scoring import evaluate_voters, select_topk
+from evaporate_spark.semantic.synthesis import synthesize_functions
+
+
+@dataclass
+class ProfileConfig:
+    """Knobs mirroring the reference CLI surface (``configs.py``)."""
+
+    train_size: int = 10
+    chunk_size: int = 3000
+    seed: int = 0
+    num_top_k_scripts: int = 10
+    keep_thresh: float = 0.5
+    extraction_fraction_thresh: float = 0.8
+    combiner_mode: str = "mv"  # "mv" | "ws" | "top_k"
+    do_end_to_end: bool = False
+    use_abstention: bool = True
+    cache_dir: str | None = None
+    max_extract_tokens: int = 100
+    max_synth_tokens: int = 500
+
+
+@dataclass
+class ProfileResult:
+    attribute: str
+    extractions: DataFrame | None  # (path, attribute, value)
+    metrics: dict[str, dict[str, float]] = field(default_factory=dict)
+    selected: list[str] = field(default_factory=list)
+    functions: dict[str, str] = field(default_factory=dict)
+    gold_key: str = ""
+    dropped: bool = False
+    total_tokens: int = 0
+
+
+def _pick_gold_values(
+    gold_rows, attribute: str, client: LLMClient
+) -> dict[str, str]:
+    """Disambiguate multi-candidate golds with one LLM call per file
+    (§2A#21); sample-sized driver loop by design."""
+    out: dict[str, str] = {}
+    for row in gold_rows:
+        cands = [c for c in (row["candidates"] or []) if c]
+        if len(cands) <= 1:
+            out[row["path"]] = row["value"]
+            continue
+        prompt = PICK_GOLD_VALUE.format(
+            attribute=attribute, candidates="- " + "\n- ".join(cands)
+        )
+        choice = client.complete(prompt, max_tokens=100).split("\n")[0].strip()
+        out[row["path"]] = row["value"] if (not choice or "none" in choice.lower()) else choice
+    return out
+
+
+def profile_attribute(
+    docs: DataFrame,
+    attribute: str,
+    client: LLMClient,
+    config: ProfileConfig | None = None,
+    gold_client: LLMClient | None = None,
+) -> ProfileResult:
+    """Run the full PREDICT → SCORE → APPLY → COMBINE kernel for one
+    attribute over a documents(path, content, doc_type, ...) frame."""
+    cfg = config or ProfileConfig()
+    attribute = attribute.lower()
+    gold_client = gold_client or client
+    gold_key = gold_client.name
+    spark = docs.sparkSession
+    tokens = spark.sparkContext.accumulator(0)
+
+    chunks = chunk_documents(docs, cfg.chunk_size)
+    filtered = filter_chunks_for_attribute(chunks, attribute).persist()
+    if filtered.limit(1).count() == 0:
+        # reference drops the attribute when no chunk mentions it
+        return ProfileResult(attribute, None, dropped=True, gold_key=gold_key)
+
+    sample = sample_documents(docs, cfg.train_size, cfg.seed).persist()
+    sample_paths = sample.select("path")
+    sample_chunks = filtered.join(sample_paths, "path", "left_semi").persist()
+    if sample_chunks.limit(1).count() == 0:
+        return ProfileResult(attribute, None, dropped=True, gold_key=gold_key)
+
+    # PREDICT: gold votes (direct LLM on sample) + function synthesis
+    gold_votes = direct_extract(
+        sample_chunks,
+        attribute,
+        gold_client,
+        voter_name=gold_key,
+        collecting_preds=True,
+        max_tokens=cfg.max_extract_tokens,
+        cache_dir=cfg.cache_dir,
+        token_accumulator=tokens,
+    )
+    gold_rows = gold_votes.collect()  # train_size rows
+    gold_map = _pick_gold_values(gold_rows, attribute, gold_client)
+
+    functions, _promptsource = synthesize_functions(
+        sample_chunks,
+        attribute,
+        client,
+        max_tokens=cfg.max_synth_tokens,
+        cache_dir=cfg.cache_dir,
+        token_accumulator=tokens,
+    )
+
+    # run candidate functions on the SAMPLE and score against gold
+    votes: dict[str, dict[str, str]] = {gold_key: gold_map}
+    if functions:
+        sample_fn_votes = run_functions(sample, functions, attribute).collect()
+        for row in sample_fn_votes:
+            votes.setdefault(row["voter"], {})[row["path"]] = row["value"]
+
+    # SCORE + top-k select
+    metrics = evaluate_voters(
+        votes,
+        gold_key,
+        attribute,
+        combiner_mode=cfg.combiner_mode,
+        extraction_fraction_thresh=cfg.extraction_fraction_thresh,
+        use_abstention=cfg.use_abstention,
+    )
+    selected = select_topk(
+        metrics,
+        gold_key,
+        k=cfg.num_top_k_scripts,
+        do_end_to_end=cfg.do_end_to_end,
+        keep_thresh=cfg.keep_thresh,
+    )
+    extraction_fraction = next(
+        (m["extraction_fraction"] for m in metrics.values()), 0.0
+    )
+    if not selected and cfg.do_end_to_end:
+        return ProfileResult(
+            attribute, None, metrics, [], functions, gold_key, dropped=True,
+            total_tokens=tokens.value,
+        )
+
+    # APPLY: selected voters over the FULL lake
+    lake_vote_frames: list[DataFrame] = []
+    selected_fns = {k: functions[k] for k in selected if k in functions}
+    if selected_fns:
+        lake_vote_frames.append(run_functions(docs, selected_fns, attribute))
+    for voter in selected:
+        if voter not in functions:  # a model voter (e.g. ClosedIE fallback)
+            lake_vote_frames.append(
+                direct_extract(
+                    filtered,
+                    attribute,
+                    client if voter == client.name else gold_client,
+                    voter_name=voter,
+                    max_tokens=cfg.max_extract_tokens,
+                    cache_dir=cfg.cache_dir,
+                    token_accumulator=tokens,
+                ).select("path", "voter", "value")
+            )
+    if not lake_vote_frames:
+        # ClosedIE with nothing selected: default '' for every file
+        combined = docs.select("path").withColumn("value", F.lit(""))
+    else:
+        lake_votes = lake_vote_frames[0]
+        for f_ in lake_vote_frames[1:]:
+            lake_votes = lake_votes.unionByName(f_)
+        if cfg.combiner_mode == "ws":
+            from evaporate_spark.semantic.ws import weak_supervision_combine
+
+            combined = weak_supervision_combine(
+                lake_votes,
+                docs.select("path"),
+                voter_order=selected,
+                extraction_fraction=extraction_fraction,
+                extraction_fraction_thresh=cfg.extraction_fraction_thresh,
+            )
+        else:
+            combined = majority_vote(
+                lake_votes,
+                docs.select("path"),
+                voter_order=selected,
+                extraction_fraction=extraction_fraction if cfg.use_abstention else 0.0,
+                extraction_fraction_thresh=cfg.extraction_fraction_thresh,
+            )
+
+    extractions = combined.select(
+        "path", F.lit(attribute).alias("attribute"), "value"
+    )
+    return ProfileResult(
+        attribute,
+        extractions,
+        metrics,
+        selected,
+        functions,
+        gold_key,
+        total_tokens=tokens.value,
+    )
+
+
+def assemble_view(results: list[ProfileResult]) -> DataFrame | None:
+    """Long (path, attribute, value) results → one wide table
+    (§2A#32): groupBy(path).pivot(attribute).agg(first) — the Spark
+    shape of the reference's file2extractions dict-merge."""
+    frames = [r.extractions for r in results if r.extractions is not None]
+    if not frames:
+        return None
+    long = frames[0]
+    for f_ in frames[1:]:
+        long = long.unionByName(f_)
+    attrs = sorted({r.attribute for r in results if r.extractions is not None})
+    return (
+        long.groupBy("path")
+        .pivot("attribute", attrs)
+        .agg(F.first("value", ignorenulls=True))
+        .na.fill("")
+    )

@@ -1,0 +1,37 @@
+"""Deterministic train-split sampler (SURVEY §2A #8).
+
+The reference takes a ``random.seed(0); random.sample(files, n)``
+split (``reference/evaporate/profiler_utils.py:185-196``). A global
+RNG doesn't distribute, so the engine uses KEYED hashing: order by
+``xxhash64(path, seed)`` and take the first n — the same contract
+(stable, seeded, size-n sample; membership independent of partitioning
+and cluster size), SURVEY §7's "make all sampling key-hash based".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_documents(docs: DataFrame, train_size: int = 10, seed: int = 0) -> DataFrame:
+    """Deterministic sample of ``train_size`` documents by hashed path."""
+    return (
+        docs.orderBy(F.xxhash64("path", F.lit(seed)), "path")
+        .limit(train_size)
+    )
+
+
+def with_sample_flag(
+    docs: DataFrame, train_size: int = 10, seed: int = 0, flag_col: str = "is_sample"
+) -> DataFrame:
+    """Mark sample membership without splitting the frame (lets later
+    stages filter to the sample while keeping one lineage)."""
+    sample_paths = F.broadcast(
+        sample_documents(docs, train_size, seed).select(F.col("path").alias("_sp"))
+    )
+    return (
+        docs.join(sample_paths, docs["path"] == F.col("_sp"), "left")
+        .withColumn(flag_col, F.col("_sp").isNotNull())
+        .drop("_sp")
+    )

@@ -1,0 +1,157 @@
+"""Sandboxed execution of LLM-synthesized extraction functions
+(SURVEY §2A #17).
+
+Reference semantics (``reference/evaporate/profiler.py:247-347``):
+exec the generated source, call ``get_<field>_field(text)`` with a 1 s
+timeout, on failure retry against preprocessed text (``">\\n"→">"``),
+swallow every error (a bad function yields '' for that file, never a
+crashed run), and stop calling a function after 2 timeouts.
+
+Spark-first divergences (documented, deliberate):
+
+- SIGALRM does not exist off the main thread, so the wall-clock guard
+  is a single-worker thread pool with ``future.result(timeout)``; a
+  timed-out call leaks its worker thread, bounded by
+  ``max_timeouts_per_fn`` × #functions per task.
+- The 2-timeout circuit breaker is per TASK (partition), not global —
+  executors share no state. Same contract locally.
+- Function sources are compiled once per (partition, function), then
+  applied row-wise inside ``mapInPandas`` — Arrow-batched in, one
+  output row per (path, function).
+
+Trust model: synthesized code runs with interpreter builtins, like the
+reference. A hostile-model deployment should swap ``_execute`` for a
+subprocess pool; the operator contract (votes in, votes out) is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutureTimeoutError
+
+from pyspark.sql import DataFrame
+
+from evaporate_spark.semantic.values import (
+    clean_function_predictions,
+    dedup_preserving_order,
+)
+
+VOTES_SCHEMA = "path string, voter string, value string"
+
+
+def function_field_name(attribute: str) -> str:
+    """Attribute → identifier used in the synthesized function name
+    (``reference/evaporate/profiler.py:350-351``)."""
+    return re.sub(r"[^A-Za-z0-9]", "_", attribute)
+
+
+def sanitize_function_source(script: str, attribute: str) -> str | None:
+    """Normalize an LLM completion into a callable function body
+    (``reference/evaporate/profiler.py:392-406``): wrap bare bodies in
+    a def, truncate after the first return, drop prints/comments/
+    non-indented trailing prose. None when there is no return at all.
+    """
+    field = function_field_name(attribute)
+    if "def " not in script:
+        body = "\n".join(f"    {line}" for line in script.split("\n"))
+        script = f'def get_{field}_field(text: str):\n    """extract {attribute}"""\n{body}\n'
+    lines = script.split("\n")
+    return_idx = [i for i, l in enumerate(lines) if "return" in l]
+    if not return_idx:
+        return None
+    lines = lines[: return_idx[0] + 1]
+    lines = [l for l in lines if "print(" not in l and not l.lstrip().startswith("#")]
+    kept = [
+        l
+        for l in lines
+        if l.startswith((" ", "\t", "def ", "import ", "from "))
+    ]
+    return "\n".join(kept)
+
+
+class _FnRunner:
+    """Compile-once, call-many wrapper with a thread-pool wall clock."""
+
+    def __init__(self, source: str, attribute: str, timeout_s: float, max_timeouts: int):
+        self.timeout_s = timeout_s
+        self.max_timeouts = max_timeouts
+        self.timeouts = 0
+        self.attribute = attribute
+        self.fn = None
+        field = function_field_name(attribute)
+        env: dict = {}
+        try:
+            exec(source, env)  # noqa: S102 - the operator's purpose
+            self.fn = env.get(f"get_{field}_field")
+        except Exception:
+            self.fn = None
+        self.pool = ThreadPoolExecutor(max_workers=1) if self.fn else None
+
+    def _call(self, text: str):
+        fut = self.pool.submit(self.fn, text)
+        try:
+            return fut.result(timeout=self.timeout_s)
+        except FutureTimeoutError:
+            self.timeouts += 1
+            # the stuck worker can't be killed; abandon the pool
+            self.pool.shutdown(wait=False)
+            self.pool = ThreadPoolExecutor(max_workers=1)
+            raise
+
+    def extract(self, text: str) -> str:
+        if self.fn is None or self.timeouts >= self.max_timeouts:
+            return ""
+        results = []
+        try:
+            results.append(self._call(text))
+        except Exception:
+            try:
+                results.append(self._call(text.replace(">\n", ">")))
+            except Exception:
+                pass
+        return clean_function_predictions(dedup_preserving_order(results), self.attribute)
+
+
+def run_functions(
+    contents: DataFrame,
+    functions: dict[str, str],
+    attribute: str,
+    path_col: str = "path",
+    content_col: str = "content",
+    timeout_s: float = 1.0,
+    max_timeouts_per_fn: int = 2,
+) -> DataFrame:
+    """Apply every synthesized function to every document.
+
+    contents(path, content) × functions → votes(path, voter, value).
+    Scale shape: functions are a broadcast-sized dict in the closure;
+    work is embarrassingly parallel over document partitions; output is
+    the long votes table consumed by scoring/combining.
+    """
+    fn_items = sorted(functions.items())
+    attr = attribute
+
+    def apply_partition(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        runners = {
+            key: _FnRunner(src, attr, timeout_s, max_timeouts_per_fn)
+            for key, src in fn_items
+        }
+        for pdf in batches:
+            out_paths, out_voters, out_values = [], [], []
+            for path, text in zip(pdf[path_col], pdf[content_col]):
+                for key, runner in runners.items():
+                    out_paths.append(path)
+                    out_voters.append(key)
+                    out_values.append(runner.extract(text or ""))
+            yield pd.DataFrame(
+                {"path": out_paths, "voter": out_voters, "value": out_values}
+            )
+
+    return contents.select(path_col, content_col).mapInPandas(
+        apply_partition, schema=VOTES_SCHEMA
+    )

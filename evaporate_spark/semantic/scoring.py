@@ -1,0 +1,163 @@
+"""Scoring + voter selection (SURVEY §2A #22-24).
+
+- :func:`text_f1` — SQuAD-style token-multiset F1 with the abstention
+  gate (``reference/evaporate/evaluate_profiler.py:81-153``): when the
+  gold key extracted on ≥ ``extraction_fraction_thresh`` of files,
+  empty predictions are dropped before scoring.
+- :func:`evaluate_voters` — per-voter metrics vs the LLM "gold key"
+  (``evaluate_profiler.py:156-230``). Driver-side Python: the inputs
+  are votes on the TRAIN SAMPLE only (train_size × voters values — the
+  sample-then-generalize cascade means this is always driver-sized).
+- :func:`select_topk` — top-k function selection with keep/cost
+  thresholds (``evaluate_profiler.py:233-304``).
+- :func:`text_f1_pairs_udf` — the same F1 as a vectorized pandas UDF
+  for LAKE-SCALE eval joins (§2A#35), where driver-side scoring would
+  not fly.
+"""
+
+from __future__ import annotations
+
+import statistics
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from evaporate_spark.semantic.values import clean_comparison, normalize_value_type
+
+
+def _pair_f1(pred: str, gold: str) -> float:
+    pred_toks = pred.split()
+    gold_toks = gold.split()
+    if not gold_toks or not pred_toks:
+        return float(gold_toks == pred_toks)
+    common = Counter(pred_toks) & Counter(gold_toks)
+    num_same = sum(common.values())
+    if num_same == 0:
+        return 0.0
+    precision = num_same / len(pred_toks)
+    recall = num_same / len(gold_toks)
+    return 2 * precision * recall / (precision + recall)
+
+
+def text_f1(
+    preds: list[str],
+    golds: list[str],
+    extraction_fraction: float = 1.0,
+    extraction_fraction_thresh: float = 0.8,
+    use_abstention: bool = True,
+) -> tuple[float, float]:
+    """(average F1, median F1) over aligned pred/gold string pairs."""
+    if use_abstention and extraction_fraction >= extraction_fraction_thresh:
+        kept = [(p, g) for p, g in zip(preds, golds) if p]
+        if not kept:
+            return 0.0, 0.0
+        preds, golds = zip(*kept)
+    f1s = [_pair_f1(p, g) for p, g in zip(preds, golds)]
+    if not f1s:
+        return 0.0, 0.0
+    return sum(f1s) / len(f1s), float(statistics.median(f1s))
+
+
+def text_f1_pairs_udf():
+    """Vectorized per-pair F1 for distributed eval joins. Built lazily
+    (a module-level pandas_udf would need a live SparkSession at
+    import time)."""
+
+    @pandas_udf("double")
+    def _f1(pred: pd.Series, gold: pd.Series) -> pd.Series:
+        return pd.Series([_pair_f1(p or "", g or "") for p, g in zip(pred, gold)])
+
+    return _f1
+
+
+def evaluate_voters(
+    votes: dict[str, dict[str, object]],
+    gold_key: str,
+    attribute: str,
+    combiner_mode: str = "mv",
+    extraction_fraction_thresh: float = 0.8,
+    use_abstention: bool = True,
+) -> dict[str, dict[str, float]]:
+    """Score every voter against the gold key's cleaned extractions.
+
+    ``votes[voter][path]`` is the voter's raw extraction for a sample
+    file. Returns per-voter metrics including ``extraction_fraction``
+    (share of non-empty golds — drives the abstention gate downstream).
+    """
+    gold_raw = votes[gold_key]
+    cleaned_gold = {
+        path: clean_comparison(normalize_value_type(v), attribute)
+        for path, v in gold_raw.items()
+    }
+    metrics: dict[str, dict[str, float]] = {}
+    for voter, file2val in votes.items():
+        if voter == gold_key:
+            continue
+        golds, preds = [], []
+        for path, val in file2val.items():
+            if path not in cleaned_gold:
+                continue
+            golds.append(cleaned_gold[path])
+            preds.append(clean_comparison(normalize_value_type(val), attribute))
+        if not golds:
+            continue
+        non_empty = sum(1 for g in golds if g and g.lower() != "none")
+        extraction_fraction = non_empty / len(golds)
+        if combiner_mode == "top_k":
+            extraction_fraction = 0.0
+        avg, med = text_f1(
+            preds,
+            golds,
+            extraction_fraction=extraction_fraction,
+            extraction_fraction_thresh=extraction_fraction_thresh,
+            use_abstention=use_abstention,
+        )
+        prior_avg, prior_med = text_f1(preds, golds, extraction_fraction=0.0)
+        metrics[voter] = {
+            "average_f1": avg,
+            "median_f1": med,
+            "extraction_fraction": extraction_fraction,
+            "prior_average_f1": prior_avg,
+            "prior_median_f1": prior_med,
+        }
+    return metrics
+
+
+def select_topk(
+    metrics: dict[str, dict[str, float]],
+    gold_key: str = "",
+    k: int = 10,
+    do_end_to_end: bool = False,
+    keep_thresh: float = 0.5,
+    cost_thresh: float = 1.0,
+) -> list[str]:
+    """Pick the voters to run over the full lake.
+
+    Functions must clear ``keep_thresh`` F1 vs the gold key; OpenIE
+    (do_end_to_end) drops the attribute entirely (returns []) when the
+    best voter is below threshold; ClosedIE falls back to the single
+    best voter when no function qualifies.
+    """
+    ranked = sorted(
+        ((v, m) for v, m in metrics.items() if v != gold_key),
+        key=lambda kv: (kv[1]["average_f1"], kv[1]["median_f1"]),
+        reverse=True,
+    )
+    if not ranked:
+        return []
+    best_voter, best_m = ranked[0]
+    best_value = max(best_m["average_f1"], best_m["median_f1"])
+    if best_value < keep_thresh and do_end_to_end:
+        return []
+    qualified_fns = [
+        v
+        for v, m in ranked
+        if "function" in v
+        and (m["average_f1"] >= keep_thresh or m["median_f1"] >= keep_thresh)
+        and abs(max(m["average_f1"], m["median_f1"]) - best_value) < cost_thresh
+    ]
+    if not qualified_fns:
+        return [] if do_end_to_end else [best_voter]
+    final = [v for v, _ in ranked if v in qualified_fns][:k]
+    return final

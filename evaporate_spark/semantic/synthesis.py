@@ -1,0 +1,82 @@
+"""Function synthesis (SURVEY §2A #16): prompt the LLM to WRITE Python
+extractors from sample chunks; the functions — not the LLM — then run
+over the whole lake (the Evaporate cost-sublinearity trick).
+
+Reference semantics (``reference/evaporate/profiler.py:354-410``): for
+every sample file × chunk × 2 prompt styles, ask for
+``get_<field>_field(text)``; wrap bare bodies, truncate after the
+first return, strip prints/comments/prose; key candidates
+``function_{i}``.
+
+The candidate set is train_size × chunks × 2 — always driver-sized —
+so the LLM pass is distributed (llm_map) but the result is collected
+into a plain dict keyed in deterministic (path, chunk_id, prompt_idx)
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from evaporate_spark.llm.apply import llm_map
+from evaporate_spark.llm.client import LLMClient
+from evaporate_spark.llm.prompts import SYNTHESIZE_FUNCTION
+from evaporate_spark.semantic.sandbox import (
+    function_field_name,
+    sanitize_function_source,
+)
+
+
+def synthesize_functions(
+    sample_chunks: DataFrame,
+    attribute: str,
+    client: LLMClient,
+    max_tokens: int = 500,
+    cache_dir: str | None = None,
+    token_accumulator=None,
+) -> tuple[dict[str, str], dict[str, int]]:
+    """→ (functions: key→source, promptsource: key→template index)."""
+    field = function_field_name(attribute)
+    passes = []
+    for idx, template in enumerate(SYNTHESIZE_FUNCTION):
+        filled = (
+            template.replace("{attribute}", attribute).replace(
+                "{function_field}", field
+            )
+        )
+        pre, post = filled.split("{chunk}")
+        prompts = sample_chunks.select(
+            "path",
+            "chunk_id",
+            F.lit(idx).alias("prompt_idx"),
+            F.concat(F.lit(pre), F.col("chunk"), F.lit(post)).alias("prompt"),
+        )
+        passes.append(
+            llm_map(
+                prompts,
+                client,
+                cache_dir=cache_dir,
+                max_tokens=max_tokens,
+                token_accumulator=token_accumulator,
+            )
+        )
+    all_done = passes[0]
+    for p in passes[1:]:
+        all_done = all_done.unionByName(p)
+
+    rows = (
+        all_done.select("path", "chunk_id", "prompt_idx", "completion")
+        .orderBy("path", "chunk_id", "prompt_idx")
+        .collect()
+    )
+    functions: dict[str, str] = {}
+    promptsource: dict[str, int] = {}
+    for row in rows:
+        script = sanitize_function_source(row["completion"], attribute)
+        if script is None:
+            continue
+        key = f"function_{len(functions)}"
+        functions[key] = script
+        promptsource[key] = row["prompt_idx"]
+    return functions, promptsource

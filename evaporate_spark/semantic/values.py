@@ -1,0 +1,97 @@
+"""Value normalization / cleaning (SURVEY §2A #18-20).
+
+Pure Python on purpose: these run inside the sandbox/scoring pandas
+UDFs (executor-side, per extracted value — tiny strings) and on
+driver-side sample data. Semantics mirror the reference:
+
+- :func:`normalize_value_type` — anything → list[str]
+  (``reference/evaporate/evaluate_profiler.py:30-50``)
+- :func:`clean_function_predictions` — display-value cleaner
+  (``reference/evaporate/profiler_utils.py:420-458``)
+- :func:`clean_comparison` — scoring-only canonicalizer
+  (``reference/evaporate/evaluate_profiler.py:7-27``)
+- :func:`dedup_preserving_order` — §2A#18
+  (``reference/evaporate/profiler.py:442-451``)
+"""
+
+from __future__ import annotations
+
+
+def dedup_preserving_order(items: list) -> list:
+    out: list = []
+    for it in items:
+        if it not in out:
+            out.append(it)
+    return out
+
+
+def normalize_value_type(metadata) -> list[str]:
+    """Any function-returned shape → list of non-empty strings."""
+    if isinstance(metadata, str):
+        metadata = [metadata]
+    if metadata is None:
+        metadata = []
+    cleaned: list[str] = []
+    for item in metadata:
+        if isinstance(item, (list, tuple)):
+            item = ", ".join(str(i) for i in item)
+        elif item is None:
+            item = ""
+        elif not isinstance(item, str):
+            item = str(item)
+        if item:
+            cleaned.append(item)
+    return cleaned
+
+
+def clean_function_predictions(extraction, attribute: str = "") -> str:
+    """Flatten/dedup nested extraction lists into one display string;
+    strip a leading attribute-name prefix and stray separators."""
+    if extraction is None:
+        return ""
+    if isinstance(extraction, (list, tuple)):
+        extraction = list(extraction)
+        if extraction and isinstance(extraction[0], (list, tuple)):
+            parts = []
+            for answer in extraction:
+                if isinstance(answer, (list, tuple)):
+                    answer = dedup_preserving_order(list(answer))
+                    parts.append(", ".join(str(a).strip().strip("\n") for a in answer))
+                else:
+                    parts.append(str(answer).strip().strip("\n"))
+            extraction = ", ".join(p.strip() for p in parts)
+        elif len(extraction) == 1 and extraction[0] is None:
+            extraction = ""
+        else:
+            items = dedup_preserving_order(extraction)
+            extraction = ", ".join(str(e).strip().strip("\n") for e in items)
+    extraction = str(extraction)
+    if extraction.lower() == "none":
+        extraction = ""
+    extraction = extraction.strip().replace("  ", " ")
+    if attribute and extraction.lower().startswith(attribute.lower()):
+        extraction = extraction[len(attribute):].strip()
+    for ch in (":", ","):
+        extraction = extraction.strip(ch).strip()
+    return extraction.replace(",", ", ").replace("  ", " ")
+
+
+_PUNCT = [",", ".", "?", "!", ";", "(", ")", "[", "]", "{", "}", "-", "\n", "\t", "\r"]
+
+
+def clean_comparison(responses, field: str = "") -> str:
+    """Canonicalize for scoring: lowercase, drop the field name,
+    punctuation, and 'none'; collapse whitespace."""
+    if isinstance(responses, str):
+        responses = [responses]
+    cleaned = []
+    for response in responses:
+        response = response.lower()
+        f = field.lower()
+        for ch in ["'", f, f.replace("_", "-"), ":", "<", ">", '"', "none"]:
+            if ch:
+                response = response.replace(ch, " ")
+        for ch in _PUNCT:
+            response = response.replace(ch, " ")
+        cleaned.append(" ".join(response.split()))
+    return ", ".join(cleaned)

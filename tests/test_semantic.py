@@ -1,0 +1,235 @@
+"""Semantic layer: chunking, filtering, sampling, values, scoring,
+sandbox, llm_map cache — unit level (SURVEY §2A operator parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evaporate_spark.llm.apply import llm_map
+from evaporate_spark.llm.client import MockLLM
+from evaporate_spark.semantic.chunking import (
+    chunk_documents,
+    chunk_html,
+    chunk_txt,
+    clean_html_text,
+)
+from evaporate_spark.semantic.filtering import filter_chunks_for_attribute, trim_chunk
+from evaporate_spark.semantic.sampling import sample_documents, with_sample_flag
+from evaporate_spark.semantic.sandbox import (
+    run_functions,
+    sanitize_function_source,
+)
+from evaporate_spark.semantic.scoring import evaluate_voters, select_topk, text_f1
+from evaporate_spark.semantic.values import (
+    clean_comparison,
+    clean_function_predictions,
+    normalize_value_type,
+)
+
+
+# ---------------------------------------------------------------- chunking
+def test_chunk_txt_packs_to_size():
+    content = "\n".join(f"line {i} " + "x" * 40 for i in range(100))
+    chunks = chunk_txt(content, chunk_size=500)
+    assert all(len(c) <= 600 for c in chunks)
+    assert "".join(c.replace("\n", "") for c in chunks).startswith("line 0")
+    assert len(chunks) > 5
+
+
+def test_chunk_txt_resplits_long_sentences():
+    content = ". ".join("sentence " + "y" * 30 for _ in range(40))
+    chunks = chunk_txt(content, chunk_size=300)
+    assert len(chunks) > 1
+
+
+def test_clean_html_strips_script_blocks():
+    html = "<html>\n<script>\nevil()\n</script>\n<p>keep me</p>\n</html>"
+    cleaned = clean_html_text(html)
+    assert "evil" not in cleaned and "keep me" in cleaned
+
+
+def test_chunk_html():
+    html = "\n".join(
+        ['<div style="color:red">part %d</div>' % i for i in range(50)]
+    )
+    chunks = chunk_html(html, chunk_size=400)
+    assert chunks and all('style="' not in c for c in chunks)
+
+
+def test_chunk_documents_frame(spark):
+    docs = spark.createDataFrame(
+        [("a", "hello\nworld", "txt"), ("b", "<p>x</p>", "html"), ("c", "", "txt")],
+        ["path", "content", "doc_type"],
+    )
+    rows = chunk_documents(docs, chunk_size=100).collect()
+    assert {r["path"] for r in rows} == {"a", "b"}
+    assert all(r["chunk"] for r in rows)
+
+
+# ---------------------------------------------------------------- filtering
+def test_filter_chunks_tiers(spark):
+    chunks = spark.createDataFrame(
+        [
+            ("f1", 0, "nothing relevant"),
+            ("f1", 1, "the model number is X100"),
+            ("f2", 0, "modelnumber: Y200 compact"),
+            ("f3", 0, "model listed alone"),
+            ("f3", 1, "number only here"),
+            ("f3", 2, "number model words reversed here"),
+            ("f4", 0, "completely unrelated"),
+        ],
+        ["path", "chunk_id", "chunk"],
+    )
+    out = filter_chunks_for_attribute(chunks, "model number")
+    got = {(r["path"], r["chunk_id"]) for r in out.collect()}
+    # f1: direct match only chunk 1; f2: space-stripped tier; f3: no
+    # direct/nospace → top-2 by word count (chunk 2 has both words,
+    # then chunk 0 by order); f4: nothing
+    assert ("f1", 1) in got and ("f1", 0) not in got
+    assert ("f2", 0) in got
+    f3 = sorted(c for p, c in got if p == "f3")
+    assert f3 == [0, 2]
+    assert not any(p == "f4" for p, _ in got)
+
+
+def test_trim_chunk():
+    chunk = " ".join(["pad"] * 30 + ["price:$5"] + ["pad"] * 30)
+    trimmed = trim_chunk(chunk, "price")
+    assert 0 < len(trimmed.split()) <= 20
+    assert trim_chunk("no mention here at all", "price")
+
+
+# ---------------------------------------------------------------- sampling
+def test_sample_documents_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(f"doc{i}", f"text {i}") for i in range(50)], ["path", "content"]
+    )
+    s1 = [r["path"] for r in sample_documents(docs, 5).collect()]
+    s2 = [r["path"] for r in sample_documents(docs, 5).collect()]
+    s3 = [r["path"] for r in sample_documents(docs, 5, seed=7).collect()]
+    assert s1 == s2 and len(s1) == 5
+    assert s1 != s3
+    flagged = with_sample_flag(docs, 5)
+    assert flagged.where("is_sample").count() == 5
+
+
+# ---------------------------------------------------------------- values
+def test_normalize_value_type():
+    assert normalize_value_type("x") == ["x"]
+    assert normalize_value_type(None) == []
+    assert normalize_value_type([("a", "b"), None, 3]) == ["a, b", "3"]
+
+
+def test_clean_function_predictions():
+    assert clean_function_predictions(None) == ""
+    assert clean_function_predictions([["a", "a", "b"]]) == "a, b"
+    assert clean_function_predictions(["x", "x", "y"]) == "x, y"
+    assert clean_function_predictions([None]) == ""
+    assert clean_function_predictions("Author: Jane", "author") == "Jane"
+    assert clean_function_predictions("none") == ""
+
+
+def test_clean_comparison():
+    assert clean_comparison("The Price: $5!", "price") == "the $5"
+    assert clean_comparison(["a", "b"]) == "a, b"
+
+
+# ---------------------------------------------------------------- scoring
+def test_text_f1_basics():
+    avg, med = text_f1(["a b", "c"], ["a b", "c"])
+    assert avg == 1.0 and med == 1.0
+    avg, _ = text_f1(["a b"], ["a x"])
+    assert abs(avg - 0.5) < 1e-9
+    # abstention: empty preds dropped when fraction >= thresh
+    avg, _ = text_f1(["", "a"], ["a", "a"], extraction_fraction=1.0)
+    assert avg == 1.0
+    avg, _ = text_f1(["", "a"], ["a", "a"], extraction_fraction=0.0)
+    assert avg == 0.5
+
+
+def test_evaluate_and_select_topk():
+    votes = {
+        "gold": {"f1": "jane", "f2": "bob", "f3": "amy"},
+        "function_0": {"f1": "jane", "f2": "bob", "f3": "amy"},
+        "function_1": {"f1": "", "f2": "", "f3": ""},
+        "function_2": {"f1": "jane", "f2": "bob", "f3": "zzz"},
+    }
+    metrics = evaluate_voters(votes, "gold", "author")
+    assert metrics["function_0"]["average_f1"] == 1.0
+    assert metrics["function_1"]["average_f1"] == 0.0
+    sel = select_topk(metrics, "gold", k=2)
+    assert sel[0] == "function_0" and "function_1" not in sel
+    # OpenIE drops the attribute when best < keep_thresh
+    bad = {"function_9": {"average_f1": 0.1, "median_f1": 0.1, "extraction_fraction": 1.0}}
+    assert select_topk(bad, "gold", do_end_to_end=True) == []
+    # ClosedIE falls back to single best voter
+    assert select_topk(bad, "gold", do_end_to_end=False) == ["function_9"]
+
+
+# ---------------------------------------------------------------- sandbox
+GOOD_FN = (
+    "import re\n"
+    "def get_author_field(text: str):\n"
+    "    m = re.search(r'author:\\s*(.+)', text)\n"
+    "    return [m.group(1).strip()] if m else []\n"
+)
+
+
+def test_sanitize_function_source():
+    s = sanitize_function_source("    return text.split(':')[1]", "author")
+    assert s.startswith("def get_author_field") and "return" in s
+    assert sanitize_function_source("nothing useful at all", "author") is None
+    multi = GOOD_FN + "\nprint('hi')\ntrailing prose"
+    s2 = sanitize_function_source(multi, "author")
+    assert "print" not in s2 and "prose" not in s2
+
+
+def test_run_functions(spark):
+    docs = spark.createDataFrame(
+        [("d1", "author: Jane\nyear: 1999"), ("d2", "author: Bob"), ("d3", "no field")],
+        ["path", "content"],
+    )
+    votes = run_functions(docs, {"function_0": GOOD_FN}, "author").collect()
+    got = {r["path"]: r["value"] for r in votes}
+    assert got == {"d1": "Jane", "d2": "Bob", "d3": ""}
+
+
+def test_run_functions_timeout_and_errors(spark):
+    docs = spark.createDataFrame(
+        [("d1", "text one"), ("d2", "text two"), ("d3", "text three")],
+        ["path", "content"],
+    ).repartition(1)
+    fns = {
+        "function_0": "def get_author_field(text: str):\n    while True:\n        pass\n    return []",
+        "function_1": "def get_author_field(text: str):\n    return 1/0",
+        "function_2": "this is not python at all ((( return",
+    }
+    votes = run_functions(docs, fns, "author", timeout_s=0.5).collect()
+    assert len(votes) == 9
+    assert all(r["value"] == "" for r in votes)
+
+
+# ---------------------------------------------------------------- llm_map
+def test_llm_map_cache_and_dedup(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    client = MockLLM(responder=lambda p: f"echo:{p[-3:]}")
+    df = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("c", "p2")], ["id", "prompt"]
+    )
+    out1 = llm_map(df, client, cache_dir=cache).collect()
+    assert {r["completion"] for r in out1} == {"echo:p1", "echo:p2"}
+    n_rows_1 = spark.read.parquet(cache).count()
+    assert n_rows_1 == 2  # deduped: only distinct prompts hit the client
+    # rerun: nothing new appended
+    out2 = llm_map(df, client, cache_dir=cache).collect()
+    assert spark.read.parquet(cache).count() == 2
+    assert {r["completion"] for r in out2} == {"echo:p1", "echo:p2"}
+
+
+def test_llm_map_token_accumulator(spark):
+    acc = spark.sparkContext.accumulator(0)
+    client = MockLLM(default="four tokens right here")
+    df = spark.createDataFrame([(f"prompt {i}",) for i in range(5)], ["prompt"])
+    llm_map(df, client, token_accumulator=acc).collect()
+    assert acc.value > 0

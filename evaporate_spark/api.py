@@ -1,0 +1,181 @@
+"""Staged public API — the engine's analog of the reference's
+``EvaporateData`` driver class (``reference/evaporate/main.py:17-240``)
+— plus the attribute-parallel orchestrator.
+
+Stages mirror the reference's notebook flow: load lake → (optionally)
+identify schema → profile attributes (PREDICT→SCORE→APPLY→COMBINE per
+attribute) → materialize the wide view → sink. Per-stage wall time and
+LLM token counts are tracked like the reference's runtime/token
+bookkeeping.
+
+Scale note: attributes are embarrassingly parallel; ``profile_all``
+runs profile kernels through a driver-side thread pool so independent
+Spark jobs overlap (the reference loops sequentially,
+``run_profiler.py:420-441``).
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+
+from evaporate_spark.llm.client import KeyValueMockLLM, LLMClient
+from evaporate_spark.semantic.chunking import chunk_documents
+from evaporate_spark.semantic.filtering import filter_chunks_for_attribute  # noqa: F401 (re-export)
+from evaporate_spark.semantic.pipeline import (
+    ProfileConfig,
+    ProfileResult,
+    assemble_view,
+    profile_attribute,
+)
+from evaporate_spark.semantic.sampling import sample_documents
+from evaporate_spark.semantic.schema_id import (
+    attributes_to_remove,
+    check_remove_attribute,
+    identify_schema,
+)
+from evaporate_spark.sources.doclake import read_document_dir, read_document_lake
+
+
+class EvaporateData:
+    """Profile a document lake into a structured view, stage by stage."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: DataFrame | None = None,
+        data_dir: str | None = None,
+        documents_parquet: str | None = None,
+        client: LLMClient | None = None,
+        gold_client: LLMClient | None = None,
+        config: ProfileConfig | None = None,
+    ):
+        self.spark = spark
+        self.config = config or ProfileConfig()
+        self.client = client or KeyValueMockLLM()
+        self.gold_client = gold_client or self.client
+        if docs is not None:
+            self.docs = docs
+        elif data_dir is not None:
+            self.docs = read_document_dir(spark, data_dir)
+        elif documents_parquet is not None:
+            self.docs = read_document_lake(spark, documents_parquet)
+        else:
+            raise ValueError("provide docs, data_dir, or documents_parquet")
+        self.docs = self.docs.persist()
+        self.results: list[ProfileResult] = []
+        self.attributes: list[str] = []
+        self.stage_seconds: dict[str, float] = {}
+        self.stage_tokens: dict[str, int] = {}
+
+    def _stage(self, name: str, t0: float, tokens: int = 0) -> None:
+        self.stage_seconds[name] = self.stage_seconds.get(name, 0.0) + (
+            time.perf_counter() - t0
+        )
+        self.stage_tokens[name] = self.stage_tokens.get(name, 0) + tokens
+
+    # -------------------------------------------------------- schema
+    def identify_schema(self, topic: str, num_attributes: int = 35) -> list[str]:
+        """OpenIE schema discovery over the train sample (§2A#12-14)."""
+        t0 = time.perf_counter()
+        chunks = chunk_documents(self.docs, self.config.chunk_size)
+        sample_paths = sample_documents(
+            self.docs, self.config.train_size, self.config.seed
+        ).select("path")
+        sample_chunks = chunks.join(sample_paths, "path", "left_semi")
+        acc = self.spark.sparkContext.accumulator(0)
+        self.attributes = identify_schema(
+            sample_chunks,
+            topic,
+            self.gold_client,
+            num_attributes=num_attributes,
+            cache_dir=self.config.cache_dir,
+            token_accumulator=acc,
+        )
+        self._stage("identify_schema", t0, acc.value)
+        return self.attributes
+
+    # ------------------------------------------------------- profile
+    def profile(self, attribute: str) -> ProfileResult:
+        t0 = time.perf_counter()
+        result = profile_attribute(
+            self.docs, attribute, self.client, self.config, self.gold_client
+        )
+        self.results.append(result)
+        self._stage("profile", t0, result.total_tokens)
+        return result
+
+    def profile_all(
+        self,
+        attributes: list[str] | None = None,
+        topic: str | None = None,
+        validity_check: bool = False,
+        max_parallel: int = 4,
+    ) -> list[ProfileResult]:
+        """ClosedIE (attributes given) or OpenIE (discover via topic).
+
+        Attributes run through a thread pool — each kernel submits
+        independent Spark jobs, so the scheduler overlaps them.
+        """
+        if attributes is None:
+            if topic is None:
+                raise ValueError("OpenIE needs a topic")
+            attributes = self.identify_schema(topic)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            results = list(
+                pool.map(
+                    lambda a: profile_attribute(
+                        self.docs, a, self.client, self.config, self.gold_client
+                    ),
+                    attributes,
+                )
+            )
+        if validity_check and topic is not None:
+            kept = []
+            for r in results:
+                if r.extractions is None:
+                    continue
+                fraction = next(
+                    (m["extraction_fraction"] for m in r.metrics.values()), 1.0
+                )
+                if check_remove_attribute(
+                    r.extractions, r.attribute, topic, self.gold_client, fraction
+                ):
+                    kept.append(r)
+            results = kept
+        dropped = set(attributes_to_remove(results))
+        results = [r for r in results if r.attribute not in dropped]
+        self.results.extend(results)
+        tokens = sum(r.total_tokens for r in results)
+        self._stage("profile_all", t0, tokens)
+        return results
+
+    # ---------------------------------------------------------- view
+    def view(self) -> DataFrame | None:
+        """Assemble the wide structured view from every profiled
+        attribute (§2A#32)."""
+        t0 = time.perf_counter()
+        out = assemble_view(self.results)
+        self._stage("view", t0)
+        return out
+
+    def save(self, path: str, fmt: str = "parquet") -> None:
+        v = self.view()
+        if v is None:
+            raise ValueError("nothing profiled yet")
+        writer = v.write.mode("overwrite")
+        if fmt == "parquet":
+            writer.parquet(path)
+        elif fmt == "json":
+            writer.json(path)
+        elif fmt == "csv":
+            writer.option("header", "true").csv(path)
+        else:
+            raise ValueError(f"unsupported format {fmt!r}")
+
+    @property
+    def total_tokens(self) -> int:
+        return sum(self.stage_tokens.values())

@@ -1,0 +1,93 @@
+"""CLI orchestrator (SURVEY §2A #38): end-to-end lake → structured
+view, the engine's analog of ``python run_profiler.py --data_lake …
+[--do_end_to_end]`` (``reference/evaporate/run_profiler.py:334-488``).
+
+Offline by default: the deterministic KeyValueMockLLM backend profiles
+``key: value``-structured lakes with no network. A real model plugs in
+with ``--client module:attribute`` pointing at any LLMClient instance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import sys
+
+from evaporate_spark.api import EvaporateData
+from evaporate_spark.llm.client import KeyValueMockLLM, LLMClient
+from evaporate_spark.semantic.pipeline import ProfileConfig
+from evaporate_spark.session import get_spark
+
+
+def _load_client(spec: str | None) -> LLMClient:
+    if not spec:
+        return KeyValueMockLLM()
+    module_name, _, attr = spec.partition(":")
+    obj = getattr(importlib.import_module(module_name), attr)
+    return obj() if isinstance(obj, type) else obj
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "evaporate-spark", description="Profile a document lake into a structured view"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--data-dir", help="directory of text/html files")
+    src.add_argument("--documents-parquet", help="documents parquet path or sf dir")
+    p.add_argument("--attributes", help="comma-separated attributes (ClosedIE)")
+    p.add_argument("--do-end-to-end", action="store_true", help="OpenIE schema discovery")
+    p.add_argument("--topic", default="documents", help="lake topic for OpenIE prompts")
+    p.add_argument("--train-size", type=int, default=10)
+    p.add_argument("--chunk-size", type=int, default=3000)
+    p.add_argument("--combiner", choices=("mv", "ws", "top_k"), default="mv")
+    p.add_argument("--num-top-k-scripts", type=int, default=10)
+    p.add_argument("--cache-dir", help="prompt-cache parquet directory")
+    p.add_argument("--client", help="module:attr of an LLMClient (default: offline mock)")
+    p.add_argument("--output", required=True, help="output path for the wide view")
+    p.add_argument("--format", choices=("parquet", "json", "csv"), default="parquet")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.do_end_to_end and not args.attributes:
+        print("need --attributes or --do-end-to-end", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="evaporate-spark-cli")
+    config = ProfileConfig(
+        train_size=args.train_size,
+        chunk_size=args.chunk_size,
+        combiner_mode=args.combiner,
+        num_top_k_scripts=args.num_top_k_scripts,
+        do_end_to_end=args.do_end_to_end,
+        cache_dir=args.cache_dir,
+    )
+    data = EvaporateData(
+        spark,
+        data_dir=args.data_dir,
+        documents_parquet=args.documents_parquet,
+        client=_load_client(args.client),
+        config=config,
+    )
+    if args.do_end_to_end:
+        results = data.profile_all(topic=args.topic, validity_check=True)
+    else:
+        results = data.profile_all([a.strip() for a in args.attributes.split(",")])
+    data.save(args.output, args.format)
+    print(
+        json.dumps(
+            {
+                "attributes": [r.attribute for r in results],
+                "dropped": [r.attribute for r in results if r.dropped],
+                "output": args.output,
+                "stage_seconds": {k: round(v, 2) for k, v in data.stage_seconds.items()},
+                "total_tokens": data.total_tokens,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

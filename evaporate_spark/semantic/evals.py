@@ -1,0 +1,123 @@
+"""Quality evaluation against gold tables (SURVEY §2A #34-36).
+
+- :func:`evaluate_schema_identification` — attribute-set P/R/F1 @k
+  (``reference/evaporate/evaluate_synthetic.py:31-88``). Driver lists:
+  schemas are bounded.
+- :func:`evaluate_closed_ie` — per-attribute SQuAD text-F1 of the
+  materialized view vs a gold (path, attribute, value) frame
+  (``evaluate_synthetic.py:150-269``), as a distributed join + F1
+  pandas UDF + groupBy — lake-scale safe.
+- :func:`evaluate_open_ie` — exact-match set P/R/F1 over
+  (path, attribute, value) triples with lenient attribute-name
+  normalization (plurals/spacing/underscores, ``evaluate_synthetic.py:
+  272-501``), as normalized joins + counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from evaporate_spark.semantic.scoring import text_f1_pairs_udf
+
+
+def _norm_attr_py(name: str) -> str:
+    out = name.lower().replace("_", " ").replace("-", " ")
+    out = " ".join(out.split())
+    return out[:-1] if out.endswith("s") else out
+
+
+def evaluate_schema_identification(
+    predicted: list[str], gold: list[str], ks: tuple[int, ...] = (1, 5, 10, 35)
+) -> dict[int, dict[str, float]]:
+    """P/R/F1 of the top-k predicted attribute names vs the gold set,
+    lenient-normalized."""
+    gold_set = {_norm_attr_py(g) for g in gold}
+    out: dict[int, dict[str, float]] = {}
+    for k in ks:
+        pred = {_norm_attr_py(p) for p in predicted[:k]}
+        tp = len(pred & gold_set)
+        precision = tp / len(pred) if pred else 0.0
+        recall = tp / len(gold_set) if gold_set else 0.0
+        f1 = (
+            2 * precision * recall / (precision + recall)
+            if precision + recall
+            else 0.0
+        )
+        out[k] = {"precision": precision, "recall": recall, "f1": f1}
+    return out
+
+
+def _clean_col(col: Column, attribute_col: Column) -> Column:
+    """Spark analog of values.clean_comparison for distributed eval:
+    lowercase, drop the attribute name and punctuation, collapse
+    whitespace."""
+    c = F.lower(col)
+    c = F.replace(c, F.lower(attribute_col), F.lit(" "))
+    c = F.regexp_replace(c, r"[',.?!;()\[\]{}:<>\"-]", " ")
+    c = F.regexp_replace(c, r"\bnone\b", " ")
+    return F.btrim(F.regexp_replace(c, r"\s+", " "))
+
+
+def evaluate_closed_ie(
+    predictions: DataFrame, gold: DataFrame
+) -> DataFrame:
+    """predictions/gold: (path, attribute, value) → per-attribute
+    (attribute, n, avg_f1, exact_match_rate)."""
+    p = predictions.select(
+        "path",
+        "attribute",
+        _clean_col(F.col("value"), F.col("attribute")).alias("pred"),
+    )
+    g = gold.select(
+        "path",
+        "attribute",
+        _clean_col(F.col("value"), F.col("attribute")).alias("gold"),
+    )
+    joined = p.join(g, ["path", "attribute"], "inner")
+    f1 = text_f1_pairs_udf()
+    return (
+        joined.withColumn("f1", f1(F.col("pred"), F.col("gold")))
+        .groupBy("attribute")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("f1"), 4).alias("avg_f1"),
+            F.round(F.avg((F.col("pred") == F.col("gold")).cast("double")), 4).alias(
+                "exact_match_rate"
+            ),
+        )
+    )
+
+
+def _norm_attr_col(col: Column) -> Column:
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[_\-]", " ")
+    c = F.btrim(F.regexp_replace(c, r"\s+", " "))
+    return F.regexp_replace(c, r"s$", "")
+
+
+def evaluate_open_ie(predictions: DataFrame, gold: DataFrame) -> dict[str, float]:
+    """Exact-match set P/R/F1 over normalized (path, attribute, value)
+    triples."""
+
+    def triples(df: DataFrame) -> DataFrame:
+        return df.select(
+            "path",
+            _norm_attr_col(F.col("attribute")).alias("attribute"),
+            _clean_col(F.col("value"), F.col("attribute")).alias("value"),
+        ).where(F.col("value") != "").distinct()
+
+    p, g = triples(predictions), triples(gold)
+    n_pred = p.count()
+    n_gold = g.count()
+    tp = p.join(g, ["path", "attribute", "value"], "inner").count()
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / n_gold if n_gold else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "n_pred": n_pred,
+        "n_gold": n_gold,
+    }

@@ -45,6 +45,7 @@ class ProfileConfig:
     combiner_mode: str = "mv"  # "mv" | "ws" | "top_k"
     do_end_to_end: bool = False
     use_abstention: bool = True
+    trim_vs_train: bool = True
     cache_dir: str | None = None
     max_extract_tokens: int = 100
     max_synth_tokens: int = 500
@@ -196,6 +197,11 @@ def profile_attribute(
                 lake_votes,
                 docs.select("path"),
                 voter_order=selected,
+                # gold-anchored reliability (the reference's Y_dev role):
+                # each voter's sample F1 vs the gold key
+                voter_accuracies={
+                    v: metrics[v]["average_f1"] for v in selected if v in metrics
+                },
                 extraction_fraction=extraction_fraction,
                 extraction_fraction_thresh=cfg.extraction_fraction_thresh,
             )
@@ -207,6 +213,19 @@ def profile_attribute(
                 extraction_fraction=extraction_fraction if cfg.use_abstention else 0.0,
                 extraction_fraction_thresh=cfg.extraction_fraction_thresh,
             )
+
+    # train-consistency trim (§2A#29): learn junk prefix/suffix tokens
+    # from sample gold-vs-final pairs; strip lake-wide as a Column op
+    if cfg.trim_vs_train and gold_map:
+        from evaporate_spark.semantic.trimmer import apply_trim, learn_trim_spec
+
+        sample_final = {
+            r["path"]: r["value"]
+            for r in combined.join(sample_paths, "path", "left_semi").collect()
+        }
+        spec = learn_trim_spec(gold_map, sample_final)
+        if not spec.is_noop:
+            combined = combined.withColumn("value", apply_trim("value", spec))
 
     extractions = combined.select(
         "path", F.lit(attribute).alias("attribute"), "value"

@@ -1,0 +1,256 @@
+"""OpenIE schema discovery (SURVEY §2A #12-14, #30, #31): find the
+attribute set itself by prompting over sample chunks, then rerank.
+
+Reference semantics (``reference/evaporate/schema_identification.py``):
+
+- discovery: per sample chunk, ask for ``- field: value`` lines; keep
+  a pair only if some spacing-variant of the field literally occurs in
+  the chunk and the value is non-empty; dedup per file (first chunk
+  wins); count occurrences across files (#12). The per-file dynamic
+  backoff (stop past avg+σ chunks) becomes a chunk-rank filter.
+- rerank (#13): LLM votes over the discovered fields ("most useful
+  SQL keys", 2 rounds, +2 per vote); voted fields score
+  votes × base_count, unvoted base_count / 2; stable order tracked.
+- top-k (#14): sort by (score, order-of-addition), cap.
+- validity check (#30) and attribute dedup (#31) for the assembled
+  schema.
+
+Spark shape: the LLM pass and the literal-mention filters are
+DataFrame ops over the chunk frame; only the (bounded, ≤~100-row)
+field table is collected for reranking.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from evaporate_spark.llm.apply import llm_map
+from evaporate_spark.llm.client import LLMClient
+from evaporate_spark.llm.prompts import IS_VALID_ATTRIBUTE, SCHEMA_ID, SCHEMA_RERANK
+
+
+def discover_schema_candidates(
+    sample_chunks: DataFrame,
+    topic: str,
+    client: LLMClient,
+    dynamic_backoff: bool = True,
+    cache_dir: str | None = None,
+    token_accumulator=None,
+) -> tuple[Counter, dict[str, list[str]]]:
+    """sample chunks → (field→count across files, field→example values)."""
+    chunks = sample_chunks
+    if dynamic_backoff:
+        stats = chunks.groupBy("path").agg(F.count(F.lit(1)).alias("_n"))
+        row = stats.agg(
+            F.avg("_n").alias("avg"), F.coalesce(F.stddev("_n"), F.lit(0.0)).alias("sd")
+        ).collect()[0]
+        bound = float(row["avg"]) + float(row["sd"])
+        rank_w = Window.partitionBy("path").orderBy("chunk_id")
+        chunks = (
+            chunks.withColumn("_rank", F.row_number().over(rank_w))
+            .where(F.col("_rank") <= F.lit(bound) + 1)
+            .drop("_rank")
+        )
+
+    template = SCHEMA_ID[0].replace("{topic}", topic)
+    pre, post = template.split("{chunk}")
+    prompts = chunks.select(
+        "path",
+        "chunk_id",
+        "chunk",
+        F.concat(F.lit(pre), F.col("chunk"), F.lit(post)).alias("prompt"),
+    )
+    done = llm_map(
+        prompts,
+        client,
+        max_tokens=500,
+        cache_dir=cache_dir,
+        token_accumulator=token_accumulator,
+    )
+
+    # parse "- field: value" lines (also tolerate "1. field: value")
+    lines = done.select(
+        "path",
+        "chunk_id",
+        "chunk",
+        F.explode(
+            F.split(F.btrim(F.element_at(F.split("completion", "---", 2), 1), F.lit("\n")), "\n")
+        ).alias("line"),
+    ).withColumn("line", F.regexp_replace(F.btrim(F.col("line")), r"^(-\s*|\d+\.\s*)", ""))
+    pairs = (
+        lines.where(F.col("line").contains(": "))
+        .select(
+            "path",
+            "chunk_id",
+            "chunk",
+            F.lower(
+                F.btrim(F.element_at(F.split("line", ": ", 2), 1), F.lit("-_: "))
+            ).alias("field"),
+            F.btrim(F.element_at(F.split("line", ": ", 2), 2)).alias("value"),
+        )
+        .where((F.col("field") != "") & (F.col("value") != ""))
+    )
+    # field (or a spacing variant) must literally occur in the chunk
+    low_chunk = F.lower("chunk")
+    nospace_chunk = F.regexp_replace(low_chunk, r"[\s\-_]", "")
+    mentioned = pairs.where(
+        low_chunk.contains(F.col("field"))
+        | nospace_chunk.contains(F.regexp_replace(F.col("field"), r"[\s\-_]", ""))
+    )
+    # per-file dedup: first (chunk order) occurrence of each field
+    first_w = Window.partitionBy("path", "field").orderBy("chunk_id")
+    per_file = (
+        mentioned.withColumn("_rn", F.row_number().over(first_w))
+        .where(F.col("_rn") == 1)
+        .select("path", "field", "value")
+    )
+    rows = (
+        per_file.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.slice(F.array_sort(F.collect_list("value")), 1, 5).alias("examples"),
+        )
+        .collect()
+    )
+    # deterministic insertion order: (count desc, name) — collect order
+    # would vary with shuffle placement
+    rows = sorted(rows, key=lambda r: (-r["n_files"], r["field"]))
+    counts = Counter({r["field"]: r["n_files"] for r in rows})
+    examples = {r["field"]: list(r["examples"]) for r in rows}
+    return counts, examples
+
+
+def rerank_schema(
+    counts: Counter,
+    examples: dict[str, list[str]],
+    topic: str,
+    client: LLMClient,
+    rounds: int = 2,
+    vote_weight: int = 2,
+) -> list[tuple[str, float]]:
+    """LLM-vote rerank: voted fields score votes × base count, unvoted
+    base/2; returns (field, score) in deterministic rank order."""
+    fields_by_count = [f for f, _ in counts.most_common()]
+    listing = "\n".join(
+        f"- {f} (e.g. {examples.get(f, [''])[0]})" for f in fields_by_count[:50]
+    )
+    votes: Counter = Counter()
+    for round_num in range(rounds):
+        prompt = SCHEMA_RERANK.format(
+            topic=topic, attributes=listing, k=max(5, len(fields_by_count) // 2)
+        )
+        if round_num:
+            prompt += f"\n(round {round_num + 1})"
+        completion = client.complete(prompt, max_tokens=300)
+        seen = set()
+        for line in completion.split("\n"):
+            name = re.sub(r"^(-\s*|\d+\.\s*)", "", line).strip().strip("'\"").lower()
+            name = name.split(" (e.g.")[0].strip()
+            if name and name in counts and name not in seen:
+                votes[name] += vote_weight
+                seen.add(name)
+    scored: list[tuple[str, float]] = []
+    for f in fields_by_count:
+        if votes.get(f, 0) > 1:
+            scored.append((f, float(votes[f] * counts[f])))
+        else:
+            scored.append((f, counts[f] / 2.0))
+    # sort by score desc; stable on the base-count order (reference's
+    # (count, order-of-addition) tiebreak)
+    scored.sort(key=lambda kv: -kv[1])
+    return scored
+
+
+def identify_schema(
+    sample_chunks: DataFrame,
+    topic: str,
+    client: LLMClient,
+    num_attributes: int = 35,
+    cache_dir: str | None = None,
+    token_accumulator=None,
+) -> list[str]:
+    """Discovery + rerank + top-k: the ordered attribute list for an
+    OpenIE run (``--do_end_to_end``)."""
+    counts, examples = discover_schema_candidates(
+        sample_chunks,
+        topic,
+        client,
+        cache_dir=cache_dir,
+        token_accumulator=token_accumulator,
+    )
+    if not counts:
+        return []
+    ranked = rerank_schema(counts, examples, topic, client)
+    return [f for f, _ in ranked[:num_attributes]]
+
+
+def check_remove_attribute(
+    extractions: DataFrame,
+    attribute: str,
+    topic: str,
+    client: LLMClient,
+    extraction_fraction: float = 1.0,
+    train_values: list[str] | None = None,
+) -> bool:
+    """OpenIE attribute validity (§2A#30). True = keep.
+
+    All-empty → keep only if the gold key also rarely extracted;
+    constant-valued → compare against the train mode; else LLM-vote
+    "could <value> be a <attribute> in a <topic> database?" on ≤3
+    sample values.
+    """
+    agg = extractions.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.lower("value").isin("", "none") == False).cast("int")).alias("nonempty"),  # noqa: E712
+        F.countDistinct("value").alias("n_distinct"),
+    ).collect()[0]
+    if agg["nonempty"] == 0:
+        return extraction_fraction <= 0.5
+    if agg["n_distinct"] <= 2 and train_values:
+        mode_lake = (
+            extractions.groupBy("value").count().orderBy(F.desc("count"), "value").first()["value"]
+        )
+        mode_train = Counter(train_values).most_common(1)[0][0]
+        return mode_lake.lower() == mode_train.lower()
+    values = [
+        r["value"]
+        for r in extractions.where(~F.lower("value").isin("", "none")).limit(3).collect()
+    ]
+    yes = 0
+    for value in values:
+        answer = client.complete(
+            IS_VALID_ATTRIBUTE.format(value=value, attribute=attribute, topic=topic),
+            max_tokens=10,
+        )
+        if "yes" in answer.lower():
+            yes += 1
+    return yes > 0
+
+
+def attributes_to_remove(results: list) -> list[str]:
+    """Attribute dedup (§2A#31): drop a later attribute whose name
+    contains/is contained by an earlier one AND whose first-5 lake
+    extractions exactly duplicate it. ``results`` are ProfileResults
+    in rank order."""
+    first5: dict[str, list[str]] = {}
+    for r in results:
+        if r.extractions is None:
+            continue
+        first5[r.attribute] = [
+            row["value"] for row in r.extractions.orderBy("path").limit(5).collect()
+        ]
+    removed: list[str] = []
+    kept: list[str] = []
+    for attr in first5:
+        dup = False
+        for prev in kept:
+            name_overlap = prev in attr or attr in prev
+            if name_overlap and first5[attr] == first5[prev]:
+                dup = True
+                break
+        (removed if dup else kept).append(attr)
+    return removed

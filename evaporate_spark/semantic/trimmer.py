@@ -1,0 +1,128 @@
+"""Train-consistency trimmer (SURVEY §2A #29).
+
+Reference semantics (``reference/evaporate/profiler_utils.py:461-529``
+``check_vs_train_extractions``): compare the final predictions against
+the train gold spans; when EVERY overlapping sample pred merely wraps
+the gold ("longer" mode), learn the common junk prefix/suffix (longest
+common substring of the leftovers) and strip it lake-wide when it
+occurs exactly once; when preds add HTML tags the gold lacks ("soup"
+mode), strip tags instead.
+
+Spark-first split: token LEARNING is driver-side over the train-sized
+sample (exactly the data the reference inspects); lake-wide APPLYING
+is a pure Column expression (locate/substr/regexp), zero Python in the
+wide path. Divergence: tag-stripping uses a regexp rather than an HTML
+parser.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _longest_common_substring(strings: list[str]) -> str:
+    if len(strings) < 2 or not strings[0]:
+        return ""
+    base = strings[0]
+    best = ""
+    for i in range(len(base)):
+        for j in range(len(base) - i, 0, -1):
+            cand = base[i : i + j]
+            if len(cand) <= len(best):
+                break
+            if all(cand in s for s in strings):
+                best = cand
+                break
+    return best
+
+
+@dataclass
+class TrimSpec:
+    mode: str | None = None  # "longer" | "soup" | None
+    start_tok: str = ""
+    end_tok: str = ""
+    strip_start: bool = False
+    strip_end: bool = False
+
+    @property
+    def is_noop(self) -> bool:
+        return self.mode is None or (
+            self.mode == "longer" and not (self.strip_start or self.strip_end)
+        )
+
+
+def learn_trim_spec(
+    train_gold: dict[str, str], train_preds: dict[str, str]
+) -> TrimSpec:
+    """Learn the junk-token spec from sample gold/pred pairs."""
+    modes: set[str] = set()
+    start_toks: list[str] = []
+    end_toks: list[str] = []
+    n_pairs = 0
+    for path, gold in train_gold.items():
+        pred = (train_preds.get(path) or "").lower()
+        gold = (gold or "").lower()
+        if not pred or not gold:
+            continue
+        n_pairs += 1
+        if ("<" in pred and "<" not in gold) or (">" in pred and ">" not in gold):
+            modes.add("soup")
+        elif gold in pred and len(pred) > len(gold):
+            modes.add("longer")
+            idx = pred.index(gold)
+            if idx > 0:
+                start_toks.append(pred[: idx - 1])
+            end_idx = idx + len(gold)
+            if end_idx < len(pred):
+                end_toks.append(pred[end_idx:])
+        else:
+            modes.add("mixed")
+    if len(modes) != 1:
+        return TrimSpec()
+    mode = modes.pop()
+    if mode == "soup":
+        return TrimSpec(mode="soup")
+    if mode != "longer":
+        return TrimSpec()
+    return TrimSpec(
+        mode="longer",
+        start_tok=_longest_common_substring(start_toks),
+        end_tok=_longest_common_substring(end_toks),
+        # reference requires EVERY pair to have contributed a leftover
+        strip_start=bool(start_toks) and len(start_toks) == n_pairs,
+        strip_end=bool(end_toks) and len(end_toks) == n_pairs,
+    )
+
+
+def apply_trim(value: Column | str, spec: TrimSpec) -> Column:
+    """Lake-wide Column expression applying a learned TrimSpec."""
+    c = F.col(value) if isinstance(value, str) else value
+    if spec.is_noop:
+        return c
+    if spec.mode == "soup":
+        return F.btrim(F.regexp_replace(c, r"<[^>]*>", ""))
+    out = c
+    low = F.lower
+    for tok, enabled, keep_head in (
+        (spec.end_tok, spec.strip_end, True),
+        (spec.start_tok, spec.strip_start, False),
+    ):
+        if not enabled or not tok:
+            continue
+        tok_lit = F.lit(tok)
+        occurrences = (
+            F.length(out) - F.length(F.replace(low(out), F.lit(tok.lower()), F.lit("")))
+        ) / F.length(tok_lit)
+        idx = F.locate(tok.lower(), low(out))
+        # divergence (intent over letter): the reference's start-strip
+        # slice `extraction[idx:]` RETAINS the junk token; we drop it.
+        trimmed = (
+            F.substr(out, F.lit(1), idx - 1)
+            if keep_head
+            else F.substr(out, idx + F.length(tok_lit))
+        )
+        out = F.when(occurrences == 1, F.btrim(trimmed)).otherwise(out)
+    return out

@@ -1,0 +1,157 @@
+"""Weak-supervision vote combiner (SURVEY §2A #27).
+
+Reference behavior (``reference/evaporate/weak_supervision/run_ws.py:
+17-268`` + ``profiler.py:156-181``): per-file label spaces from the
+top-5 unique votes, a MeTaL LabelModel trained on the vote matrix with
+the train gold as dev anchor, per-file fallbacks to the raw vote when
+a file has one voter / unanimous votes / an empty model prediction.
+
+Spark-first re-design (the reference's research harness — metal,
+cvxpy structure learning — is explicitly out of engine scope, SURVEY
+§2A#28):
+
+- **Train small**: per-voter reliability is learned driver-side from
+  (a) the gold-anchored sample F1 when available — the analog of the
+  reference's ``Y_dev`` anchor — or (b) an unsupervised Dawid-Skene
+  style EM over a bounded hash-sample of the vote matrix (the classic
+  label-model estimator of voter accuracy from agreement alone).
+- **Apply wide**: the learned accuracies become log-odds weights, and
+  the lake-scale combine is one groupBy(path, value) + window argmax
+  over weighted votes — the same shuffle shape as majority vote, at
+  any corpus size. Unanimous/single-voter files reduce to the raw
+  vote automatically (their only candidate wins).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_LABEL_SPACE = 5  # reference num_elts
+
+
+def accuracy_to_weight(acc: float, k: int = DEFAULT_LABEL_SPACE) -> float:
+    """Per-voter log-odds weight under a symmetric k-class noise model.
+
+    acc=chance (1/k) → ~0; acc→1 → capped at 10 so one perfect sample
+    score can't drown every other voter forever.
+    """
+    acc = min(max(acc, 0.02), 0.98)
+    return max(math.log(acc * (k - 1) / (1.0 - acc)), 0.05)
+
+
+def em_voter_accuracies(
+    vote_matrix: list[dict[str, str]],
+    voters: list[str],
+    iters: int = 25,
+    k: int = DEFAULT_LABEL_SPACE,
+) -> dict[str, float]:
+    """Unsupervised voter-accuracy estimation (Dawid-Skene EM, symmetric
+    noise): alternate posterior label distribution per file with
+    per-voter accuracy re-estimation. Deterministic (uniform init,
+    fixed iterations). ``vote_matrix`` rows map voter→vote for one
+    file; empty votes are abstains and carry no signal.
+    """
+    acc = {v: 0.7 for v in voters}
+    for _ in range(iters):
+        # E-step: per file, posterior over candidate labels
+        post_weight_sum = {v: 0.0 for v in voters}
+        post_total = {v: 0.0 for v in voters}
+        for row in vote_matrix:
+            cands = sorted({val for val in row.values() if val})
+            if not cands:
+                continue
+            scores = []
+            for cand in cands:
+                lp = 0.0
+                for voter, val in row.items():
+                    if not val:
+                        continue
+                    a = acc[voter]
+                    lp += math.log(a if val == cand else (1.0 - a) / (k - 1))
+                scores.append(lp)
+            mx = max(scores)
+            probs = [math.exp(s - mx) for s in scores]
+            z = sum(probs)
+            probs = [p / z for p in probs]
+            # M-step accumulation
+            for voter, val in row.items():
+                if not val:
+                    continue
+                p_match = sum(p for c, p in zip(cands, probs) if c == val)
+                post_weight_sum[voter] += p_match
+                post_total[voter] += 1.0
+        acc = {
+            v: min(
+                max((post_weight_sum[v] / post_total[v]) if post_total[v] else 0.5, 0.02),
+                0.98,
+            )
+            for v in voters
+        }
+    return acc
+
+
+def weak_supervision_combine(
+    votes: DataFrame,
+    all_paths: DataFrame,
+    voter_order: list[str],
+    voter_accuracies: dict[str, float] | None = None,
+    extraction_fraction: float = 0.0,
+    extraction_fraction_thresh: float = 0.8,
+    em_train_files: int = 2000,
+) -> DataFrame:
+    """votes(path, voter, value) → (path, value) by reliability-
+    weighted voting.
+
+    ``voter_accuracies`` (e.g. sample F1 vs the gold key — what the
+    pipeline passes) anchors the weights; without it, accuracies are
+    EM-estimated from a ≤``em_train_files`` hash-sample of the votes.
+    """
+    spark = votes.sparkSession
+    if voter_accuracies is None:
+        sample_paths = (
+            all_paths.select("path")
+            .orderBy(F.xxhash64("path", F.lit(0)), "path")
+            .limit(em_train_files)
+        )
+        rows = (
+            votes.join(sample_paths, "path", "left_semi")
+            .groupBy("path")
+            .agg(F.map_from_entries(F.collect_list(F.struct("voter", "value"))).alias("m"))
+            .collect()
+        )
+        voter_accuracies = em_voter_accuracies([r["m"] for r in rows], voter_order)
+
+    k = max(DEFAULT_LABEL_SPACE, 2)
+    weights = [
+        (v, i, float(accuracy_to_weight(voter_accuracies.get(v, 0.5), k)))
+        for i, v in enumerate(voter_order)
+    ]
+    w_df = F.broadcast(
+        spark.createDataFrame(weights, "voter string, _vidx int, _w double")
+    )
+    v = votes.join(w_df, "voter", "left").fillna(
+        {"_vidx": len(voter_order), "_w": 0.05}
+    )
+    if extraction_fraction >= extraction_fraction_thresh:
+        v = v.where(F.col("value") != "")
+    scored = v.groupBy("path", "value").agg(
+        F.sum("_w").alias("_score"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_vidx").alias("_first"),
+    )
+    w = Window.partitionBy("path").orderBy(
+        F.desc("_score"), F.desc("_n"), F.asc("_first"), F.asc("value")
+    )
+    winners = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("path", "value")
+    )
+    return (
+        all_paths.select("path")
+        .join(winners, "path", "left")
+        .withColumn("value", F.coalesce("value", F.lit("")))
+    )

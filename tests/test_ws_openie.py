@@ -1,0 +1,227 @@
+"""Weak supervision, OpenIE schema discovery, evals, staged API, CLI
+(SURVEY §2A #12-14, #27, #30-31, #34-38)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from evaporate_spark.api import EvaporateData
+from evaporate_spark.llm.client import KeyValueMockLLM
+from evaporate_spark.semantic.combine import majority_vote
+from evaporate_spark.semantic.evals import (
+    evaluate_closed_ie,
+    evaluate_open_ie,
+    evaluate_schema_identification,
+)
+from evaporate_spark.semantic.pipeline import ProfileConfig, profile_attribute
+from evaporate_spark.semantic.schema_id import (
+    attributes_to_remove,
+    check_remove_attribute,
+    identify_schema,
+)
+from evaporate_spark.semantic.ws import (
+    em_voter_accuracies,
+    weak_supervision_combine,
+)
+from test_pipeline_e2e import AUTHORS, _doc, make_responder
+from evaporate_spark.llm.client import MockLLM
+
+
+# ------------------------------------------------------------------ WS
+def _noisy_votes(spark):
+    rows = []
+    for i in range(10):
+        rows.append((f"f{i}", "good", f"truth{i}"))
+        rows.append((f"f{i}", "bad1", "wrong"))
+        rows.append((f"f{i}", "bad2", "wrong"))
+    return spark.createDataFrame(rows, ["path", "voter", "value"])
+
+
+def test_ws_beats_mv_on_correlated_noise(spark):
+    votes = _noisy_votes(spark)
+    paths = votes.select("path").distinct()
+    order = ["good", "bad1", "bad2"]
+    mv = {r["path"]: r["value"] for r in majority_vote(votes, paths, order).collect()}
+    assert all(v == "wrong" for v in mv.values())  # MV loses 2-vs-1
+    ws = {
+        r["path"]: r["value"]
+        for r in weak_supervision_combine(
+            votes, paths, order, voter_accuracies={"good": 1.0, "bad1": 0.1, "bad2": 0.1}
+        ).collect()
+    }
+    assert ws == {f"f{i}": f"truth{i}" for i in range(10)}  # WS recovers truth
+
+
+def test_em_accuracies_identify_reliable_voters():
+    matrix = []
+    for i in range(40):
+        matrix.append(
+            {
+                "a": f"v{i}",
+                "b": f"v{i}",
+                "c": f"n{i}" if i % 2 else f"v{i}",  # half wrong, uncorrelated
+            }
+        )
+    acc = em_voter_accuracies(matrix, ["a", "b", "c"])
+    assert acc["a"] > 0.9 and acc["b"] > 0.9
+    assert acc["c"] < acc["a"]
+
+
+def test_ws_pipeline_end_to_end(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(f"doc://{i}", _doc(i), "txt", 1) for i in range(20)],
+        ["path", "content", "doc_type", "n_bytes"],
+    )
+    client = MockLLM(responder=make_responder())
+    cfg = ProfileConfig(train_size=5, chunk_size=400, combiner_mode="ws")
+    result = profile_attribute(docs, "author", client, cfg)
+    got = {r["path"]: r["value"] for r in result.extractions.collect()}
+    assert got == {f"doc://{i}": AUTHORS[i] for i in range(20)}
+
+
+# -------------------------------------------------------------- OpenIE
+@pytest.fixture(scope="module")
+def lake(spark):
+    return spark.createDataFrame(
+        [(f"doc://{i}", _doc(i), "txt", 1) for i in range(20)],
+        ["path", "content", "doc_type", "n_bytes"],
+    ).cache()
+
+
+def test_identify_schema(spark, lake):
+    from evaporate_spark.semantic.chunking import chunk_documents
+    from evaporate_spark.semantic.sampling import sample_documents
+
+    chunks = chunk_documents(lake, 400)
+    sample = sample_documents(lake, 5).select("path")
+    attrs = identify_schema(
+        chunks.join(sample, "path", "left_semi"), "surveys", KeyValueMockLLM()
+    )
+    assert set(attrs) == {"record_id", "title", "author", "year", "notes"}
+
+
+def test_openie_profile_all_and_view(spark, lake):
+    data = EvaporateData(
+        spark,
+        docs=lake,
+        client=KeyValueMockLLM(),
+        config=ProfileConfig(train_size=5, chunk_size=400, do_end_to_end=True),
+    )
+    results = data.profile_all(topic="surveys", validity_check=True)
+    assert {r.attribute for r in results} == {"record_id", "title", "author", "year", "notes"}
+    view = data.view()
+    assert set(view.columns) == {"path", "record_id", "title", "author", "year", "notes"}
+    rows = {r["path"]: r for r in view.collect()}
+    assert rows["doc://3"]["author"] == AUTHORS[3]
+    assert rows["doc://3"]["year"] == "1983"
+    assert data.total_tokens > 0 and "identify_schema" in data.stage_seconds
+
+
+def test_check_remove_attribute(spark):
+    empty = spark.createDataFrame([("p1", ""), ("p2", "")], ["path", "value"])
+    assert check_remove_attribute(empty, "x", "t", KeyValueMockLLM(), 1.0) is False
+    assert check_remove_attribute(empty, "x", "t", KeyValueMockLLM(), 0.3) is True
+    good = spark.createDataFrame(
+        [("p1", "1990"), ("p2", "1991"), ("p3", "1992")], ["path", "value"]
+    )
+    assert check_remove_attribute(good, "year", "surveys", KeyValueMockLLM(), 1.0) is True
+
+
+def test_attributes_to_remove(spark):
+    from evaporate_spark.semantic.pipeline import ProfileResult
+
+    ex = spark.createDataFrame(
+        [(f"p{i}", "a", str(i)) for i in range(5)], ["path", "attribute", "value"]
+    )
+    r1 = ProfileResult("year", ex)
+    r2 = ProfileResult("year listed", ex)  # name-substring + identical values
+    r3 = ProfileResult("author", ex.withColumn("value", F.lit("x")))
+    assert attributes_to_remove([r1, r2, r3]) == ["year listed"]
+
+
+# ---------------------------------------------------------------- evals
+def test_evaluate_schema_identification():
+    out = evaluate_schema_identification(
+        ["Authors", "year", "junk"], ["author", "year"], ks=(2, 3)
+    )
+    assert out[2]["f1"] == 1.0  # plural/case-lenient
+    assert out[3]["recall"] == 1.0 and out[3]["precision"] < 1.0
+
+
+def test_evaluate_closed_and_open_ie(spark):
+    pred = spark.createDataFrame(
+        [("p1", "author", "Jane Smith"), ("p2", "author", "Bob Lee"), ("p1", "year", "1990")],
+        ["path", "attribute", "value"],
+    )
+    gold = spark.createDataFrame(
+        [("p1", "author", "Jane Smith"), ("p2", "author", "Amy Chen"), ("p1", "year", "1990")],
+        ["path", "attribute", "value"],
+    )
+    closed = {r["attribute"]: r for r in evaluate_closed_ie(pred, gold).collect()}
+    assert closed["year"]["avg_f1"] == 1.0
+    assert closed["author"]["avg_f1"] == 0.5
+    open_m = evaluate_open_ie(pred, gold)
+    assert open_m["n_pred"] == 3 and round(open_m["f1"], 3) == round(2 / 3, 3)
+
+
+# ------------------------------------------------------------------ CLI
+def test_cli_closed_ie(spark, tmp_path, capsys):
+    from evaporate_spark.cli import main
+
+    lake_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, _doc(i)) for i in range(20)], ["doc_id", "text"]
+    ).write.parquet(lake_path)
+    out_path = str(tmp_path / "view")
+    rc = main(
+        [
+            "--documents-parquet", lake_path,
+            "--attributes", "author,year",
+            "--train-size", "5",
+            "--chunk-size", "400",
+            "--output", out_path,
+        ]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert sorted(info["attributes"]) == ["author", "year"]
+    view = spark.read.parquet(out_path)
+    rows = {r["path"]: r for r in view.collect()}
+    assert len(rows) == 20 and rows["doc://7"]["author"] == AUTHORS[7]
+
+
+# --------------------------------------------------------------- trimmer
+def test_trimmer_learn_and_apply(spark):
+    from evaporate_spark.semantic.trimmer import apply_trim, learn_trim_spec
+
+    gold = {"p1": "jane smith", "p2": "bob lee"}
+    preds = {"p1": "author: jane smith (ed.)", "p2": "author: bob lee (ed.)"}
+    spec = learn_trim_spec(gold, preds)
+    assert spec.mode == "longer" and spec.strip_start and spec.strip_end
+    df = spark.createDataFrame(
+        [("author: amy chen (ed.)",), ("plain value",)], ["value"]
+    )
+    out = [r[0] for r in df.select(apply_trim("value", spec)).collect()]
+    assert out[0] == "amy chen"
+    assert out[1] == "plain value"
+
+
+def test_trimmer_soup_mode(spark):
+    from evaporate_spark.semantic.trimmer import apply_trim, learn_trim_spec
+
+    spec = learn_trim_spec({"p": "jane"}, {"p": "<b>jane</b>"})
+    assert spec.mode == "soup"
+    df = spark.createDataFrame([("<i>bob</i>",)], ["value"])
+    assert df.select(apply_trim("value", spec)).collect()[0][0] == "bob"
+
+
+def test_trimmer_mixed_is_noop():
+    from evaporate_spark.semantic.trimmer import learn_trim_spec
+
+    spec = learn_trim_spec(
+        {"p1": "jane", "p2": "bob"}, {"p1": "x jane y", "p2": "bob"}
+    )
+    assert spec.is_noop

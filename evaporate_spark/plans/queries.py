@@ -651,3 +651,139 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining join types & sketches (§2B completeness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_right_join_nations",
+    "RIGHT OUTER join: every nation keeps its row even when the "
+    "filtered region side has no match (nulls → 'NONE').",
+    oracle="""
+        SELECT
+            n_name,
+            COALESCE(r_name, 'NONE') AS r_name
+        FROM (SELECT * FROM region WHERE r_name <> 'ASIA') r
+        RIGHT JOIN nation ON r.r_regionkey = nation.n_regionkey
+    """,
+    tags=("join",),
+)
+def q_right_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    return (
+        region.where(F.col("r_name") != "ASIA")
+        .join(nation, F.col("r_regionkey") == F.col("n_regionkey"), "right")
+        .select("n_name", F.coalesce("r_name", F.lit("NONE")).alias("r_name"))
+    )
+
+
+@register(
+    "q_full_outer_nation_activity",
+    "FULL OUTER join of per-nation customer counts vs supplier counts "
+    "(both sides pre-aggregated, so the outer join is tiny).",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1
+        ),
+        s AS (
+            SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1
+        )
+        SELECT
+            COALESCE(c.nk, s.nk)     AS nationkey,
+            COALESCE(c.n_cust, 0)    AS n_cust,
+            COALESCE(s.n_supp, 0)    AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("join",),
+)
+def q_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk_c")).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = supp.groupBy(F.col("s_nationkey").alias("nk_s")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        c.join(s, F.col("nk_c") == F.col("nk_s"), "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "q_cross_theta_regions",
+    "Cross join + theta (inequality) filter: ordered region pairs. "
+    "Cross joins are only ever sane on bounded inputs — both sides "
+    "here are constant-size dims.",
+    oracle="""
+        SELECT a.r_name AS region_a, b.r_name AS region_b
+        FROM region a CROSS JOIN region b
+        WHERE a.r_name < b.r_name
+    """,
+    tags=("join",),
+)
+def q_cross_theta_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (region,) = _t(spark, sf_dir, "region")
+    a = region.select(F.col("r_name").alias("region_a"))
+    b = region.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).where(F.col("region_a") < F.col("region_b"))
+
+
+@register(
+    "q_approx_distinct",
+    "approx_count_distinct (HyperLogLog++) per group — the sketch that "
+    "replaces exact COUNT(DISTINCT) at 100 TB. Engine HLL estimates "
+    "differ across implementations, so the driver records a rows-only "
+    "check; estimate-vs-exact tolerance is pytest-asserted.",
+    oracle=None,
+    tags=("agg",),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+@register(
+    "q_events_sliding_window",
+    "Sliding window (1 h window, 30 min slide) event counts — the "
+    "batch twin of streaming.windows.sliding_user_activity (with "
+    "exact distinct users so the oracle is well-defined). Each event "
+    "lands in exactly two windows.",
+    oracle="""
+        WITH e AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS s1, user_id FROM events
+        ),
+        both_windows AS (
+            SELECT s1 AS win_start, user_id FROM e
+            UNION ALL
+            SELECT s1 - INTERVAL '30 minutes' AS win_start, user_id FROM e
+        )
+        SELECT
+            strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+            COUNT(*)                 AS n_events,
+            COUNT(DISTINCT user_id)  AS n_users
+        FROM both_windows
+        GROUP BY win_start
+    """,
+    tags=("window", "streaming"),
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -1,0 +1,120 @@
+"""Structured Streaming window aggregations over the events table
+(SURVEY §2B last row — engine extra; the reference has no streaming).
+
+Batch/stream parity is the design invariant: every streaming
+aggregation here has a batch twin built from the SAME column
+expressions, and the parity test runs the stream with
+``Trigger.AvailableNow`` and asserts equality against the batch result
+(the standard Structured Streaming validation pattern).
+
+Scale notes: tumbling/sliding windows shuffle on (window, key) —
+bounded state per watermark; the watermark bounds state eviction so a
+1000-executor job does not accumulate unbounded hourly state. Late
+rows beyond the watermark are dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """events.ts arrives as nanos-since-epoch (parquet TIMESTAMP(NANOS)
+    read with nanosAsLong) → truncate to micros timestamp."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def read_events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
+    """File-source stream over the events parquet (one-file-at-a-time
+    discovery; in production this is the Kafka/file drop-in point).
+
+    The file stream source requires a DIRECTORY base path; a single
+    ``.../events.parquet`` file is read as parent dir + glob filter.
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1)
+    if os.path.isfile(events_parquet):
+        base, name = os.path.split(events_parquet)
+        reader = reader.option("pathGlobFilter", name)
+        events_parquet = base
+    raw = reader.parquet(events_parquet)
+    return _normalize_ts(raw)
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window counts per event_type with late-data
+    watermark; works identically on a batch or streaming frame."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding window (1 hour, slide 30 min) distinct-ish user activity:
+    count + sum per window — the overlapping-window shape."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based) — session_window keeps
+    state per (user, open session) bounded by the gap + watermark."""
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sess.start"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.date_format(F.col("sess.end"), "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_s: int = 120
+) -> DataFrame:
+    """Execute a streaming aggregation with Trigger.AvailableNow into an
+    in-memory sink (complete mode) and return the final table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(query_name)

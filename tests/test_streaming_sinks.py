@@ -1,0 +1,176 @@
+"""Streaming windows (batch parity + watermark), sinks round-trip,
+multimodal plumbing, approx sketch tolerance."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from evaporate_spark.operators.multimodal import (
+    decode_images,
+    decode_video_frames,
+    media_metadata,
+    plan_video_frame_samples,
+    resize_images,
+    sniff_media_type,
+)
+from evaporate_spark.plans import REGISTRY
+from evaporate_spark.sources.catalog import load_table
+from evaporate_spark.streaming.windows import (
+    hourly_counts,
+    read_events_stream,
+    run_stream_to_memory,
+    session_windows,
+    sliding_user_activity,
+)
+
+
+# ---------------------------------------------------------------- streaming
+def test_stream_hourly_matches_batch(spark, sf_dir):
+    batch = hourly_counts(load_table(spark, sf_dir, "events"))
+    stream = hourly_counts(read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    got = run_stream_to_memory(stream, "hourly_test")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_sliding_and_session_run(spark, sf_dir):
+    stream = sliding_user_activity(read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    got = run_stream_to_memory(stream, "sliding_test")
+    assert got.count() > 0
+    sess = session_windows(load_table(spark, sf_dir, "events"))
+    assert sess.count() > 0  # batch form of session_window
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches: the second carries a row far behind the
+    watermark; append-mode output must not contain its window."""
+    import pandas as pd
+
+    src = str(tmp_path / "events_src")
+    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    ns = lambda h, m=0: int(pd.Timestamp(2024, 1, 1, h, m).value)  # noqa: E731
+    write_batch("b1", [(1, ns(1), 1, "a", 1.0, "{}"), (2, ns(9), 1, "a", 1.0, "{}")])
+    stream = hourly_counts(
+        read_events_stream(spark, src), watermark="1 hour"
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # late row: hour 1 again, but watermark advanced to 9:00-1h = 8:00
+    write_batch("b2", [(3, ns(1, 30), 1, "a", 1.0, "{}"), (4, ns(10), 1, "a", 1.0, "{}")])
+    q = (
+        hourly_counts(read_events_stream(spark, src), watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(out_dir)
+    h1 = final.where(F.col("hour") == "2024-01-01 01:00:00").agg(F.sum("n_events")).collect()[0][0]
+    assert h1 == 1  # the 01:30 late row was dropped, not double-counted
+
+
+# ------------------------------------------------------------------- sinks
+def test_sink_round_trips(spark, tmp_path):
+    df = REGISTRY["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
+    for fmt in ("parquet", "json", "csv"):
+        path = str(tmp_path / fmt)
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(path)
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", "true").option("inferSchema", "true")
+        back = getattr(r.format(fmt), "load")(path)
+        assert back.count() == df.count()
+        assert set(c.lower() for c in back.columns) == set(c.lower() for c in df.columns)
+
+
+# -------------------------------------------------------------- multimodal
+def _png_bytes(width: int, height: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00" * 8
+    )
+
+
+@pytest.fixture()
+def media_df(spark):
+    return spark.createDataFrame(
+        [
+            ("img1.png", bytearray(_png_bytes(640, 480))),
+            ("img2.png", bytearray(_png_bytes(32, 16))),
+            ("clip.mp3", bytearray(b"ID3\x04" + b"\x00" * 20)),
+            ("blob.bin", bytearray(b"\x00\x01\x02\x03")),
+        ],
+        "path string, content binary",
+    )
+
+
+def test_media_metadata_and_sniffing(media_df):
+    rows = {r["path"]: r for r in media_metadata(media_df).collect()}
+    assert rows["img1.png"]["media_type"] == "png"
+    assert (rows["img1.png"]["width"], rows["img1.png"]["height"]) == (640, 480)
+    assert (rows["img2.png"]["width"], rows["img2.png"]["height"]) == (32, 16)
+    assert rows["clip.mp3"]["media_type"] == "mp3"
+    assert rows["blob.bin"]["media_type"] == "bin"
+    assert media_df.select(sniff_media_type("content")).count() == 4
+
+
+def test_decode_images_stub_path(media_df):
+    rows = {r["path"]: r for r in decode_images(media_df).collect()}
+    assert rows["img1.png"]["width"] == 640 and rows["img1.png"]["decoded_by"] in (
+        "pillow",
+        "fake-header-stub",
+    )
+    assert rows["blob.bin"]["err"] is None
+    assert all(r["mean_intensity"] is not None for r in rows.values())
+
+
+def test_video_frame_plan_real_decode_stubbed(spark):
+    vids = spark.createDataFrame([("v1", 100), ("v2", 45)], ["path", "n_frames"])
+    plan = plan_video_frame_samples(vids, every_n=30)
+    got = {(r["path"], r["frame_index"]) for r in plan.collect()}
+    assert got == {("v1", 0), ("v1", 30), ("v1", 60), ("v1", 90), ("v2", 0), ("v2", 30)}
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(plan)
+    with pytest.raises(NotImplementedError):
+        resize_images(vids, 8, 8)
+
+
+# ------------------------------------------------------------------ approx
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["q_approx_distinct"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["q_distinct_counts"].spark(spark, sf_dir).collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["n_parts"]) / e["n_parts"] < 0.1
+        assert abs(a["approx_supps"] - e["n_supps"]) / e["n_supps"] < 0.1

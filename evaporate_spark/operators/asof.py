@@ -1,0 +1,68 @@
+"""As-of (time-travel) join — an operator Spark SQL lacks natively,
+built as a cogrouped ``applyInPandas`` (SURVEY §2B UDF surface; the
+grouped-map pattern from the public PySpark cogroup docs).
+
+For each left row, attach the latest right row with
+``right_ts <= left_ts`` (direction="backward"; "forward"/"nearest"
+follow pandas ``merge_asof`` semantics) within the same key group.
+
+Scale shape: both sides shuffle once on the key columns; each
+cogroup merges two already-sorted pandas frames (O(n+m) two-pointer,
+Arrow-batched). Skewed keys are the caller's concern — salt or split
+heavy keys upstream like any keyed join.
+
+Determinism: callers must make the right side unique per
+(key, right_ts) — with duplicates, which tied row wins is
+engine-specific (pandas keeps the last sorted row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join; output = left columns + right's non-key columns
+    (which must not collide with left's)."""
+    if left_ts == right_ts:
+        raise ValueError("rename one timestamp column; they must differ")
+    left_fields = {f.name for f in left.schema.fields}
+    right_extra = [
+        f for f in right.schema.fields if f.name not in key_cols
+    ]
+    collisions = [f.name for f in right_extra if f.name in left_fields]
+    if collisions:
+        raise ValueError(f"right columns collide with left: {collisions}")
+
+    out_schema = StructType(list(left.schema.fields) + right_extra)
+    right_extra_names = [f.name for f in right_extra]
+
+    def merge(lpdf, rpdf):
+        import pandas as pd
+
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        if len(rpdf) == 0:
+            for name in right_extra_names:
+                lpdf[name] = None
+            return lpdf[[f.name for f in out_schema.fields]]
+        rpdf = rpdf.sort_values(right_ts, kind="mergesort")[right_extra_names]
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on=right_ts, direction=direction
+        )
+        return merged[[f.name for f in out_schema.fields]]
+
+    return (
+        left.groupBy(*key_cols)
+        .cogroup(right.groupBy(*key_cols))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -24,7 +24,9 @@ from evaporate_spark.functions.text_stats import (
     token_count_regex,
     token_count_ws,
 )
-from evaporate_spark.plans.queries import register
+from pyspark.sql import Window
+
+from evaporate_spark.plans.queries import _t, register
 from evaporate_spark.sources.catalog import load_table
 
 
@@ -327,3 +329,190 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return brute_force_topk(emb, queries, "vec_id", "embedding", "qid", "qvec", k=5)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup + as-of join + cube / grouping sets / rank windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_near_dups",
+    "Embedding-cosine near-duplicate pairs (cosine ≥ 0.99) within "
+    "label blocks over the id-shifted doubled corpus (guarantees "
+    "non-trivial output) — the semantic-dedup path; blocking bounds "
+    "the pairwise join to within-block size.",
+    oracle="""
+        WITH d AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, embedding, label FROM embeddings
+        )
+        SELECT
+            a.vec_id AS id_a,
+            b.vec_id AS id_b,
+            ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        FROM d a
+        JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+    """,
+    tags=("dedup", "similarity"),
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    )
+    return embedding_near_dup_pairs(doubled, "vec_id", "embedding", ["label"], threshold=0.99)
+
+
+@register(
+    "q_asof_click_to_view",
+    "As-of join (custom operator Spark lacks): each click event joined "
+    "to the user's most recent prior-or-simultaneous view event via "
+    "cogrouped applyInPandas; oracle is DuckDB's native ASOF JOIN.",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, ts AS view_ts, MAX(event_id) AS view_event_id
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT
+            c.user_id,
+            c.event_id,
+            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+            v.view_event_id,
+            ROUND((epoch_us(c.ts) - epoch_us(v.view_ts)) / 1000000.0, 3) AS gap_s
+        FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.view_ts
+    """,
+    tags=("join", "udf"),
+)
+def q_asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(clicks, views, ["user_id"], "ts", "view_ts")
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "view_event_id",
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("view_ts")) / 1000000.0, 3
+        ).alias("gap_s"),
+    )
+
+
+@register(
+    "q_cube_order_stats",
+    "CUBE over (o_orderstatus, o_orderpriority): all four grouping-set "
+    "combinations with subtotals.",
+    oracle="""
+        SELECT
+            COALESCE(o_orderstatus,   'ALL') AS o_orderstatus,
+            COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+            COUNT(*)                    AS n,
+            ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q_grouping_sets_mix",
+    "Explicit GROUPING SETS ((status), (priority)): disjoint partial "
+    "aggregations in one pass (DataFrame.groupingSets).",
+    oracle="""
+        SELECT
+            COALESCE(o_orderstatus,   'ALL') AS o_orderstatus,
+            COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+            COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg",),
+)
+def q_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "q_rank_windows",
+    "rank / dense_rank / lead in one window pass: top-5 customers by "
+    "balance per market segment with the next customer key (lead).",
+    oracle="""
+        SELECT * FROM (
+            SELECT
+                c_mktsegment,
+                c_custkey,
+                ROUND(c_acctbal, 2) AS bal,
+                RANK() OVER w        AS rnk,
+                DENSE_RANK() OVER w  AS drnk,
+                LEAD(c_custkey) OVER w AS next_custkey
+            FROM customer
+            WINDOW w AS (
+                PARTITION BY c_mktsegment
+                ORDER BY ROUND(c_acctbal, 2) DESC, c_custkey
+            )
+        )
+        WHERE rnk <= 5
+    """,
+    tags=("window",),
+)
+def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal"), 2)
+    w = Window.partitionBy("c_mktsegment").orderBy(bal.desc(), F.col("c_custkey").asc())
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            bal.alias("bal"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.lead("c_custkey").over(w).alias("next_custkey"),
+        )
+        .where(F.col("rnk") <= 5)
+    )

@@ -133,10 +133,16 @@ def profile_attribute(
         token_accumulator=tokens,
     )
 
+    # sibling dir, NOT a subdir: a nested dir inside the prompt cache
+    # would pollute that parquet directory's file listing
+    fn_cache = f"{cfg.cache_dir.rstrip('/')}_fn" if cfg.cache_dir else None
+
     # run candidate functions on the SAMPLE and score against gold
     votes: dict[str, dict[str, str]] = {gold_key: gold_map}
     if functions:
-        sample_fn_votes = run_functions(sample, functions, attribute).collect()
+        sample_fn_votes = run_functions(
+            sample, functions, attribute, cache_dir=fn_cache
+        ).collect()
         for row in sample_fn_votes:
             votes.setdefault(row["voter"], {})[row["path"]] = row["value"]
 
@@ -169,7 +175,9 @@ def profile_attribute(
     lake_vote_frames: list[DataFrame] = []
     selected_fns = {k: functions[k] for k in selected if k in functions}
     if selected_fns:
-        lake_vote_frames.append(run_functions(docs, selected_fns, attribute))
+        lake_vote_frames.append(
+            run_functions(docs, selected_fns, attribute, cache_dir=fn_cache)
+        )
     for voter in selected:
         if voter not in functions:  # a model voter (e.g. ClosedIE fallback)
             lake_vote_frames.append(

@@ -123,6 +123,7 @@ def run_functions(
     content_col: str = "content",
     timeout_s: float = 1.0,
     max_timeouts_per_fn: int = 2,
+    cache_dir: str | None = None,
 ) -> DataFrame:
     """Apply every synthesized function to every document.
 
@@ -130,7 +131,17 @@ def run_functions(
     Scale shape: functions are a broadcast-sized dict in the closure;
     work is embarrassingly parallel over document partitions; output is
     the long votes table consumed by scoring/combining.
+
+    With ``cache_dir``, results are memoized per (content fingerprint,
+    function-set hash) — the engine's version of the reference's
+    per-(file, function) pickle cache (``profiler.py:256-270``) — so
+    re-runs and exact-duplicate documents never re-execute a function.
     """
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
     fn_items = sorted(functions.items())
     attr = attribute
 
@@ -152,6 +163,51 @@ def run_functions(
                 {"path": out_paths, "voter": out_voters, "value": out_values}
             )
 
-    return contents.select(path_col, content_col).mapInPandas(
-        apply_partition, schema=VOTES_SCHEMA
+    if cache_dir is None:
+        return contents.select(path_col, content_col).mapInPandas(
+            apply_partition, schema=VOTES_SCHEMA
+        )
+
+    spark = contents.sparkSession
+    fnset_hash = hashlib.md5(
+        ("\x00".join(f"{k}\x01{v}" for k, v in fn_items) + attr).encode()
+    ).hexdigest()
+    keyed = contents.select(
+        path_col, F.md5(F.col(content_col).cast("string")).alias("_fp"), content_col
+    )
+    distinct_fp = keyed.dropDuplicates(["_fp"]).select("_fp", content_col)
+
+    cached = None
+    if os.path.isdir(cache_dir) and os.listdir(cache_dir):
+        spark.catalog.refreshByPath(cache_dir)
+        cached = (
+            spark.read.schema("fp string, fnset string, voter string, value string")
+            .parquet(cache_dir)
+            .where(F.col("fnset") == fnset_hash)
+            .dropDuplicates(["fp", "voter"])
+        )
+    misses = distinct_fp
+    if cached is not None:
+        misses = distinct_fp.join(
+            cached.select(F.col("fp").alias("_fp")).distinct(), "_fp", "left_anti"
+        )
+    # compute per distinct content (exact-dup docs execute once), then
+    # materialize exactly once (see llm.apply on why localCheckpoint)
+    fresh = (
+        misses.withColumnRenamed("_fp", path_col)
+        .mapInPandas(apply_partition, schema=VOTES_SCHEMA)
+        .withColumnRenamed("path", "fp")
+        .localCheckpoint(eager=True)
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    fresh.select(
+        "fp", F.lit(fnset_hash).alias("fnset"), "voter", "value"
+    ).write.mode("append").parquet(cache_dir)
+    by_fp = fresh.select("fp", "voter", "value")
+    if cached is not None:
+        by_fp = by_fp.unionByName(cached.select("fp", "voter", "value"))
+    return (
+        keyed.select(path_col, F.col("_fp").alias("fp"))
+        .join(by_fp, "fp")
+        .select(F.col(path_col).alias("path"), "voter", "value")
     )

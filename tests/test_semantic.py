@@ -233,3 +233,41 @@ def test_llm_map_token_accumulator(spark):
     df = spark.createDataFrame([(f"prompt {i}",) for i in range(5)], ["prompt"])
     llm_map(df, client, token_accumulator=acc).collect()
     assert acc.value > 0
+
+
+def test_run_functions_result_cache(spark, tmp_path):
+    cache = str(tmp_path / "fnres")
+    docs = spark.createDataFrame(
+        [("d1", "author: Jane"), ("d2", "author: Bob"), ("d3", "author: Jane")],
+        ["path", "content"],
+    )
+    # d3 duplicates d1's content → only 2 distinct contents execute
+    v1 = run_functions(docs, {"function_0": GOOD_FN}, "author", cache_dir=cache)
+    got1 = {r["path"]: r["value"] for r in v1.collect()}
+    assert got1 == {"d1": "Jane", "d2": "Bob", "d3": "Jane"}
+    n_cached = spark.read.parquet(cache).count()
+    assert n_cached == 2  # one row per (distinct content, fn)
+    # rerun: fully served from cache, nothing appended
+    v2 = run_functions(docs, {"function_0": GOOD_FN}, "author", cache_dir=cache)
+    assert {r["path"]: r["value"] for r in v2.collect()} == got1
+    assert spark.read.parquet(cache).count() == 2
+    # different function set → separate cache namespace
+    run_functions(docs, {"function_0": GOOD_FN.replace("author", "year")}, "author",
+                  cache_dir=cache).collect()
+    assert spark.read.parquet(cache).count() == 4
+
+
+def test_asof_join_operator(spark):
+    from evaporate_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 25, "l2"), (2, 5, "l3")], ["k", "t", "lv"]
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "r1"), (1, 20, "r2"), (3, 1, "r3")], ["k", "rt", "rv"]
+    )
+    out = {(r["k"], r["t"]): r["rv"] for r in asof_join(left, right, ["k"], "t", "rt").collect()}
+    assert out == {(1, 10): "r1", (1, 25): "r2", (2, 5): None}
+    fwd = {(r["k"], r["t"]): r["rv"]
+           for r in asof_join(left, right, ["k"], "t", "rt", direction="forward").collect()}
+    assert fwd[(1, 10)] == "r2" and fwd[(1, 25)] is None

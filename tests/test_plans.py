@@ -1,0 +1,87 @@
+"""Physical-plan audits: the plans must stay the ones you'd want at
+100 TB, not merely ones that pass at sf0.001 (prompt rule: explain and
+iterate). Regressions here mean a scan stopped pruning, a filter
+stopped pushing down, a broadcast hint leaked onto a fact table, or
+Python crept into a relational hot path."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from evaporate_spark.plans import REGISTRY
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+# queries whose construction itself runs Spark jobs (semantic pipeline,
+# global-rank offsets) — excluded from the cheap plan sweep
+EAGER = {"q_semantic_closed_ie", "q_order_value_deciles"}
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    p = plan_str(REGISTRY["q1_pricing_summary"].spark(spark, sf_dir))
+    assert "PushedFilters" in p and "LessThanOrEqual(l_shipdate" in p
+    # projection pruning: the scan must not read unused wide columns
+    assert "l_comment" not in p
+    assert "l_returnflag" in p
+
+
+def test_q3_filters_reach_scans(spark, sf_dir):
+    p = plan_str(REGISTRY["q3_shipping_priority"].spark(spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "GreaterThan(l_shipdate" in p
+
+
+def test_q5_broadcasts_only_constant_dims(spark, sf_dir):
+    p = plan_str(REGISTRY["q5_local_supplier_volume"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # region/nation hints honored
+    # the SF-linear fact tables must never be broadcast-hinted: every
+    # BroadcastExchange in the pre-AQE plan stems from region/nation
+    segments = p.split("BroadcastExchange")
+    assert not any(
+        "Scan parquet" in seg.split("Exchange")[0] and "lineitem" in seg[:400]
+        for seg in segments[1:]
+    )
+
+
+def test_no_rowwise_python_in_relational_plans(spark, sf_dir):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned; Python
+    appears only Arrow-batched (ArrowEvalPython / mapInPandas /
+    FlatMapCoGroupsInPandas)."""
+    for name, spec in REGISTRY.items():
+        if name in EAGER:
+            continue
+        p = plan_str(spec.spark(spark, sf_dir), mode="extended")
+        assert "BatchEvalPython" not in p, name
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE hides codegen spans until execution — inspect the executed plan
+    df = REGISTRY["q1_pricing_summary"].spark(spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # '*(N)' prefixes are WholeStageCodegen stage markers
+    assert "*(1)" in p and "*(2)" in p
+    # and the aggregation is map-side partial + final
+    assert "partial_sum" in p
+
+
+def test_deciles_plan_has_no_global_window(spark, sf_dir):
+    """The decile query must rank via range repartition + per-partition
+    windows — a Window with an empty partition spec would serialize
+    every row through one task."""
+    df = REGISTRY["q_order_value_deciles"].spark(spark, sf_dir)
+    p = plan_str(df, mode="extended")
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+        partition_spec = m.group(1)
+        assert partition_spec.strip(), f"global window found: {m.group(0)[:120]}"

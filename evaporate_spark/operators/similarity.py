@@ -156,6 +156,86 @@ def random_hyperplane_signature(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the other classic ANN
+    route (coarse quantizer + probed cells).
+
+    - Centroids = a deterministic hash-sample of corpus vectors
+      (collected once, broadcast as literals — no iterative k-means;
+      at 100 TB you'd persist a trained codebook the same way).
+    - Corpus rows are assigned to their nearest centroid with a pure
+      JVM argmax expression; the only shuffle is the (cell) join.
+    - Each query probes its ``n_probe`` nearest cells; exact cosine
+      runs only within probed cells. A query's own cell is always
+      probed first, so identical vectors are always recovered.
+    """
+    cent_rows = (
+        corpus.select(F.col(corpus_vec).alias("_v"), F.col(corpus_id).alias("_id"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["_v"]] for r in cent_rows]
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(
+            *[
+                cosine(vec, F.array(*[F.lit(x) for x in c]))
+                for c in centroids
+            ]
+        )
+
+    def best_cell(vec: Column) -> Column:
+        s = cell_scores(vec)
+        return (F.array_position(s, F.array_max(s)) - 1).cast("int")
+
+    assigned = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(corpus_vec).alias("_cv"),
+        best_cell(F.col(corpus_vec)).alias("cell"),
+    )
+    # per-query probe list: top-n_probe cells by centroid similarity
+    probe = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    cell_scores(F.col(query_vec)),
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
+                )
+            ),
+            lambda st_: st_["idx"],
+        ),
+        1,
+        n_probe,
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("_qid"),
+            F.col(query_vec).alias("_qv"),
+            F.explode(probe).alias("cell"),
+        )
+    )
+    scored = assigned.join(q, "cell").select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        F.round(cosine("_cv", "_qv"), 6).alias("cosine"),
+    ).dropDuplicates([query_id, corpus_id])
+    out = _two_stage_topk(scored, [query_id], [F.desc("cosine"), F.asc(corpus_id)], k)
+    return out.select(query_id, corpus_id, "cosine", "rank")
+
+
 def random_hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,91 @@
+"""Skew-mitigation utilities: salting for hot keys.
+
+AQE's skew-join splitting (enabled in the session factory) handles
+sort-merge join skew at runtime; these helpers cover the two cases AQE
+does not: skewed AGGREGATION keys, and broadcast-replicated salted
+joins you want planned explicitly.
+
+Both are pure plan rewrites — deterministic (hash-based salt, never
+``rand()``: retries/speculative tasks must salt identically), and
+algebraically exact (two-phase re-aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# aggregate name -> (phase-1 partial fn, phase-2 merge fn)
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` maps output name → (input column, fn) with fn in
+    sum/count/min/max (avg = sum/count at the call site). Phase 1
+    groups by (keys, salt) — spreading a hot key over ``buckets``
+    reducers — phase 2 merges partials per key. ``salt_col`` must be
+    present and reasonably unique (e.g. the row's id); the salt is
+    ``xxhash64(salt_col) % buckets``, deterministic across retries.
+    """
+    for name, (_, fn) in aggs.items():
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"{name}: {fn!r} is not algebraic; use groupBy directly")
+    salt = F.pmod(F.xxhash64(F.col(salt_col).cast("string")), F.lit(buckets)).alias("_salt")
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *[
+            _ALGEBRAIC[fn][0](col).alias(f"_p_{name}")
+            for name, (col, fn) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            _ALGEBRAIC[fn][1](f"_p_{name}").alias(name)
+            for name, (col, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_salt_col: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (skewed) left side by a
+    deterministic hash of ``left_salt_col``; replicate the right side
+    across all ``buckets`` salt values so every salted partition finds
+    its match. Right side grows ×buckets — use when right is the small
+    side (else AQE skew-join is the right tool)."""
+    salt = F.pmod(F.xxhash64(F.col(left_salt_col).cast("string")), F.lit(buckets))
+    l = left.withColumn("_salt", salt.cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = l.join(r, on + ["_salt"], how)
+    return out.drop("_salt")
+
+
+def key_histogram(df: DataFrame, keys: list[str], top: int = 20) -> DataFrame:
+    """Diagnose skew: the heaviest key groups (run on a sample at
+    scale)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(top)
+    )

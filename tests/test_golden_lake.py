@@ -1,0 +1,102 @@
+"""Golden-lake end-to-end eval (FIXTURES.md §1-2 shape): a synthetic
+lake with planted attributes at head (90%) / tail (30%) frequencies and
+formatting-variant noise, profiled ClosedIE, then scored against the
+gold table with the engine's own evals — the reference's golden-table
+evaluation loop (SURVEY §5) run entirely in-engine."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from evaporate_spark.api import EvaporateData
+from evaporate_spark.llm.client import KeyValueMockLLM
+from evaporate_spark.semantic.evals import evaluate_closed_ie
+from evaporate_spark.semantic.pipeline import ProfileConfig
+
+N_DOCS = 60
+HEAD_ATTR = "device name"  # planted in ~90% of files
+TAIL_ATTR = "product code"  # planted in ~30% of files
+
+
+def _build_lake():
+    rng = random.Random(7)
+    docs, gold = [], []
+    for i in range(N_DOCS):
+        lines = [f"record: {i}", "filler prose line with no fields at all"]
+        dev = f"monitor model {i}" if rng.random() < 0.9 else ""
+        code = f"PC{i:03d}" if rng.random() < 0.3 else ""
+        if dev:
+            lines.append(f"device name: {dev}")
+        if code:
+            # occasional formatting variant
+            lines.append(
+                f"product code:   {code}" if rng.random() < 0.2 else f"product code: {code}"
+            )
+        lines.append("trailing notes about submission handling.")
+        content = "\n".join(lines)
+        docs.append((f"/lake/K{i:06d}.txt", content, "txt", len(content)))
+        gold.append((f"/lake/K{i:06d}.txt", HEAD_ATTR, dev))
+        gold.append((f"/lake/K{i:06d}.txt", TAIL_ATTR, code.strip()))
+    return docs, gold
+
+
+@pytest.fixture(scope="module")
+def lake_and_gold(spark):
+    docs, gold = _build_lake()
+    docs_df = spark.createDataFrame(
+        docs, ["path", "content", "doc_type", "n_bytes"]
+    ).cache()
+    gold_df = spark.createDataFrame(gold, ["path", "attribute", "value"]).cache()
+    return docs_df, gold_df
+
+
+def test_closed_ie_on_noisy_golden_lake(spark, lake_and_gold):
+    docs_df, gold_df = lake_and_gold
+    data = EvaporateData(
+        spark,
+        docs=docs_df,
+        client=KeyValueMockLLM(),
+        config=ProfileConfig(train_size=10, chunk_size=500),
+    )
+    data.profile_all([HEAD_ATTR, TAIL_ATTR])
+    view = data.view()
+    assert set(view.columns) == {"path", HEAD_ATTR, TAIL_ATTR}
+    assert view.count() == N_DOCS
+
+    preds = view.selectExpr(
+        "path",
+        f"stack(2, '{HEAD_ATTR}', `{HEAD_ATTR}`, '{TAIL_ATTR}', `{TAIL_ATTR}`) "
+        "as (attribute, value)",
+    )
+    metrics = {r["attribute"]: r for r in evaluate_closed_ie(preds, gold_df).collect()}
+    # head attribute: planted nearly everywhere → near-perfect recovery
+    assert metrics[HEAD_ATTR]["avg_f1"] >= 0.95, metrics
+    # tail attribute: sparse + abstentions; agreement on empty counts as
+    # correct in SQuAD scoring, so F1 should still be high
+    assert metrics[TAIL_ATTR]["avg_f1"] >= 0.9, metrics
+
+
+def test_abstention_semantics_on_missing_values(spark, lake_and_gold):
+    docs_df, gold_df = lake_and_gold
+    data = EvaporateData(
+        spark,
+        docs=docs_df,
+        client=KeyValueMockLLM(),
+        config=ProfileConfig(train_size=10, chunk_size=500),
+    )
+    (result,) = data.profile_all([TAIL_ATTR])
+    vals = {r["path"]: r["value"] for r in result.extractions.collect()}
+    gold_vals = {
+        r["path"]: r["value"]
+        for r in gold_df.where(F.col("attribute") == TAIL_ATTR).collect()
+    }
+    # files without the attribute must come back as '' (abstention), not
+    # a hallucinated value
+    missing = [p for p, v in gold_vals.items() if not v]
+    assert missing and all(vals[p] == "" for p in missing)
+    planted = [p for p, v in gold_vals.items() if v]
+    hit = sum(1 for p in planted if vals[p] == gold_vals[p])
+    assert hit / len(planted) >= 0.9

@@ -243,3 +243,54 @@ def test_dedup_runs_on_real_documents(docs, spark):
     d = docs.withColumn("blk", F.lit("all"))
     assert dedup.exact_dedup_groups(d, "path", "content").count() > 0
     assert dedup.minhash_lsh_pairs(d, "path", "content", threshold=0.9).count() >= 0
+
+
+def test_ivf_topk_recovers_self(spark, sf_dir):
+    from evaporate_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk(emb, queries, "vec_id", "embedding", "qid", "qvec", k=3).collect()
+    top1 = {r["qid"]: (r["vec_id"], r["cosine"]) for r in out if r["rank"] == 1}
+    assert len(top1) == 4
+    for qid, (cid, cos) in top1.items():
+        assert cid == qid and cos >= 0.999999  # own cell always probed
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from evaporate_spark.operators.skew import key_histogram, salted_aggregate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plain = {
+        (r["o_orderstatus"],): (r["n"], round(r["total"], 2))
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r["o_orderstatus"],): (r["n"], round(r["total"], 2))
+        for r in salted_aggregate(
+            orders,
+            ["o_orderstatus"],
+            {"n": ("o_orderkey", "count"), "total": ("o_totalprice", "sum")},
+            salt_col="o_orderkey",
+        ).collect()
+    }
+    assert salted == plain
+    assert key_histogram(orders, ["o_orderstatus"]).count() <= 20
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from evaporate_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, ["o_custkey"]).count()
+    salted = salted_join(orders, cust, ["o_custkey"], left_salt_col="o_orderkey").count()
+    assert salted == plain

@@ -19,10 +19,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the engine's core capability: the full ClosedIE
+    semantic pipeline (chunk → mock-LLM extract → function synthesis →
+    sandboxed exec → score → top-k → majority vote) recovering a known
+    column from structured text.
+    """
     from evaporate_spark.plans import REGISTRY
 
-    return REGISTRY["q3_shipping_priority"].spark(spark, SF_SMOKE)
+    return REGISTRY["q_semantic_closed_ie"].spark(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -69,6 +69,13 @@ class EvaporateData:
         self.attributes: list[str] = []
         self.stage_seconds: dict[str, float] = {}
         self.stage_tokens: dict[str, int] = {}
+        self._chunks = None
+
+    def _get_chunks(self):
+        """Chunk the lake once; every attribute profile reuses it."""
+        if self._chunks is None:
+            self._chunks = chunk_documents(self.docs, self.config.chunk_size).persist()
+        return self._chunks
 
     def _stage(self, name: str, t0: float, tokens: int = 0) -> None:
         self.stage_seconds[name] = self.stage_seconds.get(name, 0.0) + (
@@ -80,7 +87,7 @@ class EvaporateData:
     def identify_schema(self, topic: str, num_attributes: int = 35) -> list[str]:
         """OpenIE schema discovery over the train sample (§2A#12-14)."""
         t0 = time.perf_counter()
-        chunks = chunk_documents(self.docs, self.config.chunk_size)
+        chunks = self._get_chunks()
         sample_paths = sample_documents(
             self.docs, self.config.train_size, self.config.seed
         ).select("path")
@@ -101,7 +108,8 @@ class EvaporateData:
     def profile(self, attribute: str) -> ProfileResult:
         t0 = time.perf_counter()
         result = profile_attribute(
-            self.docs, attribute, self.client, self.config, self.gold_client
+            self.docs, attribute, self.client, self.config, self.gold_client,
+            chunks=self._get_chunks(),
         )
         self.results.append(result)
         self._stage("profile", t0, result.total_tokens)
@@ -124,11 +132,13 @@ class EvaporateData:
                 raise ValueError("OpenIE needs a topic")
             attributes = self.identify_schema(topic)
         t0 = time.perf_counter()
+        chunks = self._get_chunks()
         with ThreadPoolExecutor(max_workers=max_parallel) as pool:
             results = list(
                 pool.map(
                     lambda a: profile_attribute(
-                        self.docs, a, self.client, self.config, self.gold_client
+                        self.docs, a, self.client, self.config, self.gold_client,
+                        chunks=chunks,
                     ),
                     attributes,
                 )

@@ -516,3 +516,48 @@ def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "q_semantic_openie",
+    "OpenIE end-to-end (SURVEY §2A #12-14 + pipeline): the schema is "
+    "DISCOVERED from sample chunks (not given), every discovered "
+    "attribute profiled, validity-checked, deduped, and pivoted into "
+    "the wide view — which must equal the raw table it was rendered "
+    "from.",
+    oracle="""
+        SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS path,
+               CAST(doc_id AS VARCHAR) AS doc_id,
+               lang, source, text
+        FROM documents
+    """,
+    tags=("semantic",),
+)
+def q_semantic_openie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.api import EvaporateData
+    from evaporate_spark.llm.client import KeyValueMockLLM
+    from evaporate_spark.semantic.pipeline import ProfileConfig
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("doc_id: "), F.col("doc_id").cast("string")),
+            F.concat(F.lit("source: "), F.col("source")),
+            F.concat(F.lit("lang: "), F.col("lang")),
+            F.concat(F.lit("text: "), F.col("text")),
+        ).alias("content"),
+        F.lit("txt").alias("doc_type"),
+        F.length("text").cast("bigint").alias("n_bytes"),
+    )
+    data = EvaporateData(
+        spark,
+        docs=docs,
+        client=KeyValueMockLLM(),
+        config=ProfileConfig(train_size=10, chunk_size=2000, do_end_to_end=True),
+    )
+    data.profile_all(topic="documents", validity_check=True)
+    view = data.view()
+    assert view is not None
+    return view.select("path", "doc_id", "lang", "source", "text")

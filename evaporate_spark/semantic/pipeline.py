@@ -88,9 +88,17 @@ def profile_attribute(
     client: LLMClient,
     config: ProfileConfig | None = None,
     gold_client: LLMClient | None = None,
+    chunks: DataFrame | None = None,
 ) -> ProfileResult:
     """Run the full PREDICT → SCORE → APPLY → COMBINE kernel for one
-    attribute over a documents(path, content, doc_type, ...) frame."""
+    attribute over a documents(path, content, doc_type, ...) frame.
+
+    Pass a pre-built (ideally persisted) ``chunks`` frame when
+    profiling many attributes — chunking is attribute-independent, so
+    the lake is chunked ONCE per run, not once per attribute
+    (EvaporateData does this; the reference caches chunks the same
+    way, run_profiler.py:55-85).
+    """
     cfg = config or ProfileConfig()
     attribute = attribute.lower()
     gold_client = gold_client or client
@@ -98,7 +106,8 @@ def profile_attribute(
     spark = docs.sparkSession
     tokens = spark.sparkContext.accumulator(0)
 
-    chunks = chunk_documents(docs, cfg.chunk_size)
+    if chunks is None:
+        chunks = chunk_documents(docs, cfg.chunk_size)
     filtered = filter_chunks_for_attribute(chunks, attribute).persist()
     if filtered.limit(1).count() == 0:
         # reference drops the attribute when no chunk mentions it

@@ -561,3 +561,33 @@ def q_semantic_openie(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = data.view()
     assert view is not None
     return view.select("path", "doc_id", "lang", "source", "text")
+
+
+@register(
+    "q_events_typed_json",
+    "Typed JSON parsing with from_json + explicit schema (vs "
+    "q_events_json_extract's stringly get_json_object): struct field "
+    "access, null-safe aggregation.",
+    oracle="""
+        SELECT
+            event_type,
+            COUNT(*)                                              AS n,
+            CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+            MIN(CAST(json_extract_string(props, '$.k') AS INT))   AS min_k,
+            MAX(CAST(json_extract_string(props, '$.k') AS INT))   AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("scalar",),
+)
+def q_events_typed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", F.from_json("props", "k int").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )

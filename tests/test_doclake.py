@@ -51,3 +51,12 @@ def test_read_document_lake_schema(spark, sf_dir):
     docs = read_document_lake(spark, sf_dir)
     assert docs.columns == ["path", "content", "doc_type", "n_bytes"]
     assert docs.count() == 500
+
+
+def test_wholetext_source(spark, lake_dir):
+    # §2B scans: text/wholetext source — one row per file, full content
+    df = spark.read.option("wholetext", "true").text(f"{lake_dir}/a.txt")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["value"] == "hello world"
+    lines = spark.read.text(f"{lake_dir}/a.txt")
+    assert lines.count() == 1

@@ -104,6 +104,43 @@ class EvaporateData:
         self._stage("identify_schema", t0, acc.value)
         return self.attributes
 
+    # ------------------------------------------------ direct extract
+    def direct_extract(
+        self,
+        attribute: str,
+        use_retrieval: bool = False,
+        gold_value: str | None = None,
+    ):
+        """LLM span extraction per document WITHOUT function synthesis —
+        the reference's ``EvaporateData.direct_extract``
+        (``main.py:52-99``). With ``use_retrieval`` each document
+        contributes its single most query-similar chunk (retrieval.py);
+        otherwise the keyword chunk filter picks candidates. Returns a
+        votes frame (path, voter, value, candidates)."""
+        from evaporate_spark.semantic.extraction import direct_extract
+        from evaporate_spark.semantic.filtering import filter_chunks_for_attribute
+        from evaporate_spark.semantic.retrieval import most_similar_chunks
+
+        t0 = time.perf_counter()
+        chunks = self._get_chunks()
+        if use_retrieval:
+            query = f"{attribute}: {gold_value}" if gold_value else attribute
+            selected = most_similar_chunks(chunks, query).drop("_sim")
+        else:
+            selected = filter_chunks_for_attribute(chunks, attribute)
+        acc = self.spark.sparkContext.accumulator(0)
+        out = direct_extract(
+            selected,
+            attribute.lower(),
+            self.gold_client,
+            collecting_preds=True,
+            cache_dir=self.config.cache_dir,
+            token_accumulator=acc,
+        )
+        out = out.localCheckpoint(eager=True)
+        self._stage("direct_extract", t0, acc.value)
+        return out
+
     # ------------------------------------------------------- profile
     def profile(self, attribute: str) -> ProfileResult:
         t0 = time.perf_counter()

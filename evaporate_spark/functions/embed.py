@@ -1,0 +1,36 @@
+"""Deterministic lexical embeddings — the engine's model-free stand-in
+for the reference's Contriever encoder
+(``reference/evaporate/retrieval.py:5-29``).
+
+``feature_hash_embedding`` builds a dense bag-of-words vector by
+hashing each whitespace token into one of ``dim`` buckets
+(xxhash64 → pmod) and counting — the classic hashing trick, as a pure
+JVM Column expression: no model download, no Python, deterministic
+across executors. Cosine over these vectors gives lexical similarity,
+which is exactly what the reference's retrieval step needs (pick the
+chunk most similar to the query string); a real encoder drops in by
+replacing this Column with a pandas-UDF embedding and keeping every
+downstream operator unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+def feature_hash_embedding(col: Column | str, dim: int = 128) -> Column:
+    """Dense array<double> of hashed-token counts (L2-unnormalized;
+    pair with similarity.cosine which normalizes). Tokens are word
+    runs (``\\w+``), lowercased — punctuation-insensitive, so
+    "author:" and "author" embed identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"\w+"), 0)
+    bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(dim))  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, t: F.transform(
+            acc,
+            lambda v, i: v + F.when(bucket(t) == i.cast("bigint"), 1.0).otherwise(0.0),
+        ),
+    )

@@ -117,6 +117,8 @@ def profile_attribute(
     sample_paths = sample.select("path")
     sample_chunks = filtered.join(sample_paths, "path", "left_semi").persist()
     if sample_chunks.limit(1).count() == 0:
+        for df_ in (filtered, sample, sample_chunks):
+            df_.unpersist(False)
         return ProfileResult(attribute, None, dropped=True, gold_key=gold_key)
 
     # PREDICT: gold votes (direct LLM on sample) + function synthesis
@@ -243,6 +245,14 @@ def profile_attribute(
         spec = learn_trim_spec(gold_map, sample_final)
         if not spec.is_noop:
             combined = combined.withColumn("value", apply_trim("value", spec))
+
+    # persist hygiene: the sample frames are fully consumed above; the
+    # filtered chunk frame is still referenced lazily only when a model
+    # voter (not a function) was selected for the lake pass
+    sample.unpersist(False)
+    sample_chunks.unpersist(False)
+    if all(v in functions for v in selected):
+        filtered.unpersist(False)
 
     extractions = combined.select(
         "path", F.lit(attribute).alias("attribute"), "value"

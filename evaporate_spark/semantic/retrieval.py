@@ -1,0 +1,44 @@
+"""Retrieval-augmented chunk selection (SURVEY §2A #33 usage path):
+pick each document's most query-similar chunk before prompting — the
+reference's ``EvaporateData.direct_extract`` flow
+(``reference/evaporate/main.py:52-99`` + ``retrieval.py:31-36``,
+cosine top-1 per file).
+
+Similarity is cosine over deterministic feature-hash embeddings
+(functions/embed.py) — fully JVM-side; swap in a model-backed
+embedding column for semantic retrieval without touching the top-k
+logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from evaporate_spark.functions.embed import feature_hash_embedding
+from evaporate_spark.operators.similarity import cosine
+
+
+def most_similar_chunks(
+    chunks: DataFrame,
+    query: str,
+    k: int = 1,
+    dim: int = 128,
+    chunk_col: str = "chunk",
+    path_col: str = "path",
+    order_col: str = "chunk_id",
+) -> DataFrame:
+    """chunks(path, chunk_id, chunk) → the top-k chunks per document by
+    cosine similarity to ``query`` (deterministic chunk-order
+    tie-break). One window over (path); the embedding runs in the scan
+    stage."""
+    qv = feature_hash_embedding(F.lit(query), dim)
+    scored = chunks.withColumn(
+        "_sim", F.round(cosine(feature_hash_embedding(F.col(chunk_col), dim), qv), 6)
+    )
+    w = Window.partitionBy(path_col).orderBy(F.desc("_sim"), F.asc(order_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(path_col, order_col, chunk_col, "_sim")
+    )

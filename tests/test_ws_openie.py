@@ -225,3 +225,46 @@ def test_trimmer_mixed_is_noop():
         {"p1": "jane", "p2": "bob"}, {"p1": "x jane y", "p2": "bob"}
     )
     assert spec.is_noop
+
+
+# ----------------------------------------------------------- retrieval
+def test_feature_hash_embedding_and_retrieval(spark):
+    from evaporate_spark.functions.embed import feature_hash_embedding
+    from evaporate_spark.operators.similarity import cosine
+    from evaporate_spark.semantic.retrieval import most_similar_chunks
+
+    df = spark.createDataFrame(
+        [("same words here", "same words here", "different thing entirely")],
+        ["a", "b", "c"],
+    )
+    row = df.select(
+        cosine(feature_hash_embedding("a"), feature_hash_embedding("b")).alias("ab"),
+        cosine(feature_hash_embedding("a"), feature_hash_embedding("c")).alias("ac"),
+    ).collect()[0]
+    assert abs(row["ab"] - 1.0) < 1e-9 and row["ac"] < 0.5
+
+    chunks = spark.createDataFrame(
+        [
+            ("d1", 0, "totally unrelated filler material"),
+            ("d1", 1, "author: Jane Smith listed here"),
+            ("d2", 0, "author: Bob Lee"),
+            ("d2", 1, "more filler prose"),
+        ],
+        ["path", "chunk_id", "chunk"],
+    )
+    top = {r["path"]: r["chunk_id"] for r in most_similar_chunks(chunks, "author").collect()}
+    assert top == {"d1": 1, "d2": 0}
+
+
+def test_api_direct_extract_with_retrieval(spark, lake):
+    data = EvaporateData(
+        spark,
+        docs=lake,
+        client=KeyValueMockLLM(),
+        config=ProfileConfig(train_size=5, chunk_size=400),
+    )
+    votes = data.direct_extract("author", use_retrieval=True)
+    got = {r["path"]: r["value"] for r in votes.collect()}
+    assert len(got) == 20
+    assert got["doc://4"] == AUTHORS[4]
+    assert "direct_extract" in data.stage_seconds

@@ -1,0 +1,230 @@
+"""Behavioral parity against the reference's pure functions.
+
+The reference package is not importable here (bs4/manifest absent), so
+these tests AST-extract the specific dependency-free function defs
+from /root/reference at TEST TIME and execute both implementations on
+the same inputs. Nothing from the reference enters the engine — this
+file only asserts that our re-implementations agree with the original
+semantics. Skipped wholesale when the reference tree is absent.
+"""
+
+from __future__ import annotations
+
+import ast
+import random
+import re
+from collections import Counter, defaultdict
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference/evaporate")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference tree unavailable")
+
+
+def _load_ref_functions(relpath: str, names: set[str]) -> dict:
+    import numpy as np
+
+    src = (REF / relpath).read_text()
+    tree = ast.parse(src)
+    picked = [
+        node
+        for node in tree.body
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and node.name in names
+    ]
+    module = ast.Module(body=picked, type_ignores=[])
+    env = {
+        "re": re,
+        "random": random,
+        "Counter": Counter,
+        "defaultdict": defaultdict,
+        "np": np,
+    }
+    exec(compile(module, str(REF / relpath), "exec"), env)  # noqa: S102 - test-only
+    return {n: env[n] for n in names if n in env}
+
+
+@pytest.fixture(scope="module")
+def ref_profiler_utils():
+    return _load_ref_functions(
+        "profiler_utils.py",
+        {"get_txt_parse", "clean_function_predictions", "filter_file2chunks"},
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_evaluate():
+    return _load_ref_functions(
+        "evaluate_profiler.py", {"clean_comparison", "normalize_value_type", "text_f1"}
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_profiler():
+    return _load_ref_functions(
+        "profiler.py", {"deduplicate_extractions", "trim_chunks"}
+    )
+
+
+TXT_SAMPLES = [
+    "",
+    "one line",
+    "\n".join(f"line {i} " + "word " * (i % 13) for i in range(60)),
+    ("very long sentence part. " * 80) + "\nshort\n" + ("clause, " * 120),
+    "a\n\nb\n\n\nc",
+]
+
+
+@pytest.mark.parametrize("content", TXT_SAMPLES)
+@pytest.mark.parametrize("chunk_size", [40, 300, 3000])
+def test_txt_chunker_parity(ref_profiler_utils, content, chunk_size):
+    from evaporate_spark.semantic.chunking import chunk_txt
+
+    _, ref_chunks = ref_profiler_utils["get_txt_parse"](
+        content, chunk_size=chunk_size, mode="train"
+    )
+    ours = chunk_txt(content, chunk_size=chunk_size)
+    # known divergence (documented in chunking.py): the reference emits
+    # an empty chunk when the FIRST piece alone exceeds chunk_size; we
+    # never emit empty chunks. Equal modulo empties.
+    assert [c for c in ref_chunks if c] == [c for c in ours if c]
+
+
+CLEAN_CASES = [
+    ("The Price: $5, more!", "price"),
+    (["Jane  Smith", "none"], "author"),
+    ("<b>VALUE</b>", "field-name"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("responses,field", CLEAN_CASES)
+def test_clean_comparison_parity(ref_evaluate, responses, field):
+    from evaporate_spark.semantic.values import clean_comparison
+
+    assert clean_comparison(responses, field) == ref_evaluate["clean_comparison"](
+        responses, field
+    )
+
+
+NORMALIZE_CASES = [
+    "plain",
+    ["a", "b"],
+    [("x", "y"), "z"],
+    [None, "k"],
+    [3, 4.5],
+    [],
+]
+
+
+@pytest.mark.parametrize("metadata", NORMALIZE_CASES)
+def test_normalize_value_type_parity(ref_evaluate, metadata):
+    from evaporate_spark.semantic.values import normalize_value_type
+
+    assert normalize_value_type(metadata) == ref_evaluate["normalize_value_type"](
+        metadata, "attr"
+    )
+
+
+CFP_CASES = [
+    (None, "a"),
+    ("Author: Jane", "author"),
+    (["x", "x", "y"], "f"),
+    ([["a", "b"], ["a"]], "f"),
+    ([None], "f"),
+    ("  spaced   out  ", "f"),
+]
+
+
+@pytest.mark.parametrize("extraction,attribute", CFP_CASES)
+def test_clean_function_predictions_parity(ref_profiler_utils, extraction, attribute):
+    from evaporate_spark.semantic.values import clean_function_predictions
+
+    assert clean_function_predictions(extraction, attribute) == ref_profiler_utils[
+        "clean_function_predictions"
+    ](extraction, attribute=attribute)
+
+
+def test_clean_function_predictions_none_divergence(ref_profiler_utils):
+    """Documented divergence (SURVEY §7 'match intended semantics'):
+    the reference's ``if type(extraction) == "str"`` compares a type
+    object to the literal string "str" — always false — so its
+    'none' → '' normalization never fires for scalar strings. We
+    implement the evident intent."""
+    from evaporate_spark.semantic.values import clean_function_predictions
+
+    assert ref_profiler_utils["clean_function_predictions"]("none", attribute="f") == "none"
+    assert clean_function_predictions("none", "f") == ""
+
+
+F1_CASES = [
+    (["a b", "c"], ["a b", "c"], 1.0),
+    (["a b"], ["a x"], 0.0),
+    (["", "a"], ["a", "a"], 1.0),
+    (["", "a"], ["a", "a"], 0.0),
+    (["x y z", ""], ["x q z", ""], 0.9),
+]
+
+
+@pytest.mark.parametrize("preds,golds,fraction", F1_CASES)
+def test_text_f1_parity(ref_evaluate, preds, golds, fraction):
+    from evaporate_spark.semantic.scoring import text_f1
+
+    ref_avg, ref_med = ref_evaluate["text_f1"](
+        preds=list(preds),
+        golds=list(golds),
+        extraction_fraction=fraction,
+        extraction_fraction_thresh=0.8,
+        use_abstension=True,
+    )
+    avg, med = text_f1(
+        list(preds), list(golds), extraction_fraction=fraction,
+        extraction_fraction_thresh=0.8,
+    )
+    assert abs(avg - ref_avg) < 1e-12
+    assert abs(med - ref_med) < 1e-12
+
+
+def test_dedup_and_trim_parity(ref_profiler):
+    from evaporate_spark.semantic.filtering import trim_chunk
+    from evaporate_spark.semantic.values import dedup_preserving_order
+
+    for items in (["a", "b", "a", "c", "b"], [], [["x"], ["x"], ["y"]]):
+        assert dedup_preserving_order(items) == ref_profiler["deduplicate_extractions"](items)
+
+    chunks = [
+        " ".join(["pad"] * 30 + ["price:$5"] + ["tail"] * 30),
+        "no mention of anything " * 20,
+        "price at the very start then filler " * 10,
+    ]
+    for chunk in chunks:
+        assert trim_chunk(chunk, "price") == ref_profiler["trim_chunks"](chunk, "price")
+
+
+def test_chunk_filter_parity(ref_profiler_utils, spark):
+    from evaporate_spark.semantic.filtering import filter_chunks_for_attribute
+
+    file2chunks = {
+        "f1": ["nothing relevant", "the model number is X100", "also model number here"],
+        "f2": ["modelnumber: Y200 compact"],
+        "f3": ["model listed alone", "number only here", "number model words reversed"],
+        "f4": ["completely unrelated"],
+    }
+    ref_out = ref_profiler_utils["filter_file2chunks"](
+        dict(file2chunks), list(file2chunks), "model number"
+    )
+    rows = [
+        (path, i, chunk)
+        for path, chunks in file2chunks.items()
+        for i, chunk in enumerate(chunks)
+    ]
+    df = spark.createDataFrame(rows, ["path", "chunk_id", "chunk"])
+    ours = defaultdict(list)
+    for r in filter_chunks_for_attribute(df, "model number").orderBy("path", "chunk_id").collect():
+        ours[r["path"]].append(r["chunk"])
+    ref_nonempty = {p: c for p, c in ref_out.items() if c}
+    # our tier-0 ranking is deterministic where the reference relies on
+    # a stable sort — compare as sets per file
+    assert {p: set(c) for p, c in ref_nonempty.items()} == {
+        p: set(c) for p, c in ours.items()
+    }

@@ -1,0 +1,58 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY §2B streaming row: "applyInPandasWithState for custom stateful
+operators").
+
+``running_user_stats`` keeps one state row per user across
+micro-batches: cumulative event count, cumulative value sum, and the
+latest event time — the minimal arbitrary-state shape (per-key dict
+state, timeout-free) that windowed aggregation can't express because
+the state never closes.
+
+Scale notes: state is partitioned by the group key and lives in the
+state store (RocksDB/HDFS-backed on a cluster); each micro-batch
+touches only the keys present in that batch. For unbounded key spaces
+pair with a TTL (``GroupStateTimeout.ProcessingTimeTimeout``) — left
+NoTimeout here because user ids are bounded in the testdata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_events long, sum_value double, last_ts timestamp"
+OUTPUT_SCHEMA = "user_id bigint, n_events long, sum_value double, last_ts timestamp"
+
+
+def _update_user_stats(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+
+    n, total, last = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        batch_max = pdf["ts"].max()
+        if last is None or (batch_max is not None and batch_max > last):
+            last = batch_max
+    state.update((n, round(total, 2), last))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)], "last_ts": [last]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming frame → per-user cumulative stats, updated every
+    micro-batch. Works only on streaming frames (update output mode)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -174,3 +174,44 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         a = approx[flag]
         assert abs(a["approx_parts"] - e["n_parts"]) / e["n_parts"] < 0.1
         assert abs(a["approx_supps"] - e["n_supps"]) / e["n_supps"] < 0.1
+
+
+def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: cumulative per-user stats across
+    micro-batches must equal the batch aggregate after draining."""
+    from evaporate_spark.streaming.stateful import running_user_stats
+
+    stream = running_user_stats(read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_stats_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per (user, batch); the LAST row per user
+    # carries the final cumulative state
+    got_all = spark.table("user_stats_test")
+    import pandas as pd
+
+    pdf = got_all.toPandas()
+    final = pdf.groupby("user_id").last()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid, row in batch.iterrows():
+        g = final.loc[uid]
+        assert int(g["n_events"]) == int(row["n_events"])
+        assert abs(float(g["sum_value"]) - float(row["sum_value"])) < 0.05
+        assert pd.Timestamp(g["last_ts"]) == pd.Timestamp(row["last_ts"])

@@ -114,6 +114,42 @@ class _FnRunner:
                 pass
         return clean_function_predictions(dedup_preserving_order(results), self.attribute)
 
+    def _extract_unguarded(self, text: str) -> str:
+        """Row semantics identical to :meth:`extract` but without the
+        per-call wall clock — only ever invoked INSIDE a batch-level
+        guarded future."""
+        results = []
+        try:
+            results.append(self.fn(text))
+        except Exception:
+            try:
+                results.append(self.fn(text.replace(">\n", ">")))
+            except Exception:
+                pass
+        return clean_function_predictions(dedup_preserving_order(results), self.attribute)
+
+    def extract_batch(self, texts: list[str]) -> list[str]:
+        """Fast path for the lake-scale loop: ONE wall-clocked future
+        guards the whole batch (amortizing the ~100 µs submit/sync cost
+        per row); if the batch times out — some row hangs or the
+        function is pathologically slow — fall back to the per-row
+        guarded path, which isolates and disables the offender with the
+        reference's 2-timeout circuit breaker. Per-row error isolation
+        and retry-on-preprocessed-text are identical on both paths.
+        """
+        if self.fn is None or self.timeouts >= self.max_timeouts:
+            return [""] * len(texts)
+        budget = min(self.timeout_s * max(len(texts), 4), 20.0)
+        fut = self.pool.submit(lambda: [self._extract_unguarded(t) for t in texts])
+        try:
+            return fut.result(timeout=budget)
+        except FutureTimeoutError:
+            self.pool.shutdown(wait=False)
+            self.pool = ThreadPoolExecutor(max_workers=1)
+            return [self.extract(t) for t in texts]
+        except Exception:
+            return [self.extract(t) for t in texts]
+
 
 def run_functions(
     contents: DataFrame,
@@ -153,12 +189,14 @@ def run_functions(
             for key, src in fn_items
         }
         for pdf in batches:
+            texts = [(t or "") for t in pdf[content_col]]
+            paths = list(pdf[path_col])
             out_paths, out_voters, out_values = [], [], []
-            for path, text in zip(pdf[path_col], pdf[content_col]):
-                for key, runner in runners.items():
-                    out_paths.append(path)
-                    out_voters.append(key)
-                    out_values.append(runner.extract(text or ""))
+            for key, runner in runners.items():
+                values = runner.extract_batch(texts)
+                out_paths.extend(paths)
+                out_voters.extend([key] * len(paths))
+                out_values.extend(values)
             yield pd.DataFrame(
                 {"path": out_paths, "voter": out_voters, "value": out_values}
             )

@@ -164,6 +164,7 @@ class EvaporateData:
         Attributes run through a thread pool — each kernel submits
         independent Spark jobs, so the scheduler overlaps them.
         """
+        discovered = attributes is None
         if attributes is None:
             if topic is None:
                 raise ValueError("OpenIE needs a topic")
@@ -189,12 +190,21 @@ class EvaporateData:
                     (m["extraction_fraction"] for m in r.metrics.values()), 1.0
                 )
                 if check_remove_attribute(
-                    r.extractions, r.attribute, topic, self.gold_client, fraction
+                    r.extractions,
+                    r.attribute,
+                    topic,
+                    self.gold_client,
+                    fraction,
+                    train_values=list(r.train_gold.values()) or None,
                 ):
                     kept.append(r)
             results = kept
-        dropped = set(attributes_to_remove(results))
-        results = [r for r in results if r.attribute not in dropped]
+        if discovered:
+            # attribute dedup is an OPENIE cleanup for machine-discovered
+            # schemas; explicitly requested (ClosedIE) attributes are
+            # never silently dropped
+            dropped = set(attributes_to_remove(results))
+            results = [r for r in results if r.attribute not in dropped]
         self.results.extend(results)
         tokens = sum(r.total_tokens for r in results)
         self._stage("profile_all", t0, tokens)

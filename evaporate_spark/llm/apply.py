@@ -37,6 +37,29 @@ def _cache_key(client_name: str, prompt_col) -> "F.Column":
     return F.md5(F.concat(F.lit(client_name), F.lit("\x00"), prompt_col))
 
 
+def try_read_cache(spark, cache_dir: str, schema: str) -> DataFrame | None:
+    """Read a parquet cache table, or None when absent/empty.
+
+    Existence is probed through Spark's own filesystem layer (not
+    driver-local os.path), so remote cache dirs (s3://, hdfs://) are
+    consulted just like local ones.
+    """
+    try:
+        spark.catalog.refreshByPath(cache_dir)
+    except Exception:
+        pass
+    try:
+        return spark.read.schema(schema).parquet(cache_dir)
+    except Exception:
+        return None
+
+
+def ensure_local_dir(cache_dir: str) -> None:
+    """mkdir for local paths only; remote schemes create on write."""
+    if "://" not in cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+
+
 def llm_map(
     df: DataFrame,
     client: "LLMClient",
@@ -62,16 +85,12 @@ def llm_map(
     )
 
     cached: DataFrame | None = None
-    if cache_dir is not None and os.path.isdir(cache_dir) and os.listdir(cache_dir):
-        # drop any stale directory listing a previous read of this path
-        # may have left in the session's FileStatusCache
-        spark.catalog.refreshByPath(cache_dir)
-        cached = (
-            spark.read.schema(CACHE_SCHEMA)
-            .parquet(cache_dir)
-            .dropDuplicates(["cache_key"])
-            .withColumnRenamed("cache_key", "_ck")
-        )
+    if cache_dir is not None:
+        raw_cache = try_read_cache(spark, cache_dir, CACHE_SCHEMA)
+        if raw_cache is not None:
+            cached = raw_cache.dropDuplicates(["cache_key"]).withColumnRenamed(
+                "cache_key", "_ck"
+            )
 
     if cached is not None:
         misses = distinct_prompts.join(cached.select("_ck"), "_ck", "left_anti")
@@ -107,7 +126,7 @@ def llm_map(
     ).localCheckpoint(eager=True)
 
     if cache_dir is not None:
-        os.makedirs(cache_dir, exist_ok=True)
+        ensure_local_dir(cache_dir)
         fresh.select(
             F.col("_ck").alias("cache_key"),
             F.col("_completion").alias("completion"),

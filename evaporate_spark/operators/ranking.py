@@ -67,6 +67,12 @@ def global_rank(
         .withColumn(rank_col, F.row_number().over(w) + F.col("_offset"))
         .drop("_pid", "_offset")
     )
+    # materialize the ranks once, then release the cached repartition —
+    # otherwise every global_rank call leaks one persisted DataFrame
+    # for the session lifetime. Net cost is still two passes over the
+    # input (count + rank), same as the cached variant.
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist(False)
     return out, total
 
 

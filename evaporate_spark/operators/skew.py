@@ -70,7 +70,16 @@ def salted_join(
     deterministic hash of ``left_salt_col``; replicate the right side
     across all ``buckets`` salt values so every salted partition finds
     its match. Right side grows ×buckets — use when right is the small
-    side (else AQE skew-join is the right tool)."""
+    side (else AQE skew-join is the right tool).
+
+    Only inner/left joins are valid: under right/full semantics every
+    unmatched right row would surface once per salt replica.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "unmatched right rows would be duplicated per salt bucket"
+        )
     salt = F.pmod(F.xxhash64(F.col(left_salt_col).cast("string")), F.lit(buckets))
     l = left.withColumn("_salt", salt.cast("int"))
     r = right.withColumn(

@@ -101,9 +101,18 @@ def evaluate_open_ie(predictions: DataFrame, gold: DataFrame) -> dict[str, float
     triples."""
 
     def triples(df: DataFrame) -> DataFrame:
-        return df.select(
+        # normalize the attribute FIRST, then clean the value against
+        # the normalized name — cleaning against the raw spelling would
+        # make identical values differ across 'Authors'/'author' rows
+        # that the normalized join treats as the same attribute
+        normed = df.select(
             "path",
             _norm_attr_col(F.col("attribute")).alias("attribute"),
+            "value",
+        )
+        return normed.select(
+            "path",
+            "attribute",
             _clean_col(F.col("value"), F.col("attribute")).alias("value"),
         ).where(F.col("value") != "").distinct()
 

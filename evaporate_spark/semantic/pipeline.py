@@ -61,6 +61,9 @@ class ProfileResult:
     gold_key: str = ""
     dropped: bool = False
     total_tokens: int = 0
+    # train-sample gold values (path → value): the validity check's
+    # constant-value comparison and external evals need them
+    train_gold: dict[str, str] = field(default_factory=dict)
 
 
 def _pick_gold_values(
@@ -233,6 +236,11 @@ def profile_attribute(
                 extraction_fraction_thresh=cfg.extraction_fraction_thresh,
             )
 
+    # persist the combined lake result: the trim-learning collect below,
+    # the OpenIE first-5 dedup probe, and the caller's own action would
+    # otherwise each re-run the full-lake function pass
+    combined = combined.persist()
+
     # train-consistency trim (§2A#29): learn junk prefix/suffix tokens
     # from sample gold-vs-final pairs; strip lake-wide as a Column op
     if cfg.trim_vs_train and gold_map:
@@ -265,6 +273,7 @@ def profile_attribute(
         functions,
         gold_key,
         total_tokens=tokens.value,
+        train_gold=gold_map,
     )
 
 

@@ -128,27 +128,38 @@ class _FnRunner:
                 pass
         return clean_function_predictions(dedup_preserving_order(results), self.attribute)
 
+    #: rows per guarded future — amortizes the submit/sync cost ~32×
+    #: while bounding the wasted wait on a hanging function to
+    #: timeout_s × SUB_BATCH once (then the per-row breaker disables it)
+    SUB_BATCH = 32
+
     def extract_batch(self, texts: list[str]) -> list[str]:
-        """Fast path for the lake-scale loop: ONE wall-clocked future
-        guards the whole batch (amortizing the ~100 µs submit/sync cost
-        per row); if the batch times out — some row hangs or the
-        function is pathologically slow — fall back to the per-row
-        guarded path, which isolates and disables the offender with the
-        reference's 2-timeout circuit breaker. Per-row error isolation
-        and retry-on-preprocessed-text are identical on both paths.
+        """Fast path for the lake-scale loop: one wall-clocked future
+        guards each SUB_BATCH-row slice, with budget proportional to
+        the slice size (a legitimately slow-but-finite function never
+        spuriously times out, unlike a fixed cap). On a slice timeout
+        fall back to the per-row guarded path, which isolates and
+        disables the offender via the reference's 2-timeout circuit
+        breaker. Per-row error isolation and retry-on-preprocessed-text
+        are identical on both paths.
         """
-        if self.fn is None or self.timeouts >= self.max_timeouts:
-            return [""] * len(texts)
-        budget = min(self.timeout_s * max(len(texts), 4), 20.0)
-        fut = self.pool.submit(lambda: [self._extract_unguarded(t) for t in texts])
-        try:
-            return fut.result(timeout=budget)
-        except FutureTimeoutError:
-            self.pool.shutdown(wait=False)
-            self.pool = ThreadPoolExecutor(max_workers=1)
-            return [self.extract(t) for t in texts]
-        except Exception:
-            return [self.extract(t) for t in texts]
+        out: list[str] = []
+        for start in range(0, len(texts), self.SUB_BATCH):
+            chunk = texts[start : start + self.SUB_BATCH]
+            if self.fn is None or self.timeouts >= self.max_timeouts:
+                out.extend([""] * len(chunk))
+                continue
+            budget = self.timeout_s * max(len(chunk), 4)
+            fut = self.pool.submit(lambda c=chunk: [self._extract_unguarded(t) for t in c])
+            try:
+                out.extend(fut.result(timeout=budget))
+            except FutureTimeoutError:
+                self.pool.shutdown(wait=False)
+                self.pool = ThreadPoolExecutor(max_workers=1)
+                out.extend(self.extract(t) for t in chunk)
+            except Exception:
+                out.extend(self.extract(t) for t in chunk)
+        return out
 
 
 def run_functions(
@@ -215,14 +226,15 @@ def run_functions(
     )
     distinct_fp = keyed.dropDuplicates(["_fp"]).select("_fp", content_col)
 
+    from evaporate_spark.llm.apply import ensure_local_dir, try_read_cache
+
     cached = None
-    if os.path.isdir(cache_dir) and os.listdir(cache_dir):
-        spark.catalog.refreshByPath(cache_dir)
-        cached = (
-            spark.read.schema("fp string, fnset string, voter string, value string")
-            .parquet(cache_dir)
-            .where(F.col("fnset") == fnset_hash)
-            .dropDuplicates(["fp", "voter"])
+    raw_cache = try_read_cache(
+        spark, cache_dir, "fp string, fnset string, voter string, value string"
+    )
+    if raw_cache is not None:
+        cached = raw_cache.where(F.col("fnset") == fnset_hash).dropDuplicates(
+            ["fp", "voter"]
         )
     misses = distinct_fp
     if cached is not None:
@@ -237,7 +249,7 @@ def run_functions(
         .withColumnRenamed("path", "fp")
         .localCheckpoint(eager=True)
     )
-    os.makedirs(cache_dir, exist_ok=True)
+    ensure_local_dir(cache_dir)
     fresh.select(
         "fp", F.lit(fnset_hash).alias("fnset"), "voter", "value"
     ).write.mode("append").parquet(cache_dir)

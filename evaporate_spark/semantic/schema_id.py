@@ -215,7 +215,7 @@ def check_remove_attribute(
             extractions.groupBy("value").count().orderBy(F.desc("count"), "value").first()["value"]
         )
         mode_train = Counter(train_values).most_common(1)[0][0]
-        return mode_lake.lower() == mode_train.lower()
+        return (mode_lake or "").lower() == (mode_train or "").lower()
     values = [
         r["value"]
         for r in extractions.where(~F.lower("value").isin("", "none")).limit(3).collect()

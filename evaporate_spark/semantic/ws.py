@@ -54,11 +54,15 @@ def em_voter_accuracies(
     fixed iterations). ``vote_matrix`` rows map voter→vote for one
     file; empty votes are abstains and carry no signal.
     """
-    acc = {v: 0.7 for v in voters}
+    observed: set[str] = set()
+    for row in vote_matrix:
+        observed.update(row.keys())
+    all_voters = sorted(set(voters) | observed)
+    acc = {v: 0.7 for v in all_voters}
     for _ in range(iters):
         # E-step: per file, posterior over candidate labels
-        post_weight_sum = {v: 0.0 for v in voters}
-        post_total = {v: 0.0 for v in voters}
+        post_weight_sum = {v: 0.0 for v in all_voters}
+        post_total = {v: 0.0 for v in all_voters}
         for row in vote_matrix:
             cands = sorted({val for val in row.values() if val})
             if not cands:
@@ -88,7 +92,7 @@ def em_voter_accuracies(
                 max((post_weight_sum[v] / post_total[v]) if post_total[v] else 0.5, 0.02),
                 0.98,
             )
-            for v in voters
+            for v in all_voters
         }
     return acc
 

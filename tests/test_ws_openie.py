@@ -268,3 +268,46 @@ def test_api_direct_extract_with_retrieval(spark, lake):
     assert len(got) == 20
     assert got["doc://4"] == AUTHORS[4]
     assert "direct_extract" in data.stage_seconds
+
+
+# ------------------------------------------------- code-review regressions
+def test_closed_ie_never_drops_requested_attributes(spark):
+    """ClosedIE: explicitly requested attributes must survive even when
+    their extractions are identical/empty and names overlap (the
+    attribute-dedup cleanup applies only to DISCOVERED schemas)."""
+    docs = spark.createDataFrame(
+        [(f"p{i}", "irrelevant filler with title mentioned and subtitle mentioned", "txt", 1)
+         for i in range(8)],
+        ["path", "content", "doc_type", "n_bytes"],
+    )
+    data = EvaporateData(
+        spark, docs=docs, client=KeyValueMockLLM(),
+        config=ProfileConfig(train_size=4, chunk_size=200),
+    )
+    results = data.profile_all(["title", "subtitle"])
+    assert {r.attribute for r in results} == {"title", "subtitle"}
+
+
+def test_evaluate_open_ie_attr_spelling_lenience(spark):
+    gold = spark.createDataFrame(
+        [("p1", "author", "Jane")], ["path", "attribute", "value"]
+    )
+    pred = spark.createDataFrame(
+        [("p1", "Authors", "Jane")], ["path", "attribute", "value"]
+    )
+    m = evaluate_open_ie(pred, gold)
+    assert m["f1"] == 1.0  # normalized attr used for BOTH join and cleaning
+
+
+def test_em_accuracies_tolerates_unknown_voter():
+    matrix = [{"a": "x", "mystery": "x"}, {"a": "y", "mystery": "z"}]
+    acc = em_voter_accuracies(matrix, ["a"])
+    assert "mystery" in acc and 0.0 < acc["mystery"] < 1.0
+
+
+def test_salted_join_rejects_outer(spark):
+    from evaporate_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 1)], ["k", "id"])
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], "id", how="full")

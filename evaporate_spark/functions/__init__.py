@@ -1,0 +1,26 @@
+"""Column-expression libraries (pure JVM-side, codegen-friendly):
+text statistics and deterministic lexical embeddings."""
+
+from evaporate_spark.functions.embed import feature_hash_embedding
+from evaporate_spark.functions.text_stats import (
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    rolling_hash_shingles,
+    stopword_ratio,
+    token_count_regex,
+    token_count_ws,
+)
+
+__all__ = [
+    "token_count_ws",
+    "token_count_regex",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "rolling_hash_shingles",
+    "feature_hash_embedding",
+]

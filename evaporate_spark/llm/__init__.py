@@ -1,0 +1,21 @@
+"""LLM client layer: pluggable completion backends, distributed prompt
+application with content-hash caching, and the engine's prompt
+templates (SURVEY §2A #11, #40)."""
+
+from evaporate_spark.llm.apply import llm_map
+from evaporate_spark.llm.client import (
+    EchoLLM,
+    KeyValueMockLLM,
+    LLMClient,
+    MockLLM,
+    approx_token_count,
+)
+
+__all__ = [
+    "llm_map",
+    "LLMClient",
+    "MockLLM",
+    "EchoLLM",
+    "KeyValueMockLLM",
+    "approx_token_count",
+]

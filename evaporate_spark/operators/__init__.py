@@ -1,0 +1,40 @@
+"""Beyond-reference operators for large-scale pipelines (SURVEY §2C):
+dedup families, similarity search, as-of join, scalable global
+ranking, skew mitigation, multimodal columns."""
+
+from evaporate_spark.operators.asof import asof_join
+from evaporate_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    lsh_exact_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from evaporate_spark.operators.ranking import global_rank, ntile_from_rank
+from evaporate_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    ivf_topk,
+    random_hyperplane_lsh_topk,
+)
+from evaporate_spark.operators.skew import key_histogram, salted_aggregate, salted_join
+
+__all__ = [
+    "exact_dedup",
+    "exact_dedup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "lsh_exact_dup_pairs",
+    "simhash_dup_pairs",
+    "cosine",
+    "brute_force_topk",
+    "ivf_topk",
+    "random_hyperplane_lsh_topk",
+    "asof_join",
+    "global_rank",
+    "ntile_from_rank",
+    "salted_aggregate",
+    "salted_join",
+    "key_histogram",
+]

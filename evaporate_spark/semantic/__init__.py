@@ -1,0 +1,46 @@
+"""The Evaporate semantic layer: document → structured-table operators
+(SURVEY §2A #4-#32) rebuilt as Spark transforms.
+
+Pipeline shape (§3.3):
+
+    chunks ─ filter(attr) ─┬─ sample ─ llm_extract ──────────┐ (gold votes)
+                           ├─ sample ─ llm_synth ─ exec_fns ─┤ (fn votes)
+                           │                                  ├─ score ─ topk
+    full lake ── exec(topk fns) ── votes ── combine(mv|ws) ── pivot ── sink
+"""
+
+from evaporate_spark.semantic.chunking import chunk_documents
+from evaporate_spark.semantic.combine import majority_vote
+from evaporate_spark.semantic.extraction import direct_extract
+from evaporate_spark.semantic.filtering import filter_chunks_for_attribute
+from evaporate_spark.semantic.pipeline import (
+    ProfileConfig,
+    ProfileResult,
+    assemble_view,
+    profile_attribute,
+)
+from evaporate_spark.semantic.sampling import sample_documents
+from evaporate_spark.semantic.sandbox import run_functions
+from evaporate_spark.semantic.schema_id import identify_schema
+from evaporate_spark.semantic.scoring import evaluate_voters, select_topk, text_f1
+from evaporate_spark.semantic.synthesis import synthesize_functions
+from evaporate_spark.semantic.ws import weak_supervision_combine
+
+__all__ = [
+    "chunk_documents",
+    "sample_documents",
+    "filter_chunks_for_attribute",
+    "direct_extract",
+    "synthesize_functions",
+    "run_functions",
+    "evaluate_voters",
+    "select_topk",
+    "text_f1",
+    "majority_vote",
+    "weak_supervision_combine",
+    "identify_schema",
+    "profile_attribute",
+    "assemble_view",
+    "ProfileConfig",
+    "ProfileResult",
+]

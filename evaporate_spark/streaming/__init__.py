@@ -1,0 +1,21 @@
+"""Structured Streaming surface: windowed aggregations with watermarks
+(tumbling/sliding/session) and custom stateful operators — every
+streaming aggregation has a batch twin and a parity test."""
+
+from evaporate_spark.streaming.stateful import running_user_stats
+from evaporate_spark.streaming.windows import (
+    hourly_counts,
+    read_events_stream,
+    run_stream_to_memory,
+    session_windows,
+    sliding_user_activity,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_counts",
+    "sliding_user_activity",
+    "session_windows",
+    "running_user_stats",
+    "run_stream_to_memory",
+]

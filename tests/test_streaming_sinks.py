@@ -215,3 +215,54 @@ def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
         assert int(g["n_events"]) == int(row["n_events"])
         assert abs(float(g["sum_value"]) - float(row["sum_value"])) < 0.05
         assert pd.Timestamp(g["last_ts"]) == pd.Timestamp(row["last_ts"])
+
+
+# ------------------------------------------------- partitioning & bucketing
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    """Partitioned parquet writes + partition pruning: the scan of a
+    single partition must show a PartitionFilter, not a full read."""
+    import contextlib, io
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "lang" in plan
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert back.count() == n_en
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys: a join between two tables
+    bucketed on the key needs NO Exchange (the 100 TB co-located-join
+    technique)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").write.bucketBy(
+            8, "o_custkey"
+        ).sortBy("o_custkey").mode("overwrite").saveAsTable("b_orders")
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").write.bucketBy(
+            8, "c_custkey"
+        ).sortBy("c_custkey").mode("overwrite").saveAsTable("b_customer")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() == spark.table("b_orders").join(
+            spark.table("b_customer").hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -73,7 +73,7 @@ def avg_word_len(col: Column | str) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, rounded: bool = True) -> Column:
     """Composite document-quality heuristic in [0, 1].
 
     Rewards mid-length documents with low punctuation noise and a
@@ -81,11 +81,15 @@ def quality_score(col: Column | str) -> Column:
     large-scale corpus pipelines (C4-style heuristics).
     """
     n_tok = token_count_ws(col)
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    punct_penalty = F.least(punct_ratio(col) * 4, F.lit(1.0))
-    stop = stopword_ratio(col)
-    stop_score = F.least(stop * 5, F.lit(1.0))
-    return F.round((len_score * 0.5 + stop_score * 0.3 + (1 - punct_penalty) * 0.2), 4)
+    # components are rounded to 6dp BEFORE combining so the final sum
+    # is built from exactly representable inputs — otherwise a value
+    # landing on a 4dp rounding boundary (e.g. 0.53375) can round
+    # differently across engines from sub-ulp accumulation noise
+    len_score = F.round(F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
+    punct_penalty = F.round(F.least(punct_ratio(col) * 4, F.lit(1.0)), 6)
+    stop_score = F.round(F.least(stopword_ratio(col) * 5, F.lit(1.0)), 6)
+    raw = len_score * 0.5 + stop_score * 0.3 + (1 - punct_penalty) * 0.2
+    return F.round(raw, 4) if rounded else raw
 
 
 def lang_id(col: Column | str) -> Column:

@@ -591,3 +591,47 @@ def q_events_typed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p.k").alias("min_k"),
         F.max("p.k").alias("max_k"),
     )
+
+
+def _quality_oracle() -> str:
+    stop = _quoted(DEFAULT_STOPWORDS)
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len({toks})::DOUBLE AS n_tok,
+                   len(list_filter({toks}, x -> list_contains([{stop}], x)))::DOUBLE
+                       / len({toks}) AS stop_ratio,
+                   length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+                       / length(text) AS punct_ratio
+            FROM documents
+        )
+        SELECT doc_id,
+               floor((ROUND(least(n_tok / 100.0, 1.0), 6) * 0.5
+                      + ROUND(least(stop_ratio * 5, 1.0), 6) * 0.3
+                      + (1 - ROUND(least(punct_ratio * 4, 1.0), 6)) * 0.2)
+                     * 10000 + 0.5) / 10000.0 AS quality
+        FROM t
+    """
+
+
+@register(
+    "q_quality_scores",
+    "Composite document-quality heuristic (C4-style length/stopword/"
+    "punctuation prefilter) per document — the cheap first gate of a "
+    "training-data pipeline, zero-shuffle scan-stage work.",
+    oracle=_quality_oracle(),
+    tags=("textstats",),
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.text_stats import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    # floor-based half-up rounding on the raw score: Spark's round()
+    # rounds the shortest-decimal repr while DuckDB rounds the binary
+    # value, so boundary cases (x.xxx75) disagree; floor(v*1e4+0.5)
+    # is identical IEEE arithmetic in both engines
+    q_raw = quality_score("text", rounded=False)
+    return d.select(
+        "doc_id", (F.floor(q_raw * 10000 + F.lit(0.5)) / 10000.0).alias("quality")
+    )

@@ -21,6 +21,7 @@ shuffle-friendly, AQE-broadcastable when the delta is small.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -32,9 +33,21 @@ if TYPE_CHECKING:  # pragma: no cover
 
 CACHE_SCHEMA = "cache_key string, completion string, n_tokens long"
 
+# Serializes cache-append jobs within this driver process: Spark's file
+# output committer shares one _temporary staging dir per target path, so
+# two concurrent append jobs to the same cache dir corrupt each other
+# (profile_all runs attribute kernels in a thread pool).
+_CACHE_WRITE_LOCK = threading.Lock()
 
-def _cache_key(client_name: str, prompt_col) -> "F.Column":
-    return F.md5(F.concat(F.lit(client_name), F.lit("\x00"), prompt_col))
+
+def _cache_key(client_name: str, prompt_col, max_tokens: int) -> "F.Column":
+    # max_tokens is part of the key: a completion truncated at one
+    # limit must not be served for a request with a different limit
+    return F.md5(
+        F.concat(
+            F.lit(client_name), F.lit("\x00"), F.lit(str(max_tokens)), F.lit("\x00"), prompt_col
+        )
+    )
 
 
 def try_read_cache(spark, cache_dir: str, schema: str) -> DataFrame | None:
@@ -79,7 +92,7 @@ def llm_map(
     from evaporate_spark.llm.client import approx_token_count
 
     spark = df.sparkSession
-    keyed = df.withColumn("_ck", _cache_key(client.name, F.col(prompt_col)))
+    keyed = df.withColumn("_ck", _cache_key(client.name, F.col(prompt_col), max_tokens))
     distinct_prompts = keyed.select("_ck", F.col(prompt_col).alias("_prompt")).dropDuplicates(
         ["_ck"]
     )
@@ -125,19 +138,24 @@ def llm_map(
         run_batches, schema="_ck string, _completion string, _ntok long"
     ).localCheckpoint(eager=True)
 
-    if cache_dir is not None:
+    if cache_dir is not None and not fresh.isEmpty():
         ensure_local_dir(cache_dir)
-        fresh.select(
-            F.col("_ck").alias("cache_key"),
-            F.col("_completion").alias("completion"),
-            F.col("_ntok").alias("n_tokens"),
-        ).write.mode("append").parquet(cache_dir)
+        with _CACHE_WRITE_LOCK:
+            fresh.select(
+                F.col("_ck").alias("cache_key"),
+                F.col("_completion").alias("completion"),
+                F.col("_ntok").alias("n_tokens"),
+            ).write.mode("append").parquet(cache_dir)
 
     answers = fresh.select("_ck", "_completion")
     if cached is not None:
         answers = answers.unionByName(
             cached.select("_ck", F.col("completion").alias("_completion"))
         )
+    # the cached leg's lazy scan may re-list the directory AFTER this
+    # call's own append (a later llm_map on the same dir refreshes the
+    # listing), in which case miss keys would appear in both legs
+    answers = answers.dropDuplicates(["_ck"])
 
     return (
         keyed.join(answers, "_ck", "left")

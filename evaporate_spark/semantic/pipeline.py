@@ -67,10 +67,14 @@ class ProfileResult:
 
 
 def _pick_gold_values(
-    gold_rows, attribute: str, client: LLMClient
+    gold_rows, attribute: str, client: LLMClient, token_accumulator=None
 ) -> dict[str, str]:
     """Disambiguate multi-candidate golds with one LLM call per file
-    (§2A#21); sample-sized driver loop by design."""
+    (§2A#21); sample-sized driver loop by design (these driver-side
+    calls skip the parquet prompt cache, but are counted for tokens).
+    """
+    from evaporate_spark.llm.client import approx_token_count
+
     out: dict[str, str] = {}
     for row in gold_rows:
         cands = [c for c in (row["candidates"] or []) if c]
@@ -80,8 +84,16 @@ def _pick_gold_values(
         prompt = PICK_GOLD_VALUE.format(
             attribute=attribute, candidates="- " + "\n- ".join(cands)
         )
-        choice = client.complete(prompt, max_tokens=100).split("\n")[0].strip()
-        out[row["path"]] = row["value"] if (not choice or "none" in choice.lower()) else choice
+        completion = client.complete(prompt, max_tokens=100)
+        if token_accumulator is not None:
+            token_accumulator.add(
+                approx_token_count(prompt) + approx_token_count(completion)
+            )
+        choice = completion.split("\n")[0].strip()
+        # refusal = exact 'none' (the reference's substring test would
+        # also discard legitimate values containing 'none')
+        refused = not choice or choice.lower().strip(".") == "none"
+        out[row["path"]] = row["value"] if refused else choice
     return out
 
 
@@ -114,6 +126,7 @@ def profile_attribute(
     filtered = filter_chunks_for_attribute(chunks, attribute).persist()
     if filtered.limit(1).count() == 0:
         # reference drops the attribute when no chunk mentions it
+        filtered.unpersist(False)
         return ProfileResult(attribute, None, dropped=True, gold_key=gold_key)
 
     sample = sample_documents(docs, cfg.train_size, cfg.seed).persist()
@@ -136,7 +149,7 @@ def profile_attribute(
         token_accumulator=tokens,
     )
     gold_rows = gold_votes.collect()  # train_size rows
-    gold_map = _pick_gold_values(gold_rows, attribute, gold_client)
+    gold_map = _pick_gold_values(gold_rows, attribute, gold_client, tokens)
 
     functions, _promptsource = synthesize_functions(
         sample_chunks,
@@ -180,9 +193,11 @@ def profile_attribute(
         (m["extraction_fraction"] for m in metrics.values()), 0.0
     )
     if not selected and cfg.do_end_to_end:
+        for df_ in (filtered, sample, sample_chunks):
+            df_.unpersist(False)
         return ProfileResult(
             attribute, None, metrics, [], functions, gold_key, dropped=True,
-            total_tokens=tokens.value,
+            total_tokens=tokens.value, train_gold=gold_map,
         )
 
     # APPLY: selected voters over the FULL lake
@@ -193,12 +208,16 @@ def profile_attribute(
             run_functions(docs, selected_fns, attribute, cache_dir=fn_cache)
         )
     for voter in selected:
-        if voter not in functions:  # a model voter (e.g. ClosedIE fallback)
+        if voter not in functions:
+            # model voter in the ensemble (§2A#25): today `votes` holds
+            # only gold + function voters, so this activates once
+            # additional extraction models are registered as voters —
+            # wired now so the ensemble surface matches the reference
             lake_vote_frames.append(
                 direct_extract(
                     filtered,
                     attribute,
-                    client if voter == client.name else gold_client,
+                    gold_client if voter == gold_key else client,
                     voter_name=voter,
                     max_tokens=cfg.max_extract_tokens,
                     cache_dir=cfg.cache_dir,
@@ -224,7 +243,7 @@ def profile_attribute(
                 voter_accuracies={
                     v: metrics[v]["average_f1"] for v in selected if v in metrics
                 },
-                extraction_fraction=extraction_fraction,
+                extraction_fraction=extraction_fraction if cfg.use_abstention else 0.0,
                 extraction_fraction_thresh=cfg.extraction_fraction_thresh,
             )
         else:

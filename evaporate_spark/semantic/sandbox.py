@@ -249,10 +249,14 @@ def run_functions(
         .withColumnRenamed("path", "fp")
         .localCheckpoint(eager=True)
     )
-    ensure_local_dir(cache_dir)
-    fresh.select(
-        "fp", F.lit(fnset_hash).alias("fnset"), "voter", "value"
-    ).write.mode("append").parquet(cache_dir)
+    if not fresh.isEmpty():
+        from evaporate_spark.llm.apply import _CACHE_WRITE_LOCK
+
+        ensure_local_dir(cache_dir)
+        with _CACHE_WRITE_LOCK:
+            fresh.select(
+                "fp", F.lit(fnset_hash).alias("fnset"), "voter", "value"
+            ).write.mode("append").parquet(cache_dir)
     by_fp = fresh.select("fp", "voter", "value")
     if cached is not None:
         by_fp = by_fp.unionByName(cached.select("fp", "voter", "value"))

@@ -115,10 +115,10 @@ def weak_supervision_combine(
     """
     spark = votes.sparkSession
     if voter_accuracies is None:
-        sample_paths = (
-            all_paths.select("path")
-            .orderBy(F.xxhash64("path", F.lit(0)), "path")
-            .limit(em_train_files)
+        from evaporate_spark.semantic.sampling import sample_documents
+
+        sample_paths = sample_documents(
+            all_paths.select("path"), em_train_files, seed=0
         )
         rows = (
             votes.join(sample_paths, "path", "left_semi")

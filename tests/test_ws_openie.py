@@ -311,3 +311,21 @@ def test_salted_join_rejects_outer(spark):
     df = spark.createDataFrame([(1, 1)], ["k", "id"])
     with pytest.raises(ValueError):
         salted_join(df, df, ["k"], "id", how="full")
+
+
+def test_parallel_profile_all_with_shared_cache(spark, lake, tmp_path):
+    """Thread-pooled attribute profiles appending to one prompt/result
+    cache must not corrupt each other (serialized cache writes)."""
+    cache = str(tmp_path / "shared_cache")
+    data = EvaporateData(
+        spark, docs=lake, client=KeyValueMockLLM(),
+        config=ProfileConfig(train_size=5, chunk_size=400, cache_dir=cache),
+    )
+    results = data.profile_all(["author", "year", "title"], max_parallel=3)
+    assert {r.attribute for r in results} == {"author", "year", "title"}
+    view = data.view()
+    rows = {r["path"]: r for r in view.collect()}
+    assert rows["doc://2"]["author"] == AUTHORS[2] and rows["doc://2"]["year"] == "1982"
+    # cache is readable and deduplicated after concurrent appends
+    cached = spark.read.parquet(cache)
+    assert cached.count() == cached.select("cache_key").distinct().count()

@@ -19,8 +19,8 @@ O(train_size) sample — never the full lake.
 """
 
 from evaporate_spark.session import get_spark
-from evaporate_spark.config import EvaporateConfig
+from evaporate_spark.semantic.pipeline import ProfileConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "EvaporateConfig", "__version__"]
+__all__ = ["get_spark", "ProfileConfig", "__version__"]

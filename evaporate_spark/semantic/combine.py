@@ -25,7 +25,7 @@ def majority_vote(
     all_paths: DataFrame,
     voter_order: list[str],
     extraction_fraction: float = 0.0,
-    extraction_fraction_thresh: float = 0.8,
+    extraction_fraction_thresh: float = 0.9,
 ) -> DataFrame:
     """votes(path, voter, value) → (path, value): the modal value per
     document. ``all_paths`` (one column ``path``) pins the output

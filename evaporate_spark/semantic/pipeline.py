@@ -41,7 +41,7 @@ class ProfileConfig:
     seed: int = 0
     num_top_k_scripts: int = 10
     keep_thresh: float = 0.5
-    extraction_fraction_thresh: float = 0.8
+    extraction_fraction_thresh: float = 0.9  # reference configs.py:167-172
     combiner_mode: str = "mv"  # "mv" | "ws" | "top_k"
     do_end_to_end: bool = False
     use_abstention: bool = True
@@ -188,6 +188,7 @@ def profile_attribute(
         k=cfg.num_top_k_scripts,
         do_end_to_end=cfg.do_end_to_end,
         keep_thresh=cfg.keep_thresh,
+        function_keys=set(functions),
     )
     extraction_fraction = next(
         (m["extraction_fraction"] for m in metrics.values()), 0.0
@@ -273,13 +274,15 @@ def profile_attribute(
         if not spec.is_noop:
             combined = combined.withColumn("value", apply_trim("value", spec))
 
-    # persist hygiene: the sample frames are fully consumed above; the
-    # filtered chunk frame is still referenced lazily only when a model
-    # voter (not a function) was selected for the lake pass
+    # persist hygiene: the sample frames are fully consumed above; when
+    # a model voter (not a function) was selected, the lake-vote lineage
+    # still reads `filtered` — materialize once (cutting lineage) so the
+    # cached chunk frame can be released instead of leaking per call
     sample.unpersist(False)
     sample_chunks.unpersist(False)
-    if all(v in functions for v in selected):
-        filtered.unpersist(False)
+    if not all(v in functions for v in selected):
+        combined = combined.localCheckpoint(eager=True)
+    filtered.unpersist(False)
 
     extractions = combined.select(
         "path", F.lit(attribute).alias("attribute"), "value"

@@ -221,8 +221,13 @@ def run_functions(
     fnset_hash = hashlib.md5(
         ("\x00".join(f"{k}\x01{v}" for k, v in fn_items) + attr).encode()
     ).hexdigest()
+    # coalesce NULL content to '' before fingerprinting: md5(NULL) is
+    # NULL, which would never survive the final inner join on fp — the
+    # cached path must emit the same '' votes the uncached path does
     keyed = contents.select(
-        path_col, F.md5(F.col(content_col).cast("string")).alias("_fp"), content_col
+        path_col,
+        F.md5(F.coalesce(F.col(content_col).cast("string"), F.lit(""))).alias("_fp"),
+        content_col,
     )
     distinct_fp = keyed.dropDuplicates(["_fp"]).select("_fp", content_col)
 

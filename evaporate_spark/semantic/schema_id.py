@@ -216,9 +216,14 @@ def check_remove_attribute(
         )
         mode_train = Counter(train_values).most_common(1)[0][0]
         return (mode_lake or "").lower() == (mode_train or "").lower()
+    # orderBy(path) before the limit: which 3 values the validity LLM
+    # sees must not vary with partition placement
     values = [
         r["value"]
-        for r in extractions.where(~F.lower("value").isin("", "none")).limit(3).collect()
+        for r in extractions.where(~F.lower("value").isin("", "none"))
+        .orderBy("path")
+        .limit(3)
+        .collect()
     ]
     yes = 0
     for value in values:

@@ -44,7 +44,7 @@ def text_f1(
     preds: list[str],
     golds: list[str],
     extraction_fraction: float = 1.0,
-    extraction_fraction_thresh: float = 0.8,
+    extraction_fraction_thresh: float = 0.9,
     use_abstention: bool = True,
 ) -> tuple[float, float]:
     """(average F1, median F1) over aligned pred/gold string pairs."""
@@ -76,7 +76,7 @@ def evaluate_voters(
     gold_key: str,
     attribute: str,
     combiner_mode: str = "mv",
-    extraction_fraction_thresh: float = 0.8,
+    extraction_fraction_thresh: float = 0.9,
     use_abstention: bool = True,
 ) -> dict[str, dict[str, float]]:
     """Score every voter against the gold key's cleaned extractions.
@@ -131,6 +131,7 @@ def select_topk(
     do_end_to_end: bool = False,
     keep_thresh: float = 0.5,
     cost_thresh: float = 1.0,
+    function_keys: set[str] | None = None,
 ) -> list[str]:
     """Pick the voters to run over the full lake.
 
@@ -138,6 +139,12 @@ def select_topk(
     (do_end_to_end) drops the attribute entirely (returns []) when the
     best voter is below threshold; ClosedIE falls back to the single
     best voter when no function qualifies.
+
+    ``function_keys`` is the authoritative set of synthesized-function
+    voter names; when omitted, falls back to the reference's
+    name-substring test (``evaluate_profiler.py:255`` ``"function" in
+    key``) — membership is preferred so a model voter named e.g.
+    ``function-gpt`` is not mis-bucketed.
     """
     ranked = sorted(
         ((v, m) for v, m in metrics.items() if v != gold_key),
@@ -150,10 +157,14 @@ def select_topk(
     best_value = max(best_m["average_f1"], best_m["median_f1"])
     if best_value < keep_thresh and do_end_to_end:
         return []
+
+    def _is_function(v: str) -> bool:
+        return v in function_keys if function_keys is not None else "function" in v
+
     qualified_fns = [
         v
         for v, m in ranked
-        if "function" in v
+        if _is_function(v)
         and (m["average_f1"] >= keep_thresh or m["median_f1"] >= keep_thresh)
         and abs(max(m["average_f1"], m["median_f1"]) - best_value) < cost_thresh
     ]

@@ -103,7 +103,7 @@ def weak_supervision_combine(
     voter_order: list[str],
     voter_accuracies: dict[str, float] | None = None,
     extraction_fraction: float = 0.0,
-    extraction_fraction_thresh: float = 0.8,
+    extraction_fraction_thresh: float = 0.9,
     em_train_files: int = 2000,
 ) -> DataFrame:
     """votes(path, voter, value) → (path, value) by reliability-

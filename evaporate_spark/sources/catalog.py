@@ -47,9 +47,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); without this conf the
-        # vectorized reader raises PARQUET_TYPE_ILLEGAL.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # vectorized reader raises PARQUET_TYPE_ILLEGAL. Scoped to this
+        # read (the conf is captured when the relation is planned), so
+        # other TIMESTAMP(NANOS) parquet reads on the session keep
+        # their own semantics.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            df.schema  # force relation planning while the conf is set
+        finally:
+            spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
     # long (spark.sql.legacy.parquet.nanosAsLong). Truncate to micros —
     # the same thing DuckDB does when reading TIMESTAMP_NS.

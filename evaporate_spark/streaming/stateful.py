@@ -36,7 +36,9 @@ def _update_user_stats(key, pdfs: Iterator, state: GroupState):
         batch_max = pdf["ts"].max()
         if last is None or (batch_max is not None and batch_max > last):
             last = batch_max
-    state.update((n, round(total, 2), last))
+    # state keeps the UNROUNDED sum — re-accumulating from a rounded
+    # base would drift over many micro-batches; round only the output
+    state.update((n, total, last))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)], "last_ts": [last]}
     )

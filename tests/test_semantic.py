@@ -163,8 +163,20 @@ def test_evaluate_and_select_topk():
     # OpenIE drops the attribute when best < keep_thresh
     bad = {"function_9": {"average_f1": 0.1, "median_f1": 0.1, "extraction_fraction": 1.0}}
     assert select_topk(bad, "gold", do_end_to_end=True) == []
-    # ClosedIE falls back to single best voter
+    # ClosedIE falls back to single best voter. PINNED DIVERGENCE: the
+    # reference's get_topk_scripts_per_field (evaluate_profiler.py:
+    # 233-304) returns [] here — its [top_k_scripts[0]] fallback is only
+    # reachable when some function already qualified. We deliberately
+    # run the best voter anyway so ClosedIE always produces a column
+    # (the reference then emits all-'' votes downstream instead).
     assert select_topk(bad, "gold", do_end_to_end=False) == ["function_9"]
+    # membership-based function classification: a model voter whose
+    # NAME contains "function" must not be mis-bucketed as a function
+    mixed = {
+        "function-gpt": {"average_f1": 0.9, "median_f1": 0.9, "extraction_fraction": 1.0},
+        "function_0": {"average_f1": 0.8, "median_f1": 0.8, "extraction_fraction": 1.0},
+    }
+    assert select_topk(mixed, "gold", function_keys={"function_0"}) == ["function_0"]
 
 
 # ---------------------------------------------------------------- sandbox

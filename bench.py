@@ -1,11 +1,22 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+JSON line: {"metric": ..., "value": relational_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully executed (count + a write-free collect of the
-aggregate) so the measured time covers scan→shuffle→result, not just
-plan construction.
+Two query sets:
+
+- RELATIONAL — the three "bench"-tagged TPC-H-style queries, timed the
+  same way every round since r1. ``value`` is their subtotal so the
+  round-over-round headline stays comparable.
+- EXTENDED — the engine's actual capabilities (semantic ClosedIE /
+  OpenIE pipelines, exact + MinHash-LSH dedup, brute-force cosine
+  top-k), timed at the same scale factor and reported per-query plus as
+  ``extended_sec``. Semantic rows also report the LLM token count (the
+  reference's cost unit) via ``tokens``.
+
+Each query is warmed once (JVM + parquet footers + plan) and then fully
+executed, so the measured time covers scan→shuffle→result in steady
+state, not first-touch JIT noise.
 """
 
 from __future__ import annotations
@@ -18,38 +29,55 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from evaporate_spark.plans import REGISTRY  # noqa: E402
+from evaporate_spark.plans import semantic_queries  # noqa: E402
 from evaporate_spark.session import get_spark  # noqa: E402
 
-# headline set: tagged "bench" plus the heaviest non-relational operators
-BENCH_QUERIES = [name for name, spec in REGISTRY.items() if "bench" in spec.tags]
+RELATIONAL = [name for name, spec in REGISTRY.items() if "bench" in spec.tags]
+EXTENDED = [
+    "q_exact_dedup_groups",
+    "q_minhash_lsh_dups",
+    "q_knn_cosine",
+    "q_semantic_closed_ie",
+    "q_semantic_openie",
+]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="evaporate-spark-bench")
-    # warm the JVM + parquet footers + each query's plan once, so per-query
-    # numbers measure steady-state execution, not first-touch JIT noise —
-    # and every query gets the same warm-up treatment.
-    for name in BENCH_QUERIES:
+    names = RELATIONAL + EXTENDED
+    for name in names:
         REGISTRY[name].spark(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    tokens: dict[str, int] = {}
+    for name in names:
         spec = REGISTRY[name]
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
         n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
-    total = round(sum(timings.values()), 3)
+        stats = semantic_queries.LAST_SEMANTIC_STATS.get(name)
+        if stats:
+            tokens[name] = stats["tokens"]
+    relational_sec = round(sum(timings[n] for n in RELATIONAL), 3)
+    extended_sec = round(sum(timings[n] for n in EXTENDED), 3)
     print(
         json.dumps(
             {
+                # value = RELATIONAL subtotal: the number comparable with
+                # r1 (4.548) and r2 (2.773); extended coverage is new in
+                # r3 and tracked via extended_sec + per-query timings
                 "metric": "headline_query_wall_seconds",
-                "value": total,
+                "value": relational_sec,
                 "unit": "sec",
                 "queries": timings,
+                "relational_sec": relational_sec,
+                "extended_sec": extended_sec,
+                "total_sec": round(relational_sec + extended_sec, 3),
+                "tokens": tokens,
                 "sf": sf,
             }
         )

@@ -28,7 +28,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from evaporate_spark.functions.text_stats import fingerprint, rolling_hash_shingles
+from evaporate_spark.functions.text_stats import (
+    fingerprint,
+    rolling_hash_shingles,
+    ws_tokens,
+)
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer splits.
+
+    The shingle/signature expressions are the expensive part of every
+    fuzzy-dedup pass; a small parquet input (one or two splits) would
+    otherwise serialize them onto one or two tasks. On a real cluster
+    the scan already yields thousands of splits and this is a no-op —
+    no extra shuffle at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -80,19 +100,38 @@ def ngram_jaccard_pairs(
     block size — the classic blocked-ER layout. Returns
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
-    sh = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("_id"),
-        rolling_hash_shingles(text_col, k).alias("_sh"),
-    ).where(F.size("_sh") > 0)
-    a = sh.select(*block_cols, F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(*block_cols, F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    base = _widen(
+        df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+        ).where(F.size(ws_tokens(F.col(text_col))) >= k)
+    )
+    sh = base.select(
+        *block_cols, "_id", rolling_hash_shingles(F.col("_text"), k).alias("_sh")
+    )
+    # pair within blocks via groupBy + double explode: shingles are
+    # computed once (a self-join evaluates the shingle expression once
+    # per side), one shuffle on the block key, quadratic only within
+    # the (small) block
+    blocks = sh.groupBy(*block_cols).agg(
+        F.collect_list(F.struct("_id", "_sh")).alias("xs")
+    ).where(F.size("xs") >= 2)
+    pairs = (
+        blocks.select(F.explode("xs").alias("x"), "xs")
+        .select("x", F.explode("xs").alias("y"))
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x._sh").alias("sh_a"),
+            F.col("y._sh").alias("sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        a.join(b, on=block_cols)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(inter / union, 4))
+        pairs.withColumn("jaccard", F.round(inter / union, 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -103,17 +142,33 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle_hash, i). Arrays stay JVM-side throughout.
+def minhash_from_shingles(sh_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from a shingle-hash array column: for seed i,
+    min over shingles of xxhash64(shingle_hash, i).
+
+    Single ``aggregate`` pass (one 32-wide ``least`` merge per shingle)
+    instead of 32 ``transform``+``array_min`` passes: higher-order
+    functions are interpreted per element, so one pass over the array
+    is ~num_hashes× cheaper — and callers can compute the (expensive)
+    shingle array once and reuse it for the sort/verify column.
     """
-    sh = rolling_hash_shingles(text_col, k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    sentinel = F.lit((1 << 63) - 1).cast("long")
+    return F.aggregate(
+        sh_col,
+        F.array_repeat(sentinel, num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature of a text column (shingle → seeded-min family;
+    identical values to ``minhash_from_shingles`` over
+    ``rolling_hash_shingles``)."""
+    return minhash_from_shingles(rolling_hash_shingles(text_col, k), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -134,9 +189,20 @@ def minhash_lsh_pairs(
     deduped with ``dropDuplicates`` before the estimate filter.
     """
     rows_per_band = num_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("_id"), minhash_signature(text_col, num_hashes, k).alias("_sig"))
-        .where(F.size("_sig") > 0)
+    # docs with < k tokens have no shingles and can't near-dup (and
+    # would otherwise share the sentinel signature); the token-count
+    # predicate is cheap and pushes to the scan WITHOUT dragging the
+    # shingle expression below the projection
+    base = _widen(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).where(
+            F.size(ws_tokens(F.col(text_col))) >= k
+        )
+    )
+    sig = base.select(
+        "_id",
+        minhash_from_shingles(rolling_hash_shingles(F.col("_text"), k), num_hashes).alias(
+            "_sig"
+        ),
     )
     banded = sig.select(
         "_id",
@@ -155,12 +221,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
-    a = banded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
-    b = banded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    # pair WITHIN buckets via groupBy + double explode instead of a
+    # bucket-key self-join: the signature pipeline executes exactly
+    # once (a self-join evaluates it once per side), the only shuffle
+    # is the (band, bucket) aggregation, and pairing stays quadratic
+    # only in the (small) bucket size
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("_id", "_sig")).alias("xs"))
+        .where(F.size("xs") >= 2)
+    )
     cand = (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        buckets.select(F.explode("xs").alias("x"), "xs")
+        .select("x", F.explode("xs").alias("y"))
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x._sig").alias("sig_a"),
+            F.col("y._sig").alias("sig_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     agree = F.size(
@@ -194,11 +274,19 @@ def lsh_exact_dup_pairs(
     set-equality relation — deterministic and oracle-checkable.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_sort(rolling_hash_shingles(text_col, k)).alias("_sh"),
-        minhash_signature(text_col, num_hashes, k).alias("_sig"),
-    ).where(F.size("_sh") > 0)
+    base = _widen(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).where(
+            F.size(ws_tokens(F.col(text_col))) >= k
+        )
+    )
+    shingled = base.select(
+        "_id", rolling_hash_shingles(F.col("_text"), k).alias("_shg")
+    )
+    sig = shingled.select(
+        "_id",
+        F.array_sort("_shg").alias("_sh"),
+        minhash_from_shingles(F.col("_shg"), num_hashes).alias("_sig"),
+    )
     banded = sig.select(
         "_id",
         "_sh",
@@ -216,13 +304,20 @@ def lsh_exact_dup_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_sh", "bb.band", "bb.bucket")
-    a = banded.select("band", "bucket", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = banded.select("band", "bucket", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    # groupBy-bucket pairing (see minhash_lsh_pairs): one signature
+    # pass, one shuffle, quadratic only within a bucket; the full
+    # sorted shingle arrays are compared for the exact-verify step, so
+    # the output is exactly the set-equality relation
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("_id", "_sh")).alias("xs"))
+        .where(F.size("xs") >= 2)
+    )
     return (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.col("sh_a") == F.col("sh_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode("xs").alias("x"), "xs")
+        .select("x", F.explode("xs").alias("y"))
+        .where((F.col("x._id") < F.col("y._id")) & (F.col("x._sh") == F.col("y._sh")))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -290,7 +385,9 @@ def simhash_dup_pairs(
     bands; any pair within distance 3 agrees exactly on >=1 band, so
     the self-join runs on band buckets, never all-pairs.
     """
-    fp = df.select(F.col(id_col).alias("_id"), simhash64(text_col, k).alias("_fp"))
+    fp = _widen(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))).select(
+        "_id", simhash64(F.col("_text"), k).alias("_fp")
+    )
     banded = fp.select(
         "_id",
         "_fp",
@@ -306,11 +403,23 @@ def simhash_dup_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_fp", "bb.band", "bb.bucket")
-    a = banded.select("band", "bucket", F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
-    b = banded.select("band", "bucket", F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
+    # groupBy-bucket pairing (see minhash_lsh_pairs): the SimHash
+    # aggregate — the expensive 64-wide fold — runs exactly once
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("_id", "_fp")).alias("xs"))
+        .where(F.size("xs") >= 2)
+    )
     return (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode("xs").alias("x"), "xs")
+        .select("x", F.explode("xs").alias("y"))
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x._fp").alias("fp_a"),
+            F.col("y._fp").alias("fp_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
         .where(F.col("hamming") <= max_hamming)
@@ -337,17 +446,32 @@ def embedding_near_dup_pairs(
     """
     from evaporate_spark.operators.similarity import cosine
 
-    v = df.select(
-        *block_cols,
-        F.col(id_col).alias("_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    # cast once, shuffle once on the block key, then stream pairs via a
+    # sort-merge self-join. For WIDE payloads (128-dim vectors) the
+    # groupBy+double-explode pairing used by the text dedup operators
+    # is worse — the first explode drags the whole block's vector array
+    # along every row — while SMJ streams the sorted block without
+    # materializing it k times.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    v = (
+        df.select(*block_cols, F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+        .repartition(target, *block_cols)
+        .select(
+            *block_cols,
+            "_id",
+            F.transform("_e", lambda x: x.cast("double")).alias("_v"),
+        )
     )
-    a = v.select(*block_cols, F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
-    b = v.select(*block_cols, F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    cond = F.lit(True)
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
-        a.join(b, on=block_cols)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        v.alias("a")
+        .join(v.alias("b"), cond & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 4).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
     )

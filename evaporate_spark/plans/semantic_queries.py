@@ -29,6 +29,11 @@ from pyspark.sql import Window
 from evaporate_spark.plans.queries import _t, register
 from evaporate_spark.sources.catalog import load_table
 
+#: side-channel stats from the most recent run of each semantic query
+#: (LLM token counts — the reference's cost unit — for bench reporting;
+#: the registry callables themselves only return DataFrames)
+LAST_SEMANTIC_STATS: dict[str, dict] = {}
+
 
 # ---------------------------------------------------------------------------
 # semantic pipeline (ClosedIE end-to-end)
@@ -72,6 +77,7 @@ def q_semantic_closed_ie(spark: SparkSession, sf_dir: str) -> DataFrame:
         ProfileConfig(train_size=10, chunk_size=2000),
     )
     assert result.extractions is not None
+    LAST_SEMANTIC_STATS["q_semantic_closed_ie"] = {"tokens": result.total_tokens}
     return result.extractions.select("path", "value")
 
 
@@ -560,6 +566,7 @@ def q_semantic_openie(spark: SparkSession, sf_dir: str) -> DataFrame:
     data.profile_all(topic="documents", validity_check=True)
     view = data.view()
     assert view is not None
+    LAST_SEMANTIC_STATS["q_semantic_openie"] = {"tokens": data.total_tokens}
     return view.select("path", "doc_id", "lang", "source", "text")
 
 

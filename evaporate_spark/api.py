@@ -51,11 +51,14 @@ class EvaporateData:
         client: LLMClient | None = None,
         gold_client: LLMClient | None = None,
         config: ProfileConfig | None = None,
+        extra_clients: list[LLMClient] | None = None,
     ):
         self.spark = spark
         self.config = config or ProfileConfig()
         self.client = client or KeyValueMockLLM()
         self.gold_client = gold_client or self.client
+        # additional extraction models ensembled as voters (§2A#25)
+        self.extra_clients = list(extra_clients or [])
         if docs is not None:
             self.docs = docs
         elif data_dir is not None:
@@ -146,7 +149,7 @@ class EvaporateData:
         t0 = time.perf_counter()
         result = profile_attribute(
             self.docs, attribute, self.client, self.config, self.gold_client,
-            chunks=self._get_chunks(),
+            chunks=self._get_chunks(), extra_clients=self.extra_clients,
         )
         self.results.append(result)
         self._stage("profile", t0, result.total_tokens)
@@ -176,7 +179,7 @@ class EvaporateData:
                 pool.map(
                     lambda a: profile_attribute(
                         self.docs, a, self.client, self.config, self.gold_client,
-                        chunks=chunks,
+                        chunks=chunks, extra_clients=self.extra_clients,
                     ),
                     attributes,
                 )

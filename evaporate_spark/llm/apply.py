@@ -81,6 +81,7 @@ def llm_map(
     max_tokens: int = 256,
     cache_dir: str | None = None,
     token_accumulator=None,
+    err_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = client completion of ``prompt_col``.
 
@@ -88,6 +89,12 @@ def llm_map(
     and joined back — the batch analog of the reference's per-prompt
     memoization. With ``cache_dir`` set, previously-seen prompts never
     reach the client again, across runs.
+
+    A ``ContextLengthError`` from the client never fails the task: the
+    row's completion becomes '' and — when ``err_col`` is given — the
+    error name surfaces there ('context_length', NULL otherwise), so
+    callers can re-prompt failing rows (``direct_extract`` trims the
+    chunk and retries). Errored rows are never written to the cache.
     """
     from evaporate_spark.llm.client import approx_token_count
 
@@ -111,17 +118,32 @@ def llm_map(
         misses = distinct_prompts
 
     def run_batches(batches: Iterator) -> Iterator:
+        from evaporate_spark.llm.client import ContextLengthError
+
         for pdf in batches:
             prompts = pdf["_prompt"].tolist()
-            outs = client.complete_batch(prompts, max_tokens=max_tokens)
+            try:
+                outs = client.complete_batch(prompts, max_tokens=max_tokens)
+                errs: list[str | None] = [None] * len(outs)
+            except ContextLengthError:
+                # batch had an oversized prompt: degrade to per-prompt
+                # so only the offending rows error out
+                outs, errs = [], []
+                for p in prompts:
+                    try:
+                        outs.append(client.complete(p, max_tokens=max_tokens))
+                        errs.append(None)
+                    except ContextLengthError:
+                        outs.append("")
+                        errs.append("context_length")
             ntoks = [
-                approx_token_count(p) + approx_token_count(o)
-                for p, o in zip(prompts, outs)
+                0 if e else approx_token_count(p) + approx_token_count(o)
+                for p, o, e in zip(prompts, outs, errs)
             ]
             if token_accumulator is not None:
                 token_accumulator.add(int(sum(ntoks)))
-            yield pdf.assign(_completion=outs, _ntok=ntoks)[
-                ["_ck", "_completion", "_ntok"]
+            yield pdf.assign(_completion=outs, _ntok=ntoks, _err=errs)[
+                ["_ck", "_completion", "_ntok", "_err"]
             ]
 
     # localCheckpoint materializes the completions ONCE (the only
@@ -135,30 +157,37 @@ def llm_map(
     #    when the plans meet in a union (observed: second pass loses
     #    its completions).
     fresh = misses.mapInPandas(
-        run_batches, schema="_ck string, _completion string, _ntok long"
+        run_batches, schema="_ck string, _completion string, _ntok long, _err string"
     ).localCheckpoint(eager=True)
 
-    if cache_dir is not None and not fresh.isEmpty():
+    good = fresh.where(F.col("_err").isNull())
+    if cache_dir is not None and not good.isEmpty():
         ensure_local_dir(cache_dir)
         with _CACHE_WRITE_LOCK:
-            fresh.select(
+            good.select(
                 F.col("_ck").alias("cache_key"),
                 F.col("_completion").alias("completion"),
                 F.col("_ntok").alias("n_tokens"),
             ).write.mode("append").parquet(cache_dir)
 
-    answers = fresh.select("_ck", "_completion")
+    answers = fresh.select("_ck", "_completion", "_err")
     if cached is not None:
         answers = answers.unionByName(
-            cached.select("_ck", F.col("completion").alias("_completion"))
+            cached.select(
+                "_ck",
+                F.col("completion").alias("_completion"),
+                F.lit(None).cast("string").alias("_err"),
+            )
         )
     # the cached leg's lazy scan may re-list the directory AFTER this
     # call's own append (a later llm_map on the same dir refreshes the
     # listing), in which case miss keys would appear in both legs
     answers = answers.dropDuplicates(["_ck"])
 
-    return (
+    out = (
         keyed.join(answers, "_ck", "left")
         .withColumn(out_col, F.coalesce("_completion", F.lit("")))
-        .drop("_ck", "_completion")
     )
+    if err_col is not None:
+        out = out.withColumn(err_col, F.col("_err"))
+    return out.drop("_ck", "_completion", "_err")

@@ -31,11 +31,26 @@ def approx_token_count(text: str) -> int:
     return len(re.findall(r"\w+|[^\w\s]", text))
 
 
+class ContextLengthError(RuntimeError):
+    """The prompt exceeded the backend's context window.
+
+    The engine's analog of the reference's ``has_context_length_error``
+    signal (``reference/evaporate/profiler.py:484-488``): backends raise
+    it per prompt; ``llm_map`` captures it per row instead of failing
+    the task, and ``direct_extract`` re-prompts the failing chunks
+    through ``trim_chunk``."""
+
+
 class LLMClient:
     """Base class: a picklable completion backend."""
 
     #: identifier used in cache keys and vote names
     name: str = "llm"
+
+    #: declared context window (approx tokens); None = unbounded. A
+    #: backend that can raise ContextLengthError should set this so
+    #: operators know to wire the trim-retry path.
+    max_context_tokens: int | None = None
 
     def complete(self, prompt: str, max_tokens: int = 256) -> str:
         raise NotImplementedError
@@ -61,8 +76,16 @@ class MockLLM(LLMClient):
     name: str = "mock-llm"
     calls: int = 0
     tokens: int = 0
+    max_context_tokens: int | None = None
 
     def complete(self, prompt: str, max_tokens: int = 256) -> str:
+        if (
+            self.max_context_tokens is not None
+            and approx_token_count(prompt) > self.max_context_tokens
+        ):
+            raise ContextLengthError(
+                f"{approx_token_count(prompt)} tokens > {self.max_context_tokens}"
+            )
         self.calls += 1
         if prompt in self.canned:
             out = self.canned[prompt]

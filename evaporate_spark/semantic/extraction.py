@@ -61,6 +61,7 @@ def _extract_pass(
     max_tokens: int,
     cache_dir: str | None,
     token_accumulator,
+    err_col: str | None = None,
 ) -> DataFrame:
     prompts = chunks.select(
         "path", "chunk_id", _prompt_col(template, attribute).alias("prompt")
@@ -71,13 +72,34 @@ def _extract_pass(
         cache_dir=cache_dir,
         max_tokens=max_tokens,
         token_accumulator=token_accumulator,
+        err_col=err_col,
     )
-    return done.select(
-        "path",
-        "chunk_id",
+    cols = [
+        F.col("path"),
+        F.col("chunk_id"),
         F.lit(prompt_idx).alias("prompt_idx"),
         _parse_completion().alias("extraction"),
-    )
+    ]
+    if err_col is not None:
+        cols.append(F.col(err_col))
+    return done.select(*cols)
+
+
+def _trim_chunk_udf(attribute: str, window: int = 20):
+    """Vectorized ``trim_chunk`` (intent-repaired window AROUND the
+    mention) for the context-length retry."""
+    from evaporate_spark.semantic.filtering import trim_chunk
+
+    @pandas_udf("string")
+    def _trim(chunks: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                trim_chunk(c or "", attribute, window=window, include_mention=True)
+                for c in chunks
+            ]
+        )
+
+    return _trim
 
 
 def _finalize_udf():
@@ -115,11 +137,49 @@ def direct_extract(
     token_accumulator=None,
 ) -> DataFrame:
     """chunks(path, chunk_id, chunk) → votes(path, voter, value,
-    candidates) with one row per document."""
+    candidates) with one row per document.
+
+    Context-length adaptation (§2A#10, the reference's trim-and-retry
+    at ``profiler.py:487-488``): when the client declares
+    ``max_context_tokens``, chunks whose prompt the client rejects with
+    ``ContextLengthError`` are re-prompted once through ``trim_chunk``
+    (window kept AROUND the mention so the value span survives). A
+    chunk that still overflows after trimming votes '' like any other
+    failed extraction."""
     template = (EXTRACT_ZERO_SHOT if zero_shot else EXTRACT_WITH_CONTEXT)[0]
+    limited = getattr(client, "max_context_tokens", None) is not None
     parsed = _extract_pass(
-        chunks, template, attribute, client, 0, max_tokens, cache_dir, token_accumulator
+        chunks,
+        template,
+        attribute,
+        client,
+        0,
+        max_tokens,
+        cache_dir,
+        token_accumulator,
+        err_col="_llm_err" if limited else None,
     )
+    if limited:
+        failed = parsed.where(F.col("_llm_err") == "context_length").select(
+            "path", "chunk_id"
+        )
+        ok = parsed.where(
+            F.col("_llm_err").isNull() | (F.col("_llm_err") != "context_length")
+        ).drop("_llm_err")
+        trimmed_chunks = chunks.join(failed, ["path", "chunk_id"], "left_semi").withColumn(
+            "chunk", _trim_chunk_udf(attribute)(F.col("chunk"))
+        )
+        retried = _extract_pass(
+            trimmed_chunks,
+            template,
+            attribute,
+            client,
+            0,
+            max_tokens,
+            cache_dir,
+            token_accumulator,
+        )
+        parsed = ok.unionByName(retried)
 
     if collecting_preds:
         # files where every span came back empty retry with the

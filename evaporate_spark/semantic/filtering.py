@@ -92,17 +92,28 @@ def filter_chunks_for_attribute(
     )
 
 
-def trim_chunk(chunk: str, attribute: str, window: int = 20) -> str:
+def trim_chunk(
+    chunk: str, attribute: str, window: int = 20, include_mention: bool = False
+) -> str:
     """Context trimmer for context-length errors
-    (``reference/evaporate/profiler.py:413-439``): keep a ±window-token
+    (``reference/evaporate/profiler.py:413-439``): keep a window-token
     span around the first attribute mention, else the best 50-token
-    mini-chunk by attribute-word hits."""
+    mini-chunk by attribute-word hits.
+
+    The reference's upper bound is ``min(len(chunk), index)`` — the
+    CHARACTER length never binds, so its span ends right BEFORE the
+    mention and the value text is cut off. Default matches that
+    (parity-tested); the context-length retry path passes
+    ``include_mention=True`` (the comment-stated intent: a window
+    *around* the mention) so the re-prompt still contains the span to
+    extract."""
     toks = chunk.lower().split()
     attr = attribute.lower()
     hits = [i for i, t in enumerate(toks) if attr in t]
     if hits:
         i = hits[0]
-        return " ".join(toks[max(0, i - window) : min(len(toks), i)])
+        hi = min(len(toks), i + window + 1) if include_mention else min(len(toks), i)
+        return " ".join(toks[max(0, i - window) : hi])
     minis = [" ".join(toks[i : i + 50]) for i in range(0, len(toks), 50)]
     if not minis:
         return ""

@@ -104,6 +104,7 @@ def profile_attribute(
     config: ProfileConfig | None = None,
     gold_client: LLMClient | None = None,
     chunks: DataFrame | None = None,
+    extra_clients: list[LLMClient] | None = None,
 ) -> ProfileResult:
     """Run the full PREDICT → SCORE → APPLY → COMBINE kernel for one
     attribute over a documents(path, content, doc_type, ...) frame.
@@ -113,11 +114,22 @@ def profile_attribute(
     the lake is chunked ONCE per run, not once per attribute
     (EvaporateData does this; the reference caches chunks the same
     way, run_profiler.py:55-85).
+
+    ``extra_clients`` are additional extraction MODELS ensembled as
+    voters alongside the synthesized functions (the reference's MODELS
+    list, ``profiler.py:188-244``): each direct-extracts on the train
+    sample, is scored against the gold key like any function, and — if
+    selected — direct-extracts over the full lake's filtered chunks.
     """
     cfg = config or ProfileConfig()
     attribute = attribute.lower()
     gold_client = gold_client or client
     gold_key = gold_client.name
+    # model voters keyed by name; the gold client resolves by its own
+    # name so a selected gold voter re-runs with the right backend
+    model_clients = {
+        c.name: c for c in (extra_clients or []) if c.name != gold_key
+    }
     spark = docs.sparkSession
     tokens = spark.sparkContext.accumulator(0)
 
@@ -173,6 +185,22 @@ def profile_attribute(
         for row in sample_fn_votes:
             votes.setdefault(row["voter"], {})[row["path"]] = row["value"]
 
+    # model voters extract on the SAMPLE and are scored like functions
+    # (reference PREDICT collects preds for every model in MODELS,
+    # profiler.py:539-571)
+    for mc in model_clients.values():
+        model_rows = direct_extract(
+            sample_chunks,
+            attribute,
+            mc,
+            voter_name=mc.name,
+            collecting_preds=True,
+            max_tokens=cfg.max_extract_tokens,
+            cache_dir=cfg.cache_dir,
+            token_accumulator=tokens,
+        ).collect()
+        votes[mc.name] = {r["path"]: r["value"] for r in model_rows}
+
     # SCORE + top-k select
     metrics = evaluate_voters(
         votes,
@@ -210,15 +238,17 @@ def profile_attribute(
         )
     for voter in selected:
         if voter not in functions:
-            # model voter in the ensemble (§2A#25): today `votes` holds
-            # only gold + function voters, so this activates once
-            # additional extraction models are registered as voters —
-            # wired now so the ensemble surface matches the reference
+            # model voter in the ensemble (§2A#25): a selected
+            # extraction model direct-extracts over the full lake's
+            # filtered chunks, exactly like the reference's
+            # `elif key in MODELS` branch (profiler.py:221-232)
             lake_vote_frames.append(
                 direct_extract(
                     filtered,
                     attribute,
-                    gold_client if voter == gold_key else client,
+                    model_clients.get(
+                        voter, gold_client if voter == gold_key else client
+                    ),
                     voter_name=voter,
                     max_tokens=cfg.max_extract_tokens,
                     cache_dir=cfg.cache_dir,

@@ -121,6 +121,58 @@ def test_missing_attribute_dropped(spark, lake):
     assert result.dropped and result.extractions is None
 
 
+def make_extract_only_responder():
+    """Answers span-extraction prompts from the chunk; no synthesis."""
+
+    def respond(prompt: str) -> str:
+        attrs = re.findall(r'Return the full "([^"]+)"', prompt) or re.findall(
+            r'What is the "([^"]+)" value', prompt
+        )
+        if attrs:
+            attr = attrs[-1]
+            vals = re.findall(rf"^{re.escape(attr)}:\s*(.+)$", prompt, re.MULTILINE)
+            return f"[{attr}: {vals[-1].strip()}]" if vals else "[]"
+        if "Which single candidate" in prompt:
+            for line in prompt.split("\n"):
+                if line.startswith("- "):
+                    return line[2:]
+        return ""
+
+    return respond
+
+
+def test_model_voter_ensemble(spark, lake):
+    """§2A#25: an extra extraction MODEL is scored like a function and,
+    when every synthesized function flunks keep_thresh, the ClosedIE
+    fallback selects it and it direct-extracts over the FULL lake —
+    the reference's `elif key in MODELS` branch (profiler.py:221-232).
+    """
+    # synthesizer produces only garbage functions (both prompt styles
+    # wrap this bare body), so no function clears keep_thresh
+    bad_synth = MockLLM(default="return ['garbage']", name="synth-bad")
+    gold = MockLLM(responder=make_extract_only_responder(), name="gold-model")
+    model_b = MockLLM(responder=make_extract_only_responder(), name="model-b")
+    cfg = ProfileConfig(train_size=5, chunk_size=400)
+
+    # without the model voter: the bad function is the only voter and
+    # the ClosedIE fallback runs it lake-wide → garbage everywhere
+    r_without = profile_attribute(lake, "author", bad_synth, cfg, gold_client=gold)
+    assert r_without.selected and r_without.selected[0] in r_without.functions
+    got_without = {r["path"]: r["value"] for r in r_without.extractions.collect()}
+    assert set(got_without.values()) == {"garbage"}
+
+    # with the model voter: select_topk picks it (F1 1.0 vs gold) over
+    # the flunking functions, and the MV outcome flips to the truth
+    r_with = profile_attribute(
+        lake, "author", bad_synth, cfg, gold_client=gold, extra_clients=[model_b]
+    )
+    assert r_with.selected == ["model-b"]
+    assert "model-b" not in r_with.functions
+    assert r_with.metrics["model-b"]["average_f1"] == 1.0
+    got_with = {r["path"]: r["value"] for r in r_with.extractions.collect()}
+    assert got_with == {f"doc://{i}": AUTHORS[i] for i in range(20)}
+
+
 def test_prompt_cache_reuse(spark, lake, tmp_path):
     cache = str(tmp_path / "pc3")
     client = MockLLM(responder=make_responder())

@@ -98,6 +98,57 @@ def test_trim_chunk():
     trimmed = trim_chunk(chunk, "price")
     assert 0 < len(trimmed.split()) <= 20
     assert trim_chunk("no mention here at all", "price")
+    # intent-repaired mode keeps the mention and the span after it
+    assert "price:$5" in trim_chunk(chunk, "price", include_mention=True)
+
+
+def test_context_length_trim_retry(spark):
+    """§2A#10 wiring: a limited-context client rejects the full-chunk
+    prompt (ContextLengthError); direct_extract re-prompts the chunk
+    through trim_chunk and the value is still extracted."""
+    import re as _re
+
+    from evaporate_spark.llm.client import MockLLM, approx_token_count
+    from evaporate_spark.llm.prompts import EXTRACT_WITH_CONTEXT
+    from evaporate_spark.semantic.extraction import direct_extract
+
+    chunk = " ".join(["pad"] * 300) + " author: jane smith " + " ".join(["t"] * 300)
+    full_prompt = EXTRACT_WITH_CONTEXT[0].replace("{attribute}", "author").replace(
+        "{chunk}", chunk
+    )
+
+    def respond(prompt: str) -> str:
+        return (
+            "[author: jane smith]"
+            if _re.search(r"author:\s*jane smith", prompt)
+            else "[]"
+        )
+
+    limit = approx_token_count(full_prompt) - 1
+    client = MockLLM(responder=respond, name="tiny-ctx", max_context_tokens=limit)
+    chunks = spark.createDataFrame([("f1", 0, chunk)], ["path", "chunk_id", "chunk"])
+
+    # untrimmed, the prompt fails: llm_map surfaces the per-row error
+    from evaporate_spark.llm.apply import llm_map
+
+    raw = llm_map(
+        chunks.selectExpr("path", "chunk_id", "chunk as prompt").withColumn(
+            "prompt",
+            F.concat(
+                F.lit(full_prompt.split(chunk)[0]),
+                F.col("prompt"),
+                F.lit(full_prompt.split(chunk)[1]),
+            ),
+        ),
+        client,
+        err_col="err",
+    ).collect()
+    assert raw[0]["completion"] == "" and raw[0]["err"] == "context_length"
+
+    # with the trim-retry wiring, the value survives
+    votes = direct_extract(chunks, "author", client).collect()
+    assert len(votes) == 1
+    assert votes[0]["value"] == "jane smith"
 
 
 # ---------------------------------------------------------------- sampling

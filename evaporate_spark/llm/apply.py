@@ -82,6 +82,7 @@ def llm_map(
     cache_dir: str | None = None,
     token_accumulator=None,
     err_col: str | None = None,
+    breaker_threshold: int = 10,
 ) -> DataFrame:
     """Append ``out_col`` = client completion of ``prompt_col``.
 
@@ -90,11 +91,20 @@ def llm_map(
     memoization. With ``cache_dir`` set, previously-seen prompts never
     reach the client again, across runs.
 
-    A ``ContextLengthError`` from the client never fails the task: the
-    row's completion becomes '' and — when ``err_col`` is given — the
-    error name surfaces there ('context_length', NULL otherwise), so
-    callers can re-prompt failing rows (``direct_extract`` trims the
-    chunk and retries). Errored rows are never written to the cache.
+    Client failures never fail the task; the row's completion becomes
+    '' and — when ``err_col`` is given — the error name surfaces there
+    (NULL on success):
+
+    - ``context_length``: prompt exceeded the context window; callers
+      can re-prompt (``direct_extract`` trims the chunk and retries).
+    - ``llm_error``: any other client exception, after one retry.
+    - ``circuit_open``: skipped — more than ``breaker_threshold``
+      CONSECUTIVE failures tripped the per-partition breaker (the
+      reference's >10-consecutive-errors bail-out,
+      ``profiler.py:474-477``); any success closes it again.
+
+    Errored rows are never written to the cache, so a later run retries
+    them.
     """
     from evaporate_spark.llm.client import approx_token_count
 
@@ -120,22 +130,45 @@ def llm_map(
     def run_batches(batches: Iterator) -> Iterator:
         from evaporate_spark.llm.client import ContextLengthError
 
+        consecutive = 0  # per-partition consecutive-failure counter
         for pdf in batches:
             prompts = pdf["_prompt"].tolist()
+            outs: list[str] = []
+            errs: list[str | None] = []
             try:
+                if consecutive > breaker_threshold:
+                    raise RuntimeError("breaker open")
                 outs = client.complete_batch(prompts, max_tokens=max_tokens)
-                errs: list[str | None] = [None] * len(outs)
-            except ContextLengthError:
-                # batch had an oversized prompt: degrade to per-prompt
-                # so only the offending rows error out
+                errs = [None] * len(outs)
+                consecutive = 0
+            except Exception:
+                # batch had a failing prompt (or the breaker is open):
+                # degrade to per-prompt so only offending rows error out
                 outs, errs = [], []
                 for p in prompts:
+                    if consecutive > breaker_threshold:
+                        outs.append("")
+                        errs.append("circuit_open")
+                        continue
                     try:
                         outs.append(client.complete(p, max_tokens=max_tokens))
                         errs.append(None)
+                        consecutive = 0
                     except ContextLengthError:
+                        # deterministic per prompt — retrying or counting
+                        # it toward the breaker would be noise; the
+                        # caller's trim-retry path owns it
                         outs.append("")
                         errs.append("context_length")
+                    except Exception:
+                        try:  # one retry before giving up on the row
+                            outs.append(client.complete(p, max_tokens=max_tokens))
+                            errs.append(None)
+                            consecutive = 0
+                        except Exception:
+                            outs.append("")
+                            errs.append("llm_error")
+                            consecutive += 1
             ntoks = [
                 0 if e else approx_token_count(p) + approx_token_count(o)
                 for p, o, e in zip(prompts, outs, errs)

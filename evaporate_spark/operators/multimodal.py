@@ -4,8 +4,9 @@ extraction.
 
 What is REAL here (runs at 100 TB, fully JVM-side):
 - magic-byte media-type sniffing (hex prefix match),
-- PNG dimension extraction straight from the IHDR header bytes
-  (big-endian u32 at offsets 17/21) — no image library, whole-stage
+- PNG / GIF / JPEG dimension extraction straight from header bytes
+  (PNG IHDR big-endian u32s, GIF logical-screen little-endian u16s, a
+  bounded JPEG SOF marker walk) — no image library, whole-stage
   codegen friendly,
 - the decode plumbing: schema, partition-parallel ``mapInPandas``
   batching, per-row error capture.
@@ -57,24 +58,84 @@ def _be_u32(c: Column, pos: int) -> Column:
     return F.conv(F.hex(F.substring(c, pos, 4)), 16, 10).cast("long")
 
 
+def _u8(c: Column, pos: Column) -> Column:
+    return F.conv(F.hex(c.substr(pos, F.lit(1))), 16, 10).cast("long")
+
+
+def _be_u16(c: Column, pos: Column) -> Column:
+    return F.conv(F.hex(c.substr(pos, F.lit(2))), 16, 10).cast("long")
+
+
+#: JPEG SOF markers carrying the frame header (C0-CF minus DHT C4,
+#: JPG C8 and DAC CC) — ITU T.81 table B.1
+_JPEG_SOF_MARKERS = [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+
+#: segments to walk before giving up (EXIF blobs are ONE segment no
+#: matter their size, so real files reach SOF within a handful)
+_JPEG_MAX_SEGMENTS = 8
+
+
 def media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:
     """Attach (media_type, n_bytes, width, height) columns.
 
-    Dimensions are header-parsed for PNG (IHDR width/height at byte
-    offsets 17/21); other formats yield NULL dims — extend per format
-    with the same substring/conv pattern.
+    Dimensions are header-parsed with pure expressions — no image
+    library, whole-stage-codegen friendly:
+
+    - PNG: IHDR big-endian u32 at byte offsets 17/21,
+    - GIF: logical-screen-descriptor little-endian u16 at offsets 7/9,
+    - JPEG: bounded marker walk (``_JPEG_MAX_SEGMENTS`` steps) to the
+      SOF frame header; each step is a NAMED intermediate column, so
+      the plan stays linear instead of nesting the position expression
+      exponentially. Truncated/malformed files yield NULL dims (out-of-
+      range substr → empty hex → NULL conv), never an error.
     """
     c = F.col(binary_col)
     mt = sniff_media_type(c)
-    is_png = mt == "png"
-    return df.withColumns(
+    out = df.withColumns(
         {
             "media_type": mt,
             "n_bytes": F.length(c).cast("bigint"),
-            "width": F.when(is_png, _be_u32(c, 17)).cast("long"),
-            "height": F.when(is_png, _be_u32(c, 21)).cast("long"),
         }
     )
+    is_png = F.col("media_type") == "png"
+    is_gif = F.col("media_type") == "gif"
+    is_jpeg = F.col("media_type") == "jpeg"
+
+    # JPEG walk: SOI is bytes 1-2; the first segment marker sits at 3
+    out = out.withColumns(
+        {
+            "_jpos": F.when(is_jpeg, F.lit(3).cast("long")),
+            "_jw": F.lit(None).cast("long"),
+            "_jh": F.lit(None).cast("long"),
+        }
+    )
+    for _ in range(_JPEG_MAX_SEGMENTS):
+        pos = F.col("_jpos")
+        is_sof = (_u8(c, pos) == 0xFF) & _u8(c, pos + 1).isin(_JPEG_SOF_MARKERS)
+        take = F.col("_jw").isNull() & is_sof
+        out = out.withColumns(
+            {
+                # SOF payload: len(2) precision(1) height(2) width(2)
+                "_jh": F.when(take, _be_u16(c, pos + 5)).otherwise(F.col("_jh")),
+                "_jw": F.when(take, _be_u16(c, pos + 7)).otherwise(F.col("_jw")),
+                "_jpos": pos + 2 + _be_u16(c, pos + 2),
+            }
+        )
+
+    gif_w = _u8(c, F.lit(7).cast("long")) + 256 * _u8(c, F.lit(8).cast("long"))
+    gif_h = _u8(c, F.lit(9).cast("long")) + 256 * _u8(c, F.lit(10).cast("long"))
+    return out.withColumns(
+        {
+            "width": F.when(is_png, _be_u32(c, 17))
+            .when(is_gif, gif_w)
+            .when(is_jpeg, F.col("_jw"))
+            .cast("long"),
+            "height": F.when(is_png, _be_u32(c, 21))
+            .when(is_gif, gif_h)
+            .when(is_jpeg, F.col("_jh"))
+            .cast("long"),
+        }
+    ).drop("_jpos", "_jw", "_jh")
 
 
 DECODE_SCHEMA = (

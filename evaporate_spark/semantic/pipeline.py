@@ -49,6 +49,9 @@ class ProfileConfig:
     cache_dir: str | None = None
     max_extract_tokens: int = 100
     max_synth_tokens: int = 500
+    # "in_process" (reference-like, fastest) | "subprocess" (hard-kill
+    # isolation for hostile synthesized code) — see semantic/sandbox.py
+    sandbox_mode: str = "in_process"
 
 
 @dataclass
@@ -180,7 +183,7 @@ def profile_attribute(
     votes: dict[str, dict[str, str]] = {gold_key: gold_map}
     if functions:
         sample_fn_votes = run_functions(
-            sample, functions, attribute, cache_dir=fn_cache
+            sample, functions, attribute, cache_dir=fn_cache, mode=cfg.sandbox_mode
         ).collect()
         for row in sample_fn_votes:
             votes.setdefault(row["voter"], {})[row["path"]] = row["value"]
@@ -234,7 +237,9 @@ def profile_attribute(
     selected_fns = {k: functions[k] for k in selected if k in functions}
     if selected_fns:
         lake_vote_frames.append(
-            run_functions(docs, selected_fns, attribute, cache_dir=fn_cache)
+            run_functions(
+                docs, selected_fns, attribute, cache_dir=fn_cache, mode=cfg.sandbox_mode
+            )
         )
     for voter in selected:
         if voter not in functions:

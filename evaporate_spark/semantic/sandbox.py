@@ -19,10 +19,17 @@ Spark-first divergences (documented, deliberate):
   applied row-wise inside ``mapInPandas`` — Arrow-batched in, one
   output row per (path, function).
 
-Trust model: synthesized code runs with interpreter builtins, like the
-reference. A hostile-model deployment should swap ``_execute`` for a
-subprocess pool; the operator contract (votes in, votes out) is
-unchanged.
+Trust model, two modes (``run_functions(mode=...)``):
+
+- ``"in_process"`` (default): synthesized code execs with interpreter
+  builtins, like the reference — fastest, but a timed-out call leaks a
+  bounded worker thread and hostile code shares the executor process.
+- ``"subprocess"``: each function runs in a forked worker process per
+  (task, function); a wall-clock overrun or a worker the code kills
+  (``os._exit``, segfault) is HARD-KILLED and restarted — no leaked
+  threads, and the executor survives anything the code does short of
+  filesystem/network side effects. Same row semantics (retry on
+  preprocessed text, 2-timeout breaker, '' on any failure).
 """
 
 from __future__ import annotations
@@ -114,6 +121,10 @@ class _FnRunner:
                 pass
         return clean_function_predictions(dedup_preserving_order(results), self.attribute)
 
+    def close(self) -> None:
+        if self.pool is not None:
+            self.pool.shutdown(wait=False)
+
     def _extract_unguarded(self, text: str) -> str:
         """Row semantics identical to :meth:`extract` but without the
         per-call wall clock — only ever invoked INSIDE a batch-level
@@ -162,6 +173,164 @@ class _FnRunner:
         return out
 
 
+def _subprocess_worker(conn, source: str, attribute: str) -> None:
+    """Child-process loop: compile once, then answer text batches until
+    the parent closes the pipe. Runs the same per-row semantics as
+    :meth:`_FnRunner._extract_unguarded`."""
+    field = function_field_name(attribute)
+    fn = None
+    try:
+        env: dict = {}
+        exec(source, env)  # noqa: S102 - the operator's purpose
+        fn = env.get(f"get_{field}_field")
+    except Exception:
+        fn = None
+    try:
+        conn.send(("ready", fn is not None))
+        while True:
+            msg = conn.recv()
+            if msg is None:
+                return
+            out = []
+            for t in msg:
+                results = []
+                try:
+                    results.append(fn(t))
+                except Exception:
+                    try:
+                        results.append(fn(t.replace(">\n", ">")))
+                    except Exception:
+                        pass
+                out.append(
+                    clean_function_predictions(dedup_preserving_order(results), attribute)
+                )
+            conn.send(out)
+    except (EOFError, BrokenPipeError, OSError):
+        return
+
+
+class _SubprocessRunner:
+    """Same contract as :class:`_FnRunner`, but the synthesized code
+    runs in a forked worker process that is hard-killed on timeout or
+    self-destruction — nothing leaks into the executor."""
+
+    SUB_BATCH = _FnRunner.SUB_BATCH
+
+    def __init__(self, source: str, attribute: str, timeout_s: float, max_timeouts: int):
+        self.source = source
+        self.attribute = attribute
+        self.timeout_s = timeout_s
+        self.max_timeouts = max_timeouts
+        self.timeouts = 0
+        self.disabled = False
+        self.proc = None
+        self.conn = None
+
+    # ----------------------------------------------------- lifecycle
+    def _ensure_worker(self) -> bool:
+        import multiprocessing as mp
+
+        if self.disabled:
+            return False
+        if self.proc is not None and self.proc.is_alive():
+            return True
+        ctx = mp.get_context("fork")
+        parent_conn, child_conn = ctx.Pipe()
+        proc = ctx.Process(
+            target=_subprocess_worker,
+            args=(child_conn, self.source, self.attribute),
+            daemon=True,
+        )
+        proc.start()
+        child_conn.close()
+        self.proc, self.conn = proc, parent_conn
+        # handshake guards against hostile MODULE-LEVEL code (e.g. a
+        # top-level `while True:`) that in-process compilation would
+        # hang on forever
+        ok = self._recv(self.timeout_s * 4)
+        if ok is None:
+            self._kill()
+            self.disabled = True
+            return False
+        if not ok[1]:  # source compiled but target function missing
+            self.close()
+            self.disabled = True
+            return False
+        return True
+
+    def _recv(self, budget: float):
+        try:
+            if self.conn.poll(budget):
+                return self.conn.recv()
+        except (EOFError, BrokenPipeError, OSError):
+            return None
+        return None
+
+    def _kill(self) -> None:
+        if self.proc is not None:
+            try:
+                self.proc.kill()
+                self.proc.join(1)
+            except Exception:
+                pass
+        if self.conn is not None:
+            try:
+                self.conn.close()
+            except Exception:
+                pass
+        self.proc = self.conn = None
+
+    def close(self) -> None:
+        if self.conn is not None:
+            try:
+                self.conn.send(None)
+            except Exception:
+                pass
+        self._kill()
+
+    # ----------------------------------------------------- extraction
+    def _request(self, texts: list[str], budget: float):
+        """One guarded round trip; None = timeout/death (worker killed)."""
+        if not self._ensure_worker():
+            return None
+        try:
+            self.conn.send(texts)
+        except (BrokenPipeError, OSError):
+            self._kill()
+            return None
+        out = self._recv(budget)
+        if out is None:
+            self._kill()
+        return out
+
+    def extract(self, text: str) -> str:
+        if self.disabled or self.timeouts >= self.max_timeouts:
+            return ""
+        out = self._request([text], self.timeout_s)
+        if out is None:
+            self.timeouts += 1
+            return ""
+        return out[0]
+
+    def extract_batch(self, texts: list[str]) -> list[str]:
+        out: list[str] = []
+        for start in range(0, len(texts), self.SUB_BATCH):
+            chunk = texts[start : start + self.SUB_BATCH]
+            if self.disabled or self.timeouts >= self.max_timeouts:
+                out.extend([""] * len(chunk))
+                continue
+            budget = self.timeout_s * max(len(chunk), 4)
+            vals = self._request(chunk, budget)
+            if vals is None or len(vals) != len(chunk):
+                # slice failed (hang or worker death): isolate per row
+                vals = [self.extract(t) for t in chunk]
+            out.extend(vals)
+        return out
+
+
+_RUNNERS = {"in_process": _FnRunner, "subprocess": _SubprocessRunner}
+
+
 def run_functions(
     contents: DataFrame,
     functions: dict[str, str],
@@ -171,6 +340,7 @@ def run_functions(
     timeout_s: float = 1.0,
     max_timeouts_per_fn: int = 2,
     cache_dir: str | None = None,
+    mode: str = "in_process",
 ) -> DataFrame:
     """Apply every synthesized function to every document.
 
@@ -183,12 +353,18 @@ def run_functions(
     function-set hash) — the engine's version of the reference's
     per-(file, function) pickle cache (``profiler.py:256-270``) — so
     re-runs and exact-duplicate documents never re-execute a function.
+
+    ``mode`` picks the isolation level (module docstring): benign
+    functions return identical votes in both modes.
     """
     import hashlib
     import os
 
     from pyspark.sql import functions as F
 
+    if mode not in _RUNNERS:
+        raise ValueError(f"unknown sandbox mode {mode!r}; choose from {set(_RUNNERS)}")
+    runner_cls = _RUNNERS[mode]
     fn_items = sorted(functions.items())
     attr = attribute
 
@@ -196,21 +372,25 @@ def run_functions(
         import pandas as pd
 
         runners = {
-            key: _FnRunner(src, attr, timeout_s, max_timeouts_per_fn)
+            key: runner_cls(src, attr, timeout_s, max_timeouts_per_fn)
             for key, src in fn_items
         }
-        for pdf in batches:
-            texts = [(t or "") for t in pdf[content_col]]
-            paths = list(pdf[path_col])
-            out_paths, out_voters, out_values = [], [], []
-            for key, runner in runners.items():
-                values = runner.extract_batch(texts)
-                out_paths.extend(paths)
-                out_voters.extend([key] * len(paths))
-                out_values.extend(values)
-            yield pd.DataFrame(
-                {"path": out_paths, "voter": out_voters, "value": out_values}
-            )
+        try:
+            for pdf in batches:
+                texts = [(t or "") for t in pdf[content_col]]
+                paths = list(pdf[path_col])
+                out_paths, out_voters, out_values = [], [], []
+                for key, runner in runners.items():
+                    values = runner.extract_batch(texts)
+                    out_paths.extend(paths)
+                    out_voters.extend([key] * len(paths))
+                    out_values.extend(values)
+                yield pd.DataFrame(
+                    {"path": out_paths, "voter": out_voters, "value": out_values}
+                )
+        finally:
+            for runner in runners.values():
+                runner.close()
 
     if cache_dir is None:
         return contents.select(path_col, content_col).mapInPandas(

@@ -131,28 +131,46 @@ def rerank_schema(
     client: LLMClient,
     rounds: int = 2,
     vote_weight: int = 2,
+    orderings: int = 3,
 ) -> list[tuple[str, float]]:
     """LLM-vote rerank: voted fields score votes × base count, unvoted
-    base/2; returns (field, score) in deterministic rank order."""
+    base/2; returns (field, score) in deterministic rank order.
+
+    Each round votes over ``orderings`` deterministically-shuffled
+    attribute listings (seeded by the ordering index, with the example
+    value rotated per ordering) so a position-biased judge can't hand
+    the win to whatever happened to be listed first. This is the
+    INTENT of ``reference/evaporate/schema_identification.py:121-123``
+    — its ``random.shuffle(list(keys))`` shuffles a discarded temporary
+    and never reorders anything, a bug we do not replicate.
+    """
+    import random
+
     fields_by_count = [f for f, _ in counts.most_common()]
-    listing = "\n".join(
-        f"- {f} (e.g. {examples.get(f, [''])[0]})" for f in fields_by_count[:50]
-    )
     votes: Counter = Counter()
     for round_num in range(rounds):
-        prompt = SCHEMA_RERANK.format(
-            topic=topic, attributes=listing, k=max(5, len(fields_by_count) // 2)
-        )
-        if round_num:
-            prompt += f"\n(round {round_num + 1})"
-        completion = client.complete(prompt, max_tokens=300)
-        seen = set()
-        for line in completion.split("\n"):
-            name = re.sub(r"^(-\s*|\d+\.\s*)", "", line).strip().strip("'\"").lower()
-            name = name.split(" (e.g.")[0].strip()
-            if name and name in counts and name not in seen:
-                votes[name] += vote_weight
-                seen.add(name)
+        for key in range(orderings):
+            order = fields_by_count[:50]
+            if orderings > 1:
+                order = list(order)
+                random.Random(key).shuffle(order)
+            listing = "\n".join(
+                f"- {f} (e.g. {(ex := examples.get(f, ['']))[min(key, len(ex) - 1)]})"
+                for f in order
+            )
+            prompt = SCHEMA_RERANK.format(
+                topic=topic, attributes=listing, k=max(5, len(fields_by_count) // 2)
+            )
+            if round_num:
+                prompt += f"\n(round {round_num + 1})"
+            completion = client.complete(prompt, max_tokens=300)
+            seen = set()
+            for line in completion.split("\n"):
+                name = re.sub(r"^(-\s*|\d+\.\s*)", "", line).strip().strip("'\"").lower()
+                name = name.split(" (e.g.")[0].strip()
+                if name and name in counts and name not in seen:
+                    votes[name] += vote_weight
+                    seen.add(name)
     scored: list[tuple[str, float]] = []
     for f in fields_by_count:
         if votes.get(f, 0) > 1:

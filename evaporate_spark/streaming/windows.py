@@ -118,3 +118,32 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_s)
     return stream_df.sparkSession.table(query_name)
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+) -> None:
+    """Drain all available input into a parquet file sink with
+    exactly-once checkpointing (append mode — the only mode file sinks
+    support; windowed aggregations emit each window once, when the
+    watermark closes it).
+
+    Restart-safe by construction: re-running with the same
+    ``checkpoint_dir`` resumes from the last committed offsets/state,
+    so a killed-and-resumed job neither duplicates nor drops windows —
+    pinned by the checkpoint-recovery test.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - defensive: drain never hangs
+        q.stop()

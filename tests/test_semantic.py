@@ -273,6 +273,54 @@ def test_run_functions_timeout_and_errors(spark):
     assert all(r["value"] == "" for r in votes)
 
 
+def test_subprocess_sandbox_survives_hostile_functions(spark):
+    """mode='subprocess': a hung loop is hard-killed, a worker the code
+    kills outright (os._exit) is detected and restarted, and hostile
+    MODULE-level code (which in-process compilation would hang on) is
+    disabled at the handshake — the run completes and every hostile
+    vote is ''."""
+    docs = spark.createDataFrame(
+        [("d1", "author: Jane\nyear: 1999"), ("d2", "author: Bob")],
+        ["path", "content"],
+    ).repartition(1)
+    fns = {
+        "function_0": GOOD_FN,
+        "function_1": "def get_author_field(text: str):\n    while True:\n        pass\n    return []",
+        "function_2": "import os\ndef get_author_field(text: str):\n    os._exit(13)\n    return []",
+        "function_3": "while True:\n    pass\nreturn []",
+    }
+    votes = run_functions(
+        docs, fns, "author", timeout_s=0.3, mode="subprocess"
+    ).collect()
+    got = {(r["path"], r["voter"]): r["value"] for r in votes}
+    assert len(got) == 8
+    assert got[("d1", "function_0")] == "Jane"
+    assert got[("d2", "function_0")] == "Bob"
+    for voter in ("function_1", "function_2", "function_3"):
+        assert got[("d1", voter)] == "" and got[("d2", voter)] == ""
+
+
+def test_subprocess_sandbox_matches_in_process_on_benign(spark):
+    docs = spark.createDataFrame(
+        [("d1", "author: Jane\nyear: 1999"), ("d2", "author: Bob"), ("d3", "no field")],
+        ["path", "content"],
+    )
+    fns = {
+        "function_0": GOOD_FN,
+        "function_1": "def get_author_field(text: str):\n    return 1/0",
+    }
+    in_proc = {
+        (r["path"], r["voter"]): r["value"]
+        for r in run_functions(docs, fns, "author", mode="in_process").collect()
+    }
+    sub = {
+        (r["path"], r["voter"]): r["value"]
+        for r in run_functions(docs, fns, "author", mode="subprocess").collect()
+    }
+    assert in_proc == sub
+    assert sub[("d1", "function_0")] == "Jane"
+
+
 # ---------------------------------------------------------------- llm_map
 def test_llm_map_cache_and_dedup(spark, tmp_path):
     cache = str(tmp_path / "cache")
@@ -288,6 +336,42 @@ def test_llm_map_cache_and_dedup(spark, tmp_path):
     out2 = llm_map(df, client, cache_dir=cache).collect()
     assert spark.read.parquet(cache).count() == 2
     assert {r["completion"] for r in out2} == {"echo:p1", "echo:p2"}
+
+
+def test_llm_map_retries_flaky_client(spark):
+    """A prompt that fails once succeeds on the in-row retry; no error
+    surfaces and the run completes."""
+    def flaky_once(p: str) -> str:
+        # per-task closure state: first attempt on each prompt raises
+        if p not in flaky_once.seen:
+            flaky_once.seen.add(p)
+            raise RuntimeError("transient")
+        return "ok:" + p
+
+    flaky_once.seen = set()
+    df = spark.createDataFrame([(f"p{i}",) for i in range(4)], ["prompt"]).repartition(1)
+    out = llm_map(df, MockLLM(responder=flaky_once), err_col="err").collect()
+    assert {r["completion"] for r in out} == {f"ok:p{i}" for i in range(4)}
+    assert all(r["err"] is None for r in out)
+
+
+def test_llm_map_circuit_breaker_trips(spark):
+    """§2A#11: a dead client errors per-row until breaker_threshold
+    consecutive failures, then the partition degrades to '' without
+    touching the client — the run still completes."""
+    from collections import Counter as _Counter
+
+    def dead(p: str) -> str:
+        raise RuntimeError("backend down")
+
+    df = spark.createDataFrame([(f"p{i}",) for i in range(10)], ["prompt"]).repartition(1)
+    out = llm_map(
+        df, MockLLM(responder=dead), err_col="err", breaker_threshold=3
+    ).collect()
+    assert len(out) == 10 and all(r["completion"] == "" for r in out)
+    errs = _Counter(r["err"] for r in out)
+    # 4 rows fail for real (tripping at >3 consecutive), the rest skip
+    assert errs == {"llm_error": 4, "circuit_open": 6}
 
 
 def test_llm_map_token_accumulator(spark):

@@ -22,9 +22,73 @@ from evaporate_spark.streaming.windows import (
     hourly_counts,
     read_events_stream,
     run_stream_to_memory,
+    run_stream_to_parquet,
     session_windows,
     sliding_user_activity,
 )
+
+
+def test_file_sink_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once parquet sink across kill-and-resume: re-running an
+    availableNow drain against the same checkpoint neither duplicates
+    previously-emitted windows nor drops newly-closed ones."""
+    import json
+    import os
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(name: str, rows: list[tuple[int, str, float]]) -> None:
+        with open(os.path.join(src, name), "w") as f:
+            for ts_sec, etype, value in rows:
+                f.write(json.dumps({"ts_sec": ts_sec, "event_type": etype, "value": value}) + "\n")
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema("ts_sec long, event_type string, value double")
+            .json(src)
+            .select(F.timestamp_seconds("ts_sec").alias("ts"), "event_type", "value")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "60 seconds").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+            .select(
+                F.unix_timestamp("win.start").alias("win_start"), "event_type", "n", "v"
+            )
+        )
+        run_stream_to_parquet(agg, sink, ckpt)
+
+    def sink_rows() -> dict[tuple[int, str], tuple[int, float]]:
+        rows = spark.read.parquet(sink).collect()
+        out: dict[tuple[int, str], tuple[int, float]] = {}
+        for r in rows:
+            key = (r["win_start"], r["event_type"])
+            assert key not in out, f"window {key} emitted twice"
+            out[key] = (r["n"], r["v"])
+        return out
+
+    # batch 1: windows [0,60) and [60,120) close (watermark = 130-10)
+    write_batch("b1.json", [(10, "a", 1.0), (20, "a", 2.0), (70, "b", 3.0), (130, "a", 4.0)])
+    drain()
+    assert sink_rows() == {(0, "a"): (2, 3.0), (60, "b"): (1, 3.0)}
+
+    # simulated crash-recovery with no new input: nothing re-emitted
+    drain()
+    assert sink_rows() == {(0, "a"): (2, 3.0), (60, "b"): (1, 3.0)}
+
+    # batch 2 advances the watermark to 240: [120,180) and [180,240)
+    # close exactly once; 250's window stays open
+    write_batch("b2.json", [(190, "b", 5.0), (250, "a", 6.0)])
+    drain()
+    assert sink_rows() == {
+        (0, "a"): (2, 3.0),
+        (60, "b"): (1, 3.0),
+        (120, "a"): (1, 4.0),
+        (180, "b"): (1, 5.0),
+    }
 
 
 # ---------------------------------------------------------------- streaming
@@ -116,12 +180,36 @@ def _png_bytes(width: int, height: int) -> bytes:
     )
 
 
+def _gif_bytes(width: int, height: int) -> bytes:
+    # GIF89a + logical screen descriptor (little-endian u16 dims)
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00"
+
+
+def _jpeg_bytes(width: int, height: int, sof_marker: int = 0xC0) -> bytes:
+    # SOI, APP0 (JFIF), DQT, then a SOF frame header — the marker walk
+    # must skip the variable-length segments to reach it
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    sof = (
+        bytes([0xFF, sof_marker])
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof
+
+
 @pytest.fixture()
 def media_df(spark):
     return spark.createDataFrame(
         [
             ("img1.png", bytearray(_png_bytes(640, 480))),
             ("img2.png", bytearray(_png_bytes(32, 16))),
+            ("anim.gif", bytearray(_gif_bytes(320, 200))),
+            ("photo.jpg", bytearray(_jpeg_bytes(1024, 768))),
+            ("prog.jpg", bytearray(_jpeg_bytes(300, 150, sof_marker=0xC2))),
+            ("trunc.jpg", bytearray(b"\xff\xd8\xff")),
             ("clip.mp3", bytearray(b"ID3\x04" + b"\x00" * 20)),
             ("blob.bin", bytearray(b"\x00\x01\x02\x03")),
         ],
@@ -134,9 +222,18 @@ def test_media_metadata_and_sniffing(media_df):
     assert rows["img1.png"]["media_type"] == "png"
     assert (rows["img1.png"]["width"], rows["img1.png"]["height"]) == (640, 480)
     assert (rows["img2.png"]["width"], rows["img2.png"]["height"]) == (32, 16)
+    assert rows["anim.gif"]["media_type"] == "gif"
+    assert (rows["anim.gif"]["width"], rows["anim.gif"]["height"]) == (320, 200)
+    assert rows["photo.jpg"]["media_type"] == "jpeg"
+    assert (rows["photo.jpg"]["width"], rows["photo.jpg"]["height"]) == (1024, 768)
+    # progressive SOF2 frame header parses identically
+    assert (rows["prog.jpg"]["width"], rows["prog.jpg"]["height"]) == (300, 150)
+    # truncated jpeg: NULL dims, no error
+    assert rows["trunc.jpg"]["media_type"] == "jpeg"
+    assert rows["trunc.jpg"]["width"] is None and rows["trunc.jpg"]["height"] is None
     assert rows["clip.mp3"]["media_type"] == "mp3"
     assert rows["blob.bin"]["media_type"] == "bin"
-    assert media_df.select(sniff_media_type("content")).count() == 4
+    assert media_df.select(sniff_media_type("content")).count() == 8
 
 
 def test_decode_images_stub_path(media_df):

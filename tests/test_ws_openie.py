@@ -103,6 +103,35 @@ def test_identify_schema(spark, lake):
     assert set(attrs) == {"record_id", "title", "author", "year", "notes"}
 
 
+def test_rerank_shuffled_orderings_reduce_position_bias():
+    """§2A#13: a position-biased judge (votes only for the first two
+    listed attributes) hands the win to the listing prefix when every
+    prompt uses one ordering; voting over 3 seeded shuffles spreads the
+    positional advantage across the field set."""
+    import re as _re
+    from collections import Counter as _Counter
+
+    from evaporate_spark.llm.client import MockLLM
+    from evaporate_spark.semantic.schema_id import rerank_schema
+
+    counts = _Counter({"alpha": 5, "beta": 5, "gamma": 5, "delta": 5})
+    examples = {f: [f + "-v"] for f in counts}
+
+    def biased(prompt: str) -> str:
+        listed = _re.findall(r"^- (.+?) \(e\.g\.", prompt, _re.MULTILINE)
+        return "\n".join(f"- {x}" for x in listed[:2])
+
+    single = rerank_schema(
+        counts, examples, "t", MockLLM(responder=biased), orderings=1
+    )
+    voted_single = {f for f, s in single if s > counts[f]}
+    assert voted_single == {"alpha", "beta"}  # pure position echo
+
+    multi = rerank_schema(counts, examples, "t", MockLLM(responder=biased))
+    voted_multi = {f for f, s in multi if s > counts[f]}
+    assert len(voted_multi) > 2  # the shuffles break the prefix monopoly
+
+
 def test_openie_profile_all_and_view(spark, lake):
     data = EvaporateData(
         spark,

@@ -4,33 +4,55 @@ for the reference's Contriever encoder
 
 ``feature_hash_embedding`` builds a dense bag-of-words vector by
 hashing each whitespace token into one of ``dim`` buckets
-(xxhash64 → pmod) and counting — the classic hashing trick, as a pure
-JVM Column expression: no model download, no Python, deterministic
-across executors. Cosine over these vectors gives lexical similarity,
-which is exactly what the reference's retrieval step needs (pick the
-chunk most similar to the query string); a real encoder drops in by
-replacing this Column with a pandas-UDF embedding and keeping every
-downstream operator unchanged.
+(xxhash64 → pmod) and counting — the classic hashing trick. Hybrid
+execution shape: tokenization and hashing stay JVM-side (deterministic
+across executors, one xxhash64 per token), and the bucket→count
+histogram is an Arrow-batched numpy ``bincount`` — a pure-Column
+``aggregate`` would rebuild the dim-length array once per token
+(O(tokens × dim) interpreted evals, the r2 plan-audit watch item),
+while ``bincount`` is O(tokens) vectorized. Cosine over these vectors
+gives lexical similarity, which is exactly what the reference's
+retrieval step needs (pick the chunk most similar to the query
+string); a real encoder drops in by replacing this Column with its own
+pandas-UDF embedding and keeping every downstream operator unchanged.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def feature_hash_buckets(col: Column | str, dim: int = 128) -> Column:
+    """array<int> of per-token hash buckets (JVM-side: lowercased
+    ``\\w+`` token runs → xxhash64 → pmod dim). Punctuation-insensitive,
+    so "author:" and "author" bucket identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"\w+"), 0)
+    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)).cast("int"))
+
+
+def _bincount_udf(dim: int):
+    @pandas_udf("array<double>")
+    def _bincount(buckets: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [
+                np.bincount(
+                    np.asarray(b if b is not None else [], dtype=np.int64),
+                    minlength=dim,
+                ).astype(float)
+                for b in buckets
+            ]
+        )
+
+    return _bincount
+
 
 def feature_hash_embedding(col: Column | str, dim: int = 128) -> Column:
     """Dense array<double> of hashed-token counts (L2-unnormalized;
-    pair with similarity.cosine which normalizes). Tokens are word
-    runs (``\\w+``), lowercased — punctuation-insensitive, so
-    "author:" and "author" embed identically."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.regexp_extract_all(F.lower(c), F.lit(r"\w+"), 0)
-    bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(dim))  # noqa: E731
-    return F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0.0), dim),
-        lambda acc, t: F.transform(
-            acc,
-            lambda v, i: v + F.when(bucket(t) == i.cast("bigint"), 1.0).otherwise(0.0),
-        ),
-    )
+    pair with similarity.cosine which normalizes)."""
+    return _bincount_udf(dim)(feature_hash_buckets(col, dim))

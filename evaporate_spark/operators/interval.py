@@ -1,0 +1,72 @@
+"""Interval (range) join — a custom operator Spark SQL lacks natively
+(SURVEY §2 "custom operators": as-of join's sibling; the reference has
+no joins at all, so this is engine surface per BASELINE.json's
+LLM-pipeline mandate).
+
+Semantics: pair each left row with every right row sharing the equi
+keys whose timestamp falls in ``[left_ts + lower_s, left_ts + upper_s]``
+(lower bound exclusive with ``strict_lower``).
+
+Scale shape — the classic time-binning rewrite, NOT a per-key cross
+join: with bin width ``w = upper_s - lower_s`` each left row's window
+spans at most two bins, so the left side explodes into ≤2 (keys, bin)
+rows, the right side maps to exactly one, and the only shuffle is the
+equi-join on (keys, bin). Matching cost is linear in rows + true
+matches; a conditional theta-join would shuffle per key and compare
+every (left, right) pair within a key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: float = 0.0,
+    upper_s: float = 60.0,
+    strict_lower: bool = False,
+) -> DataFrame:
+    """Inner interval join: left × right on ``on`` keys with
+    ``right_ts`` ∈ [left_ts + lower_s, left_ts + upper_s] (lower bound
+    exclusive when ``strict_lower``).
+
+    Column collisions: non-key columns present on BOTH sides must be
+    disambiguated by the caller beforehand (select/alias), like any
+    Spark join. Inner-only: retaining unmatched rows would need a
+    post-join anti-union — compose it at the call site if needed.
+    """
+    if upper_s <= lower_s:
+        raise ValueError(f"empty interval: lower_s={lower_s} upper_s={upper_s}")
+    w_us = max(int(round((upper_s - lower_s) * 1_000_000)), 1)
+    lo_us = int(round(lower_s * 1_000_000))
+    hi_us = int(round(upper_s * 1_000_000))
+
+    # micros computed per side BEFORE the join: the joined frame may
+    # hold identically-named timestamp columns on both sides
+    l_binned = left.withColumn("_l_us", F.unix_micros(F.col(left_ts))).withColumn(
+        "_bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("_l_us") + lo_us) / w_us),
+                    F.floor((F.col("_l_us") + hi_us) / w_us),
+                )
+            )
+        ),
+    )
+    r_binned = right.withColumn("_r_us", F.unix_micros(F.col(right_ts))).withColumn(
+        "_bin", F.floor(F.col("_r_us") / w_us)
+    )
+
+    r_us, l_us = F.col("_r_us"), F.col("_l_us")
+    lower_cond = (r_us > l_us + lo_us) if strict_lower else (r_us >= l_us + lo_us)
+    joined = l_binned.join(r_binned, on + ["_bin"]).where(
+        lower_cond & (r_us <= l_us + hi_us)
+    )
+    return joined.drop("_bin", "_l_us", "_r_us")

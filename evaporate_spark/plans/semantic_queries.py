@@ -422,6 +422,121 @@ def q_asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_interval_click_after_view",
+    "Interval (range) join via time-binning (custom operator Spark "
+    "lacks): clicks within 30 minutes AFTER each view, same user. Each "
+    "left window spans ≤2 bins so the only shuffle is the equi-join on "
+    "(user, bin) — linear cost, no per-key cross join. Oracle is the "
+    "naive inequality join (comparisons on epoch_us both sides, since "
+    "events.ts is nanos in parquet and micros in the engine).",
+    oracle="""
+        SELECT
+            v.event_id AS view_id,
+            COUNT(*)   AS n_clicks
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view'
+         AND c.event_type = 'click'
+         AND epoch_us(c.ts) >  epoch_us(v.ts)
+         AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+        GROUP BY view_id
+    """,
+    tags=("join",),
+)
+def q_interval_click_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.interval import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    j = interval_join(
+        views,
+        clicks,
+        ["user_id"],
+        left_ts="view_ts",
+        right_ts="click_ts",
+        lower_s=0.0,
+        upper_s=1800.0,
+        strict_lower=True,
+    )
+    return j.groupBy("view_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@register(
+    "q_salted_user_event_stats",
+    "Skew-safe two-phase aggregation (operators.skew.salted_aggregate): "
+    "hot user keys spread over 16 salt buckets, partials merged per "
+    "key — algebraically exact, pinned by the plain-groupBy oracle. "
+    "The double sum goes through DECIMAL so summation order (which the "
+    "salting reshuffles) cannot flip the value hash.",
+    oracle="""
+        SELECT
+            user_id,
+            COUNT(*) AS n_events,
+            ROUND(CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE), 2) AS total_value,
+            ROUND(MAX(value), 2) AS max_value
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("agg", "skew"),
+)
+def q_salted_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.skew import salted_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_aggregate(
+        events,
+        ["user_id"],
+        {
+            "n_events": ("event_id", "count"),
+            "total_value_dec": ("value_dec", "sum"),
+            "max_value_raw": ("value", "max"),
+        },
+        salt_col="event_id",
+        buckets=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("total_value_dec").cast("double"), 2).alias("total_value"),
+        F.round("max_value_raw", 2).alias("max_value"),
+    )
+
+
+@register(
+    "q_salted_event_enrichment",
+    "Skew-safe broadcast-replicated salted join (operators.skew."
+    "salted_join): the fact side salted by a deterministic row hash, "
+    "the dim side replicated per salt bucket — exact row multiplicity "
+    "pinned by the plain-join oracle.",
+    oracle="""
+        SELECT
+            c.c_mktsegment AS segment,
+            COUNT(*)       AS n_events
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY segment
+    """,
+    tags=("join", "skew"),
+)
+def q_salted_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.skew import salted_join
+
+    events, customer = _t(spark, sf_dir, "events", "customer")
+    fact = events.select(F.col("user_id").alias("c_custkey"), "event_id")
+    dim = customer.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    j = salted_join(fact, dim, ["c_custkey"], left_salt_col="event_id", buckets=8)
+    return j.groupBy("segment").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
     "q_cube_order_stats",
     "CUBE over (o_orderstatus, o_orderpriority): all four grouping-set "
     "combinations with subtotals.",

@@ -404,6 +404,41 @@ def test_run_functions_result_cache(spark, tmp_path):
     assert spark.read.parquet(cache).count() == 4
 
 
+def test_interval_join_matches_naive_conditional_join(spark):
+    """Binned interval join ≡ the naive theta join on randomized data,
+    across bin boundaries and inclusive/exclusive bounds."""
+    import random
+
+    from evaporate_spark.operators.interval import interval_join
+
+    rnd = random.Random(7)
+    lrows = [(rnd.randint(1, 5), rnd.randint(0, 1000)) for _ in range(120)]
+    rrows = [(rnd.randint(1, 5), rnd.randint(0, 1000)) for _ in range(120)]
+    left = spark.createDataFrame(lrows, ["k", "lsec"]).select(
+        "k", F.timestamp_seconds("lsec").alias("lts"), "lsec"
+    )
+    right = spark.createDataFrame(rrows, ["k", "rsec"]).select(
+        "k", F.timestamp_seconds("rsec").alias("rts"), "rsec"
+    )
+
+    for lo, hi, strict in [(0.0, 60.0, False), (0.0, 60.0, True), (10.0, 45.0, False)]:
+        got = {
+            (r["k"], r["lsec"], r["rsec"])
+            for r in interval_join(
+                left, right, ["k"], "lts", "rts", lo, hi, strict_lower=strict
+            ).collect()
+        }
+        want = set()
+        for (lk, ls) in lrows:
+            for (rk, rs) in rrows:
+                if lk != rk:
+                    continue
+                low_ok = rs > ls + lo if strict else rs >= ls + lo
+                if low_ok and rs <= ls + hi:
+                    want.add((lk, ls, rs))
+        assert got == want, (lo, hi, strict)
+
+
 def test_asof_join_operator(spark):
     from evaporate_spark.operators.asof import asof_join
 

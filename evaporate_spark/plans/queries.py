@@ -596,6 +596,49 @@ def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scalar_function_suite",
+    "Scalar-function suite over part: levenshtein, translate, regex "
+    "split + array aggregate (JVM higher-order fold), map construction "
+    "+ element_at, and math (sqrt). The oracle computes the same VALUES "
+    "with DuckDB's own functions — the Spark plan additionally routes "
+    "one column through map_from_arrays/element_at to exercise the map "
+    "surface.",
+    oracle="""
+        SELECT
+            p_partkey,
+            CAST(levenshtein(lower(p_brand), reverse(lower(p_brand))) AS BIGINT) AS lev_rev,
+            translate(p_type, 'AEIOU', 'aeiou') AS vowels_lowered,
+            CAST(len(string_split_regex(trim(p_name), '\\s+')) AS BIGINT)   AS n_words,
+            CAST(list_sum(list_transform(
+                string_split_regex(trim(p_name), '\\s+'), t -> length(t)
+            )) AS BIGINT) AS n_chars,
+            p_brand AS mapped_brand,
+            ROUND(SQRT(p_partkey), 4) AS key_root
+        FROM part
+    """,
+    tags=("scalar",),
+)
+def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    toks = F.split(F.trim(F.col("p_name")), r"\s+")
+    return part.select(
+        "p_partkey",
+        F.levenshtein(F.lower("p_brand"), F.reverse(F.lower("p_brand")))
+        .cast("bigint")
+        .alias("lev_rev"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("vowels_lowered"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.element_at(
+            F.map_from_arrays(F.array(F.lit("b")), F.array(F.col("p_brand"))), F.lit("b")
+        ).alias("mapped_brand"),
+        F.round(F.sqrt(F.col("p_partkey").cast("double")), 4).alias("key_root"),
+    )
+
+
+@register(
     "q_events_json_extract",
     "JSON path extraction from a string column + numeric cast + agg.",
     oracle="""

@@ -139,14 +139,13 @@ def profile_attribute(
     if chunks is None:
         chunks = chunk_documents(docs, cfg.chunk_size)
     filtered = filter_chunks_for_attribute(chunks, attribute).persist()
-    if filtered.limit(1).count() == 0:
-        # reference drops the attribute when no chunk mentions it
-        filtered.unpersist(False)
-        return ProfileResult(attribute, None, dropped=True, gold_key=gold_key)
-
     sample = sample_documents(docs, cfg.train_size, cfg.seed).persist()
     sample_paths = sample.select("path")
     sample_chunks = filtered.join(sample_paths, "path", "left_semi").persist()
+    # one emptiness probe covers both reference drop conditions (no
+    # chunk mentions the attribute lake-wide / none in the sample):
+    # either way the attribute is dropped with the same result, so the
+    # separate full-lake probe job is unnecessary
     if sample_chunks.limit(1).count() == 0:
         for df_ in (filtered, sample, sample_chunks):
             df_.unpersist(False)

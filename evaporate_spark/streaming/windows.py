@@ -104,6 +104,37 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def clicks_after_views_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each view paired with the same user's
+    click events in ``(view_ts, view_ts + within]``.
+
+    On streaming inputs this is Spark's watermarked stream-stream join —
+    both sides buffer state only up to the watermark + join window, so
+    state is bounded on a 1000-executor job; on batch inputs the same
+    column expressions run as a plain conditional join (batch-parity
+    testable). Inputs must expose (user_id, view_ts/click_ts[, ids]).
+    """
+    v = views.withWatermark("view_ts", watermark) if views.isStreaming else views
+    c = clicks.withWatermark("click_ts", watermark) if clicks.isStreaming else clicks
+    return v.join(
+        c,
+        (v["user_id"] == c["user_id"])
+        & (c["click_ts"] > v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {within}")),
+    ).select(
+        v["user_id"],
+        "view_id",
+        "click_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_s: int = 120
 ) -> DataFrame:

@@ -19,6 +19,7 @@ from evaporate_spark.operators.multimodal import (
 from evaporate_spark.plans import REGISTRY
 from evaporate_spark.sources.catalog import load_table
 from evaporate_spark.streaming.windows import (
+    clicks_after_views_join,
     hourly_counts,
     read_events_stream,
     run_stream_to_memory,
@@ -26,6 +27,44 @@ from evaporate_spark.streaming.windows import (
     session_windows,
     sliding_user_activity,
 )
+
+
+def _views_clicks(events):
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return views, clicks
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream inner join (views × same-user clicks
+    within 4 h) emits exactly the batch join's pairs."""
+    batch_v, batch_c = _views_clicks(load_table(spark, sf_dir, "events"))
+    want = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in clicks_after_views_join(batch_v, batch_c, within="4 hours").collect()
+    }
+    assert len(want) > 0
+
+    sv, _ = _views_clicks(read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    _, sc = _views_clicks(read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    joined = clicks_after_views_join(sv, sc, within="4 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in spark.table("ss_join_test").collect()
+    }
+    assert got == want
 
 
 def test_file_sink_checkpoint_recovery(spark, tmp_path):

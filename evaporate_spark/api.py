@@ -29,6 +29,7 @@ from evaporate_spark.semantic.pipeline import (
     ProfileResult,
     assemble_view,
     profile_attribute,
+    profile_attributes_single_scan,
 )
 from evaporate_spark.semantic.sampling import sample_documents
 from evaporate_spark.semantic.schema_id import (
@@ -174,16 +175,28 @@ class EvaporateData:
             attributes = self.identify_schema(topic)
         t0 = time.perf_counter()
         chunks = self._get_chunks()
-        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
-            results = list(
-                pool.map(
-                    lambda a: profile_attribute(
-                        self.docs, a, self.client, self.config, self.gold_client,
-                        chunks=chunks, extra_clients=self.extra_clients,
-                    ),
-                    attributes,
-                )
+        if self.config.cache_dir is None and len(attributes) > 1:
+            # multi-attribute scale path: every attribute's selected
+            # functions execute in ONE scan of the lake instead of one
+            # scan per attribute (votes identical). The per-attribute
+            # path is kept when a cache_dir is set — the single-scan
+            # pass does not write the function-result cache.
+            results = profile_attributes_single_scan(
+                self.docs, attributes, self.client, self.config, self.gold_client,
+                chunks=chunks, extra_clients=self.extra_clients,
+                max_parallel=max_parallel,
             )
+        else:
+            with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+                results = list(
+                    pool.map(
+                        lambda a: profile_attribute(
+                            self.docs, a, self.client, self.config, self.gold_client,
+                            chunks=chunks, extra_clients=self.extra_clients,
+                        ),
+                        attributes,
+                    )
+                )
         if validity_check and topic is not None:
             kept = []
             for r in results:

@@ -138,6 +138,39 @@ def media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:
     ).drop("_jpos", "_jw", "_jh")
 
 
+def _header_dims(raw: bytes) -> tuple[str, int | None, int | None]:
+    """Python twin of media_metadata's expression parsers (used by the
+    no-PIL fake decode so both paths report identical metadata)."""
+    if raw[:4] == b"\x89PNG":
+        if len(raw) >= 24:
+            return "png", int.from_bytes(raw[16:20], "big"), int.from_bytes(raw[20:24], "big")
+        return "png", None, None
+    if raw[:4] == b"GIF8":
+        if len(raw) >= 10:
+            return (
+                "gif",
+                int.from_bytes(raw[6:8], "little"),
+                int.from_bytes(raw[8:10], "little"),
+            )
+        return "gif", None, None
+    if raw[:3] == b"\xff\xd8\xff":
+        pos = 2
+        for _ in range(_JPEG_MAX_SEGMENTS):
+            if pos + 4 > len(raw) or raw[pos] != 0xFF:
+                break
+            marker = raw[pos + 1]
+            seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+            if marker in _JPEG_SOF_MARKERS and pos + 9 <= len(raw):
+                return (
+                    "jpeg",
+                    int.from_bytes(raw[pos + 7 : pos + 9], "big"),
+                    int.from_bytes(raw[pos + 5 : pos + 7], "big"),
+                )
+            pos += 2 + seg_len
+        return "jpeg", None, None
+    return "bin", None, None
+
+
 DECODE_SCHEMA = (
     "path string, media_type string, width long, height long, "
     "mean_intensity double, decoded_by string, err string"
@@ -179,11 +212,8 @@ def decode_images(
                         )
                         continue
                     # deterministic fake: header dims + byte mean
-                    mt = "png" if raw[:4] == b"\x89PNG"[:4] else "bin"
-                    width = height = None
-                    if mt == "png" and len(raw) >= 24:
-                        width = int.from_bytes(raw[16:20], "big")
-                        height = int.from_bytes(raw[20:24], "big")
+                    # (same parsers as media_metadata's expressions)
+                    mt, width, height = _header_dims(raw)
                     mean = (sum(raw) / len(raw)) if raw else 0.0
                     rows.append((path, mt, width, height, float(mean), "fake-header-stub", None))
                 except Exception as ex:  # never fail the task

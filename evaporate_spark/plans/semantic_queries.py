@@ -81,6 +81,52 @@ def q_semantic_closed_ie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.extractions.select("path", "value")
 
 
+@register(
+    "q_semantic_closed_ie_ws",
+    "ClosedIE with the WEAK-SUPERVISION combiner and the SUBPROCESS "
+    "sandbox: same truth as q_semantic_closed_ie, so the "
+    "reliability-weighted vote path and hard-kill function isolation "
+    "are oracle-checked end-to-end, not just unit-tested.",
+    oracle="""
+        SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS path,
+               source AS value
+        FROM documents
+    """,
+    tags=("semantic",),
+)
+def q_semantic_closed_ie_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.llm.client import KeyValueMockLLM
+    from evaporate_spark.semantic.pipeline import ProfileConfig, profile_attribute
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("doc_id: "), F.col("doc_id").cast("string")),
+            F.concat(F.lit("source: "), F.col("source")),
+            F.concat(F.lit("lang: "), F.col("lang")),
+            F.concat(F.lit("text: "), F.col("text")),
+        ).alias("content"),
+        F.lit("txt").alias("doc_type"),
+        F.length("text").cast("bigint").alias("n_bytes"),
+    )
+    result = profile_attribute(
+        docs,
+        "source",
+        KeyValueMockLLM(),
+        ProfileConfig(
+            train_size=10,
+            chunk_size=2000,
+            combiner_mode="ws",
+            sandbox_mode="subprocess",
+        ),
+    )
+    assert result.extractions is not None
+    LAST_SEMANTIC_STATS["q_semantic_closed_ie_ws"] = {"tokens": result.total_tokens}
+    return result.extractions.select("path", "value")
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------

@@ -100,6 +100,29 @@ def _pick_gold_values(
     return out
 
 
+@dataclass
+class _PlanState:
+    """Sample-stage output waiting for its lake pass (internal)."""
+
+    attribute: str
+    cfg: ProfileConfig
+    client: LLMClient
+    gold_client: LLMClient
+    model_clients: dict[str, LLMClient]
+    tokens: object
+    filtered: DataFrame
+    sample: DataFrame
+    sample_paths: DataFrame
+    sample_chunks: DataFrame
+    gold_map: dict[str, str]
+    functions: dict[str, str]
+    fn_cache: str | None
+    metrics: dict[str, dict[str, float]]
+    selected: list[str]
+    extraction_fraction: float
+    gold_key: str
+
+
 def profile_attribute(
     docs: DataFrame,
     attribute: str,
@@ -124,6 +147,26 @@ def profile_attribute(
     sample, is scored against the gold key like any function, and — if
     selected — direct-extracts over the full lake's filtered chunks.
     """
+    state = _plan_attribute(
+        docs, attribute, client, config, gold_client, chunks, extra_clients
+    )
+    if isinstance(state, ProfileResult):
+        return state
+    return _apply_combine(docs, state)
+
+
+def _plan_attribute(
+    docs: DataFrame,
+    attribute: str,
+    client: LLMClient,
+    config: ProfileConfig | None = None,
+    gold_client: LLMClient | None = None,
+    chunks: DataFrame | None = None,
+    extra_clients: list[LLMClient] | None = None,
+) -> "_PlanState | ProfileResult":
+    """PREDICT + SCORE on the train sample; stops before the lake pass
+    (so multi-attribute callers can batch every attribute's lake work
+    into one scan — see ``profile_attributes_single_scan``)."""
     cfg = config or ProfileConfig()
     attribute = attribute.lower()
     gold_client = gold_client or client
@@ -230,16 +273,65 @@ def profile_attribute(
             attribute, None, metrics, [], functions, gold_key, dropped=True,
             total_tokens=tokens.value, train_gold=gold_map,
         )
+    return _PlanState(
+        attribute=attribute,
+        cfg=cfg,
+        client=client,
+        gold_client=gold_client,
+        model_clients=model_clients,
+        tokens=tokens,
+        filtered=filtered,
+        sample=sample,
+        sample_paths=sample_paths,
+        sample_chunks=sample_chunks,
+        gold_map=gold_map,
+        functions=functions,
+        fn_cache=fn_cache,
+        metrics=metrics,
+        selected=selected,
+        extraction_fraction=extraction_fraction,
+        gold_key=gold_key,
+    )
+
+
+def _apply_combine(
+    docs: DataFrame, st: _PlanState, fn_votes: DataFrame | None = None
+) -> ProfileResult:
+    """APPLY (lake pass) + COMBINE + trim for a planned attribute.
+
+    ``fn_votes`` (path, voter, value) — when provided (the single-scan
+    multi-attribute path) — replaces this attribute's own
+    ``run_functions`` lake pass; model voters still direct-extract
+    per attribute.
+    """
+    cfg = st.cfg
+    attribute = st.attribute
+    functions = st.functions
+    selected = st.selected
+    metrics = st.metrics
+    gold_map = st.gold_map
+    tokens = st.tokens
+    filtered, sample, sample_paths, sample_chunks = (
+        st.filtered, st.sample, st.sample_paths, st.sample_chunks,
+    )
+    extraction_fraction = st.extraction_fraction
 
     # APPLY: selected voters over the FULL lake
     lake_vote_frames: list[DataFrame] = []
     selected_fns = {k: functions[k] for k in selected if k in functions}
     if selected_fns:
-        lake_vote_frames.append(
-            run_functions(
-                docs, selected_fns, attribute, cache_dir=fn_cache, mode=cfg.sandbox_mode
+        if fn_votes is not None:
+            lake_vote_frames.append(fn_votes)
+        else:
+            lake_vote_frames.append(
+                run_functions(
+                    docs,
+                    selected_fns,
+                    attribute,
+                    cache_dir=st.fn_cache,
+                    mode=cfg.sandbox_mode,
+                )
             )
-        )
     for voter in selected:
         if voter not in functions:
             # model voter in the ensemble (§2A#25): a selected
@@ -250,8 +342,9 @@ def profile_attribute(
                 direct_extract(
                     filtered,
                     attribute,
-                    model_clients.get(
-                        voter, gold_client if voter == gold_key else client
+                    st.model_clients.get(
+                        voter,
+                        st.gold_client if voter == st.gold_key else st.client,
                     ),
                     voter_name=voter,
                     max_tokens=cfg.max_extract_tokens,
@@ -327,10 +420,73 @@ def profile_attribute(
         metrics,
         selected,
         functions,
-        gold_key,
+        st.gold_key,
         total_tokens=tokens.value,
         train_gold=gold_map,
     )
+
+
+def profile_attributes_single_scan(
+    docs: DataFrame,
+    attributes: list[str],
+    client: LLMClient,
+    config: ProfileConfig | None = None,
+    gold_client: LLMClient | None = None,
+    chunks: DataFrame | None = None,
+    extra_clients: list[LLMClient] | None = None,
+    max_parallel: int = 4,
+) -> list[ProfileResult]:
+    """Profile many attributes with ONE function pass over the lake.
+
+    Sample-stage kernels (LLM extract/synthesize/score — all
+    O(train_size)) run per attribute through a thread pool; every
+    attribute's SELECTED functions are then executed in a single
+    ``run_functions_multi`` scan of the documents (materialized once
+    via localCheckpoint), and each attribute combines from its slice.
+    Votes are identical to the per-attribute path; the lake is read
+    once instead of once per attribute — the multi-attribute scale
+    shape (a 35-attribute OpenIE run at 100 TB reads the corpus once,
+    not 35×). Function-result caching applies to the per-attribute
+    path only; this path recomputes (documents are read once anyway).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from evaporate_spark.semantic.sandbox import run_functions_multi
+
+    cfg = config or ProfileConfig()
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        planned = list(
+            pool.map(
+                lambda a: _plan_attribute(
+                    docs, a, client, cfg, gold_client, chunks, extra_clients
+                ),
+                attributes,
+            )
+        )
+    fns_by_attr = {
+        st.attribute: {k: st.functions[k] for k in st.selected if k in st.functions}
+        for st in planned
+        if isinstance(st, _PlanState)
+    }
+    fns_by_attr = {a: fns for a, fns in fns_by_attr.items() if fns}
+    multi_votes = None
+    if fns_by_attr:
+        multi_votes = run_functions_multi(
+            docs, fns_by_attr, mode=cfg.sandbox_mode
+        ).localCheckpoint(eager=True)
+
+    def finish(st):
+        if isinstance(st, ProfileResult):
+            return st
+        fv = None
+        if multi_votes is not None and st.attribute in fns_by_attr:
+            fv = multi_votes.where(F.col("attribute") == st.attribute).select(
+                "path", "voter", "value"
+            )
+        return _apply_combine(docs, st, fv)
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        return list(pool.map(finish, planned))
 
 
 def assemble_view(results: list[ProfileResult]) -> DataFrame | None:

@@ -23,7 +23,12 @@ def plan_str(df, mode: str = "formatted") -> str:
 
 # queries whose construction itself runs Spark jobs (semantic pipeline,
 # global-rank offsets) — excluded from the cheap plan sweep
-EAGER = {"q_semantic_closed_ie", "q_semantic_openie", "q_order_value_deciles"}
+EAGER = {
+    "q_semantic_closed_ie",
+    "q_semantic_closed_ie_ws",
+    "q_semantic_openie",
+    "q_order_value_deciles",
+}
 
 
 def test_q1_pushdown_and_pruning(spark, sf_dir):

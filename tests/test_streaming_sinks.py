@@ -283,6 +283,13 @@ def test_decode_images_stub_path(media_df):
     )
     assert rows["blob.bin"]["err"] is None
     assert all(r["mean_intensity"] is not None for r in rows.values())
+    # the fake decode's Python header parsers agree with media_metadata's
+    # expression parsers on every (type, width, height)
+    meta = {r["path"]: r for r in media_metadata(media_df).collect()}
+    for path in ("img1.png", "anim.gif", "photo.jpg", "prog.jpg", "trunc.jpg"):
+        assert rows[path]["media_type"] == meta[path]["media_type"]
+        assert rows[path]["width"] == meta[path]["width"], path
+        assert rows[path]["height"] == meta[path]["height"], path
 
 
 def test_video_frame_plan_real_decode_stubbed(spark):

@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--combiner", choices=("mv", "ws", "top_k"), default="mv")
     p.add_argument("--num-top-k-scripts", type=int, default=10)
     p.add_argument("--cache-dir", help="prompt-cache parquet directory")
+    p.add_argument(
+        "--sandbox-mode",
+        choices=("in_process", "subprocess"),
+        default="in_process",
+        help="synthesized-function isolation (subprocess = hard-kill workers)",
+    )
     p.add_argument("--client", help="module:attr of an LLMClient (default: offline mock)")
     p.add_argument("--output", required=True, help="output path for the wide view")
     p.add_argument("--format", choices=("parquet", "json", "csv"), default="parquet")
@@ -62,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         num_top_k_scripts=args.num_top_k_scripts,
         do_end_to_end=args.do_end_to_end,
         cache_dir=args.cache_dir,
+        sandbox_mode=args.sandbox_mode,
     )
     data = EvaporateData(
         spark,

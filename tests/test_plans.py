@@ -90,3 +90,36 @@ def test_deciles_plan_has_no_global_window(spark, sf_dir):
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
         partition_spec = m.group(1)
         assert partition_spec.strip(), f"global window found: {m.group(0)[:120]}"
+
+
+def test_minhash_reads_documents_once(spark, sf_dir):
+    """The LSH dedup plan computes signatures in ONE branch (groupBy-
+    bucket pairing): the documents parquet appears as a single scan per
+    union leg — a self-join shape would double every scan and recompute
+    the signature pipeline per side."""
+    import re
+
+    p = plan_str(REGISTRY["q_minhash_lsh_dups"].spark(spark, sf_dir))
+    # the doubled corpus = 2 union legs; exactly 2 scan NODES total
+    # (formatted output lists each node once in the details section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_interval_join_is_equi_not_cartesian(spark, sf_dir):
+    """The binned interval join must plan as an equi-join on
+    (keys, bin) — never a cartesian/broadcast-nested-loop product."""
+    p = plan_str(REGISTRY["q_interval_click_after_view"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_salted_join_replicates_dim_not_fact(spark, sf_dir):
+    """salted_join explodes the salt sequence on the DIM side only; the
+    fact side is salted with a scalar hash (no row multiplication)."""
+    import re
+
+    p = plan_str(REGISTRY["q_salted_event_enrichment"].spark(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+    # and the exploded side is the customer dim, not the events fact
+    gen_detail = p.split(") Generate", 1)[1]
+    assert "c_custkey" in gen_detail.split("(")[0] or "c_custkey" in gen_detail[:600]

@@ -273,6 +273,34 @@ def test_run_functions_timeout_and_errors(spark):
     assert all(r["value"] == "" for r in votes)
 
 
+def test_run_functions_multi_matches_per_attribute(spark):
+    """The single-scan multi-attribute pass emits exactly the votes the
+    per-attribute run_functions loop would — one lake read instead of
+    one per attribute."""
+    from evaporate_spark.semantic.sandbox import run_functions_multi
+
+    docs = spark.createDataFrame(
+        [("d1", "author: Jane\nyear: 1999"), ("d2", "author: Bob\nyear: 2001"), ("d3", "no fields")],
+        ["path", "content"],
+    )
+    year_fn = GOOD_FN.replace("author", "year")
+    fns_by_attr = {
+        "author": {"function_0": GOOD_FN},
+        "year": {"function_0": year_fn, "function_1": "def get_year_field(text):\n    return 1/0"},
+    }
+    multi = {
+        (r["path"], r["attribute"], r["voter"]): r["value"]
+        for r in run_functions_multi(docs, fns_by_attr).collect()
+    }
+    per = {}
+    for attr, fns in fns_by_attr.items():
+        for r in run_functions(docs, fns, attr).collect():
+            per[(r["path"], attr, r["voter"])] = r["value"]
+    assert multi == per
+    assert multi[("d1", "author", "function_0")] == "Jane"
+    assert multi[("d2", "year", "function_0")] == "2001"
+
+
 def test_subprocess_sandbox_survives_hostile_functions(spark):
     """mode='subprocess': a hung loop is hard-killed, a worker the code
     kills outright (os._exit) is detected and restarted, and hostile

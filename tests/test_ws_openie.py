@@ -211,6 +211,7 @@ def test_cli_closed_ie(spark, tmp_path, capsys):
             "--attributes", "author,year",
             "--train-size", "5",
             "--chunk-size", "400",
+            "--sandbox-mode", "subprocess",
             "--output", out_path,
         ]
     )

@@ -14,9 +14,12 @@ Two query sets:
   ``extended_sec``. Semantic rows also report the LLM token count (the
   reference's cost unit) via ``tokens``.
 
-Each query is warmed once (JVM + parquet footers + plan) and then fully
-executed, so the measured time covers scan→shuffle→result in steady
-state, not first-touch JIT noise.
+RELATIONAL queries are warmed once (JVM + parquet footers + plan) and
+then timed in steady state — the same protocol as r1/r2. EXTENDED
+queries are timed on the already-warm JVM WITHOUT a prior identical
+run: their pipelines cache nothing between invocations, so a warm-up
+run would buy no steady-state signal while doubling wall time and LLM
+token spend (the reference's cost unit).
 """
 
 from __future__ import annotations
@@ -47,7 +50,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="evaporate-spark-bench")
     names = RELATIONAL + EXTENDED
-    for name in names:
+    for name in RELATIONAL:
         REGISTRY[name].spark(spark, sf_dir).count()
 
     timings: dict[str, float] = {}

@@ -101,7 +101,11 @@ def llm_map(
     - ``circuit_open``: skipped — more than ``breaker_threshold``
       CONSECUTIVE failures tripped the per-partition breaker (the
       reference's >10-consecutive-errors bail-out,
-      ``profiler.py:474-477``); any success closes it again.
+      ``profiler.py:474-477``). A success BEFORE tripping resets the
+      count; once open, the remainder of the partition is skipped
+      without re-probing the client — matching the reference, which
+      abandons the attribute outright. Skipped rows are not cached, so
+      the next run retries them.
 
     Errored rows are never written to the cache, so a later run retries
     them.

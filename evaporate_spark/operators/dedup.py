@@ -21,6 +21,16 @@ them):
 All hashing is seeded xxhash64 (deterministic across runs/executors —
 the reference's global ``random.seed(0)`` reproducibility requirement,
 re-expressed as keyed hashing; SURVEY §7 risk list).
+
+Scale contract for the PAIR-emitting operators (2-5): output — and
+therefore any strategy — is quadratic in the size of a duplicate
+cluster, so they assume bounded cluster sizes. Run :func:`exact_dedup`
+first (the module's cheapest-first ordering): it collapses identical
+documents, which is where unbounded clusters come from in practice.
+The text operators pair within buckets via groupBy + collect_list (one
+pass over the expensive signature pipeline); a pathological bucket that
+still exceeds executor memory after exact dedup needs a cluster-
+representative formulation (min-id per bucket) instead of all pairs.
 """
 
 from __future__ import annotations
@@ -100,12 +110,18 @@ def ngram_jaccard_pairs(
     block size — the classic blocked-ER layout. Returns
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
+    # NULL block keys never pair (join-equality semantics: the groupBy
+    # pairing below would otherwise collect all NULL-key rows into one
+    # giant group, which an equi-join would have dropped)
+    non_null = F.lit(True)
+    for c in block_cols:
+        non_null = non_null & F.col(c).isNotNull()
     base = _widen(
         df.select(
             *[F.col(c) for c in block_cols],
             F.col(id_col).alias("_id"),
             F.col(text_col).alias("_text"),
-        ).where(F.size(ws_tokens(F.col(text_col))) >= k)
+        ).where(non_null & (F.size(ws_tokens(F.col(text_col))) >= k))
     )
     sh = base.select(
         *block_cols, "_id", rolling_hash_shingles(F.col("_text"), k).alias("_sh")

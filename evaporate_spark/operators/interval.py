@@ -43,9 +43,12 @@ def interval_join(
     """
     if upper_s <= lower_s:
         raise ValueError(f"empty interval: lower_s={lower_s} upper_s={upper_s}")
-    w_us = max(int(round((upper_s - lower_s) * 1_000_000)), 1)
     lo_us = int(round(lower_s * 1_000_000))
     hi_us = int(round(upper_s * 1_000_000))
+    # bin width derives from the ROUNDED bounds: rounding the difference
+    # independently could leave the window 1µs wider than a bin, making
+    # some left windows span 3 bins while only 2 are emitted
+    w_us = max(hi_us - lo_us, 1)
 
     # micros computed per side BEFORE the join: the joined frame may
     # hold identically-named timestamp columns on both sides

@@ -70,9 +70,12 @@ def _be_u16(c: Column, pos: Column) -> Column:
 #: JPG C8 and DAC CC) — ITU T.81 table B.1
 _JPEG_SOF_MARKERS = [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
 
-#: segments to walk before giving up (EXIF blobs are ONE segment no
-#: matter their size, so real files reach SOF within a handful)
-_JPEG_MAX_SEGMENTS = 8
+#: segments to walk before giving up. Each metadata payload is at most
+#: one segment EXCEPT >64KB ICC profiles, which split across several
+#: APP2 segments — a Photoshop-style export can carry APP0 + 2xAPP1
+#: (EXIF/XMP) + ~5xAPP2 + APP13/APP14 + DQTs before SOF, so the cap
+#: leaves generous slack (each walk step is a cheap named projection).
+_JPEG_MAX_SEGMENTS = 24
 
 
 def media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:

@@ -596,6 +596,42 @@ def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_correlated_high_value",
+    "Correlated scalar subquery through the spark.sql front door "
+    "(SURVEY §2B: the engine's SQL entry path; Catalyst decorrelates "
+    "the subquery into an aggregate + join): customers with >= 3 "
+    "orders above a fixed threshold, counted per customer. Counts are "
+    "exact integers, so the oracle comparison is FP-safe.",
+    oracle="""
+        SELECT
+            c.c_custkey,
+            c.c_name,
+            (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) AS n_big
+        FROM customer c
+        WHERE (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) >= 3
+    """,
+    tags=("sql", "join"),
+)
+def q_sql_correlated_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT
+            c.c_custkey,
+            c.c_name,
+            (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) AS n_big
+        FROM customer c
+        WHERE (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) >= 3
+        """
+    )
+
+
+@register(
     "q_scalar_function_suite",
     "Scalar-function suite over part: levenshtein, translate, regex "
     "split + array aggregate (JVM higher-order fold), map construction "

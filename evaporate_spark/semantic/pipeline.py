@@ -385,8 +385,11 @@ def _apply_combine(
 
     # persist the combined lake result: the trim-learning collect below,
     # the OpenIE first-5 dedup probe, and the caller's own action would
-    # otherwise each re-run the full-lake function pass
-    combined = combined.persist()
+    # otherwise each re-run the full-lake function pass. Keep a handle:
+    # the trim step rebinds `combined` to a child frame, and the
+    # model-voter cleanup below must unpersist THIS frame, not the child
+    combined_cached = combined.persist()
+    combined = combined_cached
 
     # train-consistency trim (§2A#29): learn junk prefix/suffix tokens
     # from sample gold-vs-final pairs; strip lake-wide as a Column op
@@ -404,11 +407,13 @@ def _apply_combine(
     # persist hygiene: the sample frames are fully consumed above; when
     # a model voter (not a function) was selected, the lake-vote lineage
     # still reads `filtered` — materialize once (cutting lineage) so the
-    # cached chunk frame can be released instead of leaking per call
+    # cached chunk frame AND the now-superseded cached combine result
+    # can both be released instead of leaking per call
     sample.unpersist(False)
     sample_chunks.unpersist(False)
     if not all(v in functions for v in selected):
         combined = combined.localCheckpoint(eager=True)
+        combined_cached.unpersist(False)
     filtered.unpersist(False)
 
     extractions = combined.select(

@@ -48,9 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); without this conf the
         # vectorized reader raises PARQUET_TYPE_ILLEGAL. Scoped to this
-        # read (the conf is captured when the relation is planned), so
-        # other TIMESTAMP(NANOS) parquet reads on the session keep
-        # their own semantics.
+        # read (the conf is captured when the relation is planned). In
+        # engine-built sessions get_spark pins the conf to true anyway,
+        # so the restore is a no-op there; the scoping matters for
+        # EXTERNALLY-built sessions (e.g. the correctness driver's),
+        # whose other TIMESTAMP(NANOS) reads keep their own semantics.
         key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "true")

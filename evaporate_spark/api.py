@@ -226,6 +226,33 @@ class EvaporateData:
         self._stage("profile_all", t0, tokens)
         return results
 
+    # ---------------------------------------------------------- eval
+    def extractions_long(self) -> DataFrame | None:
+        """Every profiled (path, attribute, value) row — the long form
+        the eval operators consume."""
+        frames = [r.extractions for r in self.results if r.extractions is not None]
+        if not frames:
+            return None
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out
+
+    def evaluate(self, gold: DataFrame) -> DataFrame | None:
+        """Per-attribute text-F1 / exact-match vs a gold (path,
+        attribute, value) table — the reference's staged-API eval step
+        (``reference/evaporate/main.py:224-240``). Returns None when
+        nothing has been profiled yet."""
+        t0 = time.perf_counter()
+        preds = self.extractions_long()
+        if preds is None:
+            return None
+        from evaporate_spark.semantic.evals import evaluate_closed_ie
+
+        out = evaluate_closed_ie(preds, gold)
+        self._stage("evaluate", t0)
+        return out
+
     # ---------------------------------------------------------- view
     def view(self) -> DataFrame | None:
         """Assemble the wide structured view from every profiled

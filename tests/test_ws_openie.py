@@ -197,6 +197,22 @@ def test_evaluate_closed_and_open_ie(spark):
 
 
 # ------------------------------------------------------------------ CLI
+def test_staged_api_evaluate(spark, lake):
+    """EvaporateData.evaluate mirrors the reference's staged eval step:
+    per-attribute F1 of the profiled view vs a gold table."""
+    data = EvaporateData(spark, docs=lake, client=KeyValueMockLLM())
+    data.profile_all(["author", "year"])
+    gold_rows = []
+    for i in range(20):
+        gold_rows.append((f"doc://{i}", "author", AUTHORS[i]))
+        gold_rows.append((f"doc://{i}", "year", str(1980 + i)))
+    gold = spark.createDataFrame(gold_rows, ["path", "attribute", "value"])
+    scores = {r["attribute"]: r for r in data.evaluate(gold).collect()}
+    assert scores["author"]["avg_f1"] == 1.0 and scores["author"]["n"] == 20
+    assert scores["year"]["exact_match_rate"] == 1.0
+    assert "evaluate" in data.stage_seconds
+
+
 def test_cli_closed_ie(spark, tmp_path, capsys):
     from evaporate_spark.cli import main
 

@@ -52,6 +52,11 @@ def main() -> None:
     names = RELATIONAL + EXTENDED
     for name in RELATIONAL:
         REGISTRY[name].spark(spark, sf_dir).count()
+    # warm the Arrow/pandas-UDF worker pool with a trivial pass so the
+    # first extended query measures the pipeline, not Python-worker
+    # fork/import cost — without re-running any LLM-priced pipeline
+    warm = spark.range(64).selectExpr("id", "cast(id as string) as s")
+    warm.mapInPandas(lambda it: it, "id long, s string").count()
 
     timings: dict[str, float] = {}
     tokens: dict[str, int] = {}

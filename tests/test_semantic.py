@@ -467,6 +467,32 @@ def test_interval_join_matches_naive_conditional_join(spark):
         assert got == want, (lo, hi, strict)
 
 
+def test_interval_join_fractional_bounds_do_not_miss_matches(spark):
+    """Regression: bin width must derive from the ROUNDED micro bounds.
+    With fractional-second bounds, rounding the difference separately
+    can leave the window 1µs wider than a bin, so a left window spans 3
+    bins while only 2 are emitted — silently dropping matches."""
+    from evaporate_spark.operators.interval import interval_join
+
+    # bounds round to lo_us=0, hi_us=60000001 → width 60000001µs; a
+    # separately-rounded difference gives 60000000µs, under which the
+    # left window [119999999, 180000000] spans bins {1,2,3} but only
+    # {1,3} are emitted and the 150s match in bin 2 is dropped
+    left = spark.createDataFrame([(1, 119_999_999)], ["k", "lus"]).select(
+        "k", F.timestamp_micros(F.col("lus")).alias("lts"), "lus"
+    )
+    right = spark.createDataFrame([(1, 150_000_000), (1, 180_000_000)], ["k", "rus"]).select(
+        "k", F.timestamp_micros(F.col("rus")).alias("rts"), "rus"
+    )
+    got = {
+        r["rus"]
+        for r in interval_join(
+            left, right, ["k"], "lts", "rts", lower_s=0.25e-6, upper_s=60.00000075
+        ).collect()
+    }
+    assert got == {150_000_000, 180_000_000}
+
+
 def test_asof_join_operator(spark):
     from evaporate_spark.operators.asof import asof_join
 

@@ -299,8 +299,99 @@ def test_video_frame_plan_real_decode_stubbed(spark):
     assert got == {("v1", 0), ("v1", 30), ("v1", 60), ("v1", 90), ("v2", 0), ("v2", 30)}
     with pytest.raises(NotImplementedError):
         decode_video_frames(plan)
-    with pytest.raises(NotImplementedError):
-        resize_images(vids, 8, 8)
+
+
+def _real_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Solid-color 8-bit RGB PNG with real IDAT pixel data."""
+    from evaporate_spark.operators.multimodal import png_encode
+
+    return png_encode(width, height, 3, bytes(rgb) * (width * height))
+
+
+def test_stdlib_png_decoder_handles_all_filters():
+    """The decoder reconstructs scanlines under every PNG filter type
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth)."""
+    import struct
+    import zlib
+
+    from evaporate_spark.operators.multimodal import png_decode
+
+    w, h, ch = 3, 5, 3
+    rng = __import__("random").Random(11)
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    stride = w * ch
+
+    def encode_row(y: int, f: int, prev: bytes) -> bytes:
+        raw = pixels[y * stride : (y + 1) * stride]
+        out = bytearray([f])
+        for i in range(stride):
+            a = raw[i - ch] if i >= ch else 0
+            b = prev[i] if prev else 0
+            c = prev[i - ch] if (prev and i >= ch) else 0
+            if f == 0:
+                v = raw[i]
+            elif f == 1:
+                v = raw[i] - a
+            elif f == 2:
+                v = raw[i] - b
+            elif f == 3:
+                v = raw[i] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = raw[i] - pred
+            out.append(v & 0xFF)
+        return bytes(out)
+
+    body = b""
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        prev = pixels[(y - 1) * stride : y * stride] if y else b""
+        body += encode_row(y, f, prev)
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    raw_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, dch, out = png_decode(raw_png)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert bytes(out) == pixels
+
+
+def test_stdlib_png_decode_and_resize(spark):
+    """PNG pixel decode + resize are REAL without PIL: the stdlib codec
+    round-trips pixels and resize_images emits a valid, correctly-sized
+    PNG; non-PNG rows surface per-row errors, never task failures."""
+    from evaporate_spark.operators.multimodal import png_decode
+
+    img = _real_png(6, 4, (200, 100, 0))
+    df = spark.createDataFrame(
+        [("solid.png", bytearray(img)), ("clip.mp3", bytearray(b"ID3\x04" + b"\x00" * 20))],
+        "path string, content binary",
+    )
+    decoded = {r["path"]: r for r in decode_images(df).collect()}
+    assert decoded["solid.png"]["decoded_by"] in ("pillow", "stdlib-png")
+    assert (decoded["solid.png"]["width"], decoded["solid.png"]["height"]) == (6, 4)
+    assert decoded["solid.png"]["mean_intensity"] == (200 + 100 + 0) / 3
+
+    resized = {r["path"]: r for r in resize_images(df, 3, 2).collect()}
+    assert resized["clip.mp3"]["content"] is None and resized["clip.mp3"]["err"]
+    out = bytes(resized["solid.png"]["content"])
+    w, h, ch, px = png_decode(out)
+    assert (w, h, ch) == (3, 2, 3)
+    assert bytes(px) == bytes((200, 100, 0)) * 6  # solid color survives
+    # and media_metadata agrees on the re-encoded header
+    meta = media_metadata(
+        spark.createDataFrame([("r.png", bytearray(out))], "path string, content binary")
+    ).collect()[0]
+    assert (meta["media_type"], meta["width"], meta["height"]) == ("png", 3, 2)
 
 
 # ------------------------------------------------------------------ approx

@@ -3,6 +3,14 @@ dedup families, similarity search, as-of join, scalable global
 ranking, skew mitigation, multimodal columns."""
 
 from evaporate_spark.operators.asof import asof_join
+from evaporate_spark.operators.interval import interval_join
+from evaporate_spark.operators.multimodal import (
+    decode_images,
+    media_metadata,
+    plan_video_frame_samples,
+    resize_images,
+    sniff_media_type,
+)
 from evaporate_spark.operators.dedup import (
     exact_dedup,
     exact_dedup_groups,
@@ -32,9 +40,15 @@ __all__ = [
     "ivf_topk",
     "random_hyperplane_lsh_topk",
     "asof_join",
+    "interval_join",
     "global_rank",
     "ntile_from_rank",
     "salted_aggregate",
     "salted_join",
     "key_histogram",
+    "media_metadata",
+    "sniff_media_type",
+    "decode_images",
+    "resize_images",
+    "plan_video_frame_samples",
 ]

@@ -15,12 +15,13 @@ from evaporate_spark.semantic.extraction import direct_extract
 from evaporate_spark.semantic.filtering import filter_chunks_for_attribute
 from evaporate_spark.semantic.pipeline import (
     ProfileConfig,
+    profile_attributes_single_scan,
     ProfileResult,
     assemble_view,
     profile_attribute,
 )
 from evaporate_spark.semantic.sampling import sample_documents
-from evaporate_spark.semantic.sandbox import run_functions
+from evaporate_spark.semantic.sandbox import run_functions, run_functions_multi
 from evaporate_spark.semantic.schema_id import identify_schema
 from evaporate_spark.semantic.scoring import evaluate_voters, select_topk, text_f1
 from evaporate_spark.semantic.synthesis import synthesize_functions
@@ -33,6 +34,7 @@ __all__ = [
     "direct_extract",
     "synthesize_functions",
     "run_functions",
+    "run_functions_multi",
     "evaluate_voters",
     "select_topk",
     "text_f1",
@@ -42,5 +44,6 @@ __all__ = [
     "profile_attribute",
     "assemble_view",
     "ProfileConfig",
+    "profile_attributes_single_scan",
     "ProfileResult",
 ]

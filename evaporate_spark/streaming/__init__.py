@@ -6,7 +6,9 @@ from evaporate_spark.streaming.stateful import running_user_stats
 from evaporate_spark.streaming.windows import (
     hourly_counts,
     read_events_stream,
+    clicks_after_views_join,
     run_stream_to_memory,
+    run_stream_to_parquet,
     session_windows,
     sliding_user_activity,
 )
@@ -18,4 +20,6 @@ __all__ = [
     "session_windows",
     "running_user_stats",
     "run_stream_to_memory",
+    "run_stream_to_parquet",
+    "clicks_after_views_join",
 ]

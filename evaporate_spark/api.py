@@ -230,13 +230,9 @@ class EvaporateData:
     def extractions_long(self) -> DataFrame | None:
         """Every profiled (path, attribute, value) row — the long form
         the eval operators consume."""
-        frames = [r.extractions for r in self.results if r.extractions is not None]
-        if not frames:
-            return None
-        out = frames[0]
-        for f_ in frames[1:]:
-            out = out.unionByName(f_)
-        return out
+        from evaporate_spark.semantic.pipeline import results_long
+
+        return results_long(self.results)
 
     def evaluate(self, gold: DataFrame) -> DataFrame | None:
         """Per-attribute text-F1 / exact-match vs a gold (path,

@@ -197,29 +197,40 @@ def png_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     anything else."""
     import zlib
 
-    if raw[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, idat = 8, b""
-    w = h = channels = None
-    while pos + 8 <= len(raw):
-        length = int.from_bytes(raw[pos : pos + 4], "big")
-        ctype = raw[pos + 4 : pos + 8]
-        data = raw[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            w = int.from_bytes(data[0:4], "big")
-            h = int.from_bytes(data[4:8], "big")
-            bit_depth, color_type, interlace = data[8], data[9], data[12]
-            if bit_depth != 8 or color_type not in (0, 2, 6) or interlace:
-                raise ValueError(f"unsupported PNG shape: depth={bit_depth} color={color_type}")
-            channels = {0: 1, 2: 3, 6: 4}[color_type]
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if not idat or w is None:
-        raise ValueError("no pixel data")
-    decomp = zlib.decompress(idat)
+    try:
+        if raw[:8] != _PNG_SIG:
+            raise ValueError("not a PNG")
+        pos, idat = 8, []
+        w = h = channels = None
+        while pos + 8 <= len(raw):
+            length = int.from_bytes(raw[pos : pos + 4], "big")
+            ctype = raw[pos + 4 : pos + 8]
+            data = raw[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                bit_depth, color_type, interlace = data[8], data[9], data[12]
+                if bit_depth != 8 or color_type not in (0, 2, 6) or interlace:
+                    raise ValueError(
+                        f"unsupported PNG shape: depth={bit_depth} color={color_type}"
+                    )
+                channels = {0: 1, 2: 3, 6: 4}[color_type]
+            elif ctype == b"IDAT":
+                # list + join: libpng splits IDAT into many small chunks,
+                # and += would re-copy the growing buffer per chunk
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if not idat or w is None:
+            raise ValueError("no pixel data")
+        decomp = zlib.decompress(b"".join(idat))
+    except ValueError:
+        raise
+    except Exception as ex:
+        # normalize truncated-header IndexError / corrupt-IDAT
+        # zlib.error to the documented contract
+        raise ValueError(f"malformed PNG: {ex!r}") from ex
     stride = w * channels
     if len(decomp) < h * (stride + 1):
         raise ValueError("truncated pixel data")
@@ -313,11 +324,13 @@ def decode_images(
 ) -> DataFrame:
     """Decode image bytes to per-image stats, Arrow-batched.
 
-    With PIL present: real decode (width/height/mean pixel). Without:
-    DETERMINISTIC FAKE — header dims for PNG and a byte-level mean as
-    'intensity', flagged via ``decoded_by='fake-header-stub'`` so no
-    caller can mistake it for pixel truth. The mapInPandas plumbing
-    (schema, batching, error capture) is identical in both paths.
+    Decode ladder per row: PIL when installed (any format; luma mean);
+    else the stdlib PNG codec for 8-bit PNGs (TRUE pixel stats,
+    ``decoded_by='stdlib-png'``; mean over RGB channels); else a
+    DETERMINISTIC FAKE — header dims + byte-level mean, flagged via
+    ``decoded_by='fake-header-stub'`` so no caller can mistake it for
+    pixel truth. The mapInPandas plumbing (schema, batching, per-row
+    error capture) is identical in every path.
     """
 
     def decode_batches(batches: Iterator) -> Iterator:

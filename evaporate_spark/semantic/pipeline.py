@@ -494,16 +494,25 @@ def profile_attributes_single_scan(
         return list(pool.map(finish, planned))
 
 
-def assemble_view(results: list[ProfileResult]) -> DataFrame | None:
-    """Long (path, attribute, value) results → one wide table
-    (§2A#32): groupBy(path).pivot(attribute).agg(first) — the Spark
-    shape of the reference's file2extractions dict-merge."""
+def results_long(results: list[ProfileResult]) -> DataFrame | None:
+    """Union every profiled attribute's (path, attribute, value) frame —
+    the long form both the wide view and the eval operators consume."""
     frames = [r.extractions for r in results if r.extractions is not None]
     if not frames:
         return None
     long = frames[0]
     for f_ in frames[1:]:
         long = long.unionByName(f_)
+    return long
+
+
+def assemble_view(results: list[ProfileResult]) -> DataFrame | None:
+    """Long (path, attribute, value) results → one wide table
+    (§2A#32): groupBy(path).pivot(attribute).agg(first) — the Spark
+    shape of the reference's file2extractions dict-merge."""
+    long = results_long(results)
+    if long is None:
+        return None
     attrs = sorted({r.attribute for r in results if r.extractions is not None})
     return (
         long.groupBy("path")

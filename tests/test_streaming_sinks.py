@@ -379,7 +379,21 @@ def test_stdlib_png_decode_and_resize(spark):
     decoded = {r["path"]: r for r in decode_images(df).collect()}
     assert decoded["solid.png"]["decoded_by"] in ("pillow", "stdlib-png")
     assert (decoded["solid.png"]["width"], decoded["solid.png"]["height"]) == (6, 4)
-    assert decoded["solid.png"]["mean_intensity"] == (200 + 100 + 0) / 3
+    if decoded["solid.png"]["decoded_by"] == "stdlib-png":
+        assert decoded["solid.png"]["mean_intensity"] == (200 + 100 + 0) / 3
+    else:  # pillow converts to L: ITU-R 601 luma, not a channel mean
+        assert 100 <= decoded["solid.png"]["mean_intensity"] <= 140
+
+    # corrupt IDAT payload: decode degrades to the header fake (with
+    # header dims), never an all-NULL error row
+    corrupt = bytearray(img)
+    corrupt[45:49] = b"\x00\xff\x00\xff"
+    cdf = spark.createDataFrame(
+        [("corrupt.png", corrupt)], "path string, content binary"
+    )
+    crow = decode_images(cdf).collect()[0]
+    assert crow["decoded_by"] == "fake-header-stub" and crow["err"] is None
+    assert (crow["width"], crow["height"]) == (6, 4)
 
     resized = {r["path"]: r for r in resize_images(df, 3, 2).collect()}
     assert resized["clip.mp3"]["content"] is None and resized["clip.mp3"]["err"]

@@ -63,11 +63,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
-    # long (spark.sql.legacy.parquet.nanosAsLong). Truncate to micros —
-    # the same thing DuckDB does when reading TIMESTAMP_NS.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Normalize events.ts to a UTC-instant TIMESTAMP regardless of how
+    # the generator wrote it (the driver has shipped BOTH physical
+    # types across rounds):
+    # - TIMESTAMP(NANOS): surfaced as nanos-since-epoch long via
+    #   spark.sql.legacy.parquet.nanosAsLong; truncate to micros — the
+    #   same thing DuckDB does when reading TIMESTAMP_NS.
+    # - timestamp[us] without isAdjustedToUTC: surfaced as
+    #   TIMESTAMP_NTZ; interpret the wall-clock as UTC
+    #   (to_utc_timestamp is session-timezone-independent, so
+    #   unix_micros(ts) equals DuckDB's epoch extraction even on an
+    #   externally-built session with a non-UTC timezone).
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
     return df
 
 

@@ -18,17 +18,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+#: ts slot is filled per-file: the testdata generator has shipped both
+#: TIMESTAMP(NANOS) (→ bigint under nanosAsLong) and timestamp[us]
+#: (→ timestamp_ntz) across rounds
+EVENTS_SCHEMA_TEMPLATE = (
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
-    """events.ts arrives as nanos-since-epoch (parquet TIMESTAMP(NANOS)
-    read with nanosAsLong) → truncate to micros timestamp."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize events.ts to a UTC-instant TIMESTAMP from either
+    physical shape (same contract as ``sources.catalog.load_table``):
+    nanos-since-epoch bigint → truncate to micros; TIMESTAMP_NTZ →
+    interpret the wall-clock as UTC (session-timezone-independent)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
     return df
 
 
@@ -38,11 +46,15 @@ def read_events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
 
     The file stream source requires a DIRECTORY base path; a single
     ``.../events.parquet`` file is read as parent dir + glob filter.
+    The stream schema's ts type is probed from the footers with a batch
+    read first (a stream source cannot infer), then normalized.
     """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1)
+    probed = dict(spark.read.parquet(events_parquet).dtypes).get("ts", "bigint")
+    schema = EVENTS_SCHEMA_TEMPLATE.format(ts_type=probed)
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
     if os.path.isfile(events_parquet):
         base, name = os.path.split(events_parquet)
         reader = reader.option("pathGlobFilter", name)

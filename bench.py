@@ -14,18 +14,35 @@ Two query sets:
   ``extended_sec``. Semantic rows also report the LLM token count (the
   reference's cost unit) via ``tokens``.
 
-RELATIONAL queries are warmed once (JVM + parquet footers + plan) and
-then timed in steady state — the same protocol as r1/r2. EXTENDED
-queries are timed on the already-warm JVM WITHOUT a prior identical
-run: their pipelines cache nothing between invocations, so a warm-up
-run would buy no steady-state signal while doubling wall time and LLM
-token spend (the reference's cost unit).
+Measurement protocol (r4, addressing the r3 verdict's "bench noise is
+unmanaged" finding): every query is timed N times (default 5, override
+$SPARK_GRAFT_BENCH_N) on a JVM warmed by one untimed pass of each
+relational query plus a pandas-UDF worker warm-up. Repetitions are
+ROUND-ROBIN interleaved (rep 1 of every query, then rep 2, ...) so a
+transient load spike taxes all queries equally instead of sinking
+whichever query it landed on. The reported per-query number is the
+MEDIAN across reps; per-query min/max/first and the machine's 1-minute
+load average before and after the run are recorded in the same JSON so a
+drift like r3's uniform +22% (which ran n=3/1 right after a six-minute
+pytest) can be classified as load vs. regression instead of being
+unfalsifiable.
+
+Pinned comparison baselines (medians unless noted):
+
+- relational subtotal: r1 4.548 s, r2 2.773 s (n=2 mean),
+  r3 3.390 s (n=3 mean, ran under post-pytest load).
+- extended, r3 single-shot (n=1 — compare against ``first``, not the
+  median, when judging regressions vs r3): q_exact_dedup_groups 1.739,
+  q_minhash_lsh_dups 4.598, q_knn_cosine 1.772,
+  q_semantic_closed_ie 8.541 (6,718 tok), q_semantic_openie 12.602
+  (29,640 tok).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -48,6 +65,8 @@ EXTENDED = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
+    load_start = os.getloadavg()[0]
     spark = get_spark(app_name="evaporate-spark-bench")
     names = RELATIONAL + EXTENDED
     for name in RELATIONAL:
@@ -58,34 +77,52 @@ def main() -> None:
     warm = spark.range(64).selectExpr("id", "cast(id as string) as s")
     warm.mapInPandas(lambda it: it, "id long, s string").count()
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in names}
     tokens: dict[str, int] = {}
-    for name in names:
-        spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
-        stats = semantic_queries.LAST_SEMANTIC_STATS.get(name)
-        if stats:
-            tokens[name] = stats["tokens"]
+    for _rep in range(n_reps):
+        for name in names:
+            spec = REGISTRY[name]
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            n = len(df.collect())
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            assert n >= 0
+            stats = semantic_queries.LAST_SEMANTIC_STATS.get(name)
+            if stats:
+                tokens[name] = stats["tokens"]
+    load_end = os.getloadavg()[0]
+
+    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    query_stats = {
+        name: {
+            "median": timings[name],
+            "min": min(s),
+            "max": max(s),
+            "first": s[0],
+            "n": len(s),
+        }
+        for name, s in samples.items()
+    }
     relational_sec = round(sum(timings[n] for n in RELATIONAL), 3)
     extended_sec = round(sum(timings[n] for n in EXTENDED), 3)
     print(
         json.dumps(
             {
-                # value = RELATIONAL subtotal: the number comparable with
-                # r1 (4.548) and r2 (2.773); extended coverage is new in
-                # r3 and tracked via extended_sec + per-query timings
+                # value = RELATIONAL subtotal of per-query MEDIANS: the
+                # number comparable with r1 (4.548) and r2 (2.773);
+                # extended coverage is tracked via extended_sec +
+                # per-query stats (r3 extended was n=1 — compare "first")
                 "metric": "headline_query_wall_seconds",
                 "value": relational_sec,
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": query_stats,
                 "relational_sec": relational_sec,
                 "extended_sec": extended_sec,
                 "total_sec": round(relational_sec + extended_sec, 3),
                 "tokens": tokens,
+                "n_reps": n_reps,
+                "loadavg_1m": {"start": round(load_start, 2), "end": round(load_end, 2)},
                 "sf": sf,
             }
         )

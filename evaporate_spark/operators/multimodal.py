@@ -313,6 +313,234 @@ def _resize_nn(
     return out
 
 
+# ---------------------------------------------------------------------------
+# stdlib GIF codec: GIF's raster data is LZW over palette indices, so
+# first-frame decode (incl. interlace) and palette-preserving re-encode
+# work with ZERO third-party libraries — making decode_images and
+# resize_images REAL for GIF in this environment, same pattern as the
+# PNG/zlib codec above. Pure-Python LZW is fine for thumbnails and
+# fixtures; a Pillow deployment takes the fast path automatically.
+# ---------------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytearray:
+    """GIF-variant LZW: LSB-first bit packing, clear/EOI codes, code
+    width grows to 12 bits as the table fills."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= clear:
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                # canonical rule: grow the width when the code value
+                # just assigned (len-1) reaches 2^cs - 1; freeze the
+                # table at 4096 like a conformant encoder does
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Inverse of :func:`_lzw_decode`; clears one entry early (4095)
+    to stay clear of the 12-bit table-full edge."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for ci in indices:
+        cur = prev + bytes([ci])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        # canonical GIF width rule, mirrored from the decoder: the
+        # decoder lags the encoder's table by one entry, so the width
+        # grows only once the largest EMITTABLE code (next_code - 1)
+        # no longer fits — not when the table itself fills the width
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        prev = bytes([ci])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_first_frame(raw: bytes) -> tuple[int, int, bytes, bytearray, int | None]:
+    """Parse a GIF down to its first image: (frame_w, frame_h,
+    palette bytes, palette-index pixels row-major, transparent index or
+    None). Interlaced frames are deinterlaced. Raises ValueError on
+    anything malformed/truncated (same contract as :func:`png_decode`)."""
+    try:
+        if raw[:6] not in _GIF_SIGS:
+            raise ValueError("not a GIF")
+
+        def le16(p: int) -> int:
+            return raw[p] | (raw[p + 1] << 8)
+
+        flags = raw[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 ** ((flags & 7) + 1)
+            gct = raw[pos : pos + 3 * n]
+            pos += 3 * n
+        transparent: int | None = None
+        while pos < len(raw):
+            b = raw[pos]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: GCE carries transparency
+                label = raw[pos + 1]
+                pos += 2
+                if label == 0xF9 and raw[pos] >= 4 and raw[pos + 1] & 1:
+                    transparent = raw[pos + 4]
+                while True:
+                    size = raw[pos]
+                    pos += 1
+                    if size == 0:
+                        break
+                    pos += size
+                continue
+            if b != 0x2C:
+                raise ValueError(f"bad GIF block 0x{b:02x}")
+            iw, ih = le16(pos + 5), le16(pos + 7)
+            lflags = raw[pos + 9]
+            pos += 10
+            pal = gct
+            if lflags & 0x80:
+                n = 2 ** ((lflags & 7) + 1)
+                pal = raw[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = raw[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                size = raw[pos]
+                pos += 1
+                if size == 0:
+                    break
+                data += raw[pos : pos + size]
+                pos += size
+            idx = _lzw_decode(min_code, bytes(data))
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF pixel data")
+            idx = bytearray(idx[: iw * ih])
+            if lflags & 0x40:  # interlaced: 4-pass row order
+                rows = [
+                    y
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                    for y in range(start, ih, step)
+                ]
+                de = bytearray(iw * ih)
+                for src_y, dst_y in enumerate(rows):
+                    de[dst_y * iw : (dst_y + 1) * iw] = idx[src_y * iw : (src_y + 1) * iw]
+                idx = de
+            return iw, ih, bytes(pal), idx, transparent
+        raise ValueError("no image data in GIF")
+    except ValueError:
+        raise
+    except Exception as ex:  # truncated-buffer IndexError etc.
+        raise ValueError(f"malformed GIF: {ex!r}") from ex
+
+
+def gif_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
+    """(width, height, 3, RGB pixels row-major) for the FIRST frame of
+    a GIF (the frame's own dims, which for single-frame files equal the
+    logical screen). Raises ValueError on malformed input."""
+    w, h, pal, idx, _tr = _gif_first_frame(raw)
+    n_pal = len(pal) // 3
+    out = bytearray(w * h * 3)
+    for i, ci in enumerate(idx):
+        if ci >= n_pal:
+            raise ValueError("palette index out of range")
+        out[i * 3 : i * 3 + 3] = pal[ci * 3 : ci * 3 + 3]
+    return w, h, 3, out
+
+
+def gif_encode(w: int, h: int, palette: bytes, indices: bytes) -> bytes:
+    """Minimal single-frame GIF89a writer from palette + index pixels
+    (palette padded to the next power of two, no extensions)."""
+    import struct
+
+    n = len(palette) // 3
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    pal = palette + b"\x00" * (3 * (size - n))
+    min_code = max(2, bits)
+    header = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | ((bits - 1) & 7), 0, 0])
+        + pal
+    )
+    imgdesc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    data = _lzw_encode(min_code, indices)
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    return header + imgdesc + bytes([min_code]) + blocks + b"\x00\x3b"
+
+
 DECODE_SCHEMA = (
     "path string, media_type string, width long, height long, "
     "mean_intensity double, decoded_by string, err string"
@@ -326,11 +554,14 @@ def decode_images(
 
     Decode ladder per row: PIL when installed (any format; luma mean);
     else the stdlib PNG codec for 8-bit PNGs (TRUE pixel stats,
-    ``decoded_by='stdlib-png'``; mean over RGB channels); else a
-    DETERMINISTIC FAKE — header dims + byte-level mean, flagged via
+    ``decoded_by='stdlib-png'``; mean over RGB channels); else the
+    stdlib GIF/LZW codec for GIF first frames (TRUE pixel stats,
+    ``decoded_by='stdlib-gif'``); else a DETERMINISTIC FAKE — header
+    dims + byte-level mean, flagged via
     ``decoded_by='fake-header-stub'`` so no caller can mistake it for
-    pixel truth. The mapInPandas plumbing (schema, batching, per-row
-    error capture) is identical in every path.
+    pixel truth (JPEG only, in this environment). The mapInPandas
+    plumbing (schema, batching, per-row error capture) is identical in
+    every path.
     """
 
     def decode_batches(batches: Iterator) -> Iterator:
@@ -368,6 +599,17 @@ def decode_images(
                         continue
                     except ValueError:
                         pass
+                    # REAL stdlib decode for GIF first frames (LZW);
+                    # malformed GIFs degrade to the header fake below,
+                    # same contract as corrupt PNGs
+                    if raw[:6] in _GIF_SIGS:
+                        try:
+                            w, h, _ch, px = gif_decode(raw)
+                            mean = (sum(px) / len(px)) if px else 0.0
+                            rows.append((path, "gif", w, h, float(mean), "stdlib-gif", None))
+                            continue
+                        except ValueError:
+                            pass
                     # deterministic fake: header dims + byte mean
                     # (same parsers as media_metadata's expressions)
                     mt, width, height = _header_dims(raw)
@@ -396,13 +638,16 @@ def resize_images(
     """Resize images to (width, height): (path, content) →
     (path, content, err), Arrow-batched.
 
-    REAL for 8-bit grey/RGB/RGBA PNGs via the stdlib codec above
-    (nearest-neighbor; deterministic across executors). Other formats
-    need an image library this environment lacks: their rows surface
-    ``err`` with NULL content instead of failing the task — the same
-    per-row error contract as :func:`decode_images`. A Pillow
-    deployment can swap the inner decode/resample without touching the
-    operator shape."""
+    REAL for 8-bit grey/RGB/RGBA PNGs via the stdlib PNG codec
+    (nearest-neighbor; deterministic across executors) and for GIFs via
+    the stdlib LZW codec — GIF resize resamples the PALETTE-INDEX
+    raster and re-encodes with the source frame's own color table, so
+    no quantization step is needed and colors are bit-preserved. Other
+    formats (JPEG here) need an image library this environment lacks:
+    their rows surface ``err`` with NULL content instead of failing the
+    task — the same per-row error contract as :func:`decode_images`. A
+    Pillow deployment can swap the inner decode/resample without
+    touching the operator shape."""
 
     def resize_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -413,10 +658,15 @@ def resize_images(
                 raw = bytes(raw) if raw is not None else b""
                 paths.append(path)
                 try:
-                    w, h, ch, px = png_decode(raw)
-                    outs.append(
-                        bytearray(png_encode(width, height, ch, _resize_nn(w, h, ch, px, width, height)))
-                    )
+                    if raw[:6] in _GIF_SIGS:
+                        w, h, pal, idx, _tr = _gif_first_frame(raw)
+                        resized = _resize_nn(w, h, 1, idx, width, height)
+                        outs.append(bytearray(gif_encode(width, height, pal, bytes(resized))))
+                    else:
+                        w, h, ch, px = png_decode(raw)
+                        outs.append(
+                            bytearray(png_encode(width, height, ch, _resize_nn(w, h, ch, px, width, height)))
+                        )
                     errs.append(None)
                 except Exception as ex:
                     outs.append(None)

@@ -514,3 +514,148 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+# -------------------------------------------------------------- gif codec
+# canonical 10x10 sample GIF from the GIF89a spec appendix (the
+# "What's in a GIF" walkthrough file): 4-color global palette, a GCE,
+# one LZW image block produced by a REFERENCE encoder — decoding it to
+# the known raster proves wire-format conformance, not just
+# self-round-trip consistency.
+_SPEC_SAMPLE_GIF = bytes.fromhex(
+    "474946383961"          # GIF89a
+    "0a000a00" "910000"     # 10x10, GCT 4 entries
+    "ffffff" "ff0000" "0000ff" "000000"
+    "21f9040000000000"      # graphic control extension (no transparency)
+    "2c000000000a000a0000"  # image descriptor
+    "02" "168c2d99872a1cdc33a00275ec95faa8de608c04914c01" "00"
+    "3b"
+)
+_SPEC_SAMPLE_RASTER = "".join(
+    (
+        "1111122222", "1111122222", "1111122222",
+        "1110000222", "1110000222",
+        "2220000111", "2220000111",
+        "2222211111", "2222211111", "2222211111",
+    )
+)
+
+
+def test_gif_decode_conformance_spec_sample():
+    from evaporate_spark.operators.multimodal import _gif_first_frame, gif_decode
+
+    w, h, pal, idx, transparent = _gif_first_frame(_SPEC_SAMPLE_GIF)
+    assert (w, h) == (10, 10) and transparent is None
+    assert bytes(idx) == bytes(int(c) for c in _SPEC_SAMPLE_RASTER)
+    dw, dh, ch, px = gif_decode(_SPEC_SAMPLE_GIF)
+    assert (dw, dh, ch) == (10, 10, 3)
+    # pixel (0,0) is palette entry 1 = red; center (4,4) entry 0 = white
+    assert bytes(px[:3]) == b"\xff\x00\x00"
+    assert bytes(px[(4 * 10 + 4) * 3 :][:3]) == b"\xff\xff\xff"
+
+
+def test_gif_lzw_roundtrip_width_growth_and_clears():
+    """Encoder/decoder stay bit-synchronized through code-width growth
+    (3→12 bits), the KwKwK case, and mid-stream table clears."""
+    import random
+
+    from evaporate_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(7)
+    cases = [
+        bytes(rng.randrange(4) for _ in range(10)),
+        bytes(rng.randrange(256) for _ in range(60_000)),  # forces clears
+        b"\x00" * 500,  # KwKwK stress
+        b"\x01\x01\x02\x02" * 300,
+        bytes(range(4)) * 250,
+    ]
+    for data in cases:
+        min_code = max(2, (max(data) if data else 1).bit_length())
+        enc = _lzw_encode(min_code, data)
+        assert bytes(_lzw_decode(min_code, enc)) == data
+
+
+def test_gif_roundtrip_and_interlace_and_transparency():
+    import random
+
+    from evaporate_spark.operators.multimodal import (
+        _gif_first_frame,
+        _lzw_encode,
+        gif_decode,
+        gif_encode,
+    )
+
+    rng = random.Random(3)
+    w, h = 8, 9
+    pal = bytes([10, 20, 30, 200, 100, 0, 0, 0, 255])  # 3 colors
+    idx = bytes(rng.randrange(3) for _ in range(w * h))
+    gw, gh, gpal, gidx, _tr = _gif_first_frame(gif_encode(w, h, pal, idx))
+    assert (gw, gh) == (w, h) and bytes(gidx) == idx and gpal[: len(pal)] == pal
+
+    # hand-built INTERLACED variant with a transparency GCE and a LOCAL
+    # color table: rows stored in 4-pass order must be deinterlaced back
+    passes = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(start, h, step)]
+    shuffled = b"".join(idx[y * w : (y + 1) * w] for y in passes)
+    data = _lzw_encode(2, shuffled)
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255] for i in range(0, len(data), 255)
+    )
+    gif = (
+        b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"  # no GCT
+        + b"\x21\xf9\x04\x01\x00\x00\x02\x00"  # GCE: transparent idx 2
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x80 | 0x40 | 0x01])  # local table (4 entries), interlaced
+        + pal + b"\x00\x00\x00"  # 3 colors padded to 4
+        + b"\x02" + blocks + b"\x00" + b"\x3b"
+    )
+    iw, ih, ipal, iidx, transparent = _gif_first_frame(gif)
+    assert (iw, ih) == (w, h) and transparent == 2
+    assert bytes(iidx) == idx  # deinterlaced back to row-major
+    dw, dh, ch, px = gif_decode(gif)
+    assert bytes(px[:3]) == pal[idx[0] * 3 : idx[0] * 3 + 3]
+
+
+def test_gif_decode_and_resize_spark(spark):
+    """decode_images reports TRUE pixel stats for GIFs (stdlib-gif) and
+    resize_images emits a valid GIF with the source palette preserved;
+    header-only GIFs degrade to the header fake, not an error row."""
+    from evaporate_spark.operators.multimodal import gif_decode, gif_encode
+
+    w, h = 6, 4
+    pal = bytes([200, 100, 0, 0, 0, 0])  # color 0 = (200,100,0), color 1 = black
+    solid = gif_encode(w, h, pal, b"\x00" * (w * h))
+    df = spark.createDataFrame(
+        [
+            ("solid.gif", bytearray(solid)),
+            ("spec.gif", bytearray(_SPEC_SAMPLE_GIF)),
+            ("header-only.gif", bytearray(_gif_bytes(320, 200))),
+        ],
+        "path string, content binary",
+    )
+    rows = {r["path"]: r for r in decode_images(df).collect()}
+    assert rows["solid.gif"]["decoded_by"] in ("pillow", "stdlib-gif")
+    assert (rows["solid.gif"]["width"], rows["solid.gif"]["height"]) == (w, h)
+    if rows["solid.gif"]["decoded_by"] == "stdlib-gif":
+        assert rows["solid.gif"]["mean_intensity"] == (200 + 100 + 0) / 3
+    assert rows["spec.gif"]["decoded_by"] in ("pillow", "stdlib-gif")
+    assert (rows["spec.gif"]["width"], rows["spec.gif"]["height"]) == (10, 10)
+    assert rows["header-only.gif"]["decoded_by"] == "fake-header-stub"
+    assert rows["header-only.gif"]["err"] is None
+    assert (rows["header-only.gif"]["width"], rows["header-only.gif"]["height"]) == (320, 200)
+
+    resized = {r["path"]: r for r in resize_images(df, 3, 2).collect()}
+    assert resized["header-only.gif"]["content"] is None and resized["header-only.gif"]["err"]
+    out = bytes(resized["solid.gif"]["content"])
+    rw, rh, ch, px = gif_decode(out)
+    assert (rw, rh, ch) == (3, 2, 3)
+    assert bytes(px) == bytes((200, 100, 0)) * 6  # solid color survives
+    # downscaled spec sample keeps only palette colors (no resampling blur)
+    sw, sh, _c, spx = gif_decode(bytes(resized["spec.gif"]["content"]))
+    assert (sw, sh) == (3, 2)
+    palette_colors = {b"\xff\xff\xff", b"\xff\x00\x00", b"\x00\x00\xff", b"\x00\x00\x00"}
+    assert {bytes(spx[i : i + 3]) for i in range(0, len(spx), 3)} <= palette_colors
+    # and media_metadata agrees on the re-encoded header
+    meta = media_metadata(
+        spark.createDataFrame([("r.gif", bytearray(out))], "path string, content binary")
+    ).collect()[0]
+    assert (meta["media_type"], meta["width"], meta["height"]) == ("gif", 3, 2)

@@ -99,12 +99,15 @@ def llm_map(
       can re-prompt (``direct_extract`` trims the chunk and retries).
     - ``llm_error``: any other client exception, after one retry.
     - ``circuit_open``: skipped — more than ``breaker_threshold``
-      CONSECUTIVE failures tripped the per-partition breaker (the
-      reference's >10-consecutive-errors bail-out,
-      ``profiler.py:474-477``). A success BEFORE tripping resets the
-      count; once open, the remainder of the partition is skipped
-      without re-probing the client — matching the reference, which
-      abandons the attribute outright. Skipped rows are not cached, so
+      CONSECUTIVE failures tripped the per-partition breaker. This is
+      a DELIBERATELY STRICTER divergence from the reference: its
+      bail-out (``profiler.py:474-477``) fires only when num_errors >
+      10 AND num_errors == total prompts so far (i.e. literally every
+      prompt errored), while this breaker trips on any 11-failure
+      burst even after earlier successes — a dead backend mid-run
+      should stop burning retries on the rest of the partition. The
+      cost of the extra strictness is bounded: a success before
+      tripping resets the count, and skipped rows are never cached, so
       the next run retries them.
 
     Errored rows are never written to the cache, so a later run retries
@@ -218,8 +221,20 @@ def llm_map(
         )
     # the cached leg's lazy scan may re-list the directory AFTER this
     # call's own append (a later llm_map on the same dir refreshes the
-    # listing), in which case miss keys would appear in both legs
-    answers = answers.dropDuplicates(["_ck"])
+    # listing), in which case miss keys would appear in both legs.
+    # Dedup with an explicit priority — successes before errored rows —
+    # so a fresh '' + _err row can never shadow a good cached
+    # completion (arbitrary dropDuplicates could pick either)
+    from pyspark.sql.window import Window
+
+    pick_first = Window.partitionBy("_ck").orderBy(
+        F.col("_err").isNotNull().cast("int")
+    )
+    answers = (
+        answers.withColumn("_rn", F.row_number().over(pick_first))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     out = (
         keyed.join(answers, "_ck", "left")

@@ -50,26 +50,45 @@ def interval_join(
     # some left windows span 3 bins while only 2 are emitted
     w_us = max(hi_us - lo_us, 1)
 
+    # helper columns get collision-free names: a plain "_bin" on an
+    # input would be silently overwritten and then dropped from the
+    # output, corrupting results instead of erroring
+    taken = set(left.columns) | set(right.columns)
+    c_bin, c_l_us, c_r_us = (
+        _fresh(base, taken) for base in ("_bin", "_l_us", "_r_us")
+    )
+
     # micros computed per side BEFORE the join: the joined frame may
     # hold identically-named timestamp columns on both sides
-    l_binned = left.withColumn("_l_us", F.unix_micros(F.col(left_ts))).withColumn(
-        "_bin",
+    l_binned = left.withColumn(c_l_us, F.unix_micros(F.col(left_ts))).withColumn(
+        c_bin,
         F.explode(
             F.array_distinct(
                 F.array(
-                    F.floor((F.col("_l_us") + lo_us) / w_us),
-                    F.floor((F.col("_l_us") + hi_us) / w_us),
+                    F.floor((F.col(c_l_us) + lo_us) / w_us),
+                    F.floor((F.col(c_l_us) + hi_us) / w_us),
                 )
             )
         ),
     )
-    r_binned = right.withColumn("_r_us", F.unix_micros(F.col(right_ts))).withColumn(
-        "_bin", F.floor(F.col("_r_us") / w_us)
+    r_binned = right.withColumn(c_r_us, F.unix_micros(F.col(right_ts))).withColumn(
+        c_bin, F.floor(F.col(c_r_us) / w_us)
     )
 
-    r_us, l_us = F.col("_r_us"), F.col("_l_us")
+    r_us, l_us = F.col(c_r_us), F.col(c_l_us)
     lower_cond = (r_us > l_us + lo_us) if strict_lower else (r_us >= l_us + lo_us)
-    joined = l_binned.join(r_binned, on + ["_bin"]).where(
+    joined = l_binned.join(r_binned, on + [c_bin]).where(
         lower_cond & (r_us <= l_us + hi_us)
     )
-    return joined.drop("_bin", "_l_us", "_r_us")
+    return joined.drop(c_bin, c_l_us, c_r_us)
+
+
+def _fresh(base: str, taken: set) -> str:
+    """Deterministic helper-column name not colliding with any input
+    column (suffix counter, no randomness — plans stay cache-stable)."""
+    name, i = base, 0
+    while name in taken:
+        i += 1
+        name = f"{base}_{i}"
+    taken.add(name)
+    return name

@@ -34,6 +34,7 @@ Trust model, two modes (``run_functions(mode=...)``):
 
 from __future__ import annotations
 
+import json
 import re
 from collections.abc import Iterator
 from concurrent.futures import ThreadPoolExecutor
@@ -186,9 +187,12 @@ def _subprocess_worker(conn, source: str, attribute: str) -> None:
     except Exception:
         fn = None
     try:
-        conn.send(("ready", fn is not None))
+        # child -> parent traffic is JSON BYTES, never pickle: the
+        # parent must not unpickle anything a hostile child could have
+        # crafted (pickle deserialization executes arbitrary code)
+        conn.send_bytes(json.dumps(["ready", fn is not None]).encode("utf-8"))
         while True:
-            msg = conn.recv()
+            msg = conn.recv()  # parent -> child: trusted sender
             if msg is None:
                 return
             out = []
@@ -204,7 +208,7 @@ def _subprocess_worker(conn, source: str, attribute: str) -> None:
                 out.append(
                     clean_function_predictions(dedup_preserving_order(results), attribute)
                 )
-            conn.send(out)
+            conn.send_bytes(json.dumps(out).encode("utf-8"))
     except (EOFError, BrokenPipeError, OSError):
         return
 
@@ -212,7 +216,10 @@ def _subprocess_worker(conn, source: str, attribute: str) -> None:
 class _SubprocessRunner:
     """Same contract as :class:`_FnRunner`, but the synthesized code
     runs in a forked worker process that is hard-killed on timeout or
-    self-destruction — nothing leaks into the executor."""
+    self-destruction. The reply channel is JSON bytes (never pickle),
+    so crashes, hangs, and crafted payloads stay in the child; the
+    residual exposure is the child's own OS access (filesystem,
+    network, resource use) — process isolation, not a syscall jail."""
 
     SUB_BATCH = _FnRunner.SUB_BATCH
 
@@ -258,11 +265,29 @@ class _SubprocessRunner:
             return False
         return True
 
+    #: cap on one child reply (64 MiB) — a hostile function that spews
+    #: output gets its worker killed instead of OOMing the executor
+    MAX_REPLY_BYTES = 64 << 20
+
     def _recv(self, budget: float):
+        """Receive one child reply as JSON BYTES — the parent never
+        unpickles child data, so a crafted pickle payload from hostile
+        synthesized code cannot execute in the executor process (the
+        residual risk of the fork sandbox is the child's own
+        filesystem/network access, not this channel). Returns the
+        decoded JSON value, or None on timeout / death / oversized or
+        malformed reply (callers kill the worker on None)."""
         try:
             if self.conn.poll(budget):
-                return self.conn.recv()
-        except (EOFError, BrokenPipeError, OSError):
+                raw = self.conn.recv_bytes(self.MAX_REPLY_BYTES)
+                out = json.loads(raw.decode("utf-8"))
+                # schema check: ["ready", bool] handshake or list[str]
+                if isinstance(out, list) and all(
+                    isinstance(v, (str, bool)) for v in out
+                ):
+                    return out
+                return None
+        except (EOFError, BrokenPipeError, OSError, ValueError):
             return None
         return None
 

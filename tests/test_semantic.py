@@ -328,6 +328,40 @@ def test_subprocess_sandbox_survives_hostile_functions(spark):
         assert got[("d1", voter)] == "" and got[("d2", voter)] == ""
 
 
+def test_subprocess_sandbox_pickle_injection_neutralized(spark, tmp_path):
+    """The parent reads child replies as JSON bytes, never pickle: a
+    hostile function that frame-walks to the worker's pipe and sends a
+    crafted pickle (whose deserialization would run `os.system` in the
+    executor) only gets its worker killed — the payload must NOT
+    execute and the run must complete with '' for the attacker."""
+    sentinel = tmp_path / "pwned"
+    attack = (
+        "import sys\n"
+        "def get_author_field(text):\n"
+        "    f = sys._getframe(1)\n"
+        "    while f is not None and 'conn' not in f.f_locals:\n"
+        "        f = f.f_back\n"
+        "    conn = f.f_locals['conn']\n"
+        "    class Evil:\n"
+        "        def __reduce__(self):\n"
+        "            import os\n"
+        f"            return (os.system, ('touch {sentinel}',))\n"
+        "    conn.send(Evil())\n"
+        "    return []\n"
+    )
+    docs = spark.createDataFrame(
+        [("d1", "author: Jane"), ("d2", "author: Bob")], ["path", "content"]
+    ).repartition(1)
+    fns = {"function_0": GOOD_FN, "function_1": attack}
+    votes = run_functions(
+        docs, fns, "author", timeout_s=0.5, mode="subprocess"
+    ).collect()
+    got = {(r["path"], r["voter"]): r["value"] for r in votes}
+    assert got[("d1", "function_0")] == "Jane"
+    assert got[("d1", "function_1")] == "" and got[("d2", "function_1")] == ""
+    assert not sentinel.exists(), "pickle payload executed in the executor!"
+
+
 def test_subprocess_sandbox_matches_in_process_on_benign(spark):
     docs = spark.createDataFrame(
         [("d1", "author: Jane\nyear: 1999"), ("d2", "author: Bob"), ("d3", "no field")],
@@ -491,6 +525,24 @@ def test_interval_join_fractional_bounds_do_not_miss_matches(spark):
         ).collect()
     }
     assert got == {150_000_000, 180_000_000}
+
+
+def test_interval_join_survives_helper_name_collisions(spark):
+    """Inputs that already carry ``_bin``/``_l_us``/``_r_us`` columns
+    must pass through intact — helper columns pick fresh names instead
+    of silently overwriting and dropping user data."""
+    from evaporate_spark.operators.interval import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "keepL", 7)], ["k", "lsec", "_bin", "_l_us"]
+    ).select("k", F.timestamp_seconds("lsec").alias("lts"), "lsec", "_bin", "_l_us")
+    right = spark.createDataFrame(
+        [(1, 130, "keepR")], ["k", "rsec", "_r_us"]
+    ).select("k", F.timestamp_seconds("rsec").alias("rts"), "rsec", "_r_us")
+    rows = interval_join(left, right, ["k"], "lts", "rts", 0.0, 60.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["_bin"] == "keepL" and r["_l_us"] == 7 and r["_r_us"] == "keepR"
 
 
 def test_asof_join_operator(spark):

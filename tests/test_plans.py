@@ -123,3 +123,68 @@ def test_salted_join_replicates_dim_not_fact(spark, sf_dir):
     # and the exploded side is the customer dim, not the events fact
     gen_detail = p.split(") Generate", 1)[1]
     assert "c_custkey" in gen_detail.split("(")[0] or "c_custkey" in gen_detail[:600]
+
+
+# ---------------------------------------------------------------- no_oracle
+# The two registry queries the driver records as `no_oracle` get their
+# compensating correctness checks HERE, at the registry-query level
+# (not just unit level), so every CORRECTNESS gap has a named test.
+
+
+def test_registry_q_approx_distinct_within_5pct_of_exact(spark, sf_dir):
+    """REGISTRY['q_approx_distinct'] (HLL++, default rsd 5%) must land
+    within ±5% of the exact per-group distinct counts."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.sources.catalog import load_table
+
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_supps"])
+        for r in REGISTRY["q_approx_distinct"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["parts"], r["supps"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_suppkey").alias("supps"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for flag, (ap, asup) in approx.items():
+        ep, esup = exact[flag]
+        assert abs(ap - ep) <= 0.05 * ep, (flag, ap, ep)
+        assert abs(asup - esup) <= 0.05 * esup, (flag, asup, esup)
+
+
+def test_registry_q_simhash_dups_matches_all_pairs_ground_truth(spark, sf_dir):
+    """REGISTRY['q_simhash_dups'] (4×16-bit pigeonhole banding) must
+    return EXACTLY the pairs a brute-force all-pairs Hamming scan of
+    the same fingerprints finds — banding is a recall optimization,
+    never an approximation, at Hamming ≤ 3."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.dedup import simhash64
+    from evaporate_spark.plans.semantic_queries import _doubled_docs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY["q_simhash_dups"].spark(spark, sf_dir).collect()
+    }
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in _doubled_docs(spark, sf_dir)
+        .select("doc_id", simhash64(F.col("text")).alias("fp"))
+        .collect()
+    }
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert len(got) >= len(ids) // 2  # every doc has its exact clone pair

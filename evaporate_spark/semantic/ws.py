@@ -97,6 +97,48 @@ def em_voter_accuracies(
     return acc
 
 
+def correlated_voter_cliques(
+    vote_matrix: list[dict[str, str]],
+    agreement_thresh: float = 0.95,
+    min_overlap: int = 5,
+) -> dict[str, int]:
+    """voter → size of its near-duplicate clique.
+
+    The reference's label model learns the single strongest pairwise
+    dependency and discounts it (``reference/evaporate/weak_supervision/
+    run_ws.py:101-153``, structure_learning on the vote matrix); the
+    engine generalizes cheaply: voters whose NON-ABSTAIN votes agree on
+    ≥ ``agreement_thresh`` of ≥ ``min_overlap`` shared files are
+    transitively grouped (union-find), and the combiner divides each
+    member's weight by its clique size — two clones then carry one
+    voter's worth of evidence instead of two.
+    """
+    voters = sorted({v for row in vote_matrix for v in row})
+    parent = {v: v for v in voters}
+
+    def find(v: str) -> str:
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for i, a in enumerate(voters):
+        for b in voters[i + 1 :]:
+            both = agree = 0
+            for row in vote_matrix:
+                va, vb = row.get(a, ""), row.get(b, "")
+                if va and vb:
+                    both += 1
+                    agree += va == vb
+            if both >= min_overlap and agree / both >= agreement_thresh:
+                parent[find(a)] = find(b)
+
+    sizes: dict[str, int] = {}
+    for v in voters:
+        sizes[find(v)] = sizes.get(find(v), 0) + 1
+    return {v: sizes[find(v)] for v in voters}
+
+
 def weak_supervision_combine(
     votes: DataFrame,
     all_paths: DataFrame,
@@ -105,6 +147,8 @@ def weak_supervision_combine(
     extraction_fraction: float = 0.0,
     extraction_fraction_thresh: float = 0.9,
     em_train_files: int = 2000,
+    discount_correlated: bool = False,
+    agreement_thresh: float = 0.95,
 ) -> DataFrame:
     """votes(path, voter, value) → (path, value) by reliability-
     weighted voting.
@@ -112,9 +156,13 @@ def weak_supervision_combine(
     ``voter_accuracies`` (e.g. sample F1 vs the gold key — what the
     pipeline passes) anchors the weights; without it, accuracies are
     EM-estimated from a ≤``em_train_files`` hash-sample of the votes.
+    With ``discount_correlated``, near-duplicate voters share their
+    weight (see :func:`correlated_voter_cliques`) so a cloned voter
+    cannot outvote an independent one by redundancy alone.
     """
     spark = votes.sparkSession
-    if voter_accuracies is None:
+    sample_rows: list[dict[str, str]] | None = None
+    if voter_accuracies is None or discount_correlated:
         from evaporate_spark.semantic.sampling import sample_documents
 
         sample_paths = sample_documents(
@@ -126,11 +174,22 @@ def weak_supervision_combine(
             .agg(F.map_from_entries(F.collect_list(F.struct("voter", "value"))).alias("m"))
             .collect()
         )
-        voter_accuracies = em_voter_accuracies([r["m"] for r in rows], voter_order)
+        sample_rows = [r["m"] for r in rows]
+    if voter_accuracies is None:
+        voter_accuracies = em_voter_accuracies(sample_rows, voter_order)
+
+    clique_size: dict[str, int] = {}
+    if discount_correlated and sample_rows:
+        clique_size = correlated_voter_cliques(sample_rows, agreement_thresh)
 
     k = max(DEFAULT_LABEL_SPACE, 2)
     weights = [
-        (v, i, float(accuracy_to_weight(voter_accuracies.get(v, 0.5), k)))
+        (
+            v,
+            i,
+            float(accuracy_to_weight(voter_accuracies.get(v, 0.5), k))
+            / max(clique_size.get(v, 1), 1),
+        )
         for i, v in enumerate(voter_order)
     ]
     w_df = F.broadcast(

@@ -70,6 +70,51 @@ def test_em_accuracies_identify_reliable_voters():
     assert acc["c"] < acc["a"]
 
 
+def test_ws_correlated_voter_discount(spark):
+    """Two clone voters must not outvote one better independent voter
+    when discount_correlated is on (the engine analog of the
+    reference's learned-dependency discount, run_ws.py:101-153); the
+    default (off) preserves the historical outcome."""
+    from evaporate_spark.semantic.ws import correlated_voter_cliques
+
+    rows = []
+    for i in range(30):
+        rows.append((f"f{i}", "clone_a", "wrong"))
+        rows.append((f"f{i}", "clone_b", "wrong"))
+        rows.append((f"f{i}", "solo", f"right{i}"))
+    votes = spark.createDataFrame(rows, ["path", "voter", "value"])
+    paths = votes.select("path").distinct()
+    order = ["clone_a", "clone_b", "solo"]
+    # weights: 0.65 → ~2.01 each (clones sum 4.01), 0.9 → ~3.58
+    accs = {"clone_a": 0.65, "clone_b": 0.65, "solo": 0.9}
+
+    plain = {
+        r["path"]: r["value"]
+        for r in weak_supervision_combine(votes, paths, order, accs).collect()
+    }
+    assert all(v == "wrong" for v in plain.values())  # redundancy wins
+
+    fair = {
+        r["path"]: r["value"]
+        for r in weak_supervision_combine(
+            votes, paths, order, accs, discount_correlated=True
+        ).collect()
+    }
+    assert fair == {f"f{i}": f"right{i}" for i in range(30)}  # truth wins
+
+    # clique detection: the clones group, the independent voter doesn't
+    matrix = [
+        {"clone_a": "wrong", "clone_b": "wrong", "solo": f"right{i}"}
+        for i in range(30)
+    ]
+    sizes = correlated_voter_cliques(matrix)
+    assert sizes == {"clone_a": 2, "clone_b": 2, "solo": 1}
+    # below the overlap floor nothing is grouped
+    assert correlated_voter_cliques(matrix[:3]) == {
+        "clone_a": 1, "clone_b": 1, "solo": 1
+    }
+
+
 def test_ws_pipeline_end_to_end(spark, tmp_path):
     docs = spark.createDataFrame(
         [(f"doc://{i}", _doc(i), "txt", 1) for i in range(20)],

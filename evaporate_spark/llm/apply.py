@@ -83,6 +83,7 @@ def llm_map(
     token_accumulator=None,
     err_col: str | None = None,
     breaker_threshold: int = 10,
+    api_keys: list[str] | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = client completion of ``prompt_col``.
 
@@ -112,6 +113,18 @@ def llm_map(
 
     Errored rows are never written to the cache, so a later run retries
     them.
+
+    ``api_keys`` distributes authenticated load across keys — the
+    Spark shape of the reference's round-robin key rotation
+    (``reference/evaporate/utils.py:36-47``, one key per request in a
+    sequential loop): each PARTITION is pinned to
+    ``api_keys[partition_id % len(api_keys)]``, assigned to the
+    executor-side client clone's ``api_key`` attribute before its
+    first call (partition-level, because requests inside a partition
+    share one client/connection; a per-request rotation would defeat
+    backend connection pooling). Clients that do keyed auth read
+    ``self.api_key`` at call time; clients without the attribute get
+    it set anyway and may ignore it.
     """
     from evaporate_spark.llm.client import approx_token_count
 
@@ -138,7 +151,12 @@ def llm_map(
         from evaporate_spark.llm.client import ContextLengthError
 
         consecutive = 0  # per-partition consecutive-failure counter
+        key_assigned = False
         for pdf in batches:
+            if api_keys and not key_assigned:
+                pid = int(pdf["_pid"].iloc[0])
+                client.api_key = api_keys[pid % len(api_keys)]
+                key_assigned = True
             prompts = pdf["_prompt"].tolist()
             outs: list[str] = []
             errs: list[str | None] = []
@@ -196,6 +214,8 @@ def llm_map(
     #    scans, and Spark may reuse one (stale) file listing for both
     #    when the plans meet in a union (observed: second pass loses
     #    its completions).
+    if api_keys:
+        misses = misses.withColumn("_pid", F.spark_partition_id())
     fresh = misses.mapInPandas(
         run_batches, schema="_ck string, _completion string, _ntok long, _err string"
     ).localCheckpoint(eager=True)

@@ -45,18 +45,69 @@ from evaporate_spark.functions.text_stats import (
 )
 
 
+def _parse_bytes(v: str) -> int:
+    """'134217728', '134217728b', '128m'/'128mb', '1g' → bytes."""
+    s = v.strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate how many tasks the scan will get from the file listing
+    + ``spark.sql.files.maxPartitionBytes`` — the quantity the old
+    ``df.rdd.getNumPartitions()`` probe measured, WITHOUT forcing a
+    throwaway physical planning + RDD conversion per dedup call.
+    None = not a file scan (in-memory frame) or sizes unavailable
+    (remote FS without cheap driver-side stat) — callers treat both as
+    "assume narrow"."""
+    import math
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        max_bytes = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except Exception:
+        max_bytes = 128 << 20
+    splits = 0
+    for f in files:
+        local = f[len("file:") :] if f.startswith("file:") else f
+        if "://" in local:
+            return len(files)  # remote FS: file count is the floor
+        try:
+            size = os.path.getsize(local)
+        except OSError:
+            return len(files)
+        splits += max(1, math.ceil(size / max_bytes))
+    return splits
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the
-    input arrives in fewer splits.
+    input would arrive in fewer scan splits.
 
     The shingle/signature expressions are the expensive part of every
     fuzzy-dedup pass; a small parquet input (one or two splits) would
     otherwise serialize them onto one or two tasks. On a real cluster
     the scan already yields thousands of splits and this is a no-op —
-    no extra shuffle at scale.
+    no extra shuffle at scale. The split count is estimated from the
+    file listing (see :func:`_estimated_scan_splits`) rather than
+    probed via ``df.rdd``, which forced a full throwaway physical
+    planning pass per call.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits = _estimated_scan_splits(df)
+    if splits is None or splits < target:
         return df.repartition(target)
     return df
 

@@ -78,7 +78,12 @@ class EvaporateData:
     def _get_chunks(self):
         """Chunk the lake once; every attribute profile reuses it."""
         if self._chunks is None:
-            self._chunks = chunk_documents(self.docs, self.config.chunk_size).persist()
+            self._chunks = chunk_documents(
+                self.docs,
+                self.config.chunk_size,
+                self.config.html_remove_tables,
+                self.config.html_body_only,
+            ).persist()
         return self._chunks
 
     def _stage(self, name: str, t0: float, tokens: int = 0) -> None:

@@ -46,8 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--sandbox-mode",
         choices=("in_process", "subprocess"),
-        default="in_process",
-        help="synthesized-function isolation (subprocess = hard-kill workers)",
+        default="subprocess",
+        help="synthesized-function isolation (default: hard-kill "
+        "workers; in_process trades isolation for lower overhead)",
     )
     p.add_argument("--client", help="module:attr of an LLMClient (default: offline mock)")
     p.add_argument("--output", required=True, help="output path for the wide view")

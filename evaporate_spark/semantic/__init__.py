@@ -9,7 +9,11 @@ Pipeline shape (§3.3):
     full lake ── exec(topk fns) ── votes ── combine(mv|ws) ── pivot ── sink
 """
 
-from evaporate_spark.semantic.chunking import chunk_documents
+from evaporate_spark.semantic.chunking import (
+    chunk_documents,
+    extract_html_body,
+    remove_html_tables,
+)
 from evaporate_spark.semantic.combine import majority_vote
 from evaporate_spark.semantic.extraction import direct_extract
 from evaporate_spark.semantic.filtering import filter_chunks_for_attribute
@@ -29,6 +33,8 @@ from evaporate_spark.semantic.ws import weak_supervision_combine
 
 __all__ = [
     "chunk_documents",
+    "remove_html_tables",
+    "extract_html_body",
     "sample_documents",
     "filter_chunks_for_attribute",
     "direct_extract",

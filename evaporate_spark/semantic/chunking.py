@@ -51,6 +51,59 @@ def clean_html_text(content: str) -> str:
     return content
 
 
+_TABLE_TOKEN = re.compile(r"<\s*(/?)\s*table\b[^>]*>", re.IGNORECASE)
+_BODY_SPAN = re.compile(r"<\s*body\b.*?</\s*body\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def remove_html_tables(content: str, keep_marker: str = "infobox") -> str:
+    """Strip ``<table>…</table>`` spans EXCEPT those containing
+    ``keep_marker`` — the reference's ``remove_tables`` mode, which
+    drops wiki layout tables but keeps the infobox
+    (``reference/evaporate/profiler_utils.py:256-264``).
+
+    Reimplemented from behavior with a stdlib stack scanner (the
+    reference uses BeautifulSoup, unavailable here): nested tables
+    belong to their outermost span, matching soup.find_all + string
+    replacement of the outer table. Unbalanced markup degrades
+    gracefully (an unclosed table keeps everything after it, like the
+    reference's parser-repair would rather than eating the document).
+    """
+    spans: list[tuple[int, int]] = []
+    depth = 0
+    start = 0
+    for m in _TABLE_TOKEN.finditer(content):
+        if not m.group(1):  # opening tag
+            if depth == 0:
+                start = m.start()
+            depth += 1
+        elif depth > 0:  # closing tag
+            depth -= 1
+            if depth == 0:
+                spans.append((start, m.end()))
+    if not spans:
+        return content
+    out: list[str] = []
+    pos = 0
+    for s, e in spans:
+        out.append(content[pos:s])
+        if keep_marker in content[s:e]:
+            out.append(content[s:e])
+        pos = e
+    out.append(content[pos:])
+    return "".join(out)
+
+
+def extract_html_body(content: str) -> str:
+    """Keep only the ``<body>…</body>`` span (tags included, like
+    ``str(soup.find("body"))`` in the reference's ``body_only`` mode,
+    ``profiler_utils.py:266-269``). Documents without a body pass
+    through unchanged — the reference would stringify ``None`` and then
+    crash on its undefined ``clean_flattened_divs`` (a latent bug this
+    engine does not replicate; SURVEY §7 "reference bugs")."""
+    m = _BODY_SPAN.search(content)
+    return m.group(0) if m else content
+
+
 def _strip_inline_noise(piece: str) -> str:
     piece = re.sub(r'style="[^"]*"', "", piece)
     piece = re.sub(r"<style>.*?</style>", "", piece)
@@ -88,8 +141,25 @@ def chunk_txt(content: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[str]:
     return _greedy_pack(pieces, chunk_size)
 
 
-def chunk_html(content: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[str]:
-    """Clean tags, flatten lines, split oversized lines on '><', pack."""
+def chunk_html(
+    content: str,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    remove_tables: bool = False,
+    body_only: bool = False,
+) -> list[str]:
+    """Clean tags, flatten lines, split oversized lines on '><', pack.
+
+    ``remove_tables`` / ``body_only`` mirror the reference's
+    ``get_html_parse`` options (``profiler_utils.py:255-269``) in the
+    reference's application order (tables first, then body). Unlike the
+    reference, ``body_only`` continues through the normal clean +
+    flatten + pack path — the reference skips cleaning in that mode and
+    then crashes on its undefined ``clean_flattened_divs``, so the
+    working intent is implemented rather than the NameError."""
+    if remove_tables:
+        content = remove_html_tables(content)
+    if body_only:
+        content = extract_html_body(content)
     content = clean_html_text(content)
     lines = [l for l in str(content).split("\n") if l.strip()]
     flattened: list[str] = []
@@ -108,25 +178,37 @@ def chunk_html(content: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[str]:
     return _greedy_pack(cleaned, chunk_size)
 
 
-def chunk_document(content: str, doc_type: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[str]:
+def chunk_document(
+    content: str,
+    doc_type: str,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    remove_tables: bool = False,
+    body_only: bool = False,
+) -> list[str]:
     if content is None:
         return []
     if doc_type == "html":
-        return chunk_html(content, chunk_size)
+        return chunk_html(content, chunk_size, remove_tables, body_only)
     return chunk_txt(content, chunk_size)
 
 
-def chunk_documents(docs: DataFrame, chunk_size: int = DEFAULT_CHUNK_SIZE) -> DataFrame:
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    remove_tables: bool = False,
+    body_only: bool = False,
+) -> DataFrame:
     """documents(path, content, doc_type, ...) → chunks(path, chunk_id, chunk).
 
     One vectorized pandas UDF + posexplode; empty chunks are dropped.
+    ``remove_tables``/``body_only`` apply to html documents only.
     """
 
     @pandas_udf("array<string>")
     def _chunk(content: pd.Series, doc_type: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                chunk_document(c, t, chunk_size)
+                chunk_document(c, t, chunk_size, remove_tables, body_only)
                 for c, t in zip(content, doc_type)
             ]
         )

@@ -49,9 +49,16 @@ class ProfileConfig:
     cache_dir: str | None = None
     max_extract_tokens: int = 100
     max_synth_tokens: int = 500
-    # "in_process" (reference-like, fastest) | "subprocess" (hard-kill
-    # isolation for hostile synthesized code) — see semantic/sandbox.py
-    sandbox_mode: str = "in_process"
+    # html chunker options (reference get_html_parse remove_tables /
+    # body_only, profiler_utils.py:255-269)
+    html_remove_tables: bool = False
+    html_body_only: bool = False
+    # "subprocess" (DEFAULT: hard-kill worker isolation — synthesized
+    # code is untrusted, and in-process execution cannot survive
+    # os._exit/segfault or stop a runaway loop's thread) |
+    # "in_process" (reference-like, lowest overhead; opt in for
+    # trusted function sets) — see semantic/sandbox.py
+    sandbox_mode: str = "subprocess"
 
 
 @dataclass
@@ -180,7 +187,9 @@ def _plan_attribute(
     tokens = spark.sparkContext.accumulator(0)
 
     if chunks is None:
-        chunks = chunk_documents(docs, cfg.chunk_size)
+        chunks = chunk_documents(
+            docs, cfg.chunk_size, cfg.html_remove_tables, cfg.html_body_only
+        )
     filtered = filter_chunks_for_attribute(chunks, attribute).persist()
     sample = sample_documents(docs, cfg.train_size, cfg.seed).persist()
     sample_paths = sample.select("path")
@@ -451,8 +460,10 @@ def profile_attributes_single_scan(
     Votes are identical to the per-attribute path; the lake is read
     once instead of once per attribute — the multi-attribute scale
     shape (a 35-attribute OpenIE run at 100 TB reads the corpus once,
-    not 35×). Function-result caching applies to the per-attribute
-    path only; this path recomputes (documents are read once anyway).
+    not 35×). With ``config.cache_dir`` set, function results are
+    served from the same (fingerprint, fnset) cache the per-attribute
+    path writes, so a re-run of a 35-attribute lake executes zero
+    sandbox calls for already-seen documents.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -474,10 +485,11 @@ def profile_attributes_single_scan(
         if isinstance(st, _PlanState)
     }
     fns_by_attr = {a: fns for a, fns in fns_by_attr.items() if fns}
+    fn_cache = f"{cfg.cache_dir.rstrip('/')}_fn" if cfg.cache_dir else None
     multi_votes = None
     if fns_by_attr:
         multi_votes = run_functions_multi(
-            docs, fns_by_attr, mode=cfg.sandbox_mode
+            docs, fns_by_attr, mode=cfg.sandbox_mode, cache_dir=fn_cache
         ).localCheckpoint(eager=True)
 
     def finish(st):

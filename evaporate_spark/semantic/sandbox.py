@@ -364,6 +364,7 @@ def run_functions_multi(
     timeout_s: float = 1.0,
     max_timeouts_per_fn: int = 2,
     mode: str = "in_process",
+    cache_dir: str | None = None,
 ) -> DataFrame:
     """Apply EVERY attribute's selected functions in ONE pass over the
     lake: contents × {attr: {fn_key: src}} → votes(path, attribute,
@@ -374,6 +375,15 @@ def run_functions_multi(
     (35 lake scans at the reference's OpenIE budget); here the document
     bytes are read once and all compiled functions run against each
     batch. Votes are identical to the per-attribute path.
+
+    With ``cache_dir``, results are memoized per (content fingerprint,
+    attribute function-set hash) using the SAME cache table and hash
+    formula as :func:`run_functions` — the two paths prime each other:
+    a per-attribute run makes the multi scan skip that attribute's
+    rows and vice versa. Documents fully cached for every attribute
+    never reach a sandbox; a document cached for only SOME attributes
+    is recomputed for all of them in the single scan (one scan beats
+    per-attribute delta scans; the fresh leg then wins the merge).
     """
     if mode not in _RUNNERS:
         raise ValueError(f"unknown sandbox mode {mode!r}; choose from {set(_RUNNERS)}")
@@ -409,8 +419,94 @@ def run_functions_multi(
             for runner in runners.values():
                 runner.close()
 
-    return contents.select(path_col, content_col).mapInPandas(
-        apply_partition, schema="path string, attribute string, voter string, value string"
+    multi_schema = "path string, attribute string, voter string, value string"
+    if cache_dir is None:
+        return contents.select(path_col, content_col).mapInPandas(
+            apply_partition, schema=multi_schema
+        )
+
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.llm.apply import (
+        _CACHE_WRITE_LOCK,
+        ensure_local_dir,
+        try_read_cache,
+    )
+
+    spark = contents.sparkSession
+    # one namespace per attribute — byte-identical to run_functions'
+    # fnset hash so the caches interoperate
+    fnset_by_attr = {
+        attr: hashlib.md5(
+            ("\x00".join(f"{k}\x01{v}" for k, v in sorted(fns.items())) + attr).encode()
+        ).hexdigest()
+        for attr, fns in fns_by_attr.items()
+    }
+    attr_of = {h: a for a, h in fnset_by_attr.items()}
+    fnset_to_attr = F.create_map(
+        *[F.lit(x) for h, a in attr_of.items() for x in (h, a)]
+    )
+    attr_to_fnset = F.create_map(
+        *[F.lit(x) for a, h in fnset_by_attr.items() for x in (a, h)]
+    )
+
+    keyed = contents.select(
+        path_col,
+        F.md5(F.coalesce(F.col(content_col).cast("string"), F.lit(""))).alias("_fp"),
+        content_col,
+    )
+    distinct_fp = keyed.dropDuplicates(["_fp"]).select("_fp", content_col)
+
+    cached = None
+    raw_cache = try_read_cache(
+        spark, cache_dir, "fp string, fnset string, voter string, value string"
+    )
+    if raw_cache is not None:
+        cached = raw_cache.where(
+            F.col("fnset").isin(list(attr_of))
+        ).dropDuplicates(["fp", "fnset", "voter"])
+
+    misses = distinct_fp
+    if cached is not None:
+        # only fingerprints cached under EVERY attribute namespace skip
+        # the scan (partially-cached docs rerun whole — see docstring)
+        full = (
+            cached.select("fp", "fnset")
+            .distinct()
+            .groupBy("fp")
+            .count()
+            .where(F.col("count") == len(fnset_by_attr))
+            .select(F.col("fp").alias("_fp"))
+        )
+        misses = distinct_fp.join(full, "_fp", "left_anti")
+
+    fresh = (
+        misses.withColumnRenamed("_fp", path_col)
+        .mapInPandas(apply_partition, schema=multi_schema)
+        .withColumnRenamed("path", "fp")
+        .localCheckpoint(eager=True)
+    )
+    if not fresh.isEmpty():
+        ensure_local_dir(cache_dir)
+        with _CACHE_WRITE_LOCK:
+            fresh.select(
+                "fp", attr_to_fnset[F.col("attribute")].alias("fnset"), "voter", "value"
+            ).write.mode("append").parquet(cache_dir)
+
+    by_fp = fresh.select("fp", "attribute", "voter", "value")
+    if cached is not None:
+        # fresh wins where both legs have a fingerprint (partial-cache
+        # recompute) — drop cached rows for freshly-computed fps
+        cached_use = cached.join(
+            fresh.select("fp").distinct(), "fp", "left_anti"
+        ).select("fp", fnset_to_attr[F.col("fnset")].alias("attribute"), "voter", "value")
+        by_fp = by_fp.unionByName(cached_use)
+    return (
+        keyed.select(path_col, F.col("_fp").alias("fp"))
+        .join(by_fp, "fp")
+        .select(F.col(path_col).alias("path"), "attribute", "voter", "value")
     )
 
 

@@ -29,6 +29,75 @@ from evaporate_spark.semantic.values import (
 
 
 # ---------------------------------------------------------------- chunking
+WIKI_FIXTURE = (
+    "<html><head><title>City X</title><style>p {}</style></head>\n"
+    "<body>\n"
+    '<table class="infobox vcard"><tr><th>Population</th><td>1,234</td></tr></table>\n'
+    "<p>City X is a city.</p>\n"
+    '<table class="wikitable"><tr><td>layout junk\n'
+    "<table><tr><td>nested junk</td></tr></table>\n"
+    "</td></tr></table>\n"
+    "<p>More prose about City X.</p>\n"
+    "</body>\n"
+    "<footer>outside body</footer></html>\n"
+)
+
+
+def test_remove_html_tables_keeps_infobox():
+    """remove_tables parity with the reference's get_html_parse option
+    (profiler_utils.py:256-264): every table WITHOUT 'infobox' in its
+    markup is stripped — including nested tables, which belong to the
+    outer span like soup.find_all string-replacement — and the infobox
+    survives verbatim."""
+    from evaporate_spark.semantic.chunking import remove_html_tables
+
+    out = remove_html_tables(WIKI_FIXTURE)
+    assert "infobox vcard" in out and "Population" in out
+    assert "wikitable" not in out and "layout junk" not in out
+    assert "nested junk" not in out  # nested table went with its parent
+    assert "City X is a city." in out and "More prose" in out
+    # no tables at all → unchanged
+    assert remove_html_tables("<p>plain</p>") == "<p>plain</p>"
+    # unclosed table degrades to keeping trailing content, not eating it
+    assert "after" in remove_html_tables("<table><tr>x</tr> after")
+
+
+def test_extract_html_body_keeps_tags():
+    """body_only parity (profiler_utils.py:266-269): the kept span is
+    str(soup.find('body')) — body tags INCLUDED; head and trailing
+    content outside the body are dropped. A body-less document passes
+    through (the reference would crash; documented divergence)."""
+    from evaporate_spark.semantic.chunking import extract_html_body
+
+    out = extract_html_body(WIKI_FIXTURE)
+    assert out.startswith("<body>") and out.endswith("</body>")
+    assert "City X is a city." in out
+    assert "title>" not in out and "outside body" not in out
+    assert extract_html_body("<p>no body here</p>") == "<p>no body here</p>"
+
+
+def test_chunk_html_modes_compose(spark):
+    """chunk_html applies remove_tables then body_only in the
+    reference's order, and chunk_documents plumbs both flags through
+    the pandas UDF path."""
+    from evaporate_spark.semantic.chunking import chunk_documents, chunk_html
+
+    both = "\n".join(chunk_html(WIKI_FIXTURE, 500, remove_tables=True, body_only=True))
+    assert "Population" in both  # infobox survived
+    assert "layout junk" not in both and "outside body" not in both
+    plain = "\n".join(chunk_html(WIKI_FIXTURE, 500))
+    assert "layout junk" in plain  # default keeps tables (reference default)
+
+    docs = spark.createDataFrame(
+        [("w1", WIKI_FIXTURE, "html")], ["path", "content", "doc_type"]
+    )
+    chunked = " ".join(
+        r["chunk"]
+        for r in chunk_documents(docs, 500, remove_tables=True, body_only=True).collect()
+    )
+    assert "Population" in chunked and "layout junk" not in chunked
+
+
 def test_chunk_txt_packs_to_size():
     content = "\n".join(f"line {i} " + "x" * 40 for i in range(100))
     chunks = chunk_txt(content, chunk_size=500)
@@ -444,6 +513,44 @@ def test_llm_map_token_accumulator(spark):
     assert acc.value > 0
 
 
+def test_llm_map_api_key_rotation(spark):
+    """api_keys pins each partition to key[partition_id % n] (the
+    reference's round-robin key rotation, utils.py:36-47): with many
+    distinct-prompt partitions every key is exercised, and every row
+    carries a key from the list."""
+
+    class KeyEchoLLM:
+        """Completion reveals which API key the executor clone got;
+        defined in-function so cloudpickle ships it by value."""
+
+        name = "key-echo"
+        api_key = "unset"
+
+        def complete(self, prompt: str, max_tokens: int = 256) -> str:
+            return getattr(self, "api_key", "unset")
+
+        def complete_batch(self, prompts, max_tokens: int = 256):
+            return [self.complete(p, max_tokens) for p in prompts]
+
+    df = spark.createDataFrame([(f"p{i}",) for i in range(64)], ["prompt"])
+    keys = ["k0", "k1", "k2"]
+    # AQE coalesces this tiny shuffle to ONE partition (one key — the
+    # correct behavior for one partition); hold it open to observe the
+    # multi-partition rotation a real corpus would have
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        out = llm_map(df, KeyEchoLLM(), api_keys=keys)
+        used = {r["completion"] for r in out.collect()}
+        assert used == set(keys)  # 64 prompts over 32 partitions → coverage
+        # without api_keys the client's default is untouched
+        plain = llm_map(df, KeyEchoLLM()).collect()
+        assert {r["completion"] for r in plain} == {"unset"}
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+
 def test_run_functions_result_cache(spark, tmp_path):
     cache = str(tmp_path / "fnres")
     docs = spark.createDataFrame(
@@ -464,6 +571,105 @@ def test_run_functions_result_cache(spark, tmp_path):
     run_functions(docs, {"function_0": GOOD_FN.replace("author", "year")}, "author",
                   cache_dir=cache).collect()
     assert spark.read.parquet(cache).count() == 4
+
+
+def test_run_functions_multi_result_cache(spark, tmp_path):
+    """The single-scan multi path memoizes per (content fingerprint,
+    attribute fnset): a second run executes ZERO sandbox calls (proven
+    by an invocation-counting function), and the cache namespace is
+    shared with the per-attribute path so each primes the other."""
+    from evaporate_spark.semantic.sandbox import run_functions_multi
+
+    cache = str(tmp_path / "fnres")
+    marker = tmp_path / "calls.log"
+    counting_fn = (
+        "def get_author_field(text):\n"
+        f"    open({str(marker)!r}, 'a').write('x')\n"
+        "    lines = [l for l in text.split('\\n') if l.lower().startswith('author:')]\n"
+        "    return [lines[0].split(':', 1)[1].strip()] if lines else []\n"
+    )
+    year_fn = (
+        "def get_year_field(text):\n"
+        f"    open({str(marker)!r}, 'a').write('x')\n"
+        "    lines = [l for l in text.split('\\n') if l.lower().startswith('year:')]\n"
+        "    return [lines[0].split(':', 1)[1].strip()] if lines else []\n"
+    )
+    docs = spark.createDataFrame(
+        [("d1", "author: Jane\nyear: 1999"), ("d2", "author: Bob")],
+        ["path", "content"],
+    )
+    fns = {"author": {"function_0": counting_fn}, "year": {"function_0": year_fn}}
+
+    v1 = run_functions_multi(docs, fns, cache_dir=cache).collect()
+    got1 = {(r["path"], r["attribute"]): r["value"] for r in v1}
+    assert got1[("d1", "author")] == "Jane" and got1[("d1", "year")] == "1999"
+    assert got1[("d2", "author")] == "Bob" and got1[("d2", "year")] == ""
+    n_calls_first = len(marker.read_text())
+    assert n_calls_first >= 4  # 2 docs × 2 attrs, ± retry-on-preprocessed
+
+    # second run: same votes, ZERO sandbox executions, nothing appended
+    n_cache_rows = spark.read.parquet(cache).count()
+    v2 = run_functions_multi(docs, fns, cache_dir=cache).collect()
+    assert {(r["path"], r["attribute"]): r["value"] for r in v2} == got1
+    assert len(marker.read_text()) == n_calls_first
+    assert spark.read.parquet(cache).count() == n_cache_rows
+
+    # interop: the per-attribute path reads the same namespace — a
+    # run_functions call over the author attribute also executes nothing
+    v3 = run_functions(docs, fns["author"], "author", cache_dir=cache).collect()
+    assert {r["path"]: r["value"] for r in v3} == {"d1": "Jane", "d2": "Bob"}
+    assert len(marker.read_text()) == n_calls_first
+
+    # a NEW document executes only itself (partial-cache recompute is
+    # per-fingerprint, not per-corpus)
+    docs2 = docs.unionByName(
+        spark.createDataFrame([("d9", "author: Ada\nyear: 2024")], ["path", "content"])
+    )
+    v4 = run_functions_multi(docs2, fns, cache_dir=cache).collect()
+    got4 = {(r["path"], r["attribute"]): r["value"] for r in v4}
+    assert got4[("d9", "author")] == "Ada" and got4[("d9", "year")] == "2024"
+    assert got4[("d1", "author")] == "Jane"  # cached rows still present
+    assert 0 < len(marker.read_text()) - n_calls_first <= 4
+
+
+def test_single_scan_pipeline_uses_fn_cache(spark, tmp_path):
+    """profile_attributes_single_scan with cache_dir: the second run
+    resolves every lake document from the fn-result cache (no sandbox
+    executions), and results are unchanged."""
+    from evaporate_spark.llm.client import KeyValueMockLLM
+    from evaporate_spark.semantic.pipeline import (
+        ProfileConfig,
+        profile_attributes_single_scan,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"author: A{i}\nyear: {1990 + i}", "txt") for i in range(8)],
+        ["path", "content", "doc_type"],
+    )
+    cfg = ProfileConfig(train_size=3, cache_dir=str(tmp_path / "cache"))
+    client = KeyValueMockLLM()
+
+    r1 = profile_attributes_single_scan(docs, ["author", "year"], client, cfg)
+    out1 = {
+        (r.attribute, p["path"]): p["value"]
+        for r in r1
+        for p in r.extractions.collect()
+    }
+    assert out1[("author", "d0")] == "A0" and out1[("year", "d7")] == "1997"
+
+    fn_cache = str(tmp_path / "cache_fn")
+    rows_after_first = spark.read.parquet(fn_cache).count()
+    assert rows_after_first > 0
+
+    r2 = profile_attributes_single_scan(docs, ["author", "year"], client, cfg)
+    out2 = {
+        (r.attribute, p["path"]): p["value"]
+        for r in r2
+        for p in r.extractions.collect()
+    }
+    assert out2 == out1
+    # fully served from cache: nothing appended
+    assert spark.read.parquet(fn_cache).count() == rows_after_first
 
 
 def test_interval_join_matches_naive_conditional_join(spark):

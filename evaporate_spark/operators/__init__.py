@@ -4,6 +4,7 @@ ranking, skew mitigation, multimodal columns."""
 
 from evaporate_spark.operators.asof import asof_join
 from evaporate_spark.operators.interval import interval_join
+from evaporate_spark.operators.jpeg import jpeg_decode, jpeg_encode
 from evaporate_spark.operators.multimodal import (
     decode_images,
     media_metadata,
@@ -51,4 +52,6 @@ __all__ = [
     "decode_images",
     "resize_images",
     "plan_video_frame_samples",
+    "jpeg_decode",
+    "jpeg_encode",
 ]

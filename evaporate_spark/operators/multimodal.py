@@ -11,18 +11,25 @@ What is REAL here (runs at 100 TB, fully JVM-side):
 - the decode plumbing: schema, partition-parallel ``mapInPandas``
   batching, per-row error capture.
 
-Also REAL, with zero third-party libraries: 8-bit grey/RGB/RGBA PNG
-pixel decode + nearest-neighbor resize + re-encode via the stdlib
-codec below (PNG's IDAT is just zlib + per-scanline filters), so
-:func:`decode_images` reports true pixel stats and
-:func:`resize_images` produces real output for PNG inputs.
+Also REAL, with zero third-party imaging libraries — pixel decode +
+nearest-neighbor resize + re-encode for all three mainstream still
+formats:
+- PNG: 8-bit grey/RGB/RGBA via the stdlib zlib codec below (IDAT is
+  zlib + per-scanline filters),
+- GIF: first frame via the stdlib LZW codec below (incl. interlace
+  and transparency; resize resamples palette indices so colors are
+  bit-preserved),
+- JPEG: baseline/extended sequential AND progressive via the numpy
+  codec in :mod:`evaporate_spark.operators.jpeg` (huffman + IDCT +
+  chroma upsampling; encoder writes baseline JFIF).
 
-What is STUBBED (this environment ships no image/audio libs): pixel
-decode for non-PNG formats falls back to a clearly-marked
-deterministic fake (header-derived stats) in :func:`decode_images`
-and a per-row ``err`` in :func:`resize_images`;
-:func:`decode_video_frames` raises ``NotImplementedError`` at the
-decode step while the frame-sampling plumbing stays real and tested.
+What is STUBBED (this environment ships no image/audio libs): only
+truly undecodable rows (truncated buffers, hierarchical/arithmetic
+JPEG) fall back to the clearly-marked deterministic fake
+(header-derived stats) in :func:`decode_images` and a per-row ``err``
+in :func:`resize_images`; :func:`decode_video_frames` raises
+``NotImplementedError`` at the decode step while the frame-sampling
+plumbing stays real and tested.
 """
 
 from __future__ import annotations
@@ -556,10 +563,12 @@ def decode_images(
     else the stdlib PNG codec for 8-bit PNGs (TRUE pixel stats,
     ``decoded_by='stdlib-png'``; mean over RGB channels); else the
     stdlib GIF/LZW codec for GIF first frames (TRUE pixel stats,
-    ``decoded_by='stdlib-gif'``); else a DETERMINISTIC FAKE — header
-    dims + byte-level mean, flagged via
+    ``decoded_by='stdlib-gif'``); else the numpy JPEG decoder
+    (``operators.jpeg``; sequential AND progressive — TRUE pixel
+    stats, ``decoded_by='stdlib-jpeg'``); else a DETERMINISTIC FAKE —
+    header dims + byte-level mean, flagged via
     ``decoded_by='fake-header-stub'`` so no caller can mistake it for
-    pixel truth (JPEG only, in this environment). The mapInPandas
+    pixel truth (truncated/exotic inputs only). The mapInPandas
     plumbing (schema, batching, per-row error capture) is identical in
     every path.
     """
@@ -610,6 +619,18 @@ def decode_images(
                             continue
                         except ValueError:
                             pass
+                    # REAL numpy decode for sequential + progressive
+                    # JPEGs; malformed ones degrade to the header fake
+                    if raw[:2] == b"\xff\xd8":
+                        try:
+                            from evaporate_spark.operators.jpeg import jpeg_decode
+
+                            w, h, _ch, px = jpeg_decode(raw)
+                            mean = (sum(px) / len(px)) if px else 0.0
+                            rows.append((path, "jpeg", w, h, float(mean), "stdlib-jpeg", None))
+                            continue
+                        except ValueError:
+                            pass
                     # deterministic fake: header dims + byte mean
                     # (same parsers as media_metadata's expressions)
                     mt, width, height = _header_dims(raw)
@@ -639,15 +660,17 @@ def resize_images(
     (path, content, err), Arrow-batched.
 
     REAL for 8-bit grey/RGB/RGBA PNGs via the stdlib PNG codec
-    (nearest-neighbor; deterministic across executors) and for GIFs via
+    (nearest-neighbor; deterministic across executors), for GIFs via
     the stdlib LZW codec — GIF resize resamples the PALETTE-INDEX
     raster and re-encodes with the source frame's own color table, so
-    no quantization step is needed and colors are bit-preserved. Other
-    formats (JPEG here) need an image library this environment lacks:
-    their rows surface ``err`` with NULL content instead of failing the
-    task — the same per-row error contract as :func:`decode_images`. A
-    Pillow deployment can swap the inner decode/resample without
-    touching the operator shape."""
+    no quantization step is needed and colors are bit-preserved — and
+    for JPEGs (sequential + progressive input) via the numpy codec
+    (decode → NN resample → re-encode baseline JFIF q85; grayscale
+    stays grayscale, color stays YCbCr). Undecodable rows surface
+    ``err`` with NULL content instead of failing the task — the same
+    per-row error contract as :func:`decode_images`. A Pillow
+    deployment can swap the inner decode/resample without touching the
+    operator shape."""
 
     def resize_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -662,6 +685,17 @@ def resize_images(
                         w, h, pal, idx, _tr = _gif_first_frame(raw)
                         resized = _resize_nn(w, h, 1, idx, width, height)
                         outs.append(bytearray(gif_encode(width, height, pal, bytes(resized))))
+                    elif raw[:2] == b"\xff\xd8":
+                        from evaporate_spark.operators.jpeg import (
+                            jpeg_decode,
+                            jpeg_encode,
+                        )
+
+                        w, h, ch, px = jpeg_decode(raw)
+                        resized = _resize_nn(w, h, ch, px, width, height)
+                        outs.append(
+                            bytearray(jpeg_encode(width, height, ch, bytes(resized)))
+                        )
                     else:
                         w, h, ch, px = png_decode(raw)
                         outs.append(

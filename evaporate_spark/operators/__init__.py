@@ -6,10 +6,15 @@ from evaporate_spark.operators.asof import asof_join
 from evaporate_spark.operators.interval import interval_join
 from evaporate_spark.operators.jpeg import jpeg_decode, jpeg_encode
 from evaporate_spark.operators.multimodal import (
+    avi_mjpeg_write,
+    avi_video_chunks,
+    decode_audio,
     decode_images,
+    decode_video_frames,
     media_metadata,
     plan_video_frame_samples,
     resize_images,
+    sample_video_frames,
     sniff_media_type,
 )
 from evaporate_spark.operators.dedup import (
@@ -52,6 +57,11 @@ __all__ = [
     "decode_images",
     "resize_images",
     "plan_video_frame_samples",
+    "sample_video_frames",
+    "decode_video_frames",
+    "avi_video_chunks",
+    "avi_mjpeg_write",
+    "decode_audio",
     "jpeg_decode",
     "jpeg_encode",
 ]

@@ -23,13 +23,21 @@ formats:
   codec in :mod:`evaporate_spark.operators.jpeg` (huffman + IDCT +
   chroma upsampling; encoder writes baseline JFIF).
 
-What is STUBBED (this environment ships no image/audio libs): only
-truly undecodable rows (truncated buffers, hierarchical/arithmetic
-JPEG) fall back to the clearly-marked deterministic fake
-(header-derived stats) in :func:`decode_images` and a per-row ``err``
-in :func:`resize_images`; :func:`decode_video_frames` raises
-``NotImplementedError`` at the decode step while the frame-sampling
-plumbing stays real and tested.
+Video: REAL end-to-end for MJPEG AVIs — the stdlib RIFF walk
+(:func:`avi_video_chunks`) extracts per-frame JPEGs and
+:func:`decode_video_frames` decodes them with the numpy codec; a
+matching fixture writer (:func:`avi_mjpeg_write`) round-trips.
+Audio: REAL for PCM WAV (:func:`decode_audio` — stdlib ``wave`` +
+numpy RMS/duration).
+
+What is STUBBED (this environment ships no image/audio/video libs):
+only truly undecodable rows — truncated buffers,
+hierarchical/arithmetic JPEG, and modern video bitstreams (H.264 in
+mp4/webm/mkv) — fall back to the clearly-marked deterministic fake
+(header-derived stats) in :func:`decode_images` or a per-row ``err``
+in :func:`resize_images` / :func:`sample_video_frames`; the operator
+shapes are identical either way, so a Pillow/PyAV deployment swaps the
+inner step without touching callers.
 """
 
 from __future__ import annotations
@@ -58,13 +66,21 @@ _MAGIC = {
 
 
 def sniff_media_type(binary_col: Column | str) -> Column:
-    """Magic-byte media type; 'bin' when unknown. Pure JVM expression."""
+    """Magic-byte media type; 'bin' when unknown. Pure JVM expression.
+    RIFF containers are refined by their form type at offset 8
+    ('AVI ' → avi, 'WAVE' → wav, else the generic 'riff')."""
     c = F.col(binary_col) if isinstance(binary_col, str) else binary_col
     prefix = F.hex(F.substring(c, 1, 4))
     out = F.lit("bin")
     for magic, name in sorted(_MAGIC.items(), key=lambda kv: -len(kv[0])):
         out = F.when(prefix.startswith(magic), F.lit(name)).otherwise(out)
-    return out
+    form = F.substring(c, 9, 4).cast("string")
+    return F.when(
+        out == "riff",
+        F.when(form == "AVI ", F.lit("avi"))
+        .when(form == "WAVE", F.lit("wav"))
+        .otherwise(F.lit("riff")),
+    ).otherwise(out)
 
 
 def _be_u32(c: Column, pos: int) -> Column:
@@ -712,6 +728,186 @@ def resize_images(
     )
 
 
+def decode_audio(
+    df: DataFrame, path_col: str = "path", binary_col: str = "content"
+) -> DataFrame:
+    """(path, audio bytes) → (path, media_type, sample_rate, channels,
+    n_samples, duration_s, rms, err): REAL for PCM WAV via the stdlib
+    ``wave`` module + numpy (8/16/32-bit integer PCM; RMS normalized to
+    [0, 1]). Compressed formats (mp3/ogg/aac) surface a per-row ``err``
+    — their bitstreams need an audio library this environment lacks —
+    with the same never-fail-the-task contract as the image operators.
+    """
+
+    def audio_batches(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        dtypes = {1: np.uint8, 2: np.int16, 4: np.int32}
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    with wave.open(io.BytesIO(raw)) as wf:
+                        rate = wf.getframerate()
+                        nch = wf.getnchannels()
+                        n = wf.getnframes()
+                        width = wf.getsampwidth()
+                        pcm = wf.readframes(n)
+                    if width not in dtypes:
+                        raise ValueError(f"unsupported sample width {width}")
+                    arr = np.frombuffer(pcm, dtype=dtypes[width]).astype(np.float64)
+                    if width == 1:  # 8-bit WAV is unsigned, center it
+                        arr -= 128.0
+                    full_scale = 128.0 if width == 1 else float(2 ** (8 * width - 1))
+                    rms = float(np.sqrt(np.mean(arr**2)) / full_scale) if arr.size else 0.0
+                    rows.append(
+                        (path, "wav", rate, nch, n, float(n / rate) if rate else None, rms, None)
+                    )
+                except Exception as ex:
+                    rows.append((path, None, None, None, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "media_type", "sample_rate", "channels",
+                    "n_samples", "duration_s", "rms", "err",
+                ],
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        audio_batches,
+        schema=(
+            "path string, media_type string, sample_rate long, channels long, "
+            "n_samples long, duration_s double, rms double, err string"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI container walk: MJPEG AVIs carry one standalone JPEG per
+# video chunk, so frame EXTRACTION and DECODE are fully real with the
+# stdlib walker below + the numpy JPEG codec — no video library. Modern
+# codecs (H.264 in mp4/webm) stay per-row errors until an av library is
+# deployed; the operator shape is identical either way.
+# ---------------------------------------------------------------------------
+
+
+def avi_video_chunks(
+    raw: bytes, every_n: int = 1, max_frames: int | None = None
+) -> list[tuple[int, bytes]]:
+    """(frame_index, chunk bytes) for every ``every_n``-th video chunk
+    ('##dc'/'##db') of an AVI, in stream order. For MJPEG each chunk is
+    a standalone JPEG. Raises ValueError on non-AVI input."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    out: list[tuple[int, bytes]] = []
+    seen = 0
+
+    def walk(pos: int, end: int) -> bool:
+        nonlocal seen
+        while pos + 8 <= end:
+            fourcc = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fourcc in (b"RIFF", b"LIST"):
+                if not walk(body_start + 4, body_end):  # skip list type
+                    return False
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                if seen % every_n == 0:
+                    out.append((seen, raw[body_start:body_end]))
+                    if max_frames is not None and len(out) >= max_frames:
+                        return False
+                seen += 1
+            pos = body_start + size + (size & 1)  # word-aligned chunks
+        return True
+
+    walk(12, len(raw))
+    return out
+
+
+def avi_mjpeg_write(
+    frames: list[bytes], width: int, height: int, fps: int = 30
+) -> bytes:
+    """Minimal single-stream MJPEG AVI writer (no idx1 index; players
+    and :func:`avi_video_chunks` walk the movi list). Pairs with
+    ``jpeg_encode`` for fixtures and round-trip tests."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(listtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", listtype + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0x10,
+        len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    path_col: str = "path",
+    binary_col: str = "content",
+    max_frames: int | None = None,
+) -> DataFrame:
+    """(path, video bytes) → (path, frame_index, content, err): every
+    ``every_n``-th frame as a STANDALONE IMAGE binary, composable with
+    :func:`decode_images` / :func:`resize_images`.
+
+    REAL for MJPEG AVIs (stdlib container walk; each chunk is a JPEG).
+    Other containers (mp4/webm/mkv) surface a per-row ``err`` — their
+    bitstreams need an av library this environment lacks. One output
+    row per (video, frame): decode work partitions across the cluster
+    downstream, so a 2-hour video does not pin one task."""
+
+    def sample_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    chunks = avi_video_chunks(raw, every_n, max_frames)
+                    if not chunks:
+                        rows.append((path, None, None, "no video chunks in AVI"))
+                    for idx, frame in chunks:
+                        rows.append((path, idx, bytearray(frame), None))
+                except ValueError as ex:
+                    rows.append((path, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows, columns=["path", "frame_index", "content", "err"]
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        sample_batches,
+        schema="path string, frame_index long, content binary, err string",
+    )
+
+
 def plan_video_frame_samples(
     df: DataFrame,
     n_frames_col: str = "n_frames",
@@ -728,10 +924,52 @@ def plan_video_frame_samples(
     return df.select(path_col, F.explode(idx).alias("frame_index"))
 
 
-def decode_video_frames(df: DataFrame) -> DataFrame:
-    """STUB (§2C): frame decode requires a video library not present in
-    this environment; pair with :func:`plan_video_frame_samples`."""
-    raise NotImplementedError(
-        "decode_video_frames requires a video decoder (e.g. PyAV); "
-        "frame planning (plan_video_frame_samples) is real and tested"
+def decode_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    path_col: str = "path",
+    binary_col: str = "content",
+    max_frames: int | None = None,
+) -> DataFrame:
+    """(path, video bytes) → per-sampled-frame pixel stats
+    (path, frame_index, width, height, mean_intensity, decoded_by,
+    err).
+
+    REAL end-to-end for MJPEG AVIs: :func:`sample_video_frames`
+    extracts every ``every_n``-th frame and :func:`decode_images`
+    decodes it with the numpy JPEG codec. Containers needing an av
+    library (mp4/webm) surface per-row ``err`` with NULL stats — the
+    operator never fails the task, and a PyAV deployment swaps the
+    extraction step without changing the output contract."""
+    frames = sample_video_frames(df, every_n, path_col, binary_col, max_frames)
+    ok = frames.where(F.col("err").isNull())
+    stats = (
+        decode_images(
+            ok.select(
+                F.concat_ws("#", "path", F.col("frame_index").cast("string")).alias("_k"),
+                "content",
+            ),
+            path_col="_k",
+            binary_col="content",
+        )
+        # decode_images emits the key as its "path" column; strip only
+        # the FINAL "#<idx>" suffix so paths containing '#' survive
+        .withColumn("frame_index", F.substring_index("path", "#", -1).cast("long"))
+        .withColumn(
+            "path",
+            F.expr(
+                "substring(path, 1, length(path) - length(substring_index(path, '#', -1)) - 1)"
+            ),
+        )
+        .select("path", "frame_index", "width", "height", "mean_intensity", "decoded_by", "err")
     )
+    failed = frames.where(F.col("err").isNotNull()).select(
+        "path",
+        "frame_index",
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("double").alias("mean_intensity"),
+        F.lit(None).cast("string").alias("decoded_by"),
+        "err",
+    )
+    return stats.unionByName(failed)

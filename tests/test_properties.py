@@ -126,3 +126,68 @@ def test_trim_chunk_total(chunk, attribute):
 def test_sanitize_function_source_total(script, attribute):
     out = sanitize_function_source(script, attribute or "attr")
     assert out is None or "return" in out
+
+
+# ---------------------------------------------------------------- codecs
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_png_codec_roundtrip_lossless(w, h, ch, data):
+    from evaporate_spark.operators.multimodal import png_decode, png_encode
+
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch))
+    )
+    dw, dh, dch, out = png_decode(png_encode(w, h, ch, px))
+    assert (dw, dh, dch) == (w, h, ch) and bytes(out) == px
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ncolors=st.integers(2, 8),
+    data=st.data(),
+)
+def test_gif_codec_roundtrip_lossless(w, h, ncolors, data):
+    from evaporate_spark.operators.multimodal import _gif_first_frame, gif_encode
+
+    pal = bytes(data.draw(st.lists(st.integers(0, 255), min_size=3 * ncolors, max_size=3 * ncolors)))
+    idx = bytes(data.draw(st.lists(st.integers(0, ncolors - 1), min_size=w * h, max_size=w * h)))
+    gw, gh, gpal, gidx, _tr = _gif_first_frame(gif_encode(w, h, pal, idx))
+    assert (gw, gh) == (w, h) and bytes(gidx) == idx and gpal[: len(pal)] == pal
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    min_code=st.integers(2, 8),
+    data=st.data(),
+)
+def test_gif_lzw_roundtrip(min_code, data):
+    from evaporate_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    n = data.draw(st.integers(0, 400))
+    payload = bytes(data.draw(st.lists(st.integers(0, (1 << min_code) - 1), min_size=n, max_size=n)))
+    assert bytes(_lzw_decode(min_code, _lzw_encode(min_code, payload))) == payload
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 3]),
+    color=st.lists(st.integers(0, 255), min_size=3, max_size=3),
+)
+def test_jpeg_codec_roundtrip_bounded_error(w, h, ch, color):
+    """JPEG is lossy; on solid-color images (no high-frequency content)
+    the roundtrip error at q95 stays within quantization rounding."""
+    from evaporate_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    px = bytes(color[:ch]) * (w * h)
+    dw, dh, dch, out = jpeg_decode(jpeg_encode(w, h, ch, px, quality=95))
+    assert (dw, dh, dch) == (w, h, ch)
+    assert max(abs(a - b) for a, b in zip(out, px)) <= 8

@@ -292,13 +292,67 @@ def test_decode_images_stub_path(media_df):
         assert rows[path]["height"] == meta[path]["height"], path
 
 
-def test_video_frame_plan_real_decode_stubbed(spark):
+def test_video_frame_plan(spark):
     vids = spark.createDataFrame([("v1", 100), ("v2", 45)], ["path", "n_frames"])
     plan = plan_video_frame_samples(vids, every_n=30)
     got = {(r["path"], r["frame_index"]) for r in plan.collect()}
     assert got == {("v1", 0), ("v1", 30), ("v1", 60), ("v1", 90), ("v2", 0), ("v2", 30)}
-    with pytest.raises(NotImplementedError):
-        decode_video_frames(plan)
+
+
+def test_mjpeg_avi_video_decode_real(spark):
+    """Video frame extraction + decode are REAL for MJPEG AVIs: the
+    stdlib RIFF walk pulls every n-th JPEG chunk and the numpy codec
+    reports true pixel stats; non-MJPEG containers surface per-row
+    errors, never task failures."""
+    import numpy as np
+
+    from evaporate_spark.operators.jpeg import jpeg_encode
+    from evaporate_spark.operators.multimodal import (
+        avi_mjpeg_write,
+        avi_video_chunks,
+        decode_video_frames,
+        sample_video_frames,
+    )
+
+    w, h = 32, 24
+    frames = [
+        jpeg_encode(
+            w, h, 3,
+            np.full((h, w, 3), (50 + 10 * i, 100, 200 - 10 * i), dtype=np.uint8).tobytes(),
+            quality=90,
+        )
+        for i in range(7)
+    ]
+    avi = avi_mjpeg_write(frames, w, h)
+    # container walk: every 3rd frame → indexes 0, 3, 6
+    assert [i for i, _ in avi_video_chunks(avi, every_n=3)] == [0, 3, 6]
+
+    df = spark.createDataFrame(
+        [("clip.avi", bytearray(avi)), ("movie.webm", bytearray(b"\x1a\x45\xdf\xa3" + b"\x00" * 30))],
+        "path string, content binary",
+    )
+    # sniffing distinguishes the refined RIFF form type
+    types = {r["path"]: r["t"] for r in df.select("path", sniff_media_type("content").alias("t")).collect()}
+    assert types == {"clip.avi": "avi", "movie.webm": "webm"}
+
+    sampled = sample_video_frames(df, every_n=3).collect()
+    ok = [r for r in sampled if r["err"] is None]
+    assert {(r["path"], r["frame_index"]) for r in ok} == {("clip.avi", 0), ("clip.avi", 3), ("clip.avi", 6)}
+    bad = [r for r in sampled if r["err"] is not None]
+    assert len(bad) == 1 and bad[0]["path"] == "movie.webm"
+
+    stats = {
+        (r["path"], r["frame_index"]): r
+        for r in decode_video_frames(df, every_n=3).collect()
+    }
+    f0 = stats[("clip.avi", 0)]
+    assert (f0["width"], f0["height"]) == (w, h)
+    assert f0["decoded_by"] in ("pillow", "stdlib-jpeg")
+    if f0["decoded_by"] == "stdlib-jpeg":
+        # frame 0 is solid (50, 100, 200) → channel mean ≈ 116.7, lossy ±3
+        assert abs(f0["mean_intensity"] - (50 + 100 + 200) / 3) < 3.0
+    webm_row = stats[("movie.webm", None)]
+    assert webm_row["err"] and webm_row["width"] is None
 
 
 def _real_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
@@ -776,3 +830,41 @@ def test_jpeg_decode_and_resize_spark(spark):
         spark.createDataFrame([("r.jpg", bytearray(out))], "path string, content binary")
     ).collect()[0]
     assert (meta["media_type"], meta["width"], meta["height"]) == ("jpeg", 8, 6)
+
+
+def test_decode_audio_wav_real(spark):
+    """Audio decode is REAL for PCM WAV via the stdlib wave module: a
+    synthesized 440 Hz sine round-trips with exact sample counts and
+    the analytically-known RMS (1/sqrt(2) of amplitude); non-WAV rows
+    err per-row."""
+    import io
+    import math
+    import wave
+
+    from evaporate_spark.operators.multimodal import decode_audio
+
+    rate, secs, amp = 8000, 2, 0.5
+    n = rate * secs
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            b"".join(
+                int(amp * 32767 * math.sin(2 * math.pi * 440 * t / rate)).to_bytes(
+                    2, "little", signed=True
+                )
+                for t in range(n)
+            )
+        )
+    df = spark.createDataFrame(
+        [("tone.wav", bytearray(buf.getvalue())), ("song.mp3", bytearray(b"ID3\x04" + b"\x00" * 40))],
+        "path string, content binary",
+    )
+    rows = {r["path"]: r for r in decode_audio(df).collect()}
+    tone = rows["tone.wav"]
+    assert (tone["media_type"], tone["sample_rate"], tone["channels"]) == ("wav", rate, 1)
+    assert tone["n_samples"] == n and abs(tone["duration_s"] - secs) < 1e-9
+    assert abs(tone["rms"] - amp / math.sqrt(2)) < 0.01  # sine RMS = A/√2
+    assert rows["song.mp3"]["err"] and rows["song.mp3"]["sample_rate"] is None

@@ -30,12 +30,19 @@ unfalsifiable.
 Pinned comparison baselines (medians unless noted):
 
 - relational subtotal: r1 4.548 s, r2 2.773 s (n=2 mean),
-  r3 3.390 s (n=3 mean, ran under post-pytest load).
+  r3 3.390 s (n=3 mean, ran under post-pytest load),
+  r4 ≈ 2.2-2.5 s (n=5 medians across several quiet runs — confirming
+  r3's uniform +22% was machine load, not regression).
 - extended, r3 single-shot (n=1 — compare against ``first``, not the
   median, when judging regressions vs r3): q_exact_dedup_groups 1.739,
   q_minhash_lsh_dups 4.598, q_knn_cosine 1.772,
   q_semantic_closed_ie 8.541 (6,718 tok), q_semantic_openie 12.602
   (29,640 tok).
+- extended, r4 n=5 medians (subprocess sandbox now DEFAULT for the
+  semantic rows — its overhead measured within run-to-run noise):
+  q_exact_dedup_groups ~0.36, q_minhash_lsh_dups ~2.2-3.2,
+  q_knn_cosine ~0.7, q_semantic_closed_ie ~5.1-5.7,
+  q_semantic_openie ~12.6-12.7 (token counts unchanged).
 """
 
 from __future__ import annotations

@@ -101,6 +101,13 @@ class _BitReader:
         return (self.acc >> self.bits) & 1
 
     def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.bits < n:
+            self._fill()
+        if self.bits >= n:  # bulk path: one shift instead of n calls
+            self.bits -= n
+            return (self.acc >> self.bits) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
@@ -121,25 +128,46 @@ class _BitReader:
         self.marker = None
 
 
-def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → value lookup."""
-    table = {}
+def _build_huffman(bits: list[int], vals: list[int]):
+    """(8-bit first-level LUT, (length, code) → value dict).
+
+    Short codes (≤8 bits — the overwhelming majority in real tables)
+    resolve with ONE table index on the peeked byte; longer codes fall
+    back to the canonical per-bit walk over the dict."""
+    longdict: dict[tuple[int, int], int] = {}
+    lut: list[tuple[int, int] | None] = [None] * 256
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            v = vals[k]
+            longdict[(length, code)] = v
+            if length <= 8:
+                base = code << (8 - length)
+                entry = (v, length)
+                for i in range(1 << (8 - length)):
+                    lut[base + i] = entry
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut, longdict
 
 
-def _decode_huff(br: _BitReader, table: dict) -> int:
+def _decode_huff(br: _BitReader, table) -> int:
+    lut, longdict = table
+    if br.bits < 16:
+        br._fill()
+    if br.bits >= 8:
+        hit = lut[(br.acc >> (br.bits - 8)) & 0xFF]
+        if hit is not None:
+            br.bits -= hit[1]
+            return hit[0]
+    # long code (or <8 buffered bits near stream end): canonical walk.
+    # The fast path consumed nothing, so this starts from scratch.
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read_bit()
-        v = table.get((length, code))
+        v = longdict.get((length, code))
         if v is not None:
             return v
     raise ValueError("bad huffman code")

@@ -180,12 +180,13 @@ class EvaporateData:
             attributes = self.identify_schema(topic)
         t0 = time.perf_counter()
         chunks = self._get_chunks()
-        if self.config.cache_dir is None and len(attributes) > 1:
+        if len(attributes) > 1:
             # multi-attribute scale path: every attribute's selected
             # functions execute in ONE scan of the lake instead of one
-            # scan per attribute (votes identical). The per-attribute
-            # path is kept when a cache_dir is set — the single-scan
-            # pass does not write the function-result cache.
+            # scan per attribute (votes identical). With a cache_dir it
+            # reads/writes the same (fingerprint, fnset) result cache
+            # as the per-attribute path, so cached re-runs skip the
+            # sandbox entirely.
             results = profile_attributes_single_scan(
                 self.docs, attributes, self.client, self.config, self.gold_client,
                 chunks=chunks, extra_clients=self.extra_clients,

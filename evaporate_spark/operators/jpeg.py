@@ -55,10 +55,6 @@ def _idct_matrix() -> np.ndarray:
 _CM = _idct_matrix()
 
 
-def idct2(block: np.ndarray) -> np.ndarray:
-    return _CM.T @ block @ _CM
-
-
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     unstuffing; stops at markers (returns them via .marker)."""

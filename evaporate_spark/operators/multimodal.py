@@ -728,15 +728,25 @@ def resize_images(
     )
 
 
+#: samples analyzed for the spectral features — bounds per-row FFT cost
+#: on long clips (2^18 samples ≈ 6 s at 44.1 kHz; RMS/duration still
+#: cover the WHOLE clip)
+_AUDIO_ANALYSIS_WINDOW = 1 << 18
+
+
 def decode_audio(
     df: DataFrame, path_col: str = "path", binary_col: str = "content"
 ) -> DataFrame:
     """(path, audio bytes) → (path, media_type, sample_rate, channels,
-    n_samples, duration_s, rms, err): REAL for PCM WAV via the stdlib
-    ``wave`` module + numpy (8/16/32-bit integer PCM; RMS normalized to
-    [0, 1]). Compressed formats (mp3/ogg/aac) surface a per-row ``err``
-    — their bitstreams need an audio library this environment lacks —
-    with the same never-fail-the-task contract as the image operators.
+    n_samples, duration_s, rms, zero_crossing_rate,
+    spectral_centroid_hz, err): REAL for PCM WAV via the stdlib
+    ``wave`` module + numpy (8/16/32-bit integer PCM). RMS is
+    normalized to [0, 1]; the zero-crossing rate and the rFFT spectral
+    centroid are computed over the channel-mixed signal (centroid over
+    a bounded leading window — see ``_AUDIO_ANALYSIS_WINDOW``).
+    Compressed formats (mp3/ogg/aac) surface a per-row ``err`` — their
+    bitstreams need an audio library this environment lacks — with the
+    same never-fail-the-task contract as the image operators.
     """
 
     def audio_batches(batches: Iterator) -> Iterator:
@@ -765,16 +775,37 @@ def decode_audio(
                         arr -= 128.0
                     full_scale = 128.0 if width == 1 else float(2 ** (8 * width - 1))
                     rms = float(np.sqrt(np.mean(arr**2)) / full_scale) if arr.size else 0.0
+                    mono = (
+                        arr.reshape(-1, nch).mean(axis=1) if nch > 1 and arr.size else arr
+                    )
+                    zcr = (
+                        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        if mono.size > 1
+                        else 0.0
+                    )
+                    head = mono[:_AUDIO_ANALYSIS_WINDOW]
+                    centroid = None
+                    if head.size > 1 and rate:
+                        mag = np.abs(np.fft.rfft(head - head.mean()))
+                        total = float(mag.sum())
+                        if total > 0:
+                            freqs = np.fft.rfftfreq(head.size, d=1.0 / rate)
+                            centroid = float((freqs * mag).sum() / total)
                     rows.append(
-                        (path, "wav", rate, nch, n, float(n / rate) if rate else None, rms, None)
+                        (path, "wav", rate, nch, n,
+                         float(n / rate) if rate else None, rms, zcr, centroid, None)
                     )
                 except Exception as ex:
-                    rows.append((path, None, None, None, None, None, None, repr(ex)[:200]))
+                    rows.append(
+                        (path, None, None, None, None, None, None, None, None,
+                         repr(ex)[:200])
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "path", "media_type", "sample_rate", "channels",
-                    "n_samples", "duration_s", "rms", "err",
+                    "path", "media_type", "sample_rate", "channels", "n_samples",
+                    "duration_s", "rms", "zero_crossing_rate",
+                    "spectral_centroid_hz", "err",
                 ],
             )
 
@@ -782,7 +813,8 @@ def decode_audio(
         audio_batches,
         schema=(
             "path string, media_type string, sample_rate long, channels long, "
-            "n_samples long, duration_s double, rms double, err string"
+            "n_samples long, duration_s double, rms double, "
+            "zero_crossing_rate double, spectral_centroid_hz double, err string"
         ),
     )
 

@@ -867,4 +867,7 @@ def test_decode_audio_wav_real(spark):
     assert (tone["media_type"], tone["sample_rate"], tone["channels"]) == ("wav", rate, 1)
     assert tone["n_samples"] == n and abs(tone["duration_s"] - secs) < 1e-9
     assert abs(tone["rms"] - amp / math.sqrt(2)) < 0.01  # sine RMS = A/√2
+    # a pure 440 Hz tone: centroid at the tone, ZCR = 2 crossings/cycle
+    assert abs(tone["spectral_centroid_hz"] - 440.0) < 10.0
+    assert abs(tone["zero_crossing_rate"] - 2 * 440 / rate) < 0.005
     assert rows["song.mp3"]["err"] and rows["song.mp3"]["sample_rate"] is None

@@ -213,90 +213,160 @@ def _header_dims(raw: bytes) -> tuple[str, int | None, int | None]:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Adam7 pass grid: (x-origin, y-origin, x-step, y-step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
 
 def png_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
-    """(width, height, channels, pixels row-major) for 8-bit,
-    non-interlaced grey(0)/RGB(2)/RGBA(6) PNGs; raises ValueError on
-    anything else."""
+    """(width, height, channels, 8-bit pixels row-major) for ANY
+    spec-legal PNG shape: grey / RGB / palette / grey+alpha / RGBA at
+    bit depths 1/2/4/8/16, interlaced or not. Palette resolves to RGB
+    (RGBA when a tRNS chunk assigns per-entry alpha); 16-bit samples
+    keep the high byte; sub-byte grey scales to the full 8-bit range.
+    Raises ValueError on anything malformed or truncated."""
     import zlib
 
     try:
         if raw[:8] != _PNG_SIG:
             raise ValueError("not a PNG")
         pos, idat = 8, []
-        w = h = channels = None
+        w = h = depth = ctype = interlace = None
+        plte = trns = None
         while pos + 8 <= len(raw):
             length = int.from_bytes(raw[pos : pos + 4], "big")
-            ctype = raw[pos + 4 : pos + 8]
+            c = raw[pos + 4 : pos + 8]
             data = raw[pos + 8 : pos + 8 + length]
-            if ctype == b"IHDR":
+            if c == b"IHDR":
                 w = int.from_bytes(data[0:4], "big")
                 h = int.from_bytes(data[4:8], "big")
-                bit_depth, color_type, interlace = data[8], data[9], data[12]
-                if bit_depth != 8 or color_type not in (0, 2, 6) or interlace:
-                    raise ValueError(
-                        f"unsupported PNG shape: depth={bit_depth} color={color_type}"
-                    )
-                channels = {0: 1, 2: 3, 6: 4}[color_type]
-            elif ctype == b"IDAT":
-                # list + join: libpng splits IDAT into many small chunks,
-                # and += would re-copy the growing buffer per chunk
+                depth, ctype, interlace = data[8], data[9], data[12]
+                if ctype not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
+                    raise ValueError(f"unsupported PNG color type {ctype}")
+                ok = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                      4: (8, 16), 6: (8, 16)}[ctype]
+                if depth not in ok:
+                    raise ValueError(f"bad depth {depth} for color type {ctype}")
+            elif c == b"PLTE":
+                plte = data
+            elif c == b"tRNS":
+                trns = data
+            elif c == b"IDAT":
+                # list + join: libpng splits IDAT into many small
+                # chunks, and += would re-copy the buffer per chunk
                 idat.append(data)
-            elif ctype == b"IEND":
+            elif c == b"IEND":
                 break
             pos += 12 + length
         if not idat or w is None:
             raise ValueError("no pixel data")
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
         decomp = zlib.decompress(b"".join(idat))
+
+        def decode_sub(p: int, pw: int, ph: int) -> tuple[bytearray, int]:
+            """One filtered (sub-)image at stream offset p → (8-bit
+            samples pw*ph*nch, next offset). Sub-byte depths unpack
+            MSB-first WITHOUT scaling (palette indexes must stay raw;
+            grey scales at the end)."""
+            bpp = max(1, (nch * depth) // 8)
+            stride = (pw * nch * depth + 7) // 8
+            if len(decomp) < p + ph * (stride + 1):
+                raise ValueError("truncated pixel data")
+            out = bytearray(pw * ph * nch)
+            prev = bytearray(stride)
+            for y in range(ph):
+                f = decomp[p]
+                p += 1
+                line = bytearray(decomp[p : p + stride])
+                p += stride
+                if f == 1:  # Sub
+                    for i in range(bpp, stride):
+                        line[i] = (line[i] + line[i - bpp]) & 0xFF
+                elif f == 2:  # Up
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif f == 3:  # Average
+                    for i in range(stride):
+                        a = line[i - bpp] if i >= bpp else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    for i in range(stride):
+                        a = line[i - bpp] if i >= bpp else 0
+                        b = prev[i]
+                        cc = prev[i - bpp] if i >= bpp else 0
+                        pr = a + b - cc
+                        pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - cc)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                        line[i] = (line[i] + pred) & 0xFF
+                elif f != 0:
+                    raise ValueError(f"bad scanline filter {f}")
+                base = y * pw * nch
+                if depth == 8:
+                    out[base : base + pw * nch] = line[: pw * nch]
+                elif depth == 16:
+                    out[base : base + pw * nch] = line[: pw * nch * 2 : 2]
+                else:  # 1/2/4-bit: always one channel (grey or palette)
+                    per_byte = 8 // depth
+                    mask = (1 << depth) - 1
+                    for x in range(pw):
+                        shift = 8 - depth * (x % per_byte + 1)
+                        out[base + x] = (line[x // per_byte] >> shift) & mask
+                prev = line
+            return out, p
+
+        if interlace == 0:
+            samples, _ = decode_sub(0, w, h)
+        else:  # Adam7: seven independently-filtered passes, scattered
+            samples = bytearray(w * h * nch)
+            p = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, p = decode_sub(p, pw, ph)
+                for sy in range(ph):
+                    ty = y0 + sy * dy
+                    for sx in range(pw):
+                        s = (sy * pw + sx) * nch
+                        d = (ty * w + x0 + sx * dx) * nch
+                        samples[d : d + nch] = sub[s : s + nch]
+
+        if ctype == 3:  # palette → RGB (RGBA when tRNS assigns alpha)
+            if plte is None:
+                raise ValueError("palette PNG without PLTE")
+            n_pal = len(plte) // 3
+            out_ch = 4 if trns else 3
+            out = bytearray(w * h * out_ch)
+            for i, idx in enumerate(samples):
+                if idx >= n_pal:
+                    raise ValueError("palette index out of range")
+                out[i * out_ch : i * out_ch + 3] = plte[idx * 3 : idx * 3 + 3]
+                if trns:
+                    out[i * out_ch + 3] = trns[idx] if idx < len(trns) else 255
+            return w, h, out_ch, out
+        if depth < 8:  # sub-byte grey: scale to the full 8-bit range
+            maxval = (1 << depth) - 1
+            lut = bytes((v * 255) // maxval for v in range(maxval + 1))
+            return w, h, 1, bytearray(lut[v] for v in samples)
+        return w, h, nch, samples
     except ValueError:
         raise
     except Exception as ex:
         # normalize truncated-header IndexError / corrupt-IDAT
         # zlib.error to the documented contract
         raise ValueError(f"malformed PNG: {ex!r}") from ex
-    stride = w * channels
-    if len(decomp) < h * (stride + 1):
-        raise ValueError("truncated pixel data")
-    out = bytearray(h * stride)
-    prev = bytearray(stride)
-    p = 0
-    for y in range(h):
-        f = decomp[p]
-        p += 1
-        line = bytearray(decomp[p : p + stride])
-        p += stride
-        if f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                cc = prev[i - channels] if i >= channels else 0
-                pr = a + b - cc
-                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                line[i] = (line[i] + pred) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad scanline filter {f}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
-    return w, h, channels, out
 
 
 def png_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
-    """Minimal PNG writer (filter 0 scanlines, one IDAT)."""
+    """Minimal 8-bit PNG writer (filter 0 scanlines, one IDAT);
+    channels 1/2/3/4 → grey / grey+alpha / RGB / RGBA."""
     import struct
     import zlib
 
-    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -615,9 +685,9 @@ def decode_images(
                     try:
                         w, h, ch, px = png_decode(raw)
                         body = px
-                        if ch == 4:  # mean over RGB, not alpha
+                        if ch in (2, 4):  # mean over color, not alpha
                             body = bytearray(
-                                b for i, b in enumerate(px) if i % 4 != 3
+                                b for i, b in enumerate(px) if i % ch != ch - 1
                             )
                         mean = (sum(body) / len(body)) if body else 0.0
                         rows.append((path, "png", w, h, float(mean), "stdlib-png", None))

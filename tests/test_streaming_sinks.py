@@ -871,3 +871,106 @@ def test_decode_audio_wav_real(spark):
     assert abs(tone["spectral_centroid_hz"] - 440.0) < 10.0
     assert abs(tone["zero_crossing_rate"] - 2 * 440 / rate) < 0.005
     assert rows["song.mp3"]["err"] and rows["song.mp3"]["sample_rate"] is None
+
+
+def test_png_decoder_full_shape_coverage(spark):
+    """png_decode handles every spec-legal shape: 4-bit palette with
+    tRNS alpha, 1-bit grey, 16-bit RGB (high byte), grey+alpha, and
+    Adam7 interlace — and resize_images round-trips a palette PNG."""
+    import random
+    import struct
+    import zlib
+
+    from evaporate_spark.operators.multimodal import _ADAM7, png_decode
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    rng = random.Random(9)
+
+    # 4-bit palette + tRNS → RGBA
+    pal = bytes(rng.randrange(256) for _ in range(18))
+    trns = bytes([255, 128, 0])
+    w, h = 5, 3
+    idx = [rng.randrange(6) for _ in range(w * h)]
+    stride = (w * 4 + 7) // 8
+    rows = b""
+    for y in range(h):
+        line = bytearray(stride)
+        for x in range(w):
+            line[x // 2] |= idx[y * w + x] << (4 if x % 2 == 0 else 0)
+        rows += b"\x00" + bytes(line)
+    png = (
+        SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 4, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal) + chunk(b"tRNS", trns)
+        + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+    )
+    dw, dh, dch, out = png_decode(png)
+    assert (dw, dh, dch) == (w, h, 4)
+    for i, ix in enumerate(idx):
+        assert bytes(out[i * 4 : i * 4 + 3]) == pal[ix * 3 : ix * 3 + 3]
+        assert out[i * 4 + 3] == (trns[ix] if ix < 3 else 255)
+    # and the Spark resize path accepts it (re-encoded as RGBA)
+    rdf = spark.createDataFrame([("p.png", bytearray(png))], "path string, content binary")
+    rrow = resize_images(rdf, 2, 2).collect()[0]
+    assert rrow["err"] is None and png_decode(bytes(rrow["content"]))[:3] == (2, 2, 4)
+
+    # 1-bit grey scales to {0, 255}
+    w, h = 10, 2
+    bits = [rng.randrange(2) for _ in range(w * h)]
+    stride = (w + 7) // 8
+    rows = b""
+    for y in range(h):
+        line = bytearray(stride)
+        for x in range(w):
+            if bits[y * w + x]:
+                line[x // 8] |= 0x80 >> (x % 8)
+        rows += b"\x00" + bytes(line)
+    png = (
+        SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+    )
+    assert [v // 255 for v in png_decode(png)[3]] == bits
+
+    # 16-bit RGB keeps the high byte
+    w, h = 4, 3
+    px16 = [rng.randrange(65536) for _ in range(w * h * 3)]
+    rows = b"".join(
+        b"\x00" + b"".join(struct.pack(">H", v) for v in px16[y * w * 3 : (y + 1) * w * 3])
+        for y in range(h)
+    )
+    png = (
+        SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+    )
+    assert list(png_decode(png)[3]) == [v >> 8 for v in px16]
+
+    # grey+alpha round-trips through our own encoder
+    from evaporate_spark.operators.multimodal import png_encode
+
+    ga = bytes(rng.randrange(256) for _ in range(6 * 4 * 2))
+    assert bytes(png_decode(png_encode(6, 4, 2, ga))[3]) == ga
+
+    # Adam7 interlaced RGB scatters back to row-major
+    w, h = 9, 7
+    img = [[tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)] for _ in range(h)]
+    stream = b""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for sy in range(ph):
+            stream += b"\x00" + b"".join(
+                bytes(img[y0 + sy * dy][x0 + sx * dx]) for sx in range(pw)
+            )
+    png = (
+        SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b"")
+    )
+    expect = b"".join(bytes(img[y][x]) for y in range(h) for x in range(w))
+    assert bytes(png_decode(png)[3]) == expect

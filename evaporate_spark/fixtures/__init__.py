@@ -1,0 +1,25 @@
+"""Committed media fixtures + expected-stat parquets.
+
+The media files under ``media/`` are generated DETERMINISTICALLY by
+:mod:`evaporate_spark.fixtures.media` (``python -m
+evaporate_spark.fixtures.media``) with the engine's own encoders
+(png_encode / gif_encode / jpeg_encode / avi_mjpeg_write / stdlib
+wave), so a pytest can regenerate them byte-identically and detect
+drift. The ``expected_*.parquet`` files pin the stats the decode
+operators must reproduce — the DuckDB oracle for
+``q_decode_image_stats`` / ``q_decode_audio_stats`` /
+``q_decode_video_stats`` reads them directly, making the 2k-LoC codec
+surface visible to the driver's hash-match correctness gate
+(rows-only precedent: q_approx_distinct; full-oracle here because the
+expected rows are SQL-readable).
+"""
+
+from __future__ import annotations
+
+import os
+
+FIXTURES_DIR = os.path.dirname(os.path.abspath(__file__))
+MEDIA_DIR = os.path.join(FIXTURES_DIR, "media")
+IMAGE_EXPECTED = os.path.join(MEDIA_DIR, "expected_image_stats.parquet")
+AUDIO_EXPECTED = os.path.join(MEDIA_DIR, "expected_audio_stats.parquet")
+VIDEO_EXPECTED = os.path.join(MEDIA_DIR, "expected_video_stats.parquet")

@@ -1,0 +1,240 @@
+"""Deterministic media fixture generator (no RNG, no third-party
+codecs): every byte derives from closed-form pixel/sample formulas and
+the engine's own encoders, so regeneration is byte-identical and the
+committed files can be drift-checked in pytest.
+
+Run ``python -m evaporate_spark.fixtures.media`` to (re)write the
+media files; add ``--expected`` to also recompute the pinned
+``expected_*_stats.parquet`` by running the REAL Spark decode
+operators over the freshly-written files (a separate pytest validates
+those pinned stats against independently-computed ground truth from
+the source arrays, so the pin is not circular).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import wave
+
+import numpy as np
+
+
+def _image_specs() -> dict[str, bytes]:
+    """name → encoded bytes for every image fixture, with the SOURCE
+    pixel arrays derivable from the same formulas (see
+    source_image_arrays)."""
+    from evaporate_spark.operators.jpeg import jpeg_encode
+    from evaporate_spark.operators.multimodal import gif_encode, png_encode
+
+    out: dict[str, bytes] = {}
+    arrays = source_image_arrays()
+
+    w, h = arrays["img_png_rgb.png"].shape[1], arrays["img_png_rgb.png"].shape[0]
+    out["img_png_rgb.png"] = png_encode(w, h, 3, arrays["img_png_rgb.png"].tobytes())
+
+    grey = arrays["img_png_grey.png"]
+    out["img_png_grey.png"] = png_encode(grey.shape[1], grey.shape[0], 1, grey.tobytes())
+
+    rgba = arrays["img_png_rgba.png"]
+    out["img_png_rgba.png"] = png_encode(rgba.shape[1], rgba.shape[0], 4, rgba.tobytes())
+
+    # GIF: 4-color palette checker/stripe pattern; gif_decode expands
+    # indices through the palette, so the source RGB array is
+    # palette[index] (source_image_arrays returns exactly that)
+    pal, idx, gw, gh = _gif_source()
+    out["img_gif.gif"] = gif_encode(gw, gh, pal, idx)
+
+    jp = arrays["img_jpeg_rgb.jpg"]
+    out["img_jpeg_rgb.jpg"] = jpeg_encode(
+        jp.shape[1], jp.shape[0], 3, jp.tobytes(), quality=90
+    )
+    jg = arrays["img_jpeg_grey.jpg"]
+    out["img_jpeg_grey.jpg"] = jpeg_encode(
+        jg.shape[1], jg.shape[0], 1, jg.tobytes(), quality=90
+    )
+    return out
+
+
+def _gif_source() -> tuple[bytes, bytes, int, int]:
+    """(palette, indices, w, h) for the GIF fixture."""
+    gw, gh = 48, 32
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 64, 128, 255])
+    yy, xx = np.mgrid[0:gh, 0:gw]
+    idx = ((xx // 6 + yy // 4) % 4).astype(np.uint8)
+    return pal, idx.tobytes(), gw, gh
+
+
+def source_image_arrays() -> dict[str, np.ndarray]:
+    """The exact pixel arrays the image fixtures encode (uint8, HxWxC
+    or HxW) — the independent ground truth for the pinned stats."""
+    out: dict[str, np.ndarray] = {}
+
+    h, w = 30, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    out["img_png_rgb.png"] = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // (w + h - 2)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    gh, gw = 20, 32
+    gyy, gxx = np.mgrid[0:gh, 0:gw]
+    out["img_png_grey.png"] = ((gxx * 7 + gyy * 13) % 256).astype(np.uint8)
+
+    ah = aw = 16
+    ayy, axx = np.mgrid[0:ah, 0:aw]
+    out["img_png_rgba.png"] = np.stack(
+        [
+            (axx * 16).clip(0, 255),
+            (ayy * 16).clip(0, 255),
+            ((axx * ayy) % 256),
+            np.full((ah, aw), 200),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    pal, idx, gw2, gh2 = _gif_source()
+    pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    idx_arr = np.frombuffer(idx, dtype=np.uint8).reshape(gh2, gw2)
+    out["img_gif.gif"] = pal_arr[idx_arr]
+
+    jh, jw = 48, 64
+    jyy, jxx = np.mgrid[0:jh, 0:jw]
+    out["img_jpeg_rgb.jpg"] = np.stack(
+        [
+            (jxx * 255 // (jw - 1)),
+            (jyy * 255 // (jh - 1)),
+            np.full((jh, jw), 96),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    out["img_jpeg_grey.jpg"] = (
+        128 + 100 * np.sin(np.mgrid[0:40, 0:40][1] / 6.0)
+    ).clip(0, 255).astype(np.uint8)
+    return out
+
+
+def source_audio_arrays() -> dict[str, tuple[int, int, int, np.ndarray]]:
+    """name → (rate, channels, sampwidth, float samples in [-1,1),
+    shape (n, channels)) — ground truth for the audio fixtures."""
+    out: dict[str, tuple[int, int, int, np.ndarray]] = {}
+
+    rate, n = 8000, 2000
+    t = np.arange(n) / rate
+    out["audio_mono16.wav"] = (rate, 1, 2, (0.5 * np.sin(2 * np.pi * 440 * t))[:, None])
+
+    rate2, n2 = 8000, 1600
+    t2 = np.arange(n2) / rate2
+    left = 0.4 * np.sin(2 * np.pi * 220 * t2)
+    right = 0.3 * np.sign(np.sin(2 * np.pi * 330 * t2))
+    out["audio_stereo8.wav"] = (rate2, 2, 1, np.stack([left, right], axis=-1))
+
+    rate3, n3 = 16000, 3200
+    t3 = np.arange(n3) / rate3
+    sweep = 0.6 * np.sin(2 * np.pi * (200 + 400 * t3) * t3)
+    out["audio_mono32.wav"] = (rate3, 1, 4, sweep[:, None])
+    return out
+
+
+def _wav_bytes(rate: int, channels: int, sampwidth: int, samples: np.ndarray) -> bytes:
+    """Encode float samples in [-1,1) as integer PCM WAV."""
+    if sampwidth == 1:
+        pcm = (np.round(samples * 127) + 128).clip(0, 255).astype(np.uint8)
+    elif sampwidth == 2:
+        pcm = np.round(samples * 32767).clip(-32768, 32767).astype("<i2")
+    elif sampwidth == 4:
+        pcm = np.round(samples * 2147483647).clip(-(2**31), 2**31 - 1).astype("<i4")
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported sampwidth {sampwidth}")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def source_video_frames() -> tuple[list[np.ndarray], int, int]:
+    """(frame arrays HxWx3 uint8, width, height) for the MJPEG AVI."""
+    w, h = 32, 24
+    frames = [
+        np.full((h, w, 3), (40 + 20 * i, 90, 220 - 25 * i), dtype=np.uint8)
+        for i in range(6)
+    ]
+    return frames, w, h
+
+
+def generate_media(out_dir: str) -> dict[str, bytes]:
+    """Write every media fixture into ``out_dir``; return name→bytes."""
+    from evaporate_spark.operators.jpeg import jpeg_encode
+    from evaporate_spark.operators.multimodal import avi_mjpeg_write
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = dict(_image_specs())
+    for name, (rate, ch, width, samples) in source_audio_arrays().items():
+        files[name] = _wav_bytes(rate, ch, width, samples)
+    frames, w, h = source_video_frames()
+    files["clip_mjpeg.avi"] = avi_mjpeg_write(
+        [jpeg_encode(w, h, 3, f.tobytes(), quality=90) for f in frames], w, h
+    )
+    for name, data in files.items():
+        with open(os.path.join(out_dir, name), "wb") as fh:
+            fh.write(data)
+    return files
+
+
+def compute_expected(spark, media_dir: str) -> dict[str, "object"]:
+    """Run the REAL Spark decode operators over ``media_dir`` and
+    return the three expected-stat pandas frames (already rounded with
+    the same expressions the registry queries use, so the later
+    hash-compare is exact)."""
+    from evaporate_spark.plans.media_queries import (
+        audio_stats_frame,
+        image_stats_frame,
+        video_stats_frame,
+    )
+
+    return {
+        "image": image_stats_frame(spark, media_dir).toPandas(),
+        "audio": audio_stats_frame(spark, media_dir).toPandas(),
+        "video": video_stats_frame(spark, media_dir).toPandas(),
+    }
+
+
+def main() -> None:  # pragma: no cover - manual/one-time entry point
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from evaporate_spark.fixtures import (
+        AUDIO_EXPECTED,
+        IMAGE_EXPECTED,
+        MEDIA_DIR,
+        VIDEO_EXPECTED,
+    )
+
+    generate_media(MEDIA_DIR)
+    print(f"wrote media fixtures to {MEDIA_DIR}")
+    if "--expected" in sys.argv:
+        from evaporate_spark.session import get_spark
+
+        frames = compute_expected(get_spark(app_name="fixture-gen"), MEDIA_DIR)
+        for key, path in (
+            ("image", IMAGE_EXPECTED),
+            ("audio", AUDIO_EXPECTED),
+            ("video", VIDEO_EXPECTED),
+        ):
+            pq.write_table(pa.Table.from_pandas(frames[key], preserve_index=False), path)
+            print(f"pinned {len(frames[key])} rows → {path}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -650,7 +650,13 @@ def jpeg_encode(
                 block = block - 128.0
                 coeff = _CM @ block @ _CM.T
                 q = qs[qidx[ci]]
-                quant = np.round(coeff / q).astype(np.int32)
+                # Clamp to the 8-bit-precision coefficient range
+                # (±1023, magnitude size ≤ 10 for AC / DC diff ≤ 11):
+                # at quality ≥ 96 the quant table clips to ~1 and a
+                # high-contrast block can exceed it, which would index
+                # past the Huffman table (ADVICE r4: KeyError, not the
+                # documented ValueError).
+                quant = np.clip(np.round(coeff / q), -1023, 1023).astype(np.int32)
                 zz = quant.flatten()[ZIGZAG]
                 dct, act = dc_tabs[tab_idx[ci]], ac_tabs[tab_idx[ci]]
                 diff = int(zz[0]) - pred[ci]

@@ -101,6 +101,7 @@ def correlated_voter_cliques(
     vote_matrix: list[dict[str, str]],
     agreement_thresh: float = 0.95,
     min_overlap: int = 5,
+    voter_accuracies: dict[str, float] | None = None,
 ) -> dict[str, int]:
     """voter → size of its near-duplicate clique.
 
@@ -112,6 +113,15 @@ def correlated_voter_cliques(
     transitively grouped (union-find), and the combiner divides each
     member's weight by its clique size — two clones then carry one
     voter's worth of evidence instead of two.
+
+    When ``voter_accuracies`` is given, the per-pair bar is raised to
+    the agreement two INDEPENDENT voters of those accuracies would
+    already show (``a·b + (1−a)·(1−b)``, the k=2 upper bound) plus a
+    small margin — so two merely-accurate voters (each ~97%+, agreeing
+    at ~acc² ≥ 0.94) are NOT unioned and keep full weight; only
+    above-chance-of-independence agreement (clones) merges. Without
+    accuracies, ``agreement_thresh`` must exceed the expected accuracy
+    product of the best voters or they will be spuriously merged.
     """
     voters = sorted({v for row in vote_matrix for v in row})
     parent = {v: v for v in voters}
@@ -122,6 +132,7 @@ def correlated_voter_cliques(
             v = parent[v]
         return v
 
+    accs = voter_accuracies or {}
     for i, a in enumerate(voters):
         for b in voters[i + 1 :]:
             both = agree = 0
@@ -130,7 +141,12 @@ def correlated_voter_cliques(
                 if va and vb:
                     both += 1
                     agree += va == vb
-            if both >= min_overlap and agree / both >= agreement_thresh:
+            thresh = agreement_thresh
+            if a in accs and b in accs:
+                pa, pb = accs[a], accs[b]
+                expected_indep = pa * pb + (1.0 - pa) * (1.0 - pb)
+                thresh = max(thresh, min(expected_indep + 0.02, 0.999))
+            if both >= min_overlap and agree / both >= thresh:
                 parent[find(a)] = find(b)
 
     sizes: dict[str, int] = {}
@@ -180,7 +196,9 @@ def weak_supervision_combine(
 
     clique_size: dict[str, int] = {}
     if discount_correlated and sample_rows:
-        clique_size = correlated_voter_cliques(sample_rows, agreement_thresh)
+        clique_size = correlated_voter_cliques(
+            sample_rows, agreement_thresh, voter_accuracies=voter_accuracies
+        )
 
     k = max(DEFAULT_LABEL_SPACE, 2)
     weights = [

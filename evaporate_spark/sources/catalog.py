@@ -70,16 +70,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   spark.sql.legacy.parquet.nanosAsLong; truncate to micros — the
     #   same thing DuckDB does when reading TIMESTAMP_NS.
     # - timestamp[us] without isAdjustedToUTC: surfaced as
-    #   TIMESTAMP_NTZ; interpret the wall-clock as UTC
-    #   (to_utc_timestamp is session-timezone-independent, so
-    #   unix_micros(ts) equals DuckDB's epoch extraction even on an
-    #   externally-built session with a non-UTC timezone).
+    #   TIMESTAMP_NTZ; interpret the wall-clock as UTC. The implicit
+    #   NTZ→TIMESTAMP cast uses the SESSION zone (instant = wall −
+    #   session_offset), so from_utc_timestamp(·, current_timezone())
+    #   adds that offset back, leaving instant = wall-as-UTC on any
+    #   session timezone. (A bare to_utc_timestamp(ts,'UTC') is the
+    #   identity on the already-cast instant and is NOT
+    #   session-independent.)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "from_utc_timestamp(cast(ts as timestamp), current_timezone())"
+                ),
+            )
     return df
 
 

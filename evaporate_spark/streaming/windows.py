@@ -31,12 +31,17 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     """Normalize events.ts to a UTC-instant TIMESTAMP from either
     physical shape (same contract as ``sources.catalog.load_table``):
     nanos-since-epoch bigint → truncate to micros; TIMESTAMP_NTZ →
-    interpret the wall-clock as UTC (session-timezone-independent)."""
+    interpret the wall-clock as UTC (the NTZ→TIMESTAMP cast is
+    session-zoned, so from_utc_timestamp(·, current_timezone()) undoes
+    the session offset — same contract and fix as catalog.load_table)."""
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif ts_type == "timestamp_ntz":
-        df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
+        df = df.withColumn(
+            "ts",
+            F.expr("from_utc_timestamp(cast(ts as timestamp), current_timezone())"),
+        )
     return df
 
 

@@ -789,6 +789,15 @@ def test_jpeg_encoder_roundtrip_and_edge_dims():
     out = np.frombuffer(px, dtype=np.uint8).reshape(13, 11, 3).astype(int)
     assert np.abs(out - odd.astype(int)).max() <= 6
 
+    # ADVICE r4: quality ≥ 96 clips the quant table to ~1 and a
+    # max-contrast checkerboard drives |coeff| past 1023 — the encoder
+    # must clamp (no KeyError) and the result must stay decodable
+    hard = ((np.indices((16, 16)).sum(axis=0) % 2) * 255).astype(np.uint8)
+    hard3 = np.repeat(hard[..., None], 3, axis=-1)
+    for q in (96, 100):
+        dw, dh, ch, px = jpeg_decode(jpeg_encode(16, 16, 3, hard3.tobytes(), quality=q))
+        assert (dw, dh, ch) == (16, 16, 3)
+
 
 def test_jpeg_decode_and_resize_spark(spark):
     """decode_images reports TRUE pixel stats for baseline JPEGs

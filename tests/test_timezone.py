@@ -1,0 +1,84 @@
+"""Session-timezone independence of the events.ts normalization.
+
+Regression for the ADVICE r4 finding: ``to_utc_timestamp(ts, 'UTC')``
+on a TIMESTAMP_NTZ column reduces to the session-zoned NTZ→TIMESTAMP
+cast (to_utc_timestamp with 'UTC' is the identity), so on a non-UTC
+session the instant was off by the session offset. The fix
+(``from_utc_timestamp(cast(ts as timestamp), current_timezone())``)
+must yield wall-clock-as-UTC epoch micros on ANY session timezone —
+matching what DuckDB extracts from the same parquet.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+# 2024-01-01 12:00:00 wall clock; as-UTC epoch micros:
+WALL_AS_UTC_MICROS = 1_704_110_400_000_000
+
+
+@contextlib.contextmanager
+def _session_tz(spark, tz: str):
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, tz)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+@pytest.fixture(scope="module")
+def ntz_events_dir(tmp_path_factory):
+    """A minimal events.parquet whose ts is timestamp[us] WITHOUT a
+    timezone (isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ)."""
+    d = tmp_path_factory.mktemp("ntz_events")
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [WALL_AS_UTC_MICROS, WALL_AS_UTC_MICROS + 3_600_000_000],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["view", "click"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("tz", ["UTC", "America/New_York", "Asia/Tokyo"])
+def test_load_table_ntz_session_tz_independent(spark, ntz_events_dir, tz):
+    from evaporate_spark.sources.catalog import load_table
+
+    with _session_tz(spark, tz):
+        df = load_table(spark, ntz_events_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        micros = [
+            r[0]
+            for r in df.orderBy("event_id")
+            .select(F.unix_micros("ts"))
+            .collect()
+        ]
+    assert micros == [WALL_AS_UTC_MICROS, WALL_AS_UTC_MICROS + 3_600_000_000]
+
+
+@pytest.mark.parametrize("tz", ["America/New_York", "Asia/Tokyo"])
+def test_streaming_normalize_ts_session_tz_independent(spark, ntz_events_dir, tz):
+    from evaporate_spark.streaming.windows import _normalize_ts
+
+    with _session_tz(spark, tz):
+        raw = spark.read.parquet(os.path.join(ntz_events_dir, "events.parquet"))
+        assert dict(raw.dtypes)["ts"] == "timestamp_ntz"
+        df = _normalize_ts(raw)
+        micros = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
+    assert micros == [WALL_AS_UTC_MICROS, WALL_AS_UTC_MICROS + 3_600_000_000]

@@ -115,6 +115,34 @@ def test_ws_correlated_voter_discount(spark):
     }
 
 
+def test_ws_clique_accuracy_gate():
+    """Two INDEPENDENT highly-accurate voters agree at ~acc² ≥ 0.95 by
+    accuracy alone; with voter_accuracies given the merge bar rises to
+    expected-independent-agreement + margin, so they keep full weight
+    (ADVICE r4: don't halve the weight of exactly the best voters)."""
+    from evaporate_spark.semantic.ws import correlated_voter_cliques
+
+    # a and b agree on 95/100 rows — consistent with two independent
+    # 97%-accurate voters, NOT with cloning
+    matrix = [
+        {"a": "x", "b": "x" if i < 95 else "y"} for i in range(100)
+    ]
+    # without accuracies the raw 0.95 threshold merges them (documented
+    # hazard) ...
+    assert correlated_voter_cliques(matrix) == {"a": 2, "b": 2}
+    # ... with accuracies the bar is 0.97·0.97 + 0.03·0.03 + 0.02 ≈ 0.96
+    # and the pair stays independent
+    accs = {"a": 0.97, "b": 0.97}
+    assert correlated_voter_cliques(matrix, voter_accuracies=accs) == {
+        "a": 1, "b": 1
+    }
+    # true clones (agreement 1.0) still merge even under the raised bar
+    clones = [{"a": "x", "b": "x"} for _ in range(100)]
+    assert correlated_voter_cliques(clones, voter_accuracies=accs) == {
+        "a": 2, "b": 2
+    }
+
+
 def test_ws_pipeline_end_to_end(spark, tmp_path):
     docs = spark.createDataFrame(
         [(f"doc://{i}", _doc(i), "txt", 1) for i in range(20)],

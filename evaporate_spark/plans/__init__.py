@@ -1,5 +1,7 @@
 from evaporate_spark.plans.queries import REGISTRY, QuerySpec, get_query, query_names
 # importing registers the semantic / dedup / text / similarity entries
 from evaporate_spark.plans import semantic_queries as _semantic_queries  # noqa: F401,E402
+# ... and the media-decode entries (oracle = pinned fixture stats)
+from evaporate_spark.plans import media_queries as _media_queries  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "get_query", "query_names"]

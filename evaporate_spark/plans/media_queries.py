@@ -1,0 +1,156 @@
+"""Oracle-checked registry entries for the media decode operators
+(VERDICT r4 task 1): the DuckDB oracle reads the fixture-pinned
+``expected_*_stats.parquet`` while the Spark side RE-DECODES the
+committed binary media with the stdlib/numpy codecs — a hash-match
+therefore proves the PNG/GIF/JPEG pixel decode, the WAV PCM analysis,
+and the MJPEG AVI frame walk end-to-end (reference scope: Evaporate
+has no media ops; these belong to the engine's training-data-pipeline
+surface, SURVEY §2C multimodal).
+
+The pinned stats are validated non-circularly in
+``tests/test_media_fixtures.py``: the pixel/sample ground truth is
+recomputed from the closed-form source arrays
+(``fixtures.media.source_image_arrays`` et al.) and compared within
+codec tolerance, and the committed media bytes are regenerated
+byte-identically.
+
+Scale shape: ``binaryFile`` scan → ``mapInPandas`` Arrow-batched
+decode → JVM-side rounding/projection. No shuffle, no collect; at
+100 TB the decode parallelizes per-file (and per-frame for video,
+where ``sample_video_frames`` emits one row per frame BEFORE decode so
+a long video does not pin one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from evaporate_spark.fixtures import (
+    AUDIO_EXPECTED,
+    IMAGE_EXPECTED,
+    MEDIA_DIR,
+    VIDEO_EXPECTED,
+)
+from evaporate_spark.plans.queries import register
+
+
+def _media_files(spark: SparkSession, media_dir: str, *suffixes: str) -> DataFrame:
+    """(file, content) for the fixture files matching ``suffixes`` —
+    file NAME only, so results are location-independent."""
+    df = spark.read.format("binaryFile").load(media_dir)
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    out = df.select(name.alias("file"), "content")
+    cond = F.lit(False)
+    for s in suffixes:
+        cond = cond | F.col("file").endswith(s)
+    return out.where(cond)
+
+
+def image_stats_frame(spark: SparkSession, media_dir: str) -> DataFrame:
+    from evaporate_spark.operators.multimodal import decode_images
+
+    files = _media_files(spark, media_dir, ".png", ".gif", ".jpg")
+    return decode_images(files, path_col="file").select(
+        F.col("path").alias("file"),  # decode_images emits 'path'
+        "media_type",
+        "width",
+        "height",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        "decoded_by",
+    )
+
+
+def audio_stats_frame(spark: SparkSession, media_dir: str) -> DataFrame:
+    from evaporate_spark.operators.multimodal import decode_audio
+
+    files = _media_files(spark, media_dir, ".wav")
+    return decode_audio(files, path_col="file").select(
+        F.col("path").alias("file"),  # decode_audio emits 'path'
+        "media_type",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+        F.round("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
+    )
+
+
+def video_stats_frame(spark: SparkSession, media_dir: str) -> DataFrame:
+    """Per-sampled-frame pixel stats: container walk → one row per
+    frame → image decode, the composable per-frame contract
+    (sample_video_frames ∘ decode_images)."""
+    from evaporate_spark.operators.multimodal import decode_images, sample_video_frames
+
+    files = _media_files(spark, media_dir, ".avi")
+    frames = sample_video_frames(files, every_n=2, path_col="file").where(
+        F.col("err").isNull()
+    )
+    keyed = frames.select(
+        # sample_video_frames emits 'path' (the input file name here)
+        F.concat_ws("#", "path", F.col("frame_index").cast("string")).alias("fkey"),
+        "content",
+    )
+    decoded = decode_images(keyed, path_col="fkey")
+    return decoded.select(
+        F.element_at(F.split("path", "#"), 1).alias("file"),
+        F.element_at(F.split("path", "#"), 2).cast("long").alias("frame_index"),
+        "media_type",
+        "width",
+        "height",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        "decoded_by",
+    )
+
+
+@register(
+    "q_decode_image_stats",
+    "REAL pixel decode for PNG (grey/RGB/RGBA) + GIF (palette/LZW) + "
+    "JPEG (numpy DCT codec): width/height/mean-intensity of the "
+    "committed media fixtures must hash-match the pinned expected "
+    "stats (independently validated against closed-form source "
+    "arrays in pytest).",
+    oracle=f"""
+        SELECT file, media_type, width, height, mean_intensity, decoded_by
+        FROM read_parquet('{IMAGE_EXPECTED}')
+    """,
+    tags=("multimodal",),
+)
+def q_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # media fixtures are repo-committed (sf-independent): decode
+    # correctness does not vary with scale factor
+    return image_stats_frame(spark, MEDIA_DIR)
+
+
+@register(
+    "q_decode_audio_stats",
+    "REAL PCM WAV decode (8/16/32-bit, mono+stereo): sample rate, "
+    "duration, normalized RMS, zero-crossing rate and rFFT spectral "
+    "centroid must hash-match the pinned expected stats.",
+    oracle=f"""
+        SELECT file, media_type, sample_rate, channels, n_samples,
+               duration_s, rms, zero_crossing_rate, spectral_centroid_hz
+        FROM read_parquet('{AUDIO_EXPECTED}')
+    """,
+    tags=("multimodal",),
+)
+def q_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_stats_frame(spark, MEDIA_DIR)
+
+
+@register(
+    "q_decode_video_stats",
+    "REAL MJPEG AVI frame sampling + decode: every 2nd frame of the "
+    "committed clip, each decoded to pixel stats by the numpy JPEG "
+    "codec, hash-matched against the pinned expected rows.",
+    oracle=f"""
+        SELECT file, frame_index, media_type, width, height,
+               mean_intensity, decoded_by
+        FROM read_parquet('{VIDEO_EXPECTED}')
+    """,
+    tags=("multimodal",),
+)
+def q_decode_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_stats_frame(spark, MEDIA_DIR)

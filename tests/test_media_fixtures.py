@@ -1,0 +1,122 @@
+"""Non-circular validation of the media fixtures + pinned stats.
+
+Three layers:
+1. determinism — regenerating the media fixtures yields byte-identical
+   files (so the committed binaries can't silently drift from the
+   generator);
+2. ground truth — the PINNED stats match values recomputed here from
+   the closed-form SOURCE arrays (exact for lossless PNG/GIF, small
+   tolerance for lossy JPEG and PCM quantization), so the pin is not
+   "whatever decode said";
+3. gate simulation — each q_decode_*_stats registry query hash-matches
+   its DuckDB oracle (read_parquet of the pinned file) via the same
+   compare the driver uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from evaporate_spark.fixtures import (
+    AUDIO_EXPECTED,
+    IMAGE_EXPECTED,
+    MEDIA_DIR,
+    VIDEO_EXPECTED,
+)
+from evaporate_spark.fixtures.media import (
+    generate_media,
+    source_audio_arrays,
+    source_image_arrays,
+    source_video_frames,
+)
+from evaporate_spark.testing import compare_frames
+
+
+def test_media_fixture_determinism(tmp_path):
+    fresh = generate_media(str(tmp_path))
+    for name, data in fresh.items():
+        committed = os.path.join(MEDIA_DIR, name)
+        assert os.path.exists(committed), f"missing committed fixture {name}"
+        with open(committed, "rb") as fh:
+            assert fh.read() == data, f"{name} drifted from its generator"
+
+
+def test_pinned_image_stats_match_source_arrays():
+    pinned = {
+        r[0]: r
+        for r in duckdb.sql(
+            f"SELECT file, width, height, mean_intensity, decoded_by "
+            f"FROM read_parquet('{IMAGE_EXPECTED}')"
+        ).fetchall()
+    }
+    arrays = source_image_arrays()
+    assert set(pinned) == set(arrays)
+    for name, arr in arrays.items():
+        file, w, h, mean, by = pinned[name]
+        assert (w, h) == (arr.shape[1], arr.shape[0]), name
+        if name.endswith(".png") and arr.ndim == 3 and arr.shape[2] == 4:
+            truth = float(arr[..., :3].mean())  # alpha excluded
+        else:
+            truth = float(arr.mean())
+        tol = 3.0 if name.endswith(".jpg") else 1e-3  # JPEG is lossy
+        assert abs(mean - truth) <= tol, (name, mean, truth)
+        assert by.startswith("stdlib-"), name  # REAL decode, not the stub
+
+
+def test_pinned_audio_stats_match_source_signals():
+    pinned = {
+        r[0]: r
+        for r in duckdb.sql(
+            f"SELECT file, sample_rate, channels, n_samples, duration_s, rms, "
+            f"zero_crossing_rate, spectral_centroid_hz "
+            f"FROM read_parquet('{AUDIO_EXPECTED}')"
+        ).fetchall()
+    }
+    sources = source_audio_arrays()
+    assert set(pinned) == set(sources)
+    for name, (rate, ch, width, samples) in sources.items():
+        file, p_rate, p_ch, p_n, p_dur, p_rms, p_zcr, p_cent = pinned[name]
+        assert (p_rate, p_ch, p_n) == (rate, ch, samples.shape[0]), name
+        assert abs(p_dur - samples.shape[0] / rate) < 1e-3, name
+        # recompute from the SOURCE float signal; PCM quantization makes
+        # this approximate (tightest for 32-bit, loosest for 8-bit)
+        truth_rms = float(np.sqrt(np.mean(samples**2)))
+        assert abs(p_rms - truth_rms) < 0.01, (name, p_rms, truth_rms)
+        mono = samples.mean(axis=1)
+        truth_zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        assert abs(p_zcr - truth_zcr) < 0.02, (name, p_zcr, truth_zcr)
+        mag = np.abs(np.fft.rfft(mono - mono.mean()))
+        freqs = np.fft.rfftfreq(mono.size, d=1.0 / rate)
+        truth_cent = float((freqs * mag).sum() / mag.sum())
+        assert abs(p_cent - truth_cent) < 15.0, (name, p_cent, truth_cent)
+
+
+def test_pinned_video_stats_match_source_frames():
+    pinned = {
+        int(r[0]): r
+        for r in duckdb.sql(
+            f"SELECT frame_index, width, height, mean_intensity "
+            f"FROM read_parquet('{VIDEO_EXPECTED}')"
+        ).fetchall()
+    }
+    frames, w, h = source_video_frames()
+    assert set(pinned) == {0, 2, 4}  # every_n=2 over 6 frames
+    for idx, (fi, pw, ph, mean) in pinned.items():
+        assert (pw, ph) == (w, h)
+        assert abs(mean - float(frames[idx].mean())) <= 3.0  # lossy MJPEG
+
+
+@pytest.mark.parametrize(
+    "qname", ["q_decode_image_stats", "q_decode_audio_stats", "q_decode_video_stats"]
+)
+def test_media_query_matches_oracle(spark, sf_dir, qname):
+    from evaporate_spark.plans import REGISTRY
+
+    spec = REGISTRY[qname]
+    spark_pdf = spec.spark(spark, sf_dir).toPandas()
+    oracle_pdf = duckdb.sql(spec.oracle).df()
+    assert compare_frames(spark_pdf, oracle_pdf) is None

@@ -54,6 +54,15 @@ def _image_specs() -> dict[str, bytes]:
     out["img_jpeg_grey.jpg"] = jpeg_encode(
         jg.shape[1], jg.shape[0], 1, jg.tobytes(), quality=90
     )
+
+    from evaporate_spark.operators.multimodal import bmp_encode, tiff_encode
+
+    bm = arrays["img_bmp_rgb.bmp"]
+    out["img_bmp_rgb.bmp"] = bmp_encode(bm.shape[1], bm.shape[0], 3, bm.tobytes())
+    tf = arrays["img_tiff_rgb.tif"]
+    out["img_tiff_rgb.tif"] = tiff_encode(tf.shape[1], tf.shape[0], 3, tf.tobytes())
+    tg = arrays["img_tiff_grey.tif"]
+    out["img_tiff_grey.tif"] = tiff_encode(tg.shape[1], tg.shape[0], 1, tg.tobytes())
     return out
 
 
@@ -117,6 +126,19 @@ def source_image_arrays() -> dict[str, np.ndarray]:
     out["img_jpeg_grey.jpg"] = (
         128 + 100 * np.sin(np.mgrid[0:40, 0:40][1] / 6.0)
     ).clip(0, 255).astype(np.uint8)
+
+    bh, bw = 18, 26
+    byy, bxx = np.mgrid[0:bh, 0:bw]
+    out["img_bmp_rgb.bmp"] = np.stack(
+        [(bxx * 9) % 256, (byy * 11) % 256, (bxx ^ byy) % 256], axis=-1
+    ).astype(np.uint8)
+
+    th, tw = 14, 22
+    tyy, txx = np.mgrid[0:th, 0:tw]
+    out["img_tiff_rgb.tif"] = np.stack(
+        [(txx * 5 + 30) % 256, (tyy * 17) % 256, (txx * tyy) % 256], axis=-1
+    ).astype(np.uint8)
+    out["img_tiff_grey.tif"] = ((txx * 3 + tyy * 19) % 256).astype(np.uint8)
     return out
 
 

@@ -21,7 +21,11 @@ formats:
   bit-preserved),
 - JPEG: baseline/extended sequential AND progressive via the numpy
   codec in :mod:`evaporate_spark.operators.jpeg` (huffman + IDCT +
-  chroma upsampling; encoder writes baseline JFIF).
+  chroma upsampling; encoder writes baseline JFIF),
+- BMP: uncompressed 8-bit-palette / 24 / 32-bit BI_RGB (bottom-up and
+  top-down) via :func:`bmp_decode` / :func:`bmp_encode`,
+- TIFF: uncompressed (Compression=1) chunky 8-bit grey/RGB/RGBA in
+  either byte order via :func:`tiff_decode` / :func:`tiff_encode`.
 
 Video: REAL end-to-end for MJPEG AVIs — the stdlib RIFF walk
 (:func:`avi_video_chunks`) extracts per-frame JPEGs and
@@ -31,8 +35,9 @@ Audio: REAL for PCM WAV (:func:`decode_audio` — stdlib ``wave`` +
 numpy RMS/duration).
 
 What is STUBBED (this environment ships no image/audio/video libs):
-only truly undecodable rows — truncated buffers,
-hierarchical/arithmetic JPEG, and modern video bitstreams (H.264 in
+only truly undecodable rows — truncated buffers, formats whose
+bitstreams require third-party codecs (webp, compressed TIFF,
+hierarchical/arithmetic JPEG) and modern video bitstreams (H.264 in
 mp4/webm/mkv) — fall back to the clearly-marked deterministic fake
 (header-derived stats) in :func:`decode_images` or a per-row ``err``
 in :func:`resize_images` / :func:`sample_video_frames`; the operator
@@ -62,6 +67,9 @@ _MAGIC = {
     "25504446": "pdf",
     "494433": "mp3",
     "1A45DFA3": "webm",
+    "424D": "bmp",
+    "49492A00": "tiff",  # little-endian (II*\0)
+    "4D4D002A": "tiff",  # big-endian (MM\0*)
 }
 
 
@@ -93,6 +101,24 @@ def _u8(c: Column, pos: Column) -> Column:
 
 def _be_u16(c: Column, pos: Column) -> Column:
     return F.conv(F.hex(c.substr(pos, F.lit(2))), 16, 10).cast("long")
+
+
+def _le_u16(c: Column, pos: Column) -> Column:
+    return _u8(c, pos) + 256 * _u8(c, pos + 1)
+
+
+def _le_u32(c: Column, pos: Column) -> Column:
+    return _le_u16(c, pos) + 65536 * _le_u16(c, pos + 2)
+
+
+def _be_u32_at(c: Column, pos: Column) -> Column:
+    return _be_u16(c, pos + 2) + 65536 * _be_u16(c, pos)
+
+
+#: IFD entries to walk for TIFF dims. The spec orders entries by
+#: ascending tag, and ImageWidth(256)/ImageLength(257) are preceded
+#: only by the 25x NewSubfileType family, so a short walk suffices.
+_TIFF_MAX_IFD_ENTRIES = 12
 
 
 #: JPEG SOF markers carrying the frame header (C0-CF minus DHT C4,
@@ -132,6 +158,8 @@ def media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:
     is_png = F.col("media_type") == "png"
     is_gif = F.col("media_type") == "gif"
     is_jpeg = F.col("media_type") == "jpeg"
+    is_bmp = F.col("media_type") == "bmp"
+    is_tiff = F.col("media_type") == "tiff"
 
     # JPEG walk: SOI is bytes 1-2; the first segment marker sits at 3
     out = out.withColumns(
@@ -154,20 +182,66 @@ def media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:
             }
         )
 
+    # TIFF walk: spec-ordered IFD entries; ImageWidth(256) /
+    # ImageLength(257) sit within the first few, so a bounded walk of
+    # _TIFF_MAX_IFD_ENTRIES named steps finds them (SHORT or LONG,
+    # inline value at entry+8). Endianness switches per row on the
+    # 'II'/'MM' prefix.
+    tiff_le = F.substring(c, 1, 2) == F.lit("II").cast("binary")
+
+    def _tu16(pos: Column) -> Column:
+        return F.when(tiff_le, _le_u16(c, pos)).otherwise(_be_u16(c, pos))
+
+    def _tu32(pos: Column) -> Column:
+        return F.when(tiff_le, _le_u32(c, pos)).otherwise(_be_u32_at(c, pos))
+
+    out = out.withColumns(
+        {
+            "_tifd": F.when(is_tiff, _tu32(F.lit(5).cast("long"))),
+            "_tn": F.lit(None).cast("long"),
+            "_tw": F.lit(None).cast("long"),
+            "_th": F.lit(None).cast("long"),
+        }
+    )
+    out = out.withColumn("_tn", F.when(is_tiff, _tu16(F.col("_tifd") + 1)))
+    for i in range(_TIFF_MAX_IFD_ENTRIES):
+        e = F.col("_tifd") + 3 + 12 * i  # 1-based entry start
+        in_ifd = F.lit(i) < F.col("_tn")
+        tag = _tu16(e)
+        typ = _tu16(e + 2)
+        val = F.when(typ == 3, _tu16(e + 8)).when(typ == 4, _tu32(e + 8))
+        out = out.withColumns(
+            {
+                "_tw": F.when(in_ifd & (tag == 256) & F.col("_tw").isNull(), val).otherwise(F.col("_tw")),
+                "_th": F.when(in_ifd & (tag == 257) & F.col("_th").isNull(), val).otherwise(F.col("_th")),
+            }
+        )
+
     gif_w = _u8(c, F.lit(7).cast("long")) + 256 * _u8(c, F.lit(8).cast("long"))
     gif_h = _u8(c, F.lit(9).cast("long")) + 256 * _u8(c, F.lit(10).cast("long"))
+    # BMP stores signed little-endian i32 dims (height < 0 = top-down);
+    # surface |dims| like the Python twin. Convert via sign bit.
+    bmp_w_raw = _le_u32(c, F.lit(19).cast("long"))
+    bmp_h_raw = _le_u32(c, F.lit(23).cast("long"))
+    as_i32 = lambda v: F.when(v >= F.lit(1 << 31), v - F.lit(1 << 32)).otherwise(v)  # noqa: E731
+    bmp_w = F.abs(as_i32(bmp_w_raw))
+    bmp_h = F.abs(as_i32(bmp_h_raw))
     return out.withColumns(
         {
             "width": F.when(is_png, _be_u32(c, 17))
             .when(is_gif, gif_w)
             .when(is_jpeg, F.col("_jw"))
+            .when(is_bmp, bmp_w)
+            .when(is_tiff, F.col("_tw"))
             .cast("long"),
             "height": F.when(is_png, _be_u32(c, 21))
             .when(is_gif, gif_h)
             .when(is_jpeg, F.col("_jh"))
+            .when(is_bmp, bmp_h)
+            .when(is_tiff, F.col("_th"))
             .cast("long"),
         }
-    ).drop("_jpos", "_jw", "_jh")
+    ).drop("_jpos", "_jw", "_jh", "_tifd", "_tn", "_tw", "_th")
 
 
 def _header_dims(raw: bytes) -> tuple[str, int | None, int | None]:
@@ -200,6 +274,35 @@ def _header_dims(raw: bytes) -> tuple[str, int | None, int | None]:
                 )
             pos += 2 + seg_len
         return "jpeg", None, None
+    if raw[:2] == b"BM":
+        if len(raw) >= 26:
+            return (
+                "bmp",
+                abs(int.from_bytes(raw[18:22], "little", signed=True)),
+                abs(int.from_bytes(raw[22:26], "little", signed=True)),
+            )
+        return "bmp", None, None
+    if raw[:4] in _TIFF_SIGS:
+        bo = "little" if raw[:2] == b"II" else "big"
+        try:
+            ifd = int.from_bytes(raw[4:8], bo)
+            n = int.from_bytes(raw[ifd : ifd + 2], bo)
+            w = h = None
+            for i in range(min(n, _TIFF_MAX_IFD_ENTRIES)):
+                e = ifd + 2 + 12 * i
+                tag = int.from_bytes(raw[e : e + 2], bo)
+                typ = int.from_bytes(raw[e + 2 : e + 4], bo)
+                size = {3: 2, 4: 4}.get(typ)
+                if size is None:
+                    continue
+                val = int.from_bytes(raw[e + 8 : e + 8 + size], bo)
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+            return "tiff", w, h
+        except Exception:
+            return "tiff", None, None
     return "bin", None, None
 
 
@@ -634,6 +737,239 @@ def gif_encode(w: int, h: int, palette: bytes, indices: bytes) -> bytes:
     return header + imgdesc + bytes([min_code]) + blocks + b"\x00\x3b"
 
 
+# ---------------------------------------------------------------------------
+# stdlib BMP codec: BI_RGB pixel data is raw (BGR order, 4-byte-padded
+# rows, bottom-up unless height < 0), so uncompressed 8-bit-palette /
+# 24 / 32-bit BMPs decode with ZERO third-party libraries. RLE and
+# exotic bitfields stay per-row errors.
+# ---------------------------------------------------------------------------
+
+_TIFF_SIGS = (b"II*\x00", b"MM\x00*")
+
+
+def bmp_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
+    """(width, height, channels, 8-bit pixels row-major top-down) for
+    uncompressed BMPs: 8-bit palette → RGB, 24-bit BGR → RGB, 32-bit
+    BGRA → RGBA (BI_RGB, or BI_BITFIELDS with the standard masks).
+    Raises ValueError on malformed/unsupported input."""
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(raw) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(raw[10:14], "little")
+    hdr_size = int.from_bytes(raw[14:18], "little")
+    if hdr_size < 40:  # BITMAPCOREHEADER etc.
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h_raw = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    comp = int.from_bytes(raw[30:34], "little")
+    colors_used = int.from_bytes(raw[46:50], "little")
+    top_down, h = h_raw < 0, abs(h_raw)
+    if w <= 0 or h <= 0 or w * h > 1 << 26:
+        raise ValueError(f"bad BMP dims {w}x{h_raw}")
+    if bpp not in (8, 24, 32) or comp not in (0, 3):
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={comp}")
+    if comp == 3 and bpp == 32:
+        # accept only the standard BGRA masks (the common V4/V5 export)
+        masks = raw[54:66]
+        if len(masks) == 12 and masks != bytes.fromhex("0000ff0000ff00000000ff00"):
+            raise ValueError("unsupported BMP bitfields")
+    elif comp == 3:
+        raise ValueError("BI_BITFIELDS only supported at 32 bpp")
+
+    palette: bytes | None = None
+    if bpp == 8:
+        n_pal = colors_used or 256
+        pal_off = 14 + hdr_size
+        pal = raw[pal_off : pal_off + 4 * n_pal]
+        if len(pal) < 4 * n_pal:
+            raise ValueError("truncated BMP palette")
+        palette = pal
+
+    stride = ((w * bpp // 8) + 3) & ~3
+    need = data_off + stride * h
+    if len(raw) < need:
+        raise ValueError("truncated BMP pixel data")
+    ch = {8: 3, 24: 3, 32: 4}[bpp]
+    out = bytearray(w * h * ch)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        s = data_off + src_row * stride
+        d = row * w * ch
+        if bpp == 8:
+            for x in range(w):
+                pi = raw[s + x]
+                if palette is not None and 4 * pi + 3 <= len(palette):
+                    b, g, r = palette[4 * pi], palette[4 * pi + 1], palette[4 * pi + 2]
+                else:
+                    raise ValueError("palette index out of range")
+                out[d + 3 * x : d + 3 * x + 3] = bytes((r, g, b))
+        elif bpp == 24:
+            for x in range(w):
+                b, g, r = raw[s + 3 * x : s + 3 * x + 3]
+                out[d + 3 * x : d + 3 * x + 3] = bytes((r, g, b))
+        else:
+            for x in range(w):
+                b, g, r, a = raw[s + 4 * x : s + 4 * x + 4]
+                out[d + 4 * x : d + 4 * x + 4] = bytes((r, g, b, a))
+    return w, h, ch, out
+
+
+def bmp_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal BI_RGB BMP writer: grey/RGB → 24-bit, grey+alpha/RGBA →
+    32-bit (alpha preserved); bottom-up rows, 4-byte padding."""
+    import struct
+
+    if channels in (1, 2):  # expand grey(+alpha) to color
+        px = bytearray()
+        step = channels
+        for i in range(0, len(pixels), step):
+            g = pixels[i]
+            px += bytes((g, g, g)) + (
+                bytes((pixels[i + 1],)) if channels == 2 else b""
+            )
+        pixels = bytes(px)
+        channels = 3 if channels == 1 else 4
+    bpp = 24 if channels == 3 else 32
+    stride = ((w * bpp // 8) + 3) & ~3
+    body = bytearray()
+    for row in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        s = row * w * channels
+        for x in range(w):
+            p = s + x * channels
+            r, g, b = pixels[p], pixels[p + 1], pixels[p + 2]
+            line += bytes((b, g, r)) + (
+                bytes((pixels[p + 3],)) if channels == 4 else b""
+            )
+        body += line + b"\x00" * (stride - len(line))
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# stdlib TIFF codec: with Compression=1 the strips are raw sample
+# bytes, so chunky 8-bit grey/RGB/RGBA TIFFs in either byte order
+# decode with a pure IFD walk. LZW/JPEG-compressed, tiled, planar and
+# non-8-bit TIFFs stay per-row errors (they need real codec work).
+# ---------------------------------------------------------------------------
+
+
+def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
+    """(width, height, channels, 8-bit pixels row-major) for
+    uncompressed chunky 8-bit TIFFs (first IFD). Raises ValueError on
+    malformed/unsupported input."""
+    if raw[:4] == b"II*\x00":
+        bo = "little"
+    elif raw[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF")
+
+    def u(off: int, size: int) -> int:
+        if off + size > len(raw):
+            raise ValueError("truncated TIFF")
+        return int.from_bytes(raw[off : off + size], bo)
+
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE ASCII SHORT LONG
+    ifd = u(4, 4)
+    n = u(ifd, 2)
+    if n > 512:
+        raise ValueError("implausible TIFF IFD")
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+        if typ not in type_size or cnt > 1 << 20:
+            continue
+        sz = type_size[typ]
+        val_off = e + 8 if sz * cnt <= 4 else u(e + 8, 4)
+        tags[tag] = [u(val_off + j * sz, sz) for j in range(min(cnt, 1 << 16))]
+    try:
+        w, h = tags[256][0], tags[257][0]
+        strip_offs = tags[273]
+        strip_counts = tags[279]
+    except KeyError as ex:
+        raise ValueError(f"TIFF missing required tag {ex}") from None
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8] * spp)
+    planar = tags.get(284, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    if comp != 1:
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if planar != 1 or spp not in (1, 3, 4) or any(b != 8 for b in bps):
+        raise ValueError(f"unsupported TIFF layout spp={spp} bps={bps} planar={planar}")
+    if w <= 0 or h <= 0 or w * h > 1 << 26:
+        raise ValueError(f"bad TIFF dims {w}x{h}")
+    data = bytearray()
+    for off, cnt in zip(strip_offs, strip_counts):
+        if off + cnt > len(raw):
+            raise ValueError("truncated TIFF strip")
+        data += raw[off : off + cnt]
+    need = w * h * spp
+    if len(data) < need:
+        raise ValueError("TIFF strips shorter than image")
+    px = bytearray(data[:need])
+    if photometric == 0 and spp == 1:  # WhiteIsZero → invert
+        px = bytearray(255 - b for b in px)
+    return w, h, spp, px
+
+
+def tiff_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal little-endian uncompressed chunky TIFF writer
+    (grey / RGB / RGBA; one strip)."""
+    import struct
+
+    if channels == 2:  # grey+alpha has no standard photometric; drop alpha
+        pixels = bytes(pixels[i] for i in range(0, len(pixels), 2))
+        channels = 1
+    photometric = 1 if channels == 1 else 2
+    entries = []  # (tag, type, count, value) — SHORT=3, LONG=4
+
+    data_off = 8  # IFD written after pixel data; data first
+    pix = bytes(pixels[: w * h * channels])
+    ifd_off = data_off + len(pix)
+    entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, channels, None),  # needs external array when channels>2
+        (259, 3, 1, 1),
+        (262, 3, 1, photometric),
+        (273, 4, 1, data_off),
+        (277, 3, 1, channels),
+        (278, 4, 1, h),
+        (279, 4, 1, len(pix)),
+    ]
+    # external area for BitsPerSample when it doesn't fit inline
+    extra = b""
+    extra_off = ifd_off + 2 + 12 * len(entries) + 4
+    out_entries = bytearray()
+    for tag, typ, cnt, val in sorted(entries):
+        if tag == 258:
+            if channels <= 2:
+                val_bytes = struct.pack("<HH", 8, 0)
+            else:
+                val_bytes = struct.pack("<I", extra_off + len(extra))
+                extra += struct.pack(f"<{channels}H", *([8] * channels))
+        elif typ == 3:
+            val_bytes = struct.pack("<HH", val, 0)
+        else:
+            val_bytes = struct.pack("<I", val)
+        out_entries += struct.pack("<HHI", tag, typ, cnt) + val_bytes
+    return (
+        b"II*\x00"
+        + struct.pack("<I", ifd_off)
+        + pix
+        + struct.pack("<H", len(entries))
+        + bytes(out_entries)
+        + struct.pack("<I", 0)
+        + extra
+    )
+
+
 DECODE_SCHEMA = (
     "path string, media_type string, width long, height long, "
     "mean_intensity double, decoded_by string, err string"
@@ -717,6 +1053,34 @@ def decode_images(
                             continue
                         except ValueError:
                             pass
+                    # REAL stdlib decode for uncompressed BMP / TIFF;
+                    # RLE/LZW/tiled variants degrade to the header fake
+                    if raw[:2] == b"BM":
+                        try:
+                            w, h, ch, px = bmp_decode(raw)
+                            body = px
+                            if ch == 4:  # mean over color, not alpha
+                                body = bytearray(
+                                    b for i, b in enumerate(px) if i % 4 != 3
+                                )
+                            mean = (sum(body) / len(body)) if body else 0.0
+                            rows.append((path, "bmp", w, h, float(mean), "stdlib-bmp", None))
+                            continue
+                        except ValueError:
+                            pass
+                    if raw[:4] in _TIFF_SIGS:
+                        try:
+                            w, h, ch, px = tiff_decode(raw)
+                            body = px
+                            if ch == 4:
+                                body = bytearray(
+                                    b for i, b in enumerate(px) if i % 4 != 3
+                                )
+                            mean = (sum(body) / len(body)) if body else 0.0
+                            rows.append((path, "tiff", w, h, float(mean), "stdlib-tiff", None))
+                            continue
+                        except ValueError:
+                            pass
                     # deterministic fake: header dims + byte mean
                     # (same parsers as media_metadata's expressions)
                     mt, width, height = _header_dims(raw)
@@ -782,6 +1146,14 @@ def resize_images(
                         outs.append(
                             bytearray(jpeg_encode(width, height, ch, bytes(resized)))
                         )
+                    elif raw[:2] == b"BM":
+                        w, h, ch, px = bmp_decode(raw)
+                        resized = _resize_nn(w, h, ch, px, width, height)
+                        outs.append(bytearray(bmp_encode(width, height, ch, bytes(resized))))
+                    elif raw[:4] in _TIFF_SIGS:
+                        w, h, ch, px = tiff_decode(raw)
+                        resized = _resize_nn(w, h, ch, px, width, height)
+                        outs.append(bytearray(tiff_encode(width, height, ch, bytes(resized))))
                     else:
                         w, h, ch, px = png_decode(raw)
                         outs.append(

@@ -50,7 +50,7 @@ def _media_files(spark: SparkSession, media_dir: str, *suffixes: str) -> DataFra
 def image_stats_frame(spark: SparkSession, media_dir: str) -> DataFrame:
     from evaporate_spark.operators.multimodal import decode_images
 
-    files = _media_files(spark, media_dir, ".png", ".gif", ".jpg")
+    files = _media_files(spark, media_dir, ".png", ".gif", ".jpg", ".bmp", ".tif")
     return decode_images(files, path_col="file").select(
         F.col("path").alias("file"),  # decode_images emits 'path'
         "media_type",
@@ -108,10 +108,10 @@ def video_stats_frame(spark: SparkSession, media_dir: str) -> DataFrame:
 @register(
     "q_decode_image_stats",
     "REAL pixel decode for PNG (grey/RGB/RGBA) + GIF (palette/LZW) + "
-    "JPEG (numpy DCT codec): width/height/mean-intensity of the "
-    "committed media fixtures must hash-match the pinned expected "
-    "stats (independently validated against closed-form source "
-    "arrays in pytest).",
+    "JPEG (numpy DCT codec) + BMP (BI_RGB) + TIFF (uncompressed, both "
+    "byte orders): width/height/mean-intensity of the committed media "
+    "fixtures must hash-match the pinned expected stats (independently "
+    "validated against closed-form source arrays in pytest).",
     oracle=f"""
         SELECT file, media_type, width, height, mean_intensity, decoded_by
         FROM read_parquet('{IMAGE_EXPECTED}')

@@ -188,3 +188,72 @@ def test_registry_q_simhash_dups_matches_all_pairs_ground_truth(spark, sf_dir):
                 want[(a, b)] = d
     assert got == want
     assert len(got) >= len(ids) // 2  # every doc has its exact clone pair
+
+
+def test_single_scan_profile_reads_corpus_once(spark, tmp_path, monkeypatch):
+    """Pin the read-corpus-ONCE claim of profile_attributes_single_scan
+    (pipeline.py): a 3-attribute run must (a) invoke exactly one
+    run_functions_multi lake pass, and (b) produce a final long-form
+    plan whose ONLY references to the lake parquet are path-only
+    projections — the content column is consumed inside the single
+    checkpointed function pass, so zero content-reading FileScans may
+    remain (a regression here silently multiplies 100 TB corpus reads
+    by the attribute count)."""
+    from evaporate_spark.llm.client import KeyValueMockLLM
+    from evaporate_spark.semantic import pipeline as pl
+    from evaporate_spark.semantic import sandbox as sb
+
+    lake = str(tmp_path / "lake_parquet")
+    rows = [
+        (
+            f"doc://{i}",
+            f"record_id: {i}\ntitle: Entry {i}\nauthor: Person {i % 5}\n"
+            f"year: {1990 + i}\nnotes: routine.\n",
+            "txt",
+            80,
+        )
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "path string, content string, doc_type string, n_bytes bigint"
+    ).write.mode("overwrite").parquet(lake)
+    docs = spark.read.parquet(lake)
+
+    calls: list[int] = []
+    real_multi = sb.run_functions_multi
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real_multi(*args, **kwargs)
+
+    monkeypatch.setattr(sb, "run_functions_multi", spy)
+
+    results = pl.profile_attributes_single_scan(
+        docs,
+        ["title", "author", "year"],
+        KeyValueMockLLM(),
+        pl.ProfileConfig(train_size=5, chunk_size=500),
+    )
+    assert len(calls) == 1  # ONE multi-attribute function pass
+    long = pl.results_long(results)
+    assert long is not None
+
+    plan = plan_str(long)
+    # every FileScan of the lake parquet in the FINAL plan must be
+    # path-only (majority_vote's all-paths frame); content reads == 0
+    scans = [
+        seg
+        for seg in plan.split("Scan parquet")
+        if "lake_parquet" in seg.split("Location")[-1][:500]
+    ]
+    content_scans = [s for s in scans if "content" in s.split("ReadSchema:")[-1][:300]]
+    assert content_scans == [], f"content-reading lake scans leaked:\n{plan[:4000]}"
+
+    # and the result is still correct (truth recovered per attribute)
+    got = {
+        (r["path"], r["attribute"]): r["value"]
+        for r in long.collect()
+    }
+    for i in range(20):
+        assert got[(f"doc://{i}", "title")] == f"Entry {i}"
+        assert got[(f"doc://{i}", "year")] == str(1990 + i)

@@ -43,6 +43,15 @@ Pinned comparison baselines (medians unless noted):
   q_exact_dedup_groups ~0.36, q_minhash_lsh_dups ~2.2-3.2,
   q_knn_cosine ~0.7, q_semantic_closed_ie ~5.1-5.7,
   q_semantic_openie ~12.6-12.7 (token counts unchanged).
+- r5 quiet-run (load-GATED, start loadavg 1.25): relational 2.03;
+  q_exact_dedup_groups 0.263, q_minhash_lsh_dups 2.238,
+  q_knn_cosine 0.585, q_semantic_closed_ie 4.792,
+  q_semantic_openie 10.991 — which CLOSES the r4 verdict's open
+  question: the recorded r4 openie median 14.68 was machine load
+  (that run started at loadavg 7.1); under the new load gate the
+  subprocess-sandbox default is FASTER than the r3 single-shot pin.
+  media_decode_300 0.412 (new row: 300 mixed-format files through the
+  stdlib/numpy codecs — the codec-throughput canary).
 """
 
 from __future__ import annotations
@@ -69,13 +78,112 @@ EXTENDED = [
 ]
 
 
+def _media_bench_dir(n_images: int = 300) -> str:
+    """Deterministic mixed-format media directory for the decode bench
+    (generated once per machine; content depends only on n_images)."""
+    import numpy as np
+
+    from evaporate_spark.operators.jpeg import jpeg_encode
+    from evaporate_spark.operators.multimodal import (
+        bmp_encode,
+        gif_encode,
+        png_encode,
+        tiff_encode,
+    )
+
+    out_dir = f"/tmp/spark_graft_bench_media_{n_images}"
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n_images):
+        rgb = np.stack(
+            [(xx * (i + 3)) % 256, (yy * (i + 7)) % 256, (xx + yy + i) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        kind = i % 5
+        if kind == 0:
+            data, ext = png_encode(w, h, 3, rgb.tobytes()), "png"
+        elif kind == 1:
+            pal = bytes(b for i3 in range(256) for b in (i3, 255 - i3, i3 // 2))
+            idx = ((xx + yy + i) % 256).astype(np.uint8)
+            data, ext = gif_encode(w, h, pal, idx.tobytes()), "gif"
+        elif kind == 2:
+            data, ext = jpeg_encode(w, h, 3, rgb.tobytes(), quality=85), "jpg"
+        elif kind == 3:
+            data, ext = bmp_encode(w, h, 3, rgb.tobytes()), "bmp"
+        else:
+            data, ext = tiff_encode(w, h, 3, rgb.tobytes()), "tif"
+        with open(os.path.join(out_dir, f"img_{i:04d}.{ext}"), "wb") as fh:
+            fh.write(data)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+def _media_decode_bench(spark, sf_dir: str):
+    """Bench-only row: decode a 300-file mixed-format media directory
+    (PNG/GIF/JPEG/BMP/TIFF, stdlib+numpy codecs) and aggregate — the
+    codec-throughput regression canary (e.g. r4's huffman LUT win)."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.multimodal import decode_images
+
+    df = spark.read.format("binaryFile").load(_media_bench_dir())
+    stats = decode_images(df)
+    return stats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mean_intensity"), 3).alias("avg_intensity"),
+        F.sum(F.when(F.col("decoded_by").startswith("stdlib"), 1).otherwise(0)).alias(
+            "n_real"
+        ),
+    )
+
+
+#: bench-only rows (not registry queries): name → (spark, sf_dir) → DF
+BENCH_ONLY = {"media_decode_300": _media_decode_bench}
+
+
+def _wait_for_quiet_machine(max_load: float, timeout_s: float) -> dict:
+    """Spin-wait until the 1-minute load average drops below
+    ``max_load`` (r4 verdict: the protocol measured load but didn't
+    GATE on it, which left one regressed-looking number unconfirmable).
+    Returns gate telemetry for the output JSON; on timeout the run
+    proceeds but is flagged so readers know the numbers are suspect."""
+    t0 = time.time()
+    waited = False
+    while os.getloadavg()[0] >= max_load:
+        if time.time() - t0 > timeout_s:
+            return {
+                "max_load": max_load,
+                "waited_s": round(time.time() - t0, 1),
+                "timed_out": True,
+            }
+        waited = True
+        time.sleep(5.0)
+    return {
+        "max_load": max_load,
+        "waited_s": round(time.time() - t0, 1) if waited else 0.0,
+        "timed_out": False,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
+    load_gate = _wait_for_quiet_machine(
+        max_load=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")),
+        timeout_s=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_TIMEOUT", "600")),
+    )
     load_start = os.getloadavg()[0]
     spark = get_spark(app_name="evaporate-spark-bench")
-    names = RELATIONAL + EXTENDED
+    names = RELATIONAL + EXTENDED + list(BENCH_ONLY)
+    runners = {name: REGISTRY[name].spark for name in RELATIONAL + EXTENDED}
+    runners.update(BENCH_ONLY)
+    _media_bench_dir()  # generate outside the timed region
     for name in RELATIONAL:
         REGISTRY[name].spark(spark, sf_dir).count()
     # warm the Arrow/pandas-UDF worker pool with a trivial pass so the
@@ -88,9 +196,8 @@ def main() -> None:
     tokens: dict[str, int] = {}
     for _rep in range(n_reps):
         for name in names:
-            spec = REGISTRY[name]
             t0 = time.perf_counter()
-            df = spec.spark(spark, sf_dir)
+            df = runners[name](spark, sf_dir)
             n = len(df.collect())
             samples[name].append(round(time.perf_counter() - t0, 3))
             assert n >= 0
@@ -111,7 +218,7 @@ def main() -> None:
         for name, s in samples.items()
     }
     relational_sec = round(sum(timings[n] for n in RELATIONAL), 3)
-    extended_sec = round(sum(timings[n] for n in EXTENDED), 3)
+    extended_sec = round(sum(timings[n] for n in EXTENDED + list(BENCH_ONLY)), 3)
     print(
         json.dumps(
             {
@@ -129,6 +236,7 @@ def main() -> None:
                 "total_sec": round(relational_sec + extended_sec, 3),
                 "tokens": tokens,
                 "n_reps": n_reps,
+                "load_gate": load_gate,
                 "loadavg_1m": {"start": round(load_start, 2), "end": round(load_end, 2)},
                 "sf": sf,
             }

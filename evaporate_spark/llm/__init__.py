@@ -10,6 +10,7 @@ from evaporate_spark.llm.client import (
     MockLLM,
     approx_token_count,
 )
+from evaporate_spark.llm.http_client import OpenAICompatLLM
 
 __all__ = [
     "llm_map",
@@ -17,5 +18,6 @@ __all__ = [
     "MockLLM",
     "EchoLLM",
     "KeyValueMockLLM",
+    "OpenAICompatLLM",
     "approx_token_count",
 ]

@@ -1,0 +1,163 @@
+"""OpenAI-compatible HTTP transport for :class:`LLMClient`.
+
+The reference ships three working transports — OpenAI
+completions/chat via Manifest sessions and an OpenAI-compatible
+Together endpoint (``reference/evaporate/utils.py:244-298`` and
+``run_profiler.py:15-34``) — with temperature-0 decoding, a ``---``
+stop token whose suffix is stripped, and per-response
+``usage.total_tokens`` accounting. This module re-expresses that
+surface as ONE picklable stdlib-only client (``urllib``; no extra
+deps) that plugs into the engine's existing executor-side machinery:
+
+- ``llm/apply.py`` ships the client inside ``mapInPandas`` closures,
+  rotates ``api_key`` per partition (the engine analog of the
+  reference's ``cur_idx`` key rotation, ``utils.py:36-60``), batches
+  prompts per Arrow batch, retries once per row, and circuit-breaks
+  on consecutive failures — so this transport only needs correct
+  single-request semantics + transport-level retry/backoff.
+- Context-window overflows surface as :class:`ContextLengthError`
+  (matching ``has_context_length_error``, reference
+  ``profiler.py:484-488``) so ``direct_extract``'s trim-retry path
+  engages exactly as it does for the mock backends.
+
+Scale notes: one HTTPS call per prompt is the API contract; the
+engine-side levers are prompt dedup + on-disk completion cache
+(apply.py) and per-partition key rotation for rate-limit sharding.
+The transport itself keeps a small per-process connection reuse via
+urllib's default opener and honors Retry-After on 429/503.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+
+from evaporate_spark.llm.client import ContextLengthError, LLMClient
+
+#: substrings that identify a context-window error body across
+#: OpenAI-compatible servers (code or message based)
+_CONTEXT_ERR_MARKERS = (
+    "context_length_exceeded",
+    "maximum context length",
+    "context window",
+    "too many tokens",
+)
+
+#: HTTP statuses worth retrying (rate limit / transient server side)
+_RETRYABLE = {429, 500, 502, 503, 504}
+
+
+@dataclass
+class OpenAICompatLLM(LLMClient):
+    """Completion client for any OpenAI-compatible server (OpenAI,
+    Together, vLLM, llama.cpp server, ...).
+
+    ``api`` selects the endpoint shape: ``"chat"`` posts
+    ``/chat/completions`` messages (the reference's openaichat /
+    Together form), ``"completions"`` posts a raw-prompt completion
+    (the davinci-family form). ``stop`` defaults to the reference's
+    ``---`` delimiter; like the reference, the response is also
+    client-side split on it as a belt-and-braces for servers that
+    ignore the parameter.
+    """
+
+    base_url: str = "https://api.openai.com/v1"
+    model: str = "gpt-4o-mini"
+    api: str = "chat"  # "chat" | "completions"
+    api_key: str = ""
+    temperature: float = 0.0
+    top_p: float = 1.0
+    stop: str | None = "---"
+    system_prompt: str = "You are an AI assistant"
+    timeout_s: float = 60.0
+    max_retries: int = 4
+    backoff_s: float = 1.0
+    name: str = "openai-compat"
+    max_context_tokens: int | None = None
+    #: instance-local usage counter (server-reported total_tokens);
+    #: executor clones count independently — cluster-wide accounting
+    #: flows through apply.py's accumulator, same as the mock backends
+    usage_tokens: int = field(default=0, compare=False)
+
+    def _endpoint(self) -> str:
+        base = self.base_url.rstrip("/")
+        return f"{base}/chat/completions" if self.api == "chat" else f"{base}/completions"
+
+    def _payload(self, prompt: str, max_tokens: int) -> dict:
+        body: dict = {
+            "model": self.model,
+            "max_tokens": max_tokens,
+            "temperature": self.temperature,
+            "top_p": self.top_p,
+        }
+        if self.stop:
+            body["stop"] = [self.stop]
+        if self.api == "chat":
+            body["messages"] = [
+                {"role": "system", "content": self.system_prompt},
+                {"role": "user", "content": prompt},
+            ]
+        else:
+            body["prompt"] = prompt
+        return body
+
+    def _parse(self, obj: dict) -> str:
+        choice = obj["choices"][0]
+        text = (
+            choice["message"]["content"]
+            if self.api == "chat"
+            else choice["text"]
+        )
+        usage = obj.get("usage") or {}
+        self.usage_tokens += int(usage.get("total_tokens") or 0)
+        text = (text or "").strip()
+        if self.stop and self.stop in text:
+            text = text.split(self.stop)[0].strip()
+        return text
+
+    @staticmethod
+    def _body_says_context_overflow(body: str) -> bool:
+        low = body.lower()
+        return any(m in low for m in _CONTEXT_ERR_MARKERS)
+
+    def complete(self, prompt: str, max_tokens: int = 256) -> str:
+        data = json.dumps(self._payload(prompt.strip(), max_tokens)).encode()
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(
+                self._endpoint(), data=data, headers=headers, method="POST"
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    return self._parse(json.loads(resp.read().decode()))
+            except urllib.error.HTTPError as ex:
+                body = ""
+                try:
+                    body = ex.read().decode(errors="replace")
+                except Exception:
+                    pass
+                if ex.code == 400 and self._body_says_context_overflow(body):
+                    # deterministic per prompt: no retry, the caller's
+                    # trim-retry path owns it
+                    raise ContextLengthError(body[:300]) from None
+                last_err = RuntimeError(f"HTTP {ex.code}: {body[:300]}")
+                if ex.code not in _RETRYABLE or attempt == self.max_retries:
+                    raise last_err from None
+                retry_after = ex.headers.get("Retry-After") if ex.headers else None
+                try:
+                    delay = float(retry_after) if retry_after else 0.0
+                except ValueError:
+                    delay = 0.0
+                time.sleep(max(delay, self.backoff_s * (2**attempt)))
+            except (urllib.error.URLError, TimeoutError, OSError) as ex:
+                last_err = ex
+                if attempt == self.max_retries:
+                    raise RuntimeError(f"LLM transport error: {ex!r}") from None
+                time.sleep(self.backoff_s * (2**attempt))
+        raise RuntimeError(f"LLM transport error: {last_err!r}")  # pragma: no cover

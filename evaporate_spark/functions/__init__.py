@@ -1,7 +1,11 @@
 """Column-expression libraries (pure JVM-side, codegen-friendly):
 text statistics and deterministic lexical embeddings."""
 
-from evaporate_spark.functions.embed import feature_hash_embedding
+from evaporate_spark.functions.embed import (
+    EmbeddingClient,
+    FeatureHashEmbedding,
+    feature_hash_embedding,
+)
 from evaporate_spark.functions.text_stats import (
     fingerprint,
     lang_id,
@@ -23,4 +27,6 @@ __all__ = [
     "fingerprint",
     "rolling_hash_shingles",
     "feature_hash_embedding",
+    "EmbeddingClient",
+    "FeatureHashEmbedding",
 ]

@@ -56,3 +56,65 @@ def feature_hash_embedding(col: Column | str, dim: int = 128) -> Column:
     """Dense array<double> of hashed-token counts (L2-unnormalized;
     pair with similarity.cosine which normalizes)."""
     return _bincount_udf(dim)(feature_hash_buckets(col, dim))
+
+
+# ---------------------------------------------------------------------------
+# pluggable embedding backends (the encoder seam): the reference binds
+# retrieval to one learned encoder (Contriever,
+# reference/evaporate/retrieval.py:5-36); the engine makes the encoder
+# a picklable client object — same seam shape as llm.client.LLMClient —
+# so the default lexical feature-hash, a test fake, or a served model
+# drop in without touching any downstream operator (retrieval top-k,
+# brute-force/LSH/IVF similarity, embedding near-dup all consume the
+# produced array<double> column).
+# ---------------------------------------------------------------------------
+
+
+class EmbeddingClient:
+    """Base class: text → dense vector, as a Spark Column transform.
+
+    Implement EITHER ``embed_batch`` (list[str] → list[list[float]];
+    wrapped into an Arrow-batched pandas UDF — the path for model- or
+    service-backed encoders) OR override ``embed_column`` directly
+    (the path for pure-Column encoders like the feature hash).
+    The object must be picklable: it ships to executors inside the
+    UDF closure.
+    """
+
+    #: identifier for caches/logs
+    name: str = "embed"
+    #: output dimensionality (informational; downstream ops don't care)
+    dim: int = 0
+
+    def embed_batch(self, texts: list[str]) -> list[list[float]]:
+        raise NotImplementedError
+
+    def embed_column(self, col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        batch_fn = self.embed_batch
+
+        @pandas_udf("array<double>")
+        def _embed(texts: pd.Series) -> pd.Series:
+            return pd.Series(batch_fn(texts.fillna("").tolist()))
+
+        return _embed(c)
+
+    def embed_table(
+        self, df, text_col: str, out_col: str = "embedding"
+    ):
+        """Attach ``out_col`` = embedding of ``text_col`` — the bulk
+        shape (embedding runs in the scan stage, no shuffle)."""
+        return df.withColumn(out_col, self.embed_column(text_col))
+
+
+class FeatureHashEmbedding(EmbeddingClient):
+    """Default backend: the deterministic lexical feature hash above
+    (JVM tokenize/hash + one numpy bincount UDF)."""
+
+    name = "feature-hash"
+
+    def __init__(self, dim: int = 128):
+        self.dim = dim
+
+    def embed_column(self, col: Column | str) -> Column:
+        return feature_hash_embedding(col, self.dim)

@@ -161,3 +161,66 @@ class OpenAICompatLLM(LLMClient):
                     raise RuntimeError(f"LLM transport error: {ex!r}") from None
                 time.sleep(self.backoff_s * (2**attempt))
         raise RuntimeError(f"LLM transport error: {last_err!r}")  # pragma: no cover
+
+
+@dataclass
+class OpenAICompatEmbedding:
+    """OpenAI-compatible ``/embeddings`` transport implementing the
+    :class:`~evaporate_spark.functions.embed.EmbeddingClient` batch
+    protocol (one POST per Arrow batch of texts — the server-side
+    batching the endpoint is built for). The learned-encoder drop-in
+    for the engine's default feature-hash embedding (reference:
+    Contriever, ``reference/evaporate/retrieval.py:5-36``)."""
+
+    base_url: str = "https://api.openai.com/v1"
+    model: str = "text-embedding-3-small"
+    api_key: str = ""
+    dim: int = 0  # informational; server decides
+    timeout_s: float = 60.0
+    max_retries: int = 4
+    backoff_s: float = 1.0
+    name: str = "openai-compat-embed"
+
+    def embed_batch(self, texts: list[str]) -> list[list[float]]:
+        data = json.dumps({"model": self.model, "input": texts}).encode()
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        url = f"{self.base_url.rstrip('/')}/embeddings"
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(url, data=data, headers=headers, method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    obj = json.loads(resp.read().decode())
+                # the API may return out of order; 'index' is authoritative
+                rows = sorted(obj["data"], key=lambda d: d["index"])
+                return [r["embedding"] for r in rows]
+            except urllib.error.HTTPError as ex:
+                body = ""
+                try:
+                    body = ex.read().decode(errors="replace")
+                except Exception:
+                    pass
+                last_err = RuntimeError(f"HTTP {ex.code}: {body[:300]}")
+                if ex.code not in _RETRYABLE or attempt == self.max_retries:
+                    raise last_err from None
+                time.sleep(self.backoff_s * (2**attempt))
+            except (urllib.error.URLError, TimeoutError, OSError) as ex:
+                last_err = ex
+                if attempt == self.max_retries:
+                    raise RuntimeError(f"embedding transport error: {ex!r}") from None
+                time.sleep(self.backoff_s * (2**attempt))
+        raise RuntimeError(f"embedding transport error: {last_err!r}")  # pragma: no cover
+
+    # reuse EmbeddingClient's pandas-UDF wrapping without inheriting a
+    # dataclass base: delegate to the shared implementation
+    def embed_column(self, col):
+        from evaporate_spark.functions.embed import EmbeddingClient
+
+        return EmbeddingClient.embed_column(self, col)
+
+    def embed_table(self, df, text_col: str, out_col: str = "embedding"):
+        from evaporate_spark.functions.embed import EmbeddingClient
+
+        return EmbeddingClient.embed_table(self, df, text_col, out_col)

@@ -24,8 +24,9 @@ formats:
   chroma upsampling; encoder writes baseline JFIF),
 - BMP: uncompressed 8-bit-palette / 24 / 32-bit BI_RGB (bottom-up and
   top-down) via :func:`bmp_decode` / :func:`bmp_encode`,
-- TIFF: uncompressed (Compression=1) chunky 8-bit grey/RGB/RGBA in
-  either byte order via :func:`tiff_decode` / :func:`tiff_encode`.
+- TIFF: chunky 8-bit grey/RGB/RGBA in either byte order, uncompressed
+  or zlib-Deflate strips (Compression 1/8/32946) with the horizontal
+  predictor, via :func:`tiff_decode` / :func:`tiff_encode`.
 
 Video: REAL end-to-end for MJPEG AVIs — the stdlib RIFF walk
 (:func:`avi_video_chunks`) extracts per-frame JPEGs and
@@ -36,9 +37,9 @@ numpy RMS/duration).
 
 What is STUBBED (this environment ships no image/audio/video libs):
 only truly undecodable rows — truncated buffers, formats whose
-bitstreams require third-party codecs (webp, compressed TIFF,
-hierarchical/arithmetic JPEG) and modern video bitstreams (H.264 in
-mp4/webm/mkv) — fall back to the clearly-marked deterministic fake
+bitstreams require third-party codecs (webp, LZW/PackBits/JPEG-in-
+TIFF, hierarchical/arithmetic JPEG) and modern video bitstreams
+(H.264 in mp4/webm/mkv) — fall back to the clearly-marked deterministic fake
 (header-derived stats) in :func:`decode_images` or a per-row ``err``
 in :func:`resize_images` / :func:`sample_video_frames`; the operator
 shapes are identical either way, so a Pillow/PyAV deployment swaps the
@@ -858,8 +859,10 @@ def bmp_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
 
 
 def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
-    """(width, height, channels, 8-bit pixels row-major) for
-    uncompressed chunky 8-bit TIFFs (first IFD). Raises ValueError on
+    """(width, height, channels, 8-bit pixels row-major) for chunky
+    8-bit TIFFs (first IFD): uncompressed or zlib-Deflate strips
+    (Compression 1/8/32946), optional horizontal-differencing
+    predictor (tag 317 = 2). Raises ValueError on
     malformed/unsupported input."""
     if raw[:4] == b"II*\x00":
         bo = "little"
@@ -898,21 +901,40 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     bps = tags.get(258, [8] * spp)
     planar = tags.get(284, [1])[0]
     photometric = tags.get(262, [1])[0]
-    if comp != 1:
+    predictor = tags.get(317, [1])[0]
+    # 1 = uncompressed; 8/32946 = zlib Deflate (Adobe/"deflate") —
+    # stdlib-decodable; LZW/PackBits/JPEG-in-TIFF need codec work
+    if comp not in (1, 8, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if planar != 1 or spp not in (1, 3, 4) or any(b != 8 for b in bps):
         raise ValueError(f"unsupported TIFF layout spp={spp} bps={bps} planar={planar}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if w <= 0 or h <= 0 or w * h > 1 << 26:
         raise ValueError(f"bad TIFF dims {w}x{h}")
     data = bytearray()
     for off, cnt in zip(strip_offs, strip_counts):
         if off + cnt > len(raw):
             raise ValueError("truncated TIFF strip")
-        data += raw[off : off + cnt]
+        chunk = raw[off : off + cnt]
+        if comp in (8, 32946):
+            import zlib
+
+            try:
+                chunk = zlib.decompress(chunk)
+            except zlib.error as ex:
+                raise ValueError(f"bad TIFF deflate strip: {ex}") from None
+        data += chunk
     need = w * h * spp
     if len(data) < need:
         raise ValueError("TIFF strips shorter than image")
     px = bytearray(data[:need])
+    if predictor == 2:  # horizontal differencing: undo per row/channel
+        stride = w * spp
+        for row in range(h):
+            base = row * stride
+            for i in range(base + spp, base + stride):
+                px[i] = (px[i] + px[i - spp]) & 0xFF
     if photometric == 0 and spp == 1:  # WhiteIsZero → invert
         px = bytearray(255 - b for b in px)
     return w, h, spp, px

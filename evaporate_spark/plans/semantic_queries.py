@@ -803,3 +803,50 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", (F.floor(q_raw * 10000 + F.lit(0.5)) / 10000.0).alias("quality")
     )
+
+
+@register(
+    "q_vocab_top_bigrams",
+    "Corpus vocabulary statistics: top-20 word bigrams lake-wide "
+    "(tokenize + n-gram entirely as JVM array expressions in the scan "
+    "stage; ONE shuffle on the gram key with map-side partial counts; "
+    "deterministic count-then-gram tie-break). The vocab/n-gram "
+    "profile is a standard training-data pipeline statistic.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(text), '\W+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS gram
+            FROM toks WHERE len(t) >= 2
+        )
+        SELECT gram, COUNT(*) AS n
+        FROM grams GROUP BY gram
+        ORDER BY n DESC, gram LIMIT 20
+    """,
+    tags=("textstats",),
+)
+def q_vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), r"\W+"), lambda x: x != F.lit("")
+    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )

@@ -4,10 +4,11 @@ reference's ``EvaporateData.direct_extract`` flow
 (``reference/evaporate/main.py:52-99`` + ``retrieval.py:31-36``,
 cosine top-1 per file).
 
-Similarity is cosine over deterministic feature-hash embeddings
-(functions/embed.py) — fully JVM-side; swap in a model-backed
-embedding column for semantic retrieval without touching the top-k
-logic.
+Similarity is cosine over the pluggable EmbeddingClient seam
+(functions/embed.py) — default: deterministic feature-hash (fully
+JVM-side); a learned encoder (e.g. an OpenAI-compatible /embeddings
+server, llm/http_client.OpenAICompatEmbedding) drops in via the
+``embedder`` argument without touching the top-k logic.
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from evaporate_spark.functions.embed import feature_hash_embedding
+from evaporate_spark.functions.embed import EmbeddingClient, FeatureHashEmbedding
 from evaporate_spark.operators.similarity import cosine
 
 
@@ -27,14 +28,16 @@ def most_similar_chunks(
     chunk_col: str = "chunk",
     path_col: str = "path",
     order_col: str = "chunk_id",
+    embedder: EmbeddingClient | None = None,
 ) -> DataFrame:
     """chunks(path, chunk_id, chunk) → the top-k chunks per document by
     cosine similarity to ``query`` (deterministic chunk-order
     tie-break). One window over (path); the embedding runs in the scan
     stage."""
-    qv = feature_hash_embedding(F.lit(query), dim)
+    emb = embedder or FeatureHashEmbedding(dim)
+    qv = emb.embed_column(F.lit(query))
     scored = chunks.withColumn(
-        "_sim", F.round(cosine(feature_hash_embedding(F.col(chunk_col), dim), qv), 6)
+        "_sim", F.round(cosine(emb.embed_column(F.col(chunk_col)), qv), 6)
     )
     w = Window.partitionBy(path_col).orderBy(F.desc("_sim"), F.asc(order_col))
     return (

@@ -41,6 +41,17 @@ class _StubHandler(BaseHTTPRequestHandler):
                     "body": body,
                 }
             )
+        if self.path.endswith("/embeddings"):
+            # deterministic per-text vectors, returned OUT OF ORDER to
+            # exercise the client's index-based reassembly
+            texts = body["input"]
+            data = [
+                {"index": i, "embedding": [float(len(t)), float(t.count("a")), 1.0]}
+                for i, t in enumerate(texts)
+            ]
+            self._send(200, {"data": list(reversed(data)),
+                             "usage": {"total_tokens": 7}})
+            return
         if "messages" in body:
             prompt = body["messages"][-1]["content"]
         else:
@@ -181,6 +192,87 @@ def test_llm_map_key_rotation_over_http(spark, stub_server):
 def test_client_is_picklable():
     import pickle
 
+    from evaporate_spark.llm.http_client import OpenAICompatEmbedding
+
     c = OpenAICompatLLM(base_url="http://x/v1", api_key="k")
     c2 = pickle.loads(pickle.dumps(c))
     assert c2.base_url == "http://x/v1" and c2.api_key == "k"
+    e = OpenAICompatEmbedding(base_url="http://x/v1", api_key="k")
+    e2 = pickle.loads(pickle.dumps(e))
+    assert e2.model == e.model
+
+
+def test_embedding_batch_index_reassembly(stub_server):
+    from evaporate_spark.llm.http_client import OpenAICompatEmbedding
+
+    e = OpenAICompatEmbedding(
+        base_url=f"http://127.0.0.1:{stub_server.server_address[1]}/v1",
+        api_key="k-emb",
+        backoff_s=0.01,
+    )
+    # the stub responds in REVERSED order; 'index' must win
+    vecs = e.embed_batch(["aa", "bbbb", "cacao"])
+    assert vecs == [[2.0, 2.0, 1.0], [4.0, 0.0, 1.0], [5.0, 2.0, 1.0]]
+    req = stub_server.requests[-1]
+    assert req["path"].endswith("/v1/embeddings")
+    assert req["auth"] == "Bearer k-emb"
+
+
+def test_embedding_seam_spark_paths(spark, stub_server):
+    """The EmbeddingClient seam end-to-end in Spark: (a) a served
+    OpenAI-compatible encoder embeds a table via the Arrow-batched UDF
+    wrapper; (b) a deterministic fake encoder drives retrieval's
+    most_similar_chunks and brute-force kNN — downstream operators are
+    encoder-agnostic."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.functions.embed import EmbeddingClient
+    from evaporate_spark.llm.http_client import OpenAICompatEmbedding
+    from evaporate_spark.operators.similarity import brute_force_topk
+    from evaporate_spark.semantic.retrieval import most_similar_chunks
+
+    # (a) HTTP encoder from executor-side UDFs
+    e = OpenAICompatEmbedding(
+        base_url=f"http://127.0.0.1:{stub_server.server_address[1]}/v1",
+        api_key="k-emb",
+        backoff_s=0.01,
+    )
+    df = spark.createDataFrame([("aa",), ("bbbb",)], ["text"])
+    got = {r["text"]: r["embedding"] for r in e.embed_table(df, "text").collect()}
+    assert got == {"aa": [2.0, 2.0, 1.0], "bbbb": [4.0, 0.0, 1.0]}
+
+    # (b) deterministic fake encoder (picklable module-free class via
+    # closure shipping) through retrieval + kNN
+    class CountEncoder(EmbeddingClient):
+        name = "count-fake"
+        dim = 3
+
+        def embed_batch(self, texts):
+            return [
+                [float(t.count("x")), float(t.count("y")), 1.0] for t in texts
+            ]
+
+    enc = CountEncoder()
+    chunks = spark.createDataFrame(
+        [("d1", 0, "x x x"), ("d1", 1, "y y"), ("d2", 0, "x y")],
+        ["path", "chunk_id", "chunk"],
+    )
+    top = {
+        r["path"]: r["chunk_id"]
+        for r in most_similar_chunks(chunks, "x x", embedder=enc).collect()
+    }
+    assert top == {"d1": 0, "d2": 0}  # the x-heavy chunk wins per doc
+
+    corpus = enc.embed_table(
+        spark.createDataFrame(
+            [(1, "xxx"), (2, "xy"), (3, "yyy")], ["vec_id", "text"]
+        ),
+        "text",
+    )
+    queries = enc.embed_table(
+        spark.createDataFrame([(100, "xxxx")], ["qid", "text"]), "text"
+    ).select("qid", F.col("embedding").alias("qvec"))
+    knn = brute_force_topk(
+        corpus, queries, "vec_id", "embedding", "qid", "qvec", k=2
+    ).collect()
+    assert [r["vec_id"] for r in sorted(knn, key=lambda r: r["rank"])] == [1, 2]

@@ -842,6 +842,40 @@ def test_bmp_tiff_decode_resize_real(spark):
 
     assert bytes(tiff_decode(be_tiff(grey.tobytes()))[3]) == grey.tobytes()
 
+    # zlib-Deflate strips (Compression 8 and legacy 32946), with and
+    # without the horizontal-differencing predictor, are REAL too
+    import zlib as _zlib
+
+    def deflate_tiff(pix: bytes, comp: int, predictor: int) -> bytes:
+        if predictor == 2:
+            arr = np.frombuffer(pix, np.uint8).reshape(h, w, 3).astype(np.int16)
+            diff = arr.copy()
+            diff[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
+            pix = diff.astype(np.uint8).tobytes()
+        body = _zlib.compress(pix) if comp != 1 else pix
+        ents = [(256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, comp), (262, 3, 1, 2),
+                (273, 4, 1, 8), (277, 3, 1, 3), (278, 4, 1, h), (279, 4, 1, len(body))]
+        if predictor == 2:
+            ents.append((317, 3, 1, 2))
+        ents.sort()
+        out = b"II*\x00" + struct.pack("<I", 8 + len(body)) + body
+        out += struct.pack("<H", len(ents))
+        for tag, typ, cnt, val in ents:
+            vb = struct.pack("<HH", val, 0) if typ == 3 else struct.pack("<I", val)
+            out += struct.pack("<HHI", tag, typ, cnt) + vb
+        return out + struct.pack("<I", 0)
+
+    for comp in (8, 32946):
+        for predictor in (1, 2):
+            got = tiff_decode(deflate_tiff(rgb.tobytes(), comp, predictor))
+            assert bytes(got[3]) == rgb.tobytes(), (comp, predictor)
+    # LZW stays a clean per-row error (needs real codec work)
+    lzw = bytearray(deflate_tiff(rgb.tobytes(), 1, 1))
+    comp_pos = lzw.index(struct.pack("<HHI", 259, 3, 1))
+    lzw[comp_pos + 8 : comp_pos + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="compression"):
+        tiff_decode(bytes(lzw))
+
     # 8-bit palette BMP
     pal = b"".join(bytes((i, 255 - i, i // 2, 0)) for i in range(256))
     stride = (w + 3) & ~3

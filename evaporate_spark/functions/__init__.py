@@ -6,6 +6,8 @@ from evaporate_spark.functions.embed import (
     FeatureHashEmbedding,
     feature_hash_embedding,
 )
+from evaporate_spark.functions.normalize import normalize_text
+from evaporate_spark.functions.redact import redact_pii, scrub_documents
 from evaporate_spark.functions.text_stats import (
     fingerprint,
     lang_id,
@@ -29,4 +31,7 @@ __all__ = [
     "feature_hash_embedding",
     "EmbeddingClient",
     "FeatureHashEmbedding",
+    "normalize_text",
+    "redact_pii",
+    "scrub_documents",
 ]

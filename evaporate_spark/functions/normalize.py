@@ -1,0 +1,57 @@
+"""Text normalization — the canonicalization gate of a training-data
+pipeline (engine addition, SURVEY §2C text analysis): whitespace
+collapse, control-character strip, and Unicode NFC composition, in a
+fixed documented order so two pipelines produce byte-identical corpus
+text (prerequisite for exact dedup downstream).
+
+Execution shape: the regex steps are pure JVM ``regexp_replace``
+(scan-stage, codegen-friendly; patterns in the RE2∩Java subset shared
+verbatim with the DuckDB oracle). NFC needs a Unicode algorithm Spark
+SQL lacks, so it runs as ONE Arrow-batched pandas UDF
+(``Series.str.normalize`` — vectorized ICU-equivalent via Python's
+unicodedata) applied LAST, after the JVM steps have already shrunk
+the strings.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+#: run-of-whitespace (incl. vertical tab) → single space
+WS_COLLAPSE_PATTERN = r"[\t\n\r\f\x0B ]+"
+#: remaining C0 controls + DEL → removed
+CONTROL_STRIP_PATTERN = r"[\x00-\x1F\x7F]"
+
+
+def collapse_whitespace(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, WS_COLLAPSE_PATTERN, " ")
+
+
+def strip_control_chars(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, CONTROL_STRIP_PATTERN, "")
+
+
+def nfc(col: Column | str) -> Column:
+    """Unicode NFC composition (Arrow-batched pandas UDF; created
+    lazily — the decorator parses its DDL type against the ACTIVE
+    session, so module import must not require one)."""
+
+    @pandas_udf("string")
+    def _nfc(texts: pd.Series) -> pd.Series:
+        return texts.str.normalize("NFC")
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical pipeline: collapse whitespace → strip controls → trim
+    → NFC. Matches the DuckDB expression
+    ``nfc_normalize(trim(regexp_replace(regexp_replace(x, WS, ' ',
+    'g'), CTRL, '', 'g')))`` byte-for-byte (oracle-checked by
+    ``q_text_normalize``)."""
+    return nfc(F.trim(strip_control_chars(collapse_whitespace(col))))

@@ -1,0 +1,60 @@
+"""PII detection / redaction — the scrubbing gate of a training-data
+pipeline (engine addition, SURVEY §2C text analysis; the reference has
+no PII handling).
+
+Pure JVM ``regexp_replace`` / ``regexp_extract_all`` chains — zero
+Python in the hot path, codegen-friendly, no shuffle. The patterns are
+deliberately written in the RE2-compatible subset of Java regex (no
+lookaround, no backreferences) so the SAME pattern strings run in the
+DuckDB oracle: dialect parity is part of the correctness gate
+(``q_pii_redact``).
+
+At 100 TB this is a scan-stage map over the text column: filters and
+projections still push down around it, and the counts aggregate with
+map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (name, pattern, replacement) — ORDER MATTERS: SSN before the more
+#: general phone shape; all patterns RE2 ∩ Java-regex compatible
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder (applied in
+    ``PII_PATTERNS`` order, so overlapping shapes resolve
+    deterministically)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """name → Column of per-row match counts (audit/reporting side of
+    the scrub: how much PII a corpus slice carries)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).alias(f"n_{name}")
+        for name, pattern, _repl in PII_PATTERNS
+    }
+
+
+def scrub_documents(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Redact ``text_col`` in place (or into ``out_col``) and attach
+    per-kind match counts — the one-call corpus scrub."""
+    out = df.withColumns(
+        {f"n_{name}": col for name, col in pii_counts(text_col).items()}
+    )
+    return out.withColumn(out_col or text_col, redact_pii(text_col))

@@ -850,3 +850,114 @@ def q_vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(20)
     )
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin of q_pii_redact: the SAME RE2∩Java pattern strings
+    (functions/redact.py PII_PATTERNS), nested in the same order."""
+    from evaporate_spark.functions.redact import PII_PATTERNS
+
+    synth = (
+        "concat('contact ', lang, CAST(doc_id AS VARCHAR), "
+        "'@example.com or 555-', lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0'), "
+        "'-', lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0'), "
+        "' ssn 123-45-6789 ip 10.', CAST(doc_id % 256 AS VARCHAR), '.0.', "
+        "CAST(doc_id % 200 AS VARCHAR), ' ', source)"
+    )
+    # standard SQL '...' literals keep backslashes as-is: only quotes
+    # need escaping for the shared pattern strings
+    red = synth
+    for _name, pattern, repl in PII_PATTERNS:
+        esc = pattern.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all({synth}, '{p.replace(chr(39), chr(39)*2)}')) AS n_{n}"
+        for n, p, _r in PII_PATTERNS
+    )
+    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
+
+
+@register(
+    "q_pii_redact",
+    "PII scrub (training-data pipeline gate): typed-placeholder "
+    "redaction + per-kind match counts over a deterministic PII-bearing "
+    "rendering of the documents table — pure JVM regexp chains whose "
+    "pattern strings are shared VERBATIM with the DuckDB oracle "
+    "(RE2∩Java dialect subset), so a pattern drift breaks the hash.",
+    oracle=_pii_oracle(),
+    tags=("textstats",),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.redact import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    (d,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.lit("contact "),
+        F.col("lang"),
+        did.cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((did % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 9000 + 1000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 ip 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        (did % 200).cast("string"),
+        F.lit(" "),
+        F.col("source"),
+    )
+    synthed = d.select("doc_id", synth.alias("_pii_text"))
+    counts = pii_counts("_pii_text")
+    return synthed.select(
+        "doc_id",
+        redact_pii("_pii_text").alias("redacted"),
+        *[
+            counts[n].cast("bigint").alias(f"n_{n}")
+            for n, _p, _r in PII_PATTERNS
+        ],
+    )
+
+
+@register(
+    "q_text_normalize",
+    "Unicode text canonicalization (training-data pipeline gate): "
+    "whitespace collapse + control strip + trim as JVM regex steps, "
+    "NFC composition as one Arrow-batched pandas UDF - applied to a "
+    "deterministically messied rendering of the documents table "
+    "(tabs/CRLF/combining accents) and hash-matched against DuckDB "
+    "nfc_normalize with the SAME pattern strings.",
+    oracle=r"""
+        SELECT
+            doc_id,
+            nfc_normalize(trim(regexp_replace(regexp_replace(
+                concat('  a', chr(769), ' ', substr(text, 1, 40),
+                       chr(9), 'e', chr(769), 'nd', chr(13), chr(10)),
+                '[\t\n\r\f\x0B ]+', ' ', 'g'), '[\x00-\x1F\x7F]', '', 'g')))
+              AS norm_text,
+            length(nfc_normalize(trim(regexp_replace(regexp_replace(
+                concat('  a', chr(769), ' ', substr(text, 1, 40),
+                       chr(9), 'e', chr(769), 'nd', chr(13), chr(10)),
+                '[\t\n\r\f\x0B ]+', ' ', 'g'), '[\x00-\x1F\x7F]', '', 'g'))))
+              AS n_chars
+        FROM documents
+    """,
+    tags=("textstats",),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.normalize import normalize_text
+
+    (d,) = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  a\u0301 "),
+        F.expr("substr(text, 1, 40)"),
+        F.lit("\te\u0301nd\r\n"),
+    )
+    normed = d.select("doc_id", normalize_text(messy).alias("norm_text"))
+    return normed.select(
+        "doc_id", "norm_text", F.length("norm_text").cast("bigint").alias("n_chars")
+    )

@@ -195,3 +195,28 @@ def run_stream_to_parquet(
     q.awaitTermination(timeout_s)
     if q.isActive:  # pragma: no cover - defensive: drain never hangs
         q.stop()
+
+def stream_exact_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication on ``key_cols`` (default: the
+    events primary key ``event_id``) — the ingest-side dedup gate of a
+    training-data pipeline (at-least-once sources re-deliver; this
+    makes the downstream exactly-once on the key).
+
+    Batch/stream parity twin: on a batch frame this is
+    ``dropDuplicates``; on a stream it is
+    ``dropDuplicatesWithinWatermark``, which keeps per-key state only
+    until the watermark passes the key's last-seen event time —
+    BOUNDED state at any corpus size, vs plain streaming
+    ``dropDuplicates`` whose state grows forever. Duplicates arriving
+    within the watermark window are suppressed; later-than-watermark
+    re-deliveries are already dropped by the watermark itself, so the
+    guarantee is exactly the at-least-once-source contract.
+    """
+    keys = key_cols or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

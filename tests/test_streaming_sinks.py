@@ -1107,3 +1107,62 @@ def test_png_decoder_full_shape_coverage(spark):
     )
     expect = b"".join(bytes(img[y][x]) for y in range(h) for x in range(w))
     assert bytes(png_decode(png)[3]) == expect
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """stream_exact_dedup (dropDuplicatesWithinWatermark) suppresses
+    at-least-once re-deliveries: a source with duplicated event_ids —
+    including a duplicate arriving in a LATER file — emits each key
+    once, equal to the batch dropDuplicates twin; per-key state stays
+    bounded by the watermark."""
+    import json
+    import os
+
+    from evaporate_spark.streaming.windows import stream_exact_dedup
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    rows1 = [
+        (1, 100, "view"), (2, 110, "click"), (1, 100, "view"),  # same-file dup
+        (3, 130, "view"),
+    ]
+    rows2 = [
+        (2, 110, "click"),  # cross-file re-delivery, within watermark
+        (4, 200, "view"),
+    ]
+    for name, rows in (("b1.json", rows1), ("b2.json", rows2)):
+        with open(os.path.join(src, name), "w") as f:
+            for eid, ts_sec, etype in rows:
+                f.write(json.dumps({"event_id": eid, "ts_sec": ts_sec, "event_type": etype}) + "\n")
+
+    def source(streaming: bool):
+        schema = "event_id long, ts_sec long, event_type string"
+        reader = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+            if streaming
+            else spark.read.schema(schema).json(src)
+        )
+        return reader.select(
+            "event_id", F.timestamp_seconds("ts_sec").alias("ts"), "event_type"
+        )
+
+    want = {
+        (r["event_id"], r["event_type"])
+        for r in stream_exact_dedup(source(False), watermark="1 minute").collect()
+    }
+    assert want == {(1, "view"), (2, "click"), (3, "view"), (4, "view")}
+
+    deduped = stream_exact_dedup(source(True), watermark="1 minute")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["event_id"], r["event_type"])
+        for r in spark.table("dedup_stream_test").collect()
+    ]
+    assert sorted(got) == sorted(want)  # each key exactly once

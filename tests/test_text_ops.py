@@ -294,3 +294,40 @@ def test_salted_join_matches_plain(spark, sf_dir):
     plain = orders.join(cust, ["o_custkey"]).count()
     salted = salted_join(orders, cust, ["o_custkey"], left_salt_col="o_orderkey").count()
     assert salted == plain
+
+
+
+def test_pii_redaction_and_counts(spark):
+    """redact_pii / scrub_documents: typed placeholders for email/SSN/
+    phone/IPv4 (JVM regexp chains), counts attached, non-PII text
+    untouched."""
+    from evaporate_spark.functions.redact import scrub_documents
+
+    rows = [
+        (1, "mail a.b+c@x-y.co.uk and x@y.io, ssn 123-45-6789"),
+        (2, "call 555-123-4567 or 555.123.4567 from 10.0.0.255"),
+        (3, "clean text with plain words only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_documents(df).collect()}
+    assert got[1]["text"] == "mail <EMAIL> and <EMAIL>, ssn <SSN>"
+    assert (got[1]["n_email"], got[1]["n_ssn"]) == (2, 1)
+    assert got[2]["text"] == "call <PHONE> or <PHONE> from <IP>"
+    assert (got[2]["n_phone"], got[2]["n_ipv4"]) == (2, 1)
+    assert got[3]["text"] == rows[2][1]
+    assert all(got[3][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4"))
+
+
+def test_normalize_text_pipeline(spark):
+    """normalize_text: whitespace collapse (incl. VT/CRLF), control
+    strip, trim, NFC composition - e+COMBINING ACUTE composes to a
+    single codepoint."""
+    from evaporate_spark.functions.normalize import normalize_text
+
+    messy = "  cafe\u0301  x\tbit\x0bmid\r\nend  "
+    df = spark.createDataFrame([(messy,)], ["text"])
+    out = df.select(
+        normalize_text("text").alias("t"), F.length(normalize_text("text")).alias("n")
+    ).collect()[0]
+    assert out["t"] == "caf\u00e9 x bit mid end"
+    assert out["n"] == len("caf\u00e9 x bit mid end")

@@ -142,3 +142,75 @@ def rolling_hash_shingles(col: Column | str, k: int = 3) -> Column:
     )
     shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
     return F.array_distinct(F.transform(idx, lambda i: F.xxhash64(shingle(i))))
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """Lowercased word tokens via the shared \\W+ split (the exact
+    tokenization the DuckDB oracles mirror with string_split_regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\W+"), lambda x: x != F.lit(""))
+
+
+def word_bigrams(col: Column | str) -> Column:
+    """Adjacent word bigrams as 'w1 w2' strings (empty array when the
+    document has fewer than two tokens)."""
+    toks = regex_tokens(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def max_run_count(arr: Column) -> Column:
+    """Maximum multiplicity of any element in ``arr`` — computed as
+    the longest equal-run of the SORTED array via one aggregate HOF:
+    O(n log n) per row inside the scan stage, NO shuffle (the explode/
+    groupBy formulation would shuffle every n-gram in the corpus)."""
+    sorted_arr = F.array_sort(arr)
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_signals(col: Column | str) -> dict[str, Column]:
+    """Gopher/C4-style repetition quality signals, all scan-stage JVM
+    Columns: duplicate-word fraction (1 − distinct/total) and
+    top-bigram mass (count of the most frequent bigram / total
+    bigrams). High values flag boilerplate/spam for pretraining-corpus
+    filtering. Division uses the floor(x·1e6 + 0.5)/1e6 half-up trick
+    shared with the DuckDB oracle (identical IEEE arithmetic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = regex_tokens(c)
+    grams = word_bigrams(c)
+    n_words = F.size(toks)
+    n_grams = F.size(grams)
+    dup_frac_raw = F.when(
+        n_words > 0,
+        1.0 - F.size(F.array_distinct(toks)) / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_frac_raw = F.when(
+        n_grams > 0, max_run_count(grams) / n_grams.cast("double")
+    ).otherwise(F.lit(0.0))
+    half_up = lambda v: F.floor(v * 1000000 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return {
+        "n_words": n_words.cast("bigint"),
+        "dup_word_frac": half_up(dup_frac_raw),
+        "top_bigram_frac": half_up(top_frac_raw),
+    }

@@ -961,3 +961,61 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normed.select(
         "doc_id", "norm_text", F.length("norm_text").cast("bigint").alias("n_chars")
     )
+
+
+@register(
+    "q_repetition_stats",
+    "Gopher/C4 repetition quality signals per document: duplicate-word "
+    "fraction and top-bigram mass, computed SHUFFLE-FREE as scan-stage "
+    "array HOFs (max bigram multiplicity = longest equal-run of the "
+    "sorted bigram array) - the explode/groupBy formulation would "
+    "shuffle every n-gram in a 100 TB corpus; this shuffles nothing.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])
+                        ELSE [] END AS g,
+                   t
+            FROM toks
+        ),
+        gcounts AS (
+            SELECT doc_id, MAX(cnt) AS top_gram
+            FROM (
+                SELECT doc_id, COUNT(*) AS cnt
+                FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+                GROUP BY doc_id, gram
+            )
+            GROUP BY doc_id
+        )
+        SELECT
+            g.doc_id,
+            CAST(len(g.t) AS BIGINT) AS n_words,
+            floor((CASE WHEN len(g.t) > 0
+                   THEN 1.0 - len(list_distinct(g.t)) / CAST(len(g.t) AS DOUBLE)
+                   ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS dup_word_frac,
+            floor((CASE WHEN len(g.g) > 0
+                   THEN COALESCE(gc.top_gram, 0) / CAST(len(g.g) AS DOUBLE)
+                   ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS top_bigram_frac
+        FROM grams g LEFT JOIN gcounts gc USING (doc_id)
+    """,
+    tags=("textstats",),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.text_stats import repetition_signals
+
+    (d,) = _t(spark, sf_dir, "documents")
+    sig = repetition_signals("text")
+    return d.select(
+        "doc_id",
+        sig["n_words"].alias("n_words"),
+        sig["dup_word_frac"].alias("dup_word_frac"),
+        sig["top_bigram_frac"].alias("top_bigram_frac"),
+    )

@@ -331,3 +331,36 @@ def test_normalize_text_pipeline(spark):
     ).collect()[0]
     assert out["t"] == "caf\u00e9 x bit mid end"
     assert out["n"] == len("caf\u00e9 x bit mid end")
+
+
+def test_repetition_signals_known_values(spark):
+    """dup_word_frac and top_bigram_frac on hand-computable docs; the
+    max-multiplicity comes from a sorted-array equal-run HOF, no
+    shuffle."""
+    from evaporate_spark.functions.text_stats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a c"),   # 6 words, 3 distinct; "a b" twice of 5
+            (2, "x y z"),         # no repetition
+            (3, "w w w w"),       # max repetition: "w w" 3x of 3
+            (4, "solo"),          # 1 word, no bigrams
+            (5, ""),              # empty
+        ],
+        ["doc_id", "text"],
+    )
+    sig = repetition_signals("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            sig["n_words"].alias("n"),
+            sig["dup_word_frac"].alias("dup"),
+            sig["top_bigram_frac"].alias("top"),
+        ).collect()
+    }
+    assert (rows[1]["n"], rows[1]["dup"], rows[1]["top"]) == (6, 0.5, 0.4)
+    assert (rows[2]["dup"], rows[2]["top"]) == (0.0, 0.5)
+    assert (rows[3]["dup"], rows[3]["top"]) == (0.75, 1.0)
+    assert (rows[4]["n"], rows[4]["top"]) == (1, 0.0)
+    assert (rows[5]["n"], rows[5]["dup"], rows[5]["top"]) == (0, 0.0, 0.0)

@@ -542,3 +542,71 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag training documents whose word ``k``-gram shingles overlap
+    an evaluation set — benchmark decontamination (the GPT-3-style
+    n-gram filter every serious pretraining pipeline runs before
+    training).
+
+    Returns (id, n_shingles, n_overlap, contamination, contaminated)
+    for EVERY input document: ``contamination`` = |doc ∩ eval| /
+    |doc shingles| (0.0 when the doc is shorter than ``k``), flagged
+    at ``threshold``. Callers drop or audit the flagged rows.
+
+    Scale shape: eval sets are benchmark-sized (thousands of docs) —
+    their distinct shingle hashes are BROADCAST, so the corpus side is
+    ONE scan-stage explode + broadcast-hash semi-match + per-doc
+    re-aggregation keyed by id: no shuffle of corpus text, no
+    corpus×eval shuffle join. At 100 TB the only wide op is the
+    groupBy(id) count, which AQE handles like any keyed agg.
+    """
+    etext = eval_text_col or text_col
+    from evaporate_spark.functions.text_stats import rolling_hash_shingles
+
+    eval_sh = (
+        eval_docs.select(
+            F.explode(rolling_hash_shingles(F.col(etext), k)).alias("_h")
+        ).distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(rolling_hash_shingles(F.col(text_col), k)).alias("_h"),
+    )
+    overlap = (
+        doc_sh.join(F.broadcast(eval_sh).withColumn("_hit", F.lit(1)), "_h", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("_h").alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+    )
+    contamination = F.when(
+        F.col("n_shingles") > 0,
+        F.floor(
+            F.col("n_overlap") / F.col("n_shingles").cast("double") * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000.0,
+    ).otherwise(F.lit(0.0))
+    return overlap.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_overlap",
+        contamination.alias("contamination"),
+        (contamination >= threshold).alias("contaminated"),
+    )

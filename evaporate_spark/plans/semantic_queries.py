@@ -1019,3 +1019,63 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig["dup_word_frac"].alias("dup_word_frac"),
         sig["top_bigram_frac"].alias("top_bigram_frac"),
     )
+
+
+@register(
+    "q_decontaminate_eval",
+    "Benchmark decontamination (GPT-3-style): flag corpus documents "
+    "whose word 8-gram shingles overlap a held-out eval set (every "
+    "37th document, which therefore contaminates itself at 1.0). The "
+    "eval shingle set is BROADCAST - one corpus scan, no corpus-side "
+    "text shuffle; the oracle recomputes overlap with DuckDB list "
+    "algebra over the same whitespace tokenization.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 8 THEN
+                       list_distinct(list_transform(range(1, len(t) - 6),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                                t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                                t[i+6] || ' ' || t[i+7]))
+                   ELSE [] END AS s
+            FROM toks
+        ),
+        ev AS (
+            SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0
+        ),
+        expl AS (
+            SELECT doc_id, unnest(s) AS g FROM sh
+        ),
+        ov AS (
+            SELECT e.doc_id,
+                   COUNT(*) AS n_shingles,
+                   COUNT(ev.g) AS n_overlap
+            FROM expl e LEFT JOIN ev ON e.g = ev.g
+            GROUP BY e.doc_id
+        )
+        SELECT
+            sh.doc_id,
+            CAST(COALESCE(ov.n_shingles, 0) AS BIGINT) AS n_shingles,
+            CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+            CASE WHEN COALESCE(ov.n_shingles, 0) > 0
+                 THEN floor(ov.n_overlap / CAST(ov.n_shingles AS DOUBLE)
+                            * 1000000 + 0.5) / 1000000.0
+                 ELSE 0.0 END AS contamination,
+            CASE WHEN COALESCE(ov.n_shingles, 0) > 0
+                 THEN (floor(ov.n_overlap / CAST(ov.n_shingles AS DOUBLE)
+                             * 1000000 + 0.5) / 1000000.0) >= 0.5
+                 ELSE FALSE END AS contaminated
+        FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
+    """,
+    tags=("dedup",),
+)
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import decontaminate
+
+    (d,) = _t(spark, sf_dir, "documents")
+    eval_set = d.where(F.col("doc_id") % 37 == 0)
+    return decontaminate(d, eval_set, id_col="doc_id", text_col="text", k=8)

@@ -364,3 +364,41 @@ def test_repetition_signals_known_values(spark):
     assert (rows[3]["dup"], rows[3]["top"]) == (0.75, 1.0)
     assert (rows[4]["n"], rows[4]["top"]) == (1, 0.0)
     assert (rows[5]["n"], rows[5]["dup"], rows[5]["top"]) == (0, 0.0, 0.0)
+
+
+def test_decontaminate_known_overlap(spark):
+    """decontaminate: exact eval-copy docs flag at 1.0, partial
+    overlaps score proportionally, short docs (< k words) score 0.0
+    and never flag; the eval side is broadcast (plan-asserted)."""
+    from evaporate_spark.operators.dedup import decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy sleeping dog today"
+    half = (
+        "the quick brown fox jumps over the lazy sleeping dog "
+        "completely different continuation of words follows here now"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, eval_text),                # verbatim eval copy → 1.0
+            (2, half),                     # shares a prefix run of 8-grams
+            (3, "entirely unrelated words about sparkly databases and planners ok"),
+            (4, "too short"),              # < k words → 0 shingles
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, eval_docs, k=8, threshold=0.5).collect()
+    }
+    assert len(got) == 4  # every doc reported, including unmatched
+    assert got[1]["contamination"] == 1.0 and got[1]["contaminated"]
+    assert 0.0 < got[2]["contamination"] < 1.0
+    # doc 2: 18 words → 11 shingles; eval 8-grams cover its first 3
+    assert (got[2]["n_shingles"], got[2]["n_overlap"]) == (11, 3)
+    assert not got[2]["contaminated"]
+    assert got[3]["n_overlap"] == 0 and not got[3]["contaminated"]
+    assert got[4]["n_shingles"] == 0 and got[4]["contamination"] == 0.0
+
+    plan = decontaminate(docs, eval_docs, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval side broadcast, not shuffled

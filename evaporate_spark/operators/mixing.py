@@ -1,0 +1,99 @@
+"""Deterministic corpus mixing / sampling — the composition step of a
+training-data pipeline (engine addition, SURVEY §2C): downsample each
+source/language to a target fraction, or to a per-key token budget,
+REPRODUCIBLY (the same rows are kept on every run, every cluster size,
+every engine — the property `df.sample()` cannot give you, since it
+seeds per-partition).
+
+Mechanism: an md5-prefix hash of the document id maps each row to a
+uniform 32-bit value; a row is kept iff ``hash < fraction · 2³²``.
+Pure JVM expressions (md5/conv), no shuffle for the mix itself, and
+the SAME arithmetic is expressible in DuckDB
+(``CAST('0x'||substr(md5(id),1,8) AS UBIGINT)``) — oracle-checked by
+``q_corpus_mix``. Nested subsets compose: fraction 0.25 keeps a strict
+subset of fraction 0.5's rows (same hash, lower threshold), which is
+exactly what you want for scaling-law corpus ladders.
+
+Token budgeting is two-pass and scale-correct: pass 1 aggregates
+per-key token totals (tiny result), pass 2 derives each key's keep
+fraction = budget/total and applies the same hash threshold. This
+hits the budget in expectation with ±O(√N) token error — the exact
+prefix-sum alternative needs a per-key ordered cumsum whose window
+collapses each key onto one task at 100 TB; the hash threshold keeps
+the whole pass embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^32 — the hash space of the md5 32-bit prefix
+_HASH_SPACE = 1 << 32
+
+
+def sample_hash(id_col: Column | str, salt: str = "") -> Column:
+    """Uniform deterministic u32 per id (md5 hex prefix → long).
+    ``salt`` decorrelates independent sampling decisions over the same
+    ids (e.g. a train/validation split after mixing)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def deterministic_mix(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with probability ``fractions[key]`` (deterministic
+    in the row id): the reproducible corpus-mixing primitive."""
+    frac: Column = F.lit(float(default_fraction))
+    for key, p in sorted(fractions.items()):
+        frac = F.when(F.col(key_col) == key, F.lit(float(p))).otherwise(frac)
+    threshold = (frac * _HASH_SPACE).cast("long")
+    return df.where(sample_hash(id_col, salt) < threshold)
+
+
+def token_budget_fractions(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+) -> dict[str, float]:
+    """Pass 1: per-key keep-fractions that hit each token budget in
+    expectation (1.0 where the key is already under budget). The
+    aggregate result is key-cardinality-sized — driver-safe."""
+    totals = {
+        r["k"]: r["t"]
+        for r in df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    out: dict[str, float] = {}
+    for key, total in totals.items():
+        budget = budgets.get(key, default_budget)
+        if budget is None or total <= budget:
+            out[key] = 1.0
+        else:
+            out[key] = budget / float(total)
+    return out
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Two-pass reproducible downsampling to per-key token budgets."""
+    fractions = token_budget_fractions(df, key_col, token_col, budgets, default_budget)
+    return deterministic_mix(df, id_col, key_col, fractions, 1.0, salt)

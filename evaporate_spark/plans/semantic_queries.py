@@ -1079,3 +1079,40 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
     eval_set = d.where(F.col("doc_id") % 37 == 0)
     return decontaminate(d, eval_set, id_col="doc_id", text_col="text", k=8)
+
+
+@register(
+    "q_corpus_mix",
+    "Reproducible corpus mixing (training-data composition): keep each "
+    "document iff md5-prefix(doc_id) < fraction(lang) * 2^32 - "
+    "deterministic across runs/engines/cluster sizes (unlike "
+    "df.sample), nested-subset composable for scaling ladders. The "
+    "oracle replays the identical md5 arithmetic in DuckDB.",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang, source,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS hv
+            FROM documents
+        )
+        SELECT doc_id, lang, source
+        FROM h
+        WHERE hv < CAST((CASE lang
+                             WHEN 'en' THEN 1.0
+                             WHEN 'de' THEN 0.5
+                             WHEN 'fr' THEN 0.25
+                             ELSE 0.1 END) * 4294967296 AS BIGINT)
+    """,
+    tags=("dedup", "textstats"),
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.mixing import deterministic_mix
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return deterministic_mix(
+        d.select("doc_id", "lang", "source"),
+        id_col="doc_id",
+        key_col="lang",
+        fractions={"en": 1.0, "de": 0.5, "fr": 0.25},
+        default_fraction=0.1,
+    )

@@ -402,3 +402,44 @@ def test_decontaminate_known_overlap(spark):
 
     plan = decontaminate(docs, eval_docs, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # eval side broadcast, not shuffled
+
+
+def test_deterministic_mix_and_token_budget(spark):
+    """deterministic_mix: reproducible, fraction-accurate, and
+    nested-subset composable (0.25 keeps a strict subset of 0.5);
+    mix_to_token_budget hits per-key budgets in expectation and never
+    touches under-budget keys."""
+    from evaporate_spark.operators.mixing import (
+        deterministic_mix,
+        mix_to_token_budget,
+    )
+
+    rows = [(i, "en" if i % 2 else "de", 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+
+    keep_half = {r["doc_id"] for r in deterministic_mix(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect()}
+    keep_quarter = {r["doc_id"] for r in deterministic_mix(
+        df, "doc_id", "lang", {"en": 0.25, "de": 0.25}).collect()}
+    # reproducible
+    again = {r["doc_id"] for r in deterministic_mix(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect()}
+    assert keep_half == again
+    # fraction-accurate within sampling noise
+    assert abs(len(keep_half) - 1000) < 100
+    assert abs(len(keep_quarter) - 500) < 75
+    # nested-subset: lowering the threshold only removes rows
+    assert keep_quarter <= keep_half
+    # a different salt decorrelates
+    salted = {r["doc_id"] for r in deterministic_mix(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.5}, salt="v2").collect()}
+    assert salted != keep_half
+
+    # token budget: de capped at ~25k tokens (of 100k), en unlimited
+    kept = mix_to_token_budget(
+        df, "doc_id", "lang", "n_tokens", budgets={"de": 25_000},
+    )
+    per_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per_lang["en"] == 1000  # untouched
+    assert abs(per_lang["de"] * 100 - 25_000) < 5_000  # ~budget

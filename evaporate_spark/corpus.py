@@ -1,0 +1,87 @@
+"""One-call training-corpus preparation — the composition of the
+engine's §2C hygiene operators in the order a real pretraining
+pipeline runs them:
+
+    normalize → PII-redact → exact-dedup → decontaminate → mix → pack
+
+Every step is the already-oracle-checked operator (normalize_text,
+redact_pii/scrub_documents, exact_dedup, decontaminate,
+deterministic_mix, pack_sequences); this module only sequences them,
+so the facade inherits each step's scale shape (scan-stage column
+work, one md5 shuffle for dedup, broadcast overlap join for
+decontamination, zero-shuffle mixing, scan-stage packing).
+
+Determinism is end-to-end: same input → byte-identical corpus,
+because every stage is hash- or expression-deterministic (no
+``df.sample``, no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+    redact: bool = True,
+    dedup: bool = True,
+    eval_docs: DataFrame | None = None,
+    decontam_k: int = 8,
+    decontam_threshold: float = 0.5,
+    mix_key: str | None = None,
+    mix_fractions: dict[str, float] | None = None,
+    default_fraction: float = 1.0,
+    seq_len: int | None = None,
+    overlap: int = 0,
+) -> DataFrame:
+    """Run the selected preparation stages over ``docs`` and return
+    the cleaned corpus — or, when ``seq_len`` is given, the packed
+    training windows (id, seq_index, n_tokens, seq_text).
+
+    ``eval_docs`` enables decontamination: documents whose word
+    ``decontam_k``-gram overlap with the eval set reaches
+    ``decontam_threshold`` are DROPPED. ``mix_key``/``mix_fractions``
+    enable reproducible per-key downsampling.
+    """
+    out = docs
+
+    if normalize:
+        from evaporate_spark.functions.normalize import normalize_text
+
+        out = out.withColumn(text_col, normalize_text(text_col))
+    if redact:
+        from evaporate_spark.functions.redact import redact_pii
+
+        out = out.withColumn(text_col, redact_pii(text_col))
+    if dedup:
+        from evaporate_spark.operators.dedup import exact_dedup
+
+        out = exact_dedup(out, id_col, text_col)
+    if eval_docs is not None:
+        from evaporate_spark.operators.dedup import decontaminate
+
+        flags = decontaminate(
+            out,
+            eval_docs,
+            id_col=id_col,
+            text_col=text_col,
+            k=decontam_k,
+            threshold=decontam_threshold,
+        )
+        clean_ids = flags.where(~F.col("contaminated")).select(id_col)
+        out = out.join(clean_ids, id_col, "left_semi")
+    if mix_key is not None and mix_fractions is not None:
+        from evaporate_spark.operators.mixing import deterministic_mix
+
+        out = deterministic_mix(
+            out, id_col, mix_key, mix_fractions, default_fraction
+        )
+    if seq_len is not None:
+        from evaporate_spark.operators.packing import pack_sequences
+
+        out = pack_sequences(out, id_col, text_col, seq_len, overlap)
+    return out

@@ -1,0 +1,56 @@
+"""Sequence packing — split documents into fixed-token training
+windows (engine addition, SURVEY §2C): the step between a cleaned
+corpus and a trainer's fixed-length batches.
+
+Pure JVM array expressions in the scan stage: tokenize once, compute
+window starts with ``sequence(1, n, stride)``, slice per start, and
+explode one row per window — no shuffle, no Python. The window
+contract (kept deliberately simple so the DuckDB oracle can replay it
+verbatim): starts at 1, 1+stride, … while start ≤ n_tokens; the final
+window may be shorter than ``seq_len``. With ``overlap > 0`` adjacent
+windows share that many tokens (stride = seq_len − overlap), the
+standard context-carry for language-model training data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ws_tokens_keep_case(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """(id, text) → one row per training window:
+    (id, seq_index, n_tokens, seq_text). Empty documents yield no
+    rows; a document shorter than ``seq_len`` yields one window."""
+    if not 0 <= overlap < seq_len:
+        raise ValueError(f"need 0 <= overlap < seq_len, got {overlap}/{seq_len}")
+    stride = seq_len - overlap
+    toks = _ws_tokens_keep_case(text_col)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    windows = F.transform(starts, lambda s: F.slice(toks, s, seq_len))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(windows).alias("seq_index", "_w"),
+        )
+        .select(
+            id_col,
+            "seq_index",
+            F.size("_w").cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", "_w").alias("seq_text"),
+        )
+    )

@@ -1116,3 +1116,41 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions={"en": 1.0, "de": 0.5, "fr": 0.25},
         default_fraction=0.1,
     )
+
+
+@register(
+    "q_pack_sequences",
+    "Sequence packing for LM training: each document split into "
+    "32-token windows with 8-token overlap (stride 24), one output "
+    "row per window - tokenize/slice/explode all JVM-side in the scan "
+    "stage, no shuffle. The oracle replays the identical window "
+    "arithmetic with DuckDB list_slice over a stepped range.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) > 0
+                               THEN range(1, len(t) + 1, 24)
+                               ELSE [] END) AS s,
+                   t
+            FROM toks
+        )
+        SELECT
+            doc_id,
+            CAST((s - 1) / 24 AS BIGINT)                         AS seq_index,
+            CAST(len(list_slice(t, s, s + 31)) AS BIGINT)        AS n_tokens,
+            array_to_string(list_slice(t, s, s + 31), ' ')       AS seq_text
+        FROM w
+    """,
+    tags=("textstats",),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.packing import pack_sequences
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", seq_len=32, overlap=8)

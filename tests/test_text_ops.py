@@ -443,3 +443,72 @@ def test_deterministic_mix_and_token_budget(spark):
         F.count(F.lit(1)).alias("n")).collect()}
     assert per_lang["en"] == 1000  # untouched
     assert abs(per_lang["de"] * 100 - 25_000) < 5_000  # ~budget
+
+
+def test_pack_sequences_windows(spark):
+    """pack_sequences: stride/overlap window arithmetic, tail windows,
+    short docs, empty docs."""
+    from evaporate_spark.operators.packing import pack_sequences
+
+    words = " ".join(f"w{i}" for i in range(10))  # w0..w9
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, ""), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for r in pack_sequences(df, seq_len=4, overlap=1).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["seq_index"], r["n_tokens"], r["seq_text"])
+        )
+    # doc 1: starts 1,4,7,10 (stride 3) over 10 tokens
+    assert got[1] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+        (3, 1, "w9"),
+    ]
+    assert got[2] == [(0, 3, "a b c")]  # shorter than seq_len: one window
+    assert 3 not in got and 4 not in got  # empty docs yield nothing
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=4, overlap=4)
+
+
+def test_prepare_corpus_end_to_end(spark):
+    """The corpus-prep facade chains normalize → redact → dedup →
+    decontaminate → mix → pack deterministically."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    base = "the quick brown fox jumps over the lazy sleeping dog today"
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "Mail me at a@b.co  about   things " + base),
+            (2, "en", "mail me at a@b.co about things " + base),  # dup after clean
+            (3, "en", base),                                       # eval copy
+            (4, "de", "ein ganz anderes deutsches dokument ohne relevanz hier"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    eval_docs = spark.createDataFrame([(99, base)], ["doc_id", "text"])
+
+    cleaned = prepare_corpus(
+        docs, eval_docs=eval_docs, decontam_k=8, decontam_threshold=0.9
+    )
+    rows = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    # doc 2 deduped away (same canonical text as 1); doc 3 dropped as
+    # a verbatim eval copy; docs 1 and 4 survive, scrubbed+normalized
+    assert set(rows) == {1, 4}
+    assert "<EMAIL>" in rows[1] and "  " not in rows[1]
+
+    packed = prepare_corpus(
+        docs, eval_docs=eval_docs, decontam_threshold=0.9, seq_len=8, overlap=2
+    )
+    assert packed.columns == ["doc_id", "seq_index", "n_tokens", "seq_text"]
+    assert packed.where(F.col("doc_id") == 3).count() == 0
+    assert packed.where(F.col("n_tokens") > 8).count() == 0
+    # deterministic end-to-end
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, prepare_corpus(
+        docs, eval_docs=eval_docs, decontam_threshold=0.9, seq_len=8, overlap=2
+    ).collect()))
+    assert a == b

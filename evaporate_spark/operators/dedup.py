@@ -331,14 +331,15 @@ def lsh_exact_dup_pairs(
     bands: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    """Shingle-set-identical pairs via LSH candidates + exact verify.
+    """Shingle-set-identical pairs via LSH candidates + digest verify.
 
     The LSH→verify pattern: band buckets produce candidates (linear
-    shuffle), then candidates are confirmed by comparing the full
-    sorted shingle sets. For set-equal pairs recall is GUARANTEED
+    shuffle), then candidates are confirmed by a 128-bit digest of the
+    sorted shingle set. For set-equal pairs recall is GUARANTEED
     (equal sets ⟹ equal signatures ⟹ same bucket in every band), so
-    unlike threshold-based estimation the output is exactly the
-    set-equality relation — deterministic and oracle-checkable.
+    unlike threshold-based estimation the output is the set-equality
+    relation (up to a < 2^-100 digest collision) — deterministic and
+    oracle-checkable.
     """
     rows_per_band = num_hashes // bands
     base = _widen(
@@ -351,12 +352,24 @@ def lsh_exact_dup_pairs(
     )
     sig = shingled.select(
         "_id",
-        F.array_sort("_shg").alias("_sh"),
+        # 128-bit digest of the SORTED shingle set (two independent
+        # xxhash64 seeds): the only shingle-derived payload that rides
+        # the banding shuffle — 16 bytes/row/band. The r5 rework:
+        # previously the full sorted array shuffled with every band
+        # row, an 8× corpus-shingle shuffle payload at scale. Digest
+        # equality stands in for set equality with collision
+        # probability < 2^-100 per candidate pair (the surrounding
+        # MinHash machinery is itself probabilistic at far looser
+        # bounds); a one-in-the-universe digest collision is the
+        # accepted cost of keeping the verify inside the single pass.
+        F.xxhash64(F.array_sort("_shg")).alias("_shh1"),
+        F.xxhash64(F.array_sort("_shg"), F.lit(0x9E3779B9)).alias("_shh2"),
         minhash_from_shingles(F.col("_shg"), num_hashes).alias("_sig"),
     )
     banded = sig.select(
         "_id",
-        "_sh",
+        "_shh1",
+        "_shh2",
         F.explode(
             F.array(
                 *[
@@ -370,20 +383,23 @@ def lsh_exact_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_sh", "bb.band", "bb.bucket")
+    ).select("_id", "_shh1", "_shh2", "bb.band", "bb.bucket")
     # groupBy-bucket pairing (see minhash_lsh_pairs): one signature
-    # pass, one shuffle, quadratic only within a bucket; the full
-    # sorted shingle arrays are compared for the exact-verify step, so
-    # the output is exactly the set-equality relation
+    # pass, one shuffle, quadratic only within a bucket; the shingle
+    # digests decide set-equality in-bucket
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("_id", "_sh")).alias("xs"))
+        .agg(F.collect_list(F.struct("_id", "_shh1", "_shh2")).alias("xs"))
         .where(F.size("xs") >= 2)
     )
     return (
         buckets.select(F.explode("xs").alias("x"), "xs")
         .select("x", F.explode("xs").alias("y"))
-        .where((F.col("x._id") < F.col("y._id")) & (F.col("x._sh") == F.col("y._sh")))
+        .where(
+            (F.col("x._id") < F.col("y._id"))
+            & (F.col("x._shh1") == F.col("y._shh1"))
+            & (F.col("x._shh2") == F.col("y._shh2"))
+        )
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -88,6 +88,7 @@ def sniff_media_type(binary_col: Column | str) -> Column:
         out == "riff",
         F.when(form == "AVI ", F.lit("avi"))
         .when(form == "WAVE", F.lit("wav"))
+        .when(form == "WEBP", F.lit("webp"))
         .otherwise(F.lit("riff")),
     ).otherwise(out)
 
@@ -161,6 +162,7 @@ def media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:
     is_jpeg = F.col("media_type") == "jpeg"
     is_bmp = F.col("media_type") == "bmp"
     is_tiff = F.col("media_type") == "tiff"
+    is_webp = F.col("media_type") == "webp"
 
     # JPEG walk: SOI is bytes 1-2; the first segment marker sits at 3
     out = out.withColumns(
@@ -218,6 +220,28 @@ def media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:
             }
         )
 
+    # webp dims by chunk flavor (VP8 lossy / VP8L lossless / VP8X
+    # extended) — same byte offsets as the Python twin in _header_dims
+    wfour = F.substring(c, 13, 4).cast("string")
+    pos = lambda p: F.lit(p).cast("long")  # noqa: E731
+    vp8_w = F.pmod(_le_u16(c, pos(27)), F.lit(1 << 14))
+    vp8_h = F.pmod(_le_u16(c, pos(29)), F.lit(1 << 14))
+    vp8l_bits = _le_u32(c, pos(22))
+    vp8l_w = F.pmod(vp8l_bits, F.lit(1 << 14)) + 1
+    vp8l_h = F.pmod(F.floor(vp8l_bits / F.lit(1 << 14)).cast("long"), F.lit(1 << 14)) + 1
+    vp8x_w = _le_u16(c, pos(25)) + 65536 * _u8(c, pos(27)) + 1
+    vp8x_h = _le_u16(c, pos(28)) + 65536 * _u8(c, pos(30)) + 1
+    webp_w = (
+        F.when(wfour == "VP8 ", vp8_w)
+        .when(wfour == "VP8L", vp8l_w)
+        .when(wfour == "VP8X", vp8x_w)
+    )
+    webp_h = (
+        F.when(wfour == "VP8 ", vp8_h)
+        .when(wfour == "VP8L", vp8l_h)
+        .when(wfour == "VP8X", vp8x_h)
+    )
+
     gif_w = _u8(c, F.lit(7).cast("long")) + 256 * _u8(c, F.lit(8).cast("long"))
     gif_h = _u8(c, F.lit(9).cast("long")) + 256 * _u8(c, F.lit(10).cast("long"))
     # BMP stores signed little-endian i32 dims (height < 0 = top-down);
@@ -234,12 +258,14 @@ def media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:
             .when(is_jpeg, F.col("_jw"))
             .when(is_bmp, bmp_w)
             .when(is_tiff, F.col("_tw"))
+            .when(is_webp, webp_w)
             .cast("long"),
             "height": F.when(is_png, _be_u32(c, 21))
             .when(is_gif, gif_h)
             .when(is_jpeg, F.col("_jh"))
             .when(is_bmp, bmp_h)
             .when(is_tiff, F.col("_th"))
+            .when(is_webp, webp_h)
             .cast("long"),
         }
     ).drop("_jpos", "_jw", "_jh", "_tifd", "_tn", "_tw", "_th")
@@ -283,6 +309,23 @@ def _header_dims(raw: bytes) -> tuple[str, int | None, int | None]:
                 abs(int.from_bytes(raw[22:26], "little", signed=True)),
             )
         return "bmp", None, None
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        fourcc = raw[12:16]
+        if fourcc == b"VP8 " and len(raw) >= 30:
+            # lossy: 3-byte frame tag + 9d 01 2a, then 14-bit le dims
+            w = int.from_bytes(raw[26:28], "little") & 0x3FFF
+            h = int.from_bytes(raw[28:30], "little") & 0x3FFF
+            return "webp", w, h
+        if fourcc == b"VP8L" and len(raw) >= 25 and raw[20] == 0x2F:
+            # lossless: 14+14 bits (w-1, h-1) LSB-first after sig byte
+            bits = int.from_bytes(raw[21:25], "little")
+            return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if fourcc == b"VP8X" and len(raw) >= 30:
+            # extended: 24-bit le canvas dims - 1 at data offsets 4/7
+            w = int.from_bytes(raw[24:27], "little") + 1
+            h = int.from_bytes(raw[27:30], "little") + 1
+            return "webp", w, h
+        return "webp", None, None
     if raw[:4] in _TIFF_SIGS:
         bo = "little" if raw[:2] == b"II" else "big"
         try:

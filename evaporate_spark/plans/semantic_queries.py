@@ -171,10 +171,10 @@ _DOUBLED_SQL = """
 
 @register(
     "q_minhash_lsh_dups",
-    "LSH-candidate + exact-verify duplicate pairs (identical trigram "
+    "LSH-candidate + digest-verify duplicate pairs (identical trigram "
     "shingle sets) over the doubled corpus: signatures in the scan "
-    "stage, shuffle only on (band, bucket) — the linear-cost 100 TB "
-    "near-dup path. Recall at set-equality is guaranteed, so the "
+    "stage, shuffle only on (band, bucket) carrying a 16-byte shingle-"
+    "set digest — the linear-cost 100 TB near-dup path. Recall at set-equality is guaranteed, so the "
     "oracle can recompute the relation with DuckDB list algebra. The "
     "threshold-estimation variant (minhash_lsh_pairs) is pytest-"
     "verified; its estimates are probabilistic and not SQL-oracle-able.",

@@ -1166,3 +1166,90 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
         for r in spark.table("dedup_stream_test").collect()
     ]
     assert sorted(got) == sorted(want)  # each key exactly once
+
+
+def test_webp_sniff_and_header_dims(spark):
+    """webp (RIFF/WEBP) is sniffed distinctly and header dims parse
+    for all three chunk flavors (VP8 lossy, VP8L lossless, VP8X
+    extended) in BOTH the JVM expression parser and the Python twin;
+    pixel decode stays the flagged header stub (needs libwebp)."""
+    from evaporate_spark.operators.multimodal import _header_dims
+
+    def vp8(w, h):
+        payload = b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 10
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def vp8l(w, h):
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def vp8x(w, h):
+        data = b"\x00\x00\x00\x00" + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        chunk = b"VP8X" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    cases = {"a.webp": (vp8(320, 240), 320, 240),
+             "b.webp": (vp8l(100, 60), 100, 60),
+             "c.webp": (vp8x(2000, 1500), 2000, 1500)}
+    for name, (raw, w, h) in cases.items():
+        assert _header_dims(raw) == ("webp", w, h), name
+
+    df = spark.createDataFrame(
+        [(n, bytearray(raw)) for n, (raw, _, _) in cases.items()],
+        "path string, content binary",
+    )
+    meta = {r["path"]: (r["media_type"], r["width"], r["height"])
+            for r in media_metadata(df).collect()}
+    assert meta == {n: ("webp", w, h) for n, (_, w, h) in cases.items()}
+    dec = {r["path"]: r for r in decode_images(df).collect()}
+    assert all(r["decoded_by"] == "fake-header-stub" for r in dec.values())
+
+
+def test_streaming_media_decode(spark, tmp_path):
+    """decode_images composes with a binaryFile STREAM source — the
+    continuous-ingest media pipeline shape (mapInPandas is
+    streaming-capable); results equal the batch decode."""
+    import os
+
+    from evaporate_spark.fixtures import MEDIA_DIR
+
+    src = str(tmp_path / "stream_media")
+    os.makedirs(src)
+    for name in ("img_png_rgb.png", "img_gif.gif", "img_jpeg_rgb.jpg"):
+        with open(os.path.join(MEDIA_DIR, name), "rb") as fh:
+            data = fh.read()
+        with open(os.path.join(src, name), "wb") as fh:
+            fh.write(data)
+
+    batch = {
+        r["path"].rsplit("/", 1)[-1]: (r["media_type"], r["width"], r["height"],
+                                       round(r["mean_intensity"], 4))
+        for r in decode_images(
+            spark.read.format("binaryFile").load(src)
+        ).collect()
+    }
+    stream_src = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        decode_images(stream_src)
+        .writeStream.format("memory")
+        .queryName("media_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["path"].rsplit("/", 1)[-1]: (r["media_type"], r["width"], r["height"],
+                                       round(r["mean_intensity"], 4))
+        for r in spark.table("media_stream_test").collect()
+    }
+    assert got == batch and len(got) == 3
+    assert all(v[0] in ("png", "gif", "jpeg") for v in got.values())

@@ -1,0 +1,117 @@
+"""Corpus-preparation CLI — the §2C training-data pipeline from the
+command line: ``python -m evaporate_spark.cli_corpus --documents-
+parquet /lake --output /clean``. Sequences the oracle-checked hygiene
+operators via :func:`evaporate_spark.corpus.prepare_corpus`
+(normalize → redact → dedup → decontaminate → mix → pack) and prints
+one JSON summary line (rows in/out, per-stage flags).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_fractions(spec: str | None) -> dict[str, float] | None:
+    """'en=1.0,de=0.5' → {'en': 1.0, 'de': 0.5}."""
+    if not spec:
+        return None
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        key, _, val = part.partition("=")
+        if not _ or not key.strip():
+            raise ValueError(f"bad fraction entry {part!r}; want key=float")
+        out[key.strip()] = float(val)
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "evaporate-spark-corpus",
+        description="Prepare a training corpus: normalize, redact PII, "
+        "dedup, decontaminate, mix, pack",
+    )
+    p.add_argument("--documents-parquet", required=True, help="documents parquet path")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--no-redact", action="store_true")
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--eval-parquet", help="eval-set parquet for decontamination")
+    p.add_argument("--eval-text-col", help="text column in the eval set (default: --text-col)")
+    p.add_argument("--decontam-k", type=int, default=8)
+    p.add_argument("--decontam-threshold", type=float, default=0.5)
+    p.add_argument("--mix-key", help="column to mix on (e.g. lang)")
+    p.add_argument("--mix-fractions", help="key=frac list, e.g. 'en=1.0,de=0.5'")
+    p.add_argument("--default-fraction", type=float, default=1.0)
+    p.add_argument("--seq-len", type=int, help="pack into training windows of this many tokens")
+    p.add_argument("--overlap", type=int, default=0)
+    p.add_argument("--output", required=True)
+    p.add_argument("--format", choices=("parquet", "json"), default="parquet")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if (args.mix_key is None) != (args.mix_fractions is None):
+        print("--mix-key and --mix-fractions go together", file=sys.stderr)
+        return 2
+
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.session import get_spark
+    from evaporate_spark.sources.doclake import read_document_lake  # noqa: F401
+
+    spark = get_spark(app_name="evaporate-spark-corpus")
+    docs = spark.read.parquet(args.documents_parquet)
+    eval_docs = None
+    if args.eval_parquet:
+        eval_docs = spark.read.parquet(args.eval_parquet)
+        if args.eval_text_col and args.eval_text_col != args.text_col:
+            eval_docs = eval_docs.withColumnRenamed(args.eval_text_col, args.text_col)
+    n_in = docs.count()
+    out = prepare_corpus(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        normalize=not args.no_normalize,
+        redact=not args.no_redact,
+        dedup=not args.no_dedup,
+        eval_docs=eval_docs,
+        decontam_k=args.decontam_k,
+        decontam_threshold=args.decontam_threshold,
+        mix_key=args.mix_key,
+        mix_fractions=_parse_fractions(args.mix_fractions),
+        default_fraction=args.default_fraction,
+        seq_len=args.seq_len,
+        overlap=args.overlap,
+    )
+    writer = out.write.mode("overwrite")
+    if args.format == "parquet":
+        writer.parquet(args.output)
+    else:
+        writer.json(args.output)
+    n_out = spark.read.format(args.format).load(args.output).count()
+    print(
+        json.dumps(
+            {
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "packed": args.seq_len is not None,
+                "stages": {
+                    "normalize": not args.no_normalize,
+                    "redact": not args.no_redact,
+                    "dedup": not args.no_dedup,
+                    "decontaminate": eval_docs is not None,
+                    "mix": args.mix_key is not None,
+                    "pack": args.seq_len is not None,
+                },
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -512,3 +512,32 @@ def test_prepare_corpus_end_to_end(spark):
         docs, eval_docs=eval_docs, decontam_threshold=0.9, seq_len=8, overlap=2
     ).collect()))
     assert a == b
+
+
+def test_corpus_cli(spark, tmp_path, capsys):
+    """cli_corpus end-to-end: documents parquet in, packed windows
+    out, JSON summary line."""
+    import json
+
+    from evaporate_spark.cli_corpus import main
+
+    out_dir = str(tmp_path / "clean")
+    rc = main([
+        "--documents-parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--mix-key", "lang", "--mix-fractions", "en=1.0,de=0.5",
+        "--default-fraction", "0.5",
+        "--seq-len", "64", "--overlap", "8",
+        "--output", out_dir,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_in"] == 500 and summary["rows_out"] > 0
+    assert summary["stages"]["pack"] and summary["stages"]["mix"]
+    packed = spark.read.parquet(out_dir)
+    assert packed.columns == ["doc_id", "seq_index", "n_tokens", "seq_text"]
+    assert packed.agg(F.max("n_tokens")).collect()[0][0] <= 64
+
+    # bad fraction spec and mismatched mix flags are argument errors
+    assert main([
+        "--documents-parquet", "x", "--mix-key", "lang", "--output", "y",
+    ]) == 2

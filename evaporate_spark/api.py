@@ -92,6 +92,31 @@ class EvaporateData:
         )
         self.stage_tokens[name] = self.stage_tokens.get(name, 0) + tokens
 
+    # -------------------------------------------------- corpus prep
+    def prepare_corpus(self, **kwargs) -> "EvaporateData":
+        """Run the deterministic corpus-hygiene pipeline over the lake
+        IN PLACE (normalize → PII-redact → dedup → decontaminate →
+        mix; see :func:`evaporate_spark.corpus.prepare_corpus`) before
+        profiling — the pretraining-style clean-then-extract flow.
+        Chunks are invalidated since document text changed. Packing
+        (``seq_len``) is intentionally rejected here: profiling needs
+        whole documents."""
+        from evaporate_spark.corpus import prepare_corpus
+
+        if kwargs.get("seq_len") is not None:
+            raise ValueError("pack after profiling, not before (seq_len not allowed)")
+        t0 = time.perf_counter()
+        cleaned = prepare_corpus(
+            self.docs, id_col="path", text_col="content", **kwargs
+        ).persist()
+        self.docs.unpersist(False)
+        if self._chunks is not None:
+            self._chunks.unpersist(False)
+            self._chunks = None
+        self.docs = cleaned
+        self._stage("prepare_corpus", t0)
+        return self
+
     # -------------------------------------------------------- schema
     def identify_schema(self, topic: str, num_attributes: int = 35) -> list[str]:
         """OpenIE schema discovery over the train sample (§2A#12-14)."""

@@ -46,6 +46,12 @@ def prepare_corpus(
     ``decontam_k``-gram overlap with the eval set reaches
     ``decontam_threshold`` are DROPPED. ``mix_key``/``mix_fractions``
     enable reproducible per-key downsampling.
+
+    Note: ``normalize`` collapses ALL whitespace runs — including
+    newlines — to single spaces (the standard LM-corpus
+    canonicalization). Pipelines whose downstream consumers are
+    line-structure-sensitive (e.g. ``attr: value`` extraction lakes)
+    should pass ``normalize=False``.
     """
     out = docs
 

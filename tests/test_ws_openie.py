@@ -448,3 +448,35 @@ def test_parallel_profile_all_with_shared_cache(spark, lake, tmp_path):
     # cache is readable and deduplicated after concurrent appends
     cached = spark.read.parquet(cache)
     assert cached.count() == cached.select("cache_key").distinct().count()
+
+
+def test_api_prepare_corpus_stage(spark):
+    """EvaporateData.prepare_corpus cleans the lake in place (dedup +
+    normalize + redact over path/content) and profiling still
+    recovers the attribute afterwards."""
+    docs = spark.createDataFrame(
+        [
+            (f"doc://{i}", _doc(i) + "  contact: x@y.io \n", "txt", 100)
+            for i in range(12)
+        ]
+        + [("doc://dup", _doc(3) + "  contact: x@y.io \n", "txt", 100)],
+        ["path", "content", "doc_type", "n_bytes"],
+    )
+    data = EvaporateData(
+        spark, docs=docs, client=MockLLM(responder=make_responder()),
+        config=ProfileConfig(train_size=6, chunk_size=600),
+    )
+    # normalize=False: whitespace collapse would flatten the newline-
+    # structured 'attr: value' rendering this lake (and its mock
+    # responder) depend on — the flag exists precisely for
+    # line-structured lakes
+    data.prepare_corpus(normalize=False)
+    # the canonical-duplicate of doc 3 is gone; PII scrubbed
+    remaining = {r["path"]: r["content"] for r in data.docs.collect()}
+    assert len(remaining) == 12 and "doc://dup" not in remaining
+    assert all("<EMAIL>" in c for c in remaining.values())
+    with pytest.raises(ValueError, match="seq_len"):
+        data.prepare_corpus(seq_len=128)
+    result = data.profile("author")
+    got = {r["path"]: r["value"] for r in result.extractions.collect()}
+    assert got == {f"doc://{i}": AUTHORS[i] for i in range(12)}

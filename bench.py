@@ -52,6 +52,12 @@ Pinned comparison baselines (medians unless noted):
   subprocess-sandbox default is FASTER than the r3 single-shot pin.
   media_decode_300 0.412 (new row: 300 mixed-format files through the
   stdlib/numpy codecs — the codec-throughput canary).
+- r5 END-of-round pins (gated, start loadavg 1.22): relational 1.993
+  (q1 0.382 / q3 0.658 / q5 0.953); q_exact_dedup_groups 0.272,
+  q_minhash_lsh_dups 1.692 (−24% from the digest-verify LSH rework —
+  the banding shuffle now carries a 16-byte digest instead of the
+  full shingle arrays), q_knn_cosine 0.621, q_semantic_closed_ie
+  4.454, q_semantic_openie 10.388, media_decode_300 0.431.
 """
 
 from __future__ import annotations

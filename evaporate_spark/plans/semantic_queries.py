@@ -1154,3 +1154,74 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (d,) = _t(spark, sf_dir, "documents")
     return pack_sequences(d, "doc_id", "text", seq_len=32, overlap=8)
+
+
+@register(
+    "q_range_frame_rolling",
+    "RANGE-frame window (vs the ROWS frames elsewhere): per-user "
+    "rolling 1-hour event-value sum ordered by integer epoch seconds "
+    "- the variable-width frame execution path; one shuffle on "
+    "user_id.",
+    oracle="""
+        SELECT
+            user_id,
+            event_id,
+            ROUND(SUM(value) OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+            ), 2) AS rolling_1h
+        FROM events
+    """,
+    tags=("window",),
+)
+def q_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
+    )
+
+
+@register(
+    "q_unpivot_lineitem",
+    "UNPIVOT/melt (wide -> long reshaping, the inverse of the pivot "
+    "view assembly): three lineitem measures melted to (key, metric, "
+    "value) rows via DataFrame.unpivot - one narrow projection, "
+    "output 3x rows with zero shuffle.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+               ROUND(l_quantity, 2) AS value
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice',
+               ROUND(l_extendedprice, 2)
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', ROUND(l_discount, 2)
+        FROM lineitem WHERE l_orderkey < 100
+    """,
+    tags=("scalar",),
+)
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    wide = li.where(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("quantity"),
+        F.round("l_extendedprice", 2).alias("extendedprice"),
+        F.round("l_discount", 2).alias("discount"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "extendedprice", "discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

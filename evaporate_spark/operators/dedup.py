@@ -626,3 +626,50 @@ def decontaminate(
         contamination.alias("contamination"),
         (contamination >= threshold).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. incremental exact dedup (cross-batch fingerprint store)
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+) -> DataFrame:
+    """Dedup an incoming batch against BOTH itself and every previous
+    batch, via a persisted canonical-fingerprint store — the
+    cross-restart ingest dedup (the streaming twin,
+    ``stream_exact_dedup``, bounds its state by the watermark; this
+    one remembers forever at the cost of one parquet store).
+
+    Returns the batch's surviving rows and APPENDS their fingerprints
+    to ``store_dir``. Scale shape: the store never ships content —
+    only 32-byte md5 fingerprints — and the anti-join shuffles on the
+    fingerprint key like any keyed join (AQE broadcast when the store
+    is still small). Crash-safety: fingerprints are appended AFTER the
+    surviving rows are computed and materialized; a crash between the
+    two re-admits at most one batch (at-least-once store semantics —
+    re-running the batch is idempotent since its rows re-dedup against
+    themselves).
+    """
+    import os
+
+    spark = batch.sparkSession
+    deduped = exact_dedup(batch, id_col, text_col).withColumn(
+        "_fp", fingerprint(text_col)
+    )
+    if os.path.isdir(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    ):
+        seen = spark.read.parquet(store_dir).select("fp").dropDuplicates(["fp"])
+        deduped = deduped.join(
+            seen, deduped["_fp"] == seen["fp"], "left_anti"
+        )
+    # materialize the survivors BEFORE appending their fingerprints,
+    # so the store append cannot observe (and exclude) its own batch
+    out = deduped.localCheckpoint(eager=True)
+    out.select(F.col("_fp").alias("fp")).write.mode("append").parquet(store_dir)
+    return out.drop("_fp")

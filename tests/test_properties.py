@@ -191,3 +191,78 @@ def test_jpeg_codec_roundtrip_bounded_error(w, h, ch, color):
     dw, dh, dch, out = jpeg_decode(jpeg_encode(w, h, ch, px, quality=95))
     assert (dw, dh, dch) == (w, h, ch)
     assert max(abs(a - b) for a, b in zip(out, px)) <= 8
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_bmp_tiff_roundtrip_props(w, h, channels, seed):
+    """BMP and TIFF encode→decode are lossless for every dims×channels
+    combination (BMP grey widens to RGB; TIFF preserves channels)."""
+    import numpy as np
+
+    from evaporate_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        tiff_decode,
+        tiff_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    flat = px.tobytes()
+
+    tw, th, tch, tpx = tiff_decode(tiff_encode(w, h, channels, flat))
+    assert (tw, th, tch) == (w, h, channels)
+    assert bytes(tpx) == flat
+
+    bw, bh, bch, bpx = bmp_decode(bmp_encode(w, h, channels, flat))
+    assert (bw, bh) == (w, h)
+    if channels == 1:
+        grey = np.frombuffer(bytes(bpx), np.uint8).reshape(h, w, 3)
+        assert (grey == px.reshape(h, w, 1)).all()
+    else:
+        assert bytes(bpx) == flat
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**31), min_size=0, max_size=40),
+       st.floats(0.0, 1.0))
+def test_mix_threshold_props(ids, frac):
+    """The md5-threshold keep-decision is a pure function of (id,
+    fraction): monotone in fraction (nested subsets) and independent
+    of list order/duplication — verified against the closed-form
+    Python twin."""
+    import hashlib
+
+    def kept(i, p):
+        hv = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return hv < int(p * (1 << 32))
+
+    lower = {i for i in ids if kept(i, frac / 2)}
+    upper = {i for i in ids if kept(i, frac)}
+    assert lower <= upper
+    assert {i for i in ids if kept(i, 1.0)} == set(ids)
+    assert {i for i in ids if kept(i, 0.0)} == set()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_text_python_twin_idempotent(s):
+    """The normalization pipeline's Python twin is idempotent: a
+    normalized string normalizes to itself (the canonical-form
+    property exact dedup depends on)."""
+    import re
+    import unicodedata
+
+    def norm(t: str) -> str:
+        t = re.sub(r"[\t\n\r\f\x0B ]+", " ", t)
+        t = re.sub(r"[\x00-\x1F\x7F]", "", t)
+        return unicodedata.normalize("NFC", t.strip())
+
+    once = norm(s)
+    assert norm(once) == once

@@ -541,3 +541,28 @@ def test_corpus_cli(spark, tmp_path, capsys):
     assert main([
         "--documents-parquet", "x", "--mix-key", "lang", "--output", "y",
     ]) == 2
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    """Batch 2 drops rows whose canonical text arrived in batch 1 (and
+    its own internal dups); re-running a batch is idempotent."""
+    from evaporate_spark.operators.dedup import incremental_exact_dedup
+
+    store = str(tmp_path / "fp_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "ALPHA   text"), (3, "beta text")],
+        ["id", "content"],
+    )
+    out1 = incremental_exact_dedup(b1, "id", "content", store)
+    assert sorted(r["id"] for r in out1.collect()) == [1, 3]
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma  TEXT")],
+        ["id", "content"],
+    )
+    out2 = incremental_exact_dedup(b2, "id", "content", store)
+    assert sorted(r["id"] for r in out2.collect()) == [11]
+
+    # idempotent re-run: everything already in the store
+    out2b = incremental_exact_dedup(b2, "id", "content", store)
+    assert out2b.count() == 0

@@ -297,3 +297,111 @@ def random_hyperplane_lsh_topk(
     )
     out = _two_stage_topk(scored, [query_id], [F.desc("cosine"), F.asc(corpus_id)], k)
     return out.select(query_id, corpus_id, "cosine", "rank")
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    index_dir: str,
+    n_centroids: int = 16,
+    seed: int = 0,
+) -> int:
+    """Persist an IVF index: centroids parquet + cell assignments
+    PARTITIONED BY cell — the index-once / probe-many layout the
+    :func:`ivf_topk` docstring promises at scale. Because assignments
+    are hive-partitioned on ``cell``, a probe-time filter
+    ``cell IN (...)`` prunes the scan to the probed cells' files only
+    (verified via PartitionFilters in the test) — the 100 TB property
+    that makes IVF sub-linear in corpus size per query batch.
+
+    Returns the number of centroids written. Same deterministic
+    hash-sample codebook as :func:`ivf_topk` (a k-means-trained
+    codebook drops in by replacing the centroids parquet).
+    """
+    cent_rows = (
+        corpus.select(F.col(corpus_vec).alias("_v"), F.col(corpus_id).alias("_id"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["_v"]] for r in cent_rows]
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(*[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in centroids])
+
+    best = (
+        F.array_position(cell_scores(F.col(corpus_vec)),
+                         F.array_max(cell_scores(F.col(corpus_vec)))) - 1
+    ).cast("int")
+    corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(corpus_vec).alias("vec"),
+        best.alias("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/assignments")
+    return len(centroids)
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index (see :func:`build_ivf_index`).
+
+    The probed-cell filter lands in the assignment scan's
+    PartitionFilters, so only the probed cells' files are read — the
+    per-query-batch cost is |probed cells|, not |corpus|.
+    """
+    centroids = [
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    ]
+    centroids.sort()
+    cents = [c for _i, c in centroids]
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(*[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
+
+    probe = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    cell_scores(F.col(query_vec)),
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
+                )
+            ),
+            lambda st_: st_["idx"],
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(query_vec).alias("_qv"),
+        F.explode(probe).alias("cell"),
+    )
+    # collect the probed-cell set driver-side (|queries| × n_probe
+    # values — query batches are small by contract, same as
+    # brute_force_topk's broadcast side) so the IN-filter is a LITERAL
+    # the scan can partition-prune on
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    assigned = spark.read.parquet(f"{index_dir}/assignments").where(
+        F.col("cell").isin(probed)
+    )
+    scored = assigned.join(F.broadcast(q), "cell").select(
+        F.col("_qid").alias(query_id),
+        F.col("id").alias("corpus_id"),
+        F.round(cosine("vec", "_qv"), 6).alias("cosine"),
+    ).dropDuplicates([query_id, "corpus_id"])
+    out = _two_stage_topk(scored, [query_id], [F.desc("cosine"), F.asc("corpus_id")], k)
+    return out.select(query_id, "corpus_id", "cosine", "rank")

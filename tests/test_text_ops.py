@@ -566,3 +566,45 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     # idempotent re-run: everything already in the store
     out2b = incremental_exact_dedup(b2, "id", "content", store)
     assert out2b.count() == 0
+
+
+def test_ivf_index_build_and_search(spark, sf_dir, tmp_path):
+    """Persisted IVF index: search results equal the in-memory ivf_topk
+    with the same codebook, and the probe scan PARTITION-PRUNES to the
+    probed cells (the index-once/probe-many scale property)."""
+    from evaporate_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = str(tmp_path / "ivf")
+    n_cells = build_ivf_index(emb, "vec_id", "embedding", idx, n_centroids=8)
+    assert n_cells == 8
+
+    got = ivf_search(spark, idx, queries, "qid", "qvec", k=5, n_probe=3)
+    want = ivf_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k=5, n_centroids=8, n_probe=3,
+    )
+    g = {(r["qid"], r["rank"]): (r["corpus_id"], r["cosine"]) for r in got.collect()}
+    w = {(r["qid"], r["rank"]): (r["vec_id"], r["cosine"]) for r in want.collect()}
+    assert g == w and len(g) == 15
+    # self is rank 1 for every query (its own cell is always probed)
+    for (qid, rank), (cid, cos) in g.items():
+        if rank == 1:
+            assert cid == qid and cos >= 0.999999
+
+    # partition pruning: the assignment scan reads ONLY probed cells
+    plan = (
+        ivf_search(spark, idx, queries, "qid", "qvec", k=5, n_probe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]

@@ -1,0 +1,156 @@
+"""Connected components over duplicate-pair graphs.
+
+The dedup operators (``operators/dedup.py``) end at PAIRS — but a real
+training-data dedup pass needs pairs → CLUSTERS → keep-one-per-cluster:
+transitive duplicates (A~B, B~C) must land in one group even when A and
+C were never directly paired. The reference repo has no graph code at
+all (its dedup surface is the order-preserving list dedup,
+``reference/evaporate/profiler.py:442-451``); this operator is part of
+the beyond-reference LLM-pipeline surface (SURVEY §2C).
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each round is
+two groupBy shuffles over the *edge* set, and the round count is
+O(log n) on ANY graph shape — unlike naive min-label propagation, whose
+round count is the graph DIAMETER (a 100 TB corpus with one pathological
+duplicate chain would run thousands of rounds). Dup graphs are usually
+near-cliques, but the operator should not bet correctness-latency on
+that.
+
+Scale notes (100 TB):
+- State per round is only the edge list (two longs per edge) — never an
+  adjacency matrix, never driver-side.
+- Every round ends in ``localCheckpoint(eager=True)``: the lineage is
+  truncated so the plan does not grow O(rounds) deep (Catalyst analysis
+  itself becomes the bottleneck otherwise).
+- Convergence is detected with an O(1)-size aggregate (edge count +
+  order-independent xxhash64 sum), not a driver-side collect of edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dup_clusters"]
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Both orientations of each undirected edge."""
+    return e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than u to u's minimum neighbor.
+
+    For each node u with neighborhood N(u): m = min(N(u) ∪ {u}); emit
+    (v, m) for every v ∈ N(u) with v > u. Strictly decreases large
+    node ids' attachment height.
+    """
+    sym = _sym(e)
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select("a", F.least("a", "_mn").alias("_m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor SMALLER-or-equal of u (plus u) to their min.
+
+    Orient edges from the larger endpoint; for each u with smaller
+    neighbors N: m = min(N); emit (v, m) for v ∈ N ∪ {u}, v ≠ m.
+    """
+    oe = _sym(e).where(F.col("b") < F.col("a"))
+    mins = oe.groupBy("a").agg(F.min("b").alias("_m"))
+    nbrs = oe.join(mins, "a").select(F.col("b").alias("a"), F.col("_m").alias("b"))
+    selfe = mins.select("a", F.col("_m").alias("b"))
+    return (
+        nbrs.unionByName(selfe).where(F.col("a") != F.col("b")).distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Component label (= min node id in the component) per node.
+
+    ``pairs``: undirected edges, one row per pair (long-castable ids).
+    ``nodes``: optional one-column frame of ALL node ids; ids that never
+    appear in a pair come back as singleton components (their own id).
+    Returns ``(id BIGINT, component BIGINT)``.
+    """
+    e = (
+        pairs.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Order-independent, overflow-free set signature: the edge set
+        # is distinct, so (count, XOR of per-edge hashes) pins it.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # Converged edge set is a union of stars (member → component root,
+    # member > root). groupBy-min is a safety net, not a semantic need.
+    comp = e.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("component"))
+    roots = comp.select(F.col("component").alias("id"), "component").distinct()
+    labeled = comp.unionByName(roots)
+    if nodes is not None:
+        node_ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+        labeled = node_ids.join(labeled, "id", "left").select(
+            "id", F.coalesce("component", "id").alias("component")
+        )
+    return labeled
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster assembly + keeper election over a dup-pair relation.
+
+    Returns one row per input row of ``df``:
+    ``(id, component, cluster_size, is_keeper INT)`` where the keeper is
+    the minimum id of each component — the deterministic "keep one copy"
+    policy of every large-scale dedup pipeline.
+    """
+    nodes = df.select(F.col(id_col).cast("long").alias("id"))
+    comp = connected_components(pairs, src=src, dst=dst, nodes=nodes)
+    w = Window.partitionBy("component")
+    return comp.select(
+        "id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("component")).cast("int").alias("is_keeper"),
+    )

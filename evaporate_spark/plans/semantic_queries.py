@@ -258,6 +258,62 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(_doubled_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
 
+@register(
+    "q_dup_clusters",
+    "Duplicate-CLUSTER assembly: connected components (alternating "
+    "large-star/small-star, O(log n) rounds, edge-only state) over the "
+    "LSH exact-dup pair graph, plus min-id keeper election — the "
+    "pairs→clusters→keep-one tail every production dedup pipeline "
+    "needs for transitive duplicates. Oracle recomputes the same "
+    "components with a DuckDB recursive CTE (min reachable id).",
+    oracle=f"""
+        WITH RECURSIVE d AS ({_DOUBLED_SQL}),
+        t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM d
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                       list_transform(
+                           range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       )
+                   )) AS s
+            FROM t WHERE len(toks) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT ia AS a, ib AS b FROM pairs
+            UNION ALL
+            SELECT ib AS a, ia AS b FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM d
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+        ),
+        comp AS (
+            SELECT node AS id, MIN(r) AS component FROM reach GROUP BY node
+        )
+        SELECT id, component,
+               COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+               CAST(id = component AS INT) AS is_keeper
+        FROM comp
+    """,
+    tags=("dedup",),
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.clustering import dup_clusters
+    from evaporate_spark.operators.dedup import lsh_exact_dup_pairs
+
+    d = _doubled_docs(spark, sf_dir)
+    pairs = lsh_exact_dup_pairs(d, "doc_id", "text")
+    return dup_clusters(d, "doc_id", pairs)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -608,3 +608,76 @@ def test_ivf_index_build_and_search(spark, sf_dir, tmp_path):
 
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# connected components / dup clusters (operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(n_nodes, edges):
+    """Pure-python union-find ground truth: node -> min id in component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def test_connected_components_path_graph(spark):
+    """A 40-node path is the worst case for min-label propagation
+    (diameter 39); the star algorithm must still converge in O(log n)
+    rounds and label every node with 0."""
+    from evaporate_spark.operators.clustering import connected_components
+
+    edges = [(i, i + 1) for i in range(39)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    from evaporate_spark.operators.clustering import connected_components
+
+    rng = random.Random(7)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [e for e in edges if e[0] != e[1]]
+    want = _uf_components(n, edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(n).selectExpr("id")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == want  # singletons included via the nodes frame
+
+
+def test_dup_clusters_keeper_and_sizes(spark):
+    from evaporate_spark.operators.clustering import dup_clusters
+
+    df = spark.range(6).selectExpr("id AS doc_id")
+    # components: {0,1,2} (chain), {3,4}, {5} singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    rows = {r["id"]: r for r in dup_clusters(df, "doc_id", pairs).collect()}
+    assert {k: v["component"] for k, v in rows.items()} == {
+        0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5,
+    }
+    assert {k: v["cluster_size"] for k, v in rows.items()} == {
+        0: 3, 1: 3, 2: 3, 3: 2, 4: 2, 5: 1,
+    }
+    assert [k for k, v in rows.items() if v["is_keeper"] == 1] == [0, 3, 5]

@@ -1,0 +1,132 @@
+"""Corpus-self-trained unigram language-model quality signals.
+
+CCNet-style quality filtering scores each document under a language
+model and buckets/filters on the score (Wenzek et al., "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data").
+The reference repo has no notion of corpus quality (its unit is one
+document lake, SURVEY §2A); this is part of the beyond-reference
+training-data surface (§2C), next to the Gopher repetition signals
+(functions/text_stats.py) and the lexical BM25 ranker
+(operators/search.py).
+
+Two scores over an add-one-smoothed unigram LM fitted on the corpus
+itself (no external model, fully deterministic):
+
+- :func:`mean_token_prob` — mean smoothed token probability
+  ``(Σᵢ C(wᵢ) + n) / (n · (T + V))``. Numerator and denominator are
+  EXACT INTEGERS until one final double division, so the value is
+  bit-identical regardless of aggregation order — the oracle-checkable
+  variant (``q_token_rarity``).
+- :func:`unigram_perplexity` — the classical
+  ``exp(−Σ ln p(wᵢ) / n)``. Log-sums are FP-order- and libm-sensitive
+  across engines, so this one is pytest-verified against a pure-Python
+  recompute instead of the DuckDB oracle.
+
+Scale shape (100 TB): tokens are exploded ONCE; the vocab count table
+shuffles on the token key with map-side partial counts; the count
+lookup joins token-partitioned on both sides (AQE promotes it to
+broadcast when the vocab is small); corpus totals are an O(1)-wide
+aggregate broadcast back via a 1-row cross join. No driver-side state
+beyond the two scalars.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from evaporate_spark.operators.search import tokenize
+
+__all__ = ["unigram_counts", "mean_token_prob", "unigram_perplexity"]
+
+
+def unigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus vocabulary ``(tok, c)`` via one shuffle on the token key."""
+    return (
+        df.select(F.explode(tokenize(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _doc_token_stats(df: DataFrame, id_col: str, text_col: str):
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("tok")
+    )
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    return ex, counts, totals
+
+
+def mean_token_prob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_tokens, mean_tok_prob)`` per document (8-dp rounded).
+
+    Mean add-one-smoothed unigram probability — LOW values flag
+    documents full of corpus-rare tokens (boilerplate ids, lorem
+    noise, wrong-language text). Exact-integer arithmetic until the
+    final division (see module docstring).
+    """
+    ex, counts, totals = _doc_token_stats(df, id_col, text_col)
+    ds = (
+        ex.join(counts, "tok")
+        .groupBy("_id")
+        .agg(F.sum("c").cast("long").alias("_sum_c"), F.count(F.lit(1)).alias("_n"))
+    )
+    prob = (F.col("_sum_c") + F.col("_n")).cast("double") / (
+        F.col("_n") * (F.col("_t") + F.col("_v"))
+    )
+    return ds.crossJoin(broadcast(totals)).select(
+        F.col("_id").alias("id"),
+        F.col("_n").alias("n_tokens"),
+        (F.floor(prob * 100000000 + F.lit(0.5)) / 100000000.0).alias(
+            "mean_tok_prob"
+        ),
+    )
+
+
+def unigram_perplexity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_tokens, ppl)`` — exp of the mean negative log-prob under
+    the corpus's own add-one-smoothed unigram LM (the CCNet filter
+    statistic; lower = more typical of the corpus)."""
+    ex, counts, totals = _doc_token_stats(df, id_col, text_col)
+    logp = F.log(
+        (F.col("c") + F.lit(1)).cast("double")
+        / (F.col("_t") + F.col("_v")).cast("double")
+    )
+    ds = (
+        ex.join(counts, "tok")
+        .crossJoin(broadcast(totals))
+        .groupBy("_id")
+        .agg(F.sum(logp).alias("_ll"), F.count(F.lit(1)).alias("_n"))
+    )
+    return ds.select(
+        F.col("_id").alias("id"),
+        F.col("_n").alias("n_tokens"),
+        F.exp(-F.col("_ll") / F.col("_n")).alias("ppl"),
+    )
+
+
+def py_unigram_perplexity(rows: list[tuple], tokenizer=None) -> dict:
+    """Pure-Python ground truth for tests: ``{id: ppl}`` over
+    ``[(id, text), ...]`` with the same tokenizer and smoothing."""
+    import re
+
+    tok = tokenizer or (lambda s: [w for w in re.split(r"\W+", s.lower()) if w])
+    docs = {i: tok(t) for i, t in rows}
+    counts: dict[str, int] = {}
+    for ws in docs.values():
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    t, v = sum(counts.values()), len(counts)
+    out = {}
+    for i, ws in docs.items():
+        if not ws:
+            continue
+        ll = sum(math.log((counts[w] + 1) / (t + v)) for w in ws)
+        out[i] = math.exp(-ll / len(ws))
+    return out

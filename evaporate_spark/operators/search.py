@@ -1,0 +1,101 @@
+"""Keyword relevance search (BM25) over a document corpus.
+
+Beyond-reference operator (SURVEY §2C): the reference's only retrieval
+is embedding cosine top-1 (``reference/evaporate/retrieval.py:5-36``);
+production corpus tooling also needs lexical relevance ranking — for
+eval-set mining, targeted corpus slicing, and hybrid retrieval.
+
+Scale shape (100 TB):
+- Term frequencies are computed with JVM array expressions IN THE SCAN
+  STAGE (no explode, no per-token shuffle): one ``size(filter(tokens,
+  = term))`` per query term.
+- Corpus statistics (N, avgdl, per-term document frequency) are ONE
+  O(1)-wide global aggregate, broadcast back via a 1-row cross join.
+- Top-k is ``orderBy(...).limit(k)`` → TakeOrderedAndProject (per-
+  partition heaps + driver merge), never a global sort.
+
+Determinism: the score is a fixed-order sum of per-term BM25 parts and
+is rounded with the ``floor(x·10³+0.5)`` trick before the top-k
+ordering (rounded measure + unique id tie-break), so FP noise cannot
+reshuffle the selected set — the same conventions the relational
+catalog documents (plans/queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+__all__ = ["tokenize", "bm25_topk"]
+
+
+def tokenize(text_col: Column | str) -> Column:
+    """Lowercase \\W+ word split, empties dropped — shared verbatim
+    with the vocab/rarity oracles (`string_split_regex(lower(t),'\\W+')`)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), r"\W+"), lambda x: x != F.lit(""))
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 relevance to the bag of ``terms``.
+
+    Returns ``(id, n_hits, score)`` ordered by (score desc, id) with
+    ``score`` rounded to 3 decimals. Standard Robertson/Sparck-Jones
+    BM25: idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    base = df.select(
+        F.col(id_col).alias("_id"), tokenize(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    def _eq(term: str):
+        # single-arg lambda: a 2-arg lambda would make F.filter pass
+        # the array INDEX as the second argument
+        return lambda x: x == F.lit(term)
+
+    for i, t in enumerate(terms):
+        base = base.withColumn(f"_tf{i}", F.size(F.filter("_toks", _eq(t))))
+    base = base.drop("_toks")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / F.col("_avgdl"))
+    )
+    parts = []
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"_tf{i}")
+        parts.append(idf * (tf * F.lit(k1 + 1.0)) / (tf + norm))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    n_hits = None
+    for i in range(len(terms)):
+        h = (F.col(f"_tf{i}") > 0).cast("int")
+        n_hits = h if n_hits is None else n_hits + h
+    out = j.select(
+        F.col("_id").alias("id"),
+        n_hits.alias("n_hits"),
+        (F.floor(score * 1000 + F.lit(0.5)) / 1000.0).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("id")).limit(k)

@@ -908,6 +908,107 @@ def q_vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def _bm25_oracle(terms: list[str], k: int = 15, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of operators/search.py bm25_topk: identical
+    tokenizer, identical fixed-order per-term sum, identical floor
+    rounding — only ln() itself differs by engine (see the operator's
+    determinism note)."""
+    tfs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5)/(df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0})/(tf{i} + {k1}*({1.0 - b} + {b}*(dl/avgdl)))"
+        for i in range(len(terms))
+    )
+    hits = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        base AS (SELECT doc_id, len(toks) AS dl, {tfs} FROM t),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl, {dfs}
+            FROM base
+        )
+        SELECT doc_id AS id, {hits} AS n_hits,
+               FLOOR(({score}) * 1000 + 0.5)/1000.0 AS score
+        FROM base, stats
+        ORDER BY score DESC, id LIMIT {k}
+    """
+
+
+@register(
+    "q_bm25_search",
+    "Lexical relevance ranking: BM25 top-15 over the documents table "
+    "for a 3-term query — term frequencies as JVM array expressions in "
+    "the scan stage (no explode), corpus stats via ONE global "
+    "aggregate broadcast back, top-k via TakeOrderedAndProject. "
+    "Rounded-measure + id tie-break keeps the selected set stable.",
+    oracle=_bm25_oracle(_BM25_TERMS),
+    tags=("textstats",),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.search import bm25_topk
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=15)
+
+
+@register(
+    "q_token_rarity",
+    "Unigram-LM quality signal (CCNet-style, corpus-self-trained): "
+    "mean add-one-smoothed token probability per document. The score "
+    "is exact-integer arithmetic (sum of corpus token counts) until "
+    "one final double division, so it is aggregation-order-independent "
+    "and hash-matchable. The log-perplexity variant of the same LM is "
+    "pytest-verified (operators/lm_quality.py).",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        counts AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok),
+        totals AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS tt, COUNT(*) AS v FROM counts
+        ),
+        ds AS (
+            SELECT e.doc_id, CAST(SUM(c.c) AS BIGINT) AS sum_c,
+                   COUNT(*) AS n
+            FROM ex e JOIN counts c ON e.tok = c.tok
+            GROUP BY e.doc_id
+        )
+        SELECT doc_id AS id, n AS n_tokens,
+               FLOOR(((sum_c + n)::DOUBLE / (n * (tt + v)))
+                     * 100000000 + 0.5)/100000000.0 AS mean_tok_prob
+        FROM ds, totals
+    """,
+    tags=("textstats",),
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.lm_quality import mean_token_prob
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return mean_token_prob(d, "doc_id", "text")
+
+
 def _pii_oracle() -> str:
     """DuckDB twin of q_pii_redact: the SAME RE2∩Java pattern strings
     (functions/redact.py PII_PATTERNS), nested in the same order."""
@@ -1281,3 +1382,106 @@ def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# event analytics operators (sessionize / multi-resolution rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_sessions",
+    "Batch sessionization (4h inactivity gap): per-user session "
+    "assembly with stable 1-based session ids — the backfill twin of "
+    "the streaming session_window. ONE shuffle on user_id (lag + "
+    "running sum share the partitioning); all arithmetic on the "
+    "tz-free epoch-microsecond integer timeline, values in exact "
+    "cents, so no FP-order or timezone hazard.",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                                > 14400000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        x AS (
+            SELECT *, CAST(SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS BIGINT) AS session_idx
+            FROM s
+        )
+        SELECT user_id, session_idx,
+               COUNT(*)                                   AS n_events,
+               MIN(us)                                    AS start_us,
+               MAX(us)                                    AS end_us,
+               ROUND((MAX(us) - MIN(us)) / 1000000.0, 3)  AS duration_s,
+               CAST(SUM(cents) AS BIGINT)                 AS value_cents
+        FROM x GROUP BY user_id, session_idx
+    """,
+    tags=("events",),
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.sessionize import sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap_seconds=14400, tie_break="event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_us").alias("start_us"),
+        F.max("event_us").alias("end_us"),
+        F.round((F.max("event_us") - F.min("event_us")) / 1000000.0, 3).alias(
+            "duration_s"
+        ),
+        F.sum(cents).alias("value_cents"),
+    )
+
+
+@register(
+    "q_events_multires_rollup",
+    "Hypertable-style cascaded rollup: events aggregated ONCE at "
+    "minute grain, hour and day derived by re-aggregating the finer "
+    "grain (sum-of-sums over exact integer cents) — the raw table is "
+    "scanned exactly once however many grains are materialized. The "
+    "oracle aggregates each grain directly from the raw events; equal "
+    "hashes prove the cascade is lossless.",
+    oracle="""
+        WITH e AS (
+            SELECT epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT 'hour' AS grain,
+               (us // 3600000000) * 3600000000 AS bucket_us,
+               COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM e GROUP BY bucket_us
+        UNION ALL
+        SELECT 'day',
+               (us // 86400000000) * 86400000000 AS bucket_us,
+               COUNT(*), CAST(SUM(cents) AS BIGINT)
+        FROM e GROUP BY bucket_us
+    """,
+    tags=("events",),
+)
+def q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.rollup import multires_rollup
+
+    (events,) = _t(spark, sf_dir, "events")
+    prepared = events.select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    grains = multires_rollup(prepared, "ts", ["cents"], ["minute", "hour", "day"])
+    hour = grains["hour"].select(
+        F.lit("hour").alias("grain"), "bucket_us", "n",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+    day = grains["day"].select(
+        F.lit("day").alias("grain"), "bucket_us", "n",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+    return hour.unionByName(day)

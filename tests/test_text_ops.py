@@ -681,3 +681,62 @@ def test_dup_clusters_keeper_and_sizes(spark):
         0: 3, 1: 3, 2: 3, 3: 2, 4: 2, 5: 1,
     }
     assert [k for k, v in rows.items() if v["is_keeper"] == 1] == [0, 3, 5]
+
+
+# ---------------------------------------------------------------------------
+# BM25 search (operators/search.py) + unigram LM quality (lm_quality.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    import math
+    import re
+
+    from evaporate_spark.operators.search import bm25_topk
+
+    corpus = [
+        (0, "spark merge window spark spark"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "window functions partition order window"),
+        (3, "merge sort merge join merge merge merge"),
+        (4, "unrelated words entirely different content here today"),
+    ]
+    terms, k1, b = ["spark", "window", "merge"], 1.2, 0.75
+    toks = {i: [w for w in re.split(r"\W+", t.lower()) if w] for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    want = {}
+    for i, ws in toks.items():
+        score = 0.0
+        for t in terms:
+            tf, df = ws.count(t), sum(1 for v in toks.values() if t in v)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            score += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        want[i] = math.floor(score * 1000 + 0.5) / 1000.0
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = bm25_topk(df, "doc_id", "text", terms, k=5).collect()
+    assert [r["id"] for r in got] == sorted(
+        want, key=lambda i: (-want[i], i)
+    )
+    for r in got:
+        assert abs(r["score"] - want[r["id"]]) < 1e-9
+    assert {r["id"]: r["n_hits"] for r in got}[4] == 0
+
+
+def test_unigram_perplexity_matches_pure_python(spark):
+    from evaporate_spark.operators.lm_quality import (
+        py_unigram_perplexity,
+        unigram_perplexity,
+    )
+    from evaporate_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = [(r["doc_id"], r["text"]) for r in d.select("doc_id", "text").collect()]
+    want = py_unigram_perplexity(rows)
+    got = {r["id"]: r["ppl"] for r in unigram_perplexity(d, "doc_id", "text").collect()}
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - want[i]) / want[i] < 1e-9
+    # rarer-vocabulary docs must score higher than the corpus mode:
+    # perplexity is discriminative, not constant
+    assert max(got.values()) > min(got.values()) * 1.05

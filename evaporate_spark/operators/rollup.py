@@ -1,0 +1,81 @@
+"""Cascaded multi-resolution time rollups (hypertable-style).
+
+Time-series stores keep continuous aggregates at several grains
+(minute → hour → day). The scale-correct way to build them is a
+CASCADE: aggregate the raw events ONCE at the finest grain, then
+derive each coarser grain from the previous one (sum-of-sums,
+count-of-counts) — the raw table is scanned exactly once no matter
+how many grains are materialized. Re-aggregating 100 TB of events per
+grain is the anti-pattern this operator exists to avoid.
+
+Correctness requires the measures to be decomposable AND
+order-insensitive: counts and integer sums re-aggregate exactly;
+double sums do NOT (FP addition is non-associative), which is why the
+API takes integer measure columns (scale your doubles to exact cents
+first). Buckets are integer floor-divisions of epoch microseconds —
+timezone-free and identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["GRAIN_US", "multires_rollup"]
+
+#: bucket widths in microseconds, coarsest-last; each must divide the next
+GRAIN_US: dict[str, int] = {
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def multires_rollup(
+    df: DataFrame,
+    ts_col: str,
+    measure_cols: list[str],
+    grains: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """``{grain: (bucket_us BIGINT, n BIGINT, <sum_measures...>)}``.
+
+    ``bucket_us`` is the bucket's start in epoch microseconds. Raw
+    input is aggregated only at ``grains[0]``; every coarser grain
+    re-aggregates the previous one.
+    """
+    grains = grains or list(GRAIN_US)
+    widths = [GRAIN_US[g] for g in grains]
+    for fine, coarse in zip(widths, widths[1:]):
+        if coarse % fine:
+            raise ValueError(f"grain widths must nest: {fine} !| {coarse}")
+    out: dict[str, DataFrame] = {}
+    us = F.unix_micros(F.col(ts_col))
+    first = grains[0]
+    cur = (
+        df.select(
+            (F.floor(us / GRAIN_US[first]) * GRAIN_US[first]).alias("bucket_us"),
+            *[F.col(c) for c in measure_cols],
+        )
+        .groupBy("bucket_us")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c).alias(f"sum_{c}") for c in measure_cols],
+        )
+    )
+    out[first] = cur
+    for g in grains[1:]:
+        width = GRAIN_US[g]
+        cur = (
+            cur.select(
+                (F.floor(F.col("bucket_us") / width) * width).alias("bucket_us"),
+                "n",
+                *[F.col(f"sum_{c}") for c in measure_cols],
+            )
+            .groupBy("bucket_us")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in measure_cols],
+            )
+        )
+        out[g] = cur
+    return out

@@ -1,0 +1,56 @@
+"""Batch sessionization: gap-based session assignment over an event log.
+
+The streaming side of the engine already has ``session_window``
+(streaming/windows.py); this is the BATCH twin — the backfill /
+reprocessing path every event pipeline needs, with deterministic
+session ids that are stable across runs and cluster sizes.
+
+Semantics: events of one entity, ordered by (ts, tie-break), start a
+new session when the gap to the previous event exceeds ``gap``. The
+session index is the running count of session starts (1-based), so
+``(entity, session_idx)`` is a stable key.
+
+Scale shape: ONE shuffle on the entity key; both window passes (lag +
+running sum) share the same partitioning, so Catalyst plans a single
+Exchange. Per-entity data must fit a task's window buffer — the same
+contract as any per-entity ordered analytic; a pathological single
+entity with billions of events needs a coarser pre-split (e.g. by day)
+upstream, which composes with this operator because sessions never
+cross a true gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize"]
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Input frame + ``(event_us BIGINT, session_idx BIGINT)`` columns.
+
+    ``event_us`` is the event's epoch microseconds (the tz-free
+    integer timeline all arithmetic runs on); ``session_idx`` is the
+    1-based per-entity session number.
+    """
+    order = [F.col("event_us")] + ([F.col(tie_break)] if tie_break else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    gap_us = int(gap_seconds) * 1_000_000
+    out = df.withColumn("event_us", F.unix_micros(F.col(ts_col)))
+    prev = F.lag("event_us").over(w)
+    new_sess = (
+        prev.isNull() | ((F.col("event_us") - prev) > F.lit(gap_us))
+    ).cast("int")
+    return out.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

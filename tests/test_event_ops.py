@@ -1,0 +1,85 @@
+"""Unit tests for the batch event operators: sessionize (gap-based
+session assignment) and multires_rollup (cascaded grain aggregation)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_sessionize_gap_boundaries(spark):
+    from evaporate_spark.operators.sessionize import sessionize
+
+    rows = [
+        # user 1: events at minute 0, 10, 11, then 200 (gap > 60 min)
+        (1, 1, _ts(0)), (2, 1, _ts(10)), (3, 1, _ts(11)), (4, 1, _ts(200)),
+        # user 2: single event
+        (5, 2, _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessionize(df, "user_id", "ts", gap_seconds=3600, tie_break="event_id")
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+    # exactly-at-gap is NOT a new session (strict > semantics)
+    rows2 = [(1, 1, _ts(0)), (2, 1, _ts(60))]
+    df2 = spark.createDataFrame(rows2, "event_id long, user_id long, ts timestamp")
+    out2 = sessionize(df2, "user_id", "ts", gap_seconds=3600, tie_break="event_id")
+    assert {r["event_id"]: r["session_idx"] for r in out2.collect()} == {1: 1, 2: 1}
+
+
+def test_sessionize_single_exchange(spark):
+    """lag + running-sum share the user_id partitioning: ONE Exchange."""
+    from evaporate_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    out = sessionize(df, "user_id", "ts", gap_seconds=3600, tie_break="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_multires_rollup_lossless_and_single_scan(spark, tmp_path):
+    import random
+
+    from evaporate_spark.operators.rollup import multires_rollup
+
+    rng = random.Random(3)
+    rows = [
+        (i, _ts(rng.randrange(0, 60 * 72)), rng.randrange(-500, 500))
+        for i in range(500)
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, cents long"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    grains = multires_rollup(df, "ts", ["cents"], ["minute", "hour", "day"])
+
+    # cascade must equal direct aggregation at every grain
+    for g, width in [("hour", 3_600_000_000), ("day", 86_400_000_000)]:
+        direct = (
+            df.select(
+                (F.floor(F.unix_micros("ts") / width) * width).alias("bucket_us"),
+                "cents",
+            )
+            .groupBy("bucket_us")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        )
+        got = {r["bucket_us"]: (r["n"], r["sum_cents"]) for r in grains[g].collect()}
+        want = {r["bucket_us"]: (r["n"], r["sum_cents"]) for r in direct.collect()}
+        assert got == want and len(got) > 1
+
+    # the coarsest grain's plan reads the raw table exactly ONCE
+    plan = grains["day"]._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    assert final.count("Scan parquet") == 1, final[:2000]
+
+    # non-nesting grains are rejected
+    try:
+        multires_rollup(df, "ts", ["cents"], ["hour", "day"])
+    except ValueError:
+        raise AssertionError("hour|day nests; should not raise")

@@ -300,6 +300,8 @@ class EvaporateData:
             writer.json(path)
         elif fmt == "csv":
             writer.option("header", "true").csv(path)
+        elif fmt == "orc":
+            writer.orc(path)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
 

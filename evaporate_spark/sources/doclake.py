@@ -100,3 +100,29 @@ def directory_tree(docs_dir_df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_files"))
         .orderBy("directory")
     )
+
+
+def read_document_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "doc",
+    id_field: str = "id",
+    text_field: str = "body",
+) -> DataFrame:
+    """XML corpus → canonical documents frame.
+
+    Uses Spark's built-in splittable XML source (first-class since
+    Spark 4), so a single multi-gigabyte export file still fans out
+    across executors; schema is inferred per ``row_tag`` record. The
+    reference's lake formats are txt/html only (``configs.py``
+    parser switch) — XML is an engine source addition (SURVEY §2B
+    scans row).
+    """
+    raw = spark.read.format("xml").option("rowTag", row_tag).load(path)
+    content = F.coalesce(F.col(text_field).cast("string"), F.lit(""))
+    return raw.select(
+        F.concat(F.lit("xml://"), F.col(id_field).cast("string")).alias("path"),
+        content.alias("content"),
+        F.lit("xml").alias("doc_type"),
+        F.octet_length(content).cast("bigint").alias("n_bytes"),
+    )

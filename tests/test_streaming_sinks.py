@@ -1253,3 +1253,91 @@ def test_streaming_media_decode(spark, tmp_path):
     }
     assert got == batch and len(got) == 3
     assert all(v[0] in ("png", "gif", "jpeg") for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# format-surface additions: ORC sink, XML doc-lake source,
+# exactly-once foreachBatch sink (streaming/sinks.py)
+# ---------------------------------------------------------------------------
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC sink/source round-trip (columnar alt to parquet; built-in)."""
+    src = str(tmp_path / "t.orc")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id long, s string, v double",
+    )
+    df.write.orc(src)
+    back = spark.read.orc(src)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_xml_document_lake_source(spark, tmp_path):
+    from evaporate_spark.sources.doclake import read_document_xml
+
+    p = tmp_path / "corpus.xml"
+    p.write_text(
+        "<docs>"
+        "<doc><id>1</id><body>hello world</body></doc>"
+        "<doc><id>2</id><body>b&amp;w text</body></doc>"
+        "<doc><id>3</id></doc>"  # missing body -> empty content
+        "</docs>"
+    )
+    docs = read_document_xml(spark, str(p))
+    assert docs.columns == ["path", "content", "doc_type", "n_bytes"]
+    rows = {r["path"]: r for r in docs.collect()}
+    assert rows["xml://1"]["content"] == "hello world"
+    assert rows["xml://2"]["content"] == "b&w text"  # entity decoded
+    assert rows["xml://3"]["content"] == "" and rows["xml://3"]["n_bytes"] == 0
+    assert all(r["doc_type"] == "xml" for r in rows.values())
+
+
+def test_foreach_batch_sink_idempotent(spark, tmp_path):
+    import json
+
+    from evaporate_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+        write_batch_idempotent,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "src").mkdir()
+    with open(f"{src}/a.json", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"k": i, "v": i * 10}) + "\n")
+
+    stream = spark.readStream.schema("k long, v long").json(src)
+    q = idempotent_parquet_sink(stream, sink, ckpt)
+    q.awaitTermination(60)
+    first = sorted((r["k"], r["v"]) for r in spark.read.parquet(sink).collect())
+    assert first == [(i, i * 10) for i in range(10)]
+
+    # redelivery of the SAME batch id (crash-before-commit replay) must
+    # leave the sink unchanged — the exactly-once property
+    batch_df = spark.read.schema("k long, v long").json(src)
+    write_batch_idempotent(batch_df, 0, sink)
+    again = sorted((r["k"], r["v"]) for r in spark.read.parquet(sink).collect())
+    assert again == first
+
+    # restart with the same checkpoint and no new data: no-op
+    q2 = idempotent_parquet_sink(
+        spark.readStream.schema("k long, v long").json(src), sink, ckpt
+    )
+    q2.awaitTermination(60)
+    assert sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(sink).collect()
+    ) == first
+
+    # new data lands in a NEW batch directory; old rows not duplicated
+    with open(f"{src}/b.json", "w") as f:
+        f.write(json.dumps({"k": 100, "v": 1000}) + "\n")
+    q3 = idempotent_parquet_sink(
+        spark.readStream.schema("k long, v long").json(src), sink, ckpt
+    )
+    q3.awaitTermination(60)
+    final = sorted((r["k"], r["v"]) for r in spark.read.parquet(sink).collect())
+    assert final == first + [(100, 1000)]

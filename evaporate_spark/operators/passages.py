@@ -1,0 +1,146 @@
+"""Duplicate-PASSAGE detection: substring-level dedup signals.
+
+Document-level dedup (operators/dedup.py) misses the dominant failure
+mode of web corpora: distinct pages sharing long verbatim spans
+(boilerplate, licenses, quoted chains). The exact-substring pass of
+Lee et al., "Deduplicating Training Data Makes Language Models
+Better" (ACL'22), removes those; their suffix-array construction is a
+single-machine algorithm, so this operator re-expresses the idea in
+the shuffle-native form: hash every fixed-length token window (with a
+stride), group windows by hash, and flag spans whose window occurs in
+≥ ``min_docs`` distinct documents.
+
+Recall semantics — be precise, the three modes differ:
+
+- ``stride=1``: EXACT recall — every shared verbatim span of ≥
+  ``window`` tokens is detected, any alignment (the Lee et al.
+  guarantee), at one row per token.
+- ``stride=k, anchor="grid"``: windows start at fixed offsets
+  0, k, 2k, …; detects duplicates whose copies sit at offsets that
+  are CONGRUENT mod k (exact clones, clones behind a fixed prefix
+  whose length is a multiple of k). Cheapest; NOT alignment-free —
+  two docs whose grids disagree mod k can miss a shared span
+  entirely.
+- ``stride=k, anchor="cdc"``: content-defined anchoring — a window
+  starts wherever ``xxhash64(token) % k == 0``. Anchor positions
+  depend only on the text, so both copies of a shared span pick the
+  SAME in-span anchors regardless of offset (the rsync/LBFS chunking
+  idea). Detection of a shared span of m ≥ window tokens is
+  probabilistic: p ≈ 1 − (1−1/k)^(m−window+1), at ~1/k rows per
+  token.
+
+Scale shape (100 TB): windows are produced by JVM array expressions in
+the scan stage (slice + concat + md5 — no Python, no per-token rows);
+the ONE shuffle is the groupBy on the 128-bit window hash; the
+flag-join back to windows shuffles on the same key (AQE reuses or
+broadcasts the usually-tiny duplicated-hash side). State never exceeds
+(n_tokens/stride) rows of (id, offset, 16-byte hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from evaporate_spark.operators.dedup import ws_tokens
+
+__all__ = ["passage_windows", "dup_passages", "dup_passage_stats"]
+
+
+def passage_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 30,
+    stride: int = 10,
+    anchor: str = "grid",
+) -> DataFrame:
+    """``(id, start_tok, h)``: md5 of each selected token window
+    (0-based offsets). See the module docstring for the recall
+    semantics of ``anchor`` ∈ {"grid", "cdc"}."""
+    toks: Column = ws_tokens(F.col(text_col))
+    if anchor == "grid":
+        starts = F.when(
+            F.size(toks) >= window,
+            F.sequence(F.lit(0), F.size(toks) - window, F.lit(stride)),
+        ).otherwise(F.array().cast("array<int>"))
+    elif anchor == "cdc":
+        starts = F.when(
+            F.size(toks) >= window,
+            F.filter(
+                F.sequence(F.lit(0), F.size(toks) - window),
+                lambda i: F.pmod(
+                    F.xxhash64(F.element_at(toks, i + 1)), F.lit(stride)
+                )
+                == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+    else:
+        raise ValueError(f"unknown anchor mode {anchor!r}")
+    win = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.explode(starts).alias("start_tok"),
+    )
+    return win.select(
+        "id",
+        "start_tok",
+        F.md5(
+            F.concat_ws(" ", F.slice("_toks", F.col("start_tok") + 1, window))
+        ).alias("h"),
+    )
+
+
+def dup_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 30,
+    stride: int = 10,
+    min_docs: int = 2,
+    anchor: str = "grid",
+) -> DataFrame:
+    """``(id, start_tok, h, n_docs)`` for every window whose verbatim
+    span occurs in ≥ ``min_docs`` DISTINCT documents — the span-level
+    hit list (feed to a cutter/masker downstream)."""
+    wins = passage_windows(df, id_col, text_col, window, stride, anchor)
+    hot = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return wins.join(hot, "h").select("id", "start_tok", "h", "n_docs")
+
+
+def dup_passage_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 30,
+    stride: int = 10,
+    min_docs: int = 2,
+    anchor: str = "grid",
+) -> DataFrame:
+    """Per-document summary ``(id, n_windows, n_dup_windows,
+    dup_window_frac)`` — the filter statistic (drop or trim documents
+    dominated by cross-document boilerplate)."""
+    wins = passage_windows(df, id_col, text_col, window, stride, anchor)
+    hot = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    flagged = wins.join(hot, "h", "left")
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("n_docs").isNotNull().cast("int")).alias("n_dup_windows"),
+        (
+            F.floor(
+                F.sum(F.col("n_docs").isNotNull().cast("int")).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("dup_window_frac"),
+    )

@@ -1,0 +1,85 @@
+"""Z-order (Morton-curve) clustered writes for multi-column data skipping.
+
+Sorting a table by one column gives parquet min/max row-group pruning
+on that column only; range queries on a second column read everything.
+Interleaving the bits of several columns into one Morton key and
+range-partitioning + sorting on it bounds EVERY indexed column's value
+span per file — so predicate pushdown on any of the columns skips most
+files/row-groups. This is the layout trick behind Delta/Iceberg
+``OPTIMIZE ZORDER BY``; here it is plain DataFrame ops over plain
+parquet.
+
+Scale shape: one O(1)-wide min/max aggregate per indexed column (one
+job), then ``repartitionByRange`` on the Morton key (sampled range
+exchange — the same machinery as a global sort, but the subsequent
+sort is only WITHIN partitions). The interleave itself is a pure JVM
+expression tree (shift/and/or), no UDFs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["morton_interleave", "zorder_key", "zorder_write"]
+
+
+def morton_interleave(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each (non-negative integer)
+    column into one Morton key: col j contributes bit i to output bit
+    ``i·len(cols) + j``."""
+    n = len(cols)
+    parts: list[Column] = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, Column]:
+    """Scale each column to [0, 2^bits) by global min/max (one tiny
+    aggregate), return (df+ranges, morton key column)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"_mn_{c}"),
+            F.max(c).cast("double").alias(f"_mx_{c}"),
+        ]
+    ranges = df.agg(*aggs)
+    j = df.crossJoin(F.broadcast(ranges))
+    top = float((1 << bits) - 1)
+    scaled = [
+        F.floor(
+            (F.col(c).cast("double") - F.col(f"_mn_{c}"))
+            / (F.col(f"_mx_{c}") - F.col(f"_mn_{c}") + F.lit(1e-12))
+            * top
+        ).cast("long")
+        for c in cols
+    ]
+    return j, morton_interleave(scaled, bits)
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton key of ``cols``:
+    range-partition into ``num_files`` key ranges, sort within each,
+    drop the helper columns."""
+    j, key = zorder_key(df, cols, bits)
+    out = (
+        j.withColumn("_z", key)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
+    )
+    out.write.mode("overwrite").parquet(path)

@@ -1485,3 +1485,70 @@ def q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_cents").cast("long").alias("sum_cents"),
     )
     return hour.unionByName(day)
+
+
+_BOILER = (
+    "this content is provided under the standard corpus license "
+    "agreement and may be redistributed only with attribution to the "
+    "original source repository version two point one"
+)  # exactly 25 tokens: a multiple of the stride, so clone windows over
+#    the copied text stay aligned with the original's windows
+
+
+@register(
+    "q_dup_passage_stats",
+    "Substring-level dedup signal (Lee et al. ACL'22 exact-substring, "
+    "re-expressed shuffle-native): hash every 20-token window at "
+    "stride 5 (JVM slice+md5 in the scan stage), ONE shuffle on the "
+    "window hash, flag windows seen in >=2 distinct docs, summarize "
+    "per doc. Corpus = documents + clones carrying a 25-token shared "
+    "boilerplate prefix, so the stats spread across boilerplate "
+    "(hot everywhere), cloned text (n_docs=2), and clean docs.",
+    oracle=rf"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   '{_BOILER}' || ' ' || text AS text
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM d
+        ),
+        w0 AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks) - 20 + 1, 5)) AS start_tok
+            FROM t WHERE len(toks) >= 20
+        ),
+        w AS (
+            SELECT doc_id, start_tok,
+                   md5(array_to_string(toks[start_tok+1:start_tok+20], ' ')) AS h
+            FROM w0
+        ),
+        hot AS (
+            SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+            FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT w.doc_id AS id,
+               COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_windows,
+               FLOOR(CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0
+                   AS dup_window_frac
+        FROM w LEFT JOIN hot ON w.h = hot.h
+        GROUP BY w.doc_id
+    """,
+    tags=("dedup",),
+)
+def q_dup_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.passages import dup_passage_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clone = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit(_BOILER + " "), F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(clone)
+    return dup_passage_stats(corpus, "doc_id", "text", window=20, stride=5)

@@ -740,3 +740,125 @@ def test_unigram_perplexity_matches_pure_python(spark):
     # rarer-vocabulary docs must score higher than the corpus mode:
     # perplexity is discriminative, not constant
     assert max(got.values()) > min(got.values()) * 1.05
+
+
+# ---------------------------------------------------------------------------
+# duplicate passages (operators/passages.py)
+# ---------------------------------------------------------------------------
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_dup_passages_cdc_alignment_free(spark):
+    """Content-defined anchoring detects a shared span at ARBITRARY
+    (non-congruent) offsets, where the fixed grid provably cannot;
+    sub-window overlaps are never matched."""
+    from evaporate_spark.operators.passages import dup_passages
+
+    shared = _words("s", 30)
+    docs = [
+        (0, shared + " " + _words("a", 30)),
+        (1, _words("b", 7) + " " + shared + " " + _words("c", 25)),  # offset 7
+        (2, _words("d", 40)),  # clean
+        (3, _words("s", 8) + " " + _words("e", 30)),  # only 8 shared tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # offsets 0 and 7 disagree mod 3: the fixed grid misses the span
+    grid = dup_passages(df, "doc_id", "text", window=10, stride=3).collect()
+    assert {r["id"] for r in grid} == set()
+    # CDC anchors follow the content, so both copies pick the same
+    # in-span starts
+    hits = dup_passages(
+        df, "doc_id", "text", window=10, stride=3, anchor="cdc"
+    ).collect()
+    assert {r["id"] for r in hits} == {0, 1}
+    for r in hits:
+        assert r["n_docs"] == 2
+    # matched hashes agree across the two docs at shifted offsets
+    by_doc = {0: set(), 1: set()}
+    for r in hits:
+        by_doc[r["id"]].add(r["h"])
+    assert by_doc[0] == by_doc[1]
+
+
+def test_dup_passage_stats_fraction(spark):
+    from evaporate_spark.operators.passages import dup_passage_stats
+
+    shared = _words("s", 20)
+    docs = [
+        (0, shared),                      # fully duplicated
+        (1, shared + " " + _words("x", 20)),  # half duplicated
+        (2, _words("y", 25)),             # clean
+        (3, _words("z", 5)),              # too short: excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in dup_passage_stats(
+            df, "doc_id", "text", window=10, stride=10
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0]["dup_window_frac"] == 1.0
+    # doc1 windows start at 0,10,20,30; the first TWO lie in the
+    # 20-token shared span
+    assert out[1]["n_dup_windows"] == 2 and out[1]["n_windows"] == 4
+    assert out[1]["dup_window_frac"] == 0.5
+    assert out[2]["dup_window_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# z-order clustered writes (operators/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def test_morton_interleave_known_values(spark):
+    from evaporate_spark.operators.zorder import morton_interleave
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long"
+    )
+    out = df.select(
+        morton_interleave([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).collect()
+    # interleave(x=3 (011), y=5 (101)) -> bits y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 39
+    assert [r["z"] for r in out] == [0, 1, 2, 39]
+
+
+def test_zorder_write_skips_files_on_both_dims(spark, tmp_path):
+    from evaporate_spark.operators.zorder import zorder_write
+
+    grid = spark.range(100 * 100).selectExpr(
+        "id % 100 AS x", "id div 100 AS y", "id AS payload"
+    )
+    zpath, npath = str(tmp_path / "z"), str(tmp_path / "naive")
+    zorder_write(grid, ["x", "y"], zpath, num_files=16)
+    grid.repartitionByRange(16, "x").sortWithinPartitions(
+        "x"
+    ).write.parquet(npath)
+
+    def files_touched(path, col, lo, hi):
+        """Files whose [min,max] span of `col` intersects [lo,hi] —
+        the ones a min/max-pruning reader must open."""
+        spans = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .collect()
+        )
+        assert len(spans) == 16
+        return sum(1 for r in spans if not (r["mx"] < lo or r["mn"] > hi))
+
+    # x-sorted layout: a y-range predicate cannot skip anything
+    assert files_touched(npath, "y", 40, 45) == 16
+    # z-order bounds BOTH dims: each narrow predicate opens a minority
+    # of files, on x AND on y
+    z_worst = max(
+        files_touched(zpath, "x", 40, 45), files_touched(zpath, "y", 40, 45)
+    )
+    assert z_worst <= 8, z_worst
+    # rows survive the layout intact
+    assert spark.read.parquet(zpath).count() == 10000

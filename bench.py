@@ -78,6 +78,9 @@ RELATIONAL = [name for name, spec in REGISTRY.items() if "bench" in spec.tags]
 EXTENDED = [
     "q_exact_dedup_groups",
     "q_minhash_lsh_dups",
+    "q_dup_clusters",
+    "q_dup_passage_stats",
+    "q_token_rarity",
     "q_knn_cosine",
     "q_semantic_closed_ie",
     "q_semantic_openie",

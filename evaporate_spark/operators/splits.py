@@ -1,0 +1,85 @@
+"""Leakage-safe train/validation/test splits.
+
+Splitting a corpus row-wise leaks: near-duplicate documents land on
+both sides of the train/test fence and inflate eval scores (the
+failure mode both Lee et al. ACL'22 and the decontamination literature
+warn about). The correct unit of assignment is the DUPLICATE CLUSTER:
+every member of a cluster goes to the same split.
+
+This operator assigns splits by hashing a GROUP key (a dup-cluster id
+from operators/clustering.py, an exact-dedup fingerprint, a source
+domain — any key whose members must not be separated) with the same
+md5-threshold mechanism as operators/mixing.py: deterministic across
+runs, cluster sizes, and engines, and nested-subset composable.
+
+Scale shape: pure JVM expressions on an existing column — no shuffle,
+no state; the split is a filter predicate, so Catalyst pushes it into
+the scan when the group key is stored.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from evaporate_spark.operators.mixing import _HASH_SPACE, sample_hash
+
+__all__ = ["split_column", "leakage_safe_split"]
+
+
+def split_column(
+    group_col: Column | str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> Column:
+    """A deterministic split label per GROUP key.
+
+    ``fractions`` maps label → share; shares must sum to ≤ 1, and any
+    remainder goes to the FIRST label (so {"test": .1, "val": .1,
+    "train": .8} and {"train": .8, "test": .1, "val": .1} agree).
+    Labels are assigned by cut points over the uniform md5 hash in
+    ``fractions`` insertion order — shrinking one share never
+    reassigns rows between the OTHER labels (stable re-splits).
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    labels = list(fractions)
+    cuts: list[int] = []
+    acc = 0.0
+    for lab in labels:
+        acc += fractions[lab]
+        cuts.append(min(int(acc * _HASH_SPACE), _HASH_SPACE))
+    h = sample_hash(group_col, salt)
+    expr = F.lit(labels[0])  # remainder bucket
+    for lab, lo, hi in zip(labels, [0] + cuts[:-1], cuts):
+        expr = F.when((h >= lo) & (h < hi), F.lit(lab)).otherwise(expr)
+    return expr
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """``df`` + a ``split`` label column, constant within each group."""
+    return df.withColumn(out_col, split_column(group_col, fractions, salt))
+
+
+def py_split_of(key, fractions: dict[str, float], salt: str = "") -> str:
+    """Pure-Python twin of :func:`split_column` for tests."""
+    import hashlib
+
+    h = int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:8], 16)
+    labels = list(fractions)
+    acc = 0.0
+    cuts = []
+    for lab in labels:
+        acc += fractions[lab]
+        cuts.append(min(int(acc * _HASH_SPACE), _HASH_SPACE))
+    i = bisect_right(cuts, h)
+    return labels[i] if i < len(labels) else labels[0]

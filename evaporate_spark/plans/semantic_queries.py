@@ -1552,3 +1552,202 @@ def q_dup_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(clone)
     return dup_passage_stats(corpus, "doc_id", "text", window=20, stride=5)
+
+
+@register(
+    "q_leakage_safe_split",
+    "Leakage-safe train/val/test assignment: the split is hashed on "
+    "the exact-dup FINGERPRINT (the cluster key), so every copy of a "
+    "document lands in the same split - the row-wise-split eval-"
+    "inflation bug made structurally impossible. Pure JVM md5 "
+    "arithmetic, zero shuffle; the oracle replays the identical cut-"
+    "point logic.",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, fp,
+                   CAST(concat('0x', substr(md5(fp), 1, 8)) AS UBIGINT) AS hv
+            FROM f
+        )
+        SELECT doc_id, fp,
+               CASE
+                   WHEN hv < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+                   WHEN hv < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+                   WHEN hv < CAST(1.0 * 4294967296 AS BIGINT) THEN 'test'
+                   ELSE 'train' END AS split
+        FROM h
+    """,
+    tags=("dedup",),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.text_stats import fingerprint
+    from evaporate_spark.operators.splits import leakage_safe_split
+
+    (d,) = _t(spark, sf_dir, "documents")
+    with_fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return leakage_safe_split(
+        with_fp, "fp", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+@register(
+    "q_profile_lineitem_cols",
+    "One-scan column profiler: null counts, exact distinct "
+    "cardinalities, and typed min/max ranges for five lineitem "
+    "columns computed in a SINGLE wide partial+final aggregate, "
+    "unpivoted via stack - vs the naive one-job-per-column k-scan "
+    "profiling. Typed ranges (num vs str) avoid engine-specific "
+    "double formatting.",
+    oracle="""
+        SELECT 'l_orderkey' AS column, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               COUNT(DISTINCT l_orderkey) AS n_distinct,
+               CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', COUNT(*),
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT l_quantity),
+               CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*),
+               CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT l_discount),
+               CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*),
+               CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT l_returnflag),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               MIN(l_returnflag), MAX(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', COUNT(*),
+               CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT l_linestatus),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               MIN(l_linestatus), MAX(l_linestatus)
+        FROM lineitem
+    """,
+    tags=("textstats",),
+)
+def q_profile_lineitem_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.profiler import profile_columns
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_linestatus"]
+    )
+
+
+@register(
+    "q_apply_cdc",
+    "CDC apply (MERGE INTO as DataFrame ops): latest-wins merge of a "
+    "deterministic change stream - deletes, two conflicting updates "
+    "per key (seq orders them), same-seq delete-vs-upsert ties "
+    "(resolve to delete), and inserts of new keys. Latest-change "
+    "window and full-outer merge hash the SAME key, so the plan is "
+    "co-partitioned. Oracle replays the identical semantics in SQL.",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   ROUND(o_totalprice, 2) AS price
+            FROM orders
+        ),
+        changes AS (
+            SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+                   CAST(NULL AS DOUBLE) AS price, 'D' AS op, 2 AS seq
+            FROM base WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, 'UPD', price + 1.5, 'U', 2
+            FROM base WHERE o_orderkey % 10 IN (1, 2)
+            UNION ALL
+            SELECT o_orderkey, 'STALE', 0.0, 'U', 1
+            FROM base WHERE o_orderkey % 10 IN (1, 2)
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'NEW', price, 'I', 1
+            FROM base WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT o_orderkey, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), 'D', 5
+            FROM base WHERE o_orderkey % 10 = 4
+            UNION ALL
+            SELECT o_orderkey, 'ZOMBIE', 1.0, 'U', 5
+            FROM base WHERE o_orderkey % 10 = 4
+        ),
+        latest AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY seq DESC, (op = 'D') DESC
+                ) AS rn FROM changes
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+               CASE WHEN l.op IS NULL THEN b.o_orderstatus
+                    ELSE l.o_orderstatus END AS o_orderstatus,
+               CASE WHEN l.op IS NULL THEN b.price ELSE l.price END AS price
+        FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+        WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    tags=("join",),
+)
+def q_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.cdc import apply_cdc
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    k = F.col("o_orderkey")
+    nulls = [
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("price"),
+    ]
+    deletes = base.where(k % 10 == 0).select(
+        "o_orderkey", *nulls, F.lit("D").alias("op"), F.lit(2).alias("seq")
+    )
+    upd2 = base.where((k % 10).isin(1, 2)).select(
+        "o_orderkey",
+        F.lit("UPD").alias("o_orderstatus"),
+        (F.col("price") + 1.5).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    upd1 = base.where((k % 10).isin(1, 2)).select(
+        "o_orderkey",
+        F.lit("STALE").alias("o_orderstatus"),
+        F.lit(0.0).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    ins = base.where(k % 10 == 3).select(
+        (k + 10000000).alias("o_orderkey"),
+        F.lit("NEW").alias("o_orderstatus"),
+        "price",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    tie_d = base.where(k % 10 == 4).select(
+        "o_orderkey", *nulls, F.lit("D").alias("op"), F.lit(5).alias("seq")
+    )
+    tie_u = base.where(k % 10 == 4).select(
+        "o_orderkey",
+        F.lit("ZOMBIE").alias("o_orderstatus"),
+        F.lit(1.0).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(5).alias("seq"),
+    )
+    changes = deletes.unionByName(upd2).unionByName(upd1).unionByName(ins)
+    changes = changes.unionByName(tie_d).unionByName(tie_u)
+    return apply_cdc(base, changes, ["o_orderkey"], "seq")

@@ -862,3 +862,114 @@ def test_zorder_write_skips_files_on_both_dims(spark, tmp_path):
     assert z_worst <= 8, z_worst
     # rows survive the layout intact
     assert spark.read.parquet(zpath).count() == 10000
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splits (operators/splits.py)
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_group_constancy(spark):
+    from evaporate_spark.operators.splits import leakage_safe_split, py_split_of
+
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    df = spark.createDataFrame(
+        [(i, f"g{i % 25}") for i in range(200)], "doc_id long, grp string"
+    )
+    out = leakage_safe_split(df, "grp", fr).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+    # every group maps to exactly one split
+    assert all(len(v) == 1 for v in by_grp.values())
+    # and agrees with the pure-python twin
+    for g, v in by_grp.items():
+        assert v == {py_split_of(g, fr)}
+    # all three labels actually occur over 25 groups
+    assert {next(iter(v)) for v in by_grp.values()} == {"train", "val", "test"}
+
+
+def test_split_stability_under_fraction_change(spark):
+    """Shrinking one share must not shuffle rows between the OTHER
+    labels (cut points are cumulative in insertion order)."""
+    from evaporate_spark.operators.splits import py_split_of
+
+    a = {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = {"train": 0.6, "val": 0.3, "test": 0.1}
+    moved_wrong = 0
+    for g in range(1000):
+        sa, sb = py_split_of(g, a), py_split_of(g, b)
+        if sa != sb:
+            # only train->val moves are legal for this change
+            assert (sa, sb) == ("train", "val"), (g, sa, sb)
+            moved_wrong += 0
+    # and some rows did move (the change is real)
+    assert any(py_split_of(g, a) != py_split_of(g, b) for g in range(1000))
+
+
+def test_split_fraction_validation(spark):
+    from evaporate_spark.operators.splits import split_column
+
+    try:
+        split_column("g", {"a": 0.8, "b": 0.4})
+        raise AssertionError("fractions > 1 must raise")
+    except ValueError:
+        pass
+
+
+def test_dup_passages_winnow_guarantee_all_offsets(spark):
+    """Winnowing's deterministic promise: a shared span of
+    >= window + stride - 1 tokens is detected at EVERY offset."""
+    from evaporate_spark.operators.passages import dup_passages
+
+    window, stride = 8, 4
+    shared = _words("s", window + stride - 1)  # 11 tokens: minimum span
+    for off in range(6):
+        docs = [
+            (0, shared + " " + _words("a", 20)),
+            (1, _words(f"b", off) + (" " if off else "") + shared + " " + _words("c", 15)),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        hits = dup_passages(
+            df, "doc_id", "text", window=window, stride=stride, anchor="winnow"
+        ).collect()
+        assert {r["id"] for r in hits} == {0, 1}, f"missed at offset {off}"
+
+
+def test_winnow_density_bounded(spark):
+    """Winnowing selects ~2/(stride+1) of candidate starts, never all."""
+    from evaporate_spark.operators.passages import passage_windows
+
+    df = spark.createDataFrame(
+        [(0, _words("w", 200))], "doc_id long, text string"
+    )
+    n = passage_windows(
+        df, "doc_id", "text", window=10, stride=8, anchor="winnow"
+    ).count()
+    candidates = 200 - 10 + 1
+    assert n < candidates / 2, (n, candidates)
+    assert n >= candidates // 8, (n, candidates)
+
+
+def test_profile_columns_one_scan_and_values(spark):
+    from evaporate_spark.operators.profiler import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "b"), (2, None, "a"), (2, 4.0, None)],
+        "k long, v double, s string",
+    )
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert out["k"]["n_null"] == 0 and out["k"]["n_distinct"] == 2
+    assert out["k"]["min_num"] == 1.0 and out["k"]["max_num"] == 2.0
+    assert out["k"]["min_str"] is None
+    assert out["v"]["n_null"] == 1 and out["v"]["max_num"] == 4.0
+    assert out["s"]["n_null"] == 1 and out["s"]["min_str"] == "a"
+    assert out["s"]["min_num"] is None
+    assert all(r["n_rows"] == 3 for r in out.values())
+    # unsupported types refuse loudly instead of formatting doubles
+    ts = df.select(F.current_timestamp().alias("t"))
+    try:
+        profile_columns(ts)
+        raise AssertionError("timestamp col must raise")
+    except ValueError:
+        pass

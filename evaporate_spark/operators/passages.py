@@ -28,6 +28,13 @@ Recall semantics — be precise, the three modes differ:
   idea). Detection of a shared span of m ≥ window tokens is
   probabilistic: p ≈ 1 − (1−1/k)^(m−window+1), at ~1/k rows per
   token.
+- ``stride=k, anchor="winnow"``: winnowing (Schleimer et al.,
+  SIGMOD'03) — keep the leftmost-minimum hash position of every run
+  of k consecutive candidate starts. DETERMINISTIC alignment-free
+  guarantee: any shared span of ≥ ``window + k − 1`` tokens is
+  detected (every length-k start run inside the span selects the
+  same content-determined position in both copies), at ≤ 1 and
+  expectedly ~2/(k+1) rows per token.
 
 Scale shape (100 TB): windows are produced by JVM array expressions in
 the scan stage (slice + concat + md5 — no Python, no per-token rows);
@@ -75,6 +82,32 @@ def passage_windows(
                 == 0,
             ),
         ).otherwise(F.array().cast("array<int>"))
+    elif anchor == "winnow":
+        # window-hash sequence, then the leftmost-min position of every
+        # run of `stride` consecutive candidate starts (distinct'ed)
+        wh = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(toks, i + 1, window))
+            ),
+        )
+        def _pick(t):
+            # closure over wh — a second lambda arg would be filled
+            # with the transform INDEX, not the hash array
+            run = F.slice(wh, t + 1, stride)
+            return t + F.array_position(run, F.array_min(run)) - 1
+        starts = F.when(
+            F.size(toks) >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(toks) - window - stride + 1, F.lit(0)),
+                    ),
+                    _pick,
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
     else:
         raise ValueError(f"unknown anchor mode {anchor!r}")
     win = df.select(

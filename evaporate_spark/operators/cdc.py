@@ -1,0 +1,73 @@
+"""CDC apply: merge a change stream (insert/update/delete) into a base
+snapshot — the MERGE INTO of lakehouse tables, as plain DataFrame ops.
+
+Semantics (latest-wins):
+- ``changes`` carries the key columns, the new payload, an ``op``
+  column in {'I','U','D'} and a monotonically increasing ``seq``; for
+  each key only the change with the highest ``seq`` applies.
+- 'I'/'U' upsert the payload; 'D' removes the key; base keys without
+  changes pass through untouched.
+
+Scale shape: the per-key latest-change window and the full-outer
+merge join both hash on the SAME key columns, so Catalyst plans one
+Exchange per side and co-partitions the join; nothing is collected,
+and the output is a plain DataFrame the caller writes as the next
+snapshot version (write-new-dir-then-swap, as in
+operators/compaction.py's contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["latest_changes", "apply_cdc"]
+
+
+def latest_changes(
+    changes: DataFrame, key_cols: list[str], seq_col: str, op_col: str = "op"
+) -> DataFrame:
+    """One row per key: the change with the highest ``seq`` (ties break
+    to 'D' — a delete and an upsert at the same seq resolve to the
+    delete, the conservative reading)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), F.desc(F.col(op_col) == "D")
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Next snapshot: ``base`` with ``changes`` merged latest-wins.
+
+    Output schema = ``base``'s schema. ``changes`` must contain every
+    base column plus ``op`` and ``seq`` ('D' rows may carry nulls in
+    non-key payload columns).
+    """
+    payload = [c for c in base.columns if c not in key_cols]
+    latest = latest_changes(changes, key_cols, seq_col, op_col)
+    ch = latest.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_c_{c}") for c in payload],
+        F.col(op_col).alias("_op"),
+    )
+    cond = [base[k] == ch[f"_k_{k}"] for k in key_cols]
+    j = base.join(ch, cond, "full_outer")
+    no_change = F.col("_op").isNull()
+    out_cols = []
+    for k in key_cols:
+        out_cols.append(F.coalesce(base[k], F.col(f"_k_{k}")).alias(k))
+    for c in payload:
+        out_cols.append(
+            F.when(no_change, base[c]).otherwise(F.col(f"_c_{c}")).alias(c)
+        )
+    return j.where(no_change | (F.col("_op") != "D")).select(*out_cols)

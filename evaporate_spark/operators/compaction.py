@@ -1,0 +1,72 @@
+"""Small-file compaction for parquet datasets — zero-shuffle.
+
+Streaming ingestion and fine-grained partitioned writes leave behind
+thousands of KB-sized files; at 100 TB the resulting scan-task count
+and namenode/liststore pressure dominate query latency. Compaction
+rewrites a dataset into ~target-size files.
+
+The scale-smart trick: DON'T repartition (a full shuffle of the whole
+dataset). Spark's file scan already bin-packs small files into
+partitions of ``spark.sql.files.maxPartitionBytes`` (plus
+``openCostInBytes`` per file); setting that conf to the target size
+for the duration of the read makes each scan partition ≈ one output
+file — the rewrite is scan → write with NO exchange. The conf is
+captured at plan time, so it is set/restored around the read exactly
+like the nanos conf in sources/catalog.py.
+
+Ordering within each output file follows input-listing order; pass
+``sort_within`` to re-sort rows inside each output file (a per-
+partition sort, still no shuffle) — e.g. to keep a Z-order key
+clustered (operators/zorder.py) through compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["compact_parquet"]
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    sort_within: list[str] | None = None,
+) -> DataFrame:
+    """Rewrite parquet dataset ``src`` into ``dst`` with ~``target_mb``
+    files, shuffle-free. Returns the (re-read) compacted frame.
+
+    ``dst`` must differ from ``src`` — the caller swaps directories
+    after validating, so a failed compaction never damages the source.
+    """
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError("compact_parquet: dst must differ from src")
+    # minPartitionNum defaults to the core count, which FLOORS the
+    # scan's partition count (Spark prefers busy cores over full
+    # bins) — for compaction the bin size is the contract, so pin it
+    # to 1 alongside the bin size.
+    target_bytes = target_mb * 1024 * 1024
+    confs = {
+        "spark.sql.files.maxPartitionBytes": str(target_bytes),
+        "spark.sql.files.minPartitionNum": "1",
+        # the per-file open cost (default 4 MB) pads every small file
+        # up to itself, which would cap packing at target/4MB files per
+        # bin; compaction WANTS dense bins, so scale it down to allow
+        # ~256 files per output file
+        "spark.sql.files.openCostInBytes": str(max(target_bytes // 256, 65536)),
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # unlike schema-affecting confs, the file-split confs are read
+        # at EXECUTION time, so they must stay set through the write
+        df = spark.read.parquet(src)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        df.write.mode("error").parquet(dst)
+    finally:
+        for k, p in prev.items():
+            spark.conf.set(k, p) if p is not None else spark.conf.unset(k)
+    return spark.read.parquet(dst)

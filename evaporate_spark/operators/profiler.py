@@ -1,0 +1,57 @@
+"""One-scan relational column profiler (data-quality statistics).
+
+Profiling is the first step of onboarding any 100 TB table: per-column
+null counts, distinct cardinalities, ranges. The naive approach runs
+one job per column — k scans of the table. This operator computes ALL
+columns' statistics in a SINGLE scan (one wide partial+final
+aggregate), then unpivots the 1-row result with ``stack`` so the
+output stays a DataFrame without any driver-side collect.
+
+Typed ranges: numeric columns report ``min_num/max_num`` (DOUBLE),
+string columns ``min_str/max_str`` — never a double formatted through
+a string cast, so the output is engine-portable (string formatting of
+doubles is NOT portable; the values themselves are).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+__all__ = ["profile_columns"]
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """``(column, n_rows, n_null, n_distinct, min_num, max_num,
+    min_str, max_str)`` — one row per profiled column, one table scan
+    total. Columns must be numeric or string (the deterministic,
+    portable subset); others raise."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = cols or list(fields)
+    aggs = [F.count(F.lit(1)).alias("_nr")]
+    for i, c in enumerate(cols):
+        dt = fields[c]
+        if not isinstance(dt, (NumericType, StringType)):
+            raise ValueError(f"profile_columns: unsupported type {dt} for {c!r}")
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{i}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{i}"))
+        if isinstance(dt, NumericType):
+            aggs.append(F.min(c).cast("double").alias(f"_mn_{i}"))
+            aggs.append(F.max(c).cast("double").alias(f"_mx_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"_ms_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"_xs_{i}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_mn_{i}"))
+            aggs.append(F.lit(None).cast("double").alias(f"_mx_{i}"))
+            aggs.append(F.min(c).alias(f"_ms_{i}"))
+            aggs.append(F.max(c).alias(f"_xs_{i}"))
+    one = df.agg(*aggs)
+    rows = ", ".join(
+        f"'{c}', _nr, _nn_{i}, _nd_{i}, _mn_{i}, _mx_{i}, _ms_{i}, _xs_{i}"
+        for i, c in enumerate(cols)
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {rows}) AS "
+        "(column, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )

@@ -1,0 +1,100 @@
+"""Physical-plan linter: flags the scale anti-patterns this engine's
+conventions forbid (plans/queries.py module docstring; VERDICT scale
+audits). Run it in tests/CI over every new query so a regression —
+an accidental cartesian product, a row-at-a-time Python UDF, a
+single-partition window — is caught at plan time, not at 100 TB.
+
+Checks (string heuristics over the executed plan — deliberately
+simple and loud):
+
+- ``cartesian``      — CartesianProduct / BroadcastNestedLoopJoin with
+                       an always-true condition (O(n·m) blowup).
+- ``python-row-udf`` — BatchEvalPython: a row-at-a-time Python UDF in
+                       the hot path (Arrow-batched pandas UDFs show as
+                       ArrowEvalPython and are allowed).
+- ``single-partition-window`` — a Window fed by Exchange
+                       SinglePartition: the whole dataset serializes
+                       through ONE task (global aggregates to one row
+                       are fine and not flagged).
+- ``unpushed-filter`` — a Filter directly above a parquet scan whose
+                       PushedFilters list is empty: the predicate
+                       never reached the reader.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = ["lint_plan", "assert_plan_clean"]
+
+
+def _final_plan(df: DataFrame) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]  # AQE echoes both
+
+
+def lint_plan(df: DataFrame) -> list[tuple[str, str]]:
+    """Return ``[(code, message), ...]`` — empty means clean."""
+    plan = _final_plan(df)
+    findings: list[tuple[str, str]] = []
+    if "CartesianProduct" in plan:
+        findings.append(("cartesian", "CartesianProduct join in plan"))
+    if re.search(r"BroadcastNestedLoopJoin\s.*\bCross\b", plan):
+        findings.append(("cartesian", "cross BroadcastNestedLoopJoin"))
+    if "BatchEvalPython" in plan:
+        findings.append(
+            ("python-row-udf", "row-at-a-time Python UDF (BatchEvalPython)")
+        )
+    # Window whose sort is fed by a single-partition exchange. In the
+    # indented tree that is Window <- Sort <- [ShuffleQueryStage] <-
+    # Exchange SinglePartition; AQE may interpose a stage line, so
+    # allow a couple of intermediate lines after the Sort.
+    if "Window " in plan and re.search(
+        r"Sort [^\n]*\n(?:[^\n]*\n){0,2}?[^\n]*Exchange SinglePartition", plan
+    ):
+        findings.append(
+            (
+                "single-partition-window",
+                "Window over Exchange SinglePartition (one-task bottleneck; "
+                "partition the window or use the two-phase rank pattern)",
+            )
+        )
+    # Filter above a parquet scan where nothing REAL was pushed down
+    # (IsNotNull is implied by any predicate and always pushes — a
+    # PushedFilters list of only IsNotNulls means the actual predicate
+    # still runs post-scan).
+    for m in re.finditer(
+        r"Filter ([^\n]*)\n(?:[^\n]*\n){0,2}?[^\n]*Scan parquet[^\n]*", plan
+    ):
+        # does the Filter hold any predicate beyond isnotnull()?
+        # (join planning inserts isnotnull-only filters that push fully
+        # — those are fine)
+        cond = re.sub(r"isnotnull\([^()]*\)", "", m.group(1))
+        if not re.search(r"[=<>~]| rlike | like |StartsWith|Contains", cond):
+            continue
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", m.group(0))
+        if pf is None:
+            continue
+        real = [
+            f
+            for f in (x.strip() for x in pf.group(1).split(","))
+            if f and not f.startswith("IsNotNull")
+        ]
+        if not real:
+            findings.append(
+                (
+                    "unpushed-filter",
+                    "real predicate in Filter, nothing beyond IsNotNull "
+                    "pushed to the scan",
+                )
+            )
+    return findings
+
+
+def assert_plan_clean(df: DataFrame, allow: set[str] = frozenset()) -> None:
+    """Raise AssertionError listing findings not in ``allow``."""
+    bad = [f for f in lint_plan(df) if f[0] not in allow]
+    if bad:
+        raise AssertionError(f"plan lint: {bad}\n{_final_plan(df)[:3000]}")

@@ -83,3 +83,68 @@ def test_multires_rollup_lossless_and_single_scan(spark, tmp_path):
         multires_rollup(df, "ts", ["cents"], ["hour", "day"])
     except ValueError:
         raise AssertionError("hour|day nests; should not raise")
+
+
+def test_compact_parquet_zero_shuffle(spark, tmp_path):
+    from evaporate_spark.operators.compaction import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "big")
+    # 64 tiny files
+    spark.range(64 * 1000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    ).repartition(64).write.parquet(src)
+    n_src = len(spark.read.parquet(src).inputFiles())
+    assert n_src == 64
+    back = compact_parquet(spark, src, dst, target_mb=1)
+    n_dst = len(back.inputFiles())
+    # 64 x ~30KB packs into a handful of ~1MB bins
+    assert n_dst < n_src / 4, (n_src, n_dst)
+    assert back.count() == 64_000
+    assert sorted(r["id"] for r in back.select("id").collect()) == list(
+        range(64_000)
+    )
+    # in-place refusal
+    try:
+        compact_parquet(spark, src, src)
+        raise AssertionError("must refuse src == dst")
+    except ValueError:
+        pass
+    # the rewrite plan has no Exchange: scan-side bin packing only
+    confs = {
+        "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+        "spark.sql.files.minPartitionNum": "1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        plan = (
+            spark.read.parquet(src)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+    finally:
+        for k, pv in prev.items():
+            spark.conf.set(k, pv) if pv is not None else spark.conf.unset(k)
+    assert "Exchange" not in plan
+
+
+def test_apply_cdc_semantics(spark):
+    from evaporate_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 5),   # stale
+            (2, "b3", 22.0, "U", 9),   # wins
+            (3, None, None, "D", 1),   # delete
+            (4, "d", 40.0, "I", 1),    # insert
+            (5, "e", 50.0, "I", 3),    # insert then delete at same seq
+            (5, None, None, "D", 3),   # tie -> delete wins
+        ],
+        "k long, s string, v double, op string, seq long",
+    )
+    out = {r["k"]: (r["s"], r["v"]) for r in apply_cdc(base, changes, ["k"], "seq").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0)}

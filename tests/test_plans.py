@@ -257,3 +257,73 @@ def test_single_scan_profile_reads_corpus_once(spark, tmp_path, monkeypatch):
     for i in range(20):
         assert got[(f"doc://{i}", "title")] == f"Entry {i}"
         assert got[(f"doc://{i}", "year")] == str(1990 + i)
+
+
+# ---------------------------------------------------------------------------
+# plan linter (plans/lint.py)
+# ---------------------------------------------------------------------------
+
+
+def test_lint_flags_cartesian(spark):
+    from evaporate_spark.plans.lint import lint_plan
+
+    a, b = spark.range(10), spark.range(10).withColumnRenamed("id", "j")
+    codes = {c for c, _ in lint_plan(a.crossJoin(b))}
+    assert "cartesian" in codes
+
+
+def test_lint_flags_row_udf(spark):
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.plans.lint import lint_plan
+
+    bad = F.udf(lambda x: x + 1, "long")
+    df = spark.range(10).select(bad("id").alias("x"))
+    df.collect()
+    assert {c for c, _ in lint_plan(df)} == {"python-row-udf"}
+
+
+def test_lint_flags_single_partition_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from evaporate_spark.plans.lint import lint_plan
+
+    w = Window.orderBy("id")  # no partitionBy: everything on one task
+    df = spark.range(100).withColumn("rn", F.row_number().over(w))
+    df.collect()
+    assert "single-partition-window" in {c for c, _ in lint_plan(df)}
+
+
+def test_lint_flags_unpushed_filter(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.plans.lint import lint_plan
+
+    p = str(tmp_path / "t")
+    spark.range(100).write.parquet(p)
+    df = spark.read.parquet(p).where(F.md5(F.col("id").cast("string")) < "8")
+    df.collect()
+    assert "unpushed-filter" in {c for c, _ in lint_plan(df)}
+
+
+def test_lint_clean_on_bench_queries(spark):
+    """The three headline relational queries pass the linter."""
+    from evaporate_spark.plans import REGISTRY
+    from evaporate_spark.plans.lint import assert_plan_clean
+
+    sf = "/root/testdata/sf0.001"
+    for name in ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume"]:
+        df = REGISTRY[name].spark(spark, sf)
+        df.collect()
+        assert_plan_clean(df)
+
+
+def test_lint_clean_on_partitioned_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from evaporate_spark.plans.lint import lint_plan
+
+    w = Window.partitionBy(F.col("id") % 7).orderBy("id")
+    df = spark.range(100).withColumn("rn", F.row_number().over(w))
+    df.collect()
+    assert lint_plan(df) == []

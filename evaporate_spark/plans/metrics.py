@@ -1,0 +1,87 @@
+"""Executed-plan metrics: per-node SQLMetrics surfaced to Python.
+
+The Spark UI shows these numbers; pipelines need them PROGRAMMATICALLY
+— to assert that column pruning shrank a shuffle, that an aggregation
+did not spill, that a scan read the expected file count — so plan
+quality is regression-tested, not eyeballed. Complements the string
+heuristics in plans/lint.py with measured values.
+
+Works on a MATERIALIZED query (call after an action): AQE only
+finalizes the plan — and fills the metrics — at execution time. The
+walker descends through AdaptiveSparkPlan / QueryStage wrapper nodes,
+which hide the executed tree from the normal ``children()`` traversal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["plan_metrics", "query_summary"]
+
+
+def _walk(node, out: list) -> list:
+    out.append(node)
+    name = node.nodeName()
+    if name.startswith("AdaptiveSparkPlan"):
+        _walk(node.executedPlan(), out)
+        return out
+    if "QueryStage" in name:
+        _walk(node.plan(), out)
+        return out
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk(ch.apply(i), out)
+    return out
+
+
+def plan_metrics(df: DataFrame) -> list[dict]:
+    """``[{node, metric, value}, ...]`` for every executed-plan node.
+    Call AFTER an action — pre-execution metrics read as 0/-1."""
+    nodes = _walk(df._jdf.queryExecution().executedPlan(), [])
+    rows: list[dict] = []
+    for n in nodes:
+        name = n.nodeName()
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            rows.append(
+                {"node": name, "metric": kv._1(), "value": kv._2().value()}
+            )
+    return rows
+
+
+def query_summary(df: DataFrame) -> dict:
+    """Headline health numbers for one executed query:
+
+    ``scan_files`` / ``scan_bytes``   files touched / their total size
+    ``shuffle_bytes`` / ``shuffle_records``   total shuffle writes
+    ``spill_bytes``   total spill across operators (0 = healthy)
+    ``peak_memory``   max single-operator peak
+    """
+    sums = {
+        "scan_files": 0,
+        "scan_bytes": 0,
+        "shuffle_bytes": 0,
+        "shuffle_records": 0,
+        "spill_bytes": 0,
+    }
+    peak = 0
+    for r in plan_metrics(df):
+        m, v = r["metric"], r["value"]
+        if v < 0:
+            continue
+        if r["node"].startswith("Scan"):
+            if m == "numFiles":
+                sums["scan_files"] += v
+            elif m == "filesSize":
+                sums["scan_bytes"] += v
+        if m == "shuffleBytesWritten":
+            sums["shuffle_bytes"] += v
+        elif m == "shuffleRecordsWritten":
+            sums["shuffle_records"] += v
+        elif m == "spillSize":
+            sums["spill_bytes"] += v
+        elif m == "peakMemory":
+            peak = max(peak, v)
+    sums["peak_memory"] = peak
+    return sums

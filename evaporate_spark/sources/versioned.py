@@ -1,0 +1,132 @@
+"""Versioned parquet tables: snapshot-isolation CDC upserts + time
+travel over plain parquet — the minimal lakehouse-table service the
+engine's maintenance operators (CDC apply, compaction, z-order) plug
+into.
+
+Layout:
+
+    <root>/v=<N>/...parquet     immutable snapshot N
+    <root>/_version_hints/N     zero-byte commit marker for snapshot N
+
+A snapshot is readable only after its marker exists; the marker is
+written AFTER the parquet write completes, so readers never observe a
+half-written snapshot (write-new-dir-then-commit — the same contract
+compaction documents). The latest committed version is the max marker,
+resolved by one directory listing of tiny files. Concurrent writers
+are not arbitrated (plain parquet has no lock service); the intended
+topology is single-writer/many-readers — the common shape for corpus
+snapshots.
+
+All filesystem bookkeeping goes through the Hadoop FileSystem API, so
+the table works identically on local disk, HDFS, or an object store
+(note: object-store rename is not atomic, but this design never
+renames — markers are create-once files).
+
+Scale notes: every operation is a plain DataFrame read/write of ONE
+snapshot directory; history length costs only storage. ``upsert``
+composes ``operators.cdc.apply_cdc`` (co-partitioned latest-wins
+merge); ``compact`` rewrites the current snapshot shuffle-free into
+the next version via ``operators.compaction``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["VersionedTable"]
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        fs, jvm = self._fs()
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self._hints_dir()))
+
+    # -- filesystem plumbing (Hadoop FS: local/HDFS/object stores) ----------
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(self.root).getFileSystem(conf)
+        return fs, jvm
+
+    def _hints_dir(self) -> str:
+        return f"{self.root}/_version_hints"
+
+    def _snapshot_dir(self, version: int) -> str:
+        return f"{self.root}/v={version}"
+
+    # -- version bookkeeping ------------------------------------------------
+
+    def versions(self) -> list[int]:
+        fs, jvm = self._fs()
+        out = []
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(self._hints_dir())):
+            name = st.getPath().getName()
+            try:
+                out.append(int(name))
+            except ValueError:
+                continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _commit(self, version: int) -> None:
+        fs, jvm = self._fs()
+        p = jvm.org.apache.hadoop.fs.Path(f"{self._hints_dir()}/{version}")
+        fs.create(p, False).close()  # create-once: fails if it exists
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Latest committed snapshot, or time-travel to ``version``."""
+        vs = self.versions()
+        v = (vs[-1] if vs else None) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed versions under {self.root}")
+        if v not in vs:
+            raise FileNotFoundError(f"version {v} was never committed")
+        return self.spark.read.parquet(self._snapshot_dir(v))
+
+    # -- writes -------------------------------------------------------------
+
+    def write_snapshot(self, df: DataFrame) -> int:
+        """Write ``df`` as the next version (full replacement)."""
+        latest = self.latest_version()
+        v = 0 if latest is None else latest + 1
+        df.write.mode("error").parquet(self._snapshot_dir(v))
+        self._commit(v)
+        return v
+
+    def upsert(
+        self, changes: DataFrame, key_cols: list[str], seq_col: str, op_col: str = "op"
+    ) -> int:
+        """CDC-apply ``changes`` (I/U/D, latest-wins) onto the latest
+        snapshot and commit the result as the next version."""
+        from evaporate_spark.operators.cdc import apply_cdc
+
+        base = self.read()
+        merged = apply_cdc(base, changes, key_cols, seq_col, op_col)
+        return self.write_snapshot(merged)
+
+    def compact(self, target_mb: int = 128, sort_within: list[str] | None = None) -> int:
+        """Rewrite the latest snapshot into ~target-size files as the
+        next version (zero-shuffle scan-side bin packing)."""
+        from evaporate_spark.operators.compaction import compact_parquet
+
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed versions under {self.root}")
+        nxt = v + 1
+        compact_parquet(
+            self.spark,
+            self._snapshot_dir(v),
+            self._snapshot_dir(nxt),
+            target_mb=target_mb,
+            sort_within=sort_within,
+        )
+        self._commit(nxt)
+        return nxt

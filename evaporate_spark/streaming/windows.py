@@ -220,3 +220,42 @@ def stream_exact_dedup(
     if not events.isStreaming:
         return events.dropDuplicates(keys)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_shingle_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    k: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression at shingle-set granularity
+    — the streaming twin of ``operators.dedup.lsh_exact_dup_pairs``.
+
+    Documents whose k-token shingle SETS are identical (reordered /
+    re-chunked / whitespace-mangled copies) carry the same 128-bit
+    sorted-shingle digest, so deduping on the digest suppresses them
+    with per-key state bounded by the watermark. This is exactly the
+    relation the batch LSH verify confirms — digest equality implies
+    same bucket in every band, so a single digest key needs no
+    banding machinery on the stream. True Jaccard-THRESHOLD dedup has
+    no bounded-state streaming form (any-band-match is not an
+    equality relation); run the batch LSH pass over closed windows
+    for that.
+
+    Batch twin (parity-testable): ``dropDuplicates`` on the same
+    digest columns.
+    """
+    from evaporate_spark.functions.text_stats import rolling_hash_shingles
+
+    shg = rolling_hash_shingles(F.col(text_col), k)
+    with_digest = docs.withColumn("_shh1", F.xxhash64(F.array_sort(shg))).withColumn(
+        "_shh2", F.xxhash64(F.array_sort(shg), F.lit(0x9E3779B9))
+    )
+    if not docs.isStreaming:
+        return with_digest.dropDuplicates(["_shh1", "_shh2"]).drop("_shh1", "_shh2")
+    return (
+        with_digest.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_shh1", "_shh2"])
+        .drop("_shh1", "_shh2")
+    )

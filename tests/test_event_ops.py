@@ -148,3 +148,37 @@ def test_apply_cdc_semantics(spark):
     )
     out = {r["k"]: (r["s"], r["v"]) for r in apply_cdc(base, changes, ["k"], "seq").collect()}
     assert out == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0)}
+
+
+def test_versioned_table_upsert_and_time_travel(spark, tmp_path):
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    assert t.latest_version() is None
+    v0 = t.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k long, s string, v double"
+        )
+    )
+    assert v0 == 0
+    changes = spark.createDataFrame(
+        [(2, "b2", 21.0, "U", 1), (3, "c", 30.0, "I", 1), (1, None, None, "D", 1)],
+        "k long, s string, v double, op string, seq long",
+    )
+    v1 = t.upsert(changes, ["k"], "seq")
+    assert v1 == 1 and t.versions() == [0, 1]
+    now = {r["k"]: (r["s"], r["v"]) for r in t.read().collect()}
+    assert now == {2: ("b2", 21.0), 3: ("c", 30.0)}
+    # time travel sees the pre-upsert state
+    before = {r["k"]: (r["s"], r["v"]) for r in t.read(0).collect()}
+    assert before == {1: ("a", 10.0), 2: ("b", 20.0)}
+    # compaction commits a new version with identical content
+    v2 = t.compact(target_mb=1)
+    assert v2 == 2
+    assert {r["k"] for r in t.read().collect()} == {2, 3}
+    # uncommitted versions are unreadable
+    try:
+        t.read(99)
+        raise AssertionError("must refuse uncommitted version")
+    except FileNotFoundError:
+        pass

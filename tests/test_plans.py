@@ -327,3 +327,48 @@ def test_lint_clean_on_partitioned_window(spark):
     df = spark.range(100).withColumn("rn", F.row_number().over(w))
     df.collect()
     assert lint_plan(df) == []
+
+
+# ---------------------------------------------------------------------------
+# executed-plan metrics (plans/metrics.py)
+# ---------------------------------------------------------------------------
+
+
+def test_query_summary_measures_pruning_and_shuffle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.plans.metrics import plan_metrics, query_summary
+
+    p = str(tmp_path / "t")
+    spark.range(200_000).selectExpr(
+        "id", "md5(cast(id as string)) AS wide1",
+        "repeat(md5(cast(id as string)), 4) AS wide2",
+    ).write.parquet(p)
+
+    narrow = spark.read.parquet(p).groupBy(
+        (F.col("id") % 8).alias("g")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    narrow.collect()
+    s_narrow = query_summary(narrow)
+
+    assert s_narrow["scan_files"] >= 1
+    assert s_narrow["scan_bytes"] > 0
+    # aggregation combines map-side: the 200k-row group-by shuffles
+    # only 8 groups worth of bytes per task
+    assert s_narrow["shuffle_records"] <= 8 * 64
+
+    # payload width through an Exchange is measurable: repartitioning
+    # with the wide column costs >5x the narrow repartition
+    nar_rep = spark.read.parquet(p).select("id").repartition(8)
+    nar_rep.collect()
+    wide_rep = spark.read.parquet(p).select("id", "wide2").repartition(8)
+    wide_rep.collect()
+    s_nr, s_wr = query_summary(nar_rep), query_summary(wide_rep)
+    assert s_wr["shuffle_bytes"] > 5 * max(s_nr["shuffle_bytes"], 1), (
+        s_nr, s_wr,
+    )
+    assert s_narrow["spill_bytes"] == 0
+    # raw rows are exposed too
+    nodes = {r["node"] for r in plan_metrics(narrow)}
+    assert any(n.startswith("Scan") for n in nodes)
+    assert "Exchange" in nodes

@@ -1341,3 +1341,53 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
     q3.awaitTermination(60)
     final = sorted((r["k"], r["v"]) for r in spark.read.parquet(sink).collect())
     assert final == first + [(100, 1000)]
+
+
+def test_stream_shingle_dedup_parity(spark, tmp_path):
+    """Streaming shingle-set dedup suppresses reordered/whitespace
+    copies and agrees with its batch twin."""
+    import json
+
+    from evaporate_spark.streaming.windows import stream_shingle_dedup
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+    (tmp_path / "src").mkdir()
+    rows = [
+        {"doc_id": 0, "ts_sec": 10, "text": "alpha beta gamma delta epsilon"},
+        # same shingle SET, shuffled whitespace -> near-dup, suppressed
+        {"doc_id": 1, "ts_sec": 20, "text": "alpha  beta gamma   delta epsilon"},
+        {"doc_id": 2, "ts_sec": 30, "text": "totally different words here now"},
+        # exact copy -> suppressed
+        {"doc_id": 3, "ts_sec": 40, "text": "totally different words here now"},
+    ]
+    with open(f"{src}/a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, ts_sec long, text string")
+        .json(src)
+        .select(F.timestamp_seconds("ts_sec").alias("ts"), "doc_id", "text")
+    )
+    q = (
+        stream_shingle_dedup(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert kept == [0, 2]
+
+    # batch twin keeps one representative per digest too
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    bkept = {
+        r["doc_id"] for r in stream_shingle_dedup(batch, ts_col="").collect()
+    }
+    assert len(bkept) == 2 and 2 in bkept or 3 in bkept

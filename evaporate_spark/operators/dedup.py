@@ -35,7 +35,7 @@ representative formulation (min-id per bucket) instead of all pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from evaporate_spark.functions.text_stats import (
@@ -673,3 +673,39 @@ def incremental_exact_dedup(
     out = deduped.localCheckpoint(eager=True)
     out.select(F.col("_fp").alias("fp")).write.mode("append").parquet(store_dir)
     return out.drop("_fp")
+
+
+def lsh_exact_dup_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """SPANNING edges of the shingle-set-equality relation — the
+    scale-correct input for cluster assembly.
+
+    ``lsh_exact_dup_pairs`` returns the full pairwise relation: a
+    duplicate group of B copies yields B(B−1)/2 rows, quadratic in the
+    group size — correct for pair-level consumers, hazardous when one
+    boilerplate page has a million copies. Because set-equality is
+    TRANSITIVE, connected components only need a spanning set: link
+    every member to its digest group's minimum id (B−1 rows, one
+    shuffle on the digest, no banding machinery at all). Components
+    over these edges are identical to components over the full pair
+    relation.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).where(F.size(ws_tokens(F.col(text_col))) >= k)
+    shg = rolling_hash_shingles(F.col("_text"), k)
+    sig = base.select(
+        "_id",
+        F.xxhash64(F.array_sort(shg)).alias("_shh1"),
+        F.xxhash64(F.array_sort(shg), F.lit(0x9E3779B9)).alias("_shh2"),
+    )
+    w = Window.partitionBy("_shh1", "_shh2")
+    return (
+        sig.withColumn("_min", F.min("_id").over(w))
+        .where(F.col("_id") != F.col("_min"))
+        .select(F.col("_min").alias("id_a"), F.col("_id").alias("id_b"))
+    )

@@ -41,7 +41,22 @@ def lint_plan(df: DataFrame) -> list[tuple[str, str]]:
     findings: list[tuple[str, str]] = []
     if "CartesianProduct" in plan:
         findings.append(("cartesian", "CartesianProduct join in plan"))
-    if re.search(r"BroadcastNestedLoopJoin\s.*\bCross\b", plan):
+    for m in re.finditer(r"BroadcastNestedLoopJoin\s[^\n]*\bCross\b", plan):
+        # crossJoin(broadcast(<scalar agg>)) — attaching a 1-row stats
+        # frame (HashAggregate with NO grouping keys on the build
+        # side) — is the documented scalar-augment pattern, not a
+        # combinatorial blowup. In the plan text the probe branch
+        # prints first with ': ' continuation prefixes; the build side
+        # is the first line whose content starts with '+- '.
+        tail = plan[m.end():].split("\n")
+        scalar = False
+        for i, line in enumerate(tail[:200]):
+            if line.lstrip().startswith("+- "):
+                window = "\n".join(tail[i : i + 5])
+                scalar = "HashAggregate(keys=[]" in window
+                break
+        if scalar:
+            continue
         findings.append(("cartesian", "cross BroadcastNestedLoopJoin"))
     if "BatchEvalPython" in plan:
         findings.append(
@@ -93,8 +108,19 @@ def lint_plan(df: DataFrame) -> list[tuple[str, str]]:
     return findings
 
 
-def assert_plan_clean(df: DataFrame, allow: set[str] = frozenset()) -> None:
-    """Raise AssertionError listing findings not in ``allow``."""
-    bad = [f for f in lint_plan(df) if f[0] not in allow]
+#: advisory-only codes: real information, but routinely legitimate —
+#: e.g. computed predicates (md5 thresholds, size(tokens) guards) are
+#: inherently unpushable and indistinguishable from pushdown failures
+#: in the plan text. assert_plan_clean ignores them unless strict.
+ADVISORY = {"unpushed-filter"}
+
+
+def assert_plan_clean(
+    df: DataFrame, allow: set[str] = frozenset(), strict: bool = False
+) -> None:
+    """Raise AssertionError listing findings not in ``allow``;
+    advisory codes are tolerated unless ``strict``."""
+    skip = set(allow) if strict else set(allow) | ADVISORY
+    bad = [f for f in lint_plan(df) if f[0] not in skip]
     if bad:
         raise AssertionError(f"plan lint: {bad}\n{_final_plan(df)[:3000]}")

@@ -307,11 +307,14 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evaporate_spark.operators.clustering import dup_clusters
-    from evaporate_spark.operators.dedup import lsh_exact_dup_pairs
+    from evaporate_spark.operators.dedup import lsh_exact_dup_edges
 
     d = _doubled_docs(spark, sf_dir)
-    pairs = lsh_exact_dup_pairs(d, "doc_id", "text")
-    return dup_clusters(d, "doc_id", pairs)
+    # spanning edges, not the quadratic all-pairs relation: components
+    # are identical (equality is transitive), state is B-1 rows per
+    # dup group instead of B(B-1)/2
+    edges = lsh_exact_dup_edges(d, "doc_id", "text")
+    return dup_clusters(d, "doc_id", edges)
 
 
 # ---------------------------------------------------------------------------
@@ -1751,3 +1754,42 @@ def q_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = deletes.unionByName(upd2).unionByName(upd1).unionByName(ins)
     changes = changes.unionByName(tie_d).unionByName(tie_u)
     return apply_cdc(base, changes, ["o_orderkey"], "seq")
+
+
+@register(
+    "q_fuzzy_name_match",
+    "Blocked edit-distance join (entity resolution): original customer "
+    "names matched to a one-char-deleted clone set, blocked on the "
+    "6-char name suffix the edit provably leaves intact - quadratic "
+    "work only inside candidate groups, JVM levenshtein (identical "
+    "Wagner-Fischer semantics in DuckDB).",
+    oracle="""
+        WITH a AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        b AS (
+            SELECT c_custkey + 1000000 AS id,
+                   substr(c_name, 1, 10) || substr(c_name, 12) AS name
+            FROM customer
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        FROM a JOIN b ON substr(a.name, -6) = substr(b.name, -6)
+        WHERE levenshtein(a.name, b.name) <= 1
+    """,
+    tags=("join",),
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.fuzzy import edit_distance_join
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    # clone with the 11th character deleted (a leading zero of the
+    # numeric suffix, so the last-6 suffix is edit-invariant)
+    b = cust.select(
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 10), F.expr("substring(c_name, 12)")
+        ).alias("name"),
+    )
+    return edit_distance_join(
+        a, b, "id", "name", [lambda c: F.substring(c, -6, 6)], max_dist=1
+    )

@@ -372,3 +372,31 @@ def test_query_summary_measures_pruning_and_shuffle(spark, tmp_path):
     nodes = {r["node"] for r in plan_metrics(narrow)}
     assert any(n.startswith("Scan") for n in nodes)
     assert "Exchange" in nodes
+
+
+def test_lint_entire_query_catalog(spark):
+    """Every registry query's EXECUTED plan passes the linter at
+    sf0.001 (the one deliberate exception: the 5x5 theta-join demo is
+    cartesian by design). Catches a future query accidentally
+    introducing a cartesian join, a row-wise Python UDF, or a
+    single-partition window."""
+    from evaporate_spark.plans import REGISTRY
+    from evaporate_spark.plans.lint import assert_plan_clean
+
+    allow = {
+        "q_cross_theta_regions": {"cartesian"},
+        # documented broadcast-small-query-set contract
+        # (operators/similarity.py): every corpus row scores against
+        # the broadcast query frame — deliberate, bounded by |queries|
+        "q_knn_cosine": {"cartesian"},
+    }
+    sf = "/root/testdata/sf0.001"
+    failures = []
+    for name, spec in REGISTRY.items():
+        df = spec.spark(spark, sf)
+        df.collect()
+        try:
+            assert_plan_clean(df, allow.get(name, set()))
+        except AssertionError as e:
+            failures.append((name, str(e)[:300]))
+    assert not failures, failures

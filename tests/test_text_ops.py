@@ -973,3 +973,61 @@ def test_profile_columns_one_scan_and_values(spark):
         raise AssertionError("timestamp col must raise")
     except ValueError:
         pass
+
+
+def test_edit_distance_join_blocked(spark):
+    from evaporate_spark.operators.fuzzy import edit_distance_join
+
+    a = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "maria garcia"), (3, "wei chen")],
+        "id long, name string",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, "jonathon smith"),   # 1 substitution
+            (11, "mariah garcia"),    # 1 insertion, suffix intact
+            (12, "completely else"),  # no match
+            (13, "wei chan"),         # 1 sub but different suffix block
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(
+            a, b, "id", "name", [lambda c: F.substring(c, -4, 4)], max_dist=1
+        ).collect()
+    }
+    # blocking on the last-4 suffix recalls the edits that keep it,
+    # and (by design) cannot recall 13 whose suffix changed
+    assert got == {(1, 10): 1, (2, 11): 1}
+
+
+def test_lsh_edges_match_pairs_components(spark):
+    """Spanning edges give the SAME components as the quadratic pair
+    relation (equality is transitive) at B-1 rows per dup group."""
+    from evaporate_spark.operators.clustering import connected_components
+    from evaporate_spark.operators.dedup import (
+        lsh_exact_dup_edges,
+        lsh_exact_dup_pairs,
+    )
+
+    rows = []
+    for g in range(5):           # 5 groups of 4 copies
+        for c in range(4):
+            rows.append((g * 10 + c, f"group {g} shared text body {'x ' * g}tail"))
+    rows.append((99, "a singleton document body here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nodes = df.select("doc_id")
+    pairs = lsh_exact_dup_pairs(df, "doc_id", "text")
+    edges = lsh_exact_dup_edges(df, "doc_id", "text")
+    assert edges.count() == 5 * 3 and pairs.count() == 5 * 6
+    comp_p = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    comp_e = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert comp_p == comp_e
+    assert comp_e[99] == 99 and comp_e[13] == 10

@@ -91,3 +91,28 @@ def prepare_corpus(
 
         out = pack_sequences(out, id_col, text_col, seq_len, overlap)
     return out
+
+
+def write_training_shards(
+    df,
+    path: str,
+    rows_per_shard: int = 100_000,
+    fmt: str = "json",
+) -> int:
+    """Export packed sequences as bounded-size training shards.
+
+    Uses the writer-side ``maxRecordsPerFile`` split: each task rolls
+    to a new file at the row limit, so shard size is bounded WITHOUT
+    any repartition/shuffle — upstream parallelism is preserved and a
+    straggling giant partition still cannot produce an oversized
+    shard. Returns the shard-file count.
+    """
+    writer = df.write.mode("error").option("maxRecordsPerFile", rows_per_shard)
+    if fmt == "json":
+        writer.json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported shard format {fmt!r}")
+    out = df.sparkSession.read.format(fmt).load(path)
+    return len(out.inputFiles())

@@ -1793,3 +1793,38 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(
         a, b, "id", "name", [lambda c: F.substring(c, -6, 6)], max_dist=1
     )
+
+
+@register(
+    "q_events_variant",
+    "Spark 4 VARIANT path for semi-structured data: props parsed once "
+    "into the binary variant encoding in the scan stage, typed "
+    "variant_get extraction, then a per-type rollup - the modern "
+    "(single-parse, no per-access string re-parse) alternative to "
+    "get_json_object chains, which q_events_json_extract keeps "
+    "covering for compatibility.",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+                   AS sum_k
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("scalar",),
+)
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Incrementally-maintained rollups (streaming materialized views).
+
+Problem: keep an hour/day aggregate of an event stream continuously
+up to date, exactly-once, without ever rescanning history. foreachBatch
+is only at-least-once — a crash between write and offset-commit
+redelivers the SAME batch, and naively merging it into a running
+aggregate double-counts.
+
+Design (partial-aggregate log + merge-on-read):
+
+- each micro-batch writes its OWN partial aggregate — one row per
+  (bucket, measure-sums) — to ``<root>/batch_id=N`` with overwrite
+  (idempotent in the batch id: redelivery rewrites identical rows;
+  the same mechanism as streaming/sinks.py);
+- the VIEW is ``read_rollup``: re-aggregate the partials (sum of
+  sums, count of counts — exact for decomposable integer measures,
+  the operators/rollup.py contract);
+- ``compact_rollup`` periodically folds all partials into a single
+  committed snapshot (sources/versioned.py), so merge-on-read stays
+  O(recent batches).
+
+State per batch is bucket-cardinality-sized, never event-sized — the
+aggregation happens inside the micro-batch before anything is
+written.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from evaporate_spark.operators.rollup import GRAIN_US
+
+__all__ = ["incremental_rollup_sink", "read_rollup", "compact_rollup"]
+
+
+def _partial_agg(df: DataFrame, ts_col: str, measure_cols: list[str], grain: str) -> DataFrame:
+    width = GRAIN_US[grain]
+    us = F.unix_micros(F.col(ts_col))
+    return (
+        df.select(
+            (F.floor(us / width) * width).alias("bucket_us"),
+            *[F.col(c) for c in measure_cols],
+        )
+        .groupBy("bucket_us")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c).alias(f"sum_{c}") for c in measure_cols],
+        )
+    )
+
+
+def incremental_rollup_sink(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    ts_col: str,
+    measure_cols: list[str],
+    grain: str = "hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a ``grain`` rollup of ``stream`` under ``root``,
+    exactly-once under batch redelivery."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        partial = _partial_agg(batch_df, ts_col, measure_cols, grain)
+        partial.write.mode("overwrite").parquet(f"{root}/batch_id={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(
+    spark: SparkSession, root: str, measure_cols: list[str]
+) -> DataFrame:
+    """The merged view: partials re-aggregated (exact for integer
+    measures). ``(bucket_us, n, sum_<m>...)``."""
+    return (
+        spark.read.parquet(root)
+        .groupBy("bucket_us")
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in measure_cols],
+        )
+    )
+
+
+def compact_rollup(
+    spark: SparkSession, root: str, measure_cols: list[str], snapshot_root: str
+) -> int:
+    """Fold the partial log into one committed snapshot version
+    (merge-on-read then stays O(batches since last compaction) if the
+    caller re-points the log)."""
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, snapshot_root)
+    return t.write_snapshot(read_rollup(spark, root, measure_cols))

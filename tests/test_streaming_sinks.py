@@ -1391,3 +1391,89 @@ def test_stream_shingle_dedup_parity(spark, tmp_path):
         r["doc_id"] for r in stream_shingle_dedup(batch, ts_col="").collect()
     }
     assert len(bkept) == 2 and 2 in bkept or 3 in bkept
+
+
+def test_incremental_rollup_exactly_once(spark, tmp_path):
+    import json
+
+    from evaporate_spark.streaming.incremental import (
+        compact_rollup,
+        incremental_rollup_sink,
+        read_rollup,
+    )
+
+    src, root, ckpt = (str(tmp_path / d) for d in ("src", "roll", "ck"))
+    (tmp_path / "src").mkdir()
+    # batch 1: two buckets
+    with open(f"{src}/a.json", "w") as f:
+        for ts, c in [(100, 5), (200, 7), (4000, 11)]:
+            f.write(json.dumps({"ts_sec": ts, "cents": c}) + "\n")
+    stream = (
+        spark.readStream.schema("ts_sec long, cents long")
+        .json(src)
+        .select(F.timestamp_seconds("ts_sec").alias("ts"), "cents")
+    )
+    incremental_rollup_sink(
+        stream, root, ckpt, "ts", ["cents"], grain="hour"
+    ).awaitTermination(60)
+
+    def view():
+        return {
+            r["bucket_us"]: (r["n"], r["sum_cents"])
+            for r in read_rollup(spark, root, ["cents"]).collect()
+        }
+
+    h0, h1 = 0, 3_600_000_000
+    assert view() == {h0: (2, 12), h1: (1, 11)}
+
+    # redelivery of batch 0 (crash-replay) must not double-count
+    batch_df = (
+        spark.read.schema("ts_sec long, cents long").json(src)
+        .select(F.timestamp_seconds("ts_sec").alias("ts"), "cents")
+    )
+    from evaporate_spark.streaming.incremental import _partial_agg
+
+    _partial_agg(batch_df, "ts", ["cents"], "hour").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/batch_id=0")
+    assert view() == {h0: (2, 12), h1: (1, 11)}
+
+    # a second micro-batch merges into the same buckets
+    with open(f"{src}/b.json", "w") as f:
+        f.write(json.dumps({"ts_sec": 300, "cents": 100}) + "\n")
+    incremental_rollup_sink(
+        (
+            spark.readStream.schema("ts_sec long, cents long")
+            .json(src)
+            .select(F.timestamp_seconds("ts_sec").alias("ts"), "cents")
+        ),
+        root, ckpt, "ts", ["cents"], grain="hour",
+    ).awaitTermination(60)
+    assert view() == {h0: (3, 112), h1: (1, 11)}
+
+    # compaction snapshots the merged view
+    snap = str(tmp_path / "snap")
+    v = compact_rollup(spark, root, ["cents"], snap)
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    got = {
+        r["bucket_us"]: (r["n"], r["sum_cents"])
+        for r in VersionedTable(spark, snap).read(v).collect()
+    }
+    assert got == {h0: (3, 112), h1: (1, 11)}
+
+
+def test_write_training_shards_bounded(spark, tmp_path):
+    from evaporate_spark.corpus import write_training_shards
+
+    df = spark.range(5000).selectExpr("id", "md5(cast(id as string)) AS text")
+    n = write_training_shards(df, str(tmp_path / "shards"), rows_per_shard=500)
+    assert n >= 10
+    back = spark.read.json(str(tmp_path / "shards"))
+    assert back.count() == 5000
+    from collections import Counter
+
+    per_file = Counter(
+        r["f"] for r in back.selectExpr("input_file_name() AS f").collect()
+    )
+    assert max(per_file.values()) <= 500

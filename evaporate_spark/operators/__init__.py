@@ -1,6 +1,8 @@
 """Beyond-reference operators for large-scale pipelines (SURVEY §2C):
-dedup families, similarity search, as-of join, scalable global
-ranking, skew mitigation, multimodal columns."""
+dedup families (pair, passage, cluster), similarity + lexical search,
+LM quality scoring, as-of/interval/fuzzy joins, scalable global
+ranking, skew mitigation, sessionization, cascaded rollups, CDC
+apply, z-order layout, compaction, profiling, multimodal columns."""
 
 from evaporate_spark.operators.asof import asof_join
 from evaporate_spark.operators.interval import interval_join
@@ -17,14 +19,34 @@ from evaporate_spark.operators.multimodal import (
     sample_video_frames,
     sniff_media_type,
 )
+from evaporate_spark.operators.cdc import apply_cdc, latest_changes
+from evaporate_spark.operators.clustering import connected_components, dup_clusters
+from evaporate_spark.operators.compaction import compact_parquet
 from evaporate_spark.operators.dedup import (
     exact_dedup,
     exact_dedup_groups,
+    lsh_exact_dup_edges,
     lsh_exact_dup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_dup_pairs,
 )
+from evaporate_spark.operators.fuzzy import edit_distance_join
+from evaporate_spark.operators.lm_quality import (
+    mean_token_prob,
+    unigram_perplexity,
+)
+from evaporate_spark.operators.passages import (
+    dup_passage_stats,
+    dup_passages,
+    passage_windows,
+)
+from evaporate_spark.operators.profiler import profile_columns
+from evaporate_spark.operators.rollup import multires_rollup
+from evaporate_spark.operators.search import bm25_topk
+from evaporate_spark.operators.sessionize import sessionize
+from evaporate_spark.operators.splits import leakage_safe_split, split_column
+from evaporate_spark.operators.zorder import morton_interleave, zorder_write
 from evaporate_spark.operators.ranking import global_rank, ntile_from_rank
 from evaporate_spark.operators.similarity import (
     brute_force_topk,
@@ -47,6 +69,26 @@ __all__ = [
     "random_hyperplane_lsh_topk",
     "asof_join",
     "interval_join",
+    "edit_distance_join",
+    "apply_cdc",
+    "latest_changes",
+    "connected_components",
+    "dup_clusters",
+    "lsh_exact_dup_edges",
+    "dup_passages",
+    "dup_passage_stats",
+    "passage_windows",
+    "leakage_safe_split",
+    "split_column",
+    "bm25_topk",
+    "mean_token_prob",
+    "unigram_perplexity",
+    "sessionize",
+    "multires_rollup",
+    "compact_parquet",
+    "profile_columns",
+    "morton_interleave",
+    "zorder_write",
     "global_rank",
     "ntile_from_rank",
     "salted_aggregate",

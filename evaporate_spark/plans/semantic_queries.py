@@ -1828,3 +1828,41 @@ def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("sum_k"),
         )
     )
+
+
+@register(
+    "q_recursive_part_chain",
+    "Recursive CTE (new in Spark 4): transitive closure over a "
+    "synthesized part hierarchy (parent = child div 10) - per part "
+    "the chain depth and single-digit root. Exercises the iterative "
+    "union fixpoint in BOTH engines (Spark WITH RECURSIVE vs DuckDB "
+    "WITH RECURSIVE) over identical integer arithmetic.",
+    oracle="""
+        WITH RECURSIVE chain(pk, anc, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part
+            UNION ALL
+            SELECT pk, anc // 10, depth + 1 FROM chain WHERE anc >= 10
+        )
+        SELECT pk AS p_partkey,
+               MAX(depth) AS depth,
+               CAST(MIN(anc) AS BIGINT) AS root
+        FROM chain GROUP BY pk
+    """,
+    tags=("sql",),
+)
+def q_recursive_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_rec_src")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(pk, anc, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part_rec_src
+            UNION ALL
+            SELECT pk, anc div 10, depth + 1 FROM chain WHERE anc >= 10
+        )
+        SELECT pk AS p_partkey,
+               MAX(depth) AS depth,
+               CAST(MIN(anc) AS BIGINT) AS root
+        FROM chain GROUP BY pk
+        """
+    )

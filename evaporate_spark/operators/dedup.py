@@ -694,9 +694,11 @@ def lsh_exact_dup_edges(
     over these edges are identical to components over the full pair
     relation.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).where(F.size(ws_tokens(F.col(text_col))) >= k)
+    base = _widen(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).where(
+            F.size(ws_tokens(F.col(text_col))) >= k
+        )
+    )
     shg = rolling_hash_shingles(F.col("_text"), k)
     sig = base.select(
         "_id",

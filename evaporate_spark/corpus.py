@@ -2,7 +2,8 @@
 engine's §2C hygiene operators in the order a real pretraining
 pipeline runs them:
 
-    normalize → PII-redact → exact-dedup → decontaminate → mix → pack
+    normalize → PII-redact → exact-dedup → near-dedup (cluster
+    keep-one) → decontaminate → mix → split → pack
 
 Every step is the already-oracle-checked operator (normalize_text,
 redact_pii/scrub_documents, exact_dedup, decontaminate,
@@ -29,6 +30,8 @@ def prepare_corpus(
     normalize: bool = True,
     redact: bool = True,
     dedup: bool = True,
+    near_dedup: bool = False,
+    split_fractions: dict[str, float] | None = None,
     eval_docs: DataFrame | None = None,
     decontam_k: int = 8,
     decontam_threshold: float = 0.5,
@@ -46,6 +49,16 @@ def prepare_corpus(
     ``decontam_k``-gram overlap with the eval set reaches
     ``decontam_threshold`` are DROPPED. ``mix_key``/``mix_fractions``
     enable reproducible per-key downsampling.
+
+    ``near_dedup`` adds the cluster-level pass: shingle-set duplicate
+    groups (lsh_exact_dup_edges → connected components) keep only
+    their min-id representative. ``split_fractions`` assigns a
+    leakage-safe ``split`` column hashed on the duplicate-cluster key
+    (the component when ``near_dedup``, else the exact-content
+    fingerprint) — near-duplicate survivors of different docs can
+    still share a fingerprint group, so copies never straddle the
+    train/test fence; with packing enabled every window inherits its
+    document's split.
 
     Note: ``normalize`` collapses ALL whitespace runs — including
     newlines — to single spaces (the standard LM-corpus
@@ -67,6 +80,18 @@ def prepare_corpus(
         from evaporate_spark.operators.dedup import exact_dedup
 
         out = exact_dedup(out, id_col, text_col)
+    split_key = None  # Column producing the leakage-unit group key
+    if near_dedup:
+        from evaporate_spark.operators.clustering import dup_clusters
+        from evaporate_spark.operators.dedup import lsh_exact_dup_edges
+
+        edges = lsh_exact_dup_edges(out, id_col, text_col)
+        clusters = dup_clusters(out, id_col, edges)
+        keepers = clusters.where(F.col("is_keeper") == 1).select(
+            F.col("id").alias(id_col), F.col("component").alias("_dup_component")
+        )
+        out = out.join(keepers, id_col)
+        split_key = F.col("_dup_component")
     if eval_docs is not None:
         from evaporate_spark.operators.dedup import decontaminate
 
@@ -86,10 +111,25 @@ def prepare_corpus(
         out = deterministic_mix(
             out, id_col, mix_key, mix_fractions, default_fraction
         )
+    if split_fractions is not None:
+        from evaporate_spark.functions.text_stats import fingerprint
+        from evaporate_spark.operators.splits import split_column
+
+        key = split_key if split_key is not None else fingerprint(text_col)
+        out = out.withColumn("split", split_column(key, split_fractions))
+    out = out.drop("_dup_component")
     if seq_len is not None:
         from evaporate_spark.operators.packing import pack_sequences
 
+        split_map = (
+            out.select(F.col(id_col), "split").distinct()
+            if split_fractions is not None
+            else None
+        )
         out = pack_sequences(out, id_col, text_col, seq_len, overlap)
+        if split_map is not None:
+            # every training window inherits its source doc's split
+            out = out.join(split_map, id_col)
     return out
 
 

@@ -1031,3 +1031,48 @@ def test_lsh_edges_match_pairs_components(spark):
     }
     assert comp_p == comp_e
     assert comp_e[99] == 99 and comp_e[13] == 10
+
+
+def test_prepare_corpus_near_dedup_and_splits(spark):
+    from evaporate_spark.corpus import prepare_corpus
+
+    docs = []
+    for i in range(30):
+        body = f"document number {i} body " + _words(f"w{i}_", 30)
+        docs.append((i, body))
+        docs.append((1000 + i, body + " "))          # exact dup (ws)
+        docs.append((2000 + i, body.replace("  ", " ")))  # shingle-equal
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = prepare_corpus(
+        df,
+        normalize=True,
+        redact=False,
+        dedup=True,
+        near_dedup=True,
+        split_fractions={"train": 0.6, "val": 0.2, "test": 0.2},
+    )
+    rows = out.collect()
+    # one survivor per content group, labeled
+    assert len(rows) == 30
+    assert {r["doc_id"] for r in rows} == set(range(30))
+    assert set(out.columns) >= {"doc_id", "text", "split"}
+    labels = {r["split"] for r in rows}
+    assert labels <= {"train", "val", "test"} and len(labels) >= 2
+
+    # packing: every window inherits its doc's split
+    packed = prepare_corpus(
+        df,
+        normalize=True,
+        redact=False,
+        dedup=True,
+        near_dedup=True,
+        split_fractions={"train": 0.6, "val": 0.2, "test": 0.2},
+        seq_len=8,
+        overlap=0,
+    )
+    prow = packed.collect()
+    assert len(prow) > 30  # multiple windows per doc
+    doc_split = {r["doc_id"]: r["split"] for r in rows}
+    for r in prow:
+        assert r["split"] == doc_split[r["doc_id"]]

@@ -2,7 +2,8 @@
 command line: ``python -m evaporate_spark.cli_corpus --documents-
 parquet /lake --output /clean``. Sequences the oracle-checked hygiene
 operators via :func:`evaporate_spark.corpus.prepare_corpus`
-(normalize → redact → dedup → decontaminate → mix → pack) and prints
+(normalize → redact → dedup → near-dedup → decontaminate → mix →
+split → pack, sharded output) and prints
 one JSON summary line (rows in/out, per-stage flags).
 """
 
@@ -38,6 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--no-redact", action="store_true")
     p.add_argument("--no-dedup", action="store_true")
+    p.add_argument(
+        "--near-dedup", action="store_true",
+        help="cluster-level shingle-set dedup (keep min-id per cluster)",
+    )
+    p.add_argument(
+        "--split-fractions",
+        help="leakage-safe split labels, e.g. 'train=0.8,val=0.1,test=0.1'",
+    )
     p.add_argument("--eval-parquet", help="eval-set parquet for decontamination")
     p.add_argument("--eval-text-col", help="text column in the eval set (default: --text-col)")
     p.add_argument("--decontam-k", type=int, default=8)
@@ -47,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--default-fraction", type=float, default=1.0)
     p.add_argument("--seq-len", type=int, help="pack into training windows of this many tokens")
     p.add_argument("--overlap", type=int, default=0)
+    p.add_argument(
+        "--rows-per-shard", type=int,
+        help="bound output shard file sizes (writer-side split, no shuffle)",
+    )
     p.add_argument("--output", required=True)
     p.add_argument("--format", choices=("parquet", "json"), default="parquet")
     return p
@@ -77,6 +90,8 @@ def main(argv: list[str] | None = None) -> int:
         normalize=not args.no_normalize,
         redact=not args.no_redact,
         dedup=not args.no_dedup,
+        near_dedup=args.near_dedup,
+        split_fractions=_parse_fractions(args.split_fractions),
         eval_docs=eval_docs,
         decontam_k=args.decontam_k,
         decontam_threshold=args.decontam_threshold,
@@ -87,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
         overlap=args.overlap,
     )
     writer = out.write.mode("overwrite")
+    if args.rows_per_shard:
+        writer = writer.option("maxRecordsPerFile", args.rows_per_shard)
     if args.format == "parquet":
         writer.parquet(args.output)
     else:
@@ -104,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
                     "dedup": not args.no_dedup,
                     "decontaminate": eval_docs is not None,
                     "mix": args.mix_key is not None,
+                    "near_dedup": args.near_dedup,
+                    "split": args.split_fractions is not None,
                     "pack": args.seq_len is not None,
                 },
                 "output": args.output,

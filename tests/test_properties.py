@@ -266,3 +266,62 @@ def test_normalize_text_python_twin_idempotent(s):
 
     once = norm(s)
     assert norm(once) == once
+
+
+# ---------------------------------------------------------------------------
+# pure twins of the distributed operators (splits, morton, winnowing)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=4),
+)
+def test_split_partition_property(keys, n_labels):
+    """py_split_of is total, deterministic, and covers exactly the
+    declared labels; equal keys always agree."""
+    from evaporate_spark.operators.splits import py_split_of
+
+    fr = {f"l{i}": 1.0 / n_labels for i in range(n_labels)}
+    for k in keys:
+        a, b = py_split_of(k, fr), py_split_of(k, fr)
+        assert a == b and a in fr
+
+
+@given(st.floats(min_value=0.0, max_value=0.5, exclude_min=True))
+def test_split_nested_subset_property(frac):
+    """Shrinking the FIRST label's share only ever moves keys OUT of
+    it (monotone cut points), mirroring the mixing nested-subset
+    contract."""
+    from evaporate_spark.operators.splits import py_split_of
+
+    big = {"a": 0.5 + frac / 2, "b": 1.0 - (0.5 + frac / 2)}
+    small = {"a": frac, "b": 1.0 - frac}
+    for k in range(200):
+        if py_split_of(k, small) == "a":
+            assert py_split_of(k, big) == "a"
+
+
+def _py_morton(vals, bits, n):
+    out = 0
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * n + j)
+    return out
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 16) - 1), min_size=2, max_size=3),
+    st.integers(min_value=1, max_value=16),
+)
+def test_morton_python_twin_bijective(vals, bits):
+    """The python twin of morton_interleave is injective on the
+    masked inputs (de-interleave recovers every coordinate)."""
+    n = len(vals)
+    masked = [v & ((1 << bits) - 1) for v in vals]
+    z = _py_morton(masked, bits, n)
+    back = [
+        sum(((z >> (i * n + j)) & 1) << i for i in range(bits))
+        for j in range(n)
+    ]
+    assert back == masked

@@ -1076,3 +1076,60 @@ def test_prepare_corpus_near_dedup_and_splits(spark):
     doc_split = {r["doc_id"]: r["split"] for r in rows}
     for r in prow:
         assert r["split"] == doc_split[r["doc_id"]]
+
+
+def test_cli_corpus_near_dedup_split_shards(spark, tmp_path):
+    import json
+
+    from evaporate_spark.cli_corpus import main
+
+    rows = [
+        (i, f"doc {i} body " + " ".join(f"w{i}_{j}" for j in range(40)), "en")
+        for i in range(20)
+    ]
+    rows += [(100 + i, rows[i][1] + " ", "en") for i in range(10)]  # near-dups
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(str(tmp_path / "docs"))
+    rc = main([
+        "--documents-parquet", str(tmp_path / "docs"),
+        "--output", str(tmp_path / "out"),
+        "--near-dedup",
+        "--split-fractions", "train=0.8,val=0.1,test=0.1",
+        "--rows-per-shard", "5",
+        "--no-redact",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 20  # near-dups collapsed
+    assert "split" in out.columns
+    from collections import Counter
+
+    per_file = Counter(
+        r["f"] for r in out.selectExpr("input_file_name() AS f").collect()
+    )
+    assert max(per_file.values()) <= 5
+
+
+def test_morton_spark_matches_python_twin(spark):
+    """One batched job pins the Spark expression to the pure twin the
+    hypothesis property exercises."""
+    import random
+
+    from evaporate_spark.operators.zorder import morton_interleave
+    from tests.test_properties import _py_morton
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(1 << 16), rng.randrange(1 << 16), rng.randrange(1 << 16))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = [
+        r["m"]
+        for r in df.select(
+            morton_interleave([F.col("x"), F.col("y"), F.col("z")], 16).alias("m")
+        ).collect()
+    ]
+    want = [_py_morton(list(t), 16, 3) for t in rows]
+    assert got == want

@@ -22,12 +22,16 @@ itself (no external model, fully deterministic):
   across engines, so this one is pytest-verified against a pure-Python
   recompute instead of the DuckDB oracle.
 
-Scale shape (100 TB): tokens are exploded ONCE; the vocab count table
-shuffles on the token key with map-side partial counts; the count
-lookup joins token-partitioned on both sides (AQE promotes it to
-broadcast when the vocab is small); corpus totals are an O(1)-wide
-aggregate broadcast back via a 1-row cross join. No driver-side state
-beyond the two scalars.
+Scale shape (100 TB): the vocab count table shuffles on the token key
+with map-side partial counts; the count lookup joins
+token-partitioned on both sides (AQE promotes it to broadcast when
+the vocab is small); corpus totals are an O(1)-wide aggregate
+broadcast back via a 1-row cross join. No driver-side state beyond
+the two scalars. The token explosion feeds both the vocab aggregate
+and the lookup join, so the source is scanned twice — recomputing the
+scan-stage tokenize is cheaper than materializing per-token rows
+(≈ tokens × row overhead ≫ input bytes); persist the exploded frame
+manually only when storage is faster than the scan.
 """
 
 from __future__ import annotations

@@ -42,6 +42,15 @@ the ONE shuffle is the groupBy on the 128-bit window hash; the
 flag-join back to windows shuffles on the same key (AQE reuses or
 broadcasts the usually-tiny duplicated-hash side). State never exceeds
 (n_tokens/stride) rows of (id, offset, 16-byte hash).
+
+Deliberate recompute: the window relation feeds both the hot-hash
+aggregate and the flag join, so the source is SCANNED TWICE and the
+windows are hashed twice. That is the right trade at scale —
+materializing the window rows (≈ window/stride × corpus tokens, i.e.
+several times the input bytes) costs more IO than re-running the
+scan-stage expressions; callers with cheap fast storage can
+``.persist()`` the ``passage_windows`` frame themselves and pass it
+through the lower-level pieces.
 """
 
 from __future__ import annotations

@@ -1,0 +1,75 @@
+"""Exact top-k heavy hitters with bounded memory (candidates+verify).
+
+``groupBy(key).count()`` over a 100 TB corpus with trillions of
+DISTINCT keys (e.g. all n-grams) shuffles the full key universe —
+state proportional to cardinality. The classical fix: a Misra-Gries
+pass produces a SMALL candidate superset (Spark's JVM ``freqItems``
+implements exactly this, per-partition summaries merged on the
+driver), then a second scan exactly counts ONLY the candidates via a
+broadcast membership filter. Two scans, sketch-sized state, and the
+answer is EXACT — not approximate — whenever the guarantee below
+holds.
+
+Guarantee: ``freqItems(support)`` returns every item with frequency
+> support·n (no false negatives above the threshold; false positives
+possible and harmless — the verify pass prunes them). The top-k is
+therefore exact iff the true k-th frequency exceeds support·n. That
+condition is CHECKED at runtime against the verified counts: if the
+k-th candidate's exact count fails it, the result could be missing a
+rarer-than-support true member, and the operator raises rather than
+returning silently-plausible output (lower ``support`` and rerun).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["exact_top_k_heavy_hitters"]
+
+
+def exact_top_k_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int,
+    support: float = 0.0001,
+) -> DataFrame:
+    """``(item, n)`` — the exact k most frequent values of ``col``
+    (ties broken by item ascending), computed with sketch-bounded
+    state. Raises RuntimeError when ``support`` is too coarse for this
+    distribution's k-th frequency (the exactness guarantee would not
+    hold)."""
+    total = df.count()
+    if total == 0:
+        return df.select(F.col(col).alias("item")).limit(0).withColumn(
+            "n", F.lit(0).cast("long")
+        )
+    cands = list(df.stat.freqItems([col], support).first()[0])
+    spark_s = df.sparkSession
+    cand_df = spark_s.createDataFrame(
+        [(c,) for c in cands],
+        f"item {df.schema[col].dataType.simpleString()}",
+    )
+    # membership via broadcast semi-join: candidate sets can be up to
+    # 1/support items — too many for an isin literal list
+    exact = (
+        df.select(F.col(col).alias("item"))
+        .join(F.broadcast(cand_df), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+        .limit(k)
+        .collect()
+    )
+    threshold = support * total
+    if len(exact) == k and exact[-1]["n"] <= threshold:
+        raise RuntimeError(
+            f"heavy-hitters guarantee violated: k-th frequency "
+            f"{exact[-1]['n']} <= support*n = {threshold:.1f}; lower "
+            f"`support` and rerun"
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r["item"], r["n"]) for r in exact],
+        f"item {df.schema[col].dataType.simpleString()}, n long",
+    )

@@ -1866,3 +1866,33 @@ def q_recursive_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain GROUP BY pk
         """
     )
+
+
+@register(
+    "q_heavy_hitter_tokens",
+    "Exact top-20 tokens via sketch-bounded candidates+verify: JVM "
+    "freqItems (Misra-Gries) produces a small candidate superset, a "
+    "broadcast semi-join verify pass counts only candidates - two "
+    "scans, sketch-sized state instead of shuffling the full key "
+    "universe, and the answer is EXACT (runtime-checked guarantee). "
+    "Oracle is the plain full-shuffle top-k.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '\W+'), x -> x <> ''
+            )) AS item
+            FROM documents
+        )
+        SELECT item, COUNT(*) AS n
+        FROM toks GROUP BY item
+        ORDER BY n DESC, item LIMIT 20
+    """,
+    tags=("textstats",),
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.heavy_hitters import exact_top_k_heavy_hitters
+    from evaporate_spark.operators.search import tokenize
+
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("tok"))
+    return exact_top_k_heavy_hitters(toks, "tok", 20, support=0.001)

@@ -1133,3 +1133,28 @@ def test_morton_spark_matches_python_twin(spark):
     ]
     want = [_py_morton(list(t), 16, 3) for t in rows]
     assert got == want
+
+
+def test_heavy_hitters_exact_and_guarantee(spark):
+    from evaporate_spark.operators.heavy_hitters import exact_top_k_heavy_hitters
+
+    # skewed distribution: item i appears (50 - i) times
+    rows = [(f"t{i:02d}",) for i in range(40) for _ in range(50 - i)]
+    df = spark.createDataFrame(rows, "tok string")
+    got = [
+        (r["item"], r["n"])
+        for r in exact_top_k_heavy_hitters(df, "tok", 5, support=0.01).collect()
+    ]
+    assert got == [(f"t{i:02d}", 50 - i) for i in range(5)]
+
+    # a support too coarse for the k-th frequency must refuse loudly
+    try:
+        exact_top_k_heavy_hitters(df, "tok", 39, support=0.02)
+        raise AssertionError("guarantee violation must raise")
+    except RuntimeError as e:
+        assert "support" in str(e)
+
+    # empty input yields an empty typed frame
+    assert (
+        exact_top_k_heavy_hitters(df.limit(0), "tok", 5).count() == 0
+    )

@@ -1,0 +1,51 @@
+"""Mergeable distinct-count sketches (DataSketches HLL, Spark 4).
+
+The lakehouse pattern for COUNT(DISTINCT) at 100 TB: materialize a
+per-partition (per-day, per-source) SKETCH column once, then answer
+any rollup by UNIONING sketches — no rescan of history, no exact
+distinct shuffle. Spark 4 ships the DataSketches HLL aggregate
+family (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``); this module packages the materialize →
+persist → merge lifecycle and documents its accuracy contract.
+
+Accuracy: estimates are within the standard HLL bounds
+(≈ 1.04/√2^lgK relative error; ~1.6% at the default lgK=12). A merged
+estimate may differ slightly from the direct estimate of the same
+data (union can promote the sketch's internal target type) — both
+stay within the error bound, which is what the tests pin.
+
+The sketch column is plain BINARY: it survives parquet round-trips,
+so daily partial sketches are just rows in a table
+(:class:`~evaporate_spark.sources.versioned.VersionedTable` works).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["distinct_sketch_partials", "merge_distinct_sketches"]
+
+
+def distinct_sketch_partials(
+    df: DataFrame, key_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """One row per key group: ``(*key_cols, sketch BINARY)`` — the
+    materialization pass (run once per ingest partition)."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_distinct_sketches(
+    partials: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union partial sketches (optionally re-grouped coarser) and
+    estimate: ``(*group_cols, approx_distinct BIGINT)``. Scanning only
+    sketch rows — never the raw history."""
+    est = F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+        "approx_distinct"
+    )
+    if group_cols:
+        return partials.groupBy(*group_cols).agg(est)
+    return partials.agg(est)

@@ -1158,3 +1158,34 @@ def test_heavy_hitters_exact_and_guarantee(spark):
     assert (
         exact_top_k_heavy_hitters(df.limit(0), "tok", 5).count() == 0
     )
+
+
+def test_hll_sketch_lifecycle(spark, tmp_path):
+    """Materialize per-day partial sketches, persist to parquet, merge
+    without rescanning — estimates within HLL error of exact."""
+    from evaporate_spark.functions.sketches import (
+        distinct_sketch_partials,
+        merge_distinct_sketches,
+    )
+
+    df = spark.range(60_000).selectExpr(
+        "id % 7 AS day", "concat('u', id % 9000) AS user"
+    )
+    partials = distinct_sketch_partials(df, ["day"], "user")
+    p = str(tmp_path / "sk")
+    partials.write.parquet(p)  # BINARY sketches survive parquet
+    back = spark.read.parquet(p)
+    assert back.count() == 7
+
+    total = merge_distinct_sketches(back).first()["approx_distinct"]
+    exact = df.select("user").distinct().count()
+    assert abs(total - exact) / exact < 0.05, (total, exact)
+
+    # coarser regroup without touching raw data: odd/even day buckets
+    halves = merge_distinct_sketches(
+        back.withColumn("bucket", F.col("day") % 2), ["bucket"]
+    ).collect()
+    for r in halves:
+        days = [d for d in range(7) if d % 2 == r["bucket"]]
+        ex = df.where(F.col("day").isin(days)).select("user").distinct().count()
+        assert abs(r["approx_distinct"] - ex) / ex < 0.05

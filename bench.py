@@ -58,6 +58,19 @@ Pinned comparison baselines (medians unless noted):
   the banding shuffle now carries a 16-byte digest instead of the
   full shingle arrays), q_knn_cosine 0.621, q_semantic_closed_ie
   4.454, q_semantic_openie 10.388, media_decode_300 0.431.
+- r5 LATE-round pins (gated, start loadavg 0.14; the extended set
+  grew to 12 rows): relational 2.997; q_exact_dedup_groups 0.358,
+  q_minhash_lsh_dups 2.346, q_dup_clusters 4.11 (FIRST pin —
+  iterative star-CC over the spanning-edge dup graph; 10.8 before
+  the lsh_exact_dup_edges scan-widen fix), q_dup_passage_stats 3.694
+  (first pin), q_token_rarity 0.864 (first pin), q_knn_cosine 0.885,
+  q_semantic_closed_ie 6.549, q_semantic_openie 16.02,
+  media_decode_300 0.714. CAVEAT: every same-definition row ran
+  1.25-1.55x the early-r5 pins across THREE same-day runs while
+  `git diff` shows the semantic/relational paths byte-identical to
+  the pinned commit — host-level slowdown (the box intermittently
+  carried loadavg 5-8 with no in-container CPU consumer), not a
+  regression. Compare rows within one run, not across days.
 """
 
 from __future__ import annotations

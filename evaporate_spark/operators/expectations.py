@@ -1,0 +1,90 @@
+"""Declarative data-quality expectations (dbt-test / Great-Expectations
+style) as plain DataFrame plans.
+
+Each expectation builder returns the VIOLATIONS frame for one rule —
+rows that break it — so callers can count, sample, or quarantine.
+:func:`run_expectations` rolls a batch of rules into one summary frame
+(rule, n_violations, passed); because each summary is an aggregate of
+a violations plan, Catalyst fuses the whole batch into one job at
+action time, each rule reading only the columns it checks.
+
+Scale notes: every rule is expressed with built-in operators only —
+null/range/set checks are scan-stage filters (predicate-pushdown
+eligible); uniqueness is one groupBy on the key; referential
+integrity is a LEFT ANTI join (broadcast when the parent is a
+dimension). Nothing collects more than the per-rule count.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "expect_not_null",
+    "expect_unique",
+    "expect_range",
+    "expect_values_in",
+    "expect_ref_integrity",
+    "run_expectations",
+]
+
+
+def expect_not_null(df: DataFrame, col: str) -> DataFrame:
+    return df.where(F.col(col).isNull())
+
+
+def expect_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One violation row per DUPLICATED key (with its multiplicity)."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def expect_range(df: DataFrame, col: str, lo=None, hi=None) -> DataFrame:
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < lo)
+    if hi is not None:
+        cond = cond | (F.col(col) > hi)
+    return df.where(cond)
+
+
+def expect_values_in(df: DataFrame, col: str, allowed: list) -> DataFrame:
+    return df.where(~F.col(col).isin(allowed) | F.col(col).isNull())
+
+
+def expect_ref_integrity(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Orphans: child rows whose key has no parent. NULL keys never
+    match and therefore count as orphans — combine with a separate
+    not-null rule (or pre-filter) when NULL keys are legal."""
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+
+
+def run_expectations(rules: dict[str, DataFrame]) -> DataFrame:
+    """``{rule_name: violations_frame}`` → one summary frame
+    ``(rule, n_violations, passed INT)``, alphabetical by rule."""
+    if not rules:
+        raise ValueError("run_expectations needs at least one rule")
+    summaries = []
+    for name in sorted(rules):
+        summaries.append(
+            rules[name]
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(
+                F.lit(name).alias("rule"),
+                "n_violations",
+                (F.col("n_violations") == 0).cast("int").alias("passed"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), summaries)

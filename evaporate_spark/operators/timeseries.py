@@ -1,0 +1,63 @@
+"""Time-series regularization: gap filling + forward fill.
+
+Downstream consumers of rolled-up event series (forecasting, charting,
+joins against other series) need a dense, regular time axis; raw
+event rollups have holes wherever nothing happened. This operator
+densifies each entity's series to every bucket between its first and
+last observation and carries the last observed value forward.
+
+Scale shape: the bucket spine is generated per entity with
+``sequence()`` + ``explode`` (JVM, proportional to output rows, no
+driver loop); the fill is one window pass ordered by bucket with
+``last(..., ignorenulls)`` — both the spine join and the window hash
+on the entity key, so Catalyst plans a single Exchange per side.
+Span safety: an entity's spine is (max−min)/step rows; a pathological
+entity spanning years at second granularity densifies to millions of
+rows — that is the REQUESTED output size, not state amplification
+(nothing is buffered beyond the window frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["fill_gaps"]
+
+
+def fill_gaps(
+    df: DataFrame,
+    entity_col: str,
+    bucket_col: str,
+    value_cols: list[str],
+    step: int,
+) -> DataFrame:
+    """Densify ``(entity, bucket)`` rows to every ``step`` between each
+    entity's min and max bucket; output adds ``is_observed`` (0/1)
+    and forward-fills each value column (``<v>_ff``).
+
+    ``bucket_col`` must be an integer timeline (epoch-derived bucket
+    ids — the same convention as operators/rollup.py).
+    """
+    spine = (
+        df.groupBy(entity_col)
+        .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+        .select(
+            entity_col,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+            ).alias(bucket_col),
+        )
+    )
+    joined = spine.join(df, [entity_col, bucket_col], "left")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined.withColumn(
+        "is_observed", F.col(value_cols[0]).isNotNull().cast("int")
+    )
+    for v in value_cols:
+        out = out.withColumn(f"{v}_ff", F.last(v, ignorenulls=True).over(w))
+    return out

@@ -1896,3 +1896,113 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokenize("text")).alias("tok"))
     return exact_top_k_heavy_hitters(toks, "tok", 20, support=0.001)
+
+
+@register(
+    "q_gap_filled_series",
+    "Time-series densification + forward fill: each user's hourly "
+    "value series gets every hour between its first and last "
+    "observation (sequence+explode spine, JVM), missing hours carry "
+    "the last observed value forward (one window pass, ignorenulls) - "
+    "spine join and fill window share the user partitioning.",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id,
+                   (epoch_us(ts) // 3600000000) AS h,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY user_id, h
+        ),
+        spine AS (
+            SELECT user_id,
+                   unnest(range(MIN(h), MAX(h) + 1)) AS h
+            FROM hourly GROUP BY user_id
+        ),
+        j AS (
+            SELECT s.user_id, s.h, hourly.cents
+            FROM spine s LEFT JOIN hourly
+              ON s.user_id = hourly.user_id AND s.h = hourly.h
+        )
+        SELECT user_id, h,
+               CASE WHEN cents IS NULL THEN 0 ELSE 1 END AS is_observed,
+               CAST(LAST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cents_ff
+        FROM j
+    """,
+    tags=("events",),
+)
+def q_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.timeseries import fill_gaps
+
+    (events,) = _t(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    out = fill_gaps(hourly, "user_id", "h", ["cents"], step=1)
+    return out.select("user_id", "h", "is_observed", F.col("cents_ff"))
+
+
+@register(
+    "q_dq_checks",
+    "Declarative data-quality suite (dbt-test style) in ONE summary "
+    "frame: not-null + referential integrity (left-anti orphan join) "
+    "pass on the generated data; range / allowed-values / uniqueness "
+    "rules report real violation counts. Every rule is a built-in-"
+    "operator plan (pushdown-eligible filters, one groupBy for "
+    "uniqueness), fused into one job at action time.",
+    oracle="""
+        SELECT 'discount_le_5pct' AS rule,
+               COUNT(*) AS n_violations,
+               CAST(COUNT(*) = 0 AS INT) AS passed
+        FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.05
+        UNION ALL
+        SELECT 'orderkey_unique', COUNT(*), CAST(COUNT(*) = 0 AS INT)
+        FROM (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) > 1
+        )
+        UNION ALL
+        SELECT 'orders_custkey_not_null', COUNT(*), CAST(COUNT(*) = 0 AS INT)
+        FROM orders WHERE o_custkey IS NULL
+        UNION ALL
+        SELECT 'orders_custkey_resolves', COUNT(*), CAST(COUNT(*) = 0 AS INT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'returnflag_domain', COUNT(*), CAST(COUNT(*) = 0 AS INT)
+        FROM lineitem
+        WHERE l_returnflag NOT IN ('A', 'N') OR l_returnflag IS NULL
+        ORDER BY rule
+    """,
+    tags=("textstats",),
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.expectations import (
+        expect_not_null,
+        expect_range,
+        expect_ref_integrity,
+        expect_unique,
+        expect_values_in,
+        run_expectations,
+    )
+
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    return run_expectations(
+        {
+            "discount_le_5pct": expect_range(li, "l_discount", 0.0, 0.05),
+            "orderkey_unique": expect_unique(li, ["l_orderkey"]),
+            "orders_custkey_not_null": expect_not_null(orders, "o_custkey"),
+            "orders_custkey_resolves": expect_ref_integrity(
+                orders, "o_custkey", cust, "c_custkey"
+            ),
+            "returnflag_domain": expect_values_in(li, "l_returnflag", ["A", "N"]),
+        }
+    )

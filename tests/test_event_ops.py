@@ -182,3 +182,54 @@ def test_versioned_table_upsert_and_time_travel(spark, tmp_path):
         raise AssertionError("must refuse uncommitted version")
     except FileNotFoundError:
         pass
+
+
+def test_fill_gaps_forward_fill(spark):
+    from evaporate_spark.operators.timeseries import fill_gaps
+
+    rows = [(1, 10, 5), (1, 13, 7), (2, 100, 1)]
+    df = spark.createDataFrame(rows, "u long, b long, v long")
+    out = {
+        (r["u"], r["b"]): (r["is_observed"], r["v_ff"])
+        for r in fill_gaps(df, "u", "b", ["v"], step=1).collect()
+    }
+    assert out == {
+        (1, 10): (1, 5), (1, 11): (0, 5), (1, 12): (0, 5), (1, 13): (1, 7),
+        (2, 100): (1, 1),
+    }
+
+
+def test_expectations_rules(spark):
+    from evaporate_spark.operators.expectations import (
+        expect_not_null,
+        expect_range,
+        expect_ref_integrity,
+        expect_unique,
+        expect_values_in,
+        run_expectations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 99, None), (4, None, "z")],
+        "id long, fk long, s string",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+    summary = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in run_expectations(
+            {
+                "fk_not_null": expect_not_null(child, "fk"),
+                "fk_resolves": expect_ref_integrity(child, "fk", parent, "pk"),
+                "id_unique": expect_unique(child, ["id"]),
+                "id_range": expect_range(child, "id", 1, 3),
+                "s_domain": expect_values_in(child, "s", ["a", "b"]),
+            }
+        ).collect()
+    }
+    assert summary == {
+        "fk_not_null": (1, 0),
+        "fk_resolves": (2, 0),   # fk=99 orphan + NULL fk (nulls never resolve)
+        "id_unique": (0, 1),
+        "id_range": (1, 0),      # id=4
+        "s_domain": (2, 0),      # None and "z"
+    }

@@ -2006,3 +2006,164 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returnflag_domain": expect_values_in(li, "l_returnflag", ["A", "N"]),
         }
     )
+
+
+@register(
+    "q8_market_share",
+    "TPC-H Q8 shape: 7-table star join (lineitem at the center; "
+    "orders, part, customer, supplier, nation x2, region) computing a "
+    "supplier-nation's yearly market share inside one region's PROMO "
+    "segment. Dimension filters push into the scans, constant-"
+    "cardinality dims broadcast, AQE orders the rest; revenue in "
+    "exact integer cents so the share division is the only float op.",
+    oracle="""
+        WITH vol AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS cents,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN part     ON l_partkey = p_partkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                             THEN cents ELSE 0 END) AS BIGINT)
+                   AS nation_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                                   THEN cents ELSE 0 END) AS DOUBLE)
+                     / SUM(cents) * 1000000 + 0.5) / 1000000.0
+                   AS mkt_share
+        FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("join",),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    li, orders, part, cust, nation, region, supp = _t(
+        spark, sf_dir,
+        "lineitem", "orders", "part", "customer", "nation", "region", "supplier",
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(part.where(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("cents"),
+            "supp_nation",
+        )
+    )
+    focal = F.when(F.col("supp_nation") == "NATION_7", F.col("cents")).otherwise(
+        F.lit(0)
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(focal).cast("long").alias("nation_cents"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            (
+                F.floor(
+                    F.col("nation_cents").cast("double")
+                    / F.col("total_cents")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_event_value_outliers",
+    "Robust outlier detection: per event-type median + MAD (exact "
+    "interpolated percentiles - sort-based, no FP-summation order "
+    "hazard), flagging values beyond 3 MADs. Two tiny per-type "
+    "aggregates broadcast back onto the events - the robust-z-score "
+    "data-quality gate that survives heavy-tailed value columns "
+    "where mean/stddev clipping breaks.",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, ABS(e.value - m.med) AS ad, m.med
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN d.ad > 3 * m2.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               FLOOR(MAX(d.med) * 10000 + 0.5) / 10000.0 AS med,
+               FLOOR(MAX(m2.mad) * 10000 + 0.5) / 10000.0 AS mad
+        FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+        GROUP BY d.event_type
+    """,
+    tags=("events",),
+)
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    (events,) = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("ad"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_outliers"),
+            (F.floor(F.max("med") * 10000 + F.lit(0.5)) / 10000.0).alias("med"),
+            (F.floor(F.max("mad") * 10000 + F.lit(0.5)) / 10000.0).alias("mad"),
+        )
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_changes", "apply_cdc"]
+__all__ = ["latest_changes", "apply_cdc", "scd2_history"]
 
 
 def latest_changes(
@@ -71,3 +71,47 @@ def apply_cdc(
             F.when(no_change, base[c]).otherwise(F.col(f"_c_{c}")).alias(c)
         )
     return j.where(no_change | (F.col("_op") != "D")).select(*out_cols)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history from a change stream.
+
+    Each non-delete change opens a version valid from its ``seq`` until
+    the key's next change (``valid_to_seq`` NULL while current);
+    deletes close the previous version without opening one
+    (participating in the interval chain but emitting no row).
+    ``is_current`` marks each key's live version — a key whose LAST
+    change is a delete has no current row.
+
+    One window pass (lead over the per-key seq order) on the same key
+    partitioning as :func:`apply_cdc`; pairs with the as-of join
+    (operators/asof.py) for "dimension value at time T" lookups.
+    Same-seq delete-vs-upsert ties order the upsert BEFORE the delete
+    (op descending), so the delete closes it — the same delete-wins
+    reading :func:`latest_changes` uses.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).asc(), F.col(op_col).desc()
+    )
+    with_next = changes.withColumn(
+        "_next_seq", F.lead(seq_col).over(w)
+    )
+    return (
+        with_next.where(F.col(op_col) != "D")
+        .select(
+            *key_cols,
+            *[
+                c
+                for c in changes.columns
+                if c not in key_cols and c not in (op_col,)
+            ],
+            F.col("_next_seq").alias("valid_to_seq"),
+            F.col("_next_seq").isNull().cast("int").alias("is_current"),
+        )
+        .withColumnRenamed(seq_col, "valid_from_seq")
+    )

@@ -1712,6 +1712,13 @@ def q_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
     )
+    return apply_cdc(base, _synthetic_cdc_changes(base), ["o_orderkey"], "seq")
+
+
+def _synthetic_cdc_changes(base: DataFrame) -> DataFrame:
+    """The deterministic I/U/D stream shared by q_apply_cdc and
+    q_scd2_history (latest-wins conflicts, same-seq D/U ties,
+    inserts)."""
     k = F.col("o_orderkey")
     nulls = [
         F.lit(None).cast("string").alias("o_orderstatus"),
@@ -1752,8 +1759,7 @@ def q_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(5).alias("seq"),
     )
     changes = deletes.unionByName(upd2).unionByName(upd1).unionByName(ins)
-    changes = changes.unionByName(tie_d).unionByName(tie_u)
-    return apply_cdc(base, changes, ["o_orderkey"], "seq")
+    return changes.unionByName(tie_d).unionByName(tie_u)
 
 
 @register(
@@ -2167,3 +2173,126 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.max("mad") * 10000 + F.lit(0.5)) / 10000.0).alias("mad"),
         )
     )
+
+
+@register(
+    "q_scd2_history",
+    "SCD Type-2 dimension history from the shared CDC stream: each "
+    "non-delete change opens a version valid until the key's next "
+    "change (one lead() window on the apply_cdc key partitioning); "
+    "deletes close the prior version, same-seq D/U ties resolve "
+    "delete-wins like apply_cdc. The warehouse pattern that pairs "
+    "with the as-of join for dimension-at-time-T lookups.",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   ROUND(o_totalprice, 2) AS price
+            FROM orders
+        ),
+        changes AS (
+            SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+                   CAST(NULL AS DOUBLE) AS price, 'D' AS op, 2 AS seq
+            FROM base WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, 'UPD', price + 1.5, 'U', 2
+            FROM base WHERE o_orderkey % 10 IN (1, 2)
+            UNION ALL
+            SELECT o_orderkey, 'STALE', 0.0, 'U', 1
+            FROM base WHERE o_orderkey % 10 IN (1, 2)
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'NEW', price, 'I', 1
+            FROM base WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT o_orderkey, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), 'D', 5
+            FROM base WHERE o_orderkey % 10 = 4
+            UNION ALL
+            SELECT o_orderkey, 'ZOMBIE', 1.0, 'U', 5
+            FROM base WHERE o_orderkey % 10 = 4
+        ),
+        nxt AS (
+            SELECT *, LEAD(seq) OVER (
+                PARTITION BY o_orderkey ORDER BY seq, op DESC
+            ) AS valid_to_seq
+            FROM changes
+        )
+        SELECT o_orderkey, o_orderstatus, price,
+               seq AS valid_from_seq, valid_to_seq,
+               CAST(valid_to_seq IS NULL AS INT) AS is_current
+        FROM nxt WHERE op <> 'D'
+    """,
+    tags=("join",),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.cdc import scd2_history
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    return scd2_history(_synthetic_cdc_changes(base), ["o_orderkey"], "seq")
+
+
+@register(
+    "q_event_funnel",
+    "Ordered funnel analysis (view -> click within 2h -> purchase "
+    "within 2h of the click): per-stage first-event times chained "
+    "through user-co-partitioned joins (every join and groupBy "
+    "hashes user_id, so the chain plans one Exchange per stage), "
+    "rolled into one stage-conversion row.",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ),
+        s1 AS (
+            SELECT user_id, MIN(us) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT ev.user_id, MIN(us) AS t2
+            FROM ev JOIN s1 ON ev.user_id = s1.user_id
+            WHERE event_type = 'click' AND us > t1 AND us <= t1 + 7200000000
+            GROUP BY ev.user_id
+        ),
+        s3 AS (
+            SELECT ev.user_id, MIN(us) AS t3
+            FROM ev JOIN s2 ON ev.user_id = s2.user_id
+            WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 7200000000
+            GROUP BY ev.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+               (SELECT COUNT(*) FROM s2) AS n_click_after_view,
+               (SELECT COUNT(*) FROM s3) AS n_purchase_after_click
+    """,
+    tags=("events",),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + 7200000000))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + 7200000000))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return c1.crossJoin(broadcast(c2)).crossJoin(broadcast(c3))

@@ -233,3 +233,31 @@ def test_expectations_rules(spark):
         "id_range": (1, 0),      # id=4
         "s_domain": (2, 0),      # None and "z"
     }
+
+
+def test_scd2_history_intervals(spark):
+    from evaporate_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            (1, "v1", "I", 1), (1, "v2", "U", 5), (1, None, "D", 9),
+            (2, "w1", "I", 2),
+            (3, "x1", "I", 1), (3, None, "D", 4), (3, "x2", "I", 7),
+            (4, "y1", "U", 3), (4, None, "D", 3),  # same-seq tie
+        ],
+        "k long, payload string, op string, seq long",
+    )
+    rows = {
+        (r["k"], r["valid_from_seq"]): (
+            r["payload"], r["valid_to_seq"], r["is_current"]
+        )
+        for r in scd2_history(changes, ["k"], "seq").collect()
+    }
+    assert rows == {
+        (1, 1): ("v1", 5, 0),
+        (1, 5): ("v2", 9, 0),       # closed by the delete; key 1 has no current
+        (2, 2): ("w1", None, 1),
+        (3, 1): ("x1", 4, 0),
+        (3, 7): ("x2", None, 1),    # re-insert after delete reopens
+        (4, 3): ("y1", 3, 0),       # tie: delete closes the same-seq upsert
+    }

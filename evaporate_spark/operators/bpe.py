@@ -1,0 +1,175 @@
+"""Byte-pair-encoding tokenizer: corpus-scale training + encoding.
+
+Tokenizer training is a standard step of a training-data pipeline, and
+its scale shape is friendlier than it looks: BPE does NOT train on the
+corpus — it trains on the WORD-FREQUENCY TABLE (this is how the
+reference implementations work, e.g. the original Sennrich et al.
+subword-nmt and HF tokenizers' wordlevel pre-tokenization). So the
+distributed part is ONE word-count aggregation (map-side combined
+shuffle over the corpus); the merge loop then runs driver-side over a
+vocabulary-sized dict, and encoding ships the learned merge ranks back
+to executors as a broadcast for an Arrow-batched pandas UDF (greedy
+lowest-rank-first merging — the GPT-2/HF semantics; a per-character
+Python loop is unavoidable here, which is exactly the case the
+engine's UDF policy reserves Arrow batching for).
+
+Determinism: ties between equally-frequent pairs break on the pair
+itself, so the learned merges are a pure function of the corpus.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_bpe", "bpe_encode_tokens", "bpe_token_stats"]
+
+#: end-of-word sentinel (subword-nmt convention)
+_EOW = "</w>"
+
+
+def _word_counts(df: DataFrame, text_col: str, max_vocab: int) -> list[tuple[str, int]]:
+    """Distributed word-frequency table (the only corpus-sized pass).
+    Truncated to the ``max_vocab`` most frequent words (count-then-word
+    deterministic order) — standard practice; rare-word tails only
+    slow training without changing early merges much."""
+    rows = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\W+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    return [(r["w"], r["c"]) for r in rows]
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 200,
+    max_vocab: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the
+    ordered merge list (earlier = higher priority)."""
+    vocab = {
+        tuple(w) + (_EOW,): c for w, c in _word_counts(df, text_col, max_vocab)
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # deterministic: max count, ties to the lexically-smallest pair
+        top = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == top)
+        merges.append(best_pair)
+        merged = best_pair[0] + best_pair[1]
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best_pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    sym = list(word) + [_EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(sym, sym[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode_tokens(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col ARRAY<STRING>``: the greedy lowest-rank-first
+    BPE encoding of each document (GPT-2/HF merge semantics), via an
+    Arrow-batched pandas UDF over a broadcast merge table."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = df.sparkSession.sparkContext
+    b_ranks = sc.broadcast({tuple(p): i for i, p in enumerate(merges)})
+
+    @pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        import re
+
+        ranks = b_ranks.value
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in re.split(r"\W+", (t or "").lower()):
+                if not w:
+                    continue
+                enc = cache.get(w)
+                if enc is None:
+                    enc = _encode_word(w, ranks)
+                    cache[w] = enc
+                toks.extend(enc)
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """``(id, n_bpe_tokens, n_words, compression)`` per document —
+    the real-tokenizer token counting the whitespace/regex counters in
+    functions/text_stats.py approximate."""
+    enc = bpe_encode_tokens(df, text_col, merges)
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != F.lit("")
+    )
+    return enc.select(
+        F.col(id_col).alias("id"),
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.size(words).alias("n_words"),
+        (
+            F.floor(
+                F.size("bpe_tokens").cast("double")
+                / F.greatest(F.size(words), F.lit(1))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("tokens_per_word"),
+    )

@@ -2296,3 +2296,23 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count(F.lit(1)).alias("n_click_after_view"))
     c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
     return c1.crossJoin(broadcast(c2)).crossJoin(broadcast(c3))
+
+
+@register(
+    "q_bpe_token_stats",
+    "Real-tokenizer token accounting: BPE merges trained on the "
+    "corpus's own word-frequency table (one distributed word count; "
+    "driver merge loop is vocabulary-sized), greedy encode via an "
+    "Arrow-batched pandas UDF over broadcast merge ranks. The merge "
+    "loop is not SQL-expressible -> rows-only driver check; exact "
+    "semantics are ground-truth-asserted at the REGISTRY level "
+    "against a pure-python recompute (tests/test_text_ops.py).",
+    oracle=None,
+    tags=("textstats",),
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.bpe import bpe_token_stats, train_bpe
+
+    (d,) = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", num_merges=60)
+    return bpe_token_stats(d, "doc_id", "text", merges)

@@ -1189,3 +1189,115 @@ def test_hll_sketch_lifecycle(spark, tmp_path):
         days = [d for d in range(7) if d % 2 == r["bucket"]]
         ex = df.where(F.col("day").isin(days)).select("user").distinct().count()
         assert abs(r["approx_distinct"] - ex) / ex < 0.05
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_hand_computed(spark):
+    """Classic toy corpus: 'low'x5 'lower'x2 'newest'x6 'widest'x3 —
+    first merges must follow pair frequencies deterministically."""
+    from evaporate_spark.operators.bpe import train_bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(text,)], "text string")
+    merges = train_bpe(df, "text", num_merges=4)
+    # ('e','s') and ('es','t') dominate with 9 occurrences each
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+
+
+def test_bpe_encode_and_stats(spark):
+    from evaporate_spark.operators.bpe import (
+        bpe_encode_tokens,
+        bpe_token_stats,
+        train_bpe,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = train_bpe(df, "text", num_merges=50)
+    enc = bpe_encode_tokens(df, "text", merges).first()["bpe_tokens"]
+    # round trip: concatenation restores the words (EOW-delimited)
+    restored = "".join(enc).replace("</w>", " ").strip().split()
+    assert restored == text.split()
+    # fully-merged frequent words collapse to one token
+    assert "newest</w>" in enc
+    stats = bpe_token_stats(df, "doc_id", "text", merges).first()
+    assert stats["n_words"] == 16
+    assert stats["n_bpe_tokens"] >= 16  # never fewer tokens than words
+    assert stats["tokens_per_word"] >= 1.0
+    # unseen words still encode (char fallback), never crash
+    df2 = spark.createDataFrame([(1, "zzzq unknowable")], "doc_id long, text string")
+    enc2 = bpe_encode_tokens(df2, "text", merges).first()["bpe_tokens"]
+    assert "".join(enc2).replace("</w>", " ").strip().split() == ["zzzq", "unknowable"]
+
+
+def test_registry_bpe_matches_pure_python(spark):
+    """Registry-level ground truth for the rows-only q_bpe_token_stats
+    (same pattern as the simhash/HLL no-oracle rows): the Spark BPE
+    stats must equal a pure-python train+encode over the same corpus."""
+    import re
+    from collections import Counter
+
+    from evaporate_spark.plans import REGISTRY
+    from evaporate_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in REGISTRY["q_bpe_token_stats"].spark(spark, sf).collect()
+    }
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    wc = Counter(
+        w for t in docs.values() for w in re.split(r"\W+", t.lower()) if w
+    )
+    vocab = {tuple(w) + ("</w>",): c for w, c in wc.items()}
+    merges = []
+    for _ in range(60):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for p in zip(sym, sym[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        nv = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1]); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def enc(word):
+        sym = list(word) + ["</w>"]
+        while len(sym) > 1:
+            cands = [
+                (ranks[p], i)
+                for i, p in enumerate(zip(sym, sym[1:]))
+                if p in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            sym[i : i + 2] = [sym[i] + sym[i + 1]]
+        return sym
+
+    for doc_id, text in docs.items():
+        words = [w for w in re.split(r"\W+", text.lower()) if w]
+        n_tok = sum(len(enc(w)) for w in words)
+        assert got[doc_id] == (n_tok, len(words)), doc_id

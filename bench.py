@@ -95,6 +95,7 @@ EXTENDED = [
     "q_dup_passage_stats",
     "q_token_rarity",
     "q_knn_cosine",
+    "q8_market_share",
     "q_semantic_closed_ie",
     "q_semantic_openie",
 ]

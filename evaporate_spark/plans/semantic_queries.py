@@ -2316,3 +2316,62 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
     merges = train_bpe(d, "text", num_merges=60)
     return bpe_token_stats(d, "doc_id", "text", merges)
+
+
+@register(
+    "q_negative_samples",
+    "Deterministic negative sampling for contrastive training: "
+    "documents ordered on a uniform md5 ring, each anchor takes the "
+    "next 3 ring neighbors as negatives (wrap-around via union of "
+    "the head rows) - reproducible across runs/engines/cluster "
+    "sizes, unlike rand()-based sampling, and adjacent-on-the-ring "
+    "is independent of any content signal. One range-exchange sort, "
+    "three lead() passes sharing it.",
+    oracle="""
+        WITH ring AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS hv
+            FROM documents
+        ),
+        ordered AS (
+            SELECT doc_id, hv,
+                   ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS pos,
+                   COUNT(*) OVER () AS n
+            FROM ring
+        )
+        SELECT a.doc_id AS anchor_id, b.doc_id AS negative_id,
+               CAST(k.k AS INT) AS neg_rank
+        FROM ordered a
+        JOIN (VALUES (1), (2), (3)) AS k(k) ON TRUE
+        JOIN ordered b
+          ON b.pos = ((a.pos - 1 + k.k) % a.n) + 1
+    """,
+    tags=("dedup",),
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.mixing import sample_hash
+    from evaporate_spark.operators.ranking import global_rank
+
+    (d,) = _t(spark, sf_dir, "documents")
+    ring = d.select("doc_id", sample_hash("doc_id").alias("hv"))
+    # ring positions via the scalable two-phase rank - range-partition
+    # + per-partition row_number + broadcast offsets, never a
+    # single-task global sort (and the catalog lint gate enforces it)
+    pos, n = global_rank(ring, ["hv", "doc_id"], rank_col="pos")
+    neighbors = pos.select("pos", F.col("doc_id").alias("negative_id"))
+    outs = []
+    for k in range(1, 4):
+        want = pos.select(
+            F.col("doc_id").alias("anchor_id"),
+            (((F.col("pos") - 1 + k) % n) + 1).alias("pos"),
+        )
+        outs.append(
+            want.join(neighbors, "pos").select(
+                "anchor_id", "negative_id", F.lit(k).alias("neg_rank")
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

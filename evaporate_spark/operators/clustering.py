@@ -101,23 +101,54 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
-    for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # Order-independent, overflow-free set signature: the edge set
-        # is distinct, so (count, XOR of per-edge hashes) pins it.
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
-        ).first()
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds"
-        )
+    # Fast path: the input is already a star forest whose hub is each
+    # component's minimum — every member carries exactly ONE edge,
+    # every edge connects the hub (smaller id) to a member, and no hub
+    # is a member of another star. This is precisely the shape
+    # spanning-edge dup graphs arrive in (dedup.lsh_exact_dup_edges),
+    # so two cheap aggregates replace 2-3 full star rounds. Both
+    # orientations are accepted; hub-first input is flipped to the
+    # (member, hub) form the labeling step expects.
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("a").alias("nd_a"),
+        F.count_distinct("b").alias("nd_b"),
+        F.coalesce(F.sum((F.col("a") < F.col("b")).cast("int")), F.lit(0)).alias(
+            "down"
+        ),
+    ).first()
+    hub_first = row["n"] > 0 and row["n"] == row["nd_b"] and row["down"] == row["n"]
+    member_first = row["n"] > 0 and row["n"] == row["nd_a"] and row["down"] == 0
+    is_star = hub_first or member_first
+    if is_star:
+        hubs = e.select(
+            (F.col("a") if hub_first else F.col("b")).alias("h")
+        ).distinct()
+        members = e.select(
+            (F.col("b") if hub_first else F.col("a")).alias("h")
+        ).distinct()
+        is_star = hubs.join(members, "h", "left_semi").count() == 0
+    if is_star and hub_first:
+        e = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    if not is_star:
+        prev_sig = None
+        for _ in range(max_rounds):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # Order-independent, overflow-free set signature: the edge
+            # set is distinct, so (count, XOR of per-edge hashes) pins
+            # it.
+            row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+            ).first()
+            sig = (row["n"], row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
     # Converged edge set is a union of stars (member → component root,
     # member > root). groupBy-min is a safety net, not a semantic need.
     comp = e.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("component"))

@@ -1301,3 +1301,43 @@ def test_registry_bpe_matches_pure_python(spark):
         words = [w for w in re.split(r"\W+", text.lower()) if w]
         n_tok = sum(len(enc(w)) for w in words)
         assert got[doc_id] == (n_tok, len(words)), doc_id
+
+
+def test_connected_components_star_fast_path(spark, monkeypatch):
+    """A star-forest input (the spanning-edge dedup shape) resolves
+    WITHOUT any star rounds — proven by making the round functions
+    explode — in either orientation; chains still need (and get) the
+    loop."""
+    from evaporate_spark.operators import clustering
+    from evaporate_spark.operators.clustering import connected_components
+
+    def _boom(_):
+        raise AssertionError("star round ran on a star-forest input")
+
+    monkeypatch.setattr(clustering, "_large_star", _boom)
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 5, 7, 9]], "id long")
+    # hub-first orientation (lsh_exact_dup_edges shape: (min, member))
+    hub_first = spark.createDataFrame(
+        [(0, 1), (0, 2), (5, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(hub_first, nodes=nodes).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 7: 5, 9: 9}
+    # member-first orientation (the converged-loop shape)
+    member_first = spark.createDataFrame(
+        [(1, 0), (2, 0), (7, 5)], "id_a long, id_b long"
+    )
+    got2 = {
+        r["id"]: r["component"]
+        for r in connected_components(member_first, nodes=nodes).collect()
+    }
+    assert got2 == got
+    monkeypatch.undo()
+    # a chain is NOT a star forest: the loop must run and still be right
+    chain = spark.createDataFrame([(0, 3), (3, 8)], "id_a long, id_b long")
+    got3 = {
+        r["id"]: r["component"] for r in connected_components(chain).collect()
+    }
+    assert got3 == {0: 0, 3: 0, 8: 0}

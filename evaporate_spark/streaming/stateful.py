@@ -58,3 +58,102 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA drift/anomaly detection (streaming stateful + batch twin)
+# ---------------------------------------------------------------------------
+
+EWMA_STATE_SCHEMA = "n long, ewma double, ewvar double"
+EWMA_OUTPUT_SCHEMA = (
+    "user_id bigint, event_id bigint, value double, "
+    "ewma double, zscore double, is_anomaly int"
+)
+
+#: smoothing factor and flag threshold shared by both twins
+EWMA_ALPHA = 0.3
+EWMA_Z = 3.0
+_EWMA_MIN_N = 5  # warm-up: never flag the first few observations
+
+
+def _ewma_step(n, ewma, ewvar, x):
+    """One sequential EWMA update — THE shared definition (both twins
+    call this, so they cannot drift apart). Returns
+    (n', ewma', ewvar', zscore, is_anomaly) where the z-score is
+    computed against the PRE-update state."""
+    import math
+
+    if n == 0:
+        return 1, x, 0.0, 0.0, 0
+    sd = math.sqrt(ewvar) if ewvar > 0 else 0.0
+    z = (x - ewma) / sd if sd > 0 else 0.0
+    flag = 1 if (n >= _EWMA_MIN_N and sd > 0 and abs(z) > EWMA_Z) else 0
+    delta = x - ewma
+    ewma2 = ewma + EWMA_ALPHA * delta
+    # Welford-style exponentially-weighted variance
+    ewvar2 = (1 - EWMA_ALPHA) * (ewvar + EWMA_ALPHA * delta * delta)
+    return n + 1, ewma2, ewvar2, z, flag
+
+
+def _update_ewma(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    n, ewma, ewvar = state.get if state.exists else (0, 0.0, 0.0)
+    out = {k: [] for k in ("user_id", "event_id", "value", "ewma", "zscore", "is_anomaly")}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, r in pdf.iterrows():
+            x = float(r["value"])
+            n, ewma, ewvar, z, flag = _ewma_step(n, ewma, ewvar, x)
+            out["user_id"].append(key[0])
+            out["event_id"].append(int(r["event_id"]))
+            out["value"].append(x)
+            out["ewma"].append(round(ewma, 6))
+            out["zscore"].append(round(z, 6))
+            out["is_anomaly"].append(flag)
+    state.update((n, ewma, ewvar))
+    yield pd.DataFrame(out)
+
+
+def ewma_anomalies(events: DataFrame) -> DataFrame:
+    """Streaming per-key EWMA drift detection: each event is z-scored
+    against the key's exponentially-weighted mean/variance BEFORE the
+    event updates them; state (3 doubles per key) carries across
+    micro-batches in the state store."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ewma_anomalies_batch(events: DataFrame) -> DataFrame:
+    """Batch twin (backfill/parity): the same sequential recurrence via
+    per-key applyInPandas over (ts, event_id) order."""
+    import pandas as pd
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n, ewma, ewvar = 0, 0.0, 0.0
+        rows = []
+        for _, r in pdf.iterrows():
+            x = float(r["value"])
+            n, ewma, ewvar, z, flag = _ewma_step(n, ewma, ewvar, x)
+            rows.append((int(r["user_id"]), int(r["event_id"]), x,
+                         round(ewma, 6), round(z, 6), flag))
+        return pd.DataFrame(
+            rows,
+            columns=["user_id", "event_id", "value", "ewma", "zscore", "is_anomaly"],
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_per_key, schema=EWMA_OUTPUT_SCHEMA)
+    )

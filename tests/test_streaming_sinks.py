@@ -1477,3 +1477,72 @@ def test_write_training_shards_bounded(spark, tmp_path):
         r["f"] for r in back.selectExpr("input_file_name() AS f").collect()
     )
     assert max(per_file.values()) <= 500
+
+
+def test_ewma_anomaly_stream_batch_parity(spark, tmp_path):
+    """EWMA state must carry across micro-batches: the streamed result
+    (2 files = 2 batches) equals the batch twin's sequential
+    recurrence, and an injected spike is flagged in both."""
+    import json
+
+    from evaporate_spark.streaming.stateful import (
+        ewma_anomalies,
+        ewma_anomalies_batch,
+    )
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ck"))
+    (tmp_path / "src").mkdir()
+    rows1, rows2 = [], []
+    eid = 0
+    for u in (1, 2):
+        for i in range(12):
+            val = 10.0 + (i % 3)  # stable series
+            rows1.append({"user_id": u, "event_id": eid, "ts_sec": 100 + eid, "value": val})
+            eid += 1
+    for u in (1, 2):
+        for i in range(6):
+            val = 500.0 if (u == 1 and i == 3) else 10.0 + (i % 3)  # spike for u1
+            rows2.append({"user_id": u, "event_id": eid, "ts_sec": 100 + eid, "value": val})
+            eid += 1
+    with open(f"{src}/a.json", "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    stream_schema = "user_id long, event_id long, ts_sec long, value double"
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(stream_schema).json(src)
+            .select("user_id", "event_id", F.timestamp_seconds("ts_sec").alias("ts"), "value")
+        )
+        q = (
+            ewma_anomalies(stream)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(90)
+
+    run_stream()
+    with open(f"{src}/b.json", "w") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+    run_stream()
+
+    streamed = {
+        r["event_id"]: (r["ewma"], r["zscore"], r["is_anomaly"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch_df = (
+        spark.read.schema(stream_schema).json(src)
+        .select("user_id", "event_id", F.timestamp_seconds("ts_sec").alias("ts"), "value")
+    )
+    batch = {
+        r["event_id"]: (r["ewma"], r["zscore"], r["is_anomaly"])
+        for r in ewma_anomalies_batch(batch_df).collect()
+    }
+    assert streamed == batch
+    flagged = [eid for eid, v in batch.items() if v[2] == 1]
+    spike_eid = [r["event_id"] for r in rows2 if r["value"] == 500.0][0]
+    assert spike_eid in flagged
+    # the stable series itself produces no false positives
+    assert all(e == spike_eid for e in flagged)

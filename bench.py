@@ -71,6 +71,16 @@ Pinned comparison baselines (medians unless noted):
   the pinned commit — host-level slowdown (the box intermittently
   carried loadavg 5-8 with no in-container CPU consumer), not a
   regression. Compare rows within one run, not across days.
+- r5 FINAL pins (gated, start loadavg 0.02 — the quietest same-day
+  window, confirming the host-variance reading: openie back to 11.94
+  from 16.02 three hours earlier at identical code): relational 2.450
+  (q1 0.469 / q3 0.792 / q5 1.189); q_exact_dedup_groups 0.315,
+  q_minhash_lsh_dups 1.940, q_dup_clusters 2.408 (−41% vs the
+  late-round pin: the star-forest fast path skips the CC iteration
+  for spanning-edge inputs), q_dup_passage_stats 3.028,
+  q_token_rarity 0.766, q_knn_cosine 0.662, q8_market_share 1.091
+  (FIRST pin — 7-table star join), q_semantic_closed_ie 5.050,
+  q_semantic_openie 11.937, media_decode_300 0.673.
 """
 
 from __future__ import annotations

@@ -2375,3 +2375,86 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "q_lateral_top_customers",
+    "LATERAL correlated subquery (SQL front door): per nation, the "
+    "top-2 customers by account balance via a lateral per-row "
+    "subquery - Catalyst decorrelates it into the window top-k plan "
+    "rather than executing per-row. Deterministic tie-break on "
+    "custkey.",
+    oracle="""
+        SELECT n.n_name, l.c_custkey, ROUND(l.c_acctbal, 2) AS acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) l
+    """,
+    tags=("join",),
+)
+def q_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    nation.createOrReplaceTempView("lat_nation")
+    cust.createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, ROUND(l.c_acctbal, 2) AS acctbal
+        FROM lat_nation n,
+        LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) l
+        """
+    )
+
+
+@register(
+    "q_nullsafe_join_counts",
+    "Null-safe equality join (<=> / IS NOT DISTINCT FROM): customers "
+    "bucketed by a NULLABLE segment key (acctbal sign, NULL for the "
+    "zero-balance band) joined null-safely to a segment dimension "
+    "that includes the NULL segment - rows a plain equi-join would "
+    "silently drop. Counts per matched segment label.",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal > 100 THEN 'plus'
+                        WHEN c_acctbal < -100 THEN 'minus'
+                        ELSE NULL END AS seg
+            FROM customer
+        ),
+        dim(seg, label) AS (
+            VALUES ('plus', 'credit'), ('minus', 'debit'), (NULL, 'flat')
+        )
+        SELECT d.label, COUNT(*) AS n
+        FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
+        GROUP BY d.label
+    """,
+    tags=("join",),
+)
+def q_nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    cust = load_table(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_acctbal") > 100, "plus").when(
+        F.col("c_acctbal") < -100, "minus"
+    )
+    c = cust.select("c_custkey", seg.alias("seg"))
+    dim = spark.createDataFrame(
+        [("plus", "credit"), ("minus", "debit"), (None, "flat")],
+        "seg string, label string",
+    )
+    return (
+        c.join(broadcast(dim), c["seg"].eqNullSafe(dim["seg"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

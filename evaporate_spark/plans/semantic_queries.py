@@ -2458,3 +2458,38 @@ def q_nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_pivot_order_priority",
+    "SQL PIVOT syntax: order counts cross-tabbed status x priority "
+    "(the static-column cousin of the semantic layer's dynamic "
+    "assemble_view pivot). The oracle expresses the identical "
+    "cross-tab with portable conditional aggregation.",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+               CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+               CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def q_pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("pv_orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderstatus, o_orderpriority FROM pv_orders
+        )
+        PIVOT (
+            COUNT(*) FOR o_orderpriority IN (
+                '1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+                '4-NOT SPECIFIED' AS notspec, '5-LOW' AS low
+            )
+        )
+        """
+    )

@@ -400,3 +400,31 @@ def test_lint_entire_query_catalog(spark):
         except AssertionError as e:
             failures.append((name, str(e)[:300]))
     assert not failures, failures
+
+
+def test_q8_plan_broadcasts_dims_and_pushes_filters(spark):
+    """The 7-table Q8 star join: constant dims broadcast, the PROMO
+    and ASIA dimension filters reach their scans."""
+    from evaporate_spark.plans import REGISTRY
+
+    df = REGISTRY["q8_market_share"].spark(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    # order-date range predicates push to the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_run_expectations_empty_rules(spark):
+    from evaporate_spark.operators.expectations import run_expectations
+
+    try:
+        run_expectations({})
+        raise AssertionError("empty rule set must raise")
+    except ValueError:
+        pass

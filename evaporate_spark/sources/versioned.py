@@ -94,10 +94,17 @@ class VersionedTable:
     # -- writes -------------------------------------------------------------
 
     def write_snapshot(self, df: DataFrame) -> int:
-        """Write ``df`` as the next version (full replacement)."""
+        """Write ``df`` as the next version (full replacement).
+
+        Crash-safe: a previous attempt that died between write and
+        commit leaves an UNCOMMITTED ``v=N`` directory (invisible to
+        readers — no marker); the retry overwrites it. Under the
+        single-writer contract the next version can never collide
+        with a COMMITTED directory, so overwrite is never destructive.
+        """
         latest = self.latest_version()
         v = 0 if latest is None else latest + 1
-        df.write.mode("error").parquet(self._snapshot_dir(v))
+        df.write.mode("overwrite").parquet(self._snapshot_dir(v))
         self._commit(v)
         return v
 
@@ -121,6 +128,13 @@ class VersionedTable:
         if v is None:
             raise FileNotFoundError(f"no committed versions under {self.root}")
         nxt = v + 1
+        # crash recovery: a prior compaction that died pre-commit left
+        # an uncommitted (reader-invisible) dir; clear it so
+        # compact_parquet's fail-on-existing write can proceed
+        fs, jvm = self._fs()
+        leftover = jvm.org.apache.hadoop.fs.Path(self._snapshot_dir(nxt))
+        if fs.exists(leftover):
+            fs.delete(leftover, True)
         compact_parquet(
             self.spark,
             self._snapshot_dir(v),

@@ -261,3 +261,26 @@ def test_scd2_history_intervals(spark):
         (3, 7): ("x2", None, 1),    # re-insert after delete reopens
         (4, 3): ("y1", 3, 0),       # tie: delete closes the same-seq upsert
     }
+
+
+def test_versioned_table_crash_recovery(spark, tmp_path):
+    """A write/compact that died between the parquet write and the
+    commit marker leaves an invisible directory; the retry must
+    succeed and readers never see the orphan."""
+    import os
+
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.write_snapshot(spark.createDataFrame([(1, "a")], "k long, s string"))
+    # simulate a crashed attempt at v=1: directory exists, no marker
+    orphan = str(tmp_path / "tbl" / "v=1")
+    spark.createDataFrame([(99, "junk")], "k long, s string").write.parquet(orphan)
+    assert t.latest_version() == 0  # orphan invisible
+    v = t.write_snapshot(spark.createDataFrame([(2, "b")], "k long, s string"))
+    assert v == 1
+    assert {r["k"] for r in t.read().collect()} == {2}  # junk overwritten
+    # same for compaction
+    os.makedirs(str(tmp_path / "tbl" / "v=2"))
+    v2 = t.compact(target_mb=1)
+    assert v2 == 2 and {r["k"] for r in t.read().collect()} == {2}

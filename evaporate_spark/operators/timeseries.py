@@ -38,6 +38,10 @@ def fill_gaps(
 
     ``bucket_col`` must be an integer timeline (epoch-derived bucket
     ids — the same convention as operators/rollup.py).
+    ``is_observed`` keys off the FIRST value column being non-null, so
+    an input row that genuinely carries NULL in that column is
+    indistinguishable from a gap — pre-coalesce such rows if the
+    distinction matters.
     """
     spine = (
         df.groupBy(entity_col)

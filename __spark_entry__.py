@@ -31,11 +31,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q_semantic_closed_ie"].spark(spark, SF_SMOKE)
 
 
+def _rotated_names() -> list[str]:
+    """Registry names ordered stalest-first for the driver's bounded
+    correctness window: queries never witnessed by a committed
+    CORRECTNESS_r*.json artifact come first, then least-recently
+    witnessed, so the driver's first-N run re-witnesses the whole
+    catalog within ceil(len/N) rounds (see plans/rotation.py)."""
+    from evaporate_spark.plans import REGISTRY
+    from evaporate_spark.plans.rotation import witness_order
+
+    return witness_order(list(REGISTRY))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from evaporate_spark.plans import REGISTRY
 
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _rotated_names()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -43,4 +55,8 @@ def oracle_sql() -> dict[str, str]:
     operators (driver records a weaker rows-only check for those)."""
     from evaporate_spark.plans import REGISTRY
 
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _rotated_names()
+        if REGISTRY[name].oracle is not None
+    }

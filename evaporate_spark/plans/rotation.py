@@ -1,0 +1,62 @@
+"""Witness rotation for the driver's bounded correctness window.
+
+The external driver runs the FIRST ``N`` (currently 50) entries of
+``__spark_entry__.queries()`` in iteration order and records per-query
+oracle results in ``CORRECTNESS_r{round}.json`` at the repo root.  With
+more than ``N`` registered queries, a fixed registration order would
+leave the tail permanently unwitnessed by the driver artifact (they are
+still covered by the local oracle sweep and pytest, but the hard
+external artifact never sees them).
+
+``witness_order`` makes the window self-rotating: queries are ordered
+by the LAST round in which a ``CORRECTNESS_r*.json`` artifact contains
+a row for them (never-witnessed first, round 0), tie-broken by
+registration order.  Each round the driver therefore runs the stalest
+``N`` queries, and every query is re-witnessed at least once every
+``ceil(len(registry) / N)`` rounds with no manual list to maintain —
+the committed driver artifacts themselves are the rotation state.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+_ARTIFACT_GLOB = "CORRECTNESS_r*.json"
+_ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+
+# repo root: evaporate_spark/plans/rotation.py -> parents[2]
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+
+def last_witnessed(artifacts_dir: str | Path = _REPO_ROOT) -> dict[str, int]:
+    """Map query name -> highest round number whose driver artifact
+    contains a row for it (regardless of pass/fail: a row means the
+    driver ran it).  Unreadable artifacts are skipped — rotation must
+    never break the driver contract."""
+    out: dict[str, int] = {}
+    for path in sorted(Path(artifacts_dir).glob(_ARTIFACT_GLOB)):
+        m = _ROUND_RE.search(path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def witness_order(names: list[str], artifacts_dir: str | Path = _REPO_ROOT) -> list[str]:
+    """Return ``names`` sorted stalest-first: by last driver-witnessed
+    round ascending (never witnessed = 0), then by original position so
+    the order is deterministic and respects registration order within a
+    staleness class."""
+    seen = last_witnessed(artifacts_dir)
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (seen.get(n, 0), pos[n]))

@@ -1,0 +1,63 @@
+"""Witness rotation: the driver runs the first 50 ``queries()`` entries,
+so the iteration order must put never/least-recently-witnessed queries
+first (plans/rotation.py)."""
+
+from __future__ import annotations
+
+import json
+
+from evaporate_spark.plans.rotation import last_witnessed, witness_order
+
+DRIVER_WINDOW = 50
+
+
+def _write(tmp_path, name, keys):
+    (tmp_path / name).write_text(json.dumps({k: {"rows_match": True} for k in keys}))
+
+
+def test_never_witnessed_sort_first(tmp_path):
+    _write(tmp_path, "CORRECTNESS_r01.json", ["a", "b"])
+    _write(tmp_path, "CORRECTNESS_r02.json", ["b", "c"])
+    order = witness_order(["a", "b", "c", "d", "e"], tmp_path)
+    # d, e never witnessed -> first (registration order); then a (r1), then b, c (r2)
+    assert order == ["d", "e", "a", "b", "c"]
+
+
+def test_last_witnessed_takes_max_round(tmp_path):
+    _write(tmp_path, "CORRECTNESS_r01.json", ["a"])
+    _write(tmp_path, "CORRECTNESS_r03.json", ["a", "b"])
+    assert last_witnessed(tmp_path) == {"a": 3, "b": 3}
+
+
+def test_unreadable_artifact_skipped(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
+    _write(tmp_path, "CORRECTNESS_r02.json", ["a"])
+    assert last_witnessed(tmp_path) == {"a": 2}
+    # non-dict payload also skipped
+    (tmp_path / "CORRECTNESS_r03.json").write_text("[1, 2]")
+    assert last_witnessed(tmp_path) == {"a": 2}
+
+
+def test_no_artifacts_preserves_registration_order(tmp_path):
+    assert witness_order(["x", "y", "z"], tmp_path) == ["x", "y", "z"]
+
+
+def test_driver_window_covers_all_stale_queries():
+    """Against the real committed artifacts: every registry query that
+    has never appeared in a CORRECTNESS_r*.json lands inside the
+    driver's first-50 window, and queries()/oracle_sql() agree on it."""
+    import __spark_entry__ as entry
+    from evaporate_spark.plans import REGISTRY
+
+    names = list(entry.queries())
+    assert sorted(names) == sorted(REGISTRY)
+    seen = last_witnessed()
+    never = [n for n in REGISTRY if n not in seen]
+    window = set(names[:DRIVER_WINDOW])
+    missing = [n for n in never if n not in window]
+    assert not missing, f"stale queries outside driver window: {missing}"
+
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(names)
+    # oracle order follows the same rotation
+    assert [n for n in names if n in oracles] == list(oracles)

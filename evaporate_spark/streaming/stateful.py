@@ -100,8 +100,14 @@ def _update_ewma(key, pdfs, state: GroupState):
 
     n, ewma, ewvar = state.get if state.exists else (0, 0.0, 0.0)
     out = {k: [] for k in ("user_id", "event_id", "value", "ewma", "zscore", "is_anomaly")}
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # A key's micro-batch arrives as MULTIPLE Arrow chunks (bounded by
+    # spark.sql.execution.arrow.maxRecordsPerBatch); the recurrence
+    # needs one global (ts, event_id) order, so concatenate before
+    # sorting — chunk-local sorts would apply the EWMA out of order for
+    # keys with more rows than one chunk.
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for _, r in pdf.iterrows():
             x = float(r["value"])
             n, ewma, ewvar, z, flag = _ewma_step(n, ewma, ewvar, x)

@@ -50,17 +50,20 @@ def exact_top_k_heavy_hitters(
         [(c,) for c in cands],
         f"item {df.schema[col].dataType.simpleString()}",
     )
+    items = df.select(F.col(col).alias("item"))
     # membership via broadcast semi-join: candidate sets can be up to
     # 1/support items — too many for an isin literal list
-    exact = (
-        df.select(F.col(col).alias("item"))
-        .join(F.broadcast(cand_df), "item", "left_semi")
+    result = (
+        items.join(F.broadcast(cand_df), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("item"))
         .limit(k)
-        .collect()
     )
+    # Guarantee check on the k collected rows only; the RETURNED frame
+    # stays lazy/composable (TakeOrderedAndProject, never a
+    # driver-materialized createDataFrame round-trip).
+    exact = result.collect()
     threshold = support * total
     if len(exact) == k and exact[-1]["n"] <= threshold:
         raise RuntimeError(
@@ -68,8 +71,19 @@ def exact_top_k_heavy_hitters(
             f"{exact[-1]['n']} <= support*n = {threshold:.1f}; lower "
             f"`support` and rerun"
         )
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(r["item"], r["n"]) for r in exact],
-        f"item {df.schema[col].dataType.simpleString()}, n long",
-    )
+    if len(exact) < k:
+        # Fewer than k verified candidates. That is only exact when the
+        # candidate set covers EVERY distinct value (then true distinct
+        # count < k and the result is the complete ranking). Otherwise
+        # some value with frequency <= support*n exists that could be a
+        # true top-k member — raise instead of silently under-reporting.
+        # The coverage probe is a broadcast anti-join (no shuffle on the
+        # key universe) and only runs on this failure path.
+        uncovered = items.join(F.broadcast(cand_df), "item", "left_anti")
+        if not uncovered.isEmpty():
+            raise RuntimeError(
+                f"heavy-hitters guarantee violated: only {len(exact)} "
+                f"candidates above support*n = {threshold:.1f} but k={k} "
+                f"requested and rarer values exist; lower `support` and rerun"
+            )
+    return result

@@ -37,12 +37,18 @@ def fill_gaps(
     and forward-fills each value column (``<v>_ff``).
 
     ``bucket_col`` must be an integer timeline (epoch-derived bucket
-    ids — the same convention as operators/rollup.py).
-    ``is_observed`` keys off the FIRST value column being non-null, so
-    an input row that genuinely carries NULL in that column is
-    indistinguishable from a gap — pre-coalesce such rows if the
-    distinction matters.
+    ids — the same convention as operators/rollup.py). ``is_observed``
+    is driven by an explicit row marker attached BEFORE the spine join,
+    so an input row whose value columns are all genuinely NULL still
+    reports ``is_observed = 1`` (it is an observation, not a gap).
+
+    Buckets must lie on the entity's step grid: a row whose bucket is
+    not congruent to the entity's min bucket modulo ``step`` cannot
+    join the spine and would silently vanish — instead the plan raises
+    at execution time (full-outer join + ``assert_true`` on the spine
+    marker), naming the offending (entity, bucket).
     """
+    tagged = df.withColumn("_obs", F.lit(1))
     spine = (
         df.groupBy(entity_col)
         .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
@@ -52,16 +58,34 @@ def fill_gaps(
                 F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
             ).alias(bucket_col),
         )
+        .withColumn("_spine", F.lit(1))
     )
-    joined = spine.join(df, [entity_col, bucket_col], "left")
+    joined = spine.join(tagged, [entity_col, bucket_col], "full_outer")
+    # Misalignment guard: a df row off the step grid surfaces here as a
+    # spine-side miss. assert_true lives inside a filter predicate so
+    # column pruning can't elide it; it returns NULL when the row is
+    # fine, so the filter keeps every valid row.
+    joined = joined.where(
+        F.assert_true(
+            F.col("_spine").isNotNull(),
+            F.concat_ws(
+                " ",
+                F.lit(f"fill_gaps: {bucket_col} not aligned to the entity's"),
+                F.lit(f"step={step} grid for"),
+                F.col(entity_col).cast("string"),
+                F.lit("bucket"),
+                F.col(bucket_col).cast("string"),
+            ),
+        ).isNull()
+    )
     w = (
         Window.partitionBy(entity_col)
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = joined.withColumn(
-        "is_observed", F.col(value_cols[0]).isNotNull().cast("int")
+        "is_observed", F.coalesce(F.col("_obs"), F.lit(0)).cast("int")
     )
     for v in value_cols:
         out = out.withColumn(f"{v}_ff", F.last(v, ignorenulls=True).over(w))
-    return out
+    return out.drop("_obs", "_spine")

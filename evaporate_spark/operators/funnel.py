@@ -1,0 +1,111 @@
+"""Ordered funnel analysis over an event stream.
+
+A funnel asks: of the users who did stage 1, how many went on to do
+stage 2 within a window of their stage-1 time, then stage 3 within a
+window of that, and so on. The semantics here are the standard
+strict-order/first-touch ones: a user's stage-k time is their FIRST
+event of the stage-k type strictly after their stage-(k-1) time and
+within that transition's window.
+
+Scale shape: every stage is `filter → co-partitioned join on the user
+key → groupBy(user).min(ts)` — every join and groupBy hashes the same
+user column, so Catalyst plans one Exchange per stage and the chain
+never re-shuffles on a different key. Stage frames shrink
+monotonically (each is a subset of the previous stage's users), and
+the final summary is a broadcast cross-join of 1-row aggregates.
+
+The generic operator behind the ``q_event_funnel`` registry entry
+(which pins the 3-stage view→click→purchase instance against a DuckDB
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+__all__ = ["funnel", "funnel_stage_times"]
+
+
+def _windows_per_transition(stages: list[str], window_us: int | list[int]) -> list[int]:
+    n_trans = len(stages) - 1
+    if isinstance(window_us, int):
+        return [window_us] * n_trans
+    if len(window_us) != n_trans:
+        raise ValueError(
+            f"need one window per transition: {n_trans} transitions for "
+            f"{len(stages)} stages, got {len(window_us)} windows"
+        )
+    return list(window_us)
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    stages: list[str],
+    window_us: int | list[int],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> list[DataFrame]:
+    """Per-stage first-touch times: element k is a frame
+    ``(user, t{k+1})`` holding every user who completed stage k+1,
+    with their first qualifying event time in epoch microseconds.
+
+    ``window_us`` is the max gap for each transition (scalar = same
+    for all, or one entry per transition). Users in frame k+1 are
+    always a subset of frame k.
+    """
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    windows = _windows_per_transition(stages, window_us)
+    ev = events.select(
+        user_col, type_col, F.unix_micros(F.col(ts_col)).alias("_us")
+    )
+    frames: list[DataFrame] = []
+    cur = (
+        ev.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min("_us").alias("t1"))
+    )
+    frames.append(cur)
+    for k, (stage, win) in enumerate(zip(stages[1:], windows), start=2):
+        prev_t = f"t{k - 1}"
+        cur = (
+            ev.where(F.col(type_col) == stage)
+            .join(cur.select(user_col, prev_t), user_col)
+            .where(
+                (F.col("_us") > F.col(prev_t))
+                & (F.col("_us") <= F.col(prev_t) + F.lit(win))
+            )
+            .groupBy(user_col)
+            .agg(F.min("_us").alias(f"t{k}"))
+        )
+        frames.append(cur)
+    return frames
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    window_us: int | list[int],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    count_names: list[str] | None = None,
+) -> DataFrame:
+    """One row of per-stage completion counts (how many users reached
+    each stage under the ordered-window semantics above).
+
+    ``count_names`` overrides the output column per stage (default
+    ``n_<stage>``). The 1-row stage counts are combined with broadcast
+    cross-joins — no data-sized shuffle in the assembly.
+    """
+    names = count_names or [f"n_{s}" for s in stages]
+    if len(names) != len(stages):
+        raise ValueError(f"{len(stages)} stages but {len(names)} count names")
+    frames = funnel_stage_times(events, stages, window_us, user_col, type_col, ts_col)
+    out = frames[0].agg(F.count(F.lit(1)).alias(names[0]))
+    for frame, name in zip(frames[1:], names[1:]):
+        out = out.crossJoin(broadcast(frame.agg(F.count(F.lit(1)).alias(name))))
+    return out

@@ -28,6 +28,7 @@ GRAIN_US: dict[str, int] = {
     "minute": 60_000_000,
     "hour": 3_600_000_000,
     "day": 86_400_000_000,
+    "week": 604_800_000_000,
 }
 
 
@@ -36,15 +37,19 @@ def multires_rollup(
     ts_col: str,
     measure_cols: list[str],
     grains: list[str] | None = None,
+    grain_us: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """``{grain: (bucket_us BIGINT, n BIGINT, <sum_measures...>)}``.
 
     ``bucket_us`` is the bucket's start in epoch microseconds. Raw
     input is aggregated only at ``grains[0]``; every coarser grain
-    re-aggregates the previous one.
+    re-aggregates the previous one. ``grain_us`` overrides the named
+    width table (custom grains); widths must still nest (each must
+    divide the next) or ValueError is raised.
     """
-    grains = grains or list(GRAIN_US)
-    widths = [GRAIN_US[g] for g in grains]
+    table = grain_us if grain_us is not None else GRAIN_US
+    grains = grains or list(table)
+    widths = [table[g] for g in grains]
     for fine, coarse in zip(widths, widths[1:]):
         if coarse % fine:
             raise ValueError(f"grain widths must nest: {fine} !| {coarse}")
@@ -53,7 +58,7 @@ def multires_rollup(
     first = grains[0]
     cur = (
         df.select(
-            (F.floor(us / GRAIN_US[first]) * GRAIN_US[first]).alias("bucket_us"),
+            (F.floor(us / table[first]) * table[first]).alias("bucket_us"),
             *[F.col(c) for c in measure_cols],
         )
         .groupBy("bucket_us")
@@ -64,7 +69,7 @@ def multires_rollup(
     )
     out[first] = cur
     for g in grains[1:]:
-        width = GRAIN_US[g]
+        width = table[g]
         cur = (
             cur.select(
                 (F.floor(F.col("bucket_us") / width) * width).alias("bucket_us"),

@@ -1257,11 +1257,13 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, lang, source
         FROM h
-        WHERE hv < CAST((CASE lang
+        -- FLOOR matches deterministic_mix's double->long truncation;
+        -- DuckDB CAST alone rounds-to-nearest (0.1 * 2^32 boundary).
+        WHERE hv < CAST(FLOOR((CASE lang
                              WHEN 'en' THEN 1.0
                              WHEN 'de' THEN 0.5
                              WHEN 'fr' THEN 0.25
-                             ELSE 0.1 END) * 4294967296 AS BIGINT)
+                             ELSE 0.1 END) * 4294967296) AS BIGINT)
     """,
     tags=("dedup", "textstats"),
 )
@@ -1578,9 +1580,13 @@ def q_dup_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, fp,
                CASE
-                   WHEN hv < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
-                   WHEN hv < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
-                   WHEN hv < CAST(1.0 * 4294967296 AS BIGINT) THEN 'test'
+                   -- FLOOR before CAST: DuckDB CAST(double AS BIGINT)
+                   -- rounds-to-nearest, but split_column truncates
+                   -- (int(0.8 * 2^32) = 3435973836) — a doc whose hash
+                   -- lands exactly on the boundary must not flake.
+                   WHEN hv < CAST(FLOOR(0.8 * 4294967296) AS BIGINT) THEN 'train'
+                   WHEN hv < CAST(FLOOR(0.9 * 4294967296) AS BIGINT) THEN 'val'
+                   WHEN hv < CAST(FLOOR(1.0 * 4294967296) AS BIGINT) THEN 'test'
                    ELSE 'train' END AS split
         FROM h
     """,
@@ -2267,35 +2273,15 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events",),
 )
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
+    from evaporate_spark.operators.funnel import funnel
 
     (events,) = _t(spark, sf_dir, "events")
-    ev = events.select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    return funnel(
+        events,
+        stages=["view", "click", "purchase"],
+        window_us=7_200_000_000,
+        count_names=["n_view", "n_click_after_view", "n_purchase_after_click"],
     )
-    s1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t1"))
-    )
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + 7200000000))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"))
-    )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + 7200000000))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"))
-    )
-    c1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
-    c2 = s2.agg(F.count(F.lit(1)).alias("n_click_after_view"))
-    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
-    return c1.crossJoin(broadcast(c2)).crossJoin(broadcast(c3))
 
 
 @register(

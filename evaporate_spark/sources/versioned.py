@@ -5,17 +5,31 @@ into.
 
 Layout:
 
-    <root>/v=<N>/...parquet     immutable snapshot N
-    <root>/_version_hints/N     zero-byte commit marker for snapshot N
+    <root>/v=<N>-<token>/...parquet   snapshot data, token unique per
+                                      WRITE ATTEMPT (uuid)
+    <root>/_version_hints/N           commit marker for version N; its
+                                      CONTENT is the directory name of
+                                      the snapshot that won the commit
 
 A snapshot is readable only after its marker exists; the marker is
 written AFTER the parquet write completes, so readers never observe a
 half-written snapshot (write-new-dir-then-commit — the same contract
 compaction documents). The latest committed version is the max marker,
-resolved by one directory listing of tiny files. Concurrent writers
-are not arbitrated (plain parquet has no lock service); the intended
-topology is single-writer/many-readers — the common shape for corpus
-snapshots.
+resolved by one directory listing of tiny files.
+
+Concurrency: writers never share a data directory — every attempt
+writes to a fresh ``v=<N>-<token>`` dir, so a losing writer can never
+clobber bytes a winner committed (the failure mode of overwriting a
+shared ``v=N`` path). Arbitration is the create-once marker: exactly
+one writer commits a given version; the loser's data dir becomes
+invisible garbage (reclaimable via :meth:`vacuum`) and the loser gets
+a typed ``ConcurrentWriteError`` with retry guidance — first-writer-
+wins optimistic concurrency, the same failure shape as Delta's
+ConcurrentAppendException. ``upsert(max_conflict_retries=...)`` turns
+that into the standard re-read/re-merge/retry loop. The one residual
+race is a reader listing a marker in the instant between its creation
+and its content write (microseconds); ``read`` retries resolution
+briefly before failing.
 
 All filesystem bookkeeping goes through the Hadoop FileSystem API, so
 the table works identically on local disk, HDFS, or an object store
@@ -31,9 +45,35 @@ the next version via ``operators.compaction``.
 
 from __future__ import annotations
 
+import time
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["VersionedTable"]
+__all__ = ["ConcurrentWriteError", "VersionedTable"]
+
+_UNSET = object()  # write_snapshot: "no expected_base pinned"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this writer was about to.
+
+    The losing writer's snapshot directory exists but is never visible
+    to readers (no marker references it); the winner's data is
+    untouched. Recovery: re-read the (new) latest snapshot, re-apply
+    the change on top, and retry (``upsert`` does this itself when
+    ``max_conflict_retries`` > 0) — or route all writes through one
+    scheduler (the simplest topology for corpus snapshots).
+    """
+
+    def __init__(self, root: str, version: int):
+        self.root = root
+        self.version = version
+        super().__init__(
+            f"version {version} of {root} was committed by a concurrent "
+            f"writer between this writer's read and commit; re-read the "
+            f"latest snapshot, re-apply your change, and retry"
+        )
 
 
 class VersionedTable:
@@ -54,8 +94,39 @@ class VersionedTable:
     def _hints_dir(self) -> str:
         return f"{self.root}/_version_hints"
 
-    def _snapshot_dir(self, version: int) -> str:
-        return f"{self.root}/v={version}"
+    def _marker_path(self, version: int):
+        _, jvm = self._fs()
+        return jvm.org.apache.hadoop.fs.Path(f"{self._hints_dir()}/{version}")
+
+    def _new_snapshot_dir(self, version: int) -> str:
+        """A write-attempt-unique data directory: no two attempts (or
+        racing writers) ever target the same path, so nothing
+        committed can be overwritten."""
+        return f"{self.root}/v={version}-{uuid.uuid4().hex[:8]}"
+
+    def _read_marker(self, version: int) -> str | None:
+        """The committed snapshot dir for ``version`` (absolute), or
+        None if no marker exists. Empty marker content resolves to the
+        legacy ``v=<N>`` layout for tables written by older builds."""
+        fs, _ = self._fs()
+        p = self._marker_path(version)
+        if not fs.exists(p):
+            return None
+        ln = int(fs.getFileStatus(p).getLen())
+        name = ""
+        if ln > 0:
+            stream = fs.open(p)
+            try:
+                buf = bytearray()
+                for _ in range(min(ln, 4096)):
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    buf.append(b)
+                name = buf.decode("utf-8", errors="replace").strip()
+            finally:
+                stream.close()
+        return f"{self.root}/{name}" if name else f"{self.root}/v={version}"
 
     # -- version bookkeeping ------------------------------------------------
 
@@ -74,10 +145,25 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def _commit(self, version: int) -> None:
-        fs, jvm = self._fs()
-        p = jvm.org.apache.hadoop.fs.Path(f"{self._hints_dir()}/{version}")
-        fs.create(p, False).close()  # create-once: fails if it exists
+    def _commit(self, version: int, snapshot_dir: str) -> None:
+        """Create-once marker pointing at ``snapshot_dir``; exactly one
+        writer per version succeeds."""
+        fs, _ = self._fs()
+        p = self._marker_path(version)
+        name = snapshot_dir.rsplit("/", 1)[-1]
+        try:
+            stream = fs.create(p, False)  # create-once: fails if it exists
+        except Exception as e:
+            # py4j wraps FileAlreadyExistsException/IOException; only a
+            # now-existing marker is a writer collision — anything else
+            # (permissions, network) re-raises untouched.
+            if fs.exists(p):
+                raise ConcurrentWriteError(self.root, version) from e
+            raise
+        try:
+            stream.write(name.encode("utf-8"))
+        finally:
+            stream.close()
 
     # -- reads --------------------------------------------------------------
 
@@ -89,35 +175,79 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed versions under {self.root}")
         if v not in vs:
             raise FileNotFoundError(f"version {v} was never committed")
-        return self.spark.read.parquet(self._snapshot_dir(v))
+        fs, jvm = self._fs()
+        for attempt in range(3):
+            d = self._read_marker(v)
+            if d is not None and fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+                return self.spark.read.parquet(d)
+            # marker listed before its content landed (the microsecond
+            # create→write window) — brief retry, then fail loudly
+            time.sleep(0.05 * (attempt + 1))
+        raise FileNotFoundError(
+            f"version {v} marker does not resolve to a snapshot directory"
+        )
 
     # -- writes -------------------------------------------------------------
 
-    def write_snapshot(self, df: DataFrame) -> int:
+    def write_snapshot(self, df: DataFrame, expected_base: object = _UNSET) -> int:
         """Write ``df`` as the next version (full replacement).
 
-        Crash-safe: a previous attempt that died between write and
-        commit leaves an UNCOMMITTED ``v=N`` directory (invisible to
-        readers — no marker); the retry overwrites it. Under the
-        single-writer contract the next version can never collide
-        with a COMMITTED directory, so overwrite is never destructive.
-        """
-        latest = self.latest_version()
-        v = 0 if latest is None else latest + 1
-        df.write.mode("overwrite").parquet(self._snapshot_dir(v))
-        self._commit(v)
+        Every attempt targets a fresh token directory (``mode=error``
+        — nothing is ever overwritten): a crash between write and
+        commit, or a lost commit race, leaves only an invisible orphan
+        dir (see :meth:`vacuum`); committed data can never be
+        clobbered. Raises :class:`ConcurrentWriteError` when another
+        writer commits the same version first.
+
+        ``expected_base`` pins the version this write derives from
+        (``None`` = "I read an empty table"): the commit targets
+        ``expected_base + 1`` specifically, so if ANY other writer
+        committed after that read, the marker collision surfaces as
+        ``ConcurrentWriteError`` instead of silently committing a
+        merge that drops the interleaved writer's changes (the classic
+        lost update). ``upsert`` always pins; without it the write
+        simply appends after whatever is latest at call time."""
+        if expected_base is _UNSET:
+            latest = self.latest_version()
+            v = 0 if latest is None else latest + 1
+        else:
+            v = 0 if expected_base is None else int(expected_base) + 1  # type: ignore[arg-type]
+        target = self._new_snapshot_dir(v)
+        df.write.mode("error").parquet(target)
+        self._commit(v, target)
         return v
 
     def upsert(
-        self, changes: DataFrame, key_cols: list[str], seq_col: str, op_col: str = "op"
+        self,
+        changes: DataFrame,
+        key_cols: list[str],
+        seq_col: str,
+        op_col: str = "op",
+        max_conflict_retries: int = 0,
     ) -> int:
         """CDC-apply ``changes`` (I/U/D, latest-wins) onto the latest
-        snapshot and commit the result as the next version."""
+        snapshot and commit the result as the next version.
+
+        ``max_conflict_retries`` > 0 turns a lost writer race into the
+        standard optimistic-concurrency loop: on ``ConcurrentWriteError``
+        the merge is re-run against the NEW latest snapshot (the
+        changes frame is deterministic and latest-wins, so re-applying
+        on top of the winner's commit is the serialized order) and
+        committed again, up to the retry budget."""
         from evaporate_spark.operators.cdc import apply_cdc
 
-        base = self.read()
-        merged = apply_cdc(base, changes, key_cols, seq_col, op_col)
-        return self.write_snapshot(merged)
+        for attempt in range(max_conflict_retries + 1):
+            read_version = self.latest_version()
+            base = self.read(read_version)
+            merged = apply_cdc(base, changes, key_cols, seq_col, op_col)
+            try:
+                # pin the base: a writer landing between our read and
+                # commit MUST surface as a conflict, never a lost update
+                return self.write_snapshot(merged, expected_base=read_version)
+            except ConcurrentWriteError:
+                if attempt == max_conflict_retries:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
 
     def compact(self, target_mb: int = 128, sort_within: list[str] | None = None) -> int:
         """Rewrite the latest snapshot into ~target-size files as the
@@ -128,19 +258,46 @@ class VersionedTable:
         if v is None:
             raise FileNotFoundError(f"no committed versions under {self.root}")
         nxt = v + 1
-        # crash recovery: a prior compaction that died pre-commit left
-        # an uncommitted (reader-invisible) dir; clear it so
-        # compact_parquet's fail-on-existing write can proceed
-        fs, jvm = self._fs()
-        leftover = jvm.org.apache.hadoop.fs.Path(self._snapshot_dir(nxt))
-        if fs.exists(leftover):
-            fs.delete(leftover, True)
+        src = self._read_marker(v)
+        target = self._new_snapshot_dir(nxt)
         compact_parquet(
             self.spark,
-            self._snapshot_dir(v),
-            self._snapshot_dir(nxt),
+            src,
+            target,
             target_mb=target_mb,
             sort_within=sort_within,
         )
-        self._commit(nxt)
+        self._commit(nxt, target)
         return nxt
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, older_than_s: float = 86_400.0) -> list[str]:
+        """Delete snapshot directories no marker references (crashed or
+        commit-losing write attempts) and return their paths.
+
+        Only dirs whose modification time is older than
+        ``older_than_s`` are touched: an IN-FLIGHT writer's pre-commit
+        directory looks identical to an orphan, so the grace period is
+        the safety margin — run vacuum with a threshold comfortably
+        above the longest plausible write (default 24 h), or 0 only
+        when no writer can be active."""
+        fs, jvm = self._fs()
+        committed = set()
+        for v in self.versions():
+            d = self._read_marker(v)
+            if d is not None:
+                committed.add(d.rsplit("/", 1)[-1])
+        removed: list[str] = []
+        cutoff_ms = (time.time() - older_than_s) * 1000.0
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(self.root)):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("v=")):
+                continue
+            if name in committed:
+                continue
+            if st.getModificationTime() > cutoff_ms:
+                continue
+            fs.delete(st.getPath(), True)
+            removed.append(f"{self.root}/{name}")
+        return removed

@@ -78,11 +78,18 @@ def test_multires_rollup_lossless_and_single_scan(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
     assert final.count("Scan parquet") == 1, final[:2000]
 
-    # non-nesting grains are rejected
+    # nesting grains are accepted...
     try:
-        multires_rollup(df, "ts", ["cents"], ["hour", "day"])
+        multires_rollup(df, "ts", ["cents"], ["hour", "day", "week"])
     except ValueError:
-        raise AssertionError("hour|day nests; should not raise")
+        raise AssertionError("hour|day|week nests; should not raise")
+    # ...and genuinely NON-nesting widths are rejected (7 does not
+    # divide 10) — the rejection branch, not just the happy path
+    try:
+        multires_rollup(df, "ts", ["cents"], ["a", "b"], grain_us={"a": 7, "b": 10})
+        raise AssertionError("non-nesting widths must raise")
+    except ValueError as e:
+        assert "nest" in str(e)
 
 
 def test_compact_parquet_zero_shuffle(spark, tmp_path):
@@ -199,6 +206,53 @@ def test_fill_gaps_forward_fill(spark):
     }
 
 
+def test_fill_gaps_null_observation_is_not_a_gap(spark):
+    """A row genuinely observed with NULL value must report
+    is_observed=1 (explicit row marker), while a true gap reports 0 —
+    and forward fill carries across the NULL observation."""
+    from evaporate_spark.operators.timeseries import fill_gaps
+
+    rows = [(1, 10, 5), (1, 11, None), (1, 13, 7)]
+    df = spark.createDataFrame(rows, "u long, b long, v long")
+    out = {
+        (r["u"], r["b"]): (r["is_observed"], r["v"], r["v_ff"])
+        for r in fill_gaps(df, "u", "b", ["v"], step=1).collect()
+    }
+    assert out == {
+        (1, 10): (1, 5, 5),
+        (1, 11): (1, None, 5),  # observed NULL: marker 1, ffill carries
+        (1, 12): (0, None, 5),  # true gap
+        (1, 13): (1, 7, 7),
+    }
+
+
+def test_fill_gaps_misaligned_bucket_raises(spark):
+    """A bucket off the entity's step grid must fail loudly at
+    execution time, not silently drop the row (spine-join congruence
+    guard)."""
+    import pyspark.errors
+
+    from evaporate_spark.operators.timeseries import fill_gaps
+
+    rows = [(1, 10, 5), (1, 15, 7)]  # 15 - 10 = 5, not a multiple of 2
+    df = spark.createDataFrame(rows, "u long, b long, v long")
+    try:
+        fill_gaps(df, "u", "b", ["v"], step=2).collect()
+        raise AssertionError("misaligned bucket must raise")
+    except Exception as e:  # Spark wraps assert_true in a SparkRuntimeException
+        assert "not aligned" in str(e)
+
+    # aligned multi-step series still densifies correctly
+    ok = {
+        (r["u"], r["b"]): (r["is_observed"], r["v_ff"])
+        for r in fill_gaps(
+            spark.createDataFrame([(1, 10, 5), (1, 14, 7)], "u long, b long, v long"),
+            "u", "b", ["v"], step=2,
+        ).collect()
+    }
+    assert ok == {(1, 10): (1, 5), (1, 12): (0, 5), (1, 14): (1, 7)}
+
+
 def test_expectations_rules(spark):
     from evaporate_spark.operators.expectations import (
         expect_not_null,
@@ -284,3 +338,185 @@ def test_versioned_table_crash_recovery(spark, tmp_path):
     os.makedirs(str(tmp_path / "tbl" / "v=2"))
     v2 = t.compact(target_mb=1)
     assert v2 == 2 and {r["k"] for r in t.read().collect()} == {2}
+
+
+def test_versioned_table_concurrent_writer_typed_conflict(spark, tmp_path):
+    """Two writers racing to the same next version: exactly one
+    commits; the loser gets a typed ConcurrentWriteError (not a raw
+    py4j IOException) with retry guidance, the WINNER'S COMMITTED DATA
+    IS UNTOUCHED (attempt-unique token dirs — the loser physically
+    cannot overwrite it), and the loser's orphan dir is reclaimable
+    via vacuum."""
+    from evaporate_spark.sources.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "tbl")
+    a, b = VersionedTable(spark, root), VersionedTable(spark, root)
+    a.write_snapshot(spark.createDataFrame([(1, "base")], "k long, s string"))
+
+    # both writers resolve latest=0 and target v=1. B writes its data
+    # dir first (pre-commit), then A wins the commit race.
+    b_dir = b._new_snapshot_dir(1)
+    spark.createDataFrame([(3, "B")], "k long, s string").write.parquet(b_dir)
+    va = a.write_snapshot(spark.createDataFrame([(2, "A")], "k long, s string"))
+    assert va == 1
+    try:
+        b._commit(1, b_dir)
+        raise AssertionError("losing writer must get a typed conflict")
+    except ConcurrentWriteError as e:
+        assert e.version == 1 and e.root.endswith("tbl")
+        assert "retry" in str(e)
+
+    # the winner's committed v=1 is exactly A's data — no corruption
+    assert {(r["k"], r["s"]) for r in a.read(1).collect()} == {(2, "A")}
+
+    # loser retries on the fresh latest and lands v=2
+    v2 = b.write_snapshot(spark.createDataFrame([(4, "B2")], "k long, s string"))
+    assert v2 == 2
+    assert {r["k"] for r in b.read().collect()} == {4}
+    assert sorted(a.versions()) == [0, 1, 2]
+
+    # vacuum reclaims ONLY the unreferenced orphan (grace 0: no writer
+    # in flight here); committed snapshots and time travel survive
+    removed = a.vacuum(older_than_s=0)
+    assert removed == [b_dir]
+    assert {r["k"] for r in a.read(0).collect()} == {1}
+    assert {r["k"] for r in a.read(1).collect()} == {2}
+    assert {r["k"] for r in a.read(2).collect()} == {4}
+
+
+def test_versioned_table_upsert_conflict_retry(spark, tmp_path):
+    """upsert(max_conflict_retries>0) re-reads the new latest and
+    re-merges after losing a commit race (optimistic concurrency)."""
+    from evaporate_spark.sources.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    t.write_snapshot(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k long, s string, v double")
+    )
+
+    # interpose a racing commit between t's read and write: the first
+    # write_snapshot attempt loses, the retry must merge onto v=1
+    racer = VersionedTable(spark, root)
+    real_write = t.write_snapshot
+    state = {"raced": False}
+
+    def racing_write(df, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            racer.write_snapshot(
+                spark.createDataFrame([(9, "race", 9.0)], "k long, s string, v double")
+            )
+        return real_write(df, **kw)
+
+    t.write_snapshot = racing_write
+    changes = spark.createDataFrame(
+        [(2, "b2", 2.5, "U", 1), (3, "c", 3.0, "I", 1)],
+        "k long, s string, v double, op string, seq long",
+    )
+    try:
+        v = t.upsert(changes, ["k"], "seq", max_conflict_retries=2)
+    finally:
+        t.write_snapshot = real_write
+    assert v == 2
+    # the retry merged onto the RACER's snapshot (k=9 base), then applied
+    got = {r["k"]: r["s"] for r in t.read().collect()}
+    assert got == {9: "race", 2: "b2", 3: "c"}
+
+    # with retries exhausted the typed error surfaces
+    state["raced"] = False
+    t.write_snapshot = racing_write
+    try:
+        t.upsert(changes, ["k"], "seq", max_conflict_retries=0)
+        raise AssertionError("exhausted retries must raise")
+    except ConcurrentWriteError:
+        pass
+    finally:
+        t.write_snapshot = real_write
+
+
+def test_funnel_four_stage_vs_duckdb(spark):
+    """Parameterized funnel operator: 4 stages with PER-TRANSITION
+    windows, checked against an independent DuckDB recompute of the
+    strict-order/first-touch semantics."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from evaporate_spark.operators.funnel import funnel, funnel_stage_times
+
+    rng = random.Random(7)
+    stages = ["visit", "signup", "activate", "purchase"]
+    rows = []
+    eid = 0
+    for u in range(80):
+        t = 1_000_000_000
+        for _ in range(rng.randrange(2, 14)):
+            t += rng.randrange(1, 4000) * 1_000_000  # 1s..4000s steps
+            rows.append((eid, u, stages[rng.randrange(4)], t))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "us"])
+    df = spark.createDataFrame(pdf).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    wins = [3_000_000_000, 1_500_000_000, 2_000_000_000]  # per-transition
+
+    got = funnel(df, stages, wins).collect()[0].asDict()
+
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = con.execute(f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(us) AS t1 FROM ev
+            WHERE event_type = 'visit' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT ev.user_id, MIN(us) AS t2 FROM ev JOIN s1 USING (user_id)
+            WHERE event_type = 'signup' AND us > t1 AND us <= t1 + {wins[0]}
+            GROUP BY ev.user_id
+        ),
+        s3 AS (
+            SELECT ev.user_id, MIN(us) AS t3 FROM ev JOIN s2 USING (user_id)
+            WHERE event_type = 'activate' AND us > t2 AND us <= t2 + {wins[1]}
+            GROUP BY ev.user_id
+        ),
+        s4 AS (
+            SELECT ev.user_id, MIN(us) AS t4 FROM ev JOIN s3 USING (user_id)
+            WHERE event_type = 'purchase' AND us > t3 AND us <= t3 + {wins[2]}
+            GROUP BY ev.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM s1) AS n_visit,
+               (SELECT COUNT(*) FROM s2) AS n_signup,
+               (SELECT COUNT(*) FROM s3) AS n_activate,
+               (SELECT COUNT(*) FROM s4) AS n_purchase
+    """).fetchdf().iloc[0].to_dict()
+    assert got == {k: int(v) for k, v in want.items()}
+    # the funnel actually narrows on this data
+    assert got["n_visit"] > got["n_purchase"]
+
+    # per-user stage times are subsets down the chain
+    frames = funnel_stage_times(df, stages, wins)
+    users = [set(r["user_id"] for r in f.select("user_id").collect()) for f in frames]
+    for earlier, later in zip(users, users[1:]):
+        assert later <= earlier
+
+    # arity errors are loud
+    for bad in ([1, 2], [1, 2, 3, 4]):
+        try:
+            funnel(df, stages, bad)
+            raise AssertionError("wrong window arity must raise")
+        except ValueError:
+            pass
+    try:
+        funnel(df, ["only"], 1)
+        raise AssertionError("single-stage funnel must raise")
+    except ValueError:
+        pass

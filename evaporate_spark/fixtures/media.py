@@ -63,6 +63,14 @@ def _image_specs() -> dict[str, bytes]:
     out["img_tiff_rgb.tif"] = tiff_encode(tf.shape[1], tf.shape[0], 3, tf.tobytes())
     tg = arrays["img_tiff_grey.tif"]
     out["img_tiff_grey.tif"] = tiff_encode(tg.shape[1], tg.shape[0], 1, tg.tobytes())
+    tp = arrays["img_tiff_packbits.tif"]
+    out["img_tiff_packbits.tif"] = tiff_encode(
+        tp.shape[1], tp.shape[0], 1, tp.tobytes(), compression="packbits"
+    )
+    tl = arrays["img_tiff_lzw.tif"]
+    out["img_tiff_lzw.tif"] = tiff_encode(
+        tl.shape[1], tl.shape[0], 3, tl.tobytes(), compression="lzw"
+    )
     return out
 
 
@@ -139,6 +147,27 @@ def source_image_arrays() -> dict[str, np.ndarray]:
         [(txx * 5 + 30) % 256, (tyy * 17) % 256, (txx * tyy) % 256], axis=-1
     ).astype(np.uint8)
     out["img_tiff_grey.tif"] = ((txx * 3 + tyy * 19) % 256).astype(np.uint8)
+
+    # PackBits fixture: banded pattern with long horizontal runs (the
+    # case RLE actually compresses) plus a noisy stripe (literal runs)
+    ph, pw = 24, 48
+    pyy, pxx = np.mgrid[0:ph, 0:pw]
+    bands = ((pyy // 4) * 40 % 256).astype(np.uint8)
+    bands[:, 40:] = ((pxx[:, 40:] * 31 + pyy[:, 40:] * 7) % 256).astype(np.uint8)
+    out["img_tiff_packbits.tif"] = bands
+
+    # LZW fixture: structured RGB gradient-with-texture (dictionary-
+    # compressible but not pure runs — exercises table growth)
+    lh, lw = 26, 34
+    lyy, lxx = np.mgrid[0:lh, 0:lw]
+    out["img_tiff_lzw.tif"] = np.stack(
+        [
+            ((lxx // 3) * 24) % 256,
+            ((lyy // 2) * 16 + (lxx % 3) * 5) % 256,
+            ((lxx + lyy) % 7) * 36 % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
     return out
 
 

@@ -24,8 +24,10 @@ formats:
   chroma upsampling; encoder writes baseline JFIF),
 - BMP: uncompressed 8-bit-palette / 24 / 32-bit BI_RGB (bottom-up and
   top-down) via :func:`bmp_decode` / :func:`bmp_encode`,
-- TIFF: chunky 8-bit grey/RGB/RGBA in either byte order, uncompressed
-  or zlib-Deflate strips (Compression 1/8/32946) with the horizontal
+- TIFF: chunky 8-bit grey/RGB/RGBA in either byte order —
+  uncompressed, zlib-Deflate, PackBits-RLE, or TIFF-LZW strips
+  (Compression 1/8/32946/32773/5, the LZW core shared with the GIF
+  codec modulo MSB packing + early-change) with the horizontal
   predictor, via :func:`tiff_decode` / :func:`tiff_encode`.
 
 Video: REAL end-to-end for MJPEG AVIs — the stdlib RIFF walk
@@ -37,8 +39,8 @@ numpy RMS/duration).
 
 What is STUBBED (this environment ships no image/audio/video libs):
 only truly undecodable rows — truncated buffers, formats whose
-bitstreams require third-party codecs (webp, LZW/PackBits/JPEG-in-
-TIFF, hierarchical/arithmetic JPEG) and modern video bitstreams
+bitstreams require third-party codecs (webp, JPEG-in-TIFF, tiled/
+planar TIFF, hierarchical/arithmetic JPEG) and modern video bitstreams
 (H.264 in mp4/webm/mkv) — fall back to the clearly-marked deterministic fake
 (header-derived stats) in :func:`decode_images` or a per-row ``err``
 in :func:`resize_images` / :func:`sample_video_frames`; the operator
@@ -894,19 +896,170 @@ def bmp_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# stdlib TIFF codec: with Compression=1 the strips are raw sample
-# bytes, so chunky 8-bit grey/RGB/RGBA TIFFs in either byte order
-# decode with a pure IFD walk. LZW/JPEG-compressed, tiled, planar and
-# non-8-bit TIFFs stay per-row errors (they need real codec work).
+# stdlib TIFF codec: chunky 8-bit grey/RGB/RGBA TIFFs in either byte
+# order via a pure IFD walk. Strips may be raw (1), zlib-Deflate
+# (8/32946), PackBits RLE (32773), or TIFF-variant LZW (5) — the LZW
+# core is the GIF one above with MSB-first bit packing, a fixed 8-bit
+# symbol alphabet, and the spec's "early change" width rule.
+# JPEG-in-TIFF, tiled, planar and non-8-bit TIFFs stay per-row errors.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode(chunk: bytes) -> bytearray:
+    """Apple PackBits RLE (TIFF Compression=32773, spec section 9):
+    control byte n in [0,127] copies the next n+1 literals; n in
+    [129,255] repeats the next byte 257-n times; n == 128 is a no-op."""
+    out = bytearray()
+    i, size = 0, len(chunk)
+    while i < size:
+        n = chunk[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > size:
+                raise ValueError("truncated PackBits literal run")
+            out += chunk[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= size:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([chunk[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return out
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Inverse of :func:`_packbits_decode`: greedy run detection,
+    literal runs chunked at 128."""
+    out = bytearray()
+    i, size = 0, len(data)
+    while i < size:
+        # measure the repeat run at i
+        j = i + 1
+        while j < size and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i = j
+            continue
+        # literal run: until the next >=3 repeat (2-byte repeats are
+        # cheaper folded into the literal) or 128 bytes
+        j = i + 1
+        while j < size and j - i < 128:
+            if j + 2 < size and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytearray:
+    """TIFF-variant LZW (Compression=5, spec section 13): 8-bit symbol
+    alphabet, Clear=256 / EOI=257, MSB-first bit packing, code width
+    9→12 with the EARLY-CHANGE rule (width grows when the next free
+    code reaches 2^width - 1, one code earlier than GIF)."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    code_size = 9
+    out = bytearray()
+    prev = None
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= code_size:
+            code = (acc >> (bits - code_size)) & ((1 << code_size) - 1)
+            bits -= code_size
+            acc &= (1 << bits) - 1
+            if code == clear:
+                table = list(base)
+                code_size = 9
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code > 255:
+                    raise ValueError("bad first TIFF-LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("TIFF-LZW code out of range")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            # early change: grow when the NEXT entry's code would be
+            # 2^cs - 1 (libtiff-compatible)
+            if len(table) >= (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Inverse of :func:`_tiff_lzw_decode`: emits Clear first, resets
+    the table at next_code 4094 (the early-change-safe bound)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = bits = 0
+    code_size = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc = (acc << code_size) | code
+        bits += code_size
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+            acc &= (1 << bits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        # early change: grow when entry 2^cs - 1 was just added (the
+        # decoder's table lags this one by a single entry, so its
+        # matching threshold is 2^cs - 1 on ITS size — one code earlier
+        # than the GIF rule on both sides)
+        if next_code >= (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4094:
+            emit(clear)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = eoi + 1
+            code_size = 9
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 
 
 def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     """(width, height, channels, 8-bit pixels row-major) for chunky
-    8-bit TIFFs (first IFD): uncompressed or zlib-Deflate strips
-    (Compression 1/8/32946), optional horizontal-differencing
-    predictor (tag 317 = 2). Raises ValueError on
-    malformed/unsupported input."""
+    8-bit TIFFs (first IFD): uncompressed, zlib-Deflate, PackBits, or
+    TIFF-LZW strips (Compression 1/8/32946/32773/5), optional
+    horizontal-differencing predictor (tag 317 = 2). Raises ValueError
+    on malformed/unsupported input."""
     if raw[:4] == b"II*\x00":
         bo = "little"
     elif raw[:4] == b"MM\x00*":
@@ -945,9 +1098,9 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     planar = tags.get(284, [1])[0]
     photometric = tags.get(262, [1])[0]
     predictor = tags.get(317, [1])[0]
-    # 1 = uncompressed; 8/32946 = zlib Deflate (Adobe/"deflate") —
-    # stdlib-decodable; LZW/PackBits/JPEG-in-TIFF need codec work
-    if comp not in (1, 8, 32946):
+    # 1 = uncompressed; 8/32946 = zlib Deflate; 32773 = PackBits;
+    # 5 = TIFF-LZW (each strip independently compressed, table reset)
+    if comp not in (1, 8, 32946, 32773, 5):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if planar != 1 or spp not in (1, 3, 4) or any(b != 8 for b in bps):
         raise ValueError(f"unsupported TIFF layout spp={spp} bps={bps} planar={planar}")
@@ -967,6 +1120,10 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
                 chunk = zlib.decompress(chunk)
             except zlib.error as ex:
                 raise ValueError(f"bad TIFF deflate strip: {ex}") from None
+        elif comp == 32773:
+            chunk = _packbits_decode(chunk)
+        elif comp == 5:
+            chunk = _tiff_lzw_decode(chunk)
         data += chunk
     need = w * h * spp
     if len(data) < need:
@@ -983,11 +1140,18 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     return w, h, spp, px
 
 
-def tiff_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
-    """Minimal little-endian uncompressed chunky TIFF writer
-    (grey / RGB / RGBA; one strip)."""
+_TIFF_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773}
+
+
+def tiff_encode(
+    w: int, h: int, channels: int, pixels: bytes, compression: str = "none"
+) -> bytes:
+    """Minimal little-endian chunky TIFF writer (grey / RGB / RGBA;
+    one strip). ``compression``: "none" (raw), "packbits" (RLE,
+    Compression=32773), or "lzw" (TIFF-LZW, Compression=5)."""
     import struct
 
+    comp_tag = _TIFF_COMPRESSIONS[compression]
     if channels == 2:  # grey+alpha has no standard photometric; drop alpha
         pixels = bytes(pixels[i] for i in range(0, len(pixels), 2))
         channels = 1
@@ -996,12 +1160,16 @@ def tiff_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
 
     data_off = 8  # IFD written after pixel data; data first
     pix = bytes(pixels[: w * h * channels])
+    if comp_tag == 32773:
+        pix = _packbits_encode(pix)
+    elif comp_tag == 5:
+        pix = bytes(_tiff_lzw_encode(pix))
     ifd_off = data_off + len(pix)
     entries = [
         (256, 4, 1, w),
         (257, 4, 1, h),
         (258, 3, channels, None),  # needs external array when channels>2
-        (259, 3, 1, 1),
+        (259, 3, 1, comp_tag),
         (262, 3, 1, photometric),
         (273, 4, 1, data_off),
         (277, 3, 1, channels),
@@ -1118,8 +1286,9 @@ def decode_images(
                             continue
                         except ValueError:
                             pass
-                    # REAL stdlib decode for uncompressed BMP / TIFF;
-                    # RLE/LZW/tiled variants degrade to the header fake
+                    # REAL stdlib decode for BMP and for raw/Deflate/
+                    # PackBits/LZW TIFF; BMP-RLE and tiled/planar/JPEG
+                    # TIFFs degrade to the header fake
                     if raw[:2] == b"BM":
                         try:
                             w, h, ch, px = bmp_decode(raw)

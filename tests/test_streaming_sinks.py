@@ -869,12 +869,16 @@ def test_bmp_tiff_decode_resize_real(spark):
         for predictor in (1, 2):
             got = tiff_decode(deflate_tiff(rgb.tobytes(), comp, predictor))
             assert bytes(got[3]) == rgb.tobytes(), (comp, predictor)
-    # LZW stays a clean per-row error (needs real codec work)
-    lzw = bytearray(deflate_tiff(rgb.tobytes(), 1, 1))
-    comp_pos = lzw.index(struct.pack("<HHI", 259, 3, 1))
-    lzw[comp_pos + 8 : comp_pos + 10] = struct.pack("<H", 5)
-    with pytest.raises(ValueError, match="compression"):
-        tiff_decode(bytes(lzw))
+    # JPEG-in-TIFF (7) stays a clean per-row error (needs a full JPEG
+    # table wiring); a raw strip MISLABELED as LZW (5) raises a typed
+    # codec error rather than returning garbage pixels
+    blob = bytearray(deflate_tiff(rgb.tobytes(), 1, 1))
+    comp_pos = blob.index(struct.pack("<HHI", 259, 3, 1))
+    for fake_comp, pat in ((7, "compression"), (5, "LZW")):
+        bad = bytearray(blob)
+        bad[comp_pos + 8 : comp_pos + 10] = struct.pack("<H", fake_comp)
+        with pytest.raises(ValueError, match=pat):
+            tiff_decode(bytes(bad))
 
     # 8-bit palette BMP
     pal = b"".join(bytes((i, 255 - i, i // 2, 0)) for i in range(256))
@@ -1546,3 +1550,118 @@ def test_ewma_anomaly_stream_batch_parity(spark, tmp_path):
     assert spike_eid in flagged
     # the stable series itself produces no false positives
     assert all(e == spike_eid for e in flagged)
+
+
+def test_ewma_update_orders_across_arrow_chunks():
+    """applyInPandasWithState delivers one key's micro-batch as MULTIPLE
+    Arrow chunks (arrow.maxRecordsPerBatch); the EWMA recurrence must
+    sort globally across chunks, not per chunk — rows interleaved
+    across chunk boundaries would otherwise update out of order."""
+    import pandas as pd
+
+    from evaporate_spark.streaming.stateful import _ewma_step, _update_ewma
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.stored = v
+
+    rows = [
+        {"user_id": 1, "event_id": i, "ts": 1000 + i, "value": 10.0 + (i * 7 % 5)}
+        for i in range(40)
+    ]
+    # interleave: evens in chunk A, odds in chunk B -> chunk-local sort
+    # would process 0,2,4,... then 1,3,5,... (wrong global order)
+    chunk_a = pd.DataFrame(rows[0::2])
+    chunk_b = pd.DataFrame(rows[1::2])
+    state = FakeState()
+    (out,) = list(_update_ewma((1,), iter([chunk_a, chunk_b]), state))
+
+    n, ewma, ewvar = 0, 0.0, 0.0
+    expect = []
+    for r in rows:  # global (ts, event_id) order
+        n, ewma, ewvar, z, flag = _ewma_step(n, ewma, ewvar, r["value"])
+        expect.append((r["event_id"], round(ewma, 6), round(z, 6), flag))
+    got = list(zip(out["event_id"], out["ewma"], out["zscore"], out["is_anomaly"]))
+    assert got == expect
+    assert state.stored == (n, ewma, ewvar)
+
+
+def test_tiff_packbits_and_lzw_codecs():
+    """PackBits against the TIFF-spec worked example; TIFF-LZW
+    round-trip through width growth (9→12) and a table reset; both
+    wired through tiff_encode/tiff_decode."""
+    import numpy as np
+
+    from evaporate_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        tiff_decode,
+        tiff_encode,
+    )
+
+    # TIFF 6.0 spec section 9 worked example (public test vector)
+    enc = bytes.fromhex("FEAA0280002AFDAA03 80002A22F7AA".replace(" ", ""))
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10)
+    assert bytes(_packbits_decode(enc)) == want
+    # encoder round-trips the same payload
+    assert bytes(_packbits_decode(_packbits_encode(want))) == want
+    # 128-literal-chunk and long-repeat edges
+    lit = bytes(range(256)) * 2
+    rep = b"z" * 1000
+    for payload in (lit, rep, lit + rep, b"", b"q"):
+        assert bytes(_packbits_decode(_packbits_encode(payload))) == payload
+    # truncated runs must raise, not return garbage
+    for bad in (b"\x05ab", b"\xfe"):
+        try:
+            _packbits_decode(bad)
+            raise AssertionError("truncated PackBits must raise")
+        except ValueError:
+            pass
+
+    # LZW: enough dictionary growth to cross every width boundary and
+    # force a clear/reset (table cap 4094), plus KwKwK-heavy input
+    big = bytes((i * 7 + (i >> 3) * 13 + (i >> 9)) % 256 for i in range(120_000))
+    assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(big))) == big
+    kwk = b"A" * 5000 + b"AB" * 2000
+    assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(kwk))) == kwk
+
+    # full-file round trips through the TIFF container
+    h, w = 9, 31
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([(xx * 11) % 256, (yy * 23) % 256, (xx ^ yy) % 256],
+                   axis=-1).astype(np.uint8)
+    for comp in ("packbits", "lzw"):
+        blob = tiff_encode(w, h, 3, rgb.tobytes(), compression=comp)
+        dw, dh, ch, px = tiff_decode(blob)
+        assert (dw, dh, ch) == (w, h, 3)
+        assert bytes(px) == rgb.tobytes()
+
+
+def test_tiff_packbits_lzw_spark_decode(spark):
+    """decode_images reports REAL pixel stats (stdlib-tiff, not the
+    header stub) for PackBits and LZW TIFFs through the Arrow-batched
+    operator path."""
+    import numpy as np
+
+    from evaporate_spark.operators.multimodal import decode_images, tiff_encode
+
+    h, w = 12, 20
+    yy, xx = np.mgrid[0:h, 0:w]
+    grey = ((xx * 3 + yy * 19) % 256).astype(np.uint8)
+    rows = [
+        ("pb.tif", bytearray(tiff_encode(w, h, 1, grey.tobytes(), compression="packbits"))),
+        ("lzw.tif", bytearray(tiff_encode(w, h, 1, grey.tobytes(), compression="lzw"))),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r for r in decode_images(df).collect()}
+    for name in ("pb.tif", "lzw.tif"):
+        r = got[name]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["decoded_by"] == "stdlib-tiff"
+        assert abs(r["mean_intensity"] - float(grey.mean())) < 1e-6
+        assert r["err"] is None

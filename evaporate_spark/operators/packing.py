@@ -36,12 +36,18 @@ def pack_sequences(
     if not 0 <= overlap < seq_len:
         raise ValueError(f"need 0 <= overlap < seq_len, got {overlap}/{seq_len}")
     stride = seq_len - overlap
-    toks = _ws_tokens_keep_case(text_col)
-    n = F.size(toks)
-    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
-        F.array().cast("array<int>")
-    )
-    windows = F.transform(starts, lambda s: F.slice(toks, s, seq_len))
+    from evaporate_spark.functions.text_stats import bind_once
+
+    def _windows(toks):
+        n = F.size(toks)
+        starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(starts, lambda s: F.slice(toks, s, seq_len))
+
+    # tokens bound once per row: slice(toks) inside the window lambda
+    # would re-inline (re-split) the tokenization per window otherwise
+    windows = bind_once(_ws_tokens_keep_case(text_col), _windows)
     return (
         docs.select(
             F.col(id_col),

@@ -74,49 +74,67 @@ def passage_windows(
     """``(id, start_tok, h)``: md5 of each selected token window
     (0-based offsets). See the module docstring for the recall
     semantics of ``anchor`` ∈ {"grid", "cdc"}."""
+    from evaporate_spark.functions.text_stats import bind_once
+
     toks: Column = ws_tokens(F.col(text_col))
+    # cdc/winnow access token elements inside higher-order-function
+    # lambdas — bind the tokens array once per row (bind_once) so the
+    # split is not re-inlined per element; grid only takes size(toks).
     if anchor == "grid":
         starts = F.when(
             F.size(toks) >= window,
             F.sequence(F.lit(0), F.size(toks) - window, F.lit(stride)),
         ).otherwise(F.array().cast("array<int>"))
     elif anchor == "cdc":
-        starts = F.when(
-            F.size(toks) >= window,
-            F.filter(
-                F.sequence(F.lit(0), F.size(toks) - window),
-                lambda i: F.pmod(
-                    F.xxhash64(F.element_at(toks, i + 1)), F.lit(stride)
-                )
-                == 0,
-            ),
-        ).otherwise(F.array().cast("array<int>"))
+        starts = bind_once(
+            toks,
+            lambda t: F.when(
+                F.size(t) >= window,
+                F.filter(
+                    F.sequence(F.lit(0), F.size(t) - window),
+                    lambda i: F.pmod(
+                        F.xxhash64(F.element_at(t, i + 1)), F.lit(stride)
+                    )
+                    == 0,
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
     elif anchor == "winnow":
         # window-hash sequence, then the leftmost-min position of every
-        # run of `stride` consecutive candidate starts (distinct'ed)
-        wh = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - window),
-            lambda i: F.xxhash64(
-                F.concat_ws(" ", F.slice(toks, i + 1, window))
-            ),
-        )
-        def _pick(t):
-            # closure over wh — a second lambda arg would be filled
-            # with the transform INDEX, not the hash array
-            run = F.slice(wh, t + 1, stride)
-            return t + F.array_position(run, F.array_min(run)) - 1
-        starts = F.when(
-            F.size(toks) >= window,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(F.size(toks) - window - stride + 1, F.lit(0)),
-                    ),
-                    _pick,
+        # run of `stride` consecutive candidate starts (distinct'ed);
+        # both the tokens AND the hash sequence are bound once
+        def _starts(t: Column) -> Column:
+            wh_expr = F.transform(
+                F.sequence(F.lit(0), F.size(t) - window),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(t, i + 1, window))
+                ),
+            )
+
+            def _pick_all(wh: Column) -> Column:
+                def _pick(p):
+                    # closure over wh — a second lambda arg would be
+                    # filled with the transform INDEX, not the array
+                    run = F.slice(wh, p + 1, stride)
+                    return p + F.array_position(run, F.array_min(run)) - 1
+
+                return F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(
+                                F.size(t) - window - stride + 1, F.lit(0)
+                            ),
+                        ),
+                        _pick,
+                    )
                 )
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+
+            return F.when(
+                F.size(t) >= window, bind_once(wh_expr, _pick_all)
+            ).otherwise(F.array().cast("array<bigint>"))
+
+        starts = bind_once(toks, _starts)
     else:
         raise ValueError(f"unknown anchor mode {anchor!r}")
     win = df.select(

@@ -889,21 +889,11 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("textstats",),
 )
 def q_vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.text_stats import word_bigrams
+
     (d,) = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower("text"), r"\W+"), lambda x: x != F.lit("")
-    )
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(grams).alias("gram"))
+        d.select(F.explode(word_bigrams(F.col("text"))).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("gram"))
@@ -1450,7 +1440,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_events_multires_rollup",
     "Hypertable-style cascaded rollup: events aggregated ONCE at "
-    "minute grain, hour and day derived by re-aggregating the finer "
+    "minute grain, hour/day/week derived by re-aggregating the finer "
     "grain (sum-of-sums over exact integer cents) — the raw table is "
     "scanned exactly once however many grains are materialized. The "
     "oracle aggregates each grain directly from the raw events; equal "
@@ -1470,6 +1460,11 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                (us // 86400000000) * 86400000000 AS bucket_us,
                COUNT(*), CAST(SUM(cents) AS BIGINT)
         FROM e GROUP BY bucket_us
+        UNION ALL
+        SELECT 'week',
+               (us // 604800000000) * 604800000000 AS bucket_us,
+               COUNT(*), CAST(SUM(cents) AS BIGINT)
+        FROM e GROUP BY bucket_us
     """,
     tags=("events",),
 )
@@ -1480,16 +1475,58 @@ def q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = events.select(
         "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    grains = multires_rollup(prepared, "ts", ["cents"], ["minute", "hour", "day"])
-    hour = grains["hour"].select(
-        F.lit("hour").alias("grain"), "bucket_us", "n",
-        F.col("sum_cents").cast("long").alias("sum_cents"),
+    grains = multires_rollup(
+        prepared, "ts", ["cents"], ["minute", "hour", "day", "week"]
     )
-    day = grains["day"].select(
-        F.lit("day").alias("grain"), "bucket_us", "n",
-        F.col("sum_cents").cast("long").alias("sum_cents"),
+    out = None
+    for g in ("hour", "day", "week"):
+        part = grains[g].select(
+            F.lit(g).alias("grain"), "bucket_us", "n",
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
+    "q_event_value_histogram",
+    "Fixed-width histogram of event values per event type (width 25, "
+    "exact counts + per-bucket min/max): one partial+final aggregation "
+    "on (type, bucket) — the classic distribution profile at any "
+    "scale, no sort and no percentile state. Bucket ids are integer "
+    "floor-divisions of the double value; identical IEEE arithmetic "
+    "in both engines.",
+    oracle="""
+        SELECT event_type,
+               CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+               CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS bucket_lo,
+               COUNT(*) AS n,
+               ROUND(MIN(value), 2) AS min_v,
+               ROUND(MAX(value), 2) AS max_v
+        FROM events
+        GROUP BY event_type, bucket
+    """,
+    tags=("events", "agg"),
+)
+def q_event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        events.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("bucket_lo"),
+            "n",
+            "min_v",
+            "max_v",
+        )
     )
-    return hour.unionByName(day)
 
 
 _BOILER = (

@@ -325,3 +325,45 @@ def test_morton_python_twin_bijective(vals, bits):
         for j in range(n)
     ]
     assert back == masked
+
+
+# --- stdlib media strip codecs: lossless round-trip invariants ----------
+
+
+@given(st.binary(max_size=4096))
+def test_packbits_roundtrip_total(data):
+    from evaporate_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    enc = _packbits_encode(data)
+    assert bytes(_packbits_decode(enc)) == data
+    # RLE never worse than 1 control byte per 128-literal chunk + 1
+    assert len(enc) <= len(data) + max(1, (len(data) + 127) // 128)
+
+
+@given(st.binary(max_size=2048))
+def test_tiff_lzw_roundtrip_total(data):
+    from evaporate_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(data))) == data
+
+
+@given(
+    st.integers(min_value=1, max_value=257),
+    st.integers(min_value=0, max_value=255),
+    st.binary(max_size=64),
+)
+def test_tiff_lzw_runs_and_mixed(run_len, byte, tail):
+    """Run-heavy payloads (the KwKwK-prone shape) round-trip."""
+    from evaporate_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    data = bytes([byte]) * run_len + tail
+    assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(data))) == data

@@ -1665,3 +1665,52 @@ def test_tiff_packbits_lzw_spark_decode(spark):
         assert r["decoded_by"] == "stdlib-tiff"
         assert abs(r["mean_intensity"] - float(grey.mean())) < 1e-6
         assert r["err"] is None
+
+
+def test_tiff_lzw_with_predictor_decode():
+    """TIFF-LZW strips combined with the horizontal-differencing
+    predictor (tag 317=2) — the common libtiff writer default — must
+    decode to the original pixels (predictor undone after
+    decompression)."""
+    import struct
+
+    import numpy as np
+
+    from evaporate_spark.operators.multimodal import (
+        _tiff_lzw_encode,
+        tiff_decode,
+    )
+
+    h, w, ch = 7, 13, 3
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 19) % 256, (yy * 31) % 256, (xx * yy + 5) % 256], axis=-1
+    ).astype(np.uint8)
+    px = rgb.reshape(h, w * ch).astype(np.int16)
+    diff = px.copy()
+    diff[:, ch:] = (px[:, ch:] - px[:, :-ch]) % 256  # per-row differencing
+    body = _tiff_lzw_encode(diff.astype(np.uint8).tobytes())
+
+    ents = [
+        (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, 5), (262, 3, 1, 2),
+        (273, 4, 1, 8), (277, 3, 1, ch), (278, 4, 1, h),
+        (279, 4, 1, len(body)), (317, 3, 1, 2),
+    ]
+    ifd_off = 8 + len(body)
+    extra_off = ifd_off + 2 + 12 * (len(ents) + 1) + 4
+    ents.append((258, 3, ch, extra_off))
+    ents.sort()
+    blob = b"II*\x00" + struct.pack("<I", ifd_off) + body
+    blob += struct.pack("<H", len(ents))
+    for tag, typ, cnt, val in ents:
+        vb = (
+            struct.pack("<HH", val, 0)
+            if (typ == 3 and cnt == 1)
+            else struct.pack("<I", val)
+        )
+        blob += struct.pack("<HHI", tag, typ, cnt) + vb
+    blob += struct.pack("<I", 0) + struct.pack("<HHH", 8, 8, 8)
+
+    dw, dh, dch, dpx = tiff_decode(blob)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert bytes(dpx) == rgb.tobytes()

@@ -81,6 +81,19 @@ Pinned comparison baselines (medians unless noted):
   q_token_rarity 0.766, q_knn_cosine 0.662, q8_market_share 1.091
   (FIRST pin — 7-table star join), q_semantic_closed_ie 5.050,
   q_semantic_openie 11.937, media_decode_300 0.673.
+- r6 FINAL pins (gated, start loadavg 0.29): relational 2.542
+  (q1 0.481 / q3 0.837 / q5 1.224); q_exact_dedup_groups 0.322,
+  q_minhash_lsh_dups 1.463 (−25% vs the r5 pin — the bind_once HOF
+  fix: the tokenizer split no longer re-evaluates per shingle
+  window), q_dup_clusters 1.904 (−21%, same cause),
+  q_dup_passage_stats 3.477, q_token_rarity 0.850, q_knn_cosine
+  0.881, q8_market_share 1.417, q_semantic_closed_ie 6.017,
+  q_semantic_openie 14.136 (host variance band — r5 saw 10.4-16.0
+  at identical code), media_decode_300 0.718, corpus_chain_10x
+  20.028 (FIRST pin, n=1 by design: the full prepare_corpus chain —
+  normalize/redact/exact-dedup/LSH-near-dedup with 15k real dup
+  edges/CC clustering/decontaminate/mix/split/pack — over 50k docs;
+  was 67 s before the bind_once fix).
 """
 
 from __future__ import annotations

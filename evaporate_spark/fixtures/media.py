@@ -71,6 +71,13 @@ def _image_specs() -> dict[str, bytes]:
     out["img_tiff_lzw.tif"] = tiff_encode(
         tl.shape[1], tl.shape[0], 3, tl.tobytes(), compression="lzw"
     )
+
+    from evaporate_spark.operators.webp import webp_encode_lossless
+
+    wb = arrays["img_webp_lossless.webp"]
+    out["img_webp_lossless.webp"] = webp_encode_lossless(
+        wb.shape[1], wb.shape[0], 4, wb.tobytes()
+    )
     return out
 
 
@@ -155,6 +162,20 @@ def source_image_arrays() -> dict[str, np.ndarray]:
     bands = ((pyy // 4) * 40 % 256).astype(np.uint8)
     bands[:, 40:] = ((pxx[:, 40:] * 31 + pyy[:, 40:] * 7) % 256).astype(np.uint8)
     out["img_tiff_packbits.tif"] = bands
+
+    # WebP-lossless fixture: RGBA diagonal gradient with a varying
+    # alpha ramp (exercises the alpha channel end-to-end)
+    wh, ww = 16, 24
+    wyy, wxx = np.mgrid[0:wh, 0:ww]
+    out["img_webp_lossless.webp"] = np.stack(
+        [
+            (wxx * 11 + 7) % 256,
+            (wyy * 13) % 256,
+            (wxx * wyy + 3) % 256,
+            (128 + wxx * 4).clip(0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
 
     # LZW fixture: structured RGB gradient-with-texture (dictionary-
     # compressible but not pure runs — exercises table growth)

@@ -28,7 +28,10 @@ formats:
   uncompressed, zlib-Deflate, PackBits-RLE, or TIFF-LZW strips
   (Compression 1/8/32946/32773/5, the LZW core shared with the GIF
   codec modulo MSB packing + early-change) with the horizontal
-  predictor, via :func:`tiff_decode` / :func:`tiff_encode`.
+  predictor, via :func:`tiff_decode` / :func:`tiff_encode`,
+- WebP (lossless): full VP8L decode (all transforms, color cache,
+  LZ77, meta-Huffman) + a minimal literal-only encoder, via
+  :mod:`evaporate_spark.operators.webp`.
 
 Video: REAL end-to-end for MJPEG AVIs — the stdlib RIFF walk
 (:func:`avi_video_chunks`) extracts per-frame JPEGs and
@@ -39,8 +42,8 @@ numpy RMS/duration).
 
 What is STUBBED (this environment ships no image/audio/video libs):
 only truly undecodable rows — truncated buffers, formats whose
-bitstreams require third-party codecs (webp, JPEG-in-TIFF, tiled/
-planar TIFF, hierarchical/arithmetic JPEG) and modern video bitstreams
+bitstreams require third-party codecs (lossy-VP8 webp, JPEG-in-TIFF,
+tiled/planar TIFF, hierarchical/arithmetic JPEG) and modern video bitstreams
 (H.264 in mp4/webm/mkv) — fall back to the clearly-marked deterministic fake
 (header-derived stats) in :func:`decode_images` or a per-row ``err``
 in :func:`resize_images` / :func:`sample_video_frames`; the operator
@@ -1315,6 +1318,23 @@ def decode_images(
                             continue
                         except ValueError:
                             pass
+                    # REAL pure-python decode for LOSSLESS webp
+                    # (VP8L); lossy VP8 degrades to the header fake
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                        try:
+                            from evaporate_spark.operators.webp import webp_decode
+
+                            w, h, _ch, px = webp_decode(raw)
+                            body = bytearray(
+                                b for i, b in enumerate(px) if i % 4 != 3
+                            )  # mean over color, not alpha
+                            mean = (sum(body) / len(body)) if body else 0.0
+                            rows.append(
+                                (path, "webp", w, h, float(mean), "stdlib-webp", None)
+                            )
+                            continue
+                        except ValueError:
+                            pass
                     # deterministic fake: header dims + byte mean
                     # (same parsers as media_metadata's expressions)
                     mt, width, height = _header_dims(raw)
@@ -1388,6 +1408,19 @@ def resize_images(
                         w, h, ch, px = tiff_decode(raw)
                         resized = _resize_nn(w, h, ch, px, width, height)
                         outs.append(bytearray(tiff_encode(width, height, ch, bytes(resized))))
+                    elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                        from evaporate_spark.operators.webp import (
+                            webp_decode,
+                            webp_encode_lossless,
+                        )
+
+                        w, h, ch, px = webp_decode(raw)  # always RGBA
+                        resized = _resize_nn(w, h, ch, px, width, height)
+                        outs.append(
+                            bytearray(
+                                webp_encode_lossless(width, height, ch, bytes(resized))
+                            )
+                        )
                     else:
                         w, h, ch, px = png_decode(raw)
                         outs.append(

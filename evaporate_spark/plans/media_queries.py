@@ -50,7 +50,9 @@ def _media_files(spark: SparkSession, media_dir: str, *suffixes: str) -> DataFra
 def image_stats_frame(spark: SparkSession, media_dir: str) -> DataFrame:
     from evaporate_spark.operators.multimodal import decode_images
 
-    files = _media_files(spark, media_dir, ".png", ".gif", ".jpg", ".bmp", ".tif")
+    files = _media_files(
+        spark, media_dir, ".png", ".gif", ".jpg", ".bmp", ".tif", ".webp"
+    )
     return decode_images(files, path_col="file").select(
         F.col("path").alias("file"),  # decode_images emits 'path'
         "media_type",

@@ -58,8 +58,8 @@ def test_pinned_image_stats_match_source_arrays():
     for name, arr in arrays.items():
         file, w, h, mean, by = pinned[name]
         assert (w, h) == (arr.shape[1], arr.shape[0]), name
-        if name.endswith(".png") and arr.ndim == 3 and arr.shape[2] == 4:
-            truth = float(arr[..., :3].mean())  # alpha excluded
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            truth = float(arr[..., :3].mean())  # alpha excluded (any RGBA)
         else:
             truth = float(arr.mean())
         tol = 3.0 if name.endswith(".jpg") else 1e-3  # JPEG is lossy

@@ -211,7 +211,44 @@ def source_audio_arrays() -> dict[str, tuple[int, int, int, np.ndarray]]:
     t3 = np.arange(n3) / rate3
     sweep = 0.6 * np.sin(2 * np.pi * (200 + 400 * t3) * t3)
     out["audio_mono32.wav"] = (rate3, 1, 4, sweep[:, None])
+
+    # G.711 telephony fixtures (one companded byte per sample;
+    # sampwidth slot = 1). Decoded through operators/g711 tables.
+    rate4, n4 = 8000, 2000
+    t4 = np.arange(n4) / rate4
+    out["audio_ulaw.wav"] = (rate4, 1, 1, (0.45 * np.sin(2 * np.pi * 350 * t4))[:, None])
+    rate5, n5 = 8000, 1800
+    t5 = np.arange(n5) / rate5
+    out["audio_alaw.wav"] = (rate5, 1, 1, (0.35 * np.sin(2 * np.pi * 500 * t5))[:, None])
     return out
+
+
+def _g711_wav_bytes(rate: int, channels: int, law: str, samples: np.ndarray) -> bytes:
+    """Encode float samples in [-1,1) as a G.711 µ-law/A-law WAV
+    (format code 7/6) — ``wave`` can't write non-PCM, so the RIFF
+    chunks are assembled directly."""
+    from evaporate_spark.operators.g711 import alaw_encode, ulaw_encode
+
+    enc = ulaw_encode if law == "ulaw" else alaw_encode
+    code = 7 if law == "ulaw" else 6
+    lin = np.round(samples.reshape(-1) * 32767).clip(-32768, 32767).astype(int)
+    data = bytes(enc(int(s)) for s in lin)
+    block = channels  # one byte per sample
+    fmt = (
+        code.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF"
+        + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
 
 
 def _wav_bytes(rate: int, channels: int, sampwidth: int, samples: np.ndarray) -> bytes:
@@ -251,7 +288,11 @@ def generate_media(out_dir: str) -> dict[str, bytes]:
     os.makedirs(out_dir, exist_ok=True)
     files = dict(_image_specs())
     for name, (rate, ch, width, samples) in source_audio_arrays().items():
-        files[name] = _wav_bytes(rate, ch, width, samples)
+        if "ulaw" in name or "alaw" in name:
+            law = "ulaw" if "ulaw" in name else "alaw"
+            files[name] = _g711_wav_bytes(rate, ch, law, samples)
+        else:
+            files[name] = _wav_bytes(rate, ch, width, samples)
     frames, w, h = source_video_frames()
     files["clip_mjpeg.avi"] = avi_mjpeg_write(
         [jpeg_encode(w, h, 3, f.tobytes(), quality=90) for f in frames], w, h

@@ -1,0 +1,77 @@
+"""G.711 companded audio (µ-law / A-law) for WAV decode.
+
+Telephony WAVs (format codes 7 = µ-law, 6 = A-law) store one
+companded byte per sample; the stdlib ``wave`` module refuses them
+(PCM only) and ``audioop`` was removed from modern Pythons, so the
+expansion tables live here. The decode formulas are the ITU-T G.711
+segment codings (the piecewise-linear curves every telephony stack
+implements); anchors are pinned in tests: µ-law 0xFF → 0,
+0x00 → −32124, 0x80 → +32124; A-law 0x55 → +8, 0xD5 → −8,
+0x2A → +32256.
+
+The encoders (used for deterministic fixtures) are defined as
+NEAREST-MATCH against the decode tables — a 256-entry search per
+sample, so encode∘decode is identity on every code word and
+decode∘encode is the optimal quantizer by construction, with no
+sign-convention pitfalls. Fixture-sized inputs only; not a hot path.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+__all__ = [
+    "ALAW_TABLE",
+    "ULAW_TABLE",
+    "alaw_encode",
+    "ulaw_encode",
+]
+
+
+def _ulaw_to_linear(u: int) -> int:
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return -sample if sign else sample
+
+
+def _alaw_to_linear(a: int) -> int:
+    a ^= 0x55
+    sign = a & 0x80
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    if exponent == 0:
+        sample = (mantissa << 4) + 8
+    else:
+        sample = ((mantissa << 4) + 0x108) << (exponent - 1)
+    return -sample if sign else sample
+
+
+#: companded byte → 16-bit linear sample (index = wire byte)
+ULAW_TABLE: tuple[int, ...] = tuple(_ulaw_to_linear(b) for b in range(256))
+ALAW_TABLE: tuple[int, ...] = tuple(_alaw_to_linear(b) for b in range(256))
+
+
+def _nearest_encoder(table: tuple[int, ...]):
+    pairs = sorted((v, b) for b, v in enumerate(table))
+    values = [v for v, _ in pairs]
+
+    def encode(sample: int) -> int:
+        i = bisect.bisect_left(values, sample)
+        best = None
+        for j in (i - 1, i):
+            if 0 <= j < len(pairs):
+                v, b = pairs[j]
+                d = abs(v - sample)
+                # deterministic tie-break: smaller wire byte
+                if best is None or d < best[0] or (d == best[0] and b < best[1]):
+                    best = (d, b)
+        return best[1]
+
+    return encode
+
+
+ulaw_encode = _nearest_encoder(ULAW_TABLE)
+alaw_encode = _nearest_encoder(ALAW_TABLE)

@@ -1443,6 +1443,46 @@ def resize_images(
 _AUDIO_ANALYSIS_WINDOW = 1 << 18
 
 
+def _g711_wav_samples(raw: bytes):
+    """(rate, channels, float64 linear samples) for µ-law/A-law WAVs
+    (RIFF fmt codes 7/6, one companded byte per sample). Raises
+    ValueError for anything else."""
+    import numpy as np
+
+    from evaporate_spark.operators.g711 import ALAW_TABLE, ULAW_TABLE
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    code = int.from_bytes(fmt[0:2], "little")
+    nch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    if code == 7:
+        table = ULAW_TABLE
+    elif code == 6:
+        table = ALAW_TABLE
+    else:
+        raise ValueError(f"unsupported WAV format code {code}")
+    if nch < 1 or rate <= 0:
+        raise ValueError(f"bad WAV header nch={nch} rate={rate}")
+    lut = np.asarray(table, dtype=np.float64)
+    codes = np.frombuffer(data, dtype=np.uint8)
+    usable = (codes.size // nch) * nch  # drop a ragged tail byte
+    return rate, nch, lut[codes[:usable]]
+
+
 def decode_audio(
     df: DataFrame, path_col: str = "path", binary_col: str = "content"
 ) -> DataFrame:
@@ -1453,9 +1493,13 @@ def decode_audio(
     normalized to [0, 1]; the zero-crossing rate and the rFFT spectral
     centroid are computed over the channel-mixed signal (centroid over
     a bounded leading window — see ``_AUDIO_ANALYSIS_WINDOW``).
-    Compressed formats (mp3/ogg/aac) surface a per-row ``err`` — their
-    bitstreams need an audio library this environment lacks — with the
-    same never-fail-the-task contract as the image operators.
+    G.711 telephony WAVs (format code 7 = µ-law, 6 = A-law) decode via
+    the expansion tables in :mod:`evaporate_spark.operators.g711`
+    (``wave`` refuses non-PCM, so those parse the RIFF chunks
+    directly). Compressed formats (mp3/ogg/aac) surface a per-row
+    ``err`` — their bitstreams need an audio library this environment
+    lacks — with the same never-fail-the-task contract as the image
+    operators.
     """
 
     def audio_batches(batches: Iterator) -> Iterator:
@@ -1471,18 +1515,28 @@ def decode_audio(
             for path, raw in zip(pdf[path_col], pdf[binary_col]):
                 raw = bytes(raw) if raw is not None else b""
                 try:
-                    with wave.open(io.BytesIO(raw)) as wf:
-                        rate = wf.getframerate()
-                        nch = wf.getnchannels()
-                        n = wf.getnframes()
-                        width = wf.getsampwidth()
-                        pcm = wf.readframes(n)
-                    if width not in dtypes:
-                        raise ValueError(f"unsupported sample width {width}")
-                    arr = np.frombuffer(pcm, dtype=dtypes[width]).astype(np.float64)
-                    if width == 1:  # 8-bit WAV is unsigned, center it
-                        arr -= 128.0
-                    full_scale = 128.0 if width == 1 else float(2 ** (8 * width - 1))
+                    try:
+                        with wave.open(io.BytesIO(raw)) as wf:
+                            rate = wf.getframerate()
+                            nch = wf.getnchannels()
+                            n = wf.getnframes()
+                            width = wf.getsampwidth()
+                            pcm = wf.readframes(n)
+                        if width not in dtypes:
+                            raise ValueError(f"unsupported sample width {width}")
+                        arr = np.frombuffer(pcm, dtype=dtypes[width]).astype(
+                            np.float64
+                        )
+                        if width == 1:  # 8-bit WAV is unsigned, center it
+                            arr -= 128.0
+                        full_scale = (
+                            128.0 if width == 1 else float(2 ** (8 * width - 1))
+                        )
+                    except wave.Error:
+                        # non-PCM: G.711 µ-law/A-law via manual RIFF walk
+                        rate, nch, arr = _g711_wav_samples(raw)
+                        n = arr.size // nch
+                        full_scale = 32768.0  # tables expand to 16-bit domain
                     rms = float(np.sqrt(np.mean(arr**2)) / full_scale) if arr.size else 0.0
                     mono = (
                         arr.reshape(-1, nch).mean(axis=1) if nch > 1 and arr.size else arr

@@ -92,7 +92,11 @@ def test_pinned_audio_stats_match_source_signals():
         mag = np.abs(np.fft.rfft(mono - mono.mean()))
         freqs = np.fft.rfftfreq(mono.size, d=1.0 / rate)
         truth_cent = float((freqs * mag).sum() / mag.sum())
-        assert abs(p_cent - truth_cent) < 15.0, (name, p_cent, truth_cent)
+        # G.711 companding noise is broadband, so the magnitude-
+        # weighted centroid of a pure tone shifts tens of Hz relative
+        # to the unquantized source — wider band for those fixtures
+        cent_tol = 60.0 if ("ulaw" in name or "alaw" in name) else 15.0
+        assert abs(p_cent - truth_cent) < cent_tol, (name, p_cent, truth_cent)
 
 
 def test_pinned_video_stats_match_source_frames():

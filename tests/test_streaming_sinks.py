@@ -1714,3 +1714,48 @@ def test_tiff_lzw_with_predictor_decode():
     dw, dh, dch, dpx = tiff_decode(blob)
     assert (dw, dh, dch) == (w, h, ch)
     assert bytes(dpx) == rgb.tobytes()
+
+
+def test_g711_wav_decode_real(spark):
+    """µ-law/A-law WAVs (fmt codes 7/6, which stdlib wave refuses)
+    decode to real sample stats via the G.711 expansion tables; ITU
+    anchor values pinned; mp3-style garbage still degrades to a
+    per-row err."""
+    import numpy as np
+
+    from evaporate_spark.fixtures.media import _g711_wav_bytes
+    from evaporate_spark.operators.g711 import (
+        ALAW_TABLE,
+        ULAW_TABLE,
+        alaw_encode,
+        ulaw_encode,
+    )
+    from evaporate_spark.operators.multimodal import decode_audio
+
+    # ITU G.711 anchor values
+    assert ULAW_TABLE[0xFF] == 0 and ULAW_TABLE[0x00] == -32124
+    assert ULAW_TABLE[0x80] == 32124
+    assert ALAW_TABLE[0x55] == 8 and ALAW_TABLE[0xD5] == -8
+    assert ALAW_TABLE[0x2A] == 32256
+    # encode(decode(b)) is value-stable on every code word
+    for enc, tab in ((ulaw_encode, ULAW_TABLE), (alaw_encode, ALAW_TABLE)):
+        for b in range(256):
+            assert tab[enc(tab[b])] == tab[b]
+
+    rate, n = 8000, 1200
+    t = np.arange(n) / rate
+    sig = (0.4 * np.sin(2 * np.pi * 300 * t))[:, None]
+    rows = [
+        ("u.wav", bytearray(_g711_wav_bytes(rate, 1, "ulaw", sig))),
+        ("a.wav", bytearray(_g711_wav_bytes(rate, 1, "alaw", sig))),
+        ("bad.mp3", bytearray(b"ID3\x04\x00garbage")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r for r in decode_audio(df).collect()}
+    truth_rms = float(np.sqrt(np.mean(sig**2)))
+    for name in ("u.wav", "a.wav"):
+        r = got[name]
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == (rate, 1, n)
+        assert r["err"] is None
+        assert abs(r["rms"] - truth_rms) < 0.01, (name, r["rms"], truth_rms)
+    assert got["bad.mp3"]["err"] is not None

@@ -43,7 +43,7 @@ numpy RMS/duration).
 What is STUBBED (this environment ships no image/audio/video libs):
 only truly undecodable rows — truncated buffers, formats whose
 bitstreams require third-party codecs (lossy-VP8 webp, JPEG-in-TIFF,
-tiled/planar TIFF, hierarchical/arithmetic JPEG) and modern video bitstreams
+hierarchical/arithmetic JPEG) and modern video bitstreams
 (H.264 in mp4/webm/mkv) — fall back to the clearly-marked deterministic fake
 (header-derived stats) in :func:`decode_images` or a per-row ``err``
 in :func:`resize_images` / :func:`sample_video_frames`; the operator
@@ -904,7 +904,8 @@ def bmp_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
 # (8/32946), PackBits RLE (32773), or TIFF-variant LZW (5) — the LZW
 # core is the GIF one above with MSB-first bit packing, a fixed 8-bit
 # symbol alphabet, and the spec's "early change" width rule.
-# JPEG-in-TIFF, tiled, planar and non-8-bit TIFFs stay per-row errors.
+# Strip AND tile layouts, chunky AND planar sample order; only
+# JPEG-in-TIFF and non-8-bit TIFFs stay per-row errors.
 # ---------------------------------------------------------------------------
 
 
@@ -1058,11 +1059,15 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 
 
 def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
-    """(width, height, channels, 8-bit pixels row-major) for chunky
-    8-bit TIFFs (first IFD): uncompressed, zlib-Deflate, PackBits, or
-    TIFF-LZW strips (Compression 1/8/32946/32773/5), optional
-    horizontal-differencing predictor (tag 317 = 2). Raises ValueError
-    on malformed/unsupported input."""
+    """(width, height, channels, 8-bit pixels row-major) for 8-bit
+    TIFFs (first IFD): uncompressed, zlib-Deflate, PackBits, or
+    TIFF-LZW segments (Compression 1/8/32946/32773/5), STRIP or TILE
+    layout (tags 273/279 vs 322-325; edge tiles are padded to the tile
+    grid and cropped on stitch), CHUNKY or PLANAR sample order (tag
+    284 — planar strips hold one channel plane after another and are
+    re-interleaved), and the horizontal-differencing predictor
+    (tag 317 = 2, applied per segment row with the layout's stride).
+    Raises ValueError on malformed/unsupported input."""
     if raw[:4] == b"II*\x00":
         bo = "little"
     elif raw[:4] == b"MM\x00*":
@@ -1091,8 +1096,6 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
         tags[tag] = [u(val_off + j * sz, sz) for j in range(min(cnt, 1 << 16))]
     try:
         w, h = tags[256][0], tags[257][0]
-        strip_offs = tags[273]
-        strip_counts = tags[279]
     except KeyError as ex:
         raise ValueError(f"TIFF missing required tag {ex}") from None
     comp = tags.get(259, [1])[0]
@@ -1102,42 +1105,98 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     photometric = tags.get(262, [1])[0]
     predictor = tags.get(317, [1])[0]
     # 1 = uncompressed; 8/32946 = zlib Deflate; 32773 = PackBits;
-    # 5 = TIFF-LZW (each strip independently compressed, table reset)
+    # 5 = TIFF-LZW (each segment independently compressed, table reset)
     if comp not in (1, 8, 32946, 32773, 5):
         raise ValueError(f"unsupported TIFF compression {comp}")
-    if planar != 1 or spp not in (1, 3, 4) or any(b != 8 for b in bps):
+    if planar not in (1, 2) or spp not in (1, 3, 4) or any(b != 8 for b in bps):
         raise ValueError(f"unsupported TIFF layout spp={spp} bps={bps} planar={planar}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     if w <= 0 or h <= 0 or w * h > 1 << 26:
         raise ValueError(f"bad TIFF dims {w}x{h}")
-    data = bytearray()
-    for off, cnt in zip(strip_offs, strip_counts):
+
+    def decompress(off: int, cnt: int) -> bytes:
         if off + cnt > len(raw):
-            raise ValueError("truncated TIFF strip")
+            raise ValueError("truncated TIFF segment")
         chunk = raw[off : off + cnt]
         if comp in (8, 32946):
             import zlib
 
             try:
-                chunk = zlib.decompress(chunk)
+                return zlib.decompress(chunk)
             except zlib.error as ex:
-                raise ValueError(f"bad TIFF deflate strip: {ex}") from None
-        elif comp == 32773:
-            chunk = _packbits_decode(chunk)
-        elif comp == 5:
-            chunk = _tiff_lzw_decode(chunk)
-        data += chunk
-    need = w * h * spp
-    if len(data) < need:
-        raise ValueError("TIFF strips shorter than image")
-    px = bytearray(data[:need])
-    if predictor == 2:  # horizontal differencing: undo per row/channel
-        stride = w * spp
-        for row in range(h):
+                raise ValueError(f"bad TIFF deflate segment: {ex}") from None
+        if comp == 32773:
+            return bytes(_packbits_decode(chunk))
+        if comp == 5:
+            return bytes(_tiff_lzw_decode(chunk))
+        return chunk
+
+    def undo_predictor(buf: bytearray, rows: int, cols: int, nchan: int) -> None:
+        if predictor != 2:
+            return
+        stride = cols * nchan
+        for row in range(rows):
             base = row * stride
-            for i in range(base + spp, base + stride):
-                px[i] = (px[i] + px[i - spp]) & 0xFF
+            for i in range(base + nchan, base + stride):
+                buf[i] = (buf[i] + buf[i - nchan]) & 0xFF
+
+    if 322 in tags:  # TILE layout
+        try:
+            tw, th = tags[322][0], tags[323][0]
+            tile_offs, tile_counts = tags[324], tags[325]
+        except KeyError as ex:
+            raise ValueError(f"tiled TIFF missing tag {ex}") from None
+        if planar != 1:
+            raise ValueError("planar tiled TIFF not supported")
+        if tw <= 0 or th <= 0:
+            raise ValueError(f"bad TIFF tile dims {tw}x{th}")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(tile_offs) < across * down:
+            raise ValueError("TIFF tile table shorter than tile grid")
+        px = bytearray(w * h * spp)
+        tile_bytes = tw * th * spp
+        for ty in range(down):
+            for tx in range(across):
+                idx = ty * across + tx
+                data = decompress(tile_offs[idx], tile_counts[idx])
+                if len(data) < tile_bytes:
+                    raise ValueError("TIFF tile shorter than tile size")
+                tile = bytearray(data[:tile_bytes])
+                undo_predictor(tile, th, tw, spp)
+                # stitch, cropping the grid padding at right/bottom
+                copy_w = min(tw, w - tx * tw) * spp
+                for row in range(min(th, h - ty * th)):
+                    dst = ((ty * th + row) * w + tx * tw) * spp
+                    srow = row * tw * spp
+                    px[dst : dst + copy_w] = tile[srow : srow + copy_w]
+    else:  # STRIP layout
+        try:
+            strip_offs = tags[273]
+            strip_counts = tags[279]
+        except KeyError as ex:
+            raise ValueError(f"TIFF missing required tag {ex}") from None
+        data = bytearray()
+        for off, cnt in zip(strip_offs, strip_counts):
+            data += decompress(off, cnt)
+        if planar == 2:
+            # one full channel plane after another; predictor runs per
+            # plane row with a 1-sample stride, then re-interleave
+            plane = w * h
+            if len(data) < plane * spp:
+                raise ValueError("TIFF planes shorter than image")
+            px = bytearray(w * h * spp)
+            for c in range(spp):
+                pbuf = bytearray(data[c * plane : (c + 1) * plane])
+                undo_predictor(pbuf, h, w, 1)
+                px[c :: spp] = pbuf
+        else:
+            need = w * h * spp
+            if len(data) < need:
+                raise ValueError("TIFF strips shorter than image")
+            px = bytearray(data[:need])
+            undo_predictor(px, h, w, spp)
     if photometric == 0 and spp == 1:  # WhiteIsZero → invert
         px = bytearray(255 - b for b in px)
     return w, h, spp, px
@@ -1290,8 +1349,9 @@ def decode_images(
                         except ValueError:
                             pass
                     # REAL stdlib decode for BMP and for raw/Deflate/
-                    # PackBits/LZW TIFF; BMP-RLE and tiled/planar/JPEG
-                    # TIFFs degrade to the header fake
+                    # PackBits/LZW TIFF in strip/tile chunky/planar
+                    # layouts; BMP-RLE and JPEG-in-TIFF degrade to the
+                    # header fake
                     if raw[:2] == b"BM":
                         try:
                             w, h, ch, px = bmp_decode(raw)

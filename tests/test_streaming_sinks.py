@@ -1759,3 +1759,123 @@ def test_g711_wav_decode_real(spark):
         assert r["err"] is None
         assert abs(r["rms"] - truth_rms) < 0.01, (name, r["rms"], truth_rms)
     assert got["bad.mp3"]["err"] is not None
+
+
+def test_tiff_tiled_and_planar_decode():
+    """Tiled TIFFs (tags 322-325; LZW tiles + predictor, edge tiles
+    padded to the grid and cropped on stitch) and planar-configuration
+    strips (tag 284=2; PackBits planes + per-plane predictor,
+    re-interleaved) decode to the exact source pixels."""
+    import struct
+
+    import numpy as np
+
+    from evaporate_spark.operators.multimodal import (
+        _packbits_encode,
+        _tiff_lzw_encode,
+        tiff_decode,
+    )
+
+    def build_tiff(w, h, spp, entries_extra, bodies, comp, predictor, planar):
+        data = b"".join(bodies)
+        offs, cnts, pos = [], [], 8
+        for b in bodies:
+            offs.append(pos)
+            cnts.append(len(b))
+            pos += len(b)
+        ifd_off = 8 + len(data)
+        ents = [
+            (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, comp),
+            (262, 3, 1, 2), (277, 3, 1, spp), (317, 3, 1, predictor),
+            (284, 3, 1, planar), (258, 3, spp, None),
+        ] + entries_extra(offs, cnts)
+        ents.sort()
+        ext_off = ifd_off + 2 + 12 * len(ents) + 4
+        ext = b""
+        out_entries = b""
+
+        def arr_entry(tag, typ, vals):
+            nonlocal ext
+            sz = {3: 2, 4: 4}[typ]
+            if sz * len(vals) <= 4:
+                packed = b"".join(v.to_bytes(sz, "little") for v in vals)
+                return (
+                    struct.pack("<HHI", tag, typ, len(vals))
+                    + packed.ljust(4, b"\x00")
+                )
+            off = ext_off + len(ext)
+            for v in vals:
+                ext += v.to_bytes(sz, "little")
+            return struct.pack("<HHI", tag, typ, len(vals)) + struct.pack("<I", off)
+
+        for tag, typ, cnt, val in ents:
+            if tag == 258:
+                out_entries += arr_entry(258, 3, [8] * spp)
+            elif isinstance(val, list):
+                out_entries += arr_entry(tag, typ, val)
+            elif typ == 3:
+                out_entries += struct.pack("<HHI", tag, typ, cnt) + struct.pack(
+                    "<HH", val, 0
+                )
+            else:
+                out_entries += struct.pack("<HHI", tag, typ, cnt) + struct.pack(
+                    "<I", val
+                )
+        return (
+            b"II*\x00" + struct.pack("<I", ifd_off) + data
+            + struct.pack("<H", len(ents)) + out_entries
+            + struct.pack("<I", 0) + ext
+        )
+
+    h, w, spp = 11, 13, 3
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 17) % 256, (yy * 29) % 256, (xx ^ yy) % 256], axis=-1
+    ).astype(np.uint8)
+
+    # tiled: 8x8 LZW tiles with the horizontal predictor; image is NOT
+    # a multiple of the tile size in either dimension
+    tw = th = 8
+    across, down = (w + tw - 1) // tw, (h + th - 1) // th
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            tile = np.zeros((th, tw, spp), np.uint8)
+            ys, xs = min(th, h - ty * th), min(tw, w - tx * tw)
+            tile[:ys, :xs] = img[ty * th : ty * th + ys, tx * tw : tx * tw + xs]
+            t16 = tile.reshape(th, tw * spp).astype(np.int16)
+            d = t16.copy()
+            d[:, spp:] = (t16[:, spp:] - t16[:, :-spp]) % 256
+            tiles.append(bytes(_tiff_lzw_encode(d.astype(np.uint8).tobytes())))
+    blob = build_tiff(
+        w, h, spp,
+        lambda offs, cnts: [
+            (322, 3, 1, tw), (323, 3, 1, th),
+            (324, 4, len(offs), list(offs)), (325, 4, len(cnts), list(cnts)),
+        ],
+        tiles, comp=5, predictor=2, planar=1,
+    )
+    dw, dh, dch, px = tiff_decode(blob)
+    assert (dw, dh, dch) == (w, h, spp)
+    assert bytes(px) == img.tobytes()
+
+    # planar strips: one PackBits strip per channel plane, per-plane
+    # predictor, re-interleaved on decode
+    planes = []
+    for c in range(spp):
+        p16 = img[:, :, c].astype(np.int16)
+        d = p16.copy()
+        d[:, 1:] = (p16[:, 1:] - p16[:, :-1]) % 256
+        planes.append(bytes(_packbits_encode(d.astype(np.uint8).tobytes())))
+    blob2 = build_tiff(
+        w, h, spp,
+        lambda offs, cnts: [
+            (273, 4, len(offs), list(offs)),
+            (279, 4, len(cnts), list(cnts)),
+            (278, 4, 1, h),
+        ],
+        planes, comp=32773, predictor=2, planar=2,
+    )
+    dw, dh, dch, px2 = tiff_decode(blob2)
+    assert (dw, dh, dch) == (w, h, spp)
+    assert bytes(px2) == img.tobytes()

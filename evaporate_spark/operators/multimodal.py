@@ -22,8 +22,9 @@ formats:
 - JPEG: baseline/extended sequential AND progressive via the numpy
   codec in :mod:`evaporate_spark.operators.jpeg` (huffman + IDCT +
   chroma upsampling; encoder writes baseline JFIF),
-- BMP: uncompressed 8-bit-palette / 24 / 32-bit BI_RGB (bottom-up and
-  top-down) via :func:`bmp_decode` / :func:`bmp_encode`,
+- BMP: 4/8-bit palette (uncompressed or BI_RLE4/BI_RLE8) and
+  24/32-bit BI_RGB (bottom-up and top-down) via :func:`bmp_decode` /
+  :func:`bmp_encode`,
 - TIFF: chunky 8-bit grey/RGB/RGBA in either byte order —
   uncompressed, zlib-Deflate, PackBits-RLE, or TIFF-LZW strips
   (Compression 1/8/32946/32773/5, the LZW core shared with the GIF
@@ -796,11 +797,65 @@ def gif_encode(w: int, h: int, palette: bytes, indices: bytes) -> bytes:
 _TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
 
+def _bmp_rle_indices(data: bytes, w: int, h: int, four_bit: bool) -> bytearray:
+    """Expand a BI_RLE8/BI_RLE4 stream to ``w*h`` palette indices in
+    STORED row order (row 0 = the first stored row, i.e. the bottom).
+    Escapes per the BMP spec: 00 00 = end of line, 00 01 = end of
+    bitmap, 00 02 dx dy = delta skip (skipped pixels stay 0), 00 n
+    (n>=3) = n absolute pixels padded to a 16-bit boundary."""
+    out = bytearray(w * h)
+    x = y = 0
+    i = 0
+    size = len(data)
+    while i + 1 < size and y < h:
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # run of n pixels
+            for k in range(n):
+                if x >= w:
+                    break
+                if four_bit:
+                    idx = (v >> 4) if (k % 2 == 0) else (v & 0x0F)
+                else:
+                    idx = v
+                out[y * w + x] = idx
+                x += 1
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= size:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta out of bounds")
+        else:  # absolute mode: v literal pixels
+            nbytes = ((v + 1) // 2 + 1) & ~1 if four_bit else (v + 1) & ~1
+            if i + nbytes > size:
+                raise ValueError("truncated BMP RLE absolute run")
+            for k in range(v):
+                if x >= w:
+                    break
+                if four_bit:
+                    b = data[i + k // 2]
+                    idx = (b >> 4) if (k % 2 == 0) else (b & 0x0F)
+                else:
+                    idx = data[i + k]
+                out[y * w + x] = idx
+                x += 1
+            i += nbytes
+    return out
+
+
 def bmp_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     """(width, height, channels, 8-bit pixels row-major top-down) for
-    uncompressed BMPs: 8-bit palette → RGB, 24-bit BGR → RGB, 32-bit
-    BGRA → RGBA (BI_RGB, or BI_BITFIELDS with the standard masks).
-    Raises ValueError on malformed/unsupported input."""
+    BMPs: 4/8-bit palette → RGB (uncompressed OR BI_RLE4/BI_RLE8),
+    24-bit BGR → RGB, 32-bit BGRA → RGBA (BI_RGB, or BI_BITFIELDS
+    with the standard masks). Raises ValueError on
+    malformed/unsupported input."""
     if raw[:2] != b"BM":
         raise ValueError("not a BMP")
     if len(raw) < 54:
@@ -817,8 +872,14 @@ def bmp_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     top_down, h = h_raw < 0, abs(h_raw)
     if w <= 0 or h <= 0 or w * h > 1 << 26:
         raise ValueError(f"bad BMP dims {w}x{h_raw}")
-    if bpp not in (8, 24, 32) or comp not in (0, 3):
+    if bpp not in (4, 8, 24, 32) or comp not in (0, 1, 2, 3):
         raise ValueError(f"unsupported BMP bpp={bpp} compression={comp}")
+    if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
+        raise ValueError(f"BMP RLE{comp} requires matching bpp, got {bpp}")
+    if comp in (1, 2) and top_down:
+        raise ValueError("top-down RLE BMP is invalid (spec: height > 0)")
+    if bpp == 4 and comp not in (0, 2):
+        raise ValueError(f"unsupported 4-bit BMP compression {comp}")
     if comp == 3 and bpp == 32:
         # accept only the standard BGRA masks (the common V4/V5 export)
         masks = raw[54:66]
@@ -828,32 +889,46 @@ def bmp_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError("BI_BITFIELDS only supported at 32 bpp")
 
     palette: bytes | None = None
-    if bpp == 8:
-        n_pal = colors_used or 256
+    if bpp in (4, 8):
+        n_pal = colors_used or (16 if bpp == 4 else 256)
         pal_off = 14 + hdr_size
         pal = raw[pal_off : pal_off + 4 * n_pal]
         if len(pal) < 4 * n_pal:
             raise ValueError("truncated BMP palette")
         palette = pal
 
-    stride = ((w * bpp // 8) + 3) & ~3
-    need = data_off + stride * h
-    if len(raw) < need:
-        raise ValueError("truncated BMP pixel data")
-    ch = {8: 3, 24: 3, 32: 4}[bpp]
+    rle_idx: bytearray | None = None
+    if comp in (1, 2):
+        rle_idx = _bmp_rle_indices(raw[data_off:], w, h, four_bit=(comp == 2))
+    else:
+        stride = ((w * bpp // 8) + 3) & ~3
+        need = data_off + stride * h
+        if len(raw) < need:
+            raise ValueError("truncated BMP pixel data")
+    ch = {4: 3, 8: 3, 24: 3, 32: 4}[bpp]
     out = bytearray(w * h * ch)
+
+    def pal_rgb(pi: int) -> bytes:
+        if palette is None or 4 * pi + 3 > len(palette):
+            raise ValueError("palette index out of range")
+        return bytes((palette[4 * pi + 2], palette[4 * pi + 1], palette[4 * pi]))
+
     for row in range(h):
         src_row = row if top_down else h - 1 - row
-        s = data_off + src_row * stride
         d = row * w * ch
-        if bpp == 8:
+        if rle_idx is not None:
             for x in range(w):
-                pi = raw[s + x]
-                if palette is not None and 4 * pi + 3 <= len(palette):
-                    b, g, r = palette[4 * pi], palette[4 * pi + 1], palette[4 * pi + 2]
-                else:
-                    raise ValueError("palette index out of range")
-                out[d + 3 * x : d + 3 * x + 3] = bytes((r, g, b))
+                out[d + 3 * x : d + 3 * x + 3] = pal_rgb(rle_idx[src_row * w + x])
+            continue
+        s = data_off + src_row * stride
+        if bpp == 4:
+            for x in range(w):
+                b = raw[s + x // 2]
+                pi = (b >> 4) if (x % 2 == 0) else (b & 0x0F)
+                out[d + 3 * x : d + 3 * x + 3] = pal_rgb(pi)
+        elif bpp == 8:
+            for x in range(w):
+                out[d + 3 * x : d + 3 * x + 3] = pal_rgb(raw[s + x])
         elif bpp == 24:
             for x in range(w):
                 b, g, r = raw[s + 3 * x : s + 3 * x + 3]
@@ -1348,10 +1423,10 @@ def decode_images(
                             continue
                         except ValueError:
                             pass
-                    # REAL stdlib decode for BMP and for raw/Deflate/
-                    # PackBits/LZW TIFF in strip/tile chunky/planar
-                    # layouts; BMP-RLE and JPEG-in-TIFF degrade to the
-                    # header fake
+                    # REAL stdlib decode for BMP (incl. RLE4/RLE8)
+                    # and for raw/Deflate/PackBits/LZW TIFF in
+                    # strip/tile chunky/planar layouts; only
+                    # JPEG-in-TIFF degrades to the header fake
                     if raw[:2] == b"BM":
                         try:
                             w, h, ch, px = bmp_decode(raw)

@@ -1879,3 +1879,69 @@ def test_tiff_tiled_and_planar_decode():
     dw, dh, dch, px2 = tiff_decode(blob2)
     assert (dw, dh, dch) == (w, h, spp)
     assert bytes(px2) == img.tobytes()
+
+
+def test_bmp_rle_and_4bit_decode():
+    """BI_RLE8 / BI_RLE4 (runs, end-of-line, delta-skip, absolute
+    mode with 16-bit padding, end-of-bitmap) and uncompressed 4-bit
+    palette BMPs decode to exact pixels; invalid top-down RLE raises."""
+    import struct
+
+    from evaporate_spark.operators.multimodal import bmp_decode
+
+    def bmp_wrap(w, h, bpp, comp, palette_rgbx, pixel_data):
+        hdr_size = 40
+        pal = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette_rgbx)
+        data_off = 14 + hdr_size + len(pal)
+        header = b"BM" + struct.pack(
+            "<IHHI", data_off + len(pixel_data), 0, 0, data_off
+        )
+        dib = struct.pack(
+            "<IiiHHIIiiII", hdr_size, w, h, 1, bpp, comp,
+            len(pixel_data), 2835, 2835, len(palette_rgbx), 0,
+        )
+        return header + dib + pal + pixel_data
+
+    pal = [(250, 0, 0), (0, 250, 0), (0, 0, 250), (99, 99, 99)]
+    P = [tuple(c) for c in pal]
+
+    # RLE8, 6x3 (stored bottom-up): run, absolute-with-pad, delta skip
+    rle8 = bytes([
+        2, 1, 0, 3, 2, 3, 0, 0, 1, 2, 0, 0,      # bottom: 1 1 2 3 0 2
+        1, 0, 0, 2, 2, 0, 3, 2, 0, 0,             # mid: 0 . . 2 2 2
+        6, 3, 0, 1,                                # top: 3 x6, EOB
+    ])
+    w, h, ch, px = bmp_decode(bmp_wrap(6, 3, 8, 1, pal, rle8))
+    assert (w, h, ch) == (6, 3, 3)
+    row = lambda r: [tuple(px[(r * 6 + x) * 3 :][:3]) for x in range(6)]  # noqa: E731
+    assert row(0) == [P[3]] * 6
+    assert row(1) == [P[0], P[0], P[0], P[2], P[2], P[2]]  # delta-skipped stay 0
+    assert row(2) == [P[1], P[1], P[2], P[3], P[0], P[2]]
+
+    # RLE4, 6x2: alternating-nibble runs + absolute nibble mode
+    rle4 = bytes([
+        5, 0x12, 1, 0x30, 0, 0,
+        0, 4, 0x03, 0x21, 2, 0x30, 0, 1,
+    ])
+    w, h, ch, px = bmp_decode(bmp_wrap(6, 2, 4, 2, pal, rle4))
+    assert (w, h, ch) == (6, 2, 3)
+    row = lambda r: [tuple(px[(r * 6 + x) * 3 :][:3]) for x in range(6)]  # noqa: E731
+    assert row(1) == [P[1], P[2], P[1], P[2], P[1], P[3]]
+    assert row(0) == [P[0], P[3], P[2], P[1], P[3], P[0]]
+
+    # uncompressed 4-bit palette (nibble-packed rows, 4-byte padding)
+    raw4 = bytes([0x12, 0x30, 0, 0, 0x01, 0x20, 0, 0])
+    w, h, ch, px = bmp_decode(bmp_wrap(3, 2, 4, 0, pal, raw4))
+    row = lambda r: [tuple(px[(r * 3 + x) * 3 :][:3]) for x in range(3)]  # noqa: E731
+    assert row(1) == [P[1], P[2], P[3]]
+    assert row(0) == [P[0], P[1], P[2]]
+
+    # top-down RLE is spec-invalid: must refuse loudly
+    bad = bmp_wrap(6, 3, 8, 1, pal, rle8)
+    bad = bytearray(bad)
+    bad[22:26] = (-3).to_bytes(4, "little", signed=True)
+    try:
+        bmp_decode(bytes(bad))
+        raise AssertionError("top-down RLE must raise")
+    except ValueError as e:
+        assert "top-down" in str(e)

@@ -1,0 +1,118 @@
+"""IMA ADPCM (DVI4) WAV decode — fmt code 0x11.
+
+The classic 4-bit adaptive-delta codec (game/telephony archives):
+each block starts with a 16-bit seed predictor + step-table index,
+then nibbles adapt the step per sample. Tables and update rules are
+the IMA/DVI reference algorithm; the stdlib ``wave`` module refuses
+the format and ``audioop`` no longer exists, so the expansion lives
+here (mono; stereo's interleaved 4-byte channel groups raise a typed
+error rather than decoding garbled).
+
+The encoder exists for deterministic fixtures and tests: it is the
+textbook IMA quantizer, and decode∘encode is validated against the
+source signal within the codec's adaptation error in tests.
+"""
+
+from __future__ import annotations
+
+__all__ = ["ima_adpcm_decode_mono", "ima_adpcm_encode_mono"]
+
+_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else 32767 if v > 32767 else v
+
+
+def _step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA update: (new predictor, new index)."""
+    step = _STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = _clamp16(predictor - diff if nibble & 8 else predictor + diff)
+    index = max(0, min(88, index + _INDEX_TABLE[nibble & 7]))
+    return predictor, index
+
+
+def ima_adpcm_decode_mono(
+    data: bytes, block_align: int, samples_per_block: int
+) -> list[int]:
+    """Expand mono IMA ADPCM blocks to 16-bit linear samples."""
+    if block_align < 4:
+        raise ValueError(f"bad ADPCM block align {block_align}")
+    out: list[int] = []
+    for base in range(0, len(data) - 3, block_align):
+        block = data[base : base + block_align]
+        predictor = int.from_bytes(block[0:2], "little", signed=True)
+        index = block[2]
+        if index > 88:
+            raise ValueError(f"bad ADPCM step index {index}")
+        out.append(predictor)  # block's first sample is the seed
+        produced = 1
+        for byte in block[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):  # low nibble first
+                if produced >= samples_per_block:
+                    break
+                predictor, index = _step(predictor, index, nibble)
+                out.append(predictor)
+                produced += 1
+    return out
+
+
+def ima_adpcm_encode_mono(
+    samples: list[int], block_align: int = 1024
+) -> tuple[bytes, int]:
+    """Encode 16-bit linear samples → (blocks, samples_per_block)
+    with the textbook IMA quantizer (fixture/test writer)."""
+    samples_per_block = (block_align - 4) * 2 + 1
+    out = bytearray()
+    index = 0
+    i = 0
+    n = len(samples)
+    while i < n:
+        chunk = samples[i : i + samples_per_block]
+        i += samples_per_block
+        predictor = _clamp16(int(chunk[0]))
+        out += predictor.to_bytes(2, "little", signed=True)
+        out += bytes((index, 0))
+        nibbles = []
+        for s in chunk[1:]:
+            s = int(s)
+            step = _STEP_TABLE[index]
+            delta = s - predictor
+            nibble = 0
+            if delta < 0:
+                nibble = 8
+                delta = -delta
+            if delta >= step:
+                nibble |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nibble |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nibble |= 1
+            predictor, index = _step(predictor, index, nibble)
+            nibbles.append(nibble)
+        # pad the block's nibble area fully (decoder stops at
+        # samples_per_block, so pad nibbles are never emitted)
+        while len(nibbles) < (block_align - 4) * 2:
+            nibbles.append(0)
+        for j in range(0, len(nibbles), 2):
+            out.append(nibbles[j] | (nibbles[j + 1] << 4))
+    return bytes(out), samples_per_block

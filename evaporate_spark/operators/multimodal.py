@@ -1579,9 +1579,10 @@ _AUDIO_ANALYSIS_WINDOW = 1 << 18
 
 
 def _g711_wav_samples(raw: bytes):
-    """(rate, channels, float64 linear samples) for µ-law/A-law WAVs
-    (RIFF fmt codes 7/6, one companded byte per sample). Raises
-    ValueError for anything else."""
+    """(rate, channels, float64 linear samples) for the non-PCM WAVs
+    the stdlib ``wave`` module refuses: G.711 µ-law/A-law (fmt codes
+    7/6, one companded byte per sample) and mono IMA ADPCM (fmt code
+    0x11, 4-bit adaptive delta). Raises ValueError for anything else."""
     import numpy as np
 
     from evaporate_spark.operators.g711 import ALAW_TABLE, ULAW_TABLE
@@ -1604,14 +1605,26 @@ def _g711_wav_samples(raw: bytes):
     code = int.from_bytes(fmt[0:2], "little")
     nch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
+    if nch < 1 or rate <= 0:
+        raise ValueError(f"bad WAV header nch={nch} rate={rate}")
+    if code == 0x11:  # IMA ADPCM
+        from evaporate_spark.operators.adpcm import ima_adpcm_decode_mono
+
+        if nch != 1:
+            raise ValueError("stereo IMA ADPCM not supported")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if len(fmt) >= 20:
+            spb = int.from_bytes(fmt[18:20], "little")
+        else:
+            spb = (block_align - 4) * 2 + 1
+        samples = ima_adpcm_decode_mono(bytes(data), block_align, spb)
+        return rate, 1, np.asarray(samples, dtype=np.float64)
     if code == 7:
         table = ULAW_TABLE
     elif code == 6:
         table = ALAW_TABLE
     else:
         raise ValueError(f"unsupported WAV format code {code}")
-    if nch < 1 or rate <= 0:
-        raise ValueError(f"bad WAV header nch={nch} rate={rate}")
     lut = np.asarray(table, dtype=np.float64)
     codes = np.frombuffer(data, dtype=np.uint8)
     usable = (codes.size // nch) * nch  # drop a ragged tail byte

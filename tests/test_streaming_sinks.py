@@ -1945,3 +1945,44 @@ def test_bmp_rle_and_4bit_decode():
         raise AssertionError("top-down RLE must raise")
     except ValueError as e:
         assert "top-down" in str(e)
+
+
+def test_ima_adpcm_wav_decode_real(spark):
+    """Mono IMA ADPCM WAVs (fmt 0x11) decode through the block-wise
+    adaptive-delta expander with stats close to the source signal;
+    stereo ADPCM surfaces a typed per-row err."""
+    import numpy as np
+
+    from evaporate_spark.operators.adpcm import ima_adpcm_encode_mono
+    from evaporate_spark.operators.multimodal import decode_audio
+
+    def adpcm_wav(rate, nch, blocks, block_align, spb):
+        fmt = (
+            (0x11).to_bytes(2, "little") + nch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate // 2).to_bytes(4, "little")
+            + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+            + (2).to_bytes(2, "little") + spb.to_bytes(2, "little")
+        )
+        return (
+            b"RIFF" + (4 + 8 + len(fmt) + 8 + len(blocks)).to_bytes(4, "little")
+            + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(blocks).to_bytes(4, "little") + blocks
+        )
+
+    rate, n = 8000, 4000
+    t = np.arange(n) / rate
+    sig = np.round(0.5 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(int).tolist()
+    blocks, spb = ima_adpcm_encode_mono(sig, block_align=256)
+    good = adpcm_wav(rate, 1, blocks, 256, spb)
+    stereo = adpcm_wav(rate, 2, blocks, 256, spb)
+    df = spark.createDataFrame(
+        [("m.wav", bytearray(good)), ("s.wav", bytearray(stereo))],
+        "path string, content binary",
+    )
+    got = {r["path"]: r for r in decode_audio(df).collect()}
+    m = got["m.wav"]
+    assert m["err"] is None and m["sample_rate"] == rate and m["channels"] == 1
+    assert m["n_samples"] >= n
+    truth_rms = float(np.sqrt(np.mean((np.array(sig) / 32768.0) ** 2)))
+    assert abs(m["rms"] - truth_rms) < 0.02, (m["rms"], truth_rms)
+    assert got["s.wav"]["err"] is not None and "stereo" in got["s.wav"]["err"]

@@ -43,8 +43,8 @@ numpy RMS/duration).
 
 What is STUBBED (this environment ships no image/audio/video libs):
 only truly undecodable rows — truncated buffers, formats whose
-bitstreams require third-party codecs (lossy-VP8 webp, JPEG-in-TIFF,
-hierarchical/arithmetic JPEG) and modern video bitstreams
+bitstreams require third-party codecs (lossy-VP8 webp, CCITT-fax
+TIFF, hierarchical/arithmetic JPEG) and modern video bitstreams
 (H.264 in mp4/webm/mkv) — fall back to the clearly-marked deterministic fake
 (header-derived stats) in :func:`decode_images` or a per-row ``err``
 in :func:`resize_images` / :func:`sample_video_frames`; the operator
@@ -979,8 +979,10 @@ def bmp_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
 # (8/32946), PackBits RLE (32773), or TIFF-variant LZW (5) — the LZW
 # core is the GIF one above with MSB-first bit packing, a fixed 8-bit
 # symbol alphabet, and the spec's "early change" width rule.
-# Strip AND tile layouts, chunky AND planar sample order; only
-# JPEG-in-TIFF and non-8-bit TIFFs stay per-row errors.
+# Strip AND tile layouts, chunky AND planar sample order; JPEG-in-
+# TIFF (Compression 7) decodes each segment with the numpy JPEG codec
+# (shared tables of tag 347 spliced after the segment's SOI); only
+# CCITT-fax and non-8-bit TIFFs stay per-row errors.
 # ---------------------------------------------------------------------------
 
 
@@ -1155,7 +1157,7 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
             raise ValueError("truncated TIFF")
         return int.from_bytes(raw[off : off + size], bo)
 
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE ASCII SHORT LONG
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}  # BYTE ASCII SHORT LONG UNDEF
     ifd = u(4, 4)
     n = u(ifd, 2)
     if n > 512:
@@ -1180,20 +1182,61 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     photometric = tags.get(262, [1])[0]
     predictor = tags.get(317, [1])[0]
     # 1 = uncompressed; 8/32946 = zlib Deflate; 32773 = PackBits;
-    # 5 = TIFF-LZW (each segment independently compressed, table reset)
-    if comp not in (1, 8, 32946, 32773, 5):
+    # 5 = TIFF-LZW (each segment independently compressed, table
+    # reset); 7 = JPEG-in-TIFF (each segment a JPEG stream, optional
+    # shared tables in tag 347 spliced after the segment's SOI)
+    if comp not in (1, 8, 32946, 32773, 5, 7):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if planar not in (1, 2) or spp not in (1, 3, 4) or any(b != 8 for b in bps):
         raise ValueError(f"unsupported TIFF layout spp={spp} bps={bps} planar={planar}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if comp == 7 and (predictor != 1 or planar != 1):
+        raise ValueError("JPEG-in-TIFF supports chunky, no predictor")
     if w <= 0 or h <= 0 or w * h > 1 << 26:
         raise ValueError(f"bad TIFF dims {w}x{h}")
 
-    def decompress(off: int, cnt: int) -> bytes:
+    jpeg_tables: bytes | None = None
+    if comp == 7 and 347 in tags:
+        # JPEGTables: an abbreviated stream SOI..EOI holding the
+        # shared quant/huffman tables; keep the middle for splicing
+        jt = bytes(tags[347])
+        if len(jt) >= 4 and jt[:2] == b"\xff\xd8":
+            jpeg_tables = jt[2 : -2 if jt[-2:] == b"\xff\xd9" else len(jt)]
+
+    def decompress(off: int, cnt: int, grid: tuple[int, int] | None = None) -> bytes:
+        """One segment → raw sample bytes. ``grid`` = (cols, rows) a
+        tile must fill (JPEG tiles are re-padded to the tile grid);
+        strip segments pass None and must match the image width."""
         if off + cnt > len(raw):
             raise ValueError("truncated TIFF segment")
         chunk = raw[off : off + cnt]
+        if comp == 7:
+            from evaporate_spark.operators.jpeg import jpeg_decode
+
+            if chunk[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEG segment missing SOI")
+            if jpeg_tables:
+                chunk = chunk[:2] + jpeg_tables + chunk[2:]
+            jw, jh, jch, jpx = jpeg_decode(chunk)
+            if jch != spp:
+                raise ValueError(
+                    f"TIFF JPEG segment channels {jch} != spp {spp}"
+                )
+            if grid is None:
+                if jw != w:
+                    raise ValueError(f"TIFF JPEG strip width {jw} != {w}")
+                return bytes(jpx)
+            gc, gr = grid
+            if jw == gc and jh == gr:
+                return bytes(jpx)
+            out_seg = bytearray(gc * gr * spp)
+            copy_w = min(jw, gc) * spp
+            for r in range(min(jh, gr)):
+                out_seg[r * gc * spp : r * gc * spp + copy_w] = jpx[
+                    r * jw * spp : r * jw * spp + copy_w
+                ]
+            return bytes(out_seg)
         if comp in (8, 32946):
             import zlib
 
@@ -1235,7 +1278,7 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
         for ty in range(down):
             for tx in range(across):
                 idx = ty * across + tx
-                data = decompress(tile_offs[idx], tile_counts[idx])
+                data = decompress(tile_offs[idx], tile_counts[idx], (tw, th))
                 if len(data) < tile_bytes:
                     raise ValueError("TIFF tile shorter than tile size")
                 tile = bytearray(data[:tile_bytes])
@@ -1424,9 +1467,9 @@ def decode_images(
                         except ValueError:
                             pass
                     # REAL stdlib decode for BMP (incl. RLE4/RLE8)
-                    # and for raw/Deflate/PackBits/LZW TIFF in
-                    # strip/tile chunky/planar layouts; only
-                    # JPEG-in-TIFF degrades to the header fake
+                    # and for raw/Deflate/PackBits/LZW/JPEG TIFF in
+                    # strip/tile chunky/planar layouts; only CCITT-fax
+                    # and non-8-bit TIFFs degrade to the header fake
                     if raw[:2] == b"BM":
                         try:
                             w, h, ch, px = bmp_decode(raw)

@@ -869,12 +869,12 @@ def test_bmp_tiff_decode_resize_real(spark):
         for predictor in (1, 2):
             got = tiff_decode(deflate_tiff(rgb.tobytes(), comp, predictor))
             assert bytes(got[3]) == rgb.tobytes(), (comp, predictor)
-    # JPEG-in-TIFF (7) stays a clean per-row error (needs a full JPEG
-    # table wiring); a raw strip MISLABELED as LZW (5) raises a typed
-    # codec error rather than returning garbage pixels
+    # CCITT fax (3) stays a clean per-row error; raw strips MISLABELED
+    # as JPEG (7) or LZW (5) raise typed codec errors rather than
+    # returning garbage pixels
     blob = bytearray(deflate_tiff(rgb.tobytes(), 1, 1))
     comp_pos = blob.index(struct.pack("<HHI", 259, 3, 1))
-    for fake_comp, pat in ((7, "compression"), (5, "LZW")):
+    for fake_comp, pat in ((3, "compression"), (7, "SOI"), (5, "LZW")):
         bad = bytearray(blob)
         bad[comp_pos + 8 : comp_pos + 10] = struct.pack("<H", fake_comp)
         with pytest.raises(ValueError, match=pat):
@@ -1986,3 +1986,138 @@ def test_ima_adpcm_wav_decode_real(spark):
     truth_rms = float(np.sqrt(np.mean((np.array(sig) / 32768.0) ** 2)))
     assert abs(m["rms"] - truth_rms) < 0.02, (m["rms"], truth_rms)
     assert got["s.wav"]["err"] is not None and "stereo" in got["s.wav"]["err"]
+
+
+def test_jpeg_in_tiff_decode():
+    """Compression-7 TIFFs: full JPEG streams per strip/tile (edge
+    tiles re-padded to the tile grid), and abbreviated streams with
+    the shared tables of tag 347 (JPEGTables) spliced after each
+    segment's SOI — all through the numpy JPEG codec, within lossy
+    tolerance of the source pixels."""
+    import struct
+
+    import numpy as np
+
+    from evaporate_spark.operators.jpeg import jpeg_encode
+    from evaporate_spark.operators.multimodal import tiff_decode
+
+    def build(w, h, spp, photometric, entries_extra, bodies, jpegtables=None):
+        data = b"".join(bodies)
+        offs, cnts, pos = [], [], 8
+        for b in bodies:
+            offs.append(pos)
+            cnts.append(len(b))
+            pos += len(b)
+        ifd_off = 8 + len(data)
+        ents = [
+            (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, 7),
+            (262, 3, 1, photometric), (277, 3, 1, spp), (258, 3, spp, None),
+        ] + entries_extra(offs, cnts)
+        if jpegtables is not None:
+            ents.append((347, 7, len(jpegtables), jpegtables))
+        ents.sort()
+        ext_off = ifd_off + 2 + 12 * len(ents) + 4
+        ext = b""
+        out = b""
+        for tag, typ, cnt, val in ents:
+            if tag == 258:
+                val = [8] * spp
+            if isinstance(val, (bytes, bytearray, list)):
+                vals = list(val)
+                sz = {3: 2, 4: 4, 7: 1}[typ]
+                packed = b"".join(int(v).to_bytes(sz, "little") for v in vals)
+                if len(packed) <= 4:
+                    out += struct.pack("<HHI", tag, typ, len(vals)) + packed.ljust(
+                        4, b"\x00"
+                    )
+                else:
+                    out += struct.pack("<HHI", tag, typ, len(vals)) + struct.pack(
+                        "<I", ext_off + len(ext)
+                    )
+                    ext += packed
+            elif typ == 3:
+                out += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<HH", val, 0)
+            else:
+                out += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+        return (
+            b"II*\x00" + struct.pack("<I", ifd_off) + data
+            + struct.pack("<H", len(ents)) + out + struct.pack("<I", 0) + ext
+        )
+
+    # strips of full JPEG streams (grayscale)
+    w, h = 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((xx * 3 + yy * 5) % 160 + 40).astype(np.uint8)
+    strips = [
+        jpeg_encode(w, 16, 1, img[r : r + 16].tobytes(), quality=92)
+        for r in (0, 16)
+    ]
+    blob = build(
+        w, h, 1, 1,
+        lambda o, c: [(273, 4, len(o), o), (279, 4, len(c), c), (278, 4, 1, 16)],
+        strips,
+    )
+    dw, dh, dch, px = tiff_decode(blob)
+    assert (dw, dh, dch) == (w, h, 1)
+    got = np.frombuffer(bytes(px), np.uint8).reshape(h, w).astype(float)
+    assert np.abs(got - img.astype(float)).mean() < 4.0
+
+    # 16x16 RGB tiles with edge padding cropped on stitch
+    w2, h2 = 24, 20
+    yy, xx = np.mgrid[0:h2, 0:w2]
+    rgb = np.stack(
+        [(xx * 9 + 30) % 200 + 20, (yy * 11) % 200 + 20, ((xx + yy) * 7) % 200 + 20],
+        axis=-1,
+    ).astype(np.uint8)
+    tw = th = 16
+    tiles = []
+    for ty in range((h2 + th - 1) // th):
+        for tx in range((w2 + tw - 1) // tw):
+            tile = np.zeros((th, tw, 3), np.uint8)
+            ys, xs = min(th, h2 - ty * th), min(tw, w2 - tx * tw)
+            tile[:ys, :xs] = rgb[ty * th : ty * th + ys, tx * tw : tx * tw + xs]
+            tiles.append(jpeg_encode(tw, th, 3, tile.tobytes(), quality=92))
+    blob2 = build(
+        w2, h2, 3, 2,
+        lambda o, c: [
+            (322, 3, 1, tw), (323, 3, 1, th),
+            (324, 4, len(o), o), (325, 4, len(c), c),
+        ],
+        tiles,
+    )
+    dw, dh, dch, px2 = tiff_decode(blob2)
+    assert (dw, dh, dch) == (w2, h2, 3)
+    got2 = np.frombuffer(bytes(px2), np.uint8).reshape(h2, w2, 3).astype(float)
+    assert np.abs(got2 - rgb.astype(float)).mean() < 6.0
+
+    # abbreviated streams + shared tables via tag 347
+    def split_tables(jpg):
+        i = 2
+        tables, image = b"", b""
+        while i < len(jpg):
+            m = jpg[i + 1]
+            if m == 0xDA:
+                image += jpg[i:]
+                break
+            seg_len = struct.unpack(">H", jpg[i + 2 : i + 4])[0]
+            seg = jpg[i : i + 2 + seg_len]
+            if m in (0xDB, 0xC4):
+                tables += seg
+            else:
+                image += seg
+            i += 2 + seg_len
+        return b"\xff\xd8" + tables + b"\xff\xd9", b"\xff\xd8" + image
+
+    wt, ht = 24, 16
+    yy, xx = np.mgrid[0:ht, 0:wt]
+    img3 = ((xx * 7 + yy * 13) % 180 + 30).astype(np.uint8)
+    tables, abbrev = split_tables(jpeg_encode(wt, ht, 1, img3.tobytes(), quality=90))
+    blob3 = build(
+        wt, ht, 1, 1,
+        lambda o, c: [(273, 4, len(o), o), (279, 4, len(c), c), (278, 4, 1, ht)],
+        [abbrev], jpegtables=tables,
+    )
+    dw, dh, dch, px3 = tiff_decode(blob3)
+    assert (dw, dh, dch) == (wt, ht, 1)
+    got3 = np.frombuffer(bytes(px3), np.uint8).reshape(ht, wt).astype(float)
+    assert np.abs(got3 - img3.astype(float)).mean() < 4.0

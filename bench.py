@@ -94,6 +94,13 @@ Pinned comparison baselines (medians unless noted):
   normalize/redact/exact-dedup/LSH-near-dedup with 15k real dup
   edges/CC clustering/decontaminate/mix/split/pack — over 50k docs;
   was 67 s before the bind_once fix).
+- r6 END-of-round confirmation (gated, start loadavg 0.30, after the
+  full media-codec batch landed): relational 2.647; every row within
+  band of the r6 final pins — media_decode_300 0.659 (the
+  BMP-RLE/TIFF-layout/JPEG-in-TIFF decoder refactors cost nothing on
+  the canary), q_minhash_lsh_dups 1.439, q_dup_clusters 1.848,
+  q8_market_share 1.092, q_semantic_openie 12.298,
+  corpus_chain_10x 19.154.
 """
 
 from __future__ import annotations

@@ -1621,6 +1621,56 @@ def resize_images(
 _AUDIO_ANALYSIS_WINDOW = 1 << 18
 
 
+def _aiff_samples(raw: bytes):
+    """(rate, channels, float64 linear samples) for AIFF files
+    (FORM/AIFF, big-endian integer PCM; the stdlib ``aifc`` module was
+    removed from modern Pythons). The sample rate is the COMM chunk's
+    80-bit IEEE extended float."""
+    import numpy as np
+
+    if len(raw) < 12 or raw[:4] != b"FORM" or raw[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    comm = ssnd = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = int.from_bytes(raw[pos + 4 : pos + 8], "big")
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # IFF chunks are 2-byte aligned
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    nch = int.from_bytes(comm[0:2], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    # 80-bit extended float: 1 sign + 15 exponent + 64 mantissa
+    exp = int.from_bytes(comm[8:10], "big")
+    mant = int.from_bytes(comm[10:18], "big")
+    sign = -1.0 if exp & 0x8000 else 1.0
+    exp &= 0x7FFF
+    rate = int(round(sign * mant * 2.0 ** (exp - 16383 - 63))) if mant else 0
+    if nch < 1 or rate <= 0 or bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported AIFF nch={nch} rate={rate} bits={bits}")
+    offset = int.from_bytes(ssnd[0:4], "big")
+    pcm = ssnd[8 + offset :]
+    width = bits // 8
+    usable = (len(pcm) // (width * nch)) * width * nch
+    if width == 3:  # 24-bit: no numpy dtype — widen via bytes
+        arr = np.asarray(
+            [
+                int.from_bytes(pcm[i : i + 3], "big", signed=True)
+                for i in range(0, usable, 3)
+            ],
+            dtype=np.float64,
+        )
+    else:
+        dt = {1: ">i1", 2: ">i2", 4: ">i4"}[width]
+        arr = np.frombuffer(pcm[:usable], dtype=dt).astype(np.float64)
+    return rate, nch, arr, float(1 << (bits - 1))
+
+
 def _g711_wav_samples(raw: bytes):
     """(rate, channels, float64 linear samples) for the non-PCM WAVs
     the stdlib ``wave`` module refuses: G.711 µ-law/A-law (fmt codes
@@ -1706,6 +1756,7 @@ def decode_audio(
             for path, raw in zip(pdf[path_col], pdf[binary_col]):
                 raw = bytes(raw) if raw is not None else b""
                 try:
+                    mtype = "wav"
                     try:
                         with wave.open(io.BytesIO(raw)) as wf:
                             rate = wf.getframerate()
@@ -1724,10 +1775,15 @@ def decode_audio(
                             128.0 if width == 1 else float(2 ** (8 * width - 1))
                         )
                     except wave.Error:
-                        # non-PCM: G.711 µ-law/A-law via manual RIFF walk
-                        rate, nch, arr = _g711_wav_samples(raw)
+                        if raw[:4] == b"FORM":
+                            # AIFF: big-endian PCM, 80-bit-float rate
+                            rate, nch, arr, full_scale = _aiff_samples(raw)
+                            mtype = "aiff"
+                        else:
+                            # non-PCM WAV: G.711 / IMA ADPCM manual walk
+                            rate, nch, arr = _g711_wav_samples(raw)
+                            full_scale = 32768.0  # 16-bit linear domain
                         n = arr.size // nch
-                        full_scale = 32768.0  # tables expand to 16-bit domain
                     rms = float(np.sqrt(np.mean(arr**2)) / full_scale) if arr.size else 0.0
                     mono = (
                         arr.reshape(-1, nch).mean(axis=1) if nch > 1 and arr.size else arr
@@ -1746,7 +1802,7 @@ def decode_audio(
                             freqs = np.fft.rfftfreq(head.size, d=1.0 / rate)
                             centroid = float((freqs * mag).sum() / total)
                     rows.append(
-                        (path, "wav", rate, nch, n,
+                        (path, mtype, rate, nch, n,
                          float(n / rate) if rate else None, rms, zcr, centroid, None)
                     )
                 except Exception as ex:

@@ -2121,3 +2121,72 @@ def test_jpeg_in_tiff_decode():
     assert (dw, dh, dch) == (wt, ht, 1)
     got3 = np.frombuffer(bytes(px3), np.uint8).reshape(ht, wt).astype(float)
     assert np.abs(got3 - img3.astype(float)).mean() < 4.0
+
+
+def test_aiff_decode_real(spark):
+    """AIFF (FORM/AIFF, big-endian PCM, 80-bit extended-float sample
+    rate) decodes through the manual IFF walk for 16- and 24-bit
+    depths; a truncated AIFF surfaces a per-row err."""
+    import struct
+
+    import numpy as np
+
+    from evaporate_spark.operators.multimodal import decode_audio
+
+    def f80(rate):
+        # encode a positive integer as 80-bit IEEE extended
+        if rate == 0:
+            return b"\x00" * 10
+        e = rate.bit_length() - 1
+        mant = rate << (63 - e)
+        return struct.pack(">H", 16383 + e) + mant.to_bytes(8, "big")
+
+    def aiff(rate, nch, bits, samples):
+        width = bits // 8
+        if width == 3:
+            pcm = b"".join(
+                int(s).to_bytes(3, "big", signed=True) for s in samples
+            )
+        else:
+            fmt = {2: ">h", 4: ">i"}[width]
+            pcm = b"".join(struct.pack(fmt, int(s)) for s in samples)
+        comm = (
+            struct.pack(">HIH", nch, len(samples) // nch, bits) + f80(rate)
+        )
+        ssnd = struct.pack(">II", 0, 0) + pcm
+        body = (
+            b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        )
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    rate, n = 22050, 3000
+    t = np.arange(n) / rate
+    sig = 0.4 * np.sin(2 * np.pi * 1000 * t)
+    s16 = np.round(sig * 32767).astype(int)
+    s24 = np.round(sig * 8388607).astype(int)
+    rows = [
+        ("a16.aiff", bytearray(aiff(rate, 1, 16, s16))),
+        ("a24.aiff", bytearray(aiff(rate, 1, 24, s24))),
+        ("trunc.aiff", bytearray(aiff(rate, 1, 16, s16)[:30])),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r for r in decode_audio(df).collect()}
+    truth_rms = float(np.sqrt(np.mean(sig**2)))
+    for name in ("a16.aiff", "a24.aiff"):
+        r = got[name]
+        assert r["media_type"] == "aiff" and r["err"] is None
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == (rate, 1, n)
+        assert abs(r["rms"] - truth_rms) < 0.001, (name, r["rms"], truth_rms)
+    # both depths carry the same signal: their spectral stats agree
+    # (the magnitude-weighted centroid of a leaky windowed sine sits
+    # well above the tone frequency, so compare depths, not 1000 Hz)
+    assert (
+        abs(
+            got["a16.aiff"]["spectral_centroid_hz"]
+            - got["a24.aiff"]["spectral_centroid_hz"]
+        )
+        < 5.0
+    )
+    assert got["trunc.aiff"]["err"] is not None

@@ -1,0 +1,398 @@
+"""Pure-python FLAC decoder (+ a minimal verbatim encoder).
+
+FLAC is the standard lossless audio archive format; its bitstream is
+fully self-contained (UTF-8 frame numbers, rice-coded residuals,
+fixed/LPC predictors, stereo decorrelation) with no big constant
+tables — so, like the VP8L and JPEG codecs in this package, it
+decodes with zero third-party libraries.
+
+Decoder scope:
+- STREAMINFO metadata (other blocks skipped), frame header parsing
+  (all block-size/sample-rate/sample-size codes, UTF-8 coded numbers),
+- subframes: CONSTANT, VERBATIM, FIXED (orders 0-4), LPC (any order,
+  quantized coefficients with negative-shift guard),
+- rice residual partitions (4- and 5-bit parameters, escape codes),
+- stereo decorrelation: independent, left/side, right/side, mid/side,
+- wasted-bits shifting. Frame CRCs are parsed but not verified (the
+  stats pipeline treats bit rot as per-row errors elsewhere).
+
+Encoder scope: spec-valid fixed-blocksize streams with VERBATIM
+subframes only — enough for deterministic fixtures any FLAC reader
+can decode. Hand-built streams in the tests cover the coding paths
+the encoder does not emit (constant/fixed/LPC subframes, rice
+escapes, stereo modes).
+"""
+
+from __future__ import annotations
+
+__all__ = ["flac_decode", "flac_encode_verbatim"]
+
+
+class _Bits:
+    """MSB-first bit reader."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC stream")
+            out = (out << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("runaway unary code")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _utf8_number(br: _Bits) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    n = 0
+    mask = 0x40
+    while first & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise ValueError("bad FLAC UTF-8 coded number")
+    val = first & (mask - 1)
+    for _ in range(n):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad FLAC UTF-8 continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+def _rice_residual(br: _Bits, block_size: int, order: int) -> list[int]:
+    method = br.read(2)  # 0 = 4-bit rice, 1 = 5-bit rice
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    plen = 4 + method
+    part_order = br.read(4)
+    n_parts = 1 << part_order
+    if block_size % n_parts or (block_size >> part_order) <= order and part_order:
+        # spec: first partition has (block/parts - order) samples; that
+        # must stay positive
+        if (block_size >> part_order) <= order:
+            raise ValueError("FLAC partition shorter than predictor order")
+    out: list[int] = []
+    for p in range(n_parts):
+        count = (block_size >> part_order) - (order if p == 0 else 0)
+        param = br.read(plen)
+        if param == (1 << plen) - 1:  # escape: raw residuals
+            bits = br.read(5)
+            for _ in range(count):
+                out.append(br.read_signed(bits) if bits else 0)
+        else:
+            for _ in range(count):
+                q = br.unary()
+                r = br.read(param) if param else 0
+                zz = (q << param) | r
+                out.append((zz >> 1) ^ -(zz & 1))  # zigzag
+    return out
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _subframe(br: _Bits, block_size: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("bad FLAC subframe sync bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted bits flag
+        wasted = 1 + br.unary()
+    eff = bps - wasted
+    if stype == 0:  # CONSTANT
+        v = br.read_signed(eff)
+        samples = [v] * block_size
+    elif stype == 1:  # VERBATIM
+        samples = [br.read_signed(eff) for _ in range(block_size)]
+    elif 8 <= stype <= 12:  # FIXED order 0..4
+        order = stype - 8
+        warm = [br.read_signed(eff) for _ in range(order)]
+        resid = _rice_residual(br, block_size, order)
+        samples = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for r in resid:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append(pred + r)
+    elif stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 31) + 1
+        warm = [br.read_signed(eff) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        resid = _rice_residual(br, block_size, order)
+        samples = list(warm)
+        for r in resid:
+            acc = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append((acc >> shift) + r)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+_BLOCKSIZE_CODES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768,
+}
+
+_RATE_CODES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050, 7: 24000,
+    8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_BPS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def flac_decode(raw: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """(sample_rate, channels, bits_per_sample, per-channel sample
+    lists) for a FLAC stream. Raises ValueError on malformed input."""
+    if raw[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    info = None
+    while pos + 4 <= len(raw):
+        hdr = raw[pos]
+        btype = hdr & 0x7F
+        last = bool(hdr & 0x80)
+        size = int.from_bytes(raw[pos + 1 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 4 + size]
+        if btype == 0:  # STREAMINFO
+            if size < 34:
+                raise ValueError("short STREAMINFO")
+            b = _Bits(body)
+            b.read(16)  # min block
+            b.read(16)  # max block
+            b.read(24)  # min frame
+            b.read(24)  # max frame
+            rate = b.read(20)
+            nch = b.read(3) + 1
+            bps = b.read(5) + 1
+            total = b.read(36)
+            info = (rate, nch, bps, total)
+        pos += 4 + size
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    rate, nch, bps, total = info
+    if rate <= 0 or not 1 <= nch <= 8:
+        raise ValueError(f"bad FLAC stream info rate={rate} nch={nch}")
+
+    channels: list[list[int]] = [[] for _ in range(nch)]
+    br = _Bits(raw, pos)
+    while br.pos < len(raw) - 1:
+        # frame sync 11111111 111110xx
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("lost FLAC frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)  # reserved
+        _utf8_number(br)  # frame/sample number
+        if bs_code == 6:
+            block_size = br.read(8) + 1
+        elif bs_code == 7:
+            block_size = br.read(16) + 1
+        elif bs_code in _BLOCKSIZE_CODES:
+            block_size = _BLOCKSIZE_CODES[bs_code]
+        else:
+            raise ValueError(f"reserved FLAC block-size code {bs_code}")
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample-rate code")
+        frame_bps = _BPS_CODES.get(bps_code, bps) if bps_code else bps
+        br.read(8)  # header CRC-8 (not verified)
+
+        if ch_code < 8:  # independent channels
+            if ch_code + 1 != nch:
+                raise ValueError("FLAC frame channel count mismatch")
+            subs = [_subframe(br, block_size, frame_bps) for _ in range(nch)]
+        elif ch_code == 8:  # left/side
+            left = _subframe(br, block_size, frame_bps)
+            side = _subframe(br, block_size, frame_bps + 1)
+            subs = [left, [l - s for l, s in zip(left, side)]]
+        elif ch_code == 9:  # right/side
+            side = _subframe(br, block_size, frame_bps + 1)
+            right = _subframe(br, block_size, frame_bps)
+            subs = [[r + s for r, s in zip(right, side)], right]
+        elif ch_code == 10:  # mid/side
+            mid = _subframe(br, block_size, frame_bps)
+            side = _subframe(br, block_size, frame_bps + 1)
+            subs = [[], []]
+            for m, s in zip(mid, side):
+                m = (m << 1) | (s & 1)
+                subs[0].append((m + s) >> 1)
+                subs[1].append((m - s) >> 1)
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        if ch_code >= 8 and nch != 2:
+            raise ValueError("stereo decorrelation in non-stereo stream")
+        for c in range(nch):
+            channels[c].extend(subs[c])
+        br.align()
+        br.read(16)  # frame CRC-16 (not verified)
+        if total and len(channels[0]) >= total:
+            break
+    if total:
+        channels = [c[:total] for c in channels]
+    return rate, nch, bps, channels
+
+
+class _BitWriter:
+    """MSB-first bit writer."""
+
+    __slots__ = ("out", "acc", "bits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.bits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.bits += 1
+            if self.bits == 8:
+                self.out.append(self.acc & 0xFF)
+                self.acc = 0
+                self.bits = 0
+
+    def align(self) -> None:
+        while self.bits:
+            self.write(0, 1)
+
+    def bytes(self) -> bytes:
+        assert self.bits == 0
+        return bytes(self.out)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_encode(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    nbytes = 2
+    while bits > 6 * (nbytes - 1) + (7 - nbytes):
+        nbytes += 1
+    first = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    first |= (n >> shift) & ((1 << (7 - nbytes)) - 1)
+    out.append(first)
+    for i in range(nbytes - 2, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def flac_encode_verbatim(
+    rate: int, channels: list[list[int]], bps: int = 16, block_size: int = 4096
+) -> bytes:
+    """Minimal spec-valid FLAC: STREAMINFO + fixed-blocksize frames of
+    VERBATIM subframes with real CRCs (fixture writer)."""
+    nch = len(channels)
+    total = len(channels[0])
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    streaminfo = si.bytes() + b"\x00" * 16  # md5 unset
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    frame_no = 0
+    for start in range(0, total, block_size):
+        n = min(block_size, total - start)
+        fw = _BitWriter()
+        fw.write(0x3FFE, 14)
+        fw.write(0, 1)
+        fw.write(0, 1)  # fixed blocksize strategy
+        fw.write(7, 4)  # block size: 16-bit follows
+        fw.write(0, 4)  # rate: from STREAMINFO
+        fw.write(nch - 1, 4)  # independent channels
+        fw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+        fw.write(0, 1)
+        fw.align()
+        header = fw.bytes() + _utf8_encode(frame_no) + (n - 1).to_bytes(2, "big")
+        header += bytes([_crc8(header)])
+        body = _BitWriter()
+        for ch in channels:
+            body.write(0, 1)
+            body.write(1, 6)  # VERBATIM
+            body.write(0, 1)  # no wasted bits
+            for s in ch[start : start + n]:
+                body.write(s & ((1 << bps) - 1), bps)
+        body.align()
+        frame = header + body.bytes()
+        frame += _crc16(frame).to_bytes(2, "big")
+        out += frame
+        frame_no += 1
+    return bytes(out)

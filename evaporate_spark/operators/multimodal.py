@@ -1734,10 +1734,12 @@ def decode_audio(
     normalized to [0, 1]; the zero-crossing rate and the rFFT spectral
     centroid are computed over the channel-mixed signal (centroid over
     a bounded leading window — see ``_AUDIO_ANALYSIS_WINDOW``).
-    G.711 telephony WAVs (format code 7 = µ-law, 6 = A-law) decode via
-    the expansion tables in :mod:`evaporate_spark.operators.g711`
-    (``wave`` refuses non-PCM, so those parse the RIFF chunks
-    directly). Compressed formats (mp3/ogg/aac) surface a per-row
+    G.711 telephony WAVs (format code 7 = µ-law, 6 = A-law) and mono
+    IMA ADPCM decode via :mod:`evaporate_spark.operators.g711` /
+    :mod:`~evaporate_spark.operators.adpcm` (``wave`` refuses
+    non-PCM, so those parse the RIFF chunks directly); AIFF decodes
+    through a manual IFF walk and FLAC through the pure-python
+    rice/LPC decoder in :mod:`evaporate_spark.operators.flac`. Compressed formats (mp3/ogg/aac) surface a per-row
     ``err`` — their bitstreams need an audio library this environment
     lacks — with the same never-fail-the-task contract as the image
     operators.
@@ -1779,6 +1781,17 @@ def decode_audio(
                             # AIFF: big-endian PCM, 80-bit-float rate
                             rate, nch, arr, full_scale = _aiff_samples(raw)
                             mtype = "aiff"
+                        elif raw[:4] == b"fLaC":
+                            from evaporate_spark.operators.flac import (
+                                flac_decode,
+                            )
+
+                            rate, nch, fbps, chans = flac_decode(raw)
+                            arr = np.empty(len(chans[0]) * nch, np.float64)
+                            for c, ch_samples in enumerate(chans):
+                                arr[c::nch] = ch_samples
+                            full_scale = float(1 << (fbps - 1))
+                            mtype = "flac"
                         else:
                             # non-PCM WAV: G.711 / IMA ADPCM manual walk
                             rate, nch, arr = _g711_wav_samples(raw)

@@ -1,0 +1,232 @@
+"""FLAC codec tests: verbatim round trips plus hand-built frames for
+the coding paths the fixture encoder never emits — CONSTANT, FIXED
+and LPC predictors with rice residuals (incl. the escape code and
+multi-partition layout), wasted bits, and all three stereo
+decorrelation modes."""
+
+from __future__ import annotations
+
+import random
+
+from evaporate_spark.operators.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _utf8_encode,
+    flac_decode,
+    flac_encode_verbatim,
+)
+
+
+def _streaminfo(rate, nch, bps, total, block_size=4096):
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    body = si.bytes() + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _frame(nch_code, bps, n, emit_subframes):
+    fw = _BitWriter()
+    fw.write(0x3FFE, 14)
+    fw.write(0, 2)
+    fw.write(7, 4)  # 16-bit block size follows
+    fw.write(0, 4)  # rate from STREAMINFO
+    fw.write(nch_code, 4)
+    fw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+    fw.write(0, 1)
+    fw.align()
+    header = fw.bytes() + _utf8_encode(0) + (n - 1).to_bytes(2, "big")
+    header += bytes([_crc8(header)])
+    body = _BitWriter()
+    emit_subframes(body)
+    body.align()
+    frame = header + body.bytes()
+    return frame + _crc16(frame).to_bytes(2, "big")
+
+
+def _rice(bw, residuals, param, plen=4, order=0, block_size=None):
+    """One partition-order-0 rice residual section."""
+    bw.write(0 if plen == 4 else 1, 2)
+    bw.write(0, 4)  # partition order 0
+    bw.write(param, plen)
+    for r in residuals:
+        zz = (r << 1) if r >= 0 else ((-r) << 1) - 1  # zigzag
+        q, rem = zz >> param, zz & ((1 << param) - 1)
+        for _ in range(q):
+            bw.write(0, 1)
+        bw.write(1, 1)
+        if param:
+            bw.write(rem, param)
+
+
+def test_verbatim_roundtrip_shapes():
+    rng = random.Random(4)
+    for nch, bps, n in [(1, 16, 5000), (2, 16, 3000), (1, 8, 700), (1, 24, 1000)]:
+        chans = [
+            [rng.randrange(-(1 << (bps - 1)), 1 << (bps - 1)) for _ in range(n)]
+            for _ in range(nch)
+        ]
+        blob = flac_encode_verbatim(8000, chans, bps=bps, block_size=576)
+        r, c, b, dec = flac_decode(blob)
+        assert (r, c, b) == (8000, nch, bps)
+        assert dec == chans
+
+
+def test_constant_fixed_and_lpc_subframes():
+    n, bps = 32, 16
+    # FIXED order 2: s[i] = 2 s[i-1] - s[i-2] + r[i]
+    warm = [100, 103]
+    resid = [1, -2, 3, 0, -1, 2] * 5
+    fixed = list(warm)
+    for r in resid[: n - 2]:
+        fixed.append(2 * fixed[-1] - fixed[-2] + r)
+
+    # LPC order 1: coef 2, shift 1: s[i] = (2 s[i-1] >> 1) + r[i]
+    lwarm = [50]
+    lresid = [2, -1, 0, 3, -2] * 7
+    lpc = list(lwarm)
+    for r in lresid[: n - 1]:
+        lpc.append(((2 * lpc[-1]) >> 1) + r)
+
+    def emit(bw):
+        # channel 0: CONSTANT -7
+        bw.write(0, 1)
+        bw.write(0, 6)
+        bw.write(0, 1)
+        bw.write((-7) & 0xFFFF, 16)
+        # channel 1: FIXED order 2
+        bw.write(0, 1)
+        bw.write(10, 6)  # 8 + order
+        bw.write(0, 1)
+        for s in warm:
+            bw.write(s & 0xFFFF, 16)
+        _rice(bw, resid[: n - 2], param=3)
+        # channel 2: LPC order 1, precision 15, shift 1, coef 2
+        bw.write(0, 1)
+        bw.write(32, 6)  # LPC, order (0)+1
+        bw.write(0, 1)
+        bw.write(lwarm[0] & 0xFFFF, 16)
+        bw.write(14, 4)  # precision - 1
+        bw.write(1, 5)  # shift
+        bw.write(2, 15)  # coefficient
+        _rice(bw, lresid[: n - 1], param=2)
+
+    blob = _streaminfo(44100, 3, bps, n) + _frame(2, bps, n, emit)
+    rate, nch, b, chans = flac_decode(blob)
+    assert (rate, nch, b) == (44100, 3, bps)
+    assert chans[0] == [-7] * n
+    assert chans[1] == fixed
+    assert chans[2] == lpc
+
+
+def test_rice_escape_and_wasted_bits():
+    n, bps = 16, 16
+    vals = [-5, 120, 0, -128, 77, 3, -3, 9] * 2
+
+    def emit(bw):
+        # FIXED order 0 with ESCAPED residuals (raw 9-bit)
+        bw.write(0, 1)
+        bw.write(8, 6)
+        bw.write(0, 1)
+        bw.write(0, 2)  # 4-bit rice method
+        bw.write(0, 4)  # partition order 0
+        bw.write(0xF, 4)  # escape
+        bw.write(9, 5)  # raw bits
+        for v in vals:
+            bw.write(v & 0x1FF, 9)
+        # CONSTANT with 2 wasted bits: stored value is pre-shift
+        bw.write(0, 1)
+        bw.write(0, 6)
+        bw.write(1, 1)  # wasted flag
+        bw.write(1, 2)  # unary 2 -> wasted = 2... (0b01 = one zero then 1)
+        bw.write(21 & 0x3FFF, 14)  # eff bps = 16 - 2
+
+    blob = _streaminfo(8000, 2, bps, n) + _frame(1, bps, n, emit)
+    _, _, _, chans = flac_decode(blob)
+    assert chans[0] == vals
+    assert chans[1] == [21 << 2] * n
+
+
+def test_stereo_decorrelation_modes():
+    n, bps = 24, 16
+    rng = random.Random(11)
+    left = [rng.randrange(-3000, 3000) for _ in range(n)]
+    right = [rng.randrange(-3000, 3000) for _ in range(n)]
+    side = [l - r for l, r in zip(left, right)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+
+    def verb(bw, samples, bits):
+        bw.write(0, 1)
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for s in samples:
+            bw.write(s & ((1 << bits) - 1), bits)
+
+    # left/side (channel code 8): [left @bps, side @bps+1]
+    blob = _streaminfo(8000, 2, bps, n) + _frame(
+        8, bps, n, lambda bw: (verb(bw, left, 16), verb(bw, side, 17))
+    )
+    _, _, _, chans = flac_decode(blob)
+    assert chans == [left, right]
+
+    # right/side (9): [side @bps+1, right @bps]
+    blob = _streaminfo(8000, 2, bps, n) + _frame(
+        9, bps, n, lambda bw: (verb(bw, side, 17), verb(bw, right, 16))
+    )
+    _, _, _, chans = flac_decode(blob)
+    assert chans == [left, right]
+
+    # mid/side (10): [mid @bps, side @bps+1]
+    blob = _streaminfo(8000, 2, bps, n) + _frame(
+        10, bps, n, lambda bw: (verb(bw, mid, 16), verb(bw, side, 17))
+    )
+    _, _, _, chans = flac_decode(blob)
+    assert chans == [left, right]
+
+
+def test_malformed_flac_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        flac_decode(b"fLaX1234")
+    good = flac_encode_verbatim(8000, [[1, 2, 3, 4]], bps=16, block_size=4)
+    with pytest.raises(ValueError):
+        flac_decode(good[:20])
+    bad = bytearray(good)
+    bad[42] ^= 0xFF  # stomp inside the first frame header region
+    with pytest.raises(ValueError):
+        flac_decode(bytes(bad))
+
+
+def test_flac_spark_decode(spark):
+    """decode_audio reports real stats for FLAC streams (stereo,
+    interleaved through the channel lists) with media_type=flac."""
+    import numpy as np
+
+    from evaporate_spark.operators.flac import flac_encode_verbatim
+    from evaporate_spark.operators.multimodal import decode_audio
+
+    rate, n = 8000, 2000
+    t = np.arange(n) / rate
+    left = np.round(0.4 * 32767 * np.sin(2 * np.pi * 330 * t)).astype(int)
+    right = np.round(0.3 * 32767 * np.sin(2 * np.pi * 550 * t)).astype(int)
+    blob = flac_encode_verbatim(rate, [left.tolist(), right.tolist()], bps=16)
+    df = spark.createDataFrame(
+        [("x.flac", bytearray(blob))], "path string, content binary"
+    )
+    (r,) = decode_audio(df).collect()
+    assert r["media_type"] == "flac" and r["err"] is None
+    assert (r["sample_rate"], r["channels"], r["n_samples"]) == (rate, 2, n)
+    mix = (left + right) / 2.0 / 32768.0
+    both = np.stack([left, right], axis=-1).astype(float) / 32768.0
+    truth_rms = float(np.sqrt(np.mean(both**2)))
+    assert abs(r["rms"] - truth_rms) < 1e-4, (r["rms"], truth_rms)
+    truth_zcr = float(np.mean(np.signbit(mix[1:]) != np.signbit(mix[:-1])))
+    assert abs(r["zero_crossing_rate"] - truth_zcr) < 0.01

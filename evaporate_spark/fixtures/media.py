@@ -220,6 +220,13 @@ def source_audio_arrays() -> dict[str, tuple[int, int, int, np.ndarray]]:
     rate5, n5 = 8000, 1800
     t5 = np.arange(n5) / rate5
     out["audio_alaw.wav"] = (rate5, 1, 1, (0.35 * np.sin(2 * np.pi * 500 * t5))[:, None])
+
+    # FLAC fixture: stereo 16-bit (lossless — pinned stats are exact)
+    rate6, n6 = 16000, 2400
+    t6 = np.arange(n6) / rate6
+    fl = 0.4 * np.sin(2 * np.pi * 260 * t6)
+    fr = 0.25 * np.sign(np.sin(2 * np.pi * 390 * t6))
+    out["audio_stereo.flac"] = (rate6, 2, 2, np.stack([fl, fr], axis=-1))
     return out
 
 
@@ -291,6 +298,15 @@ def generate_media(out_dir: str) -> dict[str, bytes]:
         if "ulaw" in name or "alaw" in name:
             law = "ulaw" if "ulaw" in name else "alaw"
             files[name] = _g711_wav_bytes(rate, ch, law, samples)
+        elif name.endswith(".flac"):
+            from evaporate_spark.operators.flac import flac_encode_verbatim
+
+            pcm = (
+                np.round(samples * 32767).clip(-32768, 32767).astype(int)
+            )
+            files[name] = flac_encode_verbatim(
+                rate, [pcm[:, c].tolist() for c in range(ch)], bps=16
+            )
         else:
             files[name] = _wav_bytes(rate, ch, width, samples)
     frames, w, h = source_video_frames()

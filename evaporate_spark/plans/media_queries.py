@@ -66,7 +66,7 @@ def image_stats_frame(spark: SparkSession, media_dir: str) -> DataFrame:
 def audio_stats_frame(spark: SparkSession, media_dir: str) -> DataFrame:
     from evaporate_spark.operators.multimodal import decode_audio
 
-    files = _media_files(spark, media_dir, ".wav")
+    files = _media_files(spark, media_dir, ".wav", ".flac")
     return decode_audio(files, path_col="file").select(
         F.col("path").alias("file"),  # decode_audio emits 'path'
         "media_type",

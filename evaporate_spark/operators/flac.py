@@ -95,11 +95,13 @@ def _rice_residual(br: _Bits, block_size: int, order: int) -> list[int]:
     plen = 4 + method
     part_order = br.read(4)
     n_parts = 1 << part_order
-    if block_size % n_parts or (block_size >> part_order) <= order and part_order:
-        # spec: first partition has (block/parts - order) samples; that
-        # must stay positive
-        if (block_size >> part_order) <= order:
-            raise ValueError("FLAC partition shorter than predictor order")
+    # spec: block size must divide evenly into 2^part_order partitions,
+    # and the first partition ((block/parts) - order samples) must stay
+    # non-empty
+    if block_size % n_parts:
+        raise ValueError("FLAC block size not divisible by partition count")
+    if part_order and (block_size >> part_order) <= order:
+        raise ValueError("FLAC partition shorter than predictor order")
     out: list[int] = []
     for p in range(n_parts):
         count = (block_size >> part_order) - (order if p == 0 else 0)

@@ -395,7 +395,9 @@ def _inv_predictor(pixels: list[int], w: int, h: int, bits: int, sub: list[int])
                 left = pixels[pos - 1]
                 top = pixels[pos - w]
                 tl = pixels[pos - w - 1]
-                tr = pixels[pos - w + 1] if x + 1 < w else pixels[pos - w]
+                # Contiguous addressing per spec: at x == w-1 this is the
+                # CURRENT row's first pixel (already decoded), not the top.
+                tr = pixels[pos - w + 1]
                 pred = _predict(mode, left, top, tl, tr)
             px = pixels[pos]
             pixels[pos] = (
@@ -470,7 +472,11 @@ def vp8l_decode(payload: bytes) -> tuple[int, int, int, bytearray]:
             bw = (xsize + (1 << bits) - 1) >> bits
             bh = (h + (1 << bits) - 1) >> bits
             sub = _read_entropy_coded_image(br, bw, bh, False)
-            transforms.append((ttype, bits, sub))
+            # A COLOR_INDEXING transform read earlier shrinks xsize, and
+            # inverse application (reverse order) runs this transform on
+            # the still-packed image — so the effective width is the
+            # xsize at READ time, not the full image width.
+            transforms.append((ttype, bits, sub, xsize))
         elif ttype == 2:  # SUBTRACT_GREEN
             transforms.append((2,))
         else:  # 3 = COLOR_INDEXING
@@ -529,9 +535,9 @@ def vp8l_decode(payload: bytes) -> tuple[int, int, int, bytearray]:
         elif tr[0] == 2:
             _inv_subtract_green(pixels)
         elif tr[0] == 1:
-            _inv_color_transform(pixels, w, h, tr[1], tr[2])
+            _inv_color_transform(pixels, tr[3], h, tr[1], tr[2])
         else:
-            _inv_predictor(pixels, w, h, tr[1], tr[2])
+            _inv_predictor(pixels, tr[3], h, tr[1], tr[2])
 
     rgba = bytearray(w * h * 4)
     for i, px in enumerate(pixels):

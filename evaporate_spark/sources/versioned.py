@@ -29,7 +29,11 @@ ConcurrentAppendException. ``upsert(max_conflict_retries=...)`` turns
 that into the standard re-read/re-merge/retry loop. The one residual
 race is a reader listing a marker in the instant between its creation
 and its content write (microseconds); ``read`` retries resolution
-briefly before failing.
+briefly before failing. A writer that CRASHES inside that window
+leaves a permanently-empty "dead" marker with nothing readable behind
+it — readers skip dead slots when resolving "latest", and a new
+commit that collides with one graces out a live writer then commits
+past it, so a crashed commit can never wedge the table.
 
 All filesystem bookkeeping goes through the Hadoop FileSystem API, so
 the table works identically on local disk, HDFS, or an object store
@@ -104,29 +108,50 @@ class VersionedTable:
         committed can be overwritten."""
         return f"{self.root}/v={version}-{uuid.uuid4().hex[:8]}"
 
-    def _read_marker(self, version: int) -> str | None:
-        """The committed snapshot dir for ``version`` (absolute), or
-        None if no marker exists. Empty marker content resolves to the
-        legacy ``v=<N>`` layout for tables written by older builds."""
-        fs, _ = self._fs()
+    def _marker_content(self, version: int) -> str | None:
+        """Marker file content for ``version`` ("" during the
+        create→content-write window or after a writer crashed inside
+        it), or None when no marker file exists. One bulk JVM copy
+        (``IOUtils.copyBytes``), not a per-byte py4j loop."""
+        fs, jvm = self._fs()
         p = self._marker_path(version)
         if not fs.exists(p):
             return None
-        ln = int(fs.getFileStatus(p).getLen())
-        name = ""
-        if ln > 0:
-            stream = fs.open(p)
-            try:
-                buf = bytearray()
-                for _ in range(min(ln, 4096)):
-                    b = stream.read()
-                    if b < 0:
-                        break
-                    buf.append(b)
-                name = buf.decode("utf-8", errors="replace").strip()
-            finally:
-                stream.close()
-        return f"{self.root}/{name}" if name else f"{self.root}/v={version}"
+        stream = fs.open(p)
+        sink = jvm.java.io.ByteArrayOutputStream()
+        # closes both streams (final True)
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
+        return bytes(sink.toByteArray()).decode("utf-8", errors="replace").strip()
+
+    def _resolve(self, version: int, retries: int = 3) -> str | None:
+        """Absolute committed snapshot dir for ``version``, or None if
+        its marker never resolves to an existing directory. Empty
+        content falls back to the legacy ``v=<N>`` layout (tables
+        written by older builds); a brief retry covers a live writer's
+        marker-create→content-write window."""
+        fs, jvm = self._fs()
+        for attempt in range(retries):
+            if attempt:
+                time.sleep(0.05 * attempt)
+            name = self._marker_content(version)
+            if name is None:
+                return None
+            d = f"{self.root}/{name}" if name else f"{self.root}/v={version}"
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+                return d
+        return None
+
+    def _is_dead_marker(self, version: int) -> bool:
+        """True when the marker exists with EMPTY content and no legacy
+        ``v=<N>`` dir backs it: a writer crashed between marker create
+        and content write, so nothing ever became readable at this
+        version. Dead slots are skipped by reads and by new commits —
+        a crashed commit must not wedge the table forever."""
+        fs, jvm = self._fs()
+        content = self._marker_content(version)
+        if content is None or content != "":
+            return False
+        return not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{self.root}/v={version}"))
 
     # -- version bookkeeping ------------------------------------------------
 
@@ -142,8 +167,23 @@ class VersionedTable:
         return sorted(out)
 
     def latest_version(self) -> int | None:
+        """Max marker version, committed or not — the next-write slot
+        derives from this so a crashed (dead) marker is skipped, never
+        re-contended."""
         vs = self.versions()
         return vs[-1] if vs else None
+
+    def latest_committed_version(self) -> int | None:
+        """Newest version whose marker actually resolves to data —
+        what a reader (or an upsert base) should use. Walks down past
+        dead markers (crashed writers); a marker that has content but
+        no backing dir is surfaced by ``read``, not masked here."""
+        for v in reversed(self.versions()):
+            if self._resolve(v, retries=2) is not None:
+                return v
+            if not self._is_dead_marker(v):
+                return v  # content-ful but unresolvable: let read() raise
+        return None
 
     def _commit(self, version: int, snapshot_dir: str) -> None:
         """Create-once marker pointing at ``snapshot_dir``; exactly one
@@ -168,24 +208,35 @@ class VersionedTable:
     # -- reads --------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Latest committed snapshot, or time-travel to ``version``."""
+        """Latest committed snapshot, or time-travel to ``version``.
+
+        A crashed writer's dead marker (empty, nothing readable behind
+        it) is skipped when resolving "latest"; an explicit ``version``
+        pointing at one fails loudly. A marker WITH content whose
+        directory is missing is corruption and always fails loudly —
+        silently serving stale data would be worse."""
         vs = self.versions()
-        v = (vs[-1] if vs else None) if version is None else version
-        if v is None:
-            raise FileNotFoundError(f"no committed versions under {self.root}")
-        if v not in vs:
-            raise FileNotFoundError(f"version {v} was never committed")
-        fs, jvm = self._fs()
-        for attempt in range(3):
-            d = self._read_marker(v)
-            if d is not None and fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+        if version is not None:
+            if version not in vs:
+                raise FileNotFoundError(f"version {version} was never committed")
+            d = self._resolve(version)
+            if d is None:
+                raise FileNotFoundError(
+                    f"version {version} marker does not resolve to a snapshot "
+                    f"directory (writer crashed mid-commit?)"
+                )
+            return self.spark.read.parquet(d)
+        for v in reversed(vs):
+            d = self._resolve(v)
+            if d is not None:
                 return self.spark.read.parquet(d)
-            # marker listed before its content landed (the microsecond
-            # create→write window) — brief retry, then fail loudly
-            time.sleep(0.05 * (attempt + 1))
-        raise FileNotFoundError(
-            f"version {v} marker does not resolve to a snapshot directory"
-        )
+            if not self._is_dead_marker(v):
+                raise FileNotFoundError(
+                    f"version {v} marker does not resolve to a snapshot directory"
+                )
+            # dead slot (crashed writer, nothing was ever readable
+            # here): fall through to the previous version
+        raise FileNotFoundError(f"no committed versions under {self.root}")
 
     # -- writes -------------------------------------------------------------
 
@@ -214,8 +265,25 @@ class VersionedTable:
             v = 0 if expected_base is None else int(expected_base) + 1  # type: ignore[arg-type]
         target = self._new_snapshot_dir(v)
         df.write.mode("error").parquet(target)
-        self._commit(v, target)
-        return v
+        while True:
+            try:
+                self._commit(v, target)
+                return v
+            except ConcurrentWriteError:
+                # The colliding marker may be a crashed writer's dead
+                # slot (created, never content-written, nothing ever
+                # readable). Grace out a LIVE writer's create→write
+                # window first, then skip past the dead slot — the
+                # marker's CONTENT names the data dir, so committing
+                # this directory under a later version is fine. A
+                # marker that gains content is a real competing commit.
+                for _ in range(5):
+                    if self._marker_content(v) != "":
+                        break
+                    time.sleep(0.1)
+                if not self._is_dead_marker(v):
+                    raise
+                v += 1
 
     def upsert(
         self,
@@ -237,7 +305,7 @@ class VersionedTable:
         from evaporate_spark.operators.cdc import apply_cdc
 
         for attempt in range(max_conflict_retries + 1):
-            read_version = self.latest_version()
+            read_version = self.latest_committed_version()
             base = self.read(read_version)
             merged = apply_cdc(base, changes, key_cols, seq_col, op_col)
             try:
@@ -254,11 +322,16 @@ class VersionedTable:
         next version (zero-shuffle scan-side bin packing)."""
         from evaporate_spark.operators.compaction import compact_parquet
 
-        v = self.latest_version()
+        v = self.latest_committed_version()
         if v is None:
             raise FileNotFoundError(f"no committed versions under {self.root}")
-        nxt = v + 1
-        src = self._read_marker(v)
+        latest = self.latest_version()
+        nxt = (latest if latest is not None else v) + 1
+        src = self._resolve(v)
+        if src is None:
+            raise FileNotFoundError(
+                f"version {v} marker does not resolve to a snapshot directory"
+            )
         target = self._new_snapshot_dir(nxt)
         compact_parquet(
             self.spark,
@@ -285,7 +358,7 @@ class VersionedTable:
         fs, jvm = self._fs()
         committed = set()
         for v in self.versions():
-            d = self._read_marker(v)
+            d = self._resolve(v, retries=1)
             if d is not None:
                 committed.add(d.rsplit("/", 1)[-1])
         removed: list[str] = []

@@ -441,6 +441,47 @@ def test_versioned_table_upsert_conflict_retry(spark, tmp_path):
         t.write_snapshot = real_write
 
 
+def test_versioned_table_dead_marker_never_wedges(spark, tmp_path):
+    """A writer that crashed BETWEEN marker create and content write
+    leaves a permanently-empty marker with nothing readable behind it.
+    That dead slot must not wedge the table: reads skip it, upserts
+    commit past it, and an explicit time-travel read of it fails
+    loudly."""
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    t.write_snapshot(spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double"))
+
+    # simulate the crash: marker file for v=1 exists, zero bytes, and
+    # no data dir (neither token nor legacy layout) was committed
+    fs, jvm = t._fs()
+    fs.create(t._marker_path(1), False).close()
+    assert t.versions() == [0, 1]
+    assert t._is_dead_marker(1) and not t._is_dead_marker(0)
+
+    # reads resolve to the newest COMMITTED version
+    assert t.latest_committed_version() == 0
+    assert {r["k"] for r in t.read().collect()} == {1}
+    try:
+        t.read(1)
+        raise AssertionError("explicit read of a dead version must raise")
+    except FileNotFoundError as e:
+        assert "crashed" in str(e)
+
+    # a new write graces out the (absent) live writer and commits past
+    # the dead slot instead of erroring forever
+    changes = spark.createDataFrame(
+        [(2, "b", 2.0, "I", 1)], "k long, s string, v double, op string, seq long"
+    )
+    v = t.upsert(changes, ["k"], "seq")
+    assert v == 2
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    # compaction also skips the dead slot
+    v3 = t.compact(target_mb=1)
+    assert v3 == 3 and {r["k"] for r in t.read().collect()} == {1, 2}
+
+
 def test_funnel_four_stage_vs_duckdb(spark):
     """Parameterized funnel operator: 4 stages with PER-TRANSITION
     windows, checked against an independent DuckDB recompute of the

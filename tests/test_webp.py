@@ -381,7 +381,9 @@ def test_predictor_inverse_reconstructs_all_modes():
                     pred = orig[pos - w]
                 else:
                     left, top, tl = orig[pos - 1], orig[pos - w], orig[pos - w - 1]
-                    tr = orig[pos - w + 1] if x + 1 < w else orig[pos - w]
+                    # rightmost column wraps to the current row's first
+                    # pixel (contiguous addressing), matching the decoder
+                    tr = orig[pos - w + 1]
                     pred = _predict(mode, left, top, tl, tr)
                 out = 0
                 for sh in (24, 16, 8, 0):

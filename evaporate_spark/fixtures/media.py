@@ -78,6 +78,15 @@ def _image_specs() -> dict[str, bytes]:
     out["img_webp_lossless.webp"] = webp_encode_lossless(
         wb.shape[1], wb.shape[0], 4, wb.tobytes()
     )
+
+    # CCITT fax fixtures: the source arrays are display grey (0=black,
+    # 255=white); the encoder takes the black bit mask
+    from evaporate_spark.operators.ccitt import tiff_encode_fax
+
+    for name, comp in (("img_fax_g3.tif", 3), ("img_fax_g4.tif", 4)):
+        fx = arrays[name]
+        bits = (fx == 0).astype(np.uint8)
+        out[name] = tiff_encode_fax(bits.tobytes(), fx.shape[1], fx.shape[0], comp)
     return out
 
 
@@ -177,6 +186,19 @@ def source_image_arrays() -> dict[str, np.ndarray]:
         axis=-1,
     ).astype(np.uint8)
 
+    # CCITT fax fixtures: bitonal "scanned document" patterns — ruled
+    # lines + strokes (G3, exercises 1D/2D rows and EOL sync) and a
+    # dense dithered block (G4, exercises pass/vertical/horizontal
+    # READ modes). Stored as display grey: 0 = black, 255 = white.
+    fh, fw = 44, 68
+    fyy, fxx = np.mgrid[0:fh, 0:fw]
+    g3_black = (fyy % 11 == 4) | ((fxx % 9 < 2) & (fyy % 11 > 5))
+    out["img_fax_g3.tif"] = np.where(g3_black, 0, 255).astype(np.uint8)
+    qh, qw = 36, 52
+    qyy, qxx = np.mgrid[0:qh, 0:qw]
+    g4_black = ((qxx + 2 * qyy) % 9 < 3) & (qxx % 13 != 6)
+    out["img_fax_g4.tif"] = np.where(g4_black, 0, 255).astype(np.uint8)
+
     # LZW fixture: structured RGB gradient-with-texture (dictionary-
     # compressible but not pure runs — exercises table growth)
     lh, lw = 26, 34
@@ -227,6 +249,20 @@ def source_audio_arrays() -> dict[str, tuple[int, int, int, np.ndarray]]:
     fl = 0.4 * np.sin(2 * np.pi * 260 * t6)
     fr = 0.25 * np.sign(np.sin(2 * np.pi * 390 * t6))
     out["audio_stereo.flac"] = (rate6, 2, 2, np.stack([fl, fr], axis=-1))
+
+    # stereo IMA ADPCM fixture (fmt 0x11, interleaved 4-byte channel
+    # groups; lossy 4-bit adaptive delta — tolerances in the ground-
+    # truth test are widened like G.711). Two smooth tones: ADPCM
+    # tracks slopes, so sines keep the quantization error small.
+    # fade-in over the first 100 samples: the IMA step index starts at
+    # its minimum, so a full-amplitude first cycle would leave a
+    # broadband adaptation transient that skews the pinned centroid
+    rate7, n7 = 8000, 2000
+    t7 = np.arange(n7) / rate7
+    env = np.minimum(1.0, np.arange(n7) / 100.0)
+    al = env * 0.45 * np.sin(2 * np.pi * 310 * t7)
+    ar = env * 0.3 * np.sin(2 * np.pi * 520 * t7)
+    out["audio_adpcm_stereo.wav"] = (rate7, 2, 1, np.stack([al, ar], axis=-1))
     return out
 
 
@@ -255,6 +291,37 @@ def _g711_wav_bytes(rate: int, channels: int, law: str, samples: np.ndarray) -> 
         + b"WAVE"
         + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
         + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def _adpcm_wav_bytes(rate: int, channels: int, samples: np.ndarray) -> bytes:
+    """Encode float samples in [-1,1) as an IMA ADPCM WAV (format code
+    0x11) with a fact chunk carrying the true per-channel sample count
+    (the final block is pad-filled by the encoder)."""
+    from evaporate_spark.operators.adpcm import ima_adpcm_encode
+
+    block_align = 256
+    lin = np.round(samples * 32767).clip(-32768, 32767).astype(int)
+    chans = [lin[:, c].tolist() for c in range(channels)]
+    blocks, spb = ima_adpcm_encode(chans, block_align)
+    fmt = (
+        (0x11).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // spb).to_bytes(4, "little")  # approx byte rate
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + spb.to_bytes(2, "little")
+    )
+    fact = b"fact" + (4).to_bytes(4, "little") + samples.shape[0].to_bytes(4, "little")
+    return (
+        b"RIFF"
+        + (4 + 8 + len(fmt) + len(fact) + 8 + len(blocks)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + fact
+        + b"data" + len(blocks).to_bytes(4, "little") + blocks
     )
 
 
@@ -298,6 +365,8 @@ def generate_media(out_dir: str) -> dict[str, bytes]:
         if "ulaw" in name or "alaw" in name:
             law = "ulaw" if "ulaw" in name else "alaw"
             files[name] = _g711_wav_bytes(rate, ch, law, samples)
+        elif "adpcm" in name:
+            files[name] = _adpcm_wav_bytes(rate, ch, samples)
         elif name.endswith(".flac"):
             from evaporate_spark.operators.flac import flac_encode_verbatim
 

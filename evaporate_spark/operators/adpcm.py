@@ -1,12 +1,13 @@
 """IMA ADPCM (DVI4) WAV decode — fmt code 0x11.
 
 The classic 4-bit adaptive-delta codec (game/telephony archives):
-each block starts with a 16-bit seed predictor + step-table index,
-then nibbles adapt the step per sample. Tables and update rules are
-the IMA/DVI reference algorithm; the stdlib ``wave`` module refuses
-the format and ``audioop`` no longer exists, so the expansion lives
-here (mono; stereo's interleaved 4-byte channel groups raise a typed
-error rather than decoding garbled).
+each block starts with a 16-bit seed predictor + step-table index
+per channel, then nibbles adapt the step per sample. Tables and
+update rules are the IMA/DVI reference algorithm; the stdlib
+``wave`` module refuses the format and ``audioop`` no longer
+exists, so the expansion lives here. Multi-channel blocks lay the
+per-channel 4-byte headers first, then the sample data in
+interleaved 4-byte (8-nibble) channel groups.
 
 The encoder exists for deterministic fixtures and tests: it is the
 textbook IMA quantizer, and decode∘encode is validated against the
@@ -15,7 +16,12 @@ source signal within the codec's adaptation error in tests.
 
 from __future__ import annotations
 
-__all__ = ["ima_adpcm_decode_mono", "ima_adpcm_encode_mono"]
+__all__ = [
+    "ima_adpcm_decode",
+    "ima_adpcm_decode_mono",
+    "ima_adpcm_encode",
+    "ima_adpcm_encode_mono",
+]
 
 _INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
 
@@ -49,29 +55,117 @@ def _step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
     return predictor, index
 
 
+def ima_adpcm_decode(
+    data: bytes, block_align: int, samples_per_block: int, channels: int = 1
+) -> list[int]:
+    """Expand IMA ADPCM blocks to channel-interleaved 16-bit linear
+    samples. Each block carries a 4-byte (predictor, index, reserved)
+    header per channel, then 4-byte channel groups: bytes 0-3 are 8
+    nibbles of channel 0, bytes 4-7 channel 1, and so on."""
+    if channels < 1:
+        raise ValueError(f"bad ADPCM channel count {channels}")
+    if block_align < 4 * channels:
+        raise ValueError(f"bad ADPCM block align {block_align}")
+    out: list[int] = []
+    for base in range(0, len(data), block_align):
+        block = data[base : base + block_align]
+        if len(block) < 4 * channels:
+            break  # ragged trailing bytes — not a decodable block
+        state: list[tuple[int, int]] = []
+        chans: list[list[int]] = []
+        for c in range(channels):
+            predictor = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+            index = block[4 * c + 2]
+            if index > 88:
+                raise ValueError(f"bad ADPCM step index {index}")
+            state.append((predictor, index))
+            chans.append([predictor])  # block's first sample is the seed
+        body = block[4 * channels :]
+        for gbase in range(0, len(body), 4 * channels):
+            for c in range(channels):
+                predictor, index = state[c]
+                ch = chans[c]
+                for byte in body[gbase + 4 * c : gbase + 4 * c + 4]:
+                    for nibble in (byte & 0x0F, byte >> 4):  # low nibble first
+                        if len(ch) >= samples_per_block:
+                            break
+                        predictor, index = _step(predictor, index, nibble)
+                        ch.append(predictor)
+                state[c] = (predictor, index)
+        n = min(len(ch) for ch in chans)  # drop a ragged cross-channel tail
+        for i in range(n):
+            for c in range(channels):
+                out.append(chans[c][i])
+    return out
+
+
 def ima_adpcm_decode_mono(
     data: bytes, block_align: int, samples_per_block: int
 ) -> list[int]:
     """Expand mono IMA ADPCM blocks to 16-bit linear samples."""
-    if block_align < 4:
-        raise ValueError(f"bad ADPCM block align {block_align}")
-    out: list[int] = []
-    for base in range(0, len(data) - 3, block_align):
-        block = data[base : base + block_align]
-        predictor = int.from_bytes(block[0:2], "little", signed=True)
-        index = block[2]
-        if index > 88:
-            raise ValueError(f"bad ADPCM step index {index}")
-        out.append(predictor)  # block's first sample is the seed
-        produced = 1
-        for byte in block[4:]:
-            for nibble in (byte & 0x0F, byte >> 4):  # low nibble first
-                if produced >= samples_per_block:
-                    break
+    return ima_adpcm_decode(data, block_align, samples_per_block, channels=1)
+
+
+def ima_adpcm_encode(
+    channel_samples: list[list[int]], block_align: int = 1024
+) -> tuple[bytes, int]:
+    """Encode per-channel 16-bit linear samples → (blocks,
+    samples_per_block) with the textbook IMA quantizer
+    (fixture/test writer). ``channel_samples`` is one equal-length
+    list per channel; the nibble area of ``block_align`` must split
+    into whole 4-byte channel groups."""
+    nch = len(channel_samples)
+    if nch < 1 or any(len(c) != len(channel_samples[0]) for c in channel_samples):
+        raise ValueError("need >=1 equal-length sample channels")
+    body_bytes = block_align - 4 * nch
+    if body_bytes <= 0 or body_bytes % (4 * nch):
+        raise ValueError(f"block align {block_align} not group-aligned for {nch}ch")
+    samples_per_block = body_bytes * 2 // nch + 1
+    out = bytearray()
+    indexes = [0] * nch
+    i = 0
+    n = len(channel_samples[0])
+    while i < n:
+        nib_area: list[list[int]] = []
+        for c in range(nch):
+            chunk = channel_samples[c][i : i + samples_per_block]
+            predictor = _clamp16(int(chunk[0]))
+            index = indexes[c]
+            out += predictor.to_bytes(2, "little", signed=True)
+            out += bytes((index, 0))
+            nibbles = []
+            for s in chunk[1:]:
+                s = int(s)
+                step = _STEP_TABLE[index]
+                delta = s - predictor
+                nibble = 0
+                if delta < 0:
+                    nibble = 8
+                    delta = -delta
+                if delta >= step:
+                    nibble |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nibble |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nibble |= 1
                 predictor, index = _step(predictor, index, nibble)
-                out.append(predictor)
-                produced += 1
-    return out
+                nibbles.append(nibble)
+            indexes[c] = index
+            # pad the channel's nibble area fully (decoder stops at
+            # samples_per_block, so pad nibbles are never emitted)
+            while len(nibbles) < body_bytes * 2 // nch:
+                nibbles.append(0)
+            nib_area.append(nibbles)
+        i += samples_per_block
+        # interleave 8-nibble (4-byte) groups across channels
+        for g in range(0, body_bytes * 2 // nch, 8):
+            for c in range(nch):
+                seg = nib_area[c][g : g + 8]
+                for j in range(0, 8, 2):
+                    out.append(seg[j] | (seg[j + 1] << 4))
+    return bytes(out), samples_per_block
 
 
 def ima_adpcm_encode_mono(
@@ -79,40 +173,4 @@ def ima_adpcm_encode_mono(
 ) -> tuple[bytes, int]:
     """Encode 16-bit linear samples → (blocks, samples_per_block)
     with the textbook IMA quantizer (fixture/test writer)."""
-    samples_per_block = (block_align - 4) * 2 + 1
-    out = bytearray()
-    index = 0
-    i = 0
-    n = len(samples)
-    while i < n:
-        chunk = samples[i : i + samples_per_block]
-        i += samples_per_block
-        predictor = _clamp16(int(chunk[0]))
-        out += predictor.to_bytes(2, "little", signed=True)
-        out += bytes((index, 0))
-        nibbles = []
-        for s in chunk[1:]:
-            s = int(s)
-            step = _STEP_TABLE[index]
-            delta = s - predictor
-            nibble = 0
-            if delta < 0:
-                nibble = 8
-                delta = -delta
-            if delta >= step:
-                nibble |= 4
-                delta -= step
-            if delta >= step >> 1:
-                nibble |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                nibble |= 1
-            predictor, index = _step(predictor, index, nibble)
-            nibbles.append(nibble)
-        # pad the block's nibble area fully (decoder stops at
-        # samples_per_block, so pad nibbles are never emitted)
-        while len(nibbles) < (block_align - 4) * 2:
-            nibbles.append(0)
-        for j in range(0, len(nibbles), 2):
-            out.append(nibbles[j] | (nibbles[j + 1] << 4))
-    return bytes(out), samples_per_block
+    return ima_adpcm_encode([samples], block_align)

@@ -29,7 +29,9 @@ formats:
   uncompressed, zlib-Deflate, PackBits-RLE, or TIFF-LZW strips
   (Compression 1/8/32946/32773/5, the LZW core shared with the GIF
   codec modulo MSB packing + early-change) with the horizontal
-  predictor, via :func:`tiff_decode` / :func:`tiff_encode`,
+  predictor, via :func:`tiff_decode` / :func:`tiff_encode`; bilevel
+  CCITT fax strips (Compression 2/3/4 — modified-Huffman RLE, T.4/G3
+  1D+2D, T.6/G4) via :mod:`evaporate_spark.operators.ccitt`,
 - WebP (lossless): full VP8L decode (all transforms, color cache,
   LZ77, meta-Huffman) + a minimal literal-only encoder, via
   :mod:`evaporate_spark.operators.webp`.
@@ -43,8 +45,9 @@ numpy RMS/duration).
 
 What is STUBBED (this environment ships no image/audio/video libs):
 only truly undecodable rows — truncated buffers, formats whose
-bitstreams require third-party codecs (lossy-VP8 webp, CCITT-fax
-TIFF, hierarchical/arithmetic JPEG) and modern video bitstreams
+bitstreams require third-party codecs (lossy-VP8 webp,
+hierarchical/arithmetic JPEG — DCT/transform-bound, unlike the
+table-driven CCITT fax decode above) and modern video bitstreams
 (H.264 in mp4/webm/mkv) — fall back to the clearly-marked deterministic fake
 (header-derived stats) in :func:`decode_images` or a per-row ``err``
 in :func:`resize_images` / :func:`sample_video_frames`; the operator
@@ -981,8 +984,9 @@ def bmp_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
 # symbol alphabet, and the spec's "early change" width rule.
 # Strip AND tile layouts, chunky AND planar sample order; JPEG-in-
 # TIFF (Compression 7) decodes each segment with the numpy JPEG codec
-# (shared tables of tag 347 spliced after the segment's SOI); only
-# CCITT-fax and non-8-bit TIFFs stay per-row errors.
+# (shared tables of tag 347 spliced after the segment's SOI); bilevel
+# CCITT fax (Compression 2/3/4) decodes via operators/ccitt.py; only
+# other non-8-bit TIFFs stay per-row errors.
 # ---------------------------------------------------------------------------
 
 
@@ -1135,6 +1139,56 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _tiff_decode_fax(
+    raw: bytes,
+    w: int,
+    h: int,
+    comp: int,
+    tags: dict[int, list[int]],
+    spp: int,
+    bps: list[int],
+    planar: int,
+    photometric: int,
+) -> tuple[int, int, int, bytearray]:
+    """Bilevel CCITT fax TIFF (Compression 2/3/4): each strip is an
+    independent G3/G4 segment (G4's reference row resets per strip),
+    expanded to 8-bit grey in the tag's native photometric so the
+    caller's WhiteIsZero inversion applies uniformly."""
+    from evaporate_spark.operators.ccitt import ccitt_decode
+
+    if spp != 1 or bps != [1] or planar != 1:
+        raise ValueError(f"CCITT TIFF must be bilevel: spp={spp} bps={bps}")
+    if 322 in tags:
+        raise ValueError("tiled CCITT TIFF not supported")
+    if photometric not in (0, 1):
+        raise ValueError(f"bad CCITT photometric {photometric}")
+    t4_options = tags.get(292, [0])[0]
+    try:
+        strip_offs, strip_counts = tags[273], tags[279]
+    except KeyError as ex:
+        raise ValueError(f"TIFF missing required tag {ex}") from None
+    rows_per_strip = tags.get(278, [h])[0]
+    if rows_per_strip <= 0:
+        raise ValueError(f"bad TIFF rows-per-strip {rows_per_strip}")
+    px = bytearray()
+    row0 = 0
+    for off, cnt in zip(strip_offs, strip_counts):
+        if row0 >= h:
+            break
+        rows = min(rows_per_strip, h - row0)
+        if off + cnt > len(raw):
+            raise ValueError("truncated TIFF segment")
+        px += ccitt_decode(raw[off : off + cnt], w, rows, comp, t4_options)
+        row0 += rows
+    if row0 < h:
+        raise ValueError("TIFF strips shorter than image")
+    # native 8-bit sample: photometric 0 (fax convention) has black as
+    # the MAX sample; the shared WhiteIsZero invert below the normal
+    # path is NOT run here, so emit display grey directly
+    black, white = (0, 255)
+    return w, h, 1, bytearray(black if b else white for b in px)
+
+
 def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     """(width, height, channels, 8-bit pixels row-major) for 8-bit
     TIFFs (first IFD): uncompressed, zlib-Deflate, PackBits, or
@@ -1184,7 +1238,11 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
     # 1 = uncompressed; 8/32946 = zlib Deflate; 32773 = PackBits;
     # 5 = TIFF-LZW (each segment independently compressed, table
     # reset); 7 = JPEG-in-TIFF (each segment a JPEG stream, optional
-    # shared tables in tag 347 spliced after the segment's SOI)
+    # shared tables in tag 347 spliced after the segment's SOI);
+    # 2/3/4 = CCITT fax (bilevel modified-Huffman / G3 / G4 — the
+    # scanned-document-lake codecs, decoded by operators/ccitt.py)
+    if comp in (2, 3, 4):
+        return _tiff_decode_fax(raw, w, h, comp, tags, spp, bps, planar, photometric)
     if comp not in (1, 8, 32946, 32773, 5, 7):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if planar not in (1, 2) or spp not in (1, 3, 4) or any(b != 8 for b in bps):
@@ -1467,9 +1525,9 @@ def decode_images(
                         except ValueError:
                             pass
                     # REAL stdlib decode for BMP (incl. RLE4/RLE8)
-                    # and for raw/Deflate/PackBits/LZW/JPEG TIFF in
-                    # strip/tile chunky/planar layouts; only CCITT-fax
-                    # and non-8-bit TIFFs degrade to the header fake
+                    # and for raw/Deflate/PackBits/LZW/JPEG/CCITT-fax
+                    # TIFF in strip/tile chunky/planar layouts; only
+                    # other non-8-bit TIFFs degrade to the header fake
                     if raw[:2] == b"BM":
                         try:
                             w, h, ch, px = bmp_decode(raw)
@@ -1674,7 +1732,7 @@ def _aiff_samples(raw: bytes):
 def _g711_wav_samples(raw: bytes):
     """(rate, channels, float64 linear samples) for the non-PCM WAVs
     the stdlib ``wave`` module refuses: G.711 µ-law/A-law (fmt codes
-    7/6, one companded byte per sample) and mono IMA ADPCM (fmt code
+    7/6, one companded byte per sample) and IMA ADPCM (fmt code
     0x11, 4-bit adaptive delta). Raises ValueError for anything else."""
     import numpy as np
 
@@ -1683,6 +1741,7 @@ def _g711_wav_samples(raw: bytes):
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     fmt = data = None
+    fact_samples = None
     pos = 12
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
@@ -1692,6 +1751,10 @@ def _g711_wav_samples(raw: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            # dwSampleLength: true per-channel sample count — the
+            # authority when the final compressed block is partial
+            fact_samples = int.from_bytes(body[0:4], "little")
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or data is None or len(fmt) < 16:
         raise ValueError("WAV missing fmt/data chunk")
@@ -1701,27 +1764,29 @@ def _g711_wav_samples(raw: bytes):
     if nch < 1 or rate <= 0:
         raise ValueError(f"bad WAV header nch={nch} rate={rate}")
     if code == 0x11:  # IMA ADPCM
-        from evaporate_spark.operators.adpcm import ima_adpcm_decode_mono
+        from evaporate_spark.operators.adpcm import ima_adpcm_decode
 
-        if nch != 1:
-            raise ValueError("stereo IMA ADPCM not supported")
         block_align = int.from_bytes(fmt[12:14], "little")
         if len(fmt) >= 20:
             spb = int.from_bytes(fmt[18:20], "little")
         else:
-            spb = (block_align - 4) * 2 + 1
-        samples = ima_adpcm_decode_mono(bytes(data), block_align, spb)
-        return rate, 1, np.asarray(samples, dtype=np.float64)
-    if code == 7:
-        table = ULAW_TABLE
-    elif code == 6:
-        table = ALAW_TABLE
+            spb = (block_align - 4 * nch) * 2 // nch + 1
+        samples = ima_adpcm_decode(bytes(data), block_align, spb, channels=nch)
+        arr = np.asarray(samples, dtype=np.float64)
     else:
-        raise ValueError(f"unsupported WAV format code {code}")
-    lut = np.asarray(table, dtype=np.float64)
-    codes = np.frombuffer(data, dtype=np.uint8)
-    usable = (codes.size // nch) * nch  # drop a ragged tail byte
-    return rate, nch, lut[codes[:usable]]
+        if code == 7:
+            table = ULAW_TABLE
+        elif code == 6:
+            table = ALAW_TABLE
+        else:
+            raise ValueError(f"unsupported WAV format code {code}")
+        lut = np.asarray(table, dtype=np.float64)
+        codes = np.frombuffer(data, dtype=np.uint8)
+        usable = (codes.size // nch) * nch  # drop a ragged tail byte
+        arr = lut[codes[:usable]]
+    if fact_samples is not None and 0 <= fact_samples * nch < arr.size:
+        arr = arr[: fact_samples * nch]  # trim pad nibbles of a partial block
+    return rate, nch, arr
 
 
 def decode_audio(

@@ -110,10 +110,11 @@ def video_stats_frame(spark: SparkSession, media_dir: str) -> DataFrame:
 @register(
     "q_decode_image_stats",
     "REAL pixel decode for PNG (grey/RGB/RGBA) + GIF (palette/LZW) + "
-    "JPEG (numpy DCT codec) + BMP (BI_RGB) + TIFF (uncompressed, both "
-    "byte orders): width/height/mean-intensity of the committed media "
-    "fixtures must hash-match the pinned expected stats (independently "
-    "validated against closed-form source arrays in pytest).",
+    "JPEG (numpy DCT codec) + BMP (BI_RGB) + TIFF (uncompressed/"
+    "PackBits/LZW + CCITT G3/G4 fax) + WebP-lossless: width/height/"
+    "mean-intensity of the committed media fixtures must hash-match "
+    "the pinned expected stats (independently validated against "
+    "closed-form source arrays in pytest).",
     oracle=f"""
         SELECT file, media_type, width, height, mean_intensity, decoded_by
         FROM read_parquet('{IMAGE_EXPECTED}')

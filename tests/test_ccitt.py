@@ -1,0 +1,115 @@
+"""CCITT G3/G4 fax codec tests: table integrity, encoder/decoder
+roundtrips across all three TIFF compressions, and the Spark
+decode-operator path over fax TIFFs."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from evaporate_spark.operators.ccitt import (
+    _BLACK_DECODE,
+    _WHITE_DECODE,
+    ccitt_decode,
+    ccitt_encode,
+    tiff_encode_fax,
+)
+
+
+def test_t4_tables_prefix_free_and_complete():
+    """Each color's code set (terminating + makeup + extended) must be
+    prefix-free — a single transposed bit in a hand-entered table
+    would almost surely break this — and cover runs 0-63 plus every
+    makeup multiple of 64 up to 2560."""
+    for name, tbl in (("white", _WHITE_DECODE), ("black", _BLACK_DECODE)):
+        codes = sorted(format(v, f"0{n}b") for (n, v) in tbl)
+        for a, b in zip(codes, codes[1:]):
+            assert not b.startswith(a), (name, a, b)
+        runs = sorted(tbl.values())
+        assert runs[:64] == list(range(64)), name
+        assert runs[64:] == [64 * k for k in range(1, 41)], name
+
+
+def _patterns():
+    rng = random.Random(7)
+    out = []
+    for w, h in ((64, 40), (17, 9), (1, 5), (5, 1), (100, 3), (1729, 2), (2600, 2)):
+        runs = bytearray(w * h)
+        for y in range(h):
+            x = 0
+            while x < w:
+                run = min(w - x, rng.randrange(1, 30))
+                col = rng.randrange(2)
+                runs[y * w + x : y * w + x + run] = bytes([col]) * run
+                x += run
+        noise = bytearray(rng.randrange(2) for _ in range(w * h))
+        text = bytearray(
+            1 if (x // 3 + y // 5) % 2 == 0 and x % 3 != 2 else 0
+            for y in range(h)
+            for x in range(w)
+        )
+        out += [(w, h, runs), (w, h, noise), (w, h, text)]
+    for fill in (0, 1):  # degenerate all-one-color images
+        out.append((33, 7, bytearray([fill] * (33 * 7))))
+    return out
+
+
+@pytest.mark.parametrize("comp", [2, 3, 4])
+def test_ccitt_roundtrip_all_compressions(comp):
+    """decode∘encode is exact for every pattern — including widths
+    needing makeup (1729) and extended-makeup (2600) chains, worst-
+    case per-pixel noise, and single-row/column edge shapes."""
+    for w, h, px in _patterns():
+        enc = ccitt_encode(px, w, h, comp, two_d=True)
+        dec = ccitt_decode(enc, w, h, comp, t4_options=1 if comp == 3 else 0)
+        assert bytes(dec) == bytes(px), (w, h, comp)
+
+
+def test_g3_1d_mode_roundtrip():
+    """T.4 with 2D disabled (no tag bits) decodes with t4_options=0."""
+    w, h, px = _patterns()[0]
+    enc = ccitt_encode(px, w, h, 3, two_d=False)
+    assert bytes(ccitt_decode(enc, w, h, 3, t4_options=0)) == bytes(px)
+
+
+def test_ccitt_malformed_inputs_raise():
+    busy = bytearray((x * y) & 1 for y in range(8) for x in range(64))
+    good = ccitt_encode(busy, 64, 8, 4)
+    with pytest.raises(ValueError):
+        ccitt_decode(good[: len(good) // 4], 64, 8, 4)  # truncated stream
+    with pytest.raises(ValueError):
+        ccitt_decode(b"\x00" * 32, 16, 2, 3)  # zeros: EOL never ends
+    with pytest.raises(ValueError):
+        ccitt_decode(b"", 4, 1, 2)  # exhausted bitstream
+    with pytest.raises(ValueError):
+        ccitt_decode(b"\x01", 4, 1, 9)  # not a CCITT compression
+
+
+def test_fax_tiff_decode_and_spark_operator(spark):
+    """tiff_encode_fax → tiff_decode (display grey, WhiteIsZero
+    inverted) for all three compressions, then the Spark
+    decode_images operator reports REAL stdlib-tiff decodes."""
+    from evaporate_spark.operators.multimodal import decode_images, tiff_decode
+
+    w, h = 64, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    bits = (((xx // 4 + yy // 6) % 2 == 0) & (xx % 4 != 3)).astype(np.uint8)
+    expect = np.where(bits == 1, 0, 255).astype(np.uint8)
+    rows = []
+    for comp in (2, 3, 4):
+        raw = tiff_encode_fax(bits.tobytes(), w, h, comp)
+        dw, dh, ch, px = tiff_decode(raw)
+        assert (dw, dh, ch) == (w, h, 1)
+        assert np.array_equal(
+            np.frombuffer(bytes(px), np.uint8).reshape(h, w), expect
+        ), comp
+        rows.append((f"fax{comp}.tif", bytearray(raw)))
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r for r in decode_images(df).collect()}
+    for comp in (2, 3, 4):
+        r = got[f"fax{comp}.tif"]
+        assert r["decoded_by"] == "stdlib-tiff" and r["err"] is None
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_intensity"] - float(expect.mean())) < 1e-6

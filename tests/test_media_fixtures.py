@@ -84,18 +84,25 @@ def test_pinned_audio_stats_match_source_signals():
         assert abs(p_dur - samples.shape[0] / rate) < 1e-3, name
         # recompute from the SOURCE float signal; PCM quantization makes
         # this approximate (tightest for 32-bit, loosest for 8-bit)
+        lossy = "ulaw" in name or "alaw" in name or "adpcm" in name
         truth_rms = float(np.sqrt(np.mean(samples**2)))
-        assert abs(p_rms - truth_rms) < 0.01, (name, p_rms, truth_rms)
+        assert abs(p_rms - truth_rms) < (0.02 if "adpcm" in name else 0.01), (
+            name, p_rms, truth_rms,
+        )
         mono = samples.mean(axis=1)
         truth_zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
         assert abs(p_zcr - truth_zcr) < 0.02, (name, p_zcr, truth_zcr)
         mag = np.abs(np.fft.rfft(mono - mono.mean()))
         freqs = np.fft.rfftfreq(mono.size, d=1.0 / rate)
         truth_cent = float((freqs * mag).sum() / mag.sum())
-        # G.711 companding noise is broadband, so the magnitude-
-        # weighted centroid of a pure tone shifts tens of Hz relative
-        # to the unquantized source — wider band for those fixtures
-        cent_tol = 60.0 if ("ulaw" in name or "alaw" in name) else 15.0
+        # Quantization noise is broadband, so the magnitude-weighted
+        # centroid of a pure tone shifts upward relative to the
+        # unquantized source: tens of Hz for 8-bit G.711 companding,
+        # a few hundred for 4-bit ADPCM (the noise-floor magnitude
+        # summed over all bins rivals the tone peak; verified decode
+        # sample error stays < 2% — the centroid shift is the codec,
+        # not the decoder)
+        cent_tol = 300.0 if "adpcm" in name else 60.0 if lossy else 15.0
         assert abs(p_cent - truth_cent) < cent_tol, (name, p_cent, truth_cent)
 
 

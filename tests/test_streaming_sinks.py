@@ -1948,44 +1948,69 @@ def test_bmp_rle_and_4bit_decode():
 
 
 def test_ima_adpcm_wav_decode_real(spark):
-    """Mono IMA ADPCM WAVs (fmt 0x11) decode through the block-wise
-    adaptive-delta expander with stats close to the source signal;
-    stereo ADPCM surfaces a typed per-row err."""
+    """IMA ADPCM WAVs (fmt 0x11) decode through the block-wise
+    adaptive-delta expander with stats close to the source signal:
+    mono, stereo (interleaved 4-byte channel groups), and a fact
+    chunk truncating the padded final block to the true length."""
     import numpy as np
 
-    from evaporate_spark.operators.adpcm import ima_adpcm_encode_mono
+    from evaporate_spark.operators.adpcm import (
+        ima_adpcm_encode,
+        ima_adpcm_encode_mono,
+    )
     from evaporate_spark.operators.multimodal import decode_audio
 
-    def adpcm_wav(rate, nch, blocks, block_align, spb):
+    def adpcm_wav(rate, nch, blocks, block_align, spb, fact=None):
         fmt = (
             (0x11).to_bytes(2, "little") + nch.to_bytes(2, "little")
             + rate.to_bytes(4, "little") + (rate // 2).to_bytes(4, "little")
             + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
             + (2).to_bytes(2, "little") + spb.to_bytes(2, "little")
         )
+        fact_chunk = (
+            b"fact" + (4).to_bytes(4, "little") + fact.to_bytes(4, "little")
+            if fact is not None
+            else b""
+        )
         return (
-            b"RIFF" + (4 + 8 + len(fmt) + 8 + len(blocks)).to_bytes(4, "little")
+            b"RIFF"
+            + (4 + 8 + len(fmt) + len(fact_chunk) + 8 + len(blocks)).to_bytes(4, "little")
             + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + fact_chunk
             + b"data" + len(blocks).to_bytes(4, "little") + blocks
         )
 
     rate, n = 8000, 4000
     t = np.arange(n) / rate
     sig = np.round(0.5 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(int).tolist()
+    sig2 = np.round(0.25 * 32767 * np.sin(2 * np.pi * 880 * t)).astype(int).tolist()
     blocks, spb = ima_adpcm_encode_mono(sig, block_align=256)
     good = adpcm_wav(rate, 1, blocks, 256, spb)
-    stereo = adpcm_wav(rate, 2, blocks, 256, spb)
+    facted = adpcm_wav(rate, 1, blocks, 256, spb, fact=n)
+    sblocks, sspb = ima_adpcm_encode([sig, sig2], block_align=264)
+    stereo = adpcm_wav(rate, 2, sblocks, 264, sspb, fact=n)
     df = spark.createDataFrame(
-        [("m.wav", bytearray(good)), ("s.wav", bytearray(stereo))],
+        [
+            ("m.wav", bytearray(good)),
+            ("f.wav", bytearray(facted)),
+            ("s.wav", bytearray(stereo)),
+        ],
         "path string, content binary",
     )
     got = {r["path"]: r for r in decode_audio(df).collect()}
     m = got["m.wav"]
     assert m["err"] is None and m["sample_rate"] == rate and m["channels"] == 1
-    assert m["n_samples"] >= n
+    assert m["n_samples"] >= n  # no fact chunk: padded final block kept
     truth_rms = float(np.sqrt(np.mean((np.array(sig) / 32768.0) ** 2)))
     assert abs(m["rms"] - truth_rms) < 0.02, (m["rms"], truth_rms)
-    assert got["s.wav"]["err"] is not None and "stereo" in got["s.wav"]["err"]
+    # fact chunk is the authority on true per-channel sample count
+    f = got["f.wav"]
+    assert f["err"] is None and f["n_samples"] == n
+    s = got["s.wav"]
+    assert s["err"] is None and s["channels"] == 2 and s["n_samples"] == n
+    both = np.stack([np.array(sig), np.array(sig2)]) / 32768.0
+    stereo_rms = float(np.sqrt(np.mean(both**2)))
+    assert abs(s["rms"] - stereo_rms) < 0.02, (s["rms"], stereo_rms)
 
 
 def test_jpeg_in_tiff_decode():

@@ -277,11 +277,12 @@ BENCH_ONLY = {
     "corpus_chain_10x": _corpus_chain_bench,
 }
 
-#: end-to-end canary rows timed ONCE per bench run (tens of seconds
-#: each; the interleaved-rep protocol exists for short queries whose
-#: medians fight noise — a 1-minute pipeline doesn't need 5 medians
-#: and would dominate the bench wall time)
-SINGLE_REP = {"corpus_chain_10x"}
+#: per-row rep caps for end-to-end canary rows (tens of seconds per
+#: rep): capped at 3 instead of the full n_reps so a median/min/max
+#: still exists — an n=1 pin can't distinguish a real regression from
+#: this host's documented ±30-50% day-to-day swing (r6 verdict) —
+#: without letting one long pipeline dominate the bench wall time
+REP_CAP = {"corpus_chain_10x": 3}
 
 
 def _wait_for_quiet_machine(max_load: float, timeout_s: float) -> dict:
@@ -310,7 +311,10 @@ def _wait_for_quiet_machine(max_load: float, timeout_s: float) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # unparsable dir name: let the parquet read report it
     n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
     load_gate = _wait_for_quiet_machine(
         max_load=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")),
@@ -335,7 +339,7 @@ def main() -> None:
     tokens: dict[str, int] = {}
     for _rep in range(n_reps):
         for name in names:
-            if _rep > 0 and name in SINGLE_REP:
+            if _rep >= REP_CAP.get(name, n_reps):
                 continue
             t0 = time.perf_counter()
             df = runners[name](spark, sf_dir)

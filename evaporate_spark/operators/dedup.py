@@ -711,3 +711,206 @@ def lsh_exact_dup_edges(
         .where(F.col("_id") != F.col("_min"))
         .select(F.col("_min").alias("id_a"), F.col("_id").alias("id_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup dedup via a persisted signature index
+# ---------------------------------------------------------------------------
+#
+# The 100 TB ingest problem `incremental_exact_dedup` solves at the
+# byte level, lifted to near-duplicates: a daily crawl batch must be
+# near-dup-checked against the EXISTING corpus without rescanning the
+# corpus text. The corpus is represented by a compact signature index
+# (~300 bytes/doc: shingle-set digest + MinHash signature + LSH band
+# buckets) that new batches join against. Reads that only need the
+# set-equality rule prune to the two digest columns at the parquet
+# scan, so the signature/bucket payload costs nothing until a
+# threshold-based consumer asks for it.
+
+#: second digest seed — 128-bit shingle-set identity as two xxhash64s
+_DIGEST_SEED2 = 0x9E3779B9
+
+
+def build_near_dup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Signature-index rows for a document frame: one row per doc with
+    >= ``k`` tokens, ``(doc_id, shh1, shh2, sig, buckets)`` where
+    (shh1, shh2) is the 128-bit shingle-set digest (set equality ==
+    digest equality up to hash collision), ``sig`` the MinHash
+    signature and ``buckets`` the per-band LSH bucket hashes (band b's
+    key is ``buckets[b]``; join on (position, value)).
+
+    Everything is computed in the scan stage (no shuffle); the shingle
+    array is materialized once per row and shared by the digest and
+    signature expressions. Persist with
+    ``.write.parquet(store_dir)`` — the store never contains text.
+    """
+    rows_per_band = num_hashes // bands
+    base = _widen(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")).where(
+            F.size(ws_tokens(F.col(text_col))) >= k
+        )
+    )
+    shingled = base.select(
+        "doc_id", rolling_hash_shingles(F.col("_text"), k).alias("_shg")
+    )
+    sigged = shingled.select(
+        "doc_id",
+        F.xxhash64(F.array_sort("_shg")).alias("shh1"),
+        F.xxhash64(F.array_sort("_shg"), F.lit(_DIGEST_SEED2)).alias("shh2"),
+        minhash_from_shingles(F.col("_shg"), num_hashes).alias("sig"),
+    )
+    return sigged.select(
+        "doc_id",
+        "shh1",
+        "shh2",
+        "sig",
+        F.array(
+            *[
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                )
+                for b in range(bands)
+            ]
+        ).alias("buckets"),
+    )
+
+
+def near_dedup_against_index(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Survivors of ``batch`` after shingle-set-equality near-dedup
+    against BOTH the persisted ``index`` (rows shaped like
+    :func:`build_near_dup_index`) and the batch itself.
+
+    Survivor rule (deterministic, order-free): a batch doc survives iff
+    it has fewer than ``k`` tokens (no shingles -> cannot near-dup), or
+    it is the minimum-id holder of its digest within the batch AND its
+    digest is absent from the index. Set equality is transitive, so the
+    min-id rule is a consistent cluster representative — no iterative
+    component pass needed (contrast threshold-based estimates, which
+    are not transitive; see :func:`near_dup_candidates_vs_index`).
+
+    Plan shape: digests in the scan stage; one shuffle for the
+    batch-internal min-id window, one digest-keyed left-anti join
+    against the index (broadcast while the index is small, sort-merge
+    at corpus scale — AQE's call). The index side prunes to
+    (shh1, shh2) at its parquet scan.
+    """
+    shg = rolling_hash_shingles(F.col(text_col), k)
+    digested = _widen(batch).withColumn(
+        "_shh1",
+        F.when(F.size(ws_tokens(F.col(text_col))) >= k, F.xxhash64(F.array_sort(shg))),
+    ).withColumn(
+        "_shh2",
+        F.when(
+            F.size(ws_tokens(F.col(text_col))) >= k,
+            F.xxhash64(F.array_sort(shg), F.lit(_DIGEST_SEED2)),
+        ),
+    )
+    w = Window.partitionBy("_shh1", "_shh2")
+    kept = digested.withColumn("_min_id", F.min(id_col).over(w)).where(
+        F.col("_shh1").isNull() | (F.col(id_col) == F.col("_min_id"))
+    )
+    seen = index.select("shh1", "shh2").dropDuplicates(["shh1", "shh2"])
+    # plain (non-null-safe) equality: short docs' NULL digests never
+    # match, so they pass the anti-join untouched
+    survivors = kept.join(
+        seen,
+        (kept["_shh1"] == seen["shh1"]) & (kept["_shh2"] == seen["shh2"]),
+        "left_anti",
+    )
+    return survivors.drop("_shh1", "_shh2", "_min_id")
+
+
+def near_dup_candidates_vs_index(
+    batch_index: DataFrame,
+    store_index: DataFrame,
+    num_hashes: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Threshold-based candidate pairs between a batch and the stored
+    corpus: ``(id_batch, id_store, est_jaccard)`` for every LSH
+    band-bucket collision whose signature-estimated Jaccard clears
+    ``threshold``. Both inputs are index frames from
+    :func:`build_near_dup_index` — the corpus text is never touched.
+
+    The only shuffle is the (band, bucket) equi-join; estimates are
+    probabilistic (pytest-verified like ``minhash_lsh_pairs``), and
+    consumers needing a survivor rule feed these edges into
+    ``connected_components`` — estimate-level similarity is not
+    transitive, so no min-id shortcut exists here.
+    """
+    b = batch_index.select(
+        F.col("doc_id").alias("id_batch"),
+        F.col("sig").alias("_sig_b"),
+        F.posexplode("buckets").alias("_band", "_bucket"),
+    )
+    s = store_index.select(
+        F.col("doc_id").alias("id_store"),
+        F.col("sig").alias("_sig_s"),
+        F.posexplode("buckets").alias("_band", "_bucket"),
+    )
+    cand = b.join(s, ["_band", "_bucket"]).dropDuplicates(["id_batch", "id_store"])
+    agree = F.size(
+        F.filter(
+            F.zip_with("_sig_b", "_sig_s", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_batch", "id_store", "est_jaccard")
+    )
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup twin of :func:`incremental_exact_dedup`: dedup an
+    incoming batch against itself and every previous batch at
+    shingle-set-equality level via the persisted signature index at
+    ``store_dir``, then append the SURVIVORS' index rows.
+
+    Crash-safety matches the exact twin: survivors are materialized
+    before the store append, so the append cannot exclude its own
+    batch, and a crash between the two re-admits at most one batch
+    (re-running is idempotent — the batch re-dedups against itself).
+    """
+    import os
+
+    spark = batch.sparkSession
+    if os.path.isdir(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    ):
+        index = spark.read.parquet(store_dir)
+    else:
+        index = build_near_dup_index(
+            batch.limit(0), id_col, text_col, num_hashes, bands, k
+        )
+    survivors = near_dedup_against_index(batch, id_col, text_col, index, k)
+    out = survivors.localCheckpoint(eager=True)
+    build_near_dup_index(out, id_col, text_col, num_hashes, bands, k).write.mode(
+        "append"
+    ).parquet(store_dir)
+    return out

@@ -244,6 +244,77 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_near_dedup",
+    "Incremental near-dedup of an incoming batch (the doubled corpus — "
+    "a re-crawl mixing already-indexed docs, fresh docs, and clones) "
+    "against a persisted signature INDEX of the even-id half of the "
+    "corpus, at shingle-set-equality level: a batch doc survives iff "
+    "it is too short to shingle, or it holds the minimum id of its "
+    "128-bit shingle-set digest within the batch AND the digest is "
+    "absent from the index. The corpus text is never rescanned — the "
+    "index side prunes to the two digest columns at its parquet-shaped "
+    "scan; one window shuffle + one digest-keyed anti-join. The oracle "
+    "replays the rule with DuckDB list algebra (set equality, not "
+    "hashes, so digest collisions would surface as a mismatch).",
+    oracle=f"""
+        WITH batch AS ({_DOUBLED_SQL}),
+        store AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        ),
+        bt AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM batch
+        ),
+        bs AS (
+            SELECT doc_id, len(toks) AS nt,
+                   CASE WHEN len(toks) >= 3 THEN list_sort(list_distinct(
+                       list_transform(
+                           range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       )
+                   )) END AS s
+            FROM bt
+        ),
+        st AS (
+            SELECT DISTINCT list_sort(list_distinct(
+                       list_transform(
+                           range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       )
+                   )) AS s
+            FROM (
+                SELECT string_split_regex(trim(text), '\\s+') AS toks FROM store
+            ) WHERE len(toks) >= 3
+        ),
+        ranked AS (
+            SELECT doc_id, nt, s,
+                   MIN(doc_id) OVER (PARTITION BY s) AS min_id
+            FROM bs
+        )
+        SELECT r.doc_id
+        FROM ranked r
+        LEFT JOIN st ON r.s = st.s
+        WHERE r.nt < 3 OR (r.doc_id = r.min_id AND st.s IS NULL)
+    """,
+    tags=("dedup",),
+)
+def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import (
+        build_near_dup_index,
+        near_dedup_against_index,
+    )
+
+    batch = _doubled_docs(spark, sf_dir)
+    store = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    index = build_near_dup_index(store, "doc_id", "text")
+    return near_dedup_against_index(batch, "doc_id", "text", index).select("doc_id")
+
+
+@register(
     "q_simhash_dups",
     "SimHash near-dup pairs (Hamming ≤ 3) over the doubled corpus via "
     "4×16-bit pigeonhole banding. xxhash64-based fingerprints are not "
@@ -1486,6 +1557,107 @@ def q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register(
+    "q_ewma_anomalies",
+    "Per-user EWMA drift detection (batch twin of the streaming "
+    "applyInPandasWithState operator — the streaming side is proven "
+    "equal to this one in the stream/batch parity pytest, so this row "
+    "makes the EWMA recurrence itself driver-witnessed): each event "
+    "is z-scored against the key's exponentially-weighted mean/"
+    "variance BEFORE updating them (alpha=0.3, |z|>3 after a 5-event "
+    "warm-up). One shuffle on user_id; the sequential recurrence runs "
+    "Arrow-batched per key. The oracle replays the identical IEEE "
+    "double recurrence as a DuckDB recursive CTE stepping row_number "
+    "order within each user.",
+    oracle="""
+        WITH RECURSIVE ordered AS (
+            SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        rec AS (
+            SELECT user_id, event_id, x, rn,
+                   CAST(1 AS BIGINT) AS n, x AS ewma,
+                   CAST(0.0 AS DOUBLE) AS ewvar,
+                   CAST(0.0 AS DOUBLE) AS zscore, 0 AS is_anomaly
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.user_id, o.event_id, o.x, o.rn,
+                   r.n + 1,
+                   r.ewma + 0.3 * (o.x - r.ewma),
+                   (1 - 0.3) * (r.ewvar
+                                + 0.3 * (o.x - r.ewma) * (o.x - r.ewma)),
+                   CASE WHEN r.ewvar > 0
+                        THEN (o.x - r.ewma) / sqrt(r.ewvar)
+                        ELSE 0.0 END,
+                   CASE WHEN r.n >= 5 AND r.ewvar > 0
+                             AND abs((o.x - r.ewma) / sqrt(r.ewvar)) > 3.0
+                        THEN 1 ELSE 0 END
+            FROM rec r
+            JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, x AS value,
+               ROUND(ewma, 6) AS ewma, ROUND(zscore, 6) AS zscore,
+               is_anomaly
+        FROM rec
+    """,
+    tags=("events", "streaming-twin"),
+)
+def q_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.streaming.stateful import ewma_anomalies_batch
+
+    (events,) = _t(spark, sf_dir, "events")
+    return ewma_anomalies_batch(events)
+
+
+@register(
+    "q_incremental_rollup_merge",
+    "Merge-on-read math of the incrementally-maintained rollup "
+    "(streaming/incremental.py): events are split into 7 synthetic "
+    "micro-batches, each producing the partial hour-grain aggregate "
+    "its foreachBatch write would log, and the partial log is merged "
+    "with the SAME merge_partials definition read_rollup uses (sum of "
+    "sums, count of counts over exact integer cents). The oracle "
+    "aggregates the raw events directly — equal hashes prove the "
+    "partial-log decomposition is lossless, which is exactly the "
+    "exactly-once view contract. The 7 filtered scans are deliberate: "
+    "they simulate per-batch logs; production reads the materialized "
+    "partials, never the raw stream.",
+    oracle="""
+        WITH e AS (
+            SELECT epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT (us // 3600000000) * 3600000000 AS bucket_us,
+               COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM e GROUP BY bucket_us
+    """,
+    tags=("events", "streaming-twin"),
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.streaming.incremental import _partial_agg, merge_partials
+
+    (events,) = _t(spark, sf_dir, "events")
+    prepared = events.select(
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 7).alias("batch_id"),
+    )
+    partials = None
+    for b in range(7):
+        p = _partial_agg(
+            prepared.where(F.col("batch_id") == b), "ts", ["cents"], "hour"
+        )
+        partials = p if partials is None else partials.unionByName(p)
+    merged = merge_partials(partials, ["cents"])
+    return merged.select(
+        "bucket_us", "n", F.col("sum_cents").cast("long").alias("sum_cents")
+    )
 
 
 @register(

@@ -75,19 +75,23 @@ def incremental_rollup_sink(
     return writer.start()
 
 
+def merge_partials(partials: DataFrame, measure_cols: list[str]) -> DataFrame:
+    """The merge-on-read step: re-aggregate batch partials (sum of
+    sums, count of counts — exact for decomposable integer measures).
+    ``read_rollup`` and the q_incremental_rollup_merge oracle row both
+    go through this one definition."""
+    return partials.groupBy("bucket_us").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in measure_cols],
+    )
+
+
 def read_rollup(
     spark: SparkSession, root: str, measure_cols: list[str]
 ) -> DataFrame:
     """The merged view: partials re-aggregated (exact for integer
     measures). ``(bucket_us, n, sum_<m>...)``."""
-    return (
-        spark.read.parquet(root)
-        .groupBy("bucket_us")
-        .agg(
-            F.sum("n").alias("n"),
-            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in measure_cols],
-        )
-    )
+    return merge_partials(spark.read.parquet(root), measure_cols)
 
 
 def compact_rollup(

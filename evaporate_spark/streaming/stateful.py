@@ -76,6 +76,18 @@ EWMA_Z = 3.0
 _EWMA_MIN_N = 5  # warm-up: never flag the first few observations
 
 
+def _round6(x: float) -> float:
+    """Round to 6 decimals with the half-AWAY-from-zero convention SQL
+    engines use (floor(|x*1e6| + 0.5) with the sign restored), so the
+    q_ewma_anomalies DuckDB oracle reproduces the output bit-for-bit.
+    Python's round() is banker's on the exact double and disagrees at
+    scaled .5 boundaries."""
+    import math
+
+    s = x * 1e6
+    return math.copysign(math.floor(abs(s) + 0.5), s) / 1e6
+
+
 def _ewma_step(n, ewma, ewvar, x):
     """One sequential EWMA update — THE shared definition (both twins
     call this, so they cannot drift apart). Returns
@@ -95,30 +107,53 @@ def _ewma_step(n, ewma, ewvar, x):
     return n + 1, ewma2, ewvar2, z, flag
 
 
+def _run_ewma(pdf, n, ewma, ewvar):
+    """Apply the recurrence over an already-(ts, event_id)-sorted frame.
+    Iterates plain python floats from numpy arrays (not ``iterrows`` —
+    the recurrence is inherently sequential, but row-object construction
+    was ~10× the cost of the arithmetic). Returns the output columns
+    plus the post-recurrence state."""
+    values = pdf["value"].to_numpy(dtype="float64")
+    ewmas = [0.0] * len(values)
+    zscores = [0.0] * len(values)
+    flags = [0] * len(values)
+    for i, x in enumerate(values.tolist()):
+        n, ewma, ewvar, z, flag = _ewma_step(n, ewma, ewvar, x)
+        ewmas[i] = _round6(ewma)
+        zscores[i] = _round6(z)
+        flags[i] = flag
+    return values, ewmas, zscores, flags, n, ewma, ewvar
+
+
 def _update_ewma(key, pdfs, state: GroupState):
     import pandas as pd
 
     n, ewma, ewvar = state.get if state.exists else (0, 0.0, 0.0)
-    out = {k: [] for k in ("user_id", "event_id", "value", "ewma", "zscore", "is_anomaly")}
     # A key's micro-batch arrives as MULTIPLE Arrow chunks (bounded by
     # spark.sql.execution.arrow.maxRecordsPerBatch); the recurrence
     # needs one global (ts, event_id) order, so concatenate before
     # sorting — chunk-local sorts would apply the EWMA out of order for
     # keys with more rows than one chunk.
     chunks = [pdf for pdf in pdfs]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
-        for _, r in pdf.iterrows():
-            x = float(r["value"])
-            n, ewma, ewvar, z, flag = _ewma_step(n, ewma, ewvar, x)
-            out["user_id"].append(key[0])
-            out["event_id"].append(int(r["event_id"]))
-            out["value"].append(x)
-            out["ewma"].append(round(ewma, 6))
-            out["zscore"].append(round(z, 6))
-            out["is_anomaly"].append(flag)
+    if not chunks:
+        state.update((n, ewma, ewvar))
+        yield pd.DataFrame(
+            columns=["user_id", "event_id", "value", "ewma", "zscore", "is_anomaly"]
+        )
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+    values, ewmas, zscores, flags, n, ewma, ewvar = _run_ewma(pdf, n, ewma, ewvar)
     state.update((n, ewma, ewvar))
-    yield pd.DataFrame(out)
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": pdf["event_id"].to_numpy(),
+            "value": values,
+            "ewma": ewmas,
+            "zscore": zscores,
+            "is_anomaly": flags,
+        }
+    )
 
 
 def ewma_anomalies(events: DataFrame) -> DataFrame:
@@ -146,16 +181,16 @@ def ewma_anomalies_batch(events: DataFrame) -> DataFrame:
 
     def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        n, ewma, ewvar = 0, 0.0, 0.0
-        rows = []
-        for _, r in pdf.iterrows():
-            x = float(r["value"])
-            n, ewma, ewvar, z, flag = _ewma_step(n, ewma, ewvar, x)
-            rows.append((int(r["user_id"]), int(r["event_id"]), x,
-                         round(ewma, 6), round(z, 6), flag))
+        values, ewmas, zscores, flags, _, _, _ = _run_ewma(pdf, 0, 0.0, 0.0)
         return pd.DataFrame(
-            rows,
-            columns=["user_id", "event_id", "value", "ewma", "zscore", "is_anomaly"],
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "value": values,
+                "ewma": ewmas,
+                "zscore": zscores,
+                "is_anomaly": flags,
+            }
         )
 
     return (

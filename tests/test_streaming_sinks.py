@@ -869,12 +869,12 @@ def test_bmp_tiff_decode_resize_real(spark):
         for predictor in (1, 2):
             got = tiff_decode(deflate_tiff(rgb.tobytes(), comp, predictor))
             assert bytes(got[3]) == rgb.tobytes(), (comp, predictor)
-    # CCITT fax (3) stays a clean per-row error; raw strips MISLABELED
-    # as JPEG (7) or LZW (5) raise typed codec errors rather than
-    # returning garbage pixels
+    # an RGB strip MISLABELED as CCITT fax (3, bilevel-only), JPEG (7)
+    # or LZW (5) raises a typed codec error rather than returning
+    # garbage pixels
     blob = bytearray(deflate_tiff(rgb.tobytes(), 1, 1))
     comp_pos = blob.index(struct.pack("<HHI", 259, 3, 1))
-    for fake_comp, pat in ((3, "compression"), (7, "SOI"), (5, "LZW")):
+    for fake_comp, pat in ((3, "bilevel"), (7, "SOI"), (5, "LZW")):
         bad = bytearray(blob)
         bad[comp_pos + 8 : comp_pos + 10] = struct.pack("<H", fake_comp)
         with pytest.raises(ValueError, match=pat):

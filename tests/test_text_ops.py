@@ -568,6 +568,74 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     assert out2b.count() == 0
 
 
+def test_incremental_near_dedup_across_batches(spark, tmp_path):
+    """Near-dup twin: batch 2 drops rows whose SHINGLE SET (not bytes)
+    arrived in batch 1; batch-internal near-dups keep the min id; short
+    docs (no shingles) always pass; re-running drops the shingled rows."""
+    from evaporate_spark.operators.dedup import incremental_near_dedup
+
+    store = str(tmp_path / "sig_store")
+    # ids 1 and 2 differ as bytes (whitespace) but share one token
+    # sequence -> identical trigram shingle sets; id 4 has < 3 tokens
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha  beta gamma  delta"),
+            (3, "completely different text here"),
+            (4, "too short"),
+        ],
+        ["id", "content"],
+    )
+    out1 = incremental_near_dedup(b1, "id", "content", store)
+    assert sorted(r["id"] for r in out1.collect()) == [1, 3, 4]
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),  # indexed set -> dropped
+            (11, "brand new content words entirely"),
+            (12, "hi"),  # short -> kept
+        ],
+        ["id", "content"],
+    )
+    out2 = incremental_near_dedup(b2, "id", "content", store)
+    assert sorted(r["id"] for r in out2.collect()) == [11, 12]
+
+    # re-run: 11 is now indexed; the short doc has no signature and
+    # passes again (near-dedup never sees sub-shingle docs — chain
+    # incremental_exact_dedup first, the module's cheapest-first order)
+    out2b = incremental_near_dedup(b2, "id", "content", store)
+    assert sorted(r["id"] for r in out2b.collect()) == [12]
+
+
+def test_near_dup_candidates_vs_index(spark):
+    """Threshold candidates between a batch index and a store index:
+    identical shingle sets estimate jaccard 1.0; disjoint docs never
+    pair; the pair carries (id_batch, id_store)."""
+    from evaporate_spark.operators.dedup import (
+        build_near_dup_index,
+        near_dup_candidates_vs_index,
+    )
+
+    store = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "an unrelated document about spark shuffles")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "nothing in common with either stored doc")],
+        ["doc_id", "text"],
+    )
+    pairs = near_dup_candidates_vs_index(
+        build_near_dup_index(batch, "doc_id", "text"),
+        build_near_dup_index(store, "doc_id", "text"),
+        threshold=0.5,
+    ).collect()
+    assert [(r["id_batch"], r["id_store"], r["est_jaccard"]) for r in pairs] == [
+        (1, 100, 1.0)
+    ]
+
+
 def test_ivf_index_build_and_search(spark, sf_dir, tmp_path):
     """Persisted IVF index: search results equal the in-memory ivf_topk
     with the same codebook, and the probe scan PARTITION-PRUNES to the

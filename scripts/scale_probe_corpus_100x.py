@@ -1,0 +1,133 @@
+"""One-off 100x corpus-chain scale probe (VERDICT r6 task 6).
+
+The per-round bench runs the full ``prepare_corpus`` chain over a
+10x-replicated documents table — enough to catch inlining-class
+regressions (the r6 ``bind_once`` bug cost 5x at 10x scale). This
+probe replicates the sf0.1 documents table ~100x (~500k docs with a
+realistic duplicate mix) and runs the same nine-stage chain
+end-to-end, recording wall time plus executed-plan health metrics
+(shuffle bytes, spill, scan counts via plans/metrics.py). 100x is
+where quadratic pair growth in the LSH/banding stages or driver-state
+creep would first surface while still fitting a single dev host.
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_corpus_100x.py
+Writes scripts/SCALE_PROBE_100X.json (the committed record) unless
+``--stdout-only``.
+
+The replication mix mirrors bench.py's 10x builder per source doc:
+30% exact copies (exact-dedup work), 40% repetition variants (same
+distinct-shingle set, different bytes — survive exact dedup, form
+real LSH clusters), 30% distinct rewrites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTOR = 100
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_JSON = os.path.join(REPO, "scripts", "SCALE_PROBE_100X.json")
+
+
+def replicated_docs_dir(spark, sf_dir: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/spark_graft_corpus{factor}x_{tag}"
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    k = F.col("_k")
+    exact_end = factor * 3 // 10
+    rep_end = factor * 7 // 10
+    docs = (
+        base.select("*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_k"))
+        .withColumn("doc_id", F.col("doc_id") * factor + k)
+        .withColumn(
+            "text",
+            F.when(k < exact_end, F.col("text"))
+            .when(
+                k < rep_end,
+                F.concat_ws(
+                    " ", F.array_repeat(F.col("text"), (k % 4) + 2)
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.md5(F.concat(F.col("text"), k.cast("string"))),
+                    F.lit(" "),
+                    F.reverse(F.col("text")),
+                )
+            ),
+        )
+        .drop("_k")
+    )
+    # single-file source parquet -> one scan partition for every narrow
+    # stage unless spread (bench.py learned this the hard way)
+    docs.repartition(64).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.plans.metrics import query_summary
+    from evaporate_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-100x")
+    t_build0 = time.perf_counter()
+    docs_dir = replicated_docs_dir(spark, SF_DIR, FACTOR)
+    build_s = round(time.perf_counter() - t_build0, 1)
+    docs = spark.read.parquet(docs_dir)
+    n_docs = docs.count()
+    eval_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).where(
+        F.col("doc_id") % 101 == 0
+    )
+
+    t0 = time.perf_counter()
+    packed = prepare_corpus(
+        docs,
+        near_dedup=True,
+        eval_docs=eval_docs,
+        mix_key="lang",
+        mix_fractions={"en": 1.0, "de": 0.7, "fr": 0.6},
+        default_fraction=0.5,
+        split_fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+        seq_len=512,
+        overlap=32,
+    )
+    summary = packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    rows = {r["split"]: (r["n_windows"], r["total_tokens"]) for r in summary.collect()}
+    chain_s = round(time.perf_counter() - t0, 1)
+    health = query_summary(summary)
+
+    record = {
+        "probe": "corpus_chain_100x",
+        "sf_dir": SF_DIR,
+        "factor": FACTOR,
+        "n_input_docs": n_docs,
+        "fixture_build_s": build_s,
+        "chain_wall_s": chain_s,
+        "splits": {k: {"n_windows": v[0], "total_tokens": v[1]} for k, v in rows.items()},
+        "plan_health": health,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(record, indent=2))
+    if "--stdout-only" not in sys.argv:
+        with open(OUT_JSON, "w") as fh:
+            fh.write(json.dumps(record, indent=2) + "\n")
+        print(f"recorded -> {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    main()

@@ -866,3 +866,62 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "q_bucketed_colocated_join",
+    "Revenue per order priority over a BUCKETED orders x lineitem "
+    "join: both sides are first written as parquet tables bucketed 8 "
+    "ways on the order key (the one-time shuffle), then joined via "
+    "colocated_join, which RAISES unless the join plan is free of "
+    "shuffle Exchanges — on local testdata Catalyst broadcasts the "
+    "small side (also shuffle-free); with broadcast off both scans "
+    "read Bucketed: true into a shuffle-less sort-merge join "
+    "(plan-asserted in tests). Revenue is summed in exact integer "
+    "cents so the oracle comparison is bit-stable.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    tags=("join", "storage"),
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from evaporate_spark.sources.bucketed import colocated_join, write_bucketed
+
+    tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    base = f"/tmp/spark_graft_bucketed_{tag}"
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderpriority"),
+        f"orders_bkt_{tag}",
+        ["o_orderkey"],
+        8,
+        ["o_orderkey"],
+        path=f"{base}/orders",
+    )
+    write_bucketed(
+        lineitem.select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+        ),
+        f"lineitem_bkt_{tag}",
+        ["o_orderkey"],
+        8,
+        ["o_orderkey"],
+        path=f"{base}/lineitem",
+    )
+    joined = colocated_join(
+        spark, f"orders_bkt_{tag}", f"lineitem_bkt_{tag}", "o_orderkey"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents).alias("revenue_cents"),
+    )

@@ -1,0 +1,103 @@
+"""Bucketed tables: pre-shuffled storage that makes repeated big joins
+shuffle-free.
+
+The brief's partitioning toolkit names three levers — broadcast for
+small dims, repartition for one-shot co-location, *bucketing* for
+joins you run repeatedly. A table written with ``bucketBy(n, key)``
+is physically hash-partitioned into ``n`` buckets at WRITE time; every
+later join or aggregation on that key reads the buckets as its input
+partitioning and skips the Exchange entirely. At 100 TB the fact-fact
+join (orders x lineitem style) is the single most expensive shuffle in
+the warehouse — bucketing both sides by the join key amortizes that
+shuffle into the one-time write.
+
+Mechanics on Spark: bucketed layout metadata lives in the session
+catalog (``saveAsTable``; a real deployment backs it with a Hive
+metastore or Unity-style catalog so the layout survives sessions —
+the in-memory catalog used on local mode scopes table NAMES to the
+session, while the parquet bucket files themselves are durable on
+disk). Both join sides must agree on bucket count and key.
+``assert_shuffle_free`` makes the property executable: operators that
+promise co-location raise at plan time if an Exchange crept in, so a
+regression is a loud error, not a silent 2x shuffle at scale.
+
+No reference counterpart (HazyResearch/evaporate has no storage
+layer); this is part of the beyond-reference scale surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as a bucketed parquet table registered as ``name``.
+
+    ``bucket_cols`` is the future join/aggregation key; ``sort_cols``
+    (usually the same key) additionally sorts within each bucket file
+    so a later sort-merge join can skip its Sort when bucket files are
+    single-per-bucket. ``path`` makes the table external (data at a
+    caller-chosen location); without it the session warehouse dir is
+    used. Returns ``name`` for chaining into ``spark.table``.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+    return name
+
+
+def _plan_text(df: DataFrame) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]  # AQE echoes both
+
+
+def assert_shuffle_free(df: DataFrame) -> DataFrame:
+    """Raise if ``df``'s physical plan contains a shuffle Exchange.
+
+    The executable form of the co-location promise: call it on the
+    join (before any aggregation — a post-join groupBy legitimately
+    exchanges its small grouped output) and a plan regression —
+    mismatched bucket counts, a key-type coercion that voids the
+    bucket spec, bucketed reads disabled — fails fast instead of
+    silently re-shuffling terabytes. Broadcast exchanges are allowed:
+    they move a small side, not the data.
+    """
+    plan = _plan_text(df)
+    shuffles = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if re.search(r"\bExchange (hash|range|SinglePartition)", ln)
+    ]
+    if shuffles:
+        raise RuntimeError(
+            "plan is not shuffle-free; found: " + "; ".join(shuffles[:3])
+        )
+    return df
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_name: str,
+    right_name: str,
+    on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables on their bucket key, asserting the
+    plan carries NO shuffle Exchange (the whole point of bucketing)."""
+    joined = spark.table(left_name).join(spark.table(right_name), on, how)
+    return assert_shuffle_free(joined)

@@ -25,3 +25,54 @@ def test_all_queries_return_rows(spark, sf_dir):
     for name, spec in REGISTRY.items():
         n = spec.spark(spark, sf_dir).count()
         assert n >= 0, name
+
+
+def test_bucketed_join_is_shuffle_free_smj(spark, sf_dir, tmp_path):
+    """With broadcast off (forcing the big-big join shape bucketing
+    exists for), a join of two tables bucketed 8 ways on the same key
+    planes as a sort-merge join whose scans read Bucketed: true and
+    whose plan holds ZERO shuffle Exchanges; with mismatched bucket
+    counts assert_shuffle_free raises."""
+    from evaporate_spark.sources.bucketed import (
+        _plan_text,
+        assert_shuffle_free,
+        colocated_join,
+        write_bucketed,
+    )
+    from evaporate_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS o_orderkey", "l_extendedprice"
+    )
+    write_bucketed(orders, "t_bkt_orders", ["o_orderkey"], 8, ["o_orderkey"],
+                   path=str(tmp_path / "orders"))
+    write_bucketed(li, "t_bkt_li", ["o_orderkey"], 8, ["o_orderkey"],
+                   path=str(tmp_path / "li"))
+    write_bucketed(li, "t_bkt_li13", ["o_orderkey"], 13, ["o_orderkey"],
+                   path=str(tmp_path / "li13"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "t_bkt_orders", "t_bkt_li", "o_orderkey")
+        plan = _plan_text(j)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        assert "Exchange hash" not in plan
+        # values survive the layout: row count equals the plain join's
+        plain = orders.join(li, "o_orderkey")
+        assert j.count() == plain.count()
+
+        # mismatched bucket counts void co-location -> loud failure
+        bad = spark.table("t_bkt_orders").join(
+            spark.table("t_bkt_li13"), "o_orderkey"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="shuffle-free"):
+            assert_shuffle_free(bad)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

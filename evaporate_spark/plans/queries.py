@@ -925,3 +925,69 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(cents).alias("revenue_cents"),
     )
+
+
+@register(
+    "q_partition_pruned_join",
+    "Conversion-event rollup over a Hive-PARTITIONED events fact "
+    "(partitionBy event_type) joined to a filtered category dim: the "
+    "surviving key values are only known at runtime, so the query "
+    "RAISES unless Spark plants the dim's broadcast result as a "
+    "dynamic-partition-pruning filter on the fact scan — the layout "
+    "property (2 of 5 partition dirs listed, not all) that a "
+    "value-level test can never catch, because an unpruned scan "
+    "returns the same rows after reading everything. Values summed in "
+    "exact integer cents; file-skipping itself is metrics-asserted in "
+    "tests.",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY event_type
+    """,
+    tags=("join", "storage"),
+)
+def q_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from evaporate_spark.sources.partitioned import (
+        assert_dynamic_pruning,
+        write_partitioned,
+    )
+
+    tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    (events,) = _t(spark, sf_dir, "events")
+    path = write_partitioned(
+        events.select("event_id", "value", "event_type"),
+        f"/tmp/spark_graft_partitioned_{tag}/events",
+        ["event_type"],
+    )
+    fact = spark.read.parquet(path)
+    # static type->category dim; the filter survives only on the dim,
+    # so the fact's partition pruning must come through the join
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        ["event_type", "category"],
+    )
+    # explicit broadcast: declares the 100 TB-correct build side AND
+    # keeps the fact probe-side so its partition filter can reuse the
+    # dim broadcast (AQE otherwise broadcasts the locally-tiny fact,
+    # degrading the pruning filter to always-true)
+    joined = assert_dynamic_pruning(
+        fact.join(
+            broadcast(dim.where(F.col("category") == "conversion")), "event_type"
+        )
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )

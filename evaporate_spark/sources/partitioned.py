@@ -1,0 +1,72 @@
+"""Hive-style partitioned writes + executable dynamic-partition-pruning
+(DPP) checks.
+
+Partitioning is the scan-volume lever the way bucketing
+(:mod:`evaporate_spark.sources.bucketed`) is the shuffle lever: a fact
+table written ``partitionBy(key)`` lets any query with a predicate on
+the key skip whole directories at the FILE LISTING step — at 100 TB
+the difference between reading 2 partitions and 500. Static pruning
+(literal predicates) is free; the interesting case is a join against a
+FILTERED dimension, where the surviving key values are only known at
+runtime. Spark's dynamic partition pruning plants the dim's broadcast
+result as a subquery filter on the fact scan
+(``dynamicpruningexpression(key IN dynamicpruning#n)``), so the fact
+side never lists the pruned directories.
+
+``assert_dynamic_pruning`` makes that executable: operators promising
+a pruned fact scan raise at plan time if the DPP filter is missing
+(dim no longer broadcastable, key type coercion, pruning disabled) —
+the silent failure mode is a full 100 TB scan that still returns
+correct rows, which no value-level test would ever catch.
+
+No reference counterpart (the reference has no storage layer); part of
+the beyond-reference scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as Hive-layout parquet (``key=value`` dirs) at
+    ``path``. Partition on LOW-cardinality keys a 100 TB reader
+    filters on (date, type, tenant); high-cardinality keys create a
+    small-file explosion — use bucketing or z-order for those.
+    Returns ``path`` for chaining into ``spark.read.parquet``."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path
+
+
+def assert_dynamic_pruning(df: DataFrame) -> DataFrame:
+    """Raise unless ``df``'s plan prunes a partitioned scan with a
+    runtime (dynamicpruning) filter. Call on a fact-join-filtered-dim
+    frame whose fact side is partitioned on the join key.
+
+    Two failure shapes are rejected: no ``dynamicpruningexpression``
+    at all, and the DEGRADED ``dynamicpruningexpression(true)`` Spark
+    substitutes when the pruning subquery can't be planted — observed
+    when AQE picks the (locally tiny) FACT as the broadcast side, which
+    orphans the filter. Joins that promise pruning should
+    ``broadcast()`` the dim explicitly: that both declares the
+    100 TB-correct build side and keeps the fact probe-side so the
+    broadcast result is reusable as the pruning subquery.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+    live = plan.count("dynamicpruningexpression") - plan.count(
+        "dynamicpruningexpression(true)"
+    )
+    if live < 1:
+        raise RuntimeError(
+            "no live dynamicpruningexpression in the fact scan's "
+            "PartitionFilters (missing, or degraded to the "
+            "always-true form) — the join will scan every partition; "
+            "broadcast() the filtered dim side explicitly"
+        )
+    return df

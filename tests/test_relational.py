@@ -76,3 +76,58 @@ def test_bucketed_join_is_shuffle_free_smj(spark, sf_dir, tmp_path):
             assert_shuffle_free(bad)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_write_prunes_files_at_runtime(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning actually SKIPS files: the fact scan
+    under the filtered-dim join touches only the surviving partitions'
+    files (strictly fewer than the table total), and an un-prunable
+    plan (no partitioning) fails assert_dynamic_pruning loudly."""
+    from evaporate_spark.plans.metrics import query_summary
+    from evaporate_spark.sources.catalog import load_table
+    from evaporate_spark.sources.partitioned import (
+        assert_dynamic_pruning,
+        write_partitioned,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    path = write_partitioned(ev, str(tmp_path / "events"), ["event_type"])
+    fact = spark.read.parquet(path)
+    # metrics populate only after executing THIS frame's own plan
+    # (count() wraps it in a fresh QueryExecution whose metrics land
+    # elsewhere — collect() runs the frame's own)
+    fact.collect()
+    total_files = query_summary(fact)["scan_files"]
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "conversion"), ("signup", "conversion"),
+         ("error", "ops")],
+        ["event_type", "category"],
+    )
+    j = assert_dynamic_pruning(
+        fact.join(
+            F.broadcast(dim.where(F.col("category") == "conversion")),
+            "event_type",
+        )
+    )
+    # the values equal the unpartitioned filter (collect also executes
+    # j's own plan so its scan metrics reflect the real run)
+    expect = ev.where(F.col("event_type").isin("purchase", "signup")).count()
+    assert len(j.collect()) == expect
+    pruned_files = query_summary(j)["scan_files"]
+    assert 0 < pruned_files < total_files
+
+    # an unpartitioned fact cannot prune -> loud failure
+    import pytest as _pytest
+
+    flat = str(tmp_path / "flat")
+    ev.write.mode("overwrite").parquet(flat)
+    bad = spark.read.parquet(flat).join(
+        F.broadcast(dim.where(F.col("category") == "conversion")), "event_type"
+    )
+    with _pytest.raises(RuntimeError, match="dynamicpruning"):
+        assert_dynamic_pruning(bad)

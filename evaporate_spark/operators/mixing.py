@@ -97,3 +97,78 @@ def mix_to_token_budget(
     """Two-pass reproducible downsampling to per-key token budgets."""
     fractions = token_budget_fractions(df, key_col, token_col, budgets, default_budget)
     return deterministic_mix(df, id_col, key_col, fractions, 1.0, salt)
+
+
+def epoch_weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """UP-sampling companion to :func:`deterministic_mix`: replicate
+    each row ``weights[key]`` times in expectation, deterministically —
+    the standard epoch-weighted data mix (e.g. a 2.25-epoch source
+    emits every doc twice plus a reproducible 25% of docs a third
+    time). Output gains an ``epoch`` int column (0-based copy index)
+    so downstream packing/shuffling can keep copies apart.
+
+    Mechanism: explode ``sequence(0, floor(w))`` per row; copy ``i`` is
+    kept iff ``i < floor(w)`` (a guaranteed full epoch) or the row's
+    :func:`sample_hash` clears the fractional threshold (the partial
+    epoch — the SAME hash for every id across weights, so a 2.25 mix's
+    partial epoch is a strict subset of a 2.5 mix's, preserving the
+    nested-ladder property). Pure JVM expressions, no shuffle; output
+    size is exactly sum(floor(w)+keep) rows — never materialize w
+    copies to discard them.
+    """
+    w: Column = F.lit(float(default_weight))
+    for key, p in sorted(weights.items()):
+        w = F.when(F.col(key_col) == key, F.lit(float(p))).otherwise(w)
+    out = df.withColumn("_w", w).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.floor("_w").cast("int")))
+    )
+    frac_threshold = ((F.col("_w") - F.floor("_w")) * _HASH_SPACE).cast("long")
+    keep = (F.col("epoch") < F.floor("_w").cast("int")) | (
+        sample_hash(id_col, salt) < frac_threshold
+    )
+    return out.where(keep).drop("_w")
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle of a corpus — the reproducible
+    training order. Rows are totally ordered by ``md5(seed || id)``
+    (uniform, engine-independent, changes completely with ``seed``)
+    and assigned a 1-based global ``pos`` via the two-phase scalable
+    rank (``operators/ranking.py`` — repartitionByRange + per-range
+    offsets; no single-task global sort anywhere). With ``n_shards``,
+    rows also get contiguous ``shard`` / ``pos_in_shard`` columns so
+    shard files can be written independently while preserving the
+    global order (shard 0 holds positions 1..N/k, etc. — a training
+    loader reading shards in order replays the exact permutation).
+    """
+    from evaporate_spark.operators.ranking import global_rank
+
+    hashed = df.withColumn(
+        "_h", F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    )
+    ranked, total = global_rank(hashed, ["_h", id_col], rank_col="pos")
+    ranked = ranked.drop("_h")
+    if n_shards is not None:
+        # exact integer arithmetic (SQL `div`): double division here
+        # would misplace boundary rows once pos*k leaves the 2^53
+        # exactly-representable range
+        k = int(n_shards)
+        ranked = ranked.withColumn(
+            "shard", F.expr(f"cast(((pos - 1) * {k}) div {total} as int)")
+        ).withColumn(
+            "pos_in_shard",
+            F.expr(f"(pos - 1) - ((shard * {total}L + {k - 1}) div {k}) + 1"),
+        )
+    return ranked

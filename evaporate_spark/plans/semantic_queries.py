@@ -1342,6 +1342,91 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_epoch_weighted_mix",
+    "Epoch-weighted UP-sampling (the standard multi-epoch data mix: "
+    "en at 2.25 epochs emits every doc twice plus a deterministic 25% "
+    "a third time, fr at 0.5 downsamples) — deterministic_mix's "
+    "companion for weights above 1.0. Each kept copy carries a 0-based "
+    "epoch index; the partial-epoch subset reuses the SAME md5-prefix "
+    "hash as mixing, so ladders stay nested. Explode+filter in the "
+    "scan stage, no shuffle, never materializes discarded copies. The "
+    "oracle replays the identical arithmetic with a lateral range().",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 2.25 WHEN 'de' THEN 1.0
+                             WHEN 'fr' THEN 0.5 ELSE 1.0 END AS w,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS hv
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, lang, w, hv, CAST(FLOOR(w) AS INT) AS nf FROM w
+        ),
+        x AS (
+            SELECT doc_id, lang, w, hv, nf,
+                   UNNEST(range(0, nf + 1)) AS epoch
+            FROM e
+        )
+        SELECT doc_id, lang, epoch
+        FROM x
+        WHERE epoch < nf
+           OR hv < CAST(FLOOR((w - nf) * 4294967296) AS BIGINT)
+    """,
+    tags=("dedup", "textstats"),
+)
+def q_epoch_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.mixing import epoch_weighted_mix
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return epoch_weighted_mix(
+        d.select("doc_id", "lang"),
+        id_col="doc_id",
+        key_col="lang",
+        weights={"en": 2.25, "de": 1.0, "fr": 0.5},
+        default_weight=1.0,
+    )
+
+
+@register(
+    "q_corpus_shuffle",
+    "Deterministic GLOBAL corpus shuffle (reproducible training "
+    "order): rows totally ordered by md5(seed||doc_id) and given an "
+    "exact 1-based global position via the two-phase scalable rank "
+    "(range-repartition + per-range offsets — no single-task sort), "
+    "then cut into 4 contiguous shards with exact integer boundary "
+    "math (shard files written independently replay the exact "
+    "permutation when read in order). Oracle replays the same md5 "
+    "order with ROW_NUMBER and the same div arithmetic.",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(concat('r7', CAST(doc_id AS VARCHAR))) AS hv
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS pos,
+                   COUNT(*) OVER () AS total
+            FROM h
+        )
+        SELECT doc_id, pos,
+               CAST(((pos - 1) * 4) // total AS INT) AS shard,
+               (pos - 1)
+                 - ((CAST(((pos - 1) * 4) // total AS BIGINT) * total + 3) // 4)
+                 + 1 AS pos_in_shard
+        FROM r
+    """,
+    tags=("textstats",),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.mixing import corpus_shuffle
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return corpus_shuffle(d.select("doc_id"), "doc_id", seed="r7", n_shards=4)
+
+
+@register(
     "q_pack_sequences",
     "Sequence packing for LM training: each document split into "
     "32-token windows with 8-token overlap (stride 24), one output "

@@ -1452,3 +1452,73 @@ def test_corpus_chain_10x_lint_clean(spark, sf_dir):
     # the chain actually produced a split corpus with a train majority
     assert set(rows) <= {"train", "val", "test"} and "train" in rows
     assert rows["train"] > sum(v for k, v in rows.items() if k != "train")
+
+
+def test_epoch_weighted_mix_replication_and_ladder(spark):
+    """Weights above 1.0 replicate: every 'en' doc appears floor(w)
+    times plus a deterministic partial epoch; integer weights emit
+    exactly w copies; the partial-epoch subset is NESTED across
+    weights (2.25's extra docs are a subset of 2.75's)."""
+    from evaporate_spark.operators.mixing import epoch_weighted_mix
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+        ["doc_id", "lang"],
+    )
+
+    def runs(w_en):
+        out = epoch_weighted_mix(
+            docs, "doc_id", "lang", {"en": w_en, "de": 1.0}
+        ).collect()
+        per = {}
+        for r in out:
+            per.setdefault((r["doc_id"], r["lang"]), []).append(r["epoch"])
+        return per
+
+    per = runs(2.25)
+    for (doc, lang), epochs in per.items():
+        if lang == "de":
+            assert epochs == [0]
+        else:
+            assert sorted(epochs) in ([0, 1], [0, 1, 2])
+    n_extra_225 = {d for (d, la), e in per.items() if la == "en" and len(e) == 3}
+    # ~25% of 100 en docs get the partial third epoch
+    assert 10 <= len(n_extra_225) <= 40
+    n_extra_275 = {
+        d
+        for (d, la), e in runs(2.75).items()
+        if la == "en" and len(e) == 3
+    }
+    assert n_extra_225 <= n_extra_275  # nested ladder
+    # deterministic: re-run is identical
+    assert runs(2.25) == runs(2.25)
+
+
+def test_corpus_shuffle_is_a_sharded_permutation(spark):
+    """Global positions are exactly 1..N; shards are contiguous rank
+    ranges of near-equal size; pos_in_shard restarts at 1 per shard;
+    a different seed yields a different order; same seed is stable."""
+    from evaporate_spark.operators.mixing import corpus_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(257)], ["doc_id"])
+    out = corpus_shuffle(docs, "doc_id", seed="s1", n_shards=4).collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, 258))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sorted(by_shard) == [0, 1, 2, 3]
+    sizes = [len(v) for _, v in sorted(by_shard.items())]
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 257
+    prev_end = 0
+    for s in range(4):
+        rows = sorted(by_shard[s], key=lambda r: r["pos"])
+        # contiguous global range, 1-based local positions
+        assert rows[0]["pos"] == prev_end + 1
+        assert [r["pos_in_shard"] for r in rows] == list(range(1, len(rows) + 1))
+        prev_end = rows[-1]["pos"]
+
+    order1 = [r["doc_id"] for r in sorted(out, key=lambda r: r["pos"])]
+    out2 = corpus_shuffle(docs, "doc_id", seed="s1", n_shards=4).collect()
+    assert [r["doc_id"] for r in sorted(out2, key=lambda r: r["pos"])] == order1
+    out3 = corpus_shuffle(docs, "doc_id", seed="s2", n_shards=4).collect()
+    assert [r["doc_id"] for r in sorted(out3, key=lambda r: r["pos"])] != order1

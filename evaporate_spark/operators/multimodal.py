@@ -1231,7 +1231,10 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError(f"TIFF missing required tag {ex}") from None
     comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]
-    bps = tags.get(258, [8] * spp)
+    # TIFF 6.0: BitsPerSample DEFAULTS TO 1 when tag 258 is absent —
+    # real writers (e.g. the JDK's TIFFImageWriter) omit it for
+    # bilevel images, so defaulting to 8 here misread every such file
+    bps = tags.get(258, [1] * spp)
     planar = tags.get(284, [1])[0]
     photometric = tags.get(262, [1])[0]
     predictor = tags.get(317, [1])[0]
@@ -1245,10 +1248,24 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
         return _tiff_decode_fax(raw, w, h, comp, tags, spp, bps, planar, photometric)
     if comp not in (1, 8, 32946, 32773, 5, 7):
         raise ValueError(f"unsupported TIFF compression {comp}")
-    if planar not in (1, 2) or spp not in (1, 3, 4) or any(b != 8 for b in bps):
+    # bilevel (1-bit) rasters also occur OUTSIDE the fax compressions:
+    # scanned docs recompressed with LZW/Deflate/PackBits keep bps=1
+    bilevel = spp == 1 and bps == [1]
+    if planar not in (1, 2) or spp not in (1, 3, 4) or not (
+        bilevel or all(b == 8 for b in bps)
+    ):
         raise ValueError(f"unsupported TIFF layout spp={spp} bps={bps} planar={planar}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if bilevel:
+        if comp == 7:
+            raise ValueError("bilevel JPEG-in-TIFF is not a valid combination")
+        if 322 in tags:
+            raise ValueError("bilevel tiled TIFF not supported")
+        if predictor != 1:
+            raise ValueError("bilevel TIFF horizontal predictor not supported")
+        if planar != 1:
+            raise ValueError("bilevel planar TIFF not supported")
     if comp == 7 and (predictor != 1 or planar != 1):
         raise ValueError("JPEG-in-TIFF supports chunky, no predictor")
     if w <= 0 or h <= 0 or w * h > 1 << 26:
@@ -1367,6 +1384,21 @@ def tiff_decode(raw: bytes) -> tuple[int, int, int, bytearray]:
                 pbuf = bytearray(data[c * plane : (c + 1) * plane])
                 undo_predictor(pbuf, h, w, 1)
                 px[c :: spp] = pbuf
+        elif bilevel:
+            # rows are bit-packed MSB-first, each padded to a whole
+            # byte; strips end on row boundaries so concatenation is
+            # already row-aligned
+            import numpy as np
+
+            row_bytes = (w + 7) // 8
+            need = row_bytes * h
+            if len(data) < need:
+                raise ValueError("TIFF strips shorter than image")
+            packed = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
+            bits = np.unpackbits(packed.reshape(h, row_bytes), axis=1)[:, :w]
+            # 1 → 255; the shared photometric-0 inversion below flips
+            # WhiteIsZero files to the 0=black/255=white convention
+            px = bytearray((bits * 255).astype(np.uint8).tobytes())
         else:
             need = w * h * spp
             if len(data) < need:

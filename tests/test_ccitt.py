@@ -113,3 +113,66 @@ def test_fax_tiff_decode_and_spark_operator(spark):
         assert r["decoded_by"] == "stdlib-tiff" and r["err"] is None
         assert (r["width"], r["height"]) == (w, h)
         assert abs(r["mean_intensity"] - float(expect.mean())) < 1e-6
+
+
+def test_ccitt_cross_validated_against_jvm_imageio(spark):
+    """External-conformance check both ways through an INDEPENDENT
+    implementation (the JDK's TIFFImageWriter/Reader):
+
+    - our fax TIFFs (Compression 2/3/4) decode pixel-exact in ImageIO,
+      so the bitstreams are spec-conformant, not merely self-consistent;
+    - TIFFs WRITTEN by the JVM with every compression it offers on a
+      bilevel raster (CCITT RLE / T.4 / T.6, plus LZW / PackBits /
+      Deflate which omit the BitsPerSample tag — spec default 1) decode
+      pixel-exact in our decoder.
+    """
+    import numpy as np
+
+    from evaporate_spark.operators.ccitt import tiff_encode_fax
+    from evaporate_spark.operators.multimodal import tiff_decode
+
+    jvm = spark._jvm
+    W, H = 23, 17
+    rng = np.random.default_rng(7)
+    black = (rng.random((H, W)) < 0.4).astype(np.uint8)  # 1 = black
+    expect = ((1 - black) * 255).astype(np.uint8)  # engine convention
+
+    # ours -> ImageIO
+    for comp in (2, 3, 4):
+        blob = tiff_encode_fax(black.tobytes(), W, H, comp)
+        path = f"/tmp/ccitt_xval_ours_{comp}.tif"
+        open(path, "wb").write(blob)
+        bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+        assert bi is not None, f"ImageIO rejected our compression-{comp} TIFF"
+        raster = bi.getRaster()
+        got = np.array(
+            [[raster.getSample(x, y, 0) for x in range(W)] for y in range(H)],
+            dtype=np.uint8,
+        )
+        # ImageIO returns 0/1 samples, 0 = black under WhiteIsZero
+        assert np.array_equal(got * 255, expect), f"comp={comp}"
+
+    # ImageIO -> ours
+    bi = jvm.java.awt.image.BufferedImage(
+        W, H, jvm.java.awt.image.BufferedImage.TYPE_BYTE_BINARY
+    )
+    r = bi.getRaster()
+    for y in range(H):
+        for x in range(W):
+            r.setSample(x, y, 0, 0 if black[y, x] else 1)  # 1 = white
+    for ct in ("CCITT RLE", "CCITT T.4", "CCITT T.6", "LZW", "PackBits", "Deflate"):
+        it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+        writer = it.next()
+        param = writer.getDefaultWriteParam()
+        param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(ct)
+        path = f"/tmp/ccitt_xval_jvm_{ct.replace(' ', '_').replace('.', '')}.tif"
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(path))
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        ios.close()
+        writer.dispose()
+        dw, dh, ch, px = tiff_decode(open(path, "rb").read())
+        assert (dw, dh, ch) == (W, H, 1), ct
+        got = np.frombuffer(bytes(px), dtype=np.uint8).reshape(H, W)
+        assert np.array_equal(got, expect), ct

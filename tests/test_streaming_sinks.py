@@ -832,8 +832,11 @@ def test_bmp_tiff_decode_resize_real(spark):
     # hand-built BIG-endian TIFF decodes identically
     def be_tiff(pix: bytes) -> bytes:
         ifd_off = 8 + len(pix)
-        ents = [(256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, 1), (262, 3, 1, 1),
-                (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, h), (279, 4, 1, len(pix))]
+        # tag 258 (BitsPerSample=8) is REQUIRED for 8-bit data: the
+        # TIFF 6.0 default when absent is 1 bit (bilevel)
+        ents = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+                (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, h),
+                (279, 4, 1, len(pix))]
         out = b"MM\x00*" + struct.pack(">I", ifd_off) + pix + struct.pack(">H", len(ents))
         for tag, typ, cnt, val in ents:
             vb = struct.pack(">HH", val, 0) if typ == 3 else struct.pack(">I", val)
@@ -853,8 +856,11 @@ def test_bmp_tiff_decode_resize_real(spark):
             diff[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
             pix = diff.astype(np.uint8).tobytes()
         body = _zlib.compress(pix) if comp != 1 else pix
-        ents = [(256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, comp), (262, 3, 1, 2),
-                (273, 4, 1, 8), (277, 3, 1, 3), (278, 4, 1, h), (279, 4, 1, len(body))]
+        # 258 present (count-1 shorthand tolerated by the parser):
+        # without it the TIFF 6.0 default is 1-bit bilevel
+        ents = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, comp),
+                (262, 3, 1, 2), (273, 4, 1, 8), (277, 3, 1, 3), (278, 4, 1, h),
+                (279, 4, 1, len(body))]
         if predictor == 2:
             ents.append((317, 3, 1, 2))
         ents.sort()

@@ -46,7 +46,13 @@ def _alaw_to_linear(a: int) -> int:
         sample = (mantissa << 4) + 8
     else:
         sample = ((mantissa << 4) + 0x108) << (exponent - 1)
-    return -sample if sign else sample
+    # A-law sign convention is the OPPOSITE of µ-law's: the XOR-0x55
+    # toggle leaves bit 7 alone, and a SET sign bit means POSITIVE
+    # (G.711 Table 2; cross-validated byte-for-byte against the JDK's
+    # javax.sound A-law codec — the earlier sign flip here produced a
+    # self-consistent encoder/decoder pair that inverted real-world
+    # A-law audio)
+    return sample if sign else -sample
 
 
 #: companded byte → 16-bit linear sample (index = wire byte)

@@ -1741,8 +1741,11 @@ def test_g711_wav_decode_real(spark):
     # ITU G.711 anchor values
     assert ULAW_TABLE[0xFF] == 0 and ULAW_TABLE[0x00] == -32124
     assert ULAW_TABLE[0x80] == 32124
-    assert ALAW_TABLE[0x55] == 8 and ALAW_TABLE[0xD5] == -8
-    assert ALAW_TABLE[0x2A] == 32256
+    # sign-bit-SET bytes are the positive half in A-law (G.711 Table 2
+    # — the opposite of µ-law; cross-validated against the JDK codec in
+    # test_g711_tables_match_jvm_codec)
+    assert ALAW_TABLE[0xD5] == 8 and ALAW_TABLE[0x55] == -8
+    assert ALAW_TABLE[0xAA] == 32256 and ALAW_TABLE[0x2A] == -32256
     # encode(decode(b)) is value-stable on every code word
     for enc, tab in ((ulaw_encode, ULAW_TABLE), (alaw_encode, ALAW_TABLE)):
         for b in range(256):
@@ -2221,3 +2224,100 @@ def test_aiff_decode_real(spark):
         < 5.0
     )
     assert got["trunc.aiff"]["err"] is not None
+
+
+def test_image_encoders_cross_validated_against_jvm_imageio(spark):
+    """Every lossless encoder's output decodes PIXEL-EXACT in an
+    INDEPENDENT implementation (the JDK's ImageIO) — files the engine
+    exports (resize_images re-encodes into the source container) must
+    be readable by other tools, which round-trips through our own
+    decoder cannot prove. JPEG (lossy) is held to a small tolerance.
+    Gray PNG is compared via raw raster samples: BufferedImage.getRGB
+    routes TYPE_BYTE_GRAY through Java's linear-gray colorspace and
+    shifts values — an ImageIO quirk, not a codec property."""
+    import numpy as np
+
+    from evaporate_spark.operators.jpeg import jpeg_encode
+    from evaporate_spark.operators.multimodal import (
+        bmp_encode,
+        gif_encode,
+        png_encode,
+        tiff_encode,
+    )
+
+    jvm = spark._jvm
+    H, W = 13, 17
+    yy, xx = np.mgrid[0:H, 0:W]
+    rgb = np.stack(
+        [(xx * 15) % 256, (yy * 23) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    grey = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+    pal = np.array(
+        [[255, 255, 255], [255, 0, 0], [0, 0, 255], [0, 0, 0]], dtype=np.uint8
+    )
+    idx = ((xx + yy) % 4).astype(np.uint8)
+
+    def jvm_rgb(path):
+        bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+        assert bi is not None, f"ImageIO rejected {path}"
+        out = np.zeros((bi.getHeight(), bi.getWidth(), 3), dtype=np.uint8)
+        for y in range(out.shape[0]):
+            for x in range(out.shape[1]):
+                v = bi.getRGB(x, y)
+                out[y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
+        return out
+
+    lossless = {
+        "png.png": (png_encode(W, H, 3, rgb.tobytes()), rgb),
+        "bmp.bmp": (bmp_encode(W, H, 3, rgb.tobytes()), rgb),
+        "lzw.tif": (tiff_encode(W, H, 3, rgb.tobytes(), "lzw"), rgb),
+        "pb.tif": (tiff_encode(W, H, 3, rgb.tobytes(), "packbits"), rgb),
+        "gif.gif": (gif_encode(W, H, pal.tobytes(), idx.tobytes()), pal[idx]),
+    }
+    for name, (blob, expect) in lossless.items():
+        path = f"/tmp/enc_xval_{name}"
+        open(path, "wb").write(blob)
+        assert np.array_equal(jvm_rgb(path), expect), name
+
+    path = "/tmp/enc_xval_grey.png"
+    open(path, "wb").write(png_encode(W, H, 1, grey.tobytes()))
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    r = bi.getRaster()
+    got = np.array(
+        [[r.getSample(x, y, 0) for x in range(W)] for y in range(H)],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, grey)
+
+    path = "/tmp/enc_xval_q92.jpg"
+    open(path, "wb").write(jpeg_encode(W, H, 3, rgb.tobytes(), quality=92))
+    diff = np.abs(jvm_rgb(path).astype(int) - rgb.astype(int))
+    assert diff.max() <= 12 and diff.mean() < 3.0
+
+
+def test_g711_tables_match_jvm_codec(spark):
+    """Every one of the 256 µ-law and A-law codewords decodes to the
+    SAME 16-bit sample as the JDK's independent javax.sound G.711
+    codec — external conformance for the expansion tables (this check
+    caught a self-consistent A-law sign inversion the round-trip tests
+    could not see)."""
+    import numpy as np
+
+    from evaporate_spark.operators.g711 import ALAW_TABLE, ULAW_TABLE
+
+    jvm = spark._jvm
+    Encoding = jvm.javax.sound.sampled.AudioFormat.Encoding
+    for name, table, enc in (
+        ("ulaw", ULAW_TABLE, Encoding.ULAW),
+        ("alaw", ALAW_TABLE, Encoding.ALAW),
+    ):
+        src = jvm.javax.sound.sampled.AudioFormat(enc, 8000.0, 8, 1, 1, 8000.0, False)
+        ais = jvm.javax.sound.sampled.AudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytes(range(256))), src, 256
+        )
+        dst = jvm.javax.sound.sampled.AudioFormat(
+            Encoding.PCM_SIGNED, 8000.0, 16, 1, 2, 8000.0, False
+        )
+        conv = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(dst, ais)
+        got = np.frombuffer(bytes(conv.readAllBytes()), dtype="<i2").astype(int)
+        assert np.array_equal(got, np.array(table)), name

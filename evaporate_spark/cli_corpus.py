@@ -57,6 +57,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq-len", type=int, help="pack into training windows of this many tokens")
     p.add_argument("--overlap", type=int, default=0)
     p.add_argument(
+        "--upsample-weights",
+        help="key=epochs list for multi-epoch upsampling, e.g. 'en=2.25' "
+        "(requires --mix-key; adds an epoch column)",
+    )
+    p.add_argument(
+        "--shuffle-seed",
+        help="append the deterministic global training order (pos column)",
+    )
+    p.add_argument(
+        "--shuffle-shards", type=int,
+        help="with --shuffle-seed: also cut the order into N contiguous shards",
+    )
+    p.add_argument(
         "--rows-per-shard", type=int,
         help="bound output shard file sizes (writer-side split, no shuffle)",
     )
@@ -69,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if (args.mix_key is None) != (args.mix_fractions is None):
         print("--mix-key and --mix-fractions go together", file=sys.stderr)
+        return 2
+    if args.upsample_weights and args.mix_key is None:
+        print("--upsample-weights requires --mix-key", file=sys.stderr)
+        return 2
+    if args.shuffle_shards and not args.shuffle_seed:
+        print("--shuffle-shards requires --shuffle-seed", file=sys.stderr)
         return 2
 
     from evaporate_spark.corpus import prepare_corpus
@@ -100,6 +119,9 @@ def main(argv: list[str] | None = None) -> int:
         default_fraction=args.default_fraction,
         seq_len=args.seq_len,
         overlap=args.overlap,
+        upsample_weights=_parse_fractions(args.upsample_weights),
+        shuffle_seed=args.shuffle_seed,
+        shuffle_shards=args.shuffle_shards,
     )
     writer = out.write.mode("overwrite")
     if args.rows_per_shard:
@@ -124,6 +146,8 @@ def main(argv: list[str] | None = None) -> int:
                     "near_dedup": args.near_dedup,
                     "split": args.split_fractions is not None,
                     "pack": args.seq_len is not None,
+                    "upsample": args.upsample_weights is not None,
+                    "shuffle": args.shuffle_seed is not None,
                 },
                 "output": args.output,
             }

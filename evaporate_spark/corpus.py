@@ -3,7 +3,8 @@ engine's §2C hygiene operators in the order a real pretraining
 pipeline runs them:
 
     normalize → PII-redact → exact-dedup → near-dedup (cluster
-    keep-one) → decontaminate → mix → split → pack
+    keep-one) → decontaminate → mix (down) → upsample (epochs) →
+    split → pack → global shuffle
 
 Every step is the already-oracle-checked operator (normalize_text,
 redact_pii/scrub_documents, exact_dedup, decontaminate,
@@ -38,8 +39,11 @@ def prepare_corpus(
     mix_key: str | None = None,
     mix_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
+    upsample_weights: dict[str, float] | None = None,
     seq_len: int | None = None,
     overlap: int = 0,
+    shuffle_seed: str | None = None,
+    shuffle_shards: int | None = None,
 ) -> DataFrame:
     """Run the selected preparation stages over ``docs`` and return
     the cleaned corpus — or, when ``seq_len`` is given, the packed
@@ -48,7 +52,13 @@ def prepare_corpus(
     ``eval_docs`` enables decontamination: documents whose word
     ``decontam_k``-gram overlap with the eval set reaches
     ``decontam_threshold`` are DROPPED. ``mix_key``/``mix_fractions``
-    enable reproducible per-key downsampling.
+    enable reproducible per-key downsampling; ``upsample_weights``
+    (requires ``mix_key``) the multi-epoch UP-sampling companion —
+    rows gain a 0-based ``epoch`` copy index that rides through
+    packing. ``shuffle_seed`` appends the deterministic global
+    training order (``pos``, plus ``shard``/``pos_in_shard`` when
+    ``shuffle_shards`` is set) over whatever the preceding stages
+    produced — documents, or packed windows.
 
     ``near_dedup`` adds the cluster-level pass: shingle-set duplicate
     groups (lsh_exact_dup_edges → connected components) keep only
@@ -111,6 +121,16 @@ def prepare_corpus(
         out = deterministic_mix(
             out, id_col, mix_key, mix_fractions, default_fraction
         )
+    if upsample_weights is not None:
+        if mix_key is None:
+            raise ValueError("upsample_weights requires mix_key")
+        from evaporate_spark.operators.mixing import epoch_weighted_mix
+
+        # multi-epoch composition: rows replicate per epoch AFTER the
+        # hygiene/downsampling stages (never clean the same bytes
+        # twice); the epoch index rides through packing so repeated
+        # windows stay distinguishable
+        out = epoch_weighted_mix(out, id_col, mix_key, upsample_weights)
     if split_fractions is not None:
         from evaporate_spark.functions.text_stats import fingerprint
         from evaporate_spark.operators.splits import split_column
@@ -126,10 +146,28 @@ def prepare_corpus(
             if split_fractions is not None
             else None
         )
-        out = pack_sequences(out, id_col, text_col, seq_len, overlap)
+        carry = ["epoch"] if upsample_weights is not None else None
+        out = pack_sequences(out, id_col, text_col, seq_len, overlap, carry)
         if split_map is not None:
             # every training window inherits its source doc's split
             out = out.join(split_map, id_col)
+    if shuffle_seed is not None:
+        from evaporate_spark.operators.mixing import corpus_shuffle
+
+        # the reproducible global training order: key on everything
+        # that identifies a row (doc, window, epoch copy)
+        key_cols = [id_col]
+        if seq_len is not None:
+            key_cols.append("seq_index")
+        if upsample_weights is not None:
+            key_cols.append("epoch")
+        out = out.withColumn(
+            "_shuffle_key",
+            F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols]),
+        )
+        out = corpus_shuffle(
+            out, "_shuffle_key", seed=shuffle_seed, n_shards=shuffle_shards
+        ).drop("_shuffle_key")
     return out
 
 

@@ -29,14 +29,22 @@ def pack_sequences(
     text_col: str = "text",
     seq_len: int = 512,
     overlap: int = 0,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, text) → one row per training window:
-    (id, seq_index, n_tokens, seq_text). Empty documents yield no
-    rows; a document shorter than ``seq_len`` yields one window."""
+    (id, [carry_cols...], seq_index, n_tokens, seq_text). Empty
+    documents yield no rows; a document shorter than ``seq_len``
+    yields one window. ``carry_cols`` are copied onto every window of
+    their document (e.g. the ``epoch`` index from
+    ``epoch_weighted_mix`` — an input with one row per (id, epoch)
+    packs to one window set per epoch, which is exactly the
+    upsampling multiplicity)."""
     if not 0 <= overlap < seq_len:
         raise ValueError(f"need 0 <= overlap < seq_len, got {overlap}/{seq_len}")
     stride = seq_len - overlap
     from evaporate_spark.functions.text_stats import bind_once
+
+    carry = list(carry_cols or [])
 
     def _windows(toks):
         n = F.size(toks)
@@ -51,10 +59,12 @@ def pack_sequences(
     return (
         docs.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             F.posexplode(windows).alias("seq_index", "_w"),
         )
         .select(
             id_col,
+            *carry,
             "seq_index",
             F.size("_w").cast("bigint").alias("n_tokens"),
             F.concat_ws(" ", "_w").alias("seq_text"),

@@ -1522,3 +1522,48 @@ def test_corpus_shuffle_is_a_sharded_permutation(spark):
     assert [r["doc_id"] for r in sorted(out2, key=lambda r: r["pos"])] == order1
     out3 = corpus_shuffle(docs, "doc_id", seed="s2", n_shards=4).collect()
     assert [r["doc_id"] for r in sorted(out3, key=lambda r: r["pos"])] != order1
+
+
+def test_prepare_corpus_upsample_and_shuffle(spark):
+    """The facade's new composition tail: upsample_weights replicates
+    per-epoch (epoch index riding through packing), shuffle_seed
+    appends a deterministic global order over the packed windows, and
+    the whole chain is rerun-identical."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i % 2 == 0 else "de",
+             " ".join(f"w{i}t{j}" for j in range(40)))
+            for i in range(30)
+        ],
+        ["doc_id", "lang", "text"],
+    )
+
+    def run():
+        return prepare_corpus(
+            docs,
+            normalize=False,
+            redact=False,
+            mix_key="lang",
+            mix_fractions={"en": 1.0, "de": 1.0},
+            upsample_weights={"en": 2.0, "de": 1.0},
+            seq_len=16,
+            overlap=0,
+            shuffle_seed="s",
+            shuffle_shards=3,
+        ).collect()
+
+    rows = run()
+    # en docs pack each window TWICE (epochs 0 and 1), de once
+    per = {}
+    for r in rows:
+        per.setdefault((r["doc_id"], r["seq_index"]), []).append(r["epoch"])
+    for (doc, _si), epochs in per.items():
+        assert sorted(epochs) == ([0, 1] if doc % 2 == 0 else [0])
+    # global order is a 1..N permutation cut into 3 contiguous shards
+    assert sorted(r["pos"] for r in rows) == list(range(1, len(rows) + 1))
+    assert {r["shard"] for r in rows} == {0, 1, 2}
+    # deterministic end-to-end
+    key = lambda r: (r["doc_id"], r["seq_index"], r["epoch"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, run()))

@@ -2398,3 +2398,40 @@ def test_aiff_and_g711_wavs_from_jvm_decode_exact(spark):
         wire = raw[fmt_off + 8 : fmt_off + 8 + n]
         expect = np.array([table[b] for b in wire], dtype=np.float64)
         assert np.array_equal(np.asarray(samples), expect), name
+
+
+def test_image_decoders_read_jvm_written_files(spark):
+    """Decoder-direction conformance: PNG/BMP/GIF files WRITTEN by the
+    independent JDK ImageIO decode pixel-exact in our decoders (the
+    direction that exposed the TIFF BitsPerSample-default bug — an
+    external writer exercises header/layout variants our own encoder
+    never produces). The test image holds <256 distinct colors so the
+    GIF writer does not quantize."""
+    import numpy as np
+
+    from evaporate_spark.operators.multimodal import (
+        bmp_decode,
+        gif_decode,
+        png_decode,
+    )
+
+    jvm = spark._jvm
+    H, W = 13, 17
+    yy, xx = np.mgrid[0:H, 0:W]
+    rgb = np.stack(
+        [(xx * 15) % 256, (yy * 23) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(
+        W, H, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(H):
+        for x in range(W):
+            r, g, b = map(int, rgb[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    for fmt, decode in (("png", png_decode), ("bmp", bmp_decode), ("gif", gif_decode)):
+        path = f"/tmp/dec_xval.{fmt}"
+        assert jvm.javax.imageio.ImageIO.write(bi, fmt, jvm.java.io.File(path))
+        w, h, ch, px = decode(open(path, "rb").read())
+        assert (w, h) == (W, H), fmt
+        arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)[:, :, :3]
+        assert np.array_equal(arr, rgb), fmt

@@ -382,6 +382,19 @@ def generate_media(out_dir: str) -> dict[str, bytes]:
     files["clip_mjpeg.avi"] = avi_mjpeg_write(
         [jpeg_encode(w, h, 3, f.tobytes(), quality=90) for f in frames], w, h
     )
+    # mp4 container fixture: REAL box/table structure around
+    # deterministic FAKE codec payloads (the H.264 bitstream is the
+    # engine's stubbed step; what this fixture exercises is the moov
+    # walk + stsc/stsz/stco offset resolution)
+    from evaporate_spark.operators.mp4 import mp4_mux_video
+
+    files["clip_h264_stub.mp4"] = mp4_mux_video(
+        [bytes([i % 251]) * (100 + 7 * i) for i in range(60)],
+        320,
+        240,
+        fps=30,
+        sync_every=8,
+    )
     for name, data in files.items():
         with open(os.path.join(out_dir, name), "wb") as fh:
             fh.write(data)

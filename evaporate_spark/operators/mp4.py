@@ -1,0 +1,381 @@
+"""ISO-BMFF (mp4/mov) CONTAINER parsing — metadata and raw-sample
+extraction without any codec.
+
+A 100 TB multimodal lake's first video pass is container-level: filter
+by resolution/duration/codec, count frames, pull every Nth sample as
+an opaque blob for an external decode service. None of that needs an
+H.264 decoder — it is all in the ``moov`` box tree (ISO/IEC 14496-12):
+
+    moov/mvhd                 presentation timescale + duration
+    moov/trak/tkhd            track id + 16.16-fixed width/height
+    moov/trak/mdia/mdhd       media timescale + duration
+    moov/trak/mdia/hdlr       handler ('vide'/'soun')
+    .../minf/stbl/stsd        sample description (codec fourcc)
+    .../stbl/stts             decode timing (sample count)
+    .../stbl/stss             sync-sample (keyframe) table
+    .../stbl/stsz|stz2        per-sample byte sizes
+    .../stbl/stsc + stco/co64 sample→chunk→file-offset mapping
+
+The actual CODEC bitstream (H.264/H.265 inside ``avc1``/``hvc1``
+samples) stays stubbed per the engine's media policy — this module's
+job is the Spark-side plumbing: resolve exact file offsets so each
+sample row carries its own bytes and decode work can partition across
+the cluster. A matching minimal muxer (:func:`mp4_mux_video`) writes
+spec-shaped fixtures so parsing and offset resolution are
+round-trip-tested without real codec data.
+
+No reference counterpart (the reference is text-only); part of the
+beyond-reference multimodal surface.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+#: box types that are pure containers (children start at body offset 0)
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta", b"dinf"
+}
+
+
+def _walk(raw: bytes, pos: int, end: int, path: tuple[bytes, ...], out: list):
+    while pos + 8 <= end:
+        size = int.from_bytes(raw[pos : pos + 4], "big")
+        btype = raw[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if body + 8 > end:
+                raise ValueError("truncated mp4 largesize box")
+            size = int.from_bytes(raw[body : body + 8], "big")
+            body += 8
+        elif size == 0:  # to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad mp4 box size {size} at {pos}")
+        out.append((path + (btype,), body, pos + size))
+        if btype in _CONTAINERS:
+            _walk(raw, body, pos + size, path + (btype,), out)
+        pos += size
+
+
+def _boxes(raw: bytes) -> list[tuple[tuple[bytes, ...], int, int]]:
+    """[(path, body_start, box_end)] in file order, containers
+    recursed. Raises ValueError unless the file starts with ftyp/moov
+    (the mp4 signature)."""
+    if len(raw) < 12 or raw[4:8] not in (b"ftyp", b"moov", b"styp"):
+        raise ValueError("not an ISO-BMFF (mp4) file")
+    out: list = []
+    _walk(raw, 0, len(raw), (), out)
+    return out
+
+
+@dataclass
+class Mp4Track:
+    track_id: int
+    handler: str  # 'vide' / 'soun' / other fourcc
+    codec: str  # stsd entry fourcc, e.g. 'avc1', 'mp4a'
+    width: int | None
+    height: int | None
+    timescale: int
+    duration_s: float
+    n_samples: int
+    sample_sizes: list[int] = field(repr=False, default_factory=list)
+    sample_offsets: list[int] = field(repr=False, default_factory=list)
+    sync_samples: set[int] = field(repr=False, default_factory=set)  # 0-based
+
+
+@dataclass
+class Mp4Info:
+    duration_s: float
+    tracks: list[Mp4Track]
+
+    @property
+    def video(self) -> Mp4Track | None:
+        for t in self.tracks:
+            if t.handler == "vide":
+                return t
+        return None
+
+
+def _u(raw: bytes, pos: int, n: int) -> int:
+    return int.from_bytes(raw[pos : pos + n], "big")
+
+
+def mp4_parse(raw: bytes) -> Mp4Info:
+    """Container metadata + resolved per-sample file offsets for every
+    track. Pure byte walking; never touches codec payloads."""
+    boxes = _boxes(raw)
+    by_path: dict[tuple[bytes, ...], list[tuple[int, int]]] = {}
+    for path, body, box_end in boxes:
+        by_path.setdefault(path, []).append((body, box_end))
+
+    mvhd = by_path.get((b"moov", b"mvhd"))
+    duration_s = 0.0
+    if mvhd:
+        body, _ = mvhd[0]
+        ver = raw[body]
+        if ver == 1:
+            ts, dur = _u(raw, body + 20, 4), _u(raw, body + 24, 8)
+        else:
+            ts, dur = _u(raw, body + 12, 4), _u(raw, body + 16, 4)
+        duration_s = dur / ts if ts else 0.0
+
+    tracks: list[Mp4Track] = []
+    # group each trak's sub-boxes by locating trak spans in file order
+    trak_spans = [
+        (body, box_end) for (path, body, box_end) in boxes if path == (b"moov", b"trak")
+    ]
+
+    def in_span(path_suffix: tuple[bytes, ...], span: tuple[int, int]):
+        lo, hi = span
+        for path, body, box_end in boxes:
+            if path[-len(path_suffix):] == path_suffix and lo <= body <= hi:
+                return body, box_end
+        return None
+
+    for span in trak_spans:
+        tkhd = in_span((b"trak", b"tkhd"), span)
+        mdhd = in_span((b"mdia", b"mdhd"), span)
+        hdlr = in_span((b"mdia", b"hdlr"), span)
+        stsd = in_span((b"stbl", b"stsd"), span)
+        stsz = in_span((b"stbl", b"stsz"), span)
+        stsc = in_span((b"stbl", b"stsc"), span)
+        stco = in_span((b"stbl", b"stco"), span)
+        co64 = in_span((b"stbl", b"co64"), span)
+        stss = in_span((b"stbl", b"stss"), span)
+        if not (tkhd and mdhd and hdlr and stsd and stsz and stsc and (stco or co64)):
+            raise ValueError("mp4 trak missing a required stbl box")
+
+        body, _ = tkhd
+        ver = raw[body]
+        # tkhd: ver0 = 4+8+4+4+4 ... width/height are the LAST 8 bytes
+        tk_end = tkhd[1]
+        width = _u(raw, tk_end - 8, 2)  # 16.16 fixed: integer part
+        height = _u(raw, tk_end - 4, 2)
+        tid_off = body + (4 + 16 if ver == 1 else 4 + 8)
+        track_id = _u(raw, tid_off, 4)
+
+        body, _ = mdhd
+        ver = raw[body]
+        if ver == 1:
+            ts, dur = _u(raw, body + 20, 4), _u(raw, body + 24, 8)
+        else:
+            ts, dur = _u(raw, body + 12, 4), _u(raw, body + 16, 4)
+
+        body, _ = hdlr
+        handler = raw[body + 8 : body + 12].decode("latin-1")
+
+        body, _ = stsd
+        codec = raw[body + 8 + 4 : body + 8 + 8].decode("latin-1")
+
+        body, _ = stsz
+        uniform = _u(raw, body + 4, 4)
+        n_samples = _u(raw, body + 8, 4)
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = [_u(raw, body + 12 + 4 * i, 4) for i in range(n_samples)]
+
+        body, _ = stsc
+        n_stsc = _u(raw, body + 4, 4)
+        stsc_rows = [
+            (
+                _u(raw, body + 8 + 12 * i, 4),      # first_chunk (1-based)
+                _u(raw, body + 8 + 12 * i + 4, 4),  # samples_per_chunk
+            )
+            for i in range(n_stsc)
+        ]
+
+        if co64:
+            body, _ = co64
+            width_b = 8
+        else:
+            body, _ = stco
+            width_b = 4
+        n_chunks = _u(raw, body + 4, 4)
+        chunk_offs = [
+            _u(raw, body + 8 + width_b * i, width_b) for i in range(n_chunks)
+        ]
+
+        # resolve sample -> file offset (14496-12 §8.7.4/§8.7.5)
+        offsets: list[int] = []
+        si = 0
+        for ci in range(n_chunks):
+            spc = 0
+            for first, per in stsc_rows:
+                if first <= ci + 1:
+                    spc = per
+                else:
+                    break
+            pos = chunk_offs[ci]
+            for _ in range(spc):
+                if si >= n_samples:
+                    break
+                offsets.append(pos)
+                pos += sizes[si]
+                si += 1
+        if si < n_samples:
+            raise ValueError(
+                f"mp4 chunk tables cover {si} of {n_samples} samples"
+            )
+
+        sync: set[int] = set()
+        if stss:
+            body, _ = stss
+            for i in range(_u(raw, body + 4, 4)):
+                sync.add(_u(raw, body + 8 + 4 * i, 4) - 1)
+        else:
+            sync = set(range(n_samples))  # no stss => all samples sync
+
+        tracks.append(
+            Mp4Track(
+                track_id=track_id,
+                handler=handler,
+                codec=codec,
+                width=width or None,
+                height=height or None,
+                timescale=ts,
+                duration_s=dur / ts if ts else 0.0,
+                n_samples=n_samples,
+                sample_sizes=sizes,
+                sample_offsets=offsets,
+                sync_samples=sync,
+            )
+        )
+    return Mp4Info(duration_s=duration_s, tracks=tracks)
+
+
+def mp4_video_samples(
+    raw: bytes,
+    every_n: int = 1,
+    sync_only: bool = False,
+    max_samples: int | None = None,
+    info: Mp4Info | None = None,
+) -> list[tuple[int, bytes, bool]]:
+    """(sample_index, sample bytes, is_sync) for the video track —
+    each sample an OPAQUE codec payload (AVCC length-prefixed NALs for
+    'avc1') cut at its exact resolved file offset. ``sync_only``
+    restricts to keyframes (the only samples an external decoder can
+    start from); ``every_n`` then strides over the selected set.
+    Pass a pre-parsed ``info`` to avoid a second moov walk."""
+    if info is None:
+        info = mp4_parse(raw)
+    v = info.video
+    if v is None:
+        raise ValueError("mp4 has no video track")
+    picked = [
+        i for i in range(v.n_samples) if not sync_only or i in v.sync_samples
+    ]
+    out: list[tuple[int, bytes, bool]] = []
+    for j, i in enumerate(picked):
+        if j % every_n:
+            continue
+        off, size = v.sample_offsets[i], v.sample_sizes[i]
+        if off + size > len(raw):
+            raise ValueError(f"mp4 sample {i} overruns the file")
+        out.append((i, raw[off : off + size], i in v.sync_samples))
+        if max_samples is not None and len(out) >= max_samples:
+            break
+    return out
+
+
+def mp4_mux_video(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    codec: str = "avc1",
+    fps: int = 30,
+    sync_every: int = 1,
+) -> bytes:
+    """Minimal spec-shaped single-video-track mp4 writer for fixtures:
+    real ftyp/moov/mdat with correct stts/stsc/stsz/stco/stss tables
+    (every ``sync_every``-th sample marked sync). Sample PAYLOADS are
+    whatever the caller passes — the fixtures use deterministic fake
+    NAL bytes, since the point is offset/table round-trips, not
+    decodable video."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def full(btype: bytes, body: bytes, ver: int = 0, flags: int = 0) -> bytes:
+        return box(btype, struct.pack(">B3s", ver, flags.to_bytes(3, "big")) + body)
+
+    n = len(samples)
+    ts = fps * 1000
+    dur = n * 1000
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # mdat directly after ftyp+moov; compute moov size with a two-pass
+    # build (chunk offsets depend on moov length)
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, ts, dur)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">hH", 0x0100, 0)  # volume + reserved
+        + b"\x00" * 8
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, dur)  # times, track 1, reserved
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)  # layer/group/volume/reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+        flags=3,
+    )
+    mdhd = full(
+        b"mdhd", struct.pack(">IIII", 0, 0, ts, dur) + struct.pack(">HH", 0x55C4, 0)
+    )
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"v\x00")
+    # stsd with one minimal visual sample entry (86 bytes + empty ext)
+    entry = (
+        codec.encode("latin-1")
+        + b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, color table
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(codec.encode(), entry[4:]))
+    stts = full(b"stts", struct.pack(">III", 1, n, 1000))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))  # 1 chunk, all samples
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    sync_idx = [i for i in range(n) if i % sync_every == 0]
+    stss = full(
+        b"stss",
+        struct.pack(">I", len(sync_idx))
+        + b"".join(struct.pack(">I", i + 1) for i in sync_idx),
+    )
+
+    def stbl_for(chunk_off: int) -> bytes:
+        stco = full(b"stco", struct.pack(">II", 1, chunk_off))
+        return box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
+
+    def moov_for(chunk_off: int) -> bytes:
+        minf = box(
+            b"minf",
+            full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+            + box(b"dinf", full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", flags=1)))
+            + stbl_for(chunk_off),
+        )
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        return box(b"moov", mvhd + trak)
+
+    moov_len = len(moov_for(0))
+    chunk_off = len(ftyp) + moov_len + 8  # into mdat body
+    moov = moov_for(chunk_off)
+    assert len(moov) == moov_len
+    mdat = box(b"mdat", b"".join(samples))
+    return ftyp + moov + mdat

@@ -2060,6 +2060,161 @@ def sample_video_frames(
     )
 
 
+def _avi_info(raw: bytes) -> tuple[float, int, int, str, int]:
+    """(duration_s, width, height, codec, n_frames) from an AVI's
+    avih/strh headers (no codec work)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    avih = strh = None
+    stack = [(12, len(raw))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            fourcc = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if fourcc in (b"RIFF", b"LIST"):
+                stack.append((body + 4, min(body + size, end)))
+            elif fourcc == b"avih":
+                avih = raw[body : body + size]
+            elif fourcc == b"strh" and strh is None and raw[body : body + 4] == b"vids":
+                strh = raw[body : body + size]
+            pos = body + size + (size & 1)
+    if avih is None or len(avih) < 40:
+        raise ValueError("AVI missing avih header")
+    us_per_frame = int.from_bytes(avih[0:4], "little")
+    n_frames = int.from_bytes(avih[16:20], "little")
+    width = int.from_bytes(avih[32:36], "little")
+    height = int.from_bytes(avih[36:40], "little")
+    codec = (
+        strh[4:8].decode("latin-1") if strh is not None and len(strh) >= 8 else "????"
+    )
+    return us_per_frame * n_frames / 1e6, width, height, codec, n_frames
+
+
+def video_container_metadata(
+    df: DataFrame, path_col: str = "path", binary_col: str = "content"
+) -> DataFrame:
+    """(path, video bytes) → container-level metadata WITHOUT any
+    codec: (path, container, duration_s, width, height, codec,
+    n_samples, n_sync, err). REAL for AVI (avih/strh headers) and
+    mp4/ISO-BMFF (full moov walk, :mod:`operators.mp4`) — the
+    filter-by-resolution/duration pass a 100 TB video lake runs before
+    ever touching a decoder. Unknown containers yield a per-row err.
+    Arrow-batched mapInPandas; one row per input row."""
+
+    def meta_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from evaporate_spark.operators.mp4 import mp4_parse
+
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        dur, w, h, codec, n = _avi_info(raw)
+                        # MJPEG chunks are independently decodable ->
+                        # every frame is a sync point
+                        rows.append(
+                            (path, "avi", dur, w, h, codec, n, n, None)
+                        )
+                    else:
+                        info = mp4_parse(raw)
+                        v = info.video
+                        if v is None:
+                            rows.append(
+                                (path, "mp4", info.duration_s, None, None,
+                                 None, None, None, "mp4 has no video track")
+                            )
+                        else:
+                            rows.append(
+                                (path, "mp4", info.duration_s, v.width,
+                                 v.height, v.codec, v.n_samples,
+                                 len(v.sync_samples), None)
+                            )
+                except ValueError as ex:
+                    rows.append(
+                        (path, None, None, None, None, None, None, None,
+                         repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "container", "duration_s", "width", "height",
+                         "codec", "n_samples", "n_sync", "err"],
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        meta_batches,
+        schema=(
+            "path string, container string, duration_s double, width long, "
+            "height long, codec string, n_samples long, n_sync long, err string"
+        ),
+    )
+
+
+def extract_video_samples(
+    df: DataFrame,
+    every_n: int = 1,
+    sync_only: bool = False,
+    max_samples: int | None = None,
+    path_col: str = "path",
+    binary_col: str = "content",
+) -> DataFrame:
+    """(path, video bytes) → one row per extracted sample:
+    (path, sample_index, is_sync, codec, content, err). The
+    container-agnostic sample plumbing: AVI video chunks (MJPEG —
+    standalone JPEGs, all sync) and mp4 samples (opaque codec payloads
+    at exact stsc/stsz/stco-resolved offsets; ``sync_only`` restricts
+    to keyframes, the only samples an external decoder can start
+    from). Each row carries its OWN bytes, so downstream decode —
+    :func:`decode_images` for MJPEG, an av-library service for
+    H.264 — partitions across the cluster instead of pinning a task
+    per 2-hour video."""
+
+    def sample_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from evaporate_spark.operators.mp4 import mp4_parse, mp4_video_samples
+
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        codec = _avi_info(raw)[3]
+                        for idx, frame in avi_video_chunks(raw, every_n, max_samples):
+                            rows.append(
+                                (path, idx, True, codec, bytearray(frame), None)
+                            )
+                    else:
+                        info = mp4_parse(raw)
+                        codec = info.video.codec if info.video else "????"
+                        for idx, body, is_sync in mp4_video_samples(
+                            raw, every_n, sync_only, max_samples, info
+                        ):
+                            rows.append(
+                                (path, idx, is_sync, codec, bytearray(body), None)
+                            )
+                except ValueError as ex:
+                    rows.append((path, None, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "sample_index", "is_sync", "codec", "content",
+                         "err"],
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        sample_batches,
+        schema=(
+            "path string, sample_index long, is_sync boolean, codec string, "
+            "content binary, err string"
+        ),
+    )
+
+
 def plan_video_frame_samples(
     df: DataFrame,
     n_frames_col: str = "n_frames",

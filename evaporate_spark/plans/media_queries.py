@@ -157,3 +157,42 @@ def q_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_decode_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_stats_frame(spark, MEDIA_DIR)
+
+
+@register(
+    "q_video_container_meta",
+    "Codec-free video CONTAINER metadata — the filter-by-resolution/"
+    "duration/keyframe-density pass a 100 TB video lake runs before "
+    "touching any decoder: AVI avih/strh headers and the full mp4 "
+    "moov walk (mvhd/tkhd/stsd/stsz/stsc/stco/stss) over the "
+    "committed fixtures. The mp4 fixture's box tables are real; its "
+    "sample payloads are deterministic fakes (H.264 itself is the "
+    "engine's stubbed step). Oracle = the hand-derivable header "
+    "values.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('clip_h264_stub.mp4', 'mp4', CAST(2.0 AS DOUBLE),
+             CAST(320 AS BIGINT), CAST(240 AS BIGINT), 'avc1',
+             CAST(60 AS BIGINT), CAST(8 AS BIGINT)),
+            ('clip_mjpeg.avi', 'avi', CAST(0.2 AS DOUBLE),
+             CAST(32 AS BIGINT), CAST(24 AS BIGINT), 'MJPG',
+             CAST(6 AS BIGINT), CAST(6 AS BIGINT))
+        ) AS t(file, container, duration_s, width, height, codec,
+               n_samples, n_sync)
+    """,
+    tags=("multimodal",),
+)
+def q_video_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.multimodal import video_container_metadata
+
+    files = _media_files(spark, MEDIA_DIR, ".avi", ".mp4")
+    return video_container_metadata(files, path_col="file").select(
+        F.col("path").alias("file"),
+        "container",
+        F.round("duration_s", 4).alias("duration_s"),
+        "width",
+        "height",
+        "codec",
+        "n_samples",
+        "n_sync",
+    )

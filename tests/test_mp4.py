@@ -1,0 +1,121 @@
+"""ISO-BMFF container parsing + the container-agnostic video sample
+operators: metadata, offset-resolved sample extraction, keyframe
+selection — all codec-free (the engine's media policy stubs the H.264
+bitstream itself; fixtures carry deterministic fake payloads because
+the thing under test is the box/table plumbing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from evaporate_spark.operators.mp4 import (
+    mp4_mux_video,
+    mp4_parse,
+    mp4_video_samples,
+)
+
+
+def _samples(n=10):
+    return [bytes([i]) * (50 + 13 * i) for i in range(n)]
+
+
+def test_mux_parse_roundtrip_tables():
+    blob = mp4_mux_video(_samples(), 320, 240, fps=25, sync_every=3)
+    info = mp4_parse(blob)
+    assert info.duration_s == pytest.approx(0.4)
+    v = info.video
+    assert (v.codec, v.width, v.height, v.n_samples) == ("avc1", 320, 240, 10)
+    assert v.duration_s == pytest.approx(0.4)
+    assert sorted(v.sync_samples) == [0, 3, 6, 9]
+    # resolved offsets cut the exact payload bytes back out
+    got = mp4_video_samples(blob)
+    assert [(i, b) for i, b, _ in got] == list(enumerate(_samples()))
+
+
+def test_sample_selection_modes():
+    blob = mp4_mux_video(_samples(), 64, 48, sync_every=4)
+    assert [i for i, _, _ in mp4_video_samples(blob, every_n=3)] == [0, 3, 6, 9]
+    ks = mp4_video_samples(blob, sync_only=True)
+    assert [i for i, _, s in ks] == [0, 4, 8] and all(s for _, _, s in ks)
+    assert [i for i, _, _ in mp4_video_samples(blob, sync_only=True, every_n=2)] == [0, 8]
+    assert len(mp4_video_samples(blob, max_samples=2)) == 2
+    # no stss table => every sample is sync
+    blob1 = mp4_mux_video(_samples(3), 8, 8, sync_every=1)
+    assert all(s for _, _, s in mp4_video_samples(blob1))
+
+
+def test_malformed_rejected():
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        mp4_parse(b"\x00" * 64)
+    blob = bytearray(mp4_mux_video(_samples(3), 8, 8))
+    # truncating the file fails loud at the box walk (mdat size check)
+    with pytest.raises(ValueError, match="bad mp4 box size"):
+        mp4_video_samples(bytes(blob[:-30]))
+    # a chunk table pointing past EOF fails loud at the sample cut:
+    # patch the stco entry to a huge offset
+    import struct as _struct
+
+    stco_at = bytes(blob).index(b"stco")
+    patched = bytearray(blob)
+    patched[stco_at + 12 : stco_at + 16] = _struct.pack(">I", len(blob) + 999)
+    with pytest.raises(ValueError, match="overruns"):
+        mp4_video_samples(bytes(patched))
+
+
+def test_video_operators_over_both_containers(spark):
+    """video_container_metadata + extract_video_samples give one
+    uniform surface over AVI (MJPEG, real decode downstream) and mp4
+    (opaque payloads): metadata rows match the container headers and
+    every extracted sample carries its exact bytes."""
+    from evaporate_spark.operators.jpeg import jpeg_encode
+    from evaporate_spark.operators.multimodal import (
+        avi_mjpeg_write,
+        decode_images,
+        extract_video_samples,
+        video_container_metadata,
+    )
+
+    frames = [
+        jpeg_encode(16, 8, 3, bytes([40 * k % 256] * (16 * 8 * 3)), quality=95)
+        for k in range(4)
+    ]
+    avi = avi_mjpeg_write(frames, 16, 8, fps=10)
+    mp4 = mp4_mux_video(_samples(6), 320, 240, fps=30, sync_every=2)
+    df = spark.createDataFrame(
+        [("v.avi", bytearray(avi)), ("v.mp4", bytearray(mp4)),
+         ("bad.bin", bytearray(b"garbage"))],
+        "path string, content binary",
+    )
+    meta = {r["path"]: r for r in video_container_metadata(df).collect()}
+    assert meta["v.avi"]["container"] == "avi"
+    assert (meta["v.avi"]["width"], meta["v.avi"]["height"]) == (16, 8)
+    assert meta["v.avi"]["codec"] == "MJPG"
+    assert meta["v.avi"]["n_samples"] == 4 == meta["v.avi"]["n_sync"]
+    assert meta["v.avi"]["duration_s"] == pytest.approx(0.4)
+    m = meta["v.mp4"]
+    assert (m["container"], m["codec"], m["width"], m["height"]) == (
+        "mp4", "avc1", 320, 240)
+    assert (m["n_samples"], m["n_sync"]) == (6, 3)
+    assert m["duration_s"] == pytest.approx(0.2)
+    assert meta["bad.bin"]["err"] is not None
+
+    rows = extract_video_samples(df).collect()
+    mp4_rows = sorted(
+        (r for r in rows if r["path"] == "v.mp4"), key=lambda r: r["sample_index"]
+    )
+    assert [bytes(r["content"]) for r in mp4_rows] == _samples(6)
+    assert [r["is_sync"] for r in mp4_rows] == [True, False] * 3
+    # AVI samples are standalone JPEGs -> decodable downstream
+    avi_rows = [r for r in rows if r["path"] == "v.avi"]
+    assert len(avi_rows) == 4 and all(r["is_sync"] for r in avi_rows)
+    dec = decode_images(
+        spark.createDataFrame(
+            [(str(r["sample_index"]), r["content"]) for r in avi_rows],
+            "path string, content binary",
+        )
+    ).collect()
+    assert all(r["err"] is None and (r["width"], r["height"]) == (16, 8) for r in dec)
+    # keyframe-only extraction over the mixed frame
+    ks = extract_video_samples(df.where("path = 'v.mp4'"), sync_only=True).collect()
+    assert sorted(r["sample_index"] for r in ks) == [0, 2, 4]

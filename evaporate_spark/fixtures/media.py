@@ -395,6 +395,19 @@ def generate_media(out_dir: str) -> dict[str, bytes]:
         fps=30,
         sync_every=8,
     )
+    # webm/EBML sibling of the mp4 fixture (same policy: real
+    # container tables, deterministic fake VP9 payloads)
+    from evaporate_spark.operators.ebml import mkv_mux_video
+
+    files["clip_vp9_stub.webm"] = mkv_mux_video(
+        [bytes([(3 * i) % 251]) * (80 + 5 * i) for i in range(50)],
+        640,
+        360,
+        codec_id="V_VP9",
+        fps=25,
+        sync_every=10,
+        doc_type="webm",
+    )
     for name, data in files.items():
         with open(os.path.join(out_dir, name), "wb") as fh:
             fh.write(data)

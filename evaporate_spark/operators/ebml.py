@@ -1,0 +1,277 @@
+"""Matroska / WebM (EBML) CONTAINER parsing — metadata and raw-block
+extraction without any codec, completing the mp4/webm/mkv container
+trio next to :mod:`evaporate_spark.operators.mp4`.
+
+EBML is a binary XML: every element is (vint id, vint size, body);
+containers nest. The handful of elements a metadata/sampling pass
+needs (Matroska spec, public element registry):
+
+    EBML 0x1A45DFA3 / DocType 0x4282          'webm' or 'matroska'
+    Segment 0x18538067
+      Info 0x1549A966
+        TimestampScale 0x2AD7B1 (ns/tick, default 1_000_000)
+        Duration 0x4489 (float, ticks)
+      Tracks 0x1654AE6B / TrackEntry 0xAE
+        TrackNumber 0xD7, TrackType 0x83 (1=video, 2=audio)
+        CodecID 0x86, Video 0xE0 { PixelWidth 0xB0, PixelHeight 0xBA }
+      Cluster 0x1F43B675
+        Timestamp 0xE7
+        SimpleBlock 0xA3 (track vint, s16 rel-time, flags; 0x80=key)
+
+Block PAYLOADS (VP8/VP9/H.264 frames) are opaque here — the engine's
+media policy stubs the codec itself; this module resolves which bytes
+belong to which frame so decode work can partition across a cluster.
+A minimal muxer writes spec-shaped fixtures for round-trip tests.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+
+def _vint(raw: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Parse one EBML variable-length integer at ``pos`` → (value,
+    next_pos). IDs keep the length-marker bit (class IDs are compared
+    with it); sizes strip it."""
+    if pos >= len(raw):
+        raise ValueError("truncated EBML vint")
+    first = raw[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint (>8 bytes)")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(raw):
+        raise ValueError("truncated EBML vint body")
+    val = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        val = (val << 8) | raw[pos + i]
+    return val, pos + length
+
+
+_UNKNOWN_SIZE = {(1 << (7 * n)) - 1 for n in range(1, 9)}
+
+
+def _elements(raw: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for the siblings in
+    [pos, end). An unknown-size element (all-ones size vint — legal
+    for Segment/Cluster in live streams) extends to ``end``."""
+    while pos < end:
+        eid, p = _vint(raw, pos, keep_marker=True)
+        size, body = _vint(raw, p, keep_marker=False)
+        if size in _UNKNOWN_SIZE:
+            body_end = end
+        else:
+            body_end = body + size
+        if body_end > end:
+            raise ValueError(f"EBML element 0x{eid:X} overruns its parent")
+        yield eid, body, body_end
+        pos = body_end
+
+
+def _uint(raw: bytes, start: int, end: int) -> int:
+    return int.from_bytes(raw[start:end], "big")
+
+
+def _float(raw: bytes, start: int, end: int) -> float:
+    n = end - start
+    if n == 4:
+        return struct.unpack(">f", raw[start:end])[0]
+    if n == 8:
+        return struct.unpack(">d", raw[start:end])[0]
+    raise ValueError(f"EBML float of width {n}")
+
+
+@dataclass
+class MkvTrack:
+    track_number: int
+    track_type: str  # 'video' / 'audio' / str(type)
+    codec_id: str
+    width: int | None = None
+    height: int | None = None
+
+
+@dataclass
+class MkvInfo:
+    doc_type: str  # 'webm' / 'matroska'
+    duration_s: float
+    tracks: list[MkvTrack] = field(default_factory=list)
+
+    @property
+    def video(self) -> MkvTrack | None:
+        for t in self.tracks:
+            if t.track_type == "video":
+                return t
+        return None
+
+
+def mkv_parse(raw: bytes) -> MkvInfo:
+    """Container metadata from the EBML header + Segment Info/Tracks.
+    Pure byte walking; never touches block payloads."""
+    if raw[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML (webm/mkv) file")
+    doc_type = "matroska"
+    segment = None
+    for eid, body, body_end in _elements(raw, 0, len(raw)):
+        if eid == 0x1A45DFA3:
+            for i2, b2, e2 in _elements(raw, body, body_end):
+                if i2 == 0x4282:
+                    doc_type = raw[b2:e2].split(b"\x00")[0].decode("latin-1")
+        elif eid == 0x18538067:
+            segment = (body, body_end)
+    if segment is None:
+        raise ValueError("EBML file has no Segment")
+
+    scale_ns = 1_000_000
+    dur_ticks = 0.0
+    tracks: list[MkvTrack] = []
+    for eid, body, body_end in _elements(raw, *segment):
+        if eid == 0x1549A966:  # Info
+            for i2, b2, e2 in _elements(raw, body, body_end):
+                if i2 == 0x2AD7B1:
+                    scale_ns = _uint(raw, b2, e2)
+                elif i2 == 0x4489:
+                    dur_ticks = _float(raw, b2, e2)
+        elif eid == 0x1654AE6B:  # Tracks
+            for i2, b2, e2 in _elements(raw, body, body_end):
+                if i2 != 0xAE:  # TrackEntry
+                    continue
+                num = 0
+                ttype = 0
+                codec = ""
+                w = h = None
+                for i3, b3, e3 in _elements(raw, b2, e2):
+                    if i3 == 0xD7:
+                        num = _uint(raw, b3, e3)
+                    elif i3 == 0x83:
+                        ttype = _uint(raw, b3, e3)
+                    elif i3 == 0x86:
+                        codec = raw[b3:e3].split(b"\x00")[0].decode("latin-1")
+                    elif i3 == 0xE0:  # Video settings
+                        for i4, b4, e4 in _elements(raw, b3, e3):
+                            if i4 == 0xB0:
+                                w = _uint(raw, b4, e4)
+                            elif i4 == 0xBA:
+                                h = _uint(raw, b4, e4)
+                tracks.append(
+                    MkvTrack(
+                        track_number=num,
+                        track_type={1: "video", 2: "audio"}.get(ttype, str(ttype)),
+                        codec_id=codec,
+                        width=w,
+                        height=h,
+                    )
+                )
+    return MkvInfo(
+        doc_type=doc_type,
+        duration_s=dur_ticks * scale_ns / 1e9,
+        tracks=tracks,
+    )
+
+
+def mkv_video_blocks(
+    raw: bytes,
+    every_n: int = 1,
+    sync_only: bool = False,
+    max_blocks: int | None = None,
+) -> list[tuple[int, bytes, bool]]:
+    """(block_index, frame bytes, is_key) for the video track's
+    SimpleBlocks in cluster order — each an OPAQUE codec frame.
+    Laced blocks (multiple frames per block) are rejected with a typed
+    error rather than mis-split."""
+    info = mkv_parse(raw)
+    v = info.video
+    if v is None:
+        raise ValueError("webm/mkv has no video track")
+    segment = None
+    for eid, body, body_end in _elements(raw, 0, len(raw)):
+        if eid == 0x18538067:
+            segment = (body, body_end)
+    out: list[tuple[int, bytes, bool]] = []
+    seen = picked = 0
+    for eid, body, body_end in _elements(raw, *segment):
+        if eid != 0x1F43B675:  # Cluster
+            continue
+        for i2, b2, e2 in _elements(raw, body, body_end):
+            if i2 != 0xA3:  # SimpleBlock
+                continue
+            tnum, p = _vint(raw, b2, keep_marker=False)
+            if tnum != v.track_number:
+                continue
+            if p + 3 > e2:
+                raise ValueError("truncated SimpleBlock header")
+            flags = raw[p + 2]
+            if flags & 0x06:
+                raise ValueError("laced SimpleBlock not supported")
+            is_key = bool(flags & 0x80)
+            if (not sync_only) or is_key:
+                if picked % every_n == 0:
+                    out.append((seen, raw[p + 3 : e2], is_key))
+                    if max_blocks is not None and len(out) >= max_blocks:
+                        return out
+                picked += 1
+            seen += 1
+    return out
+
+
+def mkv_mux_video(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    codec_id: str = "V_MPEG4/ISO/AVC",
+    fps: int = 30,
+    sync_every: int = 1,
+    doc_type: str = "matroska",
+) -> bytes:
+    """Minimal spec-shaped single-video-track Matroska/WebM writer for
+    fixtures: real EBML header, Info (TimestampScale + Duration),
+    Tracks, and one Cluster of SimpleBlocks (every ``sync_every``-th
+    marked key). Payloads are whatever the caller passes."""
+
+    def enc_id(eid: int) -> bytes:
+        return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+    def enc_size(n: int) -> bytes:
+        # 4-byte size vint: 0x10 marker | 21-bit value (ample here)
+        return bytes([0x10 | (n >> 24)]) + (n & 0xFFFFFF).to_bytes(3, "big")
+
+    def el(eid: int, body: bytes) -> bytes:
+        return enc_id(eid) + enc_size(len(body)) + body
+
+    def uint_el(eid: int, v: int) -> bytes:
+        return el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+    header = el(
+        0x1A45DFA3,
+        uint_el(0x4286, 1)
+        + uint_el(0x42F7, 1)
+        + uint_el(0x42F2, 4)
+        + uint_el(0x42F3, 8)
+        + el(0x4282, doc_type.encode())
+        + uint_el(0x4287, 4)
+        + uint_el(0x4285, 2),
+    )
+    n = len(samples)
+    tick_ms = 1000 // fps  # TimestampScale 1e6 ns => ticks are ms
+    info = el(
+        0x1549A966,
+        uint_el(0x2AD7B1, 1_000_000)
+        + el(0x4489, struct.pack(">d", float(n * tick_ms))),
+    )
+    video = el(0xE0, uint_el(0xB0, width) + uint_el(0xBA, height))
+    track = el(
+        0xAE,
+        uint_el(0xD7, 1)
+        + uint_el(0x73C5, 1)
+        + uint_el(0x83, 1)
+        + el(0x86, codec_id.encode())
+        + video,
+    )
+    tracks = el(0x1654AE6B, track)
+    blocks = b""
+    for i, s in enumerate(samples):
+        flags = 0x80 if i % sync_every == 0 else 0x00
+        body = b"\x81" + struct.pack(">h", i * tick_ms) + bytes([flags]) + s
+        blocks += el(0xA3, body)
+    cluster = el(0x1F43B675, uint_el(0xE7, 0) + blocks)
+    segment = el(0x18538067, info + tracks + cluster)
+    return header + segment

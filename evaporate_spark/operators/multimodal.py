@@ -2097,8 +2097,9 @@ def video_container_metadata(
 ) -> DataFrame:
     """(path, video bytes) → container-level metadata WITHOUT any
     codec: (path, container, duration_s, width, height, codec,
-    n_samples, n_sync, err). REAL for AVI (avih/strh headers) and
-    mp4/ISO-BMFF (full moov walk, :mod:`operators.mp4`) — the
+    n_samples, n_sync, err). REAL for AVI (avih/strh headers),
+    mp4/ISO-BMFF (full moov walk, :mod:`operators.mp4`) and
+    Matroska/WebM (EBML walk, :mod:`operators.ebml`) — the
     filter-by-resolution/duration pass a 100 TB video lake runs before
     ever touching a decoder. Unknown containers yield a per-row err.
     Arrow-batched mapInPandas; one row per input row."""
@@ -2106,6 +2107,7 @@ def video_container_metadata(
     def meta_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from evaporate_spark.operators.ebml import mkv_parse, mkv_video_blocks
         from evaporate_spark.operators.mp4 import mp4_parse
 
         for pdf in batches:
@@ -2120,6 +2122,22 @@ def video_container_metadata(
                         rows.append(
                             (path, "avi", dur, w, h, codec, n, n, None)
                         )
+                    elif raw[:4] == b"\x1a\x45\xdf\xa3":
+                        info = mkv_parse(raw)
+                        v = info.video
+                        if v is None:
+                            rows.append(
+                                (path, info.doc_type, info.duration_s, None,
+                                 None, None, None, None,
+                                 "webm/mkv has no video track")
+                            )
+                        else:
+                            blocks = mkv_video_blocks(raw)
+                            rows.append(
+                                (path, info.doc_type, info.duration_s,
+                                 v.width, v.height, v.codec_id, len(blocks),
+                                 sum(1 for _, _, k in blocks if k), None)
+                            )
                     else:
                         info = mp4_parse(raw)
                         v = info.video
@@ -2165,17 +2183,19 @@ def extract_video_samples(
     """(path, video bytes) → one row per extracted sample:
     (path, sample_index, is_sync, codec, content, err). The
     container-agnostic sample plumbing: AVI video chunks (MJPEG —
-    standalone JPEGs, all sync) and mp4 samples (opaque codec payloads
-    at exact stsc/stsz/stco-resolved offsets; ``sync_only`` restricts
-    to keyframes, the only samples an external decoder can start
-    from). Each row carries its OWN bytes, so downstream decode —
+    standalone JPEGs, all sync), mp4 samples (opaque codec payloads at
+    exact stsc/stsz/stco-resolved offsets) and webm/mkv SimpleBlocks
+    (cluster walk; laced blocks rejected typed). ``sync_only``
+    restricts to keyframes, the only samples an external decoder can
+    start from. Each row carries its OWN bytes, so downstream decode —
     :func:`decode_images` for MJPEG, an av-library service for
-    H.264 — partitions across the cluster instead of pinning a task
-    per 2-hour video."""
+    H.264/VP9 — partitions across the cluster instead of pinning a
+    task per 2-hour video."""
 
     def sample_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from evaporate_spark.operators.ebml import mkv_parse, mkv_video_blocks
         from evaporate_spark.operators.mp4 import mp4_parse, mp4_video_samples
 
         for pdf in batches:
@@ -2188,6 +2208,15 @@ def extract_video_samples(
                         for idx, frame in avi_video_chunks(raw, every_n, max_samples):
                             rows.append(
                                 (path, idx, True, codec, bytearray(frame), None)
+                            )
+                    elif raw[:4] == b"\x1a\x45\xdf\xa3":
+                        mk = mkv_parse(raw)
+                        codec = mk.video.codec_id if mk.video else "????"
+                        for idx, body, is_key in mkv_video_blocks(
+                            raw, every_n, sync_only, max_samples
+                        ):
+                            rows.append(
+                                (path, idx, is_key, codec, bytearray(body), None)
                             )
                     else:
                         info = mp4_parse(raw)

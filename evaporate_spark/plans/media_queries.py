@@ -163,12 +163,13 @@ def q_decode_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_video_container_meta",
     "Codec-free video CONTAINER metadata — the filter-by-resolution/"
     "duration/keyframe-density pass a 100 TB video lake runs before "
-    "touching any decoder: AVI avih/strh headers and the full mp4 "
-    "moov walk (mvhd/tkhd/stsd/stsz/stsc/stco/stss) over the "
-    "committed fixtures. The mp4 fixture's box tables are real; its "
-    "sample payloads are deterministic fakes (H.264 itself is the "
-    "engine's stubbed step). Oracle = the hand-derivable header "
-    "values.",
+    "touching any decoder: AVI avih/strh headers, the full mp4 moov "
+    "walk (mvhd/tkhd/stsd/stsz/stsc/stco/stss) and the webm/Matroska "
+    "EBML walk (Info/Tracks/Cluster SimpleBlock flags) over the "
+    "committed fixtures. The mp4/webm fixtures' container tables are "
+    "real; their sample payloads are deterministic fakes (H.264/VP9 "
+    "are the engine's stubbed step). Oracle = the hand-derivable "
+    "header values.",
     oracle="""
         SELECT * FROM (VALUES
             ('clip_h264_stub.mp4', 'mp4', CAST(2.0 AS DOUBLE),
@@ -176,7 +177,10 @@ def q_decode_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(60 AS BIGINT), CAST(8 AS BIGINT)),
             ('clip_mjpeg.avi', 'avi', CAST(0.2 AS DOUBLE),
              CAST(32 AS BIGINT), CAST(24 AS BIGINT), 'MJPG',
-             CAST(6 AS BIGINT), CAST(6 AS BIGINT))
+             CAST(6 AS BIGINT), CAST(6 AS BIGINT)),
+            ('clip_vp9_stub.webm', 'webm', CAST(2.0 AS DOUBLE),
+             CAST(640 AS BIGINT), CAST(360 AS BIGINT), 'V_VP9',
+             CAST(50 AS BIGINT), CAST(5 AS BIGINT))
         ) AS t(file, container, duration_s, width, height, codec,
                n_samples, n_sync)
     """,
@@ -185,7 +189,7 @@ def q_decode_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_video_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evaporate_spark.operators.multimodal import video_container_metadata
 
-    files = _media_files(spark, MEDIA_DIR, ".avi", ".mp4")
+    files = _media_files(spark, MEDIA_DIR, ".avi", ".mp4", ".webm")
     return video_container_metadata(files, path_col="file").select(
         F.col("path").alias("file"),
         "container",

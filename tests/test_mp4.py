@@ -119,3 +119,68 @@ def test_video_operators_over_both_containers(spark):
     # keyframe-only extraction over the mixed frame
     ks = extract_video_samples(df.where("path = 'v.mp4'"), sync_only=True).collect()
     assert sorted(r["sample_index"] for r in ks) == [0, 2, 4]
+
+
+# --------------------------------------------------------------- webm/EBML
+def test_mkv_mux_parse_roundtrip():
+    from evaporate_spark.operators.ebml import (
+        mkv_mux_video,
+        mkv_parse,
+        mkv_video_blocks,
+    )
+
+    samples = [bytes([i]) * (40 + 11 * i) for i in range(10)]
+    blob = mkv_mux_video(
+        samples, 640, 360, codec_id="V_VP9", fps=25, sync_every=4,
+        doc_type="webm",
+    )
+    info = mkv_parse(blob)
+    assert info.doc_type == "webm"
+    assert info.duration_s == pytest.approx(0.4)
+    v = info.video
+    assert (v.codec_id, v.width, v.height, v.track_number) == ("V_VP9", 640, 360, 1)
+    got = mkv_video_blocks(blob)
+    assert [b for _, b, _ in got] == samples
+    assert [i for i, _, k in got if k] == [0, 4, 8]
+    assert [i for i, _, _ in mkv_video_blocks(blob, sync_only=True)] == [0, 4, 8]
+    assert [i for i, _, _ in mkv_video_blocks(blob, every_n=3)] == [0, 3, 6, 9]
+    assert len(mkv_video_blocks(blob, max_blocks=2)) == 2
+    with pytest.raises(ValueError, match="EBML"):
+        mkv_parse(b"\x00" * 32)
+    # a laced SimpleBlock must be rejected typed, not mis-split: find
+    # the first block by its full (id, 4-byte size) header — a bare
+    # 0xA3 byte also occurs inside size/payload bytes
+    body_len = 4 + len(samples[0])
+    needle = b"\xa3" + bytes([0x10, 0, 0, body_len])
+    lace_at = bytes(blob).index(needle)
+    patched = bytearray(blob)
+    patched[lace_at + 5 + 3] |= 0x06  # track(1)+time(2) -> flags byte
+    with pytest.raises(ValueError, match="laced"):
+        mkv_video_blocks(bytes(patched))
+
+
+def test_video_operators_cover_webm(spark):
+    from evaporate_spark.operators.ebml import mkv_mux_video
+    from evaporate_spark.operators.multimodal import (
+        extract_video_samples,
+        video_container_metadata,
+    )
+
+    samples = [bytes([(3 * i) % 251]) * (20 + i) for i in range(8)]
+    blob = mkv_mux_video(samples, 320, 180, codec_id="V_VP9", fps=20,
+                         sync_every=4, doc_type="webm")
+    df = spark.createDataFrame(
+        [("v.webm", bytearray(blob))], "path string, content binary"
+    )
+    m = video_container_metadata(df).collect()[0]
+    assert (m["container"], m["codec"], m["width"], m["height"]) == (
+        "webm", "V_VP9", 320, 180)
+    assert (m["n_samples"], m["n_sync"]) == (8, 2)
+    assert m["duration_s"] == pytest.approx(0.4)
+    rows = sorted(
+        extract_video_samples(df).collect(), key=lambda r: r["sample_index"]
+    )
+    assert [bytes(r["content"]) for r in rows] == samples
+    assert [r["is_sync"] for r in rows] == [True, False, False, False] * 2
+    ks = extract_video_samples(df, sync_only=True).collect()
+    assert sorted(r["sample_index"] for r in ks) == [0, 4]

@@ -408,6 +408,28 @@ def generate_media(out_dir: str) -> dict[str, bytes]:
         sync_every=10,
         doc_type="webm",
     )
+    # framed-audio container fixtures (same policy: real frame/page
+    # headers — so duration/bitrate/frame counts are genuine — around
+    # deterministic fake codec payloads)
+    from evaporate_spark.operators.mpeg_audio import adts_mux, mp3_mux
+    from evaporate_spark.operators.ogg import ogg_opus_mux, ogg_vorbis_mux
+
+    files["audio_mp3_stub.mp3"] = mp3_mux(
+        50, bitrate_kbps=128, sample_rate=32000, channels=2
+    )
+    files["audio_aac_stub.aac"] = adts_mux(40, sample_rate=32000, channels=2)
+    files["audio_opus_stub.ogg"] = ogg_opus_mux(
+        [bytes([(5 * i) % 241]) * (50 + 3 * i) for i in range(100)],
+        channels=2,
+        pre_skip=312,
+        samples_per_packet=960,
+    )
+    files["audio_vorbis_stub.ogg"] = ogg_vorbis_mux(
+        [bytes([(7 * i) % 239]) * (30 + 2 * i) for i in range(25)],
+        channels=1,
+        sample_rate=8000,
+        samples_per_packet=320,
+    )
     for name, data in files.items():
         with open(os.path.join(out_dir, name), "wb") as fh:
             fh.write(data)

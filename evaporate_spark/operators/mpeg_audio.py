@@ -1,0 +1,285 @@
+"""MPEG audio CONTAINER parsing, codec-free — MP3 frame-header walks
+and ADTS-AAC frame walks, the audio sibling of :mod:`operators.mp4` /
+:mod:`operators.ebml` (reference scope: Evaporate has no media ops;
+engine addition per SURVEY §2C multimodal).
+
+An MPEG audio stream is self-framing: every frame starts with a
+32-bit header that fully determines the frame's byte length and its
+decoded sample count (ISO/IEC 11172-3 §2.4.1.3; the public bitrate /
+sample-rate index tables below). Walking the headers therefore yields
+exact duration, channel layout, frame count and mean bitrate WITHOUT
+any Layer-III/AAC decode — the filter-by-duration/bitrate pass a
+100 TB audio lake runs before ever shipping bytes to a decoder. The
+frame PAYLOADS stay opaque here (the engine's media policy stubs the
+transform codecs themselves); each frame carries its own header, so
+:func:`mp3_frames` / :func:`adts_frames` rows are independently
+decodable units for a downstream decoder service.
+
+ID3v2 prefix tags (syncsafe size) and ID3v1 128-byte trailers are
+skipped per the public id3.org layouts. A minimal muxer writes
+spec-shaped fixtures (real headers, deterministic fake payloads).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# kbps by (version-group, layer, index); index 0 = "free" (rejected),
+# index 15 = invalid. ISO/IEC 11172-3 Table 3-B.2 / 13818-3.
+_BITRATES_V1 = {
+    1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_BITRATES_V2 = {
+    1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# Hz by (version, index). Header version bits: 3=MPEG1, 2=MPEG2, 0=MPEG2.5.
+_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+_VERSION_NAME = {3: "1", 2: "2", 0: "2.5"}
+
+
+@dataclass
+class MpegAudioInfo:
+    codec: str  # 'mpeg1-layer3', 'aac-lc', ...
+    sample_rate: int
+    channels: int
+    n_frames: int
+    duration_s: float
+    bitrate_kbps: float  # mean over the walked frames
+
+
+def _skip_id3(raw: bytes) -> tuple[int, int]:
+    """(start, end) of the frame region, skipping an ID3v2 prefix
+    (10-byte header + syncsafe size + optional footer) and an ID3v1
+    128-byte 'TAG' trailer."""
+    start = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        size = 0
+        for b in raw[6:10]:
+            if b & 0x80:
+                raise ValueError("ID3v2 size byte has the high bit set")
+            size = (size << 7) | b
+        start = 10 + size + (10 if raw[5] & 0x10 else 0)
+    end = len(raw)
+    if end - start >= 128 and raw[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    return start, end
+
+
+def _mp3_header(raw: bytes, pos: int) -> tuple[int, int, int, int, int]:
+    """Parse one MPEG audio frame header at ``pos`` →
+    (frame_len, samples_per_frame, sample_rate, channels, kbps)."""
+    b1, b2, b3 = raw[pos + 1], raw[pos + 2], raw[pos + 3]
+    if raw[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError(f"lost MPEG audio frame sync at byte {pos}")
+    version = (b1 >> 3) & 0x3
+    layer = 4 - ((b1 >> 1) & 0x3)  # bits 01→Layer III ... 11→Layer I
+    if version == 1 or layer == 4:
+        raise ValueError("reserved MPEG version/layer bits")
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError(f"unsupported bitrate/samplerate index {br_idx}/{sr_idx}")
+    table = _BITRATES_V1 if version == 3 else _BITRATES_V2
+    kbps = table[layer][br_idx]
+    rate = _RATES[version][sr_idx]
+    padding = (b2 >> 1) & 1
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    if layer == 1:
+        spf = 384
+        frame_len = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        # Layer II always 1152; Layer III halves on MPEG2/2.5
+        spf = 1152 if (layer == 2 or version == 3) else 576
+        frame_len = spf // 8 * kbps * 1000 // rate + padding
+    return frame_len, spf, rate, channels, kbps
+
+
+def mp3_frame_table(raw: bytes) -> list[tuple[int, int, int, int, int, int]]:
+    """Strict contiguous frame walk → one (offset, frame_len, spf,
+    rate, channels, kbps) row per frame. Raises on lost sync, a
+    truncated final frame, or trailing garbage — a lake-ingest pass
+    wants corrupt streams surfaced, not silently half-counted."""
+    start, end = _skip_id3(raw)
+    if end - start < 4:
+        raise ValueError("no MPEG audio frames")
+    out = []
+    pos = start
+    while pos < end:
+        frame_len, spf, rate, channels, kbps = _mp3_header(raw, pos)
+        if pos + frame_len > end:
+            raise ValueError(f"truncated final MPEG audio frame at {pos}")
+        out.append((pos, frame_len, spf, rate, channels, kbps))
+        pos += frame_len
+    return out
+
+
+def mp3_parse(raw: bytes) -> MpegAudioInfo:
+    """Container metadata from the full header walk: exact frame
+    count and duration (sums per-frame samples, so VBR streams are
+    exact too — no Xing estimate needed), mean bitrate."""
+    table = mp3_frame_table(raw)
+    _, _, _spf0, rate, channels, _ = table[0]
+    # exact: total samples per clock rate, one division each (a
+    # per-frame float sum drifts in the last ulp)
+    per_rate: dict[int, int] = {}
+    for _, _, spf, r, _, _ in table:
+        per_rate[r] = per_rate.get(r, 0) + spf
+    dur = sum(n / r for r, n in per_rate.items())
+    total_bytes = sum(fl for _, fl, _, _, _, _ in table)
+    ver, layer = _mp3_version_layer(raw)
+    return MpegAudioInfo(
+        codec=f"mpeg{ver}-layer{layer}",
+        sample_rate=rate,
+        channels=channels,
+        n_frames=len(table),
+        duration_s=dur,
+        bitrate_kbps=total_bytes * 8 / dur / 1000 if dur else 0.0,
+    )
+
+
+def _mp3_version_layer(raw: bytes) -> tuple[str, int]:
+    start, _ = _skip_id3(raw)
+    b1 = raw[start + 1]
+    return _VERSION_NAME[(b1 >> 3) & 0x3], 4 - ((b1 >> 1) & 0x3)
+
+
+def mp3_frames(
+    raw: bytes, every_n: int = 1, max_frames: int | None = None
+) -> list[tuple[int, bytes]]:
+    """(frame_index, frame bytes incl. header) — each an independently
+    decodable unit (every MPEG audio frame restates the full header)."""
+    out = []
+    for i, (pos, flen, *_rest) in enumerate(mp3_frame_table(raw)):
+        if i % every_n == 0:
+            out.append((i, raw[pos : pos + flen]))
+            if max_frames is not None and len(out) >= max_frames:
+                break
+    return out
+
+
+def mp3_mux(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 32000,
+    channels: int = 2,
+    with_id3v2: bool = True,
+) -> bytes:
+    """Spec-shaped MPEG1 Layer III fixture stream: real frame headers
+    (so byte lengths, duration and channel mode are genuine), payload
+    bytes a deterministic fake (the Layer-III codec is the engine's
+    stubbed step, per media policy)."""
+    sr_idx = _RATES[3].index(sample_rate)
+    br_idx = _BITRATES_V1[3].index(bitrate_kbps)
+    mode = 0xC0 if channels == 1 else 0x00
+    header = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode]
+    )  # MPEG1 Layer III, no CRC, no padding
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    out = bytearray()
+    if with_id3v2:
+        tag_body = b"TALB\x00\x00\x00\x05\x00\x00\x00lake"
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(tag_body) >> 21) & 0x7F, (len(tag_body) >> 14) & 0x7F,
+             (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
+        ) + tag_body
+    for i in range(n_frames):
+        payload = bytes((7 * i + j) % 253 for j in range(frame_len - 4))
+        out += header + payload
+    return bytes(out)
+
+
+# --------------------------------------------------------------- ADTS AAC
+# ISO/IEC 13818-7 §6.2: 7-byte fixed+variable header (9 with CRC),
+# 13-bit frame length INCLUDING the header, 1024 samples per raw data
+# block. Public sampling-frequency index table:
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+_ADTS_PROFILES = ("aac-main", "aac-lc", "aac-ssr", "aac-ltp")
+
+
+def adts_frame_table(raw: bytes) -> list[tuple[int, int, int, int, int, str]]:
+    """(offset, frame_len, samples, rate, channels, profile) per ADTS
+    frame; strict contiguous walk like :func:`mp3_frame_table`."""
+    if len(raw) < 7:
+        raise ValueError("no ADTS frames")
+    out = []
+    pos = 0
+    while pos < len(raw):
+        if pos + 7 > len(raw) or raw[pos] != 0xFF or (raw[pos + 1] & 0xF6) != 0xF0:
+            raise ValueError(f"lost ADTS frame sync at byte {pos}")
+        b2, b3, b4, b5, b6 = raw[pos + 2 : pos + 7]
+        profile = _ADTS_PROFILES[(b2 >> 6) & 0x3]
+        sr_idx = (b2 >> 2) & 0xF
+        if sr_idx >= len(_ADTS_RATES):
+            raise ValueError(f"reserved ADTS sampling index {sr_idx}")
+        channels = ((b2 & 1) << 2) | (b3 >> 6)
+        frame_len = ((b3 & 0x3) << 11) | (b4 << 3) | (b5 >> 5)
+        n_blocks = (b6 & 0x3) + 1
+        if frame_len < 7 or pos + frame_len > len(raw):
+            raise ValueError(f"truncated ADTS frame at {pos}")
+        out.append(
+            (pos, frame_len, 1024 * n_blocks, _ADTS_RATES[sr_idx], channels, profile)
+        )
+        pos += frame_len
+    return out
+
+
+def adts_parse(raw: bytes) -> MpegAudioInfo:
+    table = adts_frame_table(raw)
+    _, _, _, rate, channels, profile = table[0]
+    per_rate: dict[int, int] = {}
+    for _, _, n, r, _, _ in table:
+        per_rate[r] = per_rate.get(r, 0) + n
+    dur = sum(n / r for r, n in per_rate.items())
+    total_bytes = sum(fl for _, fl, _, _, _, _ in table)
+    return MpegAudioInfo(
+        codec=profile,
+        sample_rate=rate,
+        channels=channels,
+        n_frames=len(table),
+        duration_s=dur,
+        bitrate_kbps=total_bytes * 8 / dur / 1000 if dur else 0.0,
+    )
+
+
+def adts_frames(
+    raw: bytes, every_n: int = 1, max_frames: int | None = None
+) -> list[tuple[int, bytes]]:
+    """(frame_index, frame bytes incl. the self-describing header)."""
+    out = []
+    for i, (pos, flen, *_rest) in enumerate(adts_frame_table(raw)):
+        if i % every_n == 0:
+            out.append((i, raw[pos : pos + flen]))
+            if max_frames is not None and len(out) >= max_frames:
+                break
+    return out
+
+
+def adts_mux(
+    n_frames: int, sample_rate: int = 32000, channels: int = 2,
+    payload_len: int = 120,
+) -> bytes:
+    """Spec-shaped ADTS AAC-LC fixture stream (real headers, fake
+    payloads — AAC itself is the engine's stubbed codec)."""
+    sr_idx = _ADTS_RATES.index(sample_rate)
+    out = bytearray()
+    for i in range(n_frames):
+        frame_len = 7 + payload_len
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF1  # MPEG-4, layer 00, no CRC
+        hdr[2] = (1 << 6) | (sr_idx << 2) | (channels >> 2)  # profile=AAC-LC
+        hdr[3] = ((channels & 0x3) << 6) | (frame_len >> 11)
+        hdr[4] = (frame_len >> 3) & 0xFF
+        hdr[5] = ((frame_len & 0x7) << 5) | 0x1F
+        hdr[6] = 0xFC  # buffer fullness all-ones (VBR), 1 raw block
+        out += hdr + bytes((11 * i + j) % 251 for j in range(payload_len))
+    return bytes(out)

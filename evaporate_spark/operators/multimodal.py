@@ -76,6 +76,9 @@ _MAGIC = {
     "52494646": "riff",  # wav/avi container
     "25504446": "pdf",
     "494433": "mp3",
+    "4F676753": "ogg",
+    "FFF1": "adts",  # MPEG-4 ADTS AAC, no CRC
+    "FFF9": "adts",  # MPEG-2 ADTS AAC, no CRC
     "1A45DFA3": "webm",
     "424D": "bmp",
     "49492A00": "tiff",  # little-endian (II*\0)
@@ -1935,6 +1938,205 @@ def decode_audio(
             "path string, media_type string, sample_rate long, channels long, "
             "n_samples long, duration_s double, rms double, "
             "zero_crossing_rate double, spectral_centroid_hz double, err string"
+        ),
+    )
+
+
+def _audio_container_info(raw: bytes):
+    """(container, codec, sample_rate, channels, n_frames, duration_s)
+    from header/frame-table bytes only — no sample decode. Framed
+    formats walk every frame header (exact counts even for VBR);
+    PCM-family formats read the declarative header chunks."""
+    from evaporate_spark.operators.mpeg_audio import adts_parse, mp3_parse
+    from evaporate_spark.operators.ogg import ogg_parse
+
+    if raw[:4] == b"OggS":
+        o = ogg_parse(raw)
+        return ("ogg", o.codec, o.sample_rate, o.channels, o.n_packets,
+                o.duration_s)
+    if len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xF6) == 0xF0:
+        a = adts_parse(raw)  # layer bits 00 = ADTS (reserved in MPEG audio)
+        return ("adts", a.codec, a.sample_rate, a.channels, a.n_frames,
+                a.duration_s)
+    if raw[:3] == b"ID3" or (
+        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+    ):
+        m = mp3_parse(raw)
+        return ("mp3", m.codec, m.sample_rate, m.channels, m.n_frames,
+                m.duration_s)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        fmt = data_size = fact = None
+        pos = 12
+        while pos + 8 <= len(raw):
+            cid = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                fmt = raw[pos + 8 : pos + 8 + size]
+            elif cid == b"data":
+                data_size = size
+            elif cid == b"fact" and size >= 4:
+                fact = int.from_bytes(raw[pos + 8 : pos + 12], "little")
+            pos += 8 + size + (size & 1)
+        if fmt is None or len(fmt) < 16 or data_size is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        code = int.from_bytes(fmt[0:2], "little")
+        nch = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        codec = {1: f"pcm{bits}", 3: f"float{bits}", 6: "alaw", 7: "ulaw",
+                 0x11: "ima-adpcm"}.get(code, f"wave-0x{code:x}")
+        if nch < 1 or rate <= 0:
+            raise ValueError(f"bad WAV header nch={nch} rate={rate}")
+        if fact is not None:
+            n_samp = fact
+        elif code == 1 and bits >= 8:
+            n_samp = data_size // (nch * (bits // 8))
+        elif code in (6, 7):
+            n_samp = data_size // nch  # one companded byte per sample
+        else:
+            n_samp = None  # compressed without a fact chunk: unknowable
+        dur = n_samp / rate if n_samp is not None else None
+        return ("wav", codec, rate, nch, None, dur)
+    if raw[:4] == b"fLaC":
+        if len(raw) < 4 + 4 + 34 or raw[4] & 0x7F != 0:
+            raise ValueError("FLAC stream must start with STREAMINFO")
+        si = raw[8:42]
+        packed = int.from_bytes(si[10:18], "big")  # rate|ch|bps|total, 64 bits
+        rate = packed >> 44
+        nch = ((packed >> 41) & 0x7) + 1
+        total = packed & ((1 << 36) - 1)
+        if rate <= 0:
+            raise ValueError("FLAC STREAMINFO declares rate 0")
+        return ("flac", "flac", rate, nch, None,
+                total / rate if total else None)
+    if raw[:4] == b"FORM" and raw[8:12] == b"AIFF":
+        pos = 12
+        while pos + 8 <= len(raw):
+            cid = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "big")
+            if cid == b"COMM" and size >= 18:
+                comm = raw[pos + 8 : pos + 8 + size]
+                nch = int.from_bytes(comm[0:2], "big")
+                nfr = int.from_bytes(comm[2:6], "big")
+                bits = int.from_bytes(comm[6:8], "big")
+                exp = int.from_bytes(comm[8:10], "big") & 0x7FFF
+                mant = int.from_bytes(comm[10:18], "big")
+                rate = int(round(mant * 2.0 ** (exp - 16383 - 63))) if mant else 0
+                if nch < 1 or not (0 < rate < 1 << 31):
+                    raise ValueError("bad AIFF COMM chunk")
+                return ("aiff", f"pcm{bits}be", rate, nch, None, nfr / rate)
+            pos += 8 + size + (size & 1)
+        raise ValueError("AIFF missing COMM chunk")
+    raise ValueError("unrecognized audio container")
+
+
+def audio_container_metadata(
+    df: DataFrame, path_col: str = "path", binary_col: str = "content"
+) -> DataFrame:
+    """(path, audio bytes) → container-level metadata WITHOUT any
+    codec: (path, container, codec, sample_rate, channels, n_frames,
+    duration_s, err) — the audio sibling of
+    :func:`video_container_metadata`. REAL for MP3 and ADTS-AAC (full
+    frame-header walks, :mod:`operators.mpeg_audio` — exact duration
+    and frame count even for VBR), Ogg Opus/Vorbis (CRC-verified page
+    walk, :mod:`operators.ogg`), and the header chunks of WAV / FLAC
+    (STREAMINFO) / AIFF (COMM). ``n_frames`` is the codec-frame/packet
+    count for framed formats, NULL for PCM-family containers. Unknown
+    or corrupt streams yield a per-row err. Arrow-batched mapInPandas;
+    one row per input row."""
+
+    def meta_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    container, codec, rate, nch, n, dur = _audio_container_info(
+                        raw
+                    )
+                    rows.append((path, container, codec, rate, nch, n, dur, None))
+                except ValueError as ex:
+                    rows.append(
+                        (path, None, None, None, None, None, None, repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "container", "codec", "sample_rate",
+                         "channels", "n_frames", "duration_s", "err"],
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        meta_batches,
+        schema=(
+            "path string, container string, codec string, sample_rate long, "
+            "channels long, n_frames long, duration_s double, err string"
+        ),
+    )
+
+
+def extract_audio_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int | None = None,
+    path_col: str = "path",
+    binary_col: str = "content",
+) -> DataFrame:
+    """(path, audio bytes) → one row per codec frame/packet:
+    (path, frame_index, codec, content, err) — the audio sibling of
+    :func:`extract_video_samples`. MP3 / ADTS frames carry their own
+    self-describing headers and Ogg audio packets are the codec's
+    decode units, so each row is independently shippable to a decoder
+    service and the decode partitions across the cluster instead of
+    pinning a task per long stream. Unframed PCM-family containers
+    (WAV/FLAC/AIFF) yield a typed per-row err pointing at
+    :func:`decode_audio`, which decodes them fully."""
+
+    def frame_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from evaporate_spark.operators.mpeg_audio import adts_frames, mp3_frames
+        from evaporate_spark.operators.ogg import ogg_audio_packets, ogg_parse
+
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    if raw[:4] == b"OggS":
+                        codec = ogg_parse(raw).codec
+                        frames = ogg_audio_packets(raw, every_n, max_frames)
+                    elif (
+                        len(raw) >= 2
+                        and raw[0] == 0xFF
+                        and (raw[1] & 0xF6) == 0xF0
+                    ):
+                        codec = "aac"
+                        frames = adts_frames(raw, every_n, max_frames)
+                    elif raw[:3] == b"ID3" or (
+                        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+                    ):
+                        codec = "mp3"
+                        frames = mp3_frames(raw, every_n, max_frames)
+                    else:
+                        raise ValueError(
+                            "not a framed audio container; use decode_audio"
+                        )
+                    for idx, body in frames:
+                        rows.append((path, idx, codec, bytearray(body), None))
+                except ValueError as ex:
+                    rows.append((path, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "frame_index", "codec", "content", "err"],
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        frame_batches,
+        schema=(
+            "path string, frame_index long, codec string, content binary, "
+            "err string"
         ),
     )
 

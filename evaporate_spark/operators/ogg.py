@@ -1,0 +1,239 @@
+"""Ogg CONTAINER parsing, codec-free (RFC 3533) — page walk, packet
+reassembly, and Opus (RFC 7845) / Vorbis identification-header reads.
+Audio sibling of :mod:`operators.mp4` / :mod:`operators.ebml`; the
+codec payloads (Opus/Vorbis frames) stay opaque per the engine's
+media policy.
+
+An Ogg stream is a sequence of pages: ``OggS`` capture pattern,
+version, header-type flags (0x1 continued / 0x2 BOS / 0x4 EOS), a
+64-bit granule position, stream serial, page sequence number, CRC,
+and a segment lacing table that delimits packets (a lacing value
+< 255 ends a packet; packets may span pages via the continued flag).
+Every page's CRC is VERIFIED here (Ogg CRC-32: polynomial 0x04C11DB7,
+no reflection, zero init/xorout) — corrupt pages raise instead of
+miscounting. Duration comes from the final page's granule position:
+total PCM samples at 48 kHz for Opus (minus pre-skip, RFC 7845 §4),
+at the declared rate for Vorbis.
+
+A minimal muxer writes spec-shaped fixtures: real page structure and
+CRCs, real OpusHead/Vorbis id headers, deterministic fake codec
+packets.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+
+def _crc_table() -> list[int]:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+        table.append(r & 0xFFFFFFFF)
+    return table
+
+
+_CRC = _crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+@dataclass
+class OggInfo:
+    codec: str  # 'opus' / 'vorbis'
+    sample_rate: int  # Opus: the 48 kHz granule clock
+    channels: int
+    n_packets: int  # audio packets (codec headers excluded)
+    duration_s: float
+    pre_skip: int = 0
+
+
+def ogg_pages(raw: bytes):
+    """Yield (flags, granule, serial, seq, [segment bytes]) per page,
+    CRC-verified."""
+    pos = 0
+    while pos < len(raw):
+        if raw[pos : pos + 4] != b"OggS":
+            raise ValueError(f"lost Ogg page sync at byte {pos}")
+        if pos + 27 > len(raw):
+            raise ValueError("truncated Ogg page header")
+        version, flags = raw[pos + 4], raw[pos + 5]
+        if version != 0:
+            raise ValueError(f"unsupported Ogg version {version}")
+        granule = struct.unpack_from("<q", raw, pos + 6)[0]
+        serial, seq, crc = struct.unpack_from("<III", raw, pos + 14)
+        nsegs = raw[pos + 26]
+        lace = raw[pos + 27 : pos + 27 + nsegs]
+        if len(lace) < nsegs:
+            raise ValueError("truncated Ogg lacing table")
+        body_start = pos + 27 + nsegs
+        body_len = sum(lace)
+        if body_start + body_len > len(raw):
+            raise ValueError("truncated Ogg page body")
+        page = bytearray(raw[pos : body_start + body_len])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if ogg_crc(bytes(page)) != crc:
+            raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
+        segs, off = [], body_start
+        for n in lace:
+            segs.append((raw[off : off + n], n))
+            off += n
+        yield flags, granule, serial, seq, segs
+        pos = body_start + body_len
+
+
+def ogg_packets(raw: bytes) -> list[tuple[bytes, int]]:
+    """Reassemble packets across pages → (packet bytes, granule of the
+    page the packet ENDS on). Single-stream files only (grouped /
+    multiplexed serials raise typed)."""
+    out: list[tuple[bytes, int]] = []
+    pending = bytearray()
+    serial_seen = None
+    for flags, granule, serial, _seq, segs in ogg_pages(raw):
+        if serial_seen is None:
+            serial_seen = serial
+        elif serial != serial_seen:
+            raise ValueError("multiplexed Ogg streams not supported")
+        if pending and not (flags & 0x1):
+            raise ValueError("Ogg packet spans pages without the continued flag")
+        for seg, n in segs:
+            pending += seg
+            if n < 255:  # lacing < 255 terminates the packet
+                out.append((bytes(pending), granule))
+                pending = bytearray()
+    if pending:
+        raise ValueError("Ogg stream ends mid-packet")
+    return out
+
+
+def ogg_parse(raw: bytes) -> OggInfo:
+    packets = ogg_packets(raw)
+    if not packets:
+        raise ValueError("Ogg stream has no packets")
+    first = packets[0][0]
+    last_granule = packets[-1][1]
+    if first[:8] == b"OpusHead":
+        if len(first) < 19:
+            raise ValueError("truncated OpusHead")
+        channels = first[9]
+        pre_skip = struct.unpack_from("<H", first, 10)[0]
+        n_headers = 2  # OpusHead + OpusTags
+        rate = 48000  # granule clock; input rate is informational only
+        dur = max(last_granule - pre_skip, 0) / 48000.0
+    elif first[:7] == b"\x01vorbis":
+        if len(first) < 30:
+            raise ValueError("truncated Vorbis id header")
+        channels = first[11]
+        rate = struct.unpack_from("<I", first, 12)[0]
+        pre_skip = 0
+        n_headers = 3  # id + comment + setup
+        if rate <= 0:
+            raise ValueError("Vorbis id header declares rate 0")
+        dur = last_granule / rate
+    else:
+        raise ValueError("unrecognized Ogg codec (not Opus/Vorbis)")
+    if len(packets) < n_headers:
+        raise ValueError("Ogg stream shorter than its codec header set")
+    return OggInfo(
+        codec="opus" if n_headers == 2 else "vorbis",
+        sample_rate=rate,
+        channels=channels,
+        n_packets=len(packets) - n_headers,
+        duration_s=dur,
+        pre_skip=pre_skip,
+    )
+
+
+def ogg_audio_packets(
+    raw: bytes, every_n: int = 1, max_packets: int | None = None
+) -> list[tuple[int, bytes]]:
+    """(packet_index, packet bytes) for the AUDIO packets (codec
+    header packets excluded) — the unit a decoder service consumes."""
+    info = ogg_parse(raw)
+    n_headers = 2 if info.codec == "opus" else 3
+    out = []
+    for i, (pkt, _g) in enumerate(ogg_packets(raw)[n_headers:]):
+        if i % every_n == 0:
+            out.append((i, pkt))
+            if max_packets is not None and len(out) >= max_packets:
+                break
+    return out
+
+
+# ------------------------------------------------------------------- muxer
+def _page(
+    serial: int, seq: int, granule: int, flags: int, packets: list[bytes]
+) -> bytes:
+    lace = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        q, r = divmod(len(pkt), 255)
+        lace += b"\xff" * q + bytes([r])
+        body += pkt
+    if len(lace) > 255:
+        raise ValueError("too many lacing values for one page")
+    head = b"OggS" + bytes([0, flags]) + struct.pack(
+        "<qIII", granule, serial, seq, 0
+    ) + bytes([len(lace)]) + bytes(lace)
+    crc = ogg_crc(head + bytes(body))
+    return head[:22] + struct.pack("<I", crc) + head[26:] + bytes(body)
+
+
+def ogg_opus_mux(
+    packets: list[bytes],
+    channels: int = 2,
+    pre_skip: int = 312,
+    samples_per_packet: int = 960,
+    serial: int = 0x5041524B,
+) -> bytes:
+    """Spec-shaped Ogg Opus fixture (RFC 7845 layout): OpusHead on its
+    own BOS page, OpusTags on its own page, then audio pages whose
+    granule positions advance by ``samples_per_packet`` on the 48 kHz
+    clock; real page CRCs; packet payloads are the caller's fakes."""
+    head = (
+        b"OpusHead" + bytes([1, channels]) + struct.pack("<H", pre_skip)
+        + struct.pack("<I", 48000) + struct.pack("<H", 0) + bytes([0])
+    )
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"lake" + struct.pack("<I", 0)
+    out = _page(serial, 0, 0, 0x2, [head]) + _page(serial, 1, 0, 0, [tags])
+    granule = pre_skip  # audio starts after the encoder pre-skip
+    for i, pkt in enumerate(packets):
+        granule += samples_per_packet
+        eos = 0x4 if i == len(packets) - 1 else 0
+        out += _page(serial, 2 + i, granule, eos, [pkt])
+    return out
+
+
+def ogg_vorbis_mux(
+    packets: list[bytes],
+    channels: int = 2,
+    sample_rate: int = 8000,
+    samples_per_packet: int = 320,
+    serial: int = 0x564F5242,
+) -> bytes:
+    """Spec-shaped Ogg Vorbis fixture: real id/comment header packets,
+    a deterministic fake setup packet (the Vorbis codebooks are codec
+    territory), audio pages with advancing granules and real CRCs."""
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+        + struct.pack("<I", sample_rate) + struct.pack("<iii", 0, 0, 0)
+        + bytes([0x88, 0x01])  # blocksizes 2^8/2^8 + framing bit
+    )
+    comment = b"\x03vorbis" + struct.pack("<I", 4) + b"lake" + struct.pack("<I", 0) + b"\x01"
+    setup = b"\x05vorbis" + bytes(range(32))  # opaque fake codebooks
+    out = _page(serial, 0, 0, 0x2, [ident])
+    out += _page(serial, 1, 0, 0, [comment, setup])
+    granule = 0
+    for i, pkt in enumerate(packets):
+        granule += samples_per_packet
+        eos = 0x4 if i == len(packets) - 1 else 0
+        out += _page(serial, 2 + i, granule, eos, [pkt])
+    return out

@@ -1,0 +1,266 @@
+"""Codec-free audio container parsing: MP3 / ADTS-AAC frame walks,
+Ogg Opus/Vorbis page walks, and the Spark-side
+``audio_container_metadata`` / ``extract_audio_frames`` operators
+(audio siblings of the video container trio; engine addition per
+SURVEY §2C — the reference has no media operators)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from evaporate_spark.operators.mpeg_audio import (
+    adts_frames,
+    adts_mux,
+    adts_parse,
+    mp3_frames,
+    mp3_mux,
+    mp3_parse,
+)
+from evaporate_spark.operators.ogg import (
+    ogg_audio_packets,
+    ogg_opus_mux,
+    ogg_parse,
+    ogg_vorbis_mux,
+)
+
+
+# ------------------------------------------------------------------- mp3
+def test_mp3_mux_parse_roundtrip():
+    raw = mp3_mux(50, bitrate_kbps=128, sample_rate=32000, channels=2)
+    info = mp3_parse(raw)
+    assert info.codec == "mpeg1-layer3"
+    assert (info.sample_rate, info.channels, info.n_frames) == (32000, 2, 50)
+    assert info.duration_s == 50 * 1152 / 32000 == 1.8
+    # no padding bit at 128k/32kHz: mean bitrate is exactly nominal
+    assert info.bitrate_kbps == pytest.approx(128.0)
+
+
+def test_mp3_id3_tags_skipped_and_frames_self_describing():
+    bare = mp3_mux(10, 64, 44100, 1, with_id3v2=False)
+    tagged = mp3_mux(10, 64, 44100, 1, with_id3v2=True)
+    assert tagged[:3] == b"ID3" and bare[0] == 0xFF
+    for raw in (bare, tagged + b"TAG" + bytes(125)):  # + ID3v1 trailer
+        info = mp3_parse(raw)
+        assert (info.n_frames, info.channels, info.sample_rate) == (10, 1, 44100)
+    # every frame restates the full header -> standalone decodable unit
+    idx, frame = mp3_frames(tagged, every_n=3)[1]
+    assert idx == 3 and mp3_parse(frame).n_frames == 1
+
+
+def test_mp3_layer1_and_mpeg2_frame_geometry():
+    # Layer I, MPEG1, 32 kbps @ 44100, mono: slots of 4 bytes
+    h1 = bytes([0xFF, 0xFF, 0x10, 0xC0])
+    f1 = h1 + bytes((12 * 32000 // 44100) * 4 - 4)
+    info = mp3_parse(f1 * 3)
+    assert info.codec == "mpeg1-layer1"
+    assert info.n_frames == 3 and info.duration_s == 3 * 384 / 44100
+    # Layer III, MPEG2 (576 samples/frame), 8 kbps @ 24000
+    h2 = bytes([0xFF, 0xF3, 0x14, 0x00])
+    f2 = h2 + bytes(72 * 8000 // 24000 - 4)
+    info2 = mp3_parse(f2 * 4)
+    assert info2.codec == "mpeg2-layer3"
+    assert info2.sample_rate == 24000
+    assert info2.duration_s == 4 * 576 / 24000
+
+
+def test_mp3_strict_walk_rejects_corruption():
+    raw = mp3_mux(5, 128, 32000, 2)
+    with pytest.raises(ValueError, match="truncated final"):
+        mp3_parse(raw[:-1])
+    with pytest.raises(ValueError, match="sync"):
+        mp3_parse(raw + b"\x00garbage")
+    free = bytearray(mp3_mux(2, 128, 32000, 2, with_id3v2=False))
+    free[2] &= 0x0F  # bitrate index 0 = "free format"
+    with pytest.raises(ValueError, match="bitrate"):
+        mp3_parse(bytes(free))
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        mp3_parse(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+
+
+# ------------------------------------------------------------------- adts
+def test_adts_mux_parse_roundtrip():
+    raw = adts_mux(40, sample_rate=32000, channels=2)
+    info = adts_parse(raw)
+    assert info.codec == "aac-lc"
+    assert (info.sample_rate, info.channels, info.n_frames) == (32000, 2, 40)
+    assert info.duration_s == 40 * 1024 / 32000 == 1.28
+    picked = adts_frames(raw, every_n=8)
+    assert [i for i, _ in picked] == [0, 8, 16, 24, 32]
+    assert adts_parse(picked[0][1]).n_frames == 1
+    assert len(adts_frames(raw, max_frames=3)) == 3
+    with pytest.raises(ValueError, match="truncated"):
+        adts_parse(raw[:-1])
+    with pytest.raises(ValueError, match="sync"):
+        adts_parse(b"\xff\xfb" + bytes(30))  # layer!=0: MPEG audio, not ADTS
+
+
+# ------------------------------------------------------------------- ogg
+def test_ogg_opus_roundtrip_and_packet_spanning():
+    pkts = [bytes([(5 * i) % 241]) * (50 + 3 * i) for i in range(100)]
+    raw = ogg_opus_mux(pkts, channels=2, pre_skip=312, samples_per_packet=960)
+    info = ogg_parse(raw)
+    assert (info.codec, info.sample_rate, info.channels) == ("opus", 48000, 2)
+    assert info.n_packets == 100 and info.pre_skip == 312
+    assert info.duration_s == 100 * 960 / 48000 == 2.0
+    got = ogg_audio_packets(raw)
+    assert [p for _, p in got] == pkts
+    assert [i for i, _ in ogg_audio_packets(raw, every_n=25)] == [0, 25, 50, 75]
+    # 255-byte and >255-byte packets exercise lacing continuation
+    sizes = [300, 255, 510, 10]
+    raw2 = ogg_opus_mux([bytes(n) for n in sizes], pre_skip=0)
+    assert [len(p) for _, p in ogg_audio_packets(raw2)] == sizes
+
+
+def test_ogg_vorbis_roundtrip():
+    raw = ogg_vorbis_mux(
+        [bytes([i]) * 30 for i in range(25)],
+        channels=1,
+        sample_rate=8000,
+        samples_per_packet=320,
+    )
+    info = ogg_parse(raw)
+    assert (info.codec, info.sample_rate, info.channels) == ("vorbis", 8000, 1)
+    assert info.n_packets == 25 and info.duration_s == 1.0
+
+
+def test_ogg_rejects_corruption_and_multiplexing():
+    raw = ogg_opus_mux([bytes(40)] * 3)
+    bad = bytearray(raw)
+    bad[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        ogg_parse(bytes(bad))
+    with pytest.raises(ValueError, match="sync"):
+        ogg_parse(b"Oggs" + raw[4:])
+    # two interleaved serials = grouped streams, rejected typed
+    other = ogg_vorbis_mux([bytes(10)], serial=7)
+    with pytest.raises(ValueError, match="multiplexed"):
+        ogg_parse(raw + other)
+
+
+def test_ogg_rejects_unknown_codec():
+    from evaporate_spark.operators.ogg import _page
+
+    raw = _page(1, 0, 0, 0x2, [b"FLACHEAD" + bytes(10)])
+    with pytest.raises(ValueError, match="unrecognized Ogg codec"):
+        ogg_parse(raw)
+
+
+# ------------------------------------------------------- spark operators
+def _aiff_bytes(rate: int, nch: int, n_frames: int) -> bytes:
+    """Minimal AIFF: COMM (80-bit extended rate) + silent 16-bit SSND."""
+    k = rate.bit_length() - 1  # value = mant * 2^(exp-16383-63), top bit set
+    exp = 16383 + k
+    mant = rate << (63 - k)
+    comm = (
+        struct.pack(">hLh", nch, n_frames, 16)
+        + struct.pack(">H", exp)
+        + struct.pack(">Q", mant)
+    )
+    ssnd = struct.pack(">LL", 0, 0) + bytes(2 * nch * n_frames)
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def test_audio_container_metadata_operator(spark):
+    import os
+
+    from evaporate_spark.fixtures import MEDIA_DIR
+    from evaporate_spark.operators.multimodal import audio_container_metadata
+
+    def fx(name):
+        with open(os.path.join(MEDIA_DIR, name), "rb") as fh:
+            return bytearray(fh.read())
+
+    rows = [
+        ("a.mp3", fx("audio_mp3_stub.mp3")),
+        ("a.aac", fx("audio_aac_stub.aac")),
+        ("a.ogg", fx("audio_opus_stub.ogg")),
+        ("v.ogg", fx("audio_vorbis_stub.ogg")),
+        ("a.wav", fx("audio_ulaw.wav")),
+        ("a.flac", fx("audio_stereo.flac")),
+        ("a.aiff", bytearray(_aiff_bytes(16000, 2, 8000))),
+        ("junk.bin", bytearray(b"\x00" * 64)),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r for r in audio_container_metadata(df).collect()}
+    assert (got["a.mp3"]["container"], got["a.mp3"]["codec"]) == (
+        "mp3", "mpeg1-layer3")
+    assert got["a.mp3"]["n_frames"] == 50 and got["a.mp3"]["duration_s"] == 1.8
+    assert got["a.aac"]["codec"] == "aac-lc" and got["a.aac"]["duration_s"] == 1.28
+    assert (got["a.ogg"]["codec"], got["a.ogg"]["n_frames"]) == ("opus", 100)
+    assert (got["v.ogg"]["codec"], got["v.ogg"]["sample_rate"]) == ("vorbis", 8000)
+    # header-chunk formats: duration without decoding a single sample
+    w = got["a.wav"]
+    assert w["container"] == "wav" and w["codec"] == "ulaw"
+    assert w["n_frames"] is None and w["duration_s"] is not None
+    f = got["a.flac"]
+    assert f["container"] == "flac" and f["sample_rate"] > 0
+    assert f["duration_s"] is not None
+    a = got["a.aiff"]
+    assert (a["container"], a["codec"], a["channels"]) == ("aiff", "pcm16be", 2)
+    assert a["duration_s"] == 0.5
+    assert got["junk.bin"]["err"] is not None
+
+
+def test_audio_container_durations_match_full_decode(spark):
+    """The codec-free WAV/FLAC header reads must agree with the full
+    sample decode over every committed PCM-family fixture."""
+    from evaporate_spark.fixtures import MEDIA_DIR
+    from evaporate_spark.operators.multimodal import (
+        audio_container_metadata,
+        decode_audio,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(MEDIA_DIR)
+        .where("path like '%.wav' or path like '%.flac'")
+        .select("path", "content")
+    )
+    meta = {
+        r["path"]: r for r in audio_container_metadata(files).collect()
+    }
+    full = {r["path"]: r for r in decode_audio(files).collect()}
+    assert len(meta) >= 7
+    for path, m in meta.items():
+        d = full[path]
+        assert m["err"] is None and d["err"] is None, (path, m, d)
+        assert m["sample_rate"] == d["sample_rate"], path
+        assert m["channels"] == d["channels"], path
+        assert m["duration_s"] == pytest.approx(d["duration_s"]), path
+
+
+def test_extract_audio_frames_operator(spark):
+    from evaporate_spark.operators.multimodal import extract_audio_frames
+
+    mp3 = mp3_mux(12, 128, 32000, 2, with_id3v2=False)
+    opus = ogg_opus_mux([bytes([i]) * 20 for i in range(6)], pre_skip=0)
+    df = spark.createDataFrame(
+        [
+            ("a.mp3", bytearray(mp3)),
+            ("a.ogg", bytearray(opus)),
+            ("a.wav", bytearray(b"RIFF\x00\x00\x00\x00WAVE")),
+        ],
+        "path string, content binary",
+    )
+    rows = extract_audio_frames(df, every_n=2).collect()
+    by_path: dict[str, list] = {}
+    for r in rows:
+        by_path.setdefault(r["path"], []).append(r)
+    mp3_rows = sorted(by_path["a.mp3"], key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in mp3_rows] == [0, 2, 4, 6, 8, 10]
+    assert all(r["codec"] == "mp3" for r in mp3_rows)
+    # each extracted frame is itself a parseable 1-frame stream
+    assert mp3_parse(bytes(mp3_rows[0]["content"])).n_frames == 1
+    ogg_rows = sorted(by_path["a.ogg"], key=lambda r: r["frame_index"])
+    assert [bytes(r["content"]) for r in ogg_rows] == [
+        bytes([i]) * 20 for i in (0, 2, 4)
+    ]
+    (wav_row,) = by_path["a.wav"]
+    assert wav_row["err"] is not None and "decode_audio" in wav_row["err"]

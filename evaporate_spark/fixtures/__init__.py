@@ -20,6 +20,7 @@ import os
 
 FIXTURES_DIR = os.path.dirname(os.path.abspath(__file__))
 MEDIA_DIR = os.path.join(FIXTURES_DIR, "media")
+DOCS_DIR = os.path.join(FIXTURES_DIR, "docs")
 IMAGE_EXPECTED = os.path.join(MEDIA_DIR, "expected_image_stats.parquet")
 AUDIO_EXPECTED = os.path.join(MEDIA_DIR, "expected_audio_stats.parquet")
 VIDEO_EXPECTED = os.path.join(MEDIA_DIR, "expected_video_stats.parquet")

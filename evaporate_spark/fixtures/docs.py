@@ -1,0 +1,98 @@
+"""Committed PDF document fixtures, generated deterministically by the
+engine's own spec-shaped writer (:func:`operators.pdf.pdf_write`) plus
+a hand-assembled PDF 1.5 object-stream variant — so the committed
+bytes regenerate byte-identically (drift-tested like the media
+fixtures) and the ``q_pdf_text_extract`` oracle's expected values are
+hand-derivable from the authored page text below."""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+
+def _objstm_pdf() -> bytes:
+    """A PDF 1.5-style file whose catalog/pages/page dicts live inside
+    a compressed /ObjStm — the modern packing classic-xref parsers
+    miss — with TJ kerning, a hex string, and an uncompressed content
+    stream."""
+    embedded = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>"),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        ),
+        (
+            5,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+        ),
+    ]
+    header_parts = []
+    body = b""
+    for num, src in embedded:
+        header_parts.append(f"{num} {len(body)}".encode())
+        body += src + b" "
+    header = b" ".join(header_parts) + b" "
+    stm = zlib.compress(header + body, 9)
+    content = (
+        b"BT /F1 12 Tf 72 760 Td [(Packed)-250(in)-250(an)-250(ObjStm)] TJ "
+        b"T* <486578206C696E65> Tj ET"
+    )
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    out += (
+        b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    out += (
+        b"9 0 obj\n<< /Type /ObjStm /N 4 /First "
+        + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(stm)).encode()
+        + b" >>\nstream\n" + stm + b"\nendstream\nendobj\n"
+    )
+    out += b"trailer\n<< /Size 10 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    return bytes(out)
+
+
+# authored page text — the q_pdf_text_extract oracle states these
+# values literally, so keep writer/fixture/oracle in sync
+PAGES_510K = [
+    [
+        "510(k) Premarket Notification",
+        "Device: ACME Infusion Pump",
+        "Decision: Substantially Equivalent (SESE)",
+    ],
+    [
+        "Summary of safety and effectiveness.",
+        "Predicate: K123456",
+    ],
+]
+PAGES_PLAIN = [["Plain uncompressed fixture.", "Line two."]]
+PAGES_OBJSTM_TEXT = "Packed in an ObjStm\nHex line"
+
+
+def generate_docs(out_dir: str) -> dict[str, bytes]:
+    """Write every document fixture into ``out_dir``; return name→bytes."""
+    from evaporate_spark.operators.pdf import pdf_write
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = {
+        "report_510k.pdf": pdf_write(
+            PAGES_510K, compress=True, title="510(k) Summary"
+        ),
+        "report_plain.pdf": pdf_write(PAGES_PLAIN, compress=False),
+        "report_objstm.pdf": _objstm_pdf(),
+    }
+    for name, data in files.items():
+        with open(os.path.join(out_dir, name), "wb") as fh:
+            fh.write(data)
+    return files
+
+
+if __name__ == "__main__":  # pragma: no cover
+    from evaporate_spark.fixtures import DOCS_DIR
+
+    for name in sorted(generate_docs(DOCS_DIR)):
+        print(name)

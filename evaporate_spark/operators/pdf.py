@@ -1,0 +1,820 @@
+"""PDF text extraction, pure python — the document-lake ingest step
+for the corpora the reference actually targets (its flagship lake is
+FDA 510(k) filings, ``reference/run.sh:4-27`` — regulatory PDF
+archives; the reference itself only parses txt/html, so PDF ingest is
+an engine addition per SURVEY §2B scans / §2C).
+
+Built from the public PDF 1.7 spec (ISO 32000-1):
+
+- **Object layer**: a tokenizer/parser for the 8 basic object types
+  (names, numbers, literal/hex strings incl. all escapes, arrays,
+  dictionaries, booleans, null, ``N G R`` indirect references) and a
+  LINEAR ``N G obj`` scan instead of the xref table — robust to the
+  broken offsets real-world PDFs are full of, and incremental-update
+  friendly (later definitions of an object number win because they
+  appear later in the file). Object streams (``/Type /ObjStm``, the
+  PDF 1.5+ packing that puts page dicts inside a compressed stream)
+  are expanded, so both classic-xref and xref-stream files parse.
+- **Stream filters**: FlateDecode (stdlib zlib) with PNG/TIFF
+  predictors, LZWDecode (the TIFF early-change LZW core already in
+  :mod:`operators.multimodal`), ASCIIHexDecode, ASCII85Decode,
+  RunLengthDecode — chained per ``/Filter`` arrays.
+- **Page layer**: catalog → page-tree walk (``/Pages``/``/Kids``,
+  cycle-guarded) → per-page ``/Contents`` concatenation.
+- **Text layer**: a content-stream interpreter for the text operators
+  (``BT/ET Tf Td TD T* Tm Tj ' " TJ``), with per-font decode:
+  ``/ToUnicode`` CMaps (bfchar + bfrange, 1- and 2-byte codes) when
+  embedded, else ``/Encoding`` WinAnsi/MacRoman, else the cp1252
+  superset of StandardEncoding. Inline images (``BI…ID…EI``) are
+  skipped; a TJ kern more negative than ``-100`` (0.1 em) renders as
+  a space, the standard heuristic for TeX-style kerned word gaps.
+
+Out of scope, surfaced as typed per-row errors: encrypted PDFs
+(``/Encrypt``) and CID fonts without a ToUnicode map (their bytes are
+glyph indices — unrecoverable without the font program). Glyph
+``/Differences`` arrays are ignored (base encoding applies).
+
+A matching writer emits spec-shaped fixtures (classic xref with
+correct offsets, Helvetica/WinAnsi, optional Flate) for round-trip
+and committed-fixture oracle tests.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int = 0
+
+
+class _Name(str):
+    """A PDF /Name — distinct from string values for dict keys."""
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    while pos < len(data):
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # % comment runs to end of line
+            while pos < len(data) and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+def _parse_name(data: bytes, pos: int) -> tuple[_Name, int]:
+    pos += 1  # past '/'
+    out = bytearray()
+    while pos < len(data) and data[pos] not in _WS and data[pos] not in _DELIM:
+        c = data[pos]
+        if c == 0x23 and pos + 2 < len(data):  # #xx hex escape
+            out.append(int(data[pos + 1 : pos + 3], 16))
+            pos += 3
+        else:
+            out.append(c)
+            pos += 1
+    return _Name(out.decode("latin-1")), pos
+
+
+_STR_ESC = {
+    ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12,
+    ord("("): 40, ord(")"): 41, ord("\\"): 92,
+}
+
+
+def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    pos += 1  # past '('
+    out = bytearray()
+    depth = 1
+    while pos < len(data):
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= len(data):
+                break
+            e = data[pos]
+            if e in _STR_ESC:
+                out.append(_STR_ESC[e])
+                pos += 1
+            elif 0x30 <= e <= 0x37:  # \ddd octal, 1-3 digits
+                oct_ = 0
+                for _ in range(3):
+                    if pos < len(data) and 0x30 <= data[pos] <= 0x37:
+                        oct_ = oct_ * 8 + (data[pos] - 0x30)
+                        pos += 1
+                    else:
+                        break
+                out.append(oct_ & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                pos += 1
+                if e == 0x0D and pos < len(data) and data[pos] == 0x0A:
+                    pos += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(e)
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    raise ValueError("unterminated PDF literal string")
+
+
+def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    pos += 1  # past '<'
+    digits = bytearray()
+    while pos < len(data) and data[pos] != 0x3E:
+        if data[pos] not in _WS:
+            digits.append(data[pos])
+        pos += 1
+    if pos >= len(data):
+        raise ValueError("unterminated PDF hex string")
+    if len(digits) % 2:
+        digits.append(ord("0"))
+    return bytes.fromhex(digits.decode("latin-1")), pos + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_KEYWORD_RE = re.compile(rb"[A-Za-z*'\"]+")
+
+
+def _parse_value(data: bytes, pos: int):
+    """Parse one PDF object at ``pos`` → (value, next_pos). Indirect
+    references parse as :class:`Ref` via two-integer lookahead."""
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise ValueError("unexpected end of PDF data")
+    c = data[pos]
+    if data[pos : pos + 2] == b"<<":
+        pos += 2
+        d: dict = {}
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos : pos + 2] == b">>":
+                return d, pos + 2
+            if pos >= len(data):
+                raise ValueError("unterminated PDF dictionary")
+            if data[pos] != 0x2F:
+                raise ValueError(f"PDF dict key is not a name at {pos}")
+            key, pos = _parse_name(data, pos)
+            d[str(key)], pos = _parse_value(data, pos)
+    if c == 0x5B:  # [
+        pos += 1
+        arr = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if pos >= len(data):
+                raise ValueError("unterminated PDF array")
+            if data[pos] == 0x5D:
+                return arr, pos + 1
+            v, pos = _parse_value(data, pos)
+            arr.append(v)
+    if c == 0x2F:
+        return _parse_name(data, pos)
+    if c == 0x28:
+        return _parse_literal_string(data, pos)
+    if c == 0x3C:
+        return _parse_hex_string(data, pos)
+    m = _NUM_RE.match(data, pos)
+    if m:
+        tok = m.group()
+        after = m.end()
+        if b"." not in tok:
+            # lookahead for "G R" → indirect reference
+            p2 = _skip_ws(data, after)
+            m2 = _NUM_RE.match(data, p2)
+            if m2 and b"." not in m2.group():
+                p3 = _skip_ws(data, m2.end())
+                if (
+                    data[p3 : p3 + 1] == b"R"
+                    and (p3 + 1 >= len(data)
+                         or data[p3 + 1] in _WS
+                         or data[p3 + 1] in _DELIM)
+                ):
+                    return Ref(int(tok), int(m2.group())), p3 + 1
+            return int(tok), after
+        return float(tok), after
+    m = _KEYWORD_RE.match(data, pos)
+    if m:
+        kw = m.group()
+        if kw == b"true":
+            return True, m.end()
+        if kw == b"false":
+            return False, m.end()
+        if kw == b"null":
+            return None, m.end()
+        raise ValueError(f"unexpected PDF keyword {kw!r} at {pos}")
+    raise ValueError(f"unparsable PDF byte 0x{c:02X} at {pos}")
+
+
+# ----------------------------------------------------------------- filters
+def _png_unpredict(data: bytes, columns: int, colors: int) -> bytes:
+    """Inverse PNG row filters (spec §7.4.4.4 via RFC 2083) for
+    Flate/LZW DecodeParms with Predictor ≥ 10."""
+    stride = columns * colors
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    while pos + 1 + stride <= len(data) + stride and pos < len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(colors, len(row)):
+                row[i] = (row[i] + row[i - colors]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - colors] if i >= colors else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - colors] if i >= colors else 0
+                b = prev[i]
+                cc = prev[i - colors] if i >= colors else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG predictor row filter {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos]
+        if n == 128:  # EOD
+            break
+        if n < 128:
+            out += data[pos + 1 : pos + 2 + n]
+            pos += 2 + n
+        else:
+            out += data[pos + 1 : pos + 2] * (257 - n)
+            pos += 2
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = data
+    if body.lstrip()[:2] == b"<~":
+        body = body.lstrip()[2:]
+    end = body.find(b"~>")
+    if end >= 0:
+        body = body[:end]
+    return base64.a85decode(re.sub(rb"\s", b"", body))
+
+
+def _apply_filters(d: dict, data: bytes, resolve) -> bytes:
+    filters = resolve(d.get("Filter"))
+    if filters is None:
+        return data
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = resolve(d.get("DecodeParms")) or resolve(d.get("DP"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    for f, p in zip(filters, parms):
+        f = str(resolve(f))
+        p = resolve(p) or {}
+        if f == "FlateDecode":
+            data = zlib.decompress(data)
+        elif f == "LZWDecode":
+            from evaporate_spark.operators.multimodal import _tiff_lzw_decode
+
+            if resolve(p.get("EarlyChange", 1)) != 1:
+                raise ValueError("LZWDecode EarlyChange=0 not supported")
+            data = bytes(_tiff_lzw_decode(data))
+        elif f == "ASCIIHexDecode":
+            end = data.find(b">")
+            hx = re.sub(rb"\s", b"", data[: end if end >= 0 else len(data)])
+            if len(hx) % 2:
+                hx += b"0"
+            data = bytes.fromhex(hx.decode("latin-1"))
+            continue  # no predictor on ascii filters
+        elif f == "ASCII85Decode":
+            data = _ascii85_decode(data)
+            continue
+        elif f == "RunLengthDecode":
+            data = _run_length_decode(data)
+        else:
+            raise ValueError(f"unsupported PDF stream filter /{f}")
+        pred = resolve(p.get("Predictor", 1))
+        if pred and pred >= 10:
+            data = _png_unpredict(
+                data, resolve(p.get("Columns", 1)), resolve(p.get("Colors", 1))
+            )
+        elif pred == 2:
+            cols = resolve(p.get("Columns", 1))
+            colors = resolve(p.get("Colors", 1))
+            row = bytearray(data)
+            stride = cols * colors
+            for r0 in range(0, len(row) - stride + 1, stride):
+                for i in range(r0 + colors, r0 + stride):
+                    row[i] = (row[i] + row[i - colors]) & 0xFF
+            data = bytes(row)
+    return data
+
+
+# ------------------------------------------------------------ object layer
+@dataclass
+class StreamObj:
+    d: dict
+    raw: bytes  # still encoded; decode via .data(resolve)
+
+    def data(self, resolve) -> bytes:
+        return _apply_filters(self.d, self.raw, resolve)
+
+
+_OBJ_RE = re.compile(rb"(?<![0-9])(\d{1,10})\s+(\d{1,5})\s+obj\b")
+
+
+def pdf_objects(raw: bytes) -> dict[int, object]:
+    """Object number → parsed value (:class:`StreamObj` for streams),
+    via the linear ``N G obj`` scan (matches inside stream payloads
+    are skipped by tracking stream extents; later duplicate object
+    numbers win, which implements incremental updates). ObjStm
+    object streams are expanded after the scan."""
+    if b"/Encrypt" in raw:
+        raise ValueError("encrypted PDF (has /Encrypt) — not supported")
+    objs: dict[int, object] = {}
+    pending_len: list[tuple[int, dict, int]] = []  # length is a Ref
+    skip_until = 0
+    for m in _OBJ_RE.finditer(raw):
+        if m.start() < skip_until:
+            continue  # inside a previous object's stream payload
+        num = int(m.group(1))
+        try:
+            val, pos = _parse_value(raw, m.end())
+        except ValueError:
+            continue
+        pos = _skip_ws(raw, pos)
+        if isinstance(val, dict) and raw[pos : pos + 6] == b"stream":
+            sp = pos + 6
+            if raw[sp : sp + 2] == b"\r\n":
+                sp += 2
+            elif raw[sp : sp + 1] in (b"\n", b"\r"):
+                sp += 1
+            length = val.get("Length")
+            if isinstance(length, int):
+                objs[num] = StreamObj(val, raw[sp : sp + length])
+                skip_until = sp + length
+            else:
+                end = raw.find(b"endstream", sp)
+                if end < 0:
+                    raise ValueError(f"object {num}: unterminated stream")
+                # trailing EOL before endstream is not stream data
+                seg = raw[sp:end]
+                if seg.endswith(b"\r\n"):
+                    seg = seg[:-2]
+                elif seg.endswith((b"\n", b"\r")):
+                    seg = seg[:-1]
+                pending_len.append((num, val, sp))
+                objs[num] = StreamObj(val, seg)
+                skip_until = end
+        else:
+            objs[num] = val
+            skip_until = pos
+    # resolve /Length given as an indirect reference, now that all
+    # plain integer objects are known
+    for num, d, sp in pending_len:
+        length = d.get("Length")
+        if isinstance(length, Ref) and isinstance(objs.get(length.num), int):
+            objs[num] = StreamObj(d, raw[sp : sp + objs[length.num]])
+
+    def resolve(v):
+        seen = 0
+        while isinstance(v, Ref):
+            v = objs.get(v.num)
+            seen += 1
+            if seen > 32:
+                raise ValueError("PDF reference cycle")
+        return v
+
+    # expand object streams (PDF 1.5 /Type /ObjStm)
+    for obj in list(objs.values()):
+        if (
+            isinstance(obj, StreamObj)
+            and str(obj.d.get("Type")) == "ObjStm"
+        ):
+            data = obj.data(resolve)
+            n = resolve(obj.d.get("N"))
+            first = resolve(obj.d.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise ValueError("ObjStm missing N/First")
+            header = data[:first]
+            nums: list[tuple[int, int]] = []
+            hpos = 0
+            for _ in range(n):
+                onum, hpos = _parse_value(header, hpos)
+                ooff, hpos = _parse_value(header, hpos)
+                nums.append((int(onum), int(ooff)))
+            for onum, ooff in nums:
+                v, _ = _parse_value(data, first + ooff)
+                objs.setdefault(onum, v)
+    if not objs:
+        raise ValueError("no PDF objects found")
+    return objs
+
+
+def _resolver(objs: dict[int, object]):
+    def resolve(v):
+        seen = 0
+        while isinstance(v, Ref):
+            v = objs.get(v.num)
+            seen += 1
+            if seen > 32:
+                raise ValueError("PDF reference cycle")
+        return v
+
+    return resolve
+
+
+def pdf_page_dicts(objs: dict[int, object]) -> list[dict]:
+    """Page dictionaries in document order via the catalog's page
+    tree (falls back to the root /Pages node if no /Type /Catalog)."""
+    resolve = _resolver(objs)
+    root = None
+    for v in objs.values():
+        if isinstance(v, dict) and str(v.get("Type")) == "Catalog":
+            root = resolve(v.get("Pages"))
+            break
+    if root is None:
+        kids_parents = set()
+        for v in objs.values():
+            if isinstance(v, dict) and str(v.get("Type")) == "Pages":
+                if v.get("Parent") is None:
+                    root = v
+                kids_parents.add(id(v))
+    if not isinstance(root, dict):
+        raise ValueError("PDF has no catalog/page tree")
+    pages: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(node: dict, depth: int) -> None:
+        if depth > 64 or id(node) in seen:
+            raise ValueError("PDF page tree cycle or excessive depth")
+        seen.add(id(node))
+        t = str(node.get("Type"))
+        if t == "Page":
+            pages.append(node)
+            return
+        for kid in resolve(node.get("Kids")) or []:
+            kid = resolve(kid)
+            if isinstance(kid, dict):
+                walk(kid, depth + 1)
+
+    walk(root, 0)
+    return pages
+
+
+# -------------------------------------------------------------- text layer
+def _parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
+    """(code byte width, code→text) from a ToUnicode CMap stream
+    (bfchar + bfrange, per the public Adobe CMap spec)."""
+    width = 1
+    m = re.search(
+        rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data
+    )
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    out: dict[int, str] = {}
+
+    def utf16(hexs: bytes) -> str:
+        return bytes.fromhex(hexs.decode("latin-1")).decode(
+            "utf-16-be", errors="replace"
+        )
+
+    for block in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block
+        ):
+            out[int(src, 16)] = utf16(dst)
+    for block in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        pos = 0
+        while True:
+            m = re.compile(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<([0-9A-Fa-f]+)>|\[)"
+            ).search(block, pos)
+            if not m:
+                break
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if m.group(3) == b"[":
+                arr_end = block.find(b"]", m.end())
+                dsts = re.findall(
+                    rb"<([0-9A-Fa-f]+)>", block[m.end() : arr_end]
+                )
+                for i, d in enumerate(dsts):
+                    out[lo + i] = utf16(d)
+                pos = arr_end + 1
+            else:
+                base_hex = m.group(4)
+                base = int(base_hex, 16)
+                prefix = utf16(base_hex)[:-1]
+                low = int(base_hex[-4:], 16) if len(base_hex) >= 4 else base
+                for i in range(hi - lo + 1):
+                    out[lo + i] = prefix + chr((low + i) & 0xFFFF)
+                pos = m.end()
+    return width, out
+
+
+@dataclass
+class _Font:
+    width: int = 1
+    cmap: dict[int, str] | None = None
+    codec: str = "cp1252"
+
+    def decode(self, s: bytes) -> str:
+        if s[:2] == b"\xfe\xff":  # UTF-16BE BOM (outline/metadata style)
+            return s[2:].decode("utf-16-be", errors="replace")
+        if self.cmap is not None:
+            out = []
+            for i in range(0, len(s) - self.width + 1, self.width):
+                code = int.from_bytes(s[i : i + self.width], "big")
+                out.append(self.cmap.get(code, "�"))
+            return "".join(out)
+        return s.decode(self.codec, errors="replace")
+
+
+def _page_fonts(page: dict, resolve) -> dict[str, _Font]:
+    res = resolve(page.get("Resources")) or {}
+    fonts = resolve(res.get("Font")) or {}
+    out: dict[str, _Font] = {}
+    for name, fref in fonts.items():
+        fd = resolve(fref)
+        if not isinstance(fd, dict):
+            continue
+        tu = resolve(fd.get("ToUnicode"))
+        if isinstance(tu, StreamObj):
+            width, cmap = _parse_tounicode_cmap(tu.data(resolve))
+            out[str(name)] = _Font(width=width, cmap=cmap)
+            continue
+        enc = resolve(fd.get("Encoding"))
+        if isinstance(enc, dict):
+            enc = resolve(enc.get("BaseEncoding"))
+        codec = {
+            "WinAnsiEncoding": "cp1252",
+            "MacRomanEncoding": "mac_roman",
+        }.get(str(enc), "cp1252")
+        if str(resolve(fd.get("Subtype"))) == "Type0":
+            # CID font without ToUnicode: bytes are glyph ids
+            raise ValueError(
+                f"CID font {name} has no ToUnicode map — text unrecoverable"
+            )
+        out[str(name)] = _Font(codec=codec)
+    return out
+
+
+def _page_content(page: dict, resolve) -> bytes:
+    contents = resolve(page.get("Contents"))
+    if contents is None:
+        return b""
+    parts = contents if isinstance(contents, list) else [contents]
+    out = []
+    for part in parts:
+        part = resolve(part)
+        if isinstance(part, StreamObj):
+            out.append(part.data(resolve))
+    return b"\n".join(out)
+
+
+def _extract_page_text(content: bytes, fonts: dict[str, _Font]) -> str:
+    """Interpret the text operators of one page's content stream."""
+    lines: list[str] = []
+    cur: list[str] = []
+    font = _Font()
+    stack: list = []
+    pos = 0
+    n = len(content)
+
+    def newline() -> None:
+        lines.append("".join(cur))
+        cur.clear()
+
+    def emit(raw: bytes) -> None:
+        cur.append(font.decode(raw))
+
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos]
+        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or (
+            _NUM_RE.match(content, pos)
+        ):
+            v, pos = _parse_value(content, pos)
+            stack.append(v)
+            continue
+        m = _KEYWORD_RE.match(content, pos)
+        if not m:
+            pos += 1  # tolerate stray bytes
+            continue
+        op = m.group()
+        pos = m.end()
+        if op == b"BI":  # inline image: skip to EI
+            end = re.compile(rb"\bEI\b").search(content, pos)
+            pos = end.end() if end else n
+        elif op == b"Tf" and len(stack) >= 2:
+            fname = str(stack[-2])
+            font = fonts.get(fname, font)
+        elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+            emit(stack[-1])
+        elif op == b"'" and stack and isinstance(stack[-1], bytes):
+            newline()
+            emit(stack[-1])
+        elif op == b'"' and stack and isinstance(stack[-1], bytes):
+            newline()
+            emit(stack[-1])
+        elif op == b"TJ" and stack and isinstance(stack[-1], list):
+            for item in stack[-1]:
+                if isinstance(item, bytes):
+                    emit(item)
+                elif isinstance(item, (int, float)) and item < -100:
+                    cur.append(" ")  # kerned word gap ≥ 0.1 em
+        elif op in (b"Td", b"TD") and len(stack) >= 2:
+            ty = stack[-1]
+            if isinstance(ty, (int, float)) and ty != 0 and (cur or lines):
+                newline()
+        elif op == b"Tm" and len(stack) >= 6:
+            if cur:
+                newline()
+        elif op == b"T*":
+            newline()
+        elif op == b"ET":
+            if cur:
+                newline()
+        stack.clear() if op not in (b"BI",) else None
+    if cur:
+        newline()
+    return "\n".join(lines)
+
+
+def pdf_page_texts(raw: bytes) -> list[str]:
+    """One extracted-text string per page, in document order."""
+    objs = pdf_objects(raw)
+    resolve = _resolver(objs)
+    out = []
+    for page in pdf_page_dicts(objs):
+        fonts = _page_fonts(page, resolve)
+        out.append(_extract_page_text(_page_content(page, resolve), fonts))
+    return out
+
+
+def pdf_extract_text(raw: bytes) -> str:
+    """Whole-document text; pages joined with form-feed."""
+    return "\f".join(pdf_page_texts(raw))
+
+
+def pdf_info(raw: bytes) -> dict:
+    """Header version, page count, and the /Info metadata strings."""
+    m = re.match(rb"%PDF-(\d+\.\d+)", raw)
+    version = m.group(1).decode() if m else None
+    objs = pdf_objects(raw)
+    resolve = _resolver(objs)
+    n_pages = len(pdf_page_dicts(objs))
+    meta: dict[str, str] = {}
+    for v in objs.values():
+        if isinstance(v, dict) and (
+            "Title" in v or "Producer" in v or "Author" in v
+        ) and "Type" not in v:
+            for k in ("Title", "Author", "Producer", "Subject"):
+                s = resolve(v.get(k))
+                if isinstance(s, bytes):
+                    meta[k.lower()] = _Font().decode(s)
+            break
+    return {"version": version, "n_pages": n_pages, **meta}
+
+
+# ------------------------------------------------------------------ writer
+def _esc(s: str) -> bytes:
+    b = s.encode("cp1252", errors="replace")
+    return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+
+
+def pdf_write(
+    pages: list[list[str]],
+    compress: bool = True,
+    title: str | None = None,
+) -> bytes:
+    """Minimal spec-shaped PDF writer for fixtures: Helvetica/WinAnsi
+    text lines per page, classic xref table with correct byte
+    offsets, optional FlateDecode content streams."""
+    objs: dict[int, bytes] = {}
+    font_num = 3 + 2 * len(pages)
+    info_num = font_num + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages)))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Count {len(pages)} /Kids [ {kids} ] >>".encode()
+    )
+    for i, lines in enumerate(pages):
+        pnum, cnum = 3 + 2 * i, 4 + 2 * i
+        objs[pnum] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {cnum} 0 R >>"
+        ).encode()
+        body = bytearray(b"BT /F1 12 Tf 72 760 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                body += b"0 -14 Td\n"
+            body += b"(" + _esc(line) + b") Tj\n"
+        body += b"ET"
+        data = bytes(body)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs[cnum] = (
+            b"<< " + filt + f"/Length {len(data)} >>\nstream\n".encode()
+            + data + b"\nendstream"
+        )
+    objs[font_num] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+    objs[info_num] = (
+        b"<< /Producer (evaporate-spark fixture writer)"
+        + (b" /Title (" + _esc(title) + b")" if title else b"")
+        + b" >>"
+    )
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += f"xref\n0 {n}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R /Info {info_num} 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# --------------------------------------------------------- spark operators
+def extract_pdf_text_df(
+    df: DataFrame, path_col: str = "path", binary_col: str = "content"
+) -> DataFrame:
+    """(path, pdf bytes) → (path, n_pages, text, err): distributed PDF
+    text extraction, one Arrow-batched task per file batch — the
+    doc-lake ingest step for PDF corpora. Encrypted files, CID fonts
+    without ToUnicode, and parse failures yield typed per-row errs
+    (never fail the task)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf_ in it:
+            rows = []
+            for path, raw in zip(pdf_[path_col], pdf_[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    texts = pdf_page_texts(raw)
+                    rows.append(
+                        (path, len(texts), "\f".join(texts), len(raw), None)
+                    )
+                except Exception as ex:
+                    rows.append((path, None, None, len(raw), repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows, columns=["path", "n_pages", "text", "n_bytes", "err"]
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        batches,
+        schema=(
+            "path string, n_pages long, text string, n_bytes long, err string"
+        ),
+    )

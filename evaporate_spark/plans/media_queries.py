@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from evaporate_spark.fixtures import (
     AUDIO_EXPECTED,
+    DOCS_DIR,
     IMAGE_EXPECTED,
     MEDIA_DIR,
     VIDEO_EXPECTED,
@@ -241,4 +242,43 @@ def q_audio_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         "n_frames",
         F.round("duration_s", 4).alias("duration_s"),
+    )
+
+
+@register(
+    "q_pdf_text_extract",
+    "REAL pure-python PDF text extraction (operators/pdf.py: linear "
+    "object scan incl. /ObjStm expansion, Flate/LZW/ASCIIHex/ASCII85/"
+    "RunLength filters with predictors, page-tree walk, text-operator "
+    "interpreter with ToUnicode/WinAnsi font decode) over three "
+    "committed fixtures — a Flate-compressed 2-page report, an "
+    "uncompressed file, and a PDF 1.5 object-stream file with TJ "
+    "kerning + hex strings. The reference's flagship corpus (FDA "
+    "510(k)) is a PDF document lake; the reference itself only parses "
+    "txt/html, so this is the missing ingest step. Oracle = the "
+    "authored page text's hand-derived page/line/char counts and "
+    "first line.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('report_510k.pdf', CAST(2 AS BIGINT), CAST(5 AS BIGINT),
+             CAST(154 AS BIGINT), '510(k) Premarket Notification'),
+            ('report_objstm.pdf', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+             CAST(28 AS BIGINT), 'Packed in an ObjStm'),
+            ('report_plain.pdf', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+             CAST(37 AS BIGINT), 'Plain uncompressed fixture.')
+        ) AS t(file, n_pages, n_lines, n_chars, first_line)
+    """,
+    tags=("multimodal", "doclake"),
+)
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.pdf import extract_pdf_text_df
+
+    files = _media_files(spark, DOCS_DIR, ".pdf")
+    lines = F.split("text", "[\\n\\f]")
+    return extract_pdf_text_df(files, path_col="file").select(
+        F.col("path").alias("file"),
+        "n_pages",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.element_at(lines, 1).alias("first_line"),
     )

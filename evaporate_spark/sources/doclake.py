@@ -28,12 +28,24 @@ def read_document_dir(
     path: str,
     recursive: bool = True,
     glob: str | None = None,
+    pdf_text: bool = False,
 ) -> DataFrame:
     """Read a directory of text/HTML files as documents.
 
     binaryFile + JVM-side decode: no Python in this path. Dotfiles and
     editor swap files are skipped like the reference
     (``run_profiler.py:24-27``, ``profiler_utils.py:352-353``).
+
+    With ``pdf_text=True``, ``.pdf`` files are routed through the
+    pure-python extractor (:mod:`evaporate_spark.operators.pdf`,
+    Arrow-batched mapInPandas — the only Python in the path, and only
+    over the PDF rows) and land in the same schema with
+    ``doc_type='pdf'``; unextractable PDFs (encrypted, CID-no-ToUnicode)
+    degrade to empty content, mirroring the reference's
+    errors-ignored utf-8 contract. The reference itself reads txt/html
+    only — PDF ingest is an engine addition (SURVEY §2B scans row);
+    its flagship corpus (FDA 510(k), ``reference/run.sh:4-27``) is a
+    PDF-derived lake.
     """
     reader = spark.read.format("binaryFile")
     if recursive:
@@ -41,25 +53,37 @@ def read_document_dir(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path)
-    return (
-        raw.where(~F.element_at(F.split(F.col("path"), "/"), -1).startswith("."))
-        .where(~F.col("path").endswith(".swp"))
-        .select(
-            F.col("path"),
-            # errors-tolerant decode (reference contract is utf-8 with
-            # errors ignored, profiler_utils.py:347-357): cast the bytes
-            # and repair invalid sequences — decode() would raise
-            # MALFORMED_CHARACTER_CODING on bad input. Divergence noted:
-            # invalid bytes become U+FFFD instead of being dropped.
-            F.coalesce(
-                F.expr("make_valid_utf8(cast(content as string))"), F.lit("")
-            ).alias("content"),
-            F.when(F.lower(F.col("path")).rlike(r"\.html?$"), F.lit("html"))
-            .otherwise(F.lit("txt"))
-            .alias("doc_type"),
-            F.col("length").alias("n_bytes"),
-        )
+    base = raw.where(
+        ~F.element_at(F.split(F.col("path"), "/"), -1).startswith(".")
+    ).where(~F.col("path").endswith(".swp"))
+    is_pdf = F.lower(F.col("path")).endswith(".pdf")
+    text_side = base.where(~is_pdf) if pdf_text else base
+    decoded = text_side.select(
+        F.col("path"),
+        # errors-tolerant decode (reference contract is utf-8 with
+        # errors ignored, profiler_utils.py:347-357): cast the bytes
+        # and repair invalid sequences — decode() would raise
+        # MALFORMED_CHARACTER_CODING on bad input. Divergence noted:
+        # invalid bytes become U+FFFD instead of being dropped.
+        F.coalesce(
+            F.expr("make_valid_utf8(cast(content as string))"), F.lit("")
+        ).alias("content"),
+        F.when(F.lower(F.col("path")).rlike(r"\.html?$"), F.lit("html"))
+        .otherwise(F.lit("txt"))
+        .alias("doc_type"),
+        F.col("length").alias("n_bytes"),
     )
+    if not pdf_text:
+        return decoded
+    from evaporate_spark.operators.pdf import extract_pdf_text_df
+
+    pdf_docs = extract_pdf_text_df(base.where(is_pdf)).select(
+        "path",
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        F.lit("pdf").alias("doc_type"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+    return decoded.unionByName(pdf_docs)
 
 
 def read_document_lake(spark: SparkSession, sf_dir_or_path: str) -> DataFrame:

@@ -1,0 +1,282 @@
+"""Pure-python PDF text extraction (operators/pdf.py): object layer,
+stream filters, page walk, text-operator interpreter, fonts, the
+fixture writer, and the Spark operator + doc-lake integration.
+Engine addition (SURVEY §2B scans): the reference reads txt/html only,
+but its flagship corpus (FDA 510(k), reference/run.sh:4-27) is a PDF
+document lake."""
+
+from __future__ import annotations
+
+import base64
+import os
+import zlib
+
+import pytest
+
+from evaporate_spark.operators.pdf import (
+    Ref,
+    _parse_value,
+    pdf_extract_text,
+    pdf_info,
+    pdf_objects,
+    pdf_page_texts,
+    pdf_write,
+)
+
+
+def mkpdf(objs_src: dict[int, bytes], header: bytes = b"%PDF-1.5\n") -> bytes:
+    out = bytearray(header)
+    for num in sorted(objs_src):
+        out += f"{num} 0 obj\n".encode() + objs_src[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Size 99 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    return bytes(out)
+
+
+def stream_obj(d: bytes, data: bytes) -> bytes:
+    return (
+        b"<< " + d + b" /Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream"
+    )
+
+
+def page_objs(content: bytes) -> dict[int, bytes]:
+    return {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: stream_obj(b"", content),
+        5: (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        ),
+    }
+
+
+# ------------------------------------------------------------ object layer
+def test_value_parser_types():
+    v, _ = _parse_value(b"<< /A [1 2.5 (s) <414243> /N true null] /B 7 0 R >>", 0)
+    assert v["A"] == [1, 2.5, b"s", b"ABC", "N", True, None]
+    assert v["B"] == Ref(7, 0)
+    # "3 0 R" lookahead must not eat a plain integer pair
+    v, _ = _parse_value(b"[3 0 4]", 0)
+    assert v == [3, 0, 4]
+    # name hex escapes and octal string escapes
+    v, _ = _parse_value(b"/A#42C", 0)
+    assert v == "ABC"
+    v, _ = _parse_value(rb"(\110\51\n)", 0)
+    assert v == b"H)\n"
+
+
+def test_incremental_update_later_object_wins():
+    raw = mkpdf(page_objs(b"BT (old) Tj ET"))
+    newc = b"BT (new) Tj ET"
+    raw += b"4 0 obj\n" + stream_obj(b"", newc) + b"\nendobj\n"
+    assert pdf_page_texts(raw) == ["new"]
+
+
+def test_length_as_indirect_ref_and_stream_decoys():
+    objs = page_objs(b"")
+    content = b"BT (real) Tj ET % 7 0 obj decoy\n"
+    objs[4] = b"<< /Length 6 0 R >>\nstream\n" + content + b"\nendstream"
+    objs[6] = str(len(content)).encode()
+    assert pdf_page_texts(mkpdf(objs)) == ["real"]
+
+
+def test_objstm_expansion():
+    embedded = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    hdr, body = [], b""
+    for num, src in embedded:
+        hdr.append(f"{num} {len(body)}".encode())
+        body += src + b" "
+    header = b" ".join(hdr) + b" "
+    stm = zlib.compress(header + body)
+    objs = {
+        9: stream_obj(
+            b"/Type /ObjStm /N 3 /First "
+            + str(len(header)).encode()
+            + b" /Filter /FlateDecode",
+            stm,
+        ),
+        4: stream_obj(b"", b"BT (objstm!) Tj ET"),
+    }
+    assert pdf_page_texts(mkpdf(objs)) == ["objstm!"]
+
+
+def test_encrypted_pdf_rejected_typed():
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf_objects(mkpdf({1: b"<< /Encrypt 2 0 R >>"}))
+
+
+# ---------------------------------------------------------------- filters
+def test_filter_chains():
+    inner = b"BT (chain) Tj ET"
+    rle = bytes([len(inner) - 1]) + inner + bytes([128])
+    hexed = rle.hex().encode() + b">"
+    objs = page_objs(b"")
+    objs[4] = stream_obj(
+        b"/Filter [/ASCIIHexDecode /RunLengthDecode]", hexed
+    )
+    assert pdf_page_texts(mkpdf(objs)) == ["chain"]
+    a85 = base64.a85encode(zlib.compress(b"BT (a85) Tj ET")) + b"~>"
+    objs[4] = stream_obj(b"/Filter [/ASCII85Decode /FlateDecode]", a85)
+    assert pdf_page_texts(mkpdf(objs)) == ["a85"]
+    from evaporate_spark.operators.multimodal import _tiff_lzw_encode
+
+    lzw = bytes(_tiff_lzw_encode(b"BT (lzw) Tj ET"))
+    objs[4] = stream_obj(b"/Filter /LZWDecode", lzw)
+    assert pdf_page_texts(mkpdf(objs)) == ["lzw"]
+
+
+def test_flate_png_predictor():
+    plain = b"BT (pred) Tj ET" + b" " * 17  # two 16-byte rows
+    cols = 16
+    rows = [plain[i : i + cols] for i in range(0, len(plain), cols)]
+    enc, prev = bytearray(), bytes(cols)
+    for r in rows:
+        enc.append(2)  # Up filter
+        enc += bytes((r[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = r
+    objs = page_objs(b"")
+    objs[4] = stream_obj(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 16 >>",
+        zlib.compress(bytes(enc)),
+    )
+    assert pdf_page_texts(mkpdf(objs)) == ["pred"]
+
+
+# --------------------------------------------------------------- text ops
+def test_text_operators():
+    c = (
+        b"BT /F1 12 Tf 72 760 Td [(Hel)3(lo)-250(world)] TJ "
+        b"T* <486579> Tj (apos) ' ET"
+    )
+    assert pdf_page_texts(mkpdf(page_objs(c))) == ["Hello world\nHey\napos"]
+    # escapes: octal, nested parens, line continuation
+    c = b"BT (\\110i \\(x\\) \\\njoined) Tj ET"
+    assert pdf_page_texts(mkpdf(page_objs(c))) == ["Hi (x) joined"]
+    # inline image payload (with unbalanced bytes) is skipped
+    c = b"BT (before) Tj ET BI /W 2 /H 2 ID \xff\xfe\x00(\x29 EI BT (after) Tj ET"
+    assert pdf_page_texts(mkpdf(page_objs(c))) == ["before\nafter"]
+
+
+def test_tounicode_cmap_font():
+    cmap = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0048>\n<0002> <00690021>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0012> <0061>\nendbfrange"
+    )
+    objs = page_objs(b"BT /F1 12 Tf <0001 0002 0010 0011 0012> Tj ET")
+    objs[5] = b"<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>"
+    objs[7] = stream_obj(b"", cmap)
+    assert pdf_page_texts(mkpdf(objs)) == ["Hi!abc"]
+    # CID font WITHOUT ToUnicode: glyph ids, unrecoverable -> typed
+    objs[5] = b"<< /Type /Font /Subtype /Type0 /BaseFont /Foo >>"
+    del objs[7]
+    with pytest.raises(ValueError, match="ToUnicode"):
+        pdf_page_texts(mkpdf(objs))
+
+
+# ------------------------------------------------------- writer round trip
+def test_writer_roundtrip_and_info():
+    pages = [
+        ["Hello, PDF lake!", "With (parens) and \\ backslash."],
+        ["Page two — em dash and café."],
+    ]
+    for compress in (True, False):
+        raw = pdf_write(pages, compress=compress, title="T")
+        assert pdf_page_texts(raw) == ["\n".join(p) for p in pages]
+    info = pdf_info(pdf_write(pages, title="T"))
+    assert info["n_pages"] == 2 and info["version"] == "1.4"
+    assert info["title"] == "T"
+
+
+def test_writer_xref_offsets_are_correct():
+    raw = pdf_write([["x"]])
+    xref_at = int(raw.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    assert raw[xref_at : xref_at + 4] == b"xref"
+    table = raw[xref_at:].split(b"\n")
+    n = int(table[1].split()[1])
+    for i, line in enumerate(table[3 : 2 + n]):
+        off = int(line.split()[0])
+        assert raw[off:].startswith(f"{i + 1} 0 obj".encode())
+
+
+# ------------------------------------------------------ committed fixtures
+def test_committed_doc_fixtures_regenerate_byte_identically(tmp_path):
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.fixtures.docs import generate_docs
+
+    fresh = generate_docs(str(tmp_path))
+    assert len(fresh) >= 3
+    for name, data in fresh.items():
+        with open(os.path.join(DOCS_DIR, name), "rb") as fh:
+            assert fh.read() == data, f"{name} drifted from its generator"
+
+
+def test_fixture_text_matches_authored_pages():
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.fixtures.docs import (
+        PAGES_510K,
+        PAGES_OBJSTM_TEXT,
+        PAGES_PLAIN,
+    )
+
+    def read(name):
+        with open(os.path.join(DOCS_DIR, name), "rb") as fh:
+            return fh.read()
+
+    assert pdf_extract_text(read("report_510k.pdf")) == "\f".join(
+        "\n".join(p) for p in PAGES_510K
+    )
+    assert pdf_extract_text(read("report_plain.pdf")) == "\n".join(
+        PAGES_PLAIN[0]
+    )
+    assert pdf_extract_text(read("report_objstm.pdf")) == PAGES_OBJSTM_TEXT
+
+
+# --------------------------------------------------------- spark operators
+def test_extract_pdf_text_df_and_error_rows(spark):
+    from evaporate_spark.operators.pdf import extract_pdf_text_df
+
+    good = pdf_write([["doc one"]])
+    df = spark.createDataFrame(
+        [
+            ("a.pdf", bytearray(good)),
+            ("enc.pdf", bytearray(mkpdf({1: b"<< /Encrypt 2 0 R >>"}))),
+            ("junk.pdf", bytearray(b"not a pdf at all")),
+        ],
+        "path string, content binary",
+    )
+    got = {r["path"]: r for r in extract_pdf_text_df(df).collect()}
+    assert got["a.pdf"]["text"] == "doc one"
+    assert got["a.pdf"]["n_pages"] == 1
+    assert got["a.pdf"]["n_bytes"] == len(good)
+    assert "encrypted" in got["enc.pdf"]["err"]
+    assert got["junk.pdf"]["err"] is not None
+
+
+def test_doclake_reads_pdfs_next_to_text(spark, tmp_path):
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    (tmp_path / "a.txt").write_text("plain text doc")
+    (tmp_path / "b.html").write_text("<html><body>hi</body></html>")
+    (tmp_path / "c.pdf").write_bytes(pdf_write([["pdf line one", "two"]]))
+    docs = read_document_dir(spark, str(tmp_path), pdf_text=True)
+    rows = {os.path.basename(r["path"]): r for r in docs.collect()}
+    assert rows["a.txt"]["doc_type"] == "txt"
+    assert rows["b.html"]["doc_type"] == "html"
+    assert rows["c.pdf"]["doc_type"] == "pdf"
+    assert rows["c.pdf"]["content"] == "pdf line one\ntwo"
+    assert rows["c.pdf"]["n_bytes"] > 0
+    # default path unchanged: pdf bytes come through as tolerant utf-8
+    legacy = read_document_dir(spark, str(tmp_path))
+    assert {os.path.basename(r["path"]) for r in legacy.collect()} == {
+        "a.txt", "b.html", "c.pdf",
+    }

@@ -72,12 +72,31 @@ PAGES_510K = [
 PAGES_PLAIN = [["Plain uncompressed fixture.", "Line two."]]
 PAGES_OBJSTM_TEXT = "Packed in an ObjStm\nHex line"
 
+# authored crawl fixture content (q_warc_ingest oracle derives from it)
+CRAWL_HTML = (
+    "<html><head><title>Crawl Fixture</title></head>"
+    "<body><h1>Hello crawl</h1><p>First paragraph.</p></body></html>"
+)
+CRAWL_CHUNKED = "Chunked transfer decoding works."
+CRAWL_GZ = "Gzipped body decoding works."
+CRAWL_404 = "not found"
+
+# authored archive members (q_archive_doclake oracle derives from it)
+ARCHIVE_TEXTS = {
+    "corpus/alpha.txt": "Alpha document body.",
+    "corpus/beta.html": "<html><body><p>Beta doc.</p></body></html>",
+}
+ARCHIVE_PDF_TEXT = "Gamma from PDF."
+
 
 def generate_docs(out_dir: str) -> dict[str, bytes]:
     """Write every document fixture into ``out_dir``; return name→bytes."""
     from evaporate_spark.operators.pdf import pdf_write
 
     os.makedirs(out_dir, exist_ok=True)
+    from evaporate_spark.sources.archives import targz_write, zip_write
+    from evaporate_spark.sources.warc import http_response_bytes, warc_write
+
     files = {
         "report_510k.pdf": pdf_write(
             PAGES_510K, compress=True, title="510(k) Summary"
@@ -85,6 +104,35 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
         "report_plain.pdf": pdf_write(PAGES_PLAIN, compress=False),
         "report_objstm.pdf": _objstm_pdf(),
     }
+    files["crawl.warc.gz"] = warc_write(
+        [
+            {"type": "warcinfo", "content_type": "application/warc-fields",
+             "payload": b"software: evaporate-spark fixture writer"},
+            {"type": "request", "url": "http://example.com/",
+             "content_type": "application/http; msgtype=request",
+             "payload": b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n"},
+            {"type": "response", "url": "http://example.com/",
+             "http": http_response_bytes(200, CRAWL_HTML.encode())},
+            {"type": "response", "url": "http://example.com/plain.txt",
+             "http": http_response_bytes(
+                 200, CRAWL_CHUNKED.encode(),
+                 content_type="text/plain; charset=utf-8", chunked=True)},
+            {"type": "response", "url": "http://example.com/gz.txt",
+             "http": http_response_bytes(
+                 200, CRAWL_GZ.encode(),
+                 content_type="text/plain; charset=utf-8", gzip_body=True)},
+            {"type": "response", "url": "http://example.com/missing",
+             "http": http_response_bytes(
+                 404, CRAWL_404.encode(), content_type="text/plain")},
+        ],
+        gzip_per_record=True,
+    )
+    members = dict(
+        {k: v.encode() for k, v in ARCHIVE_TEXTS.items()},
+        **{"corpus/gamma.pdf": pdf_write([[ARCHIVE_PDF_TEXT]])},
+    )
+    files["docs_archive.zip"] = zip_write(members)
+    files["docs_archive.tar.gz"] = targz_write(members)
     for name, data in files.items():
         with open(os.path.join(out_dir, name), "wb") as fh:
             fh.write(data)

@@ -672,7 +672,7 @@ def _extract_page_text(content: bytes, fonts: dict[str, _Font]) -> str:
         elif op == b"ET":
             if cur:
                 newline()
-        stack.clear() if op not in (b"BI",) else None
+        stack.clear()
     if cur:
         newline()
     return "\n".join(lines)

@@ -282,3 +282,81 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         F.element_at(lines, 1).alias("first_line"),
     )
+
+
+@register(
+    "q_warc_ingest",
+    "REAL WARC web-archive ingest (sources/warc.py — the Common Crawl "
+    "container, ISO 28500): per-record-gzip-member decompression, "
+    "strict Content-Length record framing, HTTP response unwrapping "
+    "incl. chunked transfer decoding, gzip content-encoding, and "
+    "charset-aware text decode, over a committed .warc.gz fixture "
+    "whose framing is real and whose page text is authored. Oracle = "
+    "the hand-derivable record table (the 404 row proves status "
+    "passthrough; indices count ALL records, so the filtered-out "
+    "warcinfo/request records are visible as the 0/1 gap).",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(2 AS BIGINT), 'http://example.com/', CAST(200 AS BIGINT),
+             'text/html', CAST(110 AS BIGINT)),
+            (CAST(3 AS BIGINT), 'http://example.com/plain.txt',
+             CAST(200 AS BIGINT), 'text/plain', CAST(32 AS BIGINT)),
+            (CAST(4 AS BIGINT), 'http://example.com/gz.txt',
+             CAST(200 AS BIGINT), 'text/plain', CAST(28 AS BIGINT)),
+            (CAST(5 AS BIGINT), 'http://example.com/missing',
+             CAST(404 AS BIGINT), 'text/plain', CAST(9 AS BIGINT))
+        ) AS t(record_index, url, http_status, mime, n_chars)
+    """,
+    tags=("doclake",),
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, DOCS_DIR)
+    return recs.select(
+        "record_index",
+        "url",
+        "http_status",
+        "mime",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "q_archive_doclake",
+    "REAL archive-shard doc-lake expansion (sources/archives.py): a "
+    "zip and a tar.gz shard, each holding the same txt + html + PDF "
+    "members, expand inside the scan task to canonical document rows "
+    "(PDF members route through the pure-python extractor). Oracle = "
+    "the authored member table, proving zip and tar paths agree "
+    "byte-for-byte on content length and type routing.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('docs_archive.zip', 'corpus/alpha.txt', 'txt',
+             CAST(20 AS BIGINT), CAST(20 AS BIGINT)),
+            ('docs_archive.zip', 'corpus/beta.html', 'html',
+             CAST(42 AS BIGINT), CAST(42 AS BIGINT)),
+            ('docs_archive.zip', 'corpus/gamma.pdf', 'pdf',
+             CAST(15 AS BIGINT), CAST(750 AS BIGINT)),
+            ('docs_archive.tar.gz', 'corpus/alpha.txt', 'txt',
+             CAST(20 AS BIGINT), CAST(20 AS BIGINT)),
+            ('docs_archive.tar.gz', 'corpus/beta.html', 'html',
+             CAST(42 AS BIGINT), CAST(42 AS BIGINT)),
+            ('docs_archive.tar.gz', 'corpus/gamma.pdf', 'pdf',
+             CAST(15 AS BIGINT), CAST(750 AS BIGINT))
+        ) AS t(archive, member, doc_type, n_chars, n_bytes)
+    """,
+    tags=("doclake",),
+)
+def q_archive_doclake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.sources.archives import read_document_archives
+
+    docs = read_document_archives(spark, DOCS_DIR)
+    split = F.split("path", "!")
+    return docs.select(
+        F.element_at(F.split(F.element_at(split, 1), "/"), -1).alias("archive"),
+        F.element_at(split, 2).alias("member"),
+        "doc_type",
+        F.length("content").cast("bigint").alias("n_chars"),
+        "n_bytes",
+    )

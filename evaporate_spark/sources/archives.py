@@ -1,0 +1,137 @@
+"""Archive doc-lake source: zip / tar(.gz) shards → canonical
+documents rows. Engine addition (SURVEY §2B scans): the reference
+walks a directory of loose txt/html files, but at lake scale corpora
+ship as archive shards (one zip/tar per crawl batch) — expanding them
+INSIDE the scan task keeps one-file-per-task parallelism without ever
+materializing members on disk.
+
+Pure stdlib (zipfile/tarfile over in-memory bytes) inside an
+Arrow-batched ``mapInPandas``; one output row per member file. Member
+text decodes utf-8-tolerant like :func:`doclake.read_document_dir`;
+``.pdf`` members route through the pure-python extractor
+(:mod:`operators.pdf`). Dotfiles, directories, and editor swap files
+are skipped per the reference's directory-walk contract
+(``reference/evaporate/run_profiler.py:24-27``).
+
+Deterministic fixture writers (fixed zip timestamps, zeroed tar
+mtimes, mtime-less gzip wrapper) keep committed archives
+byte-reproducible.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _member_rows(archive_path: str, raw: bytes) -> list[tuple]:
+    """(member path, text, doc_type, n_bytes) per member file."""
+    members: list[tuple[str, bytes]] = []
+    if raw[:4] == b"PK\x03\x04" or raw[:4] == b"PK\x05\x06":
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            for zi in zf.infolist():
+                if zi.is_dir():
+                    continue
+                members.append((zi.filename, zf.read(zi)))
+    elif raw[:2] == b"\x1f\x8b" or raw[257:262] == b"ustar":
+        with tarfile.open(fileobj=io.BytesIO(raw), mode="r:*") as tf:
+            for ti in tf.getmembers():
+                if not ti.isfile():
+                    continue
+                fh = tf.extractfile(ti)
+                members.append((ti.name, fh.read() if fh else b""))
+    else:
+        raise ValueError("not a zip or tar(.gz) archive")
+    rows = []
+    for name, data in members:
+        base = name.rsplit("/", 1)[-1]
+        if base.startswith(".") or base.endswith(".swp"):
+            continue
+        low = name.lower()
+        if low.endswith(".pdf"):
+            from evaporate_spark.operators.pdf import pdf_page_texts
+
+            try:
+                text = "\f".join(pdf_page_texts(data))
+            except Exception:
+                text = ""
+            dtype = "pdf"
+        else:
+            text = data.decode("utf-8", errors="replace")
+            dtype = "html" if low.endswith((".html", ".htm")) else "txt"
+        rows.append((f"{archive_path}!{name}", text, dtype, len(data)))
+    return rows
+
+
+def read_document_archives(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Directory of archive shards → documents(path, content,
+    doc_type, n_bytes), member paths spelled ``shard!member``. A
+    corrupt shard yields one err-marked empty row (doc_type 'err')
+    rather than failing the task."""
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", "true"
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
+                raw = bytes(raw) if raw is not None else b""
+                low = fpath.lower()
+                if not low.endswith((".zip", ".tar", ".tar.gz", ".tgz")):
+                    continue
+                try:
+                    rows.extend(_member_rows(fpath, raw))
+                except Exception as ex:
+                    rows.append((fpath, repr(ex)[:200], "err", len(raw)))
+            yield pd.DataFrame(
+                rows, columns=["path", "content", "doc_type", "n_bytes"]
+            )
+
+    return files.mapInPandas(
+        batches,
+        schema="path string, content string, doc_type string, n_bytes long",
+    )
+
+
+# ----------------------------------------------------------- fixture writers
+def zip_write(members: dict[str, bytes]) -> bytes:
+    """Deterministic zip: fixed timestamp, stored order, deflate-9."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name in sorted(members):
+            zi = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zi.external_attr = 0o644 << 16
+            with zf.open(zi, "w") as fh:
+                fh.write(members[name])
+    return buf.getvalue()
+
+
+def targz_write(members: dict[str, bytes]) -> bytes:
+    """Deterministic tar.gz: zeroed mtime/uid/gid, mtime-less gzip."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name in sorted(members):
+            ti = tarfile.TarInfo(name)
+            ti.size = len(members[name])
+            ti.mtime = 0
+            ti.uid = ti.gid = 0
+            ti.uname = ti.gname = ""
+            ti.mode = 0o644
+            tf.addfile(ti, io.BytesIO(members[name]))
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    gz = co.compress(buf.getvalue()) + co.flush()
+    return gz[:4] + b"\x00\x00\x00\x00" + gz[8:]  # zero gzip MTIME

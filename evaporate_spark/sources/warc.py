@@ -1,0 +1,349 @@
+"""WARC web-archive ingest (ISO 28500 / WARC 1.0-1.1, the Common
+Crawl container) — the standard input of a 100 TB LLM training-data
+pipeline. Engine addition (SURVEY §2B scans): the reference reads a
+directory of txt/html files; real web corpora arrive as `.warc.gz`
+shards.
+
+Format, from the public spec:
+
+- A record is ``WARC/1.x CRLF``, named header fields (WARC-Type,
+  WARC-Target-URI, WARC-Date, Content-Type, Content-Length, …), a
+  blank line, exactly ``Content-Length`` payload bytes, then
+  ``CRLF CRLF``.
+- ``.warc.gz`` compresses EACH RECORD as its own gzip member
+  (concatenated members), so readers can resume at member boundaries;
+  :func:`warc_records` decompresses multi-member streams with a
+  looping ``zlib`` decompressobj.
+- A ``response`` record's payload is a raw HTTP/1.x response:
+  status line, headers, body. The body may still be
+  ``Transfer-Encoding: chunked`` and/or ``Content-Encoding:
+  gzip/deflate`` exactly as captured — both are undone here, then the
+  text is decoded per the Content-Type charset (utf-8-replace
+  fallback), mirroring the reference's errors-tolerant utf-8
+  contract.
+
+Scale shape: Common Crawl publishes ~1 GB `.warc.gz` shards by the
+tens of thousands — ``binaryFile`` scan → Arrow-batched
+``mapInPandas``, one task per shard batch, one output row per record;
+no shuffle, no driver-side state. A matching writer emits spec-shaped
+fixtures (real framing, authored payloads).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress a concatenated-member gzip stream (the .warc.gz
+    layout: one member per record)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(raw[pos:])
+        out += d.flush()
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(raw) - len(tail)
+    return bytes(out)
+
+
+@dataclass
+class WarcRecord:
+    headers: dict[str, str]
+    payload: bytes
+
+    @property
+    def warc_type(self) -> str:
+        return self.headers.get("warc-type", "")
+
+    @property
+    def url(self) -> str | None:
+        return self.headers.get("warc-target-uri")
+
+    @property
+    def date(self) -> str | None:
+        return self.headers.get("warc-date")
+
+
+def warc_records(raw: bytes) -> list[WarcRecord]:
+    """Parse every record of a WARC file (gzipped or plain). Strict
+    framing: a malformed length or missing version line raises —
+    a lake-ingest pass wants corrupt shards surfaced."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = _gunzip_members(raw)
+    out: list[WarcRecord] = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while pos < n and raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        eol = raw.find(b"\r\n", pos)
+        if eol < 0 or not raw[pos:eol].startswith(b"WARC/"):
+            raise ValueError(f"not a WARC record at byte {pos}")
+        headers: dict[str, str] = {}
+        pos = eol + 2
+        while True:
+            eol = raw.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = raw[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = (
+                v.strip().decode("latin-1")
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record without a valid Content-Length")
+        if pos + length > n:
+            raise ValueError("truncated WARC payload")
+        out.append(WarcRecord(headers, raw[pos : pos + length]))
+        pos += length
+    return out
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(body):
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated chunked body")
+        size_tok = body[pos:eol].split(b";")[0].strip()
+        size = int(size_tok, 16)
+        pos = eol + 2
+        if size == 0:
+            break
+        out += body[pos : pos + size]
+        pos += size + 2  # chunk data + CRLF
+    return bytes(out)
+
+
+@dataclass
+class HttpResponse:
+    status: int
+    headers: dict[str, str] = field(default_factory=dict)
+    body: bytes = b""
+
+    def text(self) -> str:
+        ctype = self.headers.get("content-type", "")
+        charset = "utf-8"
+        if "charset=" in ctype:
+            charset = ctype.split("charset=")[-1].split(";")[0].strip(" \"'")
+        try:
+            return self.body.decode(charset, errors="replace")
+        except LookupError:
+            return self.body.decode("utf-8", errors="replace")
+
+
+def parse_http_response(payload: bytes) -> HttpResponse:
+    """Raw captured HTTP/1.x response → status/headers/decoded body
+    (chunked transfer and gzip/deflate content encodings undone)."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP response without header terminator")
+    head = payload[:sep].split(b"\r\n")
+    parts = head[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line {head[0]!r}")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in head[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+            "latin-1"
+        )
+    body = payload[sep + 4 :]
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    if enc == "gzip":
+        body = zlib.decompress(body, wbits=31)
+    elif enc == "deflate":
+        body = zlib.decompress(body)
+    return HttpResponse(status, headers, body)
+
+
+# ------------------------------------------------------------------ writer
+def warc_write(
+    records: list[dict],
+    gzip_per_record: bool = False,
+) -> bytes:
+    """Spec-shaped WARC fixture writer. Each record dict:
+    ``{"type": "response", "url": ..., "date": ..., "http": bytes}``
+    (or ``"payload"`` for non-response records). With
+    ``gzip_per_record`` each record is its own gzip member (the
+    .warc.gz layout); deterministic (no mtime in the gzip header)."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        payload = rec.get("http", rec.get("payload", b""))
+        ctype = (
+            'application/http; msgtype=response'
+            if "http" in rec
+            else rec.get("content_type", "text/plain")
+        )
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {rec.get('type', 'response')}\r\n"
+            f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-{i:012d}>\r\n"
+            f"WARC-Date: {rec.get('date', '2024-01-01T00:00:00Z')}\r\n"
+        )
+        if rec.get("url"):
+            head += f"WARC-Target-URI: {rec['url']}\r\n"
+        head += f"Content-Type: {ctype}\r\nContent-Length: {len(payload)}\r\n\r\n"
+        body = head.encode("latin-1") + payload + b"\r\n\r\n"
+        if gzip_per_record:
+            co = zlib.compressobj(9, zlib.DEFLATED, 31)
+            member = co.compress(body) + co.flush()
+            # zero the gzip MTIME field (bytes 4-7) for determinism
+            member = member[:4] + b"\x00\x00\x00\x00" + member[8:]
+            out += member
+        else:
+            out += body
+    return bytes(out)
+
+
+def http_response_bytes(
+    status: int,
+    body: bytes,
+    content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+    gzip_body: bool = False,
+) -> bytes:
+    """Raw HTTP/1.1 response bytes for fixture records."""
+    headers = [f"Content-Type: {content_type}"]
+    payload = body
+    if gzip_body:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        payload = co.compress(body) + co.flush()
+        payload = payload[:4] + b"\x00\x00\x00\x00" + payload[8:]
+        headers.append("Content-Encoding: gzip")
+    if chunked:
+        headers.append("Transfer-Encoding: chunked")
+        chunks = bytearray()
+        for i in range(0, len(payload), 16):
+            part = payload[i : i + 16]
+            chunks += f"{len(part):x}\r\n".encode() + part + b"\r\n"
+        chunks += b"0\r\n\r\n"
+        payload = bytes(chunks)
+    else:
+        headers.append(f"Content-Length: {len(payload)}")
+    head = f"HTTP/1.1 {status} OK\r\n" + "\r\n".join(headers) + "\r\n\r\n"
+    return head.encode("latin-1") + payload
+
+
+# --------------------------------------------------------- spark operators
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    warc_types: tuple[str, ...] = ("response",),
+    glob: str | None = None,
+) -> DataFrame:
+    """Directory of `.warc` / `.warc.gz` shards → one row per record:
+    (warc_file, record_index, warc_type, url, date, mime, http_status,
+    n_bytes, text, err). Response payloads are fully unwrapped
+    (chunked + content-encoding + charset); non-http records carry
+    their payload as tolerant utf-8 text. Corrupt shards yield one
+    err row per file, never a failed task. Per-shard parallelism —
+    the Common Crawl layout is tens of thousands of ~1 GB members."""
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", "true"
+    )
+    reader = reader.option("pathGlobFilter", glob or "*.warc*")
+    files = reader.load(path).select("path", "content")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    for i, rec in enumerate(warc_records(raw)):
+                        if warc_types and rec.warc_type not in warc_types:
+                            continue
+                        mime = None
+                        status = None
+                        text = None
+                        err = None
+                        if rec.headers.get("content-type", "").startswith(
+                            "application/http"
+                        ):
+                            try:
+                                resp = parse_http_response(rec.payload)
+                                status = resp.status
+                                mime = (
+                                    resp.headers.get("content-type", "")
+                                    .split(";")[0]
+                                    .strip()
+                                    or None
+                                )
+                                text = resp.text()
+                            except (ValueError, zlib.error) as ex:
+                                err = repr(ex)[:200]
+                        else:
+                            mime = (
+                                rec.headers.get("content-type", "")
+                                .split(";")[0]
+                                .strip()
+                                or None
+                            )
+                            text = rec.payload.decode("utf-8", errors="replace")
+                        rows.append(
+                            (fpath, i, rec.warc_type, rec.url, rec.date,
+                             mime, status, len(rec.payload), text, err)
+                        )
+                except ValueError as ex:
+                    rows.append(
+                        (fpath, None, None, None, None, None, None, None,
+                         None, repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["warc_file", "record_index", "warc_type", "url",
+                         "date", "mime", "http_status", "n_bytes", "text",
+                         "err"],
+            )
+
+    return files.mapInPandas(
+        batches,
+        schema=(
+            "warc_file string, record_index long, warc_type string, "
+            "url string, date string, mime string, http_status long, "
+            "n_bytes long, text string, err string"
+        ),
+    )
+
+
+def warc_to_documents(records: DataFrame) -> DataFrame:
+    """WARC response rows → the engine's canonical documents schema
+    (path, content, doc_type, n_bytes): successful 200s with a text
+    payload, HTML routed to the html chunker downstream."""
+    ok = records.where(
+        F.col("err").isNull()
+        & (F.col("http_status") == 200)
+        & F.col("text").isNotNull()
+    )
+    return ok.select(
+        F.col("url").alias("path"),
+        F.col("text").alias("content"),
+        F.when(F.col("mime") == "text/html", F.lit("html"))
+        .otherwise(F.lit("txt"))
+        .alias("doc_type"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )

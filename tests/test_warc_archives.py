@@ -1,0 +1,156 @@
+"""WARC web-archive ingest (sources/warc.py) and archive-shard
+doc-lake expansion (sources/archives.py) — engine additions per
+SURVEY §2B scans (the reference reads only loose txt/html files;
+real corpora arrive as .warc.gz / zip / tar shards)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from evaporate_spark.sources.warc import (
+    http_response_bytes,
+    parse_http_response,
+    warc_records,
+    warc_write,
+)
+
+
+def _sample_records() -> list[dict]:
+    return [
+        {"type": "warcinfo", "content_type": "application/warc-fields",
+         "payload": b"software: test"},
+        {"type": "request", "url": "http://ex.com/",
+         "content_type": "application/http; msgtype=request",
+         "payload": b"GET / HTTP/1.1\r\n\r\n"},
+        {"type": "response", "url": "http://ex.com/",
+         "http": http_response_bytes(200, b"<html>hi</html>")},
+        {"type": "response", "url": "http://ex.com/chunk",
+         "http": http_response_bytes(
+             200, b"chunked body example here",
+             content_type="text/plain", chunked=True)},
+        {"type": "response", "url": "http://ex.com/gz",
+         "http": http_response_bytes(
+             200, b"gzipped body", content_type="text/plain",
+             gzip_body=True)},
+        {"type": "response", "url": "http://ex.com/latin",
+         "http": http_response_bytes(
+             200, "über".encode("latin-1"),
+             content_type="text/plain; charset=latin-1")},
+        {"type": "response", "url": "http://ex.com/404",
+         "http": http_response_bytes(404, b"nope",
+                                     content_type="text/plain")},
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip_framing_and_http_unwrap(gz):
+    raw = warc_write(_sample_records(), gzip_per_record=gz)
+    recs = warc_records(raw)
+    assert [r.warc_type for r in recs] == (
+        ["warcinfo", "request"] + ["response"] * 5
+    )
+    assert recs[2].url == "http://ex.com/"
+    assert parse_http_response(recs[2].payload).text() == "<html>hi</html>"
+    # chunked transfer decoding
+    assert parse_http_response(recs[3].payload).text() == (
+        "chunked body example here"
+    )
+    # gzip content-encoding
+    assert parse_http_response(recs[4].payload).text() == "gzipped body"
+    # charset honored
+    assert parse_http_response(recs[5].payload).text() == "über"
+    assert parse_http_response(recs[6].payload).status == 404
+
+
+def test_warc_writer_is_deterministic():
+    recs = _sample_records()
+    assert warc_write(recs, gzip_per_record=True) == warc_write(
+        recs, gzip_per_record=True
+    )
+
+
+def test_warc_strict_framing_raises():
+    raw = warc_write(_sample_records())
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        warc_records(raw[:-40])
+    with pytest.raises(ValueError, match="not a WARC record"):
+        warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc_records(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+
+
+def test_read_warc_operator_and_documents_bridge(spark, tmp_path):
+    from evaporate_spark.sources.warc import read_warc, warc_to_documents
+
+    (tmp_path / "shard0.warc.gz").write_bytes(
+        warc_write(_sample_records(), gzip_per_record=True)
+    )
+    (tmp_path / "shard1.warc").write_bytes(warc_write(_sample_records()[:3]))
+    (tmp_path / "bad.warc").write_bytes(b"corrupt bytes")
+    recs = read_warc(spark, str(tmp_path)).collect()
+    by_file: dict[str, list] = {}
+    for r in recs:
+        by_file.setdefault(os.path.basename(r["warc_file"]), []).append(r)
+    assert len(by_file["shard0.warc.gz"]) == 5  # responses only
+    assert len(by_file["shard1.warc"]) == 1
+    (bad,) = by_file["bad.warc"]
+    assert bad["err"] is not None and bad["record_index"] is None
+    docs = warc_to_documents(
+        read_warc(spark, str(tmp_path))
+    ).collect()
+    # 200s with text only: 4 from shard0 (404 dropped), 1 from shard1
+    assert len(docs) == 5
+    by_path = {r["path"]: r for r in docs if r["path"] == "http://ex.com/"}
+    # duplicate url across shards: both rows survive (dedup is a
+    # downstream operator concern)
+    assert all(r["doc_type"] == "html" for r in by_path.values())
+
+
+# ----------------------------------------------------------------- archives
+def test_archive_sources_and_fixture_drift(tmp_path):
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.fixtures.docs import generate_docs
+
+    fresh = generate_docs(str(tmp_path))
+    assert {
+        "crawl.warc.gz", "docs_archive.zip", "docs_archive.tar.gz"
+    } <= set(fresh)
+    for name, data in fresh.items():
+        with open(os.path.join(DOCS_DIR, name), "rb") as fh:
+            assert fh.read() == data, f"{name} drifted from its generator"
+
+
+def test_read_document_archives_operator(spark, tmp_path):
+    from evaporate_spark.operators.pdf import pdf_write
+    from evaporate_spark.sources.archives import (
+        read_document_archives,
+        targz_write,
+        zip_write,
+    )
+
+    members = {
+        "a.txt": b"alpha",
+        "sub/b.html": b"<p>beta</p>",
+        "c.pdf": pdf_write([["gamma"]]),
+        ".hidden": b"skip",
+    }
+    (tmp_path / "s.zip").write_bytes(zip_write(members))
+    (tmp_path / "s.tar.gz").write_bytes(targz_write(members))
+    (tmp_path / "bad.zip").write_bytes(b"not an archive")
+    (tmp_path / "ignored.txt").write_bytes(b"loose file, not an archive")
+    rows = read_document_archives(spark, str(tmp_path)).collect()
+    got = {
+        (os.path.basename(r["path"].split("!")[0]), r["path"].split("!")[1])
+        if "!" in r["path"]
+        else (os.path.basename(r["path"]), None): r
+        for r in rows
+    }
+    for shard in ("s.zip", "s.tar.gz"):
+        assert got[(shard, "a.txt")]["content"] == "alpha"
+        assert got[(shard, "sub/b.html")]["doc_type"] == "html"
+        assert got[(shard, "c.pdf")]["content"] == "gamma"
+        assert (shard, ".hidden") not in got
+    assert got[("bad.zip", None)]["doc_type"] == "err"
+    assert all(k[0] != "ignored.txt" for k in got)

@@ -271,10 +271,101 @@ def _corpus_chain_bench(spark, sf_dir: str):
     )
 
 
+def _doc_ingest_dir() -> str:
+    """Deterministic document-ingest corpus (generated once per
+    machine): 600 two-page PDFs, 20 .warc.gz shards x 60 HTTP
+    responses, and 20 zip shards x 30 members — the three round-7
+    ingest paths at a scale where per-file parse cost dominates
+    scheduling noise."""
+    from evaporate_spark.operators.pdf import pdf_write
+    from evaporate_spark.sources.archives import zip_write
+    from evaporate_spark.sources.warc import http_response_bytes, warc_write
+
+    out_dir = "/tmp/spark_graft_bench_docs"
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    for sub in ("pdf", "warc", "zips"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    for i in range(600):
+        pages = [
+            [f"Report {i} page {p} line {j}: value {(i * 31 + p * 7 + j) % 997}"
+             for j in range(12)]
+            for p in range(2)
+        ]
+        with open(os.path.join(out_dir, "pdf", f"doc_{i:04d}.pdf"), "wb") as fh:
+            fh.write(pdf_write(pages, compress=True))
+    for s in range(20):
+        recs = [
+            {"type": "response", "url": f"http://bench.example/{s}/{r}",
+             "http": http_response_bytes(
+                 200,
+                 (f"<html><body><h1>Shard {s} rec {r}</h1>"
+                  + f"<p>{'payload ' * 40}</p></body></html>").encode(),
+                 chunked=(r % 3 == 0), gzip_body=(r % 3 == 1))}
+            for r in range(60)
+        ]
+        with open(
+            os.path.join(out_dir, "warc", f"shard_{s:02d}.warc.gz"), "wb"
+        ) as fh:
+            fh.write(warc_write(recs, gzip_per_record=True))
+    for s in range(20):
+        members = {
+            f"docs/m{m:02d}.txt": (f"zip shard {s} member {m} "
+                                   + "body " * 50).encode()
+            for m in range(30)
+        }
+        with open(os.path.join(out_dir, "zips", f"shard_{s:02d}.zip"), "wb") as fh:
+            fh.write(zip_write(members))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+def _doc_ingest_bench(spark, sf_dir: str):
+    """Bench-only row: the full document-ingest surface — PDF text
+    extraction (object scan + Flate + text interpreter), WARC record
+    framing + HTTP unwrap (incl. chunked and gzipped bodies), and
+    zip-shard member expansion — each reduced to one summary row.
+    The ingest-throughput regression canary for the round-7 sources."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.pdf import extract_pdf_text_df
+    from evaporate_spark.sources.archives import read_document_archives
+    from evaporate_spark.sources.warc import read_warc
+
+    base = _doc_ingest_dir()
+    pdfs = extract_pdf_text_df(
+        spark.read.format("binaryFile").load(os.path.join(base, "pdf"))
+    )
+    p = pdfs.agg(
+        F.lit("pdf").alias("source"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pages").alias("n_units"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    recs = read_warc(spark, os.path.join(base, "warc"))
+    w = recs.agg(
+        F.lit("warc").alias("source"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("http_status").alias("n_units"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    arch = read_document_archives(spark, os.path.join(base, "zips"))
+    z = arch.agg(
+        F.lit("zip").alias("source"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("n_units"),
+        F.sum(F.length("content")).alias("n_chars"),
+    )
+    return p.unionByName(w).unionByName(z)
+
+
 #: bench-only rows (not registry queries): name → (spark, sf_dir) → DF
 BENCH_ONLY = {
     "media_decode_300": _media_decode_bench,
     "corpus_chain_10x": _corpus_chain_bench,
+    "doc_ingest": _doc_ingest_bench,
 }
 
 #: per-row rep caps for end-to-end canary rows (tens of seconds per
@@ -327,6 +418,7 @@ def main() -> None:
     runners.update(BENCH_ONLY)
     _media_bench_dir()  # generate outside the timed region
     _corpus_10x_dir(spark, sf_dir)  # likewise for the 10x corpus table
+    _doc_ingest_dir()  # likewise for the pdf/warc/zip ingest corpus
     for name in RELATIONAL:
         REGISTRY[name].spark(spark, sf_dir).count()
     # warm the Arrow/pandas-UDF worker pool with a trivial pass so the

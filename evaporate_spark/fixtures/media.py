@@ -430,6 +430,24 @@ def generate_media(out_dir: str) -> dict[str, bytes]:
         sample_rate=8000,
         samples_per_packet=320,
     )
+    # audio tracks inside the mp4/webm containers (.m4a, audio-only
+    # webm) — same policy: real moov/EBML tables, fake AAC/Opus frames
+    from evaporate_spark.operators.ebml import mkv_mux_audio
+    from evaporate_spark.operators.mp4 import mp4_mux_audio
+
+    files["audio_aac_stub.m4a"] = mp4_mux_audio(
+        [bytes([(9 * i) % 247]) * (60 + 2 * i) for i in range(50)],
+        sample_rate=32000,
+        channels=2,
+    )
+    files["audio_opus_stub.mka"] = mkv_mux_audio(
+        [bytes([(11 * i) % 233]) * (40 + 3 * i) for i in range(40)],
+        sample_rate=48000,
+        channels=2,
+        codec_id="A_OPUS",
+        block_ms=20,
+        doc_type="matroska",
+    )
     for name, data in files.items():
         with open(os.path.join(out_dir, name), "wb") as fh:
             fh.write(data)

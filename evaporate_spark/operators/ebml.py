@@ -88,6 +88,8 @@ class MkvTrack:
     codec_id: str
     width: int | None = None
     height: int | None = None
+    sample_rate: int | None = None  # Audio SamplingFrequency (0xB5)
+    channels: int | None = None  # Audio Channels (0x9F)
 
 
 @dataclass
@@ -100,6 +102,13 @@ class MkvInfo:
     def video(self) -> MkvTrack | None:
         for t in self.tracks:
             if t.track_type == "video":
+                return t
+        return None
+
+    @property
+    def audio(self) -> MkvTrack | None:
+        for t in self.tracks:
+            if t.track_type == "audio":
                 return t
         return None
 
@@ -138,7 +147,7 @@ def mkv_parse(raw: bytes) -> MkvInfo:
                 num = 0
                 ttype = 0
                 codec = ""
-                w = h = None
+                w = h = rate = ch = None
                 for i3, b3, e3 in _elements(raw, b2, e2):
                     if i3 == 0xD7:
                         num = _uint(raw, b3, e3)
@@ -152,6 +161,13 @@ def mkv_parse(raw: bytes) -> MkvInfo:
                                 w = _uint(raw, b4, e4)
                             elif i4 == 0xBA:
                                 h = _uint(raw, b4, e4)
+                    elif i3 == 0xE1:  # Audio settings
+                        rate, ch = 8000, 1  # Matroska spec defaults
+                        for i4, b4, e4 in _elements(raw, b3, e3):
+                            if i4 == 0xB5:
+                                rate = int(round(_float(raw, b4, e4)))
+                            elif i4 == 0x9F:
+                                ch = _uint(raw, b4, e4)
                 tracks.append(
                     MkvTrack(
                         track_number=num,
@@ -159,6 +175,8 @@ def mkv_parse(raw: bytes) -> MkvInfo:
                         codec_id=codec,
                         width=w,
                         height=h,
+                        sample_rate=rate,
+                        channels=ch,
                     )
                 )
     return MkvInfo(
@@ -168,24 +186,23 @@ def mkv_parse(raw: bytes) -> MkvInfo:
     )
 
 
-def mkv_video_blocks(
+def mkv_track_blocks(
     raw: bytes,
+    track_number: int,
     every_n: int = 1,
     sync_only: bool = False,
     max_blocks: int | None = None,
 ) -> list[tuple[int, bytes, bool]]:
-    """(block_index, frame bytes, is_key) for the video track's
-    SimpleBlocks in cluster order — each an OPAQUE codec frame.
-    Laced blocks (multiple frames per block) are rejected with a typed
-    error rather than mis-split."""
-    info = mkv_parse(raw)
-    v = info.video
-    if v is None:
-        raise ValueError("webm/mkv has no video track")
+    """(block_index, frame bytes, is_key) for one track's SimpleBlocks
+    in cluster order — each an OPAQUE codec frame. Laced blocks
+    (multiple frames per block) are rejected with a typed error rather
+    than mis-split."""
     segment = None
     for eid, body, body_end in _elements(raw, 0, len(raw)):
         if eid == 0x18538067:
             segment = (body, body_end)
+    if segment is None:
+        raise ValueError("EBML file has no Segment")
     out: list[tuple[int, bytes, bool]] = []
     seen = picked = 0
     for eid, body, body_end in _elements(raw, *segment):
@@ -195,7 +212,7 @@ def mkv_video_blocks(
             if i2 != 0xA3:  # SimpleBlock
                 continue
             tnum, p = _vint(raw, b2, keep_marker=False)
-            if tnum != v.track_number:
+            if tnum != track_number:
                 continue
             if p + 3 > e2:
                 raise ValueError("truncated SimpleBlock header")
@@ -213,6 +230,86 @@ def mkv_video_blocks(
     return out
 
 
+def mkv_video_blocks(
+    raw: bytes,
+    every_n: int = 1,
+    sync_only: bool = False,
+    max_blocks: int | None = None,
+) -> list[tuple[int, bytes, bool]]:
+    """:func:`mkv_track_blocks` for the video track."""
+    v = mkv_parse(raw).video
+    if v is None:
+        raise ValueError("webm/mkv has no video track")
+    return mkv_track_blocks(raw, v.track_number, every_n, sync_only, max_blocks)
+
+
+def mkv_audio_blocks(
+    raw: bytes,
+    every_n: int = 1,
+    max_blocks: int | None = None,
+) -> list[tuple[int, bytes, bool]]:
+    """:func:`mkv_track_blocks` for the audio track (every audio
+    SimpleBlock is a sync point, so no ``sync_only``)."""
+    a = mkv_parse(raw).audio
+    if a is None:
+        raise ValueError("webm/mkv has no audio track")
+    return mkv_track_blocks(raw, a.track_number, every_n, False, max_blocks)
+
+
+def _enc_id(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _enc_size(n: int) -> bytes:
+    # 4-byte size vint: 0x10 marker | 21-bit value (ample here)
+    return bytes([0x10 | (n >> 24)]) + (n & 0xFFFFFF).to_bytes(3, "big")
+
+
+def _el(eid: int, body: bytes) -> bytes:
+    return _enc_id(eid) + _enc_size(len(body)) + body
+
+
+def _uint_el(eid: int, v: int) -> bytes:
+    return _el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def _mkv_mux(
+    samples: list[bytes],
+    track_body: bytes,
+    tick_ms: int,
+    sync_every: int,
+    doc_type: str,
+) -> bytes:
+    """Shared muxer core: EBML header, Info (TimestampScale +
+    Duration), one TrackEntry, one Cluster of SimpleBlocks (every
+    ``sync_every``-th marked key). Payloads are the caller's."""
+    header = _el(
+        0x1A45DFA3,
+        _uint_el(0x4286, 1)
+        + _uint_el(0x42F7, 1)
+        + _uint_el(0x42F2, 4)
+        + _uint_el(0x42F3, 8)
+        + _el(0x4282, doc_type.encode())
+        + _uint_el(0x4287, 4)
+        + _uint_el(0x4285, 2),
+    )
+    n = len(samples)
+    info = _el(
+        0x1549A966,
+        _uint_el(0x2AD7B1, 1_000_000)
+        + _el(0x4489, struct.pack(">d", float(n * tick_ms))),
+    )
+    tracks = _el(0x1654AE6B, _el(0xAE, track_body))
+    blocks = b""
+    for i, s in enumerate(samples):
+        flags = 0x80 if i % sync_every == 0 else 0x00
+        body = b"\x81" + struct.pack(">h", i * tick_ms) + bytes([flags]) + s
+        blocks += _el(0xA3, body)
+    cluster = _el(0x1F43B675, _uint_el(0xE7, 0) + blocks)
+    segment = _el(0x18538067, info + tracks + cluster)
+    return header + segment
+
+
 def mkv_mux_video(
     samples: list[bytes],
     width: int,
@@ -223,55 +320,39 @@ def mkv_mux_video(
     doc_type: str = "matroska",
 ) -> bytes:
     """Minimal spec-shaped single-video-track Matroska/WebM writer for
-    fixtures: real EBML header, Info (TimestampScale + Duration),
-    Tracks, and one Cluster of SimpleBlocks (every ``sync_every``-th
-    marked key). Payloads are whatever the caller passes."""
-
-    def enc_id(eid: int) -> bytes:
-        return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
-
-    def enc_size(n: int) -> bytes:
-        # 4-byte size vint: 0x10 marker | 21-bit value (ample here)
-        return bytes([0x10 | (n >> 24)]) + (n & 0xFFFFFF).to_bytes(3, "big")
-
-    def el(eid: int, body: bytes) -> bytes:
-        return enc_id(eid) + enc_size(len(body)) + body
-
-    def uint_el(eid: int, v: int) -> bytes:
-        return el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
-
-    header = el(
-        0x1A45DFA3,
-        uint_el(0x4286, 1)
-        + uint_el(0x42F7, 1)
-        + uint_el(0x42F2, 4)
-        + uint_el(0x42F3, 8)
-        + el(0x4282, doc_type.encode())
-        + uint_el(0x4287, 4)
-        + uint_el(0x4285, 2),
+    fixtures (see :func:`_mkv_mux`)."""
+    video = _el(0xE0, _uint_el(0xB0, width) + _uint_el(0xBA, height))
+    track = (
+        _uint_el(0xD7, 1)
+        + _uint_el(0x73C5, 1)
+        + _uint_el(0x83, 1)
+        + _el(0x86, codec_id.encode())
+        + video
     )
-    n = len(samples)
-    tick_ms = 1000 // fps  # TimestampScale 1e6 ns => ticks are ms
-    info = el(
-        0x1549A966,
-        uint_el(0x2AD7B1, 1_000_000)
-        + el(0x4489, struct.pack(">d", float(n * tick_ms))),
+    return _mkv_mux(samples, track, 1000 // fps, sync_every, doc_type)
+
+
+def mkv_mux_audio(
+    samples: list[bytes],
+    sample_rate: int = 48000,
+    channels: int = 2,
+    codec_id: str = "A_OPUS",
+    block_ms: int = 20,
+    doc_type: str = "webm",
+) -> bytes:
+    """Single-audio-track sibling of :func:`mkv_mux_video`: TrackType 2
+    with the Audio settings element (SamplingFrequency as an 8-byte
+    EBML float, Channels); every block is a sync point."""
+    audio = _el(
+        0xE1,
+        _el(0xB5, struct.pack(">d", float(sample_rate)))
+        + _uint_el(0x9F, channels),
     )
-    video = el(0xE0, uint_el(0xB0, width) + uint_el(0xBA, height))
-    track = el(
-        0xAE,
-        uint_el(0xD7, 1)
-        + uint_el(0x73C5, 1)
-        + uint_el(0x83, 1)
-        + el(0x86, codec_id.encode())
-        + video,
+    track = (
+        _uint_el(0xD7, 1)
+        + _uint_el(0x73C5, 1)
+        + _uint_el(0x83, 2)
+        + _el(0x86, codec_id.encode())
+        + audio
     )
-    tracks = el(0x1654AE6B, track)
-    blocks = b""
-    for i, s in enumerate(samples):
-        flags = 0x80 if i % sync_every == 0 else 0x00
-        body = b"\x81" + struct.pack(">h", i * tick_ms) + bytes([flags]) + s
-        blocks += el(0xA3, body)
-    cluster = el(0x1F43B675, uint_el(0xE7, 0) + blocks)
-    segment = el(0x18538067, info + tracks + cluster)
-    return header + segment
+    return _mkv_mux(samples, track, block_ms, 1, doc_type)

@@ -83,6 +83,8 @@ class Mp4Track:
     sample_sizes: list[int] = field(repr=False, default_factory=list)
     sample_offsets: list[int] = field(repr=False, default_factory=list)
     sync_samples: set[int] = field(repr=False, default_factory=set)  # 0-based
+    channels: int | None = None  # AudioSampleEntry channelcount
+    sample_rate: int | None = None  # AudioSampleEntry 16.16 rate
 
 
 @dataclass
@@ -94,6 +96,13 @@ class Mp4Info:
     def video(self) -> Mp4Track | None:
         for t in self.tracks:
             if t.handler == "vide":
+                return t
+        return None
+
+    @property
+    def audio(self) -> Mp4Track | None:
+        for t in self.tracks:
+            if t.handler == "soun":
                 return t
         return None
 
@@ -168,6 +177,14 @@ def mp4_parse(raw: bytes) -> Mp4Info:
 
         body, _ = stsd
         codec = raw[body + 8 + 4 : body + 8 + 8].decode("latin-1")
+        channels = sample_rate = None
+        if handler == "soun":
+            # AudioSampleEntry (14496-12 §12.2.3): 6 reserved + dref(2)
+            # + 8 reserved, then channelcount u16, samplesize u16,
+            # pre_defined+reserved (4), samplerate 16.16
+            entry = body + 8
+            channels = _u(raw, entry + 24, 2)
+            sample_rate = _u(raw, entry + 32, 4) >> 16
 
         body, _ = stsz
         uniform = _u(raw, body + 4, 4)
@@ -241,29 +258,26 @@ def mp4_parse(raw: bytes) -> Mp4Info:
                 sample_sizes=sizes,
                 sample_offsets=offsets,
                 sync_samples=sync,
+                channels=channels,
+                sample_rate=sample_rate,
             )
         )
     return Mp4Info(duration_s=duration_s, tracks=tracks)
 
 
-def mp4_video_samples(
+def mp4_track_samples(
     raw: bytes,
+    track: Mp4Track,
     every_n: int = 1,
     sync_only: bool = False,
     max_samples: int | None = None,
-    info: Mp4Info | None = None,
 ) -> list[tuple[int, bytes, bool]]:
-    """(sample_index, sample bytes, is_sync) for the video track —
-    each sample an OPAQUE codec payload (AVCC length-prefixed NALs for
-    'avc1') cut at its exact resolved file offset. ``sync_only``
-    restricts to keyframes (the only samples an external decoder can
-    start from); ``every_n`` then strides over the selected set.
-    Pass a pre-parsed ``info`` to avoid a second moov walk."""
-    if info is None:
-        info = mp4_parse(raw)
-    v = info.video
-    if v is None:
-        raise ValueError("mp4 has no video track")
+    """(sample_index, sample bytes, is_sync) for one track — each
+    sample an OPAQUE codec payload cut at its exact resolved file
+    offset. ``sync_only`` restricts to sync samples (the only ones an
+    external decoder can start from); ``every_n`` then strides over
+    the selected set."""
+    v = track
     picked = [
         i for i in range(v.n_samples) if not sync_only or i in v.sync_samples
     ]
@@ -278,6 +292,40 @@ def mp4_video_samples(
         if max_samples is not None and len(out) >= max_samples:
             break
     return out
+
+
+def mp4_video_samples(
+    raw: bytes,
+    every_n: int = 1,
+    sync_only: bool = False,
+    max_samples: int | None = None,
+    info: Mp4Info | None = None,
+) -> list[tuple[int, bytes, bool]]:
+    """:func:`mp4_track_samples` for the video track (AVCC
+    length-prefixed NALs for 'avc1'). Pass a pre-parsed ``info`` to
+    avoid a second moov walk."""
+    if info is None:
+        info = mp4_parse(raw)
+    v = info.video
+    if v is None:
+        raise ValueError("mp4 has no video track")
+    return mp4_track_samples(raw, v, every_n, sync_only, max_samples)
+
+
+def mp4_audio_samples(
+    raw: bytes,
+    every_n: int = 1,
+    max_samples: int | None = None,
+    info: Mp4Info | None = None,
+) -> list[tuple[int, bytes, bool]]:
+    """:func:`mp4_track_samples` for the audio track (AAC access units
+    for 'mp4a'; every audio sample is a sync point)."""
+    if info is None:
+        info = mp4_parse(raw)
+    a = info.audio
+    if a is None:
+        raise ValueError("mp4 has no audio track")
+    return mp4_track_samples(raw, a, every_n, False, max_samples)
 
 
 def mp4_mux_video(
@@ -375,6 +423,91 @@ def mp4_mux_video(
 
     moov_len = len(moov_for(0))
     chunk_off = len(ftyp) + moov_len + 8  # into mdat body
+    moov = moov_for(chunk_off)
+    assert len(moov) == moov_len
+    mdat = box(b"mdat", b"".join(samples))
+    return ftyp + moov + mdat
+
+
+def mp4_mux_audio(
+    samples: list[bytes],
+    sample_rate: int = 32000,
+    channels: int = 2,
+    codec: str = "mp4a",
+    samples_per_frame: int = 1024,
+) -> bytes:
+    """Single-audio-track sibling of :func:`mp4_mux_video` (an .m4a):
+    media timescale = the sample rate, one stts run of
+    ``samples_per_frame``-tick frames, smhd media header, a minimal
+    AudioSampleEntry (channelcount + 16.16 samplerate), no stss
+    (every audio sample is a sync point). Payloads are the caller's
+    fakes — AAC itself is the engine's stubbed codec."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def full(btype: bytes, body: bytes, ver: int = 0, flags: int = 0) -> bytes:
+        return box(btype, struct.pack(">B3s", ver, flags.to_bytes(3, "big")) + body)
+
+    n = len(samples)
+    ts = sample_rate
+    dur = n * samples_per_frame
+
+    ftyp = box(b"ftyp", b"M4A " + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, ts, dur)
+        + struct.pack(">i", 0x00010000)
+        + struct.pack(">hH", 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0x0100, 0)  # audio: volume 1.0
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),  # no visual dimensions
+        flags=3,
+    )
+    mdhd = full(
+        b"mdhd", struct.pack(">IIII", 0, 0, ts, dur) + struct.pack(">HH", 0x55C4, 0)
+    )
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"s\x00")
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HH", channels, 16)  # channelcount, samplesize
+        + struct.pack(">HH", 0, 0)  # pre_defined, reserved
+        + struct.pack(">I", sample_rate << 16)  # 16.16 rate
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(codec.encode(), entry))
+    stts = full(b"stts", struct.pack(">III", 1, n, samples_per_frame))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+
+    def moov_for(chunk_off: int) -> bytes:
+        stco = full(b"stco", struct.pack(">II", 1, chunk_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(
+            b"minf",
+            full(b"smhd", struct.pack(">hH", 0, 0))
+            + box(b"dinf", full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", flags=1)))
+            + stbl,
+        )
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        return box(b"moov", mvhd + trak)
+
+    moov_len = len(moov_for(0))
+    chunk_off = len(ftyp) + moov_len + 8
     moov = moov_for(chunk_off)
     assert len(moov) == moov_len
     mdat = box(b"mdat", b"".join(samples))

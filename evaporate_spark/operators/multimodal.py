@@ -1964,6 +1964,23 @@ def _audio_container_info(raw: bytes):
         m = mp3_parse(raw)
         return ("mp3", m.codec, m.sample_rate, m.channels, m.n_frames,
                 m.duration_s)
+    if raw[:4] == b"\x1a\x45\xdf\xa3":
+        from evaporate_spark.operators.ebml import mkv_audio_blocks, mkv_parse
+
+        info = mkv_parse(raw)
+        a = info.audio
+        if a is None:
+            raise ValueError("webm/mkv has no audio track")
+        return (info.doc_type, a.codec_id, a.sample_rate, a.channels,
+                len(mkv_audio_blocks(raw)), info.duration_s)
+    if raw[4:8] in (b"ftyp", b"moov", b"styp"):
+        from evaporate_spark.operators.mp4 import mp4_parse
+
+        a = mp4_parse(raw).audio
+        if a is None:
+            raise ValueError("mp4 has no audio track")
+        return ("mp4", a.codec, a.sample_rate, a.channels, a.n_samples,
+                a.duration_s)
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         fmt = data_size = fact = None
         pos = 12
@@ -2039,11 +2056,13 @@ def audio_container_metadata(
     :func:`video_container_metadata`. REAL for MP3 and ADTS-AAC (full
     frame-header walks, :mod:`operators.mpeg_audio` — exact duration
     and frame count even for VBR), Ogg Opus/Vorbis (CRC-verified page
-    walk, :mod:`operators.ogg`), and the header chunks of WAV / FLAC
-    (STREAMINFO) / AIFF (COMM). ``n_frames`` is the codec-frame/packet
-    count for framed formats, NULL for PCM-family containers. Unknown
-    or corrupt streams yield a per-row err. Arrow-batched mapInPandas;
-    one row per input row."""
+    walk, :mod:`operators.ogg`), mp4/M4A audio tracks (moov walk +
+    AudioSampleEntry, :mod:`operators.mp4`), webm/mkv audio tracks
+    (EBML Audio settings, :mod:`operators.ebml`), and the header
+    chunks of WAV / FLAC (STREAMINFO) / AIFF (COMM). ``n_frames`` is
+    the codec-frame/packet count for framed formats, NULL for
+    PCM-family containers. Unknown or corrupt streams yield a per-row
+    err. Arrow-batched mapInPandas; one row per input row."""
 
     def meta_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -2107,6 +2126,40 @@ def extract_audio_frames(
                     if raw[:4] == b"OggS":
                         codec = ogg_parse(raw).codec
                         frames = ogg_audio_packets(raw, every_n, max_frames)
+                    elif raw[:4] == b"\x1a\x45\xdf\xa3":
+                        from evaporate_spark.operators.ebml import (
+                            mkv_audio_blocks,
+                            mkv_parse,
+                        )
+
+                        a = mkv_parse(raw).audio
+                        if a is None:
+                            raise ValueError("webm/mkv has no audio track")
+                        codec = a.codec_id
+                        frames = [
+                            (i, b)
+                            for i, b, _k in mkv_audio_blocks(
+                                raw, every_n, max_frames
+                            )
+                        ]
+                    elif len(raw) >= 8 and raw[4:8] in (
+                        b"ftyp", b"moov", b"styp"
+                    ):
+                        from evaporate_spark.operators.mp4 import (
+                            mp4_audio_samples,
+                            mp4_parse,
+                        )
+
+                        mp = mp4_parse(raw)
+                        if mp.audio is None:
+                            raise ValueError("mp4 has no audio track")
+                        codec = mp.audio.codec
+                        frames = [
+                            (i, b)
+                            for i, b, _s in mp4_audio_samples(
+                                raw, every_n, max_frames, mp
+                            )
+                        ]
                     elif (
                         len(raw) >= 2
                         and raw[0] == 0xFF

@@ -208,19 +208,25 @@ def q_video_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Codec-free audio CONTAINER metadata — the filter-by-duration/"
     "bitrate/channel-layout pass a 100 TB audio lake runs before "
     "shipping bytes to a decoder: full MP3 and ADTS-AAC frame-header "
-    "walks (exact frame counts and durations, VBR included) and the "
-    "CRC-verified Ogg page walk with Opus/Vorbis id headers, over "
-    "committed fixtures whose frame/page tables are real and whose "
-    "codec payloads are deterministic fakes (Layer-III/AAC/Opus are "
-    "the engine's stubbed step). Oracle = the hand-derivable header "
-    "values.",
+    "walks (exact frame counts and durations, VBR included), the "
+    "CRC-verified Ogg page walk with Opus/Vorbis id headers, the mp4/"
+    "M4A moov walk with the AudioSampleEntry, and the Matroska audio "
+    "track settings, over committed fixtures whose frame/page/box "
+    "tables are real and whose codec payloads are deterministic fakes "
+    "(Layer-III/AAC/Opus are the engine's stubbed step). Oracle = the "
+    "hand-derivable header values.",
     oracle="""
         SELECT * FROM (VALUES
             ('audio_aac_stub.aac', 'adts', 'aac-lc', CAST(32000 AS BIGINT),
              CAST(2 AS BIGINT), CAST(40 AS BIGINT), CAST(1.28 AS DOUBLE)),
+            ('audio_aac_stub.m4a', 'mp4', 'mp4a', CAST(32000 AS BIGINT),
+             CAST(2 AS BIGINT), CAST(50 AS BIGINT), CAST(1.6 AS DOUBLE)),
             ('audio_mp3_stub.mp3', 'mp3', 'mpeg1-layer3',
              CAST(32000 AS BIGINT), CAST(2 AS BIGINT), CAST(50 AS BIGINT),
              CAST(1.8 AS DOUBLE)),
+            ('audio_opus_stub.mka', 'matroska', 'A_OPUS',
+             CAST(48000 AS BIGINT), CAST(2 AS BIGINT), CAST(40 AS BIGINT),
+             CAST(0.8 AS DOUBLE)),
             ('audio_opus_stub.ogg', 'ogg', 'opus', CAST(48000 AS BIGINT),
              CAST(2 AS BIGINT), CAST(100 AS BIGINT), CAST(2.0 AS DOUBLE)),
             ('audio_vorbis_stub.ogg', 'ogg', 'vorbis', CAST(8000 AS BIGINT),
@@ -233,7 +239,7 @@ def q_video_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evaporate_spark.operators.multimodal import audio_container_metadata
 
-    files = _media_files(spark, MEDIA_DIR, ".mp3", ".aac", ".ogg")
+    files = _media_files(spark, MEDIA_DIR, ".mp3", ".aac", ".ogg", ".m4a", ".mka")
     return audio_container_metadata(files, path_col="file").select(
         F.col("path").alias("file"),
         "container",

@@ -236,6 +236,61 @@ def test_audio_container_durations_match_full_decode(spark):
         assert m["duration_s"] == pytest.approx(d["duration_s"]), path
 
 
+def test_mp4_and_matroska_audio_tracks(spark):
+    import os
+
+    from evaporate_spark.fixtures import MEDIA_DIR
+    from evaporate_spark.operators.ebml import mkv_audio_blocks, mkv_mux_audio
+    from evaporate_spark.operators.mp4 import (
+        mp4_audio_samples,
+        mp4_mux_audio,
+        mp4_parse,
+    )
+    from evaporate_spark.operators.multimodal import (
+        audio_container_metadata,
+        extract_audio_frames,
+    )
+
+    # mux/parse round trips beyond the committed fixtures
+    pay = [bytes([i]) * (10 + i) for i in range(12)]
+    m4a = mp4_mux_audio(pay, sample_rate=16000, channels=1,
+                        samples_per_frame=512)
+    a = mp4_parse(m4a).audio
+    assert (a.codec, a.sample_rate, a.channels, a.n_samples) == (
+        "mp4a", 16000, 1, 12)
+    assert a.duration_s == 12 * 512 / 16000
+    assert [b for _, b, _ in mp4_audio_samples(m4a)] == pay
+    mka = mkv_mux_audio(pay, sample_rate=24000, channels=2,
+                        codec_id="A_VORBIS", block_ms=10, doc_type="matroska")
+    from evaporate_spark.operators.ebml import mkv_parse
+
+    t = mkv_parse(mka).audio
+    assert (t.codec_id, t.sample_rate, t.channels) == ("A_VORBIS", 24000, 2)
+    assert [b for _, b, _ in mkv_audio_blocks(mka)] == pay
+
+    # the committed fixtures flow through both Spark operators
+    def fx(name):
+        with open(os.path.join(MEDIA_DIR, name), "rb") as fh:
+            return bytearray(fh.read())
+
+    df = spark.createDataFrame(
+        [("a.m4a", fx("audio_aac_stub.m4a")),
+         ("a.mka", fx("audio_opus_stub.mka"))],
+        "path string, content binary",
+    )
+    got = {r["path"]: r for r in audio_container_metadata(df).collect()}
+    assert (got["a.m4a"]["container"], got["a.m4a"]["codec"]) == ("mp4", "mp4a")
+    assert (got["a.m4a"]["n_frames"], got["a.m4a"]["duration_s"]) == (50, 1.6)
+    assert (got["a.mka"]["codec"], got["a.mka"]["sample_rate"]) == (
+        "A_OPUS", 48000)
+    frames = extract_audio_frames(df, every_n=10).collect()
+    by = {}
+    for r in frames:
+        by.setdefault(r["path"], []).append(r["frame_index"])
+    assert sorted(by["a.m4a"]) == [0, 10, 20, 30, 40]
+    assert sorted(by["a.mka"]) == [0, 10, 20, 30]
+
+
 def test_extract_audio_frames_operator(spark):
     from evaporate_spark.operators.multimodal import extract_audio_frames
 

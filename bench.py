@@ -101,6 +101,23 @@ Pinned comparison baselines (medians unless noted):
   the canary), q_minhash_lsh_dups 1.439, q_dup_clusters 1.848,
   q8_market_share 1.092, q_semantic_openie 12.298,
   corpus_chain_10x 19.154.
+- r7 pins (gated, start loadavg 1.97; after the round-7 container/
+  ingest batch): relational 2.260 (q1 0.443 / q3 0.747 / q5 1.070);
+  q_exact_dedup_groups 0.286, q_minhash_lsh_dups 1.283,
+  q_dup_clusters 1.575, q_dup_passage_stats 3.144, q_token_rarity
+  0.811, q_knn_cosine 0.755, q8_market_share 1.126,
+  q_semantic_closed_ie 5.302, q_semantic_openie 11.160,
+  media_decode_300 0.566, corpus_chain_10x 20.352 (n=3, within the
+  r6 band), doc_ingest 0.861 (FIRST pin — 600 two-page PDFs through
+  the pure-python extractor + 20 warc.gz shards x 60 HTTP responses
+  incl. chunked/gzipped bodies + 20 zip shards x 30 members, three
+  1-row summaries). Openie job-count note: ~24 s of the cold run is
+  PLAN-BUILD (the sample-stage kernels run eagerly across ~190 tiny
+  Spark jobs; execution of the returned view is 0.3 s); repartitioning
+  the train-sample frames to train_size partitions was measured and
+  does NOT help (9.05 s warm baseline vs 9.64 s) — the cost is
+  per-action Arrow round trips, not task count, and it vanishes
+  against real LLM latency at deployment scale.
 """
 
 from __future__ import annotations

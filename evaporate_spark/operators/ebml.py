@@ -186,6 +186,67 @@ def mkv_parse(raw: bytes) -> MkvInfo:
     )
 
 
+def _signed_vint(raw: bytes, pos: int) -> tuple[int, int]:
+    """EBML lacing delta: unsigned vint minus (2^(7·len−1) − 1)."""
+    start = pos
+    val, pos = _vint(raw, pos, keep_marker=False)
+    length = pos - start
+    return val - ((1 << (7 * length - 1)) - 1), pos
+
+
+def _block_frames(raw: bytes, b2: int, e2: int) -> tuple[int, int, list[bytes]]:
+    """Parse one (Simple)Block body → (track_number, flags, frames),
+    undoing all three Matroska lacing schemes (Xiph / fixed / EBML) so
+    every codec frame comes out as its own bytes."""
+    tnum, p = _vint(raw, b2, keep_marker=False)
+    if p + 3 > e2:
+        raise ValueError("truncated (Simple)Block header")
+    flags = raw[p + 2]
+    p += 3
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:
+        return tnum, flags, [raw[p:e2]]
+    if p >= e2:
+        raise ValueError("laced block missing frame count")
+    k = raw[p]  # frame count - 1
+    p += 1
+    sizes: list[int] = []
+    if lacing == 1:  # Xiph: 255-run-length coded sizes for first k
+        for _ in range(k):
+            size = 0
+            while True:
+                if p >= e2:
+                    raise ValueError("truncated Xiph lacing table")
+                size += raw[p]
+                last = raw[p] < 255
+                p += 1
+                if last:
+                    break
+            sizes.append(size)
+    elif lacing == 2:  # fixed: k+1 equal frames over the remainder
+        total = e2 - p
+        if total % (k + 1):
+            raise ValueError("fixed lacing remainder not divisible")
+        sizes = [total // (k + 1)] * k
+    elif k > 0:  # EBML: first size a vint, then signed-vint deltas
+        size, p = _vint(raw, p, keep_marker=False)
+        sizes.append(size)
+        for _ in range(k - 1):
+            delta, p = _signed_vint(raw, p)
+            size += delta
+            sizes.append(size)
+    frames = []
+    for s in sizes:
+        if p + s > e2:
+            raise ValueError("laced frame overruns its block")
+        frames.append(raw[p : p + s])
+        p += s
+    if p > e2:
+        raise ValueError("lacing table overruns the block")
+    frames.append(raw[p:e2])  # last frame = remainder
+    return tnum, flags, frames
+
+
 def mkv_track_blocks(
     raw: bytes,
     track_number: int,
@@ -193,10 +254,12 @@ def mkv_track_blocks(
     sync_only: bool = False,
     max_blocks: int | None = None,
 ) -> list[tuple[int, bytes, bool]]:
-    """(block_index, frame bytes, is_key) for one track's SimpleBlocks
-    in cluster order — each an OPAQUE codec frame. Laced blocks
-    (multiple frames per block) are rejected with a typed error rather
-    than mis-split."""
+    """(frame_index, frame bytes, is_key) for one track, in cluster
+    order — each an OPAQUE codec frame. Covers SimpleBlocks AND
+    BlockGroup/Block containers (keyframe = no ReferenceBlock in the
+    group, per the Matroska spec), with all three lacing schemes
+    (Xiph / fixed / EBML) undone so every laced frame is its own
+    row."""
     segment = None
     for eid, body, body_end in _elements(raw, 0, len(raw)):
         if eid == 0x18538067:
@@ -209,24 +272,33 @@ def mkv_track_blocks(
         if eid != 0x1F43B675:  # Cluster
             continue
         for i2, b2, e2 in _elements(raw, body, body_end):
-            if i2 != 0xA3:  # SimpleBlock
+            if i2 == 0xA3:  # SimpleBlock: keyframe bit in flags
+                tnum, flags, frames = _block_frames(raw, b2, e2)
+                is_key = bool(flags & 0x80)
+            elif i2 == 0xA0:  # BlockGroup: key = no ReferenceBlock
+                block = None
+                has_ref = False
+                for i3, b3, e3 in _elements(raw, b2, e2):
+                    if i3 == 0xA1:
+                        block = (b3, e3)
+                    elif i3 == 0xFB:
+                        has_ref = True
+                if block is None:
+                    continue
+                tnum, _flags, frames = _block_frames(raw, *block)
+                is_key = not has_ref
+            else:
                 continue
-            tnum, p = _vint(raw, b2, keep_marker=False)
             if tnum != track_number:
                 continue
-            if p + 3 > e2:
-                raise ValueError("truncated SimpleBlock header")
-            flags = raw[p + 2]
-            if flags & 0x06:
-                raise ValueError("laced SimpleBlock not supported")
-            is_key = bool(flags & 0x80)
-            if (not sync_only) or is_key:
-                if picked % every_n == 0:
-                    out.append((seen, raw[p + 3 : e2], is_key))
-                    if max_blocks is not None and len(out) >= max_blocks:
-                        return out
-                picked += 1
-            seen += 1
+            for frame in frames:
+                if (not sync_only) or is_key:
+                    if picked % every_n == 0:
+                        out.append((seen, frame, is_key))
+                        if max_blocks is not None and len(out) >= max_blocks:
+                            return out
+                    picked += 1
+                seen += 1
     return out
 
 
@@ -356,3 +428,102 @@ def mkv_mux_audio(
         + audio
     )
     return _mkv_mux(samples, track, block_ms, 1, doc_type)
+
+
+def _enc_vint2(v: int) -> bytes:
+    """2-byte unsigned vint (marker 0x40, 14-bit capacity)."""
+    if not 0 <= v < 0x3FFF:
+        raise ValueError(f"vint2 out of range: {v}")
+    return bytes([0x40 | (v >> 8), v & 0xFF])
+
+
+def _enc_signed_vint2(v: int) -> bytes:
+    """2-byte EBML-lacing signed vint (bias 2^13−1 = 8191)."""
+    if not -8191 <= v <= 8191:
+        raise ValueError(f"signed vint2 out of range: {v}")
+    return _enc_vint2(v + 8191)
+
+
+def laced_block_body(
+    frames: list[bytes],
+    scheme: str,
+    track: int = 1,
+    timecode: int = 0,
+    key: bool = True,
+) -> bytes:
+    """A (Simple)Block BODY packing ``frames`` with Matroska lacing
+    ('xiph' / 'fixed' / 'ebml'); for fixture/round-trip use."""
+    bits = {"xiph": 1, "fixed": 2, "ebml": 3}[scheme]
+    if track != 1:
+        raise ValueError("fixture muxer writes track 1 only")
+    flags = (0x80 if key else 0x00) | (bits << 1)
+    out = bytearray(
+        b"\x81" + struct.pack(">h", timecode) + bytes([flags, len(frames) - 1])
+    )
+    if scheme == "xiph":
+        for f in frames[:-1]:
+            n = len(f)
+            out += b"\xff" * (n // 255) + bytes([n % 255])
+    elif scheme == "fixed":
+        if len({len(f) for f in frames}) != 1:
+            raise ValueError("fixed lacing needs equal-size frames")
+    elif len(frames) > 1:  # ebml: sizes for all but the last frame
+        out += _enc_vint2(len(frames[0]))
+        for prev, f in zip(frames, frames[1:-1]):
+            out += _enc_signed_vint2(len(f) - len(prev))
+    for f in frames:
+        out += f
+    return bytes(out)
+
+
+def mkv_mux_audio_laced(
+    samples: list[bytes],
+    scheme: str = "xiph",
+    frames_per_block: int = 4,
+    use_block_groups: bool = False,
+    sample_rate: int = 48000,
+    channels: int = 2,
+    codec_id: str = "A_OPUS",
+    block_ms: int = 20,
+    doc_type: str = "matroska",
+) -> bytes:
+    """Audio muxer variant exercising the real-world Matroska framing
+    modes: frames packed ``frames_per_block`` per block with the given
+    lacing scheme, written either as SimpleBlocks or as
+    BlockGroup/Block containers (every block a keyframe: no
+    ReferenceBlock)."""
+    audio = _el(
+        0xE1,
+        _el(0xB5, struct.pack(">d", float(sample_rate)))
+        + _uint_el(0x9F, channels),
+    )
+    track = _el(
+        0xAE,
+        _uint_el(0xD7, 1)
+        + _uint_el(0x73C5, 1)
+        + _uint_el(0x83, 2)
+        + _el(0x86, codec_id.encode())
+        + audio,
+    )
+    header = _el(
+        0x1A45DFA3,
+        _uint_el(0x4286, 1) + _uint_el(0x42F7, 1) + _uint_el(0x42F2, 4)
+        + _uint_el(0x42F3, 8) + _el(0x4282, doc_type.encode())
+        + _uint_el(0x4287, 4) + _uint_el(0x4285, 2),
+    )
+    info = _el(
+        0x1549A966,
+        _uint_el(0x2AD7B1, 1_000_000)
+        + _el(0x4489, struct.pack(">d", float(len(samples) * block_ms))),
+    )
+    blocks = b""
+    for g in range(0, len(samples), frames_per_block):
+        group = samples[g : g + frames_per_block]
+        body = laced_block_body(group, scheme, timecode=g * block_ms)
+        if use_block_groups:
+            blocks += _el(0xA0, _el(0xA1, body))
+        else:
+            blocks += _el(0xA3, body)
+    cluster = _el(0x1F43B675, _uint_el(0xE7, 0) + blocks)
+    segment = _el(0x18538067, info + _el(0x1654AE6B, track) + cluster)
+    return header + segment

@@ -58,16 +58,32 @@ def read_document_dir(
     ).where(~F.col("path").endswith(".swp"))
     is_pdf = F.lower(F.col("path")).endswith(".pdf")
     text_side = base.where(~is_pdf) if pdf_text else base
+    # errors-tolerant decode (reference contract is utf-8 with errors
+    # ignored, profiler_utils.py:347-357): BOM-sniff first — UTF-16/
+    # UTF-8 BOMs are decoded per their charset (a UTF-16 file pushed
+    # through the utf-8 cast garbles every other byte to U+FFFD) —
+    # then cast the bytes and repair invalid sequences (decode() would
+    # raise MALFORMED_CHARACTER_CODING on bad input). Divergence
+    # noted: invalid bytes become U+FFFD instead of being dropped.
+    # All JVM expressions; no Python in this path.
+    bom = F.hex(F.substring("content", 1, 3))
+    text = (
+        F.when(
+            bom.startswith("FFFE") | bom.startswith("FEFF"),
+            # Java's UTF_16 charset consumes the BOM itself
+            F.decode("content", "UTF-16"),
+        )
+        .when(
+            bom == "EFBBBF",
+            F.expr(
+                "make_valid_utf8(cast(substring(content, 4) as string))"
+            ),
+        )
+        .otherwise(F.expr("make_valid_utf8(cast(content as string))"))
+    )
     decoded = text_side.select(
         F.col("path"),
-        # errors-tolerant decode (reference contract is utf-8 with
-        # errors ignored, profiler_utils.py:347-357): cast the bytes
-        # and repair invalid sequences — decode() would raise
-        # MALFORMED_CHARACTER_CODING on bad input. Divergence noted:
-        # invalid bytes become U+FFFD instead of being dropped.
-        F.coalesce(
-            F.expr("make_valid_utf8(cast(content as string))"), F.lit("")
-        ).alias("content"),
+        F.coalesce(text, F.lit("")).alias("content"),
         F.when(F.lower(F.col("path")).rlike(r"\.html?$"), F.lit("html"))
         .otherwise(F.lit("txt"))
         .alias("doc_type"),

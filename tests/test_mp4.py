@@ -147,16 +147,80 @@ def test_mkv_mux_parse_roundtrip():
     assert len(mkv_video_blocks(blob, max_blocks=2)) == 2
     with pytest.raises(ValueError, match="EBML"):
         mkv_parse(b"\x00" * 32)
-    # a laced SimpleBlock must be rejected typed, not mis-split: find
-    # the first block by its full (id, 4-byte size) header — a bare
-    # 0xA3 byte also occurs inside size/payload bytes
-    body_len = 4 + len(samples[0])
-    needle = b"\xa3" + bytes([0x10, 0, 0, body_len])
-    lace_at = bytes(blob).index(needle)
-    patched = bytearray(blob)
-    patched[lace_at + 5 + 3] |= 0x06  # track(1)+time(2) -> flags byte
-    with pytest.raises(ValueError, match="laced"):
-        mkv_video_blocks(bytes(patched))
+
+
+def test_mkv_lacing_roundtrips_all_schemes():
+    from evaporate_spark.operators.ebml import (
+        mkv_audio_blocks,
+        mkv_mux_audio_laced,
+        mkv_parse,
+    )
+
+    varied = [bytes([i]) * (30 + 17 * (i % 5)) for i in range(10)]
+    equal = [bytes([i]) * 64 for i in range(10)]
+    for scheme, frames in (("xiph", varied), ("ebml", varied), ("fixed", equal)):
+        for groups in (False, True):
+            blob = mkv_mux_audio_laced(
+                frames, scheme=scheme, frames_per_block=4,
+                use_block_groups=groups,
+            )
+            a = mkv_parse(blob).audio
+            assert (a.sample_rate, a.channels) == (48000, 2)
+            got = mkv_audio_blocks(blob)
+            assert [b for _, b, _ in got] == frames, (scheme, groups)
+            assert all(k for _, _, k in got)
+    # xiph with a >255-byte frame exercises the 255-run size coding
+    big = [bytes(300), bytes(255), bytes(3), bytes(510)]
+    blob = mkv_mux_audio_laced(big, scheme="xiph", frames_per_block=4)
+    assert [len(b) for _, b, _ in mkv_audio_blocks(blob)] == [300, 255, 3, 510]
+    # single-frame tail group (lace count 0) parses as one frame
+    blob = mkv_mux_audio_laced(varied[:5], scheme="ebml", frames_per_block=4)
+    assert [b for _, b, _ in mkv_audio_blocks(blob)] == varied[:5]
+
+
+def test_mkv_blockgroup_keyframes_via_referenceblock():
+    """A BlockGroup WITH a ReferenceBlock is a dependent (non-key)
+    frame; without one it is a keyframe — assembled by hand since the
+    fixture muxer only writes keyframes."""
+    import struct
+
+    from evaporate_spark.operators.ebml import (
+        _el,
+        _uint_el,
+        mkv_track_blocks,
+    )
+
+    header = _el(
+        0x1A45DFA3,
+        _uint_el(0x4286, 1) + _el(0x4282, b"matroska"),
+    )
+    track = _el(
+        0xAE,
+        _uint_el(0xD7, 1) + _uint_el(0x83, 1) + _el(0x86, b"V_X")
+        + _el(0xE0, _uint_el(0xB0, 8) + _uint_el(0xBA, 8)),
+    )
+    info = _el(
+        0x1549A966,
+        _uint_el(0x2AD7B1, 1_000_000) + _el(0x4489, struct.pack(">d", 40.0)),
+    )
+
+    def bg(payload: bytes, t: int, ref: bool) -> bytes:
+        body = b"\x81" + struct.pack(">h", t) + b"\x00" + payload
+        inner = _el(0xA1, body)
+        if ref:
+            inner += _el(0xFB, b"\xff")  # ReferenceBlock: prior frame
+        return _el(0xA0, inner)
+
+    cluster = _el(
+        0x1F43B675,
+        _uint_el(0xE7, 0) + bg(b"KEY0", 0, False) + bg(b"dep1", 20, True),
+    )
+    blob = header + _el(0x18538067, info + _el(0x1654AE6B, track) + cluster)
+    got = mkv_track_blocks(blob, 1)
+    assert [(b, k) for _, b, k in got] == [(b"KEY0", True), (b"dep1", False)]
+    assert [b for _, b, _ in mkv_track_blocks(blob, 1, sync_only=True)] == [
+        b"KEY0"
+    ]
 
 
 def test_video_operators_cover_webm(spark):

@@ -280,3 +280,22 @@ def test_doclake_reads_pdfs_next_to_text(spark, tmp_path):
     assert {os.path.basename(r["path"]) for r in legacy.collect()} == {
         "a.txt", "b.html", "c.pdf",
     }
+
+
+def test_doclake_bom_sniffing_decodes_utf16(spark, tmp_path):
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    msg = "Grüße — utf16 content"
+    (tmp_path / "le.txt").write_bytes(msg.encode("utf-16"))  # FF FE BOM
+    (tmp_path / "be.txt").write_bytes(
+        "﻿".encode("utf-16-be") + msg.encode("utf-16-be")
+    )
+    (tmp_path / "bom8.txt").write_bytes(b"\xef\xbb\xbf" + msg.encode("utf-8"))
+    (tmp_path / "plain.txt").write_text(msg)
+    rows = {
+        os.path.basename(r["path"]): r["content"]
+        for r in read_document_dir(spark, str(tmp_path)).collect()
+    }
+    assert rows == {
+        "le.txt": msg, "be.txt": msg, "bom8.txt": msg, "plain.txt": msg
+    }

@@ -88,6 +88,30 @@ ARCHIVE_TEXTS = {
 }
 ARCHIVE_PDF_TEXT = "Gamma from PDF."
 
+# authored subtitle cues (q_subtitle_cues oracle derives from these);
+# the .vtt fixture wraps the same cues in real-world noise (BOM, NOTE
+# block, cue ids, settings, inline markup) that must parse away
+SUBTITLE_CUES = [
+    (0, 1500, "Hello crawl."),
+    (1500, 3000, "Two lines\nof text."),
+    (3000, 4750, "Goodbye."),
+]
+
+
+def _noisy_vtt() -> str:
+    return (
+        "﻿WEBVTT - fixture\n"
+        "\n"
+        "NOTE a comment block\nspanning two lines\n"
+        "\n"
+        "cue-0\n00:00.000 --> 00:01.500 align:start line:0\n"
+        "Hello <b.loud>crawl</b>.\n"
+        "\n"
+        "00:01.500 --> 00:03.000\nTwo lines\nof <i>text</i>.\n"
+        "\n"
+        "cue-2\n00:03.000 --> 00:04.750\nGoodbye.\n"
+    )
+
 
 def generate_docs(out_dir: str) -> dict[str, bytes]:
     """Write every document fixture into ``out_dir``; return name→bytes."""
@@ -133,6 +157,10 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
     )
     files["docs_archive.zip"] = zip_write(members)
     files["docs_archive.tar.gz"] = targz_write(members)
+    from evaporate_spark.operators.subtitles import srt_write
+
+    files["clip_captions.srt"] = srt_write(SUBTITLE_CUES).encode()
+    files["clip_captions.vtt"] = _noisy_vtt().encode()
     for name, data in files.items():
         with open(os.path.join(out_dir, name), "wb") as fh:
             fh.write(data)

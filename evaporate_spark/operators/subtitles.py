@@ -1,0 +1,202 @@
+"""Subtitle/transcript parsing — SRT (SubRip) and WebVTT, the text
+half of video+transcript training pairs. Engine addition (SURVEY
+§2C multimodal): a video lake's captions arrive as `.srt`/`.vtt`
+sidecars; cue rows (start/end ms + text) are what alignment,
+windowed packing, and CLIP-style pair construction consume.
+
+Formats, from public documentation:
+
+- SRT: blank-line-separated blocks of ``index`` /
+  ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` / text lines.
+- WebVTT (W3C): ``WEBVTT`` signature; cues with an optional id line,
+  ``[HH:]MM:SS.mmm --> [HH:]MM:SS.mmm [settings]`` (settings
+  ignored), text lines; NOTE/STYLE/REGION blocks skipped; simple
+  ``<c>``/``<b>``-style markup tags stripped.
+
+Strict on timing lines (a malformed arrow/timestamp raises), tolerant
+on structure (stray blank lines, missing SRT indices, CRLF).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+_SRT_TS = re.compile(r"(\d+):(\d{1,2}):(\d{1,2})[,.](\d{1,3})")
+_VTT_TS = re.compile(r"(?:(\d+):)?(\d{1,2}):(\d{1,2})\.(\d{1,3})")
+_ARROW = "-->"
+_VTT_TAG = re.compile(r"</?[^>]+>")
+
+
+@dataclass
+class Cue:
+    index: int  # 0-based cue order (SRT's own numbering is ignored)
+    start_ms: int
+    end_ms: int
+    text: str
+
+
+def _srt_ms(tok: str) -> int:
+    m = _SRT_TS.fullmatch(tok.strip())
+    if not m:
+        raise ValueError(f"bad SRT timestamp {tok!r}")
+    h, mi, s, ms = (int(g) for g in m.groups())
+    return ((h * 60 + mi) * 60 + s) * 1000 + ms
+
+
+def _vtt_ms(tok: str) -> int:
+    m = _VTT_TS.fullmatch(tok.strip())
+    if not m:
+        raise ValueError(f"bad WebVTT timestamp {tok!r}")
+    h = int(m.group(1) or 0)
+    mi, s, ms = int(m.group(2)), int(m.group(3)), int(m.group(4))
+    return ((h * 60 + mi) * 60 + s) * 1000 + ms
+
+
+def _blocks(text: str) -> Iterator[list[str]]:
+    block: list[str] = []
+    for line in text.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
+        if line.strip():
+            block.append(line)
+        elif block:
+            yield block
+            block = []
+    if block:
+        yield block
+
+
+def srt_parse(text: str) -> list[Cue]:
+    """Cues from an SRT document. The per-block index line is optional
+    and its value is ignored (real-world files renumber freely)."""
+    cues: list[Cue] = []
+    for block in _blocks(text):
+        if _ARROW not in block[0] and len(block) >= 2 and _ARROW in block[1]:
+            block = block[1:]  # drop the index line
+        if _ARROW not in block[0]:
+            raise ValueError(f"SRT block without a timing line: {block[0]!r}")
+        start_tok, _, end_tok = block[0].partition(_ARROW)
+        cues.append(
+            Cue(
+                index=len(cues),
+                start_ms=_srt_ms(start_tok),
+                end_ms=_srt_ms(end_tok.strip().split()[0]),
+                text="\n".join(block[1:]),
+            )
+        )
+    return cues
+
+
+def vtt_parse(text: str) -> list[Cue]:
+    """Cues from a WebVTT document; NOTE/STYLE/REGION blocks skipped,
+    cue settings ignored, inline markup tags stripped."""
+    norm = text.lstrip("﻿")
+    if not norm.startswith("WEBVTT"):
+        raise ValueError("not a WebVTT file (missing WEBVTT signature)")
+    cues: list[Cue] = []
+    first = True
+    for block in _blocks(norm):
+        if first:
+            first = False
+            if block[0].startswith("WEBVTT"):
+                if not any(_ARROW in ln for ln in block):
+                    continue  # pure header block
+                block = [ln for ln in block[1:]]
+        if block[0].split(" ")[0] in ("NOTE", "STYLE", "REGION"):
+            continue
+        if _ARROW not in block[0] and len(block) >= 2 and _ARROW in block[1]:
+            block = block[1:]  # drop the cue id line
+        if _ARROW not in block[0]:
+            raise ValueError(f"WebVTT cue without a timing line: {block[0]!r}")
+        start_tok, _, rest = block[0].partition(_ARROW)
+        end_tok = rest.strip().split()[0]  # settings after the end ignored
+        cues.append(
+            Cue(
+                index=len(cues),
+                start_ms=_vtt_ms(start_tok),
+                end_ms=_vtt_ms(end_tok),
+                text=_VTT_TAG.sub("", "\n".join(block[1:])),
+            )
+        )
+    return cues
+
+
+def parse_subtitle_text(text: str) -> tuple[str, list[Cue]]:
+    """(format, cues) — dispatch on the WEBVTT signature, else SRT."""
+    if text.lstrip("﻿").startswith("WEBVTT"):
+        return "vtt", vtt_parse(text)
+    return "srt", srt_parse(text)
+
+
+# ------------------------------------------------------------------ writers
+def _srt_ts(ms: int) -> str:
+    s, ms = divmod(ms, 1000)
+    mi, s = divmod(s, 60)
+    h, mi = divmod(mi, 60)
+    return f"{h:02d}:{mi:02d}:{s:02d},{ms:03d}"
+
+
+def srt_write(cues: list[tuple[int, int, str]]) -> str:
+    out = []
+    for i, (start, end, text) in enumerate(cues):
+        out.append(f"{i + 1}\n{_srt_ts(start)} --> {_srt_ts(end)}\n{text}\n")
+    return "\n".join(out)
+
+
+def vtt_write(cues: list[tuple[int, int, str]]) -> str:
+    out = ["WEBVTT\n"]
+    for start, end, text in cues:
+        out.append(
+            f"{_srt_ts(start).replace(',', '.')} --> "
+            f"{_srt_ts(end).replace(',', '.')}\n{text}\n"
+        )
+    return "\n".join(out)
+
+
+# --------------------------------------------------------- spark operator
+def parse_subtitles(
+    df: DataFrame, path_col: str = "path", binary_col: str = "content"
+) -> DataFrame:
+    """(path, subtitle bytes) → one row per cue: (path, format,
+    cue_index, start_ms, end_ms, duration_ms, text, err). Utf-8
+    decoded (BOM tolerated); malformed files yield one err row.
+    Arrow-batched mapInPandas; cue extraction partitions per file —
+    the shape that joins against ``extract_video_samples`` timestamps
+    for transcript-aligned training pairs."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    fmt, cues = parse_subtitle_text(
+                        raw.decode("utf-8", errors="replace")
+                    )
+                    for c in cues:
+                        rows.append(
+                            (path, fmt, c.index, c.start_ms, c.end_ms,
+                             c.end_ms - c.start_ms, c.text, None)
+                        )
+                except ValueError as ex:
+                    rows.append(
+                        (path, None, None, None, None, None, None,
+                         repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "format", "cue_index", "start_ms", "end_ms",
+                         "duration_ms", "text", "err"],
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        batches,
+        schema=(
+            "path string, format string, cue_index long, start_ms long, "
+            "end_ms long, duration_ms long, text string, err string"
+        ),
+    )

@@ -366,3 +366,45 @@ def q_archive_doclake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("bigint").alias("n_chars"),
         "n_bytes",
     )
+
+
+@register(
+    "q_subtitle_cues",
+    "REAL SRT + WebVTT subtitle parsing (operators/subtitles.py) — "
+    "the transcript half of video+text training pairs: the committed "
+    ".srt fixture and a noisy .vtt twin (BOM, NOTE block, cue ids, "
+    "cue settings, inline <b>/<i> markup) must both reduce to the "
+    "SAME authored cue table (timing in exact milliseconds, markup "
+    "stripped). Oracle = that table, stated literally per format.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('clip_captions.srt', 'srt', CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(1500 AS BIGINT), 'Hello crawl.'),
+            ('clip_captions.srt', 'srt', CAST(1 AS BIGINT),
+             CAST(1500 AS BIGINT), CAST(3000 AS BIGINT),
+             'Two lines' || chr(10) || 'of text.'),
+            ('clip_captions.srt', 'srt', CAST(2 AS BIGINT),
+             CAST(3000 AS BIGINT), CAST(4750 AS BIGINT), 'Goodbye.'),
+            ('clip_captions.vtt', 'vtt', CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(1500 AS BIGINT), 'Hello crawl.'),
+            ('clip_captions.vtt', 'vtt', CAST(1 AS BIGINT),
+             CAST(1500 AS BIGINT), CAST(3000 AS BIGINT),
+             'Two lines' || chr(10) || 'of text.'),
+            ('clip_captions.vtt', 'vtt', CAST(2 AS BIGINT),
+             CAST(3000 AS BIGINT), CAST(4750 AS BIGINT), 'Goodbye.')
+        ) AS t(file, format, cue_index, start_ms, end_ms, text)
+    """,
+    tags=("multimodal", "doclake"),
+)
+def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.subtitles import parse_subtitles
+
+    files = _media_files(spark, DOCS_DIR, ".srt", ".vtt")
+    return parse_subtitles(files, path_col="file").select(
+        F.col("path").alias("file"),
+        "format",
+        "cue_index",
+        "start_ms",
+        "end_ms",
+        "text",
+    )

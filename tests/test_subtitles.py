@@ -1,0 +1,95 @@
+"""SRT/WebVTT subtitle parsing (operators/subtitles.py) — the
+transcript half of video+text training pairs (engine addition,
+SURVEY §2C multimodal)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from evaporate_spark.operators.subtitles import (
+    parse_subtitle_text,
+    srt_parse,
+    srt_write,
+    vtt_parse,
+    vtt_write,
+)
+
+CUES = [
+    (0, 1500, "Hello crawl."),
+    (1500, 3000, "Two lines\nof text."),
+    (3000, 4750, "Goodbye."),
+]
+
+
+def test_srt_and_vtt_writer_roundtrip():
+    for writer, parser, fmt in (
+        (srt_write, srt_parse, "srt"),
+        (vtt_write, vtt_parse, "vtt"),
+    ):
+        text = writer(CUES)
+        cues = parser(text)
+        assert [(c.start_ms, c.end_ms, c.text) for c in cues] == CUES
+        assert [c.index for c in cues] == [0, 1, 2]
+        assert parse_subtitle_text(text)[0] == fmt
+
+
+def test_vtt_noise_tolerance():
+    adv = (
+        "﻿WEBVTT - title\n\nNOTE a comment\nspanning lines\n\n"
+        "intro-cue\n00:01.500 --> 00:03.000 align:start line:0\n"
+        "Styled <b.loud>text</b> here\n\n"
+        "01:00:00.000 --> 01:00:02.250\nHour mark\n"
+    )
+    got = vtt_parse(adv)
+    assert [(c.start_ms, c.end_ms, c.text) for c in got] == [
+        (1500, 3000, "Styled text here"),
+        (3600000, 3602250, "Hour mark"),
+    ]
+
+
+def test_srt_structure_tolerance_and_strict_timing():
+    # missing index lines + CRLF line endings
+    raw = (
+        "00:00:00,000 --> 00:00:01,000\r\nA\r\n\r\n"
+        "00:00:01,000 --> 00:00:02,000\r\nB\r\n"
+    )
+    assert [c.text for c in srt_parse(raw)] == ["A", "B"]
+    with pytest.raises(ValueError, match="timing line"):
+        srt_parse("garbage no timing\nline")
+    with pytest.raises(ValueError, match="timestamp"):
+        srt_parse("1\n00:00:xx,000 --> 00:00:01,000\nA")
+    with pytest.raises(ValueError, match="WEBVTT"):
+        vtt_parse("not a vtt file")
+
+
+def test_parse_subtitles_operator(spark):
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.operators.subtitles import parse_subtitles
+
+    def fx(name):
+        with open(os.path.join(DOCS_DIR, name), "rb") as fh:
+            return bytearray(fh.read())
+
+    df = spark.createDataFrame(
+        [
+            ("c.srt", fx("clip_captions.srt")),
+            ("c.vtt", fx("clip_captions.vtt")),
+            ("bad.srt", bytearray(b"not a subtitle file")),
+        ],
+        "path string, content binary",
+    )
+    rows = parse_subtitles(df).collect()
+    by_path: dict[str, list] = {}
+    for r in rows:
+        by_path.setdefault(r["path"], []).append(r)
+    for name, fmt in (("c.srt", "srt"), ("c.vtt", "vtt")):
+        got = sorted(by_path[name], key=lambda r: r["cue_index"])
+        assert [
+            (r["start_ms"], r["end_ms"], r["text"]) for r in got
+        ] == CUES, name
+        assert all(r["format"] == fmt for r in got)
+        assert got[0]["duration_ms"] == 1500
+    (bad,) = by_path["bad.srt"]
+    assert bad["err"] is not None and bad["cue_index"] is None

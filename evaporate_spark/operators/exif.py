@@ -1,0 +1,329 @@
+"""EXIF metadata for image lakes, pure python — read the tags an
+image-curation pipeline filters on (camera make/model, orientation,
+capture time, pixel dimensions, GPS position) and STRIP the privacy-
+sensitive segments before training. Engine addition (SURVEY §2C
+multimodal; the reference has no media ops).
+
+From the public EXIF 2.3 / TIFF 6.0 specs: EXIF is a TIFF IFD
+structure — either the file itself (TIFF) or embedded in a JPEG APP1
+segment (``Exif\\0\\0`` payload). The walker below reads IFD0, the
+Exif sub-IFD (0x8769) and the GPS sub-IFD (0x8825) with the standard
+value types (BYTE/ASCII/SHORT/LONG/RATIONAL/SRATIONAL, inline-or-
+offset storage).
+
+GPS coordinates in training corpora are PII: :func:`strip_jpeg_app_segments`
+removes APP1/APP13 metadata segments from JPEG bytes WITHOUT
+re-encoding (the entropy-coded image data is untouched, so stripping
+is lossless and cheap at lake scale), and the operator column
+``has_gps`` lets a pipeline quarantine geotagged images.
+
+A fixture writer builds spec-shaped APP1 segments so committed
+fixtures exercise both byte orders and offset-stored values.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 9: 4, 10: 8}
+
+
+def _ifd_entries(raw: bytes, base: int, ifd_off: int, bo: str) -> dict[int, object]:
+    """tag → decoded value for one IFD (``base`` = TIFF header start)."""
+    u16 = lambda p: int.from_bytes(raw[p : p + 2], bo)  # noqa: E731
+    u32 = lambda p: int.from_bytes(raw[p : p + 4], bo)  # noqa: E731
+    pos = base + ifd_off
+    if pos + 2 > len(raw):
+        raise ValueError("EXIF IFD offset out of range")
+    n = u16(pos)
+    out: dict[int, object] = {}
+    for i in range(n):
+        e = pos + 2 + 12 * i
+        if e + 12 > len(raw):
+            raise ValueError("truncated EXIF IFD entry")
+        tag, typ, count = u16(e), u16(e + 2), u32(e + 4)
+        size = _TYPE_SIZES.get(typ, 1) * count
+        voff = e + 8 if size <= 4 else base + u32(e + 8)
+        if voff + size > len(raw):
+            raise ValueError(f"EXIF tag 0x{tag:04X} value out of range")
+        data = raw[voff : voff + size]
+        if typ == 2:  # ASCII
+            out[tag] = data.split(b"\x00")[0].decode("latin-1")
+        elif typ == 3:
+            out[tag] = [int.from_bytes(data[j : j + 2], bo) for j in range(0, size, 2)]
+        elif typ in (1, 6, 7):
+            out[tag] = data
+        elif typ == 4:
+            out[tag] = [int.from_bytes(data[j : j + 4], bo) for j in range(0, size, 4)]
+        elif typ in (5, 10):  # (S)RATIONAL pairs
+            vals = []
+            for j in range(0, size, 8):
+                num = int.from_bytes(data[j : j + 4], bo, signed=typ == 10)
+                den = int.from_bytes(data[j + 4 : j + 8], bo, signed=typ == 10)
+                vals.append((num, den))
+            out[tag] = vals
+        else:
+            out[tag] = data
+    return out
+
+
+def _find_tiff(raw: bytes) -> tuple[int, bytes]:
+    """(offset of the TIFF header, tiff bytes view) for a TIFF file or
+    a JPEG with an Exif APP1 segment."""
+    if raw[:2] in (b"II", b"MM") and len(raw) >= 8:
+        return 0, raw
+    if raw[:2] == b"\xff\xd8":  # JPEG: marker walk for APP1/Exif
+        pos = 2
+        while pos + 4 <= len(raw) and raw[pos] == 0xFF:
+            marker = raw[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+            if marker == 0xDA:  # SOS: no EXIF past here
+                break
+            if marker == 0xE1 and raw[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                return pos + 10, raw
+            pos += 2 + seg_len
+        raise ValueError("JPEG has no Exif APP1 segment")
+    raise ValueError("not a TIFF or JPEG input")
+
+
+def _dms_to_deg(vals, ref: str) -> float | None:
+    if not vals or len(vals) < 3:
+        return None
+    try:
+        d = vals[0][0] / vals[0][1]
+        m = vals[1][0] / vals[1][1]
+        s = vals[2][0] / vals[2][1]
+    except ZeroDivisionError:
+        return None
+    deg = d + m / 60 + s / 3600
+    return -deg if ref in ("S", "W") else deg
+
+
+def exif_parse(raw: bytes) -> dict[str, object]:
+    """Curation-relevant EXIF fields from JPEG or TIFF bytes:
+    make/model/orientation/datetime/datetime_original/width/height,
+    plus GPS presence and decoded lat/lon degrees."""
+    base, raw = _find_tiff(raw)
+    order = raw[base : base + 2]
+    bo = "little" if order == b"II" else "big"
+    if order not in (b"II", b"MM") or int.from_bytes(
+        raw[base + 2 : base + 4], bo
+    ) != 42:
+        raise ValueError("bad TIFF header in EXIF data")
+    ifd0 = _ifd_entries(
+        raw, base, int.from_bytes(raw[base + 4 : base + 8], bo), bo
+    )
+    exif_ifd: dict[int, object] = {}
+    gps_ifd: dict[int, object] = {}
+    if 0x8769 in ifd0:
+        exif_ifd = _ifd_entries(raw, base, ifd0[0x8769][0], bo)
+    if 0x8825 in ifd0:
+        gps_ifd = _ifd_entries(raw, base, ifd0[0x8825][0], bo)
+
+    def first(d, tag):
+        v = d.get(tag)
+        return v[0] if isinstance(v, list) and v else v
+
+    lat = lon = None
+    if gps_ifd:
+        lat = _dms_to_deg(gps_ifd.get(2), str(gps_ifd.get(1, "N")))
+        lon = _dms_to_deg(gps_ifd.get(4), str(gps_ifd.get(3, "E")))
+    return {
+        "make": ifd0.get(0x10F),
+        "model": ifd0.get(0x110),
+        "orientation": first(ifd0, 0x112),
+        "datetime": ifd0.get(0x132),
+        "datetime_original": exif_ifd.get(0x9003),
+        "width": first(exif_ifd, 0xA002),
+        "height": first(exif_ifd, 0xA003),
+        "has_gps": bool(gps_ifd),
+        "gps_lat": lat,
+        "gps_lon": lon,
+    }
+
+
+def strip_jpeg_app_segments(raw: bytes, keep: tuple[int, ...] = (0xE0,)) -> bytes:
+    """Remove APPn/COM metadata segments from a JPEG without touching
+    the entropy-coded image data (APP0/JFIF kept by default) — the
+    lossless EXIF/XMP/IPTC scrub a privacy pass runs before training.
+    Non-JPEG bytes raise."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 2 <= len(raw) and raw[pos] == 0xFF:
+        marker = raw[pos + 1]
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            out += raw[pos:]
+            return bytes(out)
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            out += raw[pos : pos + 2]
+            pos += 2
+            continue
+        seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        seg = raw[pos : pos + 2 + seg_len]
+        is_meta = (0xE1 <= marker <= 0xEF and marker not in keep) or marker == 0xFE
+        if not is_meta:
+            out += seg
+        pos += 2 + seg_len
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ writer
+def exif_app1(
+    make: str = "ACME",
+    model: str = "Cam 1000",
+    orientation: int = 1,
+    datetime: str = "2024:01:01 12:00:00",
+    datetime_original: str | None = None,
+    width: int | None = None,
+    height: int | None = None,
+    gps: tuple[float, float] | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """A spec-shaped JPEG APP1/Exif segment (IFD0 + Exif IFD + GPS
+    IFD, ASCII values offset-stored) for fixtures."""
+    bo = "little" if byte_order == "II" else "big"
+
+    def u16(v):
+        return v.to_bytes(2, bo)
+
+    def u32(v):
+        return v.to_bytes(4, bo)
+
+    def rational(x: float, den: int = 10000) -> bytes:
+        return u32(int(round(x * den))) + u32(den)
+
+    # layout: header(8) | IFD0 | ExifIFD | GPSIFD | data area
+    entries0: list[tuple[int, int, int, bytes]] = []  # tag,type,count,value
+    data = bytearray()
+
+    def ascii_entry(tag: int, s: str):
+        b = s.encode("latin-1") + b"\x00"
+        entries0.append((tag, 2, len(b), b))
+
+    ascii_entry(0x10F, make)
+    ascii_entry(0x110, model)
+    entries0.append((0x112, 3, 1, u16(orientation) + b"\x00\x00"))
+    ascii_entry(0x132, datetime)
+
+    exif_entries: list[tuple[int, int, int, bytes]] = []
+    if datetime_original:
+        b = datetime_original.encode("latin-1") + b"\x00"
+        exif_entries.append((0x9003, 2, len(b), b))
+    if width is not None:
+        exif_entries.append((0xA002, 4, 1, u32(width)))
+    if height is not None:
+        exif_entries.append((0xA003, 4, 1, u32(height)))
+
+    gps_entries: list[tuple[int, int, int, bytes]] = []
+    if gps is not None:
+        lat, lon = gps
+        for ref_tag, val_tag, value, pos_ref, neg_ref in (
+            (1, 2, lat, "N", "S"),
+            (3, 4, lon, "E", "W"),
+        ):
+            ref = pos_ref if value >= 0 else neg_ref
+            v = abs(value)
+            d = int(v)
+            m = int((v - d) * 60)
+            s = (v - d - m / 60) * 3600
+            gps_entries.append((ref_tag, 2, 2, ref.encode() + b"\x00"))
+            gps_entries.append(
+                (val_tag, 5, 3, u32(d) + u32(1) + u32(m) + u32(1) + rational(s))
+            )
+
+    def ifd_size(entries, with_next=True):
+        return 2 + 12 * len(entries) + (4 if with_next else 4)
+
+    n0 = len(entries0) + (1 if exif_entries else 0) + (1 if gps_entries else 0)
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * n0 + 4
+    gps_off = exif_off + (2 + 12 * len(exif_entries) + 4 if exif_entries else 0)
+    data_off = gps_off + (2 + 12 * len(gps_entries) + 4 if gps_entries else 0)
+
+    def render(entries):
+        nonlocal data
+        out = bytearray()
+        for tag, typ, count, value in sorted(entries):
+            out += u16(tag) + u16(typ) + u32(count)
+            if len(value) <= 4:
+                out += value + b"\x00" * (4 - len(value))
+            else:
+                out += u32(data_off + len(data))
+                data += value
+        return out
+
+    ptr0 = list(entries0)
+    if exif_entries:
+        ptr0.append((0x8769, 4, 1, u32(exif_off)))
+    if gps_entries:
+        ptr0.append((0x8825, 4, 1, u32(gps_off)))
+    body = bytearray()
+    body += u16(len(ptr0)) + render(ptr0) + u32(0)
+    if exif_entries:
+        body += u16(len(exif_entries)) + render(exif_entries) + u32(0)
+    if gps_entries:
+        body += u16(len(gps_entries)) + render(gps_entries) + u32(0)
+    tiff = byte_order.encode() + u16(42) + u32(ifd0_off) + body + data
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def jpeg_with_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+# --------------------------------------------------------- spark operator
+def exif_metadata(
+    df: DataFrame, path_col: str = "path", binary_col: str = "content"
+) -> DataFrame:
+    """(path, image bytes) → (path, make, model, orientation,
+    datetime_original, width, height, has_gps, gps_lat, gps_lon, err)
+    — the curation/PII-quarantine pass over an image lake (no pixel
+    decode; only header segments are read). Arrow-batched
+    mapInPandas; images without EXIF yield a typed per-row err."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    m = exif_parse(raw)
+                    rows.append(
+                        (path, m["make"], m["model"], m["orientation"],
+                         m["datetime_original"], m["width"], m["height"],
+                         m["has_gps"], m["gps_lat"], m["gps_lon"], None)
+                    )
+                except ValueError as ex:
+                    rows.append(
+                        (path, None, None, None, None, None, None, None,
+                         None, None, repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "make", "model", "orientation",
+                         "datetime_original", "width", "height", "has_gps",
+                         "gps_lat", "gps_lon", "err"],
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        batches,
+        schema=(
+            "path string, make string, model string, orientation long, "
+            "datetime_original string, width long, height long, "
+            "has_gps boolean, gps_lat double, gps_lon double, err string"
+        ),
+    )

@@ -369,6 +369,46 @@ def q_archive_doclake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_exif_metadata",
+    "REAL EXIF read (operators/exif.py — TIFF-IFD walk over the JPEG "
+    "APP1 segment, both byte orders, offset-stored values, Exif and "
+    "GPS sub-IFDs with rational DMS→degree decode) over two committed "
+    "engine-encoded JPEGs — the curation/PII-quarantine pass of an "
+    "image lake (has_gps flags geotagged images; the companion "
+    "strip_jpeg_app_segments scrubs them losslessly, pytest-proven "
+    "pixel-identical). Oracle = the authored tag values.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('img_exif_be.jpeg', 'Contoso', 'Scan 9', CAST(1 AS BIGINT),
+             '2022:06:15 08:30:00', CAST(32 AS BIGINT), CAST(24 AS BIGINT),
+             FALSE, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+            ('img_exif_gps.jpeg', 'ACME', 'Cam 1000', CAST(6 AS BIGINT),
+             '2023:12:31 23:59:59', CAST(32 AS BIGINT), CAST(24 AS BIGINT),
+             TRUE, CAST(37.5 AS DOUBLE), CAST(-122.25 AS DOUBLE))
+        ) AS t(file, make, model, orientation, datetime_original,
+               width, height, has_gps, gps_lat, gps_lon)
+    """,
+    tags=("multimodal",),
+)
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.exif import exif_metadata
+
+    files = _media_files(spark, MEDIA_DIR, ".jpeg")
+    return exif_metadata(files, path_col="file").select(
+        F.col("path").alias("file"),
+        "make",
+        "model",
+        "orientation",
+        "datetime_original",
+        "width",
+        "height",
+        "has_gps",
+        "gps_lat",
+        "gps_lon",
+    )
+
+
+@register(
     "q_subtitle_cues",
     "REAL SRT + WebVTT subtitle parsing (operators/subtitles.py) — "
     "the transcript half of video+text training pairs: the committed "

@@ -1,0 +1,97 @@
+"""EXIF read + lossless metadata strip (operators/exif.py) — the
+image-lake curation/PII pass (engine addition, SURVEY §2C
+multimodal)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from evaporate_spark.operators.exif import (
+    exif_app1,
+    exif_parse,
+    jpeg_with_exif,
+    strip_jpeg_app_segments,
+)
+from evaporate_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+
+def _base_jpeg() -> bytes:
+    flat = np.full((24, 32, 3), (10, 100, 200), np.uint8)
+    return jpeg_encode(32, 24, 3, flat.tobytes(), quality=90)
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_exif_roundtrip_both_byte_orders(bo):
+    jp = jpeg_with_exif(
+        _base_jpeg(),
+        exif_app1(
+            make="ACME", model="Cam 1000", orientation=6,
+            datetime="2024:01:02 03:04:05",
+            datetime_original="2023:12:31 23:59:59",
+            width=32, height=24, gps=(37.5, -122.25), byte_order=bo,
+        ),
+    )
+    m = exif_parse(jp)
+    assert (m["make"], m["model"], m["orientation"]) == ("ACME", "Cam 1000", 6)
+    assert m["datetime"] == "2024:01:02 03:04:05"
+    assert m["datetime_original"] == "2023:12:31 23:59:59"
+    assert (m["width"], m["height"]) == (32, 24)
+    assert m["has_gps"] and m["gps_lat"] == 37.5 and m["gps_lon"] == -122.25
+    # an APP1 segment must not break the pixel decoder
+    assert jpeg_decode(jp)[:2] == (32, 24)
+
+
+def test_gps_hemisphere_signs():
+    jp = jpeg_with_exif(
+        _base_jpeg(), exif_app1(gps=(-33.5, 151.25))
+    )
+    m = exif_parse(jp)
+    assert m["gps_lat"] == -33.5 and m["gps_lon"] == 151.25
+
+
+def test_strip_is_lossless_and_removes_metadata():
+    base = _base_jpeg()
+    jp = jpeg_with_exif(base, exif_app1(gps=(1.5, 2.5)))
+    stripped = strip_jpeg_app_segments(jp)
+    with pytest.raises(ValueError, match="no Exif"):
+        exif_parse(stripped)
+    # entropy-coded data untouched: decode is byte-identical to the
+    # never-tagged original
+    assert jpeg_decode(stripped)[3] == jpeg_decode(base)[3]
+    with pytest.raises(ValueError, match="not a JPEG"):
+        strip_jpeg_app_segments(b"PNG...")
+
+
+def test_plain_tiff_parses_with_empty_tags():
+    from evaporate_spark.operators.multimodal import tiff_encode
+
+    m = exif_parse(tiff_encode(8, 6, 3, bytes(8 * 6 * 3)))
+    assert m["make"] is None and m["has_gps"] is False
+
+
+def test_exif_metadata_operator(spark):
+    from evaporate_spark.fixtures import MEDIA_DIR
+    from evaporate_spark.operators.exif import exif_metadata
+
+    def fx(name):
+        with open(os.path.join(MEDIA_DIR, name), "rb") as fh:
+            return bytearray(fh.read())
+
+    df = spark.createDataFrame(
+        [
+            ("gps.jpeg", fx("img_exif_gps.jpeg")),
+            ("be.jpeg", fx("img_exif_be.jpeg")),
+            ("plain.jpg", bytearray(_base_jpeg())),  # no EXIF -> err
+        ],
+        "path string, content binary",
+    )
+    got = {r["path"]: r for r in exif_metadata(df).collect()}
+    g = got["gps.jpeg"]
+    assert (g["make"], g["orientation"], g["has_gps"]) == ("ACME", 6, True)
+    assert (g["gps_lat"], g["gps_lon"]) == (37.5, -122.25)
+    b = got["be.jpeg"]
+    assert (b["make"], b["has_gps"], b["gps_lat"]) == ("Contoso", False, None)
+    assert got["plain.jpg"]["err"] is not None

@@ -161,6 +161,22 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
 
     files["clip_captions.srt"] = srt_write(SUBTITLE_CUES).encode()
     files["clip_captions.vtt"] = _noisy_vtt().encode()
+    # a PNG carrying all three text-chunk kinds (kept here rather than
+    # fixtures/media so the pinned q_decode_image_stats .png glob is
+    # untouched); surface = q_media_text_tags
+    from evaporate_spark.operators.media_tags import png_add_text
+    from evaporate_spark.operators.multimodal import png_encode
+
+    base_png = png_encode(8, 6, 3, bytes(8 * 6 * 3))
+    files["img_tagged.png"] = png_add_text(
+        png_add_text(
+            png_add_text(base_png, {"Author": "Jane Doe"}, "tEXt"),
+            {"Software": "spark-graft"},
+            "zTXt",
+        ),
+        {"Title": "Grüße — ünïcode"},
+        "iTXt",
+    )
     for name, data in files.items():
         with open(os.path.join(out_dir, name), "wb") as fh:
             fh.write(data)

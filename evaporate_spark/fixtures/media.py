@@ -415,7 +415,12 @@ def generate_media(out_dir: str) -> dict[str, bytes]:
     from evaporate_spark.operators.ogg import ogg_opus_mux, ogg_vorbis_mux
 
     files["audio_mp3_stub.mp3"] = mp3_mux(
-        50, bitrate_kbps=128, sample_rate=32000, channels=2
+        50,
+        bitrate_kbps=128,
+        sample_rate=32000,
+        channels=2,
+        tags={"TALB": "lake", "TIT2": "Container Fixture",
+              "TPE1": "Spark Graft"},
     )
     files["audio_aac_stub.aac"] = adts_mux(40, sample_rate=32000, channels=2)
     files["audio_opus_stub.ogg"] = ogg_opus_mux(
@@ -439,6 +444,33 @@ def generate_media(out_dir: str) -> dict[str, bytes]:
         [bytes([(9 * i) % 247]) * (60 + 2 * i) for i in range(50)],
         sample_rate=32000,
         channels=2,
+    )
+    # EXIF fixtures: engine-encoded JPEGs wrapped with spec-shaped
+    # APP1 segments (both byte orders; one geotagged). Suffix .jpeg,
+    # NOT .jpg, keeps them out of q_decode_image_stats' pinned glob —
+    # their surface is q_exif_metadata.
+    from evaporate_spark.operators.exif import exif_app1, jpeg_with_exif
+    from evaporate_spark.operators.jpeg import jpeg_encode
+
+    flat = np.full((24, 32, 3), (10, 100, 200), np.uint8)
+    base_jpeg = jpeg_encode(32, 24, 3, flat.tobytes(), quality=90)
+    files["img_exif_gps.jpeg"] = jpeg_with_exif(
+        base_jpeg,
+        exif_app1(
+            make="ACME", model="Cam 1000", orientation=6,
+            datetime="2024:01:02 03:04:05",
+            datetime_original="2023:12:31 23:59:59",
+            width=32, height=24, gps=(37.5, -122.25), byte_order="II",
+        ),
+    )
+    files["img_exif_be.jpeg"] = jpeg_with_exif(
+        base_jpeg,
+        exif_app1(
+            make="Contoso", model="Scan 9", orientation=1,
+            datetime="2022:06:15 08:30:00",
+            datetime_original="2022:06:15 08:30:00",
+            width=32, height=24, byte_order="MM",
+        ),
     )
     files["audio_opus_stub.mka"] = mkv_mux_audio(
         [bytes([(11 * i) % 233]) * (40 + 3 * i) for i in range(40)],

@@ -1,0 +1,175 @@
+"""Embedded text metadata across media containers — the read +
+lossless-scrub pass for the tag surfaces that carry user-entered text
+(names, locations, comments: the PII surface of a media lake).
+Engine addition (SURVEY §2C multimodal); complements
+:mod:`operators.exif` (structured EXIF/GPS) with the free-text
+carriers:
+
+- **MP3 ID3v2** text frames (:func:`operators.mpeg_audio.id3_tags`) —
+  title/artist/album et al.
+- **PNG text chunks** (PNG 1.2 spec): ``tEXt`` (latin-1),
+  ``zTXt`` (zlib-deflated latin-1), ``iTXt`` (utf-8, optionally
+  deflated, with language/translated-keyword fields).
+
+Both read paths have matching writers for fixtures and a lossless
+strip (chunk/tag removal without touching image data / audio
+frames). One Spark operator exposes every (container, key, value)
+as long rows so a redaction policy (drop / regex-scrub / quarantine)
+applies uniformly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_TEXT_CHUNKS = (b"tEXt", b"zTXt", b"iTXt")
+
+
+def _png_chunks(raw: bytes):
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    while pos + 8 <= len(raw):
+        length = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        if pos + 12 + length > len(raw):
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(raw[pos + 8 + length : pos + 12 + length], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield pos, length, ctype, body
+        pos += 12 + length
+
+
+def png_text_chunks(raw: bytes) -> dict[str, str]:
+    """keyword → text for every tEXt/zTXt/iTXt chunk (CRC-verified)."""
+    out: dict[str, str] = {}
+    for _pos, _length, ctype, body in _png_chunks(raw):
+        if ctype == b"tEXt":
+            key, _, text = body.partition(b"\x00")
+            out[key.decode("latin-1")] = text.decode("latin-1")
+        elif ctype == b"zTXt":
+            key, _, rest = body.partition(b"\x00")
+            if not rest or rest[0] != 0:
+                raise ValueError("zTXt with unknown compression method")
+            out[key.decode("latin-1")] = zlib.decompress(rest[1:]).decode(
+                "latin-1"
+            )
+        elif ctype == b"iTXt":
+            key, _, rest = body.partition(b"\x00")
+            if len(rest) < 2:
+                raise ValueError("truncated iTXt chunk")
+            comp_flag, comp_method = rest[0], rest[1]
+            rest = rest[2:]
+            _lang, _, rest = rest.partition(b"\x00")
+            _translated, _, text = rest.partition(b"\x00")
+            if comp_flag:
+                if comp_method != 0:
+                    raise ValueError("iTXt with unknown compression method")
+                text = zlib.decompress(text)
+            out[key.decode("latin-1")] = text.decode("utf-8", errors="replace")
+    return out
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def png_add_text(raw: bytes, tags: dict[str, str], kind: str = "tEXt") -> bytes:
+    """Insert text chunks after IHDR (fixture writer; 'tEXt', 'zTXt'
+    or 'iTXt')."""
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr_end = 8 + 12 + int.from_bytes(raw[8:12], "big")
+    chunks = b""
+    for key, text in sorted(tags.items()):
+        if kind == "tEXt":
+            body = key.encode("latin-1") + b"\x00" + text.encode("latin-1")
+        elif kind == "zTXt":
+            body = (
+                key.encode("latin-1") + b"\x00\x00"
+                + zlib.compress(text.encode("latin-1"), 9)
+            )
+        elif kind == "iTXt":
+            body = (
+                key.encode("latin-1") + b"\x00\x00\x00\x00\x00"
+                + text.encode("utf-8")
+            )
+        else:
+            raise ValueError(f"unknown text chunk kind {kind}")
+        chunks += _png_chunk(kind.encode("latin-1"), body)
+    return raw[:ihdr_end] + chunks + raw[ihdr_end:]
+
+
+def strip_png_text(raw: bytes) -> bytes:
+    """Remove every text/metadata ancillary chunk (tEXt/zTXt/iTXt/
+    tIME/eXIf) without touching image data — lossless scrub."""
+    drop = set(_TEXT_CHUNKS) | {b"tIME", b"eXIf"}
+    out = bytearray(_PNG_SIG)
+    for _pos, length, ctype, body in _png_chunks(raw):
+        if ctype not in drop:
+            out += _png_chunk(ctype, body)
+    return bytes(out)
+
+
+# --------------------------------------------------------- spark operator
+def media_text_tags(
+    df: DataFrame, path_col: str = "path", binary_col: str = "content"
+) -> DataFrame:
+    """(path, media bytes) → one row per embedded text tag:
+    (path, container, key, value, err) — MP3 ID3v2 frames and PNG
+    tEXt/zTXt/iTXt chunks. Tagless files yield zero rows; unsupported
+    containers one typed err row. The long shape feeds the same
+    redaction operators the document pipeline uses
+    (:mod:`functions.redact`)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from evaporate_spark.operators.mpeg_audio import id3_tags
+
+        for pdf in it:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    if raw[:8] == _PNG_SIG:
+                        tags = png_text_chunks(raw)
+                        container = "png"
+                    elif raw[:3] == b"ID3" or (
+                        len(raw) >= 2
+                        and raw[0] == 0xFF
+                        and (raw[1] & 0xE0) == 0xE0
+                    ):
+                        tags = id3_tags(raw)
+                        container = "mp3"
+                    else:
+                        raise ValueError(
+                            "no text-tag surface for this container"
+                        )
+                    for key, value in sorted(tags.items()):
+                        rows.append((path, container, key, value, None))
+                except ValueError as ex:
+                    rows.append((path, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows, columns=["path", "container", "key", "value", "err"]
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        batches,
+        schema=(
+            "path string, container string, key string, value string, "
+            "err string"
+        ),
+    )

@@ -165,12 +165,83 @@ def mp3_frames(
     return out
 
 
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def id3v2_frame(frame_id: str, text: str, encoding: int = 3) -> bytes:
+    """One ID3v2.4 text frame (encoding 3 = utf-8)."""
+    enc = {0: "latin-1", 1: "utf-16", 3: "utf-8"}[encoding]
+    body = bytes([encoding]) + text.encode(enc)
+    return frame_id.encode("latin-1") + _syncsafe(len(body)) + b"\x00\x00" + body
+
+
+def id3v2_tag(frames: dict[str, str]) -> bytes:
+    """A full ID3v2.4 tag block from frame-id → text."""
+    body = b"".join(id3v2_frame(fid, txt) for fid, txt in sorted(frames.items()))
+    return b"ID3\x04\x00\x00" + _syncsafe(len(body)) + body
+
+
+def id3_tags(raw: bytes) -> dict[str, str]:
+    """Text frames of an ID3v2.3/2.4 prefix tag (id3.org layouts):
+    frame id → decoded text (latin-1 / utf-16-with-BOM / utf-16be /
+    utf-8 per the frame's encoding byte; v2.4 syncsafe frame sizes,
+    v2.3 plain 32-bit). Returns {} when no tag is present."""
+    if raw[:3] != b"ID3" or len(raw) < 10:
+        return {}
+    major = raw[3]
+    size = 0
+    for b in raw[6:10]:
+        if b & 0x80:
+            raise ValueError("ID3v2 size byte has the high bit set")
+        size = (size << 7) | b
+    end = min(10 + size, len(raw))
+    pos = 10
+    if raw[5] & 0x40:  # extended header: skip by its own size field
+        ext = int.from_bytes(raw[10:14], "big")
+        if major == 4:  # syncsafe in v2.4
+            ext = 0
+            for b in raw[10:14]:
+                ext = (ext << 7) | (b & 0x7F)
+        pos += ext
+    out: dict[str, str] = {}
+    encodings = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+    while pos + 10 <= end:
+        fid = raw[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if major == 4:
+            fsize = 0
+            for b in raw[pos + 4 : pos + 8]:
+                fsize = (fsize << 7) | (b & 0x7F)
+        else:
+            fsize = int.from_bytes(raw[pos + 4 : pos + 8], "big")
+        body = raw[pos + 10 : pos + 10 + fsize]
+        pos += 10 + fsize
+        if fid[:1] == b"T" and body:
+            codec = encodings.get(body[0], "latin-1")
+            text = body[1:].decode(codec, errors="replace")
+            out[fid.decode("latin-1")] = text.split("\x00")[0]
+    return out
+
+
+def strip_id3(raw: bytes) -> bytes:
+    """Remove the ID3v2 prefix and ID3v1 trailer without touching the
+    audio frames — the lossless tag scrub (tags carry user-entered
+    text: names, comments — the PII surface of an audio lake)."""
+    start, end = _skip_id3(raw)
+    return raw[start:end]
+
+
 def mp3_mux(
     n_frames: int,
     bitrate_kbps: int = 128,
     sample_rate: int = 32000,
     channels: int = 2,
     with_id3v2: bool = True,
+    tags: dict[str, str] | None = None,
 ) -> bytes:
     """Spec-shaped MPEG1 Layer III fixture stream: real frame headers
     (so byte lengths, duration and channel mode are genuine), payload
@@ -185,11 +256,7 @@ def mp3_mux(
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
     out = bytearray()
     if with_id3v2:
-        tag_body = b"TALB\x00\x00\x00\x05\x00\x00\x00lake"
-        out += b"ID3\x04\x00\x00" + bytes(
-            [(len(tag_body) >> 21) & 0x7F, (len(tag_body) >> 14) & 0x7F,
-             (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
-        ) + tag_body
+        out += id3v2_tag(tags if tags is not None else {"TALB": "lake"})
     for i in range(n_frames):
         payload = bytes((7 * i + j) % 253 for j in range(frame_len - 4))
         out += header + payload

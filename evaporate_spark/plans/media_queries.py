@@ -369,6 +369,42 @@ def q_archive_doclake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_text_tags",
+    "REAL embedded-text-metadata read (operators/media_tags.py + "
+    "mpeg_audio.id3_tags): MP3 ID3v2.4 text frames and PNG tEXt/zTXt/"
+    "iTXt chunks (CRC-verified, zlib inflation, utf-8 iTXt) as long "
+    "(path, key, value) rows — the free-text PII surface of a media "
+    "lake, feeding the same redaction operators as documents; the "
+    "companion strips (strip_id3 / strip_png_text / "
+    "strip_jpeg_app_segments) are pytest-proven lossless. Oracle = "
+    "the authored tag table.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('audio_mp3_stub.mp3', 'mp3', 'TALB', 'lake'),
+            ('audio_mp3_stub.mp3', 'mp3', 'TIT2', 'Container Fixture'),
+            ('audio_mp3_stub.mp3', 'mp3', 'TPE1', 'Spark Graft'),
+            ('img_tagged.png', 'png', 'Author', 'Jane Doe'),
+            ('img_tagged.png', 'png', 'Software', 'spark-graft'),
+            ('img_tagged.png', 'png', 'Title', 'Grüße — ünïcode')
+        ) AS t(file, container, key, value)
+    """,
+    tags=("multimodal",),
+)
+def q_media_text_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.media_tags import media_text_tags
+
+    files = _media_files(spark, MEDIA_DIR, ".mp3").unionByName(
+        _media_files(spark, DOCS_DIR, ".png")
+    )
+    return media_text_tags(files, path_col="file").select(
+        F.col("path").alias("file"),
+        "container",
+        "key",
+        "value",
+    )
+
+
+@register(
     "q_exif_metadata",
     "REAL EXIF read (operators/exif.py — TIFF-IFD walk over the JPEG "
     "APP1 segment, both byte orders, offset-stored values, Exif and "

@@ -1,0 +1,101 @@
+"""Embedded text metadata: MP3 ID3v2 frames and PNG text chunks —
+read, fixture-write, and lossless strip (operators/media_tags.py +
+mpeg_audio id3 helpers; engine addition, SURVEY §2C multimodal)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from evaporate_spark.operators.media_tags import (
+    png_add_text,
+    png_text_chunks,
+    strip_png_text,
+)
+from evaporate_spark.operators.mpeg_audio import (
+    id3_tags,
+    mp3_mux,
+    mp3_parse,
+    strip_id3,
+)
+from evaporate_spark.operators.multimodal import png_decode, png_encode
+
+
+@pytest.mark.parametrize("kind", ["tEXt", "zTXt", "iTXt"])
+def test_png_text_chunk_roundtrip_and_strip(kind):
+    base = png_encode(8, 6, 3, bytes(8 * 6 * 3))
+    tags = {"Author": "Jane Doe", "Comment": "shot at home"}
+    tagged = png_add_text(base, tags, kind)
+    assert png_text_chunks(tagged) == tags
+    stripped = strip_png_text(tagged)
+    assert png_text_chunks(stripped) == {}
+    assert png_decode(stripped) == png_decode(base)  # image data untouched
+
+
+def test_png_itxt_unicode_and_crc_check():
+    base = png_encode(4, 4, 3, bytes(48))
+    t = png_add_text(base, {"Title": "Grüße — ünïcode"}, "iTXt")
+    assert png_text_chunks(t)["Title"] == "Grüße — ünïcode"
+    bad = bytearray(t)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|chunk"):
+        png_text_chunks(bytes(bad))
+
+
+def test_id3v24_roundtrip_and_strip():
+    tags = {"TIT2": "My Song", "TPE1": "Jane Doe", "TALB": "Home Tapes"}
+    raw = mp3_mux(5, tags=tags)
+    assert id3_tags(raw) == tags
+    bare = strip_id3(raw)
+    assert id3_tags(bare) == {}
+    # strip is lossless on the audio frames
+    assert mp3_parse(bare).n_frames == 5
+    assert mp3_parse(raw).duration_s == mp3_parse(bare).duration_s
+
+
+def test_id3v23_and_utf16_frames():
+    # v2.3: plain 32-bit frame sizes, latin-1 and utf-16-BOM texts
+    f1 = b"TIT2" + (6).to_bytes(4, "big") + b"\x00\x00" + b"\x00Hello"
+    u16 = "Süß".encode("utf-16")
+    f2 = b"TALB" + (1 + len(u16)).to_bytes(4, "big") + b"\x00\x00" + b"\x01" + u16
+    body = f1 + f2
+    raw = b"ID3\x03\x00\x00" + bytes([0, 0, 0, len(body)]) + body
+    assert id3_tags(raw) == {"TIT2": "Hello", "TALB": "Süß"}
+    assert id3_tags(b"no tag here") == {}
+
+
+def test_media_text_tags_operator(spark):
+    from evaporate_spark.fixtures import DOCS_DIR, MEDIA_DIR
+    from evaporate_spark.operators.media_tags import media_text_tags
+
+    def fx(d, name):
+        with open(os.path.join(d, name), "rb") as fh:
+            return bytearray(fh.read())
+
+    df = spark.createDataFrame(
+        [
+            ("a.mp3", fx(MEDIA_DIR, "audio_mp3_stub.mp3")),
+            ("t.png", fx(DOCS_DIR, "img_tagged.png")),
+            ("plain.png", bytearray(png_encode(4, 4, 3, bytes(48)))),
+            ("x.bin", bytearray(b"\x00" * 16)),
+        ],
+        "path string, content binary",
+    )
+    rows = media_text_tags(df).collect()
+    got: dict[str, dict] = {}
+    errs = {}
+    for r in rows:
+        if r["err"]:
+            errs[r["path"]] = r["err"]
+        else:
+            got.setdefault(r["path"], {})[r["key"]] = r["value"]
+    assert got["a.mp3"] == {
+        "TALB": "lake", "TIT2": "Container Fixture", "TPE1": "Spark Graft"
+    }
+    assert got["t.png"] == {
+        "Author": "Jane Doe", "Software": "spark-graft",
+        "Title": "Grüße — ünïcode",
+    }
+    assert "plain.png" not in got and "plain.png" not in errs  # tagless: 0 rows
+    assert "x.bin" in errs

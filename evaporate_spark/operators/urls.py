@@ -1,0 +1,81 @@
+"""URL canonicalization — the dedup-prep normalization a web corpus
+runs before grouping by URL (Common Crawl ingest: the same page is
+crawled as ``HTTP://WWW.Site.com:80//a//b/?utm_source=x&b=2&a=1#top``
+and ``http://site.com/a/b?a=1&b=2``). Engine addition (SURVEY §2C
+corpus hygiene), composing with :mod:`sources.warc`'s ``url`` column.
+
+Everything is a single JVM Column expression (``parse_url`` +
+regexes + array HOFs — no Python, whole-stage-codegen friendly):
+
+- scheme and host lowercased; a leading ``www.`` dropped (optional);
+- default ports stripped (``:80`` http, ``:443`` https), others kept;
+- path: duplicate slashes collapsed, trailing slash dropped (except
+  root — ``/`` alone is preserved as the empty path's canonical
+  form is no path at all);
+- query: tracking parameters removed (``utm_*``, ``gclid``,
+  ``fbclid``, ``ref``, ``mc_eid`` by default), remaining pairs
+  SORTED so parameter order never splits a dedup group;
+- fragment dropped (never sent to the server).
+
+Dot-segment resolution (``/a/../b``) is NOT performed — it requires
+an iterative rewrite that a single expression can't express; such
+URLs are rare in crawl frontiers (servers emit resolved links) and
+pass through unharmed, just un-merged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_TRACKING_PREFIXES = ("utm_", "gclid", "fbclid", "ref", "mc_eid")
+
+
+def canonicalize_url(
+    url: Column | str,
+    strip_www: bool = True,
+    tracking_prefixes: tuple[str, ...] = DEFAULT_TRACKING_PREFIXES,
+) -> Column:
+    """Canonical form of ``url`` as one JVM expression; NULL for
+    inputs ``parse_url`` cannot dissect (no scheme/host)."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    authority = F.try_parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = (
+        ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443"))
+        | (port == "")
+    )
+    port_part = F.when(default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/+$", "")  # '' and '/' both → ''
+    query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+    pairs = F.filter(F.split(query, "&"), lambda p: p != "")
+    keep_re = "^(" + "|".join(tracking_prefixes) + ")"
+    pairs = F.filter(
+        pairs,
+        lambda p: ~F.split(p, "=")[0].rlike(keep_re),
+    )
+    sorted_q = F.array_join(F.array_sort(pairs), "&")
+    query_part = F.when(sorted_q == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_q)
+    )
+    out = F.concat(
+        proto, F.lit("://"), host, port_part, path, query_part
+    )
+    return F.when(proto.isNotNull() & host.isNotNull(), out)
+
+
+def url_host(url: Column | str, strip_www: bool = True) -> Column:
+    """Lowercased host (optionally www-stripped) — the per-site
+    aggregation key for crawl budgeting and domain blocklists."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "") if strip_www else host

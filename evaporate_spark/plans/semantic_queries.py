@@ -2773,3 +2773,45 @@ def q_pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_url_canonicalize",
+    "URL canonicalization (operators/urls.py — one JVM expression: "
+    "try_parse_url + regex + sorted-query HOFs, no Python): the "
+    "dedup-prep pass a web corpus runs on crawl URLs. Both sides "
+    "build the SAME deterministically-messy URL per document "
+    "(uppercase scheme/host, www, explicit :443, doubled slashes, "
+    "trailing slash, utm tracking param, unsorted query, fragment); "
+    "Spark canonicalizes with the operator while the oracle states "
+    "the hand-derived canonical form directly — scheme/host "
+    "lowercased, www and default port gone, slashes collapsed, "
+    "tracking dropped, query sorted, fragment dropped.",
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'https://' || lower(source) || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
+               lower(source) || '.example.com' AS host
+        FROM documents
+        WHERE doc_id % 7 = 0
+    """,
+    tags=("corpus",),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.urls import canonicalize_url, url_host
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    messy = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:443//docs//"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&b=2&a=1#frag"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        canonicalize_url(messy).alias("url"),
+        url_host(messy).alias("host"),
+    )

@@ -1,0 +1,63 @@
+"""URL canonicalization (operators/urls.py) — web-corpus dedup-prep
+(engine addition, SURVEY §2C corpus hygiene)."""
+
+from __future__ import annotations
+
+from evaporate_spark.operators.urls import canonicalize_url, url_host
+
+
+def _canon(spark, urls: list[str], **kwargs) -> list[str | None]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["c"] for r in df.select(
+            canonicalize_url("url", **kwargs).alias("c")
+        ).collect()
+    ]
+
+
+def test_canonicalize_url_rules(spark):
+    cases = {
+        # case, www, default port, doubled slashes, trailing slash,
+        # tracking param, query order, fragment — all normalized
+        "HTTPS://WWW.Site.COM:443//a//b/?utm_source=x&b=2&a=1#top":
+            "https://site.com/a/b?a=1&b=2",
+        # already canonical stays fixed-point
+        "http://site.com/a/b?a=1&b=2": "http://site.com/a/b?a=1&b=2",
+        # non-default port kept
+        "http://example.com:8080/path/?ref=rss":
+            "http://example.com:8080/path",
+        # root path canonicalizes to no path
+        "https://example.com/": "https://example.com",
+        "https://example.com": "https://example.com",
+        # path CASE is preserved (paths are case-sensitive)
+        "http://UPPER.com/Path/Case?Z=1&gclid=abc":
+            "http://upper.com/Path/Case?Z=1",
+        # tracking-only query drops the '?' entirely
+        "http://a.com/x?utm_campaign=c&fbclid=1": "http://a.com/x",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+    # idempotence: canonical output is its own canonical form
+    assert _canon(spark, list(cases.values())) == list(cases.values())
+
+
+def test_canonicalize_url_invalid_and_options(spark):
+    assert _canon(spark, ["not a url", ""]) == [None, None]
+    # strip_www off keeps the www
+    assert _canon(spark, ["http://www.a.com/x"], strip_www=False) == [
+        "http://www.a.com/x"
+    ]
+    # custom tracking prefixes
+    assert _canon(
+        spark,
+        ["http://a.com/x?sid=9&a=1"],
+        tracking_prefixes=("sid",),
+    ) == ["http://a.com/x?a=1"]
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Site.COM:443/a",), ("bad",)], "url string"
+    )
+    got = [r["h"] for r in df.select(url_host("url").alias("h")).collect()]
+    assert got == ["site.com", None]

@@ -1,0 +1,156 @@
+"""robots.txt evaluation (RFC 9309, the Robots Exclusion Protocol) —
+the crawl-politeness filter between a URL frontier and the fetcher.
+Engine addition (SURVEY §2C corpus hygiene), composing with
+:mod:`operators.urls` (host keys) and :mod:`sources.warc`.
+
+From the public RFC 9309 rules:
+
+- groups = consecutive ``User-agent:`` lines followed by
+  ``Allow:`` / ``Disallow:`` rules; a crawler obeys the group whose
+  user-agent token is the LONGEST match for its product token,
+  falling back to the ``*`` group;
+- rule paths match as prefixes with ``*`` (any chars) and ``$``
+  (end anchor); the MOST SPECIFIC (longest-pattern) matching rule
+  wins, and at equal length ``Allow`` beats ``Disallow``;
+- an empty ``Disallow:`` value allows everything; no matching rule
+  allows by default; unknown directives and comments are ignored.
+
+Evaluation is exact (patterns compile to anchored regexes); the
+Spark operator broadcasts the parsed per-host rule sets against the
+frontier — a robots corpus is host-cardinality-sized (tiny next to
+a 100 TB frontier), so the join is a broadcast hash join with no
+shuffle on the URL side.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RobotsRule:
+    allow: bool
+    pattern: str  # raw robots pattern (may contain * and $)
+
+    def regex(self) -> str:
+        body = "".join(
+            ".*" if ch == "*" else re.escape(ch) for ch in self.pattern.rstrip("$")
+        )
+        return "^" + body + ("$" if self.pattern.endswith("$") else "")
+
+
+def robots_parse(text: str) -> dict[str, list[RobotsRule]]:
+    """user-agent token (lowercased) → ordered rules. Consecutive
+    ``User-agent`` lines share one group; rules before any user-agent
+    line are ignored per the RFC."""
+    groups: dict[str, list[RobotsRule]] = {}
+    current: list[str] = []
+    last_was_ua = False
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not last_was_ua:
+                current = []
+            token = value.lower()
+            current.append(token)
+            groups.setdefault(token, [])
+            last_was_ua = True
+        elif field in ("allow", "disallow"):
+            last_was_ua = False
+            if not current:
+                continue
+            if field == "disallow" and value == "":
+                continue  # empty Disallow = allow all (no rule)
+            for token in current:
+                groups[token].append(RobotsRule(field == "allow", value))
+        else:
+            last_was_ua = False  # crawl-delay/sitemap/unknown: skip
+    return groups
+
+
+def _group_for(groups: dict[str, list[RobotsRule]], agent: str) -> list[RobotsRule]:
+    agent = agent.lower()
+    best: str | None = None
+    for token in groups:
+        if token != "*" and token in agent:
+            if best is None or len(token) > len(best):
+                best = token
+    if best is not None:
+        return groups[best]
+    return groups.get("*", [])
+
+
+def robots_allowed(
+    groups: dict[str, list[RobotsRule]], path: str, agent: str = "*"
+) -> bool:
+    """RFC 9309 longest-match decision for ``path`` (include query
+    with a leading '?'). No matching rule → allowed; at equal pattern
+    length Allow wins."""
+    rules = _group_for(groups, agent)
+    matches = [
+        (len(r.pattern), r.allow) for r in rules if re.match(r.regex(), path)
+    ]
+    if not matches:
+        return True
+    top = max(plen for plen, _ in matches)
+    return any(allow for plen, allow in matches if plen == top)
+
+
+def filter_frontier(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    host_col: str = "host",
+    robots_text_col: str = "robots_txt",
+) -> DataFrame:
+    """Frontier (…, url, host) × robots corpus (host, robots_txt) →
+    frontier rows + an ``allowed`` boolean. The robots side is
+    broadcast (host-cardinality-sized); rule evaluation is an
+    Arrow-batched pandas grouping per batch with a per-host parse
+    cache. Hosts with no robots.txt row are allowed."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    joined = urls.join(
+        F.broadcast(robots.select(host_col, robots_text_col)),
+        host_col,
+        "left",
+    )
+    # NOTE: DataFrame.schema returns the frame's cached StructType and
+    # StructType.add mutates in place — copy before extending
+    out_schema = StructType(
+        list(joined.schema.fields) + [StructField("allowed", BooleanType())]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        cache: dict[str, dict] = {}
+        for pdf in it:
+            out = []
+            for txt, url in zip(pdf[robots_text_col], pdf[url_col]):
+                if not isinstance(txt, str):
+                    out.append(True)  # no robots.txt for this host
+                    continue
+                groups = cache.get(txt)
+                if groups is None:
+                    groups = robots_parse(txt)
+                    cache[txt] = groups
+                m = re.match(
+                    r"^[a-z][a-z0-9+.-]*://[^/]*(?P<rest>.*)$", url or "", re.I
+                )
+                path = (m.group("rest") if m else url) or "/"
+                out.append(robots_allowed(groups, path, agent))
+            pdf = pdf.copy()
+            pdf["allowed"] = out
+            yield pdf
+
+    return joined.mapInPandas(batches, schema=out_schema).drop(robots_text_col)

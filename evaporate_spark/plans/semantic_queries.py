@@ -2815,3 +2815,57 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonicalize_url(messy).alias("url"),
         url_host(messy).alias("host"),
     )
+
+
+@register(
+    "q_robots_filter",
+    "RFC 9309 robots.txt frontier filtering (operators/robots.py — "
+    "user-agent group selection, */$ wildcard rules, longest-match "
+    "with Allow-wins ties, broadcast of the host-cardinality robots "
+    "corpus so the frontier side never shuffles): every document "
+    "becomes a frontier URL; hosts whose source ends in an even "
+    "digit carry an authored robots.txt (Disallow /docs/1* with a "
+    "more-specific Allow /docs/12$), odd-digit hosts have none "
+    "(allowed by default through the left join). The oracle states "
+    "the hand-derived decision table: blocked iff the host has "
+    "robots AND the doc id starts with 1 AND is not exactly 12.",
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               lower(source) || '.example.com' AS host,
+               CASE
+                   WHEN substr(source, length(source), 1)
+                        IN ('1','3','5','7','9') THEN TRUE
+                   WHEN doc_id = 12 THEN TRUE
+                   WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN FALSE
+                   ELSE TRUE
+               END AS allowed
+        FROM documents
+    """,
+    tags=("corpus",),
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.robots import filter_frontier
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.lower("source"), F.lit(".example.com"))
+    frontier = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots_txt = (
+        "User-agent: evalbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /docs/1*\nAllow: /docs/12$\n"
+    )
+    robots = (
+        docs.select(F.lower("source").alias("src")).distinct()
+        .where(F.substring("src", -1, 1).isin("0", "2", "4", "6", "8"))
+        .select(
+            F.concat("src", F.lit(".example.com")).alias("host"),
+            F.lit(robots_txt).alias("robots_txt"),
+        )
+    )
+    return filter_frontier(frontier, robots).select("doc_id", "host", "allowed")

@@ -1,0 +1,74 @@
+"""RFC 9309 robots.txt evaluation and frontier filtering
+(operators/robots.py — engine addition, SURVEY §2C corpus hygiene)."""
+
+from __future__ import annotations
+
+from evaporate_spark.operators.robots import (
+    filter_frontier,
+    robots_allowed,
+    robots_parse,
+)
+
+ROBOTS = """
+# politeness rules
+User-agent: BigBot
+Disallow: /private/
+Allow: /private/ok/
+
+User-agent: *
+Disallow: /tmp/*
+Disallow: /*.pdf$
+Allow: /tmp/keep
+Disallow:
+Crawl-delay: 5
+"""
+
+
+def test_rule_semantics():
+    g = robots_parse(ROBOTS)
+    assert set(g) == {"bigbot", "*"}
+    assert robots_allowed(g, "/") is True
+    assert robots_allowed(g, "/tmp/x") is False  # wildcard
+    assert robots_allowed(g, "/tmp/keep/file") is True  # longest match
+    assert robots_allowed(g, "/doc/r.pdf") is False  # $ anchor hits
+    assert robots_allowed(g, "/doc/r.pdfx") is True  # $ anchor respected
+    # agent group selection: substring product-token match
+    assert robots_allowed(g, "/private/x", agent="BigBot/2.1") is False
+    assert robots_allowed(g, "/private/ok/x", agent="BigBot/2.1") is True
+    # BigBot's group has no /tmp rule — group choice is exclusive
+    assert robots_allowed(g, "/tmp/x", agent="BigBot/2.1") is True
+
+
+def test_group_sharing_ties_and_defaults():
+    g = robots_parse("User-agent: a\nUser-agent: b\nDisallow: /x\n")
+    assert robots_allowed(g, "/x/1", agent="a-bot") is False
+    assert robots_allowed(g, "/x/1", agent="b-crawler") is False
+    assert robots_allowed(g, "/x/1", agent="c") is True  # no * group
+    # equal pattern length: Allow wins
+    g2 = robots_parse("User-agent: *\nDisallow: /abc\nAllow: /abc\n")
+    assert robots_allowed(g2, "/abcd") is True
+    # rules before any User-agent line are ignored
+    assert robots_parse("Disallow: /x\n") == {}
+
+
+def test_filter_frontier_operator(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/tmp/x", 1),
+            ("a.com", "https://a.com/tmp/keep/y", 2),
+            ("a.com", "https://a.com/fine", 3),
+            ("norobots.com", "https://norobots.com/tmp/x", 4),
+        ],
+        "host string, url string, id long",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS)], "host string, robots_txt string"
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in filter_frontier(frontier, robots).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: True}
+    # the robots side must be broadcast: no shuffle on the frontier
+    plan = filter_frontier(frontier, robots)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

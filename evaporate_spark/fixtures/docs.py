@@ -167,6 +167,31 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
     from evaporate_spark.operators.media_tags import png_add_text
     from evaporate_spark.operators.multimodal import png_encode
 
+    # perceptual-hash trio: a textured base, a locally-edited near dup
+    # (dhash Hamming 4 — inside the ≤6 pairing threshold), and a
+    # different texture (Hamming 27 — no pair); q_image_near_dups
+    import numpy as np
+
+    def _grad_png(f, bump=None):
+        arr = np.fromfunction(lambda y, x: f(x, y) % 256, (24, 32)).astype(
+            np.int32
+        )
+        if bump:
+            y0, y1, x0, x1, delta = bump
+            arr[y0:y1, x0:x1] += delta
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+        rgb = np.stack(
+            [arr, (arr.astype(int) * 2 % 256).astype(np.uint8), 255 - arr],
+            axis=-1,
+        ).astype(np.uint8)
+        return png_encode(32, 24, 3, rgb.tobytes())
+
+    files["img_hash_a.png"] = _grad_png(lambda x, y: x * 8 + y * 3)
+    files["img_hash_a2.png"] = _grad_png(
+        lambda x, y: x * 8 + y * 3, bump=(4, 12, 4, 12, 40)
+    )
+    files["img_hash_b.png"] = _grad_png(lambda x, y: x * 5 + y * 11 + 37)
+
     base_png = png_encode(8, 6, 3, bytes(8 * 6 * 3))
     files["img_tagged.png"] = png_add_text(
         png_add_text(

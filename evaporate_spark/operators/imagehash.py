@@ -1,0 +1,203 @@
+"""Perceptual image hashing + banded near-duplicate pairing — the
+image side of the dedup family (SURVEY §2C: exact/MinHash/SimHash/
+embedding dedup cover text; a multimodal lake also carries the same
+photo re-encoded, resized, or slightly edited, which byte-level
+dedup can never see).
+
+- :func:`dhash64` — difference hash (public algorithm: grey →
+  area-averaged 9×8 grid → 64 bits of horizontal gradient signs);
+  robust to re-encoding, scaling, and small edits.
+- :func:`ahash64` — average hash (8×8 mean threshold), a second
+  independent signal.
+- :func:`image_hashes` — Arrow-batched decode→hash over the engine's
+  own pure-python codecs (PNG/GIF/JPEG/BMP/TIFF/WebP-lossless).
+- :func:`near_dup_image_pairs` — banded Hamming join, all JVM after
+  hashing: the 64-bit dhash splits into 8 one-byte bands; by
+  pigeonhole any pair within Hamming distance ≤ 7 shares at least
+  one identical band, so the band-equality self-join has EXACT
+  recall for the default threshold (6) with no quadratic pair
+  generation; candidates verify with ``bit_count(XOR)``.
+
+Scale shape mirrors the text MinHash-LSH path: hashing at the scan,
+one shuffle on (band, value), broadcast-free verification.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def decode_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, interleaved 8-bit pixels) via the
+    engine's pure-python codecs; ValueError for undecodable bytes."""
+    from evaporate_spark.operators.multimodal import (
+        bmp_decode,
+        gif_decode,
+        png_decode,
+        tiff_decode,
+    )
+
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, ch, px = png_decode(raw)
+    elif raw[:2] == b"BM":
+        w, h, ch, px = bmp_decode(raw)
+    elif raw[:4] in (b"II*\x00", b"MM\x00*"):
+        w, h, ch, px = tiff_decode(raw)
+    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, ch, px = gif_decode(raw)
+    elif raw[:2] == b"\xff\xd8":
+        from evaporate_spark.operators.jpeg import jpeg_decode
+
+        w, h, ch, px = jpeg_decode(raw)
+    elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        from evaporate_spark.operators.webp import webp_decode
+
+        w, h, ch, px = webp_decode(raw)
+    else:
+        raise ValueError("unrecognized image container")
+    return w, h, ch, bytes(px)
+
+
+def _grey_grid(raw: bytes, tw: int, th: int):
+    """Area-averaged ``th×tw`` float luma grid (fractional source
+    boxes, so hashes are stable under resize)."""
+    import numpy as np
+
+    w, h, ch, px = decode_pixels(raw)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+    if ch >= 3:
+        grey = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    else:
+        grey = arr[:, :, 0]
+    # integral image → exact fractional box means
+    integ = np.zeros((h + 1, w + 1))
+    integ[1:, 1:] = grey.cumsum(0).cumsum(1)
+    xs = np.linspace(0, w, tw + 1)
+    ys = np.linspace(0, h, th + 1)
+
+    def box_sum(x0, x1, y0, y1):
+        # bilinear interpolation of the integral image supports
+        # fractional box edges exactly for piecewise-constant images
+        def at(y, x):
+            yi, xi = int(y), int(x)
+            fy, fx = y - yi, x - xi
+            yi2, xi2 = min(yi + 1, h), min(xi + 1, w)
+            return (
+                integ[yi, xi] * (1 - fy) * (1 - fx)
+                + integ[yi2, xi] * fy * (1 - fx)
+                + integ[yi, xi2] * (1 - fy) * fx
+                + integ[yi2, xi2] * fy * fx
+            )
+
+        return at(y1, x1) - at(y0, x1) - at(y1, x0) + at(y0, x0)
+
+    out = np.empty((th, tw))
+    for j in range(th):
+        for i in range(tw):
+            area = (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+            out[j, i] = box_sum(xs[i], xs[i + 1], ys[j], ys[j + 1]) / area
+    return out
+
+
+def dhash64(raw: bytes) -> int:
+    """64-bit difference hash: 9×8 grid, bit = left pixel > right."""
+    g = _grey_grid(raw, 9, 8)
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if g[y, x] > g[y, x + 1] else 0)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits  # signed long
+
+
+def ahash64(raw: bytes) -> int:
+    """64-bit average hash: 8×8 grid, bit = pixel > grid mean."""
+    g = _grey_grid(raw, 8, 8)
+    mean = g.mean()
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if g[y, x] > mean else 0)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def image_hashes(
+    df: DataFrame, path_col: str = "path", binary_col: str = "content"
+) -> DataFrame:
+    """(path, image bytes) → (path, dhash, ahash, err); hashes as
+    signed 64-bit longs (bit patterns)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    rows.append((path, dhash64(raw), ahash64(raw), None))
+                except ValueError as ex:
+                    rows.append((path, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(rows, columns=["path", "dhash", "ahash", "err"])
+
+    return df.select(path_col, binary_col).mapInPandas(
+        batches, schema="path string, dhash long, ahash long, err string"
+    )
+
+
+def near_dup_image_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    path_col: str = "path",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(left, right, hamming) pairs with dhash Hamming distance ≤
+    ``max_hamming`` — banded self-join (8 one-byte bands): by
+    pigeonhole, EXACT recall for any threshold ≤ 7 (raises beyond);
+    candidates verified JVM-side with ``bit_count(XOR)``."""
+    if max_hamming > 7:
+        raise ValueError(
+            "banded join guarantees recall only for max_hamming <= 7 "
+            f"(8 bands of 8 bits); got {max_hamming}"
+        )
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(path_col).alias("p"), F.col(hash_col).alias("h")
+    )
+    bands = h.select(
+        "p",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("h", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("value"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select("p", "h", "bv.band", "bv.value")
+    left = bands
+    right = bands.select(
+        F.col("p").alias("p2"), F.col("h").alias("h2"), "band", "value"
+    )
+    cand = (
+        left.join(right, ["band", "value"])
+        .where(F.col("p") < F.col("p2"))
+        .select("p", "h", "p2", "h2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h").bitwiseXOR(F.col("h2")))
+    return (
+        cand.select(
+            F.col("p").alias("left"),
+            F.col("p2").alias("right"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -484,3 +484,39 @@ def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_ms",
         "text",
     )
+
+
+@register(
+    "q_image_near_dups",
+    "Perceptual image near-dup pairing (operators/imagehash.py): "
+    "difference-hash (area-averaged 9x8 luma grid, gradient-sign "
+    "bits) over the engine's own pure-python decoders, then the "
+    "banded Hamming self-join (8 one-byte bands; pigeonhole-exact "
+    "recall for thresholds <= 7; bit_count(XOR) verify, all JVM). "
+    "Fixture trio: textured base, a locally-edited near dup "
+    "(Hamming 4), and a different texture (Hamming 27). Oracle = the "
+    "single expected pair with its pinned distance — the image side "
+    "of the dedup family (byte-level dedup cannot see re-encoded/"
+    "edited copies).",
+    oracle="""
+        SELECT 'img_hash_a.png' AS left_file,
+               'img_hash_a2.png' AS right_file,
+               CAST(4 AS INTEGER) AS hamming
+    """,
+    tags=("multimodal", "dedup"),
+)
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.imagehash import (
+        image_hashes,
+        near_dup_image_pairs,
+    )
+
+    files = _media_files(spark, DOCS_DIR, ".png").where(
+        F.col("file").startswith("img_hash_")
+    )
+    hashes = image_hashes(files, path_col="file")
+    return near_dup_image_pairs(hashes).select(
+        F.col("left").alias("left_file"),
+        F.col("right").alias("right_file"),
+        "hamming",
+    )

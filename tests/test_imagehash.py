@@ -1,0 +1,110 @@
+"""Perceptual image hashing + banded Hamming near-dup pairing
+(operators/imagehash.py — the image side of the dedup family; engine
+addition, SURVEY §2C multimodal/dedup)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from evaporate_spark.operators.imagehash import (
+    ahash64,
+    decode_pixels,
+    dhash64,
+    image_hashes,
+    near_dup_image_pairs,
+)
+from evaporate_spark.operators.multimodal import (
+    bmp_encode,
+    png_encode,
+)
+
+
+def _grad_png(f, w=32, h=24, bump=None):
+    arr = np.fromfunction(lambda y, x: f(x, y) % 256, (h, w)).astype(np.int32)
+    if bump:
+        y0, y1, x0, x1, delta = bump
+        arr[y0:y1, x0:x1] += delta
+    arr = np.clip(arr, 0, 255).astype(np.uint8)
+    rgb = np.stack(
+        [arr, (arr.astype(int) * 2 % 256).astype(np.uint8), 255 - arr], axis=-1
+    ).astype(np.uint8)
+    return png_encode(w, h, 3, rgb.tobytes())
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_properties():
+    a = _grad_png(lambda x, y: x * 8 + y * 3)
+    b = _grad_png(lambda x, y: x * 5 + y * 11 + 37)
+    da, db = dhash64(a), dhash64(b)
+    assert _ham(da, db) > 15  # distinct textures are far apart
+    # small local edit: near
+    a2 = _grad_png(lambda x, y: x * 8 + y * 3, bump=(4, 12, 4, 12, 40))
+    assert 0 < _ham(da, dhash64(a2)) <= 6
+    # 2x upscale of the same texture: identical hash (area averaging)
+    big = _grad_png(lambda x, y: (x // 2) * 8 + (y // 2) * 3, w=64, h=48)
+    assert _ham(da, dhash64(big)) == 0
+    # format independence: the same pixels as BMP hash identically
+    arr = np.fromfunction(
+        lambda y, x: (x * 8 + y * 3) % 256, (24, 32)
+    ).astype(np.uint8)
+    rgb = np.stack(
+        [arr, (arr.astype(int) * 2 % 256).astype(np.uint8), 255 - arr], axis=-1
+    ).astype(np.uint8)
+    assert dhash64(bmp_encode(32, 24, 3, rgb.tobytes())) == da
+    assert _ham(ahash64(a), ahash64(b)) > 15
+
+
+def test_decode_pixels_dispatch_and_errors():
+    a = _grad_png(lambda x, y: x + y)
+    w, h, ch, px = decode_pixels(a)
+    assert (w, h, ch, len(px)) == (32, 24, 3, 32 * 24 * 3)
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_pixels(b"not an image")
+
+
+def test_near_dup_pairs_operator(spark):
+    a = _grad_png(lambda x, y: x * 8 + y * 3)
+    a2 = _grad_png(lambda x, y: x * 8 + y * 3, bump=(4, 12, 4, 12, 40))
+    b = _grad_png(lambda x, y: x * 5 + y * 11 + 37)
+    df = spark.createDataFrame(
+        [
+            ("a.png", bytearray(a)),
+            ("a2.png", bytearray(a2)),
+            ("b.png", bytearray(b)),
+            ("junk.bin", bytearray(b"nope")),
+        ],
+        "path string, content binary",
+    )
+    hashes = image_hashes(df)
+    rows = {r["path"]: r for r in hashes.collect()}
+    assert rows["junk.bin"]["err"] is not None
+    assert rows["a.png"]["dhash"] is not None
+    pairs = near_dup_image_pairs(hashes).collect()
+    assert [(p["left"], p["right"]) for p in pairs] == [("a.png", "a2.png")]
+    assert 0 < pairs[0]["hamming"] <= 6
+    with pytest.raises(ValueError, match="max_hamming"):
+        near_dup_image_pairs(hashes, max_hamming=12)
+
+
+def test_banding_recall_guarantee(spark):
+    """Any pair within Hamming ≤ 7 MUST be found: flip exactly 7
+    chosen bits of a hash and confirm the banded join still pairs
+    them (pigeonhole over the 8 one-byte bands)."""
+    base = dhash64(_grad_png(lambda x, y: x * 8 + y * 3))
+    flipped = base
+    for bit in (0, 9, 18, 27, 36, 45, 54):  # 7 flips in 7 bands
+        flipped ^= 1 << bit
+    if flipped >= 1 << 63:
+        flipped -= 1 << 64
+    df = spark.createDataFrame(
+        [("x", base, base), ("y", flipped, flipped)],
+        "path string, dhash long, ahash long",
+    )
+    pairs = near_dup_image_pairs(df, max_hamming=7).collect()
+    assert [(p["left"], p["right"], p["hamming"]) for p in pairs] == [
+        ("x", "y", 7)
+    ]

@@ -88,6 +88,33 @@ ARCHIVE_TEXTS = {
 }
 ARCHIVE_PDF_TEXT = "Gamma from PDF."
 
+# authored boilerplate-removal page: the q_main_content oracle states
+# MAIN_CONTENT_TEXT literally, so fixture and expectation co-evolve
+MAIN_CONTENT_HTML = (
+    "<!DOCTYPE html><html><head><title>T</title><style>p{}</style>"
+    "<script>var x=1;</script></head><body>\n"
+    '<nav><a href="/">Home</a> <a href="/a">About</a></nav>\n'
+    '<div class="sidebar"><a href="/x">Link farm one</a>'
+    '<a href="/y">Link farm two</a></div>\n'
+    "<article>\n<h1>The Actual Headline</h1>\n"
+    "<p>This is the first real paragraph of the article, long enough "
+    "to pass the length bar easily.</p>\n"
+    '<p>Second paragraph with an <a href="/ref">inline reference</a> '
+    "but mostly prose around it, also long enough.</p>\n"
+    '<p><a href="/r1">Related one</a> <a href="/r2">Related two</a> '
+    '<a href="/r3">Related three</a></p>\n'
+    "<p>short</p>\n</article>\n"
+    '<div id="comments"><p>First! Great post!!</p></div>\n'
+    "<footer>&copy; 2024 Site</footer>\n</body></html>"
+)
+MAIN_CONTENT_TEXT = (
+    "The Actual Headline\n"
+    "This is the first real paragraph of the article, long enough to "
+    "pass the length bar easily.\n"
+    "Second paragraph with an inline reference but mostly prose "
+    "around it, also long enough."
+)
+
 # authored subtitle cues (q_subtitle_cues oracle derives from these);
 # the .vtt fixture wraps the same cues in real-world noise (BOM, NOTE
 # block, cue ids, settings, inline markup) that must parse away
@@ -161,6 +188,7 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
 
     files["clip_captions.srt"] = srt_write(SUBTITLE_CUES).encode()
     files["clip_captions.vtt"] = _noisy_vtt().encode()
+    files["article_boiler.html"] = MAIN_CONTENT_HTML.encode()
     # a PNG carrying all three text-chunk kinds (kept here rather than
     # fixtures/media so the pinned q_decode_image_stats .png glob is
     # untouched); surface = q_media_text_tags

@@ -1,0 +1,190 @@
+"""HTML main-content extraction (boilerplate removal) — the quality
+step between raw crawl HTML and training text. Engine addition
+(SURVEY §2C corpus hygiene), downstream of :mod:`sources.warc` and
+stronger than the reference-parity HTML cleaner in
+``semantic/chunking.py`` (which only strips tags/tables; it keeps
+navigation, footers, and link farms).
+
+Deterministic readability-class block heuristics (the
+boilerpipe/jusText family of published algorithms, re-expressed —
+no ML, so results are exactly reproducible and oracle-checkable):
+
+1. DROP entire subtrees that are never content: ``script``/``style``/
+   ``noscript``/``template``/``svg``/``iframe``/``form``/``nav``/
+   ``header``/``footer``/``aside``/``button``, plus any element whose
+   ``id``/``class`` matches the boilerplate name pattern
+   (nav/menu/sidebar/footer/header/comment/share/social/ad/banner/
+   cookie/promo).
+2. Split the remaining text into BLOCKS at block-level elements
+   (``p``/``h1-h6``/``li``/``td``/``th``/``blockquote``/``pre``/
+   ``div``/``section``/``article``; ``br`` joins as whitespace
+   within its block).
+3. Score each block: total text length and LINK DENSITY (chars
+   inside ``<a>`` / total chars — the single most discriminative
+   boilerplate signal: menus and related-links lists are nearly all
+   anchor text).
+4. KEEP blocks with ≥ ``min_len`` chars (default 25) and link
+   density ≤ ``max_link_density`` (default 0.33); headings keep with
+   a lower length bar so titles survive.
+
+Stdlib ``html.parser`` only (entity decoding included); Arrow-batched
+operator with per-row errors.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame
+
+_DROP_TAGS = {
+    "script", "style", "noscript", "template", "svg", "iframe", "form",
+    "nav", "header", "footer", "aside", "button",
+}
+_BLOCK_TAGS = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+    "blockquote", "pre", "div", "section", "article", "ul", "ol",
+    "table", "tr", "body",
+}
+_HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+_BOILER_NAME = re.compile(
+    r"(^|[\s_-])(nav|menu|sidebar|footer|header|comments?|share|social|"
+    r"ads?|banner|cookie|promo)([\s_-]|$)",
+    re.I,
+)
+
+
+@dataclass
+class Block:
+    tag: str
+    text: str
+    link_chars: int
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / len(self.text) if self.text else 0.0
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._drop_depth = 0
+        self._link_depth = 0
+        self._tag_stack: list[str] = []
+        self._buf: list[str] = []
+        self._buf_link = 0
+        self._buf_tag = "p"
+
+    def _flush(self) -> None:
+        text = re.sub(r"\s+", " ", "".join(self._buf)).strip()
+        if text:
+            self.blocks.append(Block(self._buf_tag, text, self._buf_link))
+        self._buf = []
+        self._buf_link = 0
+
+    def handle_starttag(self, tag, attrs):
+        if self._drop_depth:
+            if tag not in ("br", "img", "hr", "meta", "link", "input"):
+                self._drop_depth += 1
+            return
+        names = " ".join(v or "" for k, v in attrs if k in ("id", "class"))
+        if tag in _DROP_TAGS or _BOILER_NAME.search(names):
+            self._drop_depth = 1
+            return
+        if tag == "br":
+            self._buf.append("\n")
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._buf_tag = tag
+        if tag == "a":
+            self._link_depth += 1
+        self._tag_stack.append(tag)
+
+    def handle_endtag(self, tag):
+        if self._drop_depth:
+            self._drop_depth -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a" and self._link_depth:
+            self._link_depth -= 1
+        if tag in self._tag_stack:
+            while self._tag_stack and self._tag_stack.pop() != tag:
+                pass
+
+    def handle_data(self, data):
+        if self._drop_depth or not data:
+            return
+        self._buf.append(data)
+        if self._link_depth:
+            self._buf_link += len(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def html_blocks(html: str) -> list[Block]:
+    """Scored content blocks of an HTML document (boilerplate
+    subtrees already dropped)."""
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    return p.blocks
+
+
+def extract_main_text(
+    html: str,
+    min_len: int = 25,
+    max_link_density: float = 0.33,
+    min_heading_len: int = 3,
+) -> tuple[str, int, int]:
+    """(main text, blocks kept, blocks total) per the module rules."""
+    blocks = html_blocks(html)
+    kept: list[str] = []
+    for b in blocks:
+        bar = min_heading_len if b.tag in _HEADING_TAGS else min_len
+        if len(b.text) >= bar and b.link_density <= max_link_density:
+            kept.append(b.text)
+    return "\n".join(kept), len(kept), len(blocks)
+
+
+def extract_main_content(
+    df: DataFrame,
+    min_len: int = 25,
+    max_link_density: float = 0.33,
+    path_col: str = "path",
+    html_col: str = "content",
+) -> DataFrame:
+    """(path, html) → (path, text, n_kept, n_blocks, err): distributed
+    boilerplate removal, one Arrow batch per task; composes directly
+    with ``warc_to_documents`` output."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path, html in zip(pdf[path_col], pdf[html_col]):
+                try:
+                    text, kept, total = extract_main_text(
+                        html or "", min_len, max_link_density
+                    )
+                    rows.append((path, text, kept, total, None))
+                except Exception as ex:  # html.parser rarely throws
+                    rows.append((path, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows, columns=["path", "text", "n_kept", "n_blocks", "err"]
+            )
+
+    return df.select(path_col, html_col).mapInPandas(
+        batches,
+        schema=(
+            "path string, text string, n_kept long, n_blocks long, err string"
+        ),
+    )

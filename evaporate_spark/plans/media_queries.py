@@ -520,3 +520,40 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right").alias("right_file"),
         "hamming",
     )
+
+
+@register(
+    "q_main_content",
+    "HTML main-content extraction (operators/boilerplate.py — "
+    "readability-class deterministic block heuristics: boilerplate "
+    "subtree drop by tag and id/class name, block segmentation, "
+    "length + link-density scoring) over a committed page holding a "
+    "nav bar, a link-farm sidebar, an article, a related-links block, "
+    "a comments div, and a footer: only the headline and the two "
+    "prose paragraphs survive. The reference's HTML cleaner keeps "
+    "nav/footer text; this is the quality step a crawl corpus needs. "
+    "Oracle = the authored expected text (fixture and expectation "
+    "co-evolve in fixtures/docs.py).",
+    oracle="""
+        SELECT 'article_boiler.html' AS file,
+               CAST(3 AS BIGINT) AS n_kept,
+               CAST(6 AS BIGINT) AS n_blocks,
+               CAST(199 AS BIGINT) AS n_chars,
+               'The Actual Headline' AS first_line
+    """,
+    tags=("doclake", "corpus"),
+)
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.boilerplate import extract_main_content
+
+    files = _media_files(spark, DOCS_DIR, ".html").select(
+        "file", F.col("content").cast("string").alias("html")
+    )
+    out = extract_main_content(files, path_col="file", html_col="html")
+    return out.select(
+        F.col("path").alias("file"),
+        "n_kept",
+        "n_blocks",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.element_at(F.split("text", "\n"), 1).alias("first_line"),
+    )

@@ -1,0 +1,78 @@
+"""HTML main-content extraction (operators/boilerplate.py) —
+deterministic readability-class boilerplate removal (engine addition,
+SURVEY §2C corpus hygiene)."""
+
+from __future__ import annotations
+
+from evaporate_spark.fixtures.docs import MAIN_CONTENT_HTML, MAIN_CONTENT_TEXT
+from evaporate_spark.operators.boilerplate import (
+    extract_main_content,
+    extract_main_text,
+    html_blocks,
+)
+
+
+def test_fixture_page_reduces_to_authored_text():
+    text, kept, total = extract_main_text(MAIN_CONTENT_HTML)
+    assert text == MAIN_CONTENT_TEXT
+    assert (kept, total) == (3, 6)
+
+
+def test_drop_rules():
+    html = (
+        "<body><script>x</script><style>y</style>"
+        "<nav><a href='/'>HomeHomeHomeHomeHomeHomeHome</a></nav>"
+        "<div class='promo banner'><p>Huge sale today only, do not miss "
+        "out on these deals!</p></div>"
+        "<div class='ad-box'><div><p>nested ad copy long enough to pass "
+        "the plain length bar</p></div></div>"
+        "<p>Real prose content that is comfortably past the length "
+        "threshold.</p></body>"
+    )
+    text, kept, _ = extract_main_text(html)
+    assert text == (
+        "Real prose content that is comfortably past the length threshold."
+    )
+    assert kept == 1
+
+
+def test_link_density_and_length_scoring():
+    html = (
+        "<body>"
+        "<p><a href='/1'>All anchor text here in this block entirely</a></p>"
+        "<p>Mostly prose with <a href='/r'>a link</a> inside it, long "
+        "enough to stay in the corpus.</p>"
+        "<p>tiny</p>"
+        "<h2>Short Head</h2>"
+        "</body>"
+    )
+    blocks = html_blocks(html)
+    assert [round(b.link_density, 2) for b in blocks] == [1.0, 0.09, 0.0, 0.0]
+    text, kept, total = extract_main_text(html)
+    assert kept == 2 and total == 4
+    assert text.startswith("Mostly prose") and text.endswith("Short Head")
+
+
+def test_entities_br_and_malformed_html():
+    html = (
+        "<body><p>Caf&eacute; line one<br>continues after the break and "
+        "is long enough.</p><p>Unclosed paragraph also long enough to "
+        "pass the bar"
+    )
+    text, kept, _ = extract_main_text(html)
+    assert "Café line one continues" in text
+    assert "Unclosed paragraph" in text and kept == 2
+    assert extract_main_text("") == ("", 0, 0)
+
+
+def test_extract_main_content_operator(spark):
+    df = spark.createDataFrame(
+        [("a.html", MAIN_CONTENT_HTML), ("empty.html", "")],
+        "path string, content string",
+    )
+    got = {r["path"]: r for r in extract_main_content(df).collect()}
+    a = got["a.html"]
+    assert a["text"] == MAIN_CONTENT_TEXT
+    assert (a["n_kept"], a["n_blocks"], a["err"]) == (3, 6, None)
+    e = got["empty.html"]
+    assert (e["text"], e["n_kept"]) == ("", 0)

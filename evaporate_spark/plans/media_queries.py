@@ -557,3 +557,33 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         F.element_at(F.split("text", "\n"), 1).alias("first_line"),
     )
+
+
+@register(
+    "q_web_corpus",
+    "One-call web-corpus ingest (sources/warc.py::web_corpus_from_warc "
+    "— the r7 crawl chain composed: WARC record framing + HTTP unwrap "
+    "-> canonical URL as the document key -> per-URL recrawl dedup -> "
+    "boilerplate removal for HTML rows) over the committed crawl "
+    "fixture: the 404 drops, text/plain rows pass through verbatim, "
+    "and the HTML page reduces to its heading (its one paragraph is "
+    "under the 25-char block bar — the quality filter working as "
+    "designed); the trailing-slash URL canonicalizes away. Oracle = "
+    "the hand-derived document table.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('http://example.com', 'html', 'Hello crawl',
+             CAST(11 AS BIGINT)),
+            ('http://example.com/gz.txt', 'txt',
+             'Gzipped body decoding works.', CAST(28 AS BIGINT)),
+            ('http://example.com/plain.txt', 'txt',
+             'Chunked transfer decoding works.', CAST(32 AS BIGINT))
+        ) AS t(path, doc_type, content, n_bytes)
+    """,
+    tags=("doclake", "corpus"),
+)
+def q_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.sources.warc import web_corpus_from_warc
+
+    docs = web_corpus_from_warc(spark, DOCS_DIR)
+    return docs.select("path", "doc_type", "content", "n_bytes")

@@ -347,3 +347,71 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
         .alias("doc_type"),
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
     )
+
+
+def web_corpus_from_warc(
+    spark: SparkSession,
+    path: str,
+    main_content: bool = True,
+    keep_one_per_url: bool = True,
+    glob: str | None = None,
+) -> DataFrame:
+    """One-call web-corpus ingest: `.warc.gz` shards → canonical
+    documents ready for :func:`evaporate_spark.corpus.prepare_corpus`.
+    Chains the round-7 crawl operators: :func:`read_warc` (record
+    framing + HTTP unwrap) → :func:`warc_to_documents` → canonical
+    URL as the document path (:mod:`operators.urls` — recrawls of
+    ``HTTP://WWW.x/…?utm=…`` and ``http://x/…`` collapse to one key)
+    → boilerplate removal for HTML rows
+    (:mod:`operators.boilerplate`; non-HTML text passes through) →
+    optionally one document per canonical URL (latest WARC-Date wins,
+    the recrawl-dedup a frontier does before content-level dedup).
+    Scale shape: per-shard parallelism, one shuffle only for the
+    per-URL window when ``keep_one_per_url``."""
+    from pyspark.sql import Window
+
+    from evaporate_spark.operators.boilerplate import extract_main_content
+    from evaporate_spark.operators.urls import canonicalize_url
+
+    recs = read_warc(spark, path, glob=glob)
+    ok = recs.where(
+        F.col("err").isNull()
+        & (F.col("http_status") == 200)
+        & F.col("text").isNotNull()
+    ).select(
+        F.coalesce(canonicalize_url("url"), F.col("url")).alias("path"),
+        "date",
+        F.col("text").alias("content"),
+        F.when(F.col("mime") == "text/html", F.lit("html"))
+        .otherwise(F.lit("txt"))
+        .alias("doc_type"),
+        # measure the DOCUMENT text, not the raw record (whose
+        # Content-Length counts HTTP headers and compression)
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    if keep_one_per_url:
+        w = Window.partitionBy("path").orderBy(
+            F.col("date").desc_nulls_last(), F.col("n_bytes").desc()
+        )
+        ok = (
+            ok.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    ok = ok.drop("date")
+    if not main_content:
+        return ok
+    html = ok.where(F.col("doc_type") == "html")
+    other = ok.where(F.col("doc_type") != "html")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    extracted = extract_main_content(
+        html, path_col="path", html_col="content"
+    ).select(
+        "path",
+        text.alias("content"),
+        F.lit("html").alias("doc_type"),
+        # n_bytes re-measures the KEPT text — the raw record size
+        # counted the boilerplated page, not the document
+        F.octet_length(text).cast("bigint").alias("n_bytes"),
+    )
+    return other.unionByName(extracted)

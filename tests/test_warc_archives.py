@@ -108,6 +108,48 @@ def test_read_warc_operator_and_documents_bridge(spark, tmp_path):
     assert all(r["doc_type"] == "html" for r in by_path.values())
 
 
+def test_web_corpus_from_warc_facade(spark, tmp_path):
+    from evaporate_spark.sources.warc import web_corpus_from_warc
+
+    page = (
+        "<html><body><nav><a href='/'>Home</a></nav>"
+        "<p>Real article prose, long enough to clear the block length "
+        "bar comfortably.</p></body></html>"
+    ).encode()
+    recs = [
+        # same page crawled twice under messy/clean URL spellings:
+        # canonical-URL dedup must keep ONE (the later date)
+        {"type": "response",
+         "url": "HTTP://WWW.Ex.com//page/?utm_source=x",
+         "date": "2024-01-01T00:00:00Z",
+         "http": http_response_bytes(200, b"<p>old crawl of the page, also long enough to keep around.</p>")},
+        {"type": "response", "url": "http://ex.com/page",
+         "date": "2024-02-01T00:00:00Z",
+         "http": http_response_bytes(200, page)},
+        {"type": "response", "url": "http://ex.com/plain.txt",
+         "http": http_response_bytes(
+             200, b"plain text doc", content_type="text/plain")},
+        {"type": "response", "url": "http://ex.com/404",
+         "http": http_response_bytes(404, b"gone",
+                                     content_type="text/html")},
+    ]
+    (tmp_path / "s.warc.gz").write_bytes(
+        warc_write(recs, gzip_per_record=True)
+    )
+    docs = web_corpus_from_warc(spark, str(tmp_path)).collect()
+    by_path = {r["path"]: r for r in docs}
+    assert set(by_path) == {"http://ex.com/page", "http://ex.com/plain.txt"}
+    page_doc = by_path["http://ex.com/page"]
+    # later crawl won, boilerplate nav removed, prose kept
+    assert page_doc["content"] == (
+        "Real article prose, long enough to clear the block length bar "
+        "comfortably."
+    )
+    assert page_doc["doc_type"] == "html"
+    assert page_doc["n_bytes"] == len(page_doc["content"])
+    assert by_path["http://ex.com/plain.txt"]["content"] == "plain text doc"
+
+
 # ----------------------------------------------------------------- archives
 def test_archive_sources_and_fixture_drift(tmp_path):
     from evaporate_spark.fixtures import DOCS_DIR

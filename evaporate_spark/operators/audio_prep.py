@@ -1,0 +1,112 @@
+"""Audio training prep — resample + mono mixdown + 16-bit PCM WAV
+re-encode, the normalization pass a speech-model pipeline runs before
+feature extraction (Whisper/wav2vec-style models consume 16 kHz
+mono). Engine addition (SURVEY §2C multimodal); decodes through the
+shared pure-python ladder
+(:func:`operators.multimodal.decode_audio_samples` — PCM/G.711/
+ADPCM WAV, AIFF, FLAC).
+
+Deterministic math, so outputs are oracle-checkable:
+
+- mixdown = per-frame channel mean (before resampling);
+- resample = linear interpolation on the continuous timeline;
+  ``n_out = floor(n_in · target/source)``, output sample ``i`` taken
+  at source position ``i · source/target`` (endpoint clamped);
+- re-quantize to signed 16-bit with round-half-away and clipping.
+
+Linear interpolation is the right engineering floor here: exact for
+the piecewise-linear fixtures, artifact-free enough for ASR corpora,
+and dependency-free; a polyphase/sinc kernel drops in behind the
+same operator surface if a DSP library is deployed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def resample_pcm(
+    raw: bytes, target_rate: int = 16000, mono: bool = True
+) -> tuple[int, int, bytes]:
+    """(n_samples, channels, 16-bit PCM WAV bytes) at ``target_rate``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from evaporate_spark.operators.multimodal import decode_audio_samples
+
+    _mtype, rate, nch, arr, full_scale = decode_audio_samples(raw)
+    frames = arr.reshape(-1, nch) / full_scale  # [-1, 1)
+    if mono and nch > 1:
+        frames = frames.mean(axis=1, keepdims=True)
+    out_ch = frames.shape[1]
+    n_in = frames.shape[0]
+    if rate <= 0 or n_in == 0:
+        raise ValueError("empty or rate-less audio stream")
+    n_out = max(1, n_in * target_rate // rate)
+    pos = np.arange(n_out) * (rate / target_rate)
+    pos = np.clip(pos, 0, n_in - 1)
+    resampled = np.empty((n_out, out_ch))
+    src_idx = np.arange(n_in, dtype=np.float64)
+    for c in range(out_ch):
+        resampled[:, c] = np.interp(pos, src_idx, frames[:, c])
+    # scale by full-scale 32768 (clipped to 32767) so an
+    # identity-rate pass over 16-bit input is bit-exact
+    pcm = np.clip(
+        np.floor(resampled * 32768 + 0.5), -32768, 32767
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(out_ch)
+        wf.setsampwidth(2)
+        wf.setframerate(target_rate)
+        wf.writeframes(pcm.tobytes())
+    return n_out, out_ch, buf.getvalue()
+
+
+def prepare_audio(
+    df: DataFrame,
+    target_rate: int = 16000,
+    mono: bool = True,
+    path_col: str = "path",
+    binary_col: str = "content",
+) -> DataFrame:
+    """(path, audio bytes) → (path, sample_rate, channels, n_samples,
+    duration_s, content = normalized 16-bit WAV, err): the
+    speech-corpus normalization pass, Arrow-batched, per-row errors.
+    Output rows feed straight back into :func:`decode_audio` /
+    feature extraction at a uniform rate and layout."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    n_out, out_ch, wav = resample_pcm(raw, target_rate, mono)
+                    rows.append(
+                        (path, target_rate, out_ch, n_out,
+                         n_out / target_rate, bytearray(wav), None)
+                    )
+                except ValueError as ex:
+                    rows.append(
+                        (path, None, None, None, None, None, repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "sample_rate", "channels", "n_samples",
+                         "duration_s", "content", "err"],
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        batches,
+        schema=(
+            "path string, sample_rate long, channels long, n_samples long, "
+            "duration_s double, content binary, err string"
+        ),
+    )

@@ -1824,6 +1824,48 @@ def _g711_wav_samples(raw: bytes):
     return rate, nch, arr
 
 
+def decode_audio_samples(raw: bytes):
+    """(media_type, rate, channels, float64 interleaved samples,
+    full_scale) — the shared decode ladder: stdlib ``wave`` PCM,
+    AIFF, FLAC, then G.711/IMA-ADPCM RIFF walks. Raises on
+    undecodable input."""
+    import io
+    import wave
+
+    import numpy as np
+
+    dtypes = {1: np.uint8, 2: np.int16, 4: np.int32}
+    try:
+        with wave.open(io.BytesIO(raw)) as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            n = wf.getnframes()
+            width = wf.getsampwidth()
+            pcm = wf.readframes(n)
+        if width not in dtypes:
+            raise ValueError(f"unsupported sample width {width}")
+        arr = np.frombuffer(pcm, dtype=dtypes[width]).astype(np.float64)
+        if width == 1:  # 8-bit WAV is unsigned, center it
+            arr -= 128.0
+        full_scale = 128.0 if width == 1 else float(2 ** (8 * width - 1))
+        return "wav", rate, nch, arr, full_scale
+    except wave.Error:
+        pass
+    if raw[:4] == b"FORM":
+        rate, nch, arr, full_scale = _aiff_samples(raw)
+        return "aiff", rate, nch, arr, full_scale
+    if raw[:4] == b"fLaC":
+        from evaporate_spark.operators.flac import flac_decode
+
+        rate, nch, fbps, chans = flac_decode(raw)
+        arr = np.empty(len(chans[0]) * nch, np.float64)
+        for c, ch_samples in enumerate(chans):
+            arr[c::nch] = ch_samples
+        return "flac", rate, nch, arr, float(1 << (fbps - 1))
+    rate, nch, arr = _g711_wav_samples(raw)
+    return "wav", rate, nch, arr, 32768.0  # 16-bit linear domain
+
+
 def decode_audio(
     df: DataFrame, path_col: str = "path", binary_col: str = "content"
 ) -> DataFrame:
@@ -1846,57 +1888,16 @@ def decode_audio(
     """
 
     def audio_batches(batches: Iterator) -> Iterator:
-        import io
-        import wave
-
         import numpy as np
         import pandas as pd
 
-        dtypes = {1: np.uint8, 2: np.int16, 4: np.int32}
         for pdf in batches:
             rows = []
             for path, raw in zip(pdf[path_col], pdf[binary_col]):
                 raw = bytes(raw) if raw is not None else b""
                 try:
-                    mtype = "wav"
-                    try:
-                        with wave.open(io.BytesIO(raw)) as wf:
-                            rate = wf.getframerate()
-                            nch = wf.getnchannels()
-                            n = wf.getnframes()
-                            width = wf.getsampwidth()
-                            pcm = wf.readframes(n)
-                        if width not in dtypes:
-                            raise ValueError(f"unsupported sample width {width}")
-                        arr = np.frombuffer(pcm, dtype=dtypes[width]).astype(
-                            np.float64
-                        )
-                        if width == 1:  # 8-bit WAV is unsigned, center it
-                            arr -= 128.0
-                        full_scale = (
-                            128.0 if width == 1 else float(2 ** (8 * width - 1))
-                        )
-                    except wave.Error:
-                        if raw[:4] == b"FORM":
-                            # AIFF: big-endian PCM, 80-bit-float rate
-                            rate, nch, arr, full_scale = _aiff_samples(raw)
-                            mtype = "aiff"
-                        elif raw[:4] == b"fLaC":
-                            from evaporate_spark.operators.flac import (
-                                flac_decode,
-                            )
-
-                            rate, nch, fbps, chans = flac_decode(raw)
-                            arr = np.empty(len(chans[0]) * nch, np.float64)
-                            for c, ch_samples in enumerate(chans):
-                                arr[c::nch] = ch_samples
-                            full_scale = float(1 << (fbps - 1))
-                            mtype = "flac"
-                        else:
-                            # non-PCM WAV: G.711 / IMA ADPCM manual walk
-                            rate, nch, arr = _g711_wav_samples(raw)
-                            full_scale = 32768.0  # 16-bit linear domain
-                        n = arr.size // nch
+                    mtype, rate, nch, arr, full_scale = decode_audio_samples(raw)
+                    n = arr.size // nch
                     rms = float(np.sqrt(np.mean(arr**2)) / full_scale) if arr.size else 0.0
                     mono = (
                         arr.reshape(-1, nch).mean(axis=1) if nch > 1 and arr.size else arr

@@ -587,3 +587,39 @@ def q_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = web_corpus_from_warc(spark, DOCS_DIR)
     return docs.select("path", "doc_type", "content", "n_bytes")
+
+
+@register(
+    "q_prepare_audio",
+    "Speech-corpus normalization (operators/audio_prep.py): every "
+    "committed WAV/FLAC fixture — PCM widths, G.711, stereo ADPCM, "
+    "FLAC — resampled to 16 kHz MONO 16-bit WAV (channel-mean "
+    "mixdown, linear-interpolation resample, n_out = floor("
+    "n_in*16000/rate)). The oracle DERIVES the expected output shape "
+    "from the pinned (non-circularly validated) decode stats: the "
+    "operator must agree with arithmetic on the already-proven "
+    "per-fixture sample counts. Round-trip decodability of the "
+    "emitted WAV bytes is pytest-asserted.",
+    oracle=f"""
+        SELECT file,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(FLOOR(n_samples * 16000 / sample_rate) AS BIGINT)
+                   AS n_samples,
+               ROUND(CAST(FLOOR(n_samples * 16000 / sample_rate) AS DOUBLE)
+                     / 16000, 6) AS duration_s
+        FROM read_parquet('{AUDIO_EXPECTED}')
+    """,
+    tags=("multimodal",),
+)
+def q_prepare_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.audio_prep import prepare_audio
+
+    files = _media_files(spark, MEDIA_DIR, ".wav", ".flac")
+    return prepare_audio(files, path_col="file").select(
+        F.col("path").alias("file"),
+        "sample_rate",
+        "channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+    )

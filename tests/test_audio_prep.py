@@ -1,0 +1,91 @@
+"""Audio training prep: resample + mono mixdown + WAV re-encode
+(operators/audio_prep.py — engine addition, SURVEY §2C multimodal)."""
+
+from __future__ import annotations
+
+import io
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from evaporate_spark.operators.audio_prep import prepare_audio, resample_pcm
+from evaporate_spark.operators.multimodal import decode_audio_samples
+
+
+def _wav(rate: int, nch: int, frames: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(frames.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_resample_counts_and_roundtrip_decodability():
+    from evaporate_spark.fixtures import MEDIA_DIR
+
+    for name in (
+        "audio_mono16.wav", "audio_stereo8.wav", "audio_ulaw.wav",
+        "audio_adpcm_stereo.wav", "audio_stereo.flac",
+    ):
+        with open(os.path.join(MEDIA_DIR, name), "rb") as fh:
+            raw = fh.read()
+        _, rate, nch, arr, _ = decode_audio_samples(raw)
+        n_out, ch, out = resample_pcm(raw)
+        assert n_out == (arr.size // nch) * 16000 // rate
+        assert ch == 1
+        _, r2, c2, a2, _ = decode_audio_samples(out)
+        assert (r2, c2, a2.size) == (16000, 1, n_out), name
+
+
+def test_sine_fidelity_and_mixdown():
+    t = np.arange(8000) / 8000
+    sine = np.round(np.sin(2 * np.pi * 440 * t) * 30000)
+    n_out, _, out = resample_pcm(_wav(8000, 1, sine))
+    _, _, _, a2, fs = decode_audio_samples(out)
+    ref = np.sin(2 * np.pi * 440 * np.arange(n_out) / 16000) * (30000 / 32768)
+    assert np.abs(a2 / fs - ref)[:-10].max() < 0.02
+    # stereo mixdown: L=+k, R=-k averages to silence
+    frames = np.stack([np.full(100, 1000), np.full(100, -1000)], axis=1)
+    _, ch, out = resample_pcm(_wav(8000, 2, frames.reshape(-1)))
+    _, _, _, a2, _ = decode_audio_samples(out)
+    assert ch == 1 and np.abs(a2).max() == 0.0
+    # mono=False preserves channels
+    n_out, ch, out = resample_pcm(_wav(8000, 2, frames.reshape(-1)), mono=False)
+    _, _, c2, _, _ = decode_audio_samples(out)
+    assert ch == 2 and c2 == 2
+    # identity rate: linear interp at integer positions is exact
+    n_out, _, out = resample_pcm(_wav(16000, 1, sine), target_rate=16000)
+    _, _, _, a3, _ = decode_audio_samples(out)
+    assert n_out == 8000 and np.array_equal(
+        a3, sine.astype(np.float64)
+    )
+
+
+def test_prepare_audio_operator(spark):
+    from evaporate_spark.fixtures import MEDIA_DIR
+
+    def fx(name):
+        with open(os.path.join(MEDIA_DIR, name), "rb") as fh:
+            return bytearray(fh.read())
+
+    df = spark.createDataFrame(
+        [
+            ("m.wav", fx("audio_mono16.wav")),
+            ("s.flac", fx("audio_stereo.flac")),
+            ("junk", bytearray(b"not audio")),
+        ],
+        "path string, content binary",
+    )
+    got = {r["path"]: r for r in prepare_audio(df).collect()}
+    m = got["m.wav"]
+    assert (m["sample_rate"], m["channels"], m["n_samples"]) == (16000, 1, 4000)
+    assert m["duration_s"] == pytest.approx(0.25)
+    # emitted bytes are a valid 16k mono WAV
+    _, r, c, a, _ = decode_audio_samples(bytes(m["content"]))
+    assert (r, c, a.size) == (16000, 1, 4000)
+    assert got["s.flac"]["channels"] == 1
+    assert got["junk"]["err"] is not None

@@ -1,0 +1,122 @@
+"""Image training prep — EXIF-orientation normalization + bounded
+resize + lossless PNG re-encode, the image twin of
+:mod:`operators.audio_prep`. Engine addition (SURVEY §2C
+multimodal).
+
+A camera stores the sensor raster plus an Orientation tag (EXIF
+values 1-8); a training pipeline that ignores it feeds sideways and
+mirrored images to the model. This pass decodes through the engine's
+pure-python codecs (:func:`operators.imagehash.decode_pixels`),
+applies the exact inverse transform for each of the 8 public EXIF
+orientation values (numpy flips/transposes — pixel-lossless),
+optionally downsizes so ``max(width, height) ≤ max_side``
+(nearest-neighbor, deterministic), and re-encodes as PNG (lossless,
+so the only pixel change is the resize). Rotation and mirroring
+PRESERVE the pixel multiset — mean intensity is invariant, which the
+oracle exploits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def apply_exif_orientation(arr, orientation: int):
+    """EXIF orientation value (1-8) → upright array (H×W×C in,
+    H'×W'×C out). Public semantics: 2 flip-H, 3 rot180, 4 flip-V,
+    5 transpose, 6 rot90 CW, 7 transverse, 8 rot90 CCW."""
+    import numpy as np
+
+    if orientation in (0, 1) or orientation is None:
+        return arr
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return np.transpose(arr, (1, 0, 2))
+    if orientation == 6:  # stored = upright rotated 90° CCW → rotate CW back
+        return np.transpose(arr, (1, 0, 2))[:, ::-1]
+    if orientation == 7:
+        return np.transpose(arr, (1, 0, 2))[::-1, ::-1]
+    if orientation == 8:
+        return np.transpose(arr, (1, 0, 2))[::-1]
+    raise ValueError(f"invalid EXIF orientation {orientation}")
+
+
+def normalize_image(
+    raw: bytes, max_side: int | None = None
+) -> tuple[int, int, int, bytes]:
+    """(width, height, applied_orientation, upright PNG bytes)."""
+    import numpy as np
+
+    from evaporate_spark.operators.imagehash import decode_pixels
+    from evaporate_spark.operators.multimodal import png_encode
+
+    orientation = 1
+    if raw[:2] == b"\xff\xd8":
+        from evaporate_spark.operators.exif import exif_parse
+
+        try:
+            o = exif_parse(raw).get("orientation")
+            if isinstance(o, int) and 1 <= o <= 8:
+                orientation = o
+        except ValueError:
+            pass  # no EXIF → upright
+    w, h, ch, px = decode_pixels(raw)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    arr = apply_exif_orientation(arr, orientation)
+    oh, ow = arr.shape[0], arr.shape[1]
+    if max_side is not None and max(ow, oh) > max_side:
+        scale = max_side / max(ow, oh)
+        tw, th = max(1, int(ow * scale)), max(1, int(oh * scale))
+        ys = (np.arange(th) * oh // th).clip(0, oh - 1)
+        xs = (np.arange(tw) * ow // tw).clip(0, ow - 1)
+        arr = arr[ys][:, xs]
+        oh, ow = th, tw
+    out_ch = arr.shape[2]
+    return ow, oh, orientation, png_encode(
+        ow, oh, out_ch, np.ascontiguousarray(arr).tobytes()
+    )
+
+
+def prepare_images(
+    df: DataFrame,
+    max_side: int | None = None,
+    path_col: str = "path",
+    binary_col: str = "content",
+) -> DataFrame:
+    """(path, image bytes) → (path, width, height, orientation,
+    content = upright PNG, err): the image-corpus normalization pass
+    (orientation applied, optional bounded resize, lossless
+    re-encode), Arrow-batched with per-row errors."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[binary_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    w, h, o, png = normalize_image(raw, max_side)
+                    rows.append((path, w, h, o, bytearray(png), None))
+                except ValueError as ex:
+                    rows.append((path, None, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "width", "height", "orientation", "content",
+                         "err"],
+            )
+
+    return df.select(path_col, binary_col).mapInPandas(
+        batches,
+        schema=(
+            "path string, width long, height long, orientation long, "
+            "content binary, err string"
+        ),
+    )

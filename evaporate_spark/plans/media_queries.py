@@ -623,3 +623,50 @@ def q_prepare_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round("duration_s", 6).alias("duration_s"),
     )
+
+
+@register(
+    "q_prepare_images",
+    "Image-corpus normalization (operators/image_prep.py): the two "
+    "committed EXIF JPEGs decode, apply their Orientation tag (the "
+    "gps fixture is stored rotated, tag 6 — its 32x24 raster comes "
+    "out 24x32 upright; the be fixture is tag 1), and re-encode as "
+    "lossless PNG, then flow through decode_images — a two-operator "
+    "composition proof. Rotation preserves the pixel multiset, so "
+    "both outputs pin the SAME mean intensity (103.0, the flat-color "
+    "JPEG's decoded mean), and decoded_by must be the real "
+    "stdlib-png path.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('img_exif_be.jpeg', CAST(32 AS BIGINT), CAST(24 AS BIGINT),
+             CAST(1 AS BIGINT), CAST(103.0 AS DOUBLE), 'stdlib-png'),
+            ('img_exif_gps.jpeg', CAST(24 AS BIGINT), CAST(32 AS BIGINT),
+             CAST(6 AS BIGINT), CAST(103.0 AS DOUBLE), 'stdlib-png')
+        ) AS t(file, width, height, orientation, mean_intensity,
+               decoded_by)
+    """,
+    tags=("multimodal",),
+)
+def q_prepare_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.image_prep import prepare_images
+    from evaporate_spark.operators.multimodal import decode_images
+
+    files = _media_files(spark, MEDIA_DIR, ".jpeg")
+    prepped = prepare_images(files, path_col="file")
+    decoded = decode_images(prepped.select("path", "content")).select(
+        F.col("path").alias("dpath"),
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        "decoded_by",
+    )
+    return (
+        prepped.select("path", "width", "height", "orientation")
+        .join(F.broadcast(decoded), F.col("path") == F.col("dpath"))
+        .select(
+            F.col("path").alias("file"),
+            "width",
+            "height",
+            "orientation",
+            "mean_intensity",
+            "decoded_by",
+        )
+    )

@@ -1,0 +1,79 @@
+"""EXIF-orientation image normalization (operators/image_prep.py —
+engine addition, SURVEY §2C multimodal)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from evaporate_spark.operators.image_prep import (
+    apply_exif_orientation,
+    normalize_image,
+    prepare_images,
+)
+from evaporate_spark.operators.imagehash import decode_pixels
+
+
+def test_all_eight_orientations_invert():
+    up = np.arange(24 * 32 * 3, dtype=np.uint8).reshape(24, 32, 3)
+    stored = {
+        1: up, 2: up[:, ::-1], 3: up[::-1, ::-1], 4: up[::-1],
+        5: np.transpose(up, (1, 0, 2)),
+        6: np.transpose(up, (1, 0, 2))[::-1],   # camera rotated 90 CCW
+        7: np.transpose(up, (1, 0, 2))[::-1, ::-1],
+        8: np.transpose(up, (1, 0, 2))[:, ::-1],
+    }
+    for o, s in stored.items():
+        assert np.array_equal(apply_exif_orientation(s, o), up), o
+    with pytest.raises(ValueError, match="orientation"):
+        apply_exif_orientation(up, 9)
+
+
+def test_normalize_fixture_and_bounded_resize():
+    from evaporate_spark.fixtures import MEDIA_DIR
+
+    with open(os.path.join(MEDIA_DIR, "img_exif_gps.jpeg"), "rb") as fh:
+        raw = fh.read()
+    w, h, o, png = normalize_image(raw)
+    assert (w, h, o) == (24, 32, 6)  # 32x24 stored, tag 6 -> upright
+    w2, h2, _ch, px = decode_pixels(png)
+    assert (w2, h2) == (24, 32)
+    # rotation preserves the pixel multiset -> mean invariant
+    _, _, _, px0 = decode_pixels(raw)
+    assert abs(sum(px) / len(px) - sum(px0) / len(px0)) < 1e-9
+    # bounded resize keeps aspect and honors max_side
+    w3, h3, _, _png3 = normalize_image(raw, max_side=16)
+    assert (w3, h3) == (12, 16)
+
+
+def test_non_jpeg_passthrough_is_lossless():
+    from evaporate_spark.operators.multimodal import png_encode
+
+    arr = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    raw = png_encode(8, 6, 3, arr.tobytes())
+    w, h, o, out = normalize_image(raw)
+    assert (w, h, o) == (8, 6, 1)
+    assert decode_pixels(out)[3] == arr.tobytes()
+
+
+def test_prepare_images_operator(spark):
+    from evaporate_spark.fixtures import MEDIA_DIR
+
+    def fx(name):
+        with open(os.path.join(MEDIA_DIR, name), "rb") as fh:
+            return bytearray(fh.read())
+
+    df = spark.createDataFrame(
+        [
+            ("g.jpeg", fx("img_exif_gps.jpeg")),
+            ("junk", bytearray(b"nope")),
+        ],
+        "path string, content binary",
+    )
+    got = {r["path"]: r for r in prepare_images(df, max_side=16).collect()}
+    g = got["g.jpeg"]
+    assert (g["width"], g["height"], g["orientation"]) == (12, 16, 6)
+    assert decode_pixels(bytes(g["content"]))[:2] == (12, 16)
+    assert got["junk"]["err"] is not None

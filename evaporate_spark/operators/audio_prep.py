@@ -93,7 +93,7 @@ def prepare_audio(
                         (path, target_rate, out_ch, n_out,
                          n_out / target_rate, bytearray(wav), None)
                     )
-                except ValueError as ex:
+                except Exception as ex:  # corrupt streams: zlib/struct
                     rows.append(
                         (path, None, None, None, None, None, repr(ex)[:200])
                     )

@@ -165,7 +165,12 @@ def mkv_parse(raw: bytes) -> MkvInfo:
                         rate, ch = 8000, 1  # Matroska spec defaults
                         for i4, b4, e4 in _elements(raw, b3, e3):
                             if i4 == 0xB5:
-                                rate = int(round(_float(raw, b4, e4)))
+                                f = _float(raw, b4, e4)
+                                if not 0 < f < 1 << 31:  # long-column safe
+                                    raise ValueError(
+                                        f"implausible SamplingFrequency {f}"
+                                    )
+                                rate = int(round(f))
                             elif i4 == 0x9F:
                                 ch = _uint(raw, b4, e4)
                 tracks.append(

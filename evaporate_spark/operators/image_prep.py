@@ -105,7 +105,7 @@ def prepare_images(
                 try:
                     w, h, o, png = normalize_image(raw, max_side)
                     rows.append((path, w, h, o, bytearray(png), None))
-                except ValueError as ex:
+                except Exception as ex:  # corrupt streams: zlib/struct
                     rows.append((path, None, None, None, None, repr(ex)[:200]))
             yield pd.DataFrame(
                 rows,

@@ -138,7 +138,8 @@ def image_hashes(
                 raw = bytes(raw) if raw is not None else b""
                 try:
                     rows.append((path, dhash64(raw), ahash64(raw), None))
-                except ValueError as ex:
+                except Exception as ex:  # corrupt streams can raise
+                    # beyond ValueError (zlib.error, struct.error)
                     rows.append((path, None, None, repr(ex)[:200]))
             yield pd.DataFrame(rows, columns=["path", "dhash", "ahash", "err"])
 

@@ -160,7 +160,7 @@ def media_text_tags(
                         )
                     for key, value in sorted(tags.items()):
                         rows.append((path, container, key, value, None))
-                except ValueError as ex:
+                except Exception as ex:  # corrupt streams: zlib/struct
                     rows.append((path, None, None, None, repr(ex)[:200]))
             yield pd.DataFrame(
                 rows, columns=["path", "container", "key", "value", "err"]

@@ -41,16 +41,23 @@ from pyspark.sql import functions as F
 
 def _gunzip_members(raw: bytes) -> bytes:
     """Decompress a concatenated-member gzip stream (the .warc.gz
-    layout: one member per record)."""
+    layout: one member per record). Corrupt members raise ValueError
+    (NOT zlib.error) so ``read_warc`` degrades to an err row instead
+    of crashing the task."""
     out = bytearray()
     pos = 0
     while pos < len(raw):
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(raw[pos:])
-        out += d.flush()
+        try:
+            out += d.decompress(raw[pos:])
+            out += d.flush()
+        except zlib.error as ex:
+            raise ValueError(f"corrupt gzip member at byte {pos}: {ex}")
         tail = d.unused_data
         if not tail:
             break
+        if len(tail) == len(raw) - pos:
+            raise ValueError(f"gzip member at byte {pos} made no progress")
         pos = len(raw) - len(tail)
     return bytes(out)
 

@@ -79,6 +79,12 @@ def test_warc_strict_framing_raises():
         warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
     with pytest.raises(ValueError, match="Content-Length"):
         warc_records(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+    # gzip-corrupt shards must raise ValueError (caught as an err row
+    # by read_warc), never leak zlib.error into the task
+    gz = bytearray(warc_write(_sample_records(), gzip_per_record=True))
+    gz[30] ^= 0xFF
+    with pytest.raises(ValueError, match="gzip"):
+        warc_records(bytes(gz))
 
 
 def test_read_warc_operator_and_documents_bridge(spark, tmp_path):

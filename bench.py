@@ -118,6 +118,15 @@ Pinned comparison baselines (medians unless noted):
   does NOT help (9.05 s warm baseline vs 9.64 s) — the cost is
   per-action Arrow round trips, not task count, and it vanishes
   against real LLM latency at deployment scale.
+- r7 END-of-round confirmation (gated, start loadavg 1.85, after the
+  crawl/prep batch — urls/robots/boilerplate/imagehash/audio+image
+  prep — landed): relational 2.727 (q1 0.615 / q3 0.863 / q5 1.249);
+  every row within band of the r7 pins under the documented host
+  variance — q_minhash_lsh_dups 1.513, q_dup_clusters 1.939,
+  q8_market_share 1.229, q_semantic_openie 13.061, media_decode_300
+  0.593, corpus_chain_10x 19.707, doc_ingest 1.059. The new
+  operators are mapInPandas scan-stage work + one banded self-join;
+  none touch the benched paths, and the rows confirm it.
 """
 
 from __future__ import annotations

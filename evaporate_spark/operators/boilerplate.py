@@ -50,6 +50,13 @@ _BLOCK_TAGS = {
     "table", "tr", "body",
 }
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+# HTML void elements (no content, no end tag) that can plausibly appear in
+# body markup; drop-depth tracking must skip these on BOTH the start and end
+# side or a stray <img class="ad"> would swallow the rest of the document.
+_VOID_TAGS = {
+    "br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+}
 _BOILER_NAME = re.compile(
     r"(^|[\s_-])(nav|menu|sidebar|footer|header|comments?|share|social|"
     r"ads?|banner|cookie|promo)([\s_-]|$)",
@@ -88,11 +95,14 @@ class _Extractor(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if self._drop_depth:
-            if tag not in ("br", "img", "hr", "meta", "link", "input"):
+            if tag not in _VOID_TAGS:
                 self._drop_depth += 1
             return
         names = " ".join(v or "" for k, v in attrs if k in ("id", "class"))
-        if tag in _DROP_TAGS or _BOILER_NAME.search(names):
+        # Void elements have no content to drop; entering drop mode for one
+        # would never see a matching end tag and would swallow the rest of
+        # the document (e.g. '<img class="ad banner">').
+        if tag not in _VOID_TAGS and (tag in _DROP_TAGS or _BOILER_NAME.search(names)):
             self._drop_depth = 1
             return
         if tag == "br":
@@ -107,7 +117,12 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag):
         if self._drop_depth:
-            self._drop_depth -= 1
+            # Mirror the void-tag exclusion: a self-closing <img/> inside a
+            # dropped subtree reaches both handlers (handle_startendtag) but
+            # only the start side skipped the increment — decrementing here
+            # would end the drop early and leak boilerplate text.
+            if tag not in _VOID_TAGS:
+                self._drop_depth -= 1
             return
         if tag in _BLOCK_TAGS:
             self._flush()

@@ -200,12 +200,16 @@ def id3_tags(raw: bytes) -> dict[str, str]:
     end = min(10 + size, len(raw))
     pos = 10
     if raw[5] & 0x40:  # extended header: skip by its own size field
-        ext = int.from_bytes(raw[10:14], "big")
-        if major == 4:  # syncsafe in v2.4
+        if major == 4:
+            # v2.4: syncsafe size counts the WHOLE extended header
             ext = 0
             for b in raw[10:14]:
                 ext = (ext << 7) | (b & 0x7F)
-        pos += ext
+            pos += ext
+        else:
+            # v2.3: plain 32-bit size EXCLUDES its own 4 size bytes
+            ext = int.from_bytes(raw[10:14], "big")
+            pos += 4 + ext
     out: dict[str, str] = {}
     encodings = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
     while pos + 10 <= end:

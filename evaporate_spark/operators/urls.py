@@ -12,9 +12,11 @@ regexes + array HOFs — no Python, whole-stage-codegen friendly):
 - path: duplicate slashes collapsed, trailing slash dropped (except
   root — ``/`` alone is preserved as the empty path's canonical
   form is no path at all);
-- query: tracking parameters removed (``utm_*``, ``gclid``,
-  ``fbclid``, ``ref``, ``mc_eid`` by default), remaining pairs
-  SORTED so parameter order never splits a dedup group;
+- query: tracking parameters removed (``utm_*`` as a family prefix;
+  ``gclid``/``fbclid``/``ref``/``mc_eid`` as WHOLE parameter names —
+  ``refresh=``/``referral=``/``refid=`` are legitimate params and
+  survive), remaining pairs SORTED so parameter order never splits a
+  dedup group;
 - fragment dropped (never sent to the server).
 
 Dot-segment resolution (``/a/../b``) is NOT performed — it requires
@@ -25,10 +27,28 @@ pass through unharmed, just un-merged.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEFAULT_TRACKING_PREFIXES = ("utm_", "gclid", "fbclid", "ref", "mc_eid")
+# Each entry is a literal parameter NAME, except a trailing "*" marks a
+# family prefix (utm_* covers utm_source/utm_medium/...). Literal names
+# match whole: "ref" must not strip refresh=/referral=/refid=.
+DEFAULT_TRACKING_PREFIXES = ("utm_*", "gclid", "fbclid", "ref", "mc_eid")
+
+
+def _tracking_key_regex(params: tuple[str, ...]) -> str:
+    """Anchored whole-key regex for the tracking list; every literal
+    chunk is re.escape'd so user-supplied names containing regex
+    metacharacters match literally."""
+    alts = []
+    for p in params:
+        if p.endswith("*"):
+            alts.append(re.escape(p[:-1]) + ".*")
+        else:
+            alts.append(re.escape(p))
+    return "^(" + "|".join(alts) + ")$"
 
 
 def canonicalize_url(
@@ -58,10 +78,10 @@ def canonicalize_url(
     path = F.regexp_replace(path, "/+$", "")  # '' and '/' both → ''
     query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
     pairs = F.filter(F.split(query, "&"), lambda p: p != "")
-    keep_re = "^(" + "|".join(tracking_prefixes) + ")"
+    drop_re = _tracking_key_regex(tracking_prefixes)
     pairs = F.filter(
         pairs,
-        lambda p: ~F.split(p, "=")[0].rlike(keep_re),
+        lambda p: ~F.split(p, "=")[0].rlike(drop_re),
     )
     sorted_q = F.array_join(F.array_sort(pairs), "&")
     query_part = F.when(sorted_q == "", F.lit("")).otherwise(

@@ -186,24 +186,52 @@ class VersionedTable:
         return None
 
     def _commit(self, version: int, snapshot_dir: str) -> None:
-        """Create-once marker pointing at ``snapshot_dir``; exactly one
-        writer per version succeeds."""
-        fs, _ = self._fs()
+        """Publish a marker pointing at ``snapshot_dir``; exactly one
+        writer per version succeeds.
+
+        The marker is made visible CONTENT-ATOMICALLY: the dirname is
+        fully written to a private temp file first, then renamed into
+        the marker path. A visible marker therefore always carries its
+        content — there is no create→write window in which a live
+        writer's marker looks empty, so an empty marker is
+        unambiguously either a legacy-layout commit or a legacy-build
+        crash, and competitors never need a timing heuristic to tell a
+        stalled live writer from a dead one (the lost-update class
+        that heuristic risked is gone: a writer stalled before its
+        rename holds NO marker, and its eventual rename loses the
+        exists/rename/read-back gauntlet below).
+
+        On HDFS, rename-to-existing fails atomically; on POSIX local
+        FS rename clobbers, so the exists pre-check plus content
+        read-back close the race to the same (tiny, check-then-act)
+        window the previous ``create(p, False)`` emulation already
+        had on that FS — never wider, and content-ambiguity-free."""
+        fs, jvm = self._fs()
         p = self._marker_path(version)
         name = snapshot_dir.rsplit("/", 1)[-1]
-        try:
-            stream = fs.create(p, False)  # create-once: fails if it exists
-        except Exception as e:
-            # py4j wraps FileAlreadyExistsException/IOException; only a
-            # now-existing marker is a writer collision — anything else
-            # (permissions, network) re-raises untouched.
-            if fs.exists(p):
-                raise ConcurrentWriteError(self.root, version) from e
-            raise
+        # non-int filename: invisible to versions()'s int() parse
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{self._hints_dir()}/.tmp-{version}-{uuid.uuid4().hex[:8]}"
+        )
+        stream = fs.create(tmp, True)
         try:
             stream.write(name.encode("utf-8"))
         finally:
             stream.close()
+        try:
+            if fs.exists(p):
+                raise ConcurrentWriteError(self.root, version)
+            if not fs.rename(tmp, p):
+                # HDFS semantics: rename onto an existing path returns
+                # false — a competitor published first.
+                raise ConcurrentWriteError(self.root, version)
+            if self._marker_content(version) != name:
+                # clobbering-rename FS (local POSIX): a competitor's
+                # rename landed after ours; their content stands.
+                raise ConcurrentWriteError(self.root, version)
+        finally:
+            if fs.exists(tmp):
+                fs.delete(tmp, False)
 
     # -- reads --------------------------------------------------------------
 
@@ -270,17 +298,13 @@ class VersionedTable:
                 self._commit(v, target)
                 return v
             except ConcurrentWriteError:
-                # The colliding marker may be a crashed writer's dead
-                # slot (created, never content-written, nothing ever
-                # readable). Grace out a LIVE writer's create→write
-                # window first, then skip past the dead slot — the
-                # marker's CONTENT names the data dir, so committing
-                # this directory under a later version is fine. A
-                # marker that gains content is a real competing commit.
-                for _ in range(5):
-                    if self._marker_content(v) != "":
-                        break
-                    time.sleep(0.1)
+                # Markers are published content-atomically (temp file +
+                # rename in _commit), so a live writer's marker is never
+                # visible empty: an EMPTY colliding marker can only be a
+                # legacy-build crash (dead slot — skip past it; the
+                # marker's CONTENT names the data dir, so committing this
+                # directory under a later version is fine). Any
+                # content-ful marker is a real competing commit.
                 if not self._is_dead_marker(v):
                     raise
                 v += 1

@@ -76,3 +76,30 @@ def test_extract_main_content_operator(spark):
     assert (a["n_kept"], a["n_blocks"], a["err"]) == (3, 6, None)
     e = got["empty.html"]
     assert (e["text"], e["n_kept"]) == ("", 0)
+
+
+def test_void_element_with_boiler_class_does_not_swallow_document():
+    # A void element (no end tag) whose class matches the boilerplate
+    # pattern must not enter drop mode — it has no content to drop, and
+    # entering would silently discard everything after it.
+    html = (
+        '<body><img class="ad banner"><p>Real article content that is '
+        "plenty long enough to clear the keep threshold.</p></body>"
+    )
+    text, kept, _ = extract_main_text(html)
+    assert "Real article content" in text and kept == 1
+
+
+def test_self_closing_void_inside_dropped_subtree_keeps_dropping():
+    # handle_startendtag fires both handlers for <img/>; the end side
+    # must mirror the void exclusion or the drop ends early and the
+    # sidebar text leaks into the output.
+    html = (
+        '<body><div class="sidebar"><img/><p>Sidebar junk that is long '
+        "enough to pass the keep bar if it leaked through.</p></div>"
+        "<p>Main body paragraph with enough characters to be kept by "
+        "the filter.</p></body>"
+    )
+    text, _, _ = extract_main_text(html)
+    assert "Sidebar junk" not in text
+    assert "Main body paragraph" in text

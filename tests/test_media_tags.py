@@ -65,6 +65,22 @@ def test_id3v23_and_utf16_frames():
     assert id3_tags(b"no tag here") == {}
 
 
+def test_id3_extended_header_skip_v23_vs_v24():
+    # v2.3 extended-header size EXCLUDES its own 4 size bytes; v2.4's
+    # syncsafe size includes the whole header. Frame parsing must not
+    # desync on either.
+    frame = b"TIT2" + (6).to_bytes(4, "big") + b"\x00\x00" + b"\x00Hello"
+    ext3 = (6).to_bytes(4, "big") + b"\x00" * 6
+    body3 = ext3 + frame
+    raw3 = b"ID3\x03\x00\x40" + bytes([0, 0, 0, len(body3)]) + body3
+    assert id3_tags(raw3) == {"TIT2": "Hello"}
+    frame4 = b"TIT2" + bytes([0, 0, 0, 6]) + b"\x00\x00" + b"\x03Hello"
+    ext4 = bytes([0, 0, 0, 6]) + b"\x01\x00"  # syncsafe 6 = whole header
+    body4 = ext4 + frame4
+    raw4 = b"ID3\x04\x00\x40" + bytes([0, 0, 0, len(body4)]) + body4
+    assert id3_tags(raw4) == {"TIT2": "Hello"}
+
+
 def test_media_text_tags_operator(spark):
     from evaporate_spark.fixtures import DOCS_DIR, MEDIA_DIR
     from evaporate_spark.operators.media_tags import media_text_tags

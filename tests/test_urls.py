@@ -55,6 +55,26 @@ def test_canonicalize_url_invalid_and_options(spark):
     ) == ["http://a.com/x?a=1"]
 
 
+def test_tracking_params_whole_name_matching(spark):
+    # "ref" is whole-name: refresh=/referral=/refid= are legitimate
+    # distinct params and must survive (dedup must not collapse them)
+    assert _canon(
+        spark,
+        ["http://a.com/x?refresh=1&referral=p&refid=7&ref=rss"],
+    ) == ["http://a.com/x?referral=p&refid=7&refresh=1"]
+    # utm_* is a family prefix; bare "utm_" alone is also covered
+    assert _canon(
+        spark,
+        ["http://a.com/x?utm_source=s&utm_medium=m&utmx=keep"],
+    ) == ["http://a.com/x?utmx=keep"]
+    # regex metacharacters in custom names match literally
+    assert _canon(
+        spark,
+        ["http://a.com/x?a.b=1&axb=2"],
+        tracking_prefixes=("a.b",),
+    ) == ["http://a.com/x?axb=2"]
+
+
 def test_url_host(spark):
     df = spark.createDataFrame(
         [("HTTPS://WWW.Site.COM:443/a",), ("bad",)], "url string"

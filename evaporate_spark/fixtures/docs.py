@@ -80,6 +80,12 @@ CRAWL_HTML = (
 CRAWL_CHUNKED = "Chunked transfer decoding works."
 CRAWL_GZ = "Gzipped body decoding works."
 CRAWL_404 = "not found"
+# header carries NO charset; the in-page <meta> must be sniffed
+# (HTML5 prescan) or the curly quotes/é decode as mojibake
+CRAWL_LEGACY = (
+    '<html><head><meta charset="windows-1252"></head>'
+    "<body>café “smart quotes”</body></html>"
+)
 
 # authored archive members (q_archive_doclake oracle derives from it)
 ARCHIVE_TEXTS = {
@@ -175,6 +181,10 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
             {"type": "response", "url": "http://example.com/missing",
              "http": http_response_bytes(
                  404, CRAWL_404.encode(), content_type="text/plain")},
+            {"type": "response", "url": "http://example.com/legacy",
+             "http": http_response_bytes(
+                 200, CRAWL_LEGACY.encode("windows-1252"),
+                 content_type="text/html")},
         ],
         gzip_per_record=True,
     )

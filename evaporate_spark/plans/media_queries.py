@@ -300,18 +300,27 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whose framing is real and whose page text is authored. Oracle = "
     "the hand-derivable record table (the 404 row proves status "
     "passthrough; indices count ALL records, so the filtered-out "
-    "warcinfo/request records are visible as the 0/1 gap).",
+    "warcinfo/request records are visible as the 0/1 gap). The legacy "
+    "row (header without charset, in-page <meta charset=windows-1252>) "
+    "proves the HTML5 prescan: n_repl counts U+FFFD replacement chars, "
+    "so a utf-8-replace fallback would show 3 instead of 0.",
     oracle="""
         SELECT * FROM (VALUES
             (CAST(2 AS BIGINT), 'http://example.com/', CAST(200 AS BIGINT),
-             'text/html', CAST(110 AS BIGINT)),
+             'text/html', CAST(110 AS BIGINT), CAST(0 AS BIGINT)),
             (CAST(3 AS BIGINT), 'http://example.com/plain.txt',
-             CAST(200 AS BIGINT), 'text/plain', CAST(32 AS BIGINT)),
+             CAST(200 AS BIGINT), 'text/plain', CAST(32 AS BIGINT),
+             CAST(0 AS BIGINT)),
             (CAST(4 AS BIGINT), 'http://example.com/gz.txt',
-             CAST(200 AS BIGINT), 'text/plain', CAST(28 AS BIGINT)),
+             CAST(200 AS BIGINT), 'text/plain', CAST(28 AS BIGINT),
+             CAST(0 AS BIGINT)),
             (CAST(5 AS BIGINT), 'http://example.com/missing',
-             CAST(404 AS BIGINT), 'text/plain', CAST(9 AS BIGINT))
-        ) AS t(record_index, url, http_status, mime, n_chars)
+             CAST(404 AS BIGINT), 'text/plain', CAST(9 AS BIGINT),
+             CAST(0 AS BIGINT)),
+            (CAST(6 AS BIGINT), 'http://example.com/legacy',
+             CAST(200 AS BIGINT), 'text/html', CAST(87 AS BIGINT),
+             CAST(0 AS BIGINT))
+        ) AS t(record_index, url, http_status, mime, n_chars, n_repl)
     """,
     tags=("doclake",),
 )
@@ -325,6 +334,10 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         "mime",
         F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "�", ""))
+        ).cast("bigint").alias("n_repl"),
     )
 
 
@@ -568,14 +581,18 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixture: the 404 drops, text/plain rows pass through verbatim, "
     "and the HTML page reduces to its heading (its one paragraph is "
     "under the 25-char block bar — the quality filter working as "
-    "designed); the trailing-slash URL canonicalizes away. Oracle = "
-    "the hand-derived document table.",
+    "designed); the trailing-slash URL canonicalizes away; the legacy "
+    "windows-1252 page's whole body is under the block bar and "
+    "reduces to empty (kept as a row — emptiness is a downstream "
+    "quality-filter concern). Oracle = the hand-derived document "
+    "table.",
     oracle="""
         SELECT * FROM (VALUES
             ('http://example.com', 'html', 'Hello crawl',
              CAST(11 AS BIGINT)),
             ('http://example.com/gz.txt', 'txt',
              'Gzipped body decoding works.', CAST(28 AS BIGINT)),
+            ('http://example.com/legacy', 'html', '', CAST(0 AS BIGINT)),
             ('http://example.com/plain.txt', 'txt',
              'Chunked transfer decoding works.', CAST(32 AS BIGINT))
         ) AS t(path, doc_type, content, n_bytes)

@@ -330,6 +330,73 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_shingle_dedup_twin",
+    "Batch twin of streaming.windows.stream_shingle_dedup — the last "
+    "streaming operator whose math had only pytest evidence. The "
+    "corpus is doubled with WHITESPACE-MANGLED clones (every space "
+    "doubled): whitespace tokenization makes each clone's k=3 shingle "
+    "SET identical to its original's, so the 128-bit sorted-shingle "
+    "digest collapses every (doc, clone) pair to one survivor, and "
+    "all too-short docs (< 3 tokens, empty shingle set) collapse to "
+    "a single survivor. The operator's survivor CHOICE is arbitrary "
+    "(dropDuplicates), so the projection is survivor-invariant: per "
+    "shingle-set size, the number of digest groups (= survivors) and "
+    "the number of input docs. The oracle recomputes the groups with "
+    "DuckDB list algebra over the same tokenization — set equality, "
+    "not hashes, so a digest collision would surface as a mismatch.",
+    oracle=r"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, regexp_replace(text, ' ', '  ', 'g')
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM d
+        ),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN list_sort(list_distinct(
+                       list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                   ELSE [] END AS sh
+            FROM t
+        ),
+        g AS (SELECT sh, COUNT(*) AS grp_docs FROM s GROUP BY sh)
+        SELECT CAST(len(sh) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(grp_docs) AS BIGINT) AS n_docs
+        FROM g GROUP BY len(sh)
+    """,
+    tags=("dedup", "streaming"),
+)
+def q_stream_shingle_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.text_stats import rolling_hash_shingles
+    from evaporate_spark.streaming.windows import stream_shingle_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", " ", "  ").alias("text"),
+    )
+    corpus = d.unionByName(mangled)
+    surv = stream_shingle_dedup(corpus, text_col="text", k=3)
+    n_sh = F.size(rolling_hash_shingles(F.col("text"), 3))
+    groups = (
+        surv.select(n_sh.alias("n_shingles"))
+        .groupBy("n_shingles")
+        .agg(F.count("*").alias("n_groups"))
+    )
+    docs = (
+        corpus.select(n_sh.alias("n_shingles"))
+        .groupBy("n_shingles")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return groups.join(docs, "n_shingles")
+
+
+@register(
     "q_dup_clusters",
     "Duplicate-CLUSTER assembly: connected components (alternating "
     "large-star/small-star, O(log n) rounds, edge-only state) over the "

@@ -31,6 +31,7 @@ fixtures (real framing, authored payloads).
 
 from __future__ import annotations
 
+import re
 import zlib
 from collections.abc import Iterator
 from dataclasses import dataclass, field
@@ -140,6 +141,35 @@ def _dechunk(body: bytes) -> bytes:
     return bytes(out)
 
 
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]{0,500}?charset\s*=\s*["']?\s*([a-zA-Z0-9_.:\-]+)""",
+    re.IGNORECASE,
+)
+
+
+def _sniff_charset(body: bytes) -> str | None:
+    """HTML5-style in-page charset detection for responses whose
+    Content-Type header names no charset: BOM first, then a bounded
+    prescan of the first 1024 bytes for ``<meta charset=...>`` or
+    ``<meta http-equiv="Content-Type" content="...; charset=...">``
+    (both shapes reduce to the same ``charset=`` token). Legacy crawls
+    are full of header-less windows-1252 pages — decoding those as
+    utf-8-replace feeds mojibake straight into training text."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = _META_CHARSET.search(body[:1024])
+    if m:
+        name = m.group(1).decode("ascii", errors="replace").strip()
+        # HTML5 quirk: pages declaring the ASCII-superset aliases mean
+        # windows-1252 in every shipping browser
+        if name.lower() in ("iso-8859-1", "latin-1", "ascii", "us-ascii"):
+            return "windows-1252"
+        return name
+    return None
+
+
 @dataclass
 class HttpResponse:
     status: int
@@ -148,9 +178,11 @@ class HttpResponse:
 
     def text(self) -> str:
         ctype = self.headers.get("content-type", "")
-        charset = "utf-8"
+        charset = None
         if "charset=" in ctype:
             charset = ctype.split("charset=")[-1].split(";")[0].strip(" \"'")
+        if not charset:
+            charset = _sniff_charset(self.body) or "utf-8"
         try:
             return self.body.decode(charset, errors="replace")
         except LookupError:
@@ -259,6 +291,7 @@ def read_warc(
     path: str,
     warc_types: tuple[str, ...] = ("response",),
     glob: str | None = None,
+    max_shard_bytes: int = 1_800_000_000,
 ) -> DataFrame:
     """Directory of `.warc` / `.warc.gz` shards → one row per record:
     (warc_file, record_index, warc_type, url, date, mime, http_status,
@@ -266,12 +299,37 @@ def read_warc(
     (chunked + content-encoding + charset); non-http records carry
     their payload as tolerant utf-8 text. Corrupt shards yield one
     err row per file, never a failed task. Per-shard parallelism —
-    the Common Crawl layout is tens of thousands of ~1 GB members."""
+    the Common Crawl layout is tens of thousands of ~1 GB members.
+
+    ``max_shard_bytes`` (default 1.8 GB) maps oversized shards to a
+    typed per-shard err row instead of the opaque JVM failure Spark's
+    ~2 GB binary-row limit would raise. The size predicate is pushed
+    into the binaryFile source (it filters on the LENGTH metadata
+    column), so oversized files are never read at all."""
     reader = spark.read.format("binaryFile").option(
         "recursiveFileLookup", "true"
     )
     reader = reader.option("pathGlobFilter", glob or "*.warc*")
-    files = reader.load(path).select("path", "content")
+    loaded = reader.load(path)
+    files = loaded.where(F.col("length") <= max_shard_bytes).select(
+        "path", "content"
+    )
+    oversized = loaded.where(F.col("length") > max_shard_bytes).select(
+        F.col("path").alias("warc_file"),
+        F.lit(None).cast("long").alias("record_index"),
+        F.lit(None).cast("string").alias("warc_type"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("date"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("long").alias("http_status"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(
+            F.lit("oversized WARC shard ("),
+            F.col("length"),
+            F.lit(f" bytes > max_shard_bytes={max_shard_bytes})"),
+        ).alias("err"),
+    )
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -327,7 +385,7 @@ def read_warc(
                          "err"],
             )
 
-    return files.mapInPandas(
+    parsed = files.mapInPandas(
         batches,
         schema=(
             "warc_file string, record_index long, warc_type string, "
@@ -335,6 +393,7 @@ def read_warc(
             "n_bytes long, text string, err string"
         ),
     )
+    return parsed.unionByName(oversized)
 
 
 def warc_to_documents(records: DataFrame) -> DataFrame:

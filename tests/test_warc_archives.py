@@ -202,3 +202,53 @@ def test_read_document_archives_operator(spark, tmp_path):
         assert (shard, ".hidden") not in got
     assert got[("bad.zip", None)]["doc_type"] == "err"
     assert all(k[0] != "ignored.txt" for k in got)
+
+
+def test_meta_charset_sniff_when_header_has_no_charset():
+    # Legacy crawl page: header names no charset; in-page <meta> does.
+    body = (
+        b'<html><head><meta charset="windows-1252"></head>'
+        b"<body>caf\xe9 \x93quoted\x94</body></html>"
+    )
+    resp = parse_http_response(
+        http_response_bytes(200, body, content_type="text/html")
+    )
+    text = resp.text()
+    assert "café" in text and "“quoted”" in text
+    # http-equiv shape sniffs the same token
+    body2 = (
+        b'<html><head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=windows-1252"></head>'
+        b"<body>s\xf6k</body></html>"
+    )
+    resp2 = parse_http_response(
+        http_response_bytes(200, body2, content_type="text/html")
+    )
+    assert "sök" in resp2.text()
+    # a header charset still WINS over the in-page meta
+    body3 = '<meta charset="utf-16">plain ascii'.encode("ascii")
+    resp3 = parse_http_response(
+        http_response_bytes(
+            200, body3, content_type="text/html; charset=utf-8"
+        )
+    )
+    assert "plain ascii" in resp3.text()
+    # latin-1 declarations mean windows-1252 in practice (HTML5 rule)
+    body4 = b'<meta charset="iso-8859-1">\x97dash'
+    resp4 = parse_http_response(
+        http_response_bytes(200, body4, content_type="text/html")
+    )
+    assert "—dash" in resp4.text()
+
+
+def test_read_warc_oversized_shard_yields_typed_err_row(spark, tmp_path):
+    from evaporate_spark.sources.warc import read_warc
+
+    (tmp_path / "small.warc").write_bytes(warc_write(_sample_records()[:3]))
+    (tmp_path / "huge.warc").write_bytes(b"x" * 4096)
+    recs = read_warc(spark, str(tmp_path), max_shard_bytes=2048).collect()
+    by_file = {os.path.basename(r["warc_file"]): r for r in recs}
+    huge = by_file["huge.warc"]
+    assert huge["err"] is not None and "oversized" in huge["err"]
+    assert huge["record_index"] is None and huge["n_bytes"] == 4096
+    assert by_file["small.warc"]["err"] is None

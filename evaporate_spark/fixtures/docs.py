@@ -93,6 +93,22 @@ ARCHIVE_TEXTS = {
     "corpus/beta.html": "<html><body><p>Beta doc.</p></body></html>",
 }
 ARCHIVE_PDF_TEXT = "Gamma from PDF."
+ARCHIVE_DOCX_TEXT = "Delta from DOCX member."
+
+# authored office fixtures (q_office_text oracle derives from these)
+OFFICE_DOCX_PARAS = [
+    "Quarterly metrics review.",
+    "Risks & mitigations are <tracked>.",
+]
+OFFICE_DOCX_TABLE = [["metric", "value"], ["uptime", "99.9"]]
+OFFICE_DOCX_TEXT = (
+    "Quarterly metrics review.\nRisks & mitigations are <tracked>.\n"
+    "metric\tvalue\nuptime\t99.9"
+)
+OFFICE_PPTX_SLIDES = [["Roadmap 2024", "Phase one"], ["Phase two"]]
+OFFICE_PPTX_TEXT = "Roadmap 2024\nPhase one\fPhase two"
+OFFICE_XLSX_SHEETS = [[["region", "units"], ["emea", "120"]]]
+OFFICE_XLSX_TEXT = "region\tunits\nemea\t120"
 
 # authored boilerplate-removal page: the q_main_content oracle states
 # MAIN_CONTENT_TEXT literally, so fixture and expectation co-evolve
@@ -188,12 +204,26 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
         ],
         gzip_per_record=True,
     )
+    from evaporate_spark.sources.office import (
+        docx_write,
+        pptx_write,
+        xlsx_write,
+    )
+
     members = dict(
         {k: v.encode() for k, v in ARCHIVE_TEXTS.items()},
-        **{"corpus/gamma.pdf": pdf_write([[ARCHIVE_PDF_TEXT]])},
+        **{
+            "corpus/gamma.pdf": pdf_write([[ARCHIVE_PDF_TEXT]]),
+            "corpus/delta.docx": docx_write([ARCHIVE_DOCX_TEXT]),
+        },
     )
     files["docs_archive.zip"] = zip_write(members)
     files["docs_archive.tar.gz"] = targz_write(members)
+    files["report_metrics.docx"] = docx_write(
+        OFFICE_DOCX_PARAS, table=OFFICE_DOCX_TABLE
+    )
+    files["deck_roadmap.pptx"] = pptx_write(OFFICE_PPTX_SLIDES)
+    files["grid_regions.xlsx"] = xlsx_write(OFFICE_XLSX_SHEETS)
     from evaporate_spark.operators.subtitles import srt_write
 
     files["clip_captions.srt"] = srt_write(SUBTITLE_CUES).encode()

@@ -344,23 +344,28 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_archive_doclake",
     "REAL archive-shard doc-lake expansion (sources/archives.py): a "
-    "zip and a tar.gz shard, each holding the same txt + html + PDF "
-    "members, expand inside the scan task to canonical document rows "
-    "(PDF members route through the pure-python extractor). Oracle = "
-    "the authored member table, proving zip and tar paths agree "
-    "byte-for-byte on content length and type routing.",
+    "zip and a tar.gz shard, each holding the same txt + html + PDF + "
+    "DOCX members, expand inside the scan task to canonical document "
+    "rows (PDF members route through the pure-python extractor, DOCX "
+    "through the stdlib OOXML extractor). Oracle = the authored "
+    "member table, proving zip and tar paths agree byte-for-byte on "
+    "content length and type routing.",
     oracle="""
         SELECT * FROM (VALUES
             ('docs_archive.zip', 'corpus/alpha.txt', 'txt',
              CAST(20 AS BIGINT), CAST(20 AS BIGINT)),
             ('docs_archive.zip', 'corpus/beta.html', 'html',
              CAST(42 AS BIGINT), CAST(42 AS BIGINT)),
+            ('docs_archive.zip', 'corpus/delta.docx', 'docx',
+             CAST(23 AS BIGINT), CAST(931 AS BIGINT)),
             ('docs_archive.zip', 'corpus/gamma.pdf', 'pdf',
              CAST(15 AS BIGINT), CAST(750 AS BIGINT)),
             ('docs_archive.tar.gz', 'corpus/alpha.txt', 'txt',
              CAST(20 AS BIGINT), CAST(20 AS BIGINT)),
             ('docs_archive.tar.gz', 'corpus/beta.html', 'html',
              CAST(42 AS BIGINT), CAST(42 AS BIGINT)),
+            ('docs_archive.tar.gz', 'corpus/delta.docx', 'docx',
+             CAST(23 AS BIGINT), CAST(931 AS BIGINT)),
             ('docs_archive.tar.gz', 'corpus/gamma.pdf', 'pdf',
              CAST(15 AS BIGINT), CAST(750 AS BIGINT))
         ) AS t(archive, member, doc_type, n_chars, n_bytes)
@@ -378,6 +383,43 @@ def q_archive_doclake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_type",
         F.length("content").cast("bigint").alias("n_chars"),
         "n_bytes",
+    )
+
+
+@register(
+    "q_office_text",
+    "REAL Office-document ingest (sources/office.py — ECMA-376 OOXML "
+    "via stdlib zip+XML, no Python outside the office rows): committed "
+    ".docx (paragraphs, split runs, a table), .pptx (two slides, "
+    "numeric order), and .xlsx (inline-string grid) fixtures route "
+    "through read_document_dir(office=True) into canonical document "
+    "rows, suffix as doc_type. Oracle = the authored text table "
+    "(first_line pins paragraph order; n_chars pins the whole "
+    "extraction; n_bytes pins the committed container).",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('deck_roadmap.pptx', 'pptx', CAST(32 AS BIGINT),
+             'Roadmap 2024', CAST(1279 AS BIGINT)),
+            ('grid_regions.xlsx', 'xlsx', CAST(21 AS BIGINT),
+             'region\tunits', CAST(973 AS BIGINT)),
+            ('report_metrics.docx', 'docx', CAST(85 AS BIGINT),
+             'Quarterly metrics review.', CAST(1015 AS BIGINT))
+        ) AS t(file, doc_type, n_chars, first_line, n_bytes)
+    """,
+    tags=("doclake",),
+)
+def q_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    docs = read_document_dir(
+        spark, DOCS_DIR, glob="*.{docx,pptx,xlsx}", office=True
+    )
+    return docs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "doc_type",
+        F.length("content").cast("bigint").alias("n_chars"),
+        F.element_at(F.split("content", "[\\n\\f]"), 1).alias("first_line"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
     )
 
 

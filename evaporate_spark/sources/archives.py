@@ -61,6 +61,14 @@ def _member_rows(archive_path: str, raw: bytes) -> list[tuple]:
             except Exception:
                 text = ""
             dtype = "pdf"
+        elif low.endswith((".docx", ".pptx", ".xlsx")):
+            from evaporate_spark.sources.office import office_text
+
+            dtype = low.rsplit(".", 1)[-1]
+            try:
+                text = office_text(data, "." + dtype)
+            except Exception:
+                text = ""
         else:
             text = data.decode("utf-8", errors="replace")
             dtype = "html" if low.endswith((".html", ".htm")) else "txt"

@@ -29,6 +29,7 @@ def read_document_dir(
     recursive: bool = True,
     glob: str | None = None,
     pdf_text: bool = False,
+    office: bool = False,
 ) -> DataFrame:
     """Read a directory of text/HTML files as documents.
 
@@ -46,6 +47,11 @@ def read_document_dir(
     only — PDF ingest is an engine addition (SURVEY §2B scans row);
     its flagship corpus (FDA 510(k), ``reference/run.sh:4-27``) is a
     PDF-derived lake.
+
+    With ``office=True``, ``.docx``/``.pptx``/``.xlsx`` files route
+    through the stdlib OOXML extractor (:mod:`sources.office`, the
+    same Arrow-batched shape as PDF) with their suffix as
+    ``doc_type``; corrupt office files degrade to empty content.
     """
     reader = spark.read.format("binaryFile")
     if recursive:
@@ -57,7 +63,12 @@ def read_document_dir(
         ~F.element_at(F.split(F.col("path"), "/"), -1).startswith(".")
     ).where(~F.col("path").endswith(".swp"))
     is_pdf = F.lower(F.col("path")).endswith(".pdf")
-    text_side = base.where(~is_pdf) if pdf_text else base
+    is_office = F.lower(F.col("path")).rlike(r"\.(docx|pptx|xlsx)$")
+    text_side = base
+    if pdf_text:
+        text_side = text_side.where(~is_pdf)
+    if office:
+        text_side = text_side.where(~is_office)
     # errors-tolerant decode (reference contract is utf-8 with errors
     # ignored, profiler_utils.py:347-357): BOM-sniff first — UTF-16/
     # UTF-8 BOMs are decoded per their charset (a UTF-16 file pushed
@@ -89,17 +100,29 @@ def read_document_dir(
         .alias("doc_type"),
         F.col("length").alias("n_bytes"),
     )
-    if not pdf_text:
-        return decoded
-    from evaporate_spark.operators.pdf import extract_pdf_text_df
+    out = decoded
+    if pdf_text:
+        from evaporate_spark.operators.pdf import extract_pdf_text_df
 
-    pdf_docs = extract_pdf_text_df(base.where(is_pdf)).select(
-        "path",
-        F.coalesce(F.col("text"), F.lit("")).alias("content"),
-        F.lit("pdf").alias("doc_type"),
-        F.col("n_bytes").cast("bigint").alias("n_bytes"),
-    )
-    return decoded.unionByName(pdf_docs)
+        pdf_docs = extract_pdf_text_df(base.where(is_pdf)).select(
+            "path",
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            F.lit("pdf").alias("doc_type"),
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+        out = out.unionByName(pdf_docs)
+    if office:
+        from evaporate_spark.sources.office import extract_office_text_df
+
+        office_docs = extract_office_text_df(base.where(is_office)).select(
+            "path",
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            F.regexp_extract(F.lower("path"), r"\.(docx|pptx|xlsx)$", 1)
+            .alias("doc_type"),
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+        out = out.unionByName(office_docs)
+    return out
 
 
 def read_document_lake(spark: SparkSession, sf_dir_or_path: str) -> DataFrame:

@@ -1,0 +1,153 @@
+"""Office-document ingest (sources/office.py): docx/pptx/xlsx text
+extraction, doc-lake routing, archive-member routing (engine
+addition — the reference reads txt/html only)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from evaporate_spark.sources.office import (
+    docx_text,
+    docx_write,
+    office_text,
+    pptx_text,
+    pptx_write,
+    xlsx_text,
+    xlsx_write,
+)
+
+
+def test_docx_paragraphs_runs_breaks_and_tables():
+    raw = docx_write(
+        ["First paragraph.", "Has <markup> & entities."],
+        table=[["h1", "h2"], ["a", "b"]],
+    )
+    assert docx_text(raw) == (
+        "First paragraph.\nHas <markup> & entities.\nh1\th2\na\tb"
+    )
+    # split runs, tabs, and breaks concatenate in order
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        "<w:p><w:r><w:t>spl</w:t></w:r><w:r><w:t>it</w:t></w:r>"
+        "<w:r><w:tab/><w:t>tabbed</w:t><w:br/><w:t>broken</w:t></w:r>"
+        "</w:p></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    assert docx_text(buf.getvalue()) == "split\ttabbed\nbroken"
+
+
+def test_pptx_slide_order_is_numeric_not_lexical():
+    raw = pptx_write([[f"Slide {i}"] for i in range(1, 12)])
+    text = pptx_text(raw)
+    slides = text.split("\f")
+    assert slides[0] == "Slide 1" and slides[9] == "Slide 10"
+    assert len(slides) == 11
+
+
+def test_xlsx_shared_and_inline_strings_and_numbers():
+    # writer uses inline strings
+    assert xlsx_text(xlsx_write([[["name", "qty"], ["ore", "7"]]])) == (
+        "name\tqty\nore\t7"
+    )
+    # hand-built container exercises the sharedStrings + numeric path
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    shared = (
+        f'<sst xmlns="{ns}"><si><t>alpha</t></si>'
+        "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+    )
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1"><v>3.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert xlsx_text(buf.getvalue()) == "alpha\trich\t3.5"
+
+
+def test_office_text_dispatch_and_errors():
+    assert office_text(docx_write(["x"]), ".docx") == "x"
+    with pytest.raises(ValueError):
+        office_text(b"", ".odt")
+    with pytest.raises(Exception):
+        docx_text(b"not a zip")
+
+
+def test_fixture_writers_are_deterministic():
+    assert docx_write(["a", "b"]) == docx_write(["a", "b"])
+    assert pptx_write([["s"]]) == pptx_write([["s"]])
+    assert xlsx_write([[["v"]]]) == xlsx_write([[["v"]]])
+
+
+def test_extract_office_text_df_operator(spark, tmp_path):
+    from evaporate_spark.sources.office import extract_office_text_df
+
+    (tmp_path / "m.docx").write_bytes(
+        docx_write(["Doc body para."], table=[["k", "v"]])
+    )
+    (tmp_path / "s.pptx").write_bytes(pptx_write([["T1"], ["T2"]]))
+    (tmp_path / "g.xlsx").write_bytes(xlsx_write([[["a", "b"]]]))
+    (tmp_path / "bad.docx").write_bytes(b"corrupt")
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.*x")
+        .load(str(tmp_path))
+        .select("path", "content")
+    )
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in extract_office_text_df(files).collect()
+    }
+    assert rows["m.docx"]["text"] == "Doc body para.\nk\tv"
+    assert rows["s.pptx"]["text"] == "T1\fT2"
+    assert rows["g.xlsx"]["text"] == "a\tb"
+    bad = rows["bad.docx"]
+    assert bad["err"] is not None and bad["text"] is None
+
+
+def test_docx_routing_in_document_dir_and_archives(spark, tmp_path):
+    from evaporate_spark.sources.archives import read_document_archives, zip_write
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    (tmp_path / "dir").mkdir()
+    (tmp_path / "dir" / "a.docx").write_bytes(docx_write(["From dir."]))
+    (tmp_path / "dir" / "plain.txt").write_text("plain text")
+    docs = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in read_document_dir(
+            spark, str(tmp_path / "dir"), office=True
+        ).collect()
+    }
+    assert docs["a.docx"]["content"] == "From dir."
+    assert docs["a.docx"]["doc_type"] == "docx"
+    assert docs["plain.txt"]["content"] == "plain text"
+
+    shard = zip_write(
+        {
+            "c/inner.docx": docx_write(["From archive."]),
+            "c/deck.pptx": pptx_write([["Slide text"]]),
+            "c/grid.xlsx": xlsx_write([[["q", "1"]]]),
+        }
+    )
+    (tmp_path / "shard.zip").write_bytes(shard)
+    members = {
+        r["path"].split("!")[-1]: r
+        for r in read_document_archives(spark, str(tmp_path)).collect()
+    }
+    assert members["c/inner.docx"]["content"] == "From archive."
+    assert members["c/inner.docx"]["doc_type"] == "docx"
+    assert members["c/deck.pptx"]["content"] == "Slide text"
+    assert members["c/deck.pptx"]["doc_type"] == "pptx"
+    assert members["c/grid.xlsx"]["content"] == "q\t1"
+    assert members["c/grid.xlsx"]["doc_type"] == "xlsx"

@@ -17,14 +17,50 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword lexicons for the n-gram/stopword heuristic
-# language-ID operator. Deliberately small and deterministic.
+# Tiny per-language stopword lexicons for the stopword-argmax half of
+# the language-ID operator (space-delimited latin-script languages).
+# Deliberately small and deterministic. Non-latin scripts (zh/ja/ko/
+# ru/ar/hi) are detected by SCRIPT_RANGES character counting instead —
+# whitespace tokens are useless for unsegmented CJK text.
 LANG_LEXICONS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht"),
     "en": ("the", "a", "of", "and", "is", "to"),
     "es": ("el", "la", "de", "que", "y", "los"),
     "fr": ("le", "la", "et", "les", "des", "un"),
-    "zh": ("的", "了", "是", "我", "不", "在"),
+    "it": ("il", "che", "di", "per", "non", "una"),
+    "pt": ("o", "que", "de", "em", "para", "não", "uma"),
+}
+
+# Unicode block ranges for script-based language ID. Han/kana/hangul
+# resolve within the CJK family (kana ⇒ ja, hangul ⇒ ko, else zh);
+# the others map 1:1 to their dominant language — the standard cheap
+# routing granularity for corpus pipelines.
+SCRIPT_RANGES: dict[str, str] = {
+    "han": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힯",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+}
+
+# One authored sentence per detectable language (used by the
+# q_lang_id_profile oracle row and tests — no external data). Each is
+# written so its language's signal strictly wins: ≥5 lexicon hits for
+# latin languages, unambiguous script for the rest.
+LANG_SAMPLES: dict[str, str] = {
+    "de": "der zug ist nicht da und die tür ist zu",
+    "en": "the cat is on the mat and a dog is to the left of it",
+    "es": "el perro y la casa de los niños que juegan",
+    "fr": "le chien et la maison des enfants un jour les arbres",
+    "it": "il cane che corre di qua e non si ferma per una volta",
+    "pt": "o cão não corre em casa para uma festa que dura",
+    "ru": "собака бежит по дому и не останавливается весь день",
+    "ar": "الكلب يجري في البيت ولا يتوقف طوال اليوم",
+    "hi": "कुत्ता घर में दौड़ता है और रुकता नहीं",
+    "zh": "狗在房子里跑来跑去整天不停下来",
+    "ja": "犬は家の中を走り回っています",
+    "ko": "개가 집 안을 뛰어다니고 있어요",
 }
 
 DEFAULT_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
@@ -92,12 +128,34 @@ def quality_score(col: Column | str, rounded: bool = True) -> Column:
     return F.round(raw, 4) if rounded else raw
 
 
+def script_char_count(col: Column | str, script: str) -> Column:
+    """Number of characters of ``col`` in the Unicode block of
+    ``script`` (a :data:`SCRIPT_RANGES` key) — one JVM regexp pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, f"[^{SCRIPT_RANGES[script]}]", ""))
+
+
 def lang_id(col: Column | str) -> Column:
-    """Heuristic language ID: argmax of per-language lexicon hits over
-    whitespace tokens; deterministic alphabetical tie-break; 'und'
-    (undetermined) when no lexicon matches.
+    """Heuristic language ID across scripts, all JVM expressions.
+
+    Two signals, mirrored exactly by the DuckDB oracle:
+
+    1. **Stopword argmax** over whitespace tokens for latin-script
+       languages (:data:`LANG_LEXICONS`; deterministic alphabetical
+       first-max tie-break) — input should be lowercased.
+    2. **Script character counts** (:data:`SCRIPT_RANGES`) for
+       unsegmented / non-latin scripts: within the CJK family kana ⇒
+       ja, hangul ⇒ ko, else zh; cyrillic ⇒ ru, arabic ⇒ ar,
+       devanagari ⇒ hi (fixed precedence cjk > cyrillic > arabic >
+       devanagari on exact ties).
+
+    The script path wins only when its char count strictly exceeds
+    the best stopword hit count — a latin document quoting a few CJK
+    characters stays latin-classified. 'und' when both signals are
+    zero.
     """
-    toks = ws_tokens(col)
+    c = F.col(col) if isinstance(col, str) else col
+    toks = ws_tokens(c)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang in sorted(LANG_LEXICONS):  # later langs win ties only if strictly greater
@@ -109,7 +167,21 @@ def lang_id(col: Column | str) -> Column:
         is_better = hits > best_hits
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(is_better, hits).otherwise(best_hits)
-    return best_lang
+    s = {name: script_char_count(c, name) for name in SCRIPT_RANGES}
+    cjk = s["han"] + s["kana"] + s["hangul"]
+    script_max = F.greatest(cjk, s["cyrillic"], s["arabic"], s["devanagari"])
+    script_lang = (
+        F.when(
+            cjk == script_max,
+            F.when(s["kana"] > 0, F.lit("ja"))
+            .when(s["hangul"] > 0, F.lit("ko"))
+            .otherwise(F.lit("zh")),
+        )
+        .when(s["cyrillic"] == script_max, F.lit("ru"))
+        .when(s["arabic"] == script_max, F.lit("ar"))
+        .otherwise(F.lit("hi"))
+    )
+    return F.when(script_max > best_hits, script_lang).otherwise(best_lang)
 
 
 def _isin_lambda(words: tuple[str, ...]):

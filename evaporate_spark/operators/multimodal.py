@@ -53,6 +53,22 @@ table-driven CCITT fax decode above) and modern video bitstreams
 in :func:`resize_images` / :func:`sample_video_frames`; the operator
 shapes are identical either way, so a Pillow/PyAV deployment swaps the
 inner step without touching callers.
+
+Why MP3/AAC/Vorbis DECODE stays stubbed while JPEG decode is real (the
+round-8 negative result — do not re-attempt offline): JPEG bitstreams
+are SELF-DESCRIBING — every Huffman and quantization table a decoder
+needs ships inside the file (DHT/DQT segments), so a from-scratch
+decoder requires no spec constants beyond the 64-entry zigzag. MP3's
+Layer III Huffman code tables (34 tables, ~2,000 entries), scalefactor
+band partitions per sample rate, and the 512-tap synthesis-filterbank
+window exist ONLY as tables in ISO/IEC 11172-3 — they are not in the
+bitstream, have no closed form, and this container has no independent
+mp3 codec (the JDK ships none) to validate a re-typing against.
+Hand-reconstructing ~2,500 constants and "validating" them with a
+same-tables encoder would be the circular-anchor pattern the CCITT
+work (r7) specifically replaced with JDK cross-validation. Container
+parsing (frame walk, duration, bitrate, ID3) IS real
+(:mod:`operators.mpeg_audio`); sample decode needs a real codec lib.
 """
 
 from __future__ import annotations

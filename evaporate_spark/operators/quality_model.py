@@ -1,0 +1,213 @@
+"""Trained document-quality classifier (CCNet-style) — the learned
+counterpart to the rule-based ``functions.text_stats.quality_score``
+heuristics. Engine addition (SURVEY §2C corpus hygiene): every
+production pretraining pipeline pairs its cheap rules with a small
+trained filter (a linear model over hashed n-gram features, per the
+CCNet / fastText-quality recipe) scored lake-wide.
+
+Spark-first split of labor:
+
+- **Training** uses Spark ML ``LogisticRegression`` over the engine's
+  existing JVM-side hashed-token features
+  (:func:`functions.embed.feature_hash_embedding` →
+  ``pyspark.ml.functions.array_to_vector``). Labeled sets are usually
+  tiny relative to the lake (thousands of rows), so the features are
+  coalesced to one partition, making LBFGS's treeAggregate order — and
+  therefore the fitted weights — deterministic for fixture-sized
+  inputs. Pass ``coalesce_train=False`` for genuinely large labeled
+  sets where determinism matters less than parallelism.
+- **Scoring** never touches Python beyond the Arrow-batched bincount
+  inside the embedding: the fitted weights become an array literal and
+  the logit is a JVM ``zip_with``/``aggregate`` dot product + sigmoid.
+  At 100 TB this is scan-stage column work — zero shuffle, zero
+  driver involvement, weights shipped inside the plan (a few KB).
+
+The xxhash64 feature hashing is not reproducible in DuckDB, so the
+registry row is rows-only (the q_simhash_dups precedent); the
+semantics are pinned by ground-truth pytest instead (separation on a
+held-out authored set, exact-threshold filtering, deterministic
+refit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from evaporate_spark.functions.embed import feature_hash_embedding
+
+
+def _token_total(col: Column | str) -> Column:
+    """Number of hashed tokens — the L1 mass of the feature vector,
+    computed JVM-side (same \\w+ tokenization as the embedding) so the
+    vector itself is never evaluated twice."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"\w+"), 0))
+
+# Authored labeled examples (prose = 1, boilerplate = 0) for fixture
+# training — the shapes a crawl actually contains: navigation, cookie
+# banners, link farms, SEO keyword stuffing vs. encyclopedic prose.
+QUALITY_TRAIN_EXAMPLES: list[tuple[str, int]] = [
+    ("The river delta floods each spring, depositing silt that makes "
+     "the surrounding farmland unusually fertile.", 1),
+    ("Researchers measured the thermal conductivity of the alloy and "
+     "found it varies linearly with temperature.", 1),
+    ("After the treaty was signed, trade between the two kingdoms "
+     "resumed and the border towns prospered.", 1),
+    ("The recipe calls for kneading the dough until it is smooth and "
+     "letting it rest for an hour before baking.", 1),
+    ("Astronomers confirmed the exoplanet's orbit by observing three "
+     "consecutive transits of its host star.", 1),
+    ("She revised the manuscript over the winter, cutting two chapters "
+     "and rewriting the ending entirely.", 1),
+    ("The committee reviewed the proposal and concluded that the "
+     "bridge design met all safety requirements.", 1),
+    ("Glaciers in the region have retreated steadily since the survey "
+     "began, exposing rock that was covered for centuries.", 1),
+    ("The museum restored the painting carefully, removing layers of "
+     "varnish that had darkened the original colors.", 1),
+    ("Farmers in the valley rotate wheat with legumes to keep the "
+     "soil's nitrogen balance stable across seasons.", 1),
+    ("The court held that the contract was enforceable because both "
+     "parties had clearly agreed to its terms.", 1),
+    ("Engineers traced the outage to a corroded junction box and "
+     "replaced the wiring along the entire segment.", 1),
+    ("Home | About | Contact | Privacy | Terms | Sitemap", 0),
+    ("Click here click here BUY NOW best price best price deal deal "
+     "deal free shipping", 0),
+    ("cookie policy accept cookies we use cookies manage preferences "
+     "accept all reject all cookie settings", 0),
+    ("login register login register forgot password username password "
+     "submit reset", 0),
+    ("cheap hotels cheap flights cheap cars cheap insurance cheap "
+     "loans cheap deals cheap cheap", 0),
+    ("Copyright 2024 All rights reserved. Terms of use. Privacy "
+     "policy. Do not sell my info.", 0),
+    ("next page previous page page 1 page 2 page 3 page 4 page 5 "
+     "last page", 0),
+    ("share on facebook share on twitter share on linkedin share via "
+     "email print this page", 0),
+    ("404 not found error page not found go back home try again "
+     "search search search", 0),
+    ("subscribe newsletter subscribe now enter email subscribe "
+     "unsubscribe at any time subscribe", 0),
+    ("tags: news sports weather finance travel lifestyle opinion "
+     "video photos trending popular", 0),
+    ("related posts related articles you may also like sponsored "
+     "content recommended for you", 0),
+]
+
+# held-out authored examples (never trained on) for the ground-truth
+# separation check
+QUALITY_HOLDOUT_EXAMPLES: list[tuple[str, int]] = [
+    ("The lighthouse keeper recorded the storm in his log and noted "
+     "that the waves had reached the lower gallery.", 1),
+    ("Botanists catalogued forty new fern species during the "
+     "expedition, most of them growing on shaded cliff faces.", 1),
+    ("sign in sign up menu home trending subscribe footer links "
+     "advertise here contact us", 0),
+    ("hot deals hot deals limited offer act now click click click "
+     "winner winner", 0),
+]
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    """Fitted linear quality filter: plain floats, picklable, and
+    scoreable as a pure Column expression (no model server, no Python
+    in the scoring path)."""
+
+    weights: tuple[float, ...]
+    intercept: float
+    dim: int
+
+    def score_column(self, col: Column | str) -> Column:
+        """P(quality | text) as a JVM sigmoid over the L1-normalized
+        hashed-feature dot product (normalization distributes over the
+        dot product, so the vector is built once and divided after)."""
+        emb = feature_hash_embedding(col, self.dim)
+        w = F.array(*[F.lit(float(x)) for x in self.weights])
+        dot = F.aggregate(
+            F.zip_with(emb, w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = F.greatest(_token_total(col), F.lit(1)).cast("double")
+        logit = dot / total + F.lit(float(self.intercept))
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    dim: int = 256,
+    reg_param: float = 0.001,
+    max_iter: int = 100,
+    coalesce_train: bool = True,
+) -> QualityModel:
+    """Fit the linear filter with Spark ML LogisticRegression over
+    hashed-token count features. Returns plain-float weights —
+    serializable without Spark ML model persistence."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from evaporate_spark.functions.text_stats import bind_once
+
+    total = F.greatest(_token_total(text_col), F.lit(1)).cast("double")
+    # bind (embedding, total) once — a bare `total` inside the
+    # transform lambda would be re-evaluated per element (the HOF
+    # inlining trap); a bound struct field is a plain reference.
+    norm = bind_once(
+        F.struct(
+            feature_hash_embedding(text_col, dim).alias("e"),
+            total.alias("t"),
+        ),
+        lambda s: F.transform(s["e"], lambda x: x / s["t"]),
+    )
+    feats = labeled.select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(norm).alias("features"),
+    )
+    if coalesce_train:
+        feats = feats.coalesce(1)
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=True
+    )
+    model = lr.fit(feats)
+    return QualityModel(
+        weights=tuple(float(x) for x in model.coefficients.toArray()),
+        intercept=float(model.intercept),
+        dim=dim,
+    )
+
+
+def train_fixture_quality_model(spark, dim: int = 256) -> QualityModel:
+    """The committed-fixture model: trained on the authored labeled
+    examples above — deterministic (single partition, fixed data)."""
+    labeled = spark.createDataFrame(
+        QUALITY_TRAIN_EXAMPLES, "text string, label int"
+    )
+    return train_quality_model(labeled, dim=dim)
+
+
+def score_quality(
+    df: DataFrame,
+    model: QualityModel,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Attach ``out_col`` = P(quality) — scan-stage column work."""
+    return df.withColumn(out_col, model.score_column(text_col))
+
+
+def filter_quality(
+    df: DataFrame,
+    model: QualityModel,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Keep rows the model scores at or above ``threshold``."""
+    return df.where(model.score_column(text_col) >= F.lit(threshold))

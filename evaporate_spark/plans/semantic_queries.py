@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from evaporate_spark.functions.text_stats import (
     LANG_LEXICONS,
+    LANG_SAMPLES,
+    SCRIPT_RANGES,
     DEFAULT_STOPWORDS,
     lang_id,
     punct_ratio,
@@ -494,48 +496,123 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_sample_rows() -> list[tuple[int, str]]:
+    """Deterministic (doc_id, text) rows for the authored per-language
+    samples — shared verbatim by the Spark query and its oracle."""
+    return [
+        (9_000_000 + i, s)
+        for i, (_, s) in enumerate(sorted(LANG_SAMPLES.items()))
+    ]
+
+
 def _lang_id_oracle() -> str:
     hit_cols = ",\n                   ".join(
         f"len(list_filter(toks, x -> list_contains([{_quoted(ws)}], x))) AS h_{lang}"
         for lang, ws in sorted(LANG_LEXICONS.items())
     )
+    script_cols = ",\n                   ".join(
+        f"length(regexp_replace(lt, '[^{rng}]', '', 'g')) AS s_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
     langs = sorted(LANG_LEXICONS)
-    greatest = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    hmax = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
     cases = "\n                ".join(
-        f"WHEN h_{l} = {greatest} THEN '{l}'" for l in langs
+        f"WHEN h_{l} = {hmax} THEN '{l}'" for l in langs
+    )
+    sample_values = ",\n                ".join(
+        f"(CAST({i} AS BIGINT), '{s}')" for i, s in _lang_sample_rows()
     )
     return f"""
-        WITH t AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-            FROM documents
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+                {sample_values}
+            ) v(doc_id, text)
+        ),
+        t AS (
+            SELECT doc_id, lower(text) AS lt,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM base
         ),
         h AS (
             SELECT doc_id,
-                   {hit_cols}
+                   {hit_cols},
+                   {script_cols}
             FROM t
+        ),
+        g AS (
+            SELECT *,
+                   s_han + s_kana + s_hangul AS cjk,
+                   greatest(s_han + s_kana + s_hangul,
+                            s_cyrillic, s_arabic, s_devanagari) AS smax
+            FROM h
         )
         SELECT CASE
-                WHEN {greatest} = 0 THEN 'und'
+                WHEN smax > {hmax} THEN CASE
+                    WHEN cjk = smax THEN CASE
+                        WHEN s_kana > 0 THEN 'ja'
+                        WHEN s_hangul > 0 THEN 'ko'
+                        ELSE 'zh' END
+                    WHEN s_cyrillic = smax THEN 'ru'
+                    WHEN s_arabic = smax THEN 'ar'
+                    ELSE 'hi' END
+                WHEN {hmax} = 0 THEN 'und'
                 {cases}
                END AS lang_guess,
                COUNT(*) AS n_docs
-        FROM h
+        FROM g
         GROUP BY lang_guess
     """
 
 
 @register(
+    "q_quality_model_scores",
+    "Trained quality classifier (operators/quality_model.py — the "
+    "CCNet-style learned filter): Spark ML LogisticRegression fit on "
+    "the authored labeled fixture (deterministic single-partition "
+    "LBFGS), then scored over the corpus as PURE JVM column work "
+    "(L1-normalized hashed-token dot product + sigmoid; the weights "
+    "ship inside the plan). xxhash64 features are not reproducible in "
+    "DuckDB → rows-only driver check (the q_simhash_dups precedent); "
+    "separation, threshold filtering, determinism, and the "
+    "scan-stage-only plan are ground-truth pytest-verified "
+    "(tests/test_quality_model.py).",
+    oracle=None,
+    tags=("textstats", "corpus"),
+)
+def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.quality_model import (
+        score_quality,
+        train_fixture_quality_model,
+    )
+
+    model = train_fixture_quality_model(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_quality(d, model).select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+
+
+@register(
     "q_lang_id_profile",
-    "Heuristic language-ID distribution over the corpus; the oracle "
-    "re-implements the same lexicon-hit argmax in SQL (alphabetical "
-    "first-max tie-break).",
+    "Heuristic language-ID distribution across scripts: stopword-"
+    "argmax for latin languages (en/de/es/fr/it/pt) plus Unicode-"
+    "script character routing for zh/ja/ko/ru/ar/hi, over the corpus "
+    "UNION one authored sample per language (so every branch is "
+    "witnessed). The oracle re-implements both signals in SQL with "
+    "the same tie-breaks.",
     oracle=_lang_id_oracle(),
     tags=("textstats",),
 )
 def q_lang_id_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    samples = d.sparkSession.createDataFrame(
+        _lang_sample_rows(), "doc_id long, text string"
+    )
     return (
-        d.select(lang_id(F.lower("text")).alias("lang_guess"))
+        d.unionByName(samples)
+        .select(lang_id(F.lower("text")).alias("lang_guess"))
         .groupBy("lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

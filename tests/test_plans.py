@@ -28,6 +28,7 @@ EAGER = {
     "q_semantic_closed_ie_ws",
     "q_semantic_openie",
     "q_order_value_deciles",
+    "q_quality_model_scores",  # fixture-model training at plan build
 }
 
 

@@ -1,0 +1,80 @@
+"""Trained quality classifier (operators/quality_model.py) — Spark ML
+LogisticRegression over hashed n-gram features, scored as pure JVM
+column expressions (engine addition, SURVEY §2C corpus hygiene)."""
+
+from __future__ import annotations
+
+import pytest
+
+from evaporate_spark.operators.quality_model import (
+    QUALITY_HOLDOUT_EXAMPLES,
+    QUALITY_TRAIN_EXAMPLES,
+    filter_quality,
+    score_quality,
+    train_fixture_quality_model,
+)
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return train_fixture_quality_model(spark)
+
+
+def test_training_separates_train_and_holdout(spark, model):
+    # ground truth: every authored prose doc outscores every authored
+    # boilerplate doc — on the training set AND the held-out set
+    for examples in (QUALITY_TRAIN_EXAMPLES, QUALITY_HOLDOUT_EXAMPLES):
+        df = spark.createDataFrame(examples, "text string, label int")
+        rows = score_quality(df, model).collect()
+        pos = [r["quality_prob"] for r in rows if r["label"] == 1]
+        neg = [r["quality_prob"] for r in rows if r["label"] == 0]
+        assert min(pos) > max(neg), (min(pos), max(neg))
+
+
+def test_refit_is_deterministic(spark, model):
+    again = train_fixture_quality_model(spark)
+    assert again.weights == model.weights
+    assert again.intercept == model.intercept
+
+
+def test_filter_quality_threshold(spark, model):
+    df = spark.createDataFrame(
+        QUALITY_TRAIN_EXAMPLES, "text string, label int"
+    )
+    kept = filter_quality(df, model, threshold=0.5)
+    labels = [r["label"] for r in kept.collect()]
+    # a model that separates its own training set keeps exactly the
+    # positives at the midpoint threshold
+    assert labels and all(lbl == 1 for lbl in labels)
+    assert len(labels) == sum(1 for _, lbl in QUALITY_TRAIN_EXAMPLES if lbl)
+
+
+def test_scoring_is_repetition_invariant_enough(spark, model):
+    # L1 normalization: stuffing the same boilerplate tokens 10x must
+    # not raise the probability (counts alone would)
+    df = spark.createDataFrame(
+        [
+            ("click here buy now best price", 0),
+            (" ".join(["click here buy now best price"] * 10), 0),
+        ],
+        "text string, label int",
+    )
+    a, b = [r["quality_prob"] for r in score_quality(df, model).collect()]
+    assert abs(a - b) < 1e-9
+
+
+def test_scoring_plan_is_scan_stage_only(spark, model):
+    # no shuffle, no row-wise python: one ArrowEvalPython (the bincount
+    # embedding) over the scan, everything else JVM expressions
+    df = spark.createDataFrame(
+        [(t,) for t, _ in QUALITY_TRAIN_EXAMPLES], "text string"
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        score_quality(df, model).explain(mode="extended")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan

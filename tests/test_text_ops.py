@@ -50,15 +50,19 @@ def test_token_and_ratio_columns(spark):
 
 
 def test_lang_id(spark):
-    df = spark.createDataFrame(
-        [
-            ("the cat and the dog is a pet", "en"),
-            ("el perro y la casa de que los", "es"),
-            ("der hund und die katze ist nicht", "de"),
-            ("zzz qqq xxx", "und"),
-        ],
-        ["content", "expected"],
-    )
+    cases = [
+        ("the cat and the dog is a pet", "en"),
+        ("el perro y la casa de que los", "es"),
+        ("der hund und die katze ist nicht", "de"),
+        ("zzz qqq xxx", "und"),
+        # a latin doc QUOTING a couple of CJK chars stays latin
+        ("the word 犬 is dog and the word 家 is house in the text", "en"),
+    ]
+    # every authored per-language sample resolves to its language —
+    # covers the script branches (zh/ja/ko/ru/ar/hi) and the extended
+    # latin lexicons (it/pt)
+    cases += [(text, lang) for lang, text in sorted(ts.LANG_SAMPLES.items())]
+    df = spark.createDataFrame(cases, ["content", "expected"])
     rows = df.select(ts.lang_id("content").alias("lang"), "expected").collect()
     for r in rows:
         assert r["lang"] == r["expected"], r

@@ -110,6 +110,33 @@ OFFICE_PPTX_TEXT = "Roadmap 2024\nPhase one\fPhase two"
 OFFICE_XLSX_SHEETS = [[["region", "units"], ["emea", "120"]]]
 OFFICE_XLSX_TEXT = "region\tunits\nemea\t120"
 
+# authored e-book (q_epub_text oracle derives from these)
+EPUB_CHAPTERS = [
+    ("The Salt Road", [
+        "Caravans crossed the flats before dawn, while the crust was "
+        "still hard.",
+        "By noon the mirage swallowed the horizon and the drivers "
+        "steered by memory.",
+    ]),
+    ("Night Market", [
+        "Lanterns hung in rows above the stalls.",
+        "Sellers called their prices in three languages.",
+    ]),
+]
+EPUB_TEXT = "\f".join(
+    "\n".join([title] + paras) for title, paras in EPUB_CHAPTERS
+)
+
+# authored Common Crawl WET/WAT shards (q_wet_ingest / q_wat_metadata)
+WET_PAGES = {
+    "http://example.com/": "Hello crawl\nFirst paragraph.",
+    "http://example.com/two": "Second page text, already extracted.",
+}
+WAT_META = {
+    "http://example.com/": 110,
+    "http://example.com/two": 36,
+}
+
 # authored boilerplate-removal page: the q_main_content oracle states
 # MAIN_CONTENT_TEXT literally, so fixture and expectation co-evolve
 MAIN_CONTENT_HTML = (
@@ -224,6 +251,43 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
     )
     files["deck_roadmap.pptx"] = pptx_write(OFFICE_PPTX_SLIDES)
     files["grid_regions.xlsx"] = xlsx_write(OFFICE_XLSX_SHEETS)
+    from evaporate_spark.sources.epub import epub_write
+
+    files["book_sample.epub"] = epub_write(EPUB_CHAPTERS)
+    files["crawl.wet.gz"] = warc_write(
+        [
+            {"type": "warcinfo", "content_type": "application/warc-fields",
+             "payload": b"software: evaporate-spark fixture writer"},
+        ]
+        + [
+            {"type": "conversion", "url": url,
+             "content_type": "text/plain",
+             "payload": text.encode()}
+            for url, text in sorted(WET_PAGES.items())
+        ],
+        gzip_per_record=True,
+    )
+    import json as _json
+
+    files["crawl.wat.gz"] = warc_write(
+        [
+            {"type": "metadata", "url": url,
+             "content_type": "application/json",
+             "payload": _json.dumps({
+                 "Envelope": {
+                     "WARC-Header-Metadata": {"WARC-Target-URI": url},
+                     "Payload-Metadata": {"Actual-Content-Length": n},
+                 }
+             }, sort_keys=True).encode()}
+            for url, n in sorted(WAT_META.items())
+        ]
+        + [
+            {"type": "metadata", "url": "http://example.com/broken",
+             "content_type": "application/json",
+             "payload": b"{not json"},
+        ],
+        gzip_per_record=True,
+    )
     from evaporate_spark.operators.subtitles import srt_write
 
     files["clip_captions.srt"] = srt_write(SUBTITLE_CUES).encode()

@@ -424,6 +424,100 @@ def q_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_epub_text",
+    "REAL EPUB e-book ingest (sources/epub.py — the books-corpus "
+    "container): container.xml → OPF manifest/spine → spine-ordered "
+    "XHTML chapter extraction (all blocks kept; script/style/nav "
+    "subtrees dropped), routed through read_document_dir(office=True) "
+    "like the OOXML formats. Oracle = the authored chapter table "
+    "(n_chars pins the whole two-chapter extraction, first_line pins "
+    "spine order, n_bytes pins the committed container).",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('book_sample.epub', 'epub', CAST(262 AS BIGINT),
+             'The Salt Road', CAST(1355 AS BIGINT))
+        ) AS t(file, doc_type, n_chars, first_line, n_bytes)
+    """,
+    tags=("doclake",),
+)
+def q_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    docs = read_document_dir(spark, DOCS_DIR, glob="*.epub", office=True)
+    return docs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "doc_type",
+        F.length("content").cast("bigint").alias("n_chars"),
+        F.element_at(F.split("content", "[\\n\\f]"), 1).alias("first_line"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
+@register(
+    "q_wet_ingest",
+    "Common Crawl WET ingest (sources/warc.py::read_wet): conversion "
+    "records carrying pre-extracted page text — the form most "
+    "pipelines actually consume CC in — land directly in the "
+    "canonical documents schema (no HTTP unwrap; warcinfo records "
+    "filtered by type). Oracle = the authored page table.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('http://example.com/', 'txt', CAST(28 AS BIGINT),
+             'Hello crawl'),
+            ('http://example.com/two', 'txt', CAST(36 AS BIGINT),
+             'Second page text, already extracted.')
+        ) AS t(path, doc_type, n_chars, first_line)
+    """,
+    tags=("doclake",),
+)
+def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.sources.warc import read_wet
+
+    docs = read_wet(spark, DOCS_DIR)
+    return docs.select(
+        "path",
+        "doc_type",
+        F.length("content").cast("bigint").alias("n_chars"),
+        F.element_at(F.split("content", "\n"), 1).alias("first_line"),
+    )
+
+
+@register(
+    "q_wat_metadata",
+    "Common Crawl WAT ingest (sources/warc.py::read_wat): metadata "
+    "records' JSON envelopes parse into Spark 4 VARIANT "
+    "(try_parse_json — the malformed fixture record surfaces as a "
+    "typed err row, not a crashed task) and fields extract by path "
+    "with variant_get, schema-free. Oracle = the authored envelope "
+    "table.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('http://example.com/', CAST(110 AS BIGINT),
+             CAST(NULL AS VARCHAR)),
+            ('http://example.com/broken', CAST(NULL AS BIGINT),
+             'unparseable WAT JSON payload'),
+            ('http://example.com/two', CAST(36 AS BIGINT),
+             CAST(NULL AS VARCHAR))
+        ) AS t(url, content_len, err)
+    """,
+    tags=("doclake",),
+)
+def q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.sources.warc import read_wat
+
+    recs = read_wat(spark, DOCS_DIR)
+    return recs.select(
+        "url",
+        F.variant_get(
+            F.col("meta"),
+            '$["Envelope"]["Payload-Metadata"]["Actual-Content-Length"]',
+            "bigint",
+        ).alias("content_len"),
+        "err",
+    )
+
+
+@register(
     "q_media_text_tags",
     "REAL embedded-text-metadata read (operators/media_tags.py + "
     "mpeg_audio.id3_tags): MP3 ID3v2.4 text frames and PNG tEXt/zTXt/"

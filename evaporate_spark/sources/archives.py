@@ -69,6 +69,14 @@ def _member_rows(archive_path: str, raw: bytes) -> list[tuple]:
                 text = office_text(data, "." + dtype)
             except Exception:
                 text = ""
+        elif low.endswith(".epub"):
+            from evaporate_spark.sources.epub import epub_text
+
+            dtype = "epub"
+            try:
+                text = epub_text(data)
+            except Exception:
+                text = ""
         else:
             text = data.decode("utf-8", errors="replace")
             dtype = "html" if low.endswith((".html", ".htm")) else "txt"

@@ -50,8 +50,10 @@ def read_document_dir(
 
     With ``office=True``, ``.docx``/``.pptx``/``.xlsx`` files route
     through the stdlib OOXML extractor (:mod:`sources.office`, the
-    same Arrow-batched shape as PDF) with their suffix as
-    ``doc_type``; corrupt office files degrade to empty content.
+    same Arrow-batched shape as PDF) and ``.epub`` e-books through the
+    spine-ordered XHTML extractor (:mod:`sources.epub`), each with
+    their suffix as ``doc_type``; corrupt files degrade to empty
+    content.
     """
     reader = spark.read.format("binaryFile")
     if recursive:
@@ -63,7 +65,7 @@ def read_document_dir(
         ~F.element_at(F.split(F.col("path"), "/"), -1).startswith(".")
     ).where(~F.col("path").endswith(".swp"))
     is_pdf = F.lower(F.col("path")).endswith(".pdf")
-    is_office = F.lower(F.col("path")).rlike(r"\.(docx|pptx|xlsx)$")
+    is_office = F.lower(F.col("path")).rlike(r"\.(docx|pptx|xlsx|epub)$")
     text_side = base
     if pdf_text:
         text_side = text_side.where(~is_pdf)
@@ -112,16 +114,26 @@ def read_document_dir(
         )
         out = out.unionByName(pdf_docs)
     if office:
+        from evaporate_spark.sources.epub import extract_epub_text_df
         from evaporate_spark.sources.office import extract_office_text_df
 
-        office_docs = extract_office_text_df(base.where(is_office)).select(
+        is_epub = F.lower(F.col("path")).endswith(".epub")
+        office_docs = extract_office_text_df(
+            base.where(is_office & ~is_epub)
+        ).select(
             "path",
             F.coalesce(F.col("text"), F.lit("")).alias("content"),
             F.regexp_extract(F.lower("path"), r"\.(docx|pptx|xlsx)$", 1)
             .alias("doc_type"),
             F.col("n_bytes").cast("bigint").alias("n_bytes"),
         )
-        out = out.unionByName(office_docs)
+        epub_docs = extract_epub_text_df(base.where(is_epub)).select(
+            "path",
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            F.lit("epub").alias("doc_type"),
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+        out = out.unionByName(office_docs).unionByName(epub_docs)
     return out
 
 

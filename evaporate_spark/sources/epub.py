@@ -1,0 +1,155 @@
+"""EPUB e-book text extraction — the dominant container for book
+corpora (a books shard is the highest-quality slice of most
+pretraining mixes). Engine addition (SURVEY §2C ingest breadth),
+the same trick as :mod:`sources.office`: EPUB (IDPF/ISO 23736) is a
+zip of XML/XHTML parts, so extraction is pure stdlib and runs inside
+the scan task.
+
+Reading order is the SPEC'S reading order, not zip order:
+``META-INF/container.xml`` names the OPF package document; the OPF
+``<manifest>`` maps ids to hrefs and the ``<spine>`` lists the
+linear reading order by idref. Each spine XHTML document is reduced
+to text with the engine's boilerplate block parser (subtree-dropping
+for script/style/nav, entity decoding) KEEPING all blocks — a book
+chapter's short lines (headings, verse) are content, not boilerplate,
+so no length/link-density filtering is applied. Chapters join with
+form-feed, the same page separator the PDF and pptx extractors emit.
+
+Deterministic fixture writer (``epub_write``) reuses the
+fixed-timestamp zip writer. Malformed containers raise ValueError —
+callers (archives, doc lake) map that to their per-row err contract.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import zipfile
+from xml.etree import ElementTree as ET
+
+_CNT = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+_OPF = "{http://www.idpf.org/2007/opf}"
+
+
+def _opf_path(zf: zipfile.ZipFile) -> str:
+    root = ET.fromstring(zf.read("META-INF/container.xml"))
+    rf = root.find(f"{_CNT}rootfiles/{_CNT}rootfile")
+    if rf is None or not rf.get("full-path"):
+        raise ValueError("EPUB container.xml names no rootfile")
+    return rf.get("full-path")
+
+
+def epub_spine_docs(raw: bytes) -> list[tuple[str, str]]:
+    """(href, xhtml source) per spine item, in reading order."""
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        opf_path = _opf_path(zf)
+        opf = ET.fromstring(zf.read(opf_path))
+        base = posixpath.dirname(opf_path)
+        hrefs = {
+            it.get("id"): it.get("href")
+            for it in opf.iter(f"{_OPF}item")
+        }
+        out = []
+        for ref in opf.iter(f"{_OPF}itemref"):
+            href = hrefs.get(ref.get("idref"))
+            if not href:
+                continue
+            full = posixpath.join(base, href) if base else href
+            out.append(
+                (href, zf.read(full).decode("utf-8", errors="replace"))
+            )
+        return out
+
+
+def epub_text(raw: bytes) -> str:
+    """Spine-ordered chapter text, chapters joined with \\f. All
+    blocks kept (books have no boilerplate-length heuristics to
+    apply); script/style/nav subtrees still drop."""
+    from evaporate_spark.operators.boilerplate import html_blocks
+
+    chapters = []
+    for _, xhtml in epub_spine_docs(raw):
+        # feed from <body> on: the <head><title> is metadata, not
+        # chapter text (it would duplicate the opening heading)
+        low = xhtml.lower()
+        at = low.find("<body")
+        blocks = html_blocks(xhtml[at:] if at >= 0 else xhtml)
+        chapters.append("\n".join(b.text for b in blocks))
+    return "\f".join(chapters)
+
+
+def extract_epub_text_df(files, path_col: str = "path"):
+    """(path, content bytes) rows → (path, text, n_bytes, err):
+    Arrow-batched, typed per-row errors — the same contract as the
+    PDF and office extractors."""
+    from collections.abc import Iterator
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for fpath, raw in zip(pdf[path_col], pdf["content"]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    rows.append((fpath, epub_text(raw), len(raw), None))
+                except Exception as ex:
+                    rows.append((fpath, None, len(raw), repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows, columns=[path_col, "text", "n_bytes", "err"]
+            )
+
+    return files.select(path_col, "content").mapInPandas(
+        batches,
+        schema=f"{path_col} string, text string, n_bytes long, err string",
+    )
+
+
+# ----------------------------------------------------------- fixture writer
+_CONTAINER_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<container version="1.0" '
+    'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+    '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+    'media-type="application/oebps-package+xml"/></rootfiles></container>'
+)
+
+
+def _xesc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def epub_write(chapters: list[tuple[str, list[str]]]) -> bytes:
+    """Minimal spec-shaped EPUB: (title, paragraphs) per chapter,
+    spine order = argument order. Deterministic bytes."""
+    from evaporate_spark.sources.archives import zip_write
+
+    members: dict[str, bytes] = {
+        "mimetype": b"application/epub+zip",
+        "META-INF/container.xml": _CONTAINER_XML.encode(),
+    }
+    manifest, spine = [], []
+    for i, (title, paras) in enumerate(chapters, start=1):
+        body = f"<h1>{_xesc(title)}</h1>" + "".join(
+            f"<p>{_xesc(p)}</p>" for p in paras
+        )
+        xhtml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+            f"<title>{_xesc(title)}</title></head><body>{body}</body></html>"
+        )
+        members[f"OEBPS/ch{i}.xhtml"] = xhtml.encode()
+        manifest.append(
+            f'<item id="ch{i}" href="ch{i}.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+        )
+        spine.append(f'<itemref idref="ch{i}"/>')
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid"><metadata/>'
+        f"<manifest>{''.join(manifest)}</manifest>"
+        f"<spine>{''.join(spine)}</spine></package>"
+    )
+    members["OEBPS/content.opf"] = opf.encode()
+    return zip_write(dict(sorted(members.items())))

@@ -415,6 +415,70 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
     )
 
 
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_shard_bytes: int = 1_800_000_000,
+) -> DataFrame:
+    """Common Crawl WET shards (pre-extracted page TEXT as WARC
+    ``conversion`` records, text/plain payloads) → the canonical
+    documents schema. WET is how most pipelines actually consume CC —
+    ~10× smaller than the raw WARC crawl because the HTML is already
+    stripped. Framing, per-record gzip members, and the size guard are
+    the ordinary WARC machinery; only the record type and the absence
+    of HTTP unwrapping differ."""
+    recs = read_warc(
+        spark,
+        path,
+        warc_types=("conversion",),
+        glob=glob or "*.wet*",
+        max_shard_bytes=max_shard_bytes,
+    )
+    ok = recs.where(F.col("err").isNull() & F.col("text").isNotNull())
+    return ok.select(
+        F.col("url").alias("path"),
+        F.col("text").alias("content"),
+        F.lit("txt").alias("doc_type"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
+def read_wat(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_shard_bytes: int = 1_800_000_000,
+) -> DataFrame:
+    """Common Crawl WAT shards (per-page crawl METADATA as WARC
+    ``metadata`` records, JSON payloads) → (url, date, meta VARIANT,
+    n_bytes, err). The JSON parses into Spark 4's VARIANT type
+    (``try_parse_json`` — malformed payloads surface as a NULL meta
+    plus the typed err column, never a failed task), so downstream
+    filters use ``variant_get`` without a fixed schema — the WAT
+    format's envelope evolves between crawls."""
+    recs = read_warc(
+        spark,
+        path,
+        warc_types=("metadata",),
+        glob=glob or "*.wat*",
+        max_shard_bytes=max_shard_bytes,
+    )
+    meta = F.try_parse_json(F.col("text"))
+    return recs.select(
+        "url",
+        "date",
+        meta.alias("meta"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.when(
+            F.col("err").isNotNull(), F.col("err")
+        ).when(
+            F.col("text").isNotNull() & meta.isNull(),
+            F.lit("unparseable WAT JSON payload"),
+        ).alias("err"),
+    )
+
+
 def web_corpus_from_warc(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,148 @@
+"""EPUB e-book ingest (sources/epub.py) and Common Crawl WET/WAT
+ingest (sources/warc.py::read_wet/read_wat) — engine additions
+(SURVEY §2C ingest breadth)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from evaporate_spark.sources.epub import (
+    epub_spine_docs,
+    epub_text,
+    epub_write,
+)
+from evaporate_spark.sources.warc import http_response_bytes, warc_write
+
+CHAPTERS = [
+    ("One", ["First paragraph of chapter one.", "Second paragraph."]),
+    ("Two", ["Only paragraph of chapter two."]),
+]
+
+
+def test_epub_spine_order_and_text():
+    raw = epub_write(CHAPTERS)
+    docs = epub_spine_docs(raw)
+    assert [h for h, _ in docs] == ["ch1.xhtml", "ch2.xhtml"]
+    assert epub_text(raw) == (
+        "One\nFirst paragraph of chapter one.\nSecond paragraph.\f"
+        "Two\nOnly paragraph of chapter two."
+    )
+    # spine order, not zip member order: reverse the chapters
+    raw2 = epub_write(list(reversed(CHAPTERS)))
+    assert epub_text(raw2).startswith("Two\n")
+
+
+def test_epub_head_title_not_duplicated_and_nav_dropped():
+    raw = epub_write([("Head Title", ["Body paragraph long enough."])])
+    text = epub_text(raw)
+    assert text.count("Head Title") == 1  # h1 only, not <head><title>
+    with pytest.raises(Exception):
+        epub_text(b"not a zip at all")
+
+
+def test_epub_write_is_deterministic():
+    assert epub_write(CHAPTERS) == epub_write(CHAPTERS)
+
+
+def _wet_bytes() -> bytes:
+    return warc_write(
+        [
+            {"type": "warcinfo", "content_type": "application/warc-fields",
+             "payload": b"software: test"},
+            {"type": "conversion", "url": "http://a.com/x",
+             "content_type": "text/plain",
+             "payload": "extracted text body".encode()},
+            {"type": "conversion", "url": "http://a.com/y",
+             "content_type": "text/plain",
+             "payload": "another page".encode()},
+        ],
+        gzip_per_record=True,
+    )
+
+
+def test_read_wet_documents(spark, tmp_path):
+    from evaporate_spark.sources.warc import read_wet
+
+    (tmp_path / "shard.wet.gz").write_bytes(_wet_bytes())
+    # a response-record .warc in the same dir is NOT picked up by the
+    # default *.wet* glob
+    (tmp_path / "other.warc").write_bytes(
+        warc_write([
+            {"type": "response", "url": "http://a.com/h",
+             "http": http_response_bytes(200, b"<html>hi</html>")},
+        ])
+    )
+    rows = {r["path"]: r for r in read_wet(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"http://a.com/x", "http://a.com/y"}
+    assert rows["http://a.com/x"]["content"] == "extracted text body"
+    assert rows["http://a.com/x"]["doc_type"] == "txt"
+
+
+def test_read_wat_variant_and_errors(spark, tmp_path):
+    import json
+
+    from evaporate_spark.sources.warc import read_wat
+
+    (tmp_path / "shard.wat.gz").write_bytes(
+        warc_write(
+            [
+                {"type": "metadata", "url": "http://a.com/x",
+                 "content_type": "application/json",
+                 "payload": json.dumps({
+                     "Envelope": {"Payload-Metadata":
+                                  {"Actual-Content-Length": 7}}
+                 }).encode()},
+                {"type": "metadata", "url": "http://a.com/bad",
+                 "content_type": "application/json",
+                 "payload": b"{oops"},
+            ],
+            gzip_per_record=True,
+        )
+    )
+    from pyspark.sql import functions as F
+
+    out = read_wat(spark, str(tmp_path)).select(
+        "url",
+        F.variant_get(
+            "meta",
+            '$["Envelope"]["Payload-Metadata"]["Actual-Content-Length"]',
+            "bigint",
+        ).alias("n"),
+        "err",
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["http://a.com/x"]["n"] == 7
+    assert rows["http://a.com/x"]["err"] is None
+    assert rows["http://a.com/bad"]["n"] is None
+    assert "unparseable" in rows["http://a.com/bad"]["err"]
+
+
+def test_epub_routing_in_dir_and_archives(spark, tmp_path):
+    from evaporate_spark.sources.archives import (
+        read_document_archives,
+        zip_write,
+    )
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    (tmp_path / "dir").mkdir()
+    (tmp_path / "dir" / "b.epub").write_bytes(epub_write(CHAPTERS))
+    docs = {
+        os.path.basename(r["path"]): r
+        for r in read_document_dir(
+            spark, str(tmp_path / "dir"), office=True
+        ).collect()
+    }
+    assert docs["b.epub"]["doc_type"] == "epub"
+    assert docs["b.epub"]["content"].startswith("One\nFirst paragraph")
+
+    (tmp_path / "shard.zip").write_bytes(
+        zip_write({"books/b.epub": epub_write(CHAPTERS)})
+    )
+    members = {
+        r["path"].split("!")[-1]: r
+        for r in read_document_archives(spark, str(tmp_path)).collect()
+    }
+    assert members["books/b.epub"]["doc_type"] == "epub"
+    assert members["books/b.epub"]["content"].endswith("chapter two.")

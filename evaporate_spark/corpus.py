@@ -29,6 +29,9 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     normalize: bool = True,
+    lang_allow: tuple[str, ...] | None = None,
+    quality_model=None,
+    quality_threshold: float = 0.5,
     redact: bool = True,
     dedup: bool = True,
     near_dedup: bool = False,
@@ -49,8 +52,13 @@ def prepare_corpus(
     the cleaned corpus — or, when ``seq_len`` is given, the packed
     training windows (id, seq_index, n_tokens, seq_text).
 
-    ``eval_docs`` enables decontamination: documents whose word
-    ``decontam_k``-gram overlap with the eval set reaches
+    ``lang_allow`` keeps only documents whose heuristic language ID
+    is in the set (JVM scan-stage predicate, runs first among the
+    filters); ``quality_model`` (an ``operators.quality_model.
+    QualityModel``) drops documents scoring under
+    ``quality_threshold`` — the trained companion to the rule-based
+    hygiene stages. ``eval_docs`` enables decontamination: documents
+    whose word ``decontam_k``-gram overlap with the eval set reaches
     ``decontam_threshold`` are DROPPED. ``mix_key``/``mix_fractions``
     enable reproducible per-key downsampling; ``upsample_weights``
     (requires ``mix_key``) the multi-epoch UP-sampling companion —
@@ -82,6 +90,20 @@ def prepare_corpus(
         from evaporate_spark.functions.normalize import normalize_text
 
         out = out.withColumn(text_col, normalize_text(text_col))
+    if lang_allow is not None:
+        from evaporate_spark.functions.text_stats import lang_id
+
+        # language routing first among the filters: a pure JVM
+        # scan-stage predicate that prunes rows before any heavier
+        # stage touches them
+        out = out.where(lang_id(F.lower(F.col(text_col))).isin(*lang_allow))
+    if quality_model is not None:
+        # trained CCNet-style filter (operators/quality_model.py):
+        # weights ship in the plan, scoring is scan-stage column work
+        out = out.where(
+            quality_model.score_column(text_col)
+            >= F.lit(float(quality_threshold))
+        )
     if redact:
         from evaporate_spark.functions.redact import redact_pii
 

@@ -1,0 +1,205 @@
+"""Content-based document-type detection (magic-byte sniffing) — a
+crawl's URLs routinely lack extensions (``/download?id=7``,
+``/doc/4821``), so suffix routing alone misfiles real lakes. Engine
+addition (SURVEY §2C ingest breadth).
+
+Two tiers, matching the engine's hybrid execution policy:
+
+- :func:`doc_type_magic` — a pure JVM Column over the binary content
+  (hex-prefix comparisons, whole-stage-codegen friendly) resolving the
+  unambiguous single-probe families: pdf, zip, gzip, png, jpeg, gif,
+  bmp, tiff, riff (wav/avi/webp share it — disambiguated by bytes
+  9-12), mp4, ebml (webm/mkv), ogg, flac, aiff, mp3 (ID3 prefix),
+  warc, html/xml (ASCII prologue probes), else txt/bin by a UTF-8
+  validity check. Zero Python: usable as a scan-stage partition key
+  for routing a 100 TB mixed lake before any per-type decode runs.
+- :func:`sniff_doc_type` — the Python refinement used INSIDE existing
+  mapInPandas ingest paths: zip containers open one member-listing to
+  split docx/pptx/xlsx/epub/jar from plain zip; gzip peeks the inner
+  stream (tar.gz vs gzipped WARC vs plain .gz).
+
+``detect_doc_types`` applies the refined sniff per file (Arrow-
+batched) — the routing front-end for extensionless lakes.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (magic bytes, offset, type) — longest prefixes first per offset
+_MAGIC: list[tuple[bytes, int, str]] = [
+    (b"%PDF", 0, "pdf"),
+    (b"PK\x03\x04", 0, "zip"),
+    (b"PK\x05\x06", 0, "zip"),
+    (b"\x1f\x8b", 0, "gzip"),
+    (b"\x89PNG\r\n\x1a\n", 0, "png"),
+    (b"\xff\xd8\xff", 0, "jpeg"),
+    (b"GIF8", 0, "gif"),
+    (b"BM", 0, "bmp"),
+    (b"II*\x00", 0, "tiff"),
+    (b"MM\x00*", 0, "tiff"),
+    (b"OggS", 0, "ogg"),
+    (b"fLaC", 0, "flac"),
+    (b"\x1a\x45\xdf\xa3", 0, "ebml"),
+    (b"ID3", 0, "mp3"),
+    (b"WARC/1.", 0, "warc"),
+    (b"ustar", 257, "tar"),
+]
+
+
+def sniff_doc_type(raw: bytes) -> str:
+    """Resolved content type of ``raw`` (see module docstring)."""
+    if not raw:
+        return "empty"
+    for magic, off, name in _MAGIC:
+        if raw[off : off + len(magic)] == magic:
+            if name == "zip":
+                return _zip_family(raw)
+            if name == "gzip":
+                return _gzip_family(raw)
+            return name
+    if raw[:4] == b"RIFF":
+        tag = raw[8:12]
+        return {b"WAVE": "wav", b"AVI ": "avi", b"WEBP": "webp"}.get(
+            tag, "riff"
+        )
+    if raw[4:8] == b"ftyp":
+        return "mp4"
+    if raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    head = raw[:1024].lstrip(b"\xef\xbb\xbf \t\r\n").lower()
+    if head.startswith((b"<!doctype html", b"<html")):
+        return "html"
+    if head.startswith(b"<?xml"):
+        # XHTML and SVG declare XML first; peek past the prologue
+        if b"<html" in head[:512]:
+            return "html"
+        return "xml"
+    try:
+        raw[:4096].decode("utf-8")
+        return "txt"
+    except UnicodeDecodeError:
+        return "bin"
+
+
+def _zip_family(raw: bytes) -> str:
+    try:
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            names = set(zf.namelist())
+    except Exception:
+        return "zip"
+    if "mimetype" in names:
+        try:
+            with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+                if zf.read("mimetype").strip() == b"application/epub+zip":
+                    return "epub"
+        except Exception:
+            pass
+    if "[Content_Types].xml" in names:
+        if any(n.startswith("word/") for n in names):
+            return "docx"
+        if any(n.startswith("ppt/") for n in names):
+            return "pptx"
+        if any(n.startswith("xl/") for n in names):
+            return "xlsx"
+        return "ooxml"
+    if "META-INF/MANIFEST.MF" in names:
+        return "jar"
+    return "zip"
+
+
+def _gzip_family(raw: bytes) -> str:
+    try:
+        inner = zlib.decompressobj(31).decompress(raw, 2048)
+    except zlib.error:
+        return "gzip"
+    if inner[257:262] == b"ustar":
+        return "tar.gz"
+    if inner[:7] == b"WARC/1.":
+        return "warc.gz"
+    return "gzip"
+
+
+def doc_type_magic(content: Column | str) -> Column:
+    """JVM-only coarse type from the binary column — the scan-stage
+    routing key (zip/gzip families stay unsplit; use
+    :func:`detect_doc_types` for the refined split)."""
+    c = F.col(content) if isinstance(content, str) else content
+    hexp = F.hex(F.substring(c, 1, 12))
+    at257 = F.substring(c, 258, 5)  # substring is 1-based
+    # UTF-8 validity probe (ANSI-safe: is_valid_utf8 never throws,
+    # unlike decode() on malformed bytes)
+    probe = F.substring(c, 1, 4096).cast("string")
+    text_like = F.when(F.is_valid_utf8(probe), F.lit("txt")).otherwise(
+        F.lit("bin")
+    )
+    ascii_head = F.lower(
+        F.ltrim(F.make_valid_utf8(F.substring(c, 1, 64).cast("string")))
+    )
+    expr = (
+        F.when(hexp.startswith("25504446"), F.lit("pdf"))
+        .when(hexp.startswith("504B0304") | hexp.startswith("504B0506"), F.lit("zip"))
+        .when(hexp.startswith("1F8B"), F.lit("gzip"))
+        .when(hexp.startswith("89504E470D0A1A0A"), F.lit("png"))
+        .when(hexp.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(hexp.startswith("47494638"), F.lit("gif"))
+        .when(hexp.startswith("424D"), F.lit("bmp"))
+        .when(hexp.startswith("49492A00") | hexp.startswith("4D4D002A"), F.lit("tiff"))
+        .when(hexp.startswith("4F676753"), F.lit("ogg"))
+        .when(hexp.startswith("664C6143"), F.lit("flac"))
+        .when(hexp.startswith("1A45DFA3"), F.lit("ebml"))
+        .when(hexp.startswith("494433"), F.lit("mp3"))
+        .when(
+            hexp.startswith("52494646"),
+            F.when(F.substring(c, 9, 4) == F.lit(b"WAVE"), F.lit("wav"))
+            .when(F.substring(c, 9, 4) == F.lit(b"AVI "), F.lit("avi"))
+            .when(F.substring(c, 9, 4) == F.lit(b"WEBP"), F.lit("webp"))
+            .otherwise(F.lit("riff")),
+        )
+        .when(F.substring(c, 5, 4) == F.lit(b"ftyp"), F.lit("mp4"))
+        .when(
+            (F.substring(c, 1, 4) == F.lit(b"FORM"))
+            & (
+                (F.substring(c, 9, 4) == F.lit(b"AIFF"))
+                | (F.substring(c, 9, 4) == F.lit(b"AIFC"))
+            ),
+            F.lit("aiff"),
+        )
+        .when(F.substring(c, 1, 7) == F.lit(b"WARC/1."), F.lit("warc"))
+        .when(at257 == F.lit(b"ustar"), F.lit("tar"))
+        .when(
+            ascii_head.startswith("<!doctype html")
+            | ascii_head.startswith("<html"),
+            F.lit("html"),
+        )
+        .when(ascii_head.startswith("<?xml"), F.lit("xml"))
+        .otherwise(text_like)
+    )
+    return expr
+
+
+def detect_doc_types(
+    files: DataFrame, path_col: str = "path"
+) -> DataFrame:
+    """(path, content) rows → (path, doc_type) with the refined
+    Python sniff (zip/gzip families split), Arrow-batched."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = [
+                (p, sniff_doc_type(bytes(b) if b is not None else b""))
+                for p, b in zip(pdf[path_col], pdf["content"])
+            ]
+            yield pd.DataFrame(rows, columns=[path_col, "doc_type"])
+
+    return files.select(path_col, "content").mapInPandas(
+        batches, schema=f"{path_col} string, doc_type string"
+    )

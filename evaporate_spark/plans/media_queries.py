@@ -454,6 +454,53 @@ def q_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_type_sniff",
+    "Content-based type detection over EVERY committed document "
+    "fixture (operators/sniff.py): magic-byte families plus the "
+    "python refinements (zip → docx/pptx/xlsx/epub by member names, "
+    "gzip → tar.gz/warc.gz by inner stream) — the routing front-end "
+    "for extensionless crawl lakes, where suffix routing misfiles. "
+    "The JVM Column tier (doc_type_magic) is plan-asserted "
+    "Python-free in pytest. Oracle = the authored type table (every "
+    "fixture's true type is known by construction).",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('article_boiler.html', 'html'),
+            ('book_sample.epub', 'epub'),
+            ('clip_captions.srt', 'txt'),
+            ('clip_captions.vtt', 'txt'),
+            ('crawl.warc.gz', 'warc.gz'),
+            ('crawl.wat.gz', 'warc.gz'),
+            ('crawl.wet.gz', 'warc.gz'),
+            ('deck_roadmap.pptx', 'pptx'),
+            ('docs_archive.tar.gz', 'tar.gz'),
+            ('docs_archive.zip', 'zip'),
+            ('grid_regions.xlsx', 'xlsx'),
+            ('img_hash_a.png', 'png'),
+            ('img_hash_a2.png', 'png'),
+            ('img_hash_b.png', 'png'),
+            ('img_tagged.png', 'png'),
+            ('report_510k.pdf', 'pdf'),
+            ('report_metrics.docx', 'docx'),
+            ('report_objstm.pdf', 'pdf'),
+            ('report_plain.pdf', 'pdf')
+        ) AS t(file, doc_type)
+    """,
+    tags=("doclake",),
+)
+def q_doc_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.sniff import detect_doc_types
+
+    files = (
+        spark.read.format("binaryFile").load(DOCS_DIR)
+        .select("path", "content")
+    )
+    return detect_doc_types(files).select(
+        F.element_at(F.split("path", "/"), -1).alias("file"), "doc_type"
+    )
+
+
+@register(
     "q_wet_ingest",
     "Common Crawl WET ingest (sources/warc.py::read_wet): conversion "
     "records carrying pre-extracted page text — the form most "

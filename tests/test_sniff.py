@@ -1,0 +1,124 @@
+"""Content-based document-type sniffing (operators/sniff.py) —
+extensionless-lake routing (engine addition, SURVEY §2C)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import tarfile
+
+import pytest
+
+from evaporate_spark.operators.sniff import doc_type_magic, sniff_doc_type
+
+
+def _fixture_bytes() -> dict[str, bytes]:
+    from evaporate_spark.fixtures import DOCS_DIR
+
+    out = {}
+    for name in sorted(os.listdir(DOCS_DIR)):
+        with open(os.path.join(DOCS_DIR, name), "rb") as fh:
+            out[name] = fh.read()
+    return out
+
+
+EXPECTED_DOCS = {
+    "article_boiler.html": "html",
+    "book_sample.epub": "epub",
+    "clip_captions.srt": "txt",
+    "clip_captions.vtt": "txt",
+    "crawl.warc.gz": "warc.gz",
+    "crawl.wat.gz": "warc.gz",
+    "crawl.wet.gz": "warc.gz",
+    "deck_roadmap.pptx": "pptx",
+    "docs_archive.tar.gz": "tar.gz",
+    "docs_archive.zip": "zip",
+    "grid_regions.xlsx": "xlsx",
+    "img_hash_a.png": "png",
+    "img_hash_a2.png": "png",
+    "img_hash_b.png": "png",
+    "img_tagged.png": "png",
+    "report_510k.pdf": "pdf",
+    "report_metrics.docx": "docx",
+    "report_objstm.pdf": "pdf",
+    "report_plain.pdf": "pdf",
+}
+
+
+def test_sniff_every_committed_doc_fixture():
+    got = {n: sniff_doc_type(b) for n, b in _fixture_bytes().items()}
+    assert got == EXPECTED_DOCS
+
+
+def test_sniff_families_and_edges():
+    assert sniff_doc_type(b"") == "empty"
+    assert sniff_doc_type(b"plain old text") == "txt"
+    assert sniff_doc_type(bytes([0, 159, 146, 150])) == "bin"
+    assert sniff_doc_type(b"<!DOCTYPE html><html></html>") == "html"
+    assert sniff_doc_type(b"  <html><body>x</body></html>") == "html"
+    assert sniff_doc_type(b'<?xml version="1.0"?><root/>') == "xml"
+    assert (
+        sniff_doc_type(b'<?xml version="1.0"?><html xmlns="x"></html>')
+        == "html"
+    )
+    # gzip family: tar.gz vs plain gz
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        ti = tarfile.TarInfo("a.txt")
+        ti.size = 1
+        tf.addfile(ti, io.BytesIO(b"x"))
+    assert sniff_doc_type(tbuf.getvalue()) == "tar.gz"
+    assert sniff_doc_type(gzip.compress(b"loose text")) == "gzip"
+    # riff family
+    assert sniff_doc_type(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "wav"
+    assert sniff_doc_type(b"RIFF\x00\x00\x00\x00AVI LIST") == "avi"
+    assert sniff_doc_type(b"RIFF\x00\x00\x00\x00WEBPVP8L") == "webp"
+    assert sniff_doc_type(b"\x00\x00\x00\x18ftypisom____") == "mp4"
+
+
+def test_detect_doc_types_operator(spark, tmp_path):
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.operators.sniff import detect_doc_types
+
+    files = (
+        spark.read.format("binaryFile").load(DOCS_DIR)
+        .select("path", "content")
+    )
+    rows = {
+        os.path.basename(r["path"]): r["doc_type"]
+        for r in detect_doc_types(files).collect()
+    }
+    assert rows == EXPECTED_DOCS
+
+
+def test_doc_type_magic_jvm_column(spark):
+    from evaporate_spark.fixtures import DOCS_DIR
+
+    # the coarse JVM tier: zip/gzip families stay unsplit
+    coarse = dict(EXPECTED_DOCS)
+    for k, v in coarse.items():
+        if v in ("epub", "docx", "pptx", "xlsx"):
+            coarse[k] = "zip"
+        elif v in ("tar.gz", "warc.gz"):
+            coarse[k] = "gzip"
+    files = (
+        spark.read.format("binaryFile").load(DOCS_DIR)
+        .select("path", "content")
+    )
+    rows = {
+        os.path.basename(r["path"]): r["t"]
+        for r in files.select(
+            "path", doc_type_magic("content").alias("t")
+        ).collect()
+    }
+    assert rows == coarse
+    # and it is JVM-only: no python eval nodes in the plan
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        files.select(doc_type_magic("content")).explain(mode="extended")
+    p = buf.getvalue()
+    assert "EvalPython" not in p and "mapInPandas" not in p

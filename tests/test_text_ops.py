@@ -517,6 +517,35 @@ def test_prepare_corpus_end_to_end(spark):
     ).collect()))
     assert a == b
 
+    # language routing: the en allowlist drops the german doc
+    en_only = prepare_corpus(
+        docs, eval_docs=eval_docs, decontam_threshold=0.9,
+        lang_allow=("en",),
+    )
+    assert {r["doc_id"] for r in en_only.collect()} == {1}
+
+
+def test_prepare_corpus_quality_model_stage(spark):
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.quality_model import (
+        train_fixture_quality_model,
+    )
+
+    model = train_fixture_quality_model(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "The committee reviewed the proposal and concluded that "
+                "the design met all of the safety requirements."),
+            (2, "click here click here BUY NOW deal deal deal free "
+                "shipping subscribe subscribe"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = prepare_corpus(
+        docs, quality_model=model, redact=False, dedup=False
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
 
 def test_corpus_cli(spark, tmp_path, capsys):
     """cli_corpus end-to-end: documents parquet in, packed windows

@@ -127,6 +127,24 @@ EPUB_TEXT = "\f".join(
     "\n".join([title] + paras) for title, paras in EPUB_CHAPTERS
 )
 
+# authored sitemaps (q_sitemap_entries oracle derives from these)
+SITEMAP_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    "<url><loc>http://example.com/</loc><lastmod>2024-01-05</lastmod>"
+    "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+    "<url><loc>http://example.com/two</loc></url>"
+    "</urlset>"
+)
+SITEMAP_INDEX_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    "<sitemap><loc>http://example.com/sitemap_a.xml</loc>"
+    "<lastmod>2024-02-01</lastmod></sitemap>"
+    "<sitemap><loc>http://example.com/sitemap_b.xml</loc></sitemap>"
+    "</sitemapindex>"
+)
+
 # authored Common Crawl WET/WAT shards (q_wet_ingest / q_wat_metadata)
 WET_PAGES = {
     "http://example.com/": "Hello crawl\nFirst paragraph.",
@@ -254,6 +272,8 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
     from evaporate_spark.sources.epub import epub_write
 
     files["book_sample.epub"] = epub_write(EPUB_CHAPTERS)
+    files["site_pages.xml"] = SITEMAP_XML.encode()
+    files["site_index.xml"] = SITEMAP_INDEX_XML.encode()
     files["crawl.wet.gz"] = warc_write(
         [
             {"type": "warcinfo", "content_type": "application/warc-fields",

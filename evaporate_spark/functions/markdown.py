@@ -1,0 +1,91 @@
+"""Markdown → plain text normalization — READMEs, docs sites, and
+wiki dumps are a standard high-quality slice of a pretraining mix, and
+their markup (heading hashes, link targets, emphasis markers) is noise
+a tokenizer should not learn. Engine addition (SURVEY §2C text
+analysis), a sibling of :mod:`functions.normalize`.
+
+Pure JVM ``regexp_replace`` chain — zero Python, codegen-friendly,
+scan-stage. Like :mod:`functions.redact`, every pattern is written in
+the RE2 ∩ Java-regex subset (no lookaround, no backreferences) so the
+SAME strings run in the DuckDB oracle (``q_markdown_text``): dialect
+parity is part of the correctness gate.
+
+What is stripped vs kept (training-text semantics, not rendering):
+
+- fenced code blocks: the ``` fence lines drop, the CODE CONTENT is
+  KEPT by default (code is valuable training text); ``strip_code=True``
+  drops the whole block;
+- images ``![alt](url)`` → alt text; links ``[text](url)`` → text
+  (URL targets are tracker-laden noise; anchor text is prose);
+- ATX ``# headings`` keep their text, setext underlines and
+  horizontal rules drop;
+- emphasis/strong/strikethrough markers and inline-code backticks
+  drop (content kept); blockquote ``>`` and list bullets drop;
+- blank-line runs collapse to one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (name, pattern, replacement) applied IN ORDER — images before
+#: links (the image shape is a link with a leading '!'), fences and
+#: rules before list bullets (a '---' rule is not a bullet), all
+#: RE2 ∩ Java compatible, (?m) for line anchors.
+MARKDOWN_STEPS: tuple[tuple[str, str, str], ...] = (
+    ("fence", r"(?m)^[ \t]*```[^\n]*$\n?", ""),
+    ("image", r"!\[([^\]]*)\]\([^)]*\)", "$1"),
+    ("link", r"\[([^\]]*)\]\([^)]*\)", "$1"),
+    ("autolink", r"<(https?://[^>\s]+)>", "$1"),
+    ("atx_heading", r"(?m)^[ \t]{0,3}#{1,6}[ \t]+", ""),
+    ("setext_underline", r"(?m)^[ \t]{0,3}(=+|-{2,})[ \t]*$\n?", ""),
+    ("hrule", r"(?m)^[ \t]{0,3}(\*[ \t]*){3,}$\n?", ""),
+    ("blockquote", r"(?m)^[ \t]*>[ \t]?", ""),
+    ("bullet", r"(?m)^[ \t]*[-*+][ \t]+", ""),
+    ("ordered", r"(?m)^[ \t]*\d{1,3}\.[ \t]+", ""),
+    ("strong", r"\*\*([^*]*)\*\*", "$1"),
+    ("strong_u", r"__([^_]*)__", "$1"),
+    ("emph", r"\*([^*\n]*)\*", "$1"),
+    ("strike", r"~~([^~]*)~~", "$1"),
+    ("inline_code", r"`([^`\n]*)`", "$1"),
+    ("blank_runs", r"\n{3,}", "\n\n"),
+)
+
+#: fenced blocks INCLUDING content — prepended when strip_code=True
+CODE_BLOCK_STEP: tuple[str, str, str] = (
+    "code_block", r"(?ms)^[ \t]*```.*?^[ \t]*```[^\n]*$\n?", ""
+)
+
+
+def markdown_steps(strip_code: bool = False) -> tuple[tuple[str, str, str], ...]:
+    """The ordered step list (shared verbatim with the oracle)."""
+    if strip_code:
+        return (CODE_BLOCK_STEP,) + MARKDOWN_STEPS
+    return MARKDOWN_STEPS
+
+
+def markdown_to_text(col: Column | str, strip_code: bool = False) -> Column:
+    """Plain text of a markdown column (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pattern, repl in markdown_steps(strip_code):
+        c = F.regexp_replace(c, pattern, repl)
+    return F.trim(c)
+
+
+#: authored markdown documents exercising every step — shared by the
+#: q_markdown_text oracle row (inputs embedded in the SQL) and the
+#: ground-truth pytest (hand-stated expected text, non-circular)
+MD_SAMPLES: tuple[str, ...] = (
+    (
+        "# Title\n\nSome *emphasis* and **strong** text with "
+        "[a link](http://x.y/z?utm=1) and ![logo](img.png).\n\n"
+        "- item one\n- item two\n\n> quoted wisdom\n\n"
+        "```python\nprint(1)\n```\n\ntrailing paragraph"
+    ),
+    (
+        "Setext Title\n====\n\n1. first\n2. second\n\n"
+        "* * *\n\n`inline code` and ~~struck~~ and "
+        "<https://auto.link/path>"
+    ),
+)

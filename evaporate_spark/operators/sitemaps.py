@@ -1,0 +1,115 @@
+"""Sitemap parsing (sitemaps.org XML protocol) — the frontier-SEEDING
+half of the crawl chain (robots.txt is the filtering half;
+``Sitemap:`` lines in robots.txt point here). Engine addition
+(SURVEY §2C ingest breadth), composing with
+:mod:`operators.robots` and :mod:`operators.urls`.
+
+Handles both document kinds of the protocol:
+
+- ``<urlset>`` — page entries: loc (required), lastmod, changefreq,
+  priority;
+- ``<sitemapindex>`` — nested sitemap entries (large sites shard
+  their sitemaps; the index is the root): loc, lastmod.
+
+Stdlib ``xml.etree`` inside an Arrow-batched ``mapInPandas`` — one
+row per entry, a typed per-file err row for malformed XML. At crawl
+scale sitemaps are host-cardinality-sized; the output joins the
+frontier the same broadcast way the robots corpus does.
+
+``robots_sitemap_urls`` extracts the ``Sitemap:`` directives from a
+robots.txt corpus (RFC 9309 §2.3 allows them anywhere in the file) —
+the standard discovery path from politeness file to seed list.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+
+def sitemap_entries(xml: str) -> list[tuple[str, str, str | None, str | None, str | None]]:
+    """(kind, loc, lastmod, changefreq, priority) per entry; kind is
+    'url' for urlset members, 'sitemap' for index members."""
+    root = ET.fromstring(xml)
+    out: list[tuple[str, str, str | None, str | None, str | None]] = []
+    if root.tag == f"{_NS}urlset":
+        kind, member = "url", f"{_NS}url"
+    elif root.tag == f"{_NS}sitemapindex":
+        kind, member = "sitemap", f"{_NS}sitemap"
+    else:
+        raise ValueError(f"not a sitemap document: root {root.tag!r}")
+
+    def _text(el, name):
+        sub = el.find(f"{_NS}{name}")
+        return sub.text.strip() if sub is not None and sub.text else None
+
+    for el in root.findall(member):
+        loc = _text(el, "loc")
+        if not loc:
+            continue
+        out.append(
+            (kind, loc, _text(el, "lastmod"), _text(el, "changefreq"),
+             _text(el, "priority"))
+        )
+    return out
+
+
+def parse_sitemaps(files: DataFrame, path_col: str = "path") -> DataFrame:
+    """(path, content) rows → one row per sitemap entry:
+    (sitemap_file, kind, loc, lastmod, changefreq, priority, err).
+    Malformed files yield a single err row, never a failed task."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for fpath, raw in zip(pdf[path_col], pdf["content"]):
+                if isinstance(raw, (bytes, bytearray)):
+                    text = bytes(raw).decode("utf-8", errors="replace")
+                else:
+                    text = raw or ""
+                try:
+                    for entry in sitemap_entries(text):
+                        rows.append((fpath, *entry, None))
+                except Exception as ex:
+                    rows.append(
+                        (fpath, None, None, None, None, None,
+                         repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["sitemap_file", "kind", "loc", "lastmod",
+                         "changefreq", "priority", "err"],
+            )
+
+    return files.select(path_col, "content").mapInPandas(
+        batches,
+        schema=(
+            "sitemap_file string, kind string, loc string, "
+            "lastmod string, changefreq string, priority string, "
+            "err string"
+        ),
+    )
+
+
+_SITEMAP_LINE = re.compile(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)")
+
+
+def robots_sitemap_urls(robots: DataFrame, text_col: str = "robots_txt",
+                        host_col: str = "host") -> DataFrame:
+    """Per-host ``Sitemap:`` directive URLs from a robots corpus —
+    one JVM regexp pass (RFC 9309 lets the directive appear anywhere,
+    case-insensitively)."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(_SITEMAP_LINE.pattern), 1
+    )
+    return (
+        robots.select(F.col(host_col), F.explode(urls).alias("sitemap_url"))
+    )

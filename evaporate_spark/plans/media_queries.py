@@ -483,7 +483,9 @@ def q_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('report_510k.pdf', 'pdf'),
             ('report_metrics.docx', 'docx'),
             ('report_objstm.pdf', 'pdf'),
-            ('report_plain.pdf', 'pdf')
+            ('report_plain.pdf', 'pdf'),
+            ('site_index.xml', 'xml'),
+            ('site_pages.xml', 'xml')
         ) AS t(file, doc_type)
     """,
     tags=("doclake",),
@@ -497,6 +499,49 @@ def q_doc_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return detect_doc_types(files).select(
         F.element_at(F.split("path", "/"), -1).alias("file"), "doc_type"
+    )
+
+
+@register(
+    "q_sitemap_entries",
+    "Sitemap-protocol parsing (operators/sitemaps.py — the frontier-"
+    "SEEDING half of the crawl chain; robots.txt filtering is the "
+    "other half): a urlset page sitemap and a sitemapindex shard "
+    "both reduce to typed entry rows inside the scan task. Oracle = "
+    "the authored entry table.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('site_index.xml', 'sitemap',
+             'http://example.com/sitemap_a.xml', '2024-02-01',
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+            ('site_index.xml', 'sitemap',
+             'http://example.com/sitemap_b.xml', CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+            ('site_pages.xml', 'url', 'http://example.com/',
+             '2024-01-05', 'daily', '0.8'),
+            ('site_pages.xml', 'url', 'http://example.com/two',
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR))
+        ) AS t(file, kind, loc, lastmod, changefreq, priority)
+    """,
+    tags=("doclake",),
+)
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.sitemaps import parse_sitemaps
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "site_*.xml")
+        .load(DOCS_DIR)
+        .select("path", "content")
+    )
+    return parse_sitemaps(files).select(
+        F.element_at(F.split("sitemap_file", "/"), -1).alias("file"),
+        "kind",
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
     )
 
 

@@ -566,6 +566,55 @@ def _lang_id_oracle() -> str:
     """
 
 
+def _markdown_oracle() -> str:
+    from evaporate_spark.functions.markdown import (
+        MD_SAMPLES,
+        markdown_steps,
+    )
+
+    expr = "md"
+    for _name, pattern, repl in markdown_steps():
+        p = pattern.replace("'", "''")
+        r = repl.replace("$1", "\\1").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    values = ",\n            ".join(
+        f"(CAST({i} AS BIGINT), '{s.replace(chr(39), chr(39) * 2)}')"
+        for i, s in enumerate(MD_SAMPLES)
+    )
+    return f"""
+        SELECT doc_id, trim({expr}) AS text
+        FROM (VALUES
+            {values}
+        ) v(doc_id, md)
+    """
+
+
+@register(
+    "q_markdown_text",
+    "Markdown → plain-text normalization (functions/markdown.py): the "
+    "README/docs/wiki slice of a pretraining mix stripped of markup "
+    "noise (heading hashes, link targets, emphasis markers, fences — "
+    "code CONTENT kept) as a pure JVM regexp chain. The oracle applies "
+    "the SAME RE2∩Java pattern strings in DuckDB over the same "
+    "authored inputs ($1 → \\1 replacement translation only) — "
+    "dialect parity is the correctness gate, per the q_pii_redact "
+    "precedent; hand-stated expected text is pytest-asserted "
+    "non-circularly.",
+    oracle=_markdown_oracle(),
+    tags=("textstats", "corpus"),
+)
+def q_markdown_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.markdown import (
+        MD_SAMPLES,
+        markdown_to_text,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(MD_SAMPLES)), "doc_id long, md string"
+    )
+    return df.select("doc_id", markdown_to_text("md").alias("text"))
+
+
 @register(
     "q_quality_model_scores",
     "Trained quality classifier (operators/quality_model.py — the "

@@ -1,0 +1,83 @@
+"""Markdown → plain-text normalization (functions/markdown.py) —
+engine addition (SURVEY §2C text analysis)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from evaporate_spark.functions.markdown import MD_SAMPLES, markdown_to_text
+
+
+def _run(spark, texts, **kwargs):
+    df = spark.createDataFrame([(t,) for t in texts], "md string")
+    return [
+        r["t"]
+        for r in df.select(markdown_to_text("md", **kwargs).alias("t")).collect()
+    ]
+
+
+def test_markdown_samples_hand_stated(spark):
+    # non-circular ground truth: expected text stated by hand, not
+    # derived by running the chain
+    got = _run(spark, MD_SAMPLES)
+    assert got[0] == (
+        "Title\n\nSome emphasis and strong text with a link and logo."
+        "\n\nitem one\nitem two\n\nquoted wisdom\n\nprint(1)\n\n"
+        "trailing paragraph"
+    )
+    assert got[1] == (
+        "Setext Title\n\nfirst\nsecond\n\ninline code and struck and "
+        "https://auto.link/path"
+    )
+
+
+def test_markdown_strip_code_drops_block_content(spark):
+    md = "intro\n\n```js\nvar x = 1;\n```\n\noutro"
+    keep, = _run(spark, [md])
+    drop, = _run(spark, [md], strip_code=True)
+    assert "var x = 1;" in keep and "```" not in keep
+    assert "var x = 1;" not in drop
+    assert drop == "intro\n\noutro"
+
+
+def test_markdown_edge_cases(spark):
+    cases = {
+        # snake_case untouched (single-underscore emphasis not stripped)
+        "keep snake_case words": "keep snake_case words",
+        # nested emphasis inside strong
+        "**bold *inner* text**": "bold inner text",
+        # link text keeps, bare parens survive
+        "[x](http://a.b) (plain)": "x (plain)",
+        # heading without space is NOT a heading (hashtag)
+        "#hashtag stays": "#hashtag stays",
+        # empty input
+        "": "",
+    }
+    got = _run(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_markdown_plan_is_jvm_only(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame([(s,) for s in MD_SAMPLES], "md string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.select(markdown_to_text("md")).explain(mode="extended")
+    p = buf.getvalue()
+    assert "EvalPython" not in p and "mapInPandas" not in p
+
+
+def test_markdown_in_corpus_chain(spark):
+    # composes with prepare_corpus as a pre-normalization map
+    from evaporate_spark.corpus import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "# Doc\n\nSome **prose** with [a link](http://x) here.")],
+        ["doc_id", "text"],
+    )
+    docs = docs.withColumn("text", markdown_to_text("text"))
+    out = prepare_corpus(docs, redact=False, dedup=False)
+    (row,) = out.collect()
+    assert row["text"] == "Doc Some prose with a link here."

@@ -1,0 +1,65 @@
+"""Sitemap-protocol parsing (operators/sitemaps.py) — frontier
+seeding for the crawl chain (engine addition, SURVEY §2C)."""
+
+from __future__ import annotations
+
+import pytest
+
+from evaporate_spark.fixtures.docs import SITEMAP_INDEX_XML, SITEMAP_XML
+from evaporate_spark.operators.sitemaps import (
+    parse_sitemaps,
+    robots_sitemap_urls,
+    sitemap_entries,
+)
+
+
+def test_sitemap_entries_urlset_and_index():
+    urls = sitemap_entries(SITEMAP_XML)
+    assert urls == [
+        ("url", "http://example.com/", "2024-01-05", "daily", "0.8"),
+        ("url", "http://example.com/two", None, None, None),
+    ]
+    idx = sitemap_entries(SITEMAP_INDEX_XML)
+    assert [(k, l, m) for k, l, m, _, _ in idx] == [
+        ("sitemap", "http://example.com/sitemap_a.xml", "2024-02-01"),
+        ("sitemap", "http://example.com/sitemap_b.xml", None),
+    ]
+    with pytest.raises(ValueError):
+        sitemap_entries("<rss/>")
+
+
+def test_parse_sitemaps_operator_and_err_rows(spark, tmp_path):
+    (tmp_path / "a.xml").write_text(SITEMAP_XML)
+    (tmp_path / "broken.xml").write_text("<urlset><url>")
+    files = (
+        spark.read.format("binaryFile").load(str(tmp_path))
+        .select("path", "content")
+    )
+    rows = parse_sitemaps(files).collect()
+    ok = [r for r in rows if r["err"] is None]
+    bad = [r for r in rows if r["err"] is not None]
+    assert {r["loc"] for r in ok} == {
+        "http://example.com/", "http://example.com/two"
+    }
+    assert len(bad) == 1 and bad[0]["sitemap_file"].endswith("broken.xml")
+
+
+def test_robots_sitemap_urls(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\nDisallow: /tmp\n"
+             "Sitemap: http://a.com/sitemap.xml\n"
+             "sitemap: http://a.com/extra.xml\n"),
+            ("b.com", "User-agent: *\nAllow: /\n"),
+        ],
+        ["host", "robots_txt"],
+    )
+    got = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in robots_sitemap_urls(robots).collect()
+    )
+    assert got == [
+        ("a.com", "http://a.com/extra.xml"),
+        ("a.com", "http://a.com/sitemap.xml"),
+    ]

@@ -43,6 +43,8 @@ EXPECTED_DOCS = {
     "report_metrics.docx": "docx",
     "report_objstm.pdf": "pdf",
     "report_plain.pdf": "pdf",
+    "site_index.xml": "xml",
+    "site_pages.xml": "xml",
 }
 
 

@@ -1,0 +1,178 @@
+"""Ingest-layer scale probe: synthesize a mixed extensionless-ish
+document lake (PDF + DOCX + PPTX + XLSX + EPUB + WARC shards + zip
+shards) far bigger than the committed fixtures, push it through the
+round-8 ingest surface (content sniffing → per-type extraction), and
+record wall/throughput/shape evidence to SCALE_PROBE_INGEST.json.
+
+What this evidences for the 100 TB design review:
+- per-FILE parallelism: every extractor runs inside the scan task
+  (mapInPandas over binaryFile rows) — no shuffle anywhere in the
+  ingest plan, so the wall scales with executors, not with a driver
+  bottleneck;
+- the python cost is paid only by rows that need it (sniffing +
+  extraction are the only python; the binary scan and all routing
+  predicates are JVM);
+- err-row discipline: corrupt members surface as typed rows, never
+  failed tasks (the probe plants corrupt files on purpose).
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_ingest.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+N_PER_TYPE = 400          # x5 doc types + 40 warc shards + 40 zips
+WARC_RECORDS = 25         # pages per warc shard
+ZIP_MEMBERS = 10          # members per zip shard
+OUT = os.path.join(os.path.dirname(__file__), "SCALE_PROBE_INGEST.json")
+LAKE = "/tmp/spark_graft_ingest_probe"
+
+
+def build_lake() -> dict:
+    from evaporate_spark.operators.pdf import pdf_write
+    from evaporate_spark.sources.archives import zip_write
+    from evaporate_spark.sources.epub import epub_write
+    from evaporate_spark.sources.office import (
+        docx_write,
+        pptx_write,
+        xlsx_write,
+    )
+    from evaporate_spark.sources.warc import http_response_bytes, warc_write
+
+    shutil.rmtree(LAKE, ignore_errors=True)
+    os.makedirs(LAKE)
+    t0 = time.time()
+    n_files = 0
+    para = (
+        "Synthetic but grammatical prose paragraph number {i} for the "
+        "ingest probe, long enough to look like a document body."
+    )
+    for i in range(N_PER_TYPE):
+        body = [para.format(i=i), f"Second paragraph {i}."]
+        with open(f"{LAKE}/doc_{i:05d}.pdf", "wb") as fh:
+            fh.write(pdf_write([body]))
+        with open(f"{LAKE}/doc_{i:05d}.docx", "wb") as fh:
+            fh.write(docx_write(body, table=[["k", str(i)]]))
+        with open(f"{LAKE}/deck_{i:05d}.pptx", "wb") as fh:
+            fh.write(pptx_write([body, [f"slide two {i}"]]))
+        with open(f"{LAKE}/grid_{i:05d}.xlsx", "wb") as fh:
+            fh.write(xlsx_write([[["n", str(i)], ["m", str(i * 2)]]]))
+        with open(f"{LAKE}/book_{i:05d}.epub", "wb") as fh:
+            fh.write(epub_write([(f"Chapter {i}", body)]))
+        n_files += 5
+    for s in range(40):
+        recs = [
+            {"type": "response", "url": f"http://probe/{s}/{r}",
+             "http": http_response_bytes(
+                 200, f"<html><body><p>{para.format(i=r)}</p></body></html>"
+                 .encode())}
+            for r in range(WARC_RECORDS)
+        ]
+        with open(f"{LAKE}/shard_{s:03d}.warc.gz", "wb") as fh:
+            fh.write(warc_write(recs, gzip_per_record=True))
+        members = {
+            f"m/{j}.txt": para.format(i=j).encode()
+            for j in range(ZIP_MEMBERS)
+        }
+        with open(f"{LAKE}/shard_{s:03d}.zip", "wb") as fh:
+            fh.write(zip_write(members))
+        n_files += 2
+    # corrupt plants: err-row discipline, not failed tasks
+    for name in ("bad_a.docx", "bad_b.epub", "bad_c.warc"):
+        with open(f"{LAKE}/{name}", "wb") as fh:
+            fh.write(b"corrupt bytes that match no container")
+        n_files += 1
+    size = sum(
+        os.path.getsize(os.path.join(LAKE, f)) for f in os.listdir(LAKE)
+    )
+    return {"n_files": n_files, "lake_bytes": size,
+            "build_s": round(time.time() - t0, 1)}
+
+
+def main() -> None:
+    from evaporate_spark.session import get_spark
+
+    spark = get_spark()
+    stats = {"lake": build_lake()}
+
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.sniff import detect_doc_types
+    from evaporate_spark.sources.archives import read_document_archives
+    from evaporate_spark.sources.doclake import read_document_dir
+    from evaporate_spark.sources.warc import read_warc, warc_to_documents
+
+    # 1. content sniffing over the whole lake
+    files = (
+        spark.read.format("binaryFile").load(LAKE)
+        .select("path", "content")
+    )
+    t0 = time.time()
+    sniffed = detect_doc_types(files).groupBy("doc_type").count()
+    by_type = {r["doc_type"]: r["count"] for r in sniffed.collect()}
+    stats["sniff"] = {
+        "wall_s": round(time.time() - t0, 2), "by_type": by_type,
+    }
+
+    # 2. per-type extraction through the canonical doc-lake paths
+    t0 = time.time()
+    docs = read_document_dir(
+        spark, LAKE, glob="*.{pdf,docx,pptx,xlsx,epub}",
+        pdf_text=True, office=True,
+    )
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.length("content")).alias("chars"),
+        F.sum((F.length("content") == 0).cast("int")).alias("empty"),
+    ).collect()[0]
+    stats["documents"] = {
+        "wall_s": round(time.time() - t0, 2),
+        "rows": agg["rows"], "chars": int(agg["chars"]),
+        "empty_or_err": int(agg["empty"]),
+    }
+
+    t0 = time.time()
+    web = warc_to_documents(read_warc(spark, LAKE))
+    warc_err = read_warc(spark, LAKE).where(F.col("err").isNotNull())
+    pages, werrs = web.count(), warc_err.count()
+    stats["warc"] = {
+        "wall_s": round(time.time() - t0, 2),
+        "pages": pages, "err_rows": werrs,
+    }
+
+    t0 = time.time()
+    arch = read_document_archives(spark, LAKE)
+    members = arch.where(F.col("doc_type") != "err").count()
+    aerrs = arch.where(F.col("doc_type") == "err").count()
+    stats["archives"] = {
+        "wall_s": round(time.time() - t0, 2),
+        "members": members, "err_rows": aerrs,
+    }
+
+    # 3. shuffle audit: the whole ingest surface must be shuffle-free
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        docs.explain(mode="extended")
+    stats["shuffle_free_documents_plan"] = "Exchange" not in buf.getvalue()
+
+    total_wall = (
+        stats["sniff"]["wall_s"] + stats["documents"]["wall_s"]
+        + stats["warc"]["wall_s"] + stats["archives"]["wall_s"]
+    )
+    stats["total_ingest_wall_s"] = round(total_wall, 2)
+    stats["files_per_s"] = round(stats["lake"]["n_files"] / total_wall, 1)
+    with open(OUT, "w") as fh:
+        json.dump(stats, fh, indent=2, sort_keys=True)
+    print(json.dumps(stats, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

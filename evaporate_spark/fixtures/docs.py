@@ -109,6 +109,15 @@ OFFICE_PPTX_SLIDES = [["Roadmap 2024", "Phase one"], ["Phase two"]]
 OFFICE_PPTX_TEXT = "Roadmap 2024\nPhase one\fPhase two"
 OFFICE_XLSX_SHEETS = [[["region", "units"], ["emea", "120"]]]
 OFFICE_XLSX_TEXT = "region\tunits\nemea\t120"
+ODF_ODT_PARAS = ["Meeting notes & actions.", "Owner list follows."]
+ODF_ODT_TABLE = [["owner", "task"], ["kim", "draft"]]
+ODF_ODT_TEXT = (
+    "Meeting notes & actions.\nOwner list follows.\nowner\ttask\nkim\tdraft"
+)
+ODF_ODP_SLIDES = [["Talk intro", "agenda"], ["Closing slide"]]
+ODF_ODP_TEXT = "Talk intro\nagenda\fClosing slide"
+ODF_ODS_SHEETS = [[["item", "cost"], ["pump", "40"]]]
+ODF_ODS_TEXT = "item\tcost\npump\t40"
 
 # authored e-book (q_epub_text oracle derives from these)
 EPUB_CHAPTERS = [
@@ -269,6 +278,11 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
     )
     files["deck_roadmap.pptx"] = pptx_write(OFFICE_PPTX_SLIDES)
     files["grid_regions.xlsx"] = xlsx_write(OFFICE_XLSX_SHEETS)
+    from evaporate_spark.sources.office import ods_write, odp_write, odt_write
+
+    files["memo_notes.odt"] = odt_write(ODF_ODT_PARAS, table=ODF_ODT_TABLE)
+    files["deck_talk.odp"] = odp_write(ODF_ODP_SLIDES)
+    files["grid_costs.ods"] = ods_write(ODF_ODS_SHEETS)
     from evaporate_spark.sources.epub import epub_write
 
     files["book_sample.epub"] = epub_write(EPUB_CHAPTERS)

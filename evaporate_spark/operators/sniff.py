@@ -97,10 +97,18 @@ def _zip_family(raw: bytes) -> str:
     if "mimetype" in names:
         try:
             with zipfile.ZipFile(io.BytesIO(raw)) as zf:
-                if zf.read("mimetype").strip() == b"application/epub+zip":
-                    return "epub"
+                mt = zf.read("mimetype").strip()
         except Exception:
-            pass
+            mt = b""
+        if mt == b"application/epub+zip":
+            return "epub"
+        odf = {
+            b"application/vnd.oasis.opendocument.text": "odt",
+            b"application/vnd.oasis.opendocument.presentation": "odp",
+            b"application/vnd.oasis.opendocument.spreadsheet": "ods",
+        }
+        if mt in odf:
+            return odf[mt]
     if "[Content_Types].xml" in names:
         if any(n.startswith("word/") for n in names):
             return "docx"

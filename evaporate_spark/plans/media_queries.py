@@ -389,9 +389,10 @@ def q_archive_doclake(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_office_text",
     "REAL Office-document ingest (sources/office.py — ECMA-376 OOXML "
-    "via stdlib zip+XML, no Python outside the office rows): committed "
-    ".docx (paragraphs, split runs, a table), .pptx (two slides, "
-    "numeric order), and .xlsx (inline-string grid) fixtures route "
+    "AND ISO 26300 OpenDocument, via stdlib zip+XML, no Python "
+    "outside the office rows): committed .docx/.pptx/.xlsx and "
+    ".odt/.odp/.ods fixtures (paragraphs, split runs, tables, slide "
+    "order, shared/inline strings, ODF text:s space runs) route "
     "through read_document_dir(office=True) into canonical document "
     "rows, suffix as doc_type. Oracle = the authored text table "
     "(first_line pins paragraph order; n_chars pins the whole "
@@ -400,8 +401,14 @@ def q_archive_doclake(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM (VALUES
             ('deck_roadmap.pptx', 'pptx', CAST(32 AS BIGINT),
              'Roadmap 2024', CAST(1279 AS BIGINT)),
+            ('deck_talk.odp', 'odp', CAST(31 AS BIGINT),
+             'Talk intro', CAST(488 AS BIGINT)),
+            ('grid_costs.ods', 'ods', CAST(17 AS BIGINT),
+             'item\tcost', CAST(490 AS BIGINT)),
             ('grid_regions.xlsx', 'xlsx', CAST(21 AS BIGINT),
              'region\tunits', CAST(973 AS BIGINT)),
+            ('memo_notes.odt', 'odt', CAST(65 AS BIGINT),
+             'Meeting notes & actions.', CAST(510 AS BIGINT)),
             ('report_metrics.docx', 'docx', CAST(85 AS BIGINT),
              'Quarterly metrics review.', CAST(1015 AS BIGINT))
         ) AS t(file, doc_type, n_chars, first_line, n_bytes)
@@ -412,7 +419,7 @@ def q_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evaporate_spark.sources.doclake import read_document_dir
 
     docs = read_document_dir(
-        spark, DOCS_DIR, glob="*.{docx,pptx,xlsx}", office=True
+        spark, DOCS_DIR, glob="*.{docx,pptx,xlsx,odt,odp,ods}", office=True
     )
     return docs.select(
         F.element_at(F.split("path", "/"), -1).alias("file"),
@@ -473,6 +480,9 @@ def q_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('crawl.wat.gz', 'warc.gz'),
             ('crawl.wet.gz', 'warc.gz'),
             ('deck_roadmap.pptx', 'pptx'),
+            ('deck_talk.odp', 'odp'),
+            ('grid_costs.ods', 'ods'),
+            ('memo_notes.odt', 'odt'),
             ('docs_archive.tar.gz', 'tar.gz'),
             ('docs_archive.zip', 'zip'),
             ('grid_regions.xlsx', 'xlsx'),

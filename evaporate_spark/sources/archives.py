@@ -61,7 +61,7 @@ def _member_rows(archive_path: str, raw: bytes) -> list[tuple]:
             except Exception:
                 text = ""
             dtype = "pdf"
-        elif low.endswith((".docx", ".pptx", ".xlsx")):
+        elif low.endswith((".docx", ".pptx", ".xlsx", ".odt", ".odp", ".ods")):
             from evaporate_spark.sources.office import office_text
 
             dtype = low.rsplit(".", 1)[-1]

@@ -65,7 +65,9 @@ def read_document_dir(
         ~F.element_at(F.split(F.col("path"), "/"), -1).startswith(".")
     ).where(~F.col("path").endswith(".swp"))
     is_pdf = F.lower(F.col("path")).endswith(".pdf")
-    is_office = F.lower(F.col("path")).rlike(r"\.(docx|pptx|xlsx|epub)$")
+    is_office = F.lower(F.col("path")).rlike(
+        r"\.(docx|pptx|xlsx|odt|odp|ods|epub)$"
+    )
     text_side = base
     if pdf_text:
         text_side = text_side.where(~is_pdf)
@@ -123,8 +125,9 @@ def read_document_dir(
         ).select(
             "path",
             F.coalesce(F.col("text"), F.lit("")).alias("content"),
-            F.regexp_extract(F.lower("path"), r"\.(docx|pptx|xlsx)$", 1)
-            .alias("doc_type"),
+            F.regexp_extract(
+                F.lower("path"), r"\.(docx|pptx|xlsx|odt|odp|ods)$", 1
+            ).alias("doc_type"),
             F.col("n_bytes").cast("bigint").alias("n_bytes"),
         )
         epub_docs = extract_epub_text_df(base.where(is_epub)).select(

@@ -46,7 +46,12 @@ _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
-OFFICE_SUFFIXES = (".docx", ".pptx", ".xlsx")
+# OpenDocument (ODF, ISO 26300 — LibreOffice/OpenOffice) namespaces
+_OFF = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+_TXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_TBL = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+
+OFFICE_SUFFIXES = (".docx", ".pptx", ".xlsx", ".odt", ".odp", ".ods")
 
 
 # ------------------------------------------------------------------ readers
@@ -158,14 +163,93 @@ def xlsx_text(raw: bytes) -> str:
     return "\f".join(sheets)
 
 
+# --------------------------------------------------------- OpenDocument
+def _odf_para_text(p: ET.Element) -> str:
+    """Text of one text:p/text:h, honoring tab/line-break/text:s
+    (ODF collapses literal spaces; text:s encodes runs)."""
+    parts: list[str] = []
+
+    def walk(el: ET.Element) -> None:
+        if el.tag == f"{_TXT}tab":
+            parts.append("\t")
+        elif el.tag == f"{_TXT}line-break":
+            parts.append("\n")
+        elif el.tag == f"{_TXT}s":
+            parts.append(" " * int(el.get(f"{_TXT}c", "1")))
+        if el.text:
+            parts.append(el.text)
+        for sub in el:
+            walk(sub)
+            if sub.tail:
+                parts.append(sub.tail)
+
+    walk(p)
+    return "".join(parts)
+
+
+def odf_text(raw: bytes) -> str:
+    """Plain text of an ODF container (odt/odp/ods) from content.xml:
+    odt paragraphs/headings newline-joined; odp pages form-feed-joined;
+    ods sheets form-feed-joined with TAB cells / newline rows."""
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        root = ET.fromstring(zf.read("content.xml"))
+    body = root.find(f"{_OFF}body")
+    if body is None:
+        return ""
+    text_body = body.find(f"{_OFF}text")
+    if text_body is not None:
+        lines = []
+        for el in text_body:
+            if el.tag in (f"{_TXT}p", f"{_TXT}h"):
+                lines.append(_odf_para_text(el))
+            elif el.tag == f"{_TBL}table":
+                for row in el.iter(f"{_TBL}table-row"):
+                    cells = [
+                        "\n".join(
+                            _odf_para_text(p) for p in cell.iter(f"{_TXT}p")
+                        )
+                        for cell in row.findall(f"{_TBL}table-cell")
+                    ]
+                    lines.append("\t".join(cells))
+        return "\n".join(lines).rstrip("\n")
+    pres = body.find(f"{_OFF}presentation")
+    if pres is not None:
+        pages = []
+        for page in pres:
+            paras = [
+                _odf_para_text(p) for p in page.iter(f"{_TXT}p")
+            ]
+            pages.append("\n".join(paras).rstrip("\n"))
+        return "\f".join(pages)
+    sheet_body = body.find(f"{_OFF}spreadsheet")
+    if sheet_body is not None:
+        sheets = []
+        for table in sheet_body.findall(f"{_TBL}table"):
+            rows = []
+            for row in table.findall(f"{_TBL}table-row"):
+                cells = [
+                    "\n".join(
+                        _odf_para_text(p) for p in cell.iter(f"{_TXT}p")
+                    )
+                    for cell in row.findall(f"{_TBL}table-cell")
+                ]
+                rows.append("\t".join(cells))
+            sheets.append("\n".join(rows))
+        return "\f".join(sheets)
+    return ""
+
+
 def office_text(raw: bytes, suffix: str) -> str:
-    """Dispatch by lowercase suffix ('.docx' / '.pptx' / '.xlsx')."""
+    """Dispatch by lowercase suffix (OOXML: .docx/.pptx/.xlsx;
+    ODF: .odt/.odp/.ods)."""
     if suffix == ".docx":
         return docx_text(raw)
     if suffix == ".pptx":
         return pptx_text(raw)
     if suffix == ".xlsx":
         return xlsx_text(raw)
+    if suffix in (".odt", ".odp", ".ods"):
+        return odf_text(raw)
     raise ValueError(f"not an office suffix: {suffix}")
 
 
@@ -290,6 +374,85 @@ def pptx_write(slides: list[list[str]]) -> bytes:
     members["[Content_Types].xml"] = ct.encode()
     members["_rels/.rels"] = rels.encode()
     return zip_write(dict(sorted(members.items())))
+
+
+_ODF_CONTENT = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<office:document-content '
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+    'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" '
+    'office:version="1.3"><office:body>{body}</office:body>'
+    "</office:document-content>"
+)
+
+
+def _odf_pack(mimetype: str, content_xml: str) -> bytes:
+    from evaporate_spark.sources.archives import zip_write
+
+    return zip_write({
+        "mimetype": mimetype.encode(),
+        "content.xml": content_xml.encode(),
+    })
+
+
+def odt_write(
+    paragraphs: list[str], table: list[list[str]] | None = None
+) -> bytes:
+    """Minimal spec-shaped .odt (text document)."""
+    inner = "".join(f"<text:p>{_xesc(p)}</text:p>" for p in paragraphs)
+    if table:
+        rows = "".join(
+            "<table:table-row>" + "".join(
+                f"<table:table-cell><text:p>{_xesc(c)}</text:p>"
+                "</table:table-cell>"
+                for c in row
+            ) + "</table:table-row>"
+            for row in table
+        )
+        inner += f"<table:table>{rows}</table:table>"
+    content = _ODF_CONTENT.format(body=f"<office:text>{inner}</office:text>")
+    return _odf_pack("application/vnd.oasis.opendocument.text", content)
+
+
+def odp_write(slides: list[list[str]]) -> bytes:
+    """Minimal spec-shaped .odp (presentation)."""
+    pages = "".join(
+        '<draw:page><draw:frame><draw:text-box>'
+        + "".join(f"<text:p>{_xesc(p)}</text:p>" for p in paras)
+        + "</draw:text-box></draw:frame></draw:page>"
+        for paras in slides
+    )
+    content = _ODF_CONTENT.format(
+        body=f"<office:presentation>{pages}</office:presentation>"
+    )
+    return _odf_pack(
+        "application/vnd.oasis.opendocument.presentation", content
+    )
+
+
+def ods_write(sheets: list[list[list[str]]]) -> bytes:
+    """Minimal spec-shaped .ods (spreadsheet)."""
+    tables = []
+    for i, rows in enumerate(sheets, start=1):
+        body_rows = "".join(
+            "<table:table-row>" + "".join(
+                f"<table:table-cell><text:p>{_xesc(c)}</text:p>"
+                "</table:table-cell>"
+                for c in row
+            ) + "</table:table-row>"
+            for row in rows
+        )
+        tables.append(
+            f'<table:table table:name="Sheet{i}">{body_rows}</table:table>'
+        )
+    content = _ODF_CONTENT.format(
+        body=f"<office:spreadsheet>{''.join(tables)}</office:spreadsheet>"
+    )
+    return _odf_pack(
+        "application/vnd.oasis.opendocument.spreadsheet", content
+    )
 
 
 def xlsx_write(sheets: list[list[list[str]]]) -> bytes:

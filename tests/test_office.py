@@ -79,7 +79,9 @@ def test_xlsx_shared_and_inline_strings_and_numbers():
 def test_office_text_dispatch_and_errors():
     assert office_text(docx_write(["x"]), ".docx") == "x"
     with pytest.raises(ValueError):
-        office_text(b"", ".odt")
+        office_text(b"", ".rtf")
+    with pytest.raises(Exception):
+        office_text(b"not a zip", ".odt")
     with pytest.raises(Exception):
         docx_text(b"not a zip")
 
@@ -151,3 +153,56 @@ def test_docx_routing_in_document_dir_and_archives(spark, tmp_path):
     assert members["c/deck.pptx"]["doc_type"] == "pptx"
     assert members["c/grid.xlsx"]["content"] == "q\t1"
     assert members["c/grid.xlsx"]["doc_type"] == "xlsx"
+
+
+def test_odf_formats_roundtrip_and_routing(spark, tmp_path):
+    from evaporate_spark.sources.archives import read_document_archives, zip_write
+    from evaporate_spark.sources.doclake import read_document_dir
+    from evaporate_spark.sources.office import (
+        odf_text,
+        odp_write,
+        ods_write,
+        odt_write,
+    )
+
+    t = odf_text(odt_write(["One & <two>."], table=[["a", "b"]]))
+    assert t == "One & <two>.\na\tb"
+    assert odf_text(odp_write([["S1", "b"], ["S2"]])) == "S1\nb\fS2"
+    assert odf_text(ods_write([[["x", "1"]]])) == "x\t1"
+    # text:s space runs expand
+    import io
+    import zipfile
+
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'office:version="1.3"><office:body><office:text>'
+        '<text:p>a<text:s text:c="3"/>b<text:tab/>c</text:p>'
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("content.xml", content)
+    assert odf_text(buf.getvalue()) == "a   b\tc"
+
+    (tmp_path / "d").mkdir()
+    (tmp_path / "d" / "m.odt").write_bytes(odt_write(["From dir odt."]))
+    docs = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in read_document_dir(
+            spark, str(tmp_path / "d"), office=True
+        ).collect()
+    }
+    assert docs["m.odt"]["doc_type"] == "odt"
+    assert docs["m.odt"]["content"] == "From dir odt."
+    (tmp_path / "s.zip").write_bytes(
+        zip_write({"n/x.ods": ods_write([[["q", "9"]]])})
+    )
+    members = {
+        r["path"].split("!")[-1]: r
+        for r in read_document_archives(spark, str(tmp_path)).collect()
+    }
+    assert members["n/x.ods"]["doc_type"] == "ods"
+    assert members["n/x.ods"]["content"] == "q\t9"

@@ -32,6 +32,9 @@ EXPECTED_DOCS = {
     "crawl.wat.gz": "warc.gz",
     "crawl.wet.gz": "warc.gz",
     "deck_roadmap.pptx": "pptx",
+    "deck_talk.odp": "odp",
+    "grid_costs.ods": "ods",
+    "memo_notes.odt": "odt",
     "docs_archive.tar.gz": "tar.gz",
     "docs_archive.zip": "zip",
     "grid_regions.xlsx": "xlsx",
@@ -100,7 +103,7 @@ def test_doc_type_magic_jvm_column(spark):
     # the coarse JVM tier: zip/gzip families stay unsplit
     coarse = dict(EXPECTED_DOCS)
     for k, v in coarse.items():
-        if v in ("epub", "docx", "pptx", "xlsx"):
+        if v in ("epub", "docx", "pptx", "xlsx", "odt", "odp", "ods"):
             coarse[k] = "zip"
         elif v in ("tar.gz", "warc.gz"):
             coarse[k] = "gzip"

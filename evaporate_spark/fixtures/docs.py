@@ -118,6 +118,8 @@ ODF_ODP_SLIDES = [["Talk intro", "agenda"], ["Closing slide"]]
 ODF_ODP_TEXT = "Talk intro\nagenda\fClosing slide"
 ODF_ODS_SHEETS = [[["item", "cost"], ["pump", "40"]]]
 ODF_ODS_TEXT = "item\tcost\npump\t40"
+RTF_PARAS = ["Legacy memo — dated café.", "End of memo."]
+RTF_TEXT = "Legacy memo — dated café.\nEnd of memo."
 
 # authored e-book (q_epub_text oracle derives from these)
 EPUB_CHAPTERS = [
@@ -283,6 +285,9 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
     files["memo_notes.odt"] = odt_write(ODF_ODT_PARAS, table=ODF_ODT_TABLE)
     files["deck_talk.odp"] = odp_write(ODF_ODP_SLIDES)
     files["grid_costs.ods"] = ods_write(ODF_ODS_SHEETS)
+    from evaporate_spark.sources.rtf import rtf_write
+
+    files["memo_legacy.rtf"] = rtf_write(RTF_PARAS)
     from evaporate_spark.sources.epub import epub_write
 
     files["book_sample.epub"] = epub_write(EPUB_CHAPTERS)

@@ -49,6 +49,7 @@ _MAGIC: list[tuple[bytes, int, str]] = [
     (b"\x1a\x45\xdf\xa3", 0, "ebml"),
     (b"ID3", 0, "mp3"),
     (b"WARC/1.", 0, "warc"),
+    (b"{\\rtf", 0, "rtf"),
     (b"ustar", 257, "tar"),
 ]
 
@@ -180,6 +181,7 @@ def doc_type_magic(content: Column | str) -> Column:
             F.lit("aiff"),
         )
         .when(F.substring(c, 1, 7) == F.lit(b"WARC/1."), F.lit("warc"))
+        .when(hexp.startswith("7B5C727466"), F.lit("rtf"))  # {\rtf
         .when(at257 == F.lit(b"ustar"), F.lit("tar"))
         .when(
             ascii_head.startswith("<!doctype html")

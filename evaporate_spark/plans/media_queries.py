@@ -394,9 +394,11 @@ def q_archive_doclake(spark: SparkSession, sf_dir: str) -> DataFrame:
     ".odt/.odp/.ods fixtures (paragraphs, split runs, tables, slide "
     "order, shared/inline strings, ODF text:s space runs) route "
     "through read_document_dir(office=True) into canonical document "
-    "rows, suffix as doc_type. Oracle = the authored text table "
-    "(first_line pins paragraph order; n_chars pins the whole "
-    "extraction; n_bytes pins the committed container).",
+    "rows, suffix as doc_type; the .rtf fixture exercises the RTF "
+    "control-word/codepage/unicode-fallback parser the same way. "
+    "Oracle = the authored text table (first_line pins paragraph "
+    "order; n_chars pins the whole extraction; n_bytes pins the "
+    "committed container).",
     oracle="""
         SELECT * FROM (VALUES
             ('deck_roadmap.pptx', 'pptx', CAST(32 AS BIGINT),
@@ -407,6 +409,8 @@ def q_archive_doclake(spark: SparkSession, sf_dir: str) -> DataFrame:
              'item\tcost', CAST(490 AS BIGINT)),
             ('grid_regions.xlsx', 'xlsx', CAST(21 AS BIGINT),
              'region\tunits', CAST(973 AS BIGINT)),
+            ('memo_legacy.rtf', 'rtf', CAST(38 AS BIGINT),
+             'Legacy memo — dated café.', CAST(120 AS BIGINT)),
             ('memo_notes.odt', 'odt', CAST(65 AS BIGINT),
              'Meeting notes & actions.', CAST(510 AS BIGINT)),
             ('report_metrics.docx', 'docx', CAST(85 AS BIGINT),
@@ -419,7 +423,8 @@ def q_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evaporate_spark.sources.doclake import read_document_dir
 
     docs = read_document_dir(
-        spark, DOCS_DIR, glob="*.{docx,pptx,xlsx,odt,odp,ods}", office=True
+        spark, DOCS_DIR,
+        glob="*.{docx,pptx,xlsx,odt,odp,ods,rtf}", office=True,
     )
     return docs.select(
         F.element_at(F.split("path", "/"), -1).alias("file"),
@@ -490,6 +495,7 @@ def q_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('img_hash_a2.png', 'png'),
             ('img_hash_b.png', 'png'),
             ('img_tagged.png', 'png'),
+            ('memo_legacy.rtf', 'rtf'),
             ('report_510k.pdf', 'pdf'),
             ('report_metrics.docx', 'docx'),
             ('report_objstm.pdf', 'pdf'),

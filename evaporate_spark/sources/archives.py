@@ -61,7 +61,9 @@ def _member_rows(archive_path: str, raw: bytes) -> list[tuple]:
             except Exception:
                 text = ""
             dtype = "pdf"
-        elif low.endswith((".docx", ".pptx", ".xlsx", ".odt", ".odp", ".ods")):
+        elif low.endswith(
+            (".docx", ".pptx", ".xlsx", ".odt", ".odp", ".ods", ".rtf")
+        ):
             from evaporate_spark.sources.office import office_text
 
             dtype = low.rsplit(".", 1)[-1]

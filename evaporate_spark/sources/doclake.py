@@ -66,7 +66,7 @@ def read_document_dir(
     ).where(~F.col("path").endswith(".swp"))
     is_pdf = F.lower(F.col("path")).endswith(".pdf")
     is_office = F.lower(F.col("path")).rlike(
-        r"\.(docx|pptx|xlsx|odt|odp|ods|epub)$"
+        r"\.(docx|pptx|xlsx|odt|odp|ods|rtf|epub)$"
     )
     text_side = base
     if pdf_text:
@@ -126,7 +126,7 @@ def read_document_dir(
             "path",
             F.coalesce(F.col("text"), F.lit("")).alias("content"),
             F.regexp_extract(
-                F.lower("path"), r"\.(docx|pptx|xlsx|odt|odp|ods)$", 1
+                F.lower("path"), r"\.(docx|pptx|xlsx|odt|odp|ods|rtf)$", 1
             ).alias("doc_type"),
             F.col("n_bytes").cast("bigint").alias("n_bytes"),
         )

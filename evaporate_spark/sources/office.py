@@ -51,7 +51,9 @@ _OFF = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
 _TXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 _TBL = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
 
-OFFICE_SUFFIXES = (".docx", ".pptx", ".xlsx", ".odt", ".odp", ".ods")
+OFFICE_SUFFIXES = (
+    ".docx", ".pptx", ".xlsx", ".odt", ".odp", ".ods", ".rtf",
+)
 
 
 # ------------------------------------------------------------------ readers
@@ -250,6 +252,10 @@ def office_text(raw: bytes, suffix: str) -> str:
         return xlsx_text(raw)
     if suffix in (".odt", ".odp", ".ods"):
         return odf_text(raw)
+    if suffix == ".rtf":
+        from evaporate_spark.sources.rtf import rtf_text
+
+        return rtf_text(raw)
     raise ValueError(f"not an office suffix: {suffix}")
 
 

@@ -1,0 +1,178 @@
+"""RTF text extraction — the legacy word-processing format that still
+fills enterprise document lakes (every Word-era export path emits it).
+Engine addition (SURVEY §2C ingest breadth), pure stdlib, routed like
+the other per-type extractors (inside the scan task, only RTF rows pay
+the Python cost).
+
+Implements the text-bearing core of the public RTF 1.9 specification:
+
+- group nesting ``{...}`` with per-group state (unicode fallback
+  count, skip-destination flag);
+- control words with optional numeric parameters and the
+  one-space delimiter rule; control symbols (``\\~`` nbsp, ``\\-``
+  soft hyphen dropped, escaped ``\\{ \\} \\\\``);
+- destination groups that never hold body text are skipped
+  (``fonttbl``/``colortbl``/``stylesheet``/``info``/``pict``/
+  ``object``/``fldinst``...), as is every ``{\\*\\...}`` starred
+  destination not explicitly known — per spec, readers must ignore
+  unknown starred groups;
+- ``\\par``/``\\line`` → newline, ``\\tab`` → TAB, ``\\cell``/
+  ``\\row`` → TAB/newline (tables flatten row-per-line like the
+  docx/odt extractors);
+- encoded characters: ``\\'hh`` bytes decode via the declared
+  ``\\ansicpgN`` code page (windows-1252 default), ``\\uN`` unicode
+  escapes honor the group's ``\\ucN`` fallback-skip count (the
+  fallback bytes/controls after ``\\uN`` are consumed, not emitted).
+
+Malformed input raises ValueError; callers map it to their per-row
+err contract. ``rtf_write`` is the deterministic fixture writer.
+"""
+
+from __future__ import annotations
+
+import re
+
+# destinations whose content is never body text
+_SKIP_DESTS = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+    "fldinst", "header", "footer", "headerl", "headerr", "headerf",
+    "footerl", "footerr", "footerf", "footnote", "xe", "tc",
+    "generator", "themedata", "colorschememapping", "datastore",
+    "latentstyles", "listtable", "listoverridetable", "revtbl",
+}
+# starred destinations we DO read through (none currently; body text
+# never legitimately lives under \* in practice)
+_KEEP_STARRED: set[str] = set()
+
+_CW = re.compile(rb"([a-zA-Z]+)(-?\d+)? ?")
+
+
+def rtf_text(raw: bytes) -> str:
+    r"""Plain text of an RTF document (see module docstring)."""
+    if not raw.startswith(b"{\\rtf"):
+        raise ValueError("not an RTF document (missing {\\rtf header)")
+    codepage = "cp1252"
+    out: list[str] = []
+    # group stack entries: [uc_skip, skipping]
+    stack: list[list] = [[1, False]]
+    i, n = 0, len(raw)
+    pending_uc_skip = 0  # fallback units to consume after \uN
+
+    def emit(s: str) -> None:
+        nonlocal pending_uc_skip
+        if pending_uc_skip > 0:
+            take = min(pending_uc_skip, len(s))
+            pending_uc_skip -= take
+            s = s[take:]
+        if s and not stack[-1][1]:
+            out.append(s)
+
+    while i < n:
+        ch = raw[i : i + 1]
+        if ch == b"{":
+            stack.append(list(stack[-1]))
+            pending_uc_skip = 0
+            i += 1
+        elif ch == b"}":
+            if len(stack) <= 1:
+                raise ValueError("unbalanced RTF groups")
+            stack.pop()
+            pending_uc_skip = 0
+            i += 1
+        elif ch == b"\\":
+            nxt = raw[i + 1 : i + 2]
+            if nxt == b"'":
+                b = raw[i + 2 : i + 4]
+                try:
+                    decoded = bytes.fromhex(b.decode("ascii"))
+                except ValueError as ex:
+                    raise ValueError(f"bad \\'hh escape at {i}") from ex
+                if pending_uc_skip > 0:
+                    pending_uc_skip -= 1
+                else:
+                    emit(decoded.decode(codepage, errors="replace"))
+                i += 4
+            elif nxt in (b"{", b"}", b"\\"):
+                emit(nxt.decode("ascii"))
+                i += 2
+            elif nxt == b"~":
+                emit("\u00a0")
+                i += 2
+            elif nxt in (b"-", b"_"):
+                i += 2  # soft/non-breaking hyphen markers: drop
+            elif nxt == b"*":
+                # starred destination: peek the following control word
+                m = _CW.match(raw, i + 3) if raw[i + 2 : i + 3] == b"\\" else None
+                word = m.group(1).decode("ascii") if m else ""
+                if word not in _KEEP_STARRED:
+                    stack[-1][1] = True
+                i += 2
+            elif nxt == b"\n" or nxt == b"\r":
+                emit("\n")
+                i += 2
+            else:
+                m = _CW.match(raw, i + 1)
+                if not m:
+                    i += 2  # unknown control symbol: skip it
+                    continue
+                word = m.group(1).decode("ascii")
+                param = int(m.group(2)) if m.group(2) else None
+                i = m.end()
+                if word in ("par", "line", "row", "sect", "page"):
+                    emit("\n")
+                elif word in ("tab", "cell"):
+                    emit("\t")
+                elif word == "emdash":
+                    emit("\u2014")
+                elif word == "endash":
+                    emit("\u2013")
+                elif word in ("lquote", "rquote"):
+                    emit("\u2018" if word == "lquote" else "\u2019")
+                elif word in ("ldblquote", "rdblquote"):
+                    emit("\u201c" if word == "ldblquote" else "\u201d")
+                elif word == "uc":
+                    stack[-1][0] = param if param is not None else 1
+                elif word == "u":
+                    if param is None:
+                        raise ValueError("\\u without a code point")
+                    cp = param + 65536 if param < 0 else param
+                    emit(chr(cp))
+                    pending_uc_skip = stack[-1][0]
+                elif word == "ansicpg" and param is not None:
+                    codepage = f"cp{param}"
+                elif word in _SKIP_DESTS:
+                    stack[-1][1] = True
+        else:
+            j = i
+            while j < n and raw[j : j + 1] not in (b"{", b"}", b"\\"):
+                j += 1
+            text = raw[i:j].replace(b"\r", b"").replace(b"\n", b"")
+            if text:
+                emit(text.decode(codepage, errors="replace"))
+            i = j
+    return "".join(out).strip()
+
+
+def rtf_write(paragraphs: list[str], codepage: int = 1252) -> bytes:
+    """Deterministic spec-shaped RTF fixture writer (one ``\\par`` per
+    paragraph; non-ASCII chars emitted as ``\\uN`` with a '?'
+    fallback)."""
+    body_parts: list[str] = []
+    for p in paragraphs:
+        chunk = []
+        for c in p:
+            o = ord(c)
+            if c in "\\{}":
+                chunk.append("\\" + c)
+            elif o < 128:
+                chunk.append(c)
+            else:
+                u = o - 65536 if o > 32767 else o
+                chunk.append(f"\\u{u}?")
+        body_parts.append("".join(chunk))
+    body = "\\par\n".join(body_parts)
+    doc = (
+        "{\\rtf1\\ansi\\ansicpg%d\\deff0\\uc1"
+        "{\\fonttbl{\\f0 Times New Roman;}}\n%s}" % (codepage, body)
+    )
+    return doc.encode("ascii")

@@ -1,0 +1,82 @@
+"""RTF text extraction (sources/rtf.py) — engine addition (SURVEY
+§2C ingest breadth). Expected texts are hand-stated from the public
+RTF spec, not derived by running the parser."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from evaporate_spark.sources.rtf import rtf_text, rtf_write
+
+
+def test_rtf_spec_shapes_hand_stated():
+    cases = {
+        rb"{\rtf1\ansi Hello {\b bold} world\par}": "Hello bold world",
+        # \'hh decodes via the declared codepage
+        rb"{\rtf1\ansi\ansicpg1252 caf\'e9\par}": "café",
+        # \uc1: the '?' fallback after \u228 is consumed, not emitted
+        rb"{\rtf1\ansi\uc1 \u228?b}": "äb",
+        # \uc2: TWO fallback items consumed (a hex escape and a char)
+        rb"{\rtf1\ansi\uc2 \u196\'c4Xb}": "Äb",
+        # non-text destinations and starred groups skip
+        rb"{\rtf1{\fonttbl{\f0 Arial;}}{\info{\author X}}body text}":
+            "body text",
+        rb"{\rtf1{\*\generator Word 15}kept}": "kept",
+        # tables flatten row-per-line (trailing whitespace trimmed)
+        rb"{\rtf1 a\cell b\cell\row c\cell d\cell\row}": "a\tb\t\nc\td",
+        # escaped braces/backslash, nbsp, em dash
+        rb"{\rtf1 brace \{x\} back\\slash\~nb \emdash\par}":
+            "brace {x} back\\slash nb —",
+        # smart quotes
+        rb"{\rtf1 \lquote q\rquote  \ldblquote d\rdblquote\par}":
+            "‘q’ “d”",
+        # group state restores: \uc2 inside the group consumes BOTH
+        # fallback items (the hex escape AND the X); after the group
+        # closes \uc reverts to 1 and only the '?' is consumed
+        rb"{\rtf1\uc1 {\uc2 \u196\'c4X}\u228?y}": "Ääy",
+    }
+    for src, want in cases.items():
+        assert rtf_text(src) == want, src
+
+
+def test_rtf_errors_and_writer():
+    with pytest.raises(ValueError):
+        rtf_text(b"not rtf at all")
+    with pytest.raises(ValueError):
+        rtf_text(rb"{\rtf1 unbalanced}}")
+    raw = rtf_write(["Héllo — wörld.", "Second ¶ paragraph."])
+    assert rtf_text(raw) == "Héllo — wörld.\nSecond ¶ paragraph."
+    assert rtf_write(["a"]) == rtf_write(["a"])
+
+
+def test_rtf_routing_in_dir_archives_and_sniff(spark, tmp_path):
+    from evaporate_spark.operators.sniff import sniff_doc_type
+    from evaporate_spark.sources.archives import (
+        read_document_archives,
+        zip_write,
+    )
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    raw = rtf_write(["From dir rtf."])
+    assert sniff_doc_type(raw) == "rtf"
+    (tmp_path / "d").mkdir()
+    (tmp_path / "d" / "m.rtf").write_bytes(raw)
+    docs = {
+        os.path.basename(r["path"]): r
+        for r in read_document_dir(
+            spark, str(tmp_path / "d"), office=True
+        ).collect()
+    }
+    assert docs["m.rtf"]["doc_type"] == "rtf"
+    assert docs["m.rtf"]["content"] == "From dir rtf."
+    (tmp_path / "s.zip").write_bytes(
+        zip_write({"n/x.rtf": rtf_write(["From archive rtf."])})
+    )
+    members = {
+        r["path"].split("!")[-1]: r
+        for r in read_document_archives(spark, str(tmp_path)).collect()
+    }
+    assert members["n/x.rtf"]["doc_type"] == "rtf"
+    assert members["n/x.rtf"]["content"] == "From archive rtf."

@@ -42,6 +42,7 @@ EXPECTED_DOCS = {
     "img_hash_a2.png": "png",
     "img_hash_b.png": "png",
     "img_tagged.png": "png",
+    "memo_legacy.rtf": "rtf",
     "report_510k.pdf": "pdf",
     "report_metrics.docx": "docx",
     "report_objstm.pdf": "pdf",

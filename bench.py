@@ -127,6 +127,24 @@ Pinned comparison baselines (medians unless noted):
   0.593, corpus_chain_10x 19.707, doc_ingest 1.059. The new
   operators are mapInPandas scan-stage work + one banded self-join;
   none touch the benched paths, and the rows confirm it.
+- r8 pins (mid-round, gated start 1.84): relational 2.473
+  (q1 0.470 / q3 0.827 / q5 1.176), q_minhash_lsh_dups 1.362,
+  q_dup_clusters 1.791, q8_market_share 1.196, q_semantic_openie
+  13.928, media_decode_300 0.643, corpus_chain_10x 19.067,
+  doc_ingest 1.074 — every row inside the r7 band; tokens unchanged
+  (6718 / 29640).
+- r8 END-of-round confirmation (gated start 0.27, after the full
+  ingest batch — office/ODF/RTF/EPUB/WET+WAT/sniff/markdown/sitemaps/
+  quality-model/lang-id — landed): relational 2.749 (q1 0.517 /
+  q3 0.899 / q5 1.333); q_minhash_lsh_dups 1.525, q_dup_clusters
+  2.014, q8_market_share 1.302, q_semantic_openie 14.018,
+  media_decode_300 0.721, corpus_chain_10x 20.249, doc_ingest 1.152.
+  All within the documented host-variance band of the r7/r8 pins:
+  the round's operators are scan-stage extractors and JVM column
+  chains; none touch the benched paths, and the rows confirm it.
+  Ingest-layer scale evidence: scripts/SCALE_PROBE_INGEST.json
+  (2,083 mixed files, zero-Exchange document plans, planted corrupt
+  files → typed err rows).
 """
 
 from __future__ import annotations

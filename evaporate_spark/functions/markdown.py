@@ -40,7 +40,7 @@ MARKDOWN_STEPS: tuple[tuple[str, str, str], ...] = (
     ("autolink", r"<(https?://[^>\s]+)>", "$1"),
     ("atx_heading", r"(?m)^[ \t]{0,3}#{1,6}[ \t]+", ""),
     ("setext_underline", r"(?m)^[ \t]{0,3}(=+|-{2,})[ \t]*$\n?", ""),
-    ("hrule", r"(?m)^[ \t]{0,3}(\*[ \t]*){3,}$\n?", ""),
+    ("hrule", r"(?m)^[ \t]{0,3}([-_*][ \t]*){3,}$\n?", ""),
     ("blockquote", r"(?m)^[ \t]*>[ \t]?", ""),
     ("bullet", r"(?m)^[ \t]*[-*+][ \t]+", ""),
     ("ordered", r"(?m)^[ \t]*\d{1,3}\.[ \t]+", ""),
@@ -88,4 +88,8 @@ MD_SAMPLES: tuple[str, ...] = (
         "* * *\n\n`inline code` and ~~struck~~ and "
         "<https://auto.link/path>"
     ),
+    # thematic breaks in every dialect shape: ___ and spaced - - -
+    # must strip as rules (not survive as literal text), snake_case
+    # with interior underscores must NOT be treated as a rule
+    "above\n\n___\n\nmiddle\n\n- - -\n\nbelow keeps snake_case",
 )

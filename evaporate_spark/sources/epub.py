@@ -25,6 +25,7 @@ from __future__ import annotations
 import io
 import posixpath
 import zipfile
+from urllib.parse import unquote
 from xml.etree import ElementTree as ET
 
 _CNT = "{urn:oasis:names:tc:opendocument:xmlns:container}"
@@ -54,7 +55,13 @@ def epub_spine_docs(raw: bytes) -> list[tuple[str, str]]:
             href = hrefs.get(ref.get("idref"))
             if not href:
                 continue
-            full = posixpath.join(base, href) if base else href
+            # real EPUBs URL-encode hrefs (%20 etc.) and use ../
+            # segments relative to the OPF dir; zip member names are
+            # the decoded, normalized form
+            decoded = unquote(href)
+            full = posixpath.normpath(
+                posixpath.join(base, decoded) if base else decoded
+            )
             out.append(
                 (href, zf.read(full).decode("utf-8", errors="replace"))
             )

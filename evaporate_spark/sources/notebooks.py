@@ -1,0 +1,196 @@
+"""Jupyter notebook (.ipynb) ingest — the dominant container for the
+data-science slice of code corpora (The Stack, StarCoder mixes carve
+notebooks out as a first-class subset). Engine addition (SURVEY §2C
+ingest breadth), same trick as :mod:`sources.office`: a notebook is a
+JSON document (nbformat v3/v4), so extraction is pure stdlib and runs
+inside the scan task.
+
+Text contract: cells in document order, joined with blank lines —
+markdown/raw cells verbatim (downstream
+:func:`functions.markdown.markdown_to_text` normalizes), code cells
+verbatim. Outputs are STRIPPED by default (execution noise, often
+megabytes of base64 images); ``keep_outputs=True`` appends the plain-
+text stream/result outputs only, the convention notebook-corpus
+pipelines use for "code + result" training pairs.
+
+Malformed JSON raises ValueError — callers (archives, doc lake) map
+that to their per-row err contract.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def _src(x) -> str:
+    """nbformat source fields are str OR list-of-lines."""
+    if isinstance(x, list):
+        return "".join(str(s) for s in x)
+    return str(x) if x is not None else ""
+
+
+def _output_texts(outputs) -> list[str]:
+    """Plain-text payloads of a code cell's outputs (streams,
+    execute_result/display_data text/plain, error tracebacks
+    excluded — tracebacks carry ANSI noise, not signal)."""
+    texts = []
+    for out in outputs or []:
+        ot = out.get("output_type")
+        if ot == "stream":
+            texts.append(_src(out.get("text")))
+        elif ot in ("execute_result", "display_data", "pyout"):
+            data = out.get("data") or {}
+            if "text/plain" in data:
+                texts.append(_src(data["text/plain"]))
+            elif ot == "pyout" and "text" in out:  # nbformat v3
+                texts.append(_src(out.get("text")))
+    return [t for t in texts if t]
+
+
+def ipynb_cells(raw: bytes) -> list[dict]:
+    """Cells in document order: ``{cell_type, source, outputs}`` with
+    outputs already reduced to plain-text strings. Supports nbformat
+    v4 (``cells``) and v3 (``worksheets[].cells``, ``input`` for code
+    source)."""
+    try:
+        nb = json.loads(raw.decode("utf-8", errors="replace"))
+    except json.JSONDecodeError as ex:
+        raise ValueError(f"not a notebook: {ex}") from None
+    if not isinstance(nb, dict) or "nbformat" not in nb:
+        raise ValueError("not a notebook: no nbformat key")
+    if "cells" in nb:
+        cells = nb["cells"]
+    else:  # v3
+        cells = [
+            c
+            for ws in nb.get("worksheets", [])
+            for c in ws.get("cells", [])
+        ]
+    out = []
+    for c in cells:
+        ctype = c.get("cell_type", "raw")
+        source = _src(c.get("source", c.get("input")))
+        out.append(
+            {
+                "cell_type": ctype,
+                "source": source,
+                "outputs": _output_texts(c.get("outputs")),
+            }
+        )
+    return out
+
+
+def ipynb_language(raw: bytes) -> str:
+    """Kernel language (``metadata.language_info.name``, falling back
+    to ``metadata.kernelspec.language``), '' if undeclared."""
+    try:
+        nb = json.loads(raw.decode("utf-8", errors="replace"))
+    except json.JSONDecodeError:
+        return ""
+    md = nb.get("metadata") or {}
+    return str(
+        (md.get("language_info") or {}).get("name")
+        or (md.get("kernelspec") or {}).get("language")
+        or ""
+    )
+
+
+def ipynb_text(raw: bytes, keep_outputs: bool = False) -> str:
+    """Notebook text per the module contract."""
+    parts = []
+    for c in ipynb_cells(raw):
+        s = c["source"].strip("\n")
+        if s:
+            parts.append(s)
+        if keep_outputs and c["cell_type"] == "code":
+            for t in c["outputs"]:
+                t = t.strip("\n")
+                if t:
+                    parts.append(t)
+    return "\n\n".join(parts)
+
+
+def extract_notebook_text_df(
+    files: DataFrame, path_col: str = "path", keep_outputs: bool = False
+) -> DataFrame:
+    """(path, content bytes) rows → (path, text, language, n_bytes,
+    err): Arrow-batched, one task per file batch, typed per-row
+    errors — the same contract as ``sources.office.
+    extract_office_text_df`` plus the kernel language column."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for fpath, raw in zip(pdf[path_col], pdf["content"]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    rows.append(
+                        (
+                            fpath,
+                            ipynb_text(raw, keep_outputs=keep_outputs),
+                            ipynb_language(raw),
+                            len(raw),
+                            None,
+                        )
+                    )
+                except Exception as ex:
+                    rows.append((fpath, None, "", len(raw), repr(ex)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[path_col, "text", "language", "n_bytes", "err"],
+            )
+
+    return files.select(path_col, "content").mapInPandas(
+        batches,
+        schema=(
+            f"{path_col} string, text string, language string, "
+            "n_bytes long, err string"
+        ),
+    )
+
+
+# ----------------------------------------------------------- fixture writer
+def ipynb_write(
+    cells: list[tuple[str, str]] | list[tuple[str, str, list[str]]],
+    language: str = "python",
+) -> bytes:
+    """Deterministic nbformat-4.5 notebook: (cell_type, source) or
+    (cell_type, source, stream_output_lines) per cell."""
+    out_cells = []
+    for i, cell in enumerate(cells, start=1):
+        ctype, source = cell[0], cell[1]
+        d: dict = {
+            "cell_type": ctype,
+            "id": f"c{i}",
+            "metadata": {},
+            "source": source.splitlines(keepends=True),
+        }
+        if ctype == "code":
+            d["execution_count"] = i
+            d["outputs"] = (
+                [
+                    {
+                        "output_type": "stream",
+                        "name": "stdout",
+                        "text": list(cell[2]),
+                    }
+                ]
+                if len(cell) > 2 and cell[2]
+                else []
+            )
+        out_cells.append(d)
+    nb = {
+        "cells": out_cells,
+        "metadata": {
+            "kernelspec": {"language": language, "name": language},
+            "language_info": {"name": language},
+        },
+        "nbformat": 4,
+        "nbformat_minor": 5,
+    }
+    return json.dumps(nb, sort_keys=True, indent=1).encode("utf-8")

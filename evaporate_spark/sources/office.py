@@ -461,6 +461,16 @@ def ods_write(sheets: list[list[list[str]]]) -> bytes:
     )
 
 
+def _col_ref(j: int) -> str:
+    """1-based column index → spreadsheet letters (1=A, 27=AA):
+    bijective base-26, valid past column Z."""
+    s = ""
+    while j:
+        j, r = divmod(j - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
 def xlsx_write(sheets: list[list[list[str]]]) -> bytes:
     """Minimal spec-shaped .xlsx using inline strings (no shared-
     string table — ``xlsx_text`` handles both shapes; tests cover the
@@ -473,7 +483,7 @@ def xlsx_write(sheets: list[list[list[str]]]) -> bytes:
         rows_xml = []
         for r, row in enumerate(rows, start=1):
             cells = "".join(
-                f'<c r="{chr(64 + j)}{r}" t="inlineStr"><is><t>{_xesc(v)}</t></is></c>'
+                f'<c r="{_col_ref(j)}{r}" t="inlineStr"><is><t>{_xesc(v)}</t></is></c>'
                 for j, v in enumerate(row, start=1)
             )
             rows_xml.append(f'<row r="{r}">{cells}</row>')

@@ -140,6 +140,13 @@ def rtf_text(raw: bytes) -> str:
                     pending_uc_skip = stack[-1][0]
                 elif word == "ansicpg" and param is not None:
                     codepage = f"cp{param}"
+                elif word == "bin":
+                    # \binN: the next N bytes are a raw binary payload
+                    # (e.g. inside \pict) — consume them verbatim so
+                    # stray brace/backslash bytes are never lexed as
+                    # RTF tokens (which would shift group nesting and
+                    # silently truncate or leak text).
+                    i += max(param or 0, 0)
                 elif word in _SKIP_DESTS:
                     stack[-1][1] = True
         else:

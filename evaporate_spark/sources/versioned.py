@@ -52,6 +52,7 @@ from __future__ import annotations
 import time
 import uuid
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["ConcurrentWriteError", "VersionedTable"]
@@ -201,11 +202,19 @@ class VersionedTable:
         rename holds NO marker, and its eventual rename loses the
         exists/rename/read-back gauntlet below).
 
-        On HDFS, rename-to-existing fails atomically; on POSIX local
-        FS rename clobbers, so the exists pre-check plus content
-        read-back close the race to the same (tiny, check-then-act)
-        window the previous ``create(p, False)`` emulation already
-        had on that FS — never wider, and content-ambiguity-free."""
+        On HDFS, rename-to-existing fails atomically, so the rename
+        IS the exclusive publish. On POSIX local FS rename clobbers —
+        there a read-back "verify" cannot close the race (two writers
+        spanning several py4j round trips can EACH pass their own
+        read-back while the later rename silently replaces the
+        earlier marker). Local FS therefore publishes via ``link(2)``
+        (``java.nio.file.Files.createLink``): a hard link is atomic,
+        carries the temp file's full content, and fails with EEXIST
+        when a competitor already published — exactly one writer's
+        content can ever land, with no check-then-act window at all.
+        Filesystems without hard links fall back to the rename
+        gauntlet, which on such exotic mounts keeps the documented
+        best-effort (clobber-then-read-back) semantics."""
         fs, jvm = self._fs()
         p = self._marker_path(version)
         name = snapshot_dir.rsplit("/", 1)[-1]
@@ -221,14 +230,30 @@ class VersionedTable:
         try:
             if fs.exists(p):
                 raise ConcurrentWriteError(self.root, version)
-            if not fs.rename(tmp, p):
-                # HDFS semantics: rename onto an existing path returns
-                # false — a competitor published first.
-                raise ConcurrentWriteError(self.root, version)
-            if self._marker_content(version) != name:
-                # clobbering-rename FS (local POSIX): a competitor's
-                # rename landed after ours; their content stands.
-                raise ConcurrentWriteError(self.root, version)
+            linked = False
+            if fs.getScheme() == "file":
+                try:
+                    jvm.java.nio.file.Files.createLink(
+                        jvm.java.io.File(p.toUri().getPath()).toPath(),
+                        jvm.java.io.File(tmp.toUri().getPath()).toPath(),
+                    )
+                    linked = True
+                except Py4JJavaError as e:  # pragma: no cover - jvm branch
+                    jcls = e.java_exception.getClass().getName()
+                    if "FileAlreadyExistsException" in jcls:
+                        raise ConcurrentWriteError(self.root, version) from None
+                    if "UnsupportedOperationException" not in jcls:
+                        raise
+            if not linked:
+                if not fs.rename(tmp, p):
+                    # HDFS semantics: rename onto an existing path
+                    # returns false — a competitor published first.
+                    raise ConcurrentWriteError(self.root, version)
+                if self._marker_content(version) != name:
+                    # clobbering-rename FS without hard links: a
+                    # competitor's rename landed after ours; their
+                    # content stands.
+                    raise ConcurrentWriteError(self.root, version)
         finally:
             if fs.exists(tmp):
                 fs.delete(tmp, False)

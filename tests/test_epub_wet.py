@@ -146,3 +146,45 @@ def test_epub_routing_in_dir_and_archives(spark, tmp_path):
     }
     assert members["books/b.epub"]["doc_type"] == "epub"
     assert members["books/b.epub"]["content"].endswith("chapter two.")
+
+
+def test_epub_urlencoded_and_dotdot_hrefs_resolve():
+    # real EPUBs URL-encode manifest hrefs (%20) and use ../ segments
+    # relative to the OPF dir — both must resolve to zip members
+    from evaporate_spark.sources.archives import zip_write
+    from evaporate_spark.sources.epub import _CONTAINER_XML
+
+    def _xhtml(body: str) -> bytes:
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+            "<title>t</title></head><body><p>"
+            f"{body}</p></body></html>"
+        ).encode()
+
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid"><metadata/><manifest>'
+        '<item id="c1" href="text/My%20Chapter.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        '<item id="c2" href="../root.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        "</manifest><spine>"
+        '<itemref idref="c1"/><itemref idref="c2"/>'
+        "</spine></package>"
+    )
+    raw = zip_write(
+        dict(
+            sorted(
+                {
+                    "mimetype": b"application/epub+zip",
+                    "META-INF/container.xml": _CONTAINER_XML.encode(),
+                    "OEBPS/content.opf": opf.encode(),
+                    "OEBPS/text/My Chapter.xhtml": _xhtml("Spaced href."),
+                    "root.xhtml": _xhtml("Dotdot href."),
+                }.items()
+            )
+        )
+    )
+    assert epub_text(raw) == "Spaced href.\fDotdot href."

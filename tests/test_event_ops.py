@@ -561,3 +561,55 @@ def test_funnel_four_stage_vs_duckdb(spark):
         raise AssertionError("single-stage funnel must raise")
     except ValueError:
         pass
+
+
+def test_versioned_table_stale_exists_check_cannot_lose_update(spark, tmp_path):
+    """The lost-update race ADVICE flagged on clobbering-rename FS:
+    writer A passes its exists() pre-check while B has not yet
+    published, B then commits, and A's publish lands LAST. With a
+    rename-based publish A would clobber B's marker and pass its own
+    read-back — both writers report success, B's snapshot silently
+    replaced. The hard-link publish (link(2), atomic EEXIST) makes
+    A's late publish fail typed instead. Simulated deterministically
+    by giving A a filesystem whose exists() answers stale (False) for
+    the marker."""
+    from evaporate_spark.sources.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "tbl")
+    a, b = VersionedTable(spark, root), VersionedTable(spark, root)
+    a.write_snapshot(spark.createDataFrame([(1, "base")], "k long, s string"))
+
+    class _StaleExistsFS:
+        """Delegates to the real JVM fs but answers exists()=False for
+        version markers — A's pre-check raced ahead of B's publish."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def exists(self, path):
+            if path.getName().isdigit():
+                return False
+            return self._fs.exists(path)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real_fs, jvm = a._fs()
+    stale = _StaleExistsFS(real_fs)
+    a._fs = lambda: (stale, jvm)
+
+    # both target v=1; B publishes first, then A (stale pre-check)
+    a_dir = a._new_snapshot_dir(1)
+    spark.createDataFrame([(2, "A")], "k long, s string").write.parquet(a_dir)
+    vb = b.write_snapshot(spark.createDataFrame([(3, "B")], "k long, s string"))
+    assert vb == 1
+    try:
+        a._commit(1, a_dir)
+        raise AssertionError("late publisher must get a typed conflict")
+    except ConcurrentWriteError:
+        pass
+    # B's committed snapshot stands untouched
+    assert {(r["k"], r["s"]) for r in b.read(1).collect()} == {(3, "B")}

@@ -29,6 +29,7 @@ def test_markdown_samples_hand_stated(spark):
         "Setext Title\n\nfirst\nsecond\n\ninline code and struck and "
         "https://auto.link/path"
     )
+    assert got[2] == "above\n\nmiddle\n\nbelow keeps snake_case"
 
 
 def test_markdown_strip_code_drops_block_content(spark):

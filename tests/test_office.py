@@ -206,3 +206,20 @@ def test_odf_formats_roundtrip_and_routing(spark, tmp_path):
     }
     assert members["n/x.ods"]["doc_type"] == "ods"
     assert members["n/x.ods"]["content"] == "q\t9"
+
+
+def test_xlsx_write_past_column_z_uses_base26_refs():
+    # 30 columns: refs must go A..Z, AA..AD (chr(64+j) would emit
+    # invalid refs like '[' past column 26 — spec-invalid containers)
+    row = [f"v{j}" for j in range(1, 31)]
+    raw = xlsx_write([[row]])
+    import re as _re
+
+    sheet = None
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+    refs = _re.findall(r'<c r="([A-Z]+)1"', sheet)
+    assert refs[:3] == ["A", "B", "C"]
+    assert refs[25:28] == ["Z", "AA", "AB"] and refs[29] == "AD"
+    assert all(_re.fullmatch(r"[A-Z]{1,2}", c) for c in refs)
+    assert xlsx_text(raw) == "\t".join(row)

@@ -80,3 +80,17 @@ def test_rtf_routing_in_dir_archives_and_sniff(spark, tmp_path):
     }
     assert members["n/x.rtf"]["doc_type"] == "rtf"
     assert members["n/x.rtf"]["content"] == "From archive rtf."
+
+
+def test_rtf_bin_payload_consumed_verbatim():
+    # \binN embeds N raw bytes (e.g. inside \pict); brace/backslash
+    # bytes in the payload must be skipped at the lexer level, not
+    # parsed as RTF tokens (which would shift group nesting and
+    # truncate or leak text)
+    payload = b"}}\\{x"  # 5 bytes that would all mis-lex
+    src = (
+        rb"{\rtf1\ansi before {\pict\bin5 " + payload + rb"} after\par}"
+    )
+    assert rtf_text(src) == "before  after"
+    # zero-length and missing params are harmless no-ops
+    assert rtf_text(rb"{\rtf1 a{\pict\bin0 }b}") == "ab"

@@ -36,6 +36,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--documents-parquet", required=True, help="documents parquet path")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--code-filters", action="store_true",
+        help="run the code-lake quality filters first (The Stack "
+        "rules: line caps, alnum fraction, autogen/encoded-data "
+        "drops; adds a language column)",
+    )
+    p.add_argument(
+        "--code-languages",
+        help="with --code-filters: comma allowlist of detected "
+        "languages, e.g. 'python,javascript'",
+    )
+    p.add_argument(
+        "--path-col", default="path",
+        help="file-path column for --code-filters language detection",
+    )
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--no-redact", action="store_true")
     p.add_argument("--no-dedup", action="store_true")
@@ -102,6 +117,20 @@ def main(argv: list[str] | None = None) -> int:
         if args.eval_text_col and args.eval_text_col != args.text_col:
             eval_docs = eval_docs.withColumnRenamed(args.eval_text_col, args.text_col)
     n_in = docs.count()
+    if args.code_filters:
+        from evaporate_spark.corpus import prepare_code_corpus
+
+        languages = (
+            tuple(s.strip() for s in args.code_languages.split(","))
+            if args.code_languages
+            else None
+        )
+        docs = prepare_code_corpus(
+            docs,
+            path_col=args.path_col,
+            content_col=args.text_col,
+            languages=languages,
+        )
     out = prepare_corpus(
         docs,
         id_col=args.id_col,
@@ -138,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows_out": n_out,
                 "packed": args.seq_len is not None,
                 "stages": {
+                    "code_filters": args.code_filters,
                     "normalize": not args.no_normalize,
                     "redact": not args.no_redact,
                     "dedup": not args.no_dedup,

@@ -193,6 +193,43 @@ def prepare_corpus(
     return out
 
 
+def prepare_code_corpus(
+    docs: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    languages: tuple[str, ...] | None = None,
+    keep_only: bool = True,
+    **thresholds,
+) -> DataFrame:
+    """The code-slice companion to :func:`prepare_corpus`: profile a
+    code lake with the The Stack-style filter columns
+    (:func:`evaporate_spark.functions.code.profile_code_lake` —
+    language detection, line stats, alnum/digit fractions, autogen and
+    encoded-data flags) and keep the rows that pass.
+
+    ``languages`` restricts to an allowlist of detected languages
+    (e.g. ``("python", "javascript")``); ``keep_only=False`` returns
+    every row WITH the filter columns instead of filtering — the
+    profiling mode for threshold tuning. ``thresholds`` forward to
+    ``code_quality_columns`` (max_line / mean_line / min_alnum).
+
+    Everything is pure JVM Column work, so the filters run inside the
+    scan stage with zero shuffle; chain the survivors straight into
+    :func:`prepare_corpus` (id_col=``path_col``,
+    text_col=``content_col``) for dedup/decontamination/packing.
+    """
+    from evaporate_spark.functions.code import profile_code_lake
+
+    out = profile_code_lake(
+        docs, path_col=path_col, content_col=content_col, **thresholds
+    )
+    if languages is not None:
+        out = out.where(F.col("language").isin(*languages))
+    if keep_only:
+        out = out.where(F.col("keep_code"))
+    return out
+
+
 def write_training_shards(
     df,
     path: str,

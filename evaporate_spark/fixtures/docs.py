@@ -121,6 +121,80 @@ ODF_ODS_TEXT = "item\tcost\npump\t40"
 RTF_PARAS = ["Legacy memo — dated café.", "End of memo."]
 RTF_TEXT = "Legacy memo — dated café.\nEnd of memo."
 
+# authored notebooks (q_notebook_text oracle derives from these):
+# a v4 notebook (markdown + code-with-stream-output + raw cells) and
+# its legacy nbformat-3 twin (worksheets layout, `input` source key)
+NOTEBOOK_V4_CELLS = [
+    ("markdown", "# Sales analysis\n\nLoad the lake and profile it."),
+    ("code", "import math\nprint(math.sqrt(16))", ["4.0\n"]),
+    ("code", "totals = [1, 2, 3]\nsum(totals)"),
+    ("raw", "appendix: raw cell kept verbatim"),
+]
+NOTEBOOK_V4_TEXT = (
+    "# Sales analysis\n\nLoad the lake and profile it.\n\n"
+    "import math\nprint(math.sqrt(16))\n\n"
+    "totals = [1, 2, 3]\nsum(totals)\n\n"
+    "appendix: raw cell kept verbatim"
+)
+NOTEBOOK_V4_TEXT_WITH_OUTPUTS = (
+    "# Sales analysis\n\nLoad the lake and profile it.\n\n"
+    "import math\nprint(math.sqrt(16))\n\n4.0\n\n"
+    "totals = [1, 2, 3]\nsum(totals)\n\n"
+    "appendix: raw cell kept verbatim"
+)
+NOTEBOOK_V3_CELLS = [
+    ("markdown", "Legacy worksheet — résumé of runs."),
+    ("code", "x = 6 * 7\nprint(x)", ["42\n"]),
+]
+NOTEBOOK_V3_TEXT = "Legacy worksheet — résumé of runs.\n\nx = 6 * 7\nprint(x)"
+
+# authored source-code files (q_code_lake_profile oracle RECOMPUTES
+# their line stats / fractions / keep verdicts in DuckDB SQL): a
+# clean LF python module, a CRLF C# file (the \r?\n split fix), an
+# auto-generated Go stub, a JS file embedding a base64 blob, a
+# minified one-line CSS, and an extensionless shebang script
+CODE_SAMPLES = {
+    "code_clean.py": (
+        "#!/usr/bin/env python3\n"
+        '"""Tiny helper module."""\n'
+        "\n"
+        "def add(a, b):\n"
+        "    return a + b\n"
+        "\n"
+        "def mul(a, b):\n"
+        "    return a * b\n"
+        "\n"
+        "print(add(2, 3), mul(4, 5))\n"
+    ),
+    "code_win.cs": (
+        "using System;\r\n"
+        "\r\n"
+        "class Program\r\n"
+        "{\r\n"
+        "    static void Main()\r\n"
+        "    {\r\n"
+        '        Console.WriteLine("hi");\r\n'
+        "    }\r\n"
+        "}\r\n"
+    ),
+    "code_autogen.go": (
+        "// Code generated by protoc-gen-go. DO NOT EDIT.\n"
+        "package pb\n"
+        "\n"
+        'var Version = "1.2.3"\n'
+    ),
+    "code_blob.js": (
+        'const wasm = "' + "QUJD" * 160 + '";\n'
+        "export default wasm;\n"
+    ),
+    "code_minified.css": ("a{margin:0;padding:0}" * 60 + "\n"),
+    "build_helper": (
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "print(sys.argv)\n"
+    ),
+}
+
 # authored e-book (q_epub_text oracle derives from these)
 EPUB_CHAPTERS = [
     ("The Salt Road", [
@@ -291,6 +365,15 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
     from evaporate_spark.sources.epub import epub_write
 
     files["book_sample.epub"] = epub_write(EPUB_CHAPTERS)
+    from evaporate_spark.sources.notebooks import (
+        ipynb_write,
+        ipynb_write_v3,
+    )
+
+    files["notebook_analysis.ipynb"] = ipynb_write(NOTEBOOK_V4_CELLS)
+    files["notebook_legacy_v3.ipynb"] = ipynb_write_v3(NOTEBOOK_V3_CELLS)
+    for name, src in CODE_SAMPLES.items():
+        files[name] = src.encode()
     files["site_pages.xml"] = SITEMAP_XML.encode()
     files["site_index.xml"] = SITEMAP_INDEX_XML.encode()
     files["crawl.wet.gz"] = warc_write(

@@ -1,0 +1,10 @@
+#!/usr/bin/env python3
+"""Tiny helper module."""
+
+def add(a, b):
+    return a + b
+
+def mul(a, b):
+    return a * b
+
+print(add(2, 3), mul(4, 5))

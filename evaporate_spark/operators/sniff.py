@@ -10,8 +10,8 @@ Two tiers, matching the engine's hybrid execution policy:
   unambiguous single-probe families: pdf, zip, gzip, png, jpeg, gif,
   bmp, tiff, riff (wav/avi/webp share it — disambiguated by bytes
   9-12), mp4, ebml (webm/mkv), ogg, flac, aiff, mp3 (ID3 prefix),
-  warc, html/xml (ASCII prologue probes), else txt/bin by a UTF-8
-  validity check. Zero Python: usable as a scan-stage partition key
+  warc, ipynb (JSON head + ``"nbformat"`` probe), html/xml (ASCII
+  prologue probes), else txt/bin by a UTF-8 validity check. Zero Python: usable as a scan-stage partition key
   for routing a 100 TB mixed lake before any per-type decode runs.
 - :func:`sniff_doc_type` — the Python refinement used INSIDE existing
   mapInPandas ingest paths: zip containers open one member-listing to
@@ -75,6 +75,8 @@ def sniff_doc_type(raw: bytes) -> str:
     if raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
     head = raw[:1024].lstrip(b"\xef\xbb\xbf \t\r\n").lower()
+    if head.startswith(b"{") and b'"nbformat"' in raw[:4096]:
+        return "ipynb"
     if head.startswith((b"<!doctype html", b"<html")):
         return "html"
     if head.startswith(b"<?xml"):
@@ -183,6 +185,11 @@ def doc_type_magic(content: Column | str) -> Column:
         .when(F.substring(c, 1, 7) == F.lit(b"WARC/1."), F.lit("warc"))
         .when(hexp.startswith("7B5C727466"), F.lit("rtf"))  # {\rtf
         .when(at257 == F.lit(b"ustar"), F.lit("tar"))
+        .when(
+            ascii_head.startswith("{")
+            & F.make_valid_utf8(probe).contains('"nbformat"'),
+            F.lit("ipynb"),
+        )
         .when(
             ascii_head.startswith("<!doctype html")
             | ascii_head.startswith("<html"),

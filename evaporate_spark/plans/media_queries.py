@@ -466,6 +466,60 @@ def q_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_notebook_text",
+    "REAL Jupyter-notebook ingest (sources/notebooks.py — the "
+    "dominant container of the data-science slice of code corpora): "
+    "committed nbformat-v4 and legacy nbformat-v3 fixtures route "
+    "through read_document_dir(office=True) into canonical document "
+    "rows (cells in document order, outputs stripped), and a second "
+    "pass with notebook_outputs=True appends each code cell's "
+    "plain-text stream outputs — the (code, result) training-pair "
+    "convention. Oracle = the authored cell-text table (n_chars pins "
+    "both extraction modes; first_line pins cell order; n_bytes pins "
+    "the committed containers).",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('notebook_analysis.ipynb', 'stripped', 'ipynb',
+             CAST(147 AS BIGINT), '# Sales analysis',
+             CAST(934 AS BIGINT)),
+            ('notebook_analysis.ipynb', 'with_outputs', 'ipynb',
+             CAST(152 AS BIGINT), '# Sales analysis',
+             CAST(934 AS BIGINT)),
+            ('notebook_legacy_v3.ipynb', 'stripped', 'ipynb',
+             CAST(54 AS BIGINT), 'Legacy worksheet — résumé of runs.',
+             CAST(649 AS BIGINT)),
+            ('notebook_legacy_v3.ipynb', 'with_outputs', 'ipynb',
+             CAST(58 AS BIGINT), 'Legacy worksheet — résumé of runs.',
+             CAST(649 AS BIGINT))
+        ) AS t(file, mode, doc_type, n_chars, first_line, n_bytes)
+    """,
+    tags=("doclake",),
+)
+def q_notebook_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    def _pass(mode: str, keep: bool) -> DataFrame:
+        docs = read_document_dir(
+            spark, DOCS_DIR, glob="*.ipynb", office=True,
+            notebook_outputs=keep,
+        )
+        return docs.select(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            F.lit(mode).alias("mode"),
+            "doc_type",
+            F.length("content").cast("bigint").alias("n_chars"),
+            F.element_at(F.split("content", "[\\n\\f]"), 1).alias(
+                "first_line"
+            ),
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+
+    return _pass("stripped", False).unionByName(
+        _pass("with_outputs", True)
+    )
+
+
+@register(
     "q_doc_type_sniff",
     "Content-based type detection over EVERY committed document "
     "fixture (operators/sniff.py): magic-byte families plus the "
@@ -479,6 +533,12 @@ def q_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM (VALUES
             ('article_boiler.html', 'html'),
             ('book_sample.epub', 'epub'),
+            ('build_helper', 'txt'),
+            ('code_autogen.go', 'txt'),
+            ('code_blob.js', 'txt'),
+            ('code_clean.py', 'txt'),
+            ('code_minified.css', 'txt'),
+            ('code_win.cs', 'txt'),
             ('clip_captions.srt', 'txt'),
             ('clip_captions.vtt', 'txt'),
             ('crawl.warc.gz', 'warc.gz'),
@@ -496,6 +556,8 @@ def q_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('img_hash_b.png', 'png'),
             ('img_tagged.png', 'png'),
             ('memo_legacy.rtf', 'rtf'),
+            ('notebook_analysis.ipynb', 'ipynb'),
+            ('notebook_legacy_v3.ipynb', 'ipynb'),
             ('report_510k.pdf', 'pdf'),
             ('report_metrics.docx', 'docx'),
             ('report_objstm.pdf', 'pdf'),

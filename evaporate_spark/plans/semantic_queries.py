@@ -667,6 +667,109 @@ def q_lang_id_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_lake_oracle() -> str:
+    """DuckDB RECOMPUTES the code-quality filter columns from the
+    committed source-file fixtures (read_text over the same files the
+    Spark side scans) — line stats split on \\r?\\n, alnum/digit
+    fractions, autogen-marker and encoded-blob flags, and the combined
+    keep verdict with The Stack v1 thresholds. Only the language
+    column is authored (extension/shebang mapping is exercised in
+    tests/test_code.py)."""
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.functions.code import AUTOGEN_MARKERS
+
+    autogen = " OR ".join(
+        f"lower(substring(content, 1, 1500)) LIKE '%{m}%'"
+        for m in AUTOGEN_MARKERS
+    )
+    return f"""
+        WITH f AS (
+            SELECT regexp_replace(filename, '^.*/', '') AS file, content
+            FROM read_text(['{DOCS_DIR}/code_*', '{DOCS_DIR}/build_helper'])
+        ),
+        l AS (
+            SELECT file, content,
+                   list_transform(
+                       regexp_split_to_array(content, '\\r?\\n'),
+                       x -> length(x)
+                   ) AS lens
+            FROM f
+        ),
+        s AS (
+            SELECT file, content,
+                   CAST(len(lens) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(list_max(lens), 0) AS BIGINT)
+                       AS max_line_len,
+                   ROUND(CAST(COALESCE(list_sum(lens), 0) AS DOUBLE)
+                         / GREATEST(len(lens), 1), 4) AS avg_line_len,
+                   ROUND(length(regexp_replace(
+                             content, '[^\\p{{L}}\\p{{N}}]', '', 'g'
+                         )) * 1.0
+                         / GREATEST(length(content), 1), 4) AS alnum_frac,
+                   ROUND(length(regexp_replace(content, '[^0-9]', '', 'g'))
+                         * 1.0
+                         / GREATEST(length(content), 1), 4) AS digit_frac,
+                   ({autogen}) AS is_autogen,
+                   regexp_matches(content, '[A-Za-z0-9+/=]{{512,}}')
+                       AS has_encoded_data
+            FROM l
+        )
+        SELECT file,
+               CASE file
+                   WHEN 'code_clean.py' THEN 'python'
+                   WHEN 'code_win.cs' THEN 'csharp'
+                   WHEN 'code_autogen.go' THEN 'go'
+                   WHEN 'code_blob.js' THEN 'javascript'
+                   WHEN 'code_minified.css' THEN 'css'
+                   WHEN 'build_helper' THEN 'python'
+               END AS language,
+               n_lines, max_line_len, avg_line_len, alnum_frac,
+               digit_frac, is_autogen, has_encoded_data,
+               (max_line_len <= 1000 AND avg_line_len <= 100
+                AND alnum_frac >= 0.25 AND NOT is_autogen
+                AND NOT has_encoded_data) AS keep_code
+        FROM s
+    """
+
+
+@register(
+    "q_code_lake_profile",
+    "Code-lake profiling (functions/code.py — The Stack / StarCoder "
+    "class cleaning rules for the code slice of a pretraining mix): "
+    "committed source-file fixtures (clean LF python, CRLF C#, "
+    "auto-generated Go, base64-blob JS, minified CSS, extensionless "
+    "shebang script) scan through read_document_dir then "
+    "profile_code_lake — language detection (extension map + shebang "
+    "fallback), \\r?\\n-split line stats, alnum/digit fractions, "
+    "autogen/encoded-data flags, combined keep_code verdict. ALL pure "
+    "JVM Column work: the filters run inside the scan stage with zero "
+    "shuffle at 100 TB. Oracle RECOMPUTES every stat column in DuckDB "
+    "from the same committed files.",
+    oracle=_code_lake_oracle(),
+    tags=("textstats", "corpus"),
+)
+def q_code_lake_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.functions.code import profile_code_lake
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    docs = read_document_dir(
+        spark, DOCS_DIR, glob="{code_*,build_helper}"
+    )
+    return profile_code_lake(docs).select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "language",
+        "n_lines",
+        "max_line_len",
+        "avg_line_len",
+        "alnum_frac",
+        "digit_frac",
+        "is_autogen",
+        "has_encoded_data",
+        "keep_code",
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

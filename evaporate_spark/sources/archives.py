@@ -79,6 +79,14 @@ def _member_rows(archive_path: str, raw: bytes) -> list[tuple]:
                 text = epub_text(data)
             except Exception:
                 text = ""
+        elif low.endswith(".ipynb"):
+            from evaporate_spark.sources.notebooks import ipynb_text
+
+            dtype = "ipynb"
+            try:
+                text = ipynb_text(data)
+            except Exception:
+                text = ""
         else:
             text = data.decode("utf-8", errors="replace")
             dtype = "html" if low.endswith((".html", ".htm")) else "txt"

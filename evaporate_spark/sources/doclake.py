@@ -30,6 +30,7 @@ def read_document_dir(
     glob: str | None = None,
     pdf_text: bool = False,
     office: bool = False,
+    notebook_outputs: bool = False,
 ) -> DataFrame:
     """Read a directory of text/HTML files as documents.
 
@@ -53,7 +54,11 @@ def read_document_dir(
     same Arrow-batched shape as PDF) and ``.epub`` e-books through the
     spine-ordered XHTML extractor (:mod:`sources.epub`), each with
     their suffix as ``doc_type``; corrupt files degrade to empty
-    content.
+    content. ``.ipynb`` notebooks likewise route through the nbformat
+    v3/v4 cell extractor (:mod:`sources.notebooks`) — outputs are
+    stripped unless ``notebook_outputs=True``, which appends each code
+    cell's plain-text outputs after its source (the (code, result)
+    training-pair convention).
     """
     reader = spark.read.format("binaryFile")
     if recursive:
@@ -66,7 +71,7 @@ def read_document_dir(
     ).where(~F.col("path").endswith(".swp"))
     is_pdf = F.lower(F.col("path")).endswith(".pdf")
     is_office = F.lower(F.col("path")).rlike(
-        r"\.(docx|pptx|xlsx|odt|odp|ods|rtf|epub)$"
+        r"\.(docx|pptx|xlsx|odt|odp|ods|rtf|epub|ipynb)$"
     )
     text_side = base
     if pdf_text:
@@ -117,11 +122,15 @@ def read_document_dir(
         out = out.unionByName(pdf_docs)
     if office:
         from evaporate_spark.sources.epub import extract_epub_text_df
+        from evaporate_spark.sources.notebooks import (
+            extract_notebook_text_df,
+        )
         from evaporate_spark.sources.office import extract_office_text_df
 
         is_epub = F.lower(F.col("path")).endswith(".epub")
+        is_ipynb = F.lower(F.col("path")).endswith(".ipynb")
         office_docs = extract_office_text_df(
-            base.where(is_office & ~is_epub)
+            base.where(is_office & ~is_epub & ~is_ipynb)
         ).select(
             "path",
             F.coalesce(F.col("text"), F.lit("")).alias("content"),
@@ -136,7 +145,19 @@ def read_document_dir(
             F.lit("epub").alias("doc_type"),
             F.col("n_bytes").cast("bigint").alias("n_bytes"),
         )
-        out = out.unionByName(office_docs).unionByName(epub_docs)
+        nb_docs = extract_notebook_text_df(
+            base.where(is_ipynb), keep_outputs=notebook_outputs
+        ).select(
+            "path",
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            F.lit("ipynb").alias("doc_type"),
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+        out = (
+            out.unionByName(office_docs)
+            .unionByName(epub_docs)
+            .unionByName(nb_docs)
+        )
     return out
 
 

@@ -45,7 +45,7 @@ def _output_texts(outputs) -> list[str]:
             data = out.get("data") or {}
             if "text/plain" in data:
                 texts.append(_src(data["text/plain"]))
-            elif ot == "pyout" and "text" in out:  # nbformat v3
+            elif "text" in out:  # nbformat v3 pyout / display_data
                 texts.append(_src(out.get("text")))
     return [t for t in texts if t]
 
@@ -56,7 +56,9 @@ def ipynb_cells(raw: bytes) -> list[dict]:
     v4 (``cells``) and v3 (``worksheets[].cells``, ``input`` for code
     source)."""
     try:
-        nb = json.loads(raw.decode("utf-8", errors="replace"))
+        # utf-8-sig strips the BOM Windows Jupyter exports prepend
+        # (a bare utf-8 decode would leave U+FEFF and break json.loads)
+        nb = json.loads(raw.decode("utf-8-sig", errors="replace"))
     except json.JSONDecodeError as ex:
         raise ValueError(f"not a notebook: {ex}") from None
     if not isinstance(nb, dict) or "nbformat" not in nb:
@@ -87,7 +89,7 @@ def ipynb_language(raw: bytes) -> str:
     """Kernel language (``metadata.language_info.name``, falling back
     to ``metadata.kernelspec.language``), '' if undeclared."""
     try:
-        nb = json.loads(raw.decode("utf-8", errors="replace"))
+        nb = json.loads(raw.decode("utf-8-sig", errors="replace"))
     except json.JSONDecodeError:
         return ""
     md = nb.get("metadata") or {}
@@ -192,5 +194,50 @@ def ipynb_write(
         },
         "nbformat": 4,
         "nbformat_minor": 5,
+    }
+    return json.dumps(nb, sort_keys=True, indent=1).encode("utf-8")
+
+
+def ipynb_write_v3(
+    cells: list[tuple[str, str]] | list[tuple[str, str, list[str]]],
+    language: str = "python",
+) -> bytes:
+    """Deterministic nbformat-3 notebook (the legacy layout: cells
+    under ``worksheets``, code source under ``input``, stream output
+    text directly under ``text``)."""
+    out_cells = []
+    for i, cell in enumerate(cells, start=1):
+        ctype, source = cell[0], cell[1]
+        if ctype == "code":
+            d: dict = {
+                "cell_type": "code",
+                "collapsed": False,
+                "input": source.splitlines(keepends=True),
+                "language": language,
+                "outputs": (
+                    [
+                        {
+                            "output_type": "stream",
+                            "stream": "stdout",
+                            "text": list(cell[2]),
+                        }
+                    ]
+                    if len(cell) > 2 and cell[2]
+                    else []
+                ),
+                "prompt_number": i,
+            }
+        else:
+            d = {
+                "cell_type": ctype,
+                "metadata": {},
+                "source": source.splitlines(keepends=True),
+            }
+        out_cells.append(d)
+    nb = {
+        "metadata": {"name": "", "language_info": {"name": language}},
+        "nbformat": 3,
+        "nbformat_minor": 0,
+        "worksheets": [{"cells": out_cells, "metadata": {}}],
     }
     return json.dumps(nb, sort_keys=True, indent=1).encode("utf-8")

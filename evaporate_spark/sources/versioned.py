@@ -231,7 +231,15 @@ class VersionedTable:
             if fs.exists(p):
                 raise ConcurrentWriteError(self.root, version)
             linked = False
-            if fs.getScheme() == "file":
+            try:
+                # base FileSystem.getScheme() throws
+                # UnsupportedOperationException for implementations
+                # that don't override it — treat as non-local and
+                # take the rename gauntlet
+                scheme = fs.getScheme()
+            except Py4JJavaError:
+                scheme = None
+            if scheme == "file":
                 try:
                     jvm.java.nio.file.Files.createLink(
                         jvm.java.io.File(p.toUri().getPath()).toPath(),

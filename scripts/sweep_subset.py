@@ -1,0 +1,60 @@
+"""Oracle-check a subset of registry queries (dev loop helper).
+
+Usage: PYTHONPATH=/root/repo python scripts/sweep_subset.py q_a q_b ...
+Same compare as .claude/skills/verify/oracle_sweep.py, restricted to
+the named queries at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main(names: list[str]) -> int:
+    import __spark_entry__ as entry_mod
+    from evaporate_spark.session import get_spark
+    from evaporate_spark.testing import compare_frames
+
+    spark = get_spark()
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    bad = 0
+    for name in names:
+        if name not in qs:
+            print(f"{name}: NOT IN REGISTRY")
+            bad += 1
+            continue
+        got = qs[name](spark, SF).toPandas()
+        if name not in oracles or oracles[name] is None:
+            print(f"{name}: rows-only ({len(got)} rows)")
+            continue
+        want = con.execute(oracles[name]).fetchdf()
+        try:
+            compare_frames(got, want)
+            print(f"{name}: MATCH ({len(got)} rows)")
+        except AssertionError as ex:
+            print(f"{name}: MISMATCH — {ex}")
+            bad += 1
+    return bad
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

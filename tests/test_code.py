@@ -1,0 +1,153 @@
+"""Code-lake language detection + quality filters (functions/code.py,
+The Stack / StarCoder cleaning rules) and the prepare_code_corpus
+facade (engine addition, SURVEY §2C text analysis — the code slice of
+a pretraining mix)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from evaporate_spark.fixtures.docs import CODE_SAMPLES
+
+
+def _profile(spark, rows):
+    from evaporate_spark.functions.code import profile_code_lake
+
+    df = spark.createDataFrame(rows, "path string, content string")
+    return {r["path"]: r for r in profile_code_lake(df).collect()}
+
+
+def test_language_from_extension_and_shebang(spark):
+    rows = [
+        ("a/b/util.py", "x = 1"),
+        ("lib.tar.gz.rs", "fn main() {}"),  # last segment wins
+        ("Makefile", "all:\n\techo hi"),
+        ("run", "#!/usr/bin/env python3\nprint(1)"),
+        ("deploy", "#!/bin/bash\necho hi"),
+        ("script.PY", "caps extension"),
+        (".gitignore", "*.o\n"),  # dotfile: extensionless, no shebang
+        (".hidden.yaml", "a: 1"),  # dotfile WITH real extension
+    ]
+    got = {p: r["language"] for p, r in _profile(spark, rows).items()}
+    assert got["a/b/util.py"] == "python"
+    assert got["lib.tar.gz.rs"] == "rust"
+    assert got["Makefile"] == "unknown"
+    assert got["run"] == "python"
+    assert got["deploy"] == "shell"
+    assert got["script.PY"] == "python"
+    assert got[".gitignore"] == "unknown"
+    assert got[".hidden.yaml"] == "yaml"
+
+
+def test_line_stats_crlf_equals_lf(spark):
+    # the \r must not count into line lengths (Windows-authored repos)
+    lf = "line one\nlonger second line\n"
+    crlf = lf.replace("\n", "\r\n")
+    rows = _profile(spark, [("a.py", lf), ("b.py", crlf)])
+    for k in ("n_lines", "max_line_len", "avg_line_len"):
+        assert rows["a.py"][k] == rows["b.py"][k], k
+    assert rows["a.py"]["max_line_len"] == len("longer second line")
+    assert rows["a.py"]["n_lines"] == 3  # trailing newline → empty tail
+
+
+def test_filter_verdicts_on_fixture_files(spark):
+    rows = _profile(
+        spark, [(name, src) for name, src in CODE_SAMPLES.items()]
+    )
+    keep = {p: r["keep_code"] for p, r in rows.items()}
+    assert keep == {
+        "code_clean.py": True,
+        "code_win.cs": True,
+        "code_autogen.go": False,  # DO NOT EDIT marker
+        "code_blob.js": False,  # 640-char base64 run
+        "code_minified.css": False,  # 1260-char single line
+        "build_helper": True,
+    }
+    assert rows["code_autogen.go"]["is_autogen"]
+    assert rows["code_blob.js"]["has_encoded_data"]
+    assert not rows["code_blob.js"]["is_autogen"]
+    assert rows["code_minified.css"]["max_line_len"] > 1000
+    assert rows["code_win.cs"]["language"] == "csharp"
+    assert rows["build_helper"]["language"] == "python"
+
+
+def test_thresholds_are_parameters(spark):
+    from evaporate_spark.functions.code import profile_code_lake
+
+    df = spark.createDataFrame(
+        [("tight.py", "x" * 120 + "\nshort\n")],
+        "path string, content string",
+    )
+    default = profile_code_lake(df).collect()[0]
+    assert default["keep_code"]  # 120 < 1000, avg 42 < 100
+    tight = profile_code_lake(df, max_line=100).collect()[0]
+    assert not tight["keep_code"]
+
+
+def test_prepare_code_corpus_facade(spark):
+    from evaporate_spark.corpus import prepare_code_corpus
+
+    df = spark.createDataFrame(
+        [(name, src) for name, src in CODE_SAMPLES.items()],
+        "path string, content string",
+    )
+    kept = prepare_code_corpus(df)
+    assert {r["path"] for r in kept.collect()} == {
+        "code_clean.py", "code_win.cs", "build_helper",
+    }
+    py_only = prepare_code_corpus(df, languages=("python",))
+    assert {r["path"] for r in py_only.collect()} == {
+        "code_clean.py", "build_helper",
+    }
+    profiled = prepare_code_corpus(df, keep_only=False)
+    assert profiled.count() == len(CODE_SAMPLES)
+    assert "keep_code" in profiled.columns
+
+
+def test_plan_is_scan_stage_only(spark):
+    # pure JVM column work: no python eval, no shuffle anywhere
+    from evaporate_spark.corpus import prepare_code_corpus
+
+    df = spark.createDataFrame(
+        [("a.py", "x = 1\n")], "path string, content string"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        prepare_code_corpus(df).explain(mode="extended")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan and "mapInPandas" not in plan
+    assert "Exchange" not in plan
+
+
+def test_cli_code_filters(spark, tmp_path):
+    import json
+
+    from evaporate_spark.cli_corpus import main
+
+    src = tmp_path / "lake"
+    spark.createDataFrame(
+        [(name, s) for name, s in CODE_SAMPLES.items()],
+        "path string, content string",
+    ).write.parquet(str(src))
+    out = tmp_path / "clean"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "--documents-parquet", str(src),
+            "--id-col", "path",
+            "--text-col", "content",
+            "--code-filters",
+            "--no-normalize", "--no-redact", "--no-dedup",
+            "--output", str(out),
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["stages"]["code_filters"] is True
+    assert summary["rows_out"] == 3
+    cleaned = spark.read.parquet(str(out))
+    assert {r["path"] for r in cleaned.select("path").collect()} == {
+        "code_clean.py", "code_win.cs", "build_helper",
+    }

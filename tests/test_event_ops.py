@@ -340,6 +340,45 @@ def test_versioned_table_crash_recovery(spark, tmp_path):
     assert v2 == 2 and {r["k"] for r in t.read().collect()} == {2}
 
 
+def test_versioned_table_getscheme_unsupported_falls_back(spark, tmp_path, monkeypatch):
+    """Hadoop's base FileSystem.getScheme() throws
+    UnsupportedOperationException for filesystems that don't override
+    it — _commit must fall back to the rename gauntlet, not surface a
+    raw Py4JJavaError."""
+    from py4j.protocol import Py4JJavaError
+
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    real_fs = t._fs
+
+    class _NoSchemeFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def getScheme(self):
+            from types import SimpleNamespace
+
+            raise Py4JJavaError(
+                "An error occurred while calling getScheme",
+                SimpleNamespace(_target_id="o0"),
+            )
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched_fs():
+        fs, jvm = real_fs()
+        return _NoSchemeFS(fs), jvm
+
+    monkeypatch.setattr(t, "_fs", patched_fs)
+    v = t.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, s string")
+    )
+    assert v == 0
+    assert {r["k"] for r in t.read().collect()} == {1}
+
+
 def test_versioned_table_concurrent_writer_typed_conflict(spark, tmp_path):
     """Two writers racing to the same next version: exactly one
     commits; the loser gets a typed ConcurrentWriteError (not a raw

@@ -1,0 +1,211 @@
+"""Jupyter notebook ingest (sources/notebooks.py) — nbformat v3/v4
+cell extraction, output stripping / keep_outputs training pairs, and
+the doc-lake / archive / sniff routing (engine addition, SURVEY §2C
+ingest breadth; reference analogue: the heterogeneous-lake scan,
+reference/run_profiler.py:20-33)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from evaporate_spark.fixtures.docs import (
+    NOTEBOOK_V3_CELLS,
+    NOTEBOOK_V3_TEXT,
+    NOTEBOOK_V4_CELLS,
+    NOTEBOOK_V4_TEXT,
+    NOTEBOOK_V4_TEXT_WITH_OUTPUTS,
+)
+from evaporate_spark.sources.notebooks import (
+    ipynb_cells,
+    ipynb_language,
+    ipynb_text,
+    ipynb_write,
+    ipynb_write_v3,
+)
+
+V4 = ipynb_write(NOTEBOOK_V4_CELLS)
+V3 = ipynb_write_v3(NOTEBOOK_V3_CELLS)
+
+
+# ----------------------------------------------------------- pure parsing
+def test_v4_cells_in_document_order():
+    cells = ipynb_cells(V4)
+    assert [c["cell_type"] for c in cells] == [
+        "markdown", "code", "code", "raw",
+    ]
+    assert cells[1]["source"] == "import math\nprint(math.sqrt(16))"
+    assert cells[1]["outputs"] == ["4.0\n"]
+    assert cells[2]["outputs"] == []
+
+
+def test_v3_worksheets_and_input_key():
+    cells = ipynb_cells(V3)
+    assert [c["cell_type"] for c in cells] == ["markdown", "code"]
+    assert cells[1]["source"] == "x = 6 * 7\nprint(x)"
+    assert cells[1]["outputs"] == ["42\n"]
+
+
+def test_text_strips_outputs_by_default():
+    assert ipynb_text(V4) == NOTEBOOK_V4_TEXT
+    assert ipynb_text(V3) == NOTEBOOK_V3_TEXT
+
+
+def test_keep_outputs_appends_code_results():
+    assert ipynb_text(V4, keep_outputs=True) == NOTEBOOK_V4_TEXT_WITH_OUTPUTS
+    assert ipynb_text(V3, keep_outputs=True) == NOTEBOOK_V3_TEXT + "\n\n42"
+
+
+def test_language_from_language_info_then_kernelspec():
+    assert ipynb_language(V4) == "python"
+    assert ipynb_language(V3) == "python"
+    nb = json.loads(V4.decode())
+    del nb["metadata"]["language_info"]
+    nb["metadata"]["kernelspec"] = {"language": "julia", "name": "julia-1.9"}
+    assert ipynb_language(json.dumps(nb).encode()) == "julia"
+    nb["metadata"] = {}
+    assert ipynb_language(json.dumps(nb).encode()) == ""
+
+
+def test_bom_prefixed_notebook_parses():
+    # Windows Jupyter exports prepend a UTF-8 BOM; json.loads would
+    # reject it without the utf-8-sig decode
+    assert ipynb_text(b"\xef\xbb\xbf" + V4) == NOTEBOOK_V4_TEXT
+    assert ipynb_language(b"\xef\xbb\xbf" + V4) == "python"
+
+
+def test_v3_display_data_text_is_kept():
+    # v3 stores display_data plain text under out['text'] (no 'data'
+    # mime bundle); keep_outputs must capture it
+    nb = {
+        "nbformat": 3,
+        "nbformat_minor": 0,
+        "metadata": {},
+        "worksheets": [{"cells": [{
+            "cell_type": "code",
+            "input": "plot()",
+            "outputs": [{
+                "output_type": "display_data",
+                "text": ["<figure 1>"],
+            }],
+        }]}],
+    }
+    raw = json.dumps(nb).encode()
+    assert ipynb_text(raw, keep_outputs=True) == "plot()\n\n<figure 1>"
+
+
+def test_v4_execute_result_mime_bundle():
+    cells = [{
+        "cell_type": "code",
+        "source": ["1 + 1"],
+        "outputs": [
+            {"output_type": "execute_result",
+             "data": {"text/plain": ["2"], "text/html": ["<b>2</b>"]}},
+            {"output_type": "error", "ename": "E", "evalue": "v",
+             "traceback": ["\x1b[31mboom"]},
+        ],
+    }]
+    raw = json.dumps({"nbformat": 4, "cells": cells}).encode()
+    # text/plain kept, error tracebacks (ANSI noise) excluded
+    assert ipynb_text(raw, keep_outputs=True) == "1 + 1\n\n2"
+
+
+def test_malformed_raises_valueerror():
+    with pytest.raises(ValueError):
+        ipynb_cells(b"{not json")
+    with pytest.raises(ValueError):
+        ipynb_cells(b'{"cells": []}')  # no nbformat key
+
+
+# ------------------------------------------------------------ spark routing
+def test_extract_notebook_text_df_and_err_rows(spark, tmp_path):
+    from evaporate_spark.sources.notebooks import extract_notebook_text_df
+
+    (tmp_path / "good.ipynb").write_bytes(V4)
+    (tmp_path / "bad.ipynb").write_bytes(b"{broken")
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = {
+        os.path.basename(r["path"]): r
+        for r in extract_notebook_text_df(files).collect()
+    }
+    good = rows["good.ipynb"]
+    assert good["text"] == NOTEBOOK_V4_TEXT
+    assert good["language"] == "python"
+    assert good["err"] is None
+    bad = rows["bad.ipynb"]
+    assert bad["text"] is None and "ValueError" in bad["err"]
+
+
+def test_read_document_dir_routes_ipynb(spark, tmp_path):
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    (tmp_path / "nb.ipynb").write_bytes(V4)
+    (tmp_path / "legacy.ipynb").write_bytes(V3)
+    (tmp_path / "plain.txt").write_bytes(b"loose text")
+    docs = {
+        os.path.basename(r["path"]): r
+        for r in read_document_dir(
+            spark, str(tmp_path), office=True
+        ).collect()
+    }
+    assert docs["nb.ipynb"]["doc_type"] == "ipynb"
+    assert docs["nb.ipynb"]["content"] == NOTEBOOK_V4_TEXT
+    assert docs["nb.ipynb"]["n_bytes"] == len(V4)
+    assert docs["legacy.ipynb"]["content"] == NOTEBOOK_V3_TEXT
+    assert docs["plain.txt"]["doc_type"] == "txt"
+    # without office=True notebooks stay raw JSON text (old behavior)
+    raw = {
+        os.path.basename(r["path"]): r
+        for r in read_document_dir(spark, str(tmp_path)).collect()
+    }
+    assert raw["nb.ipynb"]["content"].lstrip().startswith("{")
+
+
+def test_notebook_outputs_training_pairs_through_doclake(spark, tmp_path):
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    (tmp_path / "nb.ipynb").write_bytes(V4)
+    docs = read_document_dir(
+        spark, str(tmp_path), office=True, notebook_outputs=True
+    ).collect()
+    assert len(docs) == 1
+    # (code, result) pair shape: each code cell's stream output
+    # follows its source in the same document
+    content = docs[0]["content"]
+    assert content == NOTEBOOK_V4_TEXT_WITH_OUTPUTS
+    src_i = content.index("print(math.sqrt(16))")
+    assert content.index("4.0", src_i) > src_i
+
+
+def test_archive_member_routing(spark, tmp_path):
+    from evaporate_spark.sources.archives import (
+        read_document_archives,
+        zip_write,
+    )
+
+    shard = zip_write({
+        "repo/analysis.ipynb": V4,
+        "repo/readme.txt": b"plain member",
+        "repo/broken.ipynb": b"{nope",
+    })
+    (tmp_path / "code_shard.zip").write_bytes(shard)
+    rows = {
+        r["path"].split("!")[1]: r
+        for r in read_document_archives(spark, str(tmp_path)).collect()
+    }
+    nb = rows["repo/analysis.ipynb"]
+    assert nb["doc_type"] == "ipynb" and nb["content"] == NOTEBOOK_V4_TEXT
+    # corrupt member degrades to empty content, not a task failure
+    assert rows["repo/broken.ipynb"]["content"] == ""
+    assert rows["repo/readme.txt"]["doc_type"] == "txt"
+
+
+def test_sniff_detects_extensionless_notebook():
+    from evaporate_spark.operators.sniff import sniff_doc_type
+
+    assert sniff_doc_type(V4) == "ipynb"
+    assert sniff_doc_type(V3) == "ipynb"
+    # plain JSON without nbformat stays txt
+    assert sniff_doc_type(b'{"a": 1}') == "txt"

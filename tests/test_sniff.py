@@ -26,6 +26,12 @@ def _fixture_bytes() -> dict[str, bytes]:
 EXPECTED_DOCS = {
     "article_boiler.html": "html",
     "book_sample.epub": "epub",
+    "build_helper": "txt",
+    "code_autogen.go": "txt",
+    "code_blob.js": "txt",
+    "code_clean.py": "txt",
+    "code_minified.css": "txt",
+    "code_win.cs": "txt",
     "clip_captions.srt": "txt",
     "clip_captions.vtt": "txt",
     "crawl.warc.gz": "warc.gz",
@@ -43,6 +49,8 @@ EXPECTED_DOCS = {
     "img_hash_b.png": "png",
     "img_tagged.png": "png",
     "memo_legacy.rtf": "rtf",
+    "notebook_analysis.ipynb": "ipynb",
+    "notebook_legacy_v3.ipynb": "ipynb",
     "report_510k.pdf": "pdf",
     "report_metrics.docx": "docx",
     "report_objstm.pdf": "pdf",

@@ -809,6 +809,88 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, "vec_id", "embedding", "qid", "qvec", k=5)
 
 
+def _lsh_ann_oracle(dim: int = 64, n_planes: int = 16, bands: int = 4,
+                    seed: int = 0) -> str:
+    """DuckDB RECOMPUTES the banded sign-random-projection pipeline:
+    the seeded hyperplanes are materialized as literals (they are
+    deterministic given the seed — the same plan-build-time
+    materialization the Spark side does), signatures are sign-of-dot
+    bits, and candidates join on (band, bit-tuple) equality — exactly
+    the bucket semantics (xxhash64 of the bits is injective-by-
+    equality, so hashing is an implementation detail). Exact cosine +
+    rank only within candidates, mirroring the operator."""
+    from evaporate_spark.operators.similarity import _hyperplanes
+
+    rpb = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+    vals = ",\n            ".join(
+        f"({i}, {i // rpb}, "
+        f"[{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
+        for i, row in enumerate(planes)
+    )
+    return f"""
+        WITH planes(idx, band, w) AS (VALUES
+            {vals}
+        ),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        sig AS (
+            SELECT vec_id, p.band,
+                   list(CASE WHEN list_dot_product(e, p.w) >= 0
+                             THEN 1 ELSE 0 END ORDER BY p.idx) AS bits
+            FROM emb, planes p
+            GROUP BY vec_id, p.band
+        ),
+        cand AS (
+            SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS vec_id
+            FROM sig qs
+            JOIN sig cs ON qs.band = cs.band AND qs.bits = cs.bits
+            WHERE qs.vec_id < 3
+        ),
+        s AS (
+            SELECT c.qid, c.vec_id,
+                   ROUND(list_cosine_similarity(q.e, e.e), 6) AS cosine
+            FROM cand c
+            JOIN emb q ON q.vec_id = c.qid
+            JOIN emb e ON e.vec_id = c.vec_id
+        ),
+        r AS (
+            SELECT qid, vec_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM s
+        )
+        SELECT qid, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """
+
+
+@register(
+    "q_lsh_ann_topk",
+    "At-scale ANN (operators/similarity.py random_hyperplane_lsh_topk "
+    "— the documented 100 TB path): seeded Charikar sign-random-"
+    "projection signatures, banded buckets, exact cosine ONLY within "
+    "candidate buckets; the only shuffle keys are (band, bucket) — "
+    "corpus-size-linear, never all-pairs. Oracle RECOMPUTES the whole "
+    "pipeline in DuckDB with the same seeded hyperplanes embedded as "
+    "literals (bit-tuple equality = bucket equality).",
+    oracle=_lsh_ann_oracle(),
+    tags=("similarity",),
+)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.similarity import (
+        random_hyperplane_lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return random_hyperplane_lsh_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qvec",
+        dim=64, k=5, n_planes=16, bands=4, seed=0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup + as-of join + cube / grouping sets / rank windows
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ def read_document_dir(
     pdf_text: bool = False,
     office: bool = False,
     notebook_outputs: bool = False,
+    sniff_route: bool = False,
 ) -> DataFrame:
     """Read a directory of text/HTML files as documents.
 
@@ -59,6 +60,13 @@ def read_document_dir(
     stripped unless ``notebook_outputs=True``, which appends each code
     cell's plain-text outputs after its source (the (code, result)
     training-pair convention).
+
+    With ``sniff_route=True``, files whose basename carries NO suffix
+    at all (crawl payloads like ``download``) route by magic-byte
+    content sniff through :func:`extract_sniffed_text_df` instead of
+    degrading to a binary-cast text row — a sniffed ``docx``/``epub``/
+    ``pdf``/``ipynb`` payload extracts real text. Suffixed files keep
+    the cheaper suffix route.
     """
     reader = spark.read.format("binaryFile")
     if recursive:
@@ -73,11 +81,14 @@ def read_document_dir(
     is_office = F.lower(F.col("path")).rlike(
         r"\.(docx|pptx|xlsx|odt|odp|ods|rtf|epub|ipynb)$"
     )
+    suffixless = ~F.element_at(F.split(F.col("path"), "/"), -1).contains(".")
     text_side = base
     if pdf_text:
         text_side = text_side.where(~is_pdf)
     if office:
         text_side = text_side.where(~is_office)
+    if sniff_route:
+        text_side = text_side.where(~suffixless)
     # errors-tolerant decode (reference contract is utf-8 with errors
     # ignored, profiler_utils.py:347-357): BOM-sniff first — UTF-16/
     # UTF-8 BOMs are decoded per their charset (a UTF-16 file pushed
@@ -158,7 +169,76 @@ def read_document_dir(
             .unionByName(epub_docs)
             .unionByName(nb_docs)
         )
+    if sniff_route:
+        sniffed = extract_sniffed_text_df(base.where(suffixless)).select(
+            "path", "content", "doc_type",
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+        out = out.unionByName(sniffed)
     return out
+
+
+def extract_sniffed_text_df(files: DataFrame, path_col: str = "path") -> DataFrame:
+    """(path, content bytes) rows → canonical (path, content text,
+    doc_type, n_bytes) rows routed by CONTENT sniff instead of suffix
+    — the extractor for extensionless crawl payloads (``/download``,
+    ``/doc/4821``), where suffix routing misfiles real lakes.
+
+    Per file: :func:`operators.sniff.sniff_doc_type` resolves the
+    container (zip family split by member listing, gzip family by
+    inner stream), then the matching extractor runs — the same
+    dispatch as :mod:`sources.archives` members. Unextractable or
+    binary media content degrades to an empty-content row with the
+    sniffed ``doc_type`` preserved (route media separately through
+    the multimodal decoders). Arrow-batched; one task per file batch.
+    """
+
+    def batches(it):
+        import pandas as pd
+
+        from evaporate_spark.operators.sniff import sniff_doc_type
+
+        for pdf in it:
+            rows = []
+            for fpath, raw in zip(pdf[path_col], pdf["content"]):
+                raw = bytes(raw) if raw is not None else b""
+                t = sniff_doc_type(raw)
+                text = ""
+                try:
+                    if t in (
+                        "docx", "pptx", "xlsx", "odt", "odp", "ods", "rtf",
+                    ):
+                        from evaporate_spark.sources.office import office_text
+
+                        text = office_text(raw, "." + t)
+                    elif t == "epub":
+                        from evaporate_spark.sources.epub import epub_text
+
+                        text = epub_text(raw)
+                    elif t == "ipynb":
+                        from evaporate_spark.sources.notebooks import ipynb_text
+
+                        text = ipynb_text(raw)
+                    elif t == "pdf":
+                        from evaporate_spark.operators.pdf import pdf_page_texts
+
+                        text = "\f".join(pdf_page_texts(raw))
+                    elif t in ("txt", "html", "xml", "warc", "empty"):
+                        text = raw.decode("utf-8", errors="replace")
+                except Exception:
+                    text = ""  # corrupt container: typed row, no task failure
+                rows.append((fpath, text, t, len(raw)))
+            yield pd.DataFrame(
+                rows, columns=[path_col, "content", "doc_type", "n_bytes"]
+            )
+
+    return files.select(path_col, "content").mapInPandas(
+        batches,
+        schema=(
+            f"{path_col} string, content string, doc_type string, "
+            "n_bytes long"
+        ),
+    )
 
 
 def read_document_lake(spark: SparkSession, sf_dir_or_path: str) -> DataFrame:

@@ -1,0 +1,95 @@
+"""Content-sniffed routing for extensionless lake files
+(doclake.extract_sniffed_text_df + read_document_dir(sniff_route=True))
+— crawl payloads routinely arrive with no suffix ("download",
+"doc4821"), where suffix routing misfiles; the magic-byte sniff picks
+the extractor instead (engine addition, SURVEY §2C ingest breadth)."""
+
+from __future__ import annotations
+
+import os
+
+
+def _fixture(name: str) -> bytes:
+    from evaporate_spark.fixtures import DOCS_DIR
+
+    with open(os.path.join(DOCS_DIR, name), "rb") as fh:
+        return fh.read()
+
+
+def test_sniffed_extractor_routes_by_content(spark, tmp_path):
+    from evaporate_spark.fixtures.docs import (
+        EPUB_TEXT,
+        NOTEBOOK_V4_TEXT,
+        OFFICE_DOCX_TEXT,
+    )
+    from evaporate_spark.sources.doclake import extract_sniffed_text_df
+
+    # real container bytes at extensionless paths
+    (tmp_path / "download").write_bytes(_fixture("report_metrics.docx"))
+    (tmp_path / "blob01").write_bytes(_fixture("book_sample.epub"))
+    (tmp_path / "payload").write_bytes(
+        _fixture("notebook_analysis.ipynb")
+    )
+    (tmp_path / "notes").write_bytes(b"plain crawl text")
+    files = spark.read.format("binaryFile").load(str(tmp_path)).select(
+        "path", "content"
+    )
+    rows = {
+        os.path.basename(r["path"]): r
+        for r in extract_sniffed_text_df(files).collect()
+    }
+    assert rows["download"]["doc_type"] == "docx"
+    assert rows["download"]["content"] == OFFICE_DOCX_TEXT
+    assert rows["blob01"]["doc_type"] == "epub"
+    assert rows["blob01"]["content"] == EPUB_TEXT
+    assert rows["payload"]["doc_type"] == "ipynb"
+    assert rows["payload"]["content"] == NOTEBOOK_V4_TEXT
+    assert rows["notes"]["doc_type"] == "txt"
+    assert rows["notes"]["content"] == "plain crawl text"
+
+
+def test_read_document_dir_sniff_route(spark, tmp_path):
+    from evaporate_spark.fixtures.docs import OFFICE_DOCX_TEXT
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    (tmp_path / "download").write_bytes(_fixture("report_metrics.docx"))
+    (tmp_path / "readme.txt").write_bytes(b"suffixed text file")
+    docs = {
+        os.path.basename(r["path"]): r
+        for r in read_document_dir(
+            spark, str(tmp_path), office=True, sniff_route=True
+        ).collect()
+    }
+    assert docs["download"]["doc_type"] == "docx"
+    assert docs["download"]["content"] == OFFICE_DOCX_TEXT
+    # suffixed files keep the (cheaper) suffix route
+    assert docs["readme.txt"]["doc_type"] == "txt"
+    # without sniff_route the payload degrades to a binary-cast text row
+    plain = {
+        os.path.basename(r["path"]): r
+        for r in read_document_dir(
+            spark, str(tmp_path), office=True
+        ).collect()
+    }
+    assert plain["download"]["doc_type"] == "txt"
+
+
+def test_sniff_route_pdf_and_corrupt(spark, tmp_path):
+    from evaporate_spark.sources.doclake import extract_sniffed_text_df
+
+    (tmp_path / "report").write_bytes(_fixture("report_plain.pdf"))
+    (tmp_path / "noise").write_bytes(bytes([0, 159, 146, 150]) * 16)
+    files = spark.read.format("binaryFile").load(str(tmp_path)).select(
+        "path", "content"
+    )
+    rows = {
+        os.path.basename(r["path"]): r
+        for r in extract_sniffed_text_df(files).collect()
+    }
+    assert rows["report"]["doc_type"] == "pdf"
+    assert "510" in rows["report"]["content"] or len(
+        rows["report"]["content"]
+    ) > 0
+    # unextractable binary: typed row, empty content, no task failure
+    assert rows["noise"]["doc_type"] == "bin"
+    assert rows["noise"]["content"] == ""

@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
         "languages, e.g. 'python,javascript'",
     )
     p.add_argument(
+        "--code-licenses",
+        help="with --code-filters: comma allowlist of detected "
+        "licenses, e.g. 'MIT,Apache-2.0,BSD-3-Clause'",
+    )
+    p.add_argument(
         "--path-col", default="path",
         help="file-path column for --code-filters language detection",
     )
@@ -125,11 +130,17 @@ def main(argv: list[str] | None = None) -> int:
             if args.code_languages
             else None
         )
+        licenses = (
+            tuple(s.strip() for s in args.code_licenses.split(","))
+            if args.code_licenses
+            else None
+        )
         docs = prepare_code_corpus(
             docs,
             path_col=args.path_col,
             content_col=args.text_col,
             languages=languages,
+            license_allow=licenses,
         )
     out = prepare_corpus(
         docs,

@@ -198,6 +198,8 @@ def prepare_code_corpus(
     path_col: str = "path",
     content_col: str = "content",
     languages: tuple[str, ...] | None = None,
+    license_allow: tuple[str, ...] | None = None,
+    scrub_secrets: bool = True,
     keep_only: bool = True,
     **thresholds,
 ) -> DataFrame:
@@ -208,9 +210,14 @@ def prepare_code_corpus(
     encoded-data flags) and keep the rows that pass.
 
     ``languages`` restricts to an allowlist of detected languages
-    (e.g. ``("python", "javascript")``); ``keep_only=False`` returns
-    every row WITH the filter columns instead of filtering — the
-    profiling mode for threshold tuning. ``thresholds`` forward to
+    (e.g. ``("python", "javascript")``); ``license_allow`` to an
+    allowlist of detected licenses (e.g. permissive-only
+    ``("MIT", "Apache-2.0", "BSD-3-Clause")`` — The Stack's carve);
+    ``scrub_secrets`` (default ON) replaces credential shapes
+    (private-key blocks, AWS/GitHub/Slack tokens, JWTs) with typed
+    placeholders. ``keep_only=False`` returns every row WITH the
+    filter columns instead of filtering — the profiling mode for
+    threshold tuning. ``thresholds`` forward to
     ``code_quality_columns`` (max_line / mean_line / min_alnum).
 
     Everything is pure JVM Column work, so the filters run inside the
@@ -218,15 +225,22 @@ def prepare_code_corpus(
     :func:`prepare_corpus` (id_col=``path_col``,
     text_col=``content_col``) for dedup/decontamination/packing.
     """
-    from evaporate_spark.functions.code import profile_code_lake
+    from evaporate_spark.functions.code import (
+        profile_code_lake,
+        redact_secrets,
+    )
 
     out = profile_code_lake(
         docs, path_col=path_col, content_col=content_col, **thresholds
     )
     if languages is not None:
         out = out.where(F.col("language").isin(*languages))
+    if license_allow is not None:
+        out = out.where(F.col("license").isin(*license_allow))
     if keep_only:
         out = out.where(F.col("keep_code"))
+    if scrub_secrets:
+        out = out.withColumn(content_col, redact_secrets(content_col))
     return out
 
 

@@ -555,6 +555,9 @@ def q_notebook_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('img_hash_a2.png', 'png'),
             ('img_hash_b.png', 'png'),
             ('img_tagged.png', 'png'),
+            ('lic_gpl.c', 'txt'),
+            ('lic_mit.js', 'txt'),
+            ('lic_spdx.rs', 'txt'),
             ('memo_legacy.rtf', 'rtf'),
             ('notebook_analysis.ipynb', 'ipynb'),
             ('notebook_legacy_v3.ipynb', 'ipynb'),

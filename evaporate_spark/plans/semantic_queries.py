@@ -864,6 +864,91 @@ def _lsh_ann_oracle(dim: int = 64, n_planes: int = 16, bands: int = 4,
     """
 
 
+def _code_license_oracle() -> str:
+    """DuckDB RECOMPUTES license detection + secret counts/redaction
+    from the committed lic_* fixtures with the SAME pattern constants
+    (SECRET_PATTERNS / LICENSE_MARKERS are RE2 ∩ Java-regex, the
+    functions/redact.py dialect-parity convention)."""
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.functions.code import (
+        LICENSE_MARKERS,
+        SECRET_PATTERNS,
+    )
+
+    marker_cases = "\n                ".join(
+        f"WHEN low LIKE '%{phrase}%' THEN '{spdx}'"
+        for spdx, phrase in LICENSE_MARKERS
+    )
+    count_cols = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(content, '{pat}')) AS INT)"
+        f" AS n_{name}"
+        for name, pat, _repl in SECRET_PATTERNS
+    )
+    redacted = "content"
+    for _name, pat, repl in SECRET_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH f AS (
+            SELECT regexp_replace(filename, '^.*/', '') AS file, content
+            FROM read_text('{DOCS_DIR}/lic_*')
+        ),
+        h AS (
+            SELECT file, content,
+                   substring(content, 1, 2000) AS head,
+                   lower(substring(content, 1, 2000)) AS low
+            FROM f
+        )
+        SELECT file,
+               CASE
+                WHEN regexp_extract(head,
+                    'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1)
+                    <> ''
+                THEN regexp_extract(head,
+                    'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1)
+                {marker_cases}
+                ELSE 'none'
+               END AS license,
+               {count_cols},
+               CAST(length({redacted}) AS BIGINT) AS redacted_len
+        FROM h
+    """
+
+
+@register(
+    "q_code_license_secrets",
+    "License carving + secrets scrubbing for code corpora "
+    "(functions/code.py detect_license / redact_secrets — The Stack's "
+    "permissive-license filter and the credential scrub every "
+    "pipeline must run before training): committed lic_* fixtures "
+    "(MIT boilerplate + GitHub token, SPDX tag + AWS key + JWT, GPL "
+    "header + PEM private-key block + Slack token) profile to an "
+    "SPDX-ish license id, per-kind secret counts, and the redacted "
+    "length. Pure JVM regexp chains, RE2-compatible so the oracle "
+    "runs the SAME patterns; scan-stage only at 100 TB.",
+    oracle=_code_license_oracle(),
+    tags=("textstats", "corpus"),
+)
+def q_code_license_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.functions.code import (
+        detect_license,
+        redact_secrets,
+        secret_counts,
+    )
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    docs = read_document_dir(spark, DOCS_DIR, glob="lic_*")
+    counts = secret_counts("content")
+    return docs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        detect_license("content").alias("license"),
+        *[counts[name].cast("int").alias(f"n_{name}") for name in counts],
+        F.length(redact_secrets("content")).cast("bigint").alias(
+            "redacted_len"
+        ),
+    )
+
+
 @register(
     "q_lsh_ann_topk",
     "At-scale ANN (operators/similarity.py random_hyperplane_lsh_topk "

@@ -48,6 +48,9 @@ EXPECTED_DOCS = {
     "img_hash_a2.png": "png",
     "img_hash_b.png": "png",
     "img_tagged.png": "png",
+    "lic_gpl.c": "txt",
+    "lic_mit.js": "txt",
+    "lic_spdx.rs": "txt",
     "memo_legacy.rtf": "rtf",
     "notebook_analysis.ipynb": "ipynb",
     "notebook_legacy_v3.ipynb": "ipynb",

@@ -914,6 +914,103 @@ def _code_license_oracle() -> str:
     """
 
 
+#: authored mini code lake for q_repo_license (single source of truth:
+#: the Spark side builds a DataFrame from it, the oracle embeds the
+#: same strings as VALUES literals)
+_REPO_LAKE_ROWS: tuple[tuple[str, str], ...] = (
+    (
+        "alpha/LICENSE",
+        "MIT License: Permission is hereby granted, free of charge.",
+    ),
+    ("alpha/src/main.py", "print(42)"),
+    ("alpha/src/util.py", "# SPDX-License-Identifier: GPL-3.0-only\nx = 1"),
+    (
+        "beta/COPYING",
+        "This program is free software: the GNU General Public License "
+        "applies.",
+    ),
+    ("beta/lib.c", "int x;"),
+    ("gamma/tool.py", "x = 2"),
+)
+
+
+def _repo_license_oracle() -> str:
+    """DuckDB re-implements propagate_repo_license over the same
+    authored rows: per-file head-bounded license detection, repo key =
+    first path segment, min() tie-break over the repo's LICENSE/COPYING
+    files, file-level license wins."""
+    from evaporate_spark.functions.code import (
+        LICENSE_FILENAMES,
+        LICENSE_MARKERS,
+    )
+
+    vals = ",\n            ".join(
+        "('{}', '{}')".format(p, c.replace("'", "''"))
+        for p, c in _REPO_LAKE_ROWS
+    )
+    marker_cases = "\n                ".join(
+        f"WHEN lower(substring(content, 1, 2000)) LIKE '%{phrase}%' "
+        f"THEN '{spdx}'"
+        for spdx, phrase in LICENSE_MARKERS
+    )
+    names = ", ".join(f"'{n}'" for n in LICENSE_FILENAMES)
+    return f"""
+        WITH lake(path, content) AS (VALUES
+            {vals}
+        ),
+        d AS (
+            SELECT path, content,
+                   split_part(path, '/', 1) AS repo,
+                   lower(regexp_replace(path, '^.*/', '')) AS base,
+                   CASE
+                    WHEN regexp_extract(substring(content, 1, 2000),
+                        'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)',
+                        1) <> ''
+                    THEN regexp_extract(substring(content, 1, 2000),
+                        'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)',
+                        1)
+                    {marker_cases}
+                    ELSE 'none'
+                   END AS file_license
+            FROM lake
+        ),
+        r AS (
+            SELECT repo, min(file_license) AS repo_license
+            FROM d
+            WHERE base IN ({names}) AND file_license <> 'none'
+            GROUP BY repo
+        )
+        SELECT d.path,
+               CASE WHEN d.file_license <> 'none' THEN d.file_license
+                    ELSE COALESCE(r.repo_license, 'none')
+               END AS license
+        FROM d LEFT JOIN r ON d.repo = r.repo
+    """
+
+
+@register(
+    "q_repo_license",
+    "Repository-level license propagation (functions/code.py "
+    "propagate_repo_license — The Stack's actual licensing mechanic: "
+    "the repo's LICENSE/COPYING file governs files without their own "
+    "header; a file-level SPDX tag or boilerplate still wins for that "
+    "file). Authored mini-lake: an MIT repo whose one source file "
+    "carries its own GPL SPDX tag, a COPYING-based GPL repo, an "
+    "unlicensed repo. Build side of the join is one row per repo "
+    "(AQE picks broadcast vs shuffle). Oracle re-implements the "
+    "resolution in SQL over the same rows.",
+    oracle=_repo_license_oracle(),
+    tags=("textstats", "corpus"),
+)
+def q_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.code import propagate_repo_license
+
+    lake = spark.createDataFrame(
+        list(_REPO_LAKE_ROWS), "path string, content string"
+    )
+    return propagate_repo_license(lake).select("path", "license")
+
+
 @register(
     "q_code_license_secrets",
     "License carving + secrets scrubbing for code corpora "

@@ -194,6 +194,47 @@ def test_prepare_code_corpus_license_and_scrub(spark):
     )
 
 
+def test_repo_license_propagation(spark):
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.functions.code import propagate_repo_license
+
+    rows = [
+        ("a/LICENSE", "MIT License"),
+        ("a/x.py", "x = 1"),
+        ("a/deep/y.py", "# SPDX-License-Identifier: MPL-2.0\ny = 2"),
+        # two license files in one repo: min() tie-break (Apache < MIT)
+        ("b/LICENSE.md", "mit license"),
+        ("b/COPYING", "licensed under the apache license 2.0"),
+        ("b/z.go", "package z"),
+        ("c/w.rb", "w = 3"),
+        # a file NAMED license but without detectable text stays none
+        ("d/LICENSE", "see website for terms"),
+        ("d/v.c", "int v;"),
+    ]
+    df = spark.createDataFrame(rows, "path string, content string")
+    got = {
+        r["path"]: r["license"]
+        for r in propagate_repo_license(df).collect()
+    }
+    assert got["a/x.py"] == "MIT"
+    assert got["a/deep/y.py"] == "MPL-2.0"  # own SPDX tag wins
+    assert got["b/z.go"] == "Apache-2.0"  # min tie-break
+    assert got["c/w.rb"] == "none"
+    assert got["d/v.c"] == "none"  # undetectable license file
+    # custom repo key: archive shard!member convention
+    arch = spark.createDataFrame(
+        [("s.zip!r/LICENSE", "MIT License"), ("s.zip!r/a.py", "a = 1")],
+        "path string, content string",
+    )
+    shard_repo = F.split(F.col("path"), "!").getItem(0)
+    got2 = {
+        r["path"]: r["license"]
+        for r in propagate_repo_license(arch, repo=shard_repo).collect()
+    }
+    assert got2["s.zip!r/a.py"] == "MIT"
+
+
 def test_plan_is_scan_stage_only(spark):
     # pure JVM column work: no python eval, no shuffle anywhere
     from evaporate_spark.corpus import prepare_code_corpus

@@ -10,6 +10,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from evaporate_spark.fixtures.docs import (
     NOTEBOOK_V3_CELLS,
@@ -200,6 +201,31 @@ def test_archive_member_routing(spark, tmp_path):
     # corrupt member degrades to empty content, not a task failure
     assert rows["repo/broken.ipynb"]["content"] == ""
     assert rows["repo/readme.txt"]["doc_type"] == "txt"
+
+
+def test_notebook_lake_to_training_corpus_chain(spark, tmp_path):
+    """The promised notebook-corpus convention end to end: a lake of
+    .ipynb files → read_document_dir(office=True, notebook_outputs=
+    True) (code, result) pairs → prepare_corpus packing — every
+    window carries notebook text, never raw JSON."""
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    (tmp_path / "nb1.ipynb").write_bytes(V4)
+    (tmp_path / "nb2.ipynb").write_bytes(V3)
+    docs = read_document_dir(
+        spark, str(tmp_path), office=True, notebook_outputs=True
+    ).select(
+        F.col("path").alias("doc_id"), F.col("content").alias("text")
+    )
+    packed = prepare_corpus(
+        docs, normalize=False, redact=False, seq_len=8
+    ).collect()
+    assert packed and all(r["seq_text"] for r in packed)
+    joined = " ".join(r["seq_text"] for r in packed)
+    assert "nbformat" not in joined  # extracted cells, not raw JSON
+    assert "print(math.sqrt(16))" in joined
+    assert "4.0" in joined  # kept output rides into the windows
 
 
 def test_sniff_detects_extensionless_notebook():

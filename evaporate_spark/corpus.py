@@ -244,6 +244,64 @@ def prepare_code_corpus(
     return out
 
 
+#: languages from functions.code.EXT_LANGUAGES that are PROSE/config,
+#: not source code — they take the text-hygiene path in
+#: :func:`prepare_pretraining_mix`
+PROSE_LANGUAGES: frozenset[str] = frozenset(
+    {"markdown", "html", "json", "yaml", "toml", "xml", "unknown"}
+)
+
+
+def prepare_pretraining_mix(
+    docs: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    code_languages: tuple[str, ...] | None = None,
+    code_licenses: tuple[str, ...] | None = None,
+    code_thresholds: dict | None = None,
+    **corpus_kwargs,
+) -> DataFrame:
+    """One call from a MIXED document lake (the canonical
+    (path, content, …) frame out of ``read_document_dir`` /
+    ``read_document_archives``) to a cleaned training corpus: the
+    code slice (detected language not in ``PROSE_LANGUAGES``) runs
+    the code path — The Stack quality filters, optional
+    language/license carves, secrets scrub — the prose slice passes
+    straight through, and the union (with a ``slice`` column:
+    'code' / 'text') runs :func:`prepare_corpus` with
+    ``corpus_kwargs`` (dedup, decontamination, packing, shuffling
+    all compose; pass ``mix_key='slice'`` + ``mix_fractions`` to
+    weight code vs text).
+
+    Route containers FIRST (``office=True`` notebooks, PDFs,
+    archives): this facade profiles whatever text is in
+    ``content_col``. Scale shape: the code/prose split is one
+    scan-stage predicate; both slices stay unshuffled until
+    prepare_corpus's own dedup shuffle.
+    """
+    from evaporate_spark.functions.code import code_language
+
+    lang = code_language(path_col, content_col)
+    is_code = ~lang.isin(*PROSE_LANGUAGES)
+    code_side = prepare_code_corpus(
+        docs.where(is_code),
+        path_col=path_col,
+        content_col=content_col,
+        languages=code_languages,
+        license_allow=code_licenses,
+        **(code_thresholds or {}),
+    ).select(path_col, content_col).withColumn("slice", F.lit("code"))
+    text_side = (
+        docs.where(~is_code)
+        .select(path_col, content_col)
+        .withColumn("slice", F.lit("text"))
+    )
+    merged = code_side.unionByName(text_side)
+    return prepare_corpus(
+        merged, id_col=path_col, text_col=content_col, **corpus_kwargs
+    )
+
+
 def write_training_shards(
     df,
     path: str,

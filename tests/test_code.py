@@ -180,6 +180,15 @@ def test_prepare_code_corpus_license_and_scrub(spark):
         [(n, s) for n, s in LICENSE_SAMPLES.items()],
         "path string, content string",
     )
+    detected = {
+        r["path"]: r["license"]
+        for r in prepare_code_corpus(df, keep_only=False).collect()
+    }
+    assert detected == {
+        "lic_mit.js": "MIT",
+        "lic_spdx.rs": "BSD-3-Clause",
+        "lic_gpl.c": "GPL-3.0-or-later",
+    }
     permissive = prepare_code_corpus(
         df, license_allow=("MIT", "BSD-3-Clause"), keep_only=False
     )
@@ -248,6 +257,52 @@ def test_plan_is_scan_stage_only(spark):
     plan = buf.getvalue()
     assert "EvalPython" not in plan and "mapInPandas" not in plan
     assert "Exchange" not in plan
+
+
+def test_prepare_pretraining_mix(spark):
+    from evaporate_spark.corpus import prepare_pretraining_mix
+    from evaporate_spark.fixtures.docs import CODE_SAMPLES, LICENSE_SAMPLES
+
+    text_rows = [
+        ("docs/guide.md", "# Guide\n\nProse about the system."),
+        ("docs/notes.txt", "Plain prose notes, long enough to keep."),
+    ]
+    rows = (
+        [(n, s) for n, s in CODE_SAMPLES.items()]
+        + [(n, s) for n, s in LICENSE_SAMPLES.items()]
+        + text_rows
+    )
+    docs = spark.createDataFrame(rows, "path string, content string")
+    out = prepare_pretraining_mix(
+        docs, normalize=False, redact=False, dedup=False
+    )
+    got = {r["path"]: r for r in out.collect()}
+    # prose slice passes through untouched
+    assert got["docs/guide.md"]["slice"] == "text"
+    assert got["docs/notes.txt"]["slice"] == "text"
+    # code slice ran the quality filters...
+    assert "code_autogen.go" not in got
+    assert "code_minified.css" not in got
+    assert got["code_clean.py"]["slice"] == "code"
+    # ...and the secrets scrub
+    assert "<AWS_KEY>" in got["lic_spdx.rs"]["content"]
+    # license carve composes
+    permissive = prepare_pretraining_mix(
+        docs,
+        code_licenses=("MIT", "none"),
+        normalize=False, redact=False, dedup=False,
+    )
+    paths = {r["path"] for r in permissive.collect()}
+    assert "lic_gpl.c" not in paths and "lic_mit.js" in paths
+    # packing + slice mixing compose through prepare_corpus kwargs
+    packed = prepare_pretraining_mix(
+        docs,
+        normalize=False, redact=False,
+        mix_key="slice", mix_fractions={"code": 1.0, "text": 1.0},
+        seq_len=16, shuffle_seed="s1",
+    )
+    prows = packed.collect()
+    assert prows and {"seq_text", "pos"} <= set(packed.columns)
 
 
 def test_cli_code_filters(spark, tmp_path):

@@ -405,11 +405,35 @@ def _doc_ingest_bench(spark, sf_dir: str):
     return p.unionByName(w).unionByName(z)
 
 
+def _code_lake_bench(spark, sf_dir: str):
+    """Bench-only row: the round-10 code-corpus path — a cached
+    20x-replicated synthetic code lake (~100k files at sf0.1: nine
+    language extensions + extensionless shebang scripts, license
+    headers, injected credential shapes, autogen/minified/blob
+    slices) through prepare_code_corpus (language detection, license
+    carve, The Stack quality filters, secrets scrub) to a per-language
+    summary. Every filter is JVM Column work, so this is the
+    scan-stage-throughput canary for functions/code.py."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import prepare_code_corpus
+    from scripts.scale_probe_code_100x import replicated_code_dir
+
+    lake_dir = replicated_code_dir(spark, sf_dir, factor=20)
+    lake = spark.read.parquet(lake_dir)
+    kept = prepare_code_corpus(lake, license_allow=("MIT", "none"))
+    return kept.groupBy("language").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("n_chars"),
+    )
+
+
 #: bench-only rows (not registry queries): name → (spark, sf_dir) → DF
 BENCH_ONLY = {
     "media_decode_300": _media_decode_bench,
     "corpus_chain_10x": _corpus_chain_bench,
     "doc_ingest": _doc_ingest_bench,
+    "code_lake_20x": _code_lake_bench,
 }
 
 #: per-row rep caps for end-to-end canary rows (tens of seconds per

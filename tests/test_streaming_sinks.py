@@ -1265,6 +1265,64 @@ def test_streaming_media_decode(spark, tmp_path):
     assert all(v[0] in ("png", "gif", "jpeg") for v in got.values())
 
 
+def test_code_filters_streaming_twin(spark, tmp_path):
+    """The code-corpus filter/scrub columns are stateless Column
+    expressions, so the SAME profile_code_lake + redact_secrets plan
+    runs under Structured Streaming unchanged — batch and stream
+    results must be identical (the engine's streaming-twin
+    convention, like the shingle-dedup twin)."""
+    import json as _json
+    import os
+
+    from evaporate_spark.functions.code import (
+        profile_code_lake,
+        redact_secrets,
+    )
+    from evaporate_spark.fixtures.docs import CODE_SAMPLES, LICENSE_SAMPLES
+
+    src = str(tmp_path / "lake")
+    rows = [
+        {"path": n, "content": s}
+        for n, s in {**CODE_SAMPLES, **LICENSE_SAMPLES}.items()
+    ]
+    os.makedirs(src)
+    for i, r in enumerate(rows):
+        with open(f"{src}/part{i}.json", "w") as fh:
+            fh.write(_json.dumps(r) + "\n")
+
+    def pipeline(df):
+        profiled = profile_code_lake(df)
+        return profiled.withColumn(
+            "content", redact_secrets("content")
+        ).select("path", "language", "license", "keep_code", "content")
+
+    batch = {
+        r["path"]: (r["language"], r["license"], r["keep_code"], r["content"])
+        for r in pipeline(
+            spark.read.schema("path string, content string").json(src)
+        ).collect()
+    }
+    q = (
+        pipeline(
+            spark.readStream.schema("path string, content string")
+            .option("maxFilesPerTrigger", 2)
+            .json(src)
+        )
+        .writeStream.format("memory")
+        .queryName("code_stream_twin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["path"]: (r["language"], r["license"], r["keep_code"], r["content"])
+        for r in spark.table("code_stream_twin").collect()
+    }
+    assert got == batch and len(got) == len(rows)
+    assert "<AWS_KEY>" in got["lic_spdx.rs"][3]
+
+
 # ---------------------------------------------------------------------------
 # format-surface additions: ORC sink, XML doc-lake source,
 # exactly-once foreachBatch sink (streaming/sinks.py)

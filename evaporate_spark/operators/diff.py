@@ -1,0 +1,79 @@
+"""Snapshot diff — row-level change detection between two versions of
+a table (the Delta/Iceberg change-data-feed capability, computed
+rather than logged). Engine addition (SURVEY §2C warehouse ops):
+auditing what a pipeline run changed is the first debugging step on a
+100 TB table, and recomputing a diff must not cost more than one
+full-outer join.
+
+Semantics: keys identify rows; a row present only in ``new`` is an
+``insert``, only in ``old`` a ``delete``, present in both with any
+compared column differing (null-safe) an ``update``. Comparison is
+per-column ``eqNullSafe`` — no hashing, so the oracle can replicate it
+exactly and a NULL→value transition counts as a change.
+
+Scale shape: ONE full-outer shuffle join on the key columns; the
+change classification is pure Column work on the joined row. AQE
+handles skewed keys; no collect, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["frame_diff"]
+
+
+def frame_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """``(key..., change, <col>_old, <col>_new ...)`` — one row per
+    key present in either side, ``change`` ∈ insert / delete / update
+    (/ unchanged when ``include_unchanged``). ``compare_cols``
+    defaults to every shared non-key column; each compared column's
+    old/new values ride along for auditability."""
+    shared = [c for c in new.columns if c in set(old.columns)]
+    compare = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in shared if c not in keys]
+    )
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare],
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    differs: Column = F.lit(False)
+    for c in compare:
+        differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *keys,
+        change.alias("change"),
+        *[
+            col
+            for c in compare
+            for col in (
+                F.col(f"_o_{c}").alias(f"{c}_old"),
+                F.col(f"_n_{c}").alias(f"{c}_new"),
+            )
+        ],
+    )
+    if not include_unchanged:
+        out = out.where(F.col("change") != "unchanged")
+    return out

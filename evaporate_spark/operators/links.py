@@ -1,0 +1,79 @@
+"""Link-graph extraction from crawled HTML — (src, dst) edges are the
+raw material of crawl frontier expansion and link-based quality
+signals (the PageRank-family features web-scale corpus pipelines
+compute next to text quality). Engine addition (SURVEY §2C web
+ingest; composes with ``operators/urls.py`` canonicalization and
+``operators/clustering.py`` components).
+
+Pure JVM ``regexp_extract_all`` + ``explode`` — no HTML parser in the
+hot path (attribute-level extraction is regular enough; the
+boilerplate module owns full tag-structure analysis). Resolution
+handles the three link shapes that matter at crawl scale: absolute
+(http/https), root-relative (``/a/b``), and directory-relative
+(``page2.html``); ``mailto:``/``javascript:``/fragment-only links and
+other schemes are dropped. The regex and resolution CASE are
+RE2 ∩ Java-compatible so the DuckDB oracle runs the same logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["extract_hrefs", "link_edges"]
+
+#: href attribute values in double or single quotes (two passes —
+#: alternation across the quote kinds would need backreferences)
+_HREF_DQ = r'href\s*=\s*"([^"]*)"'
+_HREF_SQ = r"href\s*=\s*'([^']*)'"
+
+
+def extract_hrefs(html: Column | str) -> Column:
+    """All ``href`` attribute values, document order within each
+    quote style (double-quoted first), as ``array<string>``."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.concat(
+        F.regexp_extract_all(c, F.lit(_HREF_DQ), 1),
+        F.regexp_extract_all(c, F.lit(_HREF_SQ), 1),
+    )
+
+
+def link_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst) edge per resolvable link: absolute http(s) links
+    pass through, root-relative resolve against the page's origin,
+    directory-relative against the page's directory; fragments are
+    stripped; mailto/javascript/data/other schemes drop. Distinct
+    edges (a page linking the same target twice is one edge)."""
+    src = F.col(url_col)
+    raw = F.explode(extract_hrefs(html_col)).alias("_href")
+    e = pages.select(src.alias("src"), raw)
+    href = F.regexp_replace(F.col("_href"), r"#.*$", "")  # strip fragment
+    origin = F.regexp_extract(F.col("src"), r"^(https?://[^/]+)", 1)
+    # page directory incl. trailing slash; origin-only URLs get "/"
+    directory = F.concat(
+        origin,
+        F.regexp_replace(
+            F.regexp_extract(F.col("src"), r"^https?://[^/]+(/.*)?$", 1),
+            r"[^/]*$",
+            "",
+        ),
+    )
+    directory = F.when(
+        F.endswith(directory, F.lit("/")), directory
+    ).otherwise(F.concat(directory, F.lit("/")))
+    is_abs = href.rlike(r"^https?://")
+    is_scheme = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")  # mailto:, js:
+    dst = (
+        F.when(href == "", F.lit(None).cast("string"))
+        .when(is_abs, href)
+        .when(is_scheme, F.lit(None).cast("string"))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(directory, href))
+    )
+    return (
+        e.select("src", dst.alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .distinct()
+    )

@@ -1,0 +1,94 @@
+"""PageRank over a link-edge frame — the canonical link-based quality
+signal web-scale corpus pipelines compute next to text quality
+(Common-Crawl-derived corpora rank hosts/pages this way for sampling
+weights). Engine addition (SURVEY §2C web ingest; consumes
+``operators/links.py`` edges).
+
+Power iteration as a DataFrame loop:
+
+- contributions = ranks ⨝ edges on src, ``rank / out_degree`` summed
+  per dst (map-side partial combine; the only shuffle key is the node
+  id);
+- dangling mass (nodes with no out-edges) redistributes uniformly —
+  its per-iteration total is ONE scalar collected driver-side
+  (metrics-sized, the same sublinearity contract as the semantic
+  layer's vote collects);
+- every ``checkpoint_every`` iterations the ranks frame is
+  ``localCheckpoint(eager=True)`` so lineage stays O(1) per round
+  instead of growing a plan tree per iteration (the
+  ``operators/clustering.py`` convention).
+
+Iterative fixpoint math is not SQL-expressible for the DuckDB oracle
+(aggregation inside recursion), so the registry row is rows-only and
+the ground truth lives in pytest: ranks must match an independent
+numpy power iteration to 1e-9 and sum to 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """``(node, rank)`` after ``iterations`` damped power-iteration
+    rounds over the DISTINCT edge set; ranks sum to 1. Self-loops
+    count like any edge; duplicate edges are collapsed first."""
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # edges annotated once with the constant out-degree; reused every
+    # iteration (deg never changes)
+    e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        # dangling nodes hold rank but emit no contributions; their
+        # total redistributes uniformly (one scalar to the driver)
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

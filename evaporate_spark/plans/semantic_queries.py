@@ -914,6 +914,172 @@ def _code_license_oracle() -> str:
     """
 
 
+#: authored snapshot pair for q_snapshot_diff (Spark builds frames
+#: from it; the oracle embeds the same rows as VALUES)
+_DIFF_OLD_ROWS = ((1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0))
+_DIFF_NEW_ROWS = ((1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0))
+
+
+def _diff_values(rows) -> str:
+    out = []
+    for k, s, v in rows:
+        vv = "CAST(NULL AS DOUBLE)" if v is None else f"CAST({v} AS DOUBLE)"
+        out.append(f"(CAST({k} AS BIGINT), '{s}', {vv})")
+    return ", ".join(out)
+
+
+@register(
+    "q_snapshot_diff",
+    "Snapshot diff (operators/diff.py frame_diff + VersionedTable."
+    "diff — the change-data-feed capability computed from snapshots): "
+    "one full-outer shuffle join on the keys, per-column null-safe "
+    "comparison (a NULL→value transition IS an update), "
+    "insert/delete/update classification with old/new values riding "
+    "along for audit. Oracle replays the same semantics in SQL (IS "
+    "DISTINCT FROM) over the same authored snapshot pair.",
+    oracle=f"""
+        WITH old_t(k, s, v) AS (VALUES {_diff_values(_DIFF_OLD_ROWS)}),
+        new_t(k, s, v) AS (VALUES {_diff_values(_DIFF_NEW_ROWS)}),
+        j AS (
+            SELECT COALESCE(o.k, n.k) AS k,
+                   o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+                   o.s AS s_old, n.s AS s_new,
+                   o.v AS v_old, n.v AS v_new
+            FROM old_t o FULL OUTER JOIN new_t n ON o.k = n.k
+        ),
+        c AS (
+            SELECT k,
+                   CASE WHEN NOT in_old THEN 'insert'
+                        WHEN NOT in_new THEN 'delete'
+                        WHEN (s_old IS DISTINCT FROM s_new)
+                          OR (v_old IS DISTINCT FROM v_new) THEN 'update'
+                        ELSE 'unchanged'
+                   END AS change,
+                   s_old, s_new, v_old, v_new
+            FROM j
+        )
+        SELECT * FROM c WHERE change <> 'unchanged'
+    """,
+    tags=("warehouse",),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.diff import frame_diff
+
+    schema = "k long, s string, v double"
+    old = spark.createDataFrame(list(_DIFF_OLD_ROWS), schema)
+    new = spark.createDataFrame(list(_DIFF_NEW_ROWS), schema)
+    return frame_diff(old, new, ["k"])
+
+
+#: authored crawl pages for q_link_edges (same dual-embedding pattern)
+_LINK_PAGES = (
+    (
+        "http://ex.com/blog/post1.html",
+        '<a href="/about">A</a> <a href="page2.html">B</a>'
+        " <a href='https://other.org/x'>C</a>"
+        ' <a href="#frag">D</a> <a href="mailto:a@b.c">E</a>'
+        ' <a href="/about">dup</a> <a href="sub/p3.html#sec2">F</a>',
+    ),
+    ("http://ex.com", '<a href="/top">T</a> <a href="rel.html">R</a>'),
+)
+
+
+def _link_edges_oracle() -> str:
+    vals = ", ".join(
+        "('{}', '{}')".format(u, h.replace("'", "''")) for u, h in _LINK_PAGES
+    )
+    return f"""
+        WITH pages(url, html) AS (VALUES {vals}),
+        h AS (
+            SELECT url AS src,
+                   unnest(regexp_extract_all(html,
+                              'href\\s*=\\s*"([^"]*)"', 1)
+                          || regexp_extract_all(html,
+                              'href\\s*=\\s*''([^'']*)''', 1)) AS raw
+            FROM pages
+        ),
+        r AS (
+            SELECT src,
+                   regexp_replace(raw, '#.*$', '') AS href,
+                   regexp_extract(src, '^(https?://[^/]+)', 1) AS origin,
+                   regexp_extract(src, '^https?://[^/]+(/.*)?$', 1) AS path
+            FROM h
+        ),
+        d AS (
+            SELECT src, href, origin,
+                   CASE WHEN regexp_replace(path, '[^/]*$', '') LIKE '%/'
+                        THEN origin || regexp_replace(path, '[^/]*$', '')
+                        ELSE origin || regexp_replace(path, '[^/]*$', '')
+                             || '/'
+                   END AS dir
+            FROM r
+        )
+        SELECT DISTINCT src,
+               CASE WHEN href = '' THEN NULL
+                    WHEN regexp_matches(href, '^https?://') THEN href
+                    WHEN regexp_matches(href,
+                        '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+                    WHEN href LIKE '/%' THEN origin || href
+                    ELSE dir || href
+               END AS dst
+        FROM d
+        WHERE CASE WHEN href = '' THEN NULL
+                   WHEN regexp_matches(href, '^https?://') THEN href
+                   WHEN regexp_matches(href,
+                       '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+                   WHEN href LIKE '/%' THEN origin || href
+                   ELSE dir || href
+              END IS NOT NULL
+    """
+
+
+@register(
+    "q_link_edges",
+    "Link-graph extraction (operators/links.py — the raw material of "
+    "crawl frontier expansion and PageRank-family quality signals): "
+    "href attributes via JVM regexp_extract_all (both quote styles), "
+    "absolute / root-relative / directory-relative resolution, "
+    "fragment stripping, mailto/javascript/scheme drops, distinct "
+    "edges. Oracle runs the same RE2-compatible regexes and "
+    "resolution CASE over the same authored pages.",
+    oracle=_link_edges_oracle(),
+    tags=("doclake", "web"),
+)
+def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.links import link_edges
+
+    pages = spark.createDataFrame(
+        list(_LINK_PAGES), "url string, html string"
+    )
+    return link_edges(pages)
+
+
+@register(
+    "q_pagerank",
+    "PageRank over the authored crawl pages' link edges "
+    "(operators/pagerank.py ⨯ operators/links.py — the link-based "
+    "quality signal CC-derived corpora sample by): damped power "
+    "iteration as a DataFrame loop, per-node shuffle key only, "
+    "dangling mass redistributed via one driver scalar per round, "
+    "lineage truncated every k rounds (clustering.py convention). "
+    "Iterative fixpoints are not SQL-expressible → rows-only driver "
+    "check; ground truth is an independent numpy power iteration in "
+    "tests/test_pagerank.py (1e-9 agreement + mass conservation).",
+    oracle=None,
+    tags=("web",),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.links import link_edges
+    from evaporate_spark.operators.pagerank import pagerank
+
+    pages = spark.createDataFrame(
+        list(_LINK_PAGES), "url string, html string"
+    )
+    return pagerank(link_edges(pages), iterations=10).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+
+
 #: authored mini code lake for q_repo_license (single source of truth:
 #: the Spark side builds a DataFrame from it, the oracle embeds the
 #: same strings as VALUES literals)

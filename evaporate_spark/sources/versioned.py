@@ -268,6 +268,17 @@ class VersionedTable:
 
     # -- reads --------------------------------------------------------------
 
+    def diff(
+        self, v_old: int, v_new: int, keys: list[str], **kwargs
+    ) -> DataFrame:
+        """Row-level changes between two committed snapshots —
+        insert/delete/update rows per :func:`operators.diff.
+        frame_diff` (the change-data-feed capability, computed from
+        the snapshots rather than logged)."""
+        from evaporate_spark.operators.diff import frame_diff
+
+        return frame_diff(self.read(v_old), self.read(v_new), keys, **kwargs)
+
     def read(self, version: int | None = None) -> DataFrame:
         """Latest committed snapshot, or time-travel to ``version``.
 

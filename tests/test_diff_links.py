@@ -1,0 +1,139 @@
+"""Snapshot diff (operators/diff.py) and link-graph extraction
+(operators/links.py) — engine additions, SURVEY §2C warehouse / web
+ingest."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- frame_diff
+def _frames(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, "c", None),
+            (4, "d", 40.0),
+        ],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),  # unchanged
+            (2, "B", 20.0),  # update (s)
+            (3, "c", 30.0),  # update (NULL -> value)
+            (5, "e", 50.0),  # insert
+        ],
+        "k long, s string, v double",
+    )
+    return old, new
+
+
+def test_frame_diff_classification(spark):
+    from evaporate_spark.operators.diff import frame_diff
+
+    old, new = _frames(spark)
+    got = {r["k"]: r for r in frame_diff(old, new, ["k"]).collect()}
+    assert {k: r["change"] for k, r in got.items()} == {
+        2: "update", 3: "update", 4: "delete", 5: "insert",
+    }
+    # old/new values ride along for audit
+    assert got[2]["s_old"] == "b" and got[2]["s_new"] == "B"
+    assert got[3]["v_old"] is None and got[3]["v_new"] == 30.0
+    assert got[4]["s_new"] is None and got[5]["s_old"] is None
+
+
+def test_frame_diff_unchanged_and_subset_cols(spark):
+    from evaporate_spark.operators.diff import frame_diff
+
+    old, new = _frames(spark)
+    full = frame_diff(old, new, ["k"], include_unchanged=True)
+    assert {r["k"]: r["change"] for r in full.collect()}[1] == "unchanged"
+    # comparing only v: row 2's s-change becomes invisible
+    only_v = frame_diff(old, new, ["k"], compare_cols=["v"])
+    got = {r["k"]: r["change"] for r in only_v.collect()}
+    assert 2 not in got and got[3] == "update"
+
+
+def test_versioned_table_diff(spark, tmp_path):
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    )
+    t.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "B2"), (3, "c")], "k long, s string")
+    )
+    got = {r["k"]: r["change"] for r in t.diff(0, 1, ["k"]).collect()}
+    assert got == {2: "update", 3: "insert"}
+
+
+def test_frame_diff_single_shuffle(spark):
+    from evaporate_spark.operators.diff import frame_diff
+
+    old, new = _frames(spark)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        frame_diff(old, new, ["k"]).explain(mode="extended")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan and "mapInPandas" not in plan
+
+
+# ------------------------------------------------------------- link_edges
+PAGES = [
+    (
+        "http://ex.com/blog/post1.html",
+        '<a href="/about">A</a> <a href="page2.html">B</a>'
+        " <a href='https://other.org/x'>C</a>"
+        ' <a href="#frag">D</a> <a href="mailto:a@b.c">E</a>'
+        ' <a href="/about">dup</a> <a href="sub/p3.html#sec2">F</a>',
+    ),
+    ("http://ex.com", '<a href="/top">T</a> <a href="rel.html">R</a>'),
+]
+
+
+def test_extract_hrefs_both_quote_styles(spark):
+    from evaporate_spark.operators.links import extract_hrefs
+
+    df = spark.createDataFrame(PAGES, "url string, html string")
+    arr = df.where(F.col("url").endswith("post1.html")).select(
+        extract_hrefs("html").alias("a")
+    ).collect()[0]["a"]
+    assert "/about" in arr and "https://other.org/x" in arr
+    assert len(arr) == 7
+
+
+def test_link_edges_resolution(spark):
+    from evaporate_spark.operators.links import link_edges
+
+    df = spark.createDataFrame(PAGES, "url string, html string")
+    got = {
+        (r["src"], r["dst"]) for r in link_edges(df).collect()
+    }
+    assert got == {
+        ("http://ex.com/blog/post1.html", "http://ex.com/about"),
+        ("http://ex.com/blog/post1.html", "http://ex.com/blog/page2.html"),
+        ("http://ex.com/blog/post1.html", "https://other.org/x"),
+        ("http://ex.com/blog/post1.html", "http://ex.com/blog/sub/p3.html"),
+        ("http://ex.com", "http://ex.com/top"),
+        ("http://ex.com", "http://ex.com/rel.html"),
+    }
+
+
+def test_link_edges_compose_with_canonicalization(spark):
+    from evaporate_spark.operators.links import link_edges
+    from evaporate_spark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame(
+        [("http://ex.com/a", '<a href="/b?utm_source=x&id=2#f">B</a>')],
+        "url string, html string",
+    )
+    out = link_edges(df).select(
+        "src", canonicalize_url("dst").alias("dst")
+    ).collect()
+    assert out[0]["dst"] == "http://ex.com/b?id=2"

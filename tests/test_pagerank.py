@@ -1,0 +1,77 @@
+"""PageRank (operators/pagerank.py) — ground truth via an independent
+numpy power iteration (the rows-only registry entry q_pagerank's
+correctness anchor, per the q_approx_distinct convention)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"),  # d has in-degree 0
+    ("c", "e"),  # e is dangling (no out-edges)
+]
+
+
+def numpy_pagerank(edges, damping=0.85, iterations=10):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dangling = r[out == 0].sum()
+        nxt += damping * dangling / n
+        for s, d in edges:
+            nxt[idx[d]] += damping * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from evaporate_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    want = numpy_pagerank(EDGES, iterations=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    # probability mass is conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # structure sanity: c (3 in-edges incl. from the hub) outranks all
+    assert max(got, key=got.get) == "c"
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    from evaporate_spark.operators.pagerank import pagerank
+
+    dup = spark.createDataFrame(
+        EDGES + [("a", "b"), ("a", "b")], "src string, dst string"
+    )
+    base = spark.createDataFrame(EDGES, "src string, dst string")
+    got_dup = {r["node"]: r["rank"] for r in pagerank(dup).collect()}
+    got = {r["node"]: r["rank"] for r in pagerank(base).collect()}
+    for v in got:
+        assert got_dup[v] == pytest.approx(got[v], abs=1e-12)
+
+
+def test_pagerank_empty_and_checkpoint_cadence(spark):
+    from evaporate_spark.operators.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+    # long iteration chain with frequent checkpoints still matches
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    a = {r["node"]: r["rank"]
+         for r in pagerank(df, iterations=7, checkpoint_every=1).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(df, iterations=7, checkpoint_every=100).collect()}
+    want = numpy_pagerank(EDGES, iterations=7)
+    for v in want:
+        assert a[v] == pytest.approx(want[v], abs=1e-9)
+        assert b[v] == pytest.approx(want[v], abs=1e-9)

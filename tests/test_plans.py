@@ -29,6 +29,7 @@ EAGER = {
     "q_semantic_openie",
     "q_order_value_deciles",
     "q_quality_model_scores",  # fixture-model training at plan build
+    "q_pagerank",  # power-iteration loop runs jobs at plan build
 }
 
 

@@ -62,11 +62,13 @@ def read_document_dir(
     training-pair convention).
 
     With ``sniff_route=True``, files whose basename carries NO suffix
-    at all (crawl payloads like ``download``) route by magic-byte
-    content sniff through :func:`extract_sniffed_text_df` instead of
-    degrading to a binary-cast text row — a sniffed ``docx``/``epub``/
-    ``pdf``/``ipynb`` payload extracts real text. Suffixed files keep
-    the cheaper suffix route.
+    at all (crawl payloads like ``download``), plus loose ``.gz``
+    documents (the ``.txt.gz`` crawl-dump convention; tar/warc shard
+    families are excluded), route by magic-byte content sniff through
+    :func:`extract_sniffed_text_df` instead of degrading to a
+    binary-cast text row — a sniffed ``docx``/``epub``/``pdf``/
+    ``ipynb``/gzipped-text payload extracts real text. Suffixed files
+    keep the cheaper suffix route.
     """
     reader = spark.read.format("binaryFile")
     if recursive:
@@ -81,7 +83,14 @@ def read_document_dir(
     is_office = F.lower(F.col("path")).rlike(
         r"\.(docx|pptx|xlsx|odt|odp|ods|rtf|epub|ipynb)$"
     )
-    suffixless = ~F.element_at(F.split(F.col("path"), "/"), -1).contains(".")
+    # sniff-routed set: suffixless crawl payloads, plus loose .gz
+    # documents (.txt.gz etc. — NOT the tar/warc shard families,
+    # which belong to read_document_archives / read_warc)
+    basename = F.element_at(F.split(F.col("path"), "/"), -1)
+    loose_gz = F.lower(F.col("path")).endswith(".gz") & ~F.lower(
+        F.col("path")
+    ).rlike(r"\.(tar\.gz|tgz|warc\.gz|wat\.gz|wet\.gz)$")
+    suffixless = ~basename.contains(".") | loose_gz
     text_side = base
     if pdf_text:
         text_side = text_side.where(~is_pdf)
@@ -223,6 +232,18 @@ def extract_sniffed_text_df(files: DataFrame, path_col: str = "path") -> DataFra
                         from evaporate_spark.operators.pdf import pdf_page_texts
 
                         text = "\f".join(pdf_page_texts(raw))
+                    elif t == "gzip":
+                        # a LOOSE gzipped document (.txt.gz crawl-dump
+                        # convention) — decompress, re-sniff the inner
+                        # payload; tar.gz/warc.gz never reach here
+                        # (sniff_doc_type names them distinctly)
+                        import gzip as _gzip
+
+                        inner = _gzip.decompress(raw)
+                        it = sniff_doc_type(inner)
+                        if it in ("txt", "html", "xml"):
+                            t = it
+                            text = inner.decode("utf-8", errors="replace")
                     elif t in ("txt", "html", "xml", "warc", "empty"):
                         text = raw.decode("utf-8", errors="replace")
                 except Exception:

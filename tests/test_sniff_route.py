@@ -74,6 +74,49 @@ def test_read_document_dir_sniff_route(spark, tmp_path):
     assert plain["download"]["doc_type"] == "txt"
 
 
+def test_sniff_route_loose_gzip_documents(spark, tmp_path):
+    """Single-file gzip payloads (the .txt.gz convention of crawl
+    dumps) decompress inside the sniffed route and land as their
+    INNER type; tar.gz / warc.gz stay with the archive/warc readers."""
+    import gzip
+
+    from evaporate_spark.sources.archives import targz_write
+    from evaporate_spark.sources.doclake import (
+        extract_sniffed_text_df,
+        read_document_dir,
+    )
+
+    (tmp_path / "dump01").write_bytes(gzip.compress(b"hello crawl text"))
+    (tmp_path / "page02").write_bytes(
+        gzip.compress(b"<html><body>inner page</body></html>")
+    )
+    (tmp_path / "shard").write_bytes(targz_write({"a.txt": b"member"}))
+    files = spark.read.format("binaryFile").load(str(tmp_path)).select(
+        "path", "content"
+    )
+    rows = {
+        os.path.basename(r["path"]): r
+        for r in extract_sniffed_text_df(files).collect()
+    }
+    assert rows["dump01"]["doc_type"] == "txt"
+    assert rows["dump01"]["content"] == "hello crawl text"
+    assert rows["page02"]["doc_type"] == "html"
+    assert "inner page" in rows["page02"]["content"]
+    # tar.gz is NOT expanded here (read_document_archives owns it)
+    assert rows["shard"]["doc_type"] == "tar.gz"
+    assert rows["shard"]["content"] == ""
+    # suffixed .txt.gz routes through the same path via sniff_route
+    (tmp_path / "notes.txt.gz").write_bytes(gzip.compress(b"suffixed gz"))
+    docs = {
+        os.path.basename(r["path"]): r
+        for r in read_document_dir(
+            spark, str(tmp_path), sniff_route=True
+        ).collect()
+    }
+    assert docs["notes.txt.gz"]["doc_type"] == "txt"
+    assert docs["notes.txt.gz"]["content"] == "suffixed gz"
+
+
 def test_sniff_route_pdf_and_corrupt(spark, tmp_path):
     from evaporate_spark.sources.doclake import extract_sniffed_text_df
 

@@ -145,6 +145,21 @@ Pinned comparison baselines (medians unless noted):
   Ingest-layer scale evidence: scripts/SCALE_PROBE_INGEST.json
   (2,083 mixed files, zero-Exchange document plans, planted corrupt
   files → typed err rows).
+- r10 pins (gated start 0.12, after the code-corpus batch —
+  notebooks/code filters/license+secrets/repo-license/diff/links/
+  pagerank/sniff-route — landed): relational 2.651 (q1 0.524 /
+  q3 0.907 / q5 1.220); q_minhash_lsh_dups 1.600, q_dup_clusters
+  1.993, q_dup_passage_stats 3.525, q8_market_share 1.139,
+  q_semantic_closed_ie 5.956, q_semantic_openie 14.364,
+  media_decode_300 0.643, corpus_chain_10x 21.039, doc_ingest 1.173,
+  code_lake_20x 1.924 (FIRST pin — 100k-file synthetic code lake
+  through prepare_code_corpus: language detect, license carve,
+  quality filters, secrets scrub; ~0.5s of it is the license/secret
+  regex chains). All legacy rows inside the r8/r9 band; tokens
+  unchanged (6718 / 29640). Code-layer scale evidence:
+  scripts/SCALE_PROBE_CODE.json (500k files 6.6 s, shuffle 12 KB vs
+  scan 53 MB — the whole verdict+scrub pipeline stays in the scan
+  stage).
 """
 
 from __future__ import annotations

@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--path-col", default="path",
         help="file-path column for --code-filters language detection",
     )
+    p.add_argument(
+        "--c4", action="store_true",
+        help="apply C4 cleaning first (line retention + page drops)",
+    )
+    p.add_argument(
+        "--gopher", action="store_true",
+        help="filter by the Gopher quality-rule battery",
+    )
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--no-redact", action="store_true")
     p.add_argument("--no-dedup", action="store_true")
@@ -146,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
         docs,
         id_col=args.id_col,
         text_col=args.text_col,
+        c4=args.c4,
+        gopher=args.gopher,
         normalize=not args.no_normalize,
         redact=not args.no_redact,
         dedup=not args.no_dedup,
@@ -179,6 +189,8 @@ def main(argv: list[str] | None = None) -> int:
                 "packed": args.seq_len is not None,
                 "stages": {
                     "code_filters": args.code_filters,
+                    "c4": args.c4,
+                    "gopher": args.gopher,
                     "normalize": not args.no_normalize,
                     "redact": not args.no_redact,
                     "dedup": not args.no_dedup,

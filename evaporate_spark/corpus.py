@@ -28,6 +28,8 @@ def prepare_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    c4: bool = False,
+    gopher: bool = False,
     normalize: bool = True,
     lang_allow: tuple[str, ...] | None = None,
     quality_model=None,
@@ -52,6 +54,10 @@ def prepare_corpus(
     the cleaned corpus — or, when ``seq_len`` is given, the packed
     training windows (id, seq_index, n_tokens, seq_text).
 
+    ``c4`` applies C4's cleaning first (line retention + page drops —
+    before ``normalize``, which would collapse the line structure);
+    ``gopher`` then filters by the Gopher rule battery with its
+    published thresholds (both :mod:`functions.webquality`).
     ``lang_allow`` keeps only documents whose heuristic language ID
     is in the set (JVM scan-stage predicate, runs first among the
     filters); ``quality_model`` (an ``operators.quality_model.
@@ -86,6 +92,25 @@ def prepare_corpus(
     """
     out = docs
 
+    if c4:
+        # C4 runs FIRST: its line-level retention needs the original
+        # newline structure, which normalize collapses
+        from evaporate_spark.functions.webquality import (
+            c4_clean_text,
+            c4_page_flags,
+        )
+
+        out = out.where(
+            c4_page_flags(F.col(text_col))["keep_c4"]
+        ).withColumn(text_col, c4_clean_text(text_col))
+    if gopher:
+        from evaporate_spark.functions.webquality import (
+            gopher_quality_columns,
+        )
+
+        out = out.where(
+            gopher_quality_columns(F.col(text_col))["keep_gopher"]
+        )
     if normalize:
         from evaporate_spark.functions.normalize import normalize_text
 

@@ -1,0 +1,162 @@
+"""Published web-text quality rule sets — Gopher (Rae et al. 2021,
+appendix A1.1) and C4 (Raffel et al. 2020, §2.2) — the two filter
+batteries every web-scale pretraining pipeline cites. Engine addition
+(SURVEY §2C text analysis), complementing the engine's own
+``text_stats.quality_score`` / ``repetition_signals`` /
+``quality_model`` trio with the literature-standard rules.
+
+Everything is a pure Spark ``Column`` expression over the shared
+``\\W+`` tokenization (`text_stats.regex_tokens`) and ``\\n`` line
+split — zero Python, zero shuffle, scan-stage at 100 TB. Fractions
+use the same floor(x·1e6 + 0.5)/1e6 half-up rounding as
+``repetition_signals`` so the DuckDB oracle reproduces them bit-for-
+bit. Thresholds are parameters with the published defaults, not
+constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from evaporate_spark.functions.text_stats import bind_once, regex_tokens
+
+__all__ = [
+    "GOPHER_STOPWORDS",
+    "gopher_quality_columns",
+    "c4_clean_text",
+    "c4_page_flags",
+]
+
+#: Gopher's "must contain ≥2 of" stopword set (Rae et al. A1.1)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def _half_up(v: Column) -> Column:
+    return F.floor(v * 1000000 + F.lit(0.5)) / 1000000.0
+
+
+def _lines(col: Column) -> Column:
+    return F.transform(F.split(col, r"\n"), lambda x: F.trim(x))
+
+
+def gopher_quality_columns(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """The Gopher rule battery as named columns plus the combined
+    ``keep_gopher`` verdict: word-count bounds, mean-word-length
+    band, symbol-to-word ratio (``#``/ellipsis), bullet-start and
+    ellipsis-end line fractions, alphabetic-word fraction, and
+    stopword presence. Compose with ``df.withColumns``."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _tok_cols(toks: Column) -> Column:
+        n = F.size(toks)
+        nd = F.greatest(n, F.lit(1)).cast("double")
+        total_len = F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        alpha = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+        stops = F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        )
+        return F.struct(
+            n.cast("bigint").alias("n_words"),
+            _half_up(total_len / nd).alias("avg_word_len"),
+            _half_up(alpha / nd).alias("alpha_word_frac"),
+            stops.cast("int").alias("n_stopwords_present"),
+        )
+
+    tok = bind_once(regex_tokens(c), _tok_cols)
+
+    def _line_cols(lines: Column) -> Column:
+        nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+        bullets = F.size(F.filter(lines, lambda l: l.rlike(r"^[•*-]")))
+        ellipses = F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        )
+        return F.struct(
+            _half_up(bullets / nl).alias("bullet_line_frac"),
+            _half_up(ellipses / nl).alias("ellipsis_line_frac"),
+        )
+
+    lin = bind_once(_lines(c), _line_cols)
+    symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
+    symbol_ratio = _half_up(
+        symbols / F.greatest(tok["n_words"], F.lit(1)).cast("double")
+    )
+    keep = (
+        (tok["n_words"] >= min_words)
+        & (tok["n_words"] <= max_words)
+        & (tok["avg_word_len"] >= min_avg_word_len)
+        & (tok["avg_word_len"] <= max_avg_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (lin["bullet_line_frac"] <= max_bullet_frac)
+        & (lin["ellipsis_line_frac"] <= max_ellipsis_frac)
+        & (tok["alpha_word_frac"] >= min_alpha_word_frac)
+        & (tok["n_stopwords_present"] >= min_stopwords)
+    )
+    return {
+        "n_words": tok["n_words"],
+        "avg_word_len": tok["avg_word_len"],
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": lin["bullet_line_frac"],
+        "ellipsis_line_frac": lin["ellipsis_line_frac"],
+        "alpha_word_frac": tok["alpha_word_frac"],
+        "n_stopwords_present": tok["n_stopwords_present"],
+        "keep_gopher": keep,
+    }
+
+
+def c4_clean_text(col: Column | str, min_line_words: int = 5) -> Column:
+    """C4's line-level cleaning: keep only lines that end in terminal
+    punctuation (``.!?"``), carry at least ``min_line_words``
+    whitespace words, and do not mention 'javascript' (the
+    cookie/JS-warning heuristic); kept lines re-join with ``\\n``."""
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.filter(
+        _lines(c),
+        lambda l: l.rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+            >= min_line_words
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_flags(
+    col: Column | str, cleaned: Column | None = None, min_sentences: int = 3
+) -> dict[str, Column]:
+    """C4's page-level drops over the RAW text (placeholder and
+    code-markup markers) plus the ≥``min_sentences`` requirement on
+    the CLEANED text; ``keep_c4`` combines them."""
+    c = F.col(col) if isinstance(col, str) else col
+    cl = cleaned if cleaned is not None else c4_clean_text(c)
+    lorem = F.lower(c).contains("lorem ipsum")
+    curly = c.contains("{")
+    n_sentences = F.regexp_count(cl, F.lit(r"[.!?]"))
+    keep = ~lorem & ~curly & (n_sentences >= min_sentences)
+    return {
+        "has_lorem_ipsum": lorem,
+        "has_curly_brace": curly,
+        "n_sentences": n_sentences.cast("int"),
+        "keep_c4": keep,
+    }

@@ -496,6 +496,144 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\W+'),
+                           x -> x <> '') AS toks,
+               list_transform(string_split_regex(text, '\\n'),
+                              x -> trim(x)) AS lines,
+               len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               FLOOR(COALESCE(list_sum(list_transform(toks,
+                         x -> length(x))), 0)::DOUBLE
+                     / GREATEST(len(toks), 1) * 1000000 + 0.5)
+                   / 1000000.0 AS avg_word_len,
+               FLOOR(n_sym::DOUBLE / GREATEST(len(toks), 1)
+                     * 1000000 + 0.5) / 1000000.0 AS symbol_ratio,
+               FLOOR(len(list_filter(lines,
+                         l -> regexp_matches(l, '^[•*-]')))::DOUBLE
+                     / GREATEST(len(lines), 1) * 1000000 + 0.5)
+                   / 1000000.0 AS bullet_line_frac,
+               FLOOR(len(list_filter(lines,
+                         l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE
+                     / GREATEST(len(lines), 1) * 1000000 + 0.5)
+                   / 1000000.0 AS ellipsis_line_frac,
+               FLOOR(len(list_filter(toks,
+                         x -> regexp_matches(x, '\\p{L}')))::DOUBLE
+                     / GREATEST(len(toks), 1) * 1000000 + 0.5)
+                   / 1000000.0 AS alpha_word_frac,
+               CAST(len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS INT) AS n_stopwords_present
+        FROM t
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND avg_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stopwords_present >= 2) AS keep_gopher
+    FROM s
+"""
+
+
+@register(
+    "q_gopher_quality",
+    "The Gopher quality-rule battery (Rae et al. 2021 A1.1 — the "
+    "literature-standard web-text filter, functions/webquality.py): "
+    "word-count bounds, mean-word-length band, symbol-to-word ratio, "
+    "bullet/ellipsis line fractions, alphabetic-word fraction, "
+    "stopword presence, combined keep verdict — all pure JVM HOF "
+    "Columns over the shared \\W+ tokenization, half-up 1e-6 "
+    "rounding both sides. Zero-shuffle scan-stage at 100 TB. Oracle "
+    "recomputes every column in DuckDB.",
+    oracle=_GOPHER_ORACLE,
+    tags=("textstats", "corpus"),
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.webquality import gopher_quality_columns
+
+    d = load_table(spark, sf_dir, "documents")
+    cols = gopher_quality_columns("text")
+    return d.select("doc_id", *[cols[k].alias(k) for k in cols])
+
+
+_C4_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(
+                   list_transform(string_split_regex(text, '\\n'),
+                                  x -> trim(x)),
+                   l -> regexp_matches(l, '[.!?\"]$')
+                        AND len(list_filter(
+                                string_split_regex(l, '\\s+'),
+                                w -> w <> '')) >= 5
+                        AND NOT contains(lower(l), 'javascript')
+               ) AS kept
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, text,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               array_to_string(kept, chr(10)) AS cleaned
+        FROM t
+    )
+    SELECT doc_id, n_kept_lines,
+           CAST(length(cleaned) AS BIGINT) AS n_clean_chars,
+           CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INT)
+               AS n_sentences,
+           contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(text, chr(123)) AS has_curly_brace,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, chr(123))
+            AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3)
+               AS keep_c4
+    FROM c
+"""
+
+
+@register(
+    "q_c4_clean",
+    "C4's cleaning rules (Raffel et al. 2020 §2.2, functions/"
+    "webquality.py): line-level retention (terminal punctuation, ≥5 "
+    "words, no 'javascript'), page-level drops (lorem ipsum, curly "
+    "brace) and the ≥3-sentence requirement on the cleaned text — "
+    "pure JVM HOF filter/join, scan-stage only. Oracle recomputes "
+    "line retention and every flag in DuckDB.",
+    oracle=_C4_ORACLE,
+    tags=("textstats", "corpus"),
+)
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.webquality import (
+        c4_clean_text,
+        c4_page_flags,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = c4_clean_text("text")
+    flags = c4_page_flags("text", cleaned=cleaned)
+    return d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(cleaned, r"\n"), lambda l: l != F.lit("")
+            )
+        ).cast("int").alias("n_kept_lines"),
+        F.length(cleaned).cast("bigint").alias("n_clean_chars"),
+        flags["n_sentences"].alias("n_sentences"),
+        flags["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+        flags["has_curly_brace"].alias("has_curly_brace"),
+        flags["keep_c4"].alias("keep_c4"),
+    )
+
+
 def _lang_sample_rows() -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the authored per-language
     samples — shared verbatim by the Spark query and its oracle."""

@@ -1,0 +1,51 @@
+"""Corpus manifest — the "data card" summary every released training
+corpus ships with: per-slice document/token/char counts and the
+fraction of the corpus each slice contributes (the numbers mixing
+decisions are made from). Engine addition (SURVEY §2C corpus ops;
+the reporting end-cap of ``prepare_corpus`` /
+``prepare_pretraining_mix``).
+
+One shuffle (the per-slice aggregate, map-side combined); the totals
+join is a broadcast of the ONE-row grand-total aggregate, so the
+whole manifest costs a single pass at any corpus size. Fractions use
+the shared half-up 1e-6 rounding so the DuckDB oracle reproduces them
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from evaporate_spark.functions.text_stats import token_count_ws
+
+__all__ = ["corpus_manifest"]
+
+
+def corpus_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    by: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """``(by..., n_docs, n_tokens, n_chars, doc_frac, token_frac)``
+    per slice — whitespace token counts (the ``token_count_ws``
+    convention), fractions of the whole corpus."""
+    per = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(text_col)).cast("bigint").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
+    )
+    totals = F.broadcast(
+        per.agg(
+            F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+        )
+    )
+    half_up = lambda v: F.floor(v * 1000000 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return per.crossJoin(totals).select(
+        *by,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        half_up(F.col("n_docs") / F.col("_td")).alias("doc_frac"),
+        half_up(F.col("n_tokens") / F.col("_tt")).alias("token_frac"),
+    )

@@ -582,7 +582,9 @@ _C4_ORACLE = """
     c AS (
         SELECT doc_id, text,
                CAST(len(kept) AS INT) AS n_kept_lines,
-               array_to_string(kept, chr(10)) AS cleaned
+               -- DuckDB's array_to_string([]) is NULL; Spark's
+               -- array_join([]) is '' — coalesce for parity
+               COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
         FROM t
     )
     SELECT doc_id, n_kept_lines,
@@ -632,6 +634,42 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         flags["has_curly_brace"].alias("has_curly_brace"),
         flags["keep_c4"].alias("keep_c4"),
     )
+
+
+@register(
+    "q_corpus_manifest",
+    "Corpus manifest / data card (operators/manifest.py): per-(lang, "
+    "source) document/token/char counts and corpus fractions — the "
+    "numbers mixing decisions are made from. One map-side-combined "
+    "aggregate + a broadcast of the one-row grand total; half-up "
+    "1e-6 fraction rounding shared with the oracle.",
+    oracle="""
+        WITH per AS (
+            SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                        AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars
+            FROM documents
+            GROUP BY lang, source
+        ),
+        tot AS (
+            SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM per
+        )
+        SELECT lang, source, n_docs, n_tokens, n_chars,
+               FLOOR(n_docs::DOUBLE / td * 1000000 + 0.5) / 1000000.0
+                   AS doc_frac,
+               FLOOR(n_tokens::DOUBLE / tt * 1000000 + 0.5) / 1000000.0
+                   AS token_frac
+        FROM per, tot
+    """,
+    tags=("textstats", "corpus"),
+)
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.manifest import corpus_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_manifest(d, by=("lang", "source"))
 
 
 def _lang_sample_rows() -> list[tuple[int, str]]:

@@ -47,11 +47,13 @@ def main(names: list[str]) -> int:
             print(f"{name}: rows-only ({len(got)} rows)")
             continue
         want = con.execute(oracles[name]).fetchdf()
-        try:
-            compare_frames(got, want)
+        # compare_frames RETURNS a diff string on mismatch (None on
+        # match) — it does not raise
+        diff = compare_frames(got, want)
+        if diff is None:
             print(f"{name}: MATCH ({len(got)} rows)")
-        except AssertionError as ex:
-            print(f"{name}: MISMATCH — {ex}")
+        else:
+            print(f"{name}: MISMATCH — {diff}")
             bad += 1
     return bad
 

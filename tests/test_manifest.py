@@ -1,0 +1,51 @@
+"""Corpus manifest (operators/manifest.py) — data-card summary."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_corpus_manifest_counts_and_fracs(spark):
+    from evaporate_spark.operators.manifest import corpus_manifest
+
+    rows = [
+        (1, "en", "one two three"),
+        (2, "en", "four five"),
+        (3, "de", "eins zwei drei vier"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in corpus_manifest(df).collect()}
+    assert got["en"]["n_docs"] == 2 and got["de"]["n_docs"] == 1
+    assert got["en"]["n_tokens"] == 5 and got["de"]["n_tokens"] == 4
+    assert got["en"]["n_chars"] == len("one two three") + len("four five")
+    assert got["en"]["doc_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["en"]["token_frac"] == pytest.approx(5 / 9, abs=1e-6)
+    total_frac = sum(r["token_frac"] for r in got.values())
+    assert total_frac == pytest.approx(1.0, abs=2e-6)
+
+
+def test_corpus_manifest_multi_key_and_broadcast(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from evaporate_spark.operators.manifest import corpus_manifest
+
+    rows = [
+        (1, "en", "web", "a b"),
+        (2, "en", "code", "c"),
+        (3, "de", "web", "d e f"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    m = corpus_manifest(df, by=("lang", "source"))
+    got = {(r["lang"], r["source"]): r["n_tokens"] for r in m.collect()}
+    assert got == {("en", "web"): 2, ("en", "code"): 1, ("de", "web"): 3}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        m.explain(mode="extended")
+    plan = buf.getvalue()
+    # totals side is a broadcast of a one-row aggregate, never a
+    # shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan

@@ -103,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--output", required=True)
     p.add_argument("--format", choices=("parquet", "json"), default="parquet")
+    p.add_argument(
+        "--manifest",
+        help="also write the per-slice data card (corpus_manifest) "
+        "to this path; slices come from --manifest-by "
+        "(comma-separated columns, default 'lang' when present)",
+    )
+    p.add_argument("--manifest-by", default=None)
     return p
 
 
@@ -181,6 +188,26 @@ def main(argv: list[str] | None = None) -> int:
     else:
         writer.json(args.output)
     n_out = spark.read.format(args.format).load(args.output).count()
+    if args.manifest:
+        from evaporate_spark.operators.manifest import corpus_manifest
+
+        cleaned = spark.read.format(args.format).load(args.output)
+        by = tuple(
+            s.strip() for s in (args.manifest_by or "lang").split(",")
+        )
+        text_col = (
+            "seq_text" if "seq_text" in cleaned.columns else args.text_col
+        )
+        missing = [c for c in by if c not in cleaned.columns]
+        if missing:
+            print(
+                f"--manifest: columns {missing} not in output; skipped",
+                file=sys.stderr,
+            )
+        else:
+            corpus_manifest(cleaned, text_col=text_col, by=by).coalesce(
+                1
+            ).write.mode("overwrite").json(args.manifest)
     print(
         json.dumps(
             {

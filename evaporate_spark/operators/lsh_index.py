@@ -1,0 +1,166 @@
+"""Persisted random-hyperplane LSH index — the index-once /
+probe-many layout for cosine ANN at 100 TB, the LSH twin of
+:func:`operators.similarity.build_ivf_index`.
+
+Layout: banded signatures (id, vec, band, bucket) written
+hive-PARTITIONED BY band (a handful of directories) and RANGE-SORTED
+by bucket inside each band, so a probe's ``band = b AND bucket IN
+(…)`` filter prunes first at the directory level (PartitionFilters)
+and then at the file level via parquet min/max statistics — the
+per-query-batch scan cost is the probed buckets' files, not the
+corpus. Bucket values are xxhash64 of the band's signature bits, so
+they cannot be partition keys themselves (unbounded cardinality);
+range-sorting is what makes their min/max spans disjoint and
+skippable (the ``zorder_write`` trick, one-dimensional here).
+
+The hyperplanes are regenerated from the recorded seed at probe time
+(seeded ``numpy`` — deterministic), so the index metadata is a tiny
+JSON sidecar, not a weight file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_lsh_index", "lsh_search"]
+
+
+def _banded(
+    df: DataFrame, id_col: str, vec_col: str, dim: int,
+    n_planes: int, bands: int, seed: int,
+) -> DataFrame:
+    from evaporate_spark.operators.similarity import (
+        random_hyperplane_signature,
+    )
+
+    rows_per_band = n_planes // bands
+    sig = random_hyperplane_signature(vec_col, dim, n_planes, seed)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sig.alias("_sig"),
+    ).select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(
+                                    "_sig", b * rows_per_band + r + 1
+                                )
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    index_dir: str,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 0,
+    files_per_band: int = 8,
+) -> int:
+    """Write the banded-signature index; returns the row count of the
+    assignments table (corpus rows × bands)."""
+    assigned = _banded(
+        corpus, corpus_id, corpus_vec, dim, n_planes, bands, seed
+    )
+    (
+        assigned.repartitionByRange(
+            bands * files_per_band, "band", "bucket"
+        )
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{index_dir}/assignments")
+    )
+    meta = {
+        "dim": dim, "n_planes": n_planes, "bands": bands, "seed": seed,
+    }
+    spark = corpus.sparkSession
+    sc = spark.sparkContext
+    # tiny sidecar: write via the JVM-free local path when local, else
+    # a 1-row text write
+    if index_dir.startswith(("/", "file:")):
+        path = index_dir.removeprefix("file:")
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+    else:  # pragma: no cover - object-store path
+        spark.createDataFrame([(json.dumps(meta),)], "v string").coalesce(
+            1
+        ).write.mode("overwrite").text(f"{index_dir}/meta")
+    _ = sc  # keep the session reference explicit
+    n = spark.read.parquet(f"{index_dir}/assignments").count()
+    return n
+
+
+def lsh_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+) -> DataFrame:
+    """Probe the persisted index: the query batch's (band, bucket)
+    pairs become LITERAL pushdown filters on the assignments scan
+    (PartitionFilters on band, min/max file skipping on bucket), then
+    exact cosine + two-stage top-k over the candidates only. Query
+    batches are small by contract (same as ``brute_force_topk``'s
+    broadcast side), so collecting their bucket list driver-side is
+    metrics-sized."""
+    from evaporate_spark.operators.similarity import (
+        _two_stage_topk,
+        cosine,
+    )
+
+    path = index_dir.removeprefix("file:")
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    q = _banded(
+        queries, query_id, query_vec,
+        meta["dim"], meta["n_planes"], meta["bands"], meta["seed"],
+    ).withColumnRenamed("id", "_qid").withColumnRenamed("vec", "_qv")
+    probes = q.select("band", "bucket").distinct().collect()
+    by_band: dict[int, list[int]] = {}
+    for r in probes:
+        by_band.setdefault(r["band"], []).append(r["bucket"])
+    cond = F.lit(False)
+    for band, buckets in sorted(by_band.items()):
+        cond = cond | (
+            (F.col("band") == band) & F.col("bucket").isin(buckets)
+        )
+    assigned = spark.read.parquet(f"{index_dir}/assignments").where(cond)
+    cand = (
+        assigned.join(F.broadcast(q), on=["band", "bucket"])
+        .select("_qid", F.col("id").alias("corpus_id"), "_qv", "vec")
+        .dropDuplicates(["_qid", "corpus_id"])
+    )
+    scored = cand.select(
+        F.col("_qid").alias(query_id),
+        "corpus_id",
+        F.round(cosine("vec", "_qv"), 6).alias("cosine"),
+    )
+    out = _two_stage_topk(
+        scored, [query_id], [F.desc("cosine"), F.asc("corpus_id")], k
+    )
+    return out.select(query_id, "corpus_id", "cosine", "rank")

@@ -1,0 +1,73 @@
+"""Persisted LSH index (operators/lsh_index.py) — results must equal
+the in-memory random_hyperplane_lsh_topk on the same parameters, and
+the probe scan must show pushed band/bucket filters."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def _emb(spark):
+    from evaporate_spark.sources.catalog import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_lsh_index_matches_in_memory_operator(spark, tmp_path):
+    from evaporate_spark.operators.lsh_index import (
+        build_lsh_index,
+        lsh_search,
+    )
+    from evaporate_spark.operators.similarity import (
+        random_hyperplane_lsh_topk,
+    )
+
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = str(tmp_path / "lsh")
+    n = build_lsh_index(emb, "vec_id", "embedding", idx, dim=64)
+    assert n == emb.count() * 4  # corpus rows x bands
+    got = {
+        (r["qid"], r["rank"]): (r["corpus_id"], r["cosine"])
+        for r in lsh_search(spark, idx, queries, "qid", "qvec", k=5).collect()
+    }
+    want = {
+        (r["qid"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in random_hyperplane_lsh_topk(
+            emb, queries, "vec_id", "embedding", "qid", "qvec",
+            dim=64, k=5,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # every query recovers itself at rank 1 (identical vector shares
+    # every band bucket)
+    for qid in (0, 1, 2):
+        assert got[(qid, 1)][0] == qid
+
+
+def test_lsh_probe_scan_is_pruned(spark, tmp_path):
+    from evaporate_spark.operators.lsh_index import (
+        build_lsh_index,
+        lsh_search,
+    )
+
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(emb, "vec_id", "embedding", idx, dim=64)
+    out = lsh_search(spark, idx, queries, "qid", "qvec", k=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    # the band equality reaches the partition level and the bucket
+    # list is pushed to the parquet reader for min/max skipping
+    assert "PartitionFilters" in plan and "band" in plan
+    assert "PushedFilters" in plan and "bucket" in plan

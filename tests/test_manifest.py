@@ -24,6 +24,40 @@ def test_corpus_manifest_counts_and_fracs(spark):
     assert total_frac == pytest.approx(1.0, abs=2e-6)
 
 
+def test_cli_manifest_flag(spark, tmp_path):
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from evaporate_spark.cli_corpus import main
+
+    src = tmp_path / "lake"
+    spark.createDataFrame(
+        [(1, "en", "alpha beta gamma."), (2, "de", "eins zwei drei vier.")],
+        "doc_id long, lang string, text string",
+    ).write.parquet(str(src))
+    out, man = tmp_path / "clean", tmp_path / "card"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "--documents-parquet", str(src),
+            "--no-redact", "--no-dedup", "--no-normalize",
+            "--manifest", str(man),
+            "--output", str(out),
+        ])
+    assert rc == 0
+    rows = {
+        r["lang"]: r
+        for r in (
+            json.loads(l)
+            for p in man.glob("part-*.json")
+            for l in p.read_text().splitlines()
+        )
+    }
+    assert rows["en"]["n_docs"] == 1 and rows["de"]["n_tokens"] == 4
+    assert abs(rows["en"]["doc_frac"] - 0.5) < 1e-9
+
+
 def test_corpus_manifest_multi_key_and_broadcast(spark):
     import io
     from contextlib import redirect_stdout

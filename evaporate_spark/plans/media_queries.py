@@ -520,6 +520,69 @@ def q_notebook_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sniffed_ingest",
+    "Content-sniffed routing for extensionless crawl payloads "
+    "(doclake.extract_sniffed_text_df via read_document_dir("
+    "sniff_route=True)): committed docx/epub/ipynb fixture bytes are "
+    "staged under /tmp at SUFFIXLESS paths (plus a plain-text and a "
+    "loose-gzip payload; idempotent overwrite, the side-effect-row "
+    "precedent), and each must extract its REAL text by magic-byte "
+    "sniff — the extraction values are the same authored constants "
+    "q_office_text / q_epub_text / q_notebook_text pin by suffix "
+    "route. Oracle = the authored expectation table.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('payload_book', 'epub', CAST(262 AS BIGINT),
+             'The Salt Road'),
+            ('payload_dump', 'txt', CAST(27 AS BIGINT),
+             'gzipped crawl payload text.'),
+            ('payload_nb', 'ipynb', CAST(147 AS BIGINT),
+             '# Sales analysis'),
+            ('payload_note', 'txt', CAST(25 AS BIGINT),
+             'plain crawl payload body.'),
+            ('payload_report', 'docx', CAST(85 AS BIGINT),
+             'Quarterly metrics review.')
+        ) AS t(file, doc_type, n_chars, first_line)
+    """,
+    tags=("doclake",),
+)
+def q_sniffed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip
+    import io
+    import os
+    import shutil
+
+    from evaporate_spark.sources.doclake import read_document_dir
+
+    stage = "/tmp/spark_graft_sniffroute"
+    os.makedirs(stage, exist_ok=True)
+    for src, dst in (
+        ("report_metrics.docx", "payload_report"),
+        ("book_sample.epub", "payload_book"),
+        ("notebook_analysis.ipynb", "payload_nb"),
+    ):
+        shutil.copyfile(
+            os.path.join(DOCS_DIR, src), os.path.join(stage, dst)
+        )
+    with open(os.path.join(stage, "payload_note"), "wb") as fh:
+        fh.write(b"plain crawl payload body.")
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(b"gzipped crawl payload text.")
+    with open(os.path.join(stage, "payload_dump"), "wb") as fh:
+        fh.write(buf.getvalue())
+    docs = read_document_dir(spark, stage, sniff_route=True)
+    return docs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "doc_type",
+        F.length("content").cast("bigint").alias("n_chars"),
+        F.element_at(F.split("content", "[\\n\\f]"), 1).alias(
+            "first_line"
+        ),
+    )
+
+
+@register(
     "q_doc_type_sniff",
     "Content-based type detection over EVERY committed document "
     "fixture (operators/sniff.py): magic-byte families plus the "

@@ -1256,6 +1256,38 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_lsh_index_probe",
+    "Persisted-LSH-index probe (operators/lsh_index.py — the "
+    "index-once/probe-many twin of q_lsh_ann_topk): the index is "
+    "(re)built under /tmp per invocation (idempotent overwrite, the "
+    "q_bucketed_colocated_join precedent), band-partitioned and "
+    "bucket-range-sorted so the probe scan prunes at directory AND "
+    "file level; search must return EXACTLY the in-memory banded "
+    "pipeline's results, so the oracle is the same hyperplane-literal "
+    "DuckDB recompute as q_lsh_ann_topk.",
+    oracle=_lsh_ann_oracle(),
+    tags=("similarity",),
+)
+def q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.lsh_index import (
+        build_lsh_index,
+        lsh_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = f"/tmp/spark_graft_lsh_{tag}"
+    build_lsh_index(emb, "vec_id", "embedding", idx, dim=64)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = lsh_search(spark, idx, queries, "qid", "qvec", k=5)
+    return out.select(
+        "qid", F.col("corpus_id").alias("vec_id"), "cosine", "rank"
+    )
+
+
 #: authored mini code lake for q_repo_license (single source of truth:
 #: the Spark side builds a DataFrame from it, the oracle embeds the
 #: same strings as VALUES literals)

@@ -30,6 +30,7 @@ EAGER = {
     "q_order_value_deciles",
     "q_quality_model_scores",  # fixture-model training at plan build
     "q_pagerank",  # power-iteration loop runs jobs at plan build
+    "q_lsh_index_probe",  # index (re)build + probe collect at plan build
 }
 
 

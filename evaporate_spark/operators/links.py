@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_hrefs", "link_edges"]
+__all__ = ["extract_hrefs", "link_edges", "host_edges"]
 
 #: href attribute values in double or single quotes (two passes —
 #: alternation across the quote kinds would need backreferences)
@@ -76,4 +76,27 @@ def link_edges(
         e.select("src", dst.alias("dst"))
         .where(F.col("dst").isNotNull())
         .distinct()
+    )
+
+
+def host_edges(edges: DataFrame) -> DataFrame:
+    """Collapse page-level (src, dst) edges to weighted host-level
+    edges (src_host, dst_host, n_links), dropping self-host edges —
+    the granularity CC-scale link analysis (host PageRank, spam-farm
+    detection) actually runs at, since page-level graphs are two
+    orders of magnitude larger. Feed the result straight into
+    :func:`operators.pagerank.pagerank` on the host columns."""
+    from evaporate_spark.operators.urls import url_host
+
+    sh = url_host("src")
+    dh = url_host("dst")
+    return (
+        edges.select(sh.alias("src_host"), dh.alias("dst_host"))
+        .where(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
     )

@@ -125,6 +125,40 @@ def test_link_edges_resolution(spark):
     }
 
 
+def test_host_edges_and_host_pagerank(spark):
+    from evaporate_spark.operators.links import host_edges
+    from evaporate_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://a.com/2", "http://b.com/y"),
+            ("http://a.com/3", "http://a.com/4"),  # self-host: dropped
+            ("http://b.com/x", "http://c.org/"),
+            ("http://www.a.com/5", "http://c.org/z"),  # www-stripped
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_edges(edges).collect()
+    }
+    assert got == {
+        ("a.com", "b.com"): 2,
+        ("b.com", "c.org"): 1,
+        ("a.com", "c.org"): 1,
+    }
+    # composes with pagerank on the host columns
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            host_edges(edges), src="src_host", dst="dst_host"
+        ).collect()
+    }
+    assert set(ranks) == {"a.com", "b.com", "c.org"}
+    assert max(ranks, key=ranks.get) == "c.org"  # the sink hub
+
+
 def test_link_edges_compose_with_canonicalization(spark):
     from evaporate_spark.operators.links import link_edges
     from evaporate_spark.operators.urls import canonicalize_url

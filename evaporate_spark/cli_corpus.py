@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="file-path column for --code-filters language detection",
     )
     p.add_argument(
+        "--pretraining-mix", action="store_true",
+        help="treat the input as a MIXED lake: the code slice "
+        "(detected language) runs the code filters + secrets scrub, "
+        "prose passes to the hygiene stages, union carries a "
+        "'slice' column (prepare_pretraining_mix); --code-languages/"
+        "--code-licenses apply to the code slice",
+    )
+    p.add_argument(
         "--c4", action="store_true",
         help="apply C4 cleaning first (line retention + page drops)",
     )
@@ -124,6 +132,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.shuffle_shards and not args.shuffle_seed:
         print("--shuffle-shards requires --shuffle-seed", file=sys.stderr)
         return 2
+    if args.pretraining_mix and args.code_filters:
+        print(
+            "--pretraining-mix already runs the code filters on the "
+            "code slice; drop --code-filters",
+            file=sys.stderr,
+        )
+        return 2
 
     from evaporate_spark.corpus import prepare_corpus
     from evaporate_spark.session import get_spark
@@ -137,19 +152,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.eval_text_col and args.eval_text_col != args.text_col:
             eval_docs = eval_docs.withColumnRenamed(args.eval_text_col, args.text_col)
     n_in = docs.count()
+    languages = (
+        tuple(s.strip() for s in args.code_languages.split(","))
+        if args.code_languages
+        else None
+    )
+    licenses = (
+        tuple(s.strip() for s in args.code_licenses.split(","))
+        if args.code_licenses
+        else None
+    )
     if args.code_filters:
         from evaporate_spark.corpus import prepare_code_corpus
 
-        languages = (
-            tuple(s.strip() for s in args.code_languages.split(","))
-            if args.code_languages
-            else None
-        )
-        licenses = (
-            tuple(s.strip() for s in args.code_licenses.split(","))
-            if args.code_licenses
-            else None
-        )
         docs = prepare_code_corpus(
             docs,
             path_col=args.path_col,
@@ -157,7 +172,20 @@ def main(argv: list[str] | None = None) -> int:
             languages=languages,
             license_allow=licenses,
         )
-    out = prepare_corpus(
+    if args.pretraining_mix:
+        from evaporate_spark.corpus import prepare_pretraining_mix
+
+        prepare = lambda d, **kw: prepare_pretraining_mix(  # noqa: E731
+            d,
+            path_col=kw.pop("id_col"),
+            content_col=kw.pop("text_col"),
+            code_languages=languages,
+            code_licenses=licenses,
+            **kw,
+        )
+    else:
+        prepare = prepare_corpus
+    out = prepare(
         docs,
         id_col=args.id_col,
         text_col=args.text_col,
@@ -216,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
                 "packed": args.seq_len is not None,
                 "stages": {
                     "code_filters": args.code_filters,
+                    "pretraining_mix": args.pretraining_mix,
                     "c4": args.c4,
                     "gopher": args.gopher,
                     "normalize": not args.no_normalize,

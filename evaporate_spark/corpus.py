@@ -296,7 +296,10 @@ def prepare_pretraining_mix(
     'code' / 'text') runs :func:`prepare_corpus` with
     ``corpus_kwargs`` (dedup, decontamination, packing, shuffling
     all compose; pass ``mix_key='slice'`` + ``mix_fractions`` to
-    weight code vs text).
+    weight code vs text). ``c4=True`` / ``gopher=True`` in
+    ``corpus_kwargs`` gate the PROSE slice only — code never ends
+    lines in terminal punctuation, so applying the web-text rules to
+    the union would wipe the code slice.
 
     Route containers FIRST (``office=True`` notebooks, PDFs,
     archives): this facade profiles whatever text is in
@@ -321,6 +324,25 @@ def prepare_pretraining_mix(
         .select(path_col, content_col)
         .withColumn("slice", F.lit("text"))
     )
+    # the web-text gates apply to the PROSE slice only — code never
+    # ends lines in terminal punctuation, so C4/Gopher would wipe it
+    if corpus_kwargs.pop("c4", False):
+        from evaporate_spark.functions.webquality import (
+            c4_clean_text,
+            c4_page_flags,
+        )
+
+        text_side = text_side.where(
+            c4_page_flags(F.col(content_col))["keep_c4"]
+        ).withColumn(content_col, c4_clean_text(content_col))
+    if corpus_kwargs.pop("gopher", False):
+        from evaporate_spark.functions.webquality import (
+            gopher_quality_columns,
+        )
+
+        text_side = text_side.where(
+            gopher_quality_columns(F.col(content_col))["keep_gopher"]
+        )
     merged = code_side.unionByName(text_side)
     return prepare_corpus(
         merged, id_col=path_col, text_col=content_col, **corpus_kwargs

@@ -1,0 +1,74 @@
+"""PageRank scale probe — the iterative operator's wall-clock and
+plan-health record (companion to SCALE_PROBE_100X / SCALE_PROBE_CODE).
+
+Graph: the sf0.1 lineitem order↔part bipartite edges (~600k distinct
+edges, ~220k nodes — three orders of magnitude beyond the pytest
+fixture), 5 damped power-iteration rounds with lineage truncation
+every 2. What the numbers must show at scale: per-iteration cost is
+flat (no lineage blow-up), the only corpus-sized shuffles are keyed
+on node ids, and the dangling-mass scalar per round stays a
+metrics-sized driver collect.
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_pagerank.py
+Writes scripts/SCALE_PROBE_PAGERANK.json unless ``--stdout-only``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_JSON = os.path.join(REPO, "scripts", "SCALE_PROBE_PAGERANK.json")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.pagerank import pagerank
+    from evaporate_spark.session import get_spark
+    from evaporate_spark.sources.catalog import load_table
+
+    spark = get_spark(app_name="scale-probe-pagerank")
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    n_edges = edges.distinct().count()
+
+    t0 = time.perf_counter()
+    ranks = pagerank(edges, iterations=5, checkpoint_every=2)
+    top = ranks.orderBy(F.desc("rank"), "node").limit(5).collect()
+    total = ranks.agg(F.sum("rank")).first()[0]
+    wall = round(time.perf_counter() - t0, 1)
+
+    record = {
+        "probe": "pagerank_lineitem_bipartite",
+        "sf_dir": SF_DIR,
+        "iterations": 5,
+        "checkpoint_every": 2,
+        "n_edges": n_edges,
+        "n_nodes": ranks.count(),
+        "wall_s": wall,
+        "rank_mass": round(float(total), 9),
+        "top5": [
+            {"node": r["node"], "rank": round(float(r["rank"]), 9)}
+            for r in top
+        ],
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(record, indent=2))
+    if "--stdout-only" not in sys.argv:
+        with open(OUT_JSON, "w") as fh:
+            fh.write(json.dumps(record, indent=2) + "\n")
+        print(f"recorded -> {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    main()

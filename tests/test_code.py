@@ -388,6 +388,67 @@ def test_detect_license_head_bounded_seeded(spark):
     assert diff == 0
 
 
+def test_pretraining_mix_gates_prose_only(spark):
+    from evaporate_spark.corpus import prepare_pretraining_mix
+
+    rows = [
+        # prose that PASSES C4 (terminal punct, >=5 words, 3 sentences)
+        ("docs/kept.txt",
+         "This prose line is long enough and ends properly.\n"
+         "Here is another full sentence for the count today.\n"
+         "A third complete sentence closes the document now."),
+        # prose that C4 drops (no terminal punctuation anywhere)
+        ("docs/dropped.txt", "bare fragment\nanother fragment\nthird"),
+        # code: would NEVER pass C4, must survive because the gates
+        # only apply to the prose slice
+        ("src/app.py", "def f(x):\n    return x + 1\n\nprint(f(2))\n"),
+    ]
+    docs = spark.createDataFrame(rows, "path string, content string")
+    out = prepare_pretraining_mix(
+        docs, c4=True, normalize=False, redact=False, dedup=False
+    )
+    got = {r["path"]: r["slice"] for r in out.collect()}
+    assert got == {"docs/kept.txt": "text", "src/app.py": "code"}
+
+
+def test_cli_pretraining_mix(spark, tmp_path):
+    import json
+
+    from evaporate_spark.cli_corpus import main
+    from evaporate_spark.fixtures.docs import CODE_SAMPLES
+
+    rows = [(n, s) for n, s in CODE_SAMPLES.items()] + [
+        ("docs/readme.md", "# Title\n\nProse body that stays.")
+    ]
+    src = tmp_path / "lake"
+    spark.createDataFrame(
+        rows, "path string, content string"
+    ).write.parquet(str(src))
+    out = tmp_path / "mix"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "--documents-parquet", str(src),
+            "--id-col", "path", "--text-col", "content",
+            "--pretraining-mix",
+            "--no-normalize", "--no-redact", "--no-dedup",
+            "--output", str(out),
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["stages"]["pretraining_mix"] is True
+    cleaned = {r["path"]: r["slice"] for r in spark.read.parquet(str(out)).collect()}
+    assert cleaned["docs/readme.md"] == "text"
+    assert cleaned["code_clean.py"] == "code"
+    assert "code_autogen.go" not in cleaned
+    # conflict guard
+    rc2 = main([
+        "--documents-parquet", str(src), "--pretraining-mix",
+        "--code-filters", "--output", str(tmp_path / "x"),
+    ])
+    assert rc2 == 2
+
+
 def test_cli_code_filters(spark, tmp_path):
     import json
 

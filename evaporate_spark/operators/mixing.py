@@ -59,6 +59,26 @@ def deterministic_mix(
     return df.where(sample_hash(id_col, salt) < threshold)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column | str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-ROW Bernoulli keep with probability ``weight`` (a Column in
+    [0, 1] — e.g. a quality score), deterministic in the row id: the
+    quality-weighted-sampling generalization of
+    :func:`deterministic_mix`'s per-key fractions. Same md5-prefix
+    hash, same zero-shuffle scan-stage shape; weights ≥1 always keep,
+    ≤0 always drop."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    threshold = (
+        F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+        * _HASH_SPACE
+    ).cast("long")
+    return df.where(sample_hash(id_col, salt) < threshold)
+
+
 def token_budget_fractions(
     df: DataFrame,
     key_col: str,

@@ -672,6 +672,39 @@ def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_manifest(d, by=("lang", "source"))
 
 
+@register(
+    "q_weighted_sample",
+    "Quality-weighted sampling (operators/mixing.py weighted_sample — "
+    "the per-ROW Bernoulli generalization of deterministic_mix's "
+    "per-key fractions, the mechanism quality-weighted corpus "
+    "sampling uses): keep probability = a [0,1] weight column, "
+    "deterministic in the md5-prefix id hash, zero-shuffle scan "
+    "stage. Weight here = (doc_id % 10)/10 so every decile "
+    "threshold is exercised; the oracle replays the same md5 "
+    "arithmetic (the q_negative_samples precedent).",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT)
+              < CAST(((doc_id % 10) / 10.0) * 4294967296 AS UBIGINT)
+    """,
+    tags=("textstats", "corpus"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.mixing import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        d, "doc_id", (F.col("doc_id") % 10) / 10.0
+    )
+    return kept.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
 def _lang_sample_rows() -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the authored per-language
     samples — shared verbatim by the Spark query and its oracle."""

@@ -305,6 +305,29 @@ def test_prepare_pretraining_mix(spark):
     assert prows and {"seq_text", "pos"} <= set(packed.columns)
 
 
+def test_weighted_sample_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.mixing import weighted_sample
+
+    df = spark.range(0, 10000).select(F.col("id").alias("doc_id"))
+    # weight 1 keeps everything, 0 nothing, out-of-range clamps
+    assert weighted_sample(df, "doc_id", F.lit(1.0)).count() == 10000
+    assert weighted_sample(df, "doc_id", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "doc_id", F.lit(1.7)).count() == 10000
+    assert weighted_sample(df, "doc_id", F.lit(-0.4)).count() == 0
+    # keep rate tracks the weight (law of large numbers band)
+    n = weighted_sample(df, "doc_id", F.lit(0.3)).count()
+    assert 0.27 * 10000 < n < 0.33 * 10000
+    # deterministic: same ids kept across invocations
+    a = {r["doc_id"] for r in weighted_sample(df, "doc_id", F.lit(0.3)).collect()}
+    b = {r["doc_id"] for r in weighted_sample(df, "doc_id", F.lit(0.3)).collect()}
+    assert a == b
+    # a higher weight keeps a superset (monotone thresholding)
+    c = {r["doc_id"] for r in weighted_sample(df, "doc_id", F.lit(0.6)).collect()}
+    assert a <= c
+
+
 def test_redaction_idempotent_on_seeded_corpus(spark):
     """redact(redact(x)) == redact(x): placeholders must never
     re-match a secret pattern (200 seeded random docs with injected

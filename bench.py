@@ -160,6 +160,19 @@ Pinned comparison baselines (medians unless noted):
   scripts/SCALE_PROBE_CODE.json (500k files 6.6 s, shuffle 12 KB vs
   scan 53 MB — the whole verdict+scrub pipeline stays in the scan
   stage).
+- r10 END-of-round confirmation (gated start, 0.0 s wait, after the
+  full round-10 surface — webquality/diff/links/pagerank/manifest/
+  weighted-sample/persisted-LSH/sniff-route — landed): relational
+  2.560 (q1 0.521 / q3 0.888 / q5 1.151); q_minhash_lsh_dups 1.533,
+  q_dup_clusters 1.870, q_dup_passage_stats 3.154, q8_market_share
+  1.214, q_semantic_closed_ie 5.859, q_semantic_openie 13.970,
+  media_decode_300 0.651, corpus_chain_10x 21.111, doc_ingest 1.219,
+  code_lake_20x 1.966. Every row inside the mid-round r10 band: the
+  round's late additions are scan-stage Column work and new
+  operators off the benched paths, and the rows confirm it.
+  Iterative-operator scale evidence:
+  scripts/SCALE_PROBE_PAGERANK.json (600k-edge bipartite graph, 5
+  damped rounds 17.6 s, rank mass 1.0, lineage truncated every 2).
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ from evaporate_spark.functions.text_stats import bind_once, regex_tokens
 __all__ = [
     "GOPHER_STOPWORDS",
     "gopher_quality_columns",
+    "gopher_repetition_columns",
     "c4_clean_text",
     "c4_page_flags",
 ]
@@ -121,6 +122,94 @@ def gopher_quality_columns(
         "alpha_word_frac": tok["alpha_word_frac"],
         "n_stopwords_present": tok["n_stopwords_present"],
         "keep_gopher": keep,
+    }
+
+
+def _dup_unit_cols(units: Column, prefix: str) -> dict[str, Column]:
+    """dup fraction + chars-in-duplicates fraction for an array of
+    text units (lines or paragraphs): units occurring ≥2 times count
+    as duplicated, ALL their occurrences' characters count toward the
+    char fraction (Gopher A1.2 semantics). One sorted fold per row
+    (the ``max_run_count`` pattern) — scan-stage, no explode."""
+    n = F.size(units)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    total_chars = F.aggregate(
+        F.transform(units, lambda u: F.length(u)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dup_units = n - F.size(F.array_distinct(units))
+    srt = F.array_sort(units)
+    # fold: track (prev, run length, dup-char accumulator); when a
+    # run ends with length ≥2, its full run contributes run*len(prev)
+    dup_chars = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("acc"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            (
+                acc["acc"]
+                + F.when(
+                    ~x.eqNullSafe(acc["prev"]) & (acc["run"] >= 2),
+                    acc["run"] * F.length(acc["prev"]),
+                ).otherwise(F.lit(0))
+            ).alias("acc"),
+        ),
+        lambda acc: acc["acc"]
+        + F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0)),
+    )
+    return {
+        f"dup_{prefix}_frac": _half_up(dup_units / nd),
+        f"dup_{prefix}_char_frac": _half_up(
+            dup_chars / F.greatest(total_chars, F.lit(1)).cast("double")
+        ),
+    }
+
+
+def gopher_repetition_columns(col: Column | str) -> dict[str, Column]:
+    """Gopher A1.2's structural repetition signals: duplicate-LINE and
+    duplicate-PARAGRAPH fractions (count-based and character-based).
+    Empty lines/paragraphs are excluded (blank separators are not
+    content). Complements ``text_stats.repetition_signals``'s
+    word/bigram signals; thresholds in the paper: drop when dup-line
+    frac > 0.30, dup-paragraph frac > 0.30, dup-line char frac >
+    0.20, dup-paragraph char frac > 0.20."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _nonempty(arr: Column) -> Column:
+        return F.filter(arr, lambda x: x != F.lit(""))
+
+    lines = _nonempty(_lines(c))
+    paras = _nonempty(
+        F.transform(F.split(c, r"\n{2,}"), lambda x: F.trim(x))
+    )
+    # bind each unit array once; unpack the struct fields
+    lstruct = bind_once(
+        lines,
+        lambda ls: F.struct(
+            *[v.alias(k) for k, v in _dup_unit_cols(ls, "line").items()]
+        ),
+    )
+    pstruct = bind_once(
+        paras,
+        lambda ps: F.struct(
+            *[v.alias(k) for k, v in _dup_unit_cols(ps, "para").items()]
+        ),
+    )
+    return {
+        "dup_line_frac": lstruct["dup_line_frac"],
+        "dup_line_char_frac": lstruct["dup_line_char_frac"],
+        "dup_para_frac": pstruct["dup_para_frac"],
+        "dup_para_char_frac": pstruct["dup_para_char_frac"],
     }
 
 

@@ -601,6 +601,78 @@ _C4_ORACLE = """
 """
 
 
+_GOPHER_REP_ORACLE = """
+    WITH lc AS (
+        SELECT doc_id, trim(l) AS u, COUNT(*) AS c
+        FROM documents,
+             unnest(string_split_regex(text, '\\n')) AS t(l)
+        WHERE trim(l) <> ''
+        GROUP BY doc_id, trim(l)
+    ),
+    la AS (
+        SELECT doc_id, SUM(c) AS n, COUNT(*) AS ndist,
+               SUM(c * length(u)) AS chars,
+               COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(u) END), 0)
+                   AS dupchars
+        FROM lc GROUP BY doc_id
+    ),
+    pc AS (
+        SELECT doc_id, trim(p) AS u, COUNT(*) AS c
+        FROM documents,
+             unnest(string_split_regex(text, '\\n{2,}')) AS t(p)
+        WHERE trim(p) <> ''
+        GROUP BY doc_id, trim(p)
+    ),
+    pa AS (
+        SELECT doc_id, SUM(c) AS n, COUNT(*) AS ndist,
+               SUM(c * length(u)) AS chars,
+               COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(u) END), 0)
+                   AS dupchars
+        FROM pc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(FLOOR((la.n - la.ndist)::DOUBLE / la.n
+                          * 1000000 + 0.5) / 1000000.0, 0.0)
+               AS dup_line_frac,
+           COALESCE(FLOOR(la.dupchars::DOUBLE / GREATEST(la.chars, 1)
+                          * 1000000 + 0.5) / 1000000.0, 0.0)
+               AS dup_line_char_frac,
+           COALESCE(FLOOR((pa.n - pa.ndist)::DOUBLE / pa.n
+                          * 1000000 + 0.5) / 1000000.0, 0.0)
+               AS dup_para_frac,
+           COALESCE(FLOOR(pa.dupchars::DOUBLE / GREATEST(pa.chars, 1)
+                          * 1000000 + 0.5) / 1000000.0, 0.0)
+               AS dup_para_char_frac
+    FROM documents d
+    LEFT JOIN la ON d.doc_id = la.doc_id
+    LEFT JOIN pa ON d.doc_id = pa.doc_id
+"""
+
+
+@register(
+    "q_gopher_repetition",
+    "Gopher A1.2's structural repetition signals (functions/"
+    "webquality.py gopher_repetition_columns): duplicate-LINE and "
+    "duplicate-PARAGRAPH fractions, count-based AND character-based "
+    "(all occurrences of a unit appearing ≥2 times count). Spark "
+    "computes them scan-stage with one sorted fold per row (the "
+    "max_run_count pattern — no explode, no shuffle); the oracle "
+    "recomputes via unnest + GROUP BY, an INDEPENDENT formulation of "
+    "the same definition. Complements q_gopher_quality (word-level "
+    "battery) and repetition_signals (word/bigram).",
+    oracle=_GOPHER_REP_ORACLE,
+    tags=("textstats", "corpus"),
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.webquality import (
+        gopher_repetition_columns,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cols = gopher_repetition_columns("text")
+    return d.select("doc_id", *[cols[k].alias(k) for k in cols])
+
+
 @register(
     "q_c4_clean",
     "C4's cleaning rules (Raffel et al. 2020 §2.2, functions/"

@@ -123,6 +123,43 @@ def test_prepare_corpus_c4_gopher_stages(spark):
     assert {r["doc_id"] for r in cli_flags_ok.collect()} == {1, 2, 3}
 
 
+def test_gopher_repetition_signals(spark):
+    from evaporate_spark.functions.webquality import (
+        gopher_repetition_columns,
+    )
+
+    rows = [
+        # hand-worked: lines [a b c., xx, xx, yy, P1, P1] → 2/6 dup,
+        # dup chars (2·2 + 2·2)=8 of 16; paras [15-char, P1, P1] →
+        # 1/3 dup, 4 of 19 chars
+        ("mixed", "a b c.\nxx\nxx\nyy\n\nP1\n\nP1"),
+        ("unique", "one.\ntwo.\nthree."),
+        ("alldup", "same line\nsame line\nsame line"),
+        ("empty", ""),
+        ("blanks", "\n\n\n"),
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    cols = gopher_repetition_columns("text")
+    got = {
+        r["k"]: r
+        for r in df.select(
+            "k", *[cols[c].alias(c) for c in cols]
+        ).collect()
+    }
+    m = got["mixed"]
+    assert m["dup_line_frac"] == 0.333333
+    assert m["dup_line_char_frac"] == 0.5
+    assert m["dup_para_frac"] == 0.333333
+    assert m["dup_para_char_frac"] == 0.210526  # 4 of 19 chars
+    u = got["unique"]
+    assert u["dup_line_frac"] == 0.0 and u["dup_line_char_frac"] == 0.0
+    a = got["alldup"]
+    assert a["dup_line_frac"] == 0.666667  # 3 lines, 1 distinct
+    assert a["dup_line_char_frac"] == 1.0
+    for k in ("empty", "blanks"):
+        assert all(got[k][c] == 0.0 for c in cols), k
+
+
 def test_crawl_to_corpus_chain_end_to_end(spark):
     """The full web path in one chain: WARC shards → web corpus
     (HTTP unwrap, canonical URLs, boilerplate removal) → C4 + Gopher

@@ -54,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--path-col", default="path",
-        help="file-path column for --code-filters language detection",
+        help="file-path column for --code-filters and "
+        "--pretraining-mix language detection",
     )
     p.add_argument(
         "--pretraining-mix", action="store_true",
@@ -62,7 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
         "(detected language) runs the code filters + secrets scrub, "
         "prose passes to the hygiene stages, union carries a "
         "'slice' column (prepare_pretraining_mix); --code-languages/"
-        "--code-licenses apply to the code slice",
+        "--code-licenses apply to the code slice. Column contract: "
+        "--path-col names the file-path column (it doubles as the "
+        "document id) and --text-col the content column; --id-col "
+        "is ignored in this mode",
     )
     p.add_argument(
         "--c4", action="store_true",
@@ -139,6 +143,19 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    if (
+        args.pretraining_mix
+        and args.id_col != "doc_id"
+        and args.id_col != args.path_col
+    ):
+        print(
+            "--pretraining-mix keys documents by --path-col "
+            f"({args.path_col!r}); a conflicting --id-col "
+            f"({args.id_col!r}) is ambiguous — drop it or set it "
+            "equal to --path-col",
+            file=sys.stderr,
+        )
+        return 2
 
     from evaporate_spark.corpus import prepare_corpus
     from evaporate_spark.session import get_spark
@@ -175,14 +192,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.pretraining_mix:
         from evaporate_spark.corpus import prepare_pretraining_mix
 
-        prepare = lambda d, **kw: prepare_pretraining_mix(  # noqa: E731
-            d,
-            path_col=kw.pop("id_col"),
-            content_col=kw.pop("text_col"),
-            code_languages=languages,
-            code_licenses=licenses,
-            **kw,
-        )
+        def prepare(d, **kw):
+            kw.pop("id_col")  # the path column IS the document id here
+            return prepare_pretraining_mix(
+                d,
+                path_col=args.path_col,
+                content_col=kw.pop("text_col"),
+                code_languages=languages,
+                code_licenses=licenses,
+                **kw,
+            )
     else:
         prepare = prepare_corpus
     out = prepare(

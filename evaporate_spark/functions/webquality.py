@@ -128,8 +128,11 @@ def gopher_quality_columns(
 def _dup_unit_cols(units: Column, prefix: str) -> dict[str, Column]:
     """dup fraction + chars-in-duplicates fraction for an array of
     text units (lines or paragraphs): units occurring ≥2 times count
-    as duplicated, ALL their occurrences' characters count toward the
-    char fraction (Gopher A1.2 semantics). One sorted fold per row
+    as duplicated; the char fraction counts every occurrence EXCEPT
+    the first (``(run-1)·len`` per duplicated unit), matching the
+    widely-used Gopher implementations (e.g. DataTrove's
+    ``find_duplicates``) whose published 0.20 char-frac thresholds
+    are calibrated to exclude-first counting. One sorted fold per row
     (the ``max_run_count`` pattern) — scan-stage, no explode."""
     n = F.size(units)
     nd = F.greatest(n, F.lit(1)).cast("double")
@@ -141,7 +144,8 @@ def _dup_unit_cols(units: Column, prefix: str) -> dict[str, Column]:
     dup_units = n - F.size(F.array_distinct(units))
     srt = F.array_sort(units)
     # fold: track (prev, run length, dup-char accumulator); when a
-    # run ends with length ≥2, its full run contributes run*len(prev)
+    # run ends with length ≥2, it contributes (run-1)*len(prev) —
+    # the first occurrence is content, the rest are the duplication
     dup_chars = F.aggregate(
         srt,
         F.struct(
@@ -158,13 +162,13 @@ def _dup_unit_cols(units: Column, prefix: str) -> dict[str, Column]:
                 acc["acc"]
                 + F.when(
                     ~x.eqNullSafe(acc["prev"]) & (acc["run"] >= 2),
-                    acc["run"] * F.length(acc["prev"]),
+                    (acc["run"] - 1) * F.length(acc["prev"]),
                 ).otherwise(F.lit(0))
             ).alias("acc"),
         ),
         lambda acc: acc["acc"]
         + F.when(
-            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+            acc["run"] >= 2, (acc["run"] - 1) * F.length(acc["prev"])
         ).otherwise(F.lit(0)),
     )
     return {
@@ -177,7 +181,9 @@ def _dup_unit_cols(units: Column, prefix: str) -> dict[str, Column]:
 
 def gopher_repetition_columns(col: Column | str) -> dict[str, Column]:
     """Gopher A1.2's structural repetition signals: duplicate-LINE and
-    duplicate-PARAGRAPH fractions (count-based and character-based).
+    duplicate-PARAGRAPH fractions (count-based and character-based,
+    char fractions excluding each unit's first occurrence — the
+    counting the published 0.20 thresholds are calibrated to).
     Empty lines/paragraphs are excluded (blank separators are not
     content). Complements ``text_stats.repetition_signals``'s
     word/bigram signals; thresholds in the paper: drop when dup-line

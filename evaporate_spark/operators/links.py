@@ -8,11 +8,20 @@ ingest; composes with ``operators/urls.py`` canonicalization and
 Pure JVM ``regexp_extract_all`` + ``explode`` — no HTML parser in the
 hot path (attribute-level extraction is regular enough; the
 boilerplate module owns full tag-structure analysis). Resolution
-handles the three link shapes that matter at crawl scale: absolute
-(http/https), root-relative (``/a/b``), and directory-relative
+handles the link shapes that matter at crawl scale: absolute
+(http/https), protocol-relative (``//host/path``, inheriting the
+page's scheme), root-relative (``/a/b``), and directory-relative
 (``page2.html``); ``mailto:``/``javascript:``/fragment-only links and
-other schemes are dropped. The regex and resolution CASE are
-RE2 ∩ Java-compatible so the DuckDB oracle runs the same logic.
+other schemes are dropped, as are relative links on pages whose own
+URL is not http(s) (no origin to resolve against). The regex and
+resolution CASE are RE2 ∩ Java-compatible so the DuckDB oracle runs
+the same logic.
+
+Caveat (the no-parser tradeoff): the href regexes also match inside
+HTML comments and ``<script>``/``<style>`` bodies, so commented-out or
+script-embedded markup contributes edges. For frontier scheduling or
+politeness decisions where that matters, route pages through
+``operators/boilerplate.py``'s tag-structure pass first.
 """
 
 from __future__ import annotations
@@ -42,10 +51,12 @@ def link_edges(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """(src, dst) edge per resolvable link: absolute http(s) links
-    pass through, root-relative resolve against the page's origin,
+    pass through, protocol-relative (``//host/path``) inherit the
+    page's scheme, root-relative resolve against the page's origin,
     directory-relative against the page's directory; fragments are
-    stripped; mailto/javascript/data/other schemes drop. Distinct
-    edges (a page linking the same target twice is one edge)."""
+    stripped; mailto/javascript/data/other schemes drop, and relative
+    links on non-http(s) pages drop (no origin). Distinct edges (a
+    page linking the same target twice is one edge)."""
     src = F.col(url_col)
     raw = F.explode(extract_hrefs(html_col)).alias("_href")
     e = pages.select(src.alias("src"), raw)
@@ -65,10 +76,22 @@ def link_edges(
     ).otherwise(F.concat(directory, F.lit("/")))
     is_abs = href.rlike(r"^https?://")
     is_scheme = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")  # mailto:, js:
+    scheme = F.regexp_extract(F.col("src"), r"^(https?):", 1)
+    null_s = F.lit(None).cast("string")
     dst = (
-        F.when(href == "", F.lit(None).cast("string"))
+        F.when(href == "", null_s)
         .when(is_abs, href)
-        .when(is_scheme, F.lit(None).cast("string"))
+        .when(is_scheme, null_s)
+        # protocol-relative: inherit the page's scheme (before the
+        # root-relative branch — '//h/p' also startswith '/')
+        .when(
+            href.startswith("//"),
+            F.when(scheme == "", null_s).otherwise(
+                F.concat(scheme, F.lit(":"), href)
+            ),
+        )
+        # non-http(s) page URL → no origin to resolve relatives against
+        .when(origin == "", null_s)
         .when(href.startswith("/"), F.concat(origin, href))
         .otherwise(F.concat(directory, href))
     )

@@ -37,6 +37,17 @@ def _banded(
         random_hyperplane_signature,
     )
 
+    if bands <= 0 or bands > n_planes:
+        raise ValueError(
+            f"bands must be in [1, n_planes]; got bands={bands}, "
+            f"n_planes={n_planes}"
+        )
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes must be divisible by bands (every hyperplane "
+            f"participates in exactly one band); got n_planes="
+            f"{n_planes}, bands={bands}"
+        )
     rows_per_band = n_planes // bands
     sig = random_hyperplane_signature(vec_col, dim, n_planes, seed)
     return df.select(
@@ -133,9 +144,17 @@ def lsh_search(
         cosine,
     )
 
-    path = index_dir.removeprefix("file:")
-    with open(os.path.join(path, "meta.json")) as fh:
-        meta = json.load(fh)
+    # Mirror the build-side branch: local indexes carry a meta.json
+    # sidecar; object-store indexes carry a 1-row Spark text table at
+    # `{index_dir}/meta` (a local open() cannot reach s3/hdfs).
+    if index_dir.startswith(("/", "file:")):
+        path = index_dir.removeprefix("file:")
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+    else:  # pragma: no cover - object-store path
+        meta = json.loads(
+            spark.read.text(f"{index_dir}/meta").head()[0]
+        )
     q = _banded(
         queries, query_id, query_vec,
         meta["dim"], meta["n_planes"], meta["bands"], meta["seed"],

@@ -612,7 +612,8 @@ _GOPHER_REP_ORACLE = """
     la AS (
         SELECT doc_id, SUM(c) AS n, COUNT(*) AS ndist,
                SUM(c * length(u)) AS chars,
-               COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(u) END), 0)
+               COALESCE(SUM(CASE WHEN c >= 2 THEN (c - 1) * length(u)
+                            END), 0)
                    AS dupchars
         FROM lc GROUP BY doc_id
     ),
@@ -626,7 +627,8 @@ _GOPHER_REP_ORACLE = """
     pa AS (
         SELECT doc_id, SUM(c) AS n, COUNT(*) AS ndist,
                SUM(c * length(u)) AS chars,
-               COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(u) END), 0)
+               COALESCE(SUM(CASE WHEN c >= 2 THEN (c - 1) * length(u)
+                            END), 0)
                    AS dupchars
         FROM pc GROUP BY doc_id
     )
@@ -654,7 +656,8 @@ _GOPHER_REP_ORACLE = """
     "Gopher A1.2's structural repetition signals (functions/"
     "webquality.py gopher_repetition_columns): duplicate-LINE and "
     "duplicate-PARAGRAPH fractions, count-based AND character-based "
-    "(all occurrences of a unit appearing ≥2 times count). Spark "
+    "(char fractions exclude each unit's first occurrence — the "
+    "counting the published 0.20 thresholds calibrate to). Spark "
     "computes them scan-stage with one sorted fold per row (the "
     "max_run_count pattern — no explode, no shuffle); the oracle "
     "recomputes via unnest + GROUP BY, an INDEPENDENT formulation of "
@@ -1262,6 +1265,16 @@ _LINK_PAGES = (
         ' <a href="/about">dup</a> <a href="sub/p3.html#sec2">F</a>',
     ),
     ("http://ex.com", '<a href="/top">T</a> <a href="rel.html">R</a>'),
+    (
+        "https://sec.net/a/b.html",
+        '<a href="//cdn.example/lib.js">P</a> <a href="c.html">G</a>',
+    ),
+    # non-http(s) page: relative + protocol-relative drop, absolute keeps
+    (
+        "ftp://files.ex.com/pub",
+        '<a href="/x">n</a> <a href="//cdn.example/y">p</a>'
+        ' <a href="http://ok.org/z">abs</a>',
+    ),
 )
 
 
@@ -1282,35 +1295,36 @@ def _link_edges_oracle() -> str:
         r AS (
             SELECT src,
                    regexp_replace(raw, '#.*$', '') AS href,
+                   regexp_extract(src, '^(https?):', 1) AS scheme,
                    regexp_extract(src, '^(https?://[^/]+)', 1) AS origin,
                    regexp_extract(src, '^https?://[^/]+(/.*)?$', 1) AS path
             FROM h
         ),
         d AS (
-            SELECT src, href, origin,
+            SELECT src, href, scheme, origin,
                    CASE WHEN regexp_replace(path, '[^/]*$', '') LIKE '%/'
                         THEN origin || regexp_replace(path, '[^/]*$', '')
                         ELSE origin || regexp_replace(path, '[^/]*$', '')
                              || '/'
                    END AS dir
             FROM r
+        ),
+        res AS (
+            SELECT src,
+                   CASE WHEN href = '' THEN NULL
+                        WHEN regexp_matches(href, '^https?://') THEN href
+                        WHEN regexp_matches(href,
+                            '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+                        WHEN href LIKE '//%' THEN
+                            CASE WHEN scheme = '' THEN NULL
+                                 ELSE scheme || ':' || href END
+                        WHEN origin = '' THEN NULL
+                        WHEN href LIKE '/%' THEN origin || href
+                        ELSE dir || href
+                   END AS dst
+            FROM d
         )
-        SELECT DISTINCT src,
-               CASE WHEN href = '' THEN NULL
-                    WHEN regexp_matches(href, '^https?://') THEN href
-                    WHEN regexp_matches(href,
-                        '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-                    WHEN href LIKE '/%' THEN origin || href
-                    ELSE dir || href
-               END AS dst
-        FROM d
-        WHERE CASE WHEN href = '' THEN NULL
-                   WHEN regexp_matches(href, '^https?://') THEN href
-                   WHEN regexp_matches(href,
-                       '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-                   WHEN href LIKE '/%' THEN origin || href
-                   ELSE dir || href
-              END IS NOT NULL
+        SELECT DISTINCT src, dst FROM res WHERE dst IS NOT NULL
     """
 
 

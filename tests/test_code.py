@@ -450,9 +450,11 @@ def test_cli_pretraining_mix(spark, tmp_path):
     out = tmp_path / "mix"
     buf = io.StringIO()
     with redirect_stdout(buf):
+        # default invocation: --path-col/--text-col defaults name the
+        # (path, content) lake; --id-col is not needed in this mode
         rc = main([
             "--documents-parquet", str(src),
-            "--id-col", "path", "--text-col", "content",
+            "--text-col", "content",
             "--pretraining-mix",
             "--no-normalize", "--no-redact", "--no-dedup",
             "--output", str(out),
@@ -464,12 +466,17 @@ def test_cli_pretraining_mix(spark, tmp_path):
     assert cleaned["docs/readme.md"] == "text"
     assert cleaned["code_clean.py"] == "code"
     assert "code_autogen.go" not in cleaned
-    # conflict guard
+    # conflict guards
     rc2 = main([
         "--documents-parquet", str(src), "--pretraining-mix",
         "--code-filters", "--output", str(tmp_path / "x"),
     ])
     assert rc2 == 2
+    rc3 = main([
+        "--documents-parquet", str(src), "--pretraining-mix",
+        "--id-col", "other_id", "--output", str(tmp_path / "x"),
+    ])
+    assert rc3 == 2  # --id-col conflicting with --path-col is ambiguous
 
 
 def test_cli_code_filters(spark, tmp_path):

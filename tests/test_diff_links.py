@@ -94,6 +94,15 @@ PAGES = [
         ' <a href="/about">dup</a> <a href="sub/p3.html#sec2">F</a>',
     ),
     ("http://ex.com", '<a href="/top">T</a> <a href="rel.html">R</a>'),
+    (
+        "https://sec.net/a/b.html",
+        '<a href="//cdn.example/lib.js">P</a> <a href="c.html">G</a>',
+    ),
+    (
+        "ftp://files.ex.com/pub",
+        '<a href="/x">n</a> <a href="//cdn.example/y">p</a>'
+        ' <a href="http://ok.org/z">abs</a>',
+    ),
 ]
 
 
@@ -122,6 +131,11 @@ def test_link_edges_resolution(spark):
         ("http://ex.com/blog/post1.html", "http://ex.com/blog/sub/p3.html"),
         ("http://ex.com", "http://ex.com/top"),
         ("http://ex.com", "http://ex.com/rel.html"),
+        # protocol-relative inherits the page's scheme
+        ("https://sec.net/a/b.html", "https://cdn.example/lib.js"),
+        ("https://sec.net/a/b.html", "https://sec.net/a/c.html"),
+        # non-http(s) src: relative + protocol-relative drop, abs keeps
+        ("ftp://files.ex.com/pub", "http://ok.org/z"),
     }
 
 

@@ -50,6 +50,26 @@ def test_lsh_index_matches_in_memory_operator(spark, tmp_path):
         assert got[(qid, 1)][0] == qid
 
 
+def test_lsh_index_validates_band_shape(spark, tmp_path):
+    import pytest
+
+    from evaporate_spark.operators.lsh_index import build_lsh_index
+
+    emb = _emb(spark)
+    # trailing hyperplanes would be silently dropped
+    with pytest.raises(ValueError, match="divisible"):
+        build_lsh_index(
+            emb, "vec_id", "embedding", str(tmp_path / "a"),
+            dim=64, n_planes=10, bands=4,
+        )
+    # more bands than planes → empty band signatures
+    with pytest.raises(ValueError, match="bands"):
+        build_lsh_index(
+            emb, "vec_id", "embedding", str(tmp_path / "b"),
+            dim=64, n_planes=4, bands=8,
+        )
+
+
 def test_lsh_probe_scan_is_pruned(spark, tmp_path):
     from evaporate_spark.operators.lsh_index import (
         build_lsh_index,

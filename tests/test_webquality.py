@@ -129,9 +129,9 @@ def test_gopher_repetition_signals(spark):
     )
 
     rows = [
-        # hand-worked: lines [a b c., xx, xx, yy, P1, P1] → 2/6 dup,
-        # dup chars (2·2 + 2·2)=8 of 16; paras [15-char, P1, P1] →
-        # 1/3 dup, 4 of 19 chars
+        # hand-worked (exclude-first counting): lines [a b c., xx, xx,
+        # yy, P1, P1] → 2/6 dup, dup chars (1·2 + 1·2)=4 of 16; paras
+        # [15-char, P1, P1] → 1/3 dup, 2 of 19 chars
         ("mixed", "a b c.\nxx\nxx\nyy\n\nP1\n\nP1"),
         ("unique", "one.\ntwo.\nthree."),
         ("alldup", "same line\nsame line\nsame line"),
@@ -148,14 +148,14 @@ def test_gopher_repetition_signals(spark):
     }
     m = got["mixed"]
     assert m["dup_line_frac"] == 0.333333
-    assert m["dup_line_char_frac"] == 0.5
+    assert m["dup_line_char_frac"] == 0.25  # 4 of 16 chars
     assert m["dup_para_frac"] == 0.333333
-    assert m["dup_para_char_frac"] == 0.210526  # 4 of 19 chars
+    assert m["dup_para_char_frac"] == 0.105263  # 2 of 19 chars
     u = got["unique"]
     assert u["dup_line_frac"] == 0.0 and u["dup_line_char_frac"] == 0.0
     a = got["alldup"]
     assert a["dup_line_frac"] == 0.666667  # 3 lines, 1 distinct
-    assert a["dup_line_char_frac"] == 1.0
+    assert a["dup_line_char_frac"] == 0.666667  # 18 of 27 chars
     for k in ("empty", "blanks"):
         assert all(got[k][c] == 0.0 for c in cols), k
 

@@ -97,6 +97,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq-len", type=int, help="pack into training windows of this many tokens")
     p.add_argument("--overlap", type=int, default=0)
     p.add_argument(
+        "--bpe-num-merges", type=int,
+        help="train a BPE tokenizer (this many merges) on the input "
+        "corpus and count --seq-len / --mix-token-budgets in BPE "
+        "tokens — the units a trainer consumes — instead of "
+        "whitespace tokens",
+    )
+    p.add_argument(
+        "--mix-token-budgets",
+        help="key=tokens list, e.g. 'en=5000000' (requires --mix-key): "
+        "downsample each key to a token budget (BPE tokens with "
+        "--bpe-num-merges, else whitespace)",
+    )
+    p.add_argument(
         "--upsample-weights",
         help="key=epochs list for multi-epoch upsampling, e.g. 'en=2.25' "
         "(requires --mix-key; adds an epoch column)",
@@ -127,11 +140,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if (args.mix_key is None) != (args.mix_fractions is None):
-        print("--mix-key and --mix-fractions go together", file=sys.stderr)
+    if args.mix_fractions and args.mix_key is None:
+        print("--mix-fractions requires --mix-key", file=sys.stderr)
+        return 2
+    if args.mix_key is not None and not (
+        args.mix_fractions or args.mix_token_budgets or args.upsample_weights
+    ):
+        print(
+            "--mix-key needs --mix-fractions, --mix-token-budgets, or "
+            "--upsample-weights",
+            file=sys.stderr,
+        )
         return 2
     if args.upsample_weights and args.mix_key is None:
         print("--upsample-weights requires --mix-key", file=sys.stderr)
+        return 2
+    if args.mix_token_budgets and args.mix_key is None:
+        print("--mix-token-budgets requires --mix-key", file=sys.stderr)
         return 2
     if args.shuffle_shards and not args.shuffle_seed:
         print("--shuffle-shards requires --shuffle-seed", file=sys.stderr)
@@ -204,10 +229,22 @@ def main(argv: list[str] | None = None) -> int:
             )
     else:
         prepare = prepare_corpus
+    bpe_merges = None
+    if args.bpe_num_merges:
+        from evaporate_spark.operators.bpe import train_bpe
+
+        bpe_merges = train_bpe(
+            docs, args.text_col, num_merges=args.bpe_num_merges
+        )
+    budgets = _parse_fractions(args.mix_token_budgets)
     out = prepare(
         docs,
         id_col=args.id_col,
         text_col=args.text_col,
+        bpe_merges=bpe_merges,
+        mix_token_budgets=(
+            {k: int(v) for k, v in budgets.items()} if budgets else None
+        ),
         c4=args.c4,
         gopher=args.gopher,
         normalize=not args.no_normalize,
@@ -274,6 +311,8 @@ def main(argv: list[str] | None = None) -> int:
                     "near_dedup": args.near_dedup,
                     "split": args.split_fractions is not None,
                     "pack": args.seq_len is not None,
+                    "bpe_units": args.bpe_num_merges is not None,
+                    "token_budgets": args.mix_token_budgets is not None,
                     "upsample": args.upsample_weights is not None,
                     "shuffle": args.shuffle_seed is not None,
                 },

@@ -44,9 +44,11 @@ def prepare_corpus(
     mix_key: str | None = None,
     mix_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
+    mix_token_budgets: dict[str, int] | None = None,
     upsample_weights: dict[str, float] | None = None,
     seq_len: int | None = None,
     overlap: int = 0,
+    bpe_merges: list[tuple[str, str]] | None = None,
     shuffle_seed: str | None = None,
     shuffle_shards: int | None = None,
 ) -> DataFrame:
@@ -66,10 +68,18 @@ def prepare_corpus(
     hygiene stages. ``eval_docs`` enables decontamination: documents
     whose word ``decontam_k``-gram overlap with the eval set reaches
     ``decontam_threshold`` are DROPPED. ``mix_key``/``mix_fractions``
-    enable reproducible per-key downsampling; ``upsample_weights``
+    enable reproducible per-key downsampling; ``mix_token_budgets``
+    (also keyed on ``mix_key``) downsamples each key to a TOKEN
+    budget instead of a fraction — budgets count BPE tokens when
+    ``bpe_merges`` is given, else whitespace tokens, so the mixture
+    is specified in the units the trainer consumes.
+    ``upsample_weights``
     (requires ``mix_key``) the multi-epoch UP-sampling companion —
     rows gain a 0-based ``epoch`` copy index that rides through
-    packing. ``shuffle_seed`` appends the deterministic global
+    packing. ``bpe_merges`` (from ``operators.bpe.train_bpe``) also
+    switches packing to BPE-token windows: ``seq_len``/``overlap``
+    then count model tokens and windows carry ``seq_tokens``.
+    ``shuffle_seed`` appends the deterministic global
     training order (``pos``, plus ``shard``/``pos_in_shard`` when
     ``shuffle_shards`` is set) over whatever the preceding stages
     produced — documents, or packed windows.
@@ -168,6 +178,27 @@ def prepare_corpus(
         out = deterministic_mix(
             out, id_col, mix_key, mix_fractions, default_fraction
         )
+    if mix_token_budgets is not None:
+        if mix_key is None:
+            raise ValueError("mix_token_budgets requires mix_key")
+        from evaporate_spark.operators.mixing import mix_to_token_budget
+
+        # budget units = what the trainer consumes: BPE tokens when a
+        # merge list is given, whitespace tokens otherwise
+        if bpe_merges is not None:
+            from evaporate_spark.operators.bpe import bpe_encode_tokens
+
+            out = bpe_encode_tokens(out, text_col, bpe_merges, "_budget_bpe")
+            out = out.withColumn("_n_budget_tokens", F.size("_budget_bpe"))
+        else:
+            from evaporate_spark.functions.text_stats import token_count_ws
+
+            out = out.withColumn(
+                "_n_budget_tokens", token_count_ws(text_col)
+            )
+        out = mix_to_token_budget(
+            out, id_col, mix_key, "_n_budget_tokens", mix_token_budgets
+        ).drop("_n_budget_tokens", "_budget_bpe")
     if upsample_weights is not None:
         if mix_key is None:
             raise ValueError("upsample_weights requires mix_key")
@@ -194,7 +225,10 @@ def prepare_corpus(
             else None
         )
         carry = ["epoch"] if upsample_weights is not None else None
-        out = pack_sequences(out, id_col, text_col, seq_len, overlap, carry)
+        out = pack_sequences(
+            out, id_col, text_col, seq_len, overlap, carry,
+            merges=bpe_merges,
+        )
         if split_map is not None:
             # every training window inherits its source doc's split
             out = out.join(split_map, id_col)

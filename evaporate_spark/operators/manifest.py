@@ -26,13 +26,24 @@ def corpus_manifest(
     df: DataFrame,
     text_col: str = "text",
     by: tuple[str, ...] = ("lang",),
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """``(by..., n_docs, n_tokens, n_chars, doc_frac, token_frac)``
     per slice — whitespace token counts (the ``token_count_ws``
-    convention), fractions of the whole corpus."""
+    convention) by default; pass ``merges`` (from
+    ``operators.bpe.train_bpe``) and ``n_tokens``/``token_frac``
+    count BPE tokens instead, so the data card reports the units the
+    trainer budgets in. Fractions of the whole corpus either way."""
+    if merges is not None:
+        from evaporate_spark.operators.bpe import bpe_encode_tokens
+
+        df = bpe_encode_tokens(df, text_col, merges, "_manifest_bpe")
+        tok_count = F.size("_manifest_bpe")
+    else:
+        tok_count = token_count_ws(text_col)
     per = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count_ws(text_col)).cast("bigint").alias("n_tokens"),
+        F.sum(tok_count).cast("bigint").alias("n_tokens"),
         F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
     )
     totals = F.broadcast(

@@ -10,6 +10,18 @@ verbatim): starts at 1, 1+stride, … while start ≤ n_tokens; the final
 window may be shorter than ``seq_len``. With ``overlap > 0`` adjacent
 windows share that many tokens (stride = seq_len − overlap), the
 standard context-carry for language-model training data.
+
+Token units: the default tokenizer is whitespace (fast, JVM-only,
+oracle-replayable), but a trainer's sequence length is in MODEL
+tokens — pass ``merges`` (a learned merge list from
+``operators.bpe.train_bpe``) and windows are cut in BPE-token space
+instead: the document encodes once via the broadcast-rank Arrow UDF,
+the same sequence/slice window algebra runs over the subword array,
+and each window carries both the token array (``seq_tokens``, what a
+trainer consumes) and the detokenized preview text. Whitespace counts
+misestimate BPE counts by ~1.3–2× (more for code/non-English), so
+packing in BPE units is what makes ``seq_len=2048`` mean 2048 to the
+trainer.
 """
 
 from __future__ import annotations
@@ -30,6 +42,7 @@ def pack_sequences(
     seq_len: int = 512,
     overlap: int = 0,
     carry_cols: list[str] | None = None,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """(id, text) → one row per training window:
     (id, [carry_cols...], seq_index, n_tokens, seq_text). Empty
@@ -38,7 +51,15 @@ def pack_sequences(
     their document (e.g. the ``epoch`` index from
     ``epoch_weighted_mix`` — an input with one row per (id, epoch)
     packs to one window set per epoch, which is exactly the
-    upsampling multiplicity)."""
+    upsampling multiplicity).
+
+    With ``merges`` (from :func:`operators.bpe.train_bpe`), windows
+    are cut in BPE-token space: ``n_tokens`` counts BPE tokens, the
+    output gains ``seq_tokens ARRAY<STRING>`` (the subword window a
+    trainer consumes), and ``seq_text`` is the detokenized window
+    (end-of-word sentinels → spaces; BPE pre-tokenization lowercases
+    and strips punctuation, so this is normalized text, not the
+    original bytes)."""
     if not 0 <= overlap < seq_len:
         raise ValueError(f"need 0 <= overlap < seq_len, got {overlap}/{seq_len}")
     stride = seq_len - overlap
@@ -52,6 +73,36 @@ def pack_sequences(
             F.array().cast("array<int>")
         )
         return F.transform(starts, lambda s: F.slice(toks, s, seq_len))
+
+    if merges is not None:
+        from evaporate_spark.operators.bpe import _EOW, bpe_encode_tokens
+
+        # the UDF output is a named column, so the window lambda
+        # references it (no re-encode per window — the bind_once
+        # concern only applies to inlined expressions)
+        toks = bpe_encode_tokens(docs, text_col, merges, "_bpe_toks")
+        detok = F.trim(
+            F.regexp_replace(
+                F.concat_ws("", F.col("_w")), _EOW, " "
+            )
+        )
+        return (
+            toks.select(
+                F.col(id_col),
+                *[F.col(c) for c in carry],
+                F.posexplode(_windows(F.col("_bpe_toks"))).alias(
+                    "seq_index", "_w"
+                ),
+            )
+            .select(
+                id_col,
+                *carry,
+                "seq_index",
+                F.size("_w").cast("bigint").alias("n_tokens"),
+                F.col("_w").alias("seq_tokens"),
+                detok.alias("seq_text"),
+            )
+        )
 
     # tokens bound once per row: slice(toks) inside the window lambda
     # would re-inline (re-split) the tokenization per window otherwise

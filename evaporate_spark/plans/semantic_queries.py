@@ -2518,6 +2518,32 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_sequences_bpe",
+    "Sequence packing in MODEL-token units (operators/packing.py x "
+    "operators/bpe.py): merges trained on the corpus's own "
+    "word-frequency table, documents encoded via the broadcast-rank "
+    "Arrow UDF, then the same sequence/slice window algebra cuts "
+    "32-BPE-token windows (overlap 8) — so seq_len means to the "
+    "trainer what it says. The greedy merge loop is not "
+    "SQL-expressible -> rows-only driver check (the "
+    "q_bpe_token_stats precedent); exact window semantics are "
+    "ground-truth-asserted at the registry level against a "
+    "pure-python recompute (tests/test_text_ops.py).",
+    oracle=None,
+    tags=("textstats", "corpus"),
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.bpe import train_bpe
+    from evaporate_spark.operators.packing import pack_sequences
+
+    (d,) = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", num_merges=60)
+    return pack_sequences(
+        d, "doc_id", "text", seq_len=32, overlap=8, merges=merges
+    ).select("doc_id", "seq_index", "n_tokens", "seq_text")
+
+
+@register(
     "q_range_frame_rolling",
     "RANGE-frame window (vs the ROWS frames elsewhere): per-user "
     "rolling 1-hour event-value sum ordered by integer epoch seconds "

@@ -24,6 +24,26 @@ def test_corpus_manifest_counts_and_fracs(spark):
     assert total_frac == pytest.approx(1.0, abs=2e-6)
 
 
+def test_corpus_manifest_bpe_units(spark):
+    """With a merge list, n_tokens counts BPE tokens: against explicit
+    merges 'low' is 1 token while every other word falls back to
+    chars+EOW — hand-countable."""
+    from evaporate_spark.operators.manifest import corpus_manifest
+
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    rows = [
+        (1, "en", "low low"),   # 2 BPE tokens (2 ws tokens)
+        (2, "de", "ab"),        # a,b,</w> -> 3 BPE tokens (1 ws token)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in corpus_manifest(df, merges=merges).collect()}
+    assert got["en"]["n_tokens"] == 2 and got["de"]["n_tokens"] == 3
+    assert got["en"]["token_frac"] == pytest.approx(2 / 5, abs=1e-6)
+    # whitespace mode over the same frame differs — the unit matters
+    ws = {r["lang"]: r for r in corpus_manifest(df).collect()}
+    assert ws["en"]["n_tokens"] == 2 and ws["de"]["n_tokens"] == 1
+
+
 def test_cli_manifest_flag(spark, tmp_path):
     import io
     import json

@@ -478,6 +478,26 @@ def test_pack_sequences_windows(spark):
         pack_sequences(df, seq_len=4, overlap=4)
 
 
+def test_pack_sequences_bpe_windows_hand_computed(spark):
+    """BPE-mode packing against explicit merges: 'low' fully merges to
+    one token, so 'low lower low' encodes to [low</w>, low, e, r,
+    </w>, low</w>] — 6 BPE tokens; seq_len=4 cuts windows of 4 and 2
+    with detokenized previews."""
+    from evaporate_spark.operators.packing import pack_sequences
+
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    df = spark.createDataFrame([(1, "low lower low")], ["doc_id", "text"])
+    rows = sorted(
+        pack_sequences(df, seq_len=4, merges=merges).collect(),
+        key=lambda r: r["seq_index"],
+    )
+    assert [(r["seq_index"], r["n_tokens"], r["seq_tokens"], r["seq_text"])
+            for r in rows] == [
+        (0, 4, ["low</w>", "low", "e", "r"], "low lower"),
+        (1, 2, ["</w>", "low</w>"], "low"),
+    ]
+
+
 def test_prepare_corpus_end_to_end(spark):
     """The corpus-prep facade chains normalize → redact → dedup →
     decontaminate → mix → pack deterministically."""
@@ -523,6 +543,49 @@ def test_prepare_corpus_end_to_end(spark):
         lang_allow=("en",),
     )
     assert {r["doc_id"] for r in en_only.collect()} == {1}
+
+
+def test_prepare_corpus_bpe_packing_and_token_budgets(spark):
+    """Trainer-unit wiring: bpe_merges switches packing to BPE-token
+    windows, and mix_token_budgets counts budgets in the same units —
+    'ab' is 1 whitespace token but 3 BPE tokens against merges that
+    never cover it, so a budget of 12 keeps everything in whitespace
+    units and exactly the hash-selected half in BPE units."""
+    import hashlib
+
+    from evaporate_spark.corpus import prepare_corpus
+
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    docs = spark.createDataFrame(
+        [(i, "x", "ab") for i in range(8)], ["doc_id", "key", "text"]
+    )
+    kw = dict(normalize=False, redact=False, dedup=False, mix_key="key")
+
+    ws_kept = prepare_corpus(docs, mix_token_budgets={"x": 12}, **kw)
+    assert ws_kept.count() == 8  # 8 ws tokens <= 12: under budget
+
+    bpe_kept = prepare_corpus(
+        docs, mix_token_budgets={"x": 12}, bpe_merges=merges, **kw
+    )
+    # 24 BPE tokens > 12 -> fraction 0.5 via the documented md5 hash
+    want = {
+        i for i in range(8)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < 1 << 31
+    }
+    assert {r["doc_id"] for r in bpe_kept.collect()} == want
+
+    packed = prepare_corpus(
+        docs.where(F.col("doc_id") == 0),
+        seq_len=2, bpe_merges=merges,
+        normalize=False, redact=False, dedup=False,
+    )
+    rows = sorted(packed.collect(), key=lambda r: r["seq_index"])
+    # 'ab' -> [a, b, </w>]: two BPE windows of 2 and 1 tokens
+    assert [(r["n_tokens"], r["seq_tokens"]) for r in rows] == [
+        (2, ["a", "b"]),
+        (1, ["</w>"]),
+    ]
+    assert "seq_tokens" in packed.columns
 
 
 def test_prepare_corpus_quality_model_stage(spark):
@@ -1365,32 +1428,18 @@ def test_bpe_encode_and_stats(spark):
     assert "".join(enc2).replace("</w>", " ").strip().split() == ["zzzq", "unknowable"]
 
 
-def test_registry_bpe_matches_pure_python(spark):
-    """Registry-level ground truth for the rows-only q_bpe_token_stats
-    (same pattern as the simhash/HLL no-oracle rows): the Spark BPE
-    stats must equal a pure-python train+encode over the same corpus."""
+def _pure_python_bpe(texts, num_merges):
+    """Independent BPE train+encode (no engine imports): returns the
+    per-word greedy encoder for the learned merges."""
     import re
     from collections import Counter
 
-    from evaporate_spark.plans import REGISTRY
-    from evaporate_spark.sources.catalog import load_table
-
-    sf = "/root/testdata/sf0.001"
-    got = {
-        r["id"]: (r["n_bpe_tokens"], r["n_words"])
-        for r in REGISTRY["q_bpe_token_stats"].spark(spark, sf).collect()
-    }
-
-    docs = {
-        r["doc_id"]: r["text"]
-        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
-    }
     wc = Counter(
-        w for t in docs.values() for w in re.split(r"\W+", t.lower()) if w
+        w for t in texts for w in re.split(r"\W+", t.lower()) if w
     )
     vocab = {tuple(w) + ("</w>",): c for w, c in wc.items()}
     merges = []
-    for _ in range(60):
+    for _ in range(num_merges):
         pairs = Counter()
         for sym, c in vocab.items():
             for p in zip(sym, sym[1:]):
@@ -1426,10 +1475,70 @@ def test_registry_bpe_matches_pure_python(spark):
             sym[i : i + 2] = [sym[i] + sym[i + 1]]
         return sym
 
+    return enc
+
+
+def test_registry_bpe_matches_pure_python(spark):
+    """Registry-level ground truth for the rows-only q_bpe_token_stats
+    (same pattern as the simhash/HLL no-oracle rows): the Spark BPE
+    stats must equal a pure-python train+encode over the same corpus."""
+    import re
+
+    from evaporate_spark.plans import REGISTRY
+    from evaporate_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in REGISTRY["q_bpe_token_stats"].spark(spark, sf).collect()
+    }
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    enc = _pure_python_bpe(docs.values(), 60)
+
     for doc_id, text in docs.items():
         words = [w for w in re.split(r"\W+", text.lower()) if w]
         n_tok = sum(len(enc(w)) for w in words)
         assert got[doc_id] == (n_tok, len(words)), doc_id
+
+
+def test_registry_bpe_packing_matches_pure_python(spark):
+    """Registry-level ground truth for the rows-only
+    q_pack_sequences_bpe: every window of every document must equal a
+    pure-python train → encode → stride-24 slice recompute (window
+    starts 1, 25, 49, … over the BPE token stream; final window may
+    be short; detokenized seq_text)."""
+    import re
+
+    from evaporate_spark.plans import REGISTRY
+    from evaporate_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_id"], r["seq_index"]): (r["n_tokens"], r["seq_text"])
+        for r in REGISTRY["q_pack_sequences_bpe"].spark(spark, sf).collect()
+    }
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    enc = _pure_python_bpe(docs.values(), 60)
+
+    want = {}
+    for doc_id, text in docs.items():
+        toks = []
+        for w in re.split(r"\W+", text.lower()):
+            if w:
+                toks.extend(enc(w))
+        for seq_index, start in enumerate(range(0, len(toks), 24)):
+            window = toks[start : start + 32]
+            detok = "".join(window).replace("</w>", " ").strip()
+            want[(doc_id, seq_index)] = (len(window), detok)
+    assert got == want and len(got) > 0
 
 
 def test_connected_components_star_fast_path(spark, monkeypatch):

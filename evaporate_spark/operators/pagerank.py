@@ -9,14 +9,22 @@ Power iteration as a DataFrame loop:
 - contributions = ranks ⨝ edges on src, ``rank / out_degree`` summed
   per dst (map-side partial combine; the only shuffle key is the node
   id);
-- dangling mass (nodes with no out-edges) redistributes uniformly —
-  its per-iteration total is ONE scalar collected driver-side
-  (metrics-sized, the same sublinearity contract as the semantic
-  layer's vote collects);
+- dangling mass (nodes with no out-edges) redistributes uniformly.
+  The dangling node SET is constant, so it is tagged ONCE onto the
+  node frame before the loop (one left join against out-degrees);
+  each round's dangling total is then a 1-row aggregate folded into
+  the update plan as a broadcast cross join — no per-round driver
+  collect, no per-round anti-join;
 - every ``checkpoint_every`` iterations the ranks frame is
   ``localCheckpoint(eager=True)`` so lineage stays O(1) per round
   instead of growing a plan tree per iteration (the
-  ``operators/clustering.py`` convention).
+  ``operators/clustering.py`` convention). Work only runs at
+  checkpoints; between them the unrolled rounds share their shuffle
+  exchanges via AQE exchange reuse.
+- optional convergence stop: with ``tol`` set, every checkpoint
+  compares ranks against the previous checkpoint and stops when
+  ``max |Δrank| < tol`` (a conservative multi-round delta — power
+  iteration is a contraction, so per-round deltas are smaller).
 
 Iterative fixpoint math is not SQL-expressible for the DuckDB oracle
 (aggregation inside recursion), so the registry row is rows-only and
@@ -39,28 +47,43 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 3,
+    tol: float | None = None,
 ) -> DataFrame:
     """``(node, rank)`` after ``iterations`` damped power-iteration
-    rounds over the DISTINCT edge set; ranks sum to 1. Self-loops
-    count like any edge; duplicate edges are collapsed first."""
+    rounds over the DISTINCT edge set (or fewer when ``tol`` is set
+    and the checkpoint-to-checkpoint delta drops under it); ranks sum
+    to 1. Self-loops count like any edge; duplicate edges are
+    collapsed first."""
     e = edges.select(
         F.col(src).cast("string").alias("src"),
         F.col(dst).cast("string").alias("dst"),
     ).distinct()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # node frame tagged ONCE with the constant dangling flag (no
+    # out-edges) — the per-round anti-join this replaces scaled with
+    # the node count every iteration
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            out_deg.select(
+                F.col("src").alias("node"), F.lit(False).alias("_dang")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("_dang", F.lit(True)).alias("_dang"))
     ).localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     # edges annotated once with the constant out-degree; reused every
     # iteration (deg never changes)
     e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    prev_ck = ranks
     for i in range(iterations):
         contrib = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
@@ -71,24 +94,44 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        # dangling nodes hold rank but emit no contributions; their
-        # total redistributes uniformly (one scalar to the driver)
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # dangling total as a 1-row aggregate IN the plan (broadcast
+        # cross join) — executes with the checkpoint job instead of a
+        # separate driver collect per round
+        dang_total = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_dang"), F.col("rank"))), F.lit(0.0)
+            ).alias("_dm")
         )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang_total))
             .select(
                 "node",
+                "_dang",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / n
+                    )
                 ).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            if tol is not None and i < iterations - 1:
+                delta = (
+                    ranks.join(
+                        prev_ck.select(
+                            "node", F.col("rank").alias("_prev")
+                        ),
+                        "node",
+                    )
+                    .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))))
+                    .first()[0]
+                )
+                if delta is not None and delta < tol:
+                    break
+            prev_ck = ranks
+    return ranks.select("node", "rank")

@@ -60,6 +60,35 @@ def test_pagerank_duplicate_edges_collapse(spark):
         assert got_dup[v] == pytest.approx(got[v], abs=1e-12)
 
 
+def test_pagerank_convergence_stop(spark):
+    """With tol set, iteration stops at a checkpoint once the
+    checkpoint-to-checkpoint delta is small — and the early-stopped
+    ranks agree with the fully-converged fixpoint to within tol."""
+    from evaporate_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    # loose tol: must stop well before 50 rounds yet match the
+    # 50-round (fully converged) ranks to the stop threshold
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=50, checkpoint_every=3, tol=1e-6
+        ).collect()
+    }
+    want = numpy_pagerank(EDGES, iterations=50)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-5), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # tight tol never fires within the budget: exact k-round parity
+    exact = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=5, tol=1e-300).collect()
+    }
+    want5 = numpy_pagerank(EDGES, iterations=5)
+    for v in want5:
+        assert exact[v] == pytest.approx(want5[v], abs=1e-9), v
+
+
 def test_pagerank_empty_and_checkpoint_cadence(spark):
     from evaporate_spark.operators.pagerank import pagerank
 

@@ -299,6 +299,34 @@ MAIN_CONTENT_TEXT = (
     "around it, also long enough."
 )
 
+# authored gallery pages (q_image_text_pairs oracle states the
+# expected pairs literally — keep page text / srcs / captions in sync
+# with the VALUES there and tests/test_image_text.py). They reference
+# the committed img_hash_* / img_tagged PNG fixtures so the bytes-join
+# and dhash-dedup paths run against real decodable images.
+GALLERY_PHOTOS_HTML = (
+    "<!DOCTYPE html><html><body>\n<h1>Field notes</h1>\n"
+    '<figure>\n  <img src="img_hash_a.png" alt="fallback alt A">\n'
+    "  <figcaption>A <b>textured</b> gradient,\n"
+    "  photographed at dawn.</figcaption>\n</figure>\n"
+    "<figure><img src='/img/img_hash_b.png' alt='Blue diagonal weave'>"
+    "<figcaption></figcaption></figure>\n"
+    '<img src="//cdn.gallery.example/img_tagged.png" '
+    'alt="Tagged grey square">\n'
+    '<img src="https://mirror.example/img_hash_a2.png" '
+    'title="Edited gradient, mirrored copy">\n'
+    '<img src="img_missing.png" alt="">\n'
+    '<img src="" alt="never emitted">\n'
+    "</body></html>"
+)
+GALLERY_TRAVEL_HTML = (
+    "<html><body>\n"
+    '<figure><img src="http://gallery.example/photos/img_hash_a.png">'
+    "<figcaption>Dawn gradient, reposted.</figcaption></figure>\n"
+    '<img src="img_hash_a2.png" alt="Near-duplicate edit">\n'
+    "</body></html>"
+)
+
 # authored subtitle cues (q_subtitle_cues oracle derives from these);
 # the .vtt fixture wraps the same cues in real-world noise (BOM, NOTE
 # block, cue ids, settings, inline markup) that must parse away
@@ -449,6 +477,8 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
     files["clip_captions.srt"] = srt_write(SUBTITLE_CUES).encode()
     files["clip_captions.vtt"] = _noisy_vtt().encode()
     files["article_boiler.html"] = MAIN_CONTENT_HTML.encode()
+    files["gallery_photos.html"] = GALLERY_PHOTOS_HTML.encode()
+    files["gallery_travel.html"] = GALLERY_TRAVEL_HTML.encode()
     # a PNG carrying all three text-chunk kinds (kept here rather than
     # fixtures/media so the pinned q_decode_image_stats .png glob is
     # untouched); surface = q_media_text_tags

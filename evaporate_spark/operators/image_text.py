@@ -1,0 +1,169 @@
+"""Image–text pair extraction from crawled HTML — the pair-construction
+step every vision-language training corpus needs (LAION/DataComp-style
+pipelines: ``<img>`` references paired with their alt/figcaption/title
+text, URL-resolved, joined to fetched image bytes, perceptually
+deduped). Engine addition (SURVEY §2C multimodal); composes
+``operators/links.py`` resolution, ``operators/imagehash.py`` dedup,
+and the pure-python image codecs.
+
+Extraction is pure JVM ``regexp_extract_all`` + array HOFs + one
+``explode`` — the ``links.py`` no-parser-in-hot-path convention (the
+same caveat applies: commented-out markup matches too; route through
+``operators/boilerplate.py`` first when that matters). Two branches:
+
+- ``<figure> … <img …> … <figcaption>text</figcaption> … </figure>``
+  blocks pair the figure's image with its caption (inner tags
+  stripped, whitespace collapsed); an empty caption falls back to the
+  image's ``alt``;
+- standalone ``<img …>`` tags (figure blocks removed first, so a
+  figure image never double-emits) pair with their ``alt``, falling
+  back to ``title``.
+
+Pairs with no text or an unresolvable ``src`` drop — a caption-less
+image is not a training pair. All regexes are RE2 ∩ Java compatible
+(``(?s)`` + lazy quantifiers) so the DuckDB oracle replays them.
+
+Scale shape: extraction is scan-stage column work; the bytes join is
+one equi-join on the image URL (shuffle keyed on the URL — salt it
+upstream if one CDN host dominates); dhash dedup adds the banded
+Hamming machinery from ``imagehash.py``, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["image_text_pairs", "pair_with_image_bytes"]
+
+#: figure blocks / img tags ((?s): captions may span lines)
+_FIGURE = r"(?s)<figure\b.*?</figure>"
+_IMG_TAG = r"(?s)<img\b[^>]*>"
+_FIGCAPTION = r"(?s)<figcaption[^>]*>(.*?)</figcaption>"
+
+
+def _attr(tag: Column, name: str) -> Column:
+    """Attribute value from a tag string, either quote style (empty
+    string when absent — same convention as regexp_extract)."""
+    dq = F.regexp_extract(tag, rf'{name}\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(tag, rf"{name}\s*=\s*'([^']*)'", 1)
+    return F.when(dq != "", dq).otherwise(sq)
+
+
+def _clean_text(raw: Column) -> Column:
+    """Caption text: inner tags → spaces, whitespace collapsed."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(raw, r"(?s)<[^>]*>", " "), r"\s+", " "
+        )
+    )
+
+
+def image_text_pairs(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page_url, img_src, img_url, text, source) per image reference
+    that carries text: ``source`` is ``figcaption`` (with ``alt`` as
+    the in-figure fallback), ``alt``, or ``title`` — the priority
+    order vision-language pipelines use. ``img_url`` resolves the raw
+    ``src`` against the page URL (``links.resolve_href`` semantics);
+    unresolvable or text-less references drop. Distinct pairs."""
+    from evaporate_spark.operators.links import resolve_href
+
+    c = F.col(html_col)
+
+    def _fig_struct(block: Column) -> Column:
+        tag = F.regexp_extract(block, rf"({_IMG_TAG})", 1)
+        cap = _clean_text(F.regexp_extract(block, _FIGCAPTION, 1))
+        alt = _clean_text(_attr(tag, "alt"))
+        return F.struct(
+            _attr(tag, "src").alias("src"),
+            F.when(cap != "", cap).otherwise(alt).alias("text"),
+            F.when(cap != "", F.lit("figcaption"))
+            .otherwise(F.lit("alt"))
+            .alias("source"),
+        )
+
+    def _img_struct(tag: Column) -> Column:
+        alt = _clean_text(_attr(tag, "alt"))
+        title = _clean_text(_attr(tag, "title"))
+        return F.struct(
+            _attr(tag, "src").alias("src"),
+            F.when(alt != "", alt).otherwise(title).alias("text"),
+            F.when(alt != "", F.lit("alt"))
+            .otherwise(F.lit("title"))
+            .alias("source"),
+        )
+
+    figs = F.transform(
+        F.regexp_extract_all(c, F.lit(_FIGURE), 0), _fig_struct
+    )
+    standalone = F.transform(
+        F.regexp_extract_all(
+            F.regexp_replace(c, _FIGURE, ""), F.lit(_IMG_TAG), 0
+        ),
+        _img_struct,
+    )
+    out = pages.select(
+        F.col(url_col).alias("page_url"),
+        F.explode(F.concat(figs, standalone)).alias("_p"),
+    ).select(
+        "page_url",
+        F.col("_p.src").alias("img_src"),
+        resolve_href(F.col("page_url"), F.col("_p.src")).alias("img_url"),
+        F.col("_p.text").alias("text"),
+        F.col("_p.source").alias("source"),
+    )
+    return (
+        out.where(
+            (F.col("img_src") != "")
+            & (F.col("text") != "")
+            & F.col("img_url").isNotNull()
+        ).distinct()
+    )
+
+
+def pair_with_image_bytes(
+    pairs: DataFrame,
+    images: DataFrame,
+    image_url_col: str = "url",
+    content_col: str = "content",
+    dedup: bool = True,
+) -> DataFrame:
+    """Join extracted pairs to fetched image bytes on ``img_url`` and
+    (optionally) perceptually dedup: images sharing a dhash keep ONE
+    pair — the lexically-smallest (text, page_url, img_url) triple,
+    so re-crawled/re-encoded copies of the same picture don't repeat
+    in the corpus. Output: (page_url, img_url, text, source, content,
+    dhash); undecodable images keep their pair with a NULL dhash
+    (never silently dropped — route on ``dhash IS NULL``).
+
+    One equi-join on the image URL plus (with ``dedup``) one
+    hash-keyed shuffle; near-duplicate collapsing beyond exact-dhash
+    composes via ``imagehash.near_dup_image_pairs`` on the output."""
+    from pyspark.sql.window import Window
+
+    from evaporate_spark.operators.imagehash import image_hashes
+
+    img = images.select(
+        F.col(image_url_col).alias("img_url"), F.col(content_col)
+    )
+    hashed = image_hashes(img, path_col="img_url", binary_col=content_col)
+    img = img.join(
+        hashed.select("path", "dhash").withColumnRenamed("path", "img_url"),
+        "img_url",
+    )
+    joined = pairs.join(img, "img_url").select(
+        "page_url", "img_url", "text", "source", content_col, "dhash"
+    )
+    if not dedup:
+        return joined
+    ranked = joined.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(
+                F.coalesce(F.col("dhash").cast("string"), F.col("img_url"))
+            ).orderBy("text", "page_url", "img_url")
+        ),
+    )
+    return ranked.where(F.col("_rn") == 1).drop("_rn")

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_hrefs", "link_edges", "host_edges"]
+__all__ = ["extract_hrefs", "resolve_href", "link_edges", "host_edges"]
 
 #: href attribute values in double or single quotes (two passes —
 #: alternation across the quote kinds would need backreferences)
@@ -47,6 +47,54 @@ def extract_hrefs(html: Column | str) -> Column:
     )
 
 
+def resolve_href(base: Column | str, href: Column | str) -> Column:
+    """Resolve a raw ``href``/``src`` attribute value against the page
+    URL ``base`` — the shared resolution CASE of :func:`link_edges`
+    and ``operators/image_text.py``. Absolute http(s) passes through,
+    protocol-relative (``//host/path``) inherits the page's scheme,
+    root-relative resolves against the origin, directory-relative
+    against the page's directory; fragments are stripped;
+    mailto/javascript/data/other schemes → NULL, and relative values
+    on non-http(s) pages → NULL (no origin)."""
+    src = F.col(base) if isinstance(base, str) else base
+    raw = F.col(href) if isinstance(href, str) else href
+    h = F.regexp_replace(raw, r"#.*$", "")  # strip fragment
+    origin = F.regexp_extract(src, r"^(https?://[^/]+)", 1)
+    # page directory incl. trailing slash; origin-only URLs get "/"
+    directory = F.concat(
+        origin,
+        F.regexp_replace(
+            F.regexp_extract(src, r"^https?://[^/]+(/.*)?$", 1),
+            r"[^/]*$",
+            "",
+        ),
+    )
+    directory = F.when(
+        F.endswith(directory, F.lit("/")), directory
+    ).otherwise(F.concat(directory, F.lit("/")))
+    is_abs = h.rlike(r"^https?://")
+    is_scheme = h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")  # mailto:, js:
+    scheme = F.regexp_extract(src, r"^(https?):", 1)
+    null_s = F.lit(None).cast("string")
+    return (
+        F.when(h == "", null_s)
+        .when(is_abs, h)
+        .when(is_scheme, null_s)
+        # protocol-relative: inherit the page's scheme (before the
+        # root-relative branch — '//h/p' also startswith '/')
+        .when(
+            h.startswith("//"),
+            F.when(scheme == "", null_s).otherwise(
+                F.concat(scheme, F.lit(":"), h)
+            ),
+        )
+        # non-http(s) page URL → no origin to resolve relatives against
+        .when(origin == "", null_s)
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.concat(directory, h))
+    )
+
+
 def link_edges(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
@@ -57,44 +105,11 @@ def link_edges(
     stripped; mailto/javascript/data/other schemes drop, and relative
     links on non-http(s) pages drop (no origin). Distinct edges (a
     page linking the same target twice is one edge)."""
-    src = F.col(url_col)
-    raw = F.explode(extract_hrefs(html_col)).alias("_href")
-    e = pages.select(src.alias("src"), raw)
-    href = F.regexp_replace(F.col("_href"), r"#.*$", "")  # strip fragment
-    origin = F.regexp_extract(F.col("src"), r"^(https?://[^/]+)", 1)
-    # page directory incl. trailing slash; origin-only URLs get "/"
-    directory = F.concat(
-        origin,
-        F.regexp_replace(
-            F.regexp_extract(F.col("src"), r"^https?://[^/]+(/.*)?$", 1),
-            r"[^/]*$",
-            "",
-        ),
+    e = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(extract_hrefs(html_col)).alias("_href"),
     )
-    directory = F.when(
-        F.endswith(directory, F.lit("/")), directory
-    ).otherwise(F.concat(directory, F.lit("/")))
-    is_abs = href.rlike(r"^https?://")
-    is_scheme = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")  # mailto:, js:
-    scheme = F.regexp_extract(F.col("src"), r"^(https?):", 1)
-    null_s = F.lit(None).cast("string")
-    dst = (
-        F.when(href == "", null_s)
-        .when(is_abs, href)
-        .when(is_scheme, null_s)
-        # protocol-relative: inherit the page's scheme (before the
-        # root-relative branch — '//h/p' also startswith '/')
-        .when(
-            href.startswith("//"),
-            F.when(scheme == "", null_s).otherwise(
-                F.concat(scheme, F.lit(":"), href)
-            ),
-        )
-        # non-http(s) page URL → no origin to resolve relatives against
-        .when(origin == "", null_s)
-        .when(href.startswith("/"), F.concat(origin, href))
-        .otherwise(F.concat(directory, href))
-    )
+    dst = resolve_href(F.col("src"), F.col("_href"))
     return (
         e.select("src", dst.alias("dst"))
         .where(F.col("dst").isNotNull())

@@ -1350,6 +1350,74 @@ def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_image_text_pairs",
+    "Image-text pair extraction (operators/image_text.py — the "
+    "vision-language pair constructor): figcaption pairs (alt "
+    "fallback) + standalone img alt/title pairs from the committed "
+    "gallery pages, JVM regex extraction, src resolved against the "
+    "page URL (absolute / protocol-relative / root-relative / "
+    "directory-relative), text-less references dropped. Oracle = the "
+    "authored expected-pair table (every pair known by construction; "
+    "both figcaption and alt branches exercised).",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('http://gallery.example/photos/gallery_photos.html',
+             'img_hash_a.png',
+             'http://gallery.example/photos/img_hash_a.png',
+             'A textured gradient, photographed at dawn.',
+             'figcaption'),
+            ('http://gallery.example/photos/gallery_photos.html',
+             '/img/img_hash_b.png',
+             'http://gallery.example/img/img_hash_b.png',
+             'Blue diagonal weave', 'alt'),
+            ('http://gallery.example/photos/gallery_photos.html',
+             '//cdn.gallery.example/img_tagged.png',
+             'http://cdn.gallery.example/img_tagged.png',
+             'Tagged grey square', 'alt'),
+            ('http://gallery.example/photos/gallery_photos.html',
+             'https://mirror.example/img_hash_a2.png',
+             'https://mirror.example/img_hash_a2.png',
+             'Edited gradient, mirrored copy', 'title'),
+            ('http://travel.example/blog/gallery_travel.html',
+             'http://gallery.example/photos/img_hash_a.png',
+             'http://gallery.example/photos/img_hash_a.png',
+             'Dawn gradient, reposted.', 'figcaption'),
+            ('http://travel.example/blog/gallery_travel.html',
+             'img_hash_a2.png',
+             'http://travel.example/blog/img_hash_a2.png',
+             'Near-duplicate edit', 'alt')
+        ) AS t(page_url, img_src, img_url, text, source)
+    """,
+    tags=("doclake", "web"),
+)
+def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.operators.image_text import image_text_pairs
+
+    pages = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "gallery_*.html")
+        .load(DOCS_DIR)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            F.col("content").cast("string").alias("html"),
+        )
+        .select(
+            F.when(
+                F.col("file") == "gallery_photos.html",
+                F.lit("http://gallery.example/photos/gallery_photos.html"),
+            )
+            .otherwise(
+                F.lit("http://travel.example/blog/gallery_travel.html")
+            )
+            .alias("url"),
+            "html",
+        )
+    )
+    return image_text_pairs(pages)
+
+
+@register(
     "q_pagerank",
     "PageRank over the authored crawl pages' link edges "
     "(operators/pagerank.py ⨯ operators/links.py — the link-based "

@@ -1,0 +1,180 @@
+"""Image-text pair construction (operators/image_text.py) — the
+vision-language corpus constructor: extraction is oracle-witnessed by
+q_image_text_pairs; this file covers the bytes join, perceptual
+dedup, and the edge cases."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _gallery_pages(spark):
+    from evaporate_spark.fixtures.docs import (
+        GALLERY_PHOTOS_HTML,
+        GALLERY_TRAVEL_HTML,
+    )
+
+    return spark.createDataFrame(
+        [
+            (
+                "http://gallery.example/photos/gallery_photos.html",
+                GALLERY_PHOTOS_HTML,
+            ),
+            (
+                "http://travel.example/blog/gallery_travel.html",
+                GALLERY_TRAVEL_HTML,
+            ),
+        ],
+        "url string, html string",
+    )
+
+
+def _image_lake(spark):
+    """The five fetched-image rows the gallery pairs resolve to —
+    img_hash_a2 is fetched under TWO urls (mirror + travel copy) with
+    identical bytes, the re-crawl case perceptual dedup must collapse."""
+    from evaporate_spark.fixtures import DOCS_DIR
+
+    def raw(name):
+        with open(os.path.join(DOCS_DIR, name), "rb") as fh:
+            return fh.read()
+
+    rows = [
+        ("http://gallery.example/photos/img_hash_a.png", raw("img_hash_a.png")),
+        ("http://gallery.example/img/img_hash_b.png", raw("img_hash_b.png")),
+        ("http://cdn.gallery.example/img_tagged.png", raw("img_tagged.png")),
+        ("http://mirror.example/img_hash_a2.png", raw("img_hash_a2.png")),
+        ("http://travel.example/blog/img_hash_a2.png", raw("img_hash_a2.png")),
+    ]
+    return spark.createDataFrame(rows, "url string, content binary")
+
+
+def test_extraction_branches_and_drops(spark):
+    from evaporate_spark.operators.image_text import image_text_pairs
+
+    got = {
+        (r["img_url"], r["text"], r["source"])
+        for r in image_text_pairs(_gallery_pages(spark)).collect()
+    }
+    assert got == {
+        (
+            "http://gallery.example/photos/img_hash_a.png",
+            "A textured gradient, photographed at dawn.",
+            "figcaption",
+        ),
+        (
+            "http://gallery.example/img/img_hash_b.png",
+            "Blue diagonal weave",
+            "alt",
+        ),
+        (
+            "http://cdn.gallery.example/img_tagged.png",
+            "Tagged grey square",
+            "alt",
+        ),
+        (
+            "https://mirror.example/img_hash_a2.png",
+            "Edited gradient, mirrored copy",
+            "title",
+        ),
+        (
+            "http://gallery.example/photos/img_hash_a.png",
+            "Dawn gradient, reposted.",
+            "figcaption",
+        ),
+        (
+            "http://travel.example/blog/img_hash_a2.png",
+            "Near-duplicate edit",
+            "alt",
+        ),
+    }
+    # text-less (alt="" no title), empty-src, and img_missing (no
+    # text) references never emit
+    assert not any("img_missing" in u for u, _, _ in got)
+
+
+def test_pair_with_image_bytes_join_and_dedup(spark):
+    from evaporate_spark.operators.image_text import (
+        image_text_pairs,
+        pair_with_image_bytes,
+    )
+
+    pairs = image_text_pairs(_gallery_pages(spark))
+    # the mirror URL in the HTML is https; the fetch lake recorded it
+    # under http — canonicalize the scheme for the join like a real
+    # pipeline would
+    pairs = pairs.withColumn(
+        "img_url", F.regexp_replace("img_url", "^https:", "http:")
+    )
+    images = _image_lake(spark)
+
+    raw = pair_with_image_bytes(pairs, images, dedup=False)
+    assert raw.count() == 6  # every pair found its bytes
+    assert raw.where(F.col("dhash").isNull()).count() == 0
+
+    deduped = pair_with_image_bytes(pairs, images, dedup=True)
+    rows = {r["img_url"]: r["text"] for r in deduped.collect()}
+    # img_hash_a bytes appear in 2 pairs (two pages, same URL) -> one
+    # survivor, the lexically-smallest text
+    assert (
+        rows["http://gallery.example/photos/img_hash_a.png"]
+        == "A textured gradient, photographed at dawn."
+    )
+    # identical a2 bytes under two URLs collapse to ONE pair
+    a2 = [u for u in rows if "img_hash_a2" in u]
+    assert len(a2) == 1
+    # b and tagged are unique -> 4 total survivors
+    assert len(rows) == 4
+
+    # near-dup collapsing beyond exact dhash composes downstream:
+    # a vs a2 is the committed Hamming-4 near-dup pair
+    from evaporate_spark.operators.imagehash import near_dup_image_pairs
+
+    nd = near_dup_image_pairs(
+        deduped.select(F.col("img_url").alias("path"), "dhash"),
+        max_hamming=6,
+    )
+    got_pairs = {
+        frozenset((r["left"], r["right"])) for r in nd.collect()
+    }
+    assert any(
+        all("img_hash_a" in u for u in p) and len(p) == 2
+        for p in got_pairs
+    )
+
+
+def test_undecodable_image_keeps_pair_with_null_dhash(spark):
+    from evaporate_spark.operators.image_text import (
+        image_text_pairs,
+        pair_with_image_bytes,
+    )
+
+    pages = spark.createDataFrame(
+        [("http://s.ex/p", '<img src="broken.png" alt="still paired">')],
+        "url string, html string",
+    )
+    images = spark.createDataFrame(
+        [("http://s.ex/broken.png", b"not an image at all")],
+        "url string, content binary",
+    )
+    out = pair_with_image_bytes(
+        image_text_pairs(pages), images, dedup=True
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "still paired" and out[0]["dhash"] is None
+
+
+def test_extraction_is_jvm_only(spark):
+    """The extraction half must stay scan-stage JVM work — no Python
+    anywhere in its plan (the bytes join adds mapInPandas by design)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from evaporate_spark.operators.image_text import image_text_pairs
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        image_text_pairs(_gallery_pages(spark)).explain(mode="extended")
+    assert "EvalPython" not in buf.getvalue()

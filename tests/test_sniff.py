@@ -43,6 +43,8 @@ EXPECTED_DOCS = {
     "memo_notes.odt": "odt",
     "docs_archive.tar.gz": "tar.gz",
     "docs_archive.zip": "zip",
+    "gallery_photos.html": "html",
+    "gallery_travel.html": "html",
     "grid_regions.xlsx": "xlsx",
     "img_hash_a.png": "png",
     "img_hash_a2.png": "png",

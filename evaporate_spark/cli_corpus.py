@@ -126,6 +126,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--rows-per-shard", type=int,
         help="bound output shard file sizes (writer-side split, no shuffle)",
     )
+    p.add_argument(
+        "--materialize-dir",
+        help="stage-level checkpoint/resume: commit each stage as an "
+        "atomic versioned snapshot under this directory and resume "
+        "from the last committed stage on rerun (use a fresh "
+        "directory per input+configuration)",
+    )
     p.add_argument("--output", required=True)
     p.add_argument("--format", choices=("parquet", "json"), default="parquet")
     p.add_argument(
@@ -263,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
         upsample_weights=_parse_fractions(args.upsample_weights),
         shuffle_seed=args.shuffle_seed,
         shuffle_shards=args.shuffle_shards,
+        materialize_dir=args.materialize_dir,
     )
     writer = out.write.mode("overwrite")
     if args.rows_per_shard:

@@ -51,6 +51,7 @@ def prepare_corpus(
     bpe_merges: list[tuple[str, str]] | None = None,
     shuffle_seed: str | None = None,
     shuffle_shards: int | None = None,
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """Run the selected preparation stages over ``docs`` and return
     the cleaned corpus — or, when ``seq_len`` is given, the packed
@@ -99,8 +100,27 @@ def prepare_corpus(
     canonicalization). Pipelines whose downstream consumers are
     line-structure-sensitive (e.g. ``attr: value`` extraction lakes)
     should pass ``normalize=False``.
+
+    ``materialize_dir`` opts into stage-level checkpoint/resume: each
+    enabled stage's output commits as an atomic
+    ``sources/versioned.py`` snapshot under
+    ``{materialize_dir}/{NN}_{stage}``, and a rerun after a crash
+    RESUMES from the last committed stage instead of replaying the
+    whole chain — at 100 TB a failure in stage 8 of 10 should not
+    re-run stages 1–7. Every stage is hash-deterministic, so the
+    resumed output is identical to an uninterrupted run. The
+    directory is per-(input, configuration): rerunning with different
+    inputs or stage flags against the same directory resumes from
+    snapshots the new configuration never produced — use a fresh
+    directory per pipeline config. Lazy (default) and materialized
+    runs produce the same rows.
     """
-    out = docs
+    if mix_token_budgets is not None and mix_key is None:
+        raise ValueError("mix_token_budgets requires mix_key")
+    if upsample_weights is not None and mix_key is None:
+        raise ValueError("upsample_weights requires mix_key")
+
+    stages: list[tuple[str, object]] = []
 
     if c4:
         # C4 runs FIRST: its line-level retention needs the original
@@ -110,145 +130,240 @@ def prepare_corpus(
             c4_page_flags,
         )
 
-        out = out.where(
-            c4_page_flags(F.col(text_col))["keep_c4"]
-        ).withColumn(text_col, c4_clean_text(text_col))
+        stages.append((
+            "c4",
+            lambda d: d.where(
+                c4_page_flags(F.col(text_col))["keep_c4"]
+            ).withColumn(text_col, c4_clean_text(text_col)),
+        ))
     if gopher:
         from evaporate_spark.functions.webquality import (
             gopher_quality_columns,
         )
 
-        out = out.where(
-            gopher_quality_columns(F.col(text_col))["keep_gopher"]
-        )
+        stages.append((
+            "gopher",
+            lambda d: d.where(
+                gopher_quality_columns(F.col(text_col))["keep_gopher"]
+            ),
+        ))
     if normalize:
         from evaporate_spark.functions.normalize import normalize_text
 
-        out = out.withColumn(text_col, normalize_text(text_col))
+        stages.append((
+            "normalize",
+            lambda d: d.withColumn(text_col, normalize_text(text_col)),
+        ))
     if lang_allow is not None:
         from evaporate_spark.functions.text_stats import lang_id
 
         # language routing first among the filters: a pure JVM
         # scan-stage predicate that prunes rows before any heavier
         # stage touches them
-        out = out.where(lang_id(F.lower(F.col(text_col))).isin(*lang_allow))
+        stages.append((
+            "lang",
+            lambda d: d.where(
+                lang_id(F.lower(F.col(text_col))).isin(*lang_allow)
+            ),
+        ))
     if quality_model is not None:
         # trained CCNet-style filter (operators/quality_model.py):
         # weights ship in the plan, scoring is scan-stage column work
-        out = out.where(
-            quality_model.score_column(text_col)
-            >= F.lit(float(quality_threshold))
-        )
+        stages.append((
+            "quality",
+            lambda d: d.where(
+                quality_model.score_column(text_col)
+                >= F.lit(float(quality_threshold))
+            ),
+        ))
     if redact:
         from evaporate_spark.functions.redact import redact_pii
 
-        out = out.withColumn(text_col, redact_pii(text_col))
+        stages.append((
+            "redact",
+            lambda d: d.withColumn(text_col, redact_pii(text_col)),
+        ))
     if dedup:
         from evaporate_spark.operators.dedup import exact_dedup
 
-        out = exact_dedup(out, id_col, text_col)
-    split_key = None  # Column producing the leakage-unit group key
+        stages.append(("dedup", lambda d: exact_dedup(d, id_col, text_col)))
     if near_dedup:
         from evaporate_spark.operators.clustering import dup_clusters
         from evaporate_spark.operators.dedup import lsh_exact_dup_edges
 
-        edges = lsh_exact_dup_edges(out, id_col, text_col)
-        clusters = dup_clusters(out, id_col, edges)
-        keepers = clusters.where(F.col("is_keeper") == 1).select(
-            F.col("id").alias(id_col), F.col("component").alias("_dup_component")
-        )
-        out = out.join(keepers, id_col)
-        split_key = F.col("_dup_component")
+        def _near_dedup(d: DataFrame) -> DataFrame:
+            edges = lsh_exact_dup_edges(d, id_col, text_col)
+            clusters = dup_clusters(d, id_col, edges)
+            keepers = clusters.where(F.col("is_keeper") == 1).select(
+                F.col("id").alias(id_col),
+                F.col("component").alias("_dup_component"),
+            )
+            d = d.join(keepers, id_col)
+            # the component rides to the split stage as the leakage
+            # key; without a split stage it has no consumer
+            return d if split_fractions is not None else d.drop(
+                "_dup_component"
+            )
+
+        stages.append(("near_dedup", _near_dedup))
     if eval_docs is not None:
         from evaporate_spark.operators.dedup import decontaminate
 
-        flags = decontaminate(
-            out,
-            eval_docs,
-            id_col=id_col,
-            text_col=text_col,
-            k=decontam_k,
-            threshold=decontam_threshold,
-        )
-        clean_ids = flags.where(~F.col("contaminated")).select(id_col)
-        out = out.join(clean_ids, id_col, "left_semi")
+        def _decontaminate(d: DataFrame) -> DataFrame:
+            flags = decontaminate(
+                d,
+                eval_docs,
+                id_col=id_col,
+                text_col=text_col,
+                k=decontam_k,
+                threshold=decontam_threshold,
+            )
+            clean_ids = flags.where(~F.col("contaminated")).select(id_col)
+            return d.join(clean_ids, id_col, "left_semi")
+
+        stages.append(("decontaminate", _decontaminate))
     if mix_key is not None and mix_fractions is not None:
         from evaporate_spark.operators.mixing import deterministic_mix
 
-        out = deterministic_mix(
-            out, id_col, mix_key, mix_fractions, default_fraction
-        )
+        stages.append((
+            "mix",
+            lambda d: deterministic_mix(
+                d, id_col, mix_key, mix_fractions, default_fraction
+            ),
+        ))
     if mix_token_budgets is not None:
-        if mix_key is None:
-            raise ValueError("mix_token_budgets requires mix_key")
         from evaporate_spark.operators.mixing import mix_to_token_budget
 
-        # budget units = what the trainer consumes: BPE tokens when a
-        # merge list is given, whitespace tokens otherwise
-        if bpe_merges is not None:
-            from evaporate_spark.operators.bpe import bpe_encode_tokens
+        def _token_budget(d: DataFrame) -> DataFrame:
+            # budget units = what the trainer consumes: BPE tokens
+            # when a merge list is given, whitespace tokens otherwise
+            if bpe_merges is not None:
+                from evaporate_spark.operators.bpe import bpe_encode_tokens
 
-            out = bpe_encode_tokens(out, text_col, bpe_merges, "_budget_bpe")
-            out = out.withColumn("_n_budget_tokens", F.size("_budget_bpe"))
-        else:
-            from evaporate_spark.functions.text_stats import token_count_ws
+                d = bpe_encode_tokens(d, text_col, bpe_merges, "_budget_bpe")
+                d = d.withColumn("_n_budget_tokens", F.size("_budget_bpe"))
+            else:
+                from evaporate_spark.functions.text_stats import (
+                    token_count_ws,
+                )
 
-            out = out.withColumn(
-                "_n_budget_tokens", token_count_ws(text_col)
-            )
-        out = mix_to_token_budget(
-            out, id_col, mix_key, "_n_budget_tokens", mix_token_budgets
-        ).drop("_n_budget_tokens", "_budget_bpe")
+                d = d.withColumn("_n_budget_tokens", token_count_ws(text_col))
+            return mix_to_token_budget(
+                d, id_col, mix_key, "_n_budget_tokens", mix_token_budgets
+            ).drop("_n_budget_tokens", "_budget_bpe")
+
+        stages.append(("token_budget", _token_budget))
     if upsample_weights is not None:
-        if mix_key is None:
-            raise ValueError("upsample_weights requires mix_key")
         from evaporate_spark.operators.mixing import epoch_weighted_mix
 
         # multi-epoch composition: rows replicate per epoch AFTER the
         # hygiene/downsampling stages (never clean the same bytes
         # twice); the epoch index rides through packing so repeated
         # windows stay distinguishable
-        out = epoch_weighted_mix(out, id_col, mix_key, upsample_weights)
+        stages.append((
+            "upsample",
+            lambda d: epoch_weighted_mix(
+                d, id_col, mix_key, upsample_weights
+            ),
+        ))
     if split_fractions is not None:
         from evaporate_spark.functions.text_stats import fingerprint
         from evaporate_spark.operators.splits import split_column
 
-        key = split_key if split_key is not None else fingerprint(text_col)
-        out = out.withColumn("split", split_column(key, split_fractions))
-    out = out.drop("_dup_component")
+        def _split(d: DataFrame) -> DataFrame:
+            # the leakage key is the dup component when the near-dedup
+            # stage ran (column presence, so resume works), else the
+            # exact-content fingerprint
+            key = (
+                F.col("_dup_component")
+                if "_dup_component" in d.columns
+                else fingerprint(text_col)
+            )
+            return d.withColumn(
+                "split", split_column(key, split_fractions)
+            ).drop("_dup_component")
+
+        stages.append(("split", _split))
     if seq_len is not None:
         from evaporate_spark.operators.packing import pack_sequences
 
-        split_map = (
-            out.select(F.col(id_col), "split").distinct()
-            if split_fractions is not None
-            else None
-        )
-        carry = ["epoch"] if upsample_weights is not None else None
-        out = pack_sequences(
-            out, id_col, text_col, seq_len, overlap, carry,
-            merges=bpe_merges,
-        )
-        if split_map is not None:
-            # every training window inherits its source doc's split
-            out = out.join(split_map, id_col)
+        def _pack(d: DataFrame) -> DataFrame:
+            split_map = (
+                d.select(F.col(id_col), "split").distinct()
+                if split_fractions is not None
+                else None
+            )
+            carry = ["epoch"] if upsample_weights is not None else None
+            d = pack_sequences(
+                d, id_col, text_col, seq_len, overlap, carry,
+                merges=bpe_merges,
+            )
+            if split_map is not None:
+                # every training window inherits its source doc's split
+                d = d.join(split_map, id_col)
+            return d
+
+        stages.append(("pack", _pack))
     if shuffle_seed is not None:
         from evaporate_spark.operators.mixing import corpus_shuffle
 
-        # the reproducible global training order: key on everything
-        # that identifies a row (doc, window, epoch copy)
-        key_cols = [id_col]
-        if seq_len is not None:
-            key_cols.append("seq_index")
-        if upsample_weights is not None:
-            key_cols.append("epoch")
-        out = out.withColumn(
-            "_shuffle_key",
-            F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols]),
-        )
-        out = corpus_shuffle(
-            out, "_shuffle_key", seed=shuffle_seed, n_shards=shuffle_shards
-        ).drop("_shuffle_key")
+        def _shuffle(d: DataFrame) -> DataFrame:
+            # the reproducible global training order: key on everything
+            # that identifies a row (doc, window, epoch copy)
+            key_cols = [id_col]
+            if seq_len is not None:
+                key_cols.append("seq_index")
+            if upsample_weights is not None:
+                key_cols.append("epoch")
+            d = d.withColumn(
+                "_shuffle_key",
+                F.concat_ws(
+                    "#", *[F.col(c).cast("string") for c in key_cols]
+                ),
+            )
+            return corpus_shuffle(
+                d, "_shuffle_key", seed=shuffle_seed, n_shards=shuffle_shards
+            ).drop("_shuffle_key")
+
+        stages.append(("shuffle", _shuffle))
+
+    if materialize_dir is None:
+        out = docs
+        for _, fn in stages:
+            out = fn(out)
+        return out
+    return _run_materialized(docs, stages, materialize_dir)
+
+
+def _run_materialized(
+    docs: DataFrame, stages: list[tuple[str, object]], root: str
+) -> DataFrame:
+    """Checkpoint/resume runner for :func:`prepare_corpus`: each stage
+    commits through ``sources/versioned.py`` (atomic marker publish —
+    a crash mid-write leaves no committed version), and a rerun reads
+    the last committed stage's snapshot and continues from there. The
+    committed-prefix scan stops at the first stage with no committed
+    version, so a crashed stage and everything after it re-run while
+    the finished prefix is read back, not recomputed."""
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    spark = docs.sparkSession
+    tables = [
+        VersionedTable(spark, f"{root}/{i:02d}_{name}")
+        for i, (name, _) in enumerate(stages)
+    ]
+    last_done = -1
+    for i, t in enumerate(tables):
+        if t.latest_committed_version() is None:
+            break
+        last_done = i
+    out = tables[last_done].read() if last_done >= 0 else docs
+    for i in range(last_done + 1, len(stages)):
+        out = stages[i][1](out)
+        tables[i].write_snapshot(out)
+        # continue from the committed bytes, not the live plan — the
+        # next stage's lineage starts at a scan, like a resumed run's
+        out = tables[i].read()
     return out
 
 

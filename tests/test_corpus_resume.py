@@ -1,0 +1,123 @@
+"""Stage-checkpointed prepare_corpus (corpus.py materialize_dir) —
+kill the chain mid-stage, prove resume skips completed stages and
+produces the same corpus an uninterrupted run does."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+DOCS = [
+    (1, "en", "Mail a@b.co  the quick brown fox jumps over the lazy dog"),
+    (2, "en", "mail a@b.co the quick brown fox jumps over the lazy dog"),
+    (3, "de", "ein ganz anderes deutsches dokument ohne relevanz hier"),
+    (4, "en", "a completely different english document about nothing"),
+]
+KW = dict(
+    normalize=True, redact=True, dedup=True,
+    split_fractions={"train": 0.8, "test": 0.2}, seq_len=6, overlap=0,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "lang", "text"])
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _tree_hashes(root):
+    """name -> sha256 of every committed parquet byte under root."""
+    out = {}
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.sha256(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def test_materialized_run_matches_lazy(spark, tmp_path):
+    from evaporate_spark.corpus import prepare_corpus
+
+    lazy = _rows(prepare_corpus(_docs(spark), **KW))
+    mat = _rows(
+        prepare_corpus(
+            _docs(spark), materialize_dir=str(tmp_path / "ck"), **KW
+        )
+    )
+    assert mat == lazy and len(mat) > 0
+    # one snapshot dir per enabled stage, in order
+    names = sorted(os.listdir(tmp_path / "ck"))
+    assert names == [
+        "00_normalize", "01_redact", "02_dedup", "03_split", "04_pack",
+    ]
+
+
+def test_crash_mid_stage_then_resume_skips_completed(spark, tmp_path, monkeypatch):
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    expected = _rows(prepare_corpus(_docs(spark), **KW))
+    ck = str(tmp_path / "ck")
+
+    # ---- crash inside stage 2 (dedup): stages 0-1 commit, 2+ don't
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(
+        "evaporate_spark.operators.dedup.exact_dedup", boom
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        prepare_corpus(_docs(spark), materialize_dir=ck, **KW)
+    monkeypatch.undo()
+
+    done = sorted(os.listdir(ck))
+    assert done[:2] == ["00_normalize", "01_redact"]
+    assert VersionedTable(spark, f"{ck}/00_normalize").versions() == [0]
+    assert VersionedTable(spark, f"{ck}/01_redact").versions() == [0]
+    # the crashed stage committed nothing
+    assert VersionedTable(spark, f"{ck}/02_dedup").versions() == []
+    pre = {
+        k: v
+        for k, v in _tree_hashes(ck).items()
+        if k.startswith(("00_normalize", "01_redact"))
+    }
+
+    # ---- resume: poison the COMPLETED stages' operators — if resume
+    # re-ran normalize or redact, it would crash
+    monkeypatch.setattr(
+        "evaporate_spark.functions.normalize.normalize_text", boom
+    )
+    monkeypatch.setattr("evaporate_spark.functions.redact.redact_pii", boom)
+    resumed = _rows(prepare_corpus(_docs(spark), materialize_dir=ck, **KW))
+    monkeypatch.undo()
+
+    assert resumed == expected
+    # completed stages were read back, not rewritten: same single
+    # version, byte-identical committed parquet
+    assert VersionedTable(spark, f"{ck}/00_normalize").versions() == [0]
+    assert VersionedTable(spark, f"{ck}/01_redact").versions() == [0]
+    post = {
+        k: v
+        for k, v in _tree_hashes(ck).items()
+        if k.startswith(("00_normalize", "01_redact"))
+    }
+    assert post == pre
+
+    # ---- a second full rerun resumes past EVERYTHING: every stage
+    # already committed, nothing recomputes (all operators poisoned)
+    for target in (
+        "evaporate_spark.operators.dedup.exact_dedup",
+        "evaporate_spark.functions.normalize.normalize_text",
+        "evaporate_spark.functions.redact.redact_pii",
+        "evaporate_spark.operators.packing.pack_sequences",
+    ):
+        monkeypatch.setattr(target, boom)
+    again = _rows(prepare_corpus(_docs(spark), materialize_dir=ck, **KW))
+    assert again == expected

@@ -1,0 +1,85 @@
+"""Crawl-frontier expansion — one composed step from "pages fetched
+this round" to "the URL set to fetch next": link extraction
+(``operators/links.py``) plus sitemap seeding
+(``operators/sitemaps.py``), URL canonicalization and host keying
+(``operators/urls.py``), seen-set subtraction, and RFC 9309 robots
+filtering (``operators/robots.py``). Engine addition (SURVEY §2C web
+ingest): the individual operators existed; this facade is the
+user-facing unit a crawler actually schedules from.
+
+Scale shape: link/sitemap extraction and canonicalization are
+scan-stage column work; the dedup-across-sources is one groupBy on
+the canonical URL; the seen-set subtraction is a left_anti join on
+the same key (broadcast when the seen side is small — at CC scale
+pre-partition both sides on the URL hash); robots evaluation
+broadcasts the host-cardinality robots corpus and runs Arrow-batched
+with a per-host parse cache.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["frontier_step"]
+
+
+def frontier_step(
+    crawled: DataFrame,
+    robots: DataFrame,
+    sitemap_files: DataFrame | None = None,
+    seen: DataFrame | None = None,
+    agent: str = "*",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, host, source) — the fetchable frontier derived from this
+    round's ``crawled`` (url, html) pages: outgoing links (resolved,
+    fragment-stripped), plus page-URL entries of ``sitemap_files``
+    (path, content) when given, canonicalized
+    (``canonicalize_url`` — tracking params dropped, query sorted,
+    default ports stripped) and deduplicated across sources
+    (``source`` = ``link`` when any link found it, else ``sitemap``).
+    URLs in ``seen`` (a frame with ``url_col``; canonicalized the
+    same way before comparing) and the crawled pages themselves are
+    subtracted, then RFC 9309 robots rules from ``robots``
+    (host, robots_txt) keep only fetchable rows."""
+    from evaporate_spark.operators.links import link_edges
+    from evaporate_spark.operators.robots import filter_frontier
+    from evaporate_spark.operators.urls import canonicalize_url, url_host
+
+    candidates = link_edges(crawled, url_col=url_col, html_col=html_col).select(
+        F.col("dst").alias("_raw"), F.lit("link").alias("source")
+    )
+    if sitemap_files is not None:
+        from evaporate_spark.operators.sitemaps import parse_sitemaps
+
+        seeds = (
+            parse_sitemaps(sitemap_files)
+            .where(F.col("kind") == "url")
+            .select(F.col("loc").alias("_raw"), F.lit("sitemap").alias("source"))
+        )
+        candidates = candidates.unionByName(seeds)
+    urls = (
+        candidates.select(
+            canonicalize_url("_raw").alias("url"), "source"
+        )
+        .where(F.col("url").isNotNull())
+        .groupBy("url")
+        # 'link' < 'sitemap': a URL found by both reports as a link
+        .agg(F.min("source").alias("source"))
+    )
+    # never re-queue this round's own pages…
+    already = crawled.select(canonicalize_url(url_col).alias("url"))
+    # …or anything in the caller's seen set
+    if seen is not None:
+        already = already.unionByName(
+            seen.select(canonicalize_url(url_col).alias("url"))
+        )
+    urls = urls.join(already.distinct(), "url", "left_anti")
+    urls = urls.withColumn("host", url_host("url"))
+    return (
+        filter_frontier(urls, robots, agent=agent)
+        .where(F.col("allowed"))
+        .select("url", "host", "source")
+    )

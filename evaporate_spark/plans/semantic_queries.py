@@ -1349,6 +1349,73 @@ def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_edges(pages)
 
 
+#: authored crawl round for q_frontier_step — one fetched page whose
+#: links exercise every frontier branch (dir/root-relative, cross-host,
+#: self-link, mailto, robots-blocked paths) plus a sitemap seed set
+_FRONTIER_PAGES = (
+    (
+        "http://site-a.example/docs/intro.html",
+        '<a href="/docs/guide.html">G</a> <a href="page2.html">P</a>'
+        ' <a href="http://site-b.example/private/x.html">X</a>'
+        ' <a href="http://site-a.example/docs/intro.html">self</a>'
+        ' <a href="mailto:z@y.c">m</a> <a href="/tmp/scratch.html">T</a>'
+        ' <a href="http://site-b.example/public/old.html">O</a>',
+    ),
+)
+_FRONTIER_SITEMAP = (
+    '<?xml version="1.0"?>'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    "<url><loc>http://site-b.example/public/home.html</loc></url>"
+    "<url><loc>http://site-a.example/docs/guide.html?utm_source=x</loc>"
+    "</url></urlset>"
+)
+_FRONTIER_ROBOTS = (
+    ("site-a.example", "User-agent: *\nDisallow: /tmp/\n"),
+    ("site-b.example", "User-agent: *\nDisallow: /private/\n"),
+)
+
+
+@register(
+    "q_frontier_step",
+    "Crawl-frontier expansion facade (operators/frontier.py — one "
+    "composed step from fetched pages to the next fetch set): link "
+    "extraction + sitemap seeding, canonicalization (tracking-param "
+    "drop dedups the link and sitemap copies of the same URL), "
+    "seen-set and self subtraction, RFC 9309 robots filtering "
+    "(longest-match; /tmp/ and /private/ blocked). Robots matching "
+    "is not SQL-expressible in general, but every rule here is "
+    "authored — oracle = the expected frontier stated literally.",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('http://site-a.example/docs/guide.html',
+             'site-a.example', 'link'),
+            ('http://site-a.example/docs/page2.html',
+             'site-a.example', 'link'),
+            ('http://site-b.example/public/home.html',
+             'site-b.example', 'sitemap')
+        ) AS t(url, host, source)
+    """,
+    tags=("doclake", "web"),
+)
+def q_frontier_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.frontier import frontier_step
+
+    crawled = spark.createDataFrame(
+        list(_FRONTIER_PAGES), "url string, html string"
+    )
+    sitemaps = spark.createDataFrame(
+        [("seed_sitemap.xml", _FRONTIER_SITEMAP)],
+        "path string, content string",
+    )
+    robots = spark.createDataFrame(
+        list(_FRONTIER_ROBOTS), "host string, robots_txt string"
+    )
+    seen = spark.createDataFrame(
+        [("http://site-b.example/public/old.html",)], "url string"
+    )
+    return frontier_step(crawled, robots, sitemaps, seen)
+
+
 @register(
     "q_image_text_pairs",
     "Image-text pair extraction (operators/image_text.py — the "

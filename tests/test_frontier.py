@@ -1,0 +1,83 @@
+"""Crawl-frontier facade (operators/frontier.py) — composition of
+link expansion, sitemap seeding, canonicalization, seen subtraction,
+and robots filtering (the q_frontier_step fixture's branches are
+oracle-witnessed; this covers the optional arguments)."""
+
+from __future__ import annotations
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def test_frontier_minimal_no_sitemap_no_seen(spark):
+    from evaporate_spark.operators.frontier import frontier_step
+
+    crawled = spark.createDataFrame(
+        [("http://a.ex/", '<a href="/x.html">x</a> <a href="/y.html">y</a>')],
+        "url string, html string",
+    )
+    robots = _robots(spark, [("a.ex", "User-agent: *\nDisallow: /y\n")])
+    got = {
+        (r["url"], r["host"], r["source"])
+        for r in frontier_step(crawled, robots).collect()
+    }
+    assert got == {("http://a.ex/x.html", "a.ex", "link")}
+
+
+def test_frontier_host_without_robots_is_allowed(spark):
+    from evaporate_spark.operators.frontier import frontier_step
+
+    crawled = spark.createDataFrame(
+        [("http://a.ex/", '<a href="http://norules.ex/p.html">p</a>')],
+        "url string, html string",
+    )
+    robots = _robots(spark, [("a.ex", "User-agent: *\nDisallow: /\n")])
+    got = [r["url"] for r in frontier_step(crawled, robots).collect()]
+    assert got == ["http://norules.ex/p.html"]
+
+
+def test_frontier_agent_specific_rules(spark):
+    from evaporate_spark.operators.frontier import frontier_step
+
+    crawled = spark.createDataFrame(
+        [("http://a.ex/", '<a href="/data/x.html">x</a>')],
+        "url string, html string",
+    )
+    robots = _robots(
+        spark,
+        [(
+            "a.ex",
+            "User-agent: grabby\nDisallow: /data/\n\n"
+            "User-agent: *\nDisallow:\n",
+        )],
+    )
+    assert frontier_step(crawled, robots, agent="grabby").count() == 0
+    assert frontier_step(crawled, robots, agent="polite").count() == 1
+
+
+def test_frontier_canonical_dedup_and_seen_are_canonicalized(spark):
+    """The same target under tracking params / unsorted query dedups
+    to one frontier row, and the seen set matches canonically too."""
+    from evaporate_spark.operators.frontier import frontier_step
+
+    crawled = spark.createDataFrame(
+        [(
+            "http://a.ex/",
+            '<a href="/p.html?b=2&a=1">1</a>'
+            ' <a href="/p.html?a=1&utm_source=x&b=2">2</a>'
+            ' <a href="/q.html">q</a>',
+        )],
+        "url string, html string",
+    )
+    robots = _robots(spark, [("a.ex", "User-agent: *\nDisallow:\n")])
+    got = {r["url"] for r in frontier_step(crawled, robots).collect()}
+    assert got == {"http://a.ex/p.html?a=1&b=2", "http://a.ex/q.html"}
+
+    seen = spark.createDataFrame(
+        [("http://a.ex/p.html?utm_medium=y&b=2&a=1",)], "url string"
+    )
+    got2 = {
+        r["url"] for r in frontier_step(crawled, robots, seen=seen).collect()
+    }
+    assert got2 == {"http://a.ex/q.html"}

@@ -288,20 +288,19 @@ def prepare_corpus(
         from evaporate_spark.operators.packing import pack_sequences
 
         def _pack(d: DataFrame) -> DataFrame:
-            split_map = (
-                d.select(F.col(id_col), "split").distinct()
-                if split_fractions is not None
-                else None
-            )
-            carry = ["epoch"] if upsample_weights is not None else None
-            d = pack_sequences(
-                d, id_col, text_col, seq_len, overlap, carry,
+            # epoch and split ride onto every window as carry columns —
+            # a window inherits its document's values with NO join (the
+            # former split_map join recomputed the whole upstream chain
+            # for its build side; see SCALE_PROBE_RESUME.json)
+            carry = []
+            if upsample_weights is not None:
+                carry.append("epoch")
+            if split_fractions is not None:
+                carry.append("split")
+            return pack_sequences(
+                d, id_col, text_col, seq_len, overlap, carry or None,
                 merges=bpe_merges,
             )
-            if split_map is not None:
-                # every training window inherits its source doc's split
-                d = d.join(split_map, id_col)
-            return d
 
         stages.append(("pack", _pack))
     if shuffle_seed is not None:

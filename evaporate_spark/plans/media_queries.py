@@ -933,7 +933,10 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evaporate_spark.operators.boilerplate import extract_main_content
 
-    files = _media_files(spark, DOCS_DIR, ".html").select(
+    # scoped to the boilerplate fixture: the gallery_*.html pages are
+    # pair-extraction fixtures with their own witness
+    # (q_image_text_pairs), not main-content pages
+    files = _media_files(spark, DOCS_DIR, "article_boiler.html").select(
         "file", F.col("content").cast("string").alias("html")
     )
     out = extract_main_content(files, path_col="file", html_col="html")

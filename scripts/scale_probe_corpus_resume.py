@@ -1,0 +1,101 @@
+"""Checkpointed-corpus scale probe (round-11 materialize_dir feature).
+
+Quantifies what stage-level checkpoint/resume costs and buys at scale:
+the same prepare_corpus chain the 10x bench row runs (50k docs with
+the standard duplicate mix), three ways —
+
+- ``lazy_wall_s``: the default single-plan run (the bench baseline);
+- ``materialized_wall_s``: every stage committed as a versioned
+  snapshot (the crash-safe mode — the overhead IS the parquet
+  write+read per stage, there is no hidden extra);
+- ``resume_tail_wall_s``: a rerun after deleting only the LAST
+  stage's snapshots — the "crash in the final stage" case: the
+  committed prefix is read back, only the tail recomputes. At 100 TB
+  this is the difference between re-running one stage and re-running
+  the whole chain.
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_corpus_resume.py
+Writes scripts/SCALE_PROBE_RESUME.json unless ``--stdout-only``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTOR = 10
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_JSON = os.path.join(REPO, "scripts", "SCALE_PROBE_RESUME.json")
+CK_DIR = "/tmp/spark_graft_resume_probe_ck"
+
+KW = dict(
+    near_dedup=True,
+    split_fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    seq_len=512,
+    overlap=32,
+)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.session import get_spark
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from scale_probe_corpus_100x import replicated_docs_dir
+
+    spark = get_spark(app_name="scale-probe-resume")
+    docs = spark.read.parquet(replicated_docs_dir(spark, SF_DIR, FACTOR))
+    n_docs = docs.count()
+
+    def run(materialize_dir=None):
+        t0 = time.perf_counter()
+        out = prepare_corpus(docs, materialize_dir=materialize_dir, **KW)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+        ).first()
+        return round(time.perf_counter() - t0, 1), (agg["n"], agg["t"])
+
+    run()  # uncounted warmup: JVM/codegen spin-up must not bill lazy
+    lazy_s, lazy_rows = run()
+
+    shutil.rmtree(CK_DIR, ignore_errors=True)
+    mat_s, mat_rows = run(CK_DIR)
+    assert mat_rows == lazy_rows, (mat_rows, lazy_rows)
+
+    # crash-in-final-stage simulation: drop the last stage's snapshots
+    stages = sorted(os.listdir(CK_DIR))
+    shutil.rmtree(os.path.join(CK_DIR, stages[-1]))
+    resume_s, resume_rows = run(CK_DIR)
+    assert resume_rows == lazy_rows, (resume_rows, lazy_rows)
+
+    record = {
+        "probe": "corpus_resume",
+        "sf_dir": SF_DIR,
+        "factor": FACTOR,
+        "n_input_docs": n_docs,
+        "stages": stages,
+        "lazy_wall_s": lazy_s,
+        "materialized_wall_s": mat_s,
+        "resume_tail_wall_s": resume_s,
+        "n_windows": lazy_rows[0],
+        "total_tokens": lazy_rows[1],
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(record, indent=2))
+    if "--stdout-only" not in sys.argv:
+        with open(OUT_JSON, "w") as fh:
+            fh.write(json.dumps(record, indent=2) + "\n")
+        print(f"recorded -> {OUT_JSON}")
+    shutil.rmtree(CK_DIR, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

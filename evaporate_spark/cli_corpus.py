@@ -107,7 +107,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--mix-token-budgets",
         help="key=tokens list, e.g. 'en=5000000' (requires --mix-key): "
         "downsample each key to a token budget (BPE tokens with "
-        "--bpe-num-merges, else whitespace)",
+        "--bpe-num-merges/--bpe-merges-path, else whitespace)",
+    )
+    p.add_argument(
+        "--bpe-merges-path",
+        help="load a persisted merge list (operators.bpe.save_merges) "
+        "instead of training with --bpe-num-merges — the tokenizer a "
+        "trainer already uses",
+    )
+    p.add_argument(
+        "--save-bpe-merges",
+        help="with --bpe-num-merges: persist the trained merge list "
+        "here for reuse across runs",
     )
     p.add_argument(
         "--upsample-weights",
@@ -237,12 +248,20 @@ def main(argv: list[str] | None = None) -> int:
     else:
         prepare = prepare_corpus
     bpe_merges = None
-    if args.bpe_num_merges:
+    if args.bpe_merges_path:
+        from evaporate_spark.operators.bpe import load_merges
+
+        bpe_merges = load_merges(spark, args.bpe_merges_path)
+    elif args.bpe_num_merges:
         from evaporate_spark.operators.bpe import train_bpe
 
         bpe_merges = train_bpe(
             docs, args.text_col, num_merges=args.bpe_num_merges
         )
+        if args.save_bpe_merges:
+            from evaporate_spark.operators.bpe import save_merges
+
+            save_merges(spark, bpe_merges, args.save_bpe_merges)
     budgets = _parse_fractions(args.mix_token_budgets)
     out = prepare(
         docs,
@@ -319,7 +338,7 @@ def main(argv: list[str] | None = None) -> int:
                     "near_dedup": args.near_dedup,
                     "split": args.split_fractions is not None,
                     "pack": args.seq_len is not None,
-                    "bpe_units": args.bpe_num_merges is not None,
+                    "bpe_units": bpe_merges is not None,
                     "token_budgets": args.mix_token_budgets is not None,
                     "upsample": args.upsample_weights is not None,
                     "shuffle": args.shuffle_seed is not None,

@@ -26,7 +26,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_bpe", "bpe_encode_tokens", "bpe_token_stats"]
+__all__ = [
+    "train_bpe",
+    "bpe_encode_tokens",
+    "bpe_token_stats",
+    "save_merges",
+    "load_merges",
+]
 
 #: end-of-word sentinel (subword-nmt convention)
 _EOW = "</w>"
@@ -93,6 +99,44 @@ def train_bpe(
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
         vocab = new_vocab
     return merges
+
+
+def save_merges(
+    spark, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Persist a learned merge list (rank order = line order, JSON per
+    line so symbols may contain any character). Local paths write
+    directly; object-store paths go through a 1-partition Spark text
+    write (the ``lsh_index`` sidecar convention)."""
+    import json
+    import os
+
+    lines = [json.dumps(list(p)) for p in merges]
+    if path.startswith(("/", "file:")):
+        local = path.removeprefix("file:")
+        os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+        with open(local, "w") as fh:
+            fh.write("\n".join(lines) + ("\n" if lines else ""))
+    else:  # pragma: no cover - object-store path
+        spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "i long, v string"
+        ).orderBy("i").coalesce(1).select("v").write.mode(
+            "overwrite"
+        ).text(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_merges`: the rank-ordered merge list."""
+    import json
+
+    if path.startswith(("/", "file:")):
+        with open(path.removeprefix("file:")) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln]
+    else:  # pragma: no cover - object-store path
+        lines = [
+            r[0] for r in spark.read.text(path).collect() if r[0]
+        ]
+    return [tuple(json.loads(ln)) for ln in lines]
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -32,6 +32,7 @@ def frontier_step(
     agent: str = "*",
     url_col: str = "url",
     html_col: str = "html",
+    per_host_limit: int | None = None,
 ) -> DataFrame:
     """(url, host, source) — the fetchable frontier derived from this
     round's ``crawled`` (url, html) pages: outgoing links (resolved,
@@ -43,7 +44,12 @@ def frontier_step(
     URLs in ``seen`` (a frame with ``url_col``; canonicalized the
     same way before comparing) and the crawled pages themselves are
     subtracted, then RFC 9309 robots rules from ``robots``
-    (host, robots_txt) keep only fetchable rows."""
+    (host, robots_txt) keep only fetchable rows.
+
+    ``per_host_limit`` caps the round's URLs per host (politeness /
+    crawl budgeting) — deterministic (ordered by URL), via the
+    two-stage per-key top-k so a mega-host never collapses onto one
+    task before pruning."""
     from evaporate_spark.operators.links import link_edges
     from evaporate_spark.operators.robots import filter_frontier
     from evaporate_spark.operators.urls import canonicalize_url, url_host
@@ -78,8 +84,15 @@ def frontier_step(
         )
     urls = urls.join(already.distinct(), "url", "left_anti")
     urls = urls.withColumn("host", url_host("url"))
-    return (
+    out = (
         filter_frontier(urls, robots, agent=agent)
         .where(F.col("allowed"))
         .select("url", "host", "source")
     )
+    if per_host_limit is not None:
+        from evaporate_spark.operators.similarity import _two_stage_topk
+
+        out = _two_stage_topk(
+            out, ["host"], [F.asc("url")], per_host_limit
+        ).drop("rank")
+    return out

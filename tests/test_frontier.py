@@ -56,6 +56,30 @@ def test_frontier_agent_specific_rules(spark):
     assert frontier_step(crawled, robots, agent="polite").count() == 1
 
 
+def test_frontier_per_host_limit(spark):
+    """Politeness cap: at most k URLs per host, deterministic (URL
+    order), other hosts unaffected."""
+    from evaporate_spark.operators.frontier import frontier_step
+
+    links = " ".join(f'<a href="/p{i:02d}.html">x</a>' for i in range(6))
+    crawled = spark.createDataFrame(
+        [
+            ("http://big.ex/", links),
+            ("http://small.ex/", '<a href="/only.html">y</a>'),
+        ],
+        "url string, html string",
+    )
+    robots = _robots(spark, [("big.ex", "User-agent: *\nDisallow:\n")])
+    got = frontier_step(crawled, robots, per_host_limit=2).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r["url"])
+    assert sorted(by_host["big.ex"]) == [
+        "http://big.ex/p00.html", "http://big.ex/p01.html",
+    ]
+    assert by_host["small.ex"] == ["http://small.ex/only.html"]
+
+
 def test_frontier_canonical_dedup_and_seen_are_canonicalized(spark):
     """The same target under tracking params / unsorted query dedups
     to one frontier row, and the seen set matches canonically too."""

@@ -1478,6 +1478,36 @@ def _pure_python_bpe(texts, num_merges):
     return enc
 
 
+def test_bpe_merges_save_load_roundtrip(spark, tmp_path):
+    """Persisted tokenizer: save_merges/load_merges round-trip rank
+    order and arbitrary symbols (JSON per line), and a loaded list
+    encodes identically to the in-memory one."""
+    from evaporate_spark.operators.bpe import (
+        bpe_encode_tokens,
+        load_merges,
+        save_merges,
+        train_bpe,
+    )
+
+    text = " ".join(["low"] * 5 + ["newest"] * 6)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = train_bpe(df, "text", num_merges=12)
+    p = str(tmp_path / "tok" / "merges.jsonl")
+    save_merges(spark, merges, p)
+    loaded = load_merges(spark, p)
+    assert loaded == merges
+    a = bpe_encode_tokens(df, "text", merges).first()["bpe_tokens"]
+    b = bpe_encode_tokens(df, "text", loaded).first()["bpe_tokens"]
+    assert a == b
+    # symbols with quotes/backslashes/newlines survive the format
+    weird = [('a"b', "c\\d"), ("e\nf", "</w>")]
+    p2 = str(tmp_path / "weird.jsonl")
+    save_merges(spark, weird, p2)
+    assert load_merges(spark, p2) == weird
+    assert save_merges(spark, [], str(tmp_path / "empty")) is None
+    assert load_merges(spark, str(tmp_path / "empty")) == []
+
+
 def test_registry_bpe_matches_pure_python(spark):
     """Registry-level ground truth for the rows-only q_bpe_token_stats
     (same pattern as the simhash/HLL no-oracle rows): the Spark BPE

@@ -1485,6 +1485,89 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_image_pair_dedup",
+    "Image-text pairs joined to fetched bytes + perceptual dedup "
+    "(operators/image_text.py::pair_with_image_bytes over the "
+    "committed gallery HTML and img_hash_*/img_tagged PNGs): one "
+    "equi-join on the image URL, dhash per image via the pure-python "
+    "codecs, ONE deterministic survivor per hash — the re-crawled "
+    "img_hash_a (two pages, one URL) and the twice-fetched img_hash_a2 "
+    "(one byte stream, two URLs) each collapse. Oracle = the authored "
+    "survivor table with the pinned fixture dhashes (deterministic "
+    "committed bytes, the expected_image_stats convention).",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('http://gallery.example/photos/gallery_photos.html',
+             'http://gallery.example/photos/img_hash_a.png',
+             'A textured gradient, photographed at dawn.', 'figcaption',
+             CAST(1734186234523378274 AS BIGINT)),
+            ('http://gallery.example/photos/gallery_photos.html',
+             'http://gallery.example/img/img_hash_b.png',
+             'Blue diagonal weave', 'alt',
+             CAST(1756547951236268814 AS BIGINT)),
+            ('http://gallery.example/photos/gallery_photos.html',
+             'http://cdn.gallery.example/img_tagged.png',
+             'Tagged grey square', 'alt', CAST(0 AS BIGINT)),
+            ('http://gallery.example/photos/gallery_photos.html',
+             'https://mirror.example/img_hash_a2.png',
+             'Edited gradient, mirrored copy', 'title',
+             CAST(1743263939961250402 AS BIGINT))
+        ) AS t(page_url, img_url, text, source, dhash)
+    """,
+    tags=("doclake", "multimodal"),
+)
+def q_image_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from evaporate_spark.fixtures import DOCS_DIR
+    from evaporate_spark.operators.image_text import (
+        image_text_pairs,
+        pair_with_image_bytes,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://gallery.example/photos/gallery_photos.html",
+                open(
+                    os.path.join(DOCS_DIR, "gallery_photos.html"), "rb"
+                ).read().decode(),
+            ),
+            (
+                "http://travel.example/blog/gallery_travel.html",
+                open(
+                    os.path.join(DOCS_DIR, "gallery_travel.html"), "rb"
+                ).read().decode(),
+            ),
+        ],
+        "url string, html string",
+    )
+
+    def raw(name: str) -> bytes:
+        with open(os.path.join(DOCS_DIR, name), "rb") as fh:
+            return fh.read()
+
+    images = spark.createDataFrame(
+        [
+            ("http://gallery.example/photos/img_hash_a.png",
+             raw("img_hash_a.png")),
+            ("http://gallery.example/img/img_hash_b.png",
+             raw("img_hash_b.png")),
+            ("http://cdn.gallery.example/img_tagged.png",
+             raw("img_tagged.png")),
+            ("https://mirror.example/img_hash_a2.png",
+             raw("img_hash_a2.png")),
+            ("http://travel.example/blog/img_hash_a2.png",
+             raw("img_hash_a2.png")),
+        ],
+        "url string, content binary",
+    )
+    return pair_with_image_bytes(
+        image_text_pairs(pages), images, dedup=True
+    ).select("page_url", "img_url", "text", "source", "dhash")
+
+
+@register(
     "q_pagerank",
     "PageRank over the authored crawl pages' link edges "
     "(operators/pagerank.py ⨯ operators/links.py — the link-based "

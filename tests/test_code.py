@@ -305,6 +305,42 @@ def test_prepare_pretraining_mix(spark):
     assert prows and {"seq_text", "pos"} <= set(packed.columns)
 
 
+def test_pretraining_mix_bpe_and_materialize_compose(spark, tmp_path):
+    """The round-11 knobs flow through the mixed-lake facade: BPE-unit
+    packing (seq_tokens present, windows bounded in BPE tokens) and
+    stage checkpointing (versioned snapshots per stage, resumed rerun
+    identical)."""
+    import os
+
+    from evaporate_spark.corpus import prepare_pretraining_mix
+    from evaporate_spark.fixtures.docs import CODE_SAMPLES
+
+    rows = [(n, s) for n, s in CODE_SAMPLES.items()] + [
+        ("docs/guide.md", "# Guide\n\nProse about the system design.")
+    ]
+    docs = spark.createDataFrame(rows, "path string, content string")
+    merges = [("d", "e"), ("de", "f")]
+    ck = str(tmp_path / "ck")
+    kw = dict(
+        normalize=False, redact=False, dedup=False,
+        seq_len=8, bpe_merges=merges,
+    )
+    out = prepare_pretraining_mix(docs, materialize_dir=ck, **kw)
+    rows1 = sorted(map(tuple, out.collect()))
+    assert rows1
+    assert "seq_tokens" in out.columns
+    assert max(r["n_tokens"] for r in out.collect()) <= 8
+    assert sorted(os.listdir(ck)) == ["00_pack"]
+    # rerun resumes from the committed snapshot, byte-identical rows
+    rows2 = sorted(map(tuple, prepare_pretraining_mix(
+        docs, materialize_dir=ck, **kw
+    ).collect()))
+    assert rows2 == rows1
+    # lazy run matches too
+    rows3 = sorted(map(tuple, prepare_pretraining_mix(docs, **kw).collect()))
+    assert rows3 == rows1
+
+
 def test_weighted_sample_semantics(spark):
     from pyspark.sql import functions as F
 

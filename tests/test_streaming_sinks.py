@@ -2493,3 +2493,52 @@ def test_image_decoders_read_jvm_written_files(spark):
         assert (w, h) == (W, H), fmt
         arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)[:, :, :3]
         assert np.array_equal(arr, rgb), fmt
+
+
+def test_image_text_pairs_streaming_twin(spark, tmp_path):
+    """Image-text pair extraction is scan-stage column work plus one
+    dropDuplicates, so the SAME image_text_pairs plan runs under
+    Structured Streaming unchanged — batch and stream results must be
+    identical (the streaming-twin convention)."""
+    import json as _json
+    import os
+
+    from evaporate_spark.fixtures.docs import (
+        GALLERY_PHOTOS_HTML,
+        GALLERY_TRAVEL_HTML,
+    )
+    from evaporate_spark.operators.image_text import image_text_pairs
+
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    pages = [
+        ("http://gallery.example/photos/gallery_photos.html",
+         GALLERY_PHOTOS_HTML),
+        ("http://travel.example/blog/gallery_travel.html",
+         GALLERY_TRAVEL_HTML),
+    ]
+    for i, (url, html) in enumerate(pages):
+        with open(f"{src}/p{i}.json", "w") as fh:
+            fh.write(_json.dumps({"url": url, "html": html}) + "\n")
+
+    schema = "url string, html string"
+    batch = {
+        tuple(r) for r in image_text_pairs(
+            spark.read.schema(schema).json(src)
+        ).collect()
+    }
+    q = (
+        image_text_pairs(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        .writeStream.format("memory")
+        .queryName("image_text_twin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("image_text_twin").collect()}
+    assert got == batch and len(got) == 6

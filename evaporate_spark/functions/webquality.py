@@ -23,8 +23,11 @@ from evaporate_spark.functions.text_stats import bind_once, regex_tokens
 
 __all__ = [
     "GOPHER_STOPWORDS",
+    "GOPHER_TOP_NGRAM_THRESHOLDS",
+    "GOPHER_DUP_NGRAM_THRESHOLDS",
     "gopher_quality_columns",
     "gopher_repetition_columns",
+    "gopher_ngram_columns",
     "c4_clean_text",
     "c4_page_flags",
 ]
@@ -217,6 +220,125 @@ def gopher_repetition_columns(col: Column | str) -> dict[str, Column]:
         "dup_para_frac": pstruct["dup_para_frac"],
         "dup_para_char_frac": pstruct["dup_para_char_frac"],
     }
+
+
+#: Gopher A1.2's published drop thresholds: fraction of characters in
+#: the MOST FREQUENT n-gram (n=2,3,4) …
+GOPHER_TOP_NGRAM_THRESHOLDS: dict[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+#: … and in ALL duplicated n-grams (n=5..10, each character counted
+#: once however many duplicated grams cover it)
+GOPHER_DUP_NGRAM_THRESHOLDS: dict[int, float] = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def gopher_ngram_columns(df, text_col: str = "text"):
+    """The word-n-gram half of Gopher A1.2 (the line/paragraph half is
+    :func:`gopher_repetition_columns`): appends per-document
+
+    - ``top_{2,3,4}gram_char_frac`` — characters of the most frequent
+      n-gram times its occurrence count (overlaps included, the
+      published counting; 0 when no gram repeats — a gram seen once
+      is not repetition) over total word characters; ties break to
+      the lexically smallest gram;
+    - ``dup_{5..10}gram_char_frac`` — characters of word positions
+      covered by AT LEAST ONE occurrence of any n-gram appearing ≥2
+      times, each character counted once (position-coverage union),
+      over total word characters;
+    - ``keep_gopher_ngrams`` — the published-threshold verdict
+      (``GOPHER_TOP_NGRAM_THRESHOLDS`` / ``GOPHER_DUP_NGRAM_THRESHOLDS``).
+
+    Tokenization is the shared lowercased ``\\W+`` split; fractions
+    use the shared half-up 1e-6 rounding so the DuckDB oracle — an
+    INDEPENDENT SQL-window formulation (lead() n-gram build, per-gram
+    counts, ROWS-frame coverage union) — reproduces them exactly.
+
+    The coverage union is genuinely positional/imperative (marking
+    which word slots any duplicated gram touches), so this is an
+    Arrow-batched ``mapInPandas`` per document — the reserved UDF
+    path, like BPE encoding — with zero shuffle: signals compute in
+    the scan task. Takes and returns a DataFrame (unlike the Column
+    builders above) because the UDF needs the full row batch."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    top_ns = sorted(GOPHER_TOP_NGRAM_THRESHOLDS)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_THRESHOLDS)
+    new_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, DoubleType()) for c in new_cols]
+    )
+
+    def _half_up_f(v: float) -> float:
+        return math.floor(v * 1000000 + 0.5) / 1000000.0
+
+    def _signals(text: str) -> list[float]:
+        import re
+        from collections import Counter
+
+        words = [w for w in re.split(r"\W+", (text or "").lower()) if w]
+        lens = [len(w) for w in words]
+        total = sum(lens)
+        vals: list[float] = []
+        for n in top_ns:
+            grams = Counter(
+                " ".join(words[i : i + n])
+                for i in range(len(words) - n + 1)
+            )
+            if not grams or total == 0:
+                vals.append(0.0)
+                continue
+            top = max(grams.values())
+            if top < 2:  # a gram seen once is not repetition
+                vals.append(0.0)
+                continue
+            best = min(g for g, c in grams.items() if c == top)
+            chars = (len(best) - (n - 1)) * top
+            vals.append(_half_up_f(chars / total))
+        for n in dup_ns:
+            gl = [
+                " ".join(words[i : i + n])
+                for i in range(len(words) - n + 1)
+            ]
+            if not gl or total == 0:
+                vals.append(0.0)
+                continue
+            counts = Counter(gl)
+            covered = [False] * len(words)
+            for i, g in enumerate(gl):
+                if counts[g] >= 2:
+                    covered[i : i + n] = [True] * n
+            chars = sum(l for l, c in zip(lens, covered) if c)
+            vals.append(_half_up_f(chars / total))
+        return vals
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            sig = [_signals(t) for t in pdf[text_col]]
+            out = pdf.copy()
+            for j, c in enumerate(new_cols):
+                out[c] = [s[j] for s in sig]
+            yield out
+
+    out = df.mapInPandas(batches, schema=out_schema)
+    keep = F.lit(True)
+    for n in top_ns:
+        keep = keep & (
+            F.col(f"top_{n}gram_char_frac")
+            <= GOPHER_TOP_NGRAM_THRESHOLDS[n]
+        )
+    for n in dup_ns:
+        keep = keep & (
+            F.col(f"dup_{n}gram_char_frac")
+            <= GOPHER_DUP_NGRAM_THRESHOLDS[n]
+        )
+    return out.withColumn("keep_gopher_ngrams", keep)
 
 
 def c4_clean_text(col: Column | str, min_line_words: int = 5) -> Column:

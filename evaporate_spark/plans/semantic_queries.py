@@ -676,6 +676,146 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[cols[k].alias(k) for k in cols])
 
 
+def _gopher_ngram_oracle() -> str:
+    """Independent SQL-window recompute of the A1.2 n-gram battery:
+    lead() n-gram build, GROUP BY counts, ROW_NUMBER top pick, and a
+    ROWS-frame MAX for the duplicated-gram position-coverage union —
+    a different formulation from the Spark side's per-document
+    Arrow-batched marking loop."""
+    from evaporate_spark.functions.webquality import (
+        GOPHER_DUP_NGRAM_THRESHOLDS,
+        GOPHER_TOP_NGRAM_THRESHOLDS,
+    )
+
+    top_ns = sorted(GOPHER_TOP_NGRAM_THRESHOLDS)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_THRESHOLDS)
+
+    def gram_expr(n: int) -> str:
+        parts = ["w"] + [f"lead(w, {j}) OVER win" for j in range(1, n)]
+        return " || ' ' || ".join(parts)
+
+    ctes = [r"""
+    toks AS (
+        SELECT doc_id, s.w AS w, s.ord AS ord, length(s.w) AS wl
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_filter(string_split_regex(lower(text), '\W+'),
+                                   x -> x <> ''),
+                       (x, i) -> struct_pack(w := x, ord := i))) AS s
+            FROM documents
+        )
+    )""", """
+    tot AS (SELECT doc_id, SUM(wl) AS total FROM toks GROUP BY doc_id)"""]
+    for n in top_ns + dup_ns:
+        ctes.append(f"""
+    g{n} AS (
+        SELECT doc_id, ord, {gram_expr(n)} AS gram
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+    )""")
+        ctes.append(f"""
+    cnt{n} AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt
+        FROM g{n} WHERE gram IS NOT NULL GROUP BY doc_id, gram
+    )""")
+    for n in top_ns:
+        ctes.append(f"""
+    t{n} AS (
+        SELECT doc_id, (length(gram) - {n - 1}) * cnt AS chars
+        FROM (
+            SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) AS rn
+            FROM cnt{n} WHERE cnt >= 2
+        ) WHERE rn = 1
+    )""")
+    for n in dup_ns:
+        ctes.append(f"""
+    st{n} AS (
+        SELECT g.doc_id, g.ord,
+               CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END AS dup
+        FROM g{n} g
+        JOIN cnt{n} c ON g.doc_id = c.doc_id AND g.gram = c.gram
+    )""")
+        ctes.append(f"""
+    cov{n} AS (
+        SELECT doc_id, SUM(CASE WHEN covered = 1 THEN wl ELSE 0 END)
+                   AS dupchars
+        FROM (
+            SELECT t.doc_id, t.wl,
+                   MAX(COALESCE(s.dup, 0)) OVER (
+                       PARTITION BY t.doc_id ORDER BY t.ord
+                       ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW
+                   ) AS covered
+            FROM toks t
+            LEFT JOIN st{n} s ON t.doc_id = s.doc_id AND t.ord = s.ord
+        ) GROUP BY doc_id
+    )""")
+
+    def frac(expr: str) -> str:
+        return (
+            f"COALESCE(FLOOR({expr}::DOUBLE / GREATEST(tot.total, 1)"
+            " * 1000000 + 0.5) / 1000000.0, 0.0)"
+        )
+
+    cols = [
+        f"{frac(f't{n}.chars')} AS top_{n}gram_char_frac" for n in top_ns
+    ] + [
+        f"{frac(f'cov{n}.dupchars')} AS dup_{n}gram_char_frac"
+        for n in dup_ns
+    ]
+    joins = "\n        ".join(
+        [f"LEFT JOIN t{n} ON d.doc_id = t{n}.doc_id" for n in top_ns]
+        + [f"LEFT JOIN cov{n} ON d.doc_id = cov{n}.doc_id" for n in dup_ns]
+    )
+    keep = " AND ".join(
+        [
+            f"top_{n}gram_char_frac <= {GOPHER_TOP_NGRAM_THRESHOLDS[n]}"
+            for n in top_ns
+        ]
+        + [
+            f"dup_{n}gram_char_frac <= {GOPHER_DUP_NGRAM_THRESHOLDS[n]}"
+            for n in dup_ns
+        ]
+    )
+    inner = (
+        "SELECT d.doc_id,\n               "
+        + ",\n               ".join(cols)
+        + "\n        FROM documents d\n"
+        "        LEFT JOIN tot ON d.doc_id = tot.doc_id\n        "
+        + joins
+    )
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT *, ({keep}) AS keep_gopher_ngrams"
+        + f"\n    FROM ({inner})"
+    )
+
+
+@register(
+    "q_gopher_ngrams",
+    "Gopher A1.2's word-n-gram battery (functions/webquality.py "
+    "gopher_ngram_columns — completes the published rule set next to "
+    "the line/paragraph fractions): top-2/3/4-gram character "
+    "fractions (most frequent gram, overlaps counted, ties to the "
+    "lexically smallest) and duplicated-5..10-gram character "
+    "fractions (position-coverage UNION — each character counted "
+    "once), plus the published-threshold keep verdict. Spark side is "
+    "one Arrow-batched per-document pass (the positional marking is "
+    "genuinely imperative — the reserved UDF path); the oracle is an "
+    "INDEPENDENT SQL-window formulation: lead() gram build, GROUP BY "
+    "counts, ROW_NUMBER top pick, ROWS-frame MAX coverage.",
+    oracle=_gopher_ngram_oracle(),
+    tags=("textstats", "corpus"),
+)
+def q_gopher_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.functions.webquality import gopher_ngram_columns
+
+    d = load_table(spark, sf_dir, "documents")
+    out = gopher_ngram_columns(d.select("doc_id", "text"))
+    return out.drop("text")
+
+
 @register(
     "q_c4_clean",
     "C4's cleaning rules (Raffel et al. 2020 §2.2, functions/"

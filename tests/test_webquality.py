@@ -160,6 +160,45 @@ def test_gopher_repetition_signals(spark):
         assert all(got[k][c] == 0.0 for c in cols), k
 
 
+def test_gopher_ngram_battery_hand_computed(spark):
+    """A1.2 n-gram signals against hand-worked values: 'a b a b a b'
+    (1-char words, total 6 chars) has top-2gram 'a b'x3 -> 6/6, a
+    3-gram tie broken lexically ('a b a'x2 -> 6/6), and the
+    overlap-counting 4-gram 'a b a b'x2 -> 8/6 (the published
+    convention can exceed 1); the repeated-phrase doc covers ALL
+    positions with its duplicated 5-gram (union, counted once)."""
+    from evaporate_spark.functions.webquality import gopher_ngram_columns
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "x y z w v x y z w v"),
+        (3, ""),
+        (4, "entirely unique words without any repetition at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_ngram_columns(df).collect()}
+
+    r1 = got[1]
+    assert r1["top_2gram_char_frac"] == 1.0
+    assert r1["top_3gram_char_frac"] == 1.0
+    assert r1["top_4gram_char_frac"] == 1.333333  # overlaps counted
+    assert r1["dup_5gram_char_frac"] == 0.0  # both 5-grams unique
+    assert r1["keep_gopher_ngrams"] is False
+
+    r2 = got[2]
+    assert r2["dup_5gram_char_frac"] == 1.0  # coverage union = all words
+    assert r2["dup_6gram_char_frac"] == 0.0
+    assert r2["keep_gopher_ngrams"] is False
+
+    r3 = got[3]
+    assert all(
+        r3[c] == 0.0 for c in r3.asDict() if c.endswith("char_frac")
+    )
+    assert r3["keep_gopher_ngrams"] is True
+
+    assert got[4]["keep_gopher_ngrams"] is True
+
+
 def test_crawl_to_corpus_chain_end_to_end(spark):
     """The full web path in one chain: WARC shards → web corpus
     (HTTP unwrap, canonical URLs, boilerplate removal) → C4 + Gopher

@@ -74,7 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--gopher", action="store_true",
-        help="filter by the Gopher quality-rule battery",
+        help="filter by the Gopher A1.1 quality-rule battery",
+    )
+    p.add_argument(
+        "--gopher-repetition", action="store_true",
+        help="filter by the full Gopher A1.2 repetition battery "
+        "(duplicate line/paragraph fractions + top/duplicated n-gram "
+        "character fractions, published thresholds)",
     )
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--no-redact", action="store_true")
@@ -273,6 +279,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         c4=args.c4,
         gopher=args.gopher,
+        gopher_repetition=args.gopher_repetition,
         normalize=not args.no_normalize,
         redact=not args.no_redact,
         dedup=not args.no_dedup,
@@ -330,6 +337,7 @@ def main(argv: list[str] | None = None) -> int:
                     "pretraining_mix": args.pretraining_mix,
                     "c4": args.c4,
                     "gopher": args.gopher,
+                    "gopher_repetition": args.gopher_repetition,
                     "normalize": not args.no_normalize,
                     "redact": not args.no_redact,
                     "dedup": not args.no_dedup,

@@ -30,6 +30,7 @@ def prepare_corpus(
     text_col: str = "text",
     c4: bool = False,
     gopher: bool = False,
+    gopher_repetition: bool = False,
     normalize: bool = True,
     lang_allow: tuple[str, ...] | None = None,
     quality_model=None,
@@ -59,8 +60,13 @@ def prepare_corpus(
 
     ``c4`` applies C4's cleaning first (line retention + page drops —
     before ``normalize``, which would collapse the line structure);
-    ``gopher`` then filters by the Gopher rule battery with its
-    published thresholds (both :mod:`functions.webquality`).
+    ``gopher`` then filters by the Gopher A1.1 rule battery with its
+    published thresholds, and ``gopher_repetition`` adds the FULL
+    A1.2 repetition battery (duplicate line/paragraph fractions plus
+    the top-2/3/4-gram and duplicated-5..10-gram character
+    fractions) — it also runs before ``normalize``, which would
+    collapse the line structure it measures (all
+    :mod:`functions.webquality`).
     ``lang_allow`` keeps only documents whose heuristic language ID
     is in the set (JVM scan-stage predicate, runs first among the
     filters); ``quality_model`` (an ``operators.quality_model.
@@ -147,6 +153,29 @@ def prepare_corpus(
                 gopher_quality_columns(F.col(text_col))["keep_gopher"]
             ),
         ))
+    if gopher_repetition:
+        from evaporate_spark.functions.webquality import (
+            GOPHER_REPETITION_THRESHOLDS,
+            gopher_ngram_columns,
+            gopher_repetition_columns,
+        )
+
+        def _gopher_rep(d: DataFrame) -> DataFrame:
+            # line/paragraph half: pure Column predicates at the scan
+            cols = gopher_repetition_columns(F.col(text_col))
+            cond = F.lit(True)
+            for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
+                cond = cond & (cols[name] <= thr)
+            d = d.where(cond)
+            # n-gram half: Arrow-batched per-document pass; the signal
+            # columns are the gate's internals, not pipeline output
+            flagged = gopher_ngram_columns(d, text_col)
+            extra = [
+                c for c in flagged.columns if c not in d.columns
+            ]
+            return flagged.where(F.col("keep_gopher_ngrams")).drop(*extra)
+
+        stages.append(("gopher_rep", _gopher_rep))
     if normalize:
         from evaporate_spark.functions.normalize import normalize_text
 
@@ -490,6 +519,24 @@ def prepare_pretraining_mix(
 
         text_side = text_side.where(
             gopher_quality_columns(F.col(content_col))["keep_gopher"]
+        )
+    if corpus_kwargs.pop("gopher_repetition", False):
+        # the A1.2 repetition battery likewise gates PROSE only —
+        # repeated lines/grams are normal in code
+        from evaporate_spark.functions.webquality import (
+            GOPHER_REPETITION_THRESHOLDS,
+            gopher_ngram_columns,
+            gopher_repetition_columns,
+        )
+
+        rep = gopher_repetition_columns(F.col(content_col))
+        cond = F.lit(True)
+        for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
+            cond = cond & (rep[name] <= thr)
+        before = text_side.columns
+        flagged = gopher_ngram_columns(text_side.where(cond), content_col)
+        text_side = flagged.where(F.col("keep_gopher_ngrams")).drop(
+            *[c for c in flagged.columns if c not in before]
         )
     merged = code_side.unionByName(text_side)
     return prepare_corpus(

@@ -23,6 +23,7 @@ from evaporate_spark.functions.text_stats import bind_once, regex_tokens
 
 __all__ = [
     "GOPHER_STOPWORDS",
+    "GOPHER_REPETITION_THRESHOLDS",
     "GOPHER_TOP_NGRAM_THRESHOLDS",
     "GOPHER_DUP_NGRAM_THRESHOLDS",
     "gopher_quality_columns",
@@ -221,6 +222,14 @@ def gopher_repetition_columns(col: Column | str) -> dict[str, Column]:
         "dup_para_char_frac": pstruct["dup_para_char_frac"],
     }
 
+
+#: Gopher A1.2's published line/paragraph drop thresholds
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+}
 
 #: Gopher A1.2's published drop thresholds: fraction of characters in
 #: the MOST FREQUENT n-gram (n=2,3,4) …

@@ -160,6 +160,38 @@ def test_gopher_repetition_signals(spark):
         assert all(got[k][c] == 0.0 for c in cols), k
 
 
+def test_prepare_corpus_gopher_repetition_gate(spark):
+    """gopher_repetition=True drops line-spam and phrase-spam docs and
+    keeps prose, composing with the other stages; the gate's signal
+    columns never leak into the output schema."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    prose = (
+        "The committee reviewed the annual proposal and concluded the "
+        "design satisfied every safety requirement under discussion."
+    )
+    rows = [
+        (1, prose),
+        (2, "buy now\n" * 12),                       # duplicate lines
+        (3, "limited offer today only " * 12),       # duplicated 5-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(
+        df, gopher_repetition=True, redact=False, dedup=False,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    assert out.columns == ["doc_id", "text"]
+    # checkpointed run agrees (the stage list includes gopher_rep)
+    import tempfile
+
+    ck = tempfile.mkdtemp()
+    mat = prepare_corpus(
+        df, gopher_repetition=True, redact=False, dedup=False,
+        materialize_dir=ck,
+    )
+    assert {r["doc_id"] for r in mat.collect()} == {1}
+
+
 def test_gopher_ngram_battery_hand_computed(spark):
     """A1.2 n-gram signals against hand-worked values: 'a b a b a b'
     (1-char words, total 6 chars) has top-2gram 'a b'x3 -> 6/6, a

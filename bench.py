@@ -173,6 +173,23 @@ Pinned comparison baselines (medians unless noted):
   Iterative-operator scale evidence:
   scripts/SCALE_PROBE_PAGERANK.json (600k-edge bipartite graph, 5
   damped rounds 17.6 s, rank mass 1.0, lineage truncated every 2).
+- r11 pins (gated start, after the round-11 batch — BPE-unit
+  packing/budgets, image-text pairs, stage-checkpointed
+  prepare_corpus, frontier facade, PageRank in-plan dangling fold,
+  full Gopher A1.2 n-gram battery — landed): relational 2.505
+  (q1 0.447 / q3 0.862 / q5 1.196); q_minhash_lsh_dups 1.489,
+  q_dup_clusters 1.891, q_dup_passage_stats 3.243, q8_market_share
+  1.051, q_semantic_closed_ie 4.921, q_semantic_openie 12.013,
+  media_decode_300 0.570, corpus_chain_10x 17.979 (the r11
+  split-carry fix: pack no longer joins a split map that recomputed
+  the upstream chain — vs 21.0 in r10), doc_ingest 0.922,
+  code_lake_20x 1.745, gopher_full_10x 2.997 (FIRST pin — the
+  complete published Gopher battery over 50k docs: A1.1 + line/
+  paragraph repetition as pure Column folds + the n-gram
+  character-coverage Arrow pass). Tokens unchanged (6718 / 29640).
+  PageRank probe after the dangling fold: 11.4 s (was 17.6);
+  checkpoint/resume evidence: scripts/SCALE_PROBE_RESUME.json
+  (lazy 16.7 / materialized 12.2 / resume-tail 1.4 s at 50k docs).
 """
 
 from __future__ import annotations
@@ -456,12 +473,56 @@ def _code_lake_bench(spark, sf_dir: str):
     )
 
 
+def _gopher_full_bench(spark, sf_dir: str):
+    """Bench-only row (round 11): the COMPLETE published Gopher
+    battery — A1.1 quality columns + A1.2 line/paragraph repetition
+    (pure Column sorted folds) + A1.2 n-gram character fractions (the
+    Arrow-batched coverage-union pass) — over the 10x documents table,
+    reduced to keep-rate counts. Pins the webquality scan throughput
+    incl. the one sanctioned pandas-UDF stage."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.functions.webquality import (
+        GOPHER_REPETITION_THRESHOLDS,
+        gopher_ngram_columns,
+        gopher_quality_columns,
+        gopher_repetition_columns,
+    )
+
+    docs = spark.read.parquet(_corpus_10x_dir(spark, sf_dir))
+    q = gopher_quality_columns(F.col("text"))["keep_gopher"]
+    rep = gopher_repetition_columns(F.col("text"))
+    rep_keep = F.lit(True)
+    for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
+        rep_keep = rep_keep & (rep[name] <= thr)
+    flagged = gopher_ngram_columns(
+        docs.withColumn("_k_a11", q).withColumn("_k_rep", rep_keep),
+        "text",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_k_a11").cast("int")).alias("n_keep_a11"),
+        F.sum(F.col("_k_rep").cast("int")).alias("n_keep_rep"),
+        F.sum(F.col("keep_gopher_ngrams").cast("int")).alias(
+            "n_keep_ngrams"
+        ),
+        F.sum(
+            (
+                F.col("_k_a11")
+                & F.col("_k_rep")
+                & F.col("keep_gopher_ngrams")
+            ).cast("int")
+        ).alias("n_keep_all"),
+    )
+
+
 #: bench-only rows (not registry queries): name → (spark, sf_dir) → DF
 BENCH_ONLY = {
     "media_decode_300": _media_decode_bench,
     "corpus_chain_10x": _corpus_chain_bench,
     "doc_ingest": _doc_ingest_bench,
     "code_lake_20x": _code_lake_bench,
+    "gopher_full_10x": _gopher_full_bench,
 }
 
 #: per-row rep caps for end-to-end canary rows (tens of seconds per
@@ -469,7 +530,7 @@ BENCH_ONLY = {
 #: still exists — an n=1 pin can't distinguish a real regression from
 #: this host's documented ±30-50% day-to-day swing (r6 verdict) —
 #: without letting one long pipeline dominate the bench wall time
-REP_CAP = {"corpus_chain_10x": 3}
+REP_CAP = {"corpus_chain_10x": 3, "gopher_full_10x": 3}
 
 
 def _wait_for_quiet_machine(max_load: float, timeout_s: float) -> dict:

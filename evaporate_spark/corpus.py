@@ -372,10 +372,43 @@ def _run_materialized(
     the last committed stage's snapshot and continues from there. The
     committed-prefix scan stops at the first stage with no committed
     version, so a crashed stage and everything after it re-run while
-    the finished prefix is read back, not recomputed."""
+    the finished prefix is read back, not recomputed.
+
+    A ``_stages.json`` fingerprint written on first run guards the
+    resume: a rerun whose enabled-stage list differs (flags changed)
+    would otherwise silently resume from snapshots the new
+    configuration never produced — it raises instead. (Stage names
+    don't capture every parameter — e.g. a changed ``seq_len`` still
+    reuses a committed pack snapshot — so a fresh directory per
+    configuration remains the contract; the guard catches the
+    structural mismatches.)"""
+    import json
+    import os
+
     from evaporate_spark.sources.versioned import VersionedTable
 
     spark = docs.sparkSession
+    names = [name for name, _ in stages]
+    if root.startswith(("/", "file:")):
+        local = root.removeprefix("file:")
+        os.makedirs(local, exist_ok=True)
+        fp = os.path.join(local, "_stages.json")
+        if os.path.exists(fp):
+            with open(fp) as fh:
+                prev = json.load(fh)
+            if prev != names:
+                raise ValueError(
+                    f"materialize_dir {root!r} was checkpointed with "
+                    f"stages {prev}; this configuration enables "
+                    f"{names} — resuming would mix snapshots from "
+                    "different pipelines. Use a fresh directory per "
+                    "configuration."
+                )
+        else:
+            tmp = fp + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(names, fh)
+            os.replace(tmp, fp)
     tables = [
         VersionedTable(spark, f"{root}/{i:02d}_{name}")
         for i, (name, _) in enumerate(stages)

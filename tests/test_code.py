@@ -330,7 +330,7 @@ def test_pretraining_mix_bpe_and_materialize_compose(spark, tmp_path):
     assert rows1
     assert "seq_tokens" in out.columns
     assert max(r["n_tokens"] for r in out.collect()) <= 8
-    assert sorted(os.listdir(ck)) == ["00_pack"]
+    assert sorted(os.listdir(ck)) == ["00_pack", "_stages.json"]
     # rerun resumes from the committed snapshot, byte-identical rows
     rows2 = sorted(map(tuple, prepare_pretraining_mix(
         docs, materialize_dir=ck, **kw

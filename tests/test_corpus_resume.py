@@ -52,11 +52,32 @@ def test_materialized_run_matches_lazy(spark, tmp_path):
         )
     )
     assert mat == lazy and len(mat) > 0
-    # one snapshot dir per enabled stage, in order
+    # one snapshot dir per enabled stage, in order, plus the
+    # configuration fingerprint
     names = sorted(os.listdir(tmp_path / "ck"))
     assert names == [
         "00_normalize", "01_redact", "02_dedup", "03_split", "04_pack",
+        "_stages.json",
     ]
+
+
+def test_changed_configuration_refuses_to_resume(spark, tmp_path):
+    from evaporate_spark.corpus import prepare_corpus
+
+    ck = str(tmp_path / "ck")
+    prepare_corpus(
+        _docs(spark), materialize_dir=ck, **KW
+    ).collect()
+    with pytest.raises(ValueError, match="different pipelines"):
+        prepare_corpus(
+            _docs(spark), materialize_dir=ck,
+            normalize=False, redact=True, dedup=True,
+            split_fractions=KW["split_fractions"], seq_len=6,
+        )
+    # the same configuration still resumes fine
+    assert prepare_corpus(
+        _docs(spark), materialize_dir=ck, **KW
+    ).count() > 0
 
 
 def test_crash_mid_stage_then_resume_skips_completed(spark, tmp_path, monkeypatch):

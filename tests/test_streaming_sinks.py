@@ -2542,3 +2542,69 @@ def test_image_text_pairs_streaming_twin(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.table("image_text_twin").collect()}
     assert got == batch and len(got) == 6
+
+
+def test_gopher_full_battery_streaming_twin(spark, tmp_path):
+    """The complete Gopher battery — A1.1 Column predicates, A1.2
+    line/paragraph folds, and the n-gram character-coverage Arrow
+    pass — is stateless per document, so the same plan runs under
+    Structured Streaming unchanged: batch and stream signals must be
+    identical."""
+    import json as _json
+    import os
+
+    from evaporate_spark.functions.webquality import (
+        gopher_ngram_columns,
+        gopher_quality_columns,
+        gopher_repetition_columns,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    rows = [
+        (1, "The committee reviewed the annual proposal and concluded "
+            "that the design satisfied every safety requirement."),
+        (2, "buy now\n" * 8),
+        (3, "limited offer today only " * 9),
+        (4, ""),
+    ]
+    for i, (doc_id, text) in enumerate(rows):
+        with open(f"{src}/d{i}.json", "w") as fh:
+            fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    schema = "doc_id long, text string"
+
+    def pipeline(df):
+        q = gopher_quality_columns(F.col("text"))
+        rep = gopher_repetition_columns(F.col("text"))
+        df = df.withColumn("keep_a11", q["keep_gopher"]).withColumn(
+            "dup_line_frac", rep["dup_line_frac"]
+        )
+        return gopher_ngram_columns(df, "text").select(
+            "doc_id", "keep_a11", "dup_line_frac",
+            "top_2gram_char_frac", "dup_5gram_char_frac",
+            "keep_gopher_ngrams",
+        )
+
+    batch = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in pipeline(spark.read.schema(schema).json(src)).collect()
+    }
+    q = (
+        pipeline(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        .writeStream.format("memory")
+        .queryName("gopher_stream_twin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in spark.table("gopher_stream_twin").collect()
+    }
+    assert got == batch and len(got) == 4

@@ -185,6 +185,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.shuffle_shards and not args.shuffle_seed:
         print("--shuffle-shards requires --shuffle-seed", file=sys.stderr)
         return 2
+    if args.bpe_merges_path and args.bpe_num_merges:
+        print(
+            "pass either --bpe-merges-path (reuse a saved merge list) "
+            "or --bpe-num-merges (train fresh), not both",
+            file=sys.stderr,
+        )
+        return 2
+    if args.save_bpe_merges and not args.bpe_num_merges:
+        print(
+            "--save-bpe-merges requires --bpe-num-merges (only freshly "
+            "trained merges are saved; a --bpe-merges-path list is "
+            "already persisted)",
+            file=sys.stderr,
+        )
+        return 2
     if args.pretraining_mix and args.code_filters:
         print(
             "--pretraining-mix already runs the code filters on the "

@@ -115,11 +115,14 @@ def prepare_corpus(
     whole chain — at 100 TB a failure in stage 8 of 10 should not
     re-run stages 1–7. Every stage is hash-deterministic, so the
     resumed output is identical to an uninterrupted run. The
-    directory is per-(input, configuration): rerunning with different
-    inputs or stage flags against the same directory resumes from
-    snapshots the new configuration never produced — use a fresh
-    directory per pipeline config. Lazy (default) and materialized
-    runs produce the same rows.
+    directory is per-(input, configuration): a ``_stages.json``
+    fingerprint (stage list + stage parameters, written through the
+    Hadoop FileSystem API so it guards every root) makes a rerun with
+    changed flags OR changed parameters (seq_len, thresholds, merge
+    lists, …) raise instead of silently resuming from snapshots the
+    new configuration never produced; input DATA is not fingerprinted,
+    so a fresh directory per input remains the contract. Lazy
+    (default) and materialized runs produce the same rows.
     """
     if mix_token_budgets is not None and mix_key is None:
         raise ValueError("mix_token_budgets requires mix_key")
@@ -360,11 +363,87 @@ def prepare_corpus(
         for _, fn in stages:
             out = fn(out)
         return out
-    return _run_materialized(docs, stages, materialize_dir)
+    # configuration fingerprint for the resume guard: every parameter
+    # that shapes stage OUTPUT (not just which stages run). Input
+    # frames (docs / eval_docs / quality_model weights) are NOT
+    # fingerprinted — a fresh directory per input remains the
+    # contract; this guard catches configuration drift.
+    params = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "lang_allow": sorted(lang_allow) if lang_allow else None,
+        "quality_threshold": (
+            float(quality_threshold) if quality_model is not None else None
+        ),
+        "decontam_k": decontam_k if eval_docs is not None else None,
+        "decontam_threshold": (
+            float(decontam_threshold) if eval_docs is not None else None
+        ),
+        "mix_key": mix_key,
+        "mix_fractions": mix_fractions,
+        "default_fraction": default_fraction,
+        "mix_token_budgets": mix_token_budgets,
+        "upsample_weights": upsample_weights,
+        "split_fractions": split_fractions,
+        "seq_len": seq_len,
+        "overlap": overlap,
+        "bpe_merges_sha256": _merges_digest(bpe_merges),
+        "shuffle_seed": shuffle_seed,
+        "shuffle_shards": shuffle_shards,
+    }
+    return _run_materialized(docs, stages, materialize_dir, params)
+
+
+def _merges_digest(merges) -> str | None:
+    """Stable digest of a BPE merge list for the resume fingerprint
+    (the list itself can be vocab-sized — hash, don't embed)."""
+    if merges is None:
+        return None
+    import hashlib
+    import json
+
+    payload = json.dumps([list(p) for p in merges]).encode()
+    return hashlib.sha256(payload).hexdigest()
+
+
+def _fs_read_text(spark, path: str) -> str | None:
+    """File contents through the Hadoop FileSystem API (works on
+    local, HDFS, and object-store roots alike — the VersionedTable
+    plumbing), or None when the file doesn't exist."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    sink = jvm.java.io.ByteArrayOutputStream()
+    # closes both streams (final True)
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
+    return bytes(sink.toByteArray()).decode("utf-8", errors="replace")
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Create ``path`` with ``text`` through the Hadoop FileSystem API
+    (no-overwrite create: a racing writer loses with an error instead
+    of clobbering the fingerprint)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(p.getParent())
+    # no .crc sidecar on the local ChecksumFileSystem (no-op elsewhere)
+    fs.setWriteChecksum(False)
+    stream = fs.create(p, False)  # overwrite=False
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def _run_materialized(
-    docs: DataFrame, stages: list[tuple[str, object]], root: str
+    docs: DataFrame,
+    stages: list[tuple[str, object]],
+    root: str,
+    params: dict | None = None,
 ) -> DataFrame:
     """Checkpoint/resume runner for :func:`prepare_corpus`: each stage
     commits through ``sources/versioned.py`` (atomic marker publish —
@@ -375,40 +454,49 @@ def _run_materialized(
     the finished prefix is read back, not recomputed.
 
     A ``_stages.json`` fingerprint written on first run guards the
-    resume: a rerun whose enabled-stage list differs (flags changed)
-    would otherwise silently resume from snapshots the new
-    configuration never produced — it raises instead. (Stage names
-    don't capture every parameter — e.g. a changed ``seq_len`` still
-    reuses a committed pack snapshot — so a fresh directory per
-    configuration remains the contract; the guard catches the
-    structural mismatches.)"""
+    resume: a rerun whose enabled-stage list OR stage parameters
+    (seq_len, thresholds, merge-list digest, …) differ would otherwise
+    silently resume from snapshots the new configuration never
+    produced — it raises instead. The fingerprint goes through the
+    Hadoop FileSystem API, so the guard applies to every root (local,
+    HDFS, object stores), not just local paths. Input DATA is not
+    fingerprinted — a fresh directory per input remains the contract.
+    """
     import json
-    import os
 
     from evaporate_spark.sources.versioned import VersionedTable
 
     spark = docs.sparkSession
     names = [name for name, _ in stages]
-    if root.startswith(("/", "file:")):
-        local = root.removeprefix("file:")
-        os.makedirs(local, exist_ok=True)
-        fp = os.path.join(local, "_stages.json")
-        if os.path.exists(fp):
-            with open(fp) as fh:
-                prev = json.load(fh)
-            if prev != names:
-                raise ValueError(
-                    f"materialize_dir {root!r} was checkpointed with "
-                    f"stages {prev}; this configuration enables "
-                    f"{names} — resuming would mix snapshots from "
-                    "different pipelines. Use a fresh directory per "
-                    "configuration."
-                )
-        else:
-            tmp = fp + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(names, fh)
-            os.replace(tmp, fp)
+    fingerprint = {"stages": names, "params": params or {}}
+    fp_path = f"{root.rstrip('/')}/_stages.json"
+    prev_text = _fs_read_text(spark, fp_path)
+    if prev_text is not None:
+        prev = json.loads(prev_text)
+        if isinstance(prev, list):  # legacy stage-name-only fingerprint
+            prev = {"stages": prev, "params": fingerprint["params"]}
+        if prev["stages"] != names:
+            raise ValueError(
+                f"materialize_dir {root!r} was checkpointed with "
+                f"stages {prev['stages']}; this configuration enables "
+                f"{names} — resuming would mix snapshots from "
+                "different pipelines. Use a fresh directory per "
+                "configuration."
+            )
+        if prev["params"] != fingerprint["params"]:
+            changed = sorted(
+                k
+                for k in set(prev["params"]) | set(fingerprint["params"])
+                if prev["params"].get(k) != fingerprint["params"].get(k)
+            )
+            raise ValueError(
+                f"materialize_dir {root!r} was checkpointed with "
+                f"different stage parameters (changed: {changed}) — "
+                "resuming would mix snapshots from different "
+                "pipelines. Use a fresh directory per configuration."
+            )
+    else:
+        _fs_write_text(spark, fp_path, json.dumps(fingerprint))
     tables = [
         VersionedTable(spark, f"{root}/{i:02d}_{name}")
         for i, (name, _) in enumerate(stages)

@@ -1,0 +1,139 @@
+"""Persistent multi-round crawl frontier — ``frontier_step`` composed
+with a versioned seen-set store so a crawl is a loop over COMMITTED
+state (engine addition, SURVEY §2C web ingest; the round-11 verdict's
+"persistent frontier state" item). Mirrors the
+``operators/dedup.py::incremental_near_dedup`` store contract: state
+lives in ``sources/versioned.py`` tables (atomic marker commits), so a
+crash between rounds resumes exactly and re-running a completed round
+is a read-back no-op, never a recompute.
+
+Layout under ``root``:
+
+- ``{root}/seen``     — version ``r`` = the cumulative canonical URL
+  set after rounds 0..r (one column ``url``);
+- ``{root}/frontier`` — version ``r`` = round ``r``'s emitted frontier
+  ``(url, host, source)``.
+
+Commit order is seen-first, frontier-second, so a committed frontier
+version IS the "round complete" marker: a crash after the seen commit
+but before the frontier commit re-runs only the frontier computation
+(against the already-committed seen set) on the next call; a crash
+before the seen commit re-runs the whole round. Both stages are
+deterministic, so every resume path converges on identical bytes.
+
+Scale shape: inherits :func:`operators.frontier.frontier_step` (scan
+stage extraction, one canonical-URL groupBy, left-anti seen join,
+broadcast robots, two-stage per-host top-k); the store adds one
+parquet append-equivalent (full rewrite of the seen set per round —
+at CC scale swap the seen table for the bucketed layout so the
+left-anti join co-partitions, the documented ``frontier_step`` path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["FrontierStore"]
+
+
+class FrontierStore:
+    """Committed crawl-loop state rooted at ``root`` (any Hadoop-FS
+    path). See module docstring for the layout and crash contract."""
+
+    def __init__(self, spark, root: str):
+        from evaporate_spark.sources.versioned import VersionedTable
+
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._seen = VersionedTable(spark, f"{self.root}/seen")
+        self._frontier = VersionedTable(spark, f"{self.root}/frontier")
+
+    # -- state readers -------------------------------------------------
+
+    def next_round(self) -> int:
+        """The round id the next :meth:`run_round` call should carry
+        (completed rounds = committed frontier versions)."""
+        v = self._frontier.latest_committed_version()
+        return 0 if v is None else v + 1
+
+    def seen(self, round_id: int | None = None) -> DataFrame | None:
+        """Cumulative canonical URL set after ``round_id`` (default:
+        latest committed), or None when nothing is committed yet."""
+        v = (
+            self._seen.latest_committed_version()
+            if round_id is None
+            else round_id
+        )
+        return None if v is None else self._seen.read(v)
+
+    def frontier(self, round_id: int) -> DataFrame:
+        """Round ``round_id``'s committed frontier."""
+        return self._frontier.read(round_id)
+
+    # -- the loop body ---------------------------------------------------
+
+    def run_round(
+        self,
+        crawled: DataFrame,
+        robots: DataFrame,
+        round_id: int | None = None,
+        sitemap_files: DataFrame | None = None,
+        agent: str = "*",
+        url_col: str = "url",
+        html_col: str = "html",
+        per_host_limit: int | None = None,
+    ) -> DataFrame:
+        """Run crawl round ``round_id`` (default: the next uncommitted
+        round): append this round's crawled URLs to the seen set,
+        compute the frontier via :func:`operators.frontier.
+        frontier_step` against the committed state, commit it, and
+        return it (read back from the committed snapshot, so the
+        caller's lineage starts at a scan).
+
+        A ``round_id`` that is already complete returns its committed
+        frontier verbatim — nothing recomputes (re-running a round is
+        a no-op). A ``round_id`` beyond the next expected round raises
+        (a gap would silently skip seen-set state)."""
+        from evaporate_spark.operators.frontier import frontier_step
+        from evaporate_spark.operators.urls import canonicalize_url
+
+        nxt = self.next_round()
+        rid = nxt if round_id is None else int(round_id)
+        if rid < nxt:  # completed round: read-back no-op
+            return self._frontier.read(rid)
+        if rid > nxt:
+            raise ValueError(
+                f"round {rid} cannot run: next uncommitted round is "
+                f"{nxt} — rounds commit sequentially"
+            )
+
+        # -- seen commit (stage 1): cumulative set after this round
+        batch = (
+            crawled.select(canonicalize_url(url_col).alias("url"))
+            .where(F.col("url").isNotNull())
+            .distinct()
+        )
+        if self._seen.latest_committed_version() != rid:
+            prev = self.seen(rid - 1) if rid > 0 else None
+            cumulative = (
+                batch if prev is None else prev.unionByName(batch).distinct()
+            )
+            self._seen.write_snapshot(cumulative)
+        # else: a prior attempt crashed between the two commits — the
+        # seen set for this round is already durable, recompute only
+        # the frontier below
+
+        # -- frontier commit (stage 2): the round-complete marker
+        out = frontier_step(
+            crawled,
+            robots,
+            sitemap_files=sitemap_files,
+            seen=self._seen.read(rid),
+            agent=agent,
+            url_col=url_col,
+            html_col=html_col,
+            per_host_limit=per_host_limit,
+        )
+        self._frontier.write_snapshot(out)
+        return self._frontier.read(rid)

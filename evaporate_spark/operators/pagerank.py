@@ -53,7 +53,15 @@ def pagerank(
     rounds over the DISTINCT edge set (or fewer when ``tol`` is set
     and the checkpoint-to-checkpoint delta drops under it); ranks sum
     to 1. Self-loops count like any edge; duplicate edges are
-    collapsed first."""
+    collapsed first.
+
+    ``checkpoint_every`` is clamped to 6 internally: each unrolled
+    round references the previous ranks frame TWICE (the contribution
+    join and the in-plan dangling aggregate), so the logical plan
+    doubles per round between checkpoints — ~2^unroll plan copies.
+    Results are cadence-invariant (checkpointing only bounds lineage),
+    so clamping changes cost, never values."""
+    checkpoint_every = max(1, min(int(checkpoint_every), 6))
     e = edges.select(
         F.col(src).cast("string").alias("src"),
         F.col(dst).cast("string").alias("dst"),

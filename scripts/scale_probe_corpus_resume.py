@@ -71,7 +71,14 @@ def main() -> None:
     assert mat_rows == lazy_rows, (mat_rows, lazy_rows)
 
     # crash-in-final-stage simulation: drop the last stage's snapshots
-    stages = sorted(os.listdir(CK_DIR))
+    # (stage snapshots are the DIRECTORIES under the root; the root
+    # also holds the _stages.json fingerprint FILE, which must survive
+    # and must not be selected for deletion)
+    stages = sorted(
+        d
+        for d in os.listdir(CK_DIR)
+        if os.path.isdir(os.path.join(CK_DIR, d))
+    )
     shutil.rmtree(os.path.join(CK_DIR, stages[-1]))
     resume_s, resume_rows = run(CK_DIR)
     assert resume_rows == lazy_rows, (resume_rows, lazy_rows)

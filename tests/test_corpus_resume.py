@@ -80,6 +80,23 @@ def test_changed_configuration_refuses_to_resume(spark, tmp_path):
     ).count() > 0
 
 
+def test_changed_parameter_refuses_to_resume(spark, tmp_path):
+    """Same stage LIST, different stage PARAMETER (seq_len) — the
+    fingerprint must refuse: a committed pack snapshot was produced by
+    a different window configuration (the round-11 footgun)."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    ck = str(tmp_path / "ck")
+    prepare_corpus(_docs(spark), materialize_dir=ck, **KW).collect()
+    changed = dict(KW, seq_len=KW["seq_len"] + 1)
+    with pytest.raises(ValueError, match="seq_len"):
+        prepare_corpus(_docs(spark), materialize_dir=ck, **changed)
+    # a changed split mix is likewise refused, naming the parameter
+    changed = dict(KW, split_fractions={"train": 0.5, "test": 0.5})
+    with pytest.raises(ValueError, match="split_fractions"):
+        prepare_corpus(_docs(spark), materialize_dir=ck, **changed)
+
+
 def test_crash_mid_stage_then_resume_skips_completed(spark, tmp_path, monkeypatch):
     from evaporate_spark.corpus import prepare_corpus
     from evaporate_spark.sources.versioned import VersionedTable

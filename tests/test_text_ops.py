@@ -637,6 +637,17 @@ def test_corpus_cli(spark, tmp_path, capsys):
     assert main([
         "--documents-parquet", "x", "--mix-key", "lang", "--output", "y",
     ]) == 2
+    # BPE flag combinations that would silently misbehave are rejected:
+    # saving without training, and path+train together
+    assert main([
+        "--documents-parquet", "x", "--output", "y",
+        "--save-bpe-merges", str(tmp_path / "m.jsonl"),
+    ]) == 2
+    assert main([
+        "--documents-parquet", "x", "--output", "y",
+        "--bpe-merges-path", str(tmp_path / "m.jsonl"),
+        "--bpe-num-merges", "50",
+    ]) == 2
 
 
 def test_incremental_exact_dedup_across_batches(spark, tmp_path):

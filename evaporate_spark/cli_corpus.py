@@ -103,6 +103,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq-len", type=int, help="pack into training windows of this many tokens")
     p.add_argument("--overlap", type=int, default=0)
     p.add_argument(
+        "--pack-docs",
+        action="store_true",
+        help="cross-document packing: concatenate documents in "
+        "deterministic order with --eos-token between them and cut "
+        "the stream into full --seq-len windows (doc_spans carry the "
+        "per-window document boundaries); default packs each "
+        "document independently",
+    )
+    p.add_argument("--eos-token", default="<|endoftext|>")
+    p.add_argument("--pack-seed", default="")
+    p.add_argument(
         "--bpe-num-merges", type=int,
         help="train a BPE tokenizer (this many merges) on the input "
         "corpus and count --seq-len / --mix-token-budgets in BPE "
@@ -184,6 +195,16 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if args.shuffle_shards and not args.shuffle_seed:
         print("--shuffle-shards requires --shuffle-seed", file=sys.stderr)
+        return 2
+    if args.pack_docs and args.seq_len is None:
+        print("--pack-docs requires --seq-len", file=sys.stderr)
+        return 2
+    if args.pack_docs and args.overlap:
+        print(
+            "--pack-docs cuts a contiguous stream; --overlap does not "
+            "apply",
+            file=sys.stderr,
+        )
         return 2
     if args.bpe_merges_path and args.bpe_num_merges:
         print(
@@ -308,6 +329,9 @@ def main(argv: list[str] | None = None) -> int:
         default_fraction=args.default_fraction,
         seq_len=args.seq_len,
         overlap=args.overlap,
+        pack_mode="documents" if args.pack_docs else "windows",
+        eos_token=args.eos_token,
+        pack_seed=args.pack_seed,
         upsample_weights=_parse_fractions(args.upsample_weights),
         shuffle_seed=args.shuffle_seed,
         shuffle_shards=args.shuffle_shards,

@@ -49,6 +49,9 @@ def prepare_corpus(
     upsample_weights: dict[str, float] | None = None,
     seq_len: int | None = None,
     overlap: int = 0,
+    pack_mode: str = "windows",
+    eos_token: str = "<|endoftext|>",
+    pack_seed: str = "",
     bpe_merges: list[tuple[str, str]] | None = None,
     shuffle_seed: str | None = None,
     shuffle_shards: int | None = None,
@@ -86,6 +89,17 @@ def prepare_corpus(
     packing. ``bpe_merges`` (from ``operators.bpe.train_bpe``) also
     switches packing to BPE-token windows: ``seq_len``/``overlap``
     then count model tokens and windows carry ``seq_tokens``.
+    ``pack_mode`` picks the packing layout: ``"windows"`` (default)
+    stride-slices each document independently
+    (:func:`operators.packing.pack_sequences` — windows keep their
+    ``doc_id``); ``"documents"`` concatenates documents in
+    deterministic ``md5(pack_seed || id)`` order with ``eos_token``
+    between them and cuts the STREAM into fixed windows
+    (:func:`operators.packing.pack_documents` — every window except
+    the last is full, output keyed by ``seq_index`` with ``doc_spans``
+    boundary offsets instead of ``doc_id``; streams are cut per
+    (split, epoch) group so windows never straddle a train/test fence
+    or epoch copy; ``overlap`` must stay 0).
     ``shuffle_seed`` appends the deterministic global
     training order (``pos``, plus ``shard``/``pos_in_shard`` when
     ``shuffle_shards`` is set) over whatever the preceding stages
@@ -128,6 +142,15 @@ def prepare_corpus(
         raise ValueError("mix_token_budgets requires mix_key")
     if upsample_weights is not None and mix_key is None:
         raise ValueError("upsample_weights requires mix_key")
+    if pack_mode not in ("windows", "documents"):
+        raise ValueError(
+            f"pack_mode must be 'windows' or 'documents', got {pack_mode!r}"
+        )
+    if pack_mode == "documents" and overlap:
+        raise ValueError(
+            "pack_mode='documents' cuts a contiguous stream — overlap "
+            "does not apply (got overlap={})".format(overlap)
+        )
 
     stages: list[tuple[str, object]] = []
 
@@ -317,22 +340,33 @@ def prepare_corpus(
 
         stages.append(("split", _split))
     if seq_len is not None:
-        from evaporate_spark.operators.packing import pack_sequences
+        # epoch and split ride onto every window — carry columns in
+        # windows mode (no join; the former split_map join recomputed
+        # the whole upstream chain, see SCALE_PROBE_RESUME.json),
+        # stream-group columns in documents mode (streams are cut per
+        # group, so windows can't straddle a fence)
+        ride = []
+        if upsample_weights is not None:
+            ride.append("epoch")
+        if split_fractions is not None:
+            ride.append("split")
+        if pack_mode == "documents":
+            from evaporate_spark.operators.packing import pack_documents
 
-        def _pack(d: DataFrame) -> DataFrame:
-            # epoch and split ride onto every window as carry columns —
-            # a window inherits its document's values with NO join (the
-            # former split_map join recomputed the whole upstream chain
-            # for its build side; see SCALE_PROBE_RESUME.json)
-            carry = []
-            if upsample_weights is not None:
-                carry.append("epoch")
-            if split_fractions is not None:
-                carry.append("split")
-            return pack_sequences(
-                d, id_col, text_col, seq_len, overlap, carry or None,
-                merges=bpe_merges,
-            )
+            def _pack(d: DataFrame) -> DataFrame:
+                return pack_documents(
+                    d, id_col, text_col, seq_len,
+                    seed=pack_seed, eos_token=eos_token,
+                    group_cols=ride or None, merges=bpe_merges,
+                )
+        else:
+            from evaporate_spark.operators.packing import pack_sequences
+
+            def _pack(d: DataFrame) -> DataFrame:
+                return pack_sequences(
+                    d, id_col, text_col, seq_len, overlap, ride or None,
+                    merges=bpe_merges,
+                )
 
         stages.append(("pack", _pack))
     if shuffle_seed is not None:
@@ -340,12 +374,21 @@ def prepare_corpus(
 
         def _shuffle(d: DataFrame) -> DataFrame:
             # the reproducible global training order: key on everything
-            # that identifies a row (doc, window, epoch copy)
-            key_cols = [id_col]
-            if seq_len is not None:
-                key_cols.append("seq_index")
-            if upsample_weights is not None:
-                key_cols.append("epoch")
+            # that identifies a row (doc, window, epoch copy). In
+            # documents pack mode windows have no doc_id — the identity
+            # is (stream group, seq_index)
+            if seq_len is not None and pack_mode == "documents":
+                key_cols = ["seq_index"]
+                if split_fractions is not None:
+                    key_cols.append("split")
+                if upsample_weights is not None:
+                    key_cols.append("epoch")
+            else:
+                key_cols = [id_col]
+                if seq_len is not None:
+                    key_cols.append("seq_index")
+                if upsample_weights is not None:
+                    key_cols.append("epoch")
             d = d.withColumn(
                 "_shuffle_key",
                 F.concat_ws(
@@ -387,6 +430,15 @@ def prepare_corpus(
         "split_fractions": split_fractions,
         "seq_len": seq_len,
         "overlap": overlap,
+        "pack_mode": pack_mode if seq_len is not None else None,
+        "eos_token": (
+            eos_token if seq_len is not None and pack_mode == "documents"
+            else None
+        ),
+        "pack_seed": (
+            pack_seed if seq_len is not None and pack_mode == "documents"
+            else None
+        ),
         "bpe_merges_sha256": _merges_digest(bpe_merges),
         "shuffle_seed": shuffle_seed,
         "shuffle_shards": shuffle_shards,

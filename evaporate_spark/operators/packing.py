@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _ws_tokens_keep_case(col: Column | str) -> Column:
@@ -120,4 +121,213 @@ def pack_sequences(
             F.size("_w").cast("bigint").alias("n_tokens"),
             F.concat_ws(" ", "_w").alias("seq_text"),
         )
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    seed: str = "",
+    eos_token: str = "<|endoftext|>",
+    group_cols: list[str] | None = None,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """CROSS-document packing — the GPT-style trainer layout
+    :func:`pack_sequences` approximates per-document: all documents
+    are concatenated in a deterministic shuffle order (``md5(seed ||
+    id)``, the ``corpus_shuffle`` convention) with ``eos_token``
+    appended after each document, and the resulting token stream is
+    cut into fixed-``seq_len`` windows. Every window is exactly
+    ``seq_len`` tokens except the stream's last — short documents fill
+    windows instead of emitting padded stubs, so a web corpus whose
+    median document is shorter than ``seq_len`` wastes no batch
+    tokens.
+
+    Output: (``group_cols``…, ``seq_index`` — the 0-based global
+    window id, ``n_tokens``, ``seq_text``, ``doc_spans``) where
+    ``doc_spans`` is ``array<struct<doc_id, begin, end>>`` — each
+    document's inclusive token range WITHIN the window (its EOS
+    included), i.e. the segment boundaries a trainer needs for
+    attention masking across packed documents. With ``merges`` the
+    stream is in BPE-token units and windows also carry
+    ``seq_tokens``. Empty documents pack to nothing (no lone-EOS
+    windows). With ``group_cols`` (e.g. ``["split"]`` or
+    ``["split", "epoch"]``) each group packs its OWN stream —
+    windows never straddle a train/test fence or an epoch copy —
+    and the columns ride onto every window.
+
+    Scale shape: tokenization is scan-stage; the deterministic offsets
+    use the two-phase pattern (``operators/ranking.py`` —
+    repartitionByRange over a TOKEN-COUNT-ONLY meta frame, per-range
+    window cumsum + driver prefix of the P×groups range totals,
+    broadcast back); fragments explode in the scan stage and one
+    groupBy on the dense window id assembles windows. No single-task
+    sort, no all-to-driver step beyond the P×groups totals row set.
+    """
+    if seq_len < 1:
+        raise ValueError(f"need seq_len >= 1, got {seq_len}")
+    if not eos_token or any(ch.isspace() for ch in eos_token):
+        raise ValueError(
+            "eos_token must be non-empty and whitespace-free (windows "
+            f"detokenize by joining on spaces), got {eos_token!r}"
+        )
+    groups = list(group_cols or [])
+    spark = docs.sparkSession
+    L = int(seq_len)
+
+    if merges is not None:
+        from evaporate_spark.operators.bpe import bpe_encode_tokens
+
+        toked = bpe_encode_tokens(docs, text_col, merges, "_t")
+    else:
+        toked = docs.withColumn("_t", _ws_tokens_keep_case(text_col))
+    toked = (
+        toked.withColumn("_n", F.size("_t").cast("bigint"))
+        .where(F.col("_n") > 0)
+        .withColumn(
+            "_h",
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+        )
+    )
+
+    # -- two-phase per-group stream offset over a TOKEN-COUNT meta
+    # frame (no token arrays ride through the rank machinery). The
+    # persist is correctness-critical: the totals job and the offset
+    # job must see identical range boundaries (operators/ranking.py).
+    meta = toked.select(*groups, id_col, "_h", "_n")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rep = (
+        meta.repartitionByRange(n_part, *groups, "_h", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = rep.groupBy("_pid", *groups).agg(
+        F.sum(F.col("_n") + 1).alias("_tot")
+    ).collect()
+    acc: dict[tuple, int] = {}
+    off_rows = []
+    for r in sorted(
+        totals, key=lambda r: (tuple(str(r[g]) for g in groups), r["_pid"])
+    ):
+        gkey = tuple(r[g] for g in groups)
+        off_rows.append(
+            (r["_pid"],) + tuple(r[g] for g in groups) + (acc.get(gkey, 0),)
+        )
+        acc[gkey] = acc.get(gkey, 0) + r["_tot"]
+    if not off_rows:
+        # zero non-empty documents: schema-correct empty output
+        empty = rep.select(*groups).limit(0)
+        rep.unpersist(False)
+        tok_cols = (
+            [F.array().cast("array<string>").alias("seq_tokens")]
+            if merges is not None
+            else []
+        )
+        return empty.select(
+            *groups,
+            F.lit(0).cast("bigint").alias("seq_index"),
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            *tok_cols,
+            F.lit("").alias("seq_text"),
+            F.expr(
+                "cast(array() as array<struct<doc_id:string,"
+                "begin:int,end:int>>)"
+            ).alias("doc_spans"),
+        )
+    # schema built from the live frame so group-column types carry
+    # over exactly (StructType.add mutates — build fresh per call)
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            off_rows,
+            rep.select("_pid", *groups).limit(0).schema.add("_poff", "long"),
+        )
+    )
+    w_local = Window.partitionBy("_pid", *groups).orderBy("_h", id_col)
+    offsets = (
+        rep.join(off_df, ["_pid", *groups])
+        .withColumn(
+            "_off",
+            F.sum(F.col("_n") + 1).over(w_local)
+            - (F.col("_n") + 1)
+            + F.col("_poff"),
+        )
+        .select(*groups, id_col, "_off")
+        .localCheckpoint(eager=True)
+    )
+    rep.unpersist(False)
+
+    # -- fragment generation: each doc contributes a slice (plus its
+    # EOS in the window where the stream position off+n falls) to every
+    # window it touches — all scan-stage array expressions
+    d = toked.join(offsets, [*groups, id_col])
+    g0 = F.expr(f"_off div {L}")  # first window touched
+    g1 = F.expr(f"(_off + _n) div {L}")  # window holding the EOS
+    n = F.col("_n")
+    off = F.col("_off")
+    toks = F.col("_t")
+    idc = F.col(id_col).cast("string")
+
+    def _frag(w: Column) -> Column:
+        a = F.greatest(F.lit(0), w * L - off)  # 0-based doc-local
+        b = F.least(n - 1, w * L + (L - 1) - off)
+        real = F.when(
+            b >= a, F.slice(toks, (a + 1).cast("int"), (b - a + 1).cast("int"))
+        ).otherwise(F.array().cast("array<string>"))
+        ftoks = F.when(
+            F.expr(f"(_off + _n) div {L}") == w,
+            F.concat(real, F.array(F.lit(eos_token))),
+        ).otherwise(real)
+        start = (F.greatest(off, w * L) - w * L).cast("int")
+        return F.struct(
+            start.alias("start"), idc.alias("doc_id"), ftoks.alias("toks")
+        )
+
+    # window id must pair with ITS fragment: zip the window range with
+    # the fragment transform instead of a second explode
+    frags = d.select(
+        *groups,
+        F.explode(
+            F.zip_with(
+                F.sequence(g0, g1),
+                F.transform(F.sequence(g0, g1), _frag),
+                lambda w, f: F.struct(w.alias("w"), f.alias("frag")),
+            )
+        ).alias("_wf"),
+    ).select(*groups, F.col("_wf.w").alias("_w"), F.col("_wf.frag").alias("_frag"))
+
+    assembled = (
+        frags.groupBy(*groups, "_w")
+        .agg(F.array_sort(F.collect_list("_frag")).alias("_fr"))
+    )
+    seq_tokens = F.flatten(F.transform(F.col("_fr"), lambda f: f["toks"]))
+    spans = F.transform(
+        F.col("_fr"),
+        lambda f: F.struct(
+            f["doc_id"].alias("doc_id"),
+            f["start"].alias("begin"),
+            (f["start"] + F.size(f["toks"]) - 1).cast("int").alias("end"),
+        ),
+    )
+    if merges is not None:
+        from evaporate_spark.operators.bpe import _EOW
+
+        detok = F.trim(
+            F.regexp_replace(F.concat_ws("", seq_tokens), _EOW, " ")
+        )
+        return assembled.select(
+            *groups,
+            F.col("_w").alias("seq_index"),
+            F.size(seq_tokens).cast("bigint").alias("n_tokens"),
+            seq_tokens.alias("seq_tokens"),
+            detok.alias("seq_text"),
+            spans.alias("doc_spans"),
+        )
+    return assembled.select(
+        *groups,
+        F.col("_w").alias("seq_index"),
+        F.size(seq_tokens).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", seq_tokens).alias("seq_text"),
+        spans.alias("doc_spans"),
     )

@@ -2901,6 +2901,132 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "seq_index", "n_tokens", "seq_text")
 
 
+def _spans_str(col: str = "doc_spans"):
+    """doc_spans array<struct> → canonical 'id:begin-end,…' string so
+    the DuckDB oracle compares scalars, not nested structs."""
+    return F.concat_ws(
+        ",",
+        F.transform(
+            F.col(col),
+            lambda s: F.concat_ws(
+                "",
+                s["doc_id"],
+                F.lit(":"),
+                s["begin"].cast("string"),
+                F.lit("-"),
+                s["end"].cast("string"),
+            ),
+        ),
+    ).alias("spans")
+
+
+@register(
+    "q_pack_documents",
+    "CROSS-document sequence packing (operators/packing.py::"
+    "pack_documents — the GPT-style trainer layout): documents "
+    "concatenated in deterministic md5(seed||id) order with an EOS "
+    "sentinel after each, the stream cut into fixed 16-token windows; "
+    "every window is full except the stream's last, and doc_spans "
+    "records each document's inclusive token range per window (the "
+    "attention-mask boundaries), canonicalized to a string. Offsets "
+    "via the two-phase range-partition cumsum (no single-task sort); "
+    "the oracle replays the identical stream algebra with a DuckDB "
+    "window cumsum + per-window fragment reassembly.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS t,
+                   md5(concat('p12', CAST(doc_id AS VARCHAR))) AS hv
+            FROM documents
+        ),
+        ne AS (
+            SELECT doc_id, t, len(t) AS n, hv FROM toks WHERE len(t) > 0
+        ),
+        ord AS (
+            SELECT doc_id, t, n,
+                   CAST(SUM(n + 1) OVER (
+                       ORDER BY hv, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - (n + 1) AS BIGINT) AS off
+            FROM ne
+        ),
+        frag AS (
+            SELECT doc_id, t, n, off,
+                   unnest(range(off // 16, (off + n) // 16 + 1)) AS w
+            FROM ord
+        ),
+        fr AS (
+            SELECT w, doc_id,
+                   CAST(greatest(off, w * 16) - w * 16 AS BIGINT) AS fstart,
+                   list_concat(
+                       CASE WHEN least(n - 1, w * 16 + 15 - off)
+                                 >= greatest(0, w * 16 - off)
+                            THEN list_slice(
+                                t,
+                                CAST(greatest(0, w * 16 - off) + 1 AS BIGINT),
+                                CAST(least(n - 1, w * 16 + 15 - off) + 1
+                                     AS BIGINT))
+                            ELSE [] END,
+                       CASE WHEN (off + n) // 16 = w
+                            THEN ['<eos>'] ELSE [] END
+                   ) AS ftoks
+            FROM frag
+        )
+        SELECT CAST(w AS BIGINT) AS seq_index,
+               CAST(len(flatten(list(ftoks ORDER BY fstart))) AS BIGINT)
+                   AS n_tokens,
+               array_to_string(flatten(list(ftoks ORDER BY fstart)), ' ')
+                   AS seq_text,
+               string_agg(
+                   CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(fstart AS VARCHAR) || '-'
+                       || CAST(fstart + len(ftoks) - 1 AS VARCHAR),
+                   ',' ORDER BY fstart) AS spans
+        FROM fr
+        GROUP BY w
+    """,
+    tags=("textstats", "corpus"),
+)
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.packing import pack_documents
+
+    (d,) = _t(spark, sf_dir, "documents")
+    out = pack_documents(
+        d.select("doc_id", "text"), seq_len=16, seed="p12", eos_token="<eos>"
+    )
+    return out.select("seq_index", "n_tokens", "seq_text", _spans_str())
+
+
+@register(
+    "q_pack_documents_bpe",
+    "Cross-document packing in MODEL-token units (pack_documents x "
+    "operators/bpe.py): the same concat-with-EOS stream algebra over "
+    "the BPE-encoded corpus — windows are 32 BPE tokens, so seq_len "
+    "means to the trainer what it says AND short documents fill "
+    "windows instead of padding. Greedy merge encoding is not "
+    "SQL-expressible -> rows-only driver check; exact semantics are "
+    "ground-truth-asserted against a pure-python recompute "
+    "(tests/test_pack_documents.py).",
+    oracle=None,
+    tags=("textstats", "corpus"),
+)
+def q_pack_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.bpe import train_bpe
+    from evaporate_spark.operators.packing import pack_documents
+
+    (d,) = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", num_merges=60)
+    out = pack_documents(
+        d.select("doc_id", "text"),
+        seq_len=32,
+        seed="p12",
+        eos_token="<eos>",
+        merges=merges,
+    )
+    return out.select("seq_index", "n_tokens", "seq_text", _spans_str())
+
+
 @register(
     "q_range_frame_rolling",
     "RANGE-frame window (vs the ROWS frames elsewhere): per-user "

@@ -1,0 +1,211 @@
+"""Cross-document sequence packing (operators/packing.py::
+pack_documents) — ground truth is a pure-python recompute of the
+concat-with-EOS stream (deterministic md5 order, per-group streams,
+window cuts, span boundaries), in both whitespace and BPE-token
+units. Registry twin: q_pack_documents (DuckDB-oracled) /
+q_pack_documents_bpe (rows-only, covered here)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+DOCS = [
+    (1, "train", "a b c d e"),
+    (2, "train", "f g"),
+    (3, "train", "h i j k l m n o p q r s t u v w"),
+    (4, "test", "x y z"),
+    (5, "train", "   "),  # whitespace-only -> drops
+    (6, "test", "q1 q2 q3 q4 q5 q6 q7"),
+]
+EOS = "<|eot|>"
+SEED = "t12"
+
+
+def _recompute(doc_tokens, seq_len, groups=False):
+    """(group?, seq_index, n_tokens, seq_text, spans) rows from the
+    stream semantics, independent of any Spark code."""
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for i, grp, toks in doc_tokens:
+        if not toks:
+            continue
+        h = hashlib.md5((SEED + str(i)).encode()).hexdigest()
+        streams[grp if groups else ""].append((h, i, toks))
+    exp = []
+    for grp, docs in streams.items():
+        docs.sort()
+        stream = [
+            (i, t) for _, i, toks in docs for t in list(toks) + [EOS]
+        ]
+        for w in range(0, (len(stream) + seq_len - 1) // seq_len):
+            chunk = stream[w * seq_len : (w + 1) * seq_len]
+            toks = [t for _, t in chunk]
+            spans = []
+            for pos, (i, _) in enumerate(chunk):
+                if spans and spans[-1][0] == str(i):
+                    spans[-1][2] = pos
+                else:
+                    spans.append([str(i), pos, pos])
+            row = (w, len(toks), " ".join(toks), [tuple(s) for s in spans])
+            exp.append(((grp,) + row) if groups else row)
+    return sorted(exp)
+
+
+def _got(df, groups=False):
+    out = []
+    for r in df.collect():
+        spans = [(s["doc_id"], s["begin"], s["end"]) for s in r["doc_spans"]]
+        row = (r["seq_index"], r["n_tokens"], r["seq_text"], spans)
+        out.append(((r["split"],) + row) if groups else row)
+    return sorted(out)
+
+
+def test_whitespace_stream_matches_recompute(spark):
+    from evaporate_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "split", "text"])
+    out = pack_documents(
+        df, "doc_id", "text", seq_len=6, seed=SEED, eos_token=EOS
+    )
+    toks = [(i, g, t.split()) for i, g, t in DOCS]
+    assert _got(out) == _recompute(toks, 6)
+    # every window except the stream's last is exactly full, spans
+    # tile each window with no gaps
+    rows = sorted(out.collect(), key=lambda r: r["seq_index"])
+    for r in rows[:-1]:
+        assert r["n_tokens"] == 6
+    for r in rows:
+        pos = 0
+        for s in r["doc_spans"]:
+            assert s["begin"] == pos and s["end"] >= s["begin"]
+            pos = s["end"] + 1
+        assert pos == r["n_tokens"]
+
+
+def test_grouped_streams_never_straddle(spark):
+    from evaporate_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "split", "text"])
+    out = pack_documents(
+        df, "doc_id", "text", seq_len=6, seed=SEED, eos_token=EOS,
+        group_cols=["split"],
+    )
+    toks = [(i, g, t.split()) for i, g, t in DOCS]
+    assert _got(out, groups=True) == _recompute(toks, 6, groups=True)
+    # train doc ids never appear in a test window and vice versa
+    train_ids = {str(i) for i, g, _ in DOCS if g == "train"}
+    for r in out.collect():
+        ids = {s["doc_id"] for s in r["doc_spans"]}
+        assert ids <= train_ids if r["split"] == "train" else not (
+            ids & train_ids
+        )
+
+
+def test_bpe_units_match_recompute(spark):
+    """The BPE twin: the stream is in learned-subword units; the
+    recompute re-encodes every document with the same pure-python
+    greedy merge and replays the stream."""
+    from evaporate_spark.operators.bpe import _encode_word, train_bpe
+    from evaporate_spark.operators.packing import pack_documents
+
+    rows = [
+        (1, "x", "the cat sat on the mat"),
+        (2, "x", "the mat sat on the cat"),
+        (3, "x", "cats and mats matter"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "split", "text"])
+    merges = train_bpe(df, "text", num_merges=30)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    import re
+
+    def enc(text):
+        out = []
+        for w in re.split(r"\W+", text.lower()):
+            if w:
+                out.extend(_encode_word(w, ranks))
+        return out
+
+    out = pack_documents(
+        df, "doc_id", "text", seq_len=5, seed=SEED, eos_token=EOS,
+        merges=merges,
+    )
+    toks = [(i, g, enc(t)) for i, g, t in rows]
+    got = sorted(
+        (r["seq_index"], r["n_tokens"], list(r["seq_tokens"]))
+        for r in out.collect()
+    )
+    # BPE subwords contain no spaces (\w+ pieces + </w>), so the
+    # recompute's space-joined text splits back losslessly
+    exp = [
+        (w, n, text.split(" ")) for (w, n, text, _sp) in _recompute(toks, 5)
+    ]
+    assert got == exp
+
+
+def test_prepare_corpus_documents_mode(spark):
+    """Facade integration: pack_mode='documents' composes with split,
+    upsampling, and the deterministic shuffle — streams are cut per
+    (epoch, split) group and the global order keys on the window."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(1, 13)],
+        ["doc_id", "text"],
+    )
+    out = prepare_corpus(
+        docs,
+        redact=False,
+        normalize=False,
+        split_fractions={"train": 0.7, "test": 0.3},
+        seq_len=8,
+        pack_mode="documents",
+        eos_token=EOS,
+        shuffle_seed="s",
+    )
+    rows = out.collect()
+    assert rows and set(out.columns) >= {
+        "split", "seq_index", "n_tokens", "seq_text", "doc_spans", "pos",
+    }
+    # all but the last window PER SPLIT STREAM are full
+    for split in {r["split"] for r in rows}:
+        sizes = [
+            r["n_tokens"]
+            for r in sorted(
+                (r for r in rows if r["split"] == split),
+                key=lambda r: r["seq_index"],
+            )
+        ]
+        assert all(s == 8 for s in sizes[:-1])
+    # shuffle positions are a 1..N permutation over windows
+    assert sorted(r["pos"] for r in rows) == list(range(1, len(rows) + 1))
+    with _pytest.raises(ValueError, match="overlap"):
+        prepare_corpus(
+            docs, seq_len=8, overlap=2, pack_mode="documents"
+        )
+    with _pytest.raises(ValueError, match="pack_mode"):
+        prepare_corpus(docs, seq_len=8, pack_mode="concat")
+
+
+def test_eos_validation(spark):
+    from evaporate_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="eos_token"):
+        pack_documents(df, seq_len=4, eos_token="has space")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_documents(df, seq_len=0)
+
+
+def test_empty_input_schema(spark):
+    from evaporate_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = pack_documents(df, seq_len=4)
+    assert out.count() == 0
+    assert out.columns == ["seq_index", "n_tokens", "seq_text", "doc_spans"]

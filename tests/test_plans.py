@@ -31,6 +31,8 @@ EAGER = {
     "q_quality_model_scores",  # fixture-model training at plan build
     "q_pagerank",  # power-iteration loop runs jobs at plan build
     "q_lsh_index_probe",  # index (re)build + probe collect at plan build
+    "q_pack_documents",  # two-phase offset totals collect at plan build
+    "q_pack_documents_bpe",  # BPE train + offset totals at plan build
 }
 
 

@@ -138,6 +138,14 @@ def build_parser() -> argparse.ArgumentParser:
         "here for reuse across runs",
     )
     p.add_argument(
+        "--bpe-lossless",
+        action="store_true",
+        help="GPT-2-style lossless BPE: train/encode over raw-text "
+        "pieces (case, punctuation, whitespace preserved; "
+        "concat(tokens) == original text) instead of lowercased "
+        "words + end-of-word sentinel",
+    )
+    p.add_argument(
         "--upsample-weights",
         help="key=epochs list for multi-epoch upsampling, e.g. 'en=2.25' "
         "(requires --mix-key; adds an epoch column)",
@@ -298,7 +306,8 @@ def main(argv: list[str] | None = None) -> int:
         from evaporate_spark.operators.bpe import train_bpe
 
         bpe_merges = train_bpe(
-            docs, args.text_col, num_merges=args.bpe_num_merges
+            docs, args.text_col, num_merges=args.bpe_num_merges,
+            lossless=args.bpe_lossless,
         )
         if args.save_bpe_merges:
             from evaporate_spark.operators.bpe import save_merges
@@ -310,6 +319,7 @@ def main(argv: list[str] | None = None) -> int:
         id_col=args.id_col,
         text_col=args.text_col,
         bpe_merges=bpe_merges,
+        bpe_lossless=args.bpe_lossless,
         mix_token_budgets=(
             {k: int(v) for k, v in budgets.items()} if budgets else None
         ),

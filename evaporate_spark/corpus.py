@@ -53,6 +53,7 @@ def prepare_corpus(
     eos_token: str = "<|endoftext|>",
     pack_seed: str = "",
     bpe_merges: list[tuple[str, str]] | None = None,
+    bpe_lossless: bool = False,
     shuffle_seed: str | None = None,
     shuffle_shards: int | None = None,
     materialize_dir: str | None = None,
@@ -88,7 +89,10 @@ def prepare_corpus(
     rows gain a 0-based ``epoch`` copy index that rides through
     packing. ``bpe_merges`` (from ``operators.bpe.train_bpe``) also
     switches packing to BPE-token windows: ``seq_len``/``overlap``
-    then count model tokens and windows carry ``seq_tokens``.
+    then count model tokens and windows carry ``seq_tokens``;
+    ``bpe_lossless`` (merges from ``train_bpe(lossless=True)``)
+    switches to the GPT-2-style raw-text pieces, so token counts,
+    budgets, and ``seq_text`` are exact over the original bytes.
     ``pack_mode`` picks the packing layout: ``"windows"`` (default)
     stride-slices each document independently
     (:func:`operators.packing.pack_sequences` — windows keep their
@@ -295,7 +299,10 @@ def prepare_corpus(
             if bpe_merges is not None:
                 from evaporate_spark.operators.bpe import bpe_encode_tokens
 
-                d = bpe_encode_tokens(d, text_col, bpe_merges, "_budget_bpe")
+                d = bpe_encode_tokens(
+                    d, text_col, bpe_merges, "_budget_bpe",
+                    lossless=bpe_lossless,
+                )
                 d = d.withColumn("_n_budget_tokens", F.size("_budget_bpe"))
             else:
                 from evaporate_spark.functions.text_stats import (
@@ -358,6 +365,7 @@ def prepare_corpus(
                     d, id_col, text_col, seq_len,
                     seed=pack_seed, eos_token=eos_token,
                     group_cols=ride or None, merges=bpe_merges,
+                    lossless=bpe_lossless,
                 )
         else:
             from evaporate_spark.operators.packing import pack_sequences
@@ -365,7 +373,7 @@ def prepare_corpus(
             def _pack(d: DataFrame) -> DataFrame:
                 return pack_sequences(
                     d, id_col, text_col, seq_len, overlap, ride or None,
-                    merges=bpe_merges,
+                    merges=bpe_merges, lossless=bpe_lossless,
                 )
 
         stages.append(("pack", _pack))
@@ -440,6 +448,7 @@ def prepare_corpus(
             else None
         ),
         "bpe_merges_sha256": _merges_digest(bpe_merges),
+        "bpe_lossless": bpe_lossless if bpe_merges is not None else None,
         "shuffle_seed": shuffle_seed,
         "shuffle_shards": shuffle_shards,
     }

@@ -34,24 +34,43 @@ __all__ = [
     "load_merges",
 ]
 
-#: end-of-word sentinel (subword-nmt convention)
+#: end-of-word sentinel (subword-nmt convention; legacy mode only)
 _EOW = "</w>"
 
+#: GPT-2-STYLE lossless pre-tokenizer: contraction suffixes, then
+#: optional-leading-space letter / digit / punctuation runs
+#: (underscore folded into punctuation — it is \w but not a letter),
+#: then whitespace runs. The alternatives TILE the string — every
+#: character lands in exactly one piece — so concatenating the pieces
+#: reproduces the original text byte-for-byte; leading spaces stay
+#: attached to their word (the GPT-2 "Ġ" convention, kept literal).
+#: Deliberately lookahead-free and class-subtraction-free so the SAME
+#: pattern compiles in java.util.regex (Spark, with (?U) for unicode
+#: classes) and Python re (unicode by default).
+_LOSSLESS_CORE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:_|[^\s\w])+|\s+"
+_LOSSLESS_JAVA = "(?U)" + _LOSSLESS_CORE
 
-def _word_counts(df: DataFrame, text_col: str, max_vocab: int) -> list[tuple[str, int]]:
+
+def _word_counts(
+    df: DataFrame, text_col: str, max_vocab: int, lossless: bool = False
+) -> list[tuple[str, int]]:
     """Distributed word-frequency table (the only corpus-sized pass).
     Truncated to the ``max_vocab`` most frequent words (count-then-word
     deterministic order) — standard practice; rare-word tails only
-    slow training without changing early merges much."""
-    rows = (
-        df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), r"\W+"),
-                    lambda x: x != F.lit(""),
-                )
-            ).alias("w")
+    slow training without changing early merges much. Lossless mode
+    counts the GPT-2-style pre-tokenizer's pieces (case, punctuation,
+    leading spaces, whitespace runs all preserved) instead of
+    lowercased ``\\W+`` words."""
+    pieces = (
+        F.regexp_extract_all(F.col(text_col), F.lit(_LOSSLESS_JAVA), 0)
+        if lossless
+        else F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"),
+            lambda x: x != F.lit(""),
         )
+    )
+    rows = (
+        df.select(F.explode(pieces).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("w"))
@@ -66,11 +85,21 @@ def train_bpe(
     text_col: str,
     num_merges: int = 200,
     max_vocab: int = 50_000,
+    lossless: bool = False,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
-    ordered merge list (earlier = higher priority)."""
+    ordered merge list (earlier = higher priority).
+
+    ``lossless`` switches the pre-tokenization universe from
+    lowercased ``\\W+`` words + end-of-word sentinel (the subword-nmt
+    convention) to the GPT-2-style piece regex over the RAW text —
+    case, punctuation, digits, and whitespace runs all become
+    trainable pieces (no sentinel), so encodings concatenate back to
+    the original bytes (see :func:`bpe_encode_tokens`)."""
+    eow = () if lossless else (_EOW,)
     vocab = {
-        tuple(w) + (_EOW,): c for w, c in _word_counts(df, text_col, max_vocab)
+        tuple(w) + eow: c
+        for w, c in _word_counts(df, text_col, max_vocab, lossless)
     }
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -139,8 +168,10 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     return [tuple(json.loads(ln)) for ln in lines]
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    sym = list(word) + [_EOW]
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int], eow: bool = True
+) -> list[str]:
+    sym = list(word) + ([_EOW] if eow else [])
     while len(sym) > 1:
         best_rank, best_i = None, None
         for i, pair in enumerate(zip(sym, sym[1:])):
@@ -158,10 +189,18 @@ def bpe_encode_tokens(
     text_col: str,
     merges: list[tuple[str, str]],
     out_col: str = "bpe_tokens",
+    lossless: bool = False,
 ) -> DataFrame:
     """Append ``out_col ARRAY<STRING>``: the greedy lowest-rank-first
     BPE encoding of each document (GPT-2/HF merge semantics), via an
-    Arrow-batched pandas UDF over a broadcast merge table."""
+    Arrow-batched pandas UDF over a broadcast merge table.
+
+    ``lossless`` (pair with merges from ``train_bpe(lossless=True)``)
+    encodes the GPT-2-style pieces of the RAW text — no lowercasing,
+    no dropped punctuation, no end-of-word sentinel — so
+    ``concat(tokens) == text`` exactly (the round-trip property
+    ``q_bpe_lossless_roundtrip`` oracles): token counts and budgets
+    then measure what a real byte-level trainer tokenizer measures."""
     from pyspark.sql.functions import pandas_udf
 
     sc = df.sparkSession.sparkContext
@@ -174,8 +213,20 @@ def bpe_encode_tokens(
         ranks = b_ranks.value
         cache: dict[str, list[str]] = {}
         out = []
+        if lossless:
+            pat = re.compile(_LOSSLESS_CORE)
+            for t in texts:
+                toks: list[str] = []
+                for w in pat.findall(t or ""):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, ranks, eow=False)
+                        cache[w] = enc
+                    toks.extend(enc)
+                out.append(toks)
+            return pd.Series(out)
         for t in texts:
-            toks: list[str] = []
+            toks = []
             for w in re.split(r"\W+", (t or "").lower()):
                 if not w:
                     continue

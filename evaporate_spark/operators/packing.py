@@ -44,6 +44,7 @@ def pack_sequences(
     overlap: int = 0,
     carry_cols: list[str] | None = None,
     merges: list[tuple[str, str]] | None = None,
+    lossless: bool = False,
 ) -> DataFrame:
     """(id, text) → one row per training window:
     (id, [carry_cols...], seq_index, n_tokens, seq_text). Empty
@@ -60,7 +61,11 @@ def pack_sequences(
     trainer consumes), and ``seq_text`` is the detokenized window
     (end-of-word sentinels → spaces; BPE pre-tokenization lowercases
     and strips punctuation, so this is normalized text, not the
-    original bytes)."""
+    original bytes). With ``lossless`` (merges from
+    ``train_bpe(lossless=True)``) tokens are GPT-2-style raw-text
+    pieces and ``seq_text`` is the EXACT original byte span
+    (concatenating all windows of a document at overlap=0 reproduces
+    the document)."""
     if not 0 <= overlap < seq_len:
         raise ValueError(f"need 0 <= overlap < seq_len, got {overlap}/{seq_len}")
     stride = seq_len - overlap
@@ -81,10 +86,14 @@ def pack_sequences(
         # the UDF output is a named column, so the window lambda
         # references it (no re-encode per window — the bind_once
         # concern only applies to inlined expressions)
-        toks = bpe_encode_tokens(docs, text_col, merges, "_bpe_toks")
-        detok = F.trim(
-            F.regexp_replace(
-                F.concat_ws("", F.col("_w")), _EOW, " "
+        toks = bpe_encode_tokens(
+            docs, text_col, merges, "_bpe_toks", lossless=lossless
+        )
+        detok = (
+            F.concat_ws("", F.col("_w"))  # lossless: exact byte span
+            if lossless
+            else F.trim(
+                F.regexp_replace(F.concat_ws("", F.col("_w")), _EOW, " ")
             )
         )
         return (
@@ -133,6 +142,7 @@ def pack_documents(
     eos_token: str = "<|endoftext|>",
     group_cols: list[str] | None = None,
     merges: list[tuple[str, str]] | None = None,
+    lossless: bool = False,
 ) -> DataFrame:
     """CROSS-document packing — the GPT-style trainer layout
     :func:`pack_sequences` approximates per-document: all documents
@@ -180,7 +190,9 @@ def pack_documents(
     if merges is not None:
         from evaporate_spark.operators.bpe import bpe_encode_tokens
 
-        toked = bpe_encode_tokens(docs, text_col, merges, "_t")
+        toked = bpe_encode_tokens(
+            docs, text_col, merges, "_t", lossless=lossless
+        )
     else:
         toked = docs.withColumn("_t", _ws_tokens_keep_case(text_col))
     toked = (
@@ -313,8 +325,12 @@ def pack_documents(
     if merges is not None:
         from evaporate_spark.operators.bpe import _EOW
 
-        detok = F.trim(
-            F.regexp_replace(F.concat_ws("", seq_tokens), _EOW, " ")
+        detok = (
+            F.concat_ws("", seq_tokens)  # lossless: raw byte stream
+            if lossless
+            else F.trim(
+                F.regexp_replace(F.concat_ws("", seq_tokens), _EOW, " ")
+            )
         )
         return assembled.select(
             *groups,

@@ -3028,6 +3028,38 @@ def q_pack_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bpe_lossless_roundtrip",
+    "Lossless (GPT-2-style) BPE mode (operators/bpe.py lossless=True): "
+    "merges train over raw-text pieces — case, punctuation, digits, "
+    "whitespace runs preserved, no end-of-word sentinel — so "
+    "concatenating a document's encoded tokens reproduces the "
+    "original text EXACTLY. The greedy encode is not SQL-expressible, "
+    "but the round-trip INVARIANT is: the query returns (doc_id, "
+    "concat(tokens), token count) and the oracle is the documents "
+    "table itself — any lossy tokenization hash-mismatches.",
+    oracle="""
+        SELECT doc_id, text,
+               CAST(length(text) > 0 AS BOOLEAN) AS has_tokens
+        FROM documents
+    """,
+    tags=("textstats", "corpus"),
+)
+def q_bpe_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.bpe import bpe_encode_tokens, train_bpe
+
+    (d,) = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", num_merges=60, lossless=True)
+    enc = bpe_encode_tokens(
+        d.select("doc_id", "text"), "text", merges, "toks", lossless=True
+    )
+    return enc.select(
+        "doc_id",
+        F.concat_ws("", "toks").alias("text"),
+        (F.size("toks") > 0).alias("has_tokens"),
+    )
+
+
+@register(
     "q_range_frame_rolling",
     "RANGE-frame window (vs the ROWS frames elsewhere): per-user "
     "rolling 1-hour event-value sum ordered by integer epoch seconds "

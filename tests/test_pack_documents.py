@@ -146,6 +146,37 @@ def test_bpe_units_match_recompute(spark):
     assert got == exp
 
 
+def test_lossless_bpe_stream_reconstructs_corpus(spark):
+    """pack_documents + lossless BPE: concatenating every window's
+    seq_text in seq_index order reproduces the documents (original
+    bytes) joined by the EOS sentinel, in the deterministic md5
+    order — the strongest end-to-end invariant of the stream algebra."""
+    from evaporate_spark.operators.bpe import train_bpe
+    from evaporate_spark.operators.packing import pack_documents
+
+    rows = [
+        (1, "Case MATTERS here, really."),
+        (2, "  punct!? and\nnewlines\tsurvive  "),
+        (3, "third DOC with Числа 42"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = train_bpe(df, "text", num_merges=30, lossless=True)
+    out = pack_documents(
+        df, "doc_id", "text", seq_len=7, seed=SEED, eos_token=EOS,
+        merges=merges, lossless=True,
+    )
+    got = "".join(
+        r["seq_text"]
+        for r in sorted(out.collect(), key=lambda r: r["seq_index"])
+    )
+    order = sorted(
+        (hashlib.md5((SEED + str(i)).encode()).hexdigest(), i, t)
+        for i, t in rows
+    )
+    want = "".join(t + EOS for _, _, t in order)
+    assert got == want
+
+
 def test_prepare_corpus_documents_mode(spark):
     """Facade integration: pack_mode='documents' composes with split,
     upsampling, and the deterministic shuffle — streams are cut per

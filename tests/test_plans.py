@@ -33,6 +33,7 @@ EAGER = {
     "q_lsh_index_probe",  # index (re)build + probe collect at plan build
     "q_pack_documents",  # two-phase offset totals collect at plan build
     "q_pack_documents_bpe",  # BPE train + offset totals at plan build
+    "q_bpe_lossless_roundtrip",  # BPE train collect at plan build
 }
 
 

@@ -1439,6 +1439,62 @@ def test_bpe_encode_and_stats(spark):
     assert "".join(enc2).replace("</w>", " ").strip().split() == ["zzzq", "unknowable"]
 
 
+LOSSY_TEXTS = [
+    "Hello, World!  It's 2026.\n\tdon't_stop café naïve",
+    "汉字 and ελληνικά mixed 🚀 emoji  ",
+    "  leading spaces; CRLF\r\nline two",
+    "",
+]
+
+
+def test_bpe_lossless_roundtrip_and_units(spark):
+    """Lossless mode: concat(tokens) == original bytes for case,
+    punctuation, unicode, emoji, CRLF, and leading/trailing
+    whitespace; merges trained on RAW pieces (registry twin:
+    q_bpe_lossless_roundtrip, oracled against the documents table)."""
+    from evaporate_spark.operators.bpe import bpe_encode_tokens, train_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(LOSSY_TEXTS)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, "text", num_merges=40, lossless=True)
+    # no end-of-word sentinel anywhere in the lossless merge universe
+    assert all("</w>" not in a and "</w>" not in b for a, b in merges)
+    rows = bpe_encode_tokens(df, "text", merges, lossless=True).collect()
+    for r in rows:
+        assert "".join(r["bpe_tokens"]) == LOSSY_TEXTS[r["doc_id"]]
+    # case and punctuation survive as distinct tokens (the legacy
+    # mode's lowercased \W+ universe cannot represent these)
+    toks = {t for r in rows for t in r["bpe_tokens"]}
+    assert any(t[:1].isupper() for t in toks if t)
+    assert any("," in t or "!" in t for t in toks)
+
+
+def test_pack_sequences_lossless_windows_reconstruct(spark):
+    """overlap=0 lossless windows concatenate back to the document:
+    seq_text is the exact original byte span per window."""
+    from evaporate_spark.operators.bpe import train_bpe
+    from evaporate_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(LOSSY_TEXTS) if t],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, "text", num_merges=25, lossless=True)
+    out = pack_sequences(
+        df, "doc_id", "text", seq_len=4, merges=merges, lossless=True
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["seq_index"], r["seq_text"]))
+    for i, t in enumerate(LOSSY_TEXTS):
+        if not t:
+            assert i not in got
+            continue
+        assert "".join(s for _, s in sorted(got[i])) == t
+
+
 def _pure_python_bpe(texts, num_merges):
     """Independent BPE train+encode (no engine imports): returns the
     per-word greedy encoder for the learned merges."""

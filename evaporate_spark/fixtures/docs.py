@@ -326,6 +326,24 @@ GALLERY_TRAVEL_HTML = (
     '<img src="img_hash_a2.png" alt="Near-duplicate edit">\n'
     "</body></html>"
 )
+# lazy-load / responsive markup page (q_image_text_pairs oracle rows;
+# tests/test_image_text.py): data-src fallback behind a data: stub,
+# srcset width descriptors, <picture><source> density descriptors, a
+# src-less lazy img, and a placeholder-only img that must NOT emit.
+# Its image names are disjoint from the committed PNG fixtures, so
+# the bytes-join queries (q_image_pair_dedup) drop these pairs.
+GALLERY_LAZY_HTML = (
+    "<html><body>\n<h1>Lazy gallery</h1>\n"
+    '<img data-src="lazy_real.png" '
+    'src="data:image/gif;base64,R0lGOD" alt="Lazy-loaded mountain">\n'
+    '<img srcset="small.png 480w, large.png 1024w" src="fallback.png" '
+    'alt="Responsive vista">\n'
+    '<picture><source srcset="pic_small.png 1x, pic_big.png 2x">'
+    '<img src="pic_fallback.png" alt="Art-directed river"></picture>\n'
+    '<img data-src="plain_lazy.png" alt="Plain lazy">\n'
+    '<img src="data:image/gif;base64,AAA" alt="placeholder only">\n'
+    "</body></html>"
+)
 
 # authored subtitle cues (q_subtitle_cues oracle derives from these);
 # the .vtt fixture wraps the same cues in real-world noise (BOM, NOTE
@@ -479,6 +497,7 @@ def generate_docs(out_dir: str) -> dict[str, bytes]:
     files["article_boiler.html"] = MAIN_CONTENT_HTML.encode()
     files["gallery_photos.html"] = GALLERY_PHOTOS_HTML.encode()
     files["gallery_travel.html"] = GALLERY_TRAVEL_HTML.encode()
+    files["gallery_lazy.html"] = GALLERY_LAZY_HTML.encode()
     # a PNG carrying all three text-chunk kinds (kept here rather than
     # fixtures/media so the pinned q_decode_image_stats .png glob is
     # untouched); surface = q_media_text_tags

@@ -15,9 +15,18 @@ same caveat applies: commented-out markup matches too; route through
   blocks pair the figure's image with its caption (inner tags
   stripped, whitespace collapsed); an empty caption falls back to the
   image's ``alt``;
-- standalone ``<img …>`` tags (figure blocks removed first, so a
-  figure image never double-emits) pair with their ``alt``, falling
+- ``<picture> … <source srcset=…> … <img …> … </picture>`` blocks
+  (outside figures) pair the FIRST source's largest srcset candidate
+  with the inner img's ``alt``/``title``;
+- standalone ``<img …>`` tags (figure and picture blocks removed
+  first, so nothing double-emits) pair with their ``alt``, falling
   back to ``title``.
+
+Real crawl HTML ships lazy-load and responsive markup, so the image
+reference is resolved in priority order: largest ``srcset`` candidate
+(width/density descriptors; descriptor-less = 1.0), then ``src``
+unless it is a ``data:`` placeholder stub, then the lazy-load
+``data-src`` (``_effective_src``).
 
 Pairs with no text or an unresolvable ``src`` drop — a caption-less
 image is not a training pair. All regexes are RE2 ∩ Java compatible
@@ -36,9 +45,11 @@ from pyspark.sql import functions as F
 
 __all__ = ["image_text_pairs", "pair_with_image_bytes"]
 
-#: figure blocks / img tags ((?s): captions may span lines)
+#: figure / picture blocks, img/source tags ((?s): may span lines)
 _FIGURE = r"(?s)<figure\b.*?</figure>"
+_PICTURE = r"(?s)<picture\b.*?</picture>"
 _IMG_TAG = r"(?s)<img\b[^>]*>"
+_SOURCE_TAG = r"(?s)<source\b[^>]*>"
 _FIGCAPTION = r"(?s)<figcaption[^>]*>(.*?)</figcaption>"
 
 
@@ -48,6 +59,47 @@ def _attr(tag: Column, name: str) -> Column:
     dq = F.regexp_extract(tag, rf'{name}\s*=\s*"([^"]*)"', 1)
     sq = F.regexp_extract(tag, rf"{name}\s*=\s*'([^']*)'", 1)
     return F.when(dq != "", dq).otherwise(sq)
+
+
+def _srcset_largest(srcset: Column) -> Column:
+    """The URL of a ``srcset``'s largest candidate: entries split on
+    commas, each ``url [NNNw|N.Nx]`` weighted by its width/density
+    descriptor (descriptor-less entries weigh 1.0 — the spec default),
+    max by (weight, url). Empty string when ``srcset`` is empty."""
+    entries = F.filter(
+        F.transform(F.split(srcset, ","), lambda e: F.trim(e)),
+        lambda e: e != "",
+    )
+    cands = F.transform(
+        entries,
+        lambda e: F.struct(
+            F.coalesce(
+                F.regexp_extract(
+                    e, r"\s+(\d+(?:\.\d+)?)[wx]\s*$", 1
+                ).try_cast("double"),
+                F.lit(1.0),
+            ).alias("weight"),
+            F.regexp_extract(e, r"^(\S+)", 1).alias("url"),
+        ),
+    )
+    return F.coalesce(F.array_max(cands)["url"], F.lit(""))
+
+
+def _effective_src(tag: Column) -> Column:
+    """The image reference a crawler should fetch from an ``<img>``
+    tag: the largest ``srcset`` candidate when present, else ``src``
+    (unless it's a ``data:`` placeholder), else the lazy-load
+    ``data-src`` — real crawl HTML frequently ships
+    ``loading="lazy"`` markup whose ``src`` is a stub or absent."""
+    best = _srcset_largest(_attr(tag, "srcset"))
+    src = _attr(tag, "src")
+    lazy = _attr(tag, "data-src")
+    return (
+        F.when(best != "", best)
+        .when((src != "") & ~src.startswith("data:"), src)
+        .when(lazy != "", lazy)
+        .otherwise(src)
+    )
 
 
 def _clean_text(raw: Column) -> Column:
@@ -77,7 +129,7 @@ def image_text_pairs(
         cap = _clean_text(F.regexp_extract(block, _FIGCAPTION, 1))
         alt = _clean_text(_attr(tag, "alt"))
         return F.struct(
-            _attr(tag, "src").alias("src"),
+            _effective_src(tag).alias("src"),
             F.when(cap != "", cap).otherwise(alt).alias("text"),
             F.when(cap != "", F.lit("figcaption"))
             .otherwise(F.lit("alt"))
@@ -88,25 +140,51 @@ def image_text_pairs(
         alt = _clean_text(_attr(tag, "alt"))
         title = _clean_text(_attr(tag, "title"))
         return F.struct(
-            _attr(tag, "src").alias("src"),
+            _effective_src(tag).alias("src"),
             F.when(alt != "", alt).otherwise(title).alias("text"),
             F.when(alt != "", F.lit("alt"))
             .otherwise(F.lit("title"))
             .alias("source"),
         )
 
+    def _pic_struct(block: Column) -> Column:
+        # art-directed <picture>: the FIRST <source>'s srcset (the one
+        # a browser evaluates first) wins, largest candidate; the
+        # inner <img> supplies text and the fallback reference
+        src_tag = F.regexp_extract(block, rf"({_SOURCE_TAG})", 1)
+        img = F.regexp_extract(block, rf"({_IMG_TAG})", 1)
+        best = _srcset_largest(_attr(src_tag, "srcset"))
+        alt = _clean_text(_attr(img, "alt"))
+        title = _clean_text(_attr(img, "title"))
+        return F.struct(
+            F.when(best != "", best)
+            .otherwise(_effective_src(img))
+            .alias("src"),
+            F.when(alt != "", alt).otherwise(title).alias("text"),
+            F.when(alt != "", F.lit("alt"))
+            .otherwise(F.lit("title"))
+            .alias("source"),
+        )
+
+    no_fig = F.regexp_replace(c, _FIGURE, "")
     figs = F.transform(
         F.regexp_extract_all(c, F.lit(_FIGURE), 0), _fig_struct
     )
+    # pictures outside figures (a picture INSIDE a figure pairs via
+    # the figure branch: its inner img's srcset/src/data-src resolve,
+    # <source> tags are consulted only in the picture branch)
+    pics = F.transform(
+        F.regexp_extract_all(no_fig, F.lit(_PICTURE), 0), _pic_struct
+    )
     standalone = F.transform(
         F.regexp_extract_all(
-            F.regexp_replace(c, _FIGURE, ""), F.lit(_IMG_TAG), 0
+            F.regexp_replace(no_fig, _PICTURE, ""), F.lit(_IMG_TAG), 0
         ),
         _img_struct,
     )
     out = pages.select(
         F.col(url_col).alias("page_url"),
-        F.explode(F.concat(figs, standalone)).alias("_p"),
+        F.explode(F.concat(figs, pics, standalone)).alias("_p"),
     ).select(
         "page_url",
         F.col("_p.src").alias("img_src"),

@@ -613,6 +613,7 @@ def q_sniffed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('memo_notes.odt', 'odt'),
             ('docs_archive.tar.gz', 'tar.gz'),
             ('docs_archive.zip', 'zip'),
+            ('gallery_lazy.html', 'html'),
             ('gallery_photos.html', 'html'),
             ('gallery_travel.html', 'html'),
             ('grid_regions.xlsx', 'xlsx'),

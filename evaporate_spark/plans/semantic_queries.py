@@ -1560,12 +1560,16 @@ def q_frontier_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_image_text_pairs",
     "Image-text pair extraction (operators/image_text.py — the "
     "vision-language pair constructor): figcaption pairs (alt "
-    "fallback) + standalone img alt/title pairs from the committed "
-    "gallery pages, JVM regex extraction, src resolved against the "
-    "page URL (absolute / protocol-relative / root-relative / "
-    "directory-relative), text-less references dropped. Oracle = the "
+    "fallback) + picture/source srcset pairs + standalone img "
+    "alt/title pairs from the committed gallery pages, JVM regex "
+    "extraction, the image reference resolved in crawl-reality "
+    "priority (largest srcset candidate > src unless a data: stub > "
+    "lazy-load data-src) then against the page URL (absolute / "
+    "protocol-relative / root-relative / directory-relative); "
+    "text-less and data:-only references dropped. Oracle = the "
     "authored expected-pair table (every pair known by construction; "
-    "both figcaption and alt branches exercised).",
+    "figcaption, alt, srcset-w, srcset-x, and lazy branches all "
+    "exercised).",
     oracle="""
         SELECT * FROM (VALUES
             ('http://gallery.example/photos/gallery_photos.html',
@@ -1592,7 +1596,23 @@ def q_frontier_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('http://travel.example/blog/gallery_travel.html',
              'img_hash_a2.png',
              'http://travel.example/blog/img_hash_a2.png',
-             'Near-duplicate edit', 'alt')
+             'Near-duplicate edit', 'alt'),
+            ('http://lazy.example/g/gallery_lazy.html',
+             'lazy_real.png',
+             'http://lazy.example/g/lazy_real.png',
+             'Lazy-loaded mountain', 'alt'),
+            ('http://lazy.example/g/gallery_lazy.html',
+             'large.png',
+             'http://lazy.example/g/large.png',
+             'Responsive vista', 'alt'),
+            ('http://lazy.example/g/gallery_lazy.html',
+             'pic_big.png',
+             'http://lazy.example/g/pic_big.png',
+             'Art-directed river', 'alt'),
+            ('http://lazy.example/g/gallery_lazy.html',
+             'plain_lazy.png',
+             'http://lazy.example/g/plain_lazy.png',
+             'Plain lazy', 'alt')
         ) AS t(page_url, img_src, img_url, text, source)
     """,
     tags=("doclake", "web"),
@@ -1613,6 +1633,10 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("file") == "gallery_photos.html",
                 F.lit("http://gallery.example/photos/gallery_photos.html"),
+            )
+            .when(
+                F.col("file") == "gallery_lazy.html",
+                F.lit("http://lazy.example/g/gallery_lazy.html"),
             )
             .otherwise(
                 F.lit("http://travel.example/blog/gallery_travel.html")

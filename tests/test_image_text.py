@@ -178,3 +178,56 @@ def test_extraction_is_jvm_only(spark):
     with redirect_stdout(buf):
         image_text_pairs(_gallery_pages(spark)).explain(mode="extended")
     assert "EvalPython" not in buf.getvalue()
+
+
+def test_lazy_srcset_picture_markup(spark):
+    """Crawl-reality markup (GALLERY_LAZY_HTML, the q_image_text_pairs
+    oracle's third page): lazy-load data-src behind a data: stub,
+    srcset width/density descriptors (largest candidate wins),
+    <picture><source> blocks, src-less lazy imgs; a placeholder-only
+    img (data: URI, no fallback) must NOT emit."""
+    from evaporate_spark.fixtures.docs import GALLERY_LAZY_HTML
+    from evaporate_spark.operators.image_text import image_text_pairs
+
+    pages = spark.createDataFrame(
+        [("http://lazy.example/g/gallery_lazy.html", GALLERY_LAZY_HTML)],
+        "url string, html string",
+    )
+    got = {
+        (r["img_src"], r["img_url"], r["text"], r["source"])
+        for r in image_text_pairs(pages).collect()
+    }
+    base = "http://lazy.example/g/"
+    assert got == {
+        ("lazy_real.png", base + "lazy_real.png",
+         "Lazy-loaded mountain", "alt"),
+        ("large.png", base + "large.png", "Responsive vista", "alt"),
+        ("pic_big.png", base + "pic_big.png", "Art-directed river", "alt"),
+        ("plain_lazy.png", base + "plain_lazy.png", "Plain lazy", "alt"),
+    }
+
+
+def test_srcset_priority_and_descriptor_edge_cases(spark):
+    """srcset beats src; descriptor-less candidates weigh 1.0; a
+    figure's inner img resolves srcset/data-src too; a picture whose
+    source has no srcset falls back to the inner img's reference."""
+    from evaporate_spark.operators.image_text import image_text_pairs
+
+    html = (
+        '<figure><img srcset="f1.png, f2.png 2x" src="f0.png" alt="">'
+        "<figcaption>Fig srcset.</figcaption></figure>"
+        '<picture><source media="(min-width:600px)">'
+        '<img data-src="pfall.png" alt="Pic fallback"></picture>'
+        '<img srcset="solo.png" src="ignored.png" alt="Solo descriptorless">'
+    )
+    pages = spark.createDataFrame(
+        [("http://x.example/d/p.html", html)], "url string, html string"
+    )
+    got = {
+        (r["img_src"], r["text"]) for r in image_text_pairs(pages).collect()
+    }
+    assert got == {
+        ("f2.png", "Fig srcset."),
+        ("pfall.png", "Pic fallback"),
+        ("solo.png", "Solo descriptorless"),
+    }

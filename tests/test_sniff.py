@@ -43,6 +43,7 @@ EXPECTED_DOCS = {
     "memo_notes.odt": "odt",
     "docs_archive.tar.gz": "tar.gz",
     "docs_archive.zip": "zip",
+    "gallery_lazy.html": "html",
     "gallery_photos.html": "html",
     "gallery_travel.html": "html",
     "grid_regions.xlsx": "xlsx",

@@ -156,6 +156,75 @@ def random_hyperplane_signature(
     )
 
 
+def _sampled_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    n_centroids: int,
+    seed: int,
+) -> list[list[float]]:
+    """Deterministic hash-sample codebook: the ``n_centroids`` corpus
+    vectors with the smallest ``xxhash64(id, seed)`` — uniform,
+    engine-independent, and a pure function of the corpus."""
+    rows = (
+        corpus.select(
+            F.col(corpus_vec).alias("_v"), F.col(corpus_id).alias("_id")
+        )
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def train_ivf_codebook(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    seed: int = 0,
+) -> list[list[float]]:
+    """Spherical-k-means-trained IVF codebook: Lloyd iterations as
+    DataFrame jobs over the hash-sample initialization — assignment is
+    the same pure-JVM cosine argmax the probe path uses, the update is
+    one ``posexplode → groupBy(cell, pos) → avg`` aggregate (map-side
+    combined: each task emits at most n_centroids×dim partial rows, so
+    the shuffle is codebook-sized regardless of corpus size). Only
+    codebook-sized data (n_centroids×dim mean rows per iteration)
+    ever reaches the driver. Empty cells keep their previous centroid.
+    Deterministic: no RNG anywhere, so the trained codebook is a pure
+    function of (corpus, n_centroids, iterations, seed)."""
+    cents = _sampled_centroids(corpus, corpus_id, corpus_vec, n_centroids, seed)
+    if not cents:
+        return cents
+    for _ in range(int(iterations)):
+        scores = F.array(
+            *[
+                cosine(F.col(corpus_vec), F.array(*[F.lit(x) for x in c]))
+                for c in cents
+            ]
+        )
+        best = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        means = (
+            corpus.select(
+                best.alias("cell"),
+                F.posexplode(F.col(corpus_vec)).alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = float(r["m"])
+        cents = [
+            [by_cell[i][p] for p in range(len(c))] if i in by_cell else c
+            for i, c in enumerate(cents)
+        ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -172,21 +241,19 @@ def ivf_topk(
     route (coarse quantizer + probed cells).
 
     - Centroids = a deterministic hash-sample of corpus vectors
-      (collected once, broadcast as literals — no iterative k-means;
-      at 100 TB you'd persist a trained codebook the same way).
+      (collected once, broadcast as literals; pass the codebook from
+      :func:`train_ivf_codebook` to :func:`build_ivf_index` for the
+      k-means-trained variant — at 100 TB you'd persist either the
+      same way).
     - Corpus rows are assigned to their nearest centroid with a pure
       JVM argmax expression; the only shuffle is the (cell) join.
     - Each query probes its ``n_probe`` nearest cells; exact cosine
       runs only within probed cells. A query's own cell is always
       probed first, so identical vectors are always recovered.
     """
-    cent_rows = (
-        corpus.select(F.col(corpus_vec).alias("_v"), F.col(corpus_id).alias("_id"))
-        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), "_id")
-        .limit(n_centroids)
-        .collect()
+    centroids = _sampled_centroids(
+        corpus, corpus_id, corpus_vec, n_centroids, seed
     )
-    centroids = [[float(x) for x in r["_v"]] for r in cent_rows]
 
     def cell_scores(vec: Column) -> Column:
         return F.array(
@@ -306,6 +373,7 @@ def build_ivf_index(
     index_dir: str,
     n_centroids: int = 16,
     seed: int = 0,
+    train_iterations: int = 0,
 ) -> int:
     """Persist an IVF index: centroids parquet + cell assignments
     PARTITIONED BY cell — the index-once / probe-many layout the
@@ -315,17 +383,22 @@ def build_ivf_index(
     (verified via PartitionFilters in the test) — the 100 TB property
     that makes IVF sub-linear in corpus size per query batch.
 
-    Returns the number of centroids written. Same deterministic
-    hash-sample codebook as :func:`ivf_topk` (a k-means-trained
-    codebook drops in by replacing the centroids parquet).
+    Returns the number of centroids written. Codebook: the same
+    deterministic hash-sample as :func:`ivf_topk` by default;
+    ``train_iterations > 0`` refines it with that many spherical
+    k-means passes first (:func:`train_ivf_codebook` — each pass is
+    one codebook-sized DataFrame aggregate). The persisted layout and
+    the :func:`ivf_search` probe path are identical either way.
     """
-    cent_rows = (
-        corpus.select(F.col(corpus_vec).alias("_v"), F.col(corpus_id).alias("_id"))
-        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), "_id")
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [[float(x) for x in r["_v"]] for r in cent_rows]
+    if train_iterations > 0:
+        centroids = train_ivf_codebook(
+            corpus, corpus_id, corpus_vec, n_centroids,
+            iterations=train_iterations, seed=seed,
+        )
+    else:
+        centroids = _sampled_centroids(
+            corpus, corpus_id, corpus_vec, n_centroids, seed
+        )
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"

@@ -1810,3 +1810,52 @@ def test_prepare_corpus_upsample_and_shuffle(spark):
     # deterministic end-to-end
     key = lambda r: (r["doc_id"], r["seq_index"], r["epoch"])
     assert sorted(map(tuple, rows)) == sorted(map(tuple, run()))
+
+
+def test_trained_ivf_codebook_recall(spark, sf_dir, tmp_path):
+    """K-means-trained codebook (train_ivf_codebook / build_ivf_index
+    train_iterations=): recall@10 vs the exact brute-force answer must
+    be >= the hash-sample codebook's at EQUAL n_probe, and the
+    persisted-index probe path is unchanged. Deterministic end to end
+    (hash-sample init + Lloyd means), so this is a stable bar, not a
+    flaky benchmark."""
+    from evaporate_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search,
+        train_ivf_codebook,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = {}
+    for r in brute_force_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qvec", k=10
+    ).collect():
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    def recall(train_iterations):
+        idx = str(tmp_path / f"ivf_{train_iterations}")
+        build_ivf_index(
+            emb, "vec_id", "embedding", idx, n_centroids=8,
+            train_iterations=train_iterations,
+        )
+        got = {}
+        for r in ivf_search(
+            spark, idx, queries, "qid", "qvec", k=10, n_probe=2
+        ).collect():
+            got.setdefault(r["qid"], set()).add(r["corpus_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r_hash, r_trained = recall(0), recall(4)
+    assert r_trained >= r_hash
+    assert r_trained > 0.5  # trained cells are not degenerate
+
+    # the trained codebook is deterministic and centroids are means,
+    # not corpus rows (after an iteration they generally move)
+    cb1 = train_ivf_codebook(emb, "vec_id", "embedding", 8, iterations=2)
+    cb2 = train_ivf_codebook(emb, "vec_id", "embedding", 8, iterations=2)
+    assert cb1 == cb2 and len(cb1) == 8

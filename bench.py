@@ -360,6 +360,27 @@ def _corpus_chain_bench(spark, sf_dir: str):
     )
 
 
+def _pack_docs_bench(spark, sf_dir: str):
+    """Bench-only row: CROSS-document packing (pack_documents) over
+    the 10x documents table — prices the stream layout's real costs
+    (two-phase offset cumsum over the token-count meta frame + the one
+    window-id groupBy that assembles fragments), which per-document
+    pack_sequences doesn't pay. Reduced to the window count, token
+    total, and the padding waste a trainer would see (zero by
+    construction for every window except the stream's last)."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.packing import pack_documents
+
+    docs = spark.read.parquet(_corpus_10x_dir(spark, sf_dir))
+    out = pack_documents(docs, "doc_id", "text", seq_len=512, seed="bench")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.lit(512) - F.col("n_tokens")).alias("padded_tokens"),
+    )
+
+
 def _doc_ingest_dir() -> str:
     """Deterministic document-ingest corpus (generated once per
     machine): 600 two-page PDFs, 20 .warc.gz shards x 60 HTTP
@@ -523,6 +544,7 @@ BENCH_ONLY = {
     "doc_ingest": _doc_ingest_bench,
     "code_lake_20x": _code_lake_bench,
     "gopher_full_10x": _gopher_full_bench,
+    "pack_docs_10x": _pack_docs_bench,
 }
 
 #: per-row rep caps for end-to-end canary rows (tens of seconds per
@@ -530,7 +552,7 @@ BENCH_ONLY = {
 #: still exists — an n=1 pin can't distinguish a real regression from
 #: this host's documented ±30-50% day-to-day swing (r6 verdict) —
 #: without letting one long pipeline dominate the bench wall time
-REP_CAP = {"corpus_chain_10x": 3, "gopher_full_10x": 3}
+REP_CAP = {"corpus_chain_10x": 3, "gopher_full_10x": 3, "pack_docs_10x": 3}
 
 
 def _wait_for_quiet_machine(max_load: float, timeout_s: float) -> dict:

@@ -372,9 +372,14 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
         else:
-            corpus_manifest(cleaned, text_col=text_col, by=by).coalesce(
-                1
-            ).write.mode("overwrite").json(args.manifest)
+            corpus_manifest(
+                cleaned, text_col=text_col, by=by,
+                merges=bpe_merges, lossless=args.bpe_lossless,
+                tokens_col=(
+                    "seq_tokens" if "seq_tokens" in cleaned.columns
+                    else None
+                ),
+            ).coalesce(1).write.mode("overwrite").json(args.manifest)
     print(
         json.dumps(
             {

@@ -27,17 +27,27 @@ def corpus_manifest(
     text_col: str = "text",
     by: tuple[str, ...] = ("lang",),
     merges: list[tuple[str, str]] | None = None,
+    lossless: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """``(by..., n_docs, n_tokens, n_chars, doc_frac, token_frac)``
     per slice — whitespace token counts (the ``token_count_ws``
     convention) by default; pass ``merges`` (from
     ``operators.bpe.train_bpe``) and ``n_tokens``/``token_frac``
     count BPE tokens instead, so the data card reports the units the
-    trainer budgets in. Fractions of the whole corpus either way."""
-    if merges is not None:
+    trainer budgets in (``lossless`` for merges from
+    ``train_bpe(lossless=True)``); pass ``tokens_col`` when the frame
+    already carries a token ARRAY (packed windows' ``seq_tokens``) to
+    count it directly instead of re-encoding text. Fractions of the
+    whole corpus either way."""
+    if tokens_col is not None:
+        tok_count = F.size(tokens_col)
+    elif merges is not None:
         from evaporate_spark.operators.bpe import bpe_encode_tokens
 
-        df = bpe_encode_tokens(df, text_col, merges, "_manifest_bpe")
+        df = bpe_encode_tokens(
+            df, text_col, merges, "_manifest_bpe", lossless=lossless
+        )
         tok_count = F.size("_manifest_bpe")
     else:
         tok_count = token_count_ws(text_col)

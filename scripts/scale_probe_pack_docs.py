@@ -1,0 +1,99 @@
+"""Cross-document packing scale probe (round-12 pack_documents).
+
+Quantifies what the stream layout buys and costs at 10x the bench
+scale factor, against per-document pack_sequences at the same
+seq_len:
+
+- ``*_wall_s``: wall clock per mode (pack_documents pays the
+  two-phase offset cumsum + one window groupBy that pack_sequences
+  doesn't);
+- ``*_n_windows`` / ``*_padded_tokens``: window counts and the
+  padding a trainer would add to reach seq_len — the point of the
+  stream layout is driving this to ~zero (only the stream's final
+  window can be short), where per-document windows pad every
+  document tail.
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_pack_docs.py
+Writes scripts/SCALE_PROBE_PACK_DOCS.json unless ``--stdout-only``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTOR = 10
+SEQ_LEN = 512
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_JSON = os.path.join(REPO, "scripts", "SCALE_PROBE_PACK_DOCS.json")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.packing import pack_documents, pack_sequences
+    from evaporate_spark.session import get_spark
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from scale_probe_corpus_100x import replicated_docs_dir
+
+    spark = get_spark(app_name="scale-probe-pack-docs")
+    docs = spark.read.parquet(replicated_docs_dir(spark, SF_DIR, FACTOR))
+    n_docs = docs.count()
+
+    def run(fn):
+        t0 = time.perf_counter()
+        agg = fn().agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum("n_tokens").alias("t"),
+            F.sum(F.lit(SEQ_LEN) - F.col("n_tokens")).alias("pad"),
+        ).first()
+        return round(time.perf_counter() - t0, 2), agg
+
+    def seqs():
+        return pack_sequences(docs, "doc_id", "text", seq_len=SEQ_LEN)
+
+    def stream():
+        return pack_documents(docs, "doc_id", "text", seq_len=SEQ_LEN, seed="probe")
+
+    run(seqs)  # uncounted warmup: JVM/codegen spin-up
+    seq_s, seq_a = run(seqs)
+    doc_s, doc_a = run(stream)
+    # token conservation: the stream carries every document token
+    # plus exactly one EOS per non-empty document
+    n_nonempty = docs.where(F.trim("text") != "").count()
+    eos_added = doc_a["t"] - seq_a["t"]
+    assert eos_added == n_nonempty, (eos_added, n_nonempty)
+
+    record = {
+        "probe": "pack_docs",
+        "sf_dir": SF_DIR,
+        "factor": FACTOR,
+        "seq_len": SEQ_LEN,
+        "n_input_docs": n_docs,
+        "pack_sequences_wall_s": seq_s,
+        "pack_sequences_n_windows": seq_a["w"],
+        "pack_sequences_padded_tokens": int(seq_a["pad"]),
+        "pack_documents_wall_s": doc_s,
+        "pack_documents_n_windows": doc_a["w"],
+        "pack_documents_padded_tokens": int(doc_a["pad"]),
+        "eos_tokens_added": int(eos_added),
+        "padding_reduction": round(
+            1.0 - doc_a["pad"] / max(seq_a["pad"], 1), 6
+        ),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(record, indent=2))
+    if "--stdout-only" not in sys.argv:
+        with open(OUT_JSON, "w") as fh:
+            fh.write(json.dumps(record, indent=2) + "\n")
+        print(f"recorded -> {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,23 @@ def test_corpus_manifest_multi_key_and_broadcast(spark):
     # shuffled join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "EvalPython" not in plan
+
+
+def test_corpus_manifest_tokens_col_counts_arrays(spark):
+    """Packed windows already carry seq_tokens — tokens_col counts the
+    array directly (no re-encode of detokenized text)."""
+    from evaporate_spark.operators.manifest import corpus_manifest
+
+    df = spark.createDataFrame(
+        [
+            ("train", "a b", ["a", "b", "</s>"]),
+            ("train", "c", ["c"]),
+            ("test", "d e", ["d", "e"]),
+        ],
+        "split string, seq_text string, seq_tokens array<string>",
+    )
+    m = corpus_manifest(
+        df, text_col="seq_text", by=("split",), tokens_col="seq_tokens"
+    )
+    got = {r["split"]: r["n_tokens"] for r in m.collect()}
+    assert got == {"train": 4, "test": 2}

@@ -190,6 +190,25 @@ Pinned comparison baselines (medians unless noted):
   PageRank probe after the dangling fold: 11.4 s (was 17.6);
   checkpoint/resume evidence: scripts/SCALE_PROBE_RESUME.json
   (lazy 16.7 / materialized 12.2 / resume-tail 1.4 s at 50k docs).
+- r12 pins (gated, start loadavg 0.0; the host carried external load
+  spikes to 15-21 all session — an earlier gated run that started at
+  1.86 and ended at 12.27 read relational 2.826 / openie 16.848, so
+  compare within THIS quiet run): relational 2.476 (q1 0.494 /
+  q3 0.790 / q5 1.192); q_exact_dedup_groups 0.305,
+  q_minhash_lsh_dups 1.491, q_dup_clusters 1.866,
+  q_dup_passage_stats 3.137, q_token_rarity 0.827, q_knn_cosine
+  0.695, q8_market_share 1.086, q_semantic_closed_ie 5.250,
+  q_semantic_openie 12.189, media_decode_300 0.620, corpus_chain_10x
+  18.199, doc_ingest 0.990, code_lake_20x 1.752, gopher_full_10x
+  3.177, pack_docs_10x 3.853 (FIRST pin — cross-document stream
+  packing over 50k docs: two-phase offset cumsum + window-id groupBy;
+  scripts/SCALE_PROBE_PACK_DOCS.json shows the layout pays 8 s at 10x
+  to cut trainer padding 20.17M → 344 tokens). This RE-PINS the two
+  r11 movers the verdict flagged: code_lake_20x 1.752 (r11's 2.162
+  was load — r10 1.838, r12 matches), q_semantic_openie 12.189 (r11
+  12.742, r10 11.610 — in band). Tokens unchanged (6718 / 29640).
+  Resume probe regenerated post-fix: lazy 14.6 / materialized 10.0 /
+  resume-tail 0.9 s.
 """
 
 from __future__ import annotations

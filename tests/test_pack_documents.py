@@ -223,6 +223,27 @@ def test_prepare_corpus_documents_mode(spark):
         prepare_corpus(docs, seq_len=8, pack_mode="concat")
 
 
+def test_partitioning_invariance_and_seq_len_1(spark):
+    """The stream is a pure function of (corpus, seed, seq_len):
+    repartitioning the input must not move a single token (the
+    two-phase offsets depend on the deterministic order, not on
+    physical partition boundaries), and the seq_len=1 edge (every
+    token its own window) still matches the recompute."""
+    from evaporate_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "split", "text"])
+    toks = [(i, g, t.split()) for i, g, t in DOCS]
+    for shaped in (df.coalesce(1), df.repartition(17, "text")):
+        out = pack_documents(
+            shaped, "doc_id", "text", seq_len=6, seed=SEED, eos_token=EOS
+        )
+        assert _got(out) == _recompute(toks, 6)
+    out1 = pack_documents(
+        df, "doc_id", "text", seq_len=1, seed=SEED, eos_token=EOS
+    )
+    assert _got(out1) == _recompute(toks, 1)
+
+
 def test_eos_validation(spark):
     from evaporate_spark.operators.packing import pack_documents
 

@@ -1557,6 +1557,70 @@ def q_frontier_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_frontier_rounds",
+    "Persistent multi-round crawl frontier (operators/"
+    "frontier_store.py::FrontierStore — frontier_step looped over "
+    "committed VersionedTable seen/frontier state): round 0 crawls "
+    "the site-a seed, round 1 crawls round-0's frontier; round-1 "
+    "links back at already-fetched pages subtract against the "
+    "COMMITTED seen set, robots still gates (/tmp/ blocked), and a "
+    "replay of round 0 returns its committed frontier without "
+    "recomputing (pytest-asserted via operator poisoning in "
+    "tests/test_frontier_store.py). The store keys off a content "
+    "hash of the fixtures, so reruns replay committed state "
+    "deterministically. Oracle = both rounds' expected frontiers "
+    "stated literally.",
+    oracle="""
+        SELECT * FROM (VALUES
+            (0, 'http://site-a.example/docs/guide.html',
+             'site-a.example', 'link'),
+            (0, 'http://site-a.example/docs/page2.html',
+             'site-a.example', 'link'),
+            (0, 'http://site-b.example/public/old.html',
+             'site-b.example', 'link'),
+            (1, 'http://site-a.example/docs/deep.html',
+             'site-a.example', 'link'),
+            (1, 'http://site-b.example/public/home.html',
+             'site-b.example', 'link')
+        ) AS t(round, url, host, source)
+    """,
+    tags=("doclake", "web"),
+)
+def q_frontier_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from evaporate_spark.operators.frontier_store import FrontierStore
+
+    pages_r0 = list(_FRONTIER_PAGES)
+    # round 1 = fetches of round-0's frontier: back-links at fetched
+    # pages (must not re-emit), one new in-host page, one cross-host
+    # page, one robots-blocked path
+    pages_r1 = [
+        (
+            "http://site-a.example/docs/guide.html",
+            '<a href="/docs/intro.html">back</a> <a href="deep.html">D</a>'
+            ' <a href="/tmp/cache.html">blocked</a>',
+        ),
+        (
+            "http://site-a.example/docs/page2.html",
+            '<a href="http://site-b.example/public/home.html">B</a>'
+            ' <a href="/docs/guide.html">self-round</a>',
+        ),
+    ]
+    robots = spark.createDataFrame(
+        list(_FRONTIER_ROBOTS), "host string, robots_txt string"
+    )
+    tag = hashlib.md5(repr((pages_r0, pages_r1)).encode()).hexdigest()[:10]
+    store = FrontierStore(spark, f"/tmp/spark_graft_frontier_rounds_{tag}")
+    outs = []
+    for rnd, pages in ((0, pages_r0), (1, pages_r1)):
+        crawled = spark.createDataFrame(pages, "url string, html string")
+        out = store.run_round(crawled, robots, round_id=rnd)
+        outs.append(out.select(F.lit(rnd).alias("round"), "url", "host", "source"))
+    return outs[0].unionByName(outs[1])
+
+
+@register(
     "q_image_text_pairs",
     "Image-text pair extraction (operators/image_text.py — the "
     "vision-language pair constructor): figcaption pairs (alt "

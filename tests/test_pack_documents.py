@@ -215,6 +215,23 @@ def test_prepare_corpus_documents_mode(spark):
         assert all(s == 8 for s in sizes[:-1])
     # shuffle positions are a 1..N permutation over windows
     assert sorted(r["pos"] for r in rows) == list(range(1, len(rows) + 1))
+    # shards compose: contiguous boundaries over the same permutation
+    sharded = prepare_corpus(
+        docs,
+        redact=False,
+        normalize=False,
+        split_fractions={"train": 0.7, "test": 0.3},
+        seq_len=8,
+        pack_mode="documents",
+        eos_token=EOS,
+        shuffle_seed="s",
+        shuffle_shards=2,
+    ).collect()
+    assert {r["shard"] for r in sharded} == {0, 1}
+    by_pos = {r["pos"]: r["shard"] for r in sharded}
+    assert [by_pos[p] for p in sorted(by_pos)] == sorted(
+        by_pos[p] for p in sorted(by_pos)
+    )
     with _pytest.raises(ValueError, match="overlap"):
         prepare_corpus(
             docs, seq_len=8, overlap=2, pack_mode="documents"

@@ -34,6 +34,7 @@ EAGER = {
     "q_pack_documents",  # two-phase offset totals collect at plan build
     "q_pack_documents_bpe",  # BPE train + offset totals at plan build
     "q_bpe_lossless_roundtrip",  # BPE train collect at plan build
+    "q_frontier_rounds",  # versioned store commits at plan build
 }
 
 

@@ -290,6 +290,18 @@ def prepare_corpus(
                 d, id_col, mix_key, mix_fractions, default_fraction
             ),
         ))
+    # encode-pass reuse: when both the token-budget and the pack stage
+    # need BPE tokens in the LAZY path, the budget stage keeps its
+    # encoded arrays and pack windows them directly (one Arrow encode
+    # of the corpus instead of two). Materialized runs drop the cache
+    # — carrying full token arrays into every stage snapshot would
+    # bloat the checkpoint for a recomputable column.
+    reuse_bpe = (
+        bpe_merges is not None
+        and mix_token_budgets is not None
+        and seq_len is not None
+        and materialize_dir is None
+    )
     if mix_token_budgets is not None:
         from evaporate_spark.operators.mixing import mix_to_token_budget
 
@@ -310,9 +322,10 @@ def prepare_corpus(
                 )
 
                 d = d.withColumn("_n_budget_tokens", token_count_ws(text_col))
-            return mix_to_token_budget(
+            out = mix_to_token_budget(
                 d, id_col, mix_key, "_n_budget_tokens", mix_token_budgets
-            ).drop("_n_budget_tokens", "_budget_bpe")
+            ).drop("_n_budget_tokens")
+            return out if reuse_bpe else out.drop("_budget_bpe")
 
         stages.append(("token_budget", _token_budget))
     if upsample_weights is not None:
@@ -366,6 +379,7 @@ def prepare_corpus(
                     seed=pack_seed, eos_token=eos_token,
                     group_cols=ride or None, merges=bpe_merges,
                     lossless=bpe_lossless,
+                    tokens_col="_budget_bpe" if reuse_bpe else None,
                 )
         else:
             from evaporate_spark.operators.packing import pack_sequences
@@ -374,6 +388,7 @@ def prepare_corpus(
                 return pack_sequences(
                     d, id_col, text_col, seq_len, overlap, ride or None,
                     merges=bpe_merges, lossless=bpe_lossless,
+                    tokens_col="_budget_bpe" if reuse_bpe else None,
                 )
 
         stages.append(("pack", _pack))

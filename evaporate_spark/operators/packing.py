@@ -45,6 +45,7 @@ def pack_sequences(
     carry_cols: list[str] | None = None,
     merges: list[tuple[str, str]] | None = None,
     lossless: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, text) → one row per training window:
     (id, [carry_cols...], seq_index, n_tokens, seq_text). Empty
@@ -65,7 +66,14 @@ def pack_sequences(
     ``train_bpe(lossless=True)``) tokens are GPT-2-style raw-text
     pieces and ``seq_text`` is the EXACT original byte span
     (concatenating all windows of a document at overlap=0 reproduces
-    the document)."""
+    the document).
+
+    ``tokens_col`` names an EXISTING ``array<string>`` column to
+    window over instead of tokenizing ``text_col`` — for
+    pre-tokenized corpora (token arrays in parquet) and for reusing
+    one encode pass across stages; windows then carry ``seq_tokens``
+    and ``seq_text`` joins tokens with spaces (pass ``lossless=True``
+    to concatenate raw pieces instead)."""
     if not 0 <= overlap < seq_len:
         raise ValueError(f"need 0 <= overlap < seq_len, got {overlap}/{seq_len}")
     stride = seq_len - overlap
@@ -80,22 +88,28 @@ def pack_sequences(
         )
         return F.transform(starts, lambda s: F.slice(toks, s, seq_len))
 
-    if merges is not None:
-        from evaporate_spark.operators.bpe import _EOW, bpe_encode_tokens
+    if merges is not None or tokens_col is not None:
+        from evaporate_spark.operators.bpe import _EOW
 
-        # the UDF output is a named column, so the window lambda
-        # references it (no re-encode per window — the bind_once
-        # concern only applies to inlined expressions)
-        toks = bpe_encode_tokens(
-            docs, text_col, merges, "_bpe_toks", lossless=lossless
-        )
-        detok = (
-            F.concat_ws("", F.col("_w"))  # lossless: exact byte span
-            if lossless
-            else F.trim(
+        if tokens_col is not None:
+            toks = docs.withColumn("_bpe_toks", F.col(tokens_col))
+        else:
+            from evaporate_spark.operators.bpe import bpe_encode_tokens
+
+            # the UDF output is a named column, so the window lambda
+            # references it (no re-encode per window — the bind_once
+            # concern only applies to inlined expressions)
+            toks = bpe_encode_tokens(
+                docs, text_col, merges, "_bpe_toks", lossless=lossless
+            )
+        if lossless:
+            detok = F.concat_ws("", F.col("_w"))  # exact byte span
+        elif merges is not None:
+            detok = F.trim(
                 F.regexp_replace(F.concat_ws("", F.col("_w")), _EOW, " ")
             )
-        )
+        else:  # pre-tokenized input: plain space join
+            detok = F.concat_ws(" ", F.col("_w"))
         return (
             toks.select(
                 F.col(id_col),
@@ -143,6 +157,7 @@ def pack_documents(
     group_cols: list[str] | None = None,
     merges: list[tuple[str, str]] | None = None,
     lossless: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """CROSS-document packing — the GPT-style trainer layout
     :func:`pack_sequences` approximates per-document: all documents
@@ -162,7 +177,9 @@ def pack_documents(
     included), i.e. the segment boundaries a trainer needs for
     attention masking across packed documents. With ``merges`` the
     stream is in BPE-token units and windows also carry
-    ``seq_tokens``. Empty documents pack to nothing (no lone-EOS
+    ``seq_tokens`` (``tokens_col`` windows an EXISTING array<string>
+    column instead — pre-tokenized corpora / encode-pass reuse —
+    also emitting ``seq_tokens``). Empty documents pack to nothing (no lone-EOS
     windows). With ``group_cols`` (e.g. ``["split"]`` or
     ``["split", "epoch"]``) each group packs its OWN stream —
     windows never straddle a train/test fence or an epoch copy —
@@ -187,7 +204,9 @@ def pack_documents(
     spark = docs.sparkSession
     L = int(seq_len)
 
-    if merges is not None:
+    if tokens_col is not None:
+        toked = docs.withColumn("_t", F.col(tokens_col))
+    elif merges is not None:
         from evaporate_spark.operators.bpe import bpe_encode_tokens
 
         toked = bpe_encode_tokens(
@@ -322,16 +341,17 @@ def pack_documents(
             (f["start"] + F.size(f["toks"]) - 1).cast("int").alias("end"),
         ),
     )
-    if merges is not None:
+    if merges is not None or tokens_col is not None:
         from evaporate_spark.operators.bpe import _EOW
 
-        detok = (
-            F.concat_ws("", seq_tokens)  # lossless: raw byte stream
-            if lossless
-            else F.trim(
+        if lossless:
+            detok = F.concat_ws("", seq_tokens)  # raw byte stream
+        elif merges is not None:
+            detok = F.trim(
                 F.regexp_replace(F.concat_ws("", seq_tokens), _EOW, " ")
             )
-        )
+        else:  # pre-tokenized input: plain space join
+            detok = F.concat_ws(" ", seq_tokens)
         return assembled.select(
             *groups,
             F.col("_w").alias("seq_index"),

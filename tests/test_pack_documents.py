@@ -278,3 +278,71 @@ def test_empty_input_schema(spark):
     out = pack_documents(df, seq_len=4)
     assert out.count() == 0
     assert out.columns == ["seq_index", "n_tokens", "seq_text", "doc_spans"]
+
+
+def test_bpe_encode_reuse_matches_materialized(spark, tmp_path):
+    """The lazy path reuses the token-budget stage's BPE encode for
+    packing (one Arrow pass); the materialized path encodes twice
+    (snapshots stay lean). Both must produce identical windows, in
+    both pack layouts."""
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de",
+          f"doc {i} the quick brown fox number {i} jumps again")
+         for i in range(1, 13)],
+        ["doc_id", "lang", "text"],
+    )
+    merges = train_bpe(docs, "text", num_merges=20)
+    for mode in ("windows", "documents"):
+        kw = dict(
+            redact=False, normalize=False,
+            mix_key="lang", mix_token_budgets={"en": 60, "de": 40},
+            seq_len=8, pack_mode=mode, bpe_merges=merges,
+        )
+        lazy = sorted(
+            (tuple(r) for r in prepare_corpus(docs, **kw).collect())
+        )
+        mat = sorted(
+            tuple(r)
+            for r in prepare_corpus(
+                docs, materialize_dir=str(tmp_path / f"ck_{mode}"), **kw
+            ).collect()
+        )
+        assert lazy == mat and len(lazy) > 0
+
+
+def test_pack_pre_tokenized_input(spark):
+    """tokens_col: a corpus that arrives pre-tokenized packs without
+    any tokenizer — both layouts."""
+    from evaporate_spark.operators.packing import pack_documents, pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["d", "e", "f", "g", "h"])],
+        "doc_id long, toks array<string>",
+    )
+    seq = pack_sequences(df, "doc_id", seq_len=2, tokens_col="toks")
+    got = sorted(
+        (r["doc_id"], r["seq_index"], tuple(r["seq_tokens"]), r["seq_text"])
+        for r in seq.collect()
+    )
+    assert got == [
+        (1, 0, ("a", "b"), "a b"), (1, 1, ("c",), "c"),
+        (2, 0, ("d", "e"), "d e"), (2, 1, ("f", "g"), "f g"),
+        (2, 2, ("h",), "h"),
+    ]
+    stream = pack_documents(
+        df, "doc_id", seq_len=4, seed=SEED, eos_token=EOS, tokens_col="toks"
+    )
+    rows = sorted(stream.collect(), key=lambda r: r["seq_index"])
+    flat = [t for r in rows for t in r["seq_tokens"]]
+    order = sorted(
+        (hashlib.md5((SEED + str(i)).encode()).hexdigest(), i)
+        for i in (1, 2)
+    )
+    want = []
+    toks = {1: ["a", "b", "c"], 2: ["d", "e", "f", "g", "h"]}
+    for _, i in order:
+        want += toks[i] + [EOS]
+    assert flat == want

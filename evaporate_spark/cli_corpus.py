@@ -100,6 +100,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mix-key", help="column to mix on (e.g. lang)")
     p.add_argument("--mix-fractions", help="key=frac list, e.g. 'en=1.0,de=0.5'")
     p.add_argument("--default-fraction", type=float, default=1.0)
+    p.add_argument(
+        "--mix-alpha", type=float,
+        help="temperature-scaled mixing (requires --mix-key, excludes "
+        "--mix-fractions): sample each key proportionally to "
+        "count^alpha — the published mT5/GPT-3 flattening recipe",
+    )
+    p.add_argument(
+        "--mix-total-docs", type=float,
+        help="with --mix-alpha: kept-corpus size (default: largest "
+        "total achievable without upsampling)",
+    )
     p.add_argument("--seq-len", type=int, help="pack into training windows of this many tokens")
     p.add_argument("--overlap", type=int, default=0)
     p.add_argument(
@@ -187,13 +198,26 @@ def main(argv: list[str] | None = None) -> int:
         print("--mix-fractions requires --mix-key", file=sys.stderr)
         return 2
     if args.mix_key is not None and not (
-        args.mix_fractions or args.mix_token_budgets or args.upsample_weights
+        args.mix_fractions or args.mix_token_budgets
+        or args.upsample_weights or args.mix_alpha is not None
     ):
         print(
-            "--mix-key needs --mix-fractions, --mix-token-budgets, or "
-            "--upsample-weights",
+            "--mix-key needs --mix-fractions, --mix-alpha, "
+            "--mix-token-budgets, or --upsample-weights",
             file=sys.stderr,
         )
+        return 2
+    if args.mix_alpha is not None and args.mix_fractions:
+        print(
+            "--mix-alpha derives the fractions; drop --mix-fractions",
+            file=sys.stderr,
+        )
+        return 2
+    if args.mix_alpha is not None and args.mix_key is None:
+        print("--mix-alpha requires --mix-key", file=sys.stderr)
+        return 2
+    if args.mix_total_docs is not None and args.mix_alpha is None:
+        print("--mix-total-docs requires --mix-alpha", file=sys.stderr)
         return 2
     if args.upsample_weights and args.mix_key is None:
         print("--upsample-weights requires --mix-key", file=sys.stderr)
@@ -337,6 +361,8 @@ def main(argv: list[str] | None = None) -> int:
         mix_key=args.mix_key,
         mix_fractions=_parse_fractions(args.mix_fractions),
         default_fraction=args.default_fraction,
+        mix_alpha=args.mix_alpha,
+        mix_total_docs=args.mix_total_docs,
         seq_len=args.seq_len,
         overlap=args.overlap,
         pack_mode="documents" if args.pack_docs else "windows",

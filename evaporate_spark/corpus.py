@@ -45,6 +45,8 @@ def prepare_corpus(
     mix_key: str | None = None,
     mix_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
+    mix_alpha: float | None = None,
+    mix_total_docs: float | None = None,
     mix_token_budgets: dict[str, int] | None = None,
     upsample_weights: dict[str, float] | None = None,
     seq_len: int | None = None,
@@ -79,7 +81,10 @@ def prepare_corpus(
     hygiene stages. ``eval_docs`` enables decontamination: documents
     whose word ``decontam_k``-gram overlap with the eval set reaches
     ``decontam_threshold`` are DROPPED. ``mix_key``/``mix_fractions``
-    enable reproducible per-key downsampling; ``mix_token_budgets``
+    enable reproducible per-key downsampling; ``mix_alpha`` derives
+    the fractions from the published n^alpha temperature recipe
+    instead of a hand table (``mix_total_docs`` caps the kept size;
+    mutually exclusive with ``mix_fractions``); ``mix_token_budgets``
     (also keyed on ``mix_key``) downsamples each key to a TOKEN
     budget instead of a fraction — budgets count BPE tokens when
     ``bpe_merges`` is given, else whitespace tokens, so the mixture
@@ -144,6 +149,13 @@ def prepare_corpus(
     """
     if mix_token_budgets is not None and mix_key is None:
         raise ValueError("mix_token_budgets requires mix_key")
+    if mix_alpha is not None and mix_key is None:
+        raise ValueError("mix_alpha requires mix_key")
+    if mix_alpha is not None and mix_fractions is not None:
+        raise ValueError(
+            "mix_alpha derives the fractions — pass either mix_alpha "
+            "or mix_fractions, not both"
+        )
     if upsample_weights is not None and mix_key is None:
         raise ValueError("upsample_weights requires mix_key")
     if pack_mode not in ("windows", "documents"):
@@ -288,6 +300,16 @@ def prepare_corpus(
             "mix",
             lambda d: deterministic_mix(
                 d, id_col, mix_key, mix_fractions, default_fraction
+            ),
+        ))
+    if mix_alpha is not None:
+        from evaporate_spark.operators.mixing import temperature_mix
+
+        stages.append((
+            "mix_temperature",
+            lambda d: temperature_mix(
+                d, id_col, mix_key, alpha=mix_alpha,
+                total_docs=mix_total_docs,
             ),
         ))
     # encode-pass reuse: when both the token-budget and the pack stage
@@ -448,6 +470,8 @@ def prepare_corpus(
         "mix_key": mix_key,
         "mix_fractions": mix_fractions,
         "default_fraction": default_fraction,
+        "mix_alpha": mix_alpha,
+        "mix_total_docs": mix_total_docs,
         "mix_token_budgets": mix_token_budgets,
         "upsample_weights": upsample_weights,
         "split_fractions": split_fractions,

@@ -79,6 +79,75 @@ def weighted_sample(
     return df.where(sample_hash(id_col, salt) < threshold)
 
 
+def temperature_fractions(
+    df: DataFrame,
+    key_col: str,
+    alpha: float = 0.5,
+    total_docs: float | None = None,
+) -> dict[str, float]:
+    """Per-key keep fractions for TEMPERATURE-scaled mixing — the
+    published multilingual/multi-source recipe (mT5 §3.1, GPT-3
+    appendix A): sample key ``i`` proportionally to ``n_i^alpha``, so
+    ``alpha < 1`` flattens the natural distribution toward the small
+    keys without the hand-tuned per-key fraction table
+    :func:`deterministic_mix` takes. ``total_docs`` sets the kept
+    corpus size; the default is the LARGEST total achievable without
+    upsampling (the most-boosted key keeps fraction 1.0 and every
+    other key scales to match the n^alpha proportions).
+
+    Scale shape: one key-cardinality count aggregate; the returned
+    dict is driver-sized. Fractions are rounded half-up to 1e-6 (the
+    engine's comparison convention) so the DuckDB oracle's POW replay
+    lands on the identical hash thresholds."""
+    if alpha < 0:
+        raise ValueError(f"need alpha >= 0, got {alpha}")
+    counts = {
+        r["k"]: r["n"]
+        for r in df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    weights = {k: float(n) ** alpha for k, n in counts.items()}
+    sw = sum(weights.values())
+    if total_docs is None:
+        # max total with every fraction <= 1: the binding key is the
+        # one n^alpha boosts most relative to its natural share
+        total_docs = min(counts[k] * sw / weights[k] for k in counts)
+    import math
+
+    return {
+        k: math.floor(
+            min(1.0, total_docs * (weights[k] / sw) / counts[k]) * 1_000_000
+            + 0.5
+        )
+        / 1_000_000
+        for k in counts
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    total_docs: float | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows per :func:`temperature_fractions` via the same
+    deterministic md5 threshold as :func:`deterministic_mix` —
+    reproducible n^alpha corpus mixing in one call."""
+    return deterministic_mix(
+        df,
+        id_col,
+        key_col,
+        temperature_fractions(df, key_col, alpha, total_docs),
+        default_fraction=1.0,
+        salt=salt,
+    )
+
+
 def token_budget_fractions(
     df: DataFrame,
     key_col: str,

@@ -2841,6 +2841,49 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_temperature_mix",
+    "Temperature-scaled corpus mixing (operators/mixing.py::"
+    "temperature_mix — the published mT5/GPT-3 n^alpha recipe): keys "
+    "sample proportionally to count^0.5, flattening the natural "
+    "distribution toward small languages; the default total is the "
+    "largest achievable without upsampling (the most-boosted key "
+    "keeps 1.0). Fractions round half-up to 1e-6 (the engine "
+    "convention) and apply through the same md5-prefix threshold as "
+    "q_corpus_mix, so the oracle replays count -> POW -> fraction -> "
+    "threshold end to end in SQL.",
+    oracle="""
+        WITH c AS (
+            SELECT lang AS k, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM documents GROUP BY lang
+        ),
+        a AS (SELECT k, n, POW(n, 0.5) AS aw FROM c),
+        s AS (SELECT SUM(aw) AS sw FROM a),
+        t AS (SELECT MIN(n * sw / aw) AS td FROM a, s),
+        f AS (
+            SELECT k,
+                   FLOOR(LEAST(1.0, td * (aw / sw) / n) * 1000000 + 0.5)
+                       / 1000000 AS frac
+            FROM a, s, t
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN f ON d.lang = f.k
+        WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT)
+              < CAST(FLOOR(f.frac * 4294967296) AS BIGINT)
+    """,
+    tags=("dedup", "textstats"),
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.mixing import temperature_mix
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return temperature_mix(
+        d.select("doc_id", "lang"), id_col="doc_id", key_col="lang",
+        alpha=0.5,
+    )
+
+
+@register(
     "q_epoch_weighted_mix",
     "Epoch-weighted UP-sampling (the standard multi-epoch data mix: "
     "en at 2.25 epochs emits every doc twice plus a deterministic 25% "

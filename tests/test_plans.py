@@ -35,6 +35,7 @@ EAGER = {
     "q_pack_documents_bpe",  # BPE train + offset totals at plan build
     "q_bpe_lossless_roundtrip",  # BPE train collect at plan build
     "q_frontier_rounds",  # versioned store commits at plan build
+    "q_temperature_mix",  # key-count collect at plan build
 }
 
 

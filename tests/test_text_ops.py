@@ -1859,3 +1859,73 @@ def test_trained_ivf_codebook_recall(spark, sf_dir, tmp_path):
     cb1 = train_ivf_codebook(emb, "vec_id", "embedding", 8, iterations=2)
     cb2 = train_ivf_codebook(emb, "vec_id", "embedding", 8, iterations=2)
     assert cb1 == cb2 and len(cb1) == 8
+
+
+def test_temperature_mix_fractions_and_limits(spark):
+    """n^alpha mixing (mT5/GPT-3 recipe): hand-computed fractions at
+    alpha=0.5 (en=100/de=25/fr=4 -> weights 10/5/2, default total 34,
+    fractions 0.2/0.4/1.0 — the smallest key binds at 1.0); alpha=1
+    is the natural distribution (keep everything); alpha=0 balances
+    every key down to the smallest."""
+    import itertools
+
+    from evaporate_spark.operators.mixing import (
+        temperature_fractions,
+        temperature_mix,
+    )
+
+    rows = [
+        (i, k)
+        for k, n in (("en", 100), ("de", 25), ("fr", 4))
+        for i in itertools.islice(itertools.count(hash(k) % 1000 * 1000), n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    assert temperature_fractions(df, "lang", alpha=0.5) == {
+        "en": 0.2, "de": 0.4, "fr": 1.0,
+    }
+    assert temperature_fractions(df, "lang", alpha=1.0) == {
+        "en": 1.0, "de": 1.0, "fr": 1.0,
+    }
+    assert temperature_fractions(df, "lang", alpha=0.0) == {
+        "en": 0.04, "de": 0.16, "fr": 1.0,
+    }
+    # explicit total scales everything down proportionally
+    half = temperature_fractions(df, "lang", alpha=0.5, total_docs=17)
+    assert half == {"en": 0.1, "de": 0.2, "fr": 0.5}
+    # the mix keeps a nested subset of the looser mix (same hash space)
+    kept_34 = {r["doc_id"] for r in temperature_mix(df, "doc_id", "lang").collect()}
+    kept_17 = {
+        r["doc_id"]
+        for r in temperature_mix(df, "doc_id", "lang", total_docs=17).collect()
+    }
+    assert kept_17 <= kept_34 and 0 < len(kept_17) < len(kept_34)
+
+
+def test_prepare_corpus_mix_alpha_stage(spark):
+    """Facade: mix_alpha downsamples big keys toward the n^alpha
+    proportions before packing; conflicting knobs are rejected."""
+    import itertools
+
+    from evaporate_spark.corpus import prepare_corpus
+
+    rows = [
+        (i, k, f"text {k} {i} words here")
+        for k, n in (("en", 80), ("fr", 5))
+        for i in itertools.islice(itertools.count(ord(k[0]) * 1000), n)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = prepare_corpus(
+        docs, redact=False, normalize=False, dedup=False,
+        mix_key="lang", mix_alpha=0.5,
+    )
+    kept = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in kept}
+    assert by["fr"] == 5  # the boosted small key keeps everything
+    assert 0 < by["en"] < 80  # the big key downsamples
+    with pytest.raises(ValueError, match="mix_alpha"):
+        prepare_corpus(
+            docs, mix_key="lang", mix_alpha=0.5,
+            mix_fractions={"en": 1.0},
+        )
+    with pytest.raises(ValueError, match="mix_alpha"):
+        prepare_corpus(docs, mix_alpha=0.5)

@@ -1,0 +1,180 @@
+"""DSIR-style data selection — importance resampling with hashed
+n-gram features (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling"; the published method behind
+target-distribution-matched pretraining subsets). Engine addition
+(SURVEY §2C training-data pipeline).
+
+The method: featurize every document as a bag of HASHED word n-grams
+(a fixed bucket count B caps the feature space), fit unigram
+bucket-probability models over the SOURCE corpus and a small TARGET
+corpus (the distribution you want more of — an eval set, a
+high-quality seed), and weight each source document by its
+log-importance ``Σ_grams log p_target(bucket) / p_source(bucket)``
+(Laplace-smoothed). Selecting the top-weighted documents yields a
+source subset distributionally closer to the target.
+
+Scale shape: featurization is scan-stage JVM column work (the md5
+bucket hash is the engine's ``sample_hash`` convention, so the DuckDB
+oracle replays it bit-for-bit); each model is ONE B-bounded count
+aggregate; the log-ratio table (≤ B rows) broadcast-joins the exploded
+grams; scoring is one map-side-combined sum per document. No
+all-pairs, nothing driver-side beyond two scalars and the B-row
+table. Selection compiles to TakeOrderedAndProject (per-partition
+heads + a k-row driver merge — no single-task sort).
+
+Determinism: md5 bucketing + fixed smoothing — a pure function of
+(source, target, n, num_buckets); scores round half-up to 1e-6 (the
+engine's cross-engine float convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hashed_ngram_buckets", "dsir_log_weights", "dsir_select"]
+
+
+def hashed_ngram_buckets(
+    col: Column | str, n: int = 2, num_buckets: int = 4096
+) -> Column:
+    """``array<long>`` of hashed word-``n``-gram bucket ids for a text
+    column: lowercased ``\\W+`` words, space-joined n-grams, md5-prefix
+    bucket (the ``mixing.sample_hash`` arithmetic mod ``num_buckets``
+    — DuckDB-replayable). Documents with fewer than ``n`` words yield
+    an empty array."""
+    from evaporate_spark.functions.text_stats import bind_once
+
+    if n < 1:
+        raise ValueError(f"need n >= 1, got {n}")
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(
+        F.split(F.lower(c), r"\W+"), lambda x: x != F.lit("")
+    )
+
+    def _grams(w: Column) -> Column:
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        )
+        return F.transform(idx, gram)
+
+    grams = bind_once(words, _grams)
+    bucket = lambda g: (  # noqa: E731
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    )
+    return F.transform(grams, bucket)
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n: int, num_buckets: int
+) -> DataFrame:
+    return (
+        df.select(
+            F.explode(
+                hashed_ngram_buckets(text_col, n, num_buckets)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_weights(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """``(id, n_grams, log_weight)`` per source document:
+    ``log_weight = Σ_grams [ln p_target(b) − ln p_source(b)]`` with
+    +1-smoothed bucket unigram models (``p(b) = (count_b + 1) /
+    (total + B)``), rounded half-up to 1e-6. Higher = more
+    target-like. Documents with no n-grams score 0."""
+    src_counts = _bucket_counts(source, text_col, n, num_buckets)
+    tgt_counts = _bucket_counts(target, text_col, n, num_buckets)
+    n_src = src_counts.agg(F.coalesce(F.sum("c"), F.lit(0))).first()[0]
+    n_tgt = tgt_counts.agg(F.coalesce(F.sum("c"), F.lit(0))).first()[0]
+    import math
+
+    # buckets unseen in BOTH models carry this constant smoothed ratio
+    default_ratio = math.log(1.0 / (n_tgt + num_buckets)) - math.log(
+        1.0 / (n_src + num_buckets)
+    )
+    ratio = (
+        src_counts.withColumnRenamed("c", "_cs")
+        .join(tgt_counts.withColumnRenamed("c", "_ct"), "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("_ct", F.lit(0)) + 1.0)
+                    / F.lit(float(n_tgt + num_buckets))
+                )
+                - F.log(
+                    (F.coalesce("_cs", F.lit(0)) + 1.0)
+                    / F.lit(float(n_src + num_buckets))
+                )
+            ).alias("_lr"),
+        )
+    )
+    exploded = source.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_buckets(text_col, n, num_buckets)
+        ).alias("bucket"),
+    )
+    scored = (
+        exploded.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_grams"),
+            # explode_outer emits ONE null-bucket row for gram-less
+            # docs — it must contribute 0, not the smoothed default
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("bucket").isNotNull(),
+                        F.coalesce("_lr", F.lit(default_ratio)),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("_lw"),
+        )
+    )
+    half_up = F.floor(F.col("_lw") * 1_000_000 + F.lit(0.5)) / 1_000_000.0
+    return scored.select(
+        id_col,
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        half_up.alias("log_weight"),
+    )
+
+
+def dsir_select(
+    source: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """The ``k`` most target-like source documents by DSIR log
+    importance (ties broken on id — deterministic), with their
+    ``log_weight``; joins back every source column. The global top-k
+    compiles to TakeOrderedAndProject (per-partition heads + driver
+    merge of k rows) — no single-task sort, no full shuffle."""
+    weights = dsir_log_weights(
+        source, target, id_col, text_col, n, num_buckets
+    )
+    top = (
+        weights.orderBy(F.desc("log_weight"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "log_weight")
+    )
+    return source.join(F.broadcast(top), id_col)

@@ -2841,6 +2841,71 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dsir_scores",
+    "DSIR data selection (operators/dsir.py — Xie et al. 2023 "
+    "importance resampling): every document scored by its hashed-"
+    "bigram log importance toward a target slice (doc_id % 17 == 0 "
+    "here), Laplace-smoothed bucket unigram models over source and "
+    "target, md5-prefix bucketing (the sample_hash convention). "
+    "Featurization is scan-stage JVM work, each model one B-bounded "
+    "aggregate, scoring one broadcast join + map-side sum. The "
+    "oracle replays gram -> bucket -> counts -> smoothed log ratio "
+    "-> per-doc sum end to end; scores round half-up to 1e-6.",
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(
+                       t[CAST(i AS BIGINT)] || ' '
+                       || t[CAST(i AS BIGINT) + 1]), 1, 8))
+                        AS UBIGINT) % 4096 AS bucket
+            FROM w, UNNEST(CASE WHEN len(t) >= 2
+                                THEN range(1, len(t))
+                                ELSE [] END) AS u(i)
+        ),
+        tg AS (
+            SELECT bucket, COUNT(*) AS c FROM g
+            WHERE doc_id % 17 = 0 GROUP BY bucket
+        ),
+        sg AS (SELECT bucket, COUNT(*) AS c FROM g GROUP BY bucket),
+        tot AS (
+            SELECT (SELECT COALESCE(SUM(c), 0) FROM sg) AS ns,
+                   (SELECT COALESCE(SUM(c), 0) FROM tg) AS nt
+        ),
+        r AS (
+            SELECT sg.bucket,
+                   ln((COALESCE(tg.c, 0) + 1.0) / (tot.nt + 4096))
+                       - ln((sg.c + 1.0) / (tot.ns + 4096)) AS lr
+            FROM sg LEFT JOIN tg USING (bucket), tot
+        ),
+        sc AS (
+            SELECT g.doc_id, COUNT(*) AS n_grams, SUM(r.lr) AS lw
+            FROM g JOIN r USING (bucket)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+               FLOOR(COALESCE(sc.lw, 0) * 1000000 + 0.5) / 1000000
+                   AS log_weight
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+    tags=("textstats", "corpus"),
+)
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dsir import dsir_log_weights
+
+    (d,) = _t(spark, sf_dir, "documents")
+    source = d.select("doc_id", "text")
+    target = source.where(F.col("doc_id") % 17 == 0)
+    return dsir_log_weights(source, target, "doc_id", "text")
+
+
+@register(
     "q_temperature_mix",
     "Temperature-scaled corpus mixing (operators/mixing.py::"
     "temperature_mix — the published mT5/GPT-3 n^alpha recipe): keys "

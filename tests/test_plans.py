@@ -36,6 +36,7 @@ EAGER = {
     "q_bpe_lossless_roundtrip",  # BPE train collect at plan build
     "q_frontier_rounds",  # versioned store commits at plan build
     "q_temperature_mix",  # key-count collect at plan build
+    "q_dsir_scores",  # model-total scalar collects at plan build
 }
 
 

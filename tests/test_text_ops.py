@@ -1929,3 +1929,52 @@ def test_prepare_corpus_mix_alpha_stage(spark):
         )
     with pytest.raises(ValueError, match="mix_alpha"):
         prepare_corpus(docs, mix_alpha=0.5)
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """DSIR (operators/dsir.py): with a cooking-text target, the
+    top-k selection over a mixed cooking/legal source must be all
+    cooking; scores of cooking docs dominate legal ones; gram-less
+    docs score 0 with n_grams 0."""
+    from evaporate_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_select,
+        hashed_ngram_buckets,
+    )
+
+    cook = "simmer the onion garlic butter sauce then season the broth"
+    legal = "the party hereto shall indemnify the licensor pursuant to clause"
+    rows = (
+        [(i, f"{cook} variant {i}") for i in range(40)]
+        + [(100 + i, f"{legal} section {i}") for i in range(40)]
+        + [(999, "")]
+    )
+    source = spark.createDataFrame(rows, ["doc_id", "text"])
+    # target must carry enough gram mass for +1 smoothing not to
+    # swamp it (the paper's 10k buckets assume millions of grams):
+    # 20 docs x 3 sentence repetitions, bucket count ~2x distinct grams
+    target = spark.createDataFrame(
+        [(1000 + i, " ".join([cook] * 3) + f" recipe {i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    w = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_log_weights(source, target, num_buckets=256).collect()
+    }
+    assert w[999] == (0, 0.0)
+    assert min(w[i][1] for i in range(40)) > max(
+        w[100 + i][1] for i in range(40)
+    )
+    assert min(w[i][1] for i in range(40)) > 0.0  # cooking beats empty
+    picked = {
+        r["doc_id"]
+        for r in dsir_select(source, target, k=10, num_buckets=256).collect()
+    }
+    assert len(picked) == 10 and picked <= set(range(40))
+    # featurizer sanity: n-gram count and determinism
+    df = spark.createDataFrame([("a b c d",), ("x",)], ["text"])
+    sizes = [
+        len(r[0])
+        for r in df.select(hashed_ngram_buckets("text", n=2)).collect()
+    ]
+    assert sizes == [3, 0]

@@ -42,6 +42,9 @@ def prepare_corpus(
     eval_docs: DataFrame | None = None,
     decontam_k: int = 8,
     decontam_threshold: float = 0.5,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
+    dsir_num_buckets: int = 4096,
     mix_key: str | None = None,
     mix_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
@@ -89,6 +92,13 @@ def prepare_corpus(
     budget instead of a fraction — budgets count BPE tokens when
     ``bpe_merges`` is given, else whitespace tokens, so the mixture
     is specified in the units the trainer consumes.
+    ``dsir_target`` + ``dsir_keep`` enable DSIR data selection
+    (``operators/dsir.py``): after decontamination, keep only the
+    ``dsir_keep`` documents whose hashed-n-gram log importance toward
+    the target corpus is highest — the published way to bias a crawl
+    toward a quality/domain distribution (size ``dsir_num_buckets``
+    to the corpus; like ``eval_docs``, the target frame is an INPUT
+    and is not covered by the resume fingerprint).
     ``upsample_weights``
     (requires ``mix_key``) the multi-epoch UP-sampling companion —
     rows gain a 0-based ``epoch`` copy index that rides through
@@ -293,6 +303,19 @@ def prepare_corpus(
             return d.join(clean_ids, id_col, "left_semi")
 
         stages.append(("decontaminate", _decontaminate))
+    if dsir_target is not None:
+        from evaporate_spark.operators.dsir import dsir_select
+
+        if dsir_keep is None:
+            raise ValueError("dsir_target requires dsir_keep")
+
+        def _dsir(d: DataFrame) -> DataFrame:
+            return dsir_select(
+                d, dsir_target, k=dsir_keep, id_col=id_col,
+                text_col=text_col, num_buckets=dsir_num_buckets,
+            ).drop("log_weight")
+
+        stages.append(("dsir", _dsir))
     if mix_key is not None and mix_fractions is not None:
         from evaporate_spark.operators.mixing import deterministic_mix
 
@@ -466,6 +489,10 @@ def prepare_corpus(
         "decontam_k": decontam_k if eval_docs is not None else None,
         "decontam_threshold": (
             float(decontam_threshold) if eval_docs is not None else None
+        ),
+        "dsir_keep": dsir_keep if dsir_target is not None else None,
+        "dsir_num_buckets": (
+            dsir_num_buckets if dsir_target is not None else None
         ),
         "mix_key": mix_key,
         "mix_fractions": mix_fractions,

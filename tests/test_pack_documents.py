@@ -346,3 +346,35 @@ def test_pack_pre_tokenized_input(spark):
     for _, i in order:
         want += toks[i] + [EOS]
     assert flat == want
+
+
+def test_stream_property_random_corpora(spark):
+    """Property: for randomized corpora (doc counts, lengths, seq_len,
+    groups), the Spark stream equals the pure-python recompute. Five
+    seeded shapes — a hypothesis-style sweep without per-example
+    Spark-session cost."""
+    import random
+
+    from evaporate_spark.operators.packing import pack_documents
+
+    for case_seed in range(5):
+        rng = random.Random(case_seed)
+        n_docs = rng.randint(1, 25)
+        seq_len = rng.randint(1, 17)
+        use_groups = rng.random() < 0.5
+        docs = []
+        for i in range(1, n_docs + 1):
+            n_tok = rng.choice([0, rng.randint(1, 3 * seq_len)])
+            grp = rng.choice(["a", "b"]) if use_groups else "a"
+            docs.append(
+                (i, grp, " ".join(f"t{i}_{j}" for j in range(n_tok)))
+            )
+        df = spark.createDataFrame(docs, ["doc_id", "split", "text"])
+        out = pack_documents(
+            df, "doc_id", "text", seq_len=seq_len, seed=SEED,
+            eos_token=EOS, group_cols=["split"] if use_groups else None,
+        )
+        toks = [(i, g, t.split()) for i, g, t in docs]
+        assert _got(out, groups=use_groups) == _recompute(
+            toks, seq_len, groups=use_groups
+        ), f"case_seed={case_seed} n_docs={n_docs} L={seq_len}"

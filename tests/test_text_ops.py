@@ -1978,3 +1978,29 @@ def test_dsir_selects_target_like_documents(spark):
         for r in df.select(hashed_ngram_buckets("text", n=2)).collect()
     ]
     assert sizes == [3, 0]
+
+
+def test_prepare_corpus_dsir_stage(spark):
+    """Facade: dsir_target/dsir_keep keeps the most target-like docs
+    before mixing/packing; missing dsir_keep is rejected."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    cook = "simmer the onion garlic butter sauce then season the broth"
+    legal = "the party hereto shall indemnify the licensor pursuant to clause"
+    docs = spark.createDataFrame(
+        [(i, f"{cook} variant {i}") for i in range(20)]
+        + [(100 + i, f"{legal} section {i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, " ".join([cook] * 3) + f" recipe {i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    out = prepare_corpus(
+        docs, redact=False, normalize=False, dedup=False,
+        dsir_target=target, dsir_keep=8, dsir_num_buckets=256,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert len(kept) == 8 and kept <= set(range(20))
+    with pytest.raises(ValueError, match="dsir_keep"):
+        prepare_corpus(docs, dsir_target=target)

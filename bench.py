@@ -209,6 +209,15 @@ Pinned comparison baselines (medians unless noted):
   12.742, r10 11.610 — in band). Tokens unchanged (6718 / 29640).
   Resume probe regenerated post-fix: lazy 14.6 / materialized 10.0 /
   resume-tail 0.9 s.
+- r12 END-of-round confirmation (gated, start loadavg 0.02, after the
+  temperature-mix/DSIR/tokens_col batch landed): relational 2.415
+  (q1 0.478 / q3 0.802 / q5 1.135); every row within band —
+  q_semantic_openie 11.412 (the r11 mover fully back in the r10
+  band), corpus_chain_10x 17.845, code_lake_20x 1.873, pack_docs_10x
+  3.894, gopher_full_10x 3.279, media_decode_300 0.613. The round's
+  registry additions (q_pack_documents*, q_bpe_lossless_roundtrip,
+  q_frontier_rounds, q_temperature_mix, q_dsir_scores) touch none of
+  the benched paths, and the rows confirm it.
 """
 
 from __future__ import annotations

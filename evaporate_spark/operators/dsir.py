@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hashed_ngram_buckets", "dsir_log_weights", "dsir_select"]
+__all__ = [
+    "hashed_ngram_buckets",
+    "dsir_log_weights",
+    "dsir_select",
+    "dsir_ratio_model",
+    "dsir_score_column",
+]
 
 
 def hashed_ngram_buckets(
@@ -178,3 +184,66 @@ def dsir_select(
         .select(id_col, "log_weight")
     )
     return source.join(F.broadcast(top), id_col)
+
+
+def dsir_ratio_model(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    num_buckets: int = 4096,
+) -> tuple[dict[int, float], float]:
+    """Freeze the DSIR model: ``(bucket -> log ratio, default)`` as a
+    driver-side dict (B-bounded by construction). The frozen form is
+    what :func:`dsir_score_column` ships into a plan — score documents
+    AS THEY ARRIVE (a crawl stream) against a model fit once."""
+    src_counts = _bucket_counts(source, text_col, n, num_buckets)
+    tgt_counts = _bucket_counts(target, text_col, n, num_buckets)
+    import math
+
+    src = {r["bucket"]: r["c"] for r in src_counts.collect()}
+    tgt = {r["bucket"]: r["c"] for r in tgt_counts.collect()}
+    n_src, n_tgt = sum(src.values()), sum(tgt.values())
+    default = math.log(1.0 / (n_tgt + num_buckets)) - math.log(
+        1.0 / (n_src + num_buckets)
+    )
+    ratio = {
+        b: math.log((tgt.get(b, 0) + 1.0) / (n_tgt + num_buckets))
+        - math.log((src.get(b, 0) + 1.0) / (n_src + num_buckets))
+        for b in set(src) | set(tgt)
+    }
+    return ratio, default
+
+
+def dsir_score_column(
+    col: Column | str,
+    ratio: dict[int, float],
+    default_ratio: float,
+    n: int = 2,
+    num_buckets: int = 4096,
+) -> Column:
+    """Per-row DSIR log weight against a FROZEN model
+    (:func:`dsir_ratio_model`) — a pure Column (map literal + array
+    fold, no join, no aggregation), so it runs identically over a
+    batch frame or a Structured Streaming source (the stateless
+    scoring path a crawler applies per fetched page). Rounded half-up
+    to 1e-6, matching :func:`dsir_log_weights`.
+
+    The ratio map ships as a plan literal (2·|ratio| expression
+    nodes) — fine at the default B≈4k; for much larger models use the
+    batch join in :func:`dsir_log_weights`."""
+    buckets = hashed_ngram_buckets(col, n, num_buckets)
+    pairs = [
+        F.lit(x)
+        for b in sorted(ratio)
+        for x in (int(b), float(ratio[b]))
+    ]
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    per = F.transform(
+        buckets,
+        lambda b: F.coalesce(
+            F.try_element_at(m, b), F.lit(float(default_ratio))
+        ),
+    )
+    lw = F.aggregate(per, F.lit(0.0), lambda acc, x: acc + x)
+    return F.floor(lw * 1_000_000 + F.lit(0.5)) / 1_000_000.0

@@ -2004,3 +2004,78 @@ def test_prepare_corpus_dsir_stage(spark):
     assert len(kept) == 8 and kept <= set(range(20))
     with pytest.raises(ValueError, match="dsir_keep"):
         prepare_corpus(docs, dsir_target=target)
+
+
+def test_dsir_frozen_model_batch_stream_parity(spark, tmp_path):
+    """dsir_score_column over a FROZEN ratio model is a pure Column
+    (map literal + array fold): it must agree with the batch
+    dsir_log_weights join path on every document, and run unchanged
+    over a Structured Streaming source (the crawl-time scoring path)."""
+    import json as _json
+    import os
+
+    from evaporate_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_ratio_model,
+        dsir_score_column,
+    )
+
+    cook = "simmer the onion garlic butter sauce then season the broth"
+    legal = "the party hereto shall indemnify the licensor pursuant to clause"
+    rows = (
+        [(i, f"{cook} variant {i}") for i in range(10)]
+        + [(100 + i, f"{legal} section {i}") for i in range(10)]
+        + [(999, "")]
+    )
+    source = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(1000 + i, " ".join([cook] * 3) + f" recipe {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    ratio, default = dsir_ratio_model(source, target, num_buckets=256)
+    batch = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            source, target, num_buckets=256
+        ).collect()
+    }
+    frozen = {
+        r["doc_id"]: r["lw"]
+        for r in source.select(
+            "doc_id",
+            dsir_score_column("text", ratio, default, num_buckets=256).alias(
+                "lw"
+            ),
+        ).collect()
+    }
+    assert frozen == batch
+
+    # same Column over a stream: memory-sink rows equal the batch path
+    src_dir = str(tmp_path / "pages")
+    os.makedirs(src_dir)
+    for i, (doc_id, text) in enumerate(rows):
+        with open(f"{src_dir}/p{i}.json", "w") as fh:
+            fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 7)
+        .json(src_dir)
+        .select(
+            "doc_id",
+            dsir_score_column("text", ratio, default, num_buckets=256).alias(
+                "lw"
+            ),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dsir_stream_twin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["lw"] for r in spark.table("dsir_stream_twin").collect()
+    }
+    assert got == batch

@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-text-col", help="text column in the eval set (default: --text-col)")
     p.add_argument("--decontam-k", type=int, default=8)
     p.add_argument("--decontam-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--decontam-spans",
+        action="store_true",
+        help="excise only the eval-overlapping word ranges instead of "
+        "dropping whole documents (span-level decontamination; "
+        "--decontam-threshold does not apply)",
+    )
     p.add_argument("--mix-key", help="column to mix on (e.g. lang)")
     p.add_argument("--mix-fractions", help="key=frac list, e.g. 'en=1.0,de=0.5'")
     p.add_argument("--default-fraction", type=float, default=1.0)
@@ -358,6 +365,7 @@ def main(argv: list[str] | None = None) -> int:
         eval_docs=eval_docs,
         decontam_k=args.decontam_k,
         decontam_threshold=args.decontam_threshold,
+        decontam_mode="spans" if args.decontam_spans else "drop",
         mix_key=args.mix_key,
         mix_fractions=_parse_fractions(args.mix_fractions),
         default_fraction=args.default_fraction,

@@ -42,6 +42,7 @@ def prepare_corpus(
     eval_docs: DataFrame | None = None,
     decontam_k: int = 8,
     decontam_threshold: float = 0.5,
+    decontam_mode: str = "drop",
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     dsir_num_buckets: int = 4096,
@@ -168,6 +169,10 @@ def prepare_corpus(
         )
     if upsample_weights is not None and mix_key is None:
         raise ValueError("upsample_weights requires mix_key")
+    if decontam_mode not in ("drop", "spans"):
+        raise ValueError(
+            f"decontam_mode must be 'drop' or 'spans', got {decontam_mode!r}"
+        )
     if pack_mode not in ("windows", "documents"):
         raise ValueError(
             f"pack_mode must be 'windows' or 'documents', got {pack_mode!r}"
@@ -287,7 +292,19 @@ def prepare_corpus(
             )
 
         stages.append(("near_dedup", _near_dedup))
-    if eval_docs is not None:
+    if eval_docs is not None and decontam_mode == "spans":
+        from evaporate_spark.operators.dedup import decontaminate_spans
+
+        def _decontaminate_spans(d: DataFrame) -> DataFrame:
+            cleaned = decontaminate_spans(
+                d, eval_docs, id_col=id_col, text_col=text_col,
+                k=decontam_k,
+            ).select(id_col, text_col)
+            # swap the text column, keep every other column
+            return d.drop(text_col).join(cleaned, id_col)
+
+        stages.append(("decontaminate_spans", _decontaminate_spans))
+    elif eval_docs is not None:
         from evaporate_spark.operators.dedup import decontaminate
 
         def _decontaminate(d: DataFrame) -> DataFrame:
@@ -490,6 +507,7 @@ def prepare_corpus(
         "decontam_threshold": (
             float(decontam_threshold) if eval_docs is not None else None
         ),
+        "decontam_mode": decontam_mode if eval_docs is not None else None,
         "dsir_keep": dsir_keep if dsir_target is not None else None,
         "dsir_num_buckets": (
             dsir_num_buckets if dsir_target is not None else None

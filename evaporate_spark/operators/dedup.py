@@ -628,6 +628,135 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    k: int = 8,
+    marker: str | None = None,
+) -> DataFrame:
+    """SPAN-level decontamination — the surgical companion to
+    :func:`decontaminate`: instead of dropping whole documents, excise
+    exactly the word ranges covered by eval-set ``k``-grams and keep
+    the rest (the Llama/FineWeb-style treatment — a long document that
+    merely QUOTES a benchmark item keeps its other 99%).
+
+    Returns EVERY input row as (id, text [cleaned], n_tokens,
+    n_tokens_removed, n_spans_removed): a position is removed iff some
+    eval ``k``-gram match covers it (overlapping matches merge into
+    one span). Clean documents pass through with their whitespace
+    normalized (single spaces — the rebuild convention). With
+    ``marker`` each removed RUN is replaced by that single token
+    instead of closing up silently (span-boundary evidence for
+    auditability).
+
+    Scale shape: the eval shingle-hash set broadcasts (same as
+    :func:`decontaminate`); the corpus side is one scan-stage
+    positional-shingle explode + broadcast join, one groupBy(id) to
+    collect each doc's match starts (bounded by the doc's own
+    length), one join back, and the excision itself is pure JVM array
+    HOFs over the bound token array."""
+    from evaporate_spark.functions.text_stats import (
+        bind_once,
+        rolling_hash_shingles,
+        ws_tokens,
+    )
+
+    etext = eval_text_col or text_col
+    eval_sh = eval_docs.select(
+        F.explode(rolling_hash_shingles(F.col(etext), k)).alias("_h")
+    ).distinct()
+
+    def _pos_shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.when(
+            n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("i"),
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice(toks, i, F.lit(k)))
+                ).alias("_h"),
+            ),
+        )
+
+    pos = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(bind_once(ws_tokens(text_col), _pos_shingles)).alias("_s"),
+    ).select("_id", F.col("_s.i").alias("_i"), F.col("_s._h").alias("_h"))
+    hits = (
+        pos.join(F.broadcast(eval_sh), "_h")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_hits"))
+    )
+    out = docs.join(
+        hits.withColumnRenamed("_id", id_col), id_col, "left"
+    ).withColumn("_hits", F.coalesce("_hits", F.array().cast("array<int>")))
+
+    def _clean(toks: Column) -> Column:
+        n = F.size(toks)
+        seq = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        hs = F.col("_hits")
+        cov = lambda p: F.exists(  # noqa: E731
+            hs, lambda s: (p >= s) & (p <= s + (k - 1))
+        )
+        kept = F.filter(seq, lambda p: ~cov(p))
+        removed = n - F.size(kept)
+        spans = F.size(
+            F.filter(
+                seq,
+                lambda p: cov(p) & ((p == 1) | ~cov(p - 1)),
+            )
+        )
+        if marker is None:
+            text = F.concat_ws(
+                " ", F.transform(kept, lambda p: F.element_at(toks, p))
+            )
+        else:
+            piece = lambda p: F.when(  # noqa: E731
+                cov(p), F.lit(marker)
+            ).otherwise(F.element_at(toks, p))
+            text = F.aggregate(
+                seq,
+                F.struct(
+                    F.lit("").alias("txt"), F.lit(False).alias("gap")
+                ),
+                lambda acc, p: F.struct(
+                    F.when(cov(p) & acc["gap"], acc["txt"])
+                    .when(
+                        acc["txt"] == "", piece(p)
+                    )
+                    .otherwise(
+                        F.concat(acc["txt"], F.lit(" "), piece(p))
+                    )
+                    .alias("txt"),
+                    cov(p).alias("gap"),
+                ),
+                lambda acc: acc["txt"],
+            )
+        return F.struct(
+            text.alias("t"),
+            F.size(kept).cast("bigint").alias("nk"),
+            removed.cast("bigint").alias("nr"),
+            spans.cast("bigint").alias("ns"),
+        )
+
+    cleaned = bind_once(ws_tokens(text_col), _clean)
+    return out.withColumn("_c", cleaned).select(
+        id_col,
+        F.col("_c.t").alias(text_col),
+        F.col("_c.nk").alias("n_tokens"),
+        F.col("_c.nr").alias("n_tokens_removed"),
+        F.col("_c.ns").alias("n_spans_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. incremental exact dedup (cross-batch fingerprint store)
 # ---------------------------------------------------------------------------

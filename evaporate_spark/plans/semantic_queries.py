@@ -2841,6 +2841,71 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_decontaminate_spans",
+    "SPAN-level decontamination (operators/dedup.py::"
+    "decontaminate_spans — the Llama/FineWeb-style surgical variant "
+    "of q_decontaminate_eval): word ranges covered by eval-set "
+    "8-grams are excised and the REST of the document survives, "
+    "instead of dropping whole docs (eval = every 37th document, so "
+    "those excise fully). Broadcast eval shingle hashes, one "
+    "positional-shingle explode + groupBy(id) for match starts, pure "
+    "JVM array HOFs for the excision. The oracle replays gram match "
+    "-> covered-position union -> token rebuild with DuckDB list "
+    "algebra over the same whitespace tokenization.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, i,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                   t[i+6] || ' ' || t[i+7] AS g
+            FROM toks, UNNEST(CASE WHEN len(t) >= 8
+                                   THEN range(1, len(t) - 6)
+                                   ELSE [] END) AS u(i)
+        ),
+        ev AS (SELECT DISTINCT g FROM pos WHERE doc_id % 37 = 0),
+        hits AS (
+            SELECT pos.doc_id, list_sort(list(i)) AS hs
+            FROM pos JOIN ev USING (g) GROUP BY pos.doc_id
+        ),
+        x AS (
+            SELECT toks.doc_id, t, COALESCE(hits.hs, []) AS hs,
+                   list_filter(range(1, len(t) + 1),
+                       p -> len(list_filter(COALESCE(hits.hs, []),
+                                s -> p >= s AND p <= s + 7)) = 0
+                   ) AS kept
+            FROM toks LEFT JOIN hits USING (doc_id)
+        )
+        SELECT doc_id,
+               COALESCE(array_to_string(
+                   list_transform(kept, p -> t[p]), ' '), '') AS text,
+               CAST(len(kept) AS BIGINT) AS n_tokens,
+               CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_removed,
+               CAST(len(list_filter(range(1, len(t) + 1),
+                   p -> len(list_filter(hs,
+                            s -> p >= s AND p <= s + 7)) > 0
+                        AND (p = 1 OR len(list_filter(hs,
+                            s -> p - 1 >= s AND p - 1 <= s + 7)) = 0)
+               )) AS BIGINT) AS n_spans_removed
+        FROM x
+    """,
+    tags=("dedup", "corpus"),
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import decontaminate_spans
+
+    (d,) = _t(spark, sf_dir, "documents")
+    eval_set = d.where(F.col("doc_id") % 37 == 0)
+    return decontaminate_spans(
+        d.select("doc_id", "text"), eval_set, id_col="doc_id",
+        text_col="text", k=8,
+    )
+
+
+@register(
     "q_dsir_scores",
     "DSIR data selection (operators/dsir.py — Xie et al. 2023 "
     "importance resampling): every document scored by its hashed-"

@@ -2079,3 +2079,100 @@ def test_dsir_frozen_model_batch_stream_parity(spark, tmp_path):
         r["doc_id"]: r["lw"] for r in spark.table("dsir_stream_twin").collect()
     }
     assert got == batch
+
+
+def test_decontaminate_spans_excision_and_marker(spark):
+    """Span-level decontamination: only the covered word ranges go;
+    overlapping matches merge into one span; marker mode replaces each
+    removed RUN with a single token; clean/short/empty docs pass
+    through; a pure-python recompute agrees on every doc."""
+    from evaporate_spark.operators.dedup import decontaminate_spans
+
+    leak = "W1 W2 W3 W4 W5 W6 W7 W8 W9"  # 9 words -> two overlapping 8-grams
+    docs = [
+        (1, f"alpha beta {leak} gamma delta"),
+        (2, "clean document with enough words to have shingles of its own ok"),
+        (3, "short"),
+        (4, ""),
+        (5, f"{leak} trailing words then {leak} again here"),
+    ]
+    ev = [(100, leak)]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    edf = spark.createDataFrame(ev, ["doc_id", "text"])
+
+    def recompute(text, k=8):
+        evset = {
+            " ".join(leak.split()[i : i + k])
+            for i in range(len(leak.split()) - k + 1)
+        }
+        t = text.split()
+        hits = [
+            i for i in range(len(t) - k + 1)
+            if " ".join(t[i : i + k]) in evset
+        ]
+        covered = {p for i in hits for p in range(i, i + k)}
+        kept = [w for p, w in enumerate(t) if p not in covered]
+        spans = sum(
+            1 for p in sorted(covered) if p - 1 not in covered
+        )
+        return " ".join(kept), len(kept), len(t) - len(kept), spans
+
+    got = {
+        r["doc_id"]: (
+            r["text"], r["n_tokens"], r["n_tokens_removed"],
+            r["n_spans_removed"],
+        )
+        for r in decontaminate_spans(ddf, edf, k=8).collect()
+    }
+    for i, text in docs:
+        exp = recompute(text)
+        if not text.split():  # whitespace-token convention: '' -> ['']
+            exp = ("", 1, 0, 0)
+        assert got[i] == exp, (i, got[i], exp)
+    # doc 1: the 9 leaked words merge into ONE span (overlap), context kept
+    assert got[1] == ("alpha beta gamma delta", 4, 9, 1)
+    # doc 5: two separate leaks -> two spans
+    assert got[5][3] == 2
+    # marker mode: one marker token per removed run
+    m = {
+        r["doc_id"]: r["text"]
+        for r in decontaminate_spans(
+            ddf, edf, k=8, marker="<removed>"
+        ).collect()
+    }
+    assert m[1] == "alpha beta <removed> gamma delta"
+    assert m[5] == "<removed> trailing words then <removed> again here"
+    assert m[2] == docs[1][1]
+
+
+def test_prepare_corpus_decontam_spans_mode(spark):
+    """Facade: decontam_mode='spans' excises instead of dropping."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    leak = "Q1 Q2 Q3 Q4 Q5 Q6 Q7 Q8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"keep this prefix {leak} and this suffix too"),
+            (2, "a completely unrelated document stays intact fully"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, leak)], ["doc_id", "text"])
+    out = prepare_corpus(
+        docs, redact=False, normalize=False, dedup=False,
+        eval_docs=ev, decontam_mode="spans",
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1] == "keep this prefix and this suffix too"
+    assert got[2] == "a completely unrelated document stays intact fully"
+    # drop mode (default) removes doc 1 entirely: its one matching
+    # shingle out of 8 is 0.125 contamination, over a 0.1 threshold
+    dropped = prepare_corpus(
+        docs, redact=False, normalize=False, dedup=False,
+        eval_docs=ev, decontam_threshold=0.1,
+    )
+    assert [r["doc_id"] for r in dropped.collect()] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="decontam_mode"):
+        prepare_corpus(docs, eval_docs=ev, decontam_mode="zap")

@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="cluster-level shingle-set dedup (keep min-id per cluster)",
     )
     p.add_argument(
+        "--selfdedup-spans-k", type=int,
+        help="corpus-vs-itself duplicate-SPAN excision (ExactSubstr): "
+        "word k-grams occurring twice anywhere keep their first "
+        "occurrence and lose the rest",
+    )
+    p.add_argument(
         "--split-fractions",
         help="leakage-safe split labels, e.g. 'train=0.8,val=0.1,test=0.1'",
     )
@@ -128,6 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
         "the stream into full --seq-len windows (doc_spans carry the "
         "per-window document boundaries); default packs each "
         "document independently",
+    )
+    p.add_argument(
+        "--pack-bins",
+        action="store_true",
+        help="no-split packing: whole documents first-fit-decreasing "
+        "into --seq-len-capacity bins (the SFT layout — no document "
+        "straddles a window; over-long documents truncate)",
     )
     p.add_argument("--eos-token", default="<|endoftext|>")
     p.add_argument("--pack-seed", default="")
@@ -235,13 +248,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.shuffle_shards and not args.shuffle_seed:
         print("--shuffle-shards requires --shuffle-seed", file=sys.stderr)
         return 2
-    if args.pack_docs and args.seq_len is None:
-        print("--pack-docs requires --seq-len", file=sys.stderr)
-        return 2
-    if args.pack_docs and args.overlap:
+    if args.pack_docs and args.pack_bins:
         print(
-            "--pack-docs cuts a contiguous stream; --overlap does not "
-            "apply",
+            "--pack-docs and --pack-bins are mutually exclusive "
+            "packing layouts",
+            file=sys.stderr,
+        )
+        return 2
+    if (args.pack_docs or args.pack_bins) and args.seq_len is None:
+        print("--pack-docs/--pack-bins require --seq-len", file=sys.stderr)
+        return 2
+    if (args.pack_docs or args.pack_bins) and args.overlap:
+        print(
+            "--pack-docs/--pack-bins never split mid-overlap; "
+            "--overlap does not apply",
             file=sys.stderr,
         )
         return 2
@@ -361,6 +381,7 @@ def main(argv: list[str] | None = None) -> int:
         redact=not args.no_redact,
         dedup=not args.no_dedup,
         near_dedup=args.near_dedup,
+        selfdedup_spans_k=args.selfdedup_spans_k,
         split_fractions=_parse_fractions(args.split_fractions),
         eval_docs=eval_docs,
         decontam_k=args.decontam_k,
@@ -373,7 +394,11 @@ def main(argv: list[str] | None = None) -> int:
         mix_total_docs=args.mix_total_docs,
         seq_len=args.seq_len,
         overlap=args.overlap,
-        pack_mode="documents" if args.pack_docs else "windows",
+        pack_mode=(
+            "documents" if args.pack_docs
+            else "bins" if args.pack_bins
+            else "windows"
+        ),
         eos_token=args.eos_token,
         pack_seed=args.pack_seed,
         upsample_weights=_parse_fractions(args.upsample_weights),
@@ -432,6 +457,7 @@ def main(argv: list[str] | None = None) -> int:
                     "decontaminate": eval_docs is not None,
                     "mix": args.mix_key is not None,
                     "near_dedup": args.near_dedup,
+                    "selfdedup_spans": args.selfdedup_spans_k is not None,
                     "split": args.split_fractions is not None,
                     "pack": args.seq_len is not None,
                     "bpe_units": bpe_merges is not None,

@@ -38,6 +38,7 @@ def prepare_corpus(
     redact: bool = True,
     dedup: bool = True,
     near_dedup: bool = False,
+    selfdedup_spans_k: int | None = None,
     split_fractions: dict[str, float] | None = None,
     eval_docs: DataFrame | None = None,
     decontam_k: int = 8,
@@ -119,7 +120,11 @@ def prepare_corpus(
     the last is full, output keyed by ``seq_index`` with ``doc_spans``
     boundary offsets instead of ``doc_id``; streams are cut per
     (split, epoch) group so windows never straddle a train/test fence
-    or epoch copy; ``overlap`` must stay 0).
+    or epoch copy; ``overlap`` must stay 0); ``"bins"`` packs WHOLE
+    documents first-fit-decreasing into ``seq_len``-capacity bins
+    (:func:`operators.packing.pack_bins` — no document straddles a
+    window, the SFT layout; over-long documents truncate; ``overlap``
+    must stay 0).
     ``shuffle_seed`` appends the deterministic global
     training order (``pos``, plus ``shard``/``pos_in_shard`` when
     ``shuffle_shards`` is set) over whatever the preceding stages
@@ -127,7 +132,13 @@ def prepare_corpus(
 
     ``near_dedup`` adds the cluster-level pass: shingle-set duplicate
     groups (lsh_exact_dup_edges → connected components) keep only
-    their min-id representative. ``split_fractions`` assigns a
+    their min-id representative. ``selfdedup_spans_k`` adds the
+    SPAN-level corpus-vs-itself pass after it
+    (:func:`operators.dedup.self_dedup_spans`, ExactSubstr
+    semantics): word ``k``-grams occurring twice anywhere in the
+    corpus keep their first occurrence and lose the rest — the
+    boilerplate/quotation scrub that document-level dedup can't
+    express. ``split_fractions`` assigns a
     leakage-safe ``split`` column hashed on the duplicate-cluster key
     (the component when ``near_dedup``, else the exact-content
     fingerprint) — near-duplicate survivors of different docs can
@@ -173,14 +184,15 @@ def prepare_corpus(
         raise ValueError(
             f"decontam_mode must be 'drop' or 'spans', got {decontam_mode!r}"
         )
-    if pack_mode not in ("windows", "documents"):
+    if pack_mode not in ("windows", "documents", "bins"):
         raise ValueError(
-            f"pack_mode must be 'windows' or 'documents', got {pack_mode!r}"
+            "pack_mode must be 'windows', 'documents', or 'bins', "
+            f"got {pack_mode!r}"
         )
-    if pack_mode == "documents" and overlap:
+    if pack_mode in ("documents", "bins") and overlap:
         raise ValueError(
-            "pack_mode='documents' cuts a contiguous stream — overlap "
-            "does not apply (got overlap={})".format(overlap)
+            f"pack_mode={pack_mode!r} never splits windows mid-overlap "
+            "— overlap does not apply (got overlap={})".format(overlap)
         )
 
     stages: list[tuple[str, object]] = []
@@ -292,6 +304,18 @@ def prepare_corpus(
             )
 
         stages.append(("near_dedup", _near_dedup))
+    if selfdedup_spans_k is not None:
+        from evaporate_spark.operators.dedup import self_dedup_spans
+
+        def _selfdedup_spans(d: DataFrame) -> DataFrame:
+            cleaned = self_dedup_spans(
+                d, id_col=id_col, text_col=text_col,
+                k=selfdedup_spans_k,
+            ).select(id_col, text_col)
+            # swap the text column, keep every other column
+            return d.drop(text_col).join(cleaned, id_col)
+
+        stages.append(("selfdedup_spans", _selfdedup_spans))
     if eval_docs is not None and decontam_mode == "spans":
         from evaporate_spark.operators.dedup import decontaminate_spans
 
@@ -443,6 +467,17 @@ def prepare_corpus(
                     lossless=bpe_lossless,
                     tokens_col="_budget_bpe" if reuse_bpe else None,
                 )
+        elif pack_mode == "bins":
+            from evaporate_spark.operators.packing import pack_bins
+
+            def _pack(d: DataFrame) -> DataFrame:
+                return pack_bins(
+                    d, id_col, text_col, seq_len,
+                    seed=pack_seed, eos_token=eos_token,
+                    group_cols=ride or None, merges=bpe_merges,
+                    lossless=bpe_lossless,
+                    tokens_col="_budget_bpe" if reuse_bpe else None,
+                )
         else:
             from evaporate_spark.operators.packing import pack_sequences
 
@@ -462,8 +497,10 @@ def prepare_corpus(
             # that identifies a row (doc, window, epoch copy). In
             # documents pack mode windows have no doc_id — the identity
             # is (stream group, seq_index)
-            if seq_len is not None and pack_mode == "documents":
-                key_cols = ["seq_index"]
+            if seq_len is not None and pack_mode in ("documents", "bins"):
+                key_cols = (
+                    ["bin_id"] if pack_mode == "bins" else ["seq_index"]
+                )
                 if split_fractions is not None:
                     key_cols.append("split")
                 if upsample_weights is not None:
@@ -503,6 +540,7 @@ def prepare_corpus(
         "quality_threshold": (
             float(quality_threshold) if quality_model is not None else None
         ),
+        "selfdedup_spans_k": selfdedup_spans_k,
         "decontam_k": decontam_k if eval_docs is not None else None,
         "decontam_threshold": (
             float(decontam_threshold) if eval_docs is not None else None
@@ -524,11 +562,13 @@ def prepare_corpus(
         "overlap": overlap,
         "pack_mode": pack_mode if seq_len is not None else None,
         "eos_token": (
-            eos_token if seq_len is not None and pack_mode == "documents"
+            eos_token
+            if seq_len is not None and pack_mode in ("documents", "bins")
             else None
         ),
         "pack_seed": (
-            pack_seed if seq_len is not None and pack_mode == "documents"
+            pack_seed
+            if seq_len is not None and pack_mode in ("documents", "bins")
             else None
         ),
         "bpe_merges_sha256": _merges_digest(bpe_merges),

@@ -565,6 +565,126 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def semdedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iterations: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — SEMANTIC deduplication over an
+    embedding column: cluster the corpus, and within each cluster drop
+    every document with a higher-priority semantic near-duplicate.
+    Catches paraphrases and re-encodings that no lexical
+    (shingle/MinHash) pass can see.
+
+    Semantics (deterministic, engine-replayable): each vector is
+    assigned to the centroid with the highest cosine (rounded to 1e-6;
+    first index wins ties). Within a cluster, documents rank by
+    (centroid cosine ASC, id ASC) — the paper's keep-the-LEAST-
+    centroid-typical rule — and a document is dropped iff SOME
+    lower-ranked cluster-mate has pairwise cosine ≥ ``threshold``
+    (rounded to 1e-6) with it, whether or not that mate itself
+    survives: the ONE-PASS parallel variant of the paper's sequential
+    greedy (on a chain a–b–c it also drops c, which the greedy would
+    resurrect after dropping b — strictly more aggressive, never less,
+    and embarrassingly parallel where the greedy is ordered). Returns
+    EVERY input row as (id, cluster, centroid_sim, kept).
+
+    ``centroids`` takes a pre-trained codebook (row order defines
+    cluster ids); default is the deterministic hash-sample init
+    (``similarity._sampled_centroids``), and ``iterations > 0`` runs
+    that many spherical k-means rounds first
+    (``similarity.train_ivf_codebook``).
+
+    Scale shape: the codebook broadcasts as plan literals, so
+    assignment is scan-stage JVM work; the pairwise pass is a
+    self-join ON THE CLUSTER KEY ONLY — quadratic per cluster, never
+    across clusters, which is SemDeDup's published trade: size
+    ``n_clusters`` ~ N/target_cluster_size (the paper runs 50k
+    clusters over 5B embeddings) so each cluster's pair block fits a
+    task, and AQE skew-join splits any hot cluster. The rank window
+    partitions by cluster (same bound)."""
+    from evaporate_spark.operators.similarity import (
+        _sampled_centroids,
+        cosine,
+        train_ivf_codebook,
+    )
+
+    if centroids is None:
+        if iterations > 0:
+            centroids = train_ivf_codebook(
+                docs, id_col, vec_col, n_clusters, iterations, seed
+            )
+        else:
+            centroids = _sampled_centroids(
+                docs, id_col, vec_col, n_clusters, seed
+            )
+    if not centroids:
+        raise ValueError("semdedup needs at least one centroid")
+
+    scores = F.array(
+        *[
+            F.round(
+                cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])),
+                6,
+            )
+            for c in centroids
+        ]
+    )
+    assigned = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_max(scores).alias("centroid_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("centroid_sim"), F.asc("_id")
+    )
+    ranked = assigned.withColumn("_rank", F.row_number().over(w))
+    left = ranked.select(
+        "cluster",
+        F.col("_id").alias("_aid"),
+        F.col("_v").alias("_av"),
+        F.col("_rank").alias("_arank"),
+    )
+    right = ranked.select(
+        "cluster",
+        F.col("_id").alias("_bid"),
+        F.col("_v").alias("_bv"),
+        F.col("_rank").alias("_brank"),
+    )
+    dropped = (
+        left.join(right, "cluster")
+        .where(
+            (F.col("_brank") < F.col("_arank"))
+            & (F.round(cosine("_av", "_bv"), 6) >= F.lit(float(threshold)))
+        )
+        .select(F.col("_aid").alias("_did"))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            dropped.withColumn("_dropped", F.lit(True)),
+            ranked["_id"] == dropped["_did"],
+            "left",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -628,46 +748,14 @@ def decontaminate(
     )
 
 
-def decontaminate_spans(
-    docs: DataFrame,
-    eval_docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    eval_text_col: str | None = None,
-    k: int = 8,
-    marker: str | None = None,
+def _positional_shingles(
+    docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """SPAN-level decontamination — the surgical companion to
-    :func:`decontaminate`: instead of dropping whole documents, excise
-    exactly the word ranges covered by eval-set ``k``-grams and keep
-    the rest (the Llama/FineWeb-style treatment — a long document that
-    merely QUOTES a benchmark item keeps its other 99%).
-
-    Returns EVERY input row as (id, text [cleaned], n_tokens,
-    n_tokens_removed, n_spans_removed): a position is removed iff some
-    eval ``k``-gram match covers it (overlapping matches merge into
-    one span). Clean documents pass through with their whitespace
-    normalized (single spaces — the rebuild convention). With
-    ``marker`` each removed RUN is replaced by that single token
-    instead of closing up silently (span-boundary evidence for
-    auditability).
-
-    Scale shape: the eval shingle-hash set broadcasts (same as
-    :func:`decontaminate`); the corpus side is one scan-stage
-    positional-shingle explode + broadcast join, one groupBy(id) to
-    collect each doc's match starts (bounded by the doc's own
-    length), one join back, and the excision itself is pure JVM array
-    HOFs over the bound token array."""
-    from evaporate_spark.functions.text_stats import (
-        bind_once,
-        rolling_hash_shingles,
-        ws_tokens,
-    )
-
-    etext = eval_text_col or text_col
-    eval_sh = eval_docs.select(
-        F.explode(rolling_hash_shingles(F.col(etext), k)).alias("_h")
-    ).distinct()
+    """``(_id, _i, _h)`` — every word ``k``-gram of every document as
+    (1-based start position, xxhash64 of the space-joined gram).
+    Computed in the scan stage (array HOFs over one bound ``split``);
+    shared by the span-excision operators below."""
+    from evaporate_spark.functions.text_stats import bind_once, ws_tokens
 
     def _pos_shingles(toks: Column) -> Column:
         n = F.size(toks)
@@ -684,15 +772,30 @@ def decontaminate_spans(
             ),
         )
 
-    pos = docs.select(
+    return docs.select(
         F.col(id_col).alias("_id"),
         F.explode(bind_once(ws_tokens(text_col), _pos_shingles)).alias("_s"),
     ).select("_id", F.col("_s.i").alias("_i"), F.col("_s._h").alias("_h"))
-    hits = (
-        pos.join(F.broadcast(eval_sh), "_h")
-        .groupBy("_id")
-        .agg(F.sort_array(F.collect_list("_i")).alias("_hits"))
-    )
+
+
+def _excise_hit_starts(
+    docs: DataFrame,
+    hits: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    marker: str | None,
+) -> DataFrame:
+    """Remove every token position covered by a ``k``-gram starting at
+    one of ``hits``' ``_hits`` positions (``(_id, _hits sorted
+    array<int>)``); overlapping matches merge into one span. Returns
+    (id, text [rebuilt, whitespace-normalized], n_tokens,
+    n_tokens_removed, n_spans_removed) for EVERY input row. With
+    ``marker`` each removed RUN is replaced by that single token. Pure
+    JVM array HOFs over one bound token array — no Python in the row
+    path."""
+    from evaporate_spark.functions.text_stats import bind_once, ws_tokens
+
     out = docs.join(
         hits.withColumnRenamed("_id", id_col), id_col, "left"
     ).withColumn("_hits", F.coalesce("_hits", F.array().cast("array<int>")))
@@ -755,6 +858,109 @@ def decontaminate_spans(
         F.col("_c.nr").alias("n_tokens_removed"),
         F.col("_c.ns").alias("n_spans_removed"),
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    k: int = 8,
+    marker: str | None = None,
+) -> DataFrame:
+    """SPAN-level decontamination — the surgical companion to
+    :func:`decontaminate`: instead of dropping whole documents, excise
+    exactly the word ranges covered by eval-set ``k``-grams and keep
+    the rest (the Llama/FineWeb-style treatment — a long document that
+    merely QUOTES a benchmark item keeps its other 99%).
+
+    Returns EVERY input row as (id, text [cleaned], n_tokens,
+    n_tokens_removed, n_spans_removed): a position is removed iff some
+    eval ``k``-gram match covers it (overlapping matches merge into
+    one span). Clean documents pass through with their whitespace
+    normalized (single spaces — the rebuild convention). With
+    ``marker`` each removed RUN is replaced by that single token
+    instead of closing up silently (span-boundary evidence for
+    auditability).
+
+    Scale shape: the eval shingle-hash set broadcasts (same as
+    :func:`decontaminate`); the corpus side is one scan-stage
+    positional-shingle explode + broadcast join, one groupBy(id) to
+    collect each doc's match starts (bounded by the doc's own
+    length), one join back, and the excision itself is pure JVM array
+    HOFs over the bound token array."""
+    from evaporate_spark.functions.text_stats import rolling_hash_shingles
+
+    etext = eval_text_col or text_col
+    eval_sh = eval_docs.select(
+        F.explode(rolling_hash_shingles(F.col(etext), k)).alias("_h")
+    ).distinct()
+
+    pos = _positional_shingles(docs, id_col, text_col, k)
+    hits = (
+        pos.join(F.broadcast(eval_sh), "_h")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_hits"))
+    )
+    return _excise_hit_starts(docs, hits, id_col, text_col, k, marker)
+
+
+def self_dedup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    marker: str | None = None,
+) -> DataFrame:
+    """Corpus-vs-ITSELF duplicate-span excision — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) treatment re-expressed over word ``k``-grams: every
+    ``k``-gram that occurs ≥2 times ANYWHERE in the corpus (across
+    documents or repeated within one) keeps its FIRST occurrence in
+    (id, position) order and has every later occurrence excised, so
+    exactly one copy of each duplicated run survives. Overlapping
+    matches merge into spans; the rest of each document is kept —
+    boilerplate headers, licence blocks, and quoted reposts are
+    removed without dropping the documents that carry them.
+
+    Returns EVERY input row as (id, text [cleaned, whitespace-
+    normalized], n_tokens, n_tokens_removed, n_spans_removed). With
+    ``marker`` each removed RUN is replaced by that single token.
+
+    Scale shape: positional shingles are scan-stage array HOFs; the
+    per-gram (count, first-occurrence) reduction is ONE groupBy on the
+    gram hash with map-side combine (count + min(struct) are
+    combinable, so a boilerplate gram repeated 10M times arrives at
+    the reducer pre-collapsed per map task — the skew-safe alternative
+    to a window over the hash); later occurrences come back via one
+    hash join of the shingle stream against the (much smaller)
+    duplicated-gram table, then one groupBy(id) bounded by each doc's
+    own length, and the excision is pure JVM array HOFs. Unlike a
+    true suffix array there is no global sort — the shuffle is keyed
+    and combinable, which is what survives 100 TB."""
+    pos = _positional_shingles(docs, id_col, text_col, k)
+    dup_stats = (
+        pos.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct("_id", "_i")).alias("_first"),
+        )
+        .where(F.col("_cnt") >= 2)
+        .select("_h", "_first")
+    )
+    hits = (
+        pos.join(dup_stats, "_h")
+        .where(
+            ~(
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("_i") == F.col("_first._i"))
+            )
+        )
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_hits"))
+    )
+    return _excise_hit_starts(docs, hits, id_col, text_col, k, marker)
 
 
 # ---------------------------------------------------------------------------

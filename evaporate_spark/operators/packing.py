@@ -367,3 +367,244 @@ def pack_documents(
         F.concat_ws(" ", seq_tokens).alias("seq_text"),
         spans.alias("doc_spans"),
     )
+
+
+def pack_bins(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    seed: str = "",
+    eos_token: str = "<|endoftext|>",
+    group_cols: list[str] | None = None,
+    merges: list[tuple[str, str]] | None = None,
+    lossless: bool = False,
+    tokens_col: str | None = None,
+    n_packers: int | None = None,
+    long_docs: str = "truncate",
+) -> DataFrame:
+    """NO-SPLIT bin packing — the third packing layout (Krell et al.
+    2021, "Efficient Sequence Packing without Cross-contamination"):
+    whole documents are first-fit-decreasing packed into
+    ``seq_len``-capacity bins, so no document ever straddles a
+    window boundary (what SFT/instruction corpora need — an example
+    cut in half is a corrupted label) while short documents still
+    share bins instead of emitting one padded stub each. Each packed
+    document is followed by ``eos_token`` and that EOS counts toward
+    the bin's capacity; a document longer than ``seq_len - 1`` tokens
+    is truncated to fit (``long_docs="truncate"``, the default) or
+    dropped (``"drop"``).
+
+    Output: one row per bin — (``group_cols``…, bin_id, n_docs,
+    n_tokens [incl. EOS tokens], n_padding = seq_len − n_tokens,
+    seq_text, doc_spans) plus ``seq_tokens`` in BPE/pre-tokenized
+    units (``merges``/``tokens_col``, the :func:`pack_documents`
+    conventions). ``doc_spans`` carries each document's inclusive
+    token range within the bin (EOS included). Documents are placed
+    in decreasing-length order (ties by id), bins probed in creation
+    order — classic FFD, ≤ 11/9·OPT + 1 bins per packer group.
+
+    Scale shape: bin packing is inherently sequential, so the stream
+    is salted into ``n_packers`` deterministic groups
+    (``pmod(xxhash64(seed ‖ id), n_packers)`` — default
+    ``spark.sql.shuffle.partitions``) and FFD runs independently per
+    group as ONE JVM ``aggregate`` fold over that group's
+    (length, id) meta array — token arrays never enter the fold, the
+    collected state is ~16 bytes/doc, and the fold is O(docs×bins)
+    per group. FFD within a random sample of the corpus loses almost
+    nothing vs global FFD once groups hold a few thousand docs (the
+    length distribution per group converges), so padding efficiency
+    survives 1000× data by raising ``n_packers`` with the cluster,
+    not by serializing. Assignments join back by id (one keyed
+    shuffle) and one groupBy(packer, bin) assembles the bins. Fully
+    deterministic: same input + seed → byte-identical bins."""
+    if seq_len < 2:
+        raise ValueError(f"need seq_len >= 2, got {seq_len}")
+    if not eos_token or any(ch.isspace() for ch in eos_token):
+        raise ValueError(
+            "eos_token must be non-empty and whitespace-free (bins "
+            f"detokenize by joining on spaces), got {eos_token!r}"
+        )
+    if long_docs not in ("truncate", "drop"):
+        raise ValueError(
+            f"long_docs must be 'truncate' or 'drop', got {long_docs!r}"
+        )
+    groups = list(group_cols or [])
+    spark = docs.sparkSession
+    L = int(seq_len)
+    if n_packers is None:
+        n_packers = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    if tokens_col is not None:
+        toked = docs.withColumn("_t", F.col(tokens_col))
+    elif merges is not None:
+        from evaporate_spark.operators.bpe import bpe_encode_tokens
+
+        toked = bpe_encode_tokens(
+            docs, text_col, merges, "_t", lossless=lossless
+        )
+    else:
+        toked = docs.withColumn("_t", _ws_tokens_keep_case(text_col))
+    toked = toked.where(F.size("_t") > 0)
+    if long_docs == "drop":
+        toked = toked.where(F.size("_t") <= L - 1)
+    else:
+        toked = toked.withColumn("_t", F.slice("_t", 1, L - 1))
+    toked = (
+        toked.withColumn("_n", F.size("_t").cast("bigint"))
+        .withColumn(
+            "_packer",
+            F.pmod(
+                F.xxhash64(
+                    F.concat(F.lit(seed), F.col(id_col).cast("string"))
+                ),
+                F.lit(int(n_packers)),
+            ).cast("int"),
+        )
+    )
+
+    # -- FFD fold per packer group over the (cost, id) meta array.
+    # array_sort on struct(-cost, id) gives decreasing length, ties by
+    # id; the fold state is (bin loads, assignments) — JVM arrays only.
+    meta = toked.select(
+        *groups,
+        F.col("_packer"),
+        F.struct(
+            (-(F.col("_n") + 1)).alias("negcost"),
+            F.col(id_col).cast("string").alias("id"),
+        ).alias("_m"),
+    )
+    folded = meta.groupBy(*groups, "_packer").agg(
+        F.array_sort(F.collect_list("_m")).alias("_ms")
+    )
+    acc0 = F.struct(
+        F.array().cast("array<bigint>").alias("loads"),
+        F.array().cast("array<struct<id:string,bin:int>>").alias("asg"),
+    )
+
+    def _place(acc: Column, m: Column) -> Column:
+        cost = -m["negcost"]
+        loads = acc["loads"]
+        # first bin (creation order) with room; aggregate keeps the
+        # LOWEST matching index: scan once, carry the min
+        fit = F.aggregate(
+            F.sequence(F.lit(0), F.size(loads) - 1),
+            F.lit(-1),
+            lambda best, i: F.when(
+                (best >= 0) | (F.element_at(loads, i + 1) + cost > L),
+                best,
+            ).otherwise(i),
+        )
+        fit = F.when(F.size(loads) > 0, fit).otherwise(F.lit(-1))
+        new_loads = F.when(
+            fit >= 0,
+            F.transform(
+                F.sequence(F.lit(0), F.size(loads) - 1),
+                lambda i: F.when(
+                    i == fit, F.element_at(loads, i + 1) + cost
+                ).otherwise(F.element_at(loads, i + 1)),
+            ),
+        ).otherwise(F.concat(loads, F.array(cost)))
+        bin_idx = F.when(fit >= 0, fit).otherwise(F.size(loads))
+        return F.struct(
+            new_loads.alias("loads"),
+            F.concat(
+                acc["asg"],
+                F.array(
+                    F.struct(
+                        m["id"].alias("id"), bin_idx.cast("int").alias("bin")
+                    )
+                ),
+            ).alias("asg"),
+        )
+
+    asg = folded.select(
+        *groups,
+        "_packer",
+        F.explode(
+            F.aggregate(F.col("_ms"), acc0, _place)["asg"]
+        ).alias("_a"),
+    ).select(
+        *groups,
+        "_packer",
+        F.col("_a.id").alias("_aid"),
+        F.col("_a.bin").alias("_bin"),
+    )
+
+    # -- join assignments back and assemble bins in placement order
+    # (decreasing length, ties by id — the same FFD sort key)
+    d = toked.withColumn("_aid", F.col(id_col).cast("string")).join(
+        asg, [*groups, "_packer", "_aid"]
+    )
+    piece = F.struct(
+        (-(F.col("_n") + 1)).alias("negcost"),
+        F.col("_aid").alias("doc_id"),
+        F.concat(F.col("_t"), F.array(F.lit(eos_token))).alias("toks"),
+    )
+    assembled = (
+        d.select(*groups, "_packer", "_bin", piece.alias("_p"))
+        .groupBy(*groups, "_packer", "_bin")
+        .agg(F.array_sort(F.collect_list("_p")).alias("_ps"))
+    )
+    seq_tokens = F.flatten(F.transform(F.col("_ps"), lambda p: p["toks"]))
+    # inclusive token ranges per doc: running offsets via a fold
+    spans = F.aggregate(
+        F.col("_ps"),
+        F.struct(
+            F.lit(0).alias("pos"),
+            F.expr(
+                "cast(array() as array<struct<doc_id:string,"
+                "begin:int,end:int>>)"
+            ).alias("sp"),
+        ),
+        lambda acc, p: F.struct(
+            (acc["pos"] + F.size(p["toks"])).cast("int").alias("pos"),
+            F.concat(
+                acc["sp"],
+                F.array(
+                    F.struct(
+                        p["doc_id"].alias("doc_id"),
+                        acc["pos"].cast("int").alias("begin"),
+                        (acc["pos"] + F.size(p["toks"]) - 1)
+                        .cast("int")
+                        .alias("end"),
+                    )
+                ),
+            ).alias("sp"),
+        ),
+        lambda acc: acc["sp"],
+    )
+    bin_id = F.concat_ws(
+        "/", F.col("_packer").cast("string"), F.col("_bin").cast("string")
+    )
+    n_tokens = F.size(seq_tokens).cast("bigint")
+    base = [
+        bin_id.alias("bin_id"),
+        F.size("_ps").cast("bigint").alias("n_docs"),
+        n_tokens.alias("n_tokens"),
+        (F.lit(L) - n_tokens).cast("bigint").alias("n_padding"),
+    ]
+    if merges is not None or tokens_col is not None:
+        from evaporate_spark.operators.bpe import _EOW
+
+        if lossless:
+            detok = F.concat_ws("", seq_tokens)  # raw byte stream
+        elif merges is not None:
+            detok = F.trim(
+                F.regexp_replace(F.concat_ws("", seq_tokens), _EOW, " ")
+            )
+        else:  # pre-tokenized input: plain space join
+            detok = F.concat_ws(" ", seq_tokens)
+        return assembled.select(
+            *groups,
+            *base,
+            seq_tokens.alias("seq_tokens"),
+            detok.alias("seq_text"),
+            spans.alias("doc_spans"),
+        )
+    return assembled.select(
+        *groups,
+        *base,
+        F.concat_ws(" ", seq_tokens).alias("seq_text"),
+        spans.alias("doc_spans"),
+    )

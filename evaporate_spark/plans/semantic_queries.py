@@ -1223,6 +1223,78 @@ def q_code_lake_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity",),
 )
+@register(
+    "q_semdedup",
+    "SemDeDup (operators/dedup.py::semdedup — Abbas et al. 2023): "
+    "semantic dedup over the embeddings table. 8 deterministic "
+    "centroids (smallest md5(vec_id) — engine-replayable init), "
+    "cosine-argmax assignment (rounded 1e-6, first index wins), "
+    "within-cluster rank by (centroid_sim ASC, id) and drop any "
+    "vector with a lower-ranked cluster-mate at pairwise cosine >= "
+    "0.2 — the one-pass parallel variant of the paper's greedy. "
+    "Codebook broadcasts as plan literals (scan-stage assignment); "
+    "the quadratic pass is cluster-scoped only. The oracle replays "
+    "init -> assignment -> rank -> pairwise drop end to end in "
+    "DuckDB list algebra.",
+    oracle="""
+        WITH c AS (
+            SELECT embedding AS ce,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 8
+        ),
+        s AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROUND(list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) AS cs
+            FROM embeddings e CROSS JOIN c
+        ),
+        a AS (
+            SELECT vec_id, embedding, cid, cs,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cs DESC, cid ASC
+                   ) AS r
+            FROM s
+        ),
+        rk AS (
+            SELECT vec_id, embedding, cid AS cluster, cs AS centroid_sim,
+                   row_number() OVER (
+                       PARTITION BY cid ORDER BY cs ASC, vec_id ASC
+                   ) AS rnk
+            FROM a WHERE r = 1
+        ),
+        drp AS (
+            SELECT DISTINCT x.vec_id
+            FROM rk x JOIN rk y
+              ON x.cluster = y.cluster AND y.rnk < x.rnk
+            WHERE ROUND(list_cosine_similarity(
+                x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.2
+        )
+        SELECT rk.vec_id, rk.cluster, rk.centroid_sim,
+               drp.vec_id IS NULL AS kept
+        FROM rk LEFT JOIN drp ON rk.vec_id = drp.vec_id
+    """,
+    tags=("similarity", "dedup"),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    return semdedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.2,
+    )
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evaporate_spark.operators.similarity import brute_force_topk
 
@@ -2906,6 +2978,76 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_selfdedup_spans",
+    "Corpus-vs-itself duplicate-span excision (operators/dedup.py::"
+    "self_dedup_spans — Lee et al. 2022 ExactSubstr semantics over "
+    "word 8-grams): every 8-gram occurring >=2 times corpus-wide "
+    "keeps its FIRST occurrence in (doc_id, position) order and has "
+    "every later occurrence excised, overlaps merging into spans — "
+    "one copy of each duplicated run survives, the rest of each doc "
+    "is kept. Per-gram (count, first) is ONE map-side-combinable "
+    "groupBy on the gram hash (no window over the hash, no global "
+    "sort); the oracle replays gram -> rank/count windows -> "
+    "covered-position union -> token rebuild with DuckDB list "
+    "algebra over the same whitespace tokenization.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, i,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                   t[i+6] || ' ' || t[i+7] AS g
+            FROM toks, UNNEST(CASE WHEN len(t) >= 8
+                                   THEN range(1, len(t) - 6)
+                                   ELSE [] END) AS u(i)
+        ),
+        occ AS (
+            SELECT doc_id, i,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY doc_id, i) AS rn,
+                   count(*) OVER (PARTITION BY g) AS cnt
+            FROM pos
+        ),
+        hits AS (
+            SELECT doc_id, list_sort(list(i)) AS hs
+            FROM occ WHERE cnt >= 2 AND rn >= 2 GROUP BY doc_id
+        ),
+        x AS (
+            SELECT toks.doc_id, t, COALESCE(hits.hs, []) AS hs,
+                   list_filter(range(1, len(t) + 1),
+                       p -> len(list_filter(COALESCE(hits.hs, []),
+                                s -> p >= s AND p <= s + 7)) = 0
+                   ) AS kept
+            FROM toks LEFT JOIN hits USING (doc_id)
+        )
+        SELECT doc_id,
+               COALESCE(array_to_string(
+                   list_transform(kept, p -> t[p]), ' '), '') AS text,
+               CAST(len(kept) AS BIGINT) AS n_tokens,
+               CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_removed,
+               CAST(len(list_filter(range(1, len(t) + 1),
+                   p -> len(list_filter(hs,
+                            s -> p >= s AND p <= s + 7)) > 0
+                        AND (p = 1 OR len(list_filter(hs,
+                            s -> p - 1 >= s AND p - 1 <= s + 7)) = 0)
+               )) AS BIGINT) AS n_spans_removed
+        FROM x
+    """,
+    tags=("dedup", "corpus"),
+)
+def q_selfdedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.dedup import self_dedup_spans
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return self_dedup_spans(
+        d.select("doc_id", "text"), id_col="doc_id", text_col="text", k=8
+    )
+
+
+@register(
     "q_dsir_scores",
     "DSIR data selection (operators/dsir.py — Xie et al. 2023 "
     "importance resampling): every document scored by its hashed-"
@@ -3286,6 +3428,36 @@ def q_pack_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges=merges,
     )
     return out.select("seq_index", "n_tokens", "seq_text", _spans_str())
+
+
+@register(
+    "q_pack_bins",
+    "No-split FFD bin packing (operators/packing.py::pack_bins — "
+    "Krell et al. 2021): whole documents first-fit-decreasing into "
+    "seq_len-capacity bins, EOS counted, over-long docs truncated — "
+    "the SFT layout where no example straddles a window. FFD's "
+    "probe-bins-in-order fold is stateful-recursive, not "
+    "SQL-expressible -> rows-only driver check; exact semantics are "
+    "ground-truth-asserted against a pure-python FFD recompute plus "
+    "partition-invariance and capacity properties "
+    "(tests/test_pack_bins.py). Scale shape: FFD runs per salted "
+    "packer group as one JVM aggregate fold over a (length, id) meta "
+    "array — token arrays never enter the fold.",
+    oracle=None,
+    tags=("textstats", "corpus"),
+)
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.packing import pack_bins
+
+    (d,) = _t(spark, sf_dir, "documents")
+    out = pack_bins(
+        d.select("doc_id", "text"), seq_len=64, seed="p12",
+        eos_token="<eos>", n_packers=8,
+    )
+    return out.select(
+        "bin_id", "n_docs", "n_tokens", "n_padding", "seq_text",
+        _spans_str(),
+    )
 
 
 @register(

@@ -1,0 +1,101 @@
+"""Corpus-vs-itself duplicate-span excision scale probe (round-12
+self_dedup_spans).
+
+Runs the ExactSubstr-style pass over a 10x-replicated documents table
+(the replica mix deliberately contains exact copies and repeated-text
+variants, so duplicated 8-grams are dense — the adversarial case for
+the per-gram shuffle) and records wall clock plus what the excision
+did. Token conservation is asserted: every input token is either kept
+or counted removed.
+
+The shape under test: ONE map-side-combinable groupBy on the gram
+hash (count + min(struct) pre-collapse hot boilerplate grams per map
+task), one hash join of the shingle stream against the duplicated-
+gram table, one groupBy(id) bounded by each doc's own length — no
+window over the gram hash, no global sort.
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_selfdedup.py
+Writes scripts/SCALE_PROBE_SELFDEDUP.json unless ``--stdout-only``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTOR = 10
+K = 8
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_JSON = os.path.join(REPO, "scripts", "SCALE_PROBE_SELFDEDUP.json")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.dedup import self_dedup_spans
+    from evaporate_spark.session import get_spark
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from scale_probe_corpus_100x import replicated_docs_dir
+
+    spark = get_spark(app_name="scale-probe-selfdedup")
+    docs = spark.read.parquet(replicated_docs_dir(spark, SF_DIR, FACTOR))
+    n_docs = docs.count()
+    in_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).first()["t"]
+
+    def run():
+        t0 = time.perf_counter()
+        agg = (
+            self_dedup_spans(docs.select("doc_id", "text"), k=K)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_tokens").alias("kept"),
+                F.sum("n_tokens_removed").alias("removed"),
+                F.sum("n_spans_removed").alias("spans"),
+                F.sum(
+                    (F.col("n_tokens_removed") > 0).cast("int")
+                ).alias("docs_touched"),
+            )
+            .first()
+        )
+        return round(time.perf_counter() - t0, 2), agg
+
+    run()  # uncounted warmup: JVM/codegen spin-up must not bill the pass
+    wall_s, a = run()
+    # token conservation: kept + removed == whitespace tokens in
+    assert a["rows"] == n_docs, (a["rows"], n_docs)
+    assert a["kept"] + a["removed"] == in_tokens, (
+        a["kept"], a["removed"], in_tokens,
+    )
+
+    record = {
+        "probe": "selfdedup_spans",
+        "sf_dir": SF_DIR,
+        "factor": FACTOR,
+        "k": K,
+        "n_input_docs": n_docs,
+        "input_tokens": int(in_tokens),
+        "wall_s": wall_s,
+        "tokens_kept": int(a["kept"]),
+        "tokens_removed": int(a["removed"]),
+        "removed_frac": round(a["removed"] / in_tokens, 6),
+        "spans_removed": int(a["spans"]),
+        "docs_touched": int(a["docs_touched"]),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(record, indent=2))
+    if "--stdout-only" not in sys.argv:
+        with open(OUT_JSON, "w") as fh:
+            fh.write(json.dumps(record, indent=2) + "\n")
+        print(f"recorded -> {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,7 @@ EAGER = {
     "q_frontier_rounds",  # versioned store commits at plan build
     "q_temperature_mix",  # key-count collect at plan build
     "q_dsir_scores",  # model-total scalar collects at plan build
+    "q_semdedup",  # deterministic centroid pick collects at plan build
 }
 
 

@@ -2145,6 +2145,163 @@ def test_decontaminate_spans_excision_and_marker(spark):
     assert m[2] == docs[1][1]
 
 
+def test_semdedup_keep_rule_and_chains(spark):
+    """SemDeDup: cosine-argmax assignment to explicit centroids;
+    within-cluster drop of anything with a lower-ranked mate above
+    the threshold — including the chain case (a–b–c with sim(a,c)
+    below threshold still drops BOTH b and c: the documented one-pass
+    variant); distinct clusters never interact; trained-centroid path
+    (iterations>0) produces a valid flag set."""
+    import math
+
+    from evaporate_spark.operators.dedup import semdedup
+
+    def unit(x, y):
+        n = math.hypot(x, y)
+        return [x / n, y / n]
+
+    rot = lambda deg: (math.cos(math.radians(deg)), math.sin(math.radians(deg)))  # noqa: E731
+    # cluster A near (1,0): a chain a-b-c, 25 degrees apart ->
+    # cos(25deg)=0.906 adjacent (>0.9), cos(50deg)=0.643 for a-c (<0.9)
+    docs = [
+        (1, unit(*rot(0))),     # a
+        (2, unit(*rot(25))),    # b
+        (3, unit(*rot(50))),    # c
+        (4, unit(*rot(-80))),   # lone-ish, still cluster A side
+        (5, unit(*rot(180))),   # cluster B: opposite
+        (6, unit(*rot(181))),   # near-dup of 5
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "embedding"])
+    out = semdedup(
+        df, id_col="doc_id", vec_col="embedding",
+        centroids=[[1.0, 0.0], [-1.0, 0.0]], threshold=0.9,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert {r["cluster"] for r in rows.values()} == {0, 1}
+    assert rows[5]["cluster"] == 1 and rows[6]["cluster"] == 1
+    # cluster A rank: centroid_sim ASC -> 4 (cos(-80)=0.17) ranks
+    # first, then 3 (cos50=.64), 2 (cos25=.91), 1 (cos0=1.0).
+    # sim(4,3) = cos(130deg) < 0.9 -> 3 kept; 2 drops via 3
+    # (cos25>=0.9); 1 drops via 2 — even though 2 itself dropped
+    # (the one-pass chain rule; sim(1,3)=cos50 < 0.9).
+    assert rows[4]["kept"] and rows[3]["kept"]
+    assert not rows[2]["kept"] and not rows[1]["kept"]
+    # cluster B: 5 and 6 nearly parallel -> lower-centroid-sim one
+    # survives; exactly one kept
+    keptB = [i for i in (5, 6) if rows[i]["kept"]]
+    assert len(keptB) == 1
+    # trained path smoke: flags exist for every doc, >=1 kept/cluster
+    out2 = semdedup(
+        df, id_col="doc_id", vec_col="embedding",
+        n_clusters=2, iterations=2, threshold=0.9,
+    )
+    rows2 = out2.collect()
+    assert len(rows2) == 6
+    for cl in {r["cluster"] for r in rows2}:
+        assert any(r["kept"] for r in rows2 if r["cluster"] == cl)
+
+
+def test_self_dedup_spans_keep_first(spark):
+    """Corpus-vs-itself duplicate-span excision (ExactSubstr
+    semantics): the FIRST occurrence of each duplicated k-gram in
+    (doc_id, position) order survives, later ones excise; within-doc
+    repetition counts; unique text and short docs pass through; a
+    pure-python keep-first recompute agrees on every doc."""
+    from evaporate_spark.operators.dedup import self_dedup_spans
+
+    boiler = "B1 B2 B3 B4 B5 B6 B7 B8"  # exactly one 8-gram
+    # tails DIFFER doc-to-doc so the only shared grams are the
+    # boilerplate itself (grams straddling the boundary stay unique)
+    docs = [
+        (1, f"{boiler} alpha1 alpha2 alpha3"),
+        (2, f"prefix words here {boiler} beta1 beta2 beta3"),
+        (3, f"{boiler} third copy trailing"),
+        (4, "entirely unique document with enough words for shingles x"),
+        (5, "short"),
+        (6, f"self repeat doc {boiler} middle filler words {boiler} end"),
+    ]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def recompute(all_docs, k=8):
+        occ = []  # (doc_id, pos, gram) in (doc_id, pos) order
+        for did, text in sorted(all_docs):
+            t = text.split()
+            for i in range(max(0, len(t) - k + 1)):
+                occ.append((did, i, " ".join(t[i : i + k])))
+        from collections import Counter
+
+        cnt = Counter(g for _, _, g in occ)
+        first = {}
+        for did, i, g in sorted(occ):
+            first.setdefault(g, (did, i))
+        out = {}
+        for did, text in all_docs:
+            t = text.split()
+            covered = set()
+            for i in range(max(0, len(t) - k + 1)):
+                g = " ".join(t[i : i + k])
+                if cnt[g] >= 2 and first[g] != (did, i):
+                    covered |= set(range(i, i + k))
+            kept = [w for p, w in enumerate(t) if p not in covered]
+            spans = sum(1 for p in sorted(covered) if p - 1 not in covered)
+            out[did] = (
+                " ".join(kept), len(kept), len(t) - len(kept), spans,
+            )
+        return out
+
+    got = {
+        r["doc_id"]: (
+            r["text"], r["n_tokens"], r["n_tokens_removed"],
+            r["n_spans_removed"],
+        )
+        for r in self_dedup_spans(ddf, k=8).collect()
+    }
+    exp = recompute(docs)
+    exp[5] = ("short", 1, 0, 0)  # ws-token convention parity
+    assert got == exp
+    # doc 1 holds the first occurrence -> fully intact
+    assert got[1] == (f"{boiler} alpha1 alpha2 alpha3", 11, 0, 0)
+    # docs 2/3 lose exactly the boilerplate run, keep their own words
+    assert got[2] == ("prefix words here beta1 beta2 beta3", 6, 8, 1)
+    assert got[3] == ("third copy trailing", 3, 8, 1)
+    # within-doc repeat: doc 6's SECOND copy excises too
+    assert got[6][2] >= 8 and got[6][3] >= 1
+    # unique docs untouched
+    assert got[4][2] == 0
+    # marker mode: one marker per removed run
+    m = {
+        r["doc_id"]: r["text"]
+        for r in self_dedup_spans(ddf, k=8, marker="<dup>").collect()
+    }
+    assert m[3] == "<dup> third copy trailing"
+    assert m[1] == f"{boiler} alpha1 alpha2 alpha3"
+
+
+def test_prepare_corpus_selfdedup_spans_stage(spark):
+    """Facade: selfdedup_spans_k excises later copies of duplicated
+    k-grams corpus-wide, keeps other columns, and composes with the
+    exact-dedup stage."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    boiler = "H1 H2 H3 H4 H5 H6 H7 H8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha1 alpha2 alpha3", "en"),
+            (2, f"prefix words here {boiler} beta1 beta2 beta3", "en"),
+            (3, "an entirely unique document stays intact fully ok", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = prepare_corpus(
+        docs, redact=False, normalize=False, dedup=False,
+        selfdedup_spans_k=8,
+    )
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in out.collect()}
+    assert got[1] == (f"{boiler} alpha1 alpha2 alpha3", "en")
+    assert got[2] == ("prefix words here beta1 beta2 beta3", "en")
+    assert got[3][0] == "an entirely unique document stays intact fully ok"
+
+
 def test_prepare_corpus_decontam_spans_mode(spark):
     """Facade: decontam_mode='spans' excises instead of dropping."""
     from evaporate_spark.corpus import prepare_corpus

@@ -90,6 +90,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="cluster-level shingle-set dedup (keep min-id per cluster)",
     )
     p.add_argument(
+        "--semdedup-threshold", type=float,
+        help="semantic dedup (SemDeDup) over --semdedup-vec-col: drop "
+        "documents with a higher-priority cluster-mate at pairwise "
+        "cosine >= this threshold",
+    )
+    p.add_argument("--semdedup-vec-col", default="embedding")
+    p.add_argument("--semdedup-clusters", type=int, default=16)
+    p.add_argument(
+        "--semdedup-iterations", type=int, default=0,
+        help="spherical k-means rounds to train the codebook "
+        "(0 = deterministic hash-sample init)",
+    )
+    p.add_argument(
         "--selfdedup-spans-k", type=int,
         help="corpus-vs-itself duplicate-SPAN excision (ExactSubstr): "
         "word k-grams occurring twice anywhere keep their first "
@@ -381,6 +394,10 @@ def main(argv: list[str] | None = None) -> int:
         redact=not args.no_redact,
         dedup=not args.no_dedup,
         near_dedup=args.near_dedup,
+        semdedup_threshold=args.semdedup_threshold,
+        semdedup_vec_col=args.semdedup_vec_col,
+        semdedup_clusters=args.semdedup_clusters,
+        semdedup_iterations=args.semdedup_iterations,
         selfdedup_spans_k=args.selfdedup_spans_k,
         split_fractions=_parse_fractions(args.split_fractions),
         eval_docs=eval_docs,
@@ -457,6 +474,7 @@ def main(argv: list[str] | None = None) -> int:
                     "decontaminate": eval_docs is not None,
                     "mix": args.mix_key is not None,
                     "near_dedup": args.near_dedup,
+                    "semdedup": args.semdedup_threshold is not None,
                     "selfdedup_spans": args.selfdedup_spans_k is not None,
                     "split": args.split_fractions is not None,
                     "pack": args.seq_len is not None,

@@ -38,6 +38,10 @@ def prepare_corpus(
     redact: bool = True,
     dedup: bool = True,
     near_dedup: bool = False,
+    semdedup_threshold: float | None = None,
+    semdedup_vec_col: str = "embedding",
+    semdedup_clusters: int = 16,
+    semdedup_iterations: int = 0,
     selfdedup_spans_k: int | None = None,
     split_fractions: dict[str, float] | None = None,
     eval_docs: DataFrame | None = None,
@@ -132,7 +136,13 @@ def prepare_corpus(
 
     ``near_dedup`` adds the cluster-level pass: shingle-set duplicate
     groups (lsh_exact_dup_edges → connected components) keep only
-    their min-id representative. ``selfdedup_spans_k`` adds the
+    their min-id representative. ``semdedup_threshold`` adds the
+    SEMANTIC pass (:func:`operators.dedup.semdedup`, Abbas et al.
+    2023) over an existing ``semdedup_vec_col`` embedding column:
+    cluster-scoped cosine dedup that drops paraphrases and
+    re-encodings lexical passes can't see (``semdedup_clusters`` /
+    ``semdedup_iterations`` size and optionally k-means-train the
+    codebook). ``selfdedup_spans_k`` adds the
     SPAN-level corpus-vs-itself pass after it
     (:func:`operators.dedup.self_dedup_spans`, ExactSubstr
     semantics): word ``k``-grams occurring twice anywhere in the
@@ -304,6 +314,20 @@ def prepare_corpus(
             )
 
         stages.append(("near_dedup", _near_dedup))
+    if semdedup_threshold is not None:
+        from evaporate_spark.operators.dedup import semdedup
+
+        def _semdedup(d: DataFrame) -> DataFrame:
+            flags = semdedup(
+                d, id_col=id_col, vec_col=semdedup_vec_col,
+                n_clusters=semdedup_clusters,
+                threshold=semdedup_threshold,
+                iterations=semdedup_iterations,
+            )
+            keep = flags.where(F.col("kept")).select(id_col)
+            return d.join(keep, id_col, "left_semi")
+
+        stages.append(("semdedup", _semdedup))
     if selfdedup_spans_k is not None:
         from evaporate_spark.operators.dedup import self_dedup_spans
 
@@ -539,6 +563,16 @@ def prepare_corpus(
         "lang_allow": sorted(lang_allow) if lang_allow else None,
         "quality_threshold": (
             float(quality_threshold) if quality_model is not None else None
+        ),
+        "semdedup_threshold": semdedup_threshold,
+        "semdedup_vec_col": (
+            semdedup_vec_col if semdedup_threshold is not None else None
+        ),
+        "semdedup_clusters": (
+            semdedup_clusters if semdedup_threshold is not None else None
+        ),
+        "semdedup_iterations": (
+            semdedup_iterations if semdedup_threshold is not None else None
         ),
         "selfdedup_spans_k": selfdedup_spans_k,
         "decontam_k": decontam_k if eval_docs is not None else None,

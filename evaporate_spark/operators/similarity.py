@@ -124,6 +124,124 @@ def brute_force_topk(
     return out.select(query_id, corpus_id, "cosine", "rank")
 
 
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    src_id: str = "src_id",
+    src_vec: str = "embedding",
+    tgt_id: str = "tgt_id",
+    tgt_vec: str = "embedding",
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix method): mine aligned sentence/document pairs from
+    two embedding collections by the RATIO margin — raw cosine is
+    uncalibrated across hubness regions, so a pair scores by its
+    cosine relative to both sides' neighborhood averages:
+
+        margin(x, y) = cos(x, y) / ((avgₖ(x→tgt) + avgₖ(y→src)) / 2)
+
+    Semantics (deterministic, engine-replayable): cosines quantize
+    HALF-UP to integer MICRO units (``floor(cos·1e6 + 0.5)`` as
+    bigint); forward/backward top-``k`` rank by (micros DESC, id
+    ASC); the candidate set is the UNION of forward and backward
+    top-k pairs; the margin is computed in EXACT bigint arithmetic —
+    with ``S_f`` the sum of the source's top-k micros (count ``k_f``)
+    and ``S_b`` the target's, ``margin_micros = (2·(2·k_f·k_b·
+    cos_micros·1e6) + D) div (2·D)`` where ``D = S_f·k_b + S_b·k_f``
+    (the half-up integer form of ``1e6·cos/((avg_f+avg_b)/2)``).
+    Float averages of grid values sit exactly ON .5e-6 rounding
+    boundaries ~25% of the time, where engine summation-order ulps
+    flip the rounded value — integer micros make every engine agree
+    bit-for-bit. Pairs need positive cosine and denominator and
+    ``margin ≥ margin_threshold``; the 'max' retrieval strategy keeps
+    the best margin per source (ties by tgt id). Returns (src_id,
+    tgt_id, cosine, margin) with both ratios reported as
+    ``micros/1e6`` doubles.
+
+    Scale shape: exact mining scores every (src, tgt) pair —
+    quadratic, the published method's own cost (CCMatrix runs it on
+    GPU shards). At cluster scale pass ``candidates`` (an
+    (src_id, tgt_id) frame from :func:`ivf_search` /
+    :func:`random_hyperplane_lsh_topk` probes) and only those pairs
+    are scored: the join is keyed, nothing quadratic survives —
+    top-k, averages, and margins are window/groupBy work over the
+    candidate set either way. Note the neighborhood averages are
+    then over the candidate top-k, the standard ANN-mining
+    approximation."""
+    s = src.select(F.col(src_id).alias("_sid"), F.col(src_vec).alias("_sv"))
+    t = tgt.select(F.col(tgt_id).alias("_tid"), F.col(tgt_vec).alias("_tv"))
+    if candidates is not None:
+        pairs = (
+            candidates.select(
+                F.col(src_id).alias("_sid"), F.col(tgt_id).alias("_tid")
+            )
+            .distinct()
+            .join(s, "_sid")
+            .join(t, "_tid")
+        )
+    else:
+        pairs = s.crossJoin(t)
+    scored = pairs.select(
+        "_sid",
+        "_tid",
+        F.floor(cosine("_sv", "_tv") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("_cu"),
+    )
+    from pyspark.sql.window import Window
+
+    w_f = Window.partitionBy("_sid").orderBy(F.desc("_cu"), F.asc("_tid"))
+    w_b = Window.partitionBy("_tid").orderBy(F.desc("_cu"), F.asc("_sid"))
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_f).alias("_rf"),
+        F.row_number().over(w_b).alias("_rb"),
+    ).where((F.col("_rf") <= k) | (F.col("_rb") <= k))
+    sum_f = (
+        ranked.where(F.col("_rf") <= k)
+        .groupBy("_sid")
+        .agg(F.sum("_cu").alias("_sf"), F.count(F.lit(1)).alias("_kf"))
+    )
+    sum_b = (
+        ranked.where(F.col("_rb") <= k)
+        .groupBy("_tid")
+        .agg(F.sum("_cu").alias("_sb"), F.count(F.lit(1)).alias("_kb"))
+    )
+    # exact bigint half-up: margin_micros = floor(N/D + 1/2) expressed
+    # as (2N + D) div (2D), with N = 1e6 * cos_micros * 2*kf*kb (the
+    # micro units of cos and D cancel) and D = sf*kb + sb*kf
+    big_d = F.col("_sf") * F.col("_kb") + F.col("_sb") * F.col("_kf")
+    big_n = (
+        F.lit(2000000).cast("bigint")
+        * F.col("_kf")
+        * F.col("_kb")
+        * F.col("_cu")
+    )
+    margined = (
+        ranked.join(sum_f, "_sid")
+        .join(sum_b, "_tid")
+        .where((F.col("_cu") > 0) & (big_d > 0))
+        .withColumn("_d", big_d)
+        .withColumn("_n", big_n)
+        .withColumn("_mu", F.expr("(2 * _n + _d) div (2 * _d)"))
+        .where(F.col("_mu") >= F.lit(int(round(margin_threshold * 1000000))))
+    )
+    w_best = Window.partitionBy("_sid").orderBy(F.desc("_mu"), F.asc("_tid"))
+    return (
+        margined.withColumn("_rk", F.row_number().over(w_best))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("_sid").alias(src_id),
+            F.col("_tid").alias(tgt_id),
+            (F.col("_cu") / 1000000.0).alias("cosine"),
+            (F.col("_mu") / 1000000.0).alias("margin"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]

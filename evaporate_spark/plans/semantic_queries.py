@@ -1224,6 +1224,91 @@ def q_code_lake_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 @register(
+    "q_bitext_mine",
+    "Margin-based bitext mining (operators/similarity.py::"
+    "mine_bitext — Artetxe & Schwenk 2019, the LASER/CCMatrix "
+    "method): embeddings split by vec_id parity into two 'languages'; "
+    "pairs score by cosine over the mean of both sides' top-4 "
+    "neighborhood averages, keep margin >= 1.1 with the 'max' "
+    "strategy (best margin per source, ties by tgt id). Cosines "
+    "quantize to integer MICROS and the margin is exact bigint "
+    "arithmetic — float averages of grid values sit exactly on "
+    ".5e-6 rounding boundaries ~25% of the time, where engine "
+    "summation-order ulps flip a float round; integers agree "
+    "bit-for-bit. The oracle replays score -> rank -> sums -> "
+    "integer margin -> best-per-src end to end in SQL windows.",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id AS src_id, embedding AS v
+            FROM embeddings WHERE vec_id % 2 = 0
+        ),
+        t AS (
+            SELECT vec_id AS tgt_id, embedding AS v
+            FROM embeddings WHERE vec_id % 2 = 1
+        ),
+        sc AS (
+            SELECT src_id, tgt_id,
+                   CAST(FLOOR(list_cosine_similarity(
+                       s.v::DOUBLE[], t.v::DOUBLE[]) * 1000000 + 0.5)
+                       AS BIGINT) AS cu
+            FROM s CROSS JOIN t
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY src_id ORDER BY cu DESC, tgt_id
+                   ) AS rf,
+                   row_number() OVER (
+                       PARTITION BY tgt_id ORDER BY cu DESC, src_id
+                   ) AS rb
+            FROM sc
+        ),
+        cand AS (SELECT * FROM r WHERE rf <= 4 OR rb <= 4),
+        sf AS (
+            SELECT src_id, SUM(cu) AS sf, COUNT(*) AS kf
+            FROM cand WHERE rf <= 4 GROUP BY src_id
+        ),
+        sb AS (
+            SELECT tgt_id, SUM(cu) AS sb, COUNT(*) AS kb
+            FROM cand WHERE rb <= 4 GROUP BY tgt_id
+        ),
+        m AS (
+            -- margin_micros = floor(N/D + 1/2) = (2N + D) // (2D),
+            -- N = 1e6 * cu * 2*kf*kb, D = sf*kb + sb*kf (exact ints)
+            SELECT cand.src_id, cand.tgt_id, cu,
+                   (2 * (2000000 * kf * kb * cu) + (sf*kb + sb*kf))
+                       // (2 * (sf*kb + sb*kf)) AS mu
+            FROM cand JOIN sf USING (src_id) JOIN sb USING (tgt_id)
+            WHERE cu > 0 AND sf*kb + sb*kf > 0
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY src_id ORDER BY mu DESC, tgt_id
+                   ) AS rk
+            FROM m WHERE mu >= 1100000
+        )
+        SELECT src_id, tgt_id, cu / 1000000.0 AS cosine,
+               mu / 1000000.0 AS margin
+        FROM best WHERE rk = 1
+    """,
+    tags=("similarity",),
+)
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.similarity import mine_bitext
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    tgt = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    return mine_bitext(
+        src, tgt, k=4, margin_threshold=1.1,
+    )
+
+
+@register(
     "q_semdedup",
     "SemDeDup (operators/dedup.py::semdedup — Abbas et al. 2023): "
     "semantic dedup over the embeddings table. 8 deterministic "

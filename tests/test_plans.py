@@ -399,6 +399,10 @@ def test_lint_entire_query_catalog(spark):
         # (operators/similarity.py): every corpus row scores against
         # the broadcast query frame — deliberate, bounded by |queries|
         "q_knn_cosine": {"cartesian"},
+        # exact margin mining scores every (src, tgt) pair — the
+        # published method's own quadratic cost (mine_bitext docstring);
+        # the candidates= seam is the at-scale route
+        "q_bitext_mine": {"cartesian"},
     }
     sf = "/root/testdata/sf0.001"
     failures = []

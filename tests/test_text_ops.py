@@ -2145,6 +2145,45 @@ def test_decontaminate_spans_excision_and_marker(spark):
     assert m[2] == docs[1][1]
 
 
+def test_mine_bitext_planted_pairs(spark):
+    """Margin mining recovers planted translations: tgt vectors that
+    are small rotations of a src vector out-margin unrelated
+    neighbors; the 'max' strategy yields at most one pair per src;
+    the candidates= path (all pairs) reproduces the exact output."""
+    import math
+
+    from evaporate_spark.operators.similarity import mine_bitext
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # 4 sources spread around the circle; tgt i is src i rotated 3deg,
+    # plus two decoy tgts far from everything's mates
+    src = spark.createDataFrame(
+        [(i, unit(i * 90)) for i in range(4)], ["src_id", "embedding"]
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, unit(i * 90 + 3)) for i in range(4)]
+        + [(200, unit(45)), (201, unit(225))],
+        ["tgt_id", "embedding"],
+    )
+    out = mine_bitext(src, tgt, k=2, margin_threshold=1.0)
+    got = {r["src_id"]: r["tgt_id"] for r in out.collect()}
+    # every source pairs with ITS rotated twin
+    assert got == {0: 100, 1: 101, 2: 102, 3: 103}
+    rows = {(r["src_id"], r["tgt_id"]): r for r in out.collect()}
+    assert all(r["margin"] >= 1.0 for r in rows.values())
+    assert all(r["cosine"] > 0.99 for r in rows.values())
+    # candidates= path: scoring an explicit all-pairs frame gives the
+    # identical result (the ANN plug-in seam)
+    cand = src.crossJoin(tgt.select("tgt_id")).select("src_id", "tgt_id")
+    out2 = mine_bitext(src, tgt, k=2, margin_threshold=1.0,
+                       candidates=cand)
+    assert sorted(map(tuple, out2.collect())) == sorted(
+        map(tuple, out.collect())
+    )
+
+
 def test_semdedup_keep_rule_and_chains(spark):
     """SemDeDup: cosine-argmax assignment to explicit centroids;
     within-cluster drop of anything with a lower-ranked mate above
@@ -2275,6 +2314,37 @@ def test_self_dedup_spans_keep_first(spark):
     }
     assert m[3] == "<dup> third copy trailing"
     assert m[1] == f"{boiler} alpha1 alpha2 alpha3"
+
+
+def test_prepare_corpus_semdedup_stage(spark):
+    """Facade: semdedup_threshold drops semantic near-dups using the
+    embedding column; survivors keep all columns; docs without a
+    near-dup pass through."""
+    import math
+
+    from evaporate_spark.corpus import prepare_corpus
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "first doc text", unit(0)),
+            (2, "paraphrase of first", unit(2)),   # near-dup of 1
+            (3, "something else entirely", unit(90)),
+            (4, "opposite subject", unit(180)),
+        ],
+        ["doc_id", "text", "embedding"],
+    )
+    out = prepare_corpus(
+        docs, redact=False, normalize=False, dedup=False,
+        semdedup_threshold=0.95, semdedup_clusters=2,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # exactly one of {1, 2} survives; 3 and 4 both survive
+    assert 3 in kept and 4 in kept
+    assert len([i for i in kept if i in (1, 2)]) == 1
+    assert set(out.columns) == {"doc_id", "text", "embedding"}
 
 
 def test_prepare_corpus_selfdedup_spans_stage(spark):

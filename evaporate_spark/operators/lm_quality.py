@@ -44,7 +44,14 @@ from pyspark.sql.functions import broadcast
 
 from evaporate_spark.operators.search import tokenize
 
-__all__ = ["unigram_counts", "mean_token_prob", "unigram_perplexity"]
+__all__ = [
+    "unigram_counts",
+    "mean_token_prob",
+    "unigram_perplexity",
+    "bigram_counts",
+    "mean_bigram_prob",
+    "bigram_perplexity",
+]
 
 
 def unigram_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -113,6 +120,188 @@ def unigram_perplexity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("_n").alias("n_tokens"),
         F.exp(-F.col("_ll") / F.col("_n")).alias("ppl"),
     )
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(_id, v, w)`` — one row per adjacent token pair, built with
+    scan-stage array HOFs (tokenize once, zip with its own tail)."""
+    toks = tokenize(text_col)
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+        ),
+        lambda p: p["w"].isNotNull(),
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(pairs).alias("_p")
+    ).select("_id", F.col("_p.v").alias("v"), F.col("_p.w").alias("w"))
+
+
+def bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus bigram table ``(v, w, c)`` via one map-side-combinable
+    shuffle on the pair key."""
+    return (
+        _doc_bigrams(df, id_col, text_col)
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def mean_bigram_prob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_bigrams, mean_bigram_prob)`` per document (8-dp
+    rounded) — the JOINT-probability bigram analog of
+    :func:`mean_token_prob`: the mean add-one-smoothed probability
+    ``(c(v,w)+1)/(B+D)`` of the document's adjacent token pairs under
+    the corpus's own bigram distribution (``B`` total pairs, ``D``
+    distinct pairs). LOW values flag documents whose word ORDER is
+    atypical of the corpus even when the words themselves are common
+    (shuffled/templated/spun text) — the signal the unigram score
+    can't see. The constant denominator keeps numerator and
+    denominator EXACT INTEGERS until one final double division, so
+    the value is aggregation-order-independent — the oracle-checkable
+    variant (``q_bigram_typicality``); the conditional interpolated
+    LM lives in :func:`bigram_perplexity`. Documents with fewer than
+    2 tokens report ``n_bigrams = 0`` and NULL probability.
+
+    Scale shape: the bigram count table is one map-side-combinable
+    shuffle on the pair key; the lookup joins pair-partitioned on
+    both sides; corpus totals broadcast via a 1-row cross join."""
+    bg = _doc_bigrams(df, id_col, text_col)
+    counts = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("_b"), F.count(F.lit(1)).alias("_d")
+    )
+    ds = (
+        bg.join(counts, ["v", "w"])
+        .groupBy("_id")
+        .agg(
+            F.sum("c").cast("long").alias("_sum_c"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    prob = (F.col("_sum_c") + F.col("_n")).cast("double") / (
+        F.col("_n") * (F.col("_b") + F.col("_d"))
+    )
+    scored = ds.crossJoin(broadcast(totals)).select(
+        F.col("_id"),
+        F.col("_n").alias("n_bigrams"),
+        (F.floor(prob * 100000000 + F.lit(0.5)) / 100000000.0).alias(
+            "mean_bigram_prob"
+        ),
+    )
+    # short docs (no bigrams) pass through with 0 / NULL
+    base = df.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        base.join(scored, "_id", "left")
+        .select(
+            F.col("_id").alias("id"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            "mean_bigram_prob",
+        )
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    interp: float = 0.7,
+) -> DataFrame:
+    """``(id, n_bigrams, ppl)`` — exp of the mean negative log-prob of
+    the document's adjacent pairs under an INTERPOLATED conditional
+    bigram LM fitted on the corpus itself (the KenLM-shaped upgrade of
+    :func:`unigram_perplexity`):
+
+        p(w|v) = interp · (c(v,w)+1)/(c(v)+V)
+               + (1−interp) · (c(w)+1)/(T+V)
+
+    with ``c(v)``/``c(w)`` plain corpus unigram counts, ``T`` total
+    tokens, ``V`` distinct tokens. Like the unigram variant, log-sums
+    are FP-order- and libm-sensitive across engines, so this is
+    pytest-verified against :func:`py_bigram_perplexity` instead of
+    the DuckDB oracle. Documents with no bigrams report NULL ppl.
+
+    Scale shape: bigram + unigram count tables are each one
+    map-side-combinable shuffle; scoring is two keyed joins (pair,
+    then context/word unigram lookups) and one groupBy(id); the two
+    scalars broadcast."""
+    if not 0.0 <= interp <= 1.0:
+        raise ValueError(f"need 0 <= interp <= 1, got {interp}")
+    bg = _doc_bigrams(df, id_col, text_col)
+    bcounts = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_cvw"))
+    ex = df.select(F.explode(tokenize(text_col)).alias("tok"))
+    ucounts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_cu"))
+    totals = ucounts.agg(
+        F.sum("_cu").cast("long").alias("_t"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    p_cond = (F.col("_cvw") + 1).cast("double") / (
+        F.col("_cv") + F.col("_v")
+    ).cast("double")
+    p_uni = (F.col("_cw") + 1).cast("double") / (
+        F.col("_t") + F.col("_v")
+    ).cast("double")
+    logp = F.log(
+        F.lit(float(interp)) * p_cond + F.lit(1.0 - float(interp)) * p_uni
+    )
+    ds = (
+        bg.join(bcounts, ["v", "w"])
+        .join(ucounts.select(F.col("tok").alias("v"),
+                             F.col("_cu").alias("_cv")), "v")
+        .join(ucounts.select(F.col("tok").alias("w"),
+                             F.col("_cu").alias("_cw")), "w")
+        .crossJoin(broadcast(totals))
+        .groupBy("_id")
+        .agg(F.sum(logp).alias("_ll"), F.count(F.lit(1)).alias("_n"))
+    )
+    base = df.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        base.join(ds, "_id", "left")
+        .select(
+            F.col("_id").alias("id"),
+            F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.exp(-F.col("_ll") / F.col("_n")).alias("ppl"),
+        )
+    )
+
+
+def py_bigram_perplexity(
+    rows: list[tuple], interp: float = 0.7, tokenizer=None
+) -> dict:
+    """Pure-Python ground truth for tests: ``{id: ppl or None}`` over
+    ``[(id, text), ...]`` with the same tokenizer, counts, smoothing,
+    and interpolation as :func:`bigram_perplexity`."""
+    import re
+
+    tok = tokenizer or (
+        lambda s: [t for t in re.split(r"\W+", s.lower()) if t]
+    )
+    docs = [(i, tok(t)) for i, t in rows]
+    from collections import Counter
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, ts in docs:
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+    T, V = sum(uni.values()), len(uni)
+    out: dict = {}
+    for i, ts in docs:
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            out[i] = None
+            continue
+        ll = 0.0
+        for v, w in pairs:
+            p_cond = (big[(v, w)] + 1) / (uni[v] + V)
+            p_uni = (uni[w] + 1) / (T + V)
+            ll += math.log(interp * p_cond + (1 - interp) * p_uni)
+        out[i] = math.exp(-ll / len(pairs))
+    return out
 
 
 def py_unigram_perplexity(rows: list[tuple], tokenizer=None) -> dict:

@@ -1224,6 +1224,48 @@ def q_code_lake_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 @register(
+    "q_webdataset_roundtrip",
+    "WebDataset tar-shard sink + source (sources/webdataset.py): the "
+    "documents table packs into deterministic tar shards (samples "
+    "keyed by doc_id with .txt/.cls members, xxhash64 shard "
+    "assignment, zeroed tar metadata -> byte-identical re-runs) "
+    "under /tmp, then reads back via a binaryFile scan with in-task "
+    "tar parsing. The query returns every member's (key, ext, byte "
+    "length); the oracle is the documents table's own utf-8 byte "
+    "lengths — any loss, reorder, or encoding drift in the tar "
+    "round-trip hash-mismatches. Side effect: writes "
+    "/tmp/spark_graft_wds_{sf} shards (idempotent overwrite).",
+    oracle="""
+        SELECT CAST(doc_id AS VARCHAR) AS key, 'txt' AS ext,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT CAST(doc_id AS VARCHAR), 'cls',
+               CAST(octet_length(encode(lang)) AS BIGINT)
+        FROM documents WHERE lang IS NOT NULL
+    """,
+    tags=("sources",),
+)
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    (d,) = _t(spark, sf_dir, "documents")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/spark_graft_wds_{tag}"
+    write_webdataset(
+        d.select("doc_id", "text", "lang"), out, "doc_id",
+        {"text": "txt", "lang": "cls"}, shard_size=200,
+    ).collect()
+    back = read_webdataset(spark, out)
+    return back.select(
+        "key", "ext", F.length("data").cast("bigint").alias("n_bytes")
+    )
+
+
+@register(
     "q_bitext_mine",
     "Margin-based bitext mining (operators/similarity.py::"
     "mine_bitext — Artetxe & Schwenk 2019, the LASER/CCMatrix "
@@ -2727,6 +2769,59 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (d,) = _t(spark, sf_dir, "documents")
     return mean_token_prob(d, "doc_id", "text")
+
+
+@register(
+    "q_bigram_typicality",
+    "Bigram-LM quality signal (operators/lm_quality.py::"
+    "mean_bigram_prob): mean add-one-smoothed JOINT probability of "
+    "each document's adjacent token pairs under the corpus's own "
+    "bigram distribution — flags atypical word ORDER (shuffled/"
+    "templated/spun text) that the unigram score can't see. Constant "
+    "denominator keeps the score exact-integer until one final "
+    "division (aggregation-order-independent, hash-matchable); the "
+    "interpolated CONDITIONAL bigram perplexity is the pytest-"
+    "verified companion. One map-side-combinable shuffle on the pair "
+    "key, pair-partitioned lookup join, 1-row totals broadcast; "
+    "short docs pass through with 0/NULL.",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, toks[i] AS v, toks[i+1] AS w
+            FROM t, UNNEST(CASE WHEN len(toks) >= 2
+                                THEN range(1, len(toks))
+                                ELSE [] END) AS u(i)
+        ),
+        counts AS (SELECT v, w, COUNT(*) AS c FROM bg GROUP BY v, w),
+        totals AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS b, COUNT(*) AS d FROM counts
+        ),
+        ds AS (
+            SELECT bg.doc_id, CAST(SUM(c.c) AS BIGINT) AS sum_c,
+                   COUNT(*) AS n
+            FROM bg JOIN counts c USING (v, w)
+            GROUP BY bg.doc_id
+        )
+        SELECT t.doc_id AS id,
+               CAST(COALESCE(ds.n, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN ds.n IS NULL THEN NULL
+                    ELSE FLOOR(((sum_c + n)::DOUBLE / (n * (b + d)))
+                               * 100000000 + 0.5)/100000000.0
+               END AS mean_bigram_prob
+        FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id, totals
+    """,
+    tags=("textstats",),
+)
+def q_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.lm_quality import mean_bigram_prob
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return mean_bigram_prob(d, "doc_id", "text")
 
 
 def _pii_oracle() -> str:

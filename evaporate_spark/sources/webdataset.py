@@ -1,0 +1,194 @@
+"""WebDataset shard sink + source — the tar-shard layout training
+loaders stream (Aizman et al.; the de-facto delivery format for
+image-text and other multimodal corpora). Engine addition (SURVEY
+§2B sinks/scans): a sample is a group of files sharing a basename
+key (``000123.jpg`` + ``000123.txt`` + ``000123.json``), samples
+pack into fixed-size ``.tar`` shards, and loaders stream shards
+sequentially — so the ENGINE's job is deterministic sharding, stable
+in-shard ordering, and byte-exact round-trips.
+
+- :func:`write_webdataset` — DataFrame → ``shard-%06d.tar`` files +
+  a manifest DataFrame. Deterministic end to end: samples are
+  assigned to shards by ``pmod(xxhash64(key), n_shards)`` (no global
+  sort — the salted-group pattern every loader-shuffled format
+  tolerates, since loaders shuffle shards anyway), entries within a
+  shard sort by key, and tar metadata is zeroed (mtime/uid/gid), so
+  the same input produces byte-identical shards on any cluster.
+- :func:`read_webdataset` — ``binaryFile`` scan over ``*.tar`` →
+  one row per member file ``(shard, key, ext, data)``; tar parsing
+  happens INSIDE the scan task over in-memory bytes (the
+  ``sources/archives.py`` pattern — one shard per task, nothing
+  materialized on disk).
+- :func:`webdataset_samples` — regroup member rows into one row per
+  sample with an ``ext → data`` map.
+
+Scale shape: the write is one keyed shuffle (groupBy shard) and each
+task serializes its shards in memory — shard size is the knob, the
+published format targets ~100MB-1GB tars; the read is
+one-shard-per-task scan parallelism. Paths are written with plain
+file I/O in the executor (local/NFS/FUSE mounts); object-store
+targets should mount or write locally and upload — the tars
+themselves are portable bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _local_dir(path: str) -> str:
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    if "://" in path:
+        raise ValueError(
+            "write_webdataset writes shards with plain file I/O — pass "
+            f"a local/mounted path, got {path!r}"
+        )
+    return path
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    content_cols: dict[str, str],
+    shard_size: int = 1000,
+    n_shards: int | None = None,
+    prefix: str = "shard",
+) -> DataFrame:
+    """Pack ``df`` into WebDataset tar shards under ``path`` and
+    return the shard manifest ``(shard, shard_path, n_samples,
+    n_bytes)`` — collect or write the manifest to materialize the
+    shards (the write happens inside its tasks).
+
+    ``content_cols`` maps column → member extension (``{"text":
+    "txt", "image": "jpg"}``): string columns encode utf-8, binary
+    columns pass through byte-exact, NULLs skip that member. Keys
+    stringify and must not contain ``.`` or ``/`` (the WebDataset
+    sample-grouping characters). ``n_shards`` defaults to
+    ``ceil(count / shard_size)`` (one count job); existing
+    ``{prefix}-*.tar`` files under ``path`` are removed first so a
+    re-run with different sharding never leaves stale shards behind.
+    """
+    import math
+    import os
+
+    if not content_cols:
+        raise ValueError("content_cols must map at least one column")
+    out_dir = _local_dir(path)
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        if old.startswith(f"{prefix}-") and old.endswith(".tar"):
+            os.remove(os.path.join(out_dir, old))
+    if n_shards is None:
+        n_shards = max(1, math.ceil(df.count() / int(shard_size)))
+    cols = list(content_cols)
+    exts = [content_cols[c] for c in cols]
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("_key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")),
+               F.lit(int(n_shards))).cast("int").alias("_shard"),
+        *[F.col(c).alias(f"_c{i}") for i, c in enumerate(cols)],
+    )
+
+    def _write(pdf):
+        import pandas as pd
+
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values("_key", kind="mergesort")
+        buf = io.BytesIO()
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for _, row in pdf.iterrows():
+                key = str(row["_key"])
+                if "." in key or "/" in key:
+                    raise ValueError(
+                        f"webdataset keys must not contain '.' or '/': {key!r}"
+                    )
+                for i, ext in enumerate(exts):
+                    val = row[f"_c{i}"]
+                    if val is None or (isinstance(val, float) and pd.isna(val)):
+                        continue
+                    data = (
+                        val.encode("utf-8")
+                        if isinstance(val, str)
+                        else bytes(val)
+                    )
+                    ti = tarfile.TarInfo(name=f"{key}.{ext}")
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    tf.addfile(ti, io.BytesIO(data))
+                n += 1
+        payload = buf.getvalue()
+        shard_path = os.path.join(out_dir, f"{prefix}-{shard:06d}.tar")
+        with open(shard_path, "wb") as fh:
+            fh.write(payload)
+        return pd.DataFrame(
+            [(shard, shard_path, n, len(payload))],
+            columns=["shard", "shard_path", "n_samples", "n_bytes"],
+        )
+
+    return keyed.groupBy("_shard").applyInPandas(
+        _write,
+        schema="shard int, shard_path string, n_samples long, n_bytes long",
+    )
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of WebDataset tar shards → one row per member file:
+    ``(shard, key, ext, data)`` with ``key`` the basename up to its
+    FIRST period (the WebDataset sample-grouping rule) and ``data``
+    the exact member bytes."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(raw)), mode="r:"
+                ) as tf:
+                    for ti in tf.getmembers():
+                        if not ti.isfile():
+                            continue
+                        base = ti.name.rsplit("/", 1)[-1]
+                        key, _, ext = base.partition(".")
+                        fh = tf.extractfile(ti)
+                        rows.append(
+                            (fpath, key, ext, fh.read() if fh else b"")
+                        )
+            yield pd.DataFrame(
+                rows, columns=["shard", "key", "ext", "data"]
+            )
+
+    return files.mapInPandas(
+        batches, schema="shard string, key string, ext string, data binary"
+    )
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """Member rows (from :func:`read_webdataset`) → one row per
+    sample: ``(key, files map<string, binary>)`` keyed by extension."""
+    return (
+        members.groupBy("key")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("ext", "data")))
+            ).alias("files")
+        )
+    )

@@ -38,6 +38,7 @@ EAGER = {
     "q_temperature_mix",  # key-count collect at plan build
     "q_dsir_scores",  # model-total scalar collects at plan build
     "q_semdedup",  # deterministic centroid pick collects at plan build
+    "q_webdataset_roundtrip",  # shard write collect at plan build
 }
 
 

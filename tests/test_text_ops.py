@@ -917,6 +917,48 @@ def test_unigram_perplexity_matches_pure_python(spark):
     assert max(got.values()) > min(got.values()) * 1.05
 
 
+def test_bigram_perplexity_matches_pure_python(spark):
+    """Interpolated conditional bigram LM: Spark matches the
+    pure-python recompute on every doc; single-token docs report
+    0 bigrams / NULL ppl; a shuffled-word-order doc scores WORSE than
+    its in-order twin (the signal bigrams add over unigrams)."""
+    from evaporate_spark.operators.lm_quality import (
+        bigram_perplexity,
+        py_bigram_perplexity,
+    )
+    from evaporate_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in d.select("doc_id", "text").collect()
+    ]
+    want = py_bigram_perplexity(rows)
+    got = {
+        r["id"]: r["ppl"]
+        for r in bigram_perplexity(d, "doc_id", "text").collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        if want[i] is None:
+            assert got[i] is None
+        else:
+            assert abs(got[i] - want[i]) / want[i] < 1e-9
+    # word-order sensitivity: a document whose words are corpus-common
+    # but scrambled perplexes the bigram LM more than the original
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, base), (2, " ".join(sorted(base.split()))), (3, "solo")]
+    # train on a corpus where the in-order phrasing repeats
+    corpus = [(10 + j, base) for j in range(5)] + docs
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = {
+        r["id"]: (r["n_bigrams"], r["ppl"])
+        for r in bigram_perplexity(df, "doc_id", "text").collect()
+    }
+    assert out[3] == (0, None)
+    assert out[2][1] > out[1][1]
+
+
 # ---------------------------------------------------------------------------
 # duplicate passages (operators/passages.py)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,129 @@
+"""WebDataset tar-shard sink + source (sources/webdataset.py) —
+byte-exact round-trips, deterministic shards, loader-convention
+parsing (key = basename up to first period), and composition with
+the image-text pair extractor (the multimodal delivery path)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import tarfile
+
+import pytest
+
+
+def _hashes(d):
+    return [
+        hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in sorted(glob.glob(f"{d}/*.tar"))
+    ]
+
+
+def test_roundtrip_bytes_and_determinism(spark, tmp_path):
+    from evaporate_spark.sources.webdataset import (
+        read_webdataset,
+        webdataset_samples,
+        write_webdataset,
+    )
+
+    out = str(tmp_path / "wds")
+    df = spark.createDataFrame(
+        [
+            (i, f"text é{i}", bytes([i % 256, 255 - i % 256, 0, 10]))
+            for i in range(25)
+        ],
+        ["doc_id", "text", "img"],
+    )
+    man = write_webdataset(
+        df, out, "doc_id", {"text": "txt", "img": "jpg"}, shard_size=10
+    ).collect()
+    assert sum(r["n_samples"] for r in man) == 25
+    assert all(r["shard_path"].endswith(".tar") for r in man)
+    # loader-visible layout: plain tarfile sees key.ext members
+    with tarfile.open(man[0]["shard_path"]) as tf:
+        names = tf.getnames()
+        assert all(n.rsplit(".", 1)[1] in ("txt", "jpg") for n in names)
+    back = read_webdataset(spark, out)
+    samples = {
+        r["key"]: r["files"] for r in webdataset_samples(back).collect()
+    }
+    assert len(samples) == 25
+    assert samples["7"]["txt"] == "text é7".encode()
+    assert samples["7"]["jpg"] == bytes([7, 248, 0, 10])
+    # byte-determinism: rewriting from a differently-partitioned
+    # frame reproduces identical shard bytes
+    h1 = _hashes(out)
+    write_webdataset(
+        df.repartition(7), out, "doc_id", {"text": "txt", "img": "jpg"},
+        shard_size=10,
+    ).collect()
+    assert _hashes(out) == h1
+    # re-sharding removes stale shards (no leftovers to poison reads)
+    write_webdataset(
+        df, out, "doc_id", {"text": "txt"}, n_shards=1
+    ).collect()
+    assert len(_hashes(out)) == 1
+    assert read_webdataset(spark, out).count() == 25
+
+
+def test_null_members_keys_and_validation(spark, tmp_path):
+    from evaporate_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    out = str(tmp_path / "wds2")
+    df = spark.createDataFrame(
+        [(1, "a", "meta"), (2, None, "m2"), (3, "c", None)],
+        ["doc_id", "text", "json"],
+    )
+    write_webdataset(
+        df, out, "doc_id", {"text": "txt", "json": "json"}, n_shards=1
+    ).collect()
+    got = {
+        (r["key"], r["ext"])
+        for r in read_webdataset(spark, out).collect()
+    }
+    # NULL columns skip that member, the sample's other members stay
+    assert got == {("1", "txt"), ("1", "json"), ("2", "json"), ("3", "txt")}
+    bad = spark.createDataFrame([("a.b", "x")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="must not contain"):
+        write_webdataset(
+            bad, out, "doc_id", {"text": "txt"}, n_shards=1
+        ).collect()
+    with pytest.raises(ValueError, match="local"):
+        write_webdataset(df, "s3://bucket/x", "doc_id", {"text": "txt"})
+    with pytest.raises(ValueError, match="content_cols"):
+        write_webdataset(df, out, "doc_id", {})
+
+
+def test_image_text_pairs_to_webdataset(spark, tmp_path):
+    """The multimodal delivery path: image-text pairs (bytes + caption)
+    pack to shards a loader can stream, byte-exact."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.sources.webdataset import (
+        read_webdataset,
+        webdataset_samples,
+        write_webdataset,
+    )
+
+    out = str(tmp_path / "wds3")
+    pairs = spark.createDataFrame(
+        [
+            (f"img{i:03d}", bytes(range(i, i + 16)), f"a photo of {i}")
+            for i in range(8)
+        ],
+        ["pair_id", "image", "caption"],
+    )
+    write_webdataset(
+        pairs, out, "pair_id", {"image": "jpg", "caption": "txt"},
+        n_shards=2,
+    ).collect()
+    back = webdataset_samples(read_webdataset(spark, out))
+    got = {r["key"]: r["files"] for r in back.collect()}
+    assert len(got) == 8
+    for i in range(8):
+        k = f"img{i:03d}"
+        assert got[k]["jpg"] == bytes(range(i, i + 16))
+        assert got[k]["txt"] == f"a photo of {i}".encode()

@@ -409,6 +409,26 @@ def _pack_docs_bench(spark, sf_dir: str):
     )
 
 
+def _pack_bins_bench(spark, sf_dir: str):
+    """Bench-only row: NO-SPLIT FFD bin packing (pack_bins) over the
+    10x documents table — prices the per-packer-group aggregate fold
+    plus the assignment join-back that the split-capable layouts
+    don't pay. Reduced to bin count, token total, and padding (the
+    layout's figure of merit: whole docs share bins instead of
+    emitting one padded stub each)."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.packing import pack_bins
+
+    docs = spark.read.parquet(_corpus_10x_dir(spark, sf_dir))
+    out = pack_bins(docs, "doc_id", "text", seq_len=512, seed="bench")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_padding").alias("padded_tokens"),
+    )
+
+
 def _doc_ingest_dir() -> str:
     """Deterministic document-ingest corpus (generated once per
     machine): 600 two-page PDFs, 20 .warc.gz shards x 60 HTTP
@@ -573,6 +593,7 @@ BENCH_ONLY = {
     "code_lake_20x": _code_lake_bench,
     "gopher_full_10x": _gopher_full_bench,
     "pack_docs_10x": _pack_docs_bench,
+    "pack_bins_10x": _pack_bins_bench,
 }
 
 #: per-row rep caps for end-to-end canary rows (tens of seconds per
@@ -580,7 +601,12 @@ BENCH_ONLY = {
 #: still exists — an n=1 pin can't distinguish a real regression from
 #: this host's documented ±30-50% day-to-day swing (r6 verdict) —
 #: without letting one long pipeline dominate the bench wall time
-REP_CAP = {"corpus_chain_10x": 3, "gopher_full_10x": 3, "pack_docs_10x": 3}
+REP_CAP = {
+    "corpus_chain_10x": 3,
+    "gopher_full_10x": 3,
+    "pack_docs_10x": 3,
+    "pack_bins_10x": 3,
+}
 
 
 def _wait_for_quiet_machine(max_load: float, timeout_s: float) -> dict:

@@ -1010,6 +1010,95 @@ def incremental_exact_dedup(
     return out.drop("_fp")
 
 
+def incremental_selfdedup_spans(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    k: int = 8,
+    marker: str | None = None,
+) -> DataFrame:
+    """Crawl-mode ExactSubstr — :func:`self_dedup_spans` across
+    BATCHES via a persisted gram store: every word ``k``-gram keeps
+    its GLOBALLY FIRST occurrence (earlier batches win; within a
+    batch, (id, position) order) and every later occurrence — in this
+    batch or any previous one — excises, so exactly one copy of each
+    duplicated run survives the whole ingest history. Returns the
+    batch's rows excised (the :func:`self_dedup_spans` output schema)
+    and APPENDS the batch's first-occurrence grams to ``store_dir``.
+
+    The store holds ``(h, fid, fpos)`` — each gram hash with its
+    first occurrence's document id and position, NOT just the hash:
+    a batch occurrence matching the stored (fid, fpos) is the first
+    copy itself and stays, which makes RE-RUNNING a batch after a
+    completed (or partial) store append byte-identical instead of
+    self-destructive — the stronger idempotency the hash-only store
+    of :func:`incremental_exact_dedup` doesn't need but span excision
+    does (a hash-only store would excise the batch's own first
+    copies on replay). Output is materialized BEFORE the append, so
+    the store write cannot observe its own batch.
+
+    Scale shape: one left join of the batch's positional shingles
+    against the store (keyed on the gram hash — the store never
+    ships text, ~one row per distinct corpus gram), the same
+    map-side-combinable (count, min) groupBy as the one-shot pass
+    for the store-miss grams, one groupBy(id), and the shared JVM
+    HOF excision. Store appends are parquet, read back deduplicated
+    on the hash."""
+    import os
+
+    spark = batch.sparkSession
+    pos = _positional_shingles(batch, id_col, text_col, k)
+    have_store = os.path.isdir(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    )
+    if have_store:
+        seen = (
+            spark.read.parquet(store_dir).dropDuplicates(["h"])
+        )
+    else:
+        seen = spark.createDataFrame([], "h long, fid string, fpos int")
+    joined = pos.join(seen, pos["_h"] == seen["h"], "left")
+    # stored grams: every occurrence excises except the stored first
+    stored_hits = joined.where(
+        F.col("h").isNotNull()
+        & ~(
+            (F.col("_id").cast("string") == F.col("fid"))
+            & (F.col("_i") == F.col("fpos"))
+        )
+    ).select("_id", "_i")
+    # store-miss grams: within-batch keep-first (the one-shot rule)
+    fresh = joined.where(F.col("h").isNull()).select("_id", "_i", "_h")
+    firsts = fresh.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct("_id", "_i")).alias("_first"),
+    )
+    batch_hits = (
+        fresh.join(firsts.where(F.col("_cnt") >= 2), "_h")
+        .where(
+            ~(
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("_i") == F.col("_first._i"))
+            )
+        )
+        .select("_id", "_i")
+    )
+    hits = (
+        stored_hits.unionByName(batch_hits)
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_hits"))
+    )
+    out = _excise_hit_starts(
+        batch, hits, id_col, text_col, k, marker
+    ).localCheckpoint(eager=True)
+    firsts.select(
+        F.col("_h").alias("h"),
+        F.col("_first._id").cast("string").alias("fid"),
+        F.col("_first._i").alias("fpos"),
+    ).write.mode("append").parquet(store_dir)
+    return out
+
+
 def lsh_exact_dup_edges(
     df: DataFrame,
     id_col: str,

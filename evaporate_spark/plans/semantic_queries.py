@@ -3228,6 +3228,91 @@ def q_selfdedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_selfdedup",
+    "Crawl-mode ExactSubstr (operators/dedup.py::"
+    "incremental_selfdedup_spans): documents ingest as two batches "
+    "(even doc_ids, then odd) through a fresh persisted gram store; "
+    "the query returns batch 2's excised rows — an odd doc's 8-gram "
+    "excises if ANY even doc used it (earlier batch wins) or a "
+    "lower-(id,pos) odd occurrence did (within-batch keep-first). "
+    "The oracle replays batch-1-gram membership + within-batch-2 "
+    "rank/count windows -> covered-position union -> token rebuild. "
+    "Side effect: /tmp store, reset per invocation.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, i,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                   t[i+6] || ' ' || t[i+7] AS g
+            FROM toks, UNNEST(CASE WHEN len(t) >= 8
+                                   THEN range(1, len(t) - 6)
+                                   ELSE [] END) AS u(i)
+        ),
+        a_grams AS (
+            SELECT DISTINCT g FROM pos WHERE doc_id % 2 = 0
+        ),
+        b_occ AS (
+            SELECT doc_id, i, g,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY doc_id, i) AS rn,
+                   count(*) OVER (PARTITION BY g) AS cnt
+            FROM pos WHERE doc_id % 2 = 1
+        ),
+        hits AS (
+            SELECT doc_id, list_sort(list(i)) AS hs
+            FROM b_occ
+            WHERE g IN (SELECT g FROM a_grams)
+               OR (cnt >= 2 AND rn >= 2)
+            GROUP BY doc_id
+        ),
+        x AS (
+            SELECT toks.doc_id, t, COALESCE(hits.hs, []) AS hs,
+                   list_filter(range(1, len(t) + 1),
+                       p -> len(list_filter(COALESCE(hits.hs, []),
+                                s -> p >= s AND p <= s + 7)) = 0
+                   ) AS kept
+            FROM toks LEFT JOIN hits USING (doc_id)
+            WHERE toks.doc_id % 2 = 1
+        )
+        SELECT doc_id,
+               COALESCE(array_to_string(
+                   list_transform(kept, p -> t[p]), ' '), '') AS text,
+               CAST(len(kept) AS BIGINT) AS n_tokens,
+               CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_removed,
+               CAST(len(list_filter(range(1, len(t) + 1),
+                   p -> len(list_filter(hs,
+                            s -> p >= s AND p <= s + 7)) > 0
+                        AND (p = 1 OR len(list_filter(hs,
+                            s -> p - 1 >= s AND p - 1 <= s + 7)) = 0)
+               )) AS BIGINT) AS n_spans_removed
+        FROM x
+    """,
+    tags=("dedup", "corpus"),
+)
+def q_incremental_selfdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from evaporate_spark.operators.dedup import incremental_selfdedup_spans
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    store = f"/tmp/spark_graft_sds_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    (d,) = _t(spark, sf_dir, "documents")
+    batch_a = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    batch_b = d.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    incremental_selfdedup_spans(
+        batch_a, "doc_id", "text", store, k=8
+    ).count()
+    return incremental_selfdedup_spans(
+        batch_b, "doc_id", "text", store, k=8
+    )
+
+
+@register(
     "q_dsir_scores",
     "DSIR data selection (operators/dsir.py — Xie et al. 2023 "
     "importance resampling): every document scored by its hashed-"

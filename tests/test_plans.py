@@ -39,6 +39,7 @@ EAGER = {
     "q_dsir_scores",  # model-total scalar collects at plan build
     "q_semdedup",  # deterministic centroid pick collects at plan build
     "q_webdataset_roundtrip",  # shard write collect at plan build
+    "q_incremental_selfdedup",  # batch-A store append at plan build
 }
 
 

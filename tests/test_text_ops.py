@@ -2226,6 +2226,55 @@ def test_mine_bitext_planted_pairs(spark):
     )
 
 
+def test_mine_bitext_lsh_candidate_seam(spark):
+    """The at-scale route end to end: LSH top-k probes generate the
+    candidate pairs, mine_bitext scores only those — the planted
+    rotated twins still mine, and every reported pair also exists in
+    the exact mining (candidates can only REMOVE pairs, never invent
+    them)."""
+    import math
+
+    from evaporate_spark.operators.similarity import (
+        mine_bitext,
+        random_hyperplane_lsh_topk,
+    )
+
+    def vec(deg):
+        # 8-dim: 2d rotation embedded in a fixed high-dim basis so the
+        # hyperplane LSH has enough planes to discriminate
+        c, s = math.cos(math.radians(deg)), math.sin(math.radians(deg))
+        return [c, s, c / 2, s / 2, -c / 3, s / 3, 0.1, -0.1]
+
+    src = spark.createDataFrame(
+        [(i, vec(i * 72)) for i in range(5)], ["src_id", "embedding"]
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, vec(i * 72 + 2)) for i in range(5)],
+        ["tgt_id", "embedding"],
+    )
+    cand = random_hyperplane_lsh_topk(
+        tgt, src, "tgt_id", "embedding", "src_id", "embedding",
+        dim=8, k=3, n_planes=16, bands=8, seed=7,
+    ).select("src_id", "tgt_id")
+    exact = {
+        (r["src_id"], r["tgt_id"])
+        for r in mine_bitext(src, tgt, k=2, margin_threshold=1.0).collect()
+    }
+    approx = {
+        (r["src_id"], r["tgt_id"])
+        for r in mine_bitext(
+            src, tgt, k=2, margin_threshold=1.0, candidates=cand
+        ).collect()
+    }
+    # exact mining pairs every src with its rotated twin
+    assert exact == {(i, 100 + i) for i in range(5)}
+    # the ANN-candidate route is a subset (bands can miss, never add)
+    assert approx <= exact
+    # with 8 bands of 2 planes the twins land in shared buckets: the
+    # probe recalls most of them on this fixture
+    assert len(approx) >= 3
+
+
 def test_semdedup_keep_rule_and_chains(spark):
     """SemDeDup: cosine-argmax assignment to explicit centroids;
     within-cluster drop of anything with a lower-ranked mate above
@@ -2387,6 +2436,55 @@ def test_prepare_corpus_semdedup_stage(spark):
     assert 3 in kept and 4 in kept
     assert len([i for i in kept if i in (1, 2)]) == 1
     assert set(out.columns) == {"doc_id", "text", "embedding"}
+
+
+def test_incremental_selfdedup_spans_store(spark, tmp_path):
+    """Crawl-mode ExactSubstr: batch 2's copies of batch 1's grams
+    excise while batch 1's copy stays; within-batch keep-first still
+    applies to store-miss grams; batch-mode over ordered batches
+    equals the one-shot pass; re-running a batch after its store
+    append is byte-identical (the (h, fid, fpos) idempotency)."""
+    from evaporate_spark.operators.dedup import (
+        incremental_selfdedup_spans,
+        self_dedup_spans,
+    )
+
+    store = str(tmp_path / "grams")
+    boiler = "G1 G2 G3 G4 G5 G6 G7 G8"
+    b1 = [(1, f"{boiler} alpha1 alpha2 alpha3"),
+          (2, "a fully unique early document with words w x y z")]
+    b2 = [(3, f"late copy intro {boiler} beta1 beta2 beta3"),
+          (4, f"{boiler} gamma1 gamma2 gamma3"),
+          (5, "another unique later document stays whole entirely")]
+    df1 = spark.createDataFrame(b1, ["doc_id", "text"])
+    df2 = spark.createDataFrame(b2, ["doc_id", "text"])
+
+    out1 = {r["doc_id"]: r["text"]
+            for r in incremental_selfdedup_spans(
+                df1, "doc_id", "text", store, k=8).collect()}
+    assert out1[1] == f"{boiler} alpha1 alpha2 alpha3"  # first copy kept
+    assert out1[2] == b1[1][1]
+
+    out2 = {r["doc_id"]: r["text"]
+            for r in incremental_selfdedup_spans(
+                df2, "doc_id", "text", store, k=8).collect()}
+    # every batch-2 copy of the stored boilerplate excises (doc 3 AND
+    # doc 4 — batch 1 holds the first), unique docs pass through
+    assert out2[3] == "late copy intro beta1 beta2 beta3"
+    assert out2[4] == "gamma1 gamma2 gamma3"
+    assert out2[5] == b2[2][1]
+    # batch-mode over (batch1, batch2) == the one-shot pass over the
+    # union: ids are ordered across batches, so keep-first agrees
+    both = spark.createDataFrame(b1 + b2, ["doc_id", "text"])
+    oneshot = {r["doc_id"]: r["text"]
+               for r in self_dedup_spans(both, k=8).collect()}
+    assert {**out1, **out2} == oneshot
+    # idempotency: replaying batch 2 after its append changes nothing
+    # (its first-occurrence grams match the stored (fid, fpos))
+    replay = {r["doc_id"]: r["text"]
+              for r in incremental_selfdedup_spans(
+                  df2, "doc_id", "text", store, k=8).collect()}
+    assert replay == out2
 
 
 def test_prepare_corpus_selfdedup_spans_stage(spark):

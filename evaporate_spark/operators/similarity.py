@@ -596,3 +596,177 @@ def ivf_search(
     ).dropDuplicates([query_id, "corpus_id"])
     out = _two_stage_topk(scored, [query_id], [F.desc("cosine"), F.asc("corpus_id")], k)
     return out.select(query_id, "corpus_id", "cosine", "rank")
+
+
+# --------------------------------------------------------------- product
+# quantization (Jégou et al. 2011) — the memory layout that makes
+# billion-vector ANN fit a cluster: vectors split into m subspaces,
+# each subvector replaced by the id of its nearest codeword, distances
+# approximated per-subspace from a query-side lookup table (ADC).
+
+
+def _pq_micro_dist(sub: Column, codeword: list[float]) -> Column:
+    """Squared L2 distance between a subvector column and a literal
+    codeword, HALF-UP quantized to integer MICRO units — the
+    engine-exact convention (:func:`mine_bitext`): micro ints sum and
+    compare identically everywhere, where raw double sums are
+    aggregation-order-sensitive."""
+    d = F.aggregate(
+        F.zip_with(
+            sub,
+            F.array(*[F.lit(float(x)) for x in codeword]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.floor(d * 1000000.0 + 0.5).cast("bigint")
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 0,
+    iterations: int = 0,
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks ``codebooks[s][j] = codeword`` —
+    ``m`` subspaces of ``dim // m`` components, ``n_codes`` codewords
+    each. Default init is the deterministic hash-sample
+    (:func:`_sampled_centroids` — the ``n_codes`` corpus vectors with
+    the smallest ``xxhash64(id, seed)``, sliced per subspace);
+    ``iterations > 0`` runs that many Lloyd rounds per subspace, each
+    round ONE DataFrame job covering every subspace at once
+    (assignment is the same argmin expression the encoder uses; the
+    update is a map-side-combined posexplode→groupBy(subspace, code,
+    pos)→avg — shuffle and driver traffic are codebook-sized
+    regardless of corpus size). Deterministic: no RNG anywhere."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    base = _sampled_centroids(corpus, corpus_id, corpus_vec, n_codes, seed)
+    if not base:
+        return []
+    books = [
+        [list(map(float, c[s * d_sub:(s + 1) * d_sub])) for c in base]
+        for s in range(m)
+    ]
+    for _ in range(int(iterations)):
+        parts = []
+        for s in range(m):
+            sub = F.slice(F.col(corpus_vec), s * d_sub + 1, d_sub)
+            dists = F.array(
+                *[_pq_micro_dist(sub, w) for w in books[s]]
+            )
+            code = (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int")
+            parts.append(
+                corpus.select(
+                    F.lit(s).alias("s"),
+                    code.alias("j"),
+                    F.posexplode(sub).alias("pos", "x"),
+                )
+            )
+        allparts = parts[0]
+        for p in parts[1:]:
+            allparts = allparts.unionByName(p)
+        means = (
+            allparts.groupBy("s", "j", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["s"], r["j"]), {})[r["pos"]] = float(r["mval"])
+        books = [
+            [
+                [got[(s, j)][p] for p in range(d_sub)]
+                if (s, j) in got
+                else books[s][j]
+                for j in range(n_codes)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col ARRAY<INT>`` — per subspace, the index of the
+    nearest codeword (micro-quantized squared L2; FIRST index wins
+    ties). Pure scan-stage JVM expressions; the codebooks ship as
+    plan literals. An encoded corpus stores ``m`` small ints per
+    vector instead of ``dim`` floats — the 100 TB memory story."""
+    if not codebooks:
+        raise ValueError("pq_encode needs non-empty codebooks")
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        dists = F.array(*[_pq_micro_dist(sub, w) for w in codebooks[s]])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """PQ-approximate top-k by ASYMMETRIC distance (ADC): the corpus
+    is reduced to its PQ codes, each (query, subspace) gets a
+    ``n_codes``-entry micro-distance table as plan expressions, and a
+    corpus row's score is the EXACT bigint sum of its codes' table
+    entries — engine-reproducible, no floats after the per-entry
+    quantization. Returns (query_id, corpus_id, adc_micros, rank),
+    rank by (score ASC, corpus id ASC) via the two-stage top-k (no
+    single-task global sort). ``queries`` broadcast by the
+    small-query-batch contract (:func:`brute_force_topk`)."""
+    if not codebooks:
+        raise ValueError("pq_topk needs non-empty codebooks")
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    enc = pq_encode(
+        corpus.select(
+            F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+        ),
+        "_cv",
+        codebooks,
+        "_code",
+    ).select("_cid", "_code")
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+        )
+    )
+    score = None
+    for s in range(m):
+        qsub = F.slice(F.col("_qv"), s * d_sub + 1, d_sub)
+        table = F.array(*[_pq_micro_dist(qsub, w) for w in codebooks[s]])
+        term = F.element_at(table, F.element_at("_code", s + 1) + 1)
+        score = term if score is None else score + term
+    scored = enc.crossJoin(q).select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        score.alias("adc_micros"),
+    )
+    out = _two_stage_topk(
+        scored, [query_id], [F.asc("adc_micros"), F.asc(corpus_id)], k
+    )
+    return out.select(query_id, corpus_id, "adc_micros", "rank")

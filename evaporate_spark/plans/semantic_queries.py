@@ -1422,6 +1422,90 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_pq_topk",
+    "Product-quantization ANN (operators/similarity.py::pq_topk — "
+    "Jégou et al. 2011): embeddings encode to 8 subspace codes from "
+    "16 deterministic codewords (smallest md5(vec_id), sliced), and "
+    "3 query vectors rank the corpus by ADC — per-(query, subspace) "
+    "micro-distance tables as plan literals, a corpus row's score is "
+    "the EXACT bigint sum of its codes' entries (no float after the "
+    "per-entry quantization), rank by (score ASC, id) via the "
+    "two-stage top-k. The oracle replays slicing -> micro distances "
+    "-> first-index argmin encode -> ADC sum -> rank end to end; the "
+    "query-side lookup reuses the same distance CTE.",
+    oracle="""
+        WITH cb AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS j, embedding AS cv
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 16
+        ),
+        subs AS (SELECT CAST(s AS BIGINT) AS s FROM range(0, 8) t(s)),
+        cdist AS (
+            SELECT e.vec_id, subs.s, cb.j,
+                   CAST(FLOOR(list_sum(list_transform(range(1, 9),
+                       i -> (e.embedding[subs.s*8 + i]::DOUBLE
+                             - cb.cv[subs.s*8 + i]::DOUBLE)
+                            * (e.embedding[subs.s*8 + i]::DOUBLE
+                               - cb.cv[subs.s*8 + i]::DOUBLE)
+                   )) * 1000000 + 0.5) AS BIGINT) AS dm
+            FROM embeddings e, subs, cb
+        ),
+        enc AS (
+            SELECT vec_id, s, j FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY dm, j) AS rn
+                FROM cdist
+            ) WHERE rn = 1
+        ),
+        score AS (
+            SELECT q.vec_id AS qid, enc.vec_id,
+                   CAST(SUM(qd.dm) AS BIGINT) AS adc_micros
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 3) q
+            CROSS JOIN (SELECT DISTINCT vec_id FROM enc) c
+            JOIN enc ON enc.vec_id = c.vec_id
+            JOIN cdist qd ON qd.vec_id = q.vec_id
+                         AND qd.s = enc.s AND qd.j = enc.j
+            GROUP BY q.vec_id, enc.vec_id
+        ),
+        r AS (
+            SELECT qid, vec_id, adc_micros,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY adc_micros, vec_id
+                   ) AS rank
+            FROM score
+        )
+        SELECT qid, vec_id, adc_micros, rank FROM r WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .collect()
+    )
+    books = [
+        [
+            [float(x) for x in r["embedding"][s * 8:(s + 1) * 8]]
+            for r in rows
+        ]
+        for s in range(8)
+    ]
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return pq_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qvec", books, k=5
+    )
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evaporate_spark.operators.similarity import brute_force_topk
 

@@ -40,6 +40,7 @@ EAGER = {
     "q_semdedup",  # deterministic centroid pick collects at plan build
     "q_webdataset_roundtrip",  # shard write collect at plan build
     "q_incremental_selfdedup",  # batch-A store append at plan build
+    "q_pq_topk",  # deterministic codebook pick collects at plan build
 }
 
 
@@ -405,6 +406,9 @@ def test_lint_entire_query_catalog(spark):
         # published method's own quadratic cost (mine_bitext docstring);
         # the candidates= seam is the at-scale route
         "q_bitext_mine": {"cartesian"},
+        # ADC scores every corpus code against the broadcast query
+        # batch — the brute_force_topk contract over codes, not vectors
+        "q_pq_topk": {"cartesian"},
     }
     sf = "/root/testdata/sf0.001"
     failures = []

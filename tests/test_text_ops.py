@@ -2187,6 +2187,81 @@ def test_decontaminate_spans_excision_and_marker(spark):
     assert m[2] == docs[1][1]
 
 
+def test_pq_encode_and_adc_topk(spark):
+    """Product quantization: codeword-exact vectors encode to their
+    own code with ADC distance 0 (top-1 = self); perturbed vectors
+    rank their codeword's family first; Lloyd training reduces (or
+    preserves) total quantization error vs the hash-sample init."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = random.Random(5)
+    dim, m, d_sub, n_codes = 8, 4, 2, 4
+    # 4 codewords per subspace built from 4 "anchor" vectors
+    anchors = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_codes)
+    ]
+    books = [
+        [a[s * d_sub:(s + 1) * d_sub] for a in anchors] for s in range(m)
+    ]
+    # corpus: the anchors themselves + small perturbations of anchor 2
+    corpus = [(i, anchors[i]) for i in range(n_codes)] + [
+        (100 + t, [x + 0.01 * (t + 1) for x in anchors[2]])
+        for t in range(3)
+    ]
+    df = spark.createDataFrame(corpus, ["vid", "vec"])
+    enc = {
+        r["vid"]: list(r["pq_code"])
+        for r in pq_encode(df, "vec", books).collect()
+    }
+    for i in range(n_codes):
+        assert enc[i] == [i] * m, (i, enc[i])  # anchors hit their code
+    for t in range(3):
+        assert enc[100 + t] == [2] * m  # perturbations snap to anchor 2
+    q = spark.createDataFrame([(9, anchors[2])], ["qid", "qvec"])
+    top = pq_topk(df, q, "vid", "vec", "qid", "qvec", books, k=4).collect()
+    by_rank = {r["rank"]: r for r in top}
+    # anchor 2 and its perturbations all share code -> ADC 0; ties
+    # break by id: 2, then 100, 101, 102
+    assert [by_rank[i]["vid"] for i in (1, 2, 3, 4)] == [2, 100, 101, 102]
+    assert all(by_rank[i]["adc_micros"] == 0 for i in (1, 2, 3, 4))
+    # training: Lloyd rounds never increase total quantization error
+    big = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(80)],
+        ["vid", "vec"],
+    )
+
+    def total_err(bks):
+        e = pq_encode(big, "vec", bks)
+        m_ = len(bks)
+        terms = []
+        for s in range(m_):
+            from evaporate_spark.operators.similarity import _pq_micro_dist
+
+            sub = F.slice(F.col("vec"), s * d_sub + 1, d_sub)
+            best = F.array_min(
+                F.array(*[_pq_micro_dist(sub, w) for w in bks[s]])
+            )
+            terms.append(best)
+        tot = terms[0]
+        for t in terms[1:]:
+            tot = tot + t
+        return e.agg(F.sum(tot)).first()[0]
+
+    b0 = train_pq_codebooks(big, "vid", "vec", dim, m=m, n_codes=n_codes)
+    b2 = train_pq_codebooks(
+        big, "vid", "vec", dim, m=m, n_codes=n_codes, iterations=3
+    )
+    assert total_err(b2) <= total_err(b0)
+
+
 def test_mine_bitext_planted_pairs(spark):
     """Margin mining recovers planted translations: tgt vectors that
     are small rotations of a src vector out-margin unrelated

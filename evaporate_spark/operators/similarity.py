@@ -770,3 +770,188 @@ def pq_topk(
         scored, [query_id], [F.asc("adc_micros"), F.asc(corpus_id)], k
     )
     return out.select(query_id, corpus_id, "adc_micros", "rank")
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    index_dir: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 0,
+    train_iterations: int = 0,
+) -> int:
+    """Persist the canonical billion-vector ANN layout — IVF cells ×
+    residual PQ codes (Jégou et al. 2011, the FAISS ``IVFxx,PQyy``
+    pairing): each vector is assigned to its nearest IVF centroid and
+    only the PQ CODES of its RESIDUAL (vector − centroid) are stored,
+    hive-partitioned by cell. The stored row is (id, m small ints):
+    the full-precision vectors leave the index entirely — the memory
+    contract that lets a 100 TB corpus's index fit a cluster's disks.
+
+    Residuals, not raw vectors: within a cell residuals are centered
+    near zero, so one shared codebook quantizes every cell well — the
+    published reason IVF-PQ encodes residuals. Codebooks come from
+    :func:`train_pq_codebooks` over the residual frame (hash-sample
+    init; ``train_iterations`` Lloyd rounds); IVF centroids follow
+    :func:`build_ivf_index`'s convention (hash-sample,
+    ``train_iterations`` spherical rounds). Layout under
+    ``index_dir``: ``centroids`` parquet, ``pq_codebooks`` parquet
+    (s, j, codeword), ``assignments`` parquet partitioned by cell.
+    Returns the number of cells."""
+    if train_iterations > 0:
+        cents = train_ivf_codebook(
+            corpus, corpus_id, corpus_vec, n_centroids,
+            iterations=train_iterations, seed=seed,
+        )
+    else:
+        cents = _sampled_centroids(
+            corpus, corpus_id, corpus_vec, n_centroids, seed
+        )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(
+            *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents]
+        )
+
+    cent_mat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    best = (
+        F.array_position(
+            cell_scores(F.col(corpus_vec)),
+            F.array_max(cell_scores(F.col(corpus_vec))),
+        )
+        - 1
+    ).cast("int")
+    resid = corpus.select(
+        F.col(corpus_id).alias("id"),
+        best.alias("cell"),
+        F.zip_with(
+            F.col(corpus_vec),
+            F.element_at(cent_mat, best + 1),
+            lambda a, b: a.cast("double") - b,
+        ).alias("_res"),
+    )
+    books = train_pq_codebooks(
+        resid, "id", "_res", dim, m=m, n_codes=n_codes, seed=seed,
+        iterations=train_iterations,
+    )
+    spark.createDataFrame(
+        [
+            (s, j, list(map(float, w)))
+            for s, book in enumerate(books)
+            for j, w in enumerate(book)
+        ],
+        "s int, j int, codeword array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
+    pq_encode(resid, "_res", books, "pq_code").select(
+        "id", "pq_code", "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/assignments"
+    )
+    return len(cents)
+
+
+def ivf_pq_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: per query, the ``n_probe``
+    nearest cells are selected by centroid cosine, the assignment
+    scan partition-prunes to those cells' files, and candidates score
+    by ASYMMETRIC distance on the stored residual codes — the
+    query's own residual against each probed cell's centroid feeds a
+    per-(query, cell, subspace) micro-distance table, and a
+    candidate's score is the EXACT bigint sum of its codes' entries
+    (:func:`pq_topk`'s engine-parity convention). Returns
+    (query_id, corpus_id, adc_micros, rank) with rank by
+    (score ASC, id ASC) via the two-stage top-k. Full-precision
+    vectors are never read — they are not even stored."""
+    centroids = [
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    ]
+    centroids.sort()
+    cents = [c for _i, c in centroids]
+    book_rows = spark.read.parquet(f"{index_dir}/pq_codebooks").collect()
+    m = 1 + max(r["s"] for r in book_rows)
+    n_codes = 1 + max(r["j"] for r in book_rows)
+    books: list[list[list[float]]] = [
+        [None] * n_codes for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in book_rows:
+        books[r["s"]][r["j"]] = [float(x) for x in r["codeword"]]
+    d_sub = len(books[0][0])
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(
+            *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents]
+        )
+
+    probe = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    cell_scores(F.col(query_vec)),
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
+                )
+            ),
+            lambda st_: st_["idx"],
+        ),
+        1,
+        n_probe,
+    )
+    cent_mat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(query_vec).alias("_qv"),
+        F.explode(probe).alias("cell"),
+    ).withColumn(
+        "_qres",
+        F.zip_with(
+            F.col("_qv"),
+            F.element_at(cent_mat, F.col("cell") + 1),
+            lambda a, b: a.cast("double") - b,
+        ),
+    )
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    assigned = spark.read.parquet(f"{index_dir}/assignments").where(
+        F.col("cell").isin(probed)
+    )
+    score = None
+    for s in range(m):
+        qsub = F.slice(F.col("_qres"), s * d_sub + 1, d_sub)
+        table = F.array(*[_pq_micro_dist(qsub, w) for w in books[s]])
+        term = F.element_at(table, F.element_at("pq_code", s + 1) + 1)
+        score = term if score is None else score + term
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("id").alias("corpus_id"),
+            score.alias("adc_micros"),
+        )
+        .groupBy(query_id, "corpus_id")
+        .agg(F.min("adc_micros").alias("adc_micros"))
+    )
+    out = _two_stage_topk(
+        scored, [query_id], [F.asc("adc_micros"), F.asc("corpus_id")], k
+    )
+    return out.select(query_id, "corpus_id", "adc_micros", "rank")

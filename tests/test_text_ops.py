@@ -785,6 +785,73 @@ def test_ivf_index_build_and_search(spark, sf_dir, tmp_path):
     assert m and "cell" in m.group(1), plan[:2000]
 
 
+def test_ivf_pq_index_build_and_search(spark, tmp_path):
+    """IVF-PQ: the persisted index stores only (id, cell, codes) — no
+    vectors; probing partition-prunes to the probed cells; ADC over
+    residual codes recalls the brute-force cosine neighbors on a
+    clustered fixture; scores are deterministic across rebuilds."""
+    import math
+    import random
+
+    from evaporate_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_pq_index,
+        ivf_pq_search,
+    )
+
+    rng = random.Random(11)
+    dim, n_anchor = 16, 4
+    anchors = []
+    for a in range(n_anchor):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        anchors.append([x / n for x in v])
+    pts = []
+    for i in range(120):
+        a = anchors[i % n_anchor]
+        pts.append((i, [x + rng.gauss(0, 0.08) for x in a]))
+    emb = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    idx = str(tmp_path / "ivfpq")
+    n_cells = build_ivf_pq_index(
+        emb, "vec_id", "embedding", idx, dim=dim, n_centroids=4,
+        m=4, n_codes=16, train_iterations=2,
+    )
+    assert n_cells == 4
+    # the stored assignment rows carry codes, never vectors
+    stored = spark.read.parquet(f"{idx}/assignments")
+    assert set(stored.columns) == {"id", "pq_code", "cell"}
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = ivf_pq_search(spark, idx, queries, "qid", "qvec", k=5, n_probe=2)
+    rows = got.collect()
+    assert len(rows) == 30
+    exact = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qvec", k=5
+    ).collect()
+    want = {(r["qid"], r["vec_id"]) for r in exact}
+    hit = sum(1 for r in rows if (r["qid"], r["corpus_id"]) in want)
+    assert hit / len(rows) >= 0.5, hit  # ANN recall bar on the fixture
+    # partition pruning reaches the assignment scan
+    plan = (
+        ivf_pq_search(spark, idx, queries, "qid", "qvec", k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    mm = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mm and "cell" in mm.group(1), plan[:2000]
+    # deterministic: rebuild + research reproduces identical rows
+    build_ivf_pq_index(
+        emb.repartition(7), "vec_id", "embedding", idx, dim=dim,
+        n_centroids=4, m=4, n_codes=16, train_iterations=2,
+    )
+    again = ivf_pq_search(
+        spark, idx, queries, "qid", "qvec", k=5, n_probe=2
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
 # ---------------------------------------------------------------------------
 # connected components / dup clusters (operators/clustering.py)
 # ---------------------------------------------------------------------------

@@ -1200,30 +1200,6 @@ def q_code_lake_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_knn_cosine",
-    "Exact cosine top-5 neighbors for 3 broadcast query vectors; "
-    "two-stage windowed top-k (per-partition prune, then per-query) — "
-    "no single-task global sort at any corpus size.",
-    oracle="""
-        WITH q AS (
-            SELECT vec_id AS qid, embedding AS qe
-            FROM embeddings WHERE vec_id < 3
-        ),
-        s AS (
-            SELECT q.qid, e.vec_id,
-                   ROUND(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
-            FROM q, embeddings e
-        ),
-        r AS (
-            SELECT qid, vec_id, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
-            FROM s
-        )
-        SELECT qid, vec_id, cosine, rank FROM r WHERE rank <= 5
-    """,
-    tags=("similarity",),
-)
-@register(
     "q_webdataset_roundtrip",
     "WebDataset tar-shard sink + source (sources/webdataset.py): the "
     "documents table packs into deterministic tar shards (samples "
@@ -1506,6 +1482,30 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_knn_cosine",
+    "Exact cosine top-5 neighbors for 3 broadcast query vectors; "
+    "two-stage windowed top-k (per-partition prune, then per-query) — "
+    "no single-task global sort at any corpus size.",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe
+            FROM embeddings WHERE vec_id < 3
+        ),
+        s AS (
+            SELECT q.qid, e.vec_id,
+                   ROUND(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+            FROM q, embeddings e
+        ),
+        r AS (
+            SELECT qid, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+            FROM s
+        )
+        SELECT qid, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evaporate_spark.operators.similarity import brute_force_topk
 

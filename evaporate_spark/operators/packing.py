@@ -408,16 +408,20 @@ def pack_bins(
     is salted into ``n_packers`` deterministic groups
     (``pmod(xxhash64(seed ‖ id), n_packers)`` — default
     ``spark.sql.shuffle.partitions``) and FFD runs independently per
-    group as ONE JVM ``aggregate`` fold over that group's
-    (length, id) meta array — token arrays never enter the fold, the
-    collected state is ~16 bytes/doc, and the fold is O(docs×bins)
-    per group. FFD within a random sample of the corpus loses almost
-    nothing vs global FFD once groups hold a few thousand docs (the
-    length distribution per group converges), so padding efficiency
-    survives 1000× data by raising ``n_packers`` with the cluster,
-    not by serializing. Assignments join back by id (one keyed
-    shuffle) and one groupBy(packer, bin) assembles the bins. Fully
-    deterministic: same input + seed → byte-identical bins."""
+    group as one Arrow-batched ``applyInPandas`` over that group's
+    (length, id) META rows — token arrays never enter the fold, the
+    shipped state is ~16 bytes/doc, and python FFD with in-place
+    mutation is O(docs×bins) per group (a JVM ``aggregate``-HOF fold
+    was tried first and is quadratic in GROUP SIZE because Catalyst
+    accumulators copy the whole assignment array per element —
+    426 s vs ~4 s on the 50k-doc bench). FFD within a random sample
+    of the corpus loses almost nothing vs global FFD once groups hold
+    a few thousand docs (the length distribution per group
+    converges), so padding efficiency survives 1000× data by raising
+    ``n_packers`` with the cluster, not by serializing. Assignments
+    join back by id (one keyed shuffle) and one groupBy(packer, bin)
+    assembles the bins. Fully deterministic: same input + seed →
+    byte-identical bins."""
     if seq_len < 2:
         raise ValueError(f"need seq_len >= 2, got {seq_len}")
     if not eos_token or any(ch.isspace() for ch in eos_token):
@@ -463,73 +467,48 @@ def pack_bins(
         )
     )
 
-    # -- FFD fold per packer group over the (cost, id) meta array.
-    # array_sort on struct(-cost, id) gives decreasing length, ties by
-    # id; the fold state is (bin loads, assignments) — JVM arrays only.
+    # -- FFD per packer group over (cost, id) META rows only: sort by
+    # (cost desc, id), probe bins in creation order, in-place python
+    # mutation inside one Arrow batch per group
     meta = toked.select(
         *groups,
         F.col("_packer"),
-        F.struct(
-            (-(F.col("_n") + 1)).alias("negcost"),
-            F.col(id_col).cast("string").alias("id"),
-        ).alias("_m"),
+        (F.col("_n") + 1).alias("_cost"),
+        F.col(id_col).cast("string").alias("_aid"),
     )
-    folded = meta.groupBy(*groups, "_packer").agg(
-        F.array_sort(F.collect_list("_m")).alias("_ms")
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in meta.select(*groups, "_packer").schema.fields
     )
-    acc0 = F.struct(
-        F.array().cast("array<bigint>").alias("loads"),
-        F.array().cast("array<struct<id:string,bin:int>>").alias("asg"),
+    asg_schema = f"{out_fields}, _aid string, _bin int" if groups else (
+        "_packer int, _aid string, _bin int"
     )
 
-    def _place(acc: Column, m: Column) -> Column:
-        cost = -m["negcost"]
-        loads = acc["loads"]
-        # first bin (creation order) with room; aggregate keeps the
-        # LOWEST matching index: scan once, carry the min
-        fit = F.aggregate(
-            F.sequence(F.lit(0), F.size(loads) - 1),
-            F.lit(-1),
-            lambda best, i: F.when(
-                (best >= 0) | (F.element_at(loads, i + 1) + cost > L),
-                best,
-            ).otherwise(i),
-        )
-        fit = F.when(F.size(loads) > 0, fit).otherwise(F.lit(-1))
-        new_loads = F.when(
-            fit >= 0,
-            F.transform(
-                F.sequence(F.lit(0), F.size(loads) - 1),
-                lambda i: F.when(
-                    i == fit, F.element_at(loads, i + 1) + cost
-                ).otherwise(F.element_at(loads, i + 1)),
-            ),
-        ).otherwise(F.concat(loads, F.array(cost)))
-        bin_idx = F.when(fit >= 0, fit).otherwise(F.size(loads))
-        return F.struct(
-            new_loads.alias("loads"),
-            F.concat(
-                acc["asg"],
-                F.array(
-                    F.struct(
-                        m["id"].alias("id"), bin_idx.cast("int").alias("bin")
-                    )
-                ),
-            ).alias("asg"),
-        )
+    def _ffd(pdf):
+        import pandas as pd
 
-    asg = folded.select(
-        *groups,
-        "_packer",
-        F.explode(
-            F.aggregate(F.col("_ms"), acc0, _place)["asg"]
-        ).alias("_a"),
-    ).select(
-        *groups,
-        "_packer",
-        F.col("_a.id").alias("_aid"),
-        F.col("_a.bin").alias("_bin"),
-    )
+        pdf = pdf.sort_values(
+            ["_cost", "_aid"], ascending=[False, True], kind="mergesort"
+        )
+        loads: list[int] = []
+        bins: list[int] = []
+        for cost in pdf["_cost"].astype("int64"):
+            placed = -1
+            for b, ld in enumerate(loads):
+                if ld + cost <= L:
+                    placed = b
+                    break
+            if placed < 0:
+                placed = len(loads)
+                loads.append(int(cost))
+            else:
+                loads[placed] += int(cost)
+            bins.append(placed)
+        res = pdf[[*groups, "_packer", "_aid"]].copy()
+        res["_bin"] = pd.array(bins, dtype="int32")
+        return res
+
+    asg = meta.groupBy(*groups, "_packer").applyInPandas(_ffd, asg_schema)
 
     # -- join assignments back and assemble bins in placement order
     # (decreasing length, ties by id — the same FFD sort key)

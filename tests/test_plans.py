@@ -44,6 +44,22 @@ EAGER = {
 }
 
 
+def test_registry_names_match_functions():
+    """Every registry entry's callable is the function DEFINED under
+    that name — a decorator inserted between another query's
+    @register and its def silently stacks both names onto one
+    function (the round-12 q_knn_cosine displacement, caught by the
+    sweep's schema mismatch; this pins it at collection time)."""
+    from evaporate_spark.plans import REGISTRY
+
+    bad = [
+        (name, spec.spark.__name__)
+        for name, spec in REGISTRY.items()
+        if getattr(spec.spark, "__name__", name) != name
+    ]
+    assert not bad, bad
+
+
 def test_q1_pushdown_and_pruning(spark, sf_dir):
     p = plan_str(REGISTRY["q1_pricing_summary"].spark(spark, sf_dir))
     assert "PushedFilters" in p and "LessThanOrEqual(l_shipdate" in p

@@ -218,6 +218,26 @@ Pinned comparison baselines (medians unless noted):
   registry additions (q_pack_documents*, q_bpe_lossless_roundtrip,
   q_frontier_rounds, q_temperature_mix, q_dsir_scores) touch none of
   the benched paths, and the rows confirm it.
+- r12 LATE-batch pin (gated, start loadavg 2.0, after the selfdedup/
+  pack_bins/semdedup/bitext/bigram/webdataset/PQ batch): relational
+  2.519 (q1 0.475 / q3 0.823 / q5 1.221); q_exact_dedup_groups 0.325,
+  q_minhash_lsh_dups 1.703, q_dup_clusters 2.040, q_dup_passage_stats
+  3.007, q_token_rarity 0.813, q_knn_cosine 0.712, q8_market_share
+  1.094, q_semantic_closed_ie 5.330, q_semantic_openie 12.659,
+  media_decode_300 0.593, corpus_chain_10x 19.293, doc_ingest 0.954,
+  code_lake_20x 1.817, gopher_full_10x 3.076, pack_docs_10x 4.256,
+  pack_bins_10x 2.674 (FIRST pin — no-split FFD over 50k docs at
+  seq_len 512: 10.7k bins, 0.3% padding; the initial JVM
+  aggregate-HOF fold read 426 s/rep — Catalyst accumulators copy the
+  whole assignment array per element, quadratic in group size — the
+  Arrow applyInPandas rewrite is the pinned path). Two cautionary
+  readings from this session worth keeping: a bench that overlaps
+  heavy concurrent Spark work can read a single row 20x high
+  (q_knn_cosine 31.9 s under loadavg 13 with IDENTICAL code and
+  plans — all five reps slow, so rep-consistency does NOT prove
+  signal; the quiet re-run read 0.64-0.71), and q_knn's wall is
+  dominated by per-plan codegen (~2 s fresh vs 0.12 s re-exec), so
+  it swings hardest with host state. Tokens unchanged (6718 / 29640).
 """
 
 from __future__ import annotations

@@ -1,0 +1,149 @@
+"""Span-corruption training examples (T5 / UL2 denoising objectives,
+Raffel et al. 2020 §3.1.4) — the constructor that turns a cleaned
+corpus into (inputs, targets) pairs for denoising pretraining: random
+token spans are replaced by numbered sentinels in the input, and the
+target lists each sentinel followed by the tokens it hid.
+
+Engine addition (SURVEY §2C, training-data surface): the step AFTER
+`prepare_corpus` for an encoder-decoder / UL2 recipe, where the
+causal-LM recipes end at packing.
+
+Determinism & replayability: "random" span starts are hash-derived —
+token position ``p`` of document ``id`` seeds a corruption span iff
+``md5(seed ‖ id ‖ p)``'s first 8 hex digits, read as a uint32, fall
+under ``rate × 2³²`` (the ``operators/mixing.py`` threshold
+convention) — so the same (corpus, seed, rate, span_len) produces
+byte-identical examples on any engine, and the DuckDB oracle replays
+the whole construction. Seeded positions each cover ``span_len``
+tokens; overlapping or adjacent covered ranges MERGE into one span
+(the run-merge rule shared with the excision operators), so realized
+mean span length can exceed ``span_len`` at high rates, exactly like
+the reference implementation's greedy merge.
+
+Scale shape: everything is scan-stage JVM array HOFs over one bound
+token split — no shuffle, no Python, no UDF. Output rows carry
+(id, n_tokens, n_corrupted, n_spans, inputs, targets)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def span_corrupt(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.15,
+    span_len: int = 3,
+    seed: str = "",
+    sentinel_fmt: str = "<extra_id_{}>",
+) -> DataFrame:
+    """One denoising example per document: ``inputs`` is the document
+    with each corrupted RUN replaced by ``<extra_id_k>`` (k in
+    first-to-last order), ``targets`` is ``<extra_id_0> hidden…
+    <extra_id_1> hidden…`` — the T5 wire format. ``rate`` is the
+    per-position span-START probability (NOT the realized corruption
+    fraction, which ≈ rate × span_len before merges); documents where
+    no position seeds a span pass through with ``inputs = the
+    whitespace-normalized text`` and empty ``targets``."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"need 0 <= rate <= 1, got {rate}")
+    if span_len < 1:
+        raise ValueError(f"need span_len >= 1, got {span_len}")
+    if "{}" not in sentinel_fmt:
+        raise ValueError("sentinel_fmt needs a {} placeholder")
+    from evaporate_spark.functions.text_stats import bind_once, ws_tokens
+
+    threshold = int(rate * 4294967296)
+    pre, post = sentinel_fmt.split("{}", 1)
+
+    def _build(toks: Column) -> Column:
+        n = F.size(toks)
+        seq = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        seeds = F.filter(
+            seq,
+            lambda p: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed),
+                            F.col("_sc_id"),
+                            F.lit("#"),
+                            p.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            < F.lit(threshold),
+        )
+        cov = lambda p: F.exists(  # noqa: E731
+            seeds, lambda s: (p >= s) & (p <= s + (span_len - 1))
+        )
+        # span index per position: count of span STARTS at or before p
+        # (a start = covered position whose predecessor is uncovered)
+        is_start = lambda p: cov(p) & ((p == 1) | ~cov(p - 1))  # noqa: E731
+        span_idx = lambda p: F.size(  # noqa: E731
+            F.filter(seq, lambda q: (q <= p) & is_start(q))
+        ) - 1
+        sentinel = lambda p: F.concat(  # noqa: E731
+            F.lit(pre), span_idx(p).cast("string"), F.lit(post)
+        )
+        inputs = F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    seq,
+                    lambda p: F.when(is_start(p), sentinel(p))
+                    .when(cov(p), F.lit(""))
+                    .otherwise(F.element_at(toks, p)),
+                ),
+                lambda x: x != "",
+            ),
+        )
+        targets = F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    seq,
+                    lambda p: F.when(
+                        is_start(p),
+                        F.concat(
+                            sentinel(p),
+                            F.lit(" "),
+                            F.element_at(toks, p),
+                        ),
+                    )
+                    .when(cov(p), F.element_at(toks, p))
+                    .otherwise(F.lit("")),
+                ),
+                lambda x: x != "",
+            ),
+        )
+        n_cov = F.size(F.filter(seq, cov))
+        n_spans = F.size(F.filter(seq, is_start))
+        return F.struct(
+            inputs.alias("i"),
+            targets.alias("t"),
+            n.cast("bigint").alias("n"),
+            n_cov.cast("bigint").alias("nc"),
+            n_spans.cast("bigint").alias("ns"),
+        )
+
+    built = docs.withColumn(
+        "_sc_id", F.col(id_col).cast("string")
+    ).withColumn("_b", bind_once(ws_tokens(text_col), _build))
+    return built.select(
+        id_col,
+        F.col("_b.n").alias("n_tokens"),
+        F.col("_b.nc").alias("n_corrupted"),
+        F.col("_b.ns").alias("n_spans"),
+        F.col("_b.i").alias("inputs"),
+        F.col("_b.t").alias("targets"),
+    )

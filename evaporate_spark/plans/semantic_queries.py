@@ -3397,6 +3397,106 @@ def q_incremental_selfdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_span_corrupt",
+    "T5/UL2 span-corruption examples (operators/denoise.py::"
+    "span_corrupt — Raffel et al. 2020 §3.1.4): each document becomes "
+    "one (inputs, targets) denoising pair — hash-seeded positions "
+    "(md5 u32 prefix under rate*2^32, the mixing.py threshold "
+    "convention) each cover span_len tokens, covered runs MERGE, "
+    "each run is replaced by <extra_id_k> in inputs and spelled out "
+    "after its sentinel in targets. Pure scan-stage JVM array HOFs "
+    "over one bound token split — no shuffle, no Python. The oracle "
+    "replays seeding -> coverage -> run merge -> sentinel numbering "
+    "-> both renders end to end in DuckDB list algebra.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+                   len(string_split_regex(trim(text), '\s+')) AS n
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, t, n,
+                   list_filter(range(1, n + 1),
+                       p -> CAST(concat('0x', substr(md5(
+                                'r12' || CAST(doc_id AS VARCHAR) || '#'
+                                      || CAST(p AS VARCHAR)), 1, 8))
+                            AS UBIGINT) < 644245094
+                   ) AS seeds
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, n_corrupted, n_spans,
+               COALESCE(inputs_raw, '') AS inputs,
+               COALESCE(targets_raw, '') AS targets
+        FROM (
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(range(1, n + 1),
+                   p -> len(list_filter(seeds,
+                            s -> p >= s AND p <= s + 2)) > 0
+               )) AS BIGINT) AS n_corrupted,
+               CAST(len(list_filter(range(1, n + 1),
+                   p -> len(list_filter(seeds,
+                            s -> p >= s AND p <= s + 2)) > 0
+                        AND (p = 1 OR len(list_filter(seeds,
+                            s -> p - 1 >= s AND p - 1 <= s + 2)) = 0)
+               )) AS BIGINT) AS n_spans,
+               array_to_string(list_filter(list_transform(range(1, n + 1),
+                   p -> CASE
+                        WHEN len(list_filter(seeds,
+                                 s -> p >= s AND p <= s + 2)) > 0
+                             AND (p = 1 OR len(list_filter(seeds,
+                                 s -> p - 1 >= s AND p - 1 <= s + 2)) = 0)
+                        THEN '<extra_id_' || CAST(
+                             len(list_filter(range(1, n + 1),
+                                 q -> q <= p
+                                      AND len(list_filter(seeds,
+                                          s -> q >= s AND q <= s + 2)) > 0
+                                      AND (q = 1 OR len(list_filter(seeds,
+                                          s -> q - 1 >= s
+                                               AND q - 1 <= s + 2)) = 0)
+                             )) - 1 AS VARCHAR) || '>'
+                        WHEN len(list_filter(seeds,
+                                 s -> p >= s AND p <= s + 2)) > 0
+                        THEN ''
+                        ELSE t[p]
+                        END
+               ), x -> x <> ''), ' ') AS inputs_raw,
+               array_to_string(list_filter(list_transform(range(1, n + 1),
+                   p -> CASE
+                        WHEN len(list_filter(seeds,
+                                 s -> p >= s AND p <= s + 2)) > 0
+                             AND (p = 1 OR len(list_filter(seeds,
+                                 s -> p - 1 >= s AND p - 1 <= s + 2)) = 0)
+                        THEN '<extra_id_' || CAST(
+                             len(list_filter(range(1, n + 1),
+                                 q -> q <= p
+                                      AND len(list_filter(seeds,
+                                          s -> q >= s AND q <= s + 2)) > 0
+                                      AND (q = 1 OR len(list_filter(seeds,
+                                          s -> q - 1 >= s
+                                               AND q - 1 <= s + 2)) = 0)
+                             )) - 1 AS VARCHAR) || '> ' || t[p]
+                        WHEN len(list_filter(seeds,
+                                 s -> p >= s AND p <= s + 2)) > 0
+                        THEN t[p]
+                        ELSE ''
+                        END
+               ), x -> x <> ''), ' ') AS targets_raw
+        FROM base
+        )
+    """,
+    tags=("textstats", "corpus"),
+)
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.denoise import span_corrupt
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return span_corrupt(
+        d.select("doc_id", "text"), rate=0.15, span_len=3, seed="r12"
+    )
+
+
+@register(
     "q_dsir_scores",
     "DSIR data selection (operators/dsir.py — Xie et al. 2023 "
     "importance resampling): every document scored by its hashed-"

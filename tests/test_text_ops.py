@@ -2254,6 +2254,92 @@ def test_decontaminate_spans_excision_and_marker(spark):
     assert m[2] == docs[1][1]
 
 
+def test_span_corrupt_wire_format_and_reconstruction(spark):
+    """T5 span corruption: a pure-python recompute agrees on every
+    doc; sentinels number 0..n_spans-1 in order; splicing each
+    target span back over its sentinel reconstructs the original
+    document exactly (no token lost or duplicated); rate=0 is a
+    pass-through; invalid args rejected."""
+    import hashlib
+    import re
+
+    from evaporate_spark.operators.denoise import span_corrupt
+    from evaporate_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in d.select("doc_id", "text").collect()
+    ]
+    RATE, SPAN, SEED = 0.15, 3, "t"
+    thr = int(RATE * 4294967296)
+
+    def recompute(i, text):
+        t = text.split() if text.split() else [""]
+        n = len(t)
+        seeds = [
+            p for p in range(1, n + 1)
+            if int(hashlib.md5(f"{SEED}{i}#{p}".encode()).hexdigest()[:8], 16) < thr
+        ]
+        cov = lambda p: any(s <= p <= s + SPAN - 1 for s in seeds)
+        starts = [p for p in range(1, n + 1) if cov(p) and not cov(p - 1)]
+        sidx = {p: k for k, p in enumerate(starts)}
+        inp, tgt = [], []
+        for p in range(1, n + 1):
+            if p in sidx:
+                inp.append(f"<extra_id_{sidx[p]}>")
+                tgt.append(f"<extra_id_{sidx[p]}>")
+                tgt.append(t[p - 1])
+            elif cov(p):
+                tgt.append(t[p - 1])
+            else:
+                inp.append(t[p - 1])
+        return " ".join(inp), " ".join(tgt), n, sum(
+            1 for p in range(1, n + 1) if cov(p)
+        ), len(starts)
+
+    got = {
+        r["doc_id"]: (
+            r["inputs"], r["targets"], r["n_tokens"],
+            r["n_corrupted"], r["n_spans"],
+        )
+        for r in span_corrupt(
+            d.select("doc_id", "text"), rate=RATE, span_len=SPAN, seed=SEED
+        ).collect()
+    }
+    some_corrupted = 0
+    for i, text in rows:
+        assert got[i] == recompute(i, text), i
+        inputs, targets, n, nc, ns = got[i]
+        some_corrupted += ns > 0
+        # reconstruction: splice target spans over their sentinels
+        spans = {}
+        for m in re.finditer(
+            r"<extra_id_(\d+)>((?: (?!<extra_id_)\S+)*)", targets
+        ):
+            spans[int(m.group(1))] = m.group(2).split()
+        rebuilt = []
+        for tok in inputs.split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            rebuilt += spans[int(m.group(1))] if m else [tok]
+        orig = text.split() if text.split() else [""]
+        assert rebuilt == orig or (orig == [""] and rebuilt == []), i
+    assert some_corrupted > 100  # the rate actually fires
+    # rate=0 pass-through
+    clean = span_corrupt(
+        d.select("doc_id", "text"), rate=0.0, span_len=SPAN, seed=SEED
+    ).agg(F.sum("n_corrupted"), F.sum("n_spans")).first()
+    assert tuple(clean) == (0, 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate"):
+        span_corrupt(d, rate=1.5)
+    with _pytest.raises(ValueError, match="span_len"):
+        span_corrupt(d, span_len=0)
+    with _pytest.raises(ValueError, match="sentinel_fmt"):
+        span_corrupt(d, sentinel_fmt="nope")
+
+
 def test_pq_encode_and_adc_topk(spark):
     """Product quantization: codeword-exact vectors encode to their
     own code with ADC distance 0 (top-1 = self); perturbed vectors

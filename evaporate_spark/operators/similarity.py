@@ -955,3 +955,116 @@ def ivf_pq_search(
         scored, [query_id], [F.asc("adc_micros"), F.asc("corpus_id")], k
     )
     return out.select(query_id, "corpus_id", "adc_micros", "rank")
+
+
+# ------------------------------------------------------------- int8 scalar
+# quantization — the 4x-memory embedding layout every vector store
+# ships (symmetric per-vector int8): cosine is scale-invariant, so
+# ranking survives quantization up to the rounding of each component.
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str,
+    codes_col: str = "q8_codes",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Append symmetric per-vector int8 codes: ``scale = max(|x|)/127``
+    and ``code_i = floor(x_i/scale + 0.5)`` clamped to [-127, 127]
+    (half-up toward +inf — a single IEEE division of identical
+    doubles, so every engine codes identically). Zero vectors get
+    scale 0 and all-zero codes. Dequantization is ``code_i * scale``;
+    cosine needs no dequantization at all (scale cancels), which is
+    why the int8 layout keeps ANN ranking intact. Scan-stage JVM
+    array HOFs; 4x smaller than float32 at rest and on the wire."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = amax / 127.0
+    codes = F.when(
+        amax > 0,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / scale + 0.5).cast("int"),
+                ),
+            ),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(codes_col, codes).withColumn(
+        scale_col, F.when(amax > 0, scale).otherwise(F.lit(0.0))
+    )
+
+
+def int8_cosine_micros(codes_a: Column, codes_b: Column) -> Column:
+    """Cosine of two int8 code arrays in HALF-UP micro units — the
+    integer dot and norms are EXACT (sums of small-int products), so
+    the only float ops are two sqrts and one division of identical
+    doubles: engine-stable without any summation-order concern."""
+    dot_i = F.aggregate(
+        F.zip_with(
+            codes_a, codes_b, lambda a, b: (a * b).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(
+        codes_a,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + (x * x).cast("bigint"),
+    )
+    nb = F.aggregate(
+        codes_b,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + (x * x).cast("bigint"),
+    )
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        dot_i.cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return F.floor(cos * 1000000.0 + 0.5).cast("bigint")
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k over the int8-quantized corpus: both sides quantize
+    (symmetric per-vector — scales cancel out of cosine), scoring is
+    the integer-exact :func:`int8_cosine_micros`, rank by
+    (cosine DESC, id ASC) via the two-stage top-k. Same broadcast
+    small-query-batch contract as :func:`brute_force_topk`; the
+    corpus-side payload is int8 codes, not floats."""
+    c8 = quantize_embeddings_int8(
+        corpus.select(
+            F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+        ),
+        "_cv",
+        "_cc",
+    ).select("_cid", "_cc")
+    q8 = quantize_embeddings_int8(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+        ),
+        "_qv",
+        "_qc",
+    ).select("_qid", "_qc")
+    scored = c8.crossJoin(F.broadcast(q8)).select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        int8_cosine_micros(F.col("_cc"), F.col("_qc")).alias(
+            "cosine_micros"
+        ),
+    )
+    out = _two_stage_topk(
+        scored, [query_id], [F.desc("cosine_micros"), F.asc(corpus_id)], k
+    )
+    return out.select(query_id, corpus_id, "cosine_micros", "rank")

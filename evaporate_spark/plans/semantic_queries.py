@@ -1399,6 +1399,77 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_int8_ann",
+    "Int8-quantized ANN (operators/similarity.py::int8_topk): the "
+    "corpus quantizes to symmetric per-vector int8 codes (scale = "
+    "max|x|/127, half-up component rounding — 4x smaller at rest), "
+    "and because cosine is scale-invariant the 3 query vectors rank "
+    "it by the INTEGER-EXACT code cosine (bigint dot and norms; the "
+    "only float ops are two sqrts and one division of identical "
+    "doubles). The oracle replays quantization -> integer dot/norms "
+    "-> micro cosine -> rank end to end.",
+    oracle="""
+        WITH q8 AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CASE WHEN amax > 0 THEN GREATEST(-127, LEAST(127,
+                            CAST(FLOOR(x::DOUBLE / (amax / 127.0) + 0.5)
+                                 AS INT)))
+                            ELSE 0 END) AS codes
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                           x -> abs(x::DOUBLE))) AS amax
+                FROM embeddings
+            )
+        ),
+        sc AS (
+            SELECT q.vec_id AS qid, c.vec_id,
+                   CASE WHEN nn > 0 AND nq > 0 THEN
+                        CAST(FLOOR(dotp / (sqrt(nn) * sqrt(nq))
+                                   * 1000000 + 0.5) AS BIGINT)
+                        ELSE 0 END AS cosine_micros
+            FROM (
+                SELECT q.vec_id AS qvid, c.vec_id AS cvid,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> CAST(c.codes[i] * q.codes[i] AS BIGINT)
+                       )) AS DOUBLE) AS dotp,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> CAST(c.codes[i] * c.codes[i] AS BIGINT)
+                       )) AS DOUBLE) AS nn,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> CAST(q.codes[i] * q.codes[i] AS BIGINT)
+                       )) AS DOUBLE) AS nq
+                FROM q8 c, q8 q WHERE q.vec_id < 3
+            ) d
+            JOIN q8 q ON q.vec_id = d.qvid
+            JOIN q8 c ON c.vec_id = d.cvid
+        ),
+        r AS (
+            SELECT qid, vec_id, cosine_micros,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY cosine_micros DESC, vec_id
+                   ) AS rank
+            FROM sc
+        )
+        SELECT qid, vec_id, cosine_micros, rank FROM r WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def q_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return int8_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qvec", k=5
+    )
+
+
+@register(
     "q_pq_topk",
     "Product-quantization ANN (operators/similarity.py::pq_topk — "
     "Jégou et al. 2011): embeddings encode to 8 subspace codes from "

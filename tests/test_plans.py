@@ -425,6 +425,7 @@ def test_lint_entire_query_catalog(spark):
         # ADC scores every corpus code against the broadcast query
         # batch — the brute_force_topk contract over codes, not vectors
         "q_pq_topk": {"cartesian"},
+        "q_int8_ann": {"cartesian"},  # same contract over int8 codes
     }
     sf = "/root/testdata/sf0.001"
     failures = []

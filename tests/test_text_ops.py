@@ -785,6 +785,50 @@ def test_ivf_index_build_and_search(spark, sf_dir, tmp_path):
     assert m and "cell" in m.group(1), plan[:2000]
 
 
+def test_int8_quantization_and_topk(spark, sf_dir):
+    """Symmetric int8: dequantization error bounded by scale/2 per
+    component, codes within [-127,127] with the max hitting ±127,
+    zero vectors code to zeros with scale 0; int8 top-k agrees with
+    the fp32 brute force on self-hits and overlaps heavily on the
+    real embeddings."""
+    from evaporate_spark.operators.similarity import (
+        brute_force_topk,
+        int8_topk,
+        quantize_embeddings_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings_int8(emb, "embedding")
+    for r in q.limit(50).collect():
+        xs, codes, scale = r["embedding"], r["q8_codes"], r["q8_scale"]
+        assert all(-127 <= c <= 127 for c in codes)
+        if scale > 0:
+            assert max(abs(c) for c in codes) == 127
+            for x, c in zip(xs, codes):
+                assert abs(c * scale - float(x)) <= scale / 2 + 1e-12
+    zed = quantize_embeddings_int8(
+        spark.createDataFrame([(1, [0.0, 0.0, 0.0])], ["i", "v"]), "v"
+    ).first()
+    assert zed["q8_codes"] == [0, 0, 0] and zed["q8_scale"] == 0.0
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got8 = int8_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qvec", k=5
+    ).collect()
+    got32 = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qvec", k=5
+    ).collect()
+    # self is always rank 1 (identical codes -> cosine 1.0)
+    for r in got8:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["qid"]
+            assert r["cosine_micros"] == 1000000
+    s8 = {(r["qid"], r["vec_id"]) for r in got8}
+    s32 = {(r["qid"], r["vec_id"]) for r in got32}
+    assert len(s8 & s32) / len(s32) >= 0.8  # quantization keeps the top-k
+
+
 def test_ivf_pq_index_build_and_search(spark, tmp_path):
     """IVF-PQ: the persisted index stores only (id, cell, codes) — no
     vectors; probing partition-prunes to the probed cells; ADC over

@@ -59,11 +59,16 @@ def span_corrupt(
     pre, post = sentinel_fmt.split("{}", 1)
 
     def _build(toks: Column) -> Column:
+        # Catalyst inlines a referenced subexpression PER ELEMENT
+        # ACCESS (the text_stats.bind_once note) — so ``seeds`` and
+        # ``starts`` must each be bound once per row, or every
+        # position re-hashes the whole document: O(n² · md5) per doc,
+        # which the 10x scale probe caught as a timeout on long docs.
         n = F.size(toks)
         seq = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
             F.array().cast("array<int>")
         )
-        seeds = F.filter(
+        seeds_expr = F.filter(
             seq,
             lambda p: F.conv(
                 F.substring(
@@ -83,58 +88,70 @@ def span_corrupt(
             ).cast("bigint")
             < F.lit(threshold),
         )
-        cov = lambda p: F.exists(  # noqa: E731
-            seeds, lambda s: (p >= s) & (p <= s + (span_len - 1))
-        )
-        # span index per position: count of span STARTS at or before p
-        # (a start = covered position whose predecessor is uncovered)
-        is_start = lambda p: cov(p) & ((p == 1) | ~cov(p - 1))  # noqa: E731
-        span_idx = lambda p: F.size(  # noqa: E731
-            F.filter(seq, lambda q: (q <= p) & is_start(q))
-        ) - 1
-        sentinel = lambda p: F.concat(  # noqa: E731
-            F.lit(pre), span_idx(p).cast("string"), F.lit(post)
-        )
-        inputs = F.concat_ws(
-            " ",
-            F.filter(
-                F.transform(
-                    seq,
-                    lambda p: F.when(is_start(p), sentinel(p))
-                    .when(cov(p), F.lit(""))
-                    .otherwise(F.element_at(toks, p)),
-                ),
-                lambda x: x != "",
-            ),
-        )
-        targets = F.concat_ws(
-            " ",
-            F.filter(
-                F.transform(
-                    seq,
-                    lambda p: F.when(
-                        is_start(p),
-                        F.concat(
-                            sentinel(p),
-                            F.lit(" "),
-                            F.element_at(toks, p),
+
+        def with_seeds(seeds: Column) -> Column:
+            cov = lambda p: F.exists(  # noqa: E731
+                seeds, lambda s: (p >= s) & (p <= s + (span_len - 1))
+            )
+            # a start = covered position whose predecessor is uncovered
+            is_start = lambda p: cov(p) & (  # noqa: E731
+                (p == 1) | ~cov(p - 1)
+            )
+            starts_expr = F.filter(seq, is_start)
+
+            def with_starts(starts: Column) -> Column:
+                # span index = position within the bound starts array
+                sentinel = lambda p: F.concat(  # noqa: E731
+                    F.lit(pre),
+                    (F.array_position(starts, p) - 1).cast("string"),
+                    F.lit(post),
+                )
+                is_st = lambda p: F.array_position(  # noqa: E731
+                    starts, p
+                ) > 0
+                inputs = F.concat_ws(
+                    " ",
+                    F.filter(
+                        F.transform(
+                            seq,
+                            lambda p: F.when(is_st(p), sentinel(p))
+                            .when(cov(p), F.lit(""))
+                            .otherwise(F.element_at(toks, p)),
                         ),
-                    )
-                    .when(cov(p), F.element_at(toks, p))
-                    .otherwise(F.lit("")),
-                ),
-                lambda x: x != "",
-            ),
-        )
-        n_cov = F.size(F.filter(seq, cov))
-        n_spans = F.size(F.filter(seq, is_start))
-        return F.struct(
-            inputs.alias("i"),
-            targets.alias("t"),
-            n.cast("bigint").alias("n"),
-            n_cov.cast("bigint").alias("nc"),
-            n_spans.cast("bigint").alias("ns"),
-        )
+                        lambda x: x != "",
+                    ),
+                )
+                targets = F.concat_ws(
+                    " ",
+                    F.filter(
+                        F.transform(
+                            seq,
+                            lambda p: F.when(
+                                is_st(p),
+                                F.concat(
+                                    sentinel(p),
+                                    F.lit(" "),
+                                    F.element_at(toks, p),
+                                ),
+                            )
+                            .when(cov(p), F.element_at(toks, p))
+                            .otherwise(F.lit("")),
+                        ),
+                        lambda x: x != "",
+                    ),
+                )
+                n_cov = F.size(F.filter(seq, cov))
+                return F.struct(
+                    inputs.alias("i"),
+                    targets.alias("t"),
+                    n.cast("bigint").alias("n"),
+                    n_cov.cast("bigint").alias("nc"),
+                    F.size(starts).cast("bigint").alias("ns"),
+                )
+
+            return bind_once(starts_expr, with_starts)
+
+        return bind_once(seeds_expr, with_seeds)
 
     built = docs.withColumn(
         "_sc_id", F.col(id_col).cast("string")

@@ -1,0 +1,90 @@
+"""Span-corruption scale probe (round-12 span_corrupt).
+
+The operator is pure scan-stage array HOFs (no shuffle, no Python),
+so wall time must scale with input bytes and the corruption stats
+must hold their expected ratios: realized corruption fraction ≈
+rate × span_len minus merge overlap, and every document returns.
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_span_corrupt.py
+Writes scripts/SCALE_PROBE_SPAN_CORRUPT.json unless ``--stdout-only``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTOR = 10
+RATE = 0.15
+SPAN = 3
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_JSON = os.path.join(REPO, "scripts", "SCALE_PROBE_SPAN_CORRUPT.json")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.denoise import span_corrupt
+    from evaporate_spark.session import get_spark
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from scale_probe_corpus_100x import replicated_docs_dir
+
+    spark = get_spark(app_name="scale-probe-span-corrupt")
+    docs = spark.read.parquet(replicated_docs_dir(spark, SF_DIR, FACTOR))
+    n_docs = docs.count()
+
+    def run():
+        t0 = time.perf_counter()
+        a = (
+            span_corrupt(
+                docs.select("doc_id", "text"), rate=RATE, span_len=SPAN,
+                seed="probe",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_tokens").alias("toks"),
+                F.sum("n_corrupted").alias("cov"),
+                F.sum("n_spans").alias("spans"),
+            )
+            .first()
+        )
+        return round(time.perf_counter() - t0, 2), a
+
+    run()  # uncounted warmup
+    wall_s, a = run()
+    assert a["rows"] == n_docs, (a["rows"], n_docs)
+    frac = a["cov"] / a["toks"]
+    # realized fraction sits between the single-span floor (rate,
+    # fully merged) and the no-merge ceiling (rate * span_len)
+    assert RATE * 0.8 < frac < RATE * SPAN, frac
+
+    record = {
+        "probe": "span_corrupt",
+        "sf_dir": SF_DIR,
+        "factor": FACTOR,
+        "rate": RATE,
+        "span_len": SPAN,
+        "n_input_docs": n_docs,
+        "wall_s": wall_s,
+        "input_tokens": int(a["toks"]),
+        "corrupted_tokens": int(a["cov"]),
+        "corrupted_frac": round(frac, 6),
+        "n_spans": int(a["spans"]),
+        "mean_span_len": round(a["cov"] / max(a["spans"], 1), 3),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(record, indent=2))
+    if "--stdout-only" not in sys.argv:
+        with open(OUT_JSON, "w") as fh:
+            fh.write(json.dumps(record, indent=2) + "\n")
+        print(f"recorded -> {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,25 @@ def _parse_bytes(v: str) -> int:
     return int(float(s) * mult)
 
 
+def _store_has_parquet(spark, store_dir: str) -> bool:
+    """True iff ``store_dir`` exists and holds at least one parquet
+    part — probed through the Hadoop FileSystem API so ``hdfs://`` /
+    ``s3a://`` / ``file:`` roots all work. A driver-local
+    ``os.listdir`` probe silently reports a REMOTE store as empty,
+    degrading cross-batch dedup to within-batch only while the
+    parquet append still succeeds remotely — the worst failure mode:
+    wrong results, no error."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        if st.getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def _estimated_scan_splits(df: DataFrame) -> int | None:
     """Estimate how many tasks the scan will get from the file listing
     + ``spark.sql.files.maxPartitionBytes`` — the quantity the old
@@ -990,15 +1009,11 @@ def incremental_exact_dedup(
     re-running the batch is idempotent since its rows re-dedup against
     themselves).
     """
-    import os
-
     spark = batch.sparkSession
     deduped = exact_dedup(batch, id_col, text_col).withColumn(
         "_fp", fingerprint(text_col)
     )
-    if os.path.isdir(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    ):
+    if _store_has_parquet(spark, store_dir):
         seen = spark.read.parquet(store_dir).select("fp").dropDuplicates(["fp"])
         deduped = deduped.join(
             seen, deduped["_fp"] == seen["fp"], "left_anti"
@@ -1045,14 +1060,9 @@ def incremental_selfdedup_spans(
     for the store-miss grams, one groupBy(id), and the shared JVM
     HOF excision. Store appends are parquet, read back deduplicated
     on the hash."""
-    import os
-
     spark = batch.sparkSession
     pos = _positional_shingles(batch, id_col, text_col, k)
-    have_store = os.path.isdir(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    )
-    if have_store:
+    if _store_has_parquet(spark, store_dir):
         seen = (
             spark.read.parquet(store_dir).dropDuplicates(["h"])
         )
@@ -1321,12 +1331,8 @@ def incremental_near_dedup(
     batch, and a crash between the two re-admits at most one batch
     (re-running is idempotent — the batch re-dedups against itself).
     """
-    import os
-
     spark = batch.sparkSession
-    if os.path.isdir(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    ):
+    if _store_has_parquet(spark, store_dir):
         index = spark.read.parquet(store_dir)
     else:
         index = build_near_dup_index(

@@ -406,7 +406,9 @@ def pack_bins(
 
     Scale shape: bin packing is inherently sequential, so the stream
     is salted into ``n_packers`` deterministic groups
-    (``pmod(xxhash64(seed ‖ id), n_packers)`` — default
+    (``pmod(xxhash64(seed ‖ id), n_packers)`` — default 32, a FIXED
+    constant so the documented same-input-same-seed → byte-identical
+    guarantee holds across sessions and clusters regardless of
     ``spark.sql.shuffle.partitions``) and FFD runs independently per
     group as one Arrow-batched ``applyInPandas`` over that group's
     (length, id) META rows — token arrays never enter the fold, the
@@ -437,7 +439,10 @@ def pack_bins(
     spark = docs.sparkSession
     L = int(seq_len)
     if n_packers is None:
-        n_packers = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # fixed default (NOT spark.sql.shuffle.partitions): the
+        # byte-identical-output guarantee must not depend on session
+        # config — raise explicitly when the cluster outgrows 32 groups
+        n_packers = 32
 
     if tokens_col is not None:
         toked = docs.withColumn("_t", F.col(tokens_col))

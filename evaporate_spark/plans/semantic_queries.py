@@ -3961,8 +3961,10 @@ def q_pack_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ground-truth-asserted against a pure-python FFD recompute plus "
     "partition-invariance and capacity properties "
     "(tests/test_pack_bins.py). Scale shape: FFD runs per salted "
-    "packer group as one JVM aggregate fold over a (length, id) meta "
-    "array — token arrays never enter the fold.",
+    "packer group as one Arrow-batched applyInPandas over (length, "
+    "id) META rows — token arrays never enter the fold (a JVM "
+    "aggregate-HOF fold was tried and measured quadratic in group "
+    "size: 426s vs 2.4s on the 50k-doc bench).",
     oracle=None,
     tags=("textstats", "corpus"),
 )

@@ -8,12 +8,17 @@ sequentially — so the ENGINE's job is deterministic sharding, stable
 in-shard ordering, and byte-exact round-trips.
 
 - :func:`write_webdataset` — DataFrame → ``shard-%06d.tar`` files +
-  a manifest DataFrame. Deterministic end to end: samples are
-  assigned to shards by ``pmod(xxhash64(key), n_shards)`` (no global
-  sort — the salted-group pattern every loader-shuffled format
-  tolerates, since loaders shuffle shards anyway), entries within a
-  shard sort by key, and tar metadata is zeroed (mtime/uid/gid), so
-  the same input produces byte-identical shards on any cluster.
+  a manifest DataFrame (EAGER: the shards are on disk when the call
+  returns — stale-shard cleanup and the write are one driver-side
+  step, so a failed plan can no longer empty the directory without
+  rewriting it). Deterministic end to end: samples are assigned to
+  shards by ``pmod(xxhash64(key), n_shards)`` (no global sort — the
+  salted-group pattern every loader-shuffled format tolerates, since
+  loaders shuffle shards anyway) or, with ``shard_bytes``, by a
+  deterministic byte-budget cut of the key-ordered sample stream;
+  entries within a shard sort by key, and tar metadata is zeroed
+  (mtime/uid/gid), so the same input produces byte-identical shards
+  on any cluster.
 - :func:`read_webdataset` — ``binaryFile`` scan over ``*.tar`` →
   one row per member file ``(shard, key, ext, data)``; tar parsing
   happens INSIDE the scan task over in-memory bytes (the
@@ -23,12 +28,14 @@ in-shard ordering, and byte-exact round-trips.
   sample with an ``ext → data`` map.
 
 Scale shape: the write is one keyed shuffle (groupBy shard) and each
-task serializes its shards in memory — shard size is the knob, the
+task serializes its shard in memory — shard size is the knob, the
 published format targets ~100MB-1GB tars; the read is
-one-shard-per-task scan parallelism. Paths are written with plain
-file I/O in the executor (local/NFS/FUSE mounts); object-store
-targets should mount or write locally and upload — the tars
-themselves are portable bytes.
+one-shard-per-task scan parallelism. Local/mounted roots write with
+plain file I/O (to a temp name, then ``os.replace`` — a retried or
+speculative task can never interleave bytes into a final shard);
+``://`` roots go through ``pyarrow.fs.FileSystem.from_uri`` inside
+the task (object-store PUTs become visible atomically at close), so
+``s3://``/``gs://`` targets work without mounting.
 """
 
 from __future__ import annotations
@@ -37,19 +44,52 @@ import io
 import tarfile
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: tar on-disk cost of one member: 512-byte header + data rounded up
+#: to a 512 block — what byte-budget sharding budgets against
+_TAR_BLOCK = 512
 
-def _local_dir(path: str) -> str:
+
+def _split_root(path: str) -> tuple[str | None, str]:
+    """``(scheme_uri_or_None, dir_path)``: local / ``file:`` roots
+    return ``(None, local_dir)``; any other ``scheme://`` root returns
+    ``(the full uri, the fs-relative path)`` for pyarrow's
+    ``FileSystem.from_uri``."""
     if path.startswith("file:"):
         path = path[len("file:"):]
     if "://" in path:
-        raise ValueError(
-            "write_webdataset writes shards with plain file I/O — pass "
-            f"a local/mounted path, got {path!r}"
-        )
-    return path
+        return path, ""
+    return None, path
+
+
+def _open_fs(path: str):
+    """(pyarrow FileSystem, in-fs path) for a ``scheme://`` root —
+    resolved lazily so local-only deployments never import pyarrow.fs."""
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _member_bytes(val) -> bytes | None:
+    """Column value → member payload: str encodes utf-8, bytes pass
+    through, int sequences (token-id columns from the packing
+    layouts, ``ARRAY<INT>``) serialize as little-endian int32 — the
+    memory-mappable layout a trainer's loader consumes. NULL → None
+    (skip the member)."""
+    import numpy as np
+    import pandas as pd
+
+    if val is None or (isinstance(val, float) and pd.isna(val)):
+        return None
+    if isinstance(val, str):
+        return val.encode("utf-8")
+    if isinstance(val, (bytes, bytearray)):
+        return bytes(val)
+    if isinstance(val, np.ndarray) or isinstance(val, (list, tuple)):
+        return np.asarray(val, dtype="<i4").tobytes()
+    return bytes(val)
 
 
 def write_webdataset(
@@ -59,42 +99,63 @@ def write_webdataset(
     content_cols: dict[str, str],
     shard_size: int = 1000,
     n_shards: int | None = None,
+    shard_bytes: int | None = None,
     prefix: str = "shard",
 ) -> DataFrame:
     """Pack ``df`` into WebDataset tar shards under ``path`` and
     return the shard manifest ``(shard, shard_path, n_samples,
-    n_bytes)`` — collect or write the manifest to materialize the
-    shards (the write happens inside its tasks).
+    n_bytes)``. The write is EAGER — shards exist when this returns
+    (stale ``{prefix}-*.tar`` files are removed in the same step, so
+    a re-run with different sharding never leaves stale shards AND a
+    failed plan never empties the directory without refilling it).
 
     ``content_cols`` maps column → member extension (``{"text":
     "txt", "image": "jpg"}``): string columns encode utf-8, binary
-    columns pass through byte-exact, NULLs skip that member. Keys
-    stringify and must not contain ``.`` or ``/`` (the WebDataset
-    sample-grouping characters). ``n_shards`` defaults to
-    ``ceil(count / shard_size)`` (one count job); existing
-    ``{prefix}-*.tar`` files under ``path`` are removed first so a
-    re-run with different sharding never leaves stale shards behind.
+    columns pass through byte-exact, ``ARRAY<INT>`` columns (token
+    ids) serialize as little-endian int32, NULLs skip that member.
+    Keys stringify and must not contain ``.`` or ``/`` (the
+    WebDataset sample-grouping characters).
+
+    Sharding — exactly one of:
+
+    - ``n_shards`` / ``shard_size`` (default): ``n_shards`` shards by
+      ``pmod(xxhash64(key), n_shards)``; ``n_shards`` defaults to
+      ``ceil(count / shard_size)`` (one count job). Sample-count
+      sharding — fine for uniform samples.
+    - ``shard_bytes``: shards are CONTIGUOUS key ranges cut by a
+      running byte budget (tar header+block-padded member sizes):
+      sample ``i`` goes to shard ``floor(start_offset_i /
+      shard_bytes)``, so every shard holds ≤ ``shard_bytes`` plus at
+      most one sample's overshoot — the right mode when member sizes
+      vary ~100× (multimodal corpora). The running offsets use the
+      two-phase range-partition cumsum (no single-task sort), and the
+      cut depends only on (key order, sizes) — same determinism
+      contract as hash sharding.
     """
     import math
     import os
 
     if not content_cols:
         raise ValueError("content_cols must map at least one column")
-    out_dir = _local_dir(path)
-    os.makedirs(out_dir, exist_ok=True)
-    for old in os.listdir(out_dir):
-        if old.startswith(f"{prefix}-") and old.endswith(".tar"):
-            os.remove(os.path.join(out_dir, old))
-    if n_shards is None:
-        n_shards = max(1, math.ceil(df.count() / int(shard_size)))
+    if shard_bytes is not None and n_shards is not None:
+        raise ValueError("pass shard_bytes or n_shards, not both")
+    fs_root, out_dir = _split_root(path)
     cols = list(content_cols)
     exts = [content_cols[c] for c in cols]
     keyed = df.select(
         F.col(key_col).cast("string").alias("_key"),
-        F.pmod(F.xxhash64(F.col(key_col).cast("string")),
-               F.lit(int(n_shards))).cast("int").alias("_shard"),
         *[F.col(c).alias(f"_c{i}") for i, c in enumerate(cols)],
     )
+
+    if shard_bytes is not None:
+        keyed = _byte_budget_shards(keyed, cols, int(shard_bytes))
+    else:
+        if n_shards is None:
+            n_shards = max(1, math.ceil(df.count() / int(shard_size)))
+        keyed = keyed.withColumn(
+            "_shard",
+            F.pmod(F.xxhash64("_key"), F.lit(int(n_shards))).cast("int"),
+        )
 
     def _write(pdf):
         import pandas as pd
@@ -111,14 +172,9 @@ def write_webdataset(
                         f"webdataset keys must not contain '.' or '/': {key!r}"
                     )
                 for i, ext in enumerate(exts):
-                    val = row[f"_c{i}"]
-                    if val is None or (isinstance(val, float) and pd.isna(val)):
+                    data = _member_bytes(row[f"_c{i}"])
+                    if data is None:
                         continue
-                    data = (
-                        val.encode("utf-8")
-                        if isinstance(val, str)
-                        else bytes(val)
-                    )
                     ti = tarfile.TarInfo(name=f"{key}.{ext}")
                     ti.size = len(data)
                     ti.mtime = 0
@@ -127,18 +183,142 @@ def write_webdataset(
                     tf.addfile(ti, io.BytesIO(data))
                 n += 1
         payload = buf.getvalue()
-        shard_path = os.path.join(out_dir, f"{prefix}-{shard:06d}.tar")
-        with open(shard_path, "wb") as fh:
-            fh.write(payload)
+        name = f"{prefix}-{shard:06d}.tar"
+        if fs_root is None:
+            shard_path = os.path.join(out_dir, name)
+            # temp-then-replace: a retried/speculative attempt never
+            # interleaves bytes into the final shard file
+            tmp = f"{shard_path}.inprogress.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, shard_path)
+        else:
+            fs, base = _open_fs(fs_root)
+            shard_path = f"{fs_root.rstrip('/')}/{name}"
+            # object-store PUT is atomic at close — no temp dance
+            with fs.open_output_stream(f"{base.rstrip('/')}/{name}") as fh:
+                fh.write(payload)
         return pd.DataFrame(
             [(shard, shard_path, n, len(payload))],
             columns=["shard", "shard_path", "n_samples", "n_bytes"],
         )
 
-    return keyed.groupBy("_shard").applyInPandas(
+    manifest = keyed.groupBy("_shard").applyInPandas(
         _write,
         schema="shard int, shard_path string, n_samples long, n_bytes long",
     )
+    # cleanup + write as ONE driver-side step: materialize the new
+    # shards' manifest first (tasks write temp/atomic), then drop
+    # stale shard files the new run did not (re)write
+    if fs_root is None:
+        os.makedirs(out_dir, exist_ok=True)
+    out = manifest.localCheckpoint(eager=True)
+    written = {r["shard_path"].rsplit("/", 1)[-1] for r in out.collect()}
+    if fs_root is None:
+        for old in os.listdir(out_dir):
+            if (
+                old.startswith(f"{prefix}-")
+                and old.endswith(".tar")
+                and old not in written
+            ):
+                os.remove(os.path.join(out_dir, old))
+        # sweep any orphaned temp files from killed attempts
+        for old in os.listdir(out_dir):
+            if ".tar.inprogress." in old:
+                os.remove(os.path.join(out_dir, old))
+    else:
+        from pyarrow import fs as pafs
+
+        fs, base = _open_fs(fs_root)
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(base))
+        except FileNotFoundError:
+            infos = []
+        for info in infos:
+            name = info.path.rsplit("/", 1)[-1]
+            if (
+                name.startswith(f"{prefix}-")
+                and name.endswith(".tar")
+                and name not in written
+            ):
+                fs.delete_file(info.path)
+    return out
+
+
+def _byte_budget_shards(
+    keyed: DataFrame, cols: list[str], shard_bytes: int
+) -> DataFrame:
+    """Append ``_shard`` by the byte-budget rule: samples ordered by
+    key, shard = ``start_offset div shard_bytes`` where offsets
+    cumsum each sample's on-tar size (512-byte header + block-padded
+    data per member). Two-phase cumsum over a SIZE-ONLY meta frame
+    (``operators/packing.py::pack_documents``'s offset pattern — the
+    driver sees one totals row per range partition)."""
+    if shard_bytes < 1:
+        raise ValueError(f"need shard_bytes >= 1, got {shard_bytes}")
+    from pyspark.sql.window import Window
+
+    spark = keyed.sparkSession
+
+    # per-member on-tar bytes: header block + data rounded to blocks;
+    # array<int> members cost 4 bytes/element
+    def member_cost(colname: str) -> Column:
+        c = F.col(colname)
+        t = dict(keyed.dtypes)[colname]
+        if t == "binary":
+            nbytes = F.octet_length(c)
+        elif t.startswith("array<"):
+            nbytes = F.size(c) * 4
+        else:
+            nbytes = F.octet_length(c.cast("string"))
+        blocks = F.ceil(nbytes / _TAR_BLOCK) * _TAR_BLOCK
+        return F.when(c.isNotNull(), blocks + _TAR_BLOCK).otherwise(F.lit(0))
+
+    cost = sum(
+        (member_cost(f"_c{i}") for i in range(len(cols))),
+        F.lit(0),
+    ).cast("bigint")
+    # assignment runs over a (key, size) META frame only — the
+    # payload bytes never enter the cumsum machinery or the
+    # checkpoint; assignments join back by key (one keyed shuffle)
+    meta = keyed.select("_key", cost.alias("_sz"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rep = (
+        meta.repartitionByRange(n_part, "_key")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = rep.groupBy("_pid").agg(F.sum("_sz").alias("_tot")).collect()
+    acc = 0
+    off_rows = []
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        off_rows.append((r["_pid"], acc))
+        acc += r["_tot"]
+    if not off_rows:
+        rep.unpersist(False)
+        return keyed.withColumn("_shard", F.lit(0).cast("int"))
+    off_df = F.broadcast(
+        spark.createDataFrame(off_rows, "_pid int, _poff long")
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_key")
+    asg = (
+        rep.join(off_df, "_pid")
+        .withColumn(
+            "_shard",
+            F.floor(
+                (
+                    F.sum("_sz").over(w_local)
+                    - F.col("_sz")
+                    + F.col("_poff")
+                )
+                / F.lit(int(shard_bytes))
+            ).cast("int"),
+        )
+        .select("_key", "_shard")
+        .localCheckpoint(eager=True)
+    )
+    rep.unpersist(False)
+    return keyed.join(asg, "_key")
 
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
@@ -181,11 +361,23 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def webdataset_samples(members: DataFrame) -> DataFrame:
+def webdataset_samples(
+    members: DataFrame, per_shard: bool = False
+) -> DataFrame:
     """Member rows (from :func:`read_webdataset`) → one row per
-    sample: ``(key, files map<string, binary>)`` keyed by extension."""
+    sample: ``(key, files map<string, binary>)`` keyed by extension.
+
+    The default grouping assumes GLOBALLY-unique sample keys (what
+    this module's sink writes). External WebDatasets commonly reuse
+    keys across shards — duplicate ``(key, ext)`` entries then hit
+    Spark's duplicate-map-key EXCEPTION policy at runtime rather than
+    silently merging distinct samples; pass ``per_shard=True`` to
+    group by ``(shard, key)`` instead (the output gains the ``shard``
+    column), which is the loader-correct reading of shard-local keys.
+    """
+    keys = ["shard", "key"] if per_shard else ["key"]
     return (
-        members.groupBy("key")
+        members.groupBy(*keys)
         .agg(
             F.map_from_entries(
                 F.sort_array(F.collect_list(F.struct("ext", "data")))

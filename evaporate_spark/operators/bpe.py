@@ -32,6 +32,12 @@ __all__ = [
     "bpe_token_stats",
     "save_merges",
     "load_merges",
+    "BpeVocab",
+    "build_vocab",
+    "corpus_alphabet",
+    "bpe_encode_ids",
+    "export_gpt2_tokenizer",
+    "load_gpt2_tokenizer",
 ]
 
 #: end-of-word sentinel (subword-nmt convention; legacy mode only)
@@ -166,6 +172,310 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
             r[0] for r in spark.read.text(path).collect() if r[0]
         ]
     return [tuple(json.loads(ln)) for ln in lines]
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte → printable-unicode-char map (Radford
+    et al. 2019, released with the reference encoder): the 188
+    printable latin-1 bytes map to themselves, the rest (controls,
+    space, DEL…) map to 256+k — so every byte has a VISIBLE,
+    non-whitespace stand-in and merge files can be plain
+    space-separated text (space itself shows as Ġ, U+0120)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+class BpeVocab:
+    """Deterministic id ↔ token vocabulary over a LOSSLESS merge list
+    (``train_bpe(lossless=True)``) in GPT-2's byte-level convention —
+    the piece a trainer's data loader memory-maps.
+
+    Layout (pure function of (merges, specials, extra_ids)):
+
+    - ids 0–255: the 256 byte tokens, id == byte value, rendered
+      through GPT-2's ``bytes_to_unicode`` map (so every token is a
+      printable string and the exported merge file is unambiguous);
+    - then synthetic char-assembly merge products: each multi-byte
+      unicode character used by the learned merges is built
+      byte-by-byte (left-to-right prefix merges, characters in sorted
+      order) — UTF-8's self-synchronization guarantees these merges
+      can never fire across character boundaries, so a byte-level
+      greedy encoder reproduces the engine's character-level greedy
+      exactly;
+    - then the learned merges' products in rank order;
+    - then ``specials`` (EOS first by default) and ``extra_ids``
+      ``<extra_id_k>`` sentinels (ascending k).
+
+    Every id decodes losslessly: token string → inverse byte map →
+    bytes → UTF-8. Unknown characters at encode time need no ``<unk>``
+    — they decompose to byte tokens (GPT-2's byte fallback).
+    """
+
+    def __init__(
+        self,
+        merges: list[tuple[str, str]],
+        specials: tuple[str, ...] = ("<|endoftext|>",),
+        extra_ids: int = 0,
+        sentinel_fmt: str = "<extra_id_{}>",
+        alphabet: list[str] | None = None,
+    ):
+        for a, b in merges:
+            if _EOW in a or _EOW in b:
+                raise ValueError(
+                    "BpeVocab needs LOSSLESS merges (train_bpe("
+                    "lossless=True)) — got an end-of-word sentinel"
+                )
+        b2u = _bytes_to_unicode()
+        self._b2u = b2u
+        self._u2b = {c: b for b, c in b2u.items()}
+
+        def bu(s: str) -> str:
+            return "".join(b2u[x] for x in s.encode("utf-8"))
+
+        self._bu = bu
+        # ids 0..255: byte tokens in byte-value order
+        encoder: dict[str, int] = {b2u[i]: i for i in range(256)}
+        bu_merges: list[tuple[str, str]] = []
+        # synthetic char-assembly merges for every multi-byte char in
+        # the alphabet: merge products are grounded in single-char
+        # sides by induction, so the merge-side charset covers every
+        # character the learned merges can touch; pass ``alphabet``
+        # (:func:`corpus_alphabet`) to ALSO cover rare corpus chars
+        # that never merged — they then encode as one token instead
+        # of falling to byte pairs
+        chars = sorted(
+            {s for p in merges for s in p if len(s) == 1}
+            | set(alphabet or ())
+        )
+        for ch in chars:
+            bus = bu(ch)
+            for j in range(1, len(bus)):
+                prod = bus[: j + 1]
+                if prod in encoder:
+                    continue
+                bu_merges.append((bus[:j], bus[j]))
+                encoder[prod] = len(encoder)
+        # learned merges in rank order (duplicate products keep their
+        # first id but every merge RULE is kept — ranks drive greedy)
+        for a, b in merges:
+            pa, pb = bu(a), bu(b)
+            bu_merges.append((pa, pb))
+            prod = pa + pb
+            if prod not in encoder:
+                encoder[prod] = len(encoder)
+        self.specials: list[str] = list(specials) + [
+            sentinel_fmt.format(k) for k in range(extra_ids)
+        ]
+        for sp in self.specials:
+            key = bu(sp)
+            if key in encoder:
+                raise ValueError(
+                    f"special token {sp!r} collides with a learned token"
+                )
+            encoder[key] = len(encoder)
+        self.encoder = encoder
+        self.decoder = {i: t for t, i in encoder.items()}
+        self.bu_merges = bu_merges
+        self.ranks = {p: i for i, p in enumerate(bu_merges)}
+        self.merges = list(merges)
+        self._special_ids = {
+            sp: encoder[bu(sp)] for sp in self.specials
+        }
+
+    def __len__(self) -> int:
+        return len(self.encoder)
+
+    def special_id(self, token: str) -> int:
+        return self._special_ids[token]
+
+    @property
+    def eos_id(self) -> int:
+        return self._special_ids[self.specials[0]]
+
+    def encode(self, text: str) -> list[int]:
+        """Pure-python reference encode (the UDF's per-row algorithm):
+        GPT-2-style pieces → byte-unicode map → greedy lowest-rank
+        merge → ids. ``bpe_encode_ids`` is the distributed twin."""
+        import re
+
+        pat = re.compile(_LOSSLESS_CORE)
+        out: list[int] = []
+        for piece in pat.findall(text or ""):
+            for sym in _encode_word(self._bu(piece), self.ranks, eow=False):
+                out.append(self.encoder[sym])
+        return out
+
+    def decode(self, ids) -> str:
+        """ids → exact original text (byte-level lossless); special
+        ids render as their literal strings."""
+        bs = bytearray()
+        for i in ids:
+            for ch in self.decoder[int(i)]:
+                bs.append(self._u2b[ch])
+        return bs.decode("utf-8")
+
+
+def build_vocab(
+    merges: list[tuple[str, str]],
+    specials: tuple[str, ...] = ("<|endoftext|>",),
+    extra_ids: int = 0,
+    alphabet: list[str] | None = None,
+) -> BpeVocab:
+    """Deterministic :class:`BpeVocab` from a lossless merge list —
+    see the class docstring for the id layout. ``extra_ids`` appends
+    that many ``<extra_id_k>`` sentinels (for ids-mode
+    ``span_corrupt`` / UL2 targets) after ``specials``;
+    ``alphabet`` (from :func:`corpus_alphabet`) extends the synthetic
+    char-assembly merges to rare characters that never merged."""
+    return BpeVocab(merges, specials, extra_ids, alphabet=alphabet)
+
+
+def corpus_alphabet(df: DataFrame, text_col: str) -> list[str]:
+    """Sorted distinct characters of the corpus — one scan-stage
+    Arrow UDF emitting each row's char set + one alphabet-sized
+    distinct. Feed to :func:`build_vocab` so every corpus character
+    gets a single-token id (Python-side char splitting on purpose:
+    it is code-point-exact for supplementary-plane chars — emoji —
+    where JVM string splitting is UTF-16-code-unit-shaped)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _chars(t: pd.Series) -> pd.Series:
+        return t.map(lambda s: sorted(set(s or "")))
+
+    rows = (
+        df.select(F.explode(_chars(F.col(text_col))).alias("c"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    vocab: BpeVocab,
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append ``out_col ARRAY<INT>`` — each document encoded straight
+    to integer token ids by the byte-level greedy (the EXPORTED
+    tokenizer's exact algorithm, so engine ids == trainer ids by
+    construction), via an Arrow-batched pandas UDF over a broadcast
+    (ranks, encoder) pair. Lossless: ``vocab.decode`` of the ids
+    reproduces the text byte-for-byte."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((vocab.ranks, vocab.encoder, vocab._b2u))
+
+    @pandas_udf("array<int>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        import re
+
+        ranks, encoder, b2u = b.value
+        pat = re.compile(_LOSSLESS_CORE)
+        cache: dict[str, list[int]] = {}
+        out = []
+        for t in texts:
+            ids: list[int] = []
+            for w in pat.findall(t or ""):
+                got = cache.get(w)
+                if got is None:
+                    bu = "".join(b2u[x] for x in w.encode("utf-8"))
+                    got = [
+                        encoder[s]
+                        for s in _encode_word(bu, ranks, eow=False)
+                    ]
+                    cache[w] = got
+                ids.extend(got)
+            out.append(ids)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def export_gpt2_tokenizer(vocab: BpeVocab, path: str) -> None:
+    """Write the GPT-2 interchange files — ``encoder.json`` (token →
+    id, byte-unicode rendering) and ``vocab.bpe`` (``#version: 0.2``
+    header + one space-separated merge per rank line, synthetic
+    char-assembly merges first) — under local directory ``path``.
+    Any GPT-2-format loader (the released OpenAI encoder, HF
+    ``GPT2Tokenizer.from_pretrained(path)``) then reproduces
+    :func:`bpe_encode_ids` exactly: the engine's tokenizer IS the
+    trainer's tokenizer. Specials appear in ``encoder.json`` only
+    (the GPT-2 convention for ``<|endoftext|>``)."""
+    import json
+    import os
+
+    local = path.removeprefix("file:")
+    if "://" in local:
+        raise ValueError(
+            f"export_gpt2_tokenizer writes local interchange files, got {path!r}"
+        )
+    os.makedirs(local, exist_ok=True)
+    with open(os.path.join(local, "encoder.json"), "w") as fh:
+        json.dump(vocab.encoder, fh, ensure_ascii=False)
+    with open(os.path.join(local, "vocab.bpe"), "w") as fh:
+        fh.write("#version: 0.2\n")
+        for a, b in vocab.bu_merges:
+            fh.write(f"{a} {b}\n")
+
+
+def load_gpt2_tokenizer(path: str) -> BpeVocab:
+    """Rebuild a :class:`BpeVocab` from exported GPT-2 files. The
+    merge list and encoder load VERBATIM (already in byte-unicode
+    space) — round-trips :func:`export_gpt2_tokenizer` exactly, and
+    loads externally-produced GPT-2 tokenizers too (specials are the
+    encoder entries no merge produces and no byte id covers)."""
+    import json
+    import os
+
+    local = path.removeprefix("file:")
+    with open(os.path.join(local, "encoder.json")) as fh:
+        encoder = {k: int(v) for k, v in json.load(fh).items()}
+    merges: list[tuple[str, str]] = []
+    with open(os.path.join(local, "vocab.bpe")) as fh:
+        for ln in fh.read().splitlines():
+            if not ln or ln.startswith("#"):
+                continue
+            a, _, b = ln.partition(" ")
+            merges.append((a, b))
+    vocab = BpeVocab.__new__(BpeVocab)
+    b2u = _bytes_to_unicode()
+    vocab._b2u = b2u
+    vocab._u2b = {c: x for x, c in b2u.items()}
+    vocab._bu = lambda s: "".join(b2u[x] for x in s.encode("utf-8"))
+    vocab.encoder = encoder
+    vocab.decoder = {i: t for t, i in encoder.items()}
+    vocab.bu_merges = merges
+    vocab.ranks = {p: i for i, p in enumerate(merges)}
+    vocab.merges = []  # char-space originals not recoverable (nor needed)
+    producible = {a + b for a, b in merges} | {
+        b2u[i] for i in range(256)
+    }
+    u2b = vocab._u2b
+    specials = []
+    for tok, _ in sorted(encoder.items(), key=lambda kv: kv[1]):
+        if tok not in producible:
+            specials.append(
+                bytes(u2b[c] for c in tok).decode("utf-8")
+            )
+    vocab.specials = specials
+    vocab._special_ids = {
+        sp: encoder[vocab._bu(sp)] for sp in specials
+    }
+    return vocab
 
 
 def _encode_word(

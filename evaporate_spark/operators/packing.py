@@ -46,6 +46,7 @@ def pack_sequences(
     merges: list[tuple[str, str]] | None = None,
     lossless: bool = False,
     tokens_col: str | None = None,
+    ids_col: str | None = None,
 ) -> DataFrame:
     """(id, text) → one row per training window:
     (id, [carry_cols...], seq_index, n_tokens, seq_text). Empty
@@ -73,9 +74,18 @@ def pack_sequences(
     pre-tokenized corpora (token arrays in parquet) and for reusing
     one encode pass across stages; windows then carry ``seq_tokens``
     and ``seq_text`` joins tokens with spaces (pass ``lossless=True``
-    to concatenate raw pieces instead)."""
+    to concatenate raw pieces instead).
+
+    ``ids_col`` names an EXISTING ``array<int>`` column of integer
+    token ids (``operators.bpe.bpe_encode_ids``) to window over —
+    the trainer-ready mode: windows carry ``seq_ids ARRAY<INT>``
+    (the bytes a loader memory-maps, 4 B/token instead of the
+    4–10× of string windows) and NO ``seq_text`` (decode previews
+    via ``BpeVocab.decode`` when debugging)."""
     if not 0 <= overlap < seq_len:
         raise ValueError(f"need 0 <= overlap < seq_len, got {overlap}/{seq_len}")
+    if ids_col is not None and (merges is not None or tokens_col is not None):
+        raise ValueError("ids_col is exclusive with merges/tokens_col")
     stride = seq_len - overlap
     from evaporate_spark.functions.text_stats import bind_once
 
@@ -88,6 +98,23 @@ def pack_sequences(
         )
         return F.transform(starts, lambda s: F.slice(toks, s, seq_len))
 
+    if ids_col is not None:
+        return (
+            docs.select(
+                F.col(id_col),
+                *[F.col(c) for c in carry],
+                F.posexplode(_windows(F.col(ids_col))).alias(
+                    "seq_index", "_w"
+                ),
+            )
+            .select(
+                id_col,
+                *carry,
+                "seq_index",
+                F.size("_w").cast("bigint").alias("n_tokens"),
+                F.col("_w").alias("seq_ids"),
+            )
+        )
     if merges is not None or tokens_col is not None:
         from evaporate_spark.operators.bpe import _EOW
 
@@ -158,6 +185,8 @@ def pack_documents(
     merges: list[tuple[str, str]] | None = None,
     lossless: bool = False,
     tokens_col: str | None = None,
+    ids_col: str | None = None,
+    eos_id: int | None = None,
 ) -> DataFrame:
     """CROSS-document packing — the GPT-style trainer layout
     :func:`pack_sequences` approximates per-document: all documents
@@ -179,8 +208,13 @@ def pack_documents(
     stream is in BPE-token units and windows also carry
     ``seq_tokens`` (``tokens_col`` windows an EXISTING array<string>
     column instead — pre-tokenized corpora / encode-pass reuse —
-    also emitting ``seq_tokens``). Empty documents pack to nothing (no lone-EOS
-    windows). With ``group_cols`` (e.g. ``["split"]`` or
+    also emitting ``seq_tokens``). With ``ids_col`` (an
+    ``array<int>`` column from ``operators.bpe.bpe_encode_ids``) +
+    ``eos_id`` (``vocab.eos_id``) the stream is INTEGER token ids —
+    windows carry ``seq_ids ARRAY<INT>`` and no ``seq_text``: the
+    trainer-ready layout (4 B/token at rest vs 4–10× for string
+    windows; decode previews via ``BpeVocab.decode``). Empty
+    documents pack to nothing (no lone-EOS windows). With ``group_cols`` (e.g. ``["split"]`` or
     ``["split", "epoch"]``) each group packs its OWN stream —
     windows never straddle a train/test fence or an epoch copy —
     and the columns ride onto every window.
@@ -195,7 +229,12 @@ def pack_documents(
     """
     if seq_len < 1:
         raise ValueError(f"need seq_len >= 1, got {seq_len}")
-    if not eos_token or any(ch.isspace() for ch in eos_token):
+    if ids_col is not None:
+        if merges is not None or tokens_col is not None:
+            raise ValueError("ids_col is exclusive with merges/tokens_col")
+        if eos_id is None:
+            raise ValueError("ids_col packing needs eos_id (vocab.eos_id)")
+    elif not eos_token or any(ch.isspace() for ch in eos_token):
         raise ValueError(
             "eos_token must be non-empty and whitespace-free (windows "
             f"detokenize by joining on spaces), got {eos_token!r}"
@@ -203,8 +242,16 @@ def pack_documents(
     groups = list(group_cols or [])
     spark = docs.sparkSession
     L = int(seq_len)
+    elem_t = "int" if ids_col is not None else "string"
+    eos_lit = (
+        F.lit(int(eos_id)).cast("int")
+        if ids_col is not None
+        else F.lit(eos_token)
+    )
 
-    if tokens_col is not None:
+    if ids_col is not None:
+        toked = docs.withColumn("_t", F.col(ids_col))
+    elif tokens_col is not None:
         toked = docs.withColumn("_t", F.col(tokens_col))
     elif merges is not None:
         from evaporate_spark.operators.bpe import bpe_encode_tokens
@@ -251,17 +298,20 @@ def pack_documents(
         # zero non-empty documents: schema-correct empty output
         empty = rep.select(*groups).limit(0)
         rep.unpersist(False)
-        tok_cols = (
-            [F.array().cast("array<string>").alias("seq_tokens")]
-            if merges is not None
-            else []
-        )
+        if ids_col is not None:
+            mid_cols = [F.array().cast("array<int>").alias("seq_ids")]
+        elif merges is not None or tokens_col is not None:
+            mid_cols = [
+                F.array().cast("array<string>").alias("seq_tokens"),
+                F.lit("").alias("seq_text"),
+            ]
+        else:
+            mid_cols = [F.lit("").alias("seq_text")]
         return empty.select(
             *groups,
             F.lit(0).cast("bigint").alias("seq_index"),
             F.lit(0).cast("bigint").alias("n_tokens"),
-            *tok_cols,
-            F.lit("").alias("seq_text"),
+            *mid_cols,
             F.expr(
                 "cast(array() as array<struct<doc_id:string,"
                 "begin:int,end:int>>)"
@@ -305,10 +355,10 @@ def pack_documents(
         b = F.least(n - 1, w * L + (L - 1) - off)
         real = F.when(
             b >= a, F.slice(toks, (a + 1).cast("int"), (b - a + 1).cast("int"))
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast(f"array<{elem_t}>"))
         ftoks = F.when(
             F.expr(f"(_off + _n) div {L}") == w,
-            F.concat(real, F.array(F.lit(eos_token))),
+            F.concat(real, F.array(eos_lit)),
         ).otherwise(real)
         start = (F.greatest(off, w * L) - w * L).cast("int")
         return F.struct(
@@ -341,6 +391,14 @@ def pack_documents(
             (f["start"] + F.size(f["toks"]) - 1).cast("int").alias("end"),
         ),
     )
+    if ids_col is not None:
+        return assembled.select(
+            *groups,
+            F.col("_w").alias("seq_index"),
+            F.size(seq_tokens).cast("bigint").alias("n_tokens"),
+            seq_tokens.alias("seq_ids"),
+            spans.alias("doc_spans"),
+        )
     if merges is not None or tokens_col is not None:
         from evaporate_spark.operators.bpe import _EOW
 
@@ -380,6 +438,8 @@ def pack_bins(
     merges: list[tuple[str, str]] | None = None,
     lossless: bool = False,
     tokens_col: str | None = None,
+    ids_col: str | None = None,
+    eos_id: int | None = None,
     n_packers: int | None = None,
     long_docs: str = "truncate",
 ) -> DataFrame:
@@ -399,7 +459,9 @@ def pack_bins(
     n_tokens [incl. EOS tokens], n_padding = seq_len − n_tokens,
     seq_text, doc_spans) plus ``seq_tokens`` in BPE/pre-tokenized
     units (``merges``/``tokens_col``, the :func:`pack_documents`
-    conventions). ``doc_spans`` carries each document's inclusive
+    conventions) or ``seq_ids ARRAY<INT>`` and no ``seq_text`` in
+    integer-id units (``ids_col`` + ``eos_id``, the trainer-ready
+    mode). ``doc_spans`` carries each document's inclusive
     token range within the bin (EOS included). Documents are placed
     in decreasing-length order (ties by id), bins probed in creation
     order — classic FFD, ≤ 11/9·OPT + 1 bins per packer group.
@@ -426,7 +488,12 @@ def pack_bins(
     byte-identical bins."""
     if seq_len < 2:
         raise ValueError(f"need seq_len >= 2, got {seq_len}")
-    if not eos_token or any(ch.isspace() for ch in eos_token):
+    if ids_col is not None:
+        if merges is not None or tokens_col is not None:
+            raise ValueError("ids_col is exclusive with merges/tokens_col")
+        if eos_id is None:
+            raise ValueError("ids_col packing needs eos_id (vocab.eos_id)")
+    elif not eos_token or any(ch.isspace() for ch in eos_token):
         raise ValueError(
             "eos_token must be non-empty and whitespace-free (bins "
             f"detokenize by joining on spaces), got {eos_token!r}"
@@ -444,7 +511,14 @@ def pack_bins(
         # config — raise explicitly when the cluster outgrows 32 groups
         n_packers = 32
 
-    if tokens_col is not None:
+    eos_lit = (
+        F.lit(int(eos_id)).cast("int")
+        if ids_col is not None
+        else F.lit(eos_token)
+    )
+    if ids_col is not None:
+        toked = docs.withColumn("_t", F.col(ids_col))
+    elif tokens_col is not None:
         toked = docs.withColumn("_t", F.col(tokens_col))
     elif merges is not None:
         from evaporate_spark.operators.bpe import bpe_encode_tokens
@@ -523,7 +597,7 @@ def pack_bins(
     piece = F.struct(
         (-(F.col("_n") + 1)).alias("negcost"),
         F.col("_aid").alias("doc_id"),
-        F.concat(F.col("_t"), F.array(F.lit(eos_token))).alias("toks"),
+        F.concat(F.col("_t"), F.array(eos_lit)).alias("toks"),
     )
     assembled = (
         d.select(*groups, "_packer", "_bin", piece.alias("_p"))
@@ -568,6 +642,13 @@ def pack_bins(
         n_tokens.alias("n_tokens"),
         (F.lit(L) - n_tokens).cast("bigint").alias("n_padding"),
     ]
+    if ids_col is not None:
+        return assembled.select(
+            *groups,
+            *base,
+            seq_tokens.alias("seq_ids"),
+            spans.alias("doc_spans"),
+        )
     if merges is not None or tokens_col is not None:
         from evaporate_spark.operators.bpe import _EOW
 

@@ -3951,6 +3951,49 @@ def q_pack_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_documents_ids",
+    "Cross-document packing in INTEGER token ids (pack_documents "
+    "ids_col mode x operators/bpe.py BpeVocab): documents encode "
+    "straight to ids via the byte-level greedy (bpe_encode_ids — "
+    "the exported GPT-2 tokenizer's exact algorithm), then the same "
+    "concat-with-EOS stream algebra cuts 32-id windows carrying "
+    "seq_ids ARRAY<INT> — the layout a trainer's loader memory-maps "
+    "(4 B/token at rest vs 4-10x for string windows). Greedy merge "
+    "encoding is not SQL-expressible -> rows-only driver check; "
+    "exact semantics are ground-truth-asserted by a pure-python "
+    "ids->text round trip over every window (tests/test_pack_ids.py) "
+    "and the no-engine-imports GPT-2 reimplementation parity "
+    "(tests/test_bpe_ids.py).",
+    oracle=None,
+    tags=("textstats", "corpus"),
+)
+def q_pack_documents_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.bpe import (
+        bpe_encode_ids,
+        build_vocab,
+        train_bpe,
+    )
+    from evaporate_spark.operators.packing import pack_documents
+
+    (d,) = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", num_merges=60, lossless=True)
+    vocab = build_vocab(merges)
+    ids = bpe_encode_ids(d.select("doc_id", "text"), "text", vocab)
+    out = pack_documents(
+        ids, seq_len=32, seed="p13", ids_col="token_ids",
+        eos_id=vocab.eos_id,
+    )
+    return out.select(
+        "seq_index",
+        "n_tokens",
+        F.concat_ws(",", F.col("seq_ids").cast("array<string>")).alias(
+            "ids_csv"
+        ),
+        _spans_str(),
+    )
+
+
+@register(
     "q_pack_bins",
     "No-split FFD bin packing (operators/packing.py::pack_bins — "
     "Krell et al. 2021): whole documents first-fit-decreasing into "

@@ -1,0 +1,227 @@
+"""Integer token ids + GPT-2 tokenizer interchange (operators/bpe.py:
+BpeVocab / bpe_encode_ids / export_gpt2_tokenizer) — the bridge
+between `prepare_corpus` output and bytes a trainer's data loader
+memory-maps. The core claims under test:
+
+- ids are LOSSLESS: decode(encode(text)) == text byte-for-byte, on
+  unicode/emoji/CRLF fixtures (byte-level fallback, no <unk>);
+- the exported encoder.json + vocab.bpe alone — no engine imports —
+  reproduce the engine's ids AND its token strings via the published
+  GPT-2 merge loop (so the engine's tokenizer IS the trainer's);
+- the vocab layout is deterministic: byte ids 0-255, merge products
+  in rank order, specials/sentinels at the end.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog. The dog didn't mind."),
+    (1, "Línea única: café reéncoded naïve façade — daß straße"),
+    (2, "emoji soup 🙂🙂🙂 🚀 rockets and 汉字 mixed in"),
+    (3, "CRLF line one\r\nline two\r\n\ttabbed\tend"),
+    (4, "numbers 12345 and punct !!! ??? ,,, 'll 've 's"),
+    (5, ""),
+    (6, "repeat repeat repeat repeat repeat"),
+]
+
+#: the engine's lossless pre-tokenizer, written out literally so the
+#: independent reimplementation below imports NOTHING from the engine
+_PRETOK = r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:_|[^\s\w])+|\s+"
+
+
+def _fixture_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _trained(spark):
+    from evaporate_spark.operators.bpe import (
+        build_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
+
+    df = _fixture_df(spark)
+    merges = train_bpe(df, "text", num_merges=120, lossless=True)
+    vocab = build_vocab(
+        merges, extra_ids=2, alphabet=corpus_alphabet(df, "text")
+    )
+    return df, merges, vocab
+
+
+def test_vocab_layout_and_determinism(spark):
+    from evaporate_spark.operators.bpe import build_vocab
+
+    df, merges, vocab = _trained(spark)
+    # byte tokens occupy ids 0-255, id == byte value
+    assert vocab.decoder[ord("a")] == "a"
+    assert len({vocab.decoder[i] for i in range(256)}) == 256
+    # specials close the vocab: eos, then ascending sentinels
+    assert vocab.specials == [
+        "<|endoftext|>", "<extra_id_0>", "<extra_id_1>"
+    ]
+    assert vocab.eos_id == len(vocab) - 3
+    assert vocab.special_id("<extra_id_0>") == len(vocab) - 2
+    assert vocab.special_id("<extra_id_1>") == len(vocab) - 1
+    # pure function of (merges, specials, extra_ids, alphabet)
+    again = build_vocab(
+        merges, extra_ids=2,
+        alphabet=[c for _, t in DOCS for c in t],
+    )
+    assert again.encoder == vocab.encoder
+    assert again.bu_merges == vocab.bu_merges
+    # lossless-mode guard: sentinel-bearing merges rejected
+    with pytest.raises(ValueError, match="LOSSLESS"):
+        build_vocab([("a", "b</w>")])
+
+
+def test_encode_ids_lossless_roundtrip(spark):
+    from evaporate_spark.operators.bpe import bpe_encode_ids
+
+    df, merges, vocab = _trained(spark)
+    rows = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(df, "text", vocab).collect()
+    }
+    for doc_id, text in DOCS:
+        ids = rows[doc_id]
+        # distributed twin == pure-python reference encode
+        assert ids == vocab.encode(text)
+        # byte-level lossless round trip
+        assert vocab.decode(ids) == text
+    assert rows[5] == []
+    # every id is in-vocab and below the specials block
+    n_specials = len(vocab.specials)
+    assert all(
+        0 <= i < len(vocab) - n_specials for ids in rows.values() for i in ids
+    )
+
+
+def test_unknown_chars_fall_back_to_bytes():
+    """A character absent from training (and the alphabet) decomposes
+    to byte tokens — no <unk>, still lossless (GPT-2's guarantee)."""
+    from evaporate_spark.operators.bpe import build_vocab
+
+    vocab = build_vocab([("a", "b")])
+    ids = vocab.encode("ab ёж")  # cyrillic never seen
+    assert vocab.decode(ids) == "ab ёж"
+    # the unseen chars cost 2 byte-ids each (2-byte utf-8)
+    assert len(ids) >= 1 + 1 + 4
+
+
+def test_independent_gpt2_reimplementation(spark, tmp_path):
+    """Rebuild the tokenizer from the EXPORTED files alone — the
+    published GPT-2 algorithm (bytes_to_unicode + lowest-rank merge
+    loop), zero engine imports — and reproduce both the engine's ids
+    (bpe_encode_ids) and its token strings (bpe_encode_tokens) on the
+    unicode/emoji/CRLF fixtures."""
+    import re
+
+    from evaporate_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_encode_tokens,
+        export_gpt2_tokenizer,
+    )
+
+    df, merges, vocab = _trained(spark)
+    out = str(tmp_path / "tok")
+    export_gpt2_tokenizer(vocab, out)
+
+    # ---- independent loader: everything below uses only the files
+    with open(f"{out}/encoder.json") as fh:
+        encoder = json.load(fh)
+    with open(f"{out}/vocab.bpe") as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == "#version: 0.2"
+    ranks = {}
+    for ln in lines[1:]:
+        if ln:
+            a, _, b = ln.partition(" ")
+            ranks[(a, b)] = len(ranks)
+
+    def bytes_to_unicode():  # GPT-2's published table
+        bs = (
+            list(range(33, 127))
+            + list(range(161, 173))
+            + list(range(174, 256))
+        )
+        cs = bs[:]
+        n = 0
+        for b in range(256):
+            if b not in bs:
+                bs.append(b)
+                cs.append(256 + n)
+                n += 1
+        return dict(zip(bs, map(chr, cs)))
+
+    b2u = bytes_to_unicode()
+    u2b = {c: b for b, c in b2u.items()}
+    pat = re.compile(_PRETOK)
+
+    def bpe(token):  # GPT-2's merge loop: merge the lowest-rank pair
+        word = list(token)
+        while len(word) > 1:
+            pairs = set(zip(word, word[1:]))
+            best = min(pairs, key=lambda p: ranks.get(p, 1 << 60))
+            if best not in ranks:
+                break
+            a, b = best
+            merged, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and (word[i], word[i + 1]) == (a, b):
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = merged
+        return word
+
+    def encode(text):
+        syms = []
+        for piece in pat.findall(text):
+            bu = "".join(b2u[x] for x in piece.encode("utf-8"))
+            syms.extend(bpe(bu))
+        return [encoder[s] for s in syms], [
+            bytes(u2b[c] for c in s).decode("utf-8") for s in syms
+        ]
+
+    # ---- parity against the engine
+    got_ids = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(df, "text", vocab).collect()
+    }
+    got_toks = {
+        r["doc_id"]: list(r["toks"])
+        for r in bpe_encode_tokens(
+            df, "text", merges, "toks", lossless=True
+        ).collect()
+    }
+    for doc_id, text in DOCS:
+        ids, toks = encode(text)
+        assert ids == got_ids[doc_id], f"id drift on doc {doc_id}"
+        assert toks == got_toks[doc_id], f"token drift on doc {doc_id}"
+
+
+def test_export_load_roundtrip(spark, tmp_path):
+    from evaporate_spark.operators.bpe import (
+        export_gpt2_tokenizer,
+        load_gpt2_tokenizer,
+    )
+
+    _, merges, vocab = _trained(spark)
+    out = str(tmp_path / "tok2")
+    export_gpt2_tokenizer(vocab, out)
+    back = load_gpt2_tokenizer(out)
+    assert back.encoder == vocab.encoder
+    assert back.bu_merges == vocab.bu_merges
+    assert back.specials == vocab.specials
+    assert back.eos_id == vocab.eos_id
+    for _, text in DOCS:
+        assert back.encode(text) == vocab.encode(text)
+        assert back.decode(back.encode(text)) == text
+    with pytest.raises(ValueError, match="local"):
+        export_gpt2_tokenizer(vocab, "s3://bucket/tok")

@@ -1,0 +1,138 @@
+"""Integer-id packing (operators/packing.py ids_col mode x
+operators/bpe.py) — every window/bin carries ``seq_ids ARRAY<INT>``
+and the ids are LOSSLESS: reassembling each document's ids from
+doc_spans across windows and decoding through the vocabulary
+reproduces the original text byte-for-byte. This is the
+trainer-ready layout: ids, EOS as an id, no string payload."""
+
+from __future__ import annotations
+
+import pytest
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "pack small docs together: café 🙂 naïve"),
+    (2, "a\r\nb CRLF doc"),
+    (3, ""),
+    (4, "one"),
+    (5, "repeat " * 40),
+    (6, "tail piece with digits 987654321 and punct !!!"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from evaporate_spark.operators.bpe import (
+        bpe_encode_ids,
+        build_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    merges = train_bpe(df, "text", num_merges=80, lossless=True)
+    vocab = build_vocab(merges, alphabet=corpus_alphabet(df, "text"))
+    ids = bpe_encode_ids(df, "text", vocab)
+    return df, vocab, ids
+
+
+def _doc_ids_from_spans(rows, eos_id, order_col="seq_index"):
+    """Reassemble each document's id stream from (window, doc_spans)."""
+    per_doc: dict[str, list[tuple]] = {}
+    for r in sorted(rows, key=lambda r: r[order_col]):
+        seq = list(r["seq_ids"])
+        for sp in r["doc_spans"]:
+            per_doc.setdefault(sp["doc_id"], []).append(
+                (r[order_col], sp["begin"], seq[sp["begin"]: sp["end"] + 1])
+            )
+    out = {}
+    for d, frags in per_doc.items():
+        ids = [i for _, _, chunk in sorted(frags) for i in chunk]
+        assert ids and ids[-1] == eos_id, f"doc {d} missing terminal EOS"
+        out[d] = ids[:-1]
+    return out
+
+
+def test_pack_documents_ids_roundtrip(corpus):
+    from evaporate_spark.operators.packing import pack_documents
+
+    df, vocab, ids = corpus
+    out = pack_documents(
+        ids, seq_len=16, seed="t13", ids_col="token_ids",
+        eos_id=vocab.eos_id,
+    ).collect()
+    assert "seq_text" not in out[0].asDict()
+    # every window full except the stream's last
+    sizes = {r["seq_index"]: r["n_tokens"] for r in out}
+    last = max(sizes)
+    assert all(n == 16 for i, n in sizes.items() if i != last)
+    assert all(len(r["seq_ids"]) == r["n_tokens"] for r in out)
+    # per-document ids reassembled from spans decode to the original
+    texts = dict(DOCS)
+    docs = _doc_ids_from_spans(out, vocab.eos_id)
+    assert set(docs) == {str(i) for i, t in DOCS if t}
+    for d, doc_ids in docs.items():
+        assert vocab.decode(doc_ids) == texts[int(d)], f"doc {d} drift"
+    # conservation: stream length == sum of (doc ids + one EOS each)
+    assert sum(sizes.values()) == sum(len(v) + 1 for v in docs.values())
+
+
+def test_pack_sequences_ids_roundtrip(corpus):
+    from evaporate_spark.operators.packing import pack_sequences
+
+    df, vocab, ids = corpus
+    out = pack_sequences(
+        ids, "doc_id", "text", seq_len=8, ids_col="token_ids"
+    ).collect()
+    assert "seq_text" not in out[0].asDict()
+    texts = dict(DOCS)
+    per_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["seq_index"])):
+        per_doc.setdefault(r["doc_id"], []).extend(r["seq_ids"])
+        assert len(r["seq_ids"]) == r["n_tokens"] <= 8
+    for d, doc_ids in per_doc.items():
+        assert vocab.decode(doc_ids) == texts[d]
+    assert 3 not in per_doc  # empty doc yields no windows
+
+
+def test_pack_bins_ids_capacity_and_roundtrip(corpus):
+    from evaporate_spark.operators.packing import pack_bins
+
+    df, vocab, ids = corpus
+    out = pack_bins(
+        ids, seq_len=64, seed="t13", ids_col="token_ids",
+        eos_id=vocab.eos_id, n_packers=2,
+    ).collect()
+    assert "seq_text" not in out[0].asDict()
+    texts = dict(DOCS)
+    for r in out:
+        assert r["n_tokens"] <= 64
+        assert r["n_padding"] == 64 - r["n_tokens"]
+        seq = list(r["seq_ids"])
+        for sp in r["doc_spans"]:
+            chunk = seq[sp["begin"]: sp["end"] + 1]
+            assert chunk[-1] == vocab.eos_id
+            body = vocab.decode(chunk[:-1])
+            orig = texts[int(sp["doc_id"])]
+            # whole doc in one bin, or its truncated id-prefix
+            assert orig.startswith(body)
+
+
+def test_ids_mode_validation(corpus):
+    from evaporate_spark.operators.packing import (
+        pack_bins,
+        pack_documents,
+        pack_sequences,
+    )
+
+    df, vocab, ids = corpus
+    with pytest.raises(ValueError, match="eos_id"):
+        pack_documents(ids, ids_col="token_ids")
+    with pytest.raises(ValueError, match="exclusive"):
+        pack_documents(
+            ids, ids_col="token_ids", eos_id=0, tokens_col="token_ids"
+        )
+    with pytest.raises(ValueError, match="exclusive"):
+        pack_sequences(ids, ids_col="token_ids", tokens_col="token_ids")
+    with pytest.raises(ValueError, match="eos_id"):
+        pack_bins(ids, ids_col="token_ids")

@@ -38,6 +38,8 @@ def span_corrupt(
     span_len: int = 3,
     seed: str = "",
     sentinel_fmt: str = "<extra_id_{}>",
+    ids_col: str | None = None,
+    sentinel_base: int | None = None,
 ) -> DataFrame:
     """One denoising example per document: ``inputs`` is the document
     with each corrupted RUN replaced by ``<extra_id_k>`` (k in
@@ -46,13 +48,27 @@ def span_corrupt(
     per-position span-START probability (NOT the realized corruption
     fraction, which ≈ rate × span_len before merges); documents where
     no position seeds a span pass through with ``inputs = the
-    whitespace-normalized text`` and empty ``targets``."""
+    whitespace-normalized text`` and empty ``targets``.
+
+    With ``ids_col`` (an ``array<int>`` column from
+    ``operators.bpe.bpe_encode_ids``) + ``sentinel_base``
+    (``vocab.special_id("<extra_id_0>")``), the construction runs in
+    INTEGER token-id space: span k's sentinel is the id
+    ``sentinel_base + k`` and the output carries ``inputs_ids`` /
+    ``targets_ids ARRAY<INT>`` — the encoder-decoder trainer layout
+    (seeding hashes positions, not content, so examples at the same
+    (seed, rate, span_len) corrupt the same positions in either
+    unit)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"need 0 <= rate <= 1, got {rate}")
     if span_len < 1:
         raise ValueError(f"need span_len >= 1, got {span_len}")
     if "{}" not in sentinel_fmt:
         raise ValueError("sentinel_fmt needs a {} placeholder")
+    if ids_col is not None and sentinel_base is None:
+        raise ValueError(
+            "ids_col needs sentinel_base (vocab.special_id('<extra_id_0>'))"
+        )
     from evaporate_spark.functions.text_stats import bind_once, ws_tokens
 
     threshold = int(rate * 4294967296)
@@ -109,6 +125,45 @@ def span_corrupt(
                 is_st = lambda p: F.array_position(  # noqa: E731
                     starts, p
                 ) > 0
+                if ids_col is not None:
+                    # integer-id render: flatten per-position arrays —
+                    # a start contributes [sentinel] / [sentinel, tok]
+                    sent_id = lambda p: (  # noqa: E731
+                        F.lit(int(sentinel_base))
+                        + (F.array_position(starts, p) - 1)
+                    ).cast("int")
+                    empty = F.array().cast("array<int>")
+                    inputs_ids = F.flatten(
+                        F.transform(
+                            seq,
+                            lambda p: F.when(is_st(p), F.array(sent_id(p)))
+                            .when(cov(p), empty)
+                            .otherwise(F.array(F.element_at(toks, p))),
+                        )
+                    )
+                    targets_ids = F.flatten(
+                        F.transform(
+                            seq,
+                            lambda p: F.when(
+                                is_st(p),
+                                F.array(
+                                    sent_id(p), F.element_at(toks, p)
+                                ),
+                            )
+                            .when(
+                                cov(p), F.array(F.element_at(toks, p))
+                            )
+                            .otherwise(empty),
+                        )
+                    )
+                    n_cov = F.size(F.filter(seq, cov))
+                    return F.struct(
+                        inputs_ids.alias("i"),
+                        targets_ids.alias("t"),
+                        n.cast("bigint").alias("n"),
+                        n_cov.cast("bigint").alias("nc"),
+                        F.size(starts).cast("bigint").alias("ns"),
+                    )
                 inputs = F.concat_ws(
                     " ",
                     F.filter(
@@ -153,11 +208,228 @@ def span_corrupt(
 
         return bind_once(seeds_expr, with_seeds)
 
+    toks_expr = (
+        F.col(ids_col) if ids_col is not None else ws_tokens(text_col)
+    )
     built = docs.withColumn(
         "_sc_id", F.col(id_col).cast("string")
-    ).withColumn("_b", bind_once(ws_tokens(text_col), _build))
+    ).withColumn("_b", bind_once(toks_expr, _build))
+    suffix = "_ids" if ids_col is not None else ""
     return built.select(
         id_col,
+        F.col("_b.n").alias("n_tokens"),
+        F.col("_b.nc").alias("n_corrupted"),
+        F.col("_b.ns").alias("n_spans"),
+        F.col("_b.i").alias(f"inputs{suffix}"),
+        F.col("_b.t").alias(f"targets{suffix}"),
+    )
+
+
+def _u32(*parts: Column) -> Column:
+    """First 8 md5 hex digits of the concatenated parts as a uint32
+    bigint — the engine-wide threshold-sampling convention
+    (operators/mixing.py)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(*parts)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def ul2_mix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "",
+    weights: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    r_rate: float = 0.15,
+    r_span: int = 3,
+    x_rate: float = 0.5,
+    x_span: int = 8,
+    sentinel_fmt: str = "<extra_id_{}>",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022): each document is
+    assigned ONE denoiser by the md5-threshold convention
+    (``u32(seed ‖ id ‖ '@mix')`` against the cumulative ``weights``)
+    and becomes one (inputs, targets) example built by that
+    denoiser's algebra:
+
+    - **R** (regular): :func:`span_corrupt` semantics at
+      (``r_rate``, ``r_span``) — short spans, low rate;
+    - **X** (extreme): the same algebra at (``x_rate``, ``x_span``)
+      — long spans / high rate (aggressive infilling);
+    - **S** (sequential, prefix-LM): one split point
+      ``1 + (u32(seed ‖ id ‖ '@s') mod n)``; the prefix stays in
+      inputs followed by ``<extra_id_0>``, the whole suffix is the
+      single target span — ``targets = <extra_id_0> suffix``.
+
+    Output adds a ``denoiser`` tag ('R'/'X'/'S') to the
+    :func:`span_corrupt` schema. Everything is deterministic and
+    scan-stage (JVM HOFs over one bound token split, seeds/starts
+    bound once per row — the span_corrupt O(n²) lesson); the whole
+    construction — selection included — replays in the DuckDB oracle
+    (``q_ul2_mix``). Empty documents pass through under their tag
+    with empty targets."""
+    if not 0.0 <= r_rate <= 1.0 or not 0.0 <= x_rate <= 1.0:
+        raise ValueError("rates must be in [0, 1]")
+    if r_span < 1 or x_span < 1:
+        raise ValueError("span lengths must be >= 1")
+    if len(weights) != 3 or any(w < 0 for w in weights) or not sum(weights):
+        raise ValueError(f"need 3 non-negative weights, got {weights!r}")
+    if "{}" not in sentinel_fmt:
+        raise ValueError("sentinel_fmt needs a {} placeholder")
+    from evaporate_spark.functions.text_stats import bind_once, ws_tokens
+
+    tot = float(sum(weights))
+    c1 = int(weights[0] / tot * 4294967296)
+    c2 = int((weights[0] + weights[1]) / tot * 4294967296)
+    r_thr = int(r_rate * 4294967296)
+    x_thr = int(x_rate * 4294967296)
+    pre, post = sentinel_fmt.split("{}", 1)
+    sent0 = f"{pre}0{post}"
+
+    mix_u = _u32(F.lit(seed), F.col("_sc_id"), F.lit("@mix"))
+    tag = (
+        F.when(mix_u < c1, F.lit("R"))
+        .when(mix_u < c2, F.lit("X"))
+        .otherwise(F.lit("S"))
+    )
+
+    def _build(toks: Column) -> Column:
+        n = F.size(toks)
+        seq = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        # per-row denoiser params (plan literals CASE'd by the tag —
+        # S rows never read them)
+        thr = F.when(F.col("_ul2_tag") == "R", F.lit(r_thr)).otherwise(
+            F.lit(x_thr)
+        )
+        sl1 = F.when(
+            F.col("_ul2_tag") == "R", F.lit(r_span - 1)
+        ).otherwise(F.lit(x_span - 1))
+
+        def with_sl1(sl1: Column) -> Column:
+            seeds_expr = F.filter(
+                seq,
+                lambda p: _u32(
+                    F.lit(seed),
+                    F.col("_sc_id"),
+                    F.lit("#"),
+                    p.cast("string"),
+                )
+                < thr,
+            )
+
+            def with_seeds(seeds: Column) -> Column:
+                cov = lambda p: F.exists(  # noqa: E731
+                    seeds, lambda s: (p >= s) & (p <= s + sl1)
+                )
+                is_start = lambda p: cov(p) & (  # noqa: E731
+                    (p == 1) | ~cov(p - 1)
+                )
+                starts_expr = F.filter(seq, is_start)
+
+                def with_starts(starts: Column) -> Column:
+                    sentinel = lambda p: F.concat(  # noqa: E731
+                        F.lit(pre),
+                        (F.array_position(starts, p) - 1).cast("string"),
+                        F.lit(post),
+                    )
+                    is_st = lambda p: F.array_position(  # noqa: E731
+                        starts, p
+                    ) > 0
+                    inputs = F.concat_ws(
+                        " ",
+                        F.filter(
+                            F.transform(
+                                seq,
+                                lambda p: F.when(is_st(p), sentinel(p))
+                                .when(cov(p), F.lit(""))
+                                .otherwise(F.element_at(toks, p)),
+                            ),
+                            lambda x: x != "",
+                        ),
+                    )
+                    targets = F.concat_ws(
+                        " ",
+                        F.filter(
+                            F.transform(
+                                seq,
+                                lambda p: F.when(
+                                    is_st(p),
+                                    F.concat(
+                                        sentinel(p),
+                                        F.lit(" "),
+                                        F.element_at(toks, p),
+                                    ),
+                                )
+                                .when(cov(p), F.element_at(toks, p))
+                                .otherwise(F.lit("")),
+                            ),
+                            lambda x: x != "",
+                        ),
+                    )
+                    n_cov = F.size(F.filter(seq, cov))
+                    return F.struct(
+                        inputs.alias("i"),
+                        targets.alias("t"),
+                        n.cast("bigint").alias("n"),
+                        n_cov.cast("bigint").alias("nc"),
+                        F.size(starts).cast("bigint").alias("ns"),
+                    )
+
+                return bind_once(starts_expr, with_starts)
+
+            return bind_once(seeds_expr, with_seeds)
+
+        rx = bind_once(sl1, with_sl1)
+
+        # S-denoiser: prefix-LM — one hash-derived split, suffix is
+        # the single target span (bound expr must not %0 on empty
+        # docs: ANSI mode throws even under a never-taken when())
+        split = F.when(
+            n > 0,
+            _u32(F.lit(seed), F.col("_sc_id"), F.lit("@s")) % n + 1,
+        ).otherwise(F.lit(1))
+
+        def with_split(split: Column) -> Column:
+            prefix = F.slice(toks, 1, (split - 1).cast("int"))
+            suffix = F.slice(toks, split.cast("int"), n.cast("int"))
+            s_inputs = F.concat_ws(
+                " ", F.concat(prefix, F.array(F.lit(sent0)))
+            )
+            s_targets = F.concat_ws(
+                " ", F.concat(F.array(F.lit(sent0)), suffix)
+            )
+            return F.when(
+                n > 0,
+                F.struct(
+                    s_inputs.alias("i"),
+                    s_targets.alias("t"),
+                    n.cast("bigint").alias("n"),
+                    (n - split + 1).cast("bigint").alias("nc"),
+                    F.lit(1).cast("bigint").alias("ns"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit("").alias("i"),
+                    F.lit("").alias("t"),
+                    F.lit(0).cast("bigint").alias("n"),
+                    F.lit(0).cast("bigint").alias("nc"),
+                    F.lit(0).cast("bigint").alias("ns"),
+                )
+            )
+
+        s = bind_once(split, with_split)
+        return F.when(F.col("_ul2_tag") == "S", s).otherwise(rx)
+
+    built = (
+        docs.withColumn("_sc_id", F.col(id_col).cast("string"))
+        .withColumn("_ul2_tag", tag)
+        .withColumn("_b", bind_once(ws_tokens(text_col), _build))
+    )
+    return built.select(
+        id_col,
+        F.col("_ul2_tag").alias("denoiser"),
         F.col("_b.n").alias("n_tokens"),
         F.col("_b.nc").alias("n_corrupted"),
         F.col("_b.ns").alias("n_spans"),

@@ -3568,6 +3568,141 @@ def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ul2_mix",
+    "UL2 mixture-of-denoisers (operators/denoise.py::ul2_mix — Tay "
+    "et al. 2022): each document draws ONE denoiser by the "
+    "md5-threshold convention (u32(seed||id||'@mix') vs cumulative "
+    "equal-thirds weights) — R = span_corrupt at (0.15, 3), X = the "
+    "extreme variant at (0.5, 8), S = prefix-LM (one hash-derived "
+    "split, the whole suffix is the single <extra_id_0> span). All "
+    "scan-stage JVM HOFs, seeds/starts/split bound once per row. The "
+    "oracle replays selection + each denoiser's full algebra — "
+    "seeding, coverage, run merge, sentinel numbering, both renders, "
+    "and the S split — end to end in DuckDB list algebra.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+                   len(string_split_regex(trim(text), '\s+')) AS n
+            FROM documents
+        ),
+        tag AS (
+            SELECT doc_id, t, n,
+                   CASE WHEN CAST(concat('0x', substr(md5(
+                             'u13' || CAST(doc_id AS VARCHAR) || '@mix'),
+                             1, 8)) AS UBIGINT) < 1431655765 THEN 'R'
+                        WHEN CAST(concat('0x', substr(md5(
+                             'u13' || CAST(doc_id AS VARCHAR) || '@mix'),
+                             1, 8)) AS UBIGINT) < 2863311530 THEN 'X'
+                        ELSE 'S' END AS dn
+            FROM toks
+        ),
+        rx AS (
+            SELECT doc_id, t, n, dn,
+                   CASE WHEN dn = 'R' THEN 2 ELSE 7 END AS sl1,
+                   list_filter(range(1, n + 1),
+                       p -> CAST(concat('0x', substr(md5(
+                                'u13' || CAST(doc_id AS VARCHAR) || '#'
+                                      || CAST(p AS VARCHAR)), 1, 8))
+                            AS UBIGINT)
+                            < (CASE WHEN dn = 'R' THEN 644245094
+                                    ELSE 2147483648 END)
+                   ) AS seeds
+            FROM tag WHERE dn <> 'S'
+        ),
+        rx_out AS (
+            SELECT doc_id, dn,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(range(1, n + 1),
+                       p -> len(list_filter(seeds,
+                                s -> p >= s AND p <= s + sl1)) > 0
+                   )) AS BIGINT) AS n_corrupted,
+                   CAST(len(list_filter(range(1, n + 1),
+                       p -> len(list_filter(seeds,
+                                s -> p >= s AND p <= s + sl1)) > 0
+                            AND (p = 1 OR len(list_filter(seeds,
+                                s -> p - 1 >= s AND p - 1 <= s + sl1)) = 0)
+                   )) AS BIGINT) AS n_spans,
+                   array_to_string(list_filter(list_transform(range(1, n + 1),
+                       p -> CASE
+                            WHEN len(list_filter(seeds,
+                                     s -> p >= s AND p <= s + sl1)) > 0
+                                 AND (p = 1 OR len(list_filter(seeds,
+                                     s -> p - 1 >= s AND p - 1 <= s + sl1)) = 0)
+                            THEN '<extra_id_' || CAST(
+                                 len(list_filter(range(1, n + 1),
+                                     q -> q <= p
+                                          AND len(list_filter(seeds,
+                                              s -> q >= s AND q <= s + sl1)) > 0
+                                          AND (q = 1 OR len(list_filter(seeds,
+                                              s -> q - 1 >= s
+                                                   AND q - 1 <= s + sl1)) = 0)
+                                 )) - 1 AS VARCHAR) || '>'
+                            WHEN len(list_filter(seeds,
+                                     s -> p >= s AND p <= s + sl1)) > 0
+                            THEN ''
+                            ELSE t[p]
+                            END
+                   ), x -> x <> ''), ' ') AS inputs_raw,
+                   array_to_string(list_filter(list_transform(range(1, n + 1),
+                       p -> CASE
+                            WHEN len(list_filter(seeds,
+                                     s -> p >= s AND p <= s + sl1)) > 0
+                                 AND (p = 1 OR len(list_filter(seeds,
+                                     s -> p - 1 >= s AND p - 1 <= s + sl1)) = 0)
+                            THEN '<extra_id_' || CAST(
+                                 len(list_filter(range(1, n + 1),
+                                     q -> q <= p
+                                          AND len(list_filter(seeds,
+                                              s -> q >= s AND q <= s + sl1)) > 0
+                                          AND (q = 1 OR len(list_filter(seeds,
+                                              s -> q - 1 >= s
+                                                   AND q - 1 <= s + sl1)) = 0)
+                                 )) - 1 AS VARCHAR) || '> ' || t[p]
+                            WHEN len(list_filter(seeds,
+                                     s -> p >= s AND p <= s + sl1)) > 0
+                            THEN t[p]
+                            ELSE ''
+                            END
+                   ), x -> x <> ''), ' ') AS targets_raw
+            FROM rx
+        ),
+        s_out AS (
+            SELECT doc_id, dn,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(n - sp + 1 AS BIGINT) AS n_corrupted,
+                   CAST(1 AS BIGINT) AS n_spans,
+                   array_to_string(list_concat(
+                       list_slice(t, 1, sp - 1), ['<extra_id_0>']
+                   ), ' ') AS inputs_raw,
+                   array_to_string(list_concat(
+                       ['<extra_id_0>'], list_slice(t, sp, n)
+                   ), ' ') AS targets_raw
+            FROM (
+                SELECT doc_id, t, n, dn,
+                       CAST(CAST(concat('0x', substr(md5(
+                           'u13' || CAST(doc_id AS VARCHAR) || '@s'),
+                           1, 8)) AS UBIGINT) % n + 1 AS BIGINT) AS sp
+                FROM tag WHERE dn = 'S'
+            )
+        )
+        SELECT doc_id, dn AS denoiser, n_tokens, n_corrupted, n_spans,
+               COALESCE(inputs_raw, '') AS inputs,
+               COALESCE(targets_raw, '') AS targets
+        FROM (SELECT * FROM rx_out UNION ALL SELECT * FROM s_out)
+    """,
+    tags=("textstats", "corpus"),
+)
+def q_ul2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.denoise import ul2_mix
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return ul2_mix(
+        d.select("doc_id", "text"), seed="u13",
+        r_rate=0.15, r_span=3, x_rate=0.5, x_span=8,
+    )
+
+
+@register(
     "q_dsir_scores",
     "DSIR data selection (operators/dsir.py — Xie et al. 2023 "
     "importance resampling): every document scored by its hashed-"

@@ -1,0 +1,193 @@
+"""Ids-mode span corruption + UL2 mixture-of-denoisers
+(operators/denoise.py): per-denoiser python recomputes, tag
+selection by the md5-threshold convention, and reconstruction — for
+R/X, splicing each target span over its sentinel rebuilds the
+document; for S, prefix + suffix rebuild it; in id space, the
+reassembled ids decode to the original text."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _u32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_span_corrupt_ids_parity_and_roundtrip(spark):
+    """Ids mode corrupts the same POSITIONS as a python recompute in
+    id space, sentinels are consecutive ids from sentinel_base, and
+    splicing targets over sentinels rebuilds ids that decode to the
+    original text."""
+    from evaporate_spark.operators.bpe import (
+        bpe_encode_ids,
+        build_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
+    from evaporate_spark.operators.denoise import span_corrupt
+
+    docs = [
+        (0, "the cat sat on the mat and the dog sat on the log"),
+        (1, "unicode bits: café 🙂 here"),
+        (2, ""),
+        (3, "one two three four five six seven eight nine ten " * 5),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    merges = train_bpe(df, "text", num_merges=60, lossless=True)
+    vocab = build_vocab(
+        merges, extra_ids=64, alphabet=corpus_alphabet(df, "text")
+    )
+    base = vocab.special_id("<extra_id_0>")
+    ids_df = bpe_encode_ids(df, "text", vocab)
+    orig = {
+        r["doc_id"]: list(r["token_ids"]) for r in ids_df.collect()
+    }
+    RATE, SPAN, SEED = 0.3, 2, "i13"
+    thr = int(RATE * 4294967296)
+    out = {
+        r["doc_id"]: r
+        for r in span_corrupt(
+            ids_df, rate=RATE, span_len=SPAN, seed=SEED,
+            ids_col="token_ids", sentinel_base=base,
+        ).collect()
+    }
+    assert "inputs_ids" in out[0].asDict() and "targets_ids" in out[0].asDict()
+    corrupted = 0
+    for doc_id, text in docs:
+        t = orig[doc_id]
+        n = len(t)
+        seeds = [
+            p for p in range(1, n + 1)
+            if _u32(f"{SEED}{doc_id}#{p}") < thr
+        ]
+        cov = lambda p: any(s <= p <= s + SPAN - 1 for s in seeds)  # noqa: E731
+        starts = [p for p in range(1, n + 1) if cov(p) and not cov(p - 1)]
+        sidx = {p: k for k, p in enumerate(starts)}
+        want_in, want_tg = [], []
+        for p in range(1, n + 1):
+            if p in sidx:
+                want_in.append(base + sidx[p])
+                want_tg += [base + sidx[p], t[p - 1]]
+            elif cov(p):
+                want_tg.append(t[p - 1])
+            else:
+                want_in.append(t[p - 1])
+        r = out[doc_id]
+        assert list(r["inputs_ids"]) == want_in, doc_id
+        assert list(r["targets_ids"]) == want_tg, doc_id
+        assert (r["n_tokens"], r["n_spans"]) == (n, len(starts))
+        corrupted += r["n_spans"]
+        # splice target spans back over their sentinels -> decode
+        spans: dict[int, list[int]] = {}
+        cur = None
+        for i in r["targets_ids"]:
+            if i >= base:
+                cur = spans.setdefault(i - base, [])
+            else:
+                cur.append(i)
+        rebuilt = []
+        for i in r["inputs_ids"]:
+            rebuilt += spans[i - base] if i >= base else [i]
+        assert vocab.decode(rebuilt) == text, doc_id
+    assert corrupted > 0
+    with pytest.raises(ValueError, match="sentinel_base"):
+        span_corrupt(ids_df, ids_col="token_ids")
+
+
+def test_ul2_mix_selection_and_per_denoiser_algebra(spark):
+    """Tag = md5-threshold over (seed, id); R and X replay the
+    span_corrupt recompute at their own (rate, span); S is a
+    prefix-LM split whose prefix+suffix rebuild the document."""
+    from evaporate_spark.operators.denoise import ul2_mix
+    from evaporate_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    SEED = "u13"
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in d.select("doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in ul2_mix(
+            d.select("doc_id", "text"), seed=SEED,
+            r_rate=0.15, r_span=3, x_rate=0.5, x_span=8,
+        ).collect()
+    }
+    c1, c2 = 1431655765, 2863311530
+
+    def rx_recompute(i, text, rate, span):
+        thr = int(rate * 4294967296)
+        t = text.split()
+        n = len(t)
+        seeds = [
+            p for p in range(1, n + 1)
+            if _u32(f"{SEED}{i}#{p}") < thr
+        ]
+        cov = lambda p: any(s <= p <= s + span - 1 for s in seeds)  # noqa: E731
+        starts = [p for p in range(1, n + 1) if cov(p) and not cov(p - 1)]
+        sidx = {p: k for k, p in enumerate(starts)}
+        inp, tgt = [], []
+        for p in range(1, n + 1):
+            if p in sidx:
+                inp.append(f"<extra_id_{sidx[p]}>")
+                tgt += [f"<extra_id_{sidx[p]}>", t[p - 1]]
+            elif cov(p):
+                tgt.append(t[p - 1])
+            else:
+                inp.append(t[p - 1])
+        return (
+            " ".join(inp), " ".join(tgt), n,
+            sum(1 for p in range(1, n + 1) if cov(p)), len(starts),
+        )
+
+    seen = {"R": 0, "X": 0, "S": 0}
+    for i, text in rows.items():
+        r = got[i]
+        u = _u32(f"{SEED}{i}@mix")
+        want_tag = "R" if u < c1 else ("X" if u < c2 else "S")
+        assert r["denoiser"] == want_tag, i
+        seen[want_tag] += 1
+        t = text.split()
+        if want_tag == "S":
+            n = len(t)
+            if n == 0:
+                assert (r["inputs"], r["targets"]) == ("", "")
+                continue
+            sp = _u32(f"{SEED}{i}@s") % n + 1
+            prefix, suffix = t[: sp - 1], t[sp - 1:]
+            assert r["inputs"] == " ".join(prefix + ["<extra_id_0>"]), i
+            assert r["targets"] == " ".join(["<extra_id_0>"] + suffix), i
+            assert r["n_corrupted"] == n - sp + 1
+            assert r["n_spans"] == 1
+            # reconstruction
+            assert prefix + suffix == t
+        else:
+            rate, span = (0.15, 3) if want_tag == "R" else (0.5, 8)
+            want = rx_recompute(i, text, rate, span)
+            assert (
+                r["inputs"], r["targets"], r["n_tokens"],
+                r["n_corrupted"], r["n_spans"],
+            ) == want, i
+    # the mixture actually mixes (500 docs, ~1/3 each)
+    assert all(v > 100 for v in seen.values()), seen
+    # X corrupts much harder than R on average
+    stats = {
+        r["denoiser"]: r["frac"]
+        for r in ul2_mix(d.select("doc_id", "text"), seed=SEED)
+        .where(F.col("n_tokens") > 0)
+        .groupBy("denoiser")
+        .agg(
+            (F.sum("n_corrupted") / F.sum("n_tokens")).alias("frac")
+        )
+        .collect()
+    }
+    assert stats["X"] > 2 * stats["R"]
+    with pytest.raises(ValueError, match="weights"):
+        ul2_mix(d, weights=(1.0, 1.0))
+    with pytest.raises(ValueError, match="rate"):
+        ul2_mix(d, x_rate=1.5)

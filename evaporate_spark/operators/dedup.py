@@ -584,6 +584,35 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _assign_clusters(
+    docs: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Scan-stage cosine-argmax cluster assignment against a
+    plan-literal codebook: ``(_id, _v, cluster, centroid_sim)`` with
+    cosines rounded to 1e-6 and first-index tie wins (the shared
+    SemDeDup convention — both one-shot and incremental passes MUST
+    assign identically or cluster-scoped dedup silently misses)."""
+    from evaporate_spark.operators.similarity import cosine
+
+    scores = F.array(
+        *[
+            F.round(
+                cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])),
+                6,
+            )
+            for c in centroids
+        ]
+    )
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_max(scores).alias("centroid_sim"),
+    )
+
+
 def semdedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -645,25 +674,7 @@ def semdedup(
     if not centroids:
         raise ValueError("semdedup needs at least one centroid")
 
-    scores = F.array(
-        *[
-            F.round(
-                cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])),
-                6,
-            )
-            for c in centroids
-        ]
-    )
-    assigned = docs.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        (F.array_position(scores, F.array_max(scores)) - 1)
-        .cast("int")
-        .alias("cluster"),
-        F.array_max(scores).alias("centroid_sim"),
-    )
-    from pyspark.sql.window import Window
-
+    assigned = _assign_clusters(docs, id_col, vec_col, centroids)
     w = Window.partitionBy("cluster").orderBy(
         F.asc("centroid_sim"), F.asc("_id")
     )
@@ -702,6 +713,220 @@ def semdedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def _semdedup_codebook_path(store_dir: str) -> str:
+    # underscore prefix: Spark's parquet reader treats it as hidden,
+    # so the sidecar can live inside the index directory
+    return store_dir.rstrip("/") + "/_codebook.json"
+
+
+def _read_semdedup_codebook(spark, store_dir: str) -> dict | None:
+    """The persisted codebook sidecar, via the Hadoop FS API (one
+    bulk IOUtils copy — the ``versioned.py`` marker convention), or
+    None before the first batch commits one."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_semdedup_codebook_path(store_dir))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    sink = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
+    return json.loads(bytes(sink.toByteArray()).decode("utf-8"))
+
+
+def _write_semdedup_codebook(spark, store_dir: str, meta: dict) -> None:
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_semdedup_codebook_path(store_dir))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(p, True)
+    stream.write(bytearray(json.dumps(meta).encode("utf-8")))
+    stream.close()
+
+
+def build_semdedup_index(
+    docs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Index rows for a committed (already-deduped) corpus batch:
+    ``(doc_id, cluster, centroid_sim, vec)`` — cluster assignment is
+    scan-stage against the plan-literal codebook; the embedding rides
+    along because the incremental pass needs pairwise cosines against
+    the store (contrast the lexical index, which stores only
+    digests). Persist with ``.write.parquet(store_dir)``."""
+    return _assign_clusters(docs, id_col, vec_col, centroids).select(
+        F.col("_id").cast("string").alias("doc_id"),
+        "cluster",
+        "centroid_sim",
+        F.col("_v").alias("vec"),
+    )
+
+
+def incremental_semdedup(
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    store_dir: str,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iterations: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """Crawl-mode SemDeDup — :func:`semdedup` across BATCHES via a
+    persisted cluster-assignment index: a batch document drops iff a
+    COMMITTED store document in its cluster sits at pairwise cosine ≥
+    ``threshold`` (earlier batches win, unconditionally), or a
+    lower-ranked batch-mate does (the one-pass within-batch rule).
+    Returns every batch row as ``(id_col, cluster, centroid_sim,
+    kept)`` and appends the SURVIVORS' index rows to ``store_dir`` —
+    so a daily crawl batch dedups against yesterday's corpus without
+    re-embedding or rescanning it.
+
+    The codebook is the contract: the FIRST batch fixes it (passed
+    ``centroids``, or the deterministic hash-sample init /
+    ``iterations`` spherical k-means rounds over that batch) and a
+    ``_codebook.json`` sidecar (Hadoop FS API — object-store roots
+    work) pins (centroids, threshold); later batches load it and
+    RAISE on a conflicting explicit ``centroids``/``threshold`` —
+    assignment drift would silently scope the quadratic pass to the
+    wrong clusters (the ``prepare_corpus`` changed-param rule).
+
+    Replay-safe: store rows with the batch's own ids are ignored
+    (the ``incremental_selfdedup_spans`` idempotency convention), so
+    re-running a batch after a completed append is byte-identical,
+    not self-destructive. Output is materialized before the append.
+
+    Scale shape: assignment is scan-stage; the store join is keyed on
+    ``cluster`` and quadratic only within a cluster (SemDeDup's
+    published trade — size ``n_clusters`` so cluster blocks fit a
+    task; AQE splits hot clusters); the sidecar is codebook-sized.
+    """
+    from evaporate_spark.operators.similarity import (
+        _sampled_centroids,
+        cosine,
+        train_ivf_codebook,
+    )
+
+    spark = batch.sparkSession
+    meta = _read_semdedup_codebook(spark, store_dir)
+    if meta is not None:
+        if centroids is not None and [
+            [float(x) for x in c] for c in centroids
+        ] != meta["centroids"]:
+            raise ValueError(
+                "incremental_semdedup: explicit centroids differ from "
+                f"the committed codebook at {store_dir} — assignment "
+                "drift would silently break cluster-scoped dedup"
+            )
+        if abs(float(threshold) - meta["threshold"]) > 1e-12:
+            raise ValueError(
+                f"incremental_semdedup: threshold {threshold} differs "
+                f"from the committed {meta['threshold']} at {store_dir}"
+            )
+        centroids = meta["centroids"]
+    else:
+        if centroids is None:
+            if iterations > 0:
+                centroids = train_ivf_codebook(
+                    batch, id_col, vec_col, n_clusters, iterations, seed
+                )
+            else:
+                centroids = _sampled_centroids(
+                    batch, id_col, vec_col, n_clusters, seed
+                )
+        centroids = [[float(x) for x in c] for c in centroids]
+        if not centroids:
+            raise ValueError("incremental_semdedup needs >= 1 centroid")
+        _write_semdedup_codebook(
+            spark, store_dir,
+            {"centroids": centroids, "threshold": float(threshold)},
+        )
+
+    assigned = _assign_clusters(batch, id_col, vec_col, centroids)
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("centroid_sim"), F.asc("_id")
+    )
+    ranked = assigned.withColumn("_rank", F.row_number().over(w))
+    left = ranked.select(
+        "cluster",
+        F.col("_id").alias("_aid"),
+        F.col("_v").alias("_av"),
+        F.col("_rank").alias("_arank"),
+    )
+    right = ranked.select(
+        "cluster",
+        F.col("_id").alias("_bid"),
+        F.col("_v").alias("_bv"),
+        F.col("_rank").alias("_brank"),
+    )
+    batch_drops = (
+        left.join(right, "cluster")
+        .where(
+            (F.col("_brank") < F.col("_arank"))
+            & (F.round(cosine("_av", "_bv"), 6) >= F.lit(float(threshold)))
+        )
+        .select(F.col("_aid").alias("_did"))
+    )
+    if _store_has_parquet(spark, store_dir):
+        store = spark.read.parquet(store_dir)
+        store_drops = (
+            ranked.join(store, "cluster")
+            .where(
+                # self-rows (a replayed batch's own append) never drop
+                (F.col("doc_id") != F.col("_id").cast("string"))
+                & (
+                    F.round(cosine("_v", "vec"), 6)
+                    >= F.lit(float(threshold))
+                )
+            )
+            .select(F.col("_id").alias("_did"))
+        )
+        dropped = batch_drops.unionByName(store_drops).distinct()
+    else:
+        dropped = batch_drops.distinct()
+    result = (
+        ranked.join(
+            dropped.withColumn("_dropped", F.lit(True)),
+            ranked["_id"] == dropped["_did"],
+            "left",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+    out = result.localCheckpoint(eager=True)
+    survivors = assigned.join(
+        out.where("kept").select(F.col(id_col).alias("_kid")),
+        assigned["_id"] == F.col("_kid"),
+    )
+    # only NEW rows append on replay: ids already in the store were
+    # either dropped above (non-self match) or are the self rows
+    existing = (
+        spark.read.parquet(store_dir).select("doc_id")
+        if _store_has_parquet(spark, store_dir)
+        else None
+    )
+    idx = survivors.select(
+        F.col("_id").cast("string").alias("doc_id"),
+        "cluster",
+        "centroid_sim",
+        F.col("_v").alias("vec"),
+    )
+    if existing is not None:
+        idx = idx.join(existing, "doc_id", "left_anti")
+    idx.write.mode("append").parquet(store_dir)
+    return out
 
 
 def decontaminate(

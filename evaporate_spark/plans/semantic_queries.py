@@ -1399,6 +1399,112 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_semdedup",
+    "Crawl-mode SemDeDup (operators/dedup.py::incremental_semdedup): "
+    "embeddings ingest as two batches (even vec_ids, then odd) "
+    "through a fresh persisted cluster index + codebook sidecar; the "
+    "query returns batch 2's rows — an odd vector drops iff a "
+    "COMMITTED even SURVIVOR in its cluster sits at cosine >= 0.2 "
+    "(earlier batch wins) or a lower-ranked odd mate does (the "
+    "one-pass rule). The oracle replays codebook init -> assignment "
+    "-> batch-1 one-pass survivors -> batch-2 store/batch drops end "
+    "to end in DuckDB list algebra. Side effect: /tmp store, reset "
+    "per invocation.",
+    oracle="""
+        WITH c AS (
+            SELECT embedding AS ce,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 8
+        ),
+        s AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROUND(list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) AS cs
+            FROM embeddings e CROSS JOIN c
+        ),
+        a AS (
+            SELECT vec_id, embedding, cid, cs
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY cs DESC, cid ASC
+                       ) AS r
+                FROM s
+            ) WHERE r = 1
+        ),
+        rka AS (
+            SELECT vec_id, embedding, cid AS cluster, cs AS centroid_sim,
+                   row_number() OVER (
+                       PARTITION BY cid ORDER BY cs ASC, vec_id ASC
+                   ) AS rnk
+            FROM a WHERE vec_id % 2 = 0
+        ),
+        drpa AS (
+            SELECT DISTINCT x.vec_id
+            FROM rka x JOIN rka y
+              ON x.cluster = y.cluster AND y.rnk < x.rnk
+            WHERE ROUND(list_cosine_similarity(
+                x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.2
+        ),
+        stor AS (
+            SELECT * FROM rka
+            WHERE vec_id NOT IN (SELECT vec_id FROM drpa)
+        ),
+        rkb AS (
+            SELECT vec_id, embedding, cid AS cluster, cs AS centroid_sim,
+                   row_number() OVER (
+                       PARTITION BY cid ORDER BY cs ASC, vec_id ASC
+                   ) AS rnk
+            FROM a WHERE vec_id % 2 = 1
+        ),
+        drpb AS (
+            SELECT DISTINCT x.vec_id
+            FROM rkb x JOIN rkb y
+              ON x.cluster = y.cluster AND y.rnk < x.rnk
+            WHERE ROUND(list_cosine_similarity(
+                x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.2
+            UNION
+            SELECT DISTINCT x.vec_id
+            FROM rkb x JOIN stor st ON x.cluster = st.cluster
+            WHERE ROUND(list_cosine_similarity(
+                x.embedding::DOUBLE[], st.embedding::DOUBLE[]), 6) >= 0.2
+        )
+        SELECT rkb.vec_id, rkb.cluster, rkb.centroid_sim,
+               drpb.vec_id IS NULL AS kept
+        FROM rkb LEFT JOIN drpb ON rkb.vec_id = drpb.vec_id
+    """,
+    tags=("similarity", "dedup"),
+)
+def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from evaporate_spark.operators.dedup import incremental_semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    store = f"/tmp/spark_graft_semidx_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    cent_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    batch_a = emb.where(F.col("vec_id") % 2 == 0)
+    batch_b = emb.where(F.col("vec_id") % 2 == 1)
+    incremental_semdedup(
+        batch_a, "vec_id", "embedding", store,
+        centroids=centroids, threshold=0.2,
+    ).count()
+    return incremental_semdedup(
+        batch_b, "vec_id", "embedding", store, threshold=0.2
+    )
+
+
+@register(
     "q_int8_ann",
     "Int8-quantized ANN (operators/similarity.py::int8_topk): the "
     "corpus quantizes to symmetric per-vector int8 codes (scale = "

@@ -1,0 +1,130 @@
+"""Incremental SemDeDup (operators/dedup.py::incremental_semdedup):
+batch-over-store semantic dedup against a persisted cluster index —
+committed batches win unconditionally, the one-pass rule applies
+within a batch, replaying a committed batch is byte-identical (not
+self-destructive), and the codebook sidecar pins (centroids,
+threshold) across batches."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "embedding"])
+
+
+CENTROIDS = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+BATCH_A = [
+    ("a1", [1.0, 0.0, 0.0]),
+    ("a2", [0.999, 0.02, 0.0]),   # near-dup of a1 (same cluster)
+    ("a3", [0.0, 1.0, 0.0]),
+]
+BATCH_B = [
+    ("b1", [0.998, 0.03, 0.0]),   # dup of committed a-family -> drop
+    ("b2", [0.0, 0.999, 0.02]),   # dup of committed a3 -> drop
+    ("b3", [0.0, 0.0, 1.0]),      # new cluster; dup of batch-mate b4
+    ("b4", [0.02, 0.0, 0.999]),   # kept (least centroid-typical)
+]
+
+
+def test_two_batch_semantics_and_replay(spark, tmp_path):
+    from evaporate_spark.operators.dedup import (
+        incremental_semdedup,
+        semdedup,
+    )
+
+    store = str(tmp_path / "sem_store")
+    out_a = incremental_semdedup(
+        _df(spark, BATCH_A), "doc_id", "embedding", store,
+        centroids=CENTROIDS, threshold=0.95,
+    )
+    kept_a = {r["doc_id"]: r["kept"] for r in out_a.collect()}
+    # one-pass keep-least-typical: a2 (lower centroid_sim) survives,
+    # a1 drops to it; a3 alone in its cluster
+    assert kept_a == {"a1": False, "a2": True, "a3": True}
+    # first batch == the one-shot operator at the same codebook
+    one_shot = {
+        r["doc_id"]: r["kept"]
+        for r in semdedup(
+            _df(spark, BATCH_A), "doc_id", "embedding",
+            centroids=CENTROIDS, threshold=0.95,
+        ).collect()
+    }
+    assert one_shot == kept_a
+
+    out_b = incremental_semdedup(
+        _df(spark, BATCH_B), "doc_id", "embedding", store,
+        threshold=0.95,
+    )
+    kept_b = {r["doc_id"]: r["kept"] for r in out_b.collect()}
+    # b1/b2 fall to COMMITTED store docs; b3 falls to its batch-mate
+    assert kept_b == {"b1": False, "b2": False, "b3": False, "b4": True}
+
+    store_ids = {
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    }
+    assert store_ids == {"a2", "a3", "b4"}
+
+    # replay batch B after its append: byte-identical, store unchanged
+    out_b2 = incremental_semdedup(
+        _df(spark, BATCH_B), "doc_id", "embedding", store,
+        threshold=0.95,
+    )
+    assert {
+        r["doc_id"]: r["kept"] for r in out_b2.collect()
+    } == kept_b
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    } == {"a2", "a3", "b4"}
+    assert spark.read.parquet(store).count() == 3  # no duplicate rows
+
+
+def test_codebook_is_pinned(spark, tmp_path):
+    from evaporate_spark.operators.dedup import incremental_semdedup
+
+    store = str(tmp_path / "sem_store2")
+    incremental_semdedup(
+        _df(spark, BATCH_A), "doc_id", "embedding", store,
+        centroids=CENTROIDS, threshold=0.95,
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        incremental_semdedup(
+            _df(spark, BATCH_B), "doc_id", "embedding", store,
+            threshold=0.9,
+        )
+    with pytest.raises(ValueError, match="centroids"):
+        incremental_semdedup(
+            _df(spark, BATCH_B), "doc_id", "embedding", store,
+            centroids=[[1.0, 0.0, 0.0]], threshold=0.95,
+        )
+    # omitting both loads the committed codebook silently
+    out = incremental_semdedup(
+        _df(spark, BATCH_B), "doc_id", "embedding", store,
+        threshold=0.95,
+    )
+    assert out.count() == 4
+
+
+def test_first_batch_default_codebook_roundtrips(spark, tmp_path):
+    """Without explicit centroids the first batch trains/samples its
+    own codebook and later batches reuse it from the sidecar."""
+    from evaporate_spark.operators.dedup import (
+        _read_semdedup_codebook,
+        incremental_semdedup,
+    )
+
+    store = str(tmp_path / "sem_store3")
+    incremental_semdedup(
+        _df(spark, BATCH_A), "doc_id", "embedding", store,
+        n_clusters=2, threshold=0.95,
+    )
+    meta = _read_semdedup_codebook(spark, store)
+    assert len(meta["centroids"]) == 2
+    assert meta["threshold"] == 0.95
+    out = incremental_semdedup(
+        _df(spark, BATCH_B), "doc_id", "embedding", store,
+        threshold=0.95,
+    )
+    assert out.count() == 4

@@ -408,6 +408,66 @@ def _corpus_chain_bench(spark, sf_dir: str):
     )
 
 
+def _corpus_10x_emb_dir(spark, sf_dir: str) -> str:
+    """The 10x documents table + a persisted feature-hash embedding
+    column (built once per sf): SemDeDup consumes a PRECOMPUTED
+    embedding column — recomputing a pandas-UDF embedding inside
+    every stage's re-evaluation of the source frame is exactly the
+    anti-pattern a real pipeline avoids by storing embeddings in the
+    table (measured: 257 s vs ~20 s for the chain at sf0.01)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from evaporate_spark.functions.embed import feature_hash_embedding
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/spark_graft_corpus10xemb_{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    spark.read.parquet(_corpus_10x_dir(spark, sf_dir)).withColumn(
+        "embedding", feature_hash_embedding("text", dim=64)
+    ).repartition(32).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def _modern_chain_bench(spark, sf_dir: str):
+    """Bench-only row: the r12-generation corpus chain — ExactSubstr
+    span excision (selfdedup_spans_k=8) + SemDeDup over the persisted
+    feature-hash embedding column + DSIR selection toward a
+    base-table target slice + FFD bin packing — over the 10x
+    documents table. corpus_chain_10x predates all four stages; this
+    row is their recurring regression pin. Reduced to bin count,
+    token total, and padding."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import prepare_corpus
+
+    docs = spark.read.parquet(_corpus_10x_emb_dir(spark, sf_dir))
+    target = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).where(F.col("doc_id") % 17 == 0)
+    packed = prepare_corpus(
+        docs,
+        selfdedup_spans_k=8,
+        semdedup_threshold=0.9,
+        # clusters sized to the corpus (the paper's N/target rule):
+        # past _LITERAL_CODEBOOK_MAX the Arrow matmul assignment path
+        # makes MORE clusters cheaper (512: 13.3s vs 64: 138s at
+        # sf0.1-10x — the quadratic pair blocks shrink 64x)
+        semdedup_clusters=512,
+        dsir_target=target,
+        dsir_keep=10_000,
+        seq_len=512,
+        pack_mode="bins",
+        pack_seed="bench",
+    )
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_padding").alias("padded_tokens"),
+    )
+
+
 def _pack_docs_bench(spark, sf_dir: str):
     """Bench-only row: CROSS-document packing (pack_documents) over
     the 10x documents table — prices the stream layout's real costs
@@ -614,6 +674,7 @@ BENCH_ONLY = {
     "gopher_full_10x": _gopher_full_bench,
     "pack_docs_10x": _pack_docs_bench,
     "pack_bins_10x": _pack_bins_bench,
+    "modern_chain_10x": _modern_chain_bench,
 }
 
 #: per-row rep caps for end-to-end canary rows (tens of seconds per
@@ -626,6 +687,7 @@ REP_CAP = {
     "gopher_full_10x": 3,
     "pack_docs_10x": 3,
     "pack_bins_10x": 3,
+    "modern_chain_10x": 3,
 }
 
 

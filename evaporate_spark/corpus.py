@@ -65,6 +65,7 @@ def prepare_corpus(
     pack_seed: str = "",
     bpe_merges: list[tuple[str, str]] | None = None,
     bpe_lossless: bool = False,
+    pack_ids: bool = False,
     shuffle_seed: str | None = None,
     shuffle_shards: int | None = None,
     materialize_dir: str | None = None,
@@ -114,6 +115,13 @@ def prepare_corpus(
     ``bpe_lossless`` (merges from ``train_bpe(lossless=True)``)
     switches to the GPT-2-style raw-text pieces, so token counts,
     budgets, and ``seq_text`` are exact over the original bytes.
+    ``pack_ids`` (requires lossless ``bpe_merges``) emits INTEGER
+    token ids instead: documents encode once via
+    ``operators.bpe.bpe_encode_ids`` against the deterministic
+    ``build_vocab`` vocabulary and every window/bin carries
+    ``seq_ids ARRAY<INT>`` with the EOS as ``vocab.eos_id`` — the
+    bytes a trainer's loader memory-maps (export the matching
+    tokenizer with ``operators.bpe.export_gpt2_tokenizer``).
     ``pack_mode`` picks the packing layout: ``"windows"`` (default)
     stride-slices each document independently
     (:func:`operators.packing.pack_sequences` — windows keep their
@@ -480,10 +488,33 @@ def prepare_corpus(
             ride.append("epoch")
         if split_fractions is not None:
             ride.append("split")
+        pack_vocab = None
+        if pack_ids:
+            if bpe_merges is None or not bpe_lossless:
+                raise ValueError(
+                    "pack_ids requires bpe_merges from "
+                    "train_bpe(lossless=True) — integer ids are only "
+                    "meaningful against the lossless vocabulary"
+                )
+            from evaporate_spark.operators.bpe import build_vocab
+
+            pack_vocab = build_vocab(bpe_merges)
+
+        def _encode_ids(d: DataFrame) -> DataFrame:
+            from evaporate_spark.operators.bpe import bpe_encode_ids
+
+            return bpe_encode_ids(d, text_col, pack_vocab, "_ids")
+
         if pack_mode == "documents":
             from evaporate_spark.operators.packing import pack_documents
 
             def _pack(d: DataFrame) -> DataFrame:
+                if pack_vocab is not None:
+                    return pack_documents(
+                        _encode_ids(d), id_col, text_col, seq_len,
+                        seed=pack_seed, group_cols=ride or None,
+                        ids_col="_ids", eos_id=pack_vocab.eos_id,
+                    )
                 return pack_documents(
                     d, id_col, text_col, seq_len,
                     seed=pack_seed, eos_token=eos_token,
@@ -495,6 +526,12 @@ def prepare_corpus(
             from evaporate_spark.operators.packing import pack_bins
 
             def _pack(d: DataFrame) -> DataFrame:
+                if pack_vocab is not None:
+                    return pack_bins(
+                        _encode_ids(d), id_col, text_col, seq_len,
+                        seed=pack_seed, group_cols=ride or None,
+                        ids_col="_ids", eos_id=pack_vocab.eos_id,
+                    )
                 return pack_bins(
                     d, id_col, text_col, seq_len,
                     seed=pack_seed, eos_token=eos_token,
@@ -506,6 +543,11 @@ def prepare_corpus(
             from evaporate_spark.operators.packing import pack_sequences
 
             def _pack(d: DataFrame) -> DataFrame:
+                if pack_vocab is not None:
+                    return pack_sequences(
+                        _encode_ids(d), id_col, text_col, seq_len,
+                        overlap, ride or None, ids_col="_ids",
+                    )
                 return pack_sequences(
                     d, id_col, text_col, seq_len, overlap, ride or None,
                     merges=bpe_merges, lossless=bpe_lossless,
@@ -549,8 +591,21 @@ def prepare_corpus(
 
     if materialize_dir is None:
         out = docs
-        for _, fn in stages:
+        for i, (_, fn) in enumerate(stages):
             out = fn(out)
+            # lazy lineage barrier between stages: several stages
+            # reference their input MORE THAN ONCE (selfdedup_spans'
+            # store join, semdedup's cluster self-join, DSIR's
+            # model joins, near-dedup banding) — folded lazily, each
+            # re-reference recomputes the whole upstream chain, and
+            # the recompute multiplies across stages (measured 212 s
+            # vs ~40 s for the 5-stage modern chain at sf0.01-10x).
+            # A lazy localCheckpoint materializes each stage's output
+            # once at first use and truncates lineage, bounding every
+            # stage to one evaluation; the last stage stays a live
+            # plan so callers keep pushdown into the final projection.
+            if i < len(stages) - 1:
+                out = out.localCheckpoint(eager=False)
         return out
     # configuration fingerprint for the resume guard: every parameter
     # that shapes stage OUTPUT (not just which stages run). Input

@@ -584,32 +584,94 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: codebook size (centroids × dims) above which cluster assignment
+#: switches from plan-literal JVM expressions to the Arrow matmul
+#: path: a k×d literal codebook inflates the generated code
+#: quadratically (measured at sf0.1-10x: 256×64 literals made
+#: assignment SLOWER than 64×64 despite 4x smaller pair blocks)
+_LITERAL_CODEBOOK_MAX = 4096
+
+
 def _assign_clusters(
     docs: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
-    """Scan-stage cosine-argmax cluster assignment against a
-    plan-literal codebook: ``(_id, _v, cluster, centroid_sim)`` with
-    cosines rounded to 1e-6 and first-index tie wins (the shared
-    SemDeDup convention — both one-shot and incremental passes MUST
-    assign identically or cluster-scoped dedup silently misses)."""
+    """Scan-stage cosine-argmax cluster assignment:
+    ``(_id, _v, cluster, centroid_sim)`` with cosines rounded
+    half-up to 1e-6 and first-index tie wins (the shared SemDeDup
+    convention — both one-shot and incremental passes MUST assign
+    identically or cluster-scoped dedup silently misses).
+
+    Small codebooks inline as plan literals (pure JVM, whole-stage
+    codegen, DuckDB-oracle-exact). Past ``_LITERAL_CODEBOOK_MAX``
+    entries the codebook broadcasts as a numpy matrix and assignment
+    is one Arrow-batched matmul per batch — the path that scales to
+    the paper's 50k-cluster regime, where literal codegen collapses.
+    The two paths can disagree only when an unrounded cosine sits
+    within fold-order ulps of a .5e-6 boundary; each path is
+    deterministic for a given codebook."""
     from evaporate_spark.operators.similarity import cosine
 
-    scores = F.array(
-        *[
-            F.round(
-                cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])),
-                6,
-            )
-            for c in centroids
-        ]
+    if len(centroids) * len(centroids[0]) <= _LITERAL_CODEBOOK_MAX:
+        scores = F.array(
+            *[
+                F.round(
+                    cosine(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    ),
+                    6,
+                )
+                for c in centroids
+            ]
+        )
+        return docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            (F.array_position(scores, F.array_max(scores)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_max(scores).alias("centroid_sim"),
+        )
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(centroids, dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0  # zero centroid -> cosine 0, not nan
+    b_cb = docs.sparkSession.sparkContext.broadcast(
+        (mat / norms[:, None]).T  # (d, k), pre-normalized
     )
+
+    @pandas_udf("struct<cluster:int, centroid_sim:double>")
+    def _best(vs):
+        import pandas as pd
+
+        cb = b_cb.value
+        m = np.asarray(vs.tolist(), dtype="float64")  # (n, d)
+        vn = np.linalg.norm(m, axis=1)
+        vn[vn == 0.0] = 1.0  # cosine() convention: zero vec -> 0.0
+        s = (m / vn[:, None]) @ cb  # (n, k)
+        # half-up 1e-6 quantization, matching F.round(HALF_UP) for
+        # the non-negative range and floor(x*1e6+0.5) everywhere
+        s = np.floor(s * 1e6 + 0.5) / 1e6
+        best = np.argmax(s, axis=1)  # first index wins ties
+        return pd.DataFrame(
+            {
+                "cluster": best.astype("int32"),
+                "centroid_sim": s[np.arange(len(best)), best],
+            }
+        )
+
     return docs.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        (F.array_position(scores, F.array_max(scores)) - 1)
-        .cast("int")
-        .alias("cluster"),
-        F.array_max(scores).alias("centroid_sim"),
+        _best(F.col(vec_col)).alias("_a"),
+    ).select(
+        "_id",
+        "_v",
+        F.col("_a.cluster").alias("cluster"),
+        F.col("_a.centroid_sim").alias("centroid_sim"),
     )
 
 

@@ -128,3 +128,44 @@ def test_first_batch_default_codebook_roundtrips(spark, tmp_path):
         threshold=0.95,
     )
     assert out.count() == 4
+
+
+def test_assign_clusters_arrow_path_parity(spark, monkeypatch):
+    """The Arrow matmul assignment path (big codebooks, where
+    plan-literal codegen collapses) assigns every vector to the same
+    (cluster, centroid_sim) as the literal JVM path."""
+    import evaporate_spark.operators.dedup as dd
+    from evaporate_spark.operators.dedup import _assign_clusters
+    from evaporate_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+    lit = {
+        r["_id"]: (r["cluster"], r["centroid_sim"])
+        for r in _assign_clusters(
+            emb, "vec_id", "embedding", cents
+        ).collect()
+    }
+    monkeypatch.setattr(dd, "_LITERAL_CODEBOOK_MAX", 0)
+    arr = {
+        r["_id"]: (r["cluster"], r["centroid_sim"])
+        for r in _assign_clusters(
+            emb, "vec_id", "embedding", cents
+        ).collect()
+    }
+    assert lit == arr
+    # zero vectors take the cosine()==0.0 convention on both paths
+    import pyspark.sql.functions as F
+
+    z = spark.createDataFrame(
+        [(1, [0.0] * len(cents[0]))], ["vec_id", "embedding"]
+    )
+    za = _assign_clusters(z, "vec_id", "embedding", cents).first()
+    monkeypatch.setattr(dd, "_LITERAL_CODEBOOK_MAX", 4096)
+    zl = _assign_clusters(z, "vec_id", "embedding", cents).first()
+    assert (za["cluster"], za["centroid_sim"]) == (
+        zl["cluster"], zl["centroid_sim"],
+    )

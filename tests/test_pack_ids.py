@@ -136,3 +136,37 @@ def test_ids_mode_validation(corpus):
         pack_sequences(ids, ids_col="token_ids", tokens_col="token_ids")
     with pytest.raises(ValueError, match="eos_id"):
         pack_bins(ids, ids_col="token_ids")
+
+
+def test_prepare_corpus_pack_ids(spark):
+    """Facade: pack_ids=True emits seq_ids ARRAY<INT> through the
+    whole chain — the ids decode (via the deterministic build_vocab
+    twin) back to the normalized corpus text; requires lossless
+    merges."""
+    import pytest as _pytest
+
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.bpe import build_vocab, train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in DOCS if t], ["doc_id", "text"]
+    )
+    merges = train_bpe(docs, "text", num_merges=60, lossless=True)
+    vocab = build_vocab(merges)
+    out = prepare_corpus(
+        docs, redact=False, normalize=False, dedup=False,
+        seq_len=16, pack_mode="documents", pack_seed="f13",
+        bpe_merges=merges, bpe_lossless=True, pack_ids=True,
+    ).collect()
+    assert "seq_ids" in out[0].asDict()
+    assert "seq_text" not in out[0].asDict()
+    docs_ids = _doc_ids_from_spans(out, vocab.eos_id)
+    texts = dict(DOCS)
+    for d, ids in docs_ids.items():
+        assert vocab.decode(ids) == texts[int(d)]
+    with _pytest.raises(ValueError, match="lossless"):
+        prepare_corpus(
+            docs, seq_len=16, pack_ids=True, bpe_merges=merges,
+        )
+    with _pytest.raises(ValueError, match="lossless"):
+        prepare_corpus(docs, seq_len=16, pack_ids=True)

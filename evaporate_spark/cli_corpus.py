@@ -190,6 +190,20 @@ def build_parser() -> argparse.ArgumentParser:
         "words + end-of-word sentinel",
     )
     p.add_argument(
+        "--pack-ids",
+        action="store_true",
+        help="emit INTEGER token ids (seq_ids ARRAY<INT>, EOS as the "
+        "vocabulary's eos id) instead of token strings — the layout a "
+        "trainer's loader memory-maps; requires --bpe-lossless merges",
+    )
+    p.add_argument(
+        "--export-tokenizer",
+        help="write GPT-2 interchange files (encoder.json + vocab.bpe) "
+        "derived from this run's lossless merges to this local "
+        "directory — the trainer then loads the engine's EXACT "
+        "tokenizer (requires --bpe-lossless merges)",
+    )
+    p.add_argument(
         "--upsample-weights",
         help="key=epochs list for multi-epoch upsampling, e.g. 'en=2.25' "
         "(requires --mix-key; adds an epoch column)",
@@ -293,6 +307,24 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    needs_lossless = [
+        f for f, on in (
+            ("--pack-ids", args.pack_ids),
+            ("--export-tokenizer", args.export_tokenizer),
+        ) if on
+    ]
+    if needs_lossless and not (
+        args.bpe_lossless
+        and (args.bpe_num_merges or args.bpe_merges_path)
+    ):
+        print(
+            f"{'/'.join(needs_lossless)} requires --bpe-lossless with "
+            "--bpe-num-merges or --bpe-merges-path — integer ids and "
+            "the GPT-2 export are only meaningful against the "
+            "lossless vocabulary",
+            file=sys.stderr,
+        )
+        return 2
     if args.pretraining_mix and args.code_filters:
         print(
             "--pretraining-mix already runs the code filters on the "
@@ -377,6 +409,13 @@ def main(argv: list[str] | None = None) -> int:
             from evaporate_spark.operators.bpe import save_merges
 
             save_merges(spark, bpe_merges, args.save_bpe_merges)
+    if args.export_tokenizer:
+        from evaporate_spark.operators.bpe import (
+            build_vocab,
+            export_gpt2_tokenizer,
+        )
+
+        export_gpt2_tokenizer(build_vocab(bpe_merges), args.export_tokenizer)
     budgets = _parse_fractions(args.mix_token_budgets)
     out = prepare(
         docs,
@@ -418,6 +457,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         eos_token=args.eos_token,
         pack_seed=args.pack_seed,
+        pack_ids=args.pack_ids,
         upsample_weights=_parse_fractions(args.upsample_weights),
         shuffle_seed=args.shuffle_seed,
         shuffle_shards=args.shuffle_shards,

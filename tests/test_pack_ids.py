@@ -170,3 +170,38 @@ def test_prepare_corpus_pack_ids(spark):
         )
     with _pytest.raises(ValueError, match="lossless"):
         prepare_corpus(docs, seq_len=16, pack_ids=True)
+
+
+def test_corpus_cli_pack_ids_and_export_tokenizer(spark, tmp_path):
+    """cli_corpus --pack-ids --export-tokenizer: packed windows carry
+    seq_ids, and the exported GPT-2 files decode them."""
+    from evaporate_spark.cli_corpus import main
+    from evaporate_spark.operators.bpe import load_gpt2_tokenizer
+
+    out_dir = str(tmp_path / "ids_out")
+    tok_dir = str(tmp_path / "tok")
+    rc = main([
+        "--documents-parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--seq-len", "32", "--pack-docs",
+        "--bpe-num-merges", "60", "--bpe-lossless",
+        "--pack-ids", "--export-tokenizer", tok_dir,
+        "--output", out_dir,
+    ])
+    assert rc == 0
+    packed = spark.read.parquet(out_dir)
+    assert "seq_ids" in packed.columns
+    assert "seq_text" not in packed.columns
+    vocab = load_gpt2_tokenizer(tok_dir)
+    row = packed.orderBy("seq_index").first()
+    body = [i for i in row["seq_ids"] if i != vocab.eos_id]
+    assert len(body) > 0
+    assert len(vocab.decode(body)) > 0
+    # ids/export without lossless merges are argument errors
+    assert main([
+        "--documents-parquet", "x", "--output", "y",
+        "--seq-len", "32", "--pack-ids",
+    ]) == 2
+    assert main([
+        "--documents-parquet", "x", "--output", "y",
+        "--bpe-num-merges", "50", "--export-tokenizer", tok_dir,
+    ]) == 2

@@ -274,6 +274,122 @@ def random_hyperplane_signature(
     )
 
 
+#: codebook size (centroids × dims) above which centroid scoring
+#: switches from plan-literal JVM expressions to the Arrow matmul
+#: path — k×d literal codegen collapses past ~100 centroids
+#: (measured on the SemDeDup twin: 256×64 literals were SLOWER than
+#: 64×64 despite 4x less downstream work), while the broadcast-numpy
+#: path is flat to the paper-scale thousands-of-cells regime
+_LITERAL_CENTROIDS_MAX = 4096
+
+
+def probe_cells(
+    spark,
+    vec_col: Column,
+    centroids: list[list[float]],
+    n_probe: int = 1,
+) -> Column:
+    """``ARRAY<INT>`` of the ``n_probe`` nearest centroids by cosine
+    (descending score, ties by LOWER index) — the shared coarse
+    quantizer of the IVF family: ``element_at(..., 1)`` is the
+    assignment argmax, the full array is the probe list.
+
+    Small codebooks inline as plan literals (whole-stage codegen,
+    byte-identical to the historical expressions); past
+    ``_LITERAL_CENTROIDS_MAX`` entries the codebook broadcasts as a
+    pre-normalized numpy matrix and scoring is one Arrow matmul per
+    batch. The paths can disagree only when two UNROUNDED scores sit
+    within fold-order ulps; each is deterministic for a codebook."""
+    n_probe = min(int(n_probe), len(centroids))
+    if len(centroids) * len(centroids[0]) <= _LITERAL_CENTROIDS_MAX:
+        scores = F.array(
+            *[
+                cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+                for c in centroids
+            ]
+        )
+        # named_struct, not struct(alias): generator extraction (e.g.
+        # a posexplode in the same select) re-analyzes the projection
+        # and strips lambda-variable aliases, leaving col1/y_N field
+        # names that the ["idx"] access can no longer resolve
+        return F.slice(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        scores,
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda s, i: F.named_struct(
+                            F.lit("neg"), -s, F.lit("idx"), i
+                        ),
+                    )
+                ),
+                lambda st_: st_["idx"],
+            ),
+            1,
+            n_probe,
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(centroids, dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    b_cb = spark.sparkContext.broadcast((mat / norms[:, None]).T)
+    k = int(n_probe)
+
+    @pandas_udf("array<int>")
+    def _probe(vs):
+        import pandas as pd
+
+        cb = b_cb.value
+        m = np.asarray(vs.tolist(), dtype="float64")
+        vn = np.linalg.norm(m, axis=1)
+        vn[vn == 0.0] = 1.0  # cosine() convention: zero vec -> 0.0
+        s = (m / vn[:, None]) @ cb
+        # stable argsort on -score: descending score, ties by index
+        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        return pd.Series(list(order.astype("int32")))
+
+    return _probe(vec_col)
+
+
+def centroid_residual(
+    spark,
+    vec_col: Column,
+    cell_col: Column,
+    centroids: list[list[float]],
+) -> Column:
+    """``vec − centroids[cell]`` as ``ARRAY<DOUBLE>`` — the residual
+    the PQ stages encode. Plan-literal centroid matrix for small
+    codebooks; broadcast-numpy row lookup past the literal budget."""
+    if len(centroids) * len(centroids[0]) <= _LITERAL_CENTROIDS_MAX:
+        cent_mat = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        return F.zip_with(
+            vec_col,
+            F.element_at(cent_mat, cell_col + 1),
+            lambda a, b: a.cast("double") - b,
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    b_mat = spark.sparkContext.broadcast(
+        np.asarray(centroids, dtype="float64")
+    )
+
+    @pandas_udf("array<double>")
+    def _res(vs, cells):
+        import pandas as pd
+
+        mat = b_mat.value
+        m = np.asarray(vs.tolist(), dtype="float64")
+        out = m - mat[np.asarray(cells, dtype="int64")]
+        return pd.Series(list(out))
+
+    return _res(vec_col, cell_col)
+
+
 def _sampled_centroids(
     corpus: DataFrame,
     corpus_id: str,
@@ -316,14 +432,11 @@ def train_ivf_codebook(
     cents = _sampled_centroids(corpus, corpus_id, corpus_vec, n_centroids, seed)
     if not cents:
         return cents
+    spark = corpus.sparkSession
     for _ in range(int(iterations)):
-        scores = F.array(
-            *[
-                cosine(F.col(corpus_vec), F.array(*[F.lit(x) for x in c]))
-                for c in cents
-            ]
+        best = F.element_at(
+            probe_cells(spark, F.col(corpus_vec), cents, 1), 1
         )
-        best = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
         means = (
             corpus.select(
                 best.alias("cell"),
@@ -372,38 +485,17 @@ def ivf_topk(
     centroids = _sampled_centroids(
         corpus, corpus_id, corpus_vec, n_centroids, seed
     )
-
-    def cell_scores(vec: Column) -> Column:
-        return F.array(
-            *[
-                cosine(vec, F.array(*[F.lit(x) for x in c]))
-                for c in centroids
-            ]
-        )
-
-    def best_cell(vec: Column) -> Column:
-        s = cell_scores(vec)
-        return (F.array_position(s, F.array_max(s)) - 1).cast("int")
-
+    spark = corpus.sparkSession
     assigned = corpus.select(
         F.col(corpus_id).alias("_cid"),
         F.col(corpus_vec).alias("_cv"),
-        best_cell(F.col(corpus_vec)).alias("cell"),
+        F.element_at(
+            probe_cells(spark, F.col(corpus_vec), centroids, 1), 1
+        ).alias("cell"),
     )
     # per-query probe list: top-n_probe cells by centroid similarity
-    probe = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    cell_scores(F.col(query_vec)),
-                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                    lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
-                )
-            ),
-            lambda st_: st_["idx"],
-        ),
-        1,
-        n_probe,
+    probe = probe_cells(
+        spark, F.col(query_vec), centroids, n_probe
     )
     q = F.broadcast(
         queries.select(
@@ -522,13 +614,9 @@ def build_ivf_index(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
-    def cell_scores(vec: Column) -> Column:
-        return F.array(*[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in centroids])
-
-    best = (
-        F.array_position(cell_scores(F.col(corpus_vec)),
-                         F.array_max(cell_scores(F.col(corpus_vec)))) - 1
-    ).cast("int")
+    best = F.element_at(
+        probe_cells(spark, F.col(corpus_vec), centroids, 1), 1
+    )
     corpus.select(
         F.col(corpus_id).alias("id"),
         F.col(corpus_vec).alias("vec"),
@@ -558,24 +646,7 @@ def ivf_search(
     ]
     centroids.sort()
     cents = [c for _i, c in centroids]
-
-    def cell_scores(vec: Column) -> Column:
-        return F.array(*[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
-
-    probe = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    cell_scores(F.col(query_vec)),
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
-                )
-            ),
-            lambda st_: st_["idx"],
-        ),
-        1,
-        n_probe,
-    )
+    probe = probe_cells(spark, F.col(query_vec), cents, n_probe)
     q = queries.select(
         F.col(query_id).alias("_qid"),
         F.col(query_vec).alias("_qv"),
@@ -817,29 +888,20 @@ def build_ivf_pq_index(
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
-    def cell_scores(vec: Column) -> Column:
-        return F.array(
-            *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents]
-        )
-
-    cent_mat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    best = F.element_at(
+        probe_cells(spark, F.col(corpus_vec), cents, 1), 1
     )
-    best = (
-        F.array_position(
-            cell_scores(F.col(corpus_vec)),
-            F.array_max(cell_scores(F.col(corpus_vec))),
+    resid = (
+        corpus.select(
+            F.col(corpus_id).alias("id"),
+            F.col(corpus_vec).alias("_vec"),
+            best.alias("cell"),
         )
-        - 1
-    ).cast("int")
-    resid = corpus.select(
-        F.col(corpus_id).alias("id"),
-        best.alias("cell"),
-        F.zip_with(
-            F.col(corpus_vec),
-            F.element_at(cent_mat, best + 1),
-            lambda a, b: a.cast("double") - b,
-        ).alias("_res"),
+        .withColumn(
+            "_res",
+            centroid_residual(spark, F.col("_vec"), F.col("cell"), cents),
+        )
+        .drop("_vec")
     )
     books = train_pq_codebooks(
         resid, "id", "_res", dim, m=m, n_codes=n_codes, seed=seed,
@@ -896,40 +958,14 @@ def ivf_pq_search(
     for r in book_rows:
         books[r["s"]][r["j"]] = [float(x) for x in r["codeword"]]
     d_sub = len(books[0][0])
-
-    def cell_scores(vec: Column) -> Column:
-        return F.array(
-            *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents]
-        )
-
-    probe = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    cell_scores(F.col(query_vec)),
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
-                )
-            ),
-            lambda st_: st_["idx"],
-        ),
-        1,
-        n_probe,
-    )
-    cent_mat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
+    probe = probe_cells(spark, F.col(query_vec), cents, n_probe)
     q = queries.select(
         F.col(query_id).alias("_qid"),
         F.col(query_vec).alias("_qv"),
         F.explode(probe).alias("cell"),
     ).withColumn(
         "_qres",
-        F.zip_with(
-            F.col("_qv"),
-            F.element_at(cent_mat, F.col("cell") + 1),
-            lambda a, b: a.cast("double") - b,
-        ),
+        centroid_residual(spark, F.col("_qv"), F.col("cell"), cents),
     )
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     assigned = spark.read.parquet(f"{index_dir}/assignments").where(

@@ -69,3 +69,51 @@ def test_mine_bitext_ivf_pq_candidate_seam(spark, tmp_path):
     )
     # exact mining itself finds (nearly) all twins on this fixture
     assert len(exact & twins) >= int(0.9 * n)
+
+
+def test_probe_cells_and_residual_arrow_parity(spark, monkeypatch):
+    """The Arrow matmul coarse quantizer (big codebooks, where k x d
+    plan-literal codegen collapses) returns the same probe lists and
+    residuals as the literal JVM path."""
+    import evaporate_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(12).collect()
+    ]
+
+    def run():
+        return {
+            r["vec_id"]: (
+                tuple(r["probe"]),
+                tuple(round(float(x), 9) for x in r["res"]),
+            )
+            for r in emb.select(
+                "vec_id",
+                "embedding",
+                sim.probe_cells(
+                    spark, F.col("embedding"), cents, 3
+                ).alias("probe"),
+            )
+            .withColumn(
+                "res",
+                sim.centroid_residual(
+                    spark,
+                    F.col("embedding").cast("array<double>"),
+                    F.element_at("probe", 1),
+                    cents,
+                ),
+            )
+            .collect()
+        }
+
+    lit = run()
+    monkeypatch.setattr(sim, "_LITERAL_CENTROIDS_MAX", 0)
+    arr = run()
+    assert lit == arr
+    # every probe list: 3 distinct cells, first is the argmax
+    assert all(len(set(p)) == 3 for p, _ in lit.values())

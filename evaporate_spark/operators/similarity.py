@@ -694,6 +694,125 @@ def _pq_micro_dist(sub: Column, codeword: list[float]) -> Column:
     return F.floor(d * 1000000.0 + 0.5).cast("bigint")
 
 
+def _pq_dist_micros_np(x: "np.ndarray", book: "np.ndarray") -> "np.ndarray":
+    """(n, d_sub) × (n_codes, d_sub) → (n, n_codes) micro-quantized
+    squared L2 (direct subtraction, not the ‖a‖²+‖b‖²−2ab expansion —
+    cancellation there flips micro roundings the JVM fold never sees)."""
+    diff = x[:, None, :] - book[None, :, :]
+    d = np.einsum("nkd,nkd->nk", diff, diff)
+    return np.floor(d * 1e6 + 0.5).astype("int64")
+
+
+def _pq_codes_col(
+    spark, vec_col: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """``ARRAY<INT>`` of per-subspace nearest-codeword indices
+    (micro-quantized squared L2, FIRST index wins ties) — the shared
+    PQ encoder. Plan-literal JVM expressions for small codebooks;
+    past ``_LITERAL_CENTROIDS_MAX`` total codebook entries
+    (m × n_codes × d_sub = dim × n_codes) the books broadcast as one
+    numpy tensor and encoding is vectorized per Arrow batch."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    n_codes = len(codebooks[0])
+    if m * n_codes * d_sub <= _LITERAL_CENTROIDS_MAX:
+        codes = []
+        for s in range(m):
+            sub = F.slice(vec_col, s * d_sub + 1, d_sub)
+            dists = F.array(
+                *[_pq_micro_dist(sub, w) for w in codebooks[s]]
+            )
+            codes.append(
+                (F.array_position(dists, F.array_min(dists)) - 1).cast(
+                    "int"
+                )
+            )
+        return F.array(*codes)
+
+    from pyspark.sql.functions import pandas_udf
+
+    b_books = spark.sparkContext.broadcast(
+        np.asarray(codebooks, dtype="float64")  # (m, n_codes, d_sub)
+    )
+
+    @pandas_udf("array<int>")
+    def _enc(vs):
+        import pandas as pd
+
+        books = b_books.value
+        x = np.asarray(vs.tolist(), dtype="float64")
+        out = np.empty((len(x), len(books)), dtype="int32")
+        for s in range(len(books)):
+            sub = x[:, s * d_sub:(s + 1) * d_sub]
+            # np.argmin returns the first minimum — the tie rule
+            out[:, s] = np.argmin(
+                _pq_dist_micros_np(sub, books[s]), axis=1
+            )
+        return pd.Series(list(out))
+
+    return _enc(vec_col)
+
+
+def pq_adc_micros(
+    spark,
+    qvec_col: Column,
+    code_col: Column,
+    codebooks: list[list[list[float]]],
+) -> Column:
+    """Asymmetric-distance score as exact bigint micros: the query
+    side gets an ``n_codes``-entry micro-distance table per subspace
+    and a code row's score is the integer sum of its entries. Small
+    codebooks inline the tables as plan expressions; past the literal
+    budget an Arrow UDF builds each DISTINCT query's table once per
+    batch (the published ADC shape) and scores rows by table lookup."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    n_codes = len(codebooks[0])
+    if m * n_codes * d_sub <= _LITERAL_CENTROIDS_MAX:
+        score = None
+        for s in range(m):
+            qsub = F.slice(qvec_col, s * d_sub + 1, d_sub)
+            table = F.array(
+                *[_pq_micro_dist(qsub, w) for w in codebooks[s]]
+            )
+            term = F.element_at(table, F.element_at(code_col, s + 1) + 1)
+            score = term if score is None else score + term
+        return score
+
+    from pyspark.sql.functions import pandas_udf
+
+    b_books = spark.sparkContext.broadcast(
+        np.asarray(codebooks, dtype="float64")
+    )
+
+    @pandas_udf("long")
+    def _adc(qvs, codes):
+        import pandas as pd
+
+        books = b_books.value
+        mm = len(books)
+        qarr = np.asarray(qvs.tolist(), dtype="float64")
+        carr = np.asarray(codes.tolist(), dtype="int64")
+        out = np.empty(len(qarr), dtype="int64")
+        keys = pd.Series([q.tobytes() for q in qarr])
+        rng = np.arange(mm)
+        for _, idx in keys.groupby(keys).groups.items():
+            ii = np.asarray(idx)
+            q = qarr[ii[0]]
+            table = np.stack(
+                [
+                    _pq_dist_micros_np(
+                        q[s * d_sub:(s + 1) * d_sub][None, :], books[s]
+                    )[0]
+                    for s in range(mm)
+                ]
+            )  # (m, n_codes)
+            out[ii] = table[rng[None, :], carr[ii]].sum(axis=1)
+        return pd.Series(out)
+
+    return _adc(qvec_col, code_col)
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     corpus_id: str,
@@ -725,16 +844,13 @@ def train_pq_codebooks(
         [list(map(float, c[s * d_sub:(s + 1) * d_sub])) for c in base]
         for s in range(m)
     ]
+    spark = corpus.sparkSession
     for _ in range(int(iterations)):
         parts = []
+        all_codes = _pq_codes_col(spark, F.col(corpus_vec), books)
         for s in range(m):
             sub = F.slice(F.col(corpus_vec), s * d_sub + 1, d_sub)
-            dists = F.array(
-                *[_pq_micro_dist(sub, w) for w in books[s]]
-            )
-            code = (
-                F.array_position(dists, F.array_min(dists)) - 1
-            ).cast("int")
+            code = F.element_at(all_codes, s + 1)
             parts.append(
                 corpus.select(
                     F.lit(s).alias("s"),
@@ -778,16 +894,10 @@ def pq_encode(
     vector instead of ``dim`` floats — the 100 TB memory story."""
     if not codebooks:
         raise ValueError("pq_encode needs non-empty codebooks")
-    m = len(codebooks)
-    d_sub = len(codebooks[0][0])
-    codes = []
-    for s in range(m):
-        sub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
-        dists = F.array(*[_pq_micro_dist(sub, w) for w in codebooks[s]])
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return df.withColumn(out_col, F.array(*codes))
+    return df.withColumn(
+        out_col,
+        _pq_codes_col(df.sparkSession, F.col(vec_col), codebooks),
+    )
 
 
 def pq_topk(
@@ -811,8 +921,6 @@ def pq_topk(
     small-query-batch contract (:func:`brute_force_topk`)."""
     if not codebooks:
         raise ValueError("pq_topk needs non-empty codebooks")
-    m = len(codebooks)
-    d_sub = len(codebooks[0][0])
     enc = pq_encode(
         corpus.select(
             F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
@@ -826,12 +934,9 @@ def pq_topk(
             F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
         )
     )
-    score = None
-    for s in range(m):
-        qsub = F.slice(F.col("_qv"), s * d_sub + 1, d_sub)
-        table = F.array(*[_pq_micro_dist(qsub, w) for w in codebooks[s]])
-        term = F.element_at(table, F.element_at("_code", s + 1) + 1)
-        score = term if score is None else score + term
+    score = pq_adc_micros(
+        corpus.sparkSession, F.col("_qv"), F.col("_code"), codebooks
+    )
     scored = enc.crossJoin(q).select(
         F.col("_qid").alias(query_id),
         F.col("_cid").alias(corpus_id),
@@ -957,7 +1062,6 @@ def ivf_pq_search(
     ]
     for r in book_rows:
         books[r["s"]][r["j"]] = [float(x) for x in r["codeword"]]
-    d_sub = len(books[0][0])
     probe = probe_cells(spark, F.col(query_vec), cents, n_probe)
     q = queries.select(
         F.col(query_id).alias("_qid"),
@@ -971,12 +1075,9 @@ def ivf_pq_search(
     assigned = spark.read.parquet(f"{index_dir}/assignments").where(
         F.col("cell").isin(probed)
     )
-    score = None
-    for s in range(m):
-        qsub = F.slice(F.col("_qres"), s * d_sub + 1, d_sub)
-        table = F.array(*[_pq_micro_dist(qsub, w) for w in books[s]])
-        term = F.element_at(table, F.element_at("pq_code", s + 1) + 1)
-        score = term if score is None else score + term
+    score = pq_adc_micros(
+        spark, F.col("_qres"), F.col("pq_code"), books
+    )
     scored = (
         assigned.join(F.broadcast(q), "cell")
         .select(

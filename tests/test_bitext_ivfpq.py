@@ -117,3 +117,42 @@ def test_probe_cells_and_residual_arrow_parity(spark, monkeypatch):
     assert lit == arr
     # every probe list: 3 distinct cells, first is the argmax
     assert all(len(set(p)) == 3 for p, _ in lit.values())
+
+
+def test_pq_encode_and_adc_arrow_parity(spark, monkeypatch):
+    """The Arrow PQ paths (encode + ADC scoring, big codebooks)
+    reproduce the literal JVM codes and exact-bigint micro scores."""
+    import evaporate_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = sim.train_pq_codebooks(
+        emb, "vec_id", "embedding", dim=64, m=8, n_codes=8, seed=1
+    )
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("_qid"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+
+    def run():
+        enc = sim.pq_encode(emb, "embedding", books, "pq_code").select(
+            "vec_id", "pq_code"
+        )
+        pairs = enc.crossJoin(F.broadcast(queries))
+        return {
+            (r["_qid"], r["vec_id"]): (tuple(r["pq_code"]), r["adc"])
+            for r in pairs.withColumn(
+                "adc",
+                sim.pq_adc_micros(
+                    spark, F.col("_qv"), F.col("pq_code"), books
+                ),
+            ).collect()
+        }
+
+    lit = run()
+    monkeypatch.setattr(sim, "_LITERAL_CENTROIDS_MAX", 0)
+    arr = run()
+    assert lit == arr
+    assert len(lit) == 3 * emb.count()

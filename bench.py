@@ -238,6 +238,26 @@ Pinned comparison baselines (medians unless noted):
   signal; the quiet re-run read 0.64-0.71), and q_knn's wall is
   dominated by per-plan codegen (~2 s fresh vs 0.12 s re-exec), so
   it swings hardest with host state. Tokens unchanged (6718 / 29640).
+- r13 pin (gated, start loadavg 0.0 after a 10-min cooldown; an
+  earlier same-code run that started at 1m-load 1.91 but 15m-load 13
+  read EVERY row 10-30% high — the gate reads the 1-minute average,
+  so benches right after a test-suite run still inflate): relational
+  2.568 (q1 0.538 / q3 0.803 / q5 1.227); q_exact_dedup_groups 0.302,
+  q_minhash_lsh_dups 1.908 (+6% vs r12 — the r12 verdict's re-pin
+  ask closes: the +17% reading was host load), q_dup_clusters 2.256,
+  q_dup_passage_stats 2.825, q_token_rarity 0.778, q_knn_cosine
+  0.665, q8_market_share 1.044, q_semantic_closed_ie 5.321,
+  q_semantic_openie 13.105, media_decode_300 0.600, doc_ingest 0.918,
+  code_lake_20x 1.839, gopher_full_10x 2.794, pack_docs_10x 4.461,
+  pack_bins_10x 2.727 — all inside the documented band — and
+  corpus_chain_10x 11.685 (−37%: prepare_corpus's unmaterialized
+  fold now inserts lazy localCheckpoints between stages, so
+  multi-reference stages stop recomputing the whole upstream chain).
+  modern_chain_10x 20.586 (FIRST pin — selfdedup_spans + SemDeDup at
+  512 Arrow-assigned clusters + DSIR + FFD bins over the 10x table;
+  the same chain folded lazily with 64 literal clusters read 212 s
+  at one-TENTH the scale before this round's two fixes). Tokens
+  unchanged (6718 / 29640).
 """
 
 from __future__ import annotations

@@ -66,6 +66,7 @@ def prepare_corpus(
     bpe_merges: list[tuple[str, str]] | None = None,
     bpe_lossless: bool = False,
     pack_ids: bool = False,
+    bpe_vocab=None,
     shuffle_seed: str | None = None,
     shuffle_shards: int | None = None,
     materialize_dir: str | None = None,
@@ -121,7 +122,13 @@ def prepare_corpus(
     ``build_vocab`` vocabulary and every window/bin carries
     ``seq_ids ARRAY<INT>`` with the EOS as ``vocab.eos_id`` — the
     bytes a trainer's loader memory-maps (export the matching
-    tokenizer with ``operators.bpe.export_gpt2_tokenizer``).
+    tokenizer with ``operators.bpe.export_gpt2_tokenizer``). Pass
+    ``bpe_vocab`` (a ``BpeVocab``) to pack against a caller-built
+    vocabulary — e.g. one with a ``corpus_alphabet`` (window
+    boundaries then never split a rare char's byte-fallback run),
+    extra ``<extra_id_k>`` sentinels, or one loaded back from an
+    exported tokenizer — it MUST be the vocabulary the trainer
+    loads; the default is ``build_vocab(bpe_merges)``.
     ``pack_mode`` picks the packing layout: ``"windows"`` (default)
     stride-slices each document independently
     (:func:`operators.packing.pack_sequences` — windows keep their
@@ -496,9 +503,16 @@ def prepare_corpus(
                     "train_bpe(lossless=True) — integer ids are only "
                     "meaningful against the lossless vocabulary"
                 )
-            from evaporate_spark.operators.bpe import build_vocab
+            if bpe_vocab is not None:
+                # a caller-built vocabulary (e.g. with a corpus
+                # alphabet, extra sentinel ids, or loaded from an
+                # exported tokenizer) — MUST be the one the trainer
+                # loads, so it is accepted verbatim
+                pack_vocab = bpe_vocab
+            else:
+                from evaporate_spark.operators.bpe import build_vocab
 
-            pack_vocab = build_vocab(bpe_merges)
+                pack_vocab = build_vocab(bpe_merges)
 
         def _encode_ids(d: DataFrame) -> DataFrame:
             from evaporate_spark.operators.bpe import bpe_encode_ids
@@ -662,6 +676,15 @@ def prepare_corpus(
         ),
         "bpe_merges_sha256": _merges_digest(bpe_merges),
         "bpe_lossless": bpe_lossless if bpe_merges is not None else None,
+        # None (not False) when off, so r12-era checkpoints — whose
+        # fingerprints lack these keys — still resume (the guard
+        # compares via .get)
+        "pack_ids": True if (pack_ids and seq_len is not None) else None,
+        "bpe_vocab_size": (
+            len(bpe_vocab)
+            if (pack_ids and bpe_vocab is not None and seq_len is not None)
+            else None
+        ),
         "shuffle_seed": shuffle_seed,
         "shuffle_shards": shuffle_shards,
     }

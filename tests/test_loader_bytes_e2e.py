@@ -1,0 +1,87 @@
+"""End-to-end trainer-delivery path: prepare_corpus(pack_ids=True,
+shuffle) → WebDataset tar shards with little-endian-int32 id members
+→ read back with a plain tarfile/struct loader → decode through the
+EXPORTED GPT-2 tokenizer. This is the full loop the round-12 verdict
+asked to close: corpus text in, bytes a data loader memory-maps out,
+with the engine's tokenizer as the trainer's tokenizer."""
+
+from __future__ import annotations
+
+import struct
+
+
+def test_corpus_to_loader_bytes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.bpe import (
+        build_vocab,
+        export_gpt2_tokenizer,
+        load_gpt2_tokenizer,
+        train_bpe,
+    )
+    from evaporate_spark.sources.catalog import load_table
+    from evaporate_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(docs, "text", num_merges=60, lossless=True)
+    # full corpus alphabet: every char is a single token, so a window
+    # boundary can never split a multi-byte char's byte-fallback run
+    # (strict decode per window then always succeeds)
+    from evaporate_spark.operators.bpe import corpus_alphabet
+
+    vocab = build_vocab(merges, alphabet=corpus_alphabet(docs, "text"))
+    tok_dir = str(tmp_path / "tokenizer")
+    export_gpt2_tokenizer(vocab, tok_dir)
+
+    packed = prepare_corpus(
+        docs,
+        seq_len=64,
+        pack_mode="documents",
+        pack_seed="e2e",
+        bpe_merges=merges,
+        bpe_lossless=True,
+        pack_ids=True,
+        bpe_vocab=vocab,
+        shuffle_seed="e2e",
+    )
+    # the deterministic global training order rides as `pos`
+    assert "pos" in packed.columns and "seq_ids" in packed.columns
+    rows = packed.select("pos", "seq_ids").collect()
+    by_pos = {r["pos"]: list(r["seq_ids"]) for r in rows}
+    assert sorted(by_pos) == list(range(1, len(rows) + 1))  # dense 1..n
+
+    shard_dir = str(tmp_path / "shards")
+    write_webdataset(
+        packed.select(F.col("pos").alias("key"), "seq_ids"),
+        shard_dir,
+        "key",
+        {"seq_ids": "bin"},
+        shard_size=50,
+    )
+
+    # ---- the loader side: tar members -> int32 -> exported tokenizer
+    back = {
+        int(r["key"]): struct.unpack(f"<{len(r['data']) // 4}i", r["data"])
+        for r in read_webdataset(spark, shard_dir).collect()
+    }
+    assert set(back) == set(by_pos)
+    loader_vocab = load_gpt2_tokenizer(tok_dir)
+    eos = loader_vocab.eos_id
+    total_docs = 0
+    for pos, ids in back.items():
+        assert list(ids) == by_pos[pos], f"window {pos} byte drift"
+        body = [i for i in ids if i != eos]
+        # every window decodes through the EXPORTED files alone
+        text = loader_vocab.decode(body)
+        assert isinstance(text, str)
+        total_docs += sum(1 for i in ids if i == eos)
+    # the stream carried one EOS per non-empty document (lossless
+    # pieces tile the raw text, so any non-empty string has ids)
+    n_docs = docs.where(F.length("text") > 0).count()
+    assert total_docs == n_docs

@@ -4267,6 +4267,54 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_sft",
+    "SFT example packing (operators/packing.py::pack_sft_examples): "
+    "each document splits into a deterministic (prompt = first 8 ws "
+    "tokens, completion = rest) pair; whole examples FFD-pack into "
+    "96-token bins laid out prompt ++ completion ++ EOS with a "
+    "token-exact loss_mask — 0 over prompt tokens, 1 over completion "
+    "AND the EOS (the standard SFT objective). FFD's stateful fold "
+    "is not SQL-expressible -> rows-only driver check; mask/layout "
+    "semantics are ground-truth-asserted against a pure-python "
+    "recompute in both text and integer-id modes "
+    "(tests/test_pack_sft.py). Scale shape: salted-group Arrow FFD "
+    "over 16-byte meta rows, one keyed join-back (pack_bins' shape).",
+    oracle=None,
+    tags=("textstats", "corpus"),
+)
+def q_pack_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.packing import (
+        _ws_tokens_keep_case,
+        pack_sft_examples,
+    )
+
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = _ws_tokens_keep_case("text")
+    pairs = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("prompt"),
+        F.concat_ws(
+            " ", F.slice(toks, 9, F.greatest(F.size(toks) - 8, F.lit(0)))
+        ).alias("completion"),
+    )
+    out = pack_sft_examples(
+        pairs, seq_len=96, seed="p13", eos_token="<eos>", n_packers=8,
+        long_docs="truncate",
+    )
+    return out.select(
+        "bin_id",
+        "n_docs",
+        "n_tokens",
+        "n_padding",
+        "seq_text",
+        _spans_str(),
+        F.concat_ws(",", F.col("loss_mask").cast("array<string>")).alias(
+            "mask_csv"
+        ),
+    )
+
+
+@register(
     "q_bpe_lossless_roundtrip",
     "Lossless (GPT-2-style) BPE mode (operators/bpe.py lossless=True): "
     "merges train over raw-text pieces — case, punctuation, digits, "

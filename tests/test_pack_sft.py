@@ -1,0 +1,138 @@
+"""SFT example packing (operators/packing.py::pack_sft_examples):
+whole (prompt, completion) examples FFD-packed into capacity bins
+with a token-exact loss mask — 0 over prompt tokens, 1 over
+completion + EOS. Checked against a pure-python recompute, in both
+text and integer-id modes, plus the truncate/drop long-example
+rules."""
+
+from __future__ import annotations
+
+import pytest
+
+PAIRS = [
+    (1, "translate to French :", "le chat est sur le tapis"),
+    (2, "summarize :", "a short summary"),
+    (3, "echo", ""),                       # empty completion
+    (4, "", "no prompt at all here"),      # empty prompt
+    (5, "both empty", "x " * 40),          # long completion
+    (6, "", ""),                           # fully empty -> dropped
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(PAIRS, ["doc_id", "prompt", "completion"])
+
+
+def test_text_mode_mask_and_capacity(spark):
+    from evaporate_spark.operators.packing import pack_sft_examples
+
+    out = pack_sft_examples(
+        _df(spark), seq_len=32, seed="s13", eos_token="<eos>",
+        n_packers=1, long_docs="drop",
+    ).collect()
+    texts = {i: (p.split(), c.split()) for i, p, c in PAIRS}
+    seen = set()
+    for r in out:
+        assert r["n_tokens"] <= 32
+        assert r["n_padding"] == 32 - r["n_tokens"]
+        toks = r["seq_text"].split()
+        mask = list(r["loss_mask"])
+        assert len(mask) == r["n_tokens"] == len(toks)
+        for sp in r["doc_spans"]:
+            i = int(sp["doc_id"])
+            seen.add(i)
+            seg = toks[sp["begin"]: sp["end"] + 1]
+            mseg = mask[sp["begin"]: sp["end"] + 1]
+            p, c = texts[i]
+            assert seg == p + c + ["<eos>"]
+            assert mseg == [0] * len(p) + [1] * (len(c) + 1)
+    # doc 5: 2 + 40 + 1 = 43 > 32 -> dropped; doc 6 empty -> dropped
+    assert seen == {1, 2, 3, 4}
+
+
+def test_truncate_keeps_prompt_cuts_completion(spark):
+    from evaporate_spark.operators.packing import pack_sft_examples
+
+    out = pack_sft_examples(
+        _df(spark), seq_len=16, seed="s13", eos_token="<eos>",
+        n_packers=1, long_docs="truncate",
+    ).collect()
+    by_doc = {}
+    for r in out:
+        toks = r["seq_text"].split()
+        mask = list(r["loss_mask"])
+        for sp in r["doc_spans"]:
+            by_doc[int(sp["doc_id"])] = (
+                toks[sp["begin"]: sp["end"] + 1],
+                mask[sp["begin"]: sp["end"] + 1],
+            )
+    # doc 5 (prompt 2 + completion 40): completion cut to 13, EOS kept
+    seg, mseg = by_doc[5]
+    assert seg == ["both", "empty"] + ["x"] * 13 + ["<eos>"]
+    assert mseg == [0, 0] + [1] * 14
+    assert 6 not in by_doc  # still nothing to teach
+
+
+def test_ids_mode_roundtrip_and_mask(spark):
+    from evaporate_spark.operators.bpe import (
+        bpe_encode_ids,
+        build_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
+    from evaporate_spark.operators.packing import pack_sft_examples
+
+    df = _df(spark)
+    both = df.selectExpr(
+        "doc_id", "concat(prompt, ' ', completion) as text"
+    )
+    merges = train_bpe(both, "text", num_merges=40, lossless=True)
+    vocab = build_vocab(merges, alphabet=corpus_alphabet(both, "text"))
+    ids = bpe_encode_ids(
+        bpe_encode_ids(df, "prompt", vocab, "p_ids"),
+        "completion", vocab, "c_ids",
+    )
+    out = pack_sft_examples(
+        ids, seq_len=64, seed="s13",
+        prompt_ids_col="p_ids", completion_ids_col="c_ids",
+        eos_id=vocab.eos_id, n_packers=1,
+    ).collect()
+    texts = {i: (p, c) for i, p, c in PAIRS}
+    orig = {
+        r["doc_id"]: (list(r["p_ids"]), list(r["c_ids"]))
+        for r in ids.collect()
+    }
+    seen = set()
+    for r in out:
+        assert "seq_text" not in r.asDict()
+        seq = list(r["seq_ids"])
+        mask = list(r["loss_mask"])
+        assert len(seq) == len(mask) == r["n_tokens"] <= 64
+        for sp in r["doc_spans"]:
+            i = int(sp["doc_id"])
+            seen.add(i)
+            seg = seq[sp["begin"]: sp["end"] + 1]
+            mseg = mask[sp["begin"]: sp["end"] + 1]
+            p_ids, c_ids = orig[i]
+            assert seg == p_ids + c_ids + [vocab.eos_id]
+            assert mseg == [0] * len(p_ids) + [1] * (len(c_ids) + 1)
+            # the ids decode back to the raw pair through the vocab
+            assert vocab.decode(p_ids) == texts[i][0]
+            assert vocab.decode(c_ids) == texts[i][1]
+    assert 6 not in seen
+
+
+def test_validation(spark):
+    from evaporate_spark.operators.packing import pack_sft_examples
+
+    df = _df(spark)
+    with pytest.raises(ValueError, match="BOTH"):
+        pack_sft_examples(df, prompt_ids_col="p_ids")
+    with pytest.raises(ValueError, match="eos_id"):
+        pack_sft_examples(
+            df, prompt_ids_col="p", completion_ids_col="c"
+        )
+    with pytest.raises(ValueError, match="long_docs"):
+        pack_sft_examples(df, long_docs="pad")
+    with pytest.raises(ValueError, match="eos_token"):
+        pack_sft_examples(df, eos_token="two words")

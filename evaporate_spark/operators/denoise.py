@@ -245,6 +245,8 @@ def ul2_mix(
     x_rate: float = 0.5,
     x_span: int = 8,
     sentinel_fmt: str = "<extra_id_{}>",
+    ids_col: str | None = None,
+    sentinel_base: int | None = None,
 ) -> DataFrame:
     """UL2 mixture-of-denoisers (Tay et al. 2022): each document is
     assigned ONE denoiser by the md5-threshold convention
@@ -267,7 +269,13 @@ def ul2_mix(
     bound once per row — the span_corrupt O(n²) lesson); the whole
     construction — selection included — replays in the DuckDB oracle
     (``q_ul2_mix``). Empty documents pass through under their tag
-    with empty targets."""
+    with empty targets.
+
+    With ``ids_col`` + ``sentinel_base`` (the :func:`span_corrupt`
+    ids convention) the mixture runs in INTEGER token-id space:
+    sentinels are ``sentinel_base + k`` ids, S's single span uses
+    ``sentinel_base``, and the output carries ``inputs_ids`` /
+    ``targets_ids ARRAY<INT>`` — the UL2 trainer layout."""
     if not 0.0 <= r_rate <= 1.0 or not 0.0 <= x_rate <= 1.0:
         raise ValueError("rates must be in [0, 1]")
     if r_span < 1 or x_span < 1:
@@ -276,6 +284,10 @@ def ul2_mix(
         raise ValueError(f"need 3 non-negative weights, got {weights!r}")
     if "{}" not in sentinel_fmt:
         raise ValueError("sentinel_fmt needs a {} placeholder")
+    if ids_col is not None and sentinel_base is None:
+        raise ValueError(
+            "ids_col needs sentinel_base (vocab.special_id('<extra_id_0>'))"
+        )
     from evaporate_spark.functions.text_stats import bind_once, ws_tokens
 
     tot = float(sum(weights))
@@ -337,6 +349,48 @@ def ul2_mix(
                     is_st = lambda p: F.array_position(  # noqa: E731
                         starts, p
                     ) > 0
+                    if ids_col is not None:
+                        sent_id = lambda p: (  # noqa: E731
+                            F.lit(int(sentinel_base))
+                            + (F.array_position(starts, p) - 1)
+                        ).cast("int")
+                        empty = F.array().cast("array<int>")
+                        inputs_ids = F.flatten(
+                            F.transform(
+                                seq,
+                                lambda p: F.when(
+                                    is_st(p), F.array(sent_id(p))
+                                )
+                                .when(cov(p), empty)
+                                .otherwise(
+                                    F.array(F.element_at(toks, p))
+                                ),
+                            )
+                        )
+                        targets_ids = F.flatten(
+                            F.transform(
+                                seq,
+                                lambda p: F.when(
+                                    is_st(p),
+                                    F.array(
+                                        sent_id(p), F.element_at(toks, p)
+                                    ),
+                                )
+                                .when(
+                                    cov(p),
+                                    F.array(F.element_at(toks, p)),
+                                )
+                                .otherwise(empty),
+                            )
+                        )
+                        n_cov = F.size(F.filter(seq, cov))
+                        return F.struct(
+                            inputs_ids.alias("i"),
+                            targets_ids.alias("t"),
+                            n.cast("bigint").alias("n"),
+                            n_cov.cast("bigint").alias("nc"),
+                            F.size(starts).cast("bigint").alias("ns"),
+                        )
                     inputs = F.concat_ws(
                         " ",
                         F.filter(
@@ -394,12 +448,21 @@ def ul2_mix(
         def with_split(split: Column) -> Column:
             prefix = F.slice(toks, 1, (split - 1).cast("int"))
             suffix = F.slice(toks, split.cast("int"), n.cast("int"))
-            s_inputs = F.concat_ws(
-                " ", F.concat(prefix, F.array(F.lit(sent0)))
-            )
-            s_targets = F.concat_ws(
-                " ", F.concat(F.array(F.lit(sent0)), suffix)
-            )
+            if ids_col is not None:
+                sent0_arr = F.array(
+                    F.lit(int(sentinel_base)).cast("int")
+                )
+                s_inputs = F.concat(prefix, sent0_arr)
+                s_targets = F.concat(sent0_arr, suffix)
+                empty_payload = F.array().cast("array<int>")
+            else:
+                s_inputs = F.concat_ws(
+                    " ", F.concat(prefix, F.array(F.lit(sent0)))
+                )
+                s_targets = F.concat_ws(
+                    " ", F.concat(F.array(F.lit(sent0)), suffix)
+                )
+                empty_payload = F.lit("")
             return F.when(
                 n > 0,
                 F.struct(
@@ -411,8 +474,8 @@ def ul2_mix(
                 ),
             ).otherwise(
                 F.struct(
-                    F.lit("").alias("i"),
-                    F.lit("").alias("t"),
+                    empty_payload.alias("i"),
+                    empty_payload.alias("t"),
                     F.lit(0).cast("bigint").alias("n"),
                     F.lit(0).cast("bigint").alias("nc"),
                     F.lit(0).cast("bigint").alias("ns"),
@@ -422,17 +485,21 @@ def ul2_mix(
         s = bind_once(split, with_split)
         return F.when(F.col("_ul2_tag") == "S", s).otherwise(rx)
 
+    toks_expr = (
+        F.col(ids_col) if ids_col is not None else ws_tokens(text_col)
+    )
     built = (
         docs.withColumn("_sc_id", F.col(id_col).cast("string"))
         .withColumn("_ul2_tag", tag)
-        .withColumn("_b", bind_once(ws_tokens(text_col), _build))
+        .withColumn("_b", bind_once(toks_expr, _build))
     )
+    suffix = "_ids" if ids_col is not None else ""
     return built.select(
         id_col,
         F.col("_ul2_tag").alias("denoiser"),
         F.col("_b.n").alias("n_tokens"),
         F.col("_b.nc").alias("n_corrupted"),
         F.col("_b.ns").alias("n_spans"),
-        F.col("_b.i").alias("inputs"),
-        F.col("_b.t").alias("targets"),
+        F.col("_b.i").alias(f"inputs{suffix}"),
+        F.col("_b.t").alias(f"targets{suffix}"),
     )

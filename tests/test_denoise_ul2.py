@@ -191,3 +191,72 @@ def test_ul2_mix_selection_and_per_denoiser_algebra(spark):
         ul2_mix(d, weights=(1.0, 1.0))
     with pytest.raises(ValueError, match="rate"):
         ul2_mix(d, x_rate=1.5)
+
+
+def test_ul2_mix_ids_mode(spark):
+    """UL2 in integer-id space: tag selection unchanged, sentinels are
+    consecutive ids from sentinel_base, the S split hashes over id
+    positions, and splicing targets over sentinels (R/X) or
+    prefix+suffix (S) rebuilds ids that decode to the original."""
+    from evaporate_spark.operators.bpe import (
+        bpe_encode_ids,
+        build_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
+    from evaporate_spark.operators.denoise import ul2_mix
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+        (1, "short üni doc 🙂"),
+        (2, ""),
+        (3, "numbers 1 2 3 4 5 6 7 8 9 10 and more words here"),
+        (4, "the quick brown fox jumps over the lazy dog again"),
+        (5, "mixed CRLF\r\nlines\there"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    merges = train_bpe(df, "text", num_merges=50, lossless=True)
+    vocab = build_vocab(
+        merges, extra_ids=64, alphabet=corpus_alphabet(df, "text")
+    )
+    base = vocab.special_id("<extra_id_0>")
+    ids_df = bpe_encode_ids(df, "text", vocab)
+    orig = {r["doc_id"]: list(r["token_ids"]) for r in ids_df.collect()}
+    SEED = "ui13"
+    out = {
+        r["doc_id"]: r
+        for r in ul2_mix(
+            ids_df, seed=SEED, ids_col="token_ids", sentinel_base=base,
+        ).collect()
+    }
+    texts = dict(docs)
+    c1, c2 = 1431655765, 2863311530
+    for i, text in docs:
+        r = out[i]
+        u = _u32(f"{SEED}{i}@mix")
+        tag = "R" if u < c1 else ("X" if u < c2 else "S")
+        assert r["denoiser"] == tag, i
+        t = orig[i]
+        n = len(t)
+        if n == 0:
+            assert list(r["inputs_ids"]) == [] == list(r["targets_ids"])
+            continue
+        if tag == "S":
+            sp = _u32(f"{SEED}{i}@s") % n + 1
+            assert list(r["inputs_ids"]) == t[: sp - 1] + [base], i
+            assert list(r["targets_ids"]) == [base] + t[sp - 1:], i
+            rebuilt = t[: sp - 1] + t[sp - 1:]
+        else:
+            spans: dict[int, list[int]] = {}
+            cur = None
+            for x in r["targets_ids"]:
+                if x >= base:
+                    cur = spans.setdefault(x - base, [])
+                else:
+                    cur.append(x)
+            rebuilt = []
+            for x in r["inputs_ids"]:
+                rebuilt += spans[x - base] if x >= base else [x]
+        import evaporate_spark.operators.bpe  # noqa: F401
+
+        assert vocab.decode(rebuilt) == text, i

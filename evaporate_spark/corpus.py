@@ -128,7 +128,11 @@ def prepare_corpus(
     boundaries then never split a rare char's byte-fallback run),
     extra ``<extra_id_k>`` sentinels, or one loaded back from an
     exported tokenizer — it MUST be the vocabulary the trainer
-    loads; the default is ``build_vocab(bpe_merges)``.
+    loads; the default is ``build_vocab(bpe_merges)``. Note
+    ``mix_token_budgets`` still counts BPE STRING tokens: id counts
+    match them exactly except on rare characters absent from the
+    merge alphabet, which cost one string token but several byte ids
+    (pass an ``alphabet``-built ``bpe_vocab`` to eliminate the gap).
     ``pack_mode`` picks the packing layout: ``"windows"`` (default)
     stride-slices each document independently
     (:func:`operators.packing.pack_sequences` — windows keep their

@@ -36,6 +36,7 @@ __all__ = [
     "build_vocab",
     "corpus_alphabet",
     "bpe_encode_ids",
+    "bpe_decode_ids",
     "export_gpt2_tokenizer",
     "load_gpt2_tokenizer",
 ]
@@ -403,6 +404,39 @@ def bpe_encode_ids(
         return pd.Series(out)
 
     return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def bpe_decode_ids(
+    df: DataFrame,
+    ids_col: str,
+    vocab: BpeVocab,
+    out_col: str = "text",
+) -> DataFrame:
+    """Append ``out_col STRING`` — each ``ARRAY<INT>`` row decoded
+    through the broadcast vocabulary (the distributed twin of
+    ``BpeVocab.decode``): the debugging/preview path for packed id
+    windows, since the ids-mode packers deliberately carry no string
+    payload. Byte-level tolerant: an id slice that cuts a rare char's
+    byte-fallback run mid-character decodes with U+FFFD replacement
+    instead of failing the batch (``BpeVocab.decode`` stays strict)."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((vocab.decoder, vocab._u2b))
+
+    @pandas_udf("string")
+    def _dec(ids: pd.Series) -> pd.Series:
+        decoder, u2b = b.value
+        out = []
+        for row in ids:
+            bs = bytearray()
+            for i in row:
+                for ch in decoder[int(i)]:
+                    bs.append(u2b[ch])
+            out.append(bs.decode("utf-8", errors="replace"))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _dec(F.col(ids_col)))
 
 
 def export_gpt2_tokenizer(vocab: BpeVocab, path: str) -> None:

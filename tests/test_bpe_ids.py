@@ -225,3 +225,32 @@ def test_export_load_roundtrip(spark, tmp_path):
         assert back.decode(back.encode(text)) == text
     with pytest.raises(ValueError, match="local"):
         export_gpt2_tokenizer(vocab, "s3://bucket/tok")
+
+
+def test_bpe_decode_ids_distributed_twin(spark):
+    """bpe_decode_ids == BpeVocab.decode row-for-row, and a window cut
+    mid-character decodes tolerantly instead of failing the batch."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+    )
+
+    df, merges, vocab = _trained(spark)
+    ids = bpe_encode_ids(df, "text", vocab)
+    back = {
+        r["doc_id"]: r["decoded"]
+        for r in bpe_decode_ids(ids, "token_ids", vocab, "decoded")
+        .select("doc_id", "decoded")
+        .collect()
+    }
+    for doc_id, text in DOCS:
+        assert back[doc_id] == text
+    # a slice that severs a byte-fallback run: unknown char "ё" (2
+    # bytes) encodes to 2 byte ids; keeping only the first must
+    # decode with replacement, not raise
+    frag = vocab.encode("ё")[:1]
+    row = spark.createDataFrame([(1, frag)], ["i", "ids"])
+    got = bpe_decode_ids(row, "ids", vocab, "t").first()["t"]
+    assert got == "�"

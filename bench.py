@@ -257,7 +257,13 @@ Pinned comparison baselines (medians unless noted):
   512 Arrow-assigned clusters + DSIR + FFD bins over the 10x table;
   the same chain folded lazily with 64 literal clusters read 212 s
   at one-TENTH the scale before this round's two fixes). Tokens
-  unchanged (6718 / 29640).
+  unchanged (6718 / 29640). Same-session re-pin: after the Arrow
+  per-cluster PAIRWISE pass landed (each cluster's pair block is one
+  numpy matmul inside an Arrow group — the semdedup stage alone reads
+  4.7 s at 128 clusters vs 60.8 s join-pairwise), the row's config
+  moved to 128 clusters (better recall than 512: fewer cross-cluster
+  dups missed) and modern_chain_10x warm reads ~13.2 s — expect the
+  r13 driver pin near that, not 20.6.
 """
 
 from __future__ import annotations
@@ -470,11 +476,12 @@ def _modern_chain_bench(spark, sf_dir: str):
         docs,
         selfdedup_spans_k=8,
         semdedup_threshold=0.9,
-        # clusters sized to the corpus (the paper's N/target rule):
-        # past _LITERAL_CODEBOOK_MAX the Arrow matmul assignment path
-        # makes MORE clusters cheaper (512: 13.3s vs 64: 138s at
-        # sf0.1-10x — the quadratic pair blocks shrink 64x)
-        semdedup_clusters=512,
+        # clusters sized to the corpus (the paper's N/target rule),
+        # in the big-codebook regime where assignment is the Arrow
+        # matmul and each cluster's pair block is one numpy matmul
+        # inside an Arrow group: 128 clusters reads 4.7s at sf0.1-10x
+        # (vs 60.8s join-pairwise, vs 138s at 64 literal clusters)
+        semdedup_clusters=128,
         dsir_target=target,
         dsir_keep=10_000,
         seq_len=512,

@@ -169,3 +169,33 @@ def test_assign_clusters_arrow_path_parity(spark, monkeypatch):
     assert (za["cluster"], za["centroid_sim"]) == (
         zl["cluster"], zl["centroid_sim"],
     )
+
+
+def test_semdedup_arrow_pairwise_parity(spark, monkeypatch):
+    """Big-codebook SemDeDup (Arrow assignment + per-cluster numpy
+    pair blocks) keeps/drops exactly the same documents as the
+    join-path twin."""
+    import evaporate_spark.operators.dedup as dd
+    from evaporate_spark.operators.dedup import semdedup
+    from evaporate_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+
+    def run():
+        return {
+            r["vec_id"]: (r["cluster"], r["centroid_sim"], r["kept"])
+            for r in semdedup(
+                emb, "vec_id", "embedding",
+                centroids=cents, threshold=0.2,
+            ).collect()
+        }
+
+    join_path = run()
+    monkeypatch.setattr(dd, "_LITERAL_CODEBOOK_MAX", 0)
+    arrow_path = run()
+    assert join_path == arrow_path
+    assert sum(1 for _, _, k in join_path.values() if not k) > 0

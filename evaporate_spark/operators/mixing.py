@@ -261,3 +261,50 @@ def corpus_shuffle(
             F.expr(f"(pos - 1) - ((shard * {total}L + {k - 1}) div {k}) + 1"),
         )
     return ranked
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    n_stages: int = 4,
+    seed: str = "",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009 applied to
+    pretraining data): rank documents by ``(score_col, id)`` —
+    ``ascending=True`` trains lowest-score-first — cut the ranking
+    into ``n_stages`` exact-NTILE stages, and SHUFFLE within each
+    stage by the ``md5(seed ‖ id)`` convention (``corpus_shuffle``),
+    so each stage is internally i.i.d. while the stage sequence is
+    the curriculum. Returns every row plus ``stage`` (1-based) and
+    ``pos`` — the 1-based global training order, stage-major.
+
+    Deterministic: a pure function of (scores, ids, seed). Scale
+    shape: two :func:`operators.ranking.global_rank` passes (the
+    range-partition rank — no single-task global sort; NTILE cuts
+    come from the exact rank, matching SQL NTILE semantics so the
+    whole construction replays in the DuckDB oracle)."""
+    if n_stages < 1:
+        raise ValueError(f"need n_stages >= 1, got {n_stages}")
+    from evaporate_spark.operators.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    score = F.col(score_col)
+    ranked, total = global_rank(
+        df,
+        [score.asc() if ascending else score.desc(), F.col(id_col).asc()],
+        rank_col="_crank",
+    )
+    staged = ranked.withColumn(
+        "stage", ntile_from_rank(F.col("_crank"), total, int(n_stages))
+    ).withColumn(
+        "_ch",
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+    )
+    ordered, _ = global_rank(
+        staged, ["stage", "_ch", id_col], rank_col="pos"
+    )
+    return ordered.drop("_crank", "_ch")

@@ -4267,6 +4267,45 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curriculum_order",
+    "Curriculum data ordering (operators/mixing.py::curriculum_order "
+    "— Bengio et al. 2009 for pretraining data): documents rank by "
+    "(n_chars ASC, doc_id), cut into 4 exact-NTILE stages "
+    "(shortest/easiest first), and shuffle WITHIN each stage by the "
+    "md5(seed||id) convention; pos is the stage-major 1-based global "
+    "training order. Two range-partition global_rank passes — no "
+    "single-task sort; the NTILE cut matches SQL NTILE exactly, so "
+    "the oracle replays stage -> in-stage shuffle -> global order "
+    "with plain window functions.",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   NTILE(4) OVER (ORDER BY n_chars ASC, doc_id) AS stage
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(stage AS INT) AS stage,
+               CAST(row_number() OVER (
+                   ORDER BY stage,
+                            md5('c13' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS BIGINT) AS pos
+        FROM s
+    """,
+    tags=("textstats", "corpus"),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.mixing import curriculum_order
+
+    (d,) = _t(spark, sf_dir, "documents")
+    out = curriculum_order(
+        d.select("doc_id", "n_chars"), "doc_id", "n_chars",
+        n_stages=4, seed="c13",
+    )
+    return out.select("doc_id", "stage", "pos")
+
+
+@register(
     "q_pack_sft",
     "SFT example packing (operators/packing.py::pack_sft_examples): "
     "each document splits into a deterministic (prompt = first 8 ws "

@@ -1,0 +1,60 @@
+"""Curriculum ordering (operators/mixing.py::curriculum_order):
+exact-NTILE stages over the score ranking, md5 shuffle within each
+stage, stage-major dense global order — deterministic across
+partitionings."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+
+def test_curriculum_stages_shuffle_and_determinism(spark):
+    from evaporate_spark.operators.mixing import curriculum_order
+
+    rows = [(i, (i * 37) % 100) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "quality"])
+    out = {
+        r["doc_id"]: (r["stage"], r["pos"])
+        for r in curriculum_order(
+            df, "doc_id", "quality", n_stages=4, seed="t"
+        ).collect()
+    }
+    # exact NTILE over (quality asc, id): 4 stages of 10
+    by_rank = sorted(rows, key=lambda r: (r[1], r[0]))
+    for k, (i, _q) in enumerate(by_rank):
+        assert out[i][0] == k // 10 + 1, i
+    # pos is dense 1..n and stage-major
+    poses = sorted(p for _, p in out.values())
+    assert poses == list(range(1, 41))
+    assert all(
+        out[a][0] <= out[b][0]
+        for a in out for b in out if out[a][1] < out[b][1]
+    )
+    # within a stage, order follows md5('t' || id)
+    stage1 = sorted(
+        (i for i in out if out[i][0] == 1),
+        key=lambda i: (hashlib.md5(f"t{i}".encode()).hexdigest(), i),
+    )
+    got1 = sorted((i for i in out if out[i][0] == 1), key=lambda i: out[i][1])
+    assert got1 == stage1
+    # partitioning-invariant
+    again = {
+        r["doc_id"]: (r["stage"], r["pos"])
+        for r in curriculum_order(
+            df.repartition(7), "doc_id", "quality", n_stages=4, seed="t"
+        ).collect()
+    }
+    assert again == out
+    # descending trains highest-score first
+    desc = {
+        r["doc_id"]: r["stage"]
+        for r in curriculum_order(
+            df, "doc_id", "quality", n_stages=4, seed="t", ascending=False
+        ).collect()
+    }
+    for k, (i, _q) in enumerate(sorted(rows, key=lambda r: (-r[1], r[0]))):
+        assert desc[i] == k // 10 + 1, i
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(df, n_stages=0, score_col="quality")

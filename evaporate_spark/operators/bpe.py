@@ -47,14 +47,29 @@ _EOW = "</w>"
 #: GPT-2-STYLE lossless pre-tokenizer: contraction suffixes, then
 #: optional-leading-space letter / digit / punctuation runs
 #: (underscore folded into punctuation — it is \w but not a letter),
-#: then whitespace runs. The alternatives TILE the string — every
+#: then GPT-2's ``\s+(?!\S)`` whitespace rule (a run before a word
+#: yields all but its LAST space, which stays attached to the word —
+#: so "a  b" splits as ["a", " ", " b"], exactly like the released
+#: encoder on double spaces and newline+indent), then terminal
+#: whitespace runs. The alternatives TILE the string — every
 #: character lands in exactly one piece — so concatenating the pieces
 #: reproduces the original text byte-for-byte; leading spaces stay
 #: attached to their word (the GPT-2 "Ġ" convention, kept literal).
-#: Deliberately lookahead-free and class-subtraction-free so the SAME
-#: pattern compiles in java.util.regex (Spark, with (?U) for unicode
-#: classes) and Python re (unicode by default).
-_LOSSLESS_CORE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:_|[^\s\w])+|\s+"
+#: The SAME pattern compiles in java.util.regex (Spark, with (?U) for
+#: unicode classes) and Python re (unicode by default) — lookahead is
+#: common to both; only \p{...} classes are not, hence the one
+#: DOCUMENTED divergence from GPT-2's released pattern: GPT-2 uses
+#: \p{L} / \p{N}, this pattern uses their closest java+python-common
+#: approximations [^\W\d_] / \d, which classify the rare
+#: letterlike-number categories Nl/No (Ⅳ, ½, ¹) as letters rather
+#: than numbers, so a run like "3½" splits here ("3", "½") and not
+#: under GPT-2 ("3½"). Encoding stays byte-level lossless either way;
+#: see tests/test_bpe_ids.py::test_gpt2_real_pattern_parity for the
+#: executable statement of where the two patterns agree.
+_LOSSLESS_CORE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+"
+    r"| ?(?:_|[^\s\w])+|\s+(?!\S)|\s+"
+)
 _LOSSLESS_JAVA = "(?U)" + _LOSSLESS_CORE
 
 
@@ -231,6 +246,18 @@ class BpeVocab:
         sentinel_fmt: str = "<extra_id_{}>",
         alphabet: list[str] | None = None,
     ):
+        for ch in alphabet or ():
+            if len(ch) != 1:
+                # a multi-character "alphabet" entry would synthesize
+                # CROSS-character assembly merges, breaking the UTF-8
+                # self-synchronization invariant the byte-level /
+                # char-level greedy-equivalence argument rests on
+                # (corpus_alphabet always yields single chars; this
+                # guards the public constructor)
+                raise ValueError(
+                    "alphabet entries must be single characters, got "
+                    f"{ch!r} (len {len(ch)})"
+                )
         for a, b in merges:
             if _EOW in a or _EOW in b:
                 raise ValueError(
@@ -440,17 +467,32 @@ def bpe_decode_ids(
 
 
 def export_gpt2_tokenizer(vocab: BpeVocab, path: str) -> None:
-    """Write the GPT-2 interchange files — ``encoder.json`` (token →
-    id, byte-unicode rendering) and ``vocab.bpe`` (``#version: 0.2``
-    header + one space-separated merge per rank line, synthetic
-    char-assembly merges first) — under local directory ``path``.
-    Any GPT-2-format loader (the released OpenAI encoder, HF
-    ``GPT2Tokenizer.from_pretrained(path)``) then reproduces
-    :func:`bpe_encode_ids` exactly: the engine's tokenizer IS the
-    trainer's tokenizer. Specials appear in ``encoder.json`` only
-    (the GPT-2 convention for ``<|endoftext|>``)."""
+    """Write the GPT-2 interchange files under local directory
+    ``path`` in BOTH filename conventions, same bytes:
+
+    - ``encoder.json`` + ``vocab.bpe`` — the released-OpenAI-encoder
+      names;
+    - ``vocab.json`` + ``merges.txt`` — the HF
+      ``GPT2Tokenizer.from_pretrained(path)`` names (HF resolves
+      these two, not the OpenAI pair).
+
+    ``encoder.json``/``vocab.json`` map token → id in byte-unicode
+    rendering; ``vocab.bpe``/``merges.txt`` carry a ``#version: 0.2``
+    header + one space-separated merge per rank line (synthetic
+    char-assembly merges first). A GPT-2-format loader pointed at
+    these files runs the same merge table over the same byte map, so
+    ids agree wherever the PRE-TOKENIZATION agrees — which is
+    everywhere except the documented ``_LOSSLESS_CORE`` divergence
+    (Nl/No letterlike numbers classify as letters here, numbers under
+    GPT-2's ``\\p{N}``; whitespace handling including the
+    ``\\s+(?!\\S)`` rule matches GPT-2 exactly). For byte-exact
+    train/inference parity, configure the trainer's pre-tokenizer
+    with this module's pattern (``_LOSSLESS_CORE``) — the merge/vocab
+    files themselves are convention-exact. Specials appear in the
+    vocab json only (the GPT-2 convention for ``<|endoftext|>``)."""
     import json
     import os
+    import shutil
 
     local = path.removeprefix("file:")
     if "://" in local:
@@ -464,22 +506,44 @@ def export_gpt2_tokenizer(vocab: BpeVocab, path: str) -> None:
         fh.write("#version: 0.2\n")
         for a, b in vocab.bu_merges:
             fh.write(f"{a} {b}\n")
+    # HF-convention aliases: byte-identical copies under the names
+    # GPT2Tokenizer.from_pretrained actually resolves
+    shutil.copyfile(
+        os.path.join(local, "encoder.json"),
+        os.path.join(local, "vocab.json"),
+    )
+    shutil.copyfile(
+        os.path.join(local, "vocab.bpe"),
+        os.path.join(local, "merges.txt"),
+    )
 
 
 def load_gpt2_tokenizer(path: str) -> BpeVocab:
-    """Rebuild a :class:`BpeVocab` from exported GPT-2 files. The
-    merge list and encoder load VERBATIM (already in byte-unicode
-    space) — round-trips :func:`export_gpt2_tokenizer` exactly, and
-    loads externally-produced GPT-2 tokenizers too (specials are the
+    """Rebuild a :class:`BpeVocab` from exported GPT-2 files — either
+    filename convention (OpenAI ``encoder.json``/``vocab.bpe`` or HF
+    ``vocab.json``/``merges.txt``). The merge list and encoder load
+    VERBATIM (already in byte-unicode space) — round-trips
+    :func:`export_gpt2_tokenizer` exactly, and loads
+    externally-produced GPT-2 tokenizers too (specials are the
     encoder entries no merge produces and no byte id covers)."""
     import json
     import os
 
     local = path.removeprefix("file:")
-    with open(os.path.join(local, "encoder.json")) as fh:
+
+    def _first(*names: str) -> str:
+        for n in names:
+            p = os.path.join(local, n)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(
+            f"none of {names} under {local!r} — not a GPT-2 tokenizer dir"
+        )
+
+    with open(_first("encoder.json", "vocab.json")) as fh:
         encoder = {k: int(v) for k, v in json.load(fh).items()}
     merges: list[tuple[str, str]] = []
-    with open(os.path.join(local, "vocab.bpe")) as fh:
+    with open(_first("vocab.bpe", "merges.txt")) as fh:
         for ln in fh.read().splitlines():
             if not ln or ln.startswith("#"):
                 continue

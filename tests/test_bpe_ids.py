@@ -30,7 +30,12 @@ DOCS = [
 
 #: the engine's lossless pre-tokenizer, written out literally so the
 #: independent reimplementation below imports NOTHING from the engine
-_PRETOK = r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:_|[^\s\w])+|\s+"
+#: (GPT-2's \s+(?!\S) whitespace rule included; letter/digit classes
+#: are the java+python-common approximations of \p{L}/\p{N})
+_PRETOK = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+"
+    r"| ?(?:_|[^\s\w])+|\s+(?!\S)|\s+"
+)
 
 
 def _fixture_df(spark):
@@ -254,3 +259,147 @@ def test_bpe_decode_ids_distributed_twin(spark):
     row = spark.createDataFrame([(1, frag)], ["i", "ids"])
     got = bpe_decode_ids(row, "ids", vocab, "t").first()["t"]
     assert got == "�"
+
+
+def _gpt2_real_pieces(text):
+    """GPT-2's RELEASED pre-tokenizer pattern, executed procedurally
+    over unicodedata categories (stdlib `re` cannot express \\p{L} /
+    \\p{N}; the `regex` module is not a dependency). Implements the
+    ordered-alternation semantics of
+
+        's|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+
+        | ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+
+
+    exactly: contractions first, optional-leading-SPACE category
+    runs, then the backtracking whitespace-before-word rule."""
+    import unicodedata
+
+    def is_l(c):
+        return unicodedata.category(c).startswith("L")
+
+    def is_n(c):
+        return unicodedata.category(c).startswith("N")
+
+    contr = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+    out, i, n = [], 0, len(text)
+    while i < n:
+        hit = next((c for c in contr if text.startswith(c, i)), None)
+        if hit:
+            out.append(hit)
+            i += len(hit)
+            continue
+        k = i + 1 if text[i] == " " else i
+        matched = False
+        for pred in (
+            is_l,
+            is_n,
+            lambda c: not c.isspace() and not is_l(c) and not is_n(c),
+        ):
+            if k < n and pred(text[k]):
+                e = k
+                while e < n and pred(text[e]):
+                    e += 1
+                out.append(text[i:e])
+                i = e
+                matched = True
+                break
+        if matched:
+            continue
+        assert text[i].isspace()
+        e = i
+        while e < n and text[e].isspace():
+            e += 1
+        # \s+(?!\S): a run before a word backtracks off its last char
+        # (run of 1 can't, and falls to plain \s+)
+        if e < n and e - i > 1:
+            e -= 1
+        out.append(text[i:e])
+        i = e
+    return out
+
+
+def test_gpt2_real_pattern_parity():
+    """The engine's pre-tokenizer == GPT-2's released pattern on every
+    fixture outside the documented Nl/No divergence — in particular
+    the whitespace-before-word rule (double spaces, newline+indent,
+    trailing runs), which the released encoder's \\s+(?!\\S) lookahead
+    drives and code/text corpora hit constantly."""
+    import re
+
+    pat = re.compile(_PRETOK)
+    fixtures = [t for _, t in DOCS] + [
+        "a  b",
+        "def f(x):\n    return x\n",
+        "hello   world  ",
+        "tab\t\tindent",
+        "x \n y",
+        "  leading",
+        "mixed \t \n runs\r\n\r\nend",
+        "it's a test, isn't it?  yes 'll 've",
+        "num 42, pi 3.14159 — ok?",
+        "snake_case __dunder__ kebab-case",
+    ]
+    for t in fixtures:
+        eng = pat.findall(t)
+        assert "".join(eng) == t  # tiling invariant
+        assert eng == _gpt2_real_pieces(t), f"piece drift on {t!r}"
+
+
+def test_gpt2_pattern_divergence_is_nl_no_only():
+    """Executable statement of the ONE documented divergence from
+    GPT-2's released pattern: letterlike-number categories Nl/No
+    (½, Ⅳ, ¹) classify as letters in the engine ([^\\W\\d_] ~ python
+    \\w minus \\d) and as numbers under GPT-2's \\p{N} — adjacent
+    digit+No runs therefore split differently. Encoding stays
+    byte-level lossless either way."""
+    import re
+
+    from evaporate_spark.operators.bpe import build_vocab
+
+    pat = re.compile(_PRETOK)
+    t = "3½ and Ⅳ¹"
+    assert pat.findall(t) == ["3", "½", " and", " Ⅳ¹"]
+    assert _gpt2_real_pieces(t) == ["3½", " and", " Ⅳ¹"]
+    vocab = build_vocab([("a", "n")])
+    assert vocab.decode(vocab.encode(t)) == t
+
+
+def test_export_writes_hf_filenames(spark, tmp_path):
+    """export_gpt2_tokenizer writes BOTH conventions (encoder.json/
+    vocab.bpe and HF's vocab.json/merges.txt) with identical bytes,
+    and load_gpt2_tokenizer resolves either pair."""
+    import os
+    import shutil
+
+    from evaporate_spark.operators.bpe import (
+        export_gpt2_tokenizer,
+        load_gpt2_tokenizer,
+    )
+
+    _, merges, vocab = _trained(spark)
+    out = str(tmp_path / "tok_hf")
+    export_gpt2_tokenizer(vocab, out)
+    with open(f"{out}/encoder.json", "rb") as a, open(
+        f"{out}/vocab.json", "rb"
+    ) as b:
+        assert a.read() == b.read()
+    with open(f"{out}/vocab.bpe", "rb") as a, open(
+        f"{out}/merges.txt", "rb"
+    ) as b:
+        assert a.read() == b.read()
+    # an HF-names-only directory (what from_pretrained needs) loads
+    hf_only = str(tmp_path / "hf_only")
+    os.makedirs(hf_only)
+    shutil.copyfile(f"{out}/vocab.json", f"{hf_only}/vocab.json")
+    shutil.copyfile(f"{out}/merges.txt", f"{hf_only}/merges.txt")
+    back = load_gpt2_tokenizer(hf_only)
+    assert back.encoder == vocab.encoder
+    for _, text in DOCS:
+        assert back.encode(text) == vocab.encode(text)
+
+
+def test_multichar_alphabet_entry_rejected():
+    from evaporate_spark.operators.bpe import build_vocab
+
+    with pytest.raises(ValueError, match="single characters"):
+        build_vocab([("a", "b")], alphabet=["ab"])

@@ -72,12 +72,53 @@ def _open_fs(path: str):
     return pafs.FileSystem.from_uri(path)
 
 
-def _member_bytes(val) -> bytes | None:
+#: array element type → numpy wire dtype for tar members. int32 and
+#: narrower serialize little-endian int32 (the memory-mappable id
+#: layout); float/double serialize little-endian float32 EXPLICITLY
+#: (an embedding column written as <i4 would silently truncate).
+#: bigint is deliberately ABSENT: int64 ids can overflow int32
+#: silently — callers must cast to int or accept a raise.
+_ARRAY_WIRE_DTYPES = {
+    "tinyint": "<i4",
+    "smallint": "<i4",
+    "int": "<i4",
+    "float": "<f4",
+    "double": "<f4",
+}
+
+
+def _member_wire(dtype: str, colname: str) -> tuple[str, str]:
+    """(kind, numpy dtype) for a content column's Spark ``dtype``,
+    validated ONCE at write time — the per-row serializer then never
+    guesses. Raises on array element types with no lossless-or-
+    explicit wire form (``array<bigint>`` overflows int32 silently;
+    nested/struct arrays have no defined member layout)."""
+    if dtype == "string":
+        return "text", ""
+    if dtype == "binary":
+        return "binary", ""
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        elem = dtype[len("array<"):-1]
+        wire = _ARRAY_WIRE_DTYPES.get(elem)
+        if wire is None:
+            raise ValueError(
+                f"content column {colname!r} is {dtype}: no defined "
+                "tar-member wire format — int arrays up to int32 "
+                "serialize as little-endian int32, float/double as "
+                "little-endian float32; cast bigint ids to int "
+                "explicitly (silent int32 truncation is refused)"
+            )
+        return "array", wire
+    # scalar non-string columns stringify through the cast below —
+    # keep the historical utf-8 behavior for e.g. int labels
+    return "scalar", ""
+
+
+def _member_bytes(val, kind: str = "", wire: str = "") -> bytes | None:
     """Column value → member payload: str encodes utf-8, bytes pass
-    through, int sequences (token-id columns from the packing
-    layouts, ``ARRAY<INT>``) serialize as little-endian int32 — the
-    memory-mappable layout a trainer's loader consumes. NULL → None
-    (skip the member)."""
+    through, numeric arrays serialize via the wire dtype resolved by
+    :func:`_member_wire` (int32 little-endian for id columns, float32
+    little-endian for embeddings). NULL → None (skip the member)."""
     import numpy as np
     import pandas as pd
 
@@ -88,8 +129,8 @@ def _member_bytes(val) -> bytes | None:
     if isinstance(val, (bytes, bytearray)):
         return bytes(val)
     if isinstance(val, np.ndarray) or isinstance(val, (list, tuple)):
-        return np.asarray(val, dtype="<i4").tobytes()
-    return bytes(val)
+        return np.asarray(val, dtype=wire or "<i4").tobytes()
+    return str(val).encode("utf-8")
 
 
 def write_webdataset(
@@ -112,7 +153,11 @@ def write_webdataset(
     ``content_cols`` maps column → member extension (``{"text":
     "txt", "image": "jpg"}``): string columns encode utf-8, binary
     columns pass through byte-exact, ``ARRAY<INT>`` columns (token
-    ids) serialize as little-endian int32, NULLs skip that member.
+    ids, loss masks) serialize as little-endian int32,
+    ``ARRAY<FLOAT|DOUBLE>`` columns (embeddings) as little-endian
+    float32 — EXPLICITLY, never via a silent int cast —
+    ``ARRAY<BIGINT>`` raises (int32 truncation is refused; cast ids
+    to int first), NULLs skip that member.
     Keys stringify and must not contain ``.`` or ``/`` (the
     WebDataset sample-grouping characters).
 
@@ -142,6 +187,10 @@ def write_webdataset(
     fs_root, out_dir = _split_root(path)
     cols = list(content_cols)
     exts = [content_cols[c] for c in cols]
+    # dtype → wire format resolved ONCE at write time (raises on
+    # array<bigint>/nested arrays — see _member_wire)
+    dtypes = dict(df.dtypes)
+    wires = [_member_wire(dtypes[c], c) for c in cols]
     keyed = df.select(
         F.col(key_col).cast("string").alias("_key"),
         *[F.col(c).alias(f"_c{i}") for i, c in enumerate(cols)],
@@ -172,7 +221,7 @@ def write_webdataset(
                         f"webdataset keys must not contain '.' or '/': {key!r}"
                     )
                 for i, ext in enumerate(exts):
-                    data = _member_bytes(row[f"_c{i}"])
+                    data = _member_bytes(row[f"_c{i}"], *wires[i])
                     if data is None:
                         continue
                     ti = tarfile.TarInfo(name=f"{key}.{ext}")
@@ -261,7 +310,9 @@ def _byte_budget_shards(
     spark = keyed.sparkSession
 
     # per-member on-tar bytes: header block + data rounded to blocks;
-    # array<int> members cost 4 bytes/element
+    # every ALLOWED array wire type (_ARRAY_WIRE_DTYPES: int32 and
+    # float32) is 4 bytes/element — wider element types were rejected
+    # by _member_wire before this runs
     def member_cost(colname: str) -> Column:
         c = F.col(colname)
         t = dict(keyed.dtypes)[colname]

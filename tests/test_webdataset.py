@@ -187,9 +187,11 @@ def test_token_id_members_and_per_shard_samples(spark, tmp_path):
     )
 
     out = str(tmp_path / "wdsi")
+    # array<int> explicitly — the packing layouts' actual dtype;
+    # schema-inferred array<bigint> now refuses at write time
     df = spark.createDataFrame(
         [(0, [1, 2, 70000]), (1, [5]), (2, [])],
-        ["doc_id", "seq_ids"],
+        "doc_id long, seq_ids array<int>",
     )
     write_webdataset(
         df, out, "doc_id", {"seq_ids": "ids"}, n_shards=1
@@ -237,3 +239,64 @@ def test_image_text_pairs_to_webdataset(spark, tmp_path):
         k = f"img{i:03d}"
         assert got[k]["jpg"] == bytes(range(i, i + 16))
         assert got[k]["txt"] == f"a photo of {i}".encode()
+
+
+def test_member_wire_dtypes(spark, tmp_path):
+    """Wire-format validation at write time: float arrays serialize
+    explicitly as little-endian float32 (never a silent int cast),
+    array<bigint> refuses (silent int32 overflow), int arrays keep
+    the <i4 loader layout."""
+    import struct
+
+    import pytest
+
+    from evaporate_spark.sources.webdataset import (
+        read_webdataset,
+        webdataset_samples,
+        write_webdataset,
+    )
+
+    out = str(tmp_path / "wds_wire")
+    df = spark.createDataFrame(
+        [("k0", [1, 2, 3], [0.5, -1.25]), ("k1", [7], [2.0, 3.5])],
+        "key string, ids array<int>, emb array<float>",
+    )
+    write_webdataset(
+        df, out, "key", {"ids": "ids", "emb": "emb"}, n_shards=1
+    ).collect()
+    back = webdataset_samples(read_webdataset(spark, out))
+    got = {r["key"]: r["files"] for r in back.collect()}
+    assert struct.unpack("<3i", got["k0"]["ids"]) == (1, 2, 3)
+    assert struct.unpack("<2f", got["k0"]["emb"]) == (0.5, -1.25)
+    assert struct.unpack("<2f", got["k1"]["emb"]) == (2.0, 3.5)
+
+    big = spark.createDataFrame(
+        [("k0", [1 << 40])], "key string, ids array<bigint>"
+    )
+    with pytest.raises(ValueError, match="bigint"):
+        write_webdataset(big, out, "key", {"ids": "ids"}, n_shards=1)
+
+    nested = spark.createDataFrame(
+        [("k0", [[1]])], "key string, v array<array<int>>"
+    )
+    with pytest.raises(ValueError, match="wire format"):
+        write_webdataset(nested, out, "key", {"v": "v"}, n_shards=1)
+
+
+def test_byte_budget_counts_float_members(spark, tmp_path):
+    """shard_bytes cost model covers float32 members (4 B/element,
+    same as ids): shards stay within budget + one-sample overshoot."""
+    from evaporate_spark.sources.webdataset import write_webdataset
+
+    out = str(tmp_path / "wds_fbudget")
+    df = spark.createDataFrame(
+        [(f"k{i:02d}", [float(j) for j in range(256)]) for i in range(20)],
+        "key string, emb array<double>",
+    )
+    man = write_webdataset(
+        df, out, "key", {"emb": "emb"}, shard_bytes=8192
+    ).collect()
+    assert len(man) > 1
+    # each sample costs 512 (header) + 1024 (2 blocks of f4 data);
+    # budget 8192 -> at most ceil(8192/1536)+1 samples per shard
+    assert all(r["n_samples"] <= 6 for r in man)

@@ -979,15 +979,23 @@ def incremental_semdedup(
     batch_drops = _semdedup_dropped(ranked, float(threshold), arrow=big)
     if _store_has_parquet(spark, store_dir):
         store = spark.read.parquet(store_dir)
+        # ONE quantization rule per pass: the store-join cosine uses
+        # the same quantizer as this pass's within-batch drops —
+        # F.round HALF_UP with the literal codebook, floor(x*1e6+0.5)
+        # (numpy's rule, matching F.floor bit-for-bit on doubles) in
+        # the Arrow big-codebook regime — so a boundary-sitting
+        # cosine is treated consistently within a single decision
+        store_cos = (
+            F.floor(cosine("_v", "vec") * 1e6 + F.lit(0.5)) / 1e6
+            if big
+            else F.round(cosine("_v", "vec"), 6)
+        )
         store_drops = (
             ranked.join(store, "cluster")
             .where(
                 # self-rows (a replayed batch's own append) never drop
                 (F.col("doc_id") != F.col("_id").cast("string"))
-                & (
-                    F.round(cosine("_v", "vec"), 6)
-                    >= F.lit(float(threshold))
-                )
+                & (store_cos >= F.lit(float(threshold)))
             )
             .select(F.col("_id").alias("_did"))
         )

@@ -197,6 +197,18 @@ def prepare_corpus(
     new configuration never produced; input DATA is not fingerprinted,
     so a fresh directory per input remains the contract. Lazy
     (default) and materialized runs produce the same rows.
+
+    Lazy-run lineage note: between stages that re-reference their
+    input (dedup joins, SemDeDup's self-join, DSIR's model joins,
+    count-aggregate mixes, documents/bins packing) the chain inserts
+    a LAZY ``localCheckpoint`` so each stage evaluates once instead
+    of multiplying upstream recompute. The trade-off: checkpointed
+    blocks truncate lineage, so losing an executor mid-job fails the
+    job rather than recomputing (rerun, or pass ``materialize_dir``
+    for durable stage snapshots), and a checkpointed prefix no longer
+    reflects SOURCE changes between actions on the returned frame.
+    Single-reference stages get no barrier and keep plain
+    recomputable lineage.
     """
     if mix_token_budgets is not None and mix_key is None:
         raise ValueError("mix_token_budgets requires mix_key")
@@ -608,22 +620,35 @@ def prepare_corpus(
         stages.append(("shuffle", _shuffle))
 
     if materialize_dir is None:
+        # lazy lineage barriers, gated to the stages that REFERENCE
+        # THEIR INPUT MORE THAN ONCE (exact_dedup's keeper join,
+        # selfdedup_spans' store join, semdedup's cluster self-join,
+        # DSIR's model joins, near-dedup banding, the count-aggregate
+        # mixes, documents/bins packing's meta-cumsum + join-back):
+        # folded lazily, each re-reference recomputes the whole
+        # upstream chain, and the recompute multiplies across stages
+        # (measured 212 s vs ~40 s for the 5-stage modern chain at
+        # sf0.01-10x). A lazy localCheckpoint materializes the
+        # multi-referencing stage's INPUT once at first use and
+        # truncates lineage, bounding every stage to one evaluation.
+        # Single-reference stages (column filters/rewrites, windows
+        # packing, the internally-persisted global-rank shuffle) fold
+        # into the running plan with no barrier — they gained nothing
+        # from one, and skipping it keeps their lineage recomputable
+        # after executor loss and their output live against source
+        # changes (see the prepare_corpus docstring note).
+        barrier_before = {
+            "dedup", "near_dedup", "semdedup", "selfdedup_spans",
+            "decontaminate", "decontaminate_spans", "dsir",
+            "mix_temperature", "token_budget",
+        }
+        if pack_mode in ("documents", "bins"):
+            barrier_before.add("pack")
         out = docs
-        for i, (_, fn) in enumerate(stages):
-            out = fn(out)
-            # lazy lineage barrier between stages: several stages
-            # reference their input MORE THAN ONCE (selfdedup_spans'
-            # store join, semdedup's cluster self-join, DSIR's
-            # model joins, near-dedup banding) — folded lazily, each
-            # re-reference recomputes the whole upstream chain, and
-            # the recompute multiplies across stages (measured 212 s
-            # vs ~40 s for the 5-stage modern chain at sf0.01-10x).
-            # A lazy localCheckpoint materializes each stage's output
-            # once at first use and truncates lineage, bounding every
-            # stage to one evaluation; the last stage stays a live
-            # plan so callers keep pushdown into the final projection.
-            if i < len(stages) - 1:
+        for name, fn in stages:
+            if name in barrier_before and out is not docs:
                 out = out.localCheckpoint(eager=False)
+            out = fn(out)
         return out
     # configuration fingerprint for the resume guard: every parameter
     # that shapes stage OUTPUT (not just which stages run). Input

@@ -155,6 +155,69 @@ def build_parser() -> argparse.ArgumentParser:
         "into --seq-len-capacity bins (the SFT layout — no document "
         "straddles a window; over-long documents truncate)",
     )
+    p.add_argument(
+        "--pack-sft",
+        action="store_true",
+        help="SFT example packing: whole (prompt, completion) pairs "
+        "FFD-pack into --seq-len bins laid out prompt ++ completion "
+        "++ EOS with a token-exact loss_mask (0 over prompt, 1 over "
+        "completion and EOS); --text-col must NOT exist — the "
+        "content key derives from the pair",
+    )
+    p.add_argument(
+        "--sft-prompt-col", default="prompt",
+        help="with --pack-sft: prompt column",
+    )
+    p.add_argument(
+        "--sft-completion-col", default="completion",
+        help="with --pack-sft: completion column",
+    )
+    p.add_argument(
+        "--sft-long-docs", choices=("drop", "truncate"), default="drop",
+        help="with --pack-sft: over-capacity examples drop (default — "
+        "a truncated completion is a corrupted label) or truncate "
+        "the completion tail keeping the prompt intact",
+    )
+    p.add_argument(
+        "--denoise", choices=("span", "ul2"),
+        help="append a denoising-objective stage after packing (or "
+        "over documents when --seq-len is absent): 'span' = T5 span "
+        "corruption, 'ul2' = the R/X/S mixture-of-denoisers; with "
+        "--pack-ids the construction runs in integer id space with "
+        "<extra_id_k> sentinel ids",
+    )
+    p.add_argument("--denoise-seed", default="")
+    p.add_argument(
+        "--denoise-rate", type=float, default=0.15,
+        help="span-start probability (the R denoiser's rate under ul2)",
+    )
+    p.add_argument(
+        "--denoise-span", type=int, default=3,
+        help="span length (the R denoiser's under ul2)",
+    )
+    p.add_argument(
+        "--ul2-weights", default="1,1,1",
+        help="with --denoise ul2: R,X,S selection weights",
+    )
+    p.add_argument("--ul2-x-rate", type=float, default=0.5)
+    p.add_argument("--ul2-x-span", type=int, default=8)
+    p.add_argument(
+        "--denoise-extra-ids", type=int, default=100,
+        help="with --denoise + --pack-ids: <extra_id_k> sentinels "
+        "appended to the default vocabulary",
+    )
+    p.add_argument(
+        "--curriculum-score",
+        help="curriculum ordering (the alternative to --shuffle-seed, "
+        "same pos contract): rank rows by this column, cut into "
+        "--curriculum-stages NTILE stages, shuffle within stages",
+    )
+    p.add_argument("--curriculum-stages", type=int, default=4)
+    p.add_argument(
+        "--curriculum-descending", action="store_true",
+        help="train highest-score-first instead of lowest-first",
+    )
+    p.add_argument("--curriculum-seed", default="")
     p.add_argument("--eos-token", default="<|endoftext|>")
     p.add_argument("--pack-seed", default="")
     p.add_argument(
@@ -275,22 +338,53 @@ def main(argv: list[str] | None = None) -> int:
     if args.shuffle_shards and not args.shuffle_seed:
         print("--shuffle-shards requires --shuffle-seed", file=sys.stderr)
         return 2
-    if args.pack_docs and args.pack_bins:
+    pack_flags = [
+        f for f, on in (
+            ("--pack-docs", args.pack_docs),
+            ("--pack-bins", args.pack_bins),
+            ("--pack-sft", args.pack_sft),
+        ) if on
+    ]
+    if len(pack_flags) > 1:
         print(
-            "--pack-docs and --pack-bins are mutually exclusive "
+            f"{' and '.join(pack_flags)} are mutually exclusive "
             "packing layouts",
             file=sys.stderr,
         )
         return 2
-    if (args.pack_docs or args.pack_bins) and args.seq_len is None:
-        print("--pack-docs/--pack-bins require --seq-len", file=sys.stderr)
+    if pack_flags and args.seq_len is None:
+        print(f"{pack_flags[0]} requires --seq-len", file=sys.stderr)
         return 2
-    if (args.pack_docs or args.pack_bins) and args.overlap:
+    if pack_flags and args.overlap:
         print(
-            "--pack-docs/--pack-bins never split mid-overlap; "
+            f"{pack_flags[0]} never splits mid-overlap; "
             "--overlap does not apply",
             file=sys.stderr,
         )
+        return 2
+    if args.denoise and args.pack_sft:
+        print(
+            "--denoise does not compose with --pack-sft (a "
+            "loss-masked SFT bin is not a denoising input)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.curriculum_score and args.shuffle_seed:
+        print(
+            "--curriculum-score and --shuffle-seed both define the "
+            "training order; pass one",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        ul2_weights = tuple(
+            float(w) for w in args.ul2_weights.split(",")
+        )
+    except ValueError:
+        print("--ul2-weights wants 'r,x,s' floats", file=sys.stderr)
+        return 2
+    if args.denoise == "ul2" and len(ul2_weights) != 3:
+        print("--ul2-weights wants exactly 3 weights", file=sys.stderr)
         return 2
     if args.bpe_merges_path and args.bpe_num_merges:
         print(
@@ -409,13 +503,40 @@ def main(argv: list[str] | None = None) -> int:
             from evaporate_spark.operators.bpe import save_merges
 
             save_merges(spark, bpe_merges, args.save_bpe_merges)
+    vocab = None
+    if args.pack_ids:
+        # the facade's default alphabet-built vocabulary, constructed
+        # HERE so --export-tokenizer writes the exact vocabulary the
+        # packed ids use (corpus.default_pack_vocab — one shared
+        # definition, no drift)
+        from evaporate_spark.corpus import default_pack_vocab
+        from pyspark.sql import functions as _F
+
+        if args.pack_sft:
+            alpha_src = docs.select(
+                _F.concat_ws(
+                    "\n\n",
+                    _F.col(args.sft_prompt_col),
+                    _F.col(args.sft_completion_col),
+                ).alias("_t")
+            )
+            alpha_col = "_t"
+        else:
+            alpha_src, alpha_col = docs, args.text_col
+        vocab, _ = default_pack_vocab(
+            alpha_src, alpha_col, bpe_merges,
+            extra_ids=args.denoise_extra_ids if args.denoise else 0,
+        )
     if args.export_tokenizer:
         from evaporate_spark.operators.bpe import (
             build_vocab,
             export_gpt2_tokenizer,
         )
 
-        export_gpt2_tokenizer(build_vocab(bpe_merges), args.export_tokenizer)
+        export_gpt2_tokenizer(
+            vocab if vocab is not None else build_vocab(bpe_merges),
+            args.export_tokenizer,
+        )
     budgets = _parse_fractions(args.mix_token_budgets)
     out = prepare(
         docs,
@@ -453,11 +574,28 @@ def main(argv: list[str] | None = None) -> int:
         pack_mode=(
             "documents" if args.pack_docs
             else "bins" if args.pack_bins
+            else "sft" if args.pack_sft
             else "windows"
         ),
         eos_token=args.eos_token,
         pack_seed=args.pack_seed,
         pack_ids=args.pack_ids,
+        bpe_vocab=vocab,
+        sft_prompt_col=args.sft_prompt_col,
+        sft_completion_col=args.sft_completion_col,
+        sft_long_docs=args.sft_long_docs,
+        denoise=args.denoise,
+        denoise_seed=args.denoise_seed,
+        denoise_rate=args.denoise_rate,
+        denoise_span=args.denoise_span,
+        ul2_weights=ul2_weights,
+        ul2_x_rate=args.ul2_x_rate,
+        ul2_x_span=args.ul2_x_span,
+        denoise_extra_ids=args.denoise_extra_ids,
+        curriculum_score=args.curriculum_score,
+        curriculum_stages=args.curriculum_stages,
+        curriculum_ascending=not args.curriculum_descending,
+        curriculum_seed=args.curriculum_seed,
         upsample_weights=_parse_fractions(args.upsample_weights),
         shuffle_seed=args.shuffle_seed,
         shuffle_shards=args.shuffle_shards,
@@ -518,6 +656,9 @@ def main(argv: list[str] | None = None) -> int:
                     "selfdedup_spans": args.selfdedup_spans_k is not None,
                     "split": args.split_fractions is not None,
                     "pack": args.seq_len is not None,
+                    "pack_sft": args.pack_sft,
+                    "denoise": args.denoise,
+                    "curriculum": args.curriculum_score is not None,
                     "bpe_units": bpe_merges is not None,
                     "token_budgets": args.mix_token_budgets is not None,
                     "upsample": args.upsample_weights is not None,

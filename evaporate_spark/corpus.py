@@ -67,6 +67,21 @@ def prepare_corpus(
     bpe_lossless: bool = False,
     pack_ids: bool = False,
     bpe_vocab=None,
+    sft_prompt_col: str = "prompt",
+    sft_completion_col: str = "completion",
+    sft_long_docs: str = "drop",
+    denoise: str | None = None,
+    denoise_seed: str = "",
+    denoise_rate: float = 0.15,
+    denoise_span: int = 3,
+    ul2_weights: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    ul2_x_rate: float = 0.5,
+    ul2_x_span: int = 8,
+    denoise_extra_ids: int = 100,
+    curriculum_score: str | None = None,
+    curriculum_stages: int = 4,
+    curriculum_ascending: bool = True,
+    curriculum_seed: str = "",
     shuffle_seed: str | None = None,
     shuffle_shards: int | None = None,
     materialize_dir: str | None = None,
@@ -124,15 +139,15 @@ def prepare_corpus(
     bytes a trainer's loader memory-maps (export the matching
     tokenizer with ``operators.bpe.export_gpt2_tokenizer``). Pass
     ``bpe_vocab`` (a ``BpeVocab``) to pack against a caller-built
-    vocabulary — e.g. one with a ``corpus_alphabet`` (window
-    boundaries then never split a rare char's byte-fallback run),
-    extra ``<extra_id_k>`` sentinels, or one loaded back from an
-    exported tokenizer — it MUST be the vocabulary the trainer
-    loads; the default is ``build_vocab(bpe_merges)``. Note
-    ``mix_token_budgets`` still counts BPE STRING tokens: id counts
-    match them exactly except on rare characters absent from the
-    merge alphabet, which cost one string token but several byte ids
-    (pass an ``alphabet``-built ``bpe_vocab`` to eliminate the gap).
+    vocabulary — e.g. one with extra ``<extra_id_k>`` sentinels or
+    one loaded back from an exported tokenizer — it MUST be the
+    vocabulary the trainer loads. The DEFAULT vocabulary is
+    ``build_vocab(bpe_merges, alphabet=corpus_alphabet(docs))``: the
+    corpus alphabet gives every input character a single-token id,
+    so window boundaries never split a rare char's byte-fallback run
+    AND ``mix_token_budgets``' BPE string-token counts equal id
+    counts exactly (the alphabet scan is one eager pass over the raw
+    input; its digest joins the resume fingerprint).
     ``pack_mode`` picks the packing layout: ``"windows"`` (default)
     stride-slices each document independently
     (:func:`operators.packing.pack_sequences` — windows keep their
@@ -147,11 +162,54 @@ def prepare_corpus(
     documents first-fit-decreasing into ``seq_len``-capacity bins
     (:func:`operators.packing.pack_bins` — no document straddles a
     window, the SFT layout; over-long documents truncate; ``overlap``
-    must stay 0).
+    must stay 0); ``"sft"`` packs (``sft_prompt_col``,
+    ``sft_completion_col``) pairs with a token-exact ``loss_mask``
+    (:func:`operators.packing.pack_sft_examples` — whole examples
+    FFD-packed, laid out ``prompt ++ completion ++ EOS``, mask 0 over
+    prompt and 1 over completion+EOS; ``sft_long_docs`` picks the
+    over-capacity policy, default ``"drop"``). In sft mode
+    ``text_col`` must NOT already exist: the facade derives it as
+    ``prompt \\n\\n completion`` so the content-keyed hygiene stages
+    (dedup, decontamination, DSIR, mixing, split fingerprints) see
+    whole examples, while ``normalize``/``redact`` rewrite prompt and
+    completion in place; the text-REWRITING stages (``c4``,
+    ``selfdedup_spans_k``, ``decontam_mode="spans"``) are refused —
+    excising or rewriting spans of a derived concatenation cannot be
+    pushed back into the pair. With ``pack_ids`` the prompt and
+    completion encode SEPARATELY (a BPE merge across the boundary
+    would blur the mask by one token — pack_sft_examples' contract).
+
+    ``denoise`` appends a denoising-objective stage AFTER packing
+    (or straight over documents when ``seq_len`` is ``None``):
+    ``"span"`` is T5 span corruption
+    (:func:`operators.denoise.span_corrupt` at ``denoise_rate`` /
+    ``denoise_span``), ``"ul2"`` the UL2 R/X/S mixture-of-denoisers
+    (:func:`operators.denoise.ul2_mix`; ``denoise_rate``/
+    ``denoise_span`` parameterize R, ``ul2_x_rate``/``ul2_x_span`` X,
+    ``ul2_weights`` the R/X/S selection). Rows become (``example_id``
+    — the packed row's identity key — ``n_tokens``, ``n_corrupted``,
+    ``n_spans``, ``inputs``, ``targets``; ``denoiser`` under ul2),
+    with ``split``/``epoch`` riding through. Under ``pack_ids`` the
+    construction runs in INTEGER id space over ``seq_ids`` (output
+    ``inputs_ids``/``targets_ids``) with sentinels from the packing
+    vocabulary — the default vocabulary gains ``denoise_extra_ids``
+    ``<extra_id_k>`` sentinels; a caller-supplied ``bpe_vocab`` must
+    already carry ``<extra_id_0>``. Incompatible with
+    ``pack_mode="sft"`` (a loss-masked SFT bin is not a denoising
+    input).
+
     ``shuffle_seed`` appends the deterministic global
     training order (``pos``, plus ``shard``/``pos_in_shard`` when
     ``shuffle_shards`` is set) over whatever the preceding stages
-    produced — documents, or packed windows.
+    produced — documents, packed windows, or denoised examples.
+    ``curriculum_score`` is the ORDERING ALTERNATIVE to
+    ``shuffle_seed`` (mutually exclusive — both define ``pos``):
+    rank rows by that column (``curriculum_ascending``), cut into
+    ``curriculum_stages`` exact NTILE stages, shuffle within each
+    stage by ``curriculum_seed``
+    (:func:`operators.mixing.curriculum_order`) — output gains
+    ``stage`` and the same 1-based ``pos`` contract, so shard export
+    and loaders compose unchanged.
 
     ``near_dedup`` adds the cluster-level pass: shingle-set duplicate
     groups (lsh_exact_dup_edges → connected components) keep only
@@ -225,18 +283,94 @@ def prepare_corpus(
         raise ValueError(
             f"decontam_mode must be 'drop' or 'spans', got {decontam_mode!r}"
         )
-    if pack_mode not in ("windows", "documents", "bins"):
+    if pack_mode not in ("windows", "documents", "bins", "sft"):
         raise ValueError(
-            "pack_mode must be 'windows', 'documents', or 'bins', "
-            f"got {pack_mode!r}"
+            "pack_mode must be 'windows', 'documents', 'bins', or "
+            f"'sft', got {pack_mode!r}"
         )
-    if pack_mode in ("documents", "bins") and overlap:
+    if pack_mode in ("documents", "bins", "sft") and overlap:
         raise ValueError(
             f"pack_mode={pack_mode!r} never splits windows mid-overlap "
             "— overlap does not apply (got overlap={})".format(overlap)
         )
+    sft = pack_mode == "sft"
+    if sft:
+        if seq_len is None:
+            raise ValueError("pack_mode='sft' requires seq_len")
+        if sft_long_docs not in ("truncate", "drop"):
+            raise ValueError(
+                "sft_long_docs must be 'truncate' or 'drop', got "
+                f"{sft_long_docs!r}"
+            )
+        rewriting = [
+            flag
+            for flag, on in (
+                ("c4", c4),
+                ("selfdedup_spans_k", selfdedup_spans_k is not None),
+                (
+                    "decontam_mode='spans'",
+                    eval_docs is not None and decontam_mode == "spans",
+                ),
+            )
+            if on
+        ]
+        if rewriting:
+            raise ValueError(
+                f"pack_mode='sft' refuses text-REWRITING stages "
+                f"{rewriting}: they rewrite the derived "
+                f"prompt+completion concatenation, which cannot be "
+                "pushed back into the pair (filters — gopher, lang, "
+                "quality — and content-KEYED stages are fine)"
+            )
+        if text_col in docs.columns:
+            raise ValueError(
+                f"pack_mode='sft' derives {text_col!r} from "
+                f"({sft_prompt_col!r}, {sft_completion_col!r}); the "
+                "input already has that column — rename it or pick "
+                "another text_col"
+            )
+        for c in (sft_prompt_col, sft_completion_col):
+            if c not in docs.columns:
+                raise ValueError(f"pack_mode='sft' needs column {c!r}")
+    if denoise not in (None, "span", "ul2"):
+        raise ValueError(
+            f"denoise must be None, 'span', or 'ul2', got {denoise!r}"
+        )
+    if denoise is not None and pack_ids and denoise_extra_ids < 1:
+        raise ValueError(
+            "denoise in ids mode needs denoise_extra_ids >= 1 "
+            "sentinel ids in the default vocabulary"
+        )
+    if denoise is not None and sft:
+        raise ValueError(
+            "denoise does not compose with pack_mode='sft' — a "
+            "loss-masked SFT bin is not a denoising input"
+        )
+    if curriculum_score is not None and shuffle_seed is not None:
+        raise ValueError(
+            "curriculum_score and shuffle_seed both define the global "
+            "training order (pos) — pass one"
+        )
+    if shuffle_shards is not None and shuffle_seed is None:
+        raise ValueError("shuffle_shards requires shuffle_seed")
 
     stages: list[tuple[str, object]] = []
+
+    if sft:
+        # the content key for dedup/decontamination/DSIR/mixing/split:
+        # the WHOLE example; rebuilt after any prompt/completion
+        # rewrite so keys always reflect current content
+        def _sft_text(d: DataFrame) -> DataFrame:
+            return d.withColumn(
+                text_col,
+                F.concat_ws(
+                    "\n\n",
+                    F.col(sft_prompt_col),
+                    F.col(sft_completion_col),
+                ),
+            )
+
+        stages.append(("sft_text", _sft_text))
 
     if c4:
         # C4 runs FIRST: its line-level retention needs the original
@@ -289,10 +423,25 @@ def prepare_corpus(
     if normalize:
         from evaporate_spark.functions.normalize import normalize_text
 
-        stages.append((
-            "normalize",
-            lambda d: d.withColumn(text_col, normalize_text(text_col)),
-        ))
+        if sft:
+            # rewrite prompt AND completion in place, then rebuild
+            # the derived content key to match
+            stages.append((
+                "normalize",
+                lambda d: _sft_text(
+                    d.withColumn(
+                        sft_prompt_col, normalize_text(sft_prompt_col)
+                    ).withColumn(
+                        sft_completion_col,
+                        normalize_text(sft_completion_col),
+                    )
+                ),
+            ))
+        else:
+            stages.append((
+                "normalize",
+                lambda d: d.withColumn(text_col, normalize_text(text_col)),
+            ))
     if lang_allow is not None:
         from evaporate_spark.functions.text_stats import lang_id
 
@@ -318,10 +467,22 @@ def prepare_corpus(
     if redact:
         from evaporate_spark.functions.redact import redact_pii
 
-        stages.append((
-            "redact",
-            lambda d: d.withColumn(text_col, redact_pii(text_col)),
-        ))
+        if sft:
+            stages.append((
+                "redact",
+                lambda d: _sft_text(
+                    d.withColumn(
+                        sft_prompt_col, redact_pii(sft_prompt_col)
+                    ).withColumn(
+                        sft_completion_col, redact_pii(sft_completion_col)
+                    )
+                ),
+            ))
+        else:
+            stages.append((
+                "redact",
+                lambda d: d.withColumn(text_col, redact_pii(text_col)),
+            ))
     if dedup:
         from evaporate_spark.operators.dedup import exact_dedup
 
@@ -441,6 +602,7 @@ def prepare_corpus(
         bpe_merges is not None
         and mix_token_budgets is not None
         and seq_len is not None
+        and not sft  # sft encodes prompt/completion separately
         and materialize_dir is None
     )
     if mix_token_budgets is not None:
@@ -500,6 +662,8 @@ def prepare_corpus(
             ).drop("_dup_component")
 
         stages.append(("split", _split))
+    pack_vocab = None
+    vocab_alphabet_digest = None
     if seq_len is not None:
         # epoch and split ride onto every window — carry columns in
         # windows mode (no join; the former split_map join recomputed
@@ -511,7 +675,6 @@ def prepare_corpus(
             ride.append("epoch")
         if split_fractions is not None:
             ride.append("split")
-        pack_vocab = None
         if pack_ids:
             if bpe_merges is None or not bpe_lossless:
                 raise ValueError(
@@ -520,15 +683,34 @@ def prepare_corpus(
                     "meaningful against the lossless vocabulary"
                 )
             if bpe_vocab is not None:
-                # a caller-built vocabulary (e.g. with a corpus
-                # alphabet, extra sentinel ids, or loaded from an
-                # exported tokenizer) — MUST be the one the trainer
-                # loads, so it is accepted verbatim
+                # a caller-built vocabulary (e.g. with extra sentinel
+                # ids, or loaded from an exported tokenizer) — MUST be
+                # the one the trainer loads, so it is accepted verbatim
                 pack_vocab = bpe_vocab
+                if denoise is not None and not any(
+                    sp == "<extra_id_0>" for sp in pack_vocab.specials
+                ):
+                    raise ValueError(
+                        "denoise in ids mode needs '<extra_id_0>' "
+                        "sentinels in bpe_vocab — build it with "
+                        "extra_ids > 0"
+                    )
             else:
-                from evaporate_spark.operators.bpe import build_vocab
-
-                pack_vocab = build_vocab(bpe_merges)
+                alpha_src = (
+                    docs.select(
+                        F.concat_ws(
+                            "\n\n",
+                            F.col(sft_prompt_col),
+                            F.col(sft_completion_col),
+                        ).alias("_t")
+                    )
+                    if sft
+                    else docs.select(F.col(text_col).alias("_t"))
+                )
+                pack_vocab, vocab_alphabet_digest = default_pack_vocab(
+                    alpha_src, "_t", bpe_merges,
+                    extra_ids=denoise_extra_ids if denoise else 0,
+                )
 
         def _encode_ids(d: DataFrame) -> DataFrame:
             from evaporate_spark.operators.bpe import bpe_encode_ids
@@ -569,6 +751,44 @@ def prepare_corpus(
                     lossless=bpe_lossless,
                     tokens_col="_budget_bpe" if reuse_bpe else None,
                 )
+        elif pack_mode == "sft":
+            from evaporate_spark.operators.packing import (
+                pack_sft_examples,
+            )
+
+            def _pack(d: DataFrame) -> DataFrame:
+                # the derived content key served the hygiene stages;
+                # packing reads the pair columns directly
+                d = d.drop(text_col)
+                if pack_vocab is not None:
+                    from evaporate_spark.operators.bpe import (
+                        bpe_encode_ids,
+                    )
+
+                    # prompt and completion encode SEPARATELY — a
+                    # merge across the boundary would blur the mask
+                    d = bpe_encode_ids(
+                        d, sft_prompt_col, pack_vocab, "_pids"
+                    )
+                    d = bpe_encode_ids(
+                        d, sft_completion_col, pack_vocab, "_cids"
+                    )
+                    return pack_sft_examples(
+                        d, id_col, seq_len=seq_len, seed=pack_seed,
+                        group_cols=ride or None,
+                        prompt_ids_col="_pids",
+                        completion_ids_col="_cids",
+                        eos_id=pack_vocab.eos_id,
+                        long_docs=sft_long_docs,
+                    )
+                return pack_sft_examples(
+                    d, id_col,
+                    prompt_col=sft_prompt_col,
+                    completion_col=sft_completion_col,
+                    seq_len=seq_len, seed=pack_seed,
+                    eos_token=eos_token, group_cols=ride or None,
+                    long_docs=sft_long_docs,
+                )
         else:
             from evaporate_spark.operators.packing import pack_sequences
 
@@ -585,39 +805,108 @@ def prepare_corpus(
                 )
 
         stages.append(("pack", _pack))
-    if shuffle_seed is not None:
-        from evaporate_spark.operators.mixing import corpus_shuffle
 
-        def _shuffle(d: DataFrame) -> DataFrame:
-            # the reproducible global training order: key on everything
-            # that identifies a row (doc, window, epoch copy). In
-            # documents pack mode windows have no doc_id — the identity
-            # is (stream group, seq_index)
-            if seq_len is not None and pack_mode in ("documents", "bins"):
-                key_cols = (
-                    ["bin_id"] if pack_mode == "bins" else ["seq_index"]
-                )
-                if split_fractions is not None:
-                    key_cols.append("split")
-                if upsample_weights is not None:
-                    key_cols.append("epoch")
-            else:
-                key_cols = [id_col]
-                if seq_len is not None:
-                    key_cols.append("seq_index")
-                if upsample_weights is not None:
-                    key_cols.append("epoch")
+    def _row_key_cols() -> list[str]:
+        # everything that identifies a row at the CURRENT point of
+        # the chain (doc, window/bin, epoch copy). In documents pack
+        # mode windows have no doc_id — identity is (stream group,
+        # seq_index); bins/sft key by bin_id per group
+        if seq_len is not None and pack_mode in (
+            "documents", "bins", "sft",
+        ):
+            key_cols = (
+                ["seq_index"] if pack_mode == "documents" else ["bin_id"]
+            )
+            if split_fractions is not None:
+                key_cols.append("split")
+            if upsample_weights is not None:
+                key_cols.append("epoch")
+        else:
+            key_cols = [id_col]
+            if seq_len is not None:
+                key_cols.append("seq_index")
+            if upsample_weights is not None:
+                key_cols.append("epoch")
+        return key_cols
+
+    if denoise is not None:
+        from evaporate_spark.operators.denoise import span_corrupt, ul2_mix
+
+        def _denoise(d: DataFrame) -> DataFrame:
+            key_cols = _row_key_cols()
             d = d.withColumn(
-                "_shuffle_key",
+                "_den_id",
                 F.concat_ws(
                     "#", *[F.col(c).cast("string") for c in key_cols]
                 ),
             )
+            keep = [
+                c
+                for c in ("split", "epoch")
+                if c in d.columns
+            ]
+            if seq_len is not None and pack_vocab is not None:
+                payload = dict(
+                    ids_col="seq_ids",
+                    sentinel_base=pack_vocab.special_id("<extra_id_0>"),
+                )
+            elif seq_len is not None:
+                payload = dict(text_col="seq_text")
+            else:
+                payload = dict(text_col=text_col)
+            if denoise == "span":
+                out = span_corrupt(
+                    d, id_col="_den_id", seed=denoise_seed,
+                    rate=denoise_rate, span_len=denoise_span,
+                    keep_cols=keep, **payload,
+                )
+            else:
+                out = ul2_mix(
+                    d, id_col="_den_id", seed=denoise_seed,
+                    weights=ul2_weights,
+                    r_rate=denoise_rate, r_span=denoise_span,
+                    x_rate=ul2_x_rate, x_span=ul2_x_span,
+                    keep_cols=keep, **payload,
+                )
+            return out.withColumnRenamed("_den_id", "example_id")
+
+        stages.append(("denoise", _denoise))
+
+    def _order_key(d: DataFrame, name: str) -> DataFrame:
+        # the reproducible global training order keys on the row
+        # identity — the denoise stage already composed it
+        if denoise is not None:
+            return d.withColumn(name, F.col("example_id"))
+        return d.withColumn(
+            name,
+            F.concat_ws(
+                "#",
+                *[F.col(c).cast("string") for c in _row_key_cols()],
+            ),
+        )
+
+    if shuffle_seed is not None:
+        from evaporate_spark.operators.mixing import corpus_shuffle
+
+        def _shuffle(d: DataFrame) -> DataFrame:
+            d = _order_key(d, "_shuffle_key")
             return corpus_shuffle(
                 d, "_shuffle_key", seed=shuffle_seed, n_shards=shuffle_shards
             ).drop("_shuffle_key")
 
         stages.append(("shuffle", _shuffle))
+    if curriculum_score is not None:
+        from evaporate_spark.operators.mixing import curriculum_order
+
+        def _curriculum(d: DataFrame) -> DataFrame:
+            d = _order_key(d, "_curr_key")
+            return curriculum_order(
+                d, id_col="_curr_key", score_col=curriculum_score,
+                n_stages=curriculum_stages, seed=curriculum_seed,
+                ascending=curriculum_ascending,
+            ).drop("_curr_key")
+
+        stages.append(("curriculum", _curriculum))
 
     if materialize_dir is None:
         # lazy lineage barriers, gated to the stages that REFERENCE
@@ -642,7 +931,7 @@ def prepare_corpus(
             "decontaminate", "decontaminate_spans", "dsir",
             "mix_temperature", "token_budget",
         }
-        if pack_mode in ("documents", "bins"):
+        if pack_mode in ("documents", "bins", "sft"):
             barrier_before.add("pack")
         out = docs
         for name, fn in stages:
@@ -695,12 +984,14 @@ def prepare_corpus(
         "pack_mode": pack_mode if seq_len is not None else None,
         "eos_token": (
             eos_token
-            if seq_len is not None and pack_mode in ("documents", "bins")
+            if seq_len is not None
+            and pack_mode in ("documents", "bins", "sft")
             else None
         ),
         "pack_seed": (
             pack_seed
-            if seq_len is not None and pack_mode in ("documents", "bins")
+            if seq_len is not None
+            and pack_mode in ("documents", "bins", "sft")
             else None
         ),
         "bpe_merges_sha256": _merges_digest(bpe_merges),
@@ -714,10 +1005,68 @@ def prepare_corpus(
             if (pack_ids and bpe_vocab is not None and seq_len is not None)
             else None
         ),
+        # None when the caller supplied the vocab (size pins it above)
+        "bpe_alphabet_sha256": vocab_alphabet_digest,
+        "sft_prompt_col": sft_prompt_col if sft else None,
+        "sft_completion_col": sft_completion_col if sft else None,
+        "sft_long_docs": sft_long_docs if sft else None,
+        "denoise": denoise,
+        "denoise_seed": denoise_seed if denoise is not None else None,
+        "denoise_rate": denoise_rate if denoise is not None else None,
+        "denoise_span": denoise_span if denoise is not None else None,
+        "ul2_weights": (
+            [float(w) for w in ul2_weights] if denoise == "ul2" else None
+        ),
+        "ul2_x_rate": ul2_x_rate if denoise == "ul2" else None,
+        "ul2_x_span": ul2_x_span if denoise == "ul2" else None,
+        "denoise_extra_ids": (
+            denoise_extra_ids
+            if (denoise is not None and pack_ids and bpe_vocab is None)
+            else None
+        ),
+        "curriculum_score": curriculum_score,
+        "curriculum_stages": (
+            curriculum_stages if curriculum_score is not None else None
+        ),
+        "curriculum_ascending": (
+            curriculum_ascending if curriculum_score is not None else None
+        ),
+        "curriculum_seed": (
+            curriculum_seed if curriculum_score is not None else None
+        ),
         "shuffle_seed": shuffle_seed,
         "shuffle_shards": shuffle_shards,
     }
     return _run_materialized(docs, stages, materialize_dir, params)
+
+
+def default_pack_vocab(
+    docs: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    extra_ids: int = 0,
+) -> tuple:
+    """The facade's DEFAULT ``pack_ids`` vocabulary, shared with
+    ``cli_corpus`` so the exported tokenizer always matches the
+    packed ids: ``build_vocab`` over the lossless ``merges`` plus the
+    CORPUS ALPHABET — every input character then costs exactly one
+    token, so window cuts never split a byte-fallback run and
+    ``mix_token_budgets``' BPE string-token counts equal id counts
+    exactly. One eager alphabet-sized scan of the raw input. Returns
+    ``(vocab, alphabet_sha256)`` — the digest joins the resume
+    fingerprint so snapshots never mix across vocabularies."""
+    import hashlib
+
+    from evaporate_spark.operators.bpe import build_vocab, corpus_alphabet
+
+    alphabet = corpus_alphabet(docs, text_col)
+    digest = hashlib.sha256(
+        "".join(alphabet).encode("utf-8")
+    ).hexdigest()
+    return (
+        build_vocab(merges, extra_ids=extra_ids, alphabet=alphabet),
+        digest,
+    )
 
 
 def _merges_digest(merges) -> str | None:

@@ -40,6 +40,7 @@ def span_corrupt(
     sentinel_fmt: str = "<extra_id_{}>",
     ids_col: str | None = None,
     sentinel_base: int | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """One denoising example per document: ``inputs`` is the document
     with each corrupted RUN replaced by ``<extra_id_k>`` (k in
@@ -217,6 +218,7 @@ def span_corrupt(
     suffix = "_ids" if ids_col is not None else ""
     return built.select(
         id_col,
+        *(keep_cols or ()),
         F.col("_b.n").alias("n_tokens"),
         F.col("_b.nc").alias("n_corrupted"),
         F.col("_b.ns").alias("n_spans"),
@@ -247,6 +249,7 @@ def ul2_mix(
     sentinel_fmt: str = "<extra_id_{}>",
     ids_col: str | None = None,
     sentinel_base: int | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """UL2 mixture-of-denoisers (Tay et al. 2022): each document is
     assigned ONE denoiser by the md5-threshold convention
@@ -496,6 +499,7 @@ def ul2_mix(
     suffix = "_ids" if ids_col is not None else ""
     return built.select(
         id_col,
+        *(keep_cols or ()),
         F.col("_ul2_tag").alias("denoiser"),
         F.col("_b.n").alias("n_tokens"),
         F.col("_b.nc").alias("n_corrupted"),

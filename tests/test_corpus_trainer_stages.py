@@ -1,0 +1,451 @@
+"""The r13 example-constructor layer as FIRST-CLASS prepare_corpus
+stages (corpus.py): pack_mode='sft', denoise='span'/'ul2' post-pack,
+and curriculum_score ordering — each must equal the hand-chained
+operator composition, ride the resume fingerprint, and survive a
+kill/resume over an SFT chain.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+PAIRS = [
+    (1, "Translate to French:", "the cat sat on the mat today"),
+    (2, "Summarize the passage", "a short summary of the passage text"),
+    (3, "Translate to French:", "the cat sat on the mat today"),  # dup of 1
+    (4, "Classify the e-mail a@b.co", "spam label applies here ☂ symbol"),
+    (5, "Answer the question now", "forty two is the answer indeed"),
+]
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "pack my box with five dozen liquor jugs right now please"),
+    (3, "sphinx of black quartz judge my vow said the old judge"),
+    (4, "rare glyph ≋ appears exactly once in this document text"),
+]
+
+
+def _pairs(spark):
+    return spark.createDataFrame(PAIRS, ["doc_id", "prompt", "completion"])
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# SFT packing as a facade stage
+# ---------------------------------------------------------------------------
+
+
+def test_sft_facade_matches_hand_chain(spark):
+    """pack_mode='sft' == normalize/redact per column + exact_dedup on
+    the derived prompt\\n\\ncompletion key + pack_sft_examples."""
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.functions.normalize import normalize_text
+    from evaporate_spark.functions.redact import redact_pii
+    from evaporate_spark.operators.dedup import exact_dedup
+    from evaporate_spark.operators.packing import pack_sft_examples
+
+    got = prepare_corpus(
+        _pairs(spark), pack_mode="sft", seq_len=64, pack_seed="s14",
+    )
+    d = _pairs(spark)
+    for c in ("prompt", "completion"):
+        d = d.withColumn(c, normalize_text(c)).withColumn(c, redact_pii(c))
+    d = d.withColumn(
+        "text", F.concat_ws("\n\n", F.col("prompt"), F.col("completion"))
+    )
+    d = exact_dedup(d, "doc_id", "text").drop("text")
+    want = pack_sft_examples(d, "doc_id", seq_len=64, seed="s14")
+    assert _rows(got) == _rows(want)
+    rows = got.collect()
+    assert len(rows) > 0
+    # the duplicate pair deduped: 4 examples across all bins
+    assert sum(r["n_docs"] for r in rows) == 4
+    for r in rows:
+        assert len(r["loss_mask"]) == r["n_tokens"]
+
+
+def test_sft_facade_refuses_rewriting_stages_and_text_col(spark):
+    from evaporate_spark.corpus import prepare_corpus
+
+    with pytest.raises(ValueError, match="REWRITING"):
+        prepare_corpus(
+            _pairs(spark), pack_mode="sft", seq_len=32, c4=True,
+        )
+    with pytest.raises(ValueError, match="REWRITING"):
+        prepare_corpus(
+            _pairs(spark), pack_mode="sft", seq_len=32,
+            selfdedup_spans_k=5,
+        )
+    with pytest.raises(ValueError, match="requires seq_len"):
+        prepare_corpus(_pairs(spark), pack_mode="sft")
+    with pytest.raises(ValueError, match="already has that column"):
+        prepare_corpus(
+            _pairs(spark).withColumn("text", F.lit("x")),
+            pack_mode="sft", seq_len=32,
+        )
+
+
+def test_sft_facade_ids_mode_round_trips(spark):
+    """pack_mode='sft' + pack_ids: bins carry seq_ids + loss_mask;
+    every doc_span decodes to prompt ++ completion ++ EOS through the
+    default (corpus-alphabet-built) vocabulary — including the rare
+    '☂' — and the mask is 0 over prompt ids, 1 over completion+EOS."""
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.bpe import (
+        build_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
+
+    pairs = _pairs(spark)
+    both = pairs.select(
+        F.concat_ws("\n\n", "prompt", "completion").alias("_t")
+    )
+    merges = train_bpe(both, "_t", num_merges=40, lossless=True)
+    out = prepare_corpus(
+        pairs, pack_mode="sft", seq_len=96, pack_seed="i14",
+        normalize=False, redact=False,
+        bpe_merges=merges, bpe_lossless=True, pack_ids=True,
+    )
+    # rebuild the facade's default vocabulary for decoding
+    vocab = build_vocab(
+        merges, alphabet=corpus_alphabet(both, "_t")
+    )
+    cleaned = {}  # doc_id -> (prompt, completion) post-dedup
+    for doc_id, p, c in PAIRS:
+        cleaned.setdefault((p, c), (doc_id, p, c))
+    keep = {str(d): (p, c) for (p, c), (d, _, _) in (
+        (k, v) for k, v in cleaned.items()
+    )}
+    rows = out.collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert len(r["loss_mask"]) == r["n_tokens"] == len(r["seq_ids"])
+        for span in r["doc_spans"]:
+            seg = list(r["seq_ids"][span["begin"]: span["end"] + 1])
+            mask = list(r["loss_mask"][span["begin"]: span["end"] + 1])
+            p, c = keep[span["doc_id"]]
+            n_p = len(vocab.encode(p))
+            assert mask == [0] * n_p + [1] * (len(seg) - n_p)
+            assert (
+                vocab.decode(seg) == p + c + "<|endoftext|>"
+            )
+            seen.add(span["doc_id"])
+    assert seen == {"1", "2", "4", "5"}  # 3 deduped away
+
+
+# ---------------------------------------------------------------------------
+# denoise as a facade stage
+# ---------------------------------------------------------------------------
+
+
+def test_denoise_span_over_documents_matches_operator(spark):
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.denoise import span_corrupt
+
+    got = prepare_corpus(
+        _docs(spark), normalize=False, redact=False, dedup=False,
+        denoise="span", denoise_seed="d14", denoise_rate=0.3,
+        denoise_span=2,
+    )
+    want = span_corrupt(
+        _docs(spark).withColumn(
+            "_den_id", F.col("doc_id").cast("string")
+        ),
+        id_col="_den_id", seed="d14", rate=0.3, span_len=2,
+    ).withColumnRenamed("_den_id", "example_id")
+    assert _rows(got) == _rows(want)
+    assert "inputs" in got.columns and "targets" in got.columns
+
+
+def test_denoise_ul2_post_pack_matches_hand_chain(spark):
+    """denoise='ul2' after windows packing == pack_sequences then
+    ul2_mix keyed on doc_id#seq_index; split rides through."""
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.denoise import ul2_mix
+    from evaporate_spark.operators.packing import pack_sequences
+
+    got = prepare_corpus(
+        _docs(spark), normalize=False, redact=False, dedup=False,
+        split_fractions={"train": 0.8, "test": 0.2},
+        seq_len=5, denoise="ul2", denoise_seed="u14",
+        ul2_weights=(1.0, 1.0, 2.0),
+    )
+    from evaporate_spark.functions.text_stats import fingerprint
+    from evaporate_spark.operators.splits import split_column
+
+    base = _docs(spark).withColumn(
+        "split",
+        split_column(fingerprint("text"), {"train": 0.8, "test": 0.2}),
+    )
+    packed = pack_sequences(base, "doc_id", "text", 5, 0, ["split"])
+    keyed = packed.withColumn(
+        "_den_id",
+        F.concat_ws(
+            "#",
+            F.col("doc_id").cast("string"),
+            F.col("seq_index").cast("string"),
+        ),
+    )
+    want = ul2_mix(
+        keyed, id_col="_den_id", text_col="seq_text", seed="u14",
+        weights=(1.0, 1.0, 2.0), keep_cols=["split"],
+    ).withColumnRenamed("_den_id", "example_id")
+    assert _rows(got) == _rows(want)
+    tags = {r["denoiser"] for r in got.collect()}
+    assert tags <= {"R", "X", "S"} and len(tags) >= 2
+    assert "split" in got.columns
+
+
+def test_denoise_ids_mode_uses_vocab_sentinels(spark):
+    """pack_ids + denoise: sentinels come from the default vocab's
+    <extra_id_k> block; inputs_ids/targets_ids stay in-vocab and the
+    shuffle keys on example_id."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    merges_src = _docs(spark)
+    from evaporate_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(merges_src, "text", num_merges=30, lossless=True)
+    got = prepare_corpus(
+        _docs(spark), normalize=False, redact=False, dedup=False,
+        seq_len=12, pack_mode="documents",
+        bpe_merges=merges, bpe_lossless=True, pack_ids=True,
+        denoise="span", denoise_seed="sd", denoise_rate=0.4,
+        denoise_extra_ids=16, shuffle_seed="z",
+    )
+    rows = got.collect()
+    assert rows and "inputs_ids" in got.columns
+    assert sorted(r["pos"] for r in rows) == list(range(1, len(rows) + 1))
+    # sentinel ids land beyond the corrupted window's payload ids
+    any_corrupt = [r for r in rows if r["n_spans"] > 0]
+    assert any_corrupt
+    for r in any_corrupt:
+        assert max(r["inputs_ids"]) >= min(r["targets_ids"])
+
+    with pytest.raises(ValueError, match="extra_id_0"):
+        from evaporate_spark.operators.bpe import build_vocab
+
+        prepare_corpus(
+            _docs(spark), normalize=False, redact=False, dedup=False,
+            seq_len=12, bpe_merges=merges, bpe_lossless=True,
+            pack_ids=True, bpe_vocab=build_vocab(merges),
+            denoise="span",
+        )
+    with pytest.raises(ValueError, match="sft"):
+        prepare_corpus(
+            _pairs(spark), pack_mode="sft", seq_len=32, denoise="ul2",
+        )
+
+
+# ---------------------------------------------------------------------------
+# curriculum as a facade stage
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_facade_matches_operator_and_excludes_shuffle(spark):
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.mixing import curriculum_order
+
+    scored = _docs(spark).withColumn("q", F.length("text").cast("double"))
+    got = prepare_corpus(
+        scored, normalize=False, redact=False, dedup=False,
+        curriculum_score="q", curriculum_stages=2,
+        curriculum_seed="c14",
+    )
+    want = curriculum_order(
+        scored.withColumn("_curr_key", F.col("doc_id").cast("string")),
+        id_col="_curr_key", score_col="q", n_stages=2, seed="c14",
+    ).drop("_curr_key")
+    assert _rows(got) == _rows(want)
+    assert sorted(r["pos"] for r in got.collect()) == [1, 2, 3, 4]
+
+    with pytest.raises(ValueError, match="pos"):
+        prepare_corpus(
+            scored, curriculum_score="q", shuffle_seed="s",
+            normalize=False, redact=False, dedup=False,
+        )
+
+
+def test_curriculum_over_packed_windows(spark):
+    """curriculum_score='n_tokens' over packed windows: the same pos
+    contract corpus_shuffle provides, so shard export composes."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    got = prepare_corpus(
+        _docs(spark), normalize=False, redact=False, dedup=False,
+        seq_len=4, curriculum_score="n_tokens", curriculum_stages=3,
+    )
+    rows = got.collect()
+    assert sorted(r["pos"] for r in rows) == list(range(1, len(rows) + 1))
+    # stage-major: every stage-1 row precedes every stage-2 row
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r["pos"])
+    stages = sorted(by_stage)
+    for a, b in zip(stages, stages[1:]):
+        assert max(by_stage[a]) < min(by_stage[b])
+
+
+# ---------------------------------------------------------------------------
+# token budgets == id counts under the default alphabet vocab
+# ---------------------------------------------------------------------------
+
+
+def test_default_vocab_id_counts_equal_string_token_counts(spark):
+    """With pack_ids and NO caller vocab, the facade builds the vocab
+    over the corpus alphabet — so every char (incl. rare '≋') is one
+    id and window id-counts equal BPE string-token counts exactly
+    (the r13 documented gap, now closed by default)."""
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.bpe import bpe_encode_tokens, train_bpe
+
+    docs = _docs(spark)
+    merges = train_bpe(docs, "text", num_merges=30, lossless=True)
+    windows = prepare_corpus(
+        docs, normalize=False, redact=False, dedup=False,
+        seq_len=7, bpe_merges=merges, bpe_lossless=True, pack_ids=True,
+    )
+    got = {}
+    for r in windows.collect():
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + r["n_tokens"]
+    want = {
+        r["doc_id"]: len(r["toks"])
+        for r in bpe_encode_tokens(
+            docs, "text", merges, "toks", lossless=True
+        ).collect()
+    }
+    assert got == want  # byte-fallback would make got > want on doc 4
+
+
+# ---------------------------------------------------------------------------
+# the composed kill/resume over an SFT chain
+# ---------------------------------------------------------------------------
+
+
+def test_sft_chain_kill_resume(spark, tmp_path, monkeypatch):
+    """materialize_dir over normalize→redact→dedup→pack(sft)→
+    curriculum: crash inside the pack stage, resume with the COMPLETED
+    stages' operators poisoned, get the uninterrupted run's rows; a
+    changed SFT parameter refuses to resume."""
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    kw = dict(
+        pack_mode="sft", seq_len=64, pack_seed="kr",
+        curriculum_score="n_tokens", curriculum_stages=2,
+    )
+    expected = _rows(prepare_corpus(_pairs(spark), **kw))
+    assert expected
+    ck = str(tmp_path / "ck_sft")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(
+        "evaporate_spark.operators.packing.pack_sft_examples", boom
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        prepare_corpus(_pairs(spark), materialize_dir=ck, **kw)
+    monkeypatch.undo()
+
+    assert VersionedTable(spark, f"{ck}/03_dedup").versions() == [0]
+    assert VersionedTable(spark, f"{ck}/04_pack").versions() == []
+
+    # resume: poison everything already committed
+    monkeypatch.setattr(
+        "evaporate_spark.functions.normalize.normalize_text", boom
+    )
+    monkeypatch.setattr(
+        "evaporate_spark.functions.redact.redact_pii", boom
+    )
+    monkeypatch.setattr(
+        "evaporate_spark.operators.dedup.exact_dedup", boom
+    )
+    resumed = _rows(
+        prepare_corpus(_pairs(spark), materialize_dir=ck, **kw)
+    )
+    monkeypatch.undo()
+    assert resumed == expected
+
+    # changed SFT parameter: fingerprint refuses, naming it
+    with pytest.raises(ValueError, match="sft_long_docs"):
+        prepare_corpus(
+            _pairs(spark), materialize_dir=ck,
+            **{**kw, "sft_long_docs": "truncate"},
+        )
+    with pytest.raises(ValueError, match="curriculum_stages"):
+        prepare_corpus(
+            _pairs(spark), materialize_dir=ck,
+            **{**kw, "curriculum_stages": 3},
+        )
+
+
+# ---------------------------------------------------------------------------
+# CLI flags
+# ---------------------------------------------------------------------------
+
+
+def test_cli_pack_sft_and_curriculum(spark, tmp_path, capsys):
+    import json
+
+    from evaporate_spark.cli_corpus import main
+
+    src = str(tmp_path / "pairs")
+    _pairs(spark).write.parquet(src)
+    out = str(tmp_path / "sft_out")
+    rc = main([
+        "--documents-parquet", src, "--output", out,
+        "--pack-sft", "--seq-len", "64",
+        "--curriculum-score", "n_tokens",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["stages"]["pack_sft"] is True
+    assert summary["stages"]["curriculum"] is True
+    back = spark.read.parquet(out)
+    assert {"loss_mask", "pos", "stage", "bin_id"} <= set(back.columns)
+    assert back.count() == summary["rows_out"] > 0
+
+
+def test_cli_denoise_ul2(spark, tmp_path, capsys):
+    import json
+
+    from evaporate_spark.cli_corpus import main
+
+    src = str(tmp_path / "docs")
+    _docs(spark).write.parquet(src)
+    out = str(tmp_path / "ul2_out")
+    rc = main([
+        "--documents-parquet", src, "--output", out,
+        "--seq-len", "8", "--pack-docs",
+        "--denoise", "ul2", "--ul2-weights", "1,1,2",
+        "--denoise-seed", "cli14",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["stages"]["denoise"] == "ul2"
+    back = spark.read.parquet(out)
+    assert {"example_id", "denoiser", "inputs", "targets"} <= set(
+        back.columns
+    )
+
+    # exclusions exit 2 with a message
+    assert main([
+        "--documents-parquet", src, "--output", out,
+        "--pack-sft", "--seq-len", "8", "--denoise", "ul2",
+    ]) == 2
+    assert main([
+        "--documents-parquet", src, "--output", out,
+        "--curriculum-score", "q", "--shuffle-seed", "s",
+    ]) == 2

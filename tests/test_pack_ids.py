@@ -146,13 +146,19 @@ def test_prepare_corpus_pack_ids(spark):
     import pytest as _pytest
 
     from evaporate_spark.corpus import prepare_corpus
-    from evaporate_spark.operators.bpe import build_vocab, train_bpe
+    from evaporate_spark.operators.bpe import (
+        build_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
 
     docs = spark.createDataFrame(
         [(i, t) for i, t in DOCS if t], ["doc_id", "text"]
     )
     merges = train_bpe(docs, "text", num_merges=60, lossless=True)
-    vocab = build_vocab(merges)
+    # the facade's default vocabulary is corpus-alphabet-built (r14:
+    # id counts == string-token counts by default)
+    vocab = build_vocab(merges, alphabet=corpus_alphabet(docs, "text"))
     out = prepare_corpus(
         docs, redact=False, normalize=False, dedup=False,
         seq_len=16, pack_mode="documents", pack_seed="f13",

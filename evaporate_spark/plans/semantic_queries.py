@@ -4316,8 +4316,16 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is not SQL-expressible -> rows-only driver check; mask/layout "
     "semantics are ground-truth-asserted against a pure-python "
     "recompute in both text and integer-id modes "
-    "(tests/test_pack_sft.py). Scale shape: salted-group Arrow FFD "
-    "over 16-byte meta rows, one keyed join-back (pack_bins' shape).",
+    "(tests/test_pack_sft.py), and the trainer-delivery loop is "
+    "e2e-witnessed: prepare_corpus(pack_mode='sft', pack_ids=True) "
+    "-> WebDataset shards carrying PAIRED little-endian-int32 "
+    "members per sample ({key}.ids = seq_ids, {key}.mask = "
+    "loss_mask, equal lengths) -> plain tarfile/struct loader -> "
+    "exported-tokenizer decode with the mask aligned to each "
+    "example's completion+EOS (tests/test_loader_bytes_e2e.py::"
+    "test_sft_bins_to_loader_bytes). Scale shape: salted-group Arrow "
+    "FFD over 16-byte meta rows, one keyed join-back (pack_bins' "
+    "shape).",
     oracle=None,
     tags=("textstats", "corpus"),
 )
@@ -4382,6 +4390,48 @@ def q_bpe_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws("", "toks").alias("text"),
         (F.size("toks") > 0).alias("has_tokens"),
+    )
+
+
+@register(
+    "q_bpe_decode_roundtrip",
+    "Distributed integer-id decode (operators/bpe.py::bpe_decode_ids "
+    "— the broadcast-vocabulary twin of BpeVocab.decode, the "
+    "debugging/preview path for packed id windows): every document "
+    "encodes to ids via bpe_encode_ids against the corpus-alphabet "
+    "vocabulary and decodes BACK distributed; the oracle is the "
+    "documents table itself, so any id-level loss (wrong byte map, "
+    "split fallback run, stale broadcast) hash-mismatches. Greedy "
+    "encode is not SQL-expressible but the round-trip INVARIANT is "
+    "(the q_bpe_lossless_roundtrip pattern, through ids). Scale "
+    "shape: two scan-stage Arrow passes over a broadcast "
+    "(ranks/decoder) pair, zero shuffle.",
+    oracle="""
+        SELECT doc_id, text,
+               CAST(length(text) > 0 AS BOOLEAN) AS has_ids
+        FROM documents
+    """,
+    tags=("textstats", "corpus"),
+)
+def q_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evaporate_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        build_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
+
+    (d,) = _t(spark, sf_dir, "documents")
+    d = d.select("doc_id", "text")
+    merges = train_bpe(d, "text", num_merges=60, lossless=True)
+    vocab = build_vocab(merges, alphabet=corpus_alphabet(d, "text"))
+    ids = bpe_encode_ids(d, "text", vocab)
+    back = bpe_decode_ids(ids, "token_ids", vocab, "decoded")
+    return back.select(
+        "doc_id",
+        F.col("decoded").alias("text"),
+        (F.size("token_ids") > 0).alias("has_ids"),
     )
 
 

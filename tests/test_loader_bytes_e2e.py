@@ -85,3 +85,110 @@ def test_corpus_to_loader_bytes(spark, tmp_path):
     # pieces tile the raw text, so any non-empty string has ids)
     n_docs = docs.where(F.length("text") > 0).count()
     assert total_docs == n_docs
+
+
+def test_sft_bins_to_loader_bytes(spark, tmp_path):
+    """The SFT delivery loop (round-13 verdict item 3): prepare_corpus
+    (pack_mode='sft', pack_ids=True) → WebDataset shards with PAIRED
+    seq_ids + loss_mask int32 members → plain tarfile/struct loader →
+    decode through the exported tokenizer, asserting the mask is 0
+    exactly over each example's prompt ids and 1 over completion+EOS."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import default_pack_vocab, prepare_corpus
+    from evaporate_spark.operators.bpe import (
+        export_gpt2_tokenizer,
+        load_gpt2_tokenizer,
+        train_bpe,
+    )
+    from evaporate_spark.sources.catalog import load_table
+    from evaporate_spark.sources.webdataset import (
+        read_webdataset,
+        webdataset_samples,
+        write_webdataset,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # deterministic (prompt, completion) pairs from the documents
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 6)).alias("prompt"),
+        F.concat_ws(
+            " ", F.slice(toks, 7, F.greatest(F.size(toks) - 6, F.lit(0)))
+        ).alias("completion"),
+    ).where(F.length("completion") > 0)
+    both = pairs.select(
+        F.concat_ws("\n\n", "prompt", "completion").alias("_t")
+    )
+    merges = train_bpe(both, "_t", num_merges=60, lossless=True)
+    vocab, _ = default_pack_vocab(both, "_t", merges)
+    tok_dir = str(tmp_path / "sft_tokenizer")
+    export_gpt2_tokenizer(vocab, tok_dir)
+
+    bins = prepare_corpus(
+        pairs, pack_mode="sft", seq_len=256, pack_seed="sfte2e",
+        normalize=False, redact=False,
+        bpe_merges=merges, bpe_lossless=True, pack_ids=True,
+        bpe_vocab=vocab, sft_long_docs="truncate",
+        shuffle_seed="sfte2e",
+    )
+    rows = bins.select("pos", "seq_ids", "loss_mask", "doc_spans").collect()
+    assert rows
+    by_pos = {
+        r["pos"]: (list(r["seq_ids"]), list(r["loss_mask"]), r["doc_spans"])
+        for r in rows
+    }
+
+    shard_dir = str(tmp_path / "sft_shards")
+    write_webdataset(
+        bins.select(F.col("pos").alias("key"), "seq_ids", "loss_mask"),
+        shard_dir,
+        "key",
+        {"seq_ids": "ids", "loss_mask": "mask"},
+        shard_size=50,
+    )
+
+    # ---- loader side: PAIRED members per sample, tarfile/struct only
+    got = {
+        int(r["key"]): r["files"]
+        for r in webdataset_samples(
+            read_webdataset(spark, shard_dir)
+        ).collect()
+    }
+    assert set(got) == set(by_pos)
+    loader_vocab = load_gpt2_tokenizer(tok_dir)
+    eos = loader_vocab.eos_id
+    prompts = {
+        str(r["doc_id"]): r["prompt"] for r in pairs.collect()
+    }
+    completions = {
+        str(r["doc_id"]): r["completion"] for r in pairs.collect()
+    }
+    n_examples = 0
+    for pos, files in got.items():
+        ids = list(
+            struct.unpack(f"<{len(files['ids']) // 4}i", files["ids"])
+        )
+        mask = list(
+            struct.unpack(f"<{len(files['mask']) // 4}i", files["mask"])
+        )
+        want_ids, want_mask, spans = by_pos[pos]
+        assert ids == want_ids and mask == want_mask  # byte drift
+        assert len(ids) == len(mask)
+        for sp in spans:
+            seg = ids[sp["begin"]: sp["end"] + 1]
+            seg_mask = mask[sp["begin"]: sp["end"] + 1]
+            # the masked-in suffix is completion ++ EOS, token-exact
+            n_p = seg_mask.count(0)
+            assert seg_mask == [0] * n_p + [1] * (len(seg) - n_p)
+            assert seg[-1] == eos
+            assert loader_vocab.decode(seg[:n_p]) == prompts[sp["doc_id"]]
+            comp = loader_vocab.decode(seg[n_p:-1])
+            want_comp = completions[sp["doc_id"]]
+            # truncate mode may cut the completion's tail
+            assert want_comp.startswith(comp) and (comp or not want_comp)
+            n_examples += 1
+    assert n_examples == len(prompts)

@@ -869,23 +869,63 @@ def _write_semdedup_codebook(spark, store_dir: str, meta: dict) -> None:
     stream.close()
 
 
+def _unit_vec(v):
+    """Row-wise L2 normalization as pure JVM HOFs (norm bound ONCE
+    per row — the bind_once rule; zero vectors pass through, matching
+    ``cosine``'s zero-vec-scores-0 convention)."""
+    from evaporate_spark.functions.text_stats import bind_once
+
+    norm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return bind_once(safe, lambda n: F.transform(v, lambda x: x / n))
+
+
 def build_semdedup_index(
     docs: DataFrame,
     id_col: str,
     vec_col: str,
     centroids: list[list[float]],
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Index rows for a committed (already-deduped) corpus batch:
     ``(doc_id, cluster, centroid_sim, vec)`` — cluster assignment is
     scan-stage against the plan-literal codebook; the embedding rides
     along because the incremental pass needs pairwise cosines against
     the store (contrast the lexical index, which stores only
-    digests). Persist with ``.write.parquet(store_dir)``."""
-    return _assign_clusters(docs, id_col, vec_col, centroids).select(
+    digests). Persist with ``.write.parquet(store_dir)``.
+
+    ``pq_codebooks`` (``operators.similarity.train_pq_codebooks``
+    over the UNIT-NORMALIZED corpus) opts into the PQ-CODED store:
+    rows carry ``pq_code ARRAY<INT>`` (m small ints) instead of
+    ``vec`` (dim floats) — 10-50x smaller at d=768, the store a year
+    of daily crawl batches can afford to carry. The trade, stated
+    plainly: batch-vs-store pairwise cosines in
+    :func:`incremental_semdedup` become APPROXIMATE (asymmetric PQ
+    distance over the normalized vectors, ``cos ≈ 1 − adc/2e6``);
+    within-batch dedup stays exact either way. Codes are computed
+    over the unit-normalized embedding so the ADC distance maps to
+    cosine."""
+    assigned = _assign_clusters(docs, id_col, vec_col, centroids)
+    if pq_codebooks is None:
+        return assigned.select(
+            F.col("_id").cast("string").alias("doc_id"),
+            "cluster",
+            "centroid_sim",
+            F.col("_v").alias("vec"),
+        )
+    from evaporate_spark.operators.similarity import _pq_codes_col
+
+    return assigned.select(
         F.col("_id").cast("string").alias("doc_id"),
         "cluster",
         "centroid_sim",
-        F.col("_v").alias("vec"),
+        _pq_codes_col(
+            docs.sparkSession, _unit_vec(F.col("_v")), pq_codebooks
+        ).alias("pq_code"),
     )
 
 
@@ -899,6 +939,7 @@ def incremental_semdedup(
     threshold: float = 0.95,
     iterations: int = 0,
     seed: int = 0,
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Crawl-mode SemDeDup — :func:`semdedup` across BATCHES via a
     persisted cluster-assignment index: a batch document drops iff a
@@ -923,6 +964,17 @@ def incremental_semdedup(
     (the ``incremental_selfdedup_spans`` idempotency convention), so
     re-running a batch after a completed append is byte-identical,
     not self-destructive. Output is materialized before the append.
+
+    ``pq_codebooks`` opts into the PQ-CODED store
+    (:func:`build_semdedup_index`'s coded layout): the store carries
+    ``pq_code ARRAY<INT>`` (m small ints/doc, 10-50x smaller than
+    full vectors at d=768) and batch-vs-store pairs score by
+    asymmetric PQ distance over unit-normalized vectors — an
+    APPROXIMATE pairwise cosine (``cos ≈ 1 − adc/2e6``), which is the
+    documented contract of the coded store; within-batch dedup stays
+    exact. Like the centroids, the first batch PINS the books in the
+    sidecar; later batches load them (passing conflicting books, or
+    books against an exact store, raises).
 
     Scale shape: assignment is scan-stage; the store join is keyed on
     ``cluster`` and quadratic only within a cluster (SemDeDup's
@@ -951,6 +1003,27 @@ def incremental_semdedup(
                 f"incremental_semdedup: threshold {threshold} differs "
                 f"from the committed {meta['threshold']} at {store_dir}"
             )
+        committed_pq = meta.get("pq_codebooks")
+        if pq_codebooks is not None:
+            passed_pq = [
+                [[float(x) for x in w] for w in book]
+                for book in pq_codebooks
+            ]
+            if committed_pq is None:
+                raise ValueError(
+                    "incremental_semdedup: pq_codebooks passed but "
+                    f"the store at {store_dir} was committed EXACT "
+                    "(full vectors) — a mixed store cannot score; "
+                    "use a fresh store_dir for the PQ-coded index"
+                )
+            if passed_pq != committed_pq:
+                raise ValueError(
+                    "incremental_semdedup: explicit pq_codebooks "
+                    f"differ from the committed ones at {store_dir} "
+                    "— code drift would silently corrupt store "
+                    "distances"
+                )
+        pq_codebooks = committed_pq
         centroids = meta["centroids"]
     else:
         if centroids is None:
@@ -965,10 +1038,17 @@ def incremental_semdedup(
         centroids = [[float(x) for x in c] for c in centroids]
         if not centroids:
             raise ValueError("incremental_semdedup needs >= 1 centroid")
-        _write_semdedup_codebook(
-            spark, store_dir,
-            {"centroids": centroids, "threshold": float(threshold)},
-        )
+        if pq_codebooks is not None:
+            pq_codebooks = [
+                [[float(x) for x in w] for w in book]
+                for book in pq_codebooks
+            ]
+        side = {"centroids": centroids, "threshold": float(threshold)}
+        if pq_codebooks is not None:
+            # the PQ books are part of the store contract exactly
+            # like the centroids: the first batch pins them
+            side["pq_codebooks"] = pq_codebooks
+        _write_semdedup_codebook(spark, store_dir, side)
 
     assigned = _assign_clusters(batch, id_col, vec_col, centroids)
     w = Window.partitionBy("cluster").orderBy(
@@ -979,23 +1059,49 @@ def incremental_semdedup(
     batch_drops = _semdedup_dropped(ranked, float(threshold), arrow=big)
     if _store_has_parquet(spark, store_dir):
         store = spark.read.parquet(store_dir)
-        # ONE quantization rule per pass: the store-join cosine uses
-        # the same quantizer as this pass's within-batch drops —
-        # F.round HALF_UP with the literal codebook, floor(x*1e6+0.5)
-        # (numpy's rule, matching F.floor bit-for-bit on doubles) in
-        # the Arrow big-codebook regime — so a boundary-sitting
-        # cosine is treated consistently within a single decision
-        store_cos = (
-            F.floor(cosine("_v", "vec") * 1e6 + F.lit(0.5)) / 1e6
-            if big
-            else F.round(cosine("_v", "vec"), 6)
-        )
+        if pq_codebooks is not None:
+            # PQ-coded store: the batch-vs-store score is ASYMMETRIC
+            # PQ distance (exact-micros ADC of the batch's normalized
+            # vector against the store row's codes). For unit vectors
+            # cos = 1 − L2²/2, so `cos >= threshold` is the INTEGER
+            # test adc_micros <= (1−threshold)·2e6 — approximate by
+            # the codebooks' quantization error, which is the
+            # documented trade of the coded store (within-batch drops
+            # above remain exact)
+            from evaporate_spark.operators.similarity import (
+                pq_adc_micros,
+            )
+
+            limit = int(round((1.0 - float(threshold)) * 2_000_000))
+            store_hit = (
+                pq_adc_micros(
+                    spark,
+                    _unit_vec(F.col("_v")),
+                    F.col("pq_code"),
+                    pq_codebooks,
+                )
+                <= F.lit(limit)
+            )
+        else:
+            # ONE quantization rule per pass: the store-join cosine
+            # uses the same quantizer as this pass's within-batch
+            # drops — F.round HALF_UP with the literal codebook,
+            # floor(x*1e6+0.5) (numpy's rule, matching F.floor
+            # bit-for-bit on doubles) in the Arrow big-codebook
+            # regime — so a boundary-sitting cosine is treated
+            # consistently within a single decision
+            store_cos = (
+                F.floor(cosine("_v", "vec") * 1e6 + F.lit(0.5)) / 1e6
+                if big
+                else F.round(cosine("_v", "vec"), 6)
+            )
+            store_hit = store_cos >= F.lit(float(threshold))
         store_drops = (
             ranked.join(store, "cluster")
             .where(
                 # self-rows (a replayed batch's own append) never drop
                 (F.col("doc_id") != F.col("_id").cast("string"))
-                & (store_cos >= F.lit(float(threshold)))
+                & store_hit
             )
             .select(F.col("_id").alias("_did"))
         )
@@ -1027,11 +1133,19 @@ def incremental_semdedup(
         if _store_has_parquet(spark, store_dir)
         else None
     )
+    if pq_codebooks is not None:
+        from evaporate_spark.operators.similarity import _pq_codes_col
+
+        payload = _pq_codes_col(
+            spark, _unit_vec(F.col("_v")), pq_codebooks
+        ).alias("pq_code")
+    else:
+        payload = F.col("_v").alias("vec")
     idx = survivors.select(
         F.col("_id").cast("string").alias("doc_id"),
         "cluster",
         "centroid_sim",
-        F.col("_v").alias("vec"),
+        payload,
     )
     if existing is not None:
         idx = idx.join(existing, "doc_id", "left_anti")

@@ -199,3 +199,141 @@ def test_semdedup_arrow_pairwise_parity(spark, monkeypatch):
     arrow_path = run()
     assert join_path == arrow_path
     assert sum(1 for _, _, k in join_path.values() if not k) > 0
+
+
+# ---------------------------------------------------------------------------
+# PQ-coded store (round-14): codes instead of vectors, ADC pairwise
+# ---------------------------------------------------------------------------
+
+
+def _pq_books_exactish():
+    """m=1 codebook over the full 3-dim space whose codewords ARE the
+    fixtures' unit directions: ADC then reproduces the exact pairwise
+    geometry up to codeword snapping, so the coded path's decisions
+    can be compared 1:1 with the exact-store path."""
+    import numpy as np
+
+    words = []
+    for _, v in BATCH_A + BATCH_B:
+        a = np.asarray(v, dtype="float64")
+        words.append(list(a / np.linalg.norm(a)))
+    return [words]
+
+
+def test_pq_store_matches_exact_path_and_shrinks_store(spark, tmp_path):
+    from evaporate_spark.operators.dedup import incremental_semdedup
+
+    books = _pq_books_exactish()
+    exact_store = str(tmp_path / "sem_exact")
+    pq_store = str(tmp_path / "sem_pq")
+
+    results = {}
+    for store, kw in (
+        (exact_store, {}),
+        (pq_store, {"pq_codebooks": books}),
+    ):
+        a = incremental_semdedup(
+            _df(spark, BATCH_A), "doc_id", "embedding", store,
+            centroids=CENTROIDS, threshold=0.95, **kw,
+        )
+        kept_a = {r["doc_id"]: r["kept"] for r in a.collect()}
+        b = incremental_semdedup(
+            _df(spark, BATCH_B), "doc_id", "embedding", store,
+            threshold=0.95, **kw,
+        )
+        kept_b = {r["doc_id"]: r["kept"] for r in b.collect()}
+        results[store] = (kept_a, kept_b)
+
+    # decisions agree batch-for-batch (codewords snap exactly here);
+    # in general the coded path is approximate — this fixture pins
+    # the agreement regime, the recall bar below pins the coarse one
+    assert results[pq_store] == results[exact_store]
+    # the fixture exercises real store drops
+    assert results[pq_store][1]["b1"] is False
+    assert results[pq_store][1]["b2"] is False
+
+    # store layout: codes, not vectors — and smaller on disk
+    import os
+
+    pq_rows = spark.read.parquet(pq_store)
+    assert "pq_code" in pq_rows.columns and "vec" not in pq_rows.columns
+
+    def _bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    # 3-dim fixtures barely show it; assert the direction, and the
+    # schema above pins the mechanism (m ints vs dim doubles)
+    assert _bytes(pq_store) <= _bytes(exact_store)
+
+
+def test_pq_store_recall_bar_with_coarse_books(spark, tmp_path):
+    """Coarse 2-codeword books: every exact-path store DROP must
+    still drop under the coded store (recall 1.0 on this fixture —
+    near-dups collapse to the same codeword, which can only INCREASE
+    measured similarity), and coded keeps ⊆ exact keeps need not
+    hold — assert the documented direction instead."""
+    from evaporate_spark.operators.dedup import incremental_semdedup
+
+    coarse = [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]]
+    exact_store = str(tmp_path / "rec_exact")
+    pq_store = str(tmp_path / "rec_pq")
+    outs = {}
+    for store, kw in (
+        (exact_store, {}),
+        (pq_store, {"pq_codebooks": coarse}),
+    ):
+        incremental_semdedup(
+            _df(spark, BATCH_A), "doc_id", "embedding", store,
+            centroids=CENTROIDS, threshold=0.95, **kw,
+        ).collect()
+        outs[store] = {
+            r["doc_id"]: r["kept"]
+            for r in incremental_semdedup(
+                _df(spark, BATCH_B), "doc_id", "embedding", store,
+                threshold=0.95, **kw,
+            ).collect()
+        }
+    exact_drops = {d for d, k in outs[exact_store].items() if not k}
+    pq_drops = {d for d, k in outs[pq_store].items() if not k}
+    assert exact_drops <= pq_drops  # recall: no exact drop survives
+
+
+def test_pq_store_sidecar_pins_books_and_mode(spark, tmp_path):
+    from evaporate_spark.operators.dedup import incremental_semdedup
+
+    books = _pq_books_exactish()
+    store = str(tmp_path / "pin_pq")
+    incremental_semdedup(
+        _df(spark, BATCH_A), "doc_id", "embedding", store,
+        centroids=CENTROIDS, threshold=0.95, pq_codebooks=books,
+    ).collect()
+    # second batch with NO books: loads them from the sidecar (the
+    # append stays coded — schema proves it)
+    incremental_semdedup(
+        _df(spark, BATCH_B), "doc_id", "embedding", store,
+        threshold=0.95,
+    ).collect()
+    assert "pq_code" in spark.read.parquet(store).columns
+    # conflicting books raise
+    other = [[[0.5, 0.5, 0.0], [0.0, 0.5, 0.5]]]
+    with pytest.raises(ValueError, match="pq_codebooks"):
+        incremental_semdedup(
+            _df(spark, BATCH_B), "doc_id", "embedding", store,
+            threshold=0.95, pq_codebooks=other,
+        )
+    # books against an EXACT store raise
+    exact = str(tmp_path / "pin_exact")
+    incremental_semdedup(
+        _df(spark, BATCH_A), "doc_id", "embedding", exact,
+        centroids=CENTROIDS, threshold=0.95,
+    ).collect()
+    with pytest.raises(ValueError, match="EXACT"):
+        incremental_semdedup(
+            _df(spark, BATCH_B), "doc_id", "embedding", exact,
+            threshold=0.95, pq_codebooks=books,
+        )

@@ -1,0 +1,156 @@
+"""100x MODERN-chain scale probe (round-14; VERDICT r13 task 8).
+
+The per-round bench pins the r12/r13 stages at 10x
+(``modern_chain_10x``); this probe runs the same chain — ExactSubstr
+span excision + SemDeDup + DSIR selection + FFD bin packing — over a
+~500k-doc replicated table WITH the Arrow big-codebook paths engaged
+(512 clusters x d=64 = 32768 codebook floats, past
+``_LITERAL_CODEBOOK_MAX``): cluster assignment is the broadcast-numpy
+Arrow matmul and each cluster's pairwise block is one numpy matmul
+inside an Arrow group — the clusters∝N regime the paper's sizing rule
+prescribes, which the 10x pin never exercises. Records wall time plus
+executed-plan health (shuffle bytes, spill, scan counts) so quadratic
+pair growth or driver-state creep at this scale is visible in one
+committed JSON.
+
+Replication mix per source doc (mirrors scale_probe_corpus_100x.py):
+30% exact copies (exercises the dedup/selfdedup stores), 40%
+repetition-inflated near-copies (LSH/semdedup clusters), 30% distinct
+rewrites. Embeddings are PRECOMPUTED into the fixture table
+(feature-hash d=64) — recomputing an embedding UDF inside every
+stage re-evaluation is the anti-pattern a real pipeline avoids by
+storing embeddings (bench.py's ``_corpus_10x_emb_dir`` lesson).
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_modern_100x.py
+Writes scripts/SCALE_PROBE_MODERN_100X.json unless ``--stdout-only``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTOR = 100
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_JSON = os.path.join(REPO, "scripts", "SCALE_PROBE_MODERN_100X.json")
+
+
+def replicated_emb_docs_dir(spark, sf_dir: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.functions.embed import feature_hash_embedding
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/spark_graft_modern{factor}x_{tag}"
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    k = F.col("_k")
+    exact_end = factor * 3 // 10
+    rep_end = factor * 7 // 10
+    docs = (
+        base.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_k"),
+        )
+        .withColumn("doc_id", F.col("doc_id") * factor + k)
+        .withColumn(
+            "text",
+            F.when(k < exact_end, F.col("text"))
+            .when(
+                k < rep_end,
+                F.concat_ws(
+                    " ", F.array_repeat(F.col("text"), (k % 4) + 2)
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.md5(F.concat(F.col("text"), k.cast("string"))),
+                    F.lit(" "),
+                    F.reverse(F.col("text")),
+                )
+            ),
+        )
+        .drop("_k")
+        .withColumn("embedding", feature_hash_embedding("text", dim=64))
+    )
+    docs.repartition(64).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.operators.dedup import _LITERAL_CODEBOOK_MAX
+    from evaporate_spark.plans.metrics import query_summary
+    from evaporate_spark.session import get_spark
+
+    n_clusters, dim = 512, 64
+    assert n_clusters * dim > _LITERAL_CODEBOOK_MAX, (
+        "probe must run in the Arrow big-codebook regime"
+    )
+    spark = get_spark(app_name="scale-probe-modern-100x")
+    t_build0 = time.perf_counter()
+    docs_dir = replicated_emb_docs_dir(spark, SF_DIR, FACTOR)
+    build_s = round(time.perf_counter() - t_build0, 1)
+    docs = spark.read.parquet(docs_dir)
+    n_docs = docs.count()
+    target = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).where(F.col("doc_id") % 17 == 0)
+
+    t0 = time.perf_counter()
+    packed = prepare_corpus(
+        docs,
+        normalize=False,
+        redact=False,
+        dedup=False,
+        selfdedup_spans_k=8,
+        semdedup_threshold=0.9,
+        semdedup_clusters=n_clusters,
+        dsir_target=target,
+        dsir_keep=100_000,
+        seq_len=512,
+        pack_mode="bins",
+        pack_seed="probe",
+    )
+    summary = packed.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_padding").alias("padded_tokens"),
+    )
+    row = summary.collect()[0]
+    chain_s = round(time.perf_counter() - t0, 1)
+    health = query_summary(summary)
+
+    record = {
+        "probe": "modern_chain_100x",
+        "sf_dir": SF_DIR,
+        "factor": FACTOR,
+        "n_input_docs": n_docs,
+        "semdedup_clusters": n_clusters,
+        "embedding_dim": dim,
+        "arrow_big_codebook": True,
+        "fixture_build_s": build_s,
+        "chain_wall_s": chain_s,
+        "n_bins": row["n_bins"],
+        "total_tokens": row["total_tokens"],
+        "padded_tokens": row["padded_tokens"],
+        "plan_health": health,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(record, indent=2))
+    if "--stdout-only" not in sys.argv:
+        with open(OUT_JSON, "w") as fh:
+            fh.write(json.dumps(record, indent=2) + "\n")
+        print(f"recorded -> {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    main()

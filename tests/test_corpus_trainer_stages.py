@@ -449,3 +449,36 @@ def test_cli_denoise_ul2(spark, tmp_path, capsys):
         "--documents-parquet", src, "--output", out,
         "--curriculum-score", "q", "--shuffle-seed", "s",
     ]) == 2
+
+
+# ---------------------------------------------------------------------------
+# plan hygiene for the new facade compositions
+# ---------------------------------------------------------------------------
+
+
+def test_new_facade_stage_plans_lint_clean(spark):
+    """The three round-14 facade compositions (sft pack, post-pack
+    ul2, curriculum over windows) must be lint-clean: no cartesian,
+    no row-at-a-time Python, no single-partition window. md5-threshold
+    filters stay advisory-unpushable by design."""
+    from evaporate_spark.corpus import prepare_corpus
+    from evaporate_spark.plans.lint import assert_plan_clean, lint_plan
+
+    plans = [
+        prepare_corpus(
+            _pairs(spark), pack_mode="sft", seq_len=64,
+            curriculum_score="n_tokens",
+        ),
+        prepare_corpus(
+            _docs(spark), normalize=False, redact=False, dedup=False,
+            seq_len=8, pack_mode="documents", denoise="ul2",
+            shuffle_seed="lint",
+        ),
+        prepare_corpus(
+            _docs(spark), normalize=False, redact=False, dedup=False,
+            denoise="span",
+        ),
+    ]
+    for df in plans:
+        assert_plan_clean(df)
+        assert {c for c, _ in lint_plan(df)} <= {"unpushed-filter"}

@@ -264,6 +264,20 @@ Pinned comparison baselines (medians unless noted):
   moved to 128 clusters (better recall than 512: fewer cross-cluster
   dups missed) and modern_chain_10x warm reads ~13.2 s — expect the
   r13 driver pin near that, not 20.6.
+
+Round-14 quiet-host re-pin (the r13 verdict's task 7; start load
+1.86): relational subtotal 2.552 (q1 0.451 / q3 0.891 / q5 1.210);
+q_token_rarity 0.826, q_knn_cosine 0.687, q_dup_clusters 2.396,
+q_dup_passage_stats 2.962, q_minhash_lsh_dups 1.996 — every row that
+drifted +25-41% in the r13 run came back inside the r12 band, plans
+unchanged: the r13 readings were host load, not regressions.
+corpus_chain_10x 12.205 (holding the r13 structural win),
+modern_chain_10x 9.777 (−12% vs r13's 11.064 — the regression pin
+for the r12/r13 stages), pack_docs_10x 4.487, pack_bins_10x 3.072,
+q_semantic_closed_ie 5.584 / q_semantic_openie 13.455 with tokens
+unchanged (6718 / 29640). The lazy-checkpoint GATING landed this
+round (barriers only before multi-referencing stages) shows no
+regression on either chain row.
 """
 
 from __future__ import annotations

@@ -32,7 +32,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from evaporate_spark.operators.rollup import GRAIN_US
 
-__all__ = ["incremental_rollup_sink", "read_rollup", "compact_rollup"]
+__all__ = [
+    "incremental_rollup_sink",
+    "read_rollup",
+    "compact_rollup",
+    "incremental_semdedup_sink",
+]
 
 
 def _partial_agg(df: DataFrame, ts_col: str, measure_cols: list[str], grain: str) -> DataFrame:
@@ -104,3 +109,59 @@ def compact_rollup(
 
     t = VersionedTable(spark, snapshot_root)
     return t.write_snapshot(read_rollup(spark, root, measure_cols))
+
+
+def incremental_semdedup_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    decisions_root: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iterations: int = 0,
+    seed: int = 0,
+    pq_codebooks: list[list[list[float]]] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Crawl-stream semantic dedup: every micro-batch runs
+    :func:`operators.dedup.incremental_semdedup` against the
+    persisted cluster index at ``store_dir`` — earlier batches win
+    unconditionally, within-batch one-pass rule applies — and writes
+    its per-document (id, cluster, centroid_sim, kept) decisions to
+    ``<decisions_root>/batch_id=N``. The streamed composition of the
+    batch operator, one shared definition.
+
+    Effectively exactly-once although foreachBatch is at-least-once:
+    a redelivered batch REPLAYS idempotently — the store append
+    ignores rows whose ids are already committed and self-rows never
+    drop (incremental_semdedup's replay contract), and the decisions
+    write is mode=overwrite per batch id — so a crash between the
+    append and the offset commit re-produces byte-identical state.
+    Micro-batches process serially per query, preserving the
+    batch-order priority the store semantics assume. The first
+    non-empty batch fixes the codebook (sidecar-pinned); empty
+    batches are skipped (nothing to assign, nothing to append)."""
+    from evaporate_spark.operators.dedup import incremental_semdedup
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = incremental_semdedup(
+            batch_df, id_col, vec_col, store_dir,
+            centroids=centroids, n_clusters=n_clusters,
+            threshold=threshold, iterations=iterations, seed=seed,
+            pq_codebooks=pq_codebooks,
+        )
+        out.write.mode("overwrite").parquet(
+            f"{decisions_root}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

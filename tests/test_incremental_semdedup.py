@@ -337,3 +337,74 @@ def test_pq_store_sidecar_pins_books_and_mode(spark, tmp_path):
             _df(spark, BATCH_B), "doc_id", "embedding", exact,
             threshold=0.95, pq_codebooks=books,
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming composition (round-14): foreachBatch crawl sink
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_sink_matches_batch_calls(spark, tmp_path):
+    """incremental_semdedup_sink == the batch operator called once per
+    crawl day: two file-arrival micro-batches (same checkpoint, so the
+    second run processes only the new file) produce decision rows
+    identical to two direct incremental_semdedup calls, and the store
+    ends byte-equivalent (same rows)."""
+    import json
+
+    from evaporate_spark.operators.dedup import incremental_semdedup
+    from evaporate_spark.streaming.incremental import (
+        incremental_semdedup_sink,
+    )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    stream_store = str(tmp_path / "stream_store")
+    batch_store = str(tmp_path / "batch_store")
+    decisions = str(tmp_path / "decisions")
+    schema = "doc_id string, embedding array<double>"
+
+    def arrive(name, rows):
+        with open(src / name, "w") as fh:
+            for doc_id, emb in rows:
+                fh.write(
+                    json.dumps({"doc_id": doc_id, "embedding": emb}) + "\n"
+                )
+
+    def run_sink():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = incremental_semdedup_sink(
+            stream, stream_store, ckpt, decisions,
+            centroids=CENTROIDS, threshold=0.95,
+        )
+        q.awaitTermination(120)
+
+    arrive("day0.json", BATCH_A)
+    run_sink()
+    arrive("day1.json", BATCH_B)
+    run_sink()
+
+    want = {}
+    for batch in (BATCH_A, BATCH_B):
+        out = incremental_semdedup(
+            _df(spark, batch), "doc_id", "embedding", batch_store,
+            centroids=CENTROIDS, threshold=0.95,
+        )
+        want.update({r["doc_id"]: r["kept"] for r in out.collect()})
+
+    got_rows = spark.read.parquet(decisions).collect()
+    got = {r["doc_id"]: r["kept"] for r in got_rows}
+    assert got == want
+    # decisions are partitioned by micro-batch, one per arrival
+    assert {r["batch_id"] for r in got_rows} == {0, 1}
+    # the persisted stores agree row-for-row
+    s = {
+        (r["doc_id"], r["cluster"])
+        for r in spark.read.parquet(stream_store).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster"])
+        for r in spark.read.parquet(batch_store).collect()
+    }
+    assert s == b and len(s) == sum(want.values())

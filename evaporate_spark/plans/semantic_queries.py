@@ -1505,6 +1505,135 @@ def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_semdedup_sink_twin",
+    "Streaming twin of crawl-mode SemDeDup (streaming/incremental.py"
+    "::incremental_semdedup_sink — foreachBatch over operators/"
+    "dedup.py::incremental_semdedup): the even-vec_id embeddings "
+    "arrive as micro-batch 0 and the odds as micro-batch 1 (two "
+    "availableNow runs over a file source sharing one checkpoint, so "
+    "the second run processes only the new file); the query returns "
+    "EVERY decision row across both batches from the per-batch "
+    "decisions log. The oracle replays codebook init -> assignment "
+    "-> batch-1 one-pass survivors -> batch-2 store/batch drops end "
+    "to end in DuckDB list algebra (the q_incremental_semdedup "
+    "replay, extended to emit batch 1's rows too). Side effects: "
+    "/tmp store/checkpoint/decisions/src dirs, reset per invocation.",
+    oracle="""
+        WITH c AS (
+            SELECT embedding AS ce,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 8
+        ),
+        s AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROUND(list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) AS cs
+            FROM embeddings e CROSS JOIN c
+        ),
+        a AS (
+            SELECT vec_id, embedding, cid, cs
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY cs DESC, cid ASC
+                       ) AS r
+                FROM s
+            ) WHERE r = 1
+        ),
+        rka AS (
+            SELECT vec_id, embedding, cid AS cluster, cs AS centroid_sim,
+                   row_number() OVER (
+                       PARTITION BY cid ORDER BY cs ASC, vec_id ASC
+                   ) AS rnk
+            FROM a WHERE vec_id % 2 = 0
+        ),
+        drpa AS (
+            SELECT DISTINCT x.vec_id
+            FROM rka x JOIN rka y
+              ON x.cluster = y.cluster AND y.rnk < x.rnk
+            WHERE ROUND(list_cosine_similarity(
+                x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.2
+        ),
+        stor AS (
+            SELECT * FROM rka
+            WHERE vec_id NOT IN (SELECT vec_id FROM drpa)
+        ),
+        rkb AS (
+            SELECT vec_id, embedding, cid AS cluster, cs AS centroid_sim,
+                   row_number() OVER (
+                       PARTITION BY cid ORDER BY cs ASC, vec_id ASC
+                   ) AS rnk
+            FROM a WHERE vec_id % 2 = 1
+        ),
+        drpb AS (
+            SELECT DISTINCT x.vec_id
+            FROM rkb x JOIN rkb y
+              ON x.cluster = y.cluster AND y.rnk < x.rnk
+            WHERE ROUND(list_cosine_similarity(
+                x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.2
+            UNION
+            SELECT DISTINCT x.vec_id
+            FROM rkb x JOIN stor st ON x.cluster = st.cluster
+            WHERE ROUND(list_cosine_similarity(
+                x.embedding::DOUBLE[], st.embedding::DOUBLE[]), 6) >= 0.2
+        )
+        SELECT rka.vec_id, rka.cluster, rka.centroid_sim,
+               drpa.vec_id IS NULL AS kept
+        FROM rka LEFT JOIN drpa ON rka.vec_id = drpa.vec_id
+        UNION ALL
+        SELECT rkb.vec_id, rkb.cluster, rkb.centroid_sim,
+               drpb.vec_id IS NULL AS kept
+        FROM rkb LEFT JOIN drpb ON rkb.vec_id = drpb.vec_id
+    """,
+    tags=("similarity", "dedup", "streaming"),
+)
+def q_stream_semdedup_sink_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from evaporate_spark.streaming.incremental import (
+        incremental_semdedup_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/spark_graft_semsink_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    src, store = f"{root}/src", f"{root}/store"
+    ckpt, decisions = f"{root}/ckpt", f"{root}/decisions"
+    cent_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    # two crawl-day arrivals: even vec_ids, then odds (parquet file
+    # source; one shared checkpoint makes run 2 process only day 1)
+    def run_sink():
+        q = incremental_semdedup_sink(
+            spark.readStream.schema(emb.schema).parquet(src),
+            store, ckpt, decisions,
+            id_col="vec_id", centroids=centroids, threshold=0.2,
+        )
+        q.awaitTermination(300)
+
+    emb.where(F.col("vec_id") % 2 == 0).write.mode("append").parquet(src)
+    run_sink()
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
+    run_sink()
+    return spark.read.parquet(decisions).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cluster",
+        "centroid_sim",
+        "kept",
+    )
+
+
+@register(
     "q_int8_ann",
     "Int8-quantized ANN (operators/similarity.py::int8_topk): the "
     "corpus quantizes to symmetric per-vector int8 codes (scale = "

@@ -284,6 +284,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="bound output shard file sizes (writer-side split, no shuffle)",
     )
     p.add_argument(
+        "--webdataset-out",
+        help="ALSO export the prepared output as WebDataset tar "
+        "shards here (sources/webdataset.py::export_training_shards: "
+        "key and members inferred from the layout — seq_ids -> .ids, "
+        "loss_mask -> .mask, inputs/targets -> .in/.tgt, text -> "
+        ".txt; id/mask arrays as little-endian int32) — one command "
+        "from lake to loader shards",
+    )
+    p.add_argument(
+        "--webdataset-shard-size", type=int, default=1000,
+        help="with --webdataset-out: samples per shard (hash sharding)",
+    )
+    p.add_argument(
+        "--webdataset-shard-bytes", type=int,
+        help="with --webdataset-out: byte-budget contiguous shards "
+        "instead of sample-count hashing (multimodal-size variance)",
+    )
+    p.add_argument(
         "--materialize-dir",
         help="stage-level checkpoint/resume: commit each stage as an "
         "atomic versioned snapshot under this directory and resume "
@@ -609,6 +627,27 @@ def main(argv: list[str] | None = None) -> int:
     else:
         writer.json(args.output)
     n_out = spark.read.format(args.format).load(args.output).count()
+    n_wds_shards = None
+    if args.webdataset_out:
+        from evaporate_spark.sources.webdataset import (
+            export_training_shards,
+        )
+
+        # parquet preserves the array<int> id/mask types exactly;
+        # json inference would widen them to bigint (refused by the
+        # wire validator), so export from the live plan there
+        shard_src = (
+            spark.read.parquet(args.output)
+            if args.format == "parquet"
+            else out
+        )
+        n_wds_shards = export_training_shards(
+            shard_src,
+            args.webdataset_out,
+            shard_size=args.webdataset_shard_size,
+            shard_bytes=args.webdataset_shard_bytes,
+            text_col=args.text_col,
+        ).count()
     if args.manifest:
         from evaporate_spark.operators.manifest import corpus_manifest
 
@@ -639,6 +678,7 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "rows_in": n_in,
                 "rows_out": n_out,
+                "webdataset_shards": n_wds_shards,
                 "packed": args.seq_len is not None,
                 "stages": {
                     "code_filters": args.code_filters,

@@ -435,3 +435,99 @@ def webdataset_samples(
             ).alias("files")
         )
     )
+
+
+#: payload column → member extension, in engine-layout order: the
+#: packed/denoised layouts' id and mask arrays ship as int32 members,
+#: text payloads as utf-8. Extensions are single-segment (the
+#: WebDataset first-period grouping rule).
+TRAINING_MEMBERS: tuple[tuple[str, str], ...] = (
+    ("seq_ids", "ids"),
+    ("loss_mask", "mask"),
+    ("inputs_ids", "in"),
+    ("targets_ids", "tgt"),
+    ("inputs", "in"),
+    ("targets", "tgt"),
+    ("denoiser", "den"),
+    ("seq_text", "txt"),
+    ("seq_tokens", None),  # recomputable from seq_text; never shipped
+    ("doc_spans", None),  # struct arrays have no member wire format
+)
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_size: int = 1000,
+    n_shards: int | None = None,
+    shard_bytes: int | None = None,
+    prefix: str = "shard",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-call WebDataset export for the engine's training layouts —
+    the delivery step after ``prepare_corpus``: infer the sample KEY
+    and the member mapping from the columns the packing/denoising
+    stages emit and hand off to :func:`write_webdataset`.
+
+    Key preference (most-specific first): ``pos`` (the global
+    training order — present after ``shuffle_seed``/
+    ``curriculum_score``, and the key a loader's resume cursor
+    wants), then ``example_id`` (denoised examples), ``bin_id``
+    (bins/sft), ``(doc_id, seq_index)`` (windows), ``seq_index``
+    (documents-mode streams), else ``doc_id``. Keys are sanitized for
+    the WebDataset grouping characters (``.`` → ``_``, ``/`` → ``-``)
+    — prefer ``pos``, which needs none.
+
+    Members: ``seq_ids → .ids``, ``loss_mask → .mask``,
+    ``inputs_ids``/``inputs → .in``, ``targets_ids``/``targets →
+    .tgt``, ``denoiser → .den``, ``seq_text``/``text_col → .txt``
+    (id/mask arrays as little-endian int32, text utf-8 — the
+    :func:`write_webdataset` wire contract). Raises when no payload
+    column is recognized. Returns the shard manifest."""
+    cols = set(df.columns)
+    if "pos" in cols:
+        key = F.col("pos").cast("string")
+    elif "example_id" in cols:
+        key = F.col("example_id")
+    elif "bin_id" in cols:
+        key = F.col("bin_id")
+    elif {"doc_id", "seq_index"} <= cols:
+        key = F.concat_ws(
+            "#",
+            F.col("doc_id").cast("string"),
+            F.col("seq_index").cast("string"),
+        )
+    elif "seq_index" in cols:
+        key = F.col("seq_index").cast("string")
+    elif "doc_id" in cols:
+        key = F.col("doc_id").cast("string")
+    else:
+        raise ValueError(
+            "export_training_shards: no key column among pos/"
+            f"example_id/bin_id/doc_id/seq_index in {sorted(cols)}"
+        )
+    key = F.regexp_replace(
+        F.regexp_replace(key, r"\.", "_"), "/", "-"
+    )
+    content: dict[str, str] = {}
+    for col, ext in TRAINING_MEMBERS:
+        if col in cols and ext is not None and ext not in content.values():
+            content[col] = ext
+    if "seq_text" not in cols and text_col in cols:
+        content.setdefault(text_col, "txt")
+    if not content:
+        raise ValueError(
+            "export_training_shards: no payload column among "
+            f"{[c for c, e in TRAINING_MEMBERS if e]} + {text_col!r} "
+            f"in {sorted(cols)}"
+        )
+    return write_webdataset(
+        df.withColumn("_wds_key", key),
+        path,
+        "_wds_key",
+        content,
+        shard_size=shard_size,
+        n_shards=n_shards,
+        shard_bytes=shard_bytes,
+        prefix=prefix,
+    )

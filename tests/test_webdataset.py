@@ -300,3 +300,120 @@ def test_byte_budget_counts_float_members(spark, tmp_path):
     # each sample costs 512 (header) + 1024 (2 blocks of f4 data);
     # budget 8192 -> at most ceil(8192/1536)+1 samples per shard
     assert all(r["n_samples"] <= 6 for r in man)
+
+
+def test_export_training_shards_layouts(spark, tmp_path):
+    """Layout-aware export: key/member inference for windows-ids,
+    sft (bin_id with '/' sanitized), denoised (in/tgt/den), and plain
+    document frames; pos preferred when present."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.sources.webdataset import (
+        export_training_shards,
+        read_webdataset,
+        webdataset_samples,
+    )
+
+    def samples(path):
+        return {
+            r["key"]: r["files"]
+            for r in webdataset_samples(
+                read_webdataset(spark, path)
+            ).collect()
+        }
+
+    # windows ids + pos -> key is pos, member .ids int32
+    win = spark.createDataFrame(
+        [(3, 1, 0, [5, 6]), (1, 1, 1, [7])],
+        "pos long, doc_id long, seq_index long, seq_ids array<int>",
+    )
+    p1 = str(tmp_path / "w1")
+    export_training_shards(win, p1, n_shards=1)
+    got = samples(p1)
+    assert set(got) == {"1", "3"}
+    assert struct.unpack("<2i", got["3"]["ids"]) == (5, 6)
+
+    # sft bins: bin_id '0/2' sanitized to '0-2'; paired ids+mask
+    sft = spark.createDataFrame(
+        [("0/2", [1, 2, 9], [0, 1, 1])],
+        "bin_id string, seq_ids array<int>, loss_mask array<int>",
+    )
+    p2 = str(tmp_path / "w2")
+    export_training_shards(sft, p2, n_shards=1)
+    got = samples(p2)
+    assert set(got) == {"0-2"}
+    assert struct.unpack("<3i", got["0-2"]["ids"]) == (1, 2, 9)
+    assert struct.unpack("<3i", got["0-2"]["mask"]) == (0, 1, 1)
+
+    # denoised ul2 examples: in/tgt/den members, example_id key
+    ul2 = spark.createDataFrame(
+        [("7#0", "R", [1, 30], [30, 2])],
+        "example_id string, denoiser string, "
+        "inputs_ids array<int>, targets_ids array<int>",
+    )
+    p3 = str(tmp_path / "w3")
+    export_training_shards(ul2, p3, n_shards=1)
+    got = samples(p3)
+    assert struct.unpack("<2i", got["7#0"]["in"]) == (1, 30)
+    assert struct.unpack("<2i", got["7#0"]["tgt"]) == (30, 2)
+    assert got["7#0"]["den"] == b"R"
+
+    # plain documents: doc_id key (dots/slashes sanitized), .txt
+    docs = spark.createDataFrame(
+        [("a/b.txt", "hello")], "doc_id string, text string"
+    )
+    p4 = str(tmp_path / "w4")
+    export_training_shards(docs, p4, n_shards=1)
+    got = samples(p4)
+    assert got == {"a-b_txt": {"txt": b"hello"}}
+
+    # no recognizable payload -> raise
+    import pytest
+
+    bad = spark.createDataFrame([(1, 2)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="no payload"):
+        export_training_shards(
+            bad.drop("doc_id").withColumn("doc_id", F.lit("x")),
+            str(tmp_path / "w5"),
+        )
+
+
+def test_cli_webdataset_out(spark, tmp_path, capsys):
+    """--webdataset-out: one command from lake to loader shards."""
+    import json
+    import struct
+
+    from evaporate_spark.cli_corpus import main
+    from evaporate_spark.sources.webdataset import (
+        read_webdataset,
+        webdataset_samples,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"doc number {i} with some words here") for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    wds = str(tmp_path / "wds")
+    rc = main([
+        "--documents-parquet", src, "--output", out,
+        "--seq-len", "4", "--shuffle-seed", "cli",
+        "--bpe-num-merges", "20", "--bpe-lossless", "--pack-ids",
+        "--webdataset-out", wds, "--webdataset-shard-size", "5",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["webdataset_shards"] >= 1
+    rows = webdataset_samples(read_webdataset(spark, wds)).collect()
+    packed = spark.read.parquet(out)
+    assert len(rows) == packed.count() == summary["rows_out"]
+    by_pos = {
+        str(r["pos"]): list(r["seq_ids"]) for r in packed.collect()
+    }
+    for r in rows:
+        ids = r["files"]["ids"]
+        got = list(struct.unpack(f"<{len(ids) // 4}i", ids))
+        assert got == by_pos[r["key"]]

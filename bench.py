@@ -550,6 +550,45 @@ def _pack_bins_bench(spark, sf_dir: str):
     )
 
 
+def _sft_pack_bench(spark, sf_dir: str):
+    """Bench-only row (round 14): SFT example packing over the 10x
+    documents table — each doc splits into a deterministic (prompt =
+    first 8 ws tokens, completion = rest) pair and whole examples
+    FFD-pack into 512-token loss-masked bins (pack_sft_examples,
+    truncate mode). Prices the separate prompt/completion tokenize +
+    the mask assembly on top of pack_bins' salted-FFD shape. Reduced
+    to bin count, token total, and the masked-in (loss-bearing)
+    token count."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.packing import (
+        _ws_tokens_keep_case,
+        pack_sft_examples,
+    )
+
+    docs = spark.read.parquet(_corpus_10x_dir(spark, sf_dir))
+    toks = _ws_tokens_keep_case("text")
+    pairs = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("prompt"),
+        F.concat_ws(
+            " ", F.slice(toks, 9, F.greatest(F.size(toks) - 8, F.lit(0)))
+        ).alias("completion"),
+    )
+    out = pack_sft_examples(
+        pairs, seq_len=512, seed="bench", long_docs="truncate"
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.aggregate(
+                "loss_mask", F.lit(0).cast("bigint"), lambda a, x: a + x
+            )
+        ).alias("loss_tokens"),
+    )
+
+
 def _doc_ingest_dir() -> str:
     """Deterministic document-ingest corpus (generated once per
     machine): 600 two-page PDFs, 20 .warc.gz shards x 60 HTTP
@@ -715,6 +754,7 @@ BENCH_ONLY = {
     "gopher_full_10x": _gopher_full_bench,
     "pack_docs_10x": _pack_docs_bench,
     "pack_bins_10x": _pack_bins_bench,
+    "sft_pack_10x": _sft_pack_bench,
     "modern_chain_10x": _modern_chain_bench,
 }
 
@@ -728,6 +768,7 @@ REP_CAP = {
     "gopher_full_10x": 3,
     "pack_docs_10x": 3,
     "pack_bins_10x": 3,
+    "sft_pack_10x": 3,
     "modern_chain_10x": 3,
 }
 

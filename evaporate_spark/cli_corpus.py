@@ -288,7 +288,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="ALSO export the prepared output as WebDataset tar "
         "shards here (sources/webdataset.py::export_training_shards: "
         "key and members inferred from the layout — seq_ids -> .ids, "
-        "loss_mask -> .mask, inputs/targets -> .in/.tgt, text -> "
+        "loss_mask -> .mask, inputs_ids/targets_ids -> .in/.tgt, text -> "
         ".txt; id/mask arrays as little-endian int32) — one command "
         "from lake to loader shards",
     )

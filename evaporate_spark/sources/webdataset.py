@@ -446,8 +446,8 @@ TRAINING_MEMBERS: tuple[tuple[str, str], ...] = (
     ("loss_mask", "mask"),
     ("inputs_ids", "in"),
     ("targets_ids", "tgt"),
-    ("inputs", "in"),
-    ("targets", "tgt"),
+    ("inputs", "itxt"),
+    ("targets", "ttxt"),
     ("denoiser", "den"),
     ("seq_text", "txt"),
     ("seq_tokens", None),  # recomputable from seq_text; never shipped
@@ -479,8 +479,9 @@ def export_training_shards(
     — prefer ``pos``, which needs none.
 
     Members: ``seq_ids → .ids``, ``loss_mask → .mask``,
-    ``inputs_ids``/``inputs → .in``, ``targets_ids``/``targets →
-    .tgt``, ``denoiser → .den``, ``seq_text``/``text_col → .txt``
+    ``inputs_ids → .in``, ``targets_ids → .tgt`` (int32 wire),
+    text-mode ``inputs → .itxt``, ``targets → .ttxt``,
+    ``denoiser → .den``, ``seq_text``/``text_col → .txt``
     (id/mask arrays as little-endian int32, text utf-8 — the
     :func:`write_webdataset` wire contract). Raises when no payload
     column is recognized. Returns the shard manifest."""
@@ -530,4 +531,49 @@ def export_training_shards(
         n_shards=n_shards,
         shard_bytes=shard_bytes,
         prefix=prefix,
+    )
+
+
+def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Inverse of :func:`export_training_shards`: tar shards → one row
+    per sample with the engine layouts' TYPED columns — ``.ids``/
+    ``.mask``/``.in``/``.tgt`` members parse back to ``ARRAY<INT>``
+    (little-endian int32, the wire contract), ``.txt``/``.den`` decode
+    utf-8 — as ``(key, seq_ids, loss_mask, inputs_ids, targets_ids,
+    denoiser, text)`` with NULL for members a sample doesn't carry.
+    The engine-side verification/inspection loop for exported shards;
+    a trainer's loader reads the same bytes with mmap + struct alone.
+
+    Scale shape: one shard per scan task (``read_webdataset``), one
+    keyed groupBy per sample, Arrow-batched int32 parsing."""
+    from pyspark.sql.functions import pandas_udf
+
+    members = read_webdataset(spark, path)
+    samples = webdataset_samples(members)
+
+    @pandas_udf("array<int>")
+    def _i4(col):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None
+                if b is None
+                else np.frombuffer(b, dtype="<i4").tolist()
+                for b in col
+            ]
+        )
+
+    f = F.col("files")
+    return samples.select(
+        "key",
+        _i4(f.getItem("ids")).alias("seq_ids"),
+        _i4(f.getItem("mask")).alias("loss_mask"),
+        _i4(f.getItem("in")).alias("inputs_ids"),
+        _i4(f.getItem("tgt")).alias("targets_ids"),
+        f.getItem("itxt").cast("string").alias("inputs"),
+        f.getItem("ttxt").cast("string").alias("targets"),
+        f.getItem("den").cast("string").alias("denoiser"),
+        f.getItem("txt").cast("string").alias("text"),
     )

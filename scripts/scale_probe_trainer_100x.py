@@ -1,0 +1,191 @@
+"""100x TRAINER-layer scale probe (round-14): the example-constructor
+stages in INTEGER-ID mode at ~500k documents — the regime where the
+Arrow BPE encode pass, the salted FFD over meta rows, and the
+scan-stage UL2 algebra either hold their shapes or don't.
+
+Two chains, both through the prepare_corpus facade (what a user runs):
+
+- **SFT**: 500k (prompt, completion) pairs → pack_mode='sft' with
+  pack_ids (separate prompt/completion Arrow encodes, loss-masked
+  512-token FFD bins, truncate mode);
+- **UL2**: the same 500k documents → pack_mode='documents' id windows
+  → denoise='ul2' (R/X/S mixture in id space, sentinels from the
+  default corpus-alphabet vocabulary).
+
+Records per-chain wall + executed-plan health (shuffle/spill) plus
+the one-eager-pass vocabulary build cost (corpus_alphabet over the
+full replica — the scan a real run pays once). Replication mix
+mirrors scale_probe_corpus_100x.py.
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_trainer_100x.py
+Writes scripts/SCALE_PROBE_TRAINER_100X.json unless ``--stdout-only``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTOR = 100
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_JSON = os.path.join(REPO, "scripts", "SCALE_PROBE_TRAINER_100X.json")
+
+
+def replicated_docs_dir(spark, sf_dir: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/spark_graft_trainer{factor}x_{tag}"
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    k = F.col("_k")
+    exact_end = factor * 3 // 10
+    rep_end = factor * 7 // 10
+    docs = (
+        base.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_k"),
+        )
+        .withColumn("doc_id", F.col("doc_id") * factor + k)
+        .withColumn(
+            "text",
+            F.when(k < exact_end, F.col("text"))
+            .when(
+                k < rep_end,
+                F.concat_ws(
+                    " ", F.array_repeat(F.col("text"), (k % 4) + 2)
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.md5(F.concat(F.col("text"), k.cast("string"))),
+                    F.lit(" "),
+                    F.reverse(F.col("text")),
+                )
+            ),
+        )
+        .drop("_k")
+    )
+    docs.repartition(64).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import default_pack_vocab, prepare_corpus
+    from evaporate_spark.operators.bpe import train_bpe
+    from evaporate_spark.operators.packing import _ws_tokens_keep_case
+    from evaporate_spark.plans.metrics import query_summary
+    from evaporate_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-trainer-100x")
+    t_build0 = time.perf_counter()
+    docs_dir = replicated_docs_dir(spark, SF_DIR, FACTOR)
+    build_s = round(time.perf_counter() - t_build0, 1)
+    docs = spark.read.parquet(docs_dir).select("doc_id", "text")
+    n_docs = docs.count()
+
+    # tokenizer: merges train on the BASE table (vocabulary work is
+    # corpus-size-independent past the word-count pass); the alphabet
+    # scan runs over the FULL replica — the eager pass a real run pays
+    base = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text")
+    t0 = time.perf_counter()
+    merges = train_bpe(base, "text", num_merges=200, lossless=True)
+    merges_s = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    vocab, _ = default_pack_vocab(docs, "text", merges)
+    vocab_s = round(time.perf_counter() - t0, 1)
+
+    # ---- SFT chain: 500k loss-masked id bins
+    toks = _ws_tokens_keep_case("text")
+    pairs = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("prompt"),
+        F.concat_ws(
+            " ", F.slice(toks, 9, F.greatest(F.size(toks) - 8, F.lit(0)))
+        ).alias("completion"),
+    )
+    t0 = time.perf_counter()
+    sft = prepare_corpus(
+        pairs, pack_mode="sft", seq_len=512, pack_seed="probe",
+        normalize=False, redact=False, dedup=False,
+        bpe_merges=merges, bpe_lossless=True, pack_ids=True,
+        bpe_vocab=vocab, sft_long_docs="truncate",
+    )
+    sft_sum = sft.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.aggregate(
+                "loss_mask", F.lit(0).cast("bigint"), lambda a, x: a + x
+            )
+        ).alias("loss_tokens"),
+    )
+    sft_row = sft_sum.collect()[0]
+    sft_s = round(time.perf_counter() - t0, 1)
+    sft_health = query_summary(sft_sum)
+
+    # ---- UL2 chain: id windows -> R/X/S examples
+    t0 = time.perf_counter()
+    ul2 = prepare_corpus(
+        docs, normalize=False, redact=False, dedup=False,
+        seq_len=512, pack_mode="documents", pack_seed="probe",
+        bpe_merges=merges, bpe_lossless=True, pack_ids=True,
+        denoise="ul2", denoise_seed="probe", denoise_extra_ids=100,
+    )
+    ul2_sum = ul2.groupBy("denoiser").agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_corrupted").alias("corrupted_tokens"),
+    )
+    ul2_rows = {
+        r["denoiser"]: (
+            r["n_examples"], r["total_tokens"], r["corrupted_tokens"]
+        )
+        for r in ul2_sum.collect()
+    }
+    ul2_s = round(time.perf_counter() - t0, 1)
+    ul2_health = query_summary(ul2_sum)
+
+    record = {
+        "probe": "trainer_100x",
+        "sf_dir": SF_DIR,
+        "factor": FACTOR,
+        "n_input_docs": n_docs,
+        "fixture_build_s": build_s,
+        "train_merges_s": merges_s,
+        "vocab_alphabet_s": vocab_s,
+        "vocab_size": len(vocab),
+        "sft_wall_s": sft_s,
+        "sft": dict(sft_row.asDict()),
+        "sft_plan_health": sft_health,
+        "ul2_wall_s": ul2_s,
+        "ul2_by_denoiser": {
+            k: {
+                "n_examples": v[0],
+                "total_tokens": v[1],
+                "corrupted_tokens": v[2],
+            }
+            for k, v in sorted(ul2_rows.items())
+        },
+        "ul2_plan_health": ul2_health,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(record, indent=2))
+    if "--stdout-only" not in sys.argv:
+        with open(OUT_JSON, "w") as fh:
+            fh.write(json.dumps(record, indent=2) + "\n")
+        print(f"recorded -> {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    main()

@@ -417,3 +417,54 @@ def test_cli_webdataset_out(spark, tmp_path, capsys):
         ids = r["files"]["ids"]
         got = list(struct.unpack(f"<{len(ids) // 4}i", ids))
         assert got == by_pos[r["key"]]
+
+
+def test_read_training_shards_round_trip(spark, tmp_path):
+    """export_training_shards -> read_training_shards reproduces the
+    typed columns: int32 members back to ARRAY<INT>, utf-8 members to
+    strings, NULL where a layout lacks the member; text-mode
+    inputs/targets use distinct .itxt/.ttxt extensions so the reader
+    never int-parses text bytes."""
+    from evaporate_spark.sources.webdataset import (
+        export_training_shards,
+        read_training_shards,
+    )
+
+    # SFT ids layout
+    sft = spark.createDataFrame(
+        [("0/2", [1, 2, 9], [0, 1, 1]), ("1/0", [4], [1])],
+        "bin_id string, seq_ids array<int>, loss_mask array<int>",
+    )
+    p1 = str(tmp_path / "r1")
+    export_training_shards(sft, p1, n_shards=1)
+    back = {r["key"]: r for r in read_training_shards(spark, p1).collect()}
+    assert list(back["0-2"]["seq_ids"]) == [1, 2, 9]
+    assert list(back["0-2"]["loss_mask"]) == [0, 1, 1]
+    assert back["0-2"]["inputs_ids"] is None
+    assert back["0-2"]["text"] is None
+
+    # denoised ids layout with tag
+    ul2 = spark.createDataFrame(
+        [("7#0", "X", [1, 30], [30, 2])],
+        "example_id string, denoiser string, "
+        "inputs_ids array<int>, targets_ids array<int>",
+    )
+    p2 = str(tmp_path / "r2")
+    export_training_shards(ul2, p2, n_shards=1)
+    back = {r["key"]: r for r in read_training_shards(spark, p2).collect()}
+    assert list(back["7#0"]["inputs_ids"]) == [1, 30]
+    assert list(back["7#0"]["targets_ids"]) == [30, 2]
+    assert back["7#0"]["denoiser"] == "X"
+    assert back["7#0"]["seq_ids"] is None
+
+    # denoised TEXT layout: .itxt/.ttxt never hit the int32 parser
+    span = spark.createDataFrame(
+        [("d1", "a <extra_id_0> c", "<extra_id_0> b")],
+        "example_id string, inputs string, targets string",
+    )
+    p3 = str(tmp_path / "r3")
+    export_training_shards(span, p3, n_shards=1)
+    back = {r["key"]: r for r in read_training_shards(spark, p3).collect()}
+    assert back["d1"]["inputs"] == "a <extra_id_0> c"
+    assert back["d1"]["targets"] == "<extra_id_0> b"
+    assert back["d1"]["inputs_ids"] is None

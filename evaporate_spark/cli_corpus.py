@@ -670,6 +670,9 @@ def main(argv: list[str] | None = None) -> int:
                 merges=bpe_merges, lossless=args.bpe_lossless,
                 tokens_col=(
                     "seq_tokens" if "seq_tokens" in cleaned.columns
+                    # ids-mode frames: count the id arrays directly
+                    # (n_chars reports NULL — there is no text)
+                    else "seq_ids" if "seq_ids" in cleaned.columns
                     else None
                 ),
             ).coalesce(1).write.mode("overwrite").json(args.manifest)

@@ -37,9 +37,11 @@ def corpus_manifest(
     count BPE tokens instead, so the data card reports the units the
     trainer budgets in (``lossless`` for merges from
     ``train_bpe(lossless=True)``); pass ``tokens_col`` when the frame
-    already carries a token ARRAY (packed windows' ``seq_tokens``) to
-    count it directly instead of re-encoding text. Fractions of the
-    whole corpus either way."""
+    already carries a token ARRAY (packed windows' ``seq_tokens``, or
+    ids-mode ``seq_ids``) to count it directly instead of re-encoding
+    text — integer-id frames carry no text, so ``n_chars`` is then
+    NULL when ``text_col`` is absent. Fractions of the whole corpus
+    either way."""
     if tokens_col is not None:
         tok_count = F.size(tokens_col)
     elif merges is not None:
@@ -51,10 +53,15 @@ def corpus_manifest(
         tok_count = F.size("_manifest_bpe")
     else:
         tok_count = token_count_ws(text_col)
+    chars = (
+        F.length(text_col)
+        if text_col in df.columns
+        else F.lit(None).cast("int")
+    )
     per = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tok_count).cast("bigint").alias("n_tokens"),
-        F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
+        F.sum(chars).cast("bigint").alias("n_chars"),
     )
     totals = F.broadcast(
         per.agg(

@@ -482,3 +482,32 @@ def test_new_facade_stage_plans_lint_clean(spark):
     for df in plans:
         assert_plan_clean(df)
         assert {c for c, _ in lint_plan(df)} <= {"unpushed-filter"}
+
+
+def test_denoise_params_join_resume_fingerprint(spark, tmp_path):
+    """A materialized denoise chain refuses to resume under changed
+    denoiser parameters, naming them (the changed-param rule extends
+    to the round-14 stages)."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    kw = dict(
+        normalize=False, redact=False, dedup=False,
+        seq_len=8, pack_mode="documents",
+        denoise="ul2", denoise_seed="fp", ul2_weights=(1.0, 1.0, 1.0),
+    )
+    ck = str(tmp_path / "ck_den")
+    prepare_corpus(_docs(spark), materialize_dir=ck, **kw).collect()
+    with pytest.raises(ValueError, match="denoise_seed"):
+        prepare_corpus(
+            _docs(spark), materialize_dir=ck,
+            **{**kw, "denoise_seed": "other"},
+        )
+    with pytest.raises(ValueError, match="ul2_weights"):
+        prepare_corpus(
+            _docs(spark), materialize_dir=ck,
+            **{**kw, "ul2_weights": (2.0, 1.0, 1.0)},
+        )
+    # identical params resume fine
+    assert prepare_corpus(
+        _docs(spark), materialize_dir=ck, **kw
+    ).count() > 0

@@ -123,3 +123,25 @@ def test_corpus_manifest_tokens_col_counts_arrays(spark):
     )
     got = {r["split"]: r["n_tokens"] for r in m.collect()}
     assert got == {"train": 4, "test": 2}
+
+
+def test_manifest_over_ids_frames(spark):
+    """Ids-mode packed frames (seq_ids, no text) get a data card:
+    tokens count the id arrays directly, n_chars is NULL."""
+    from evaporate_spark.operators.manifest import corpus_manifest
+
+    bins = spark.createDataFrame(
+        [("train", [1, 2, 3]), ("train", [4]), ("test", [5, 6])],
+        "split string, seq_ids array<int>",
+    )
+    rows = {
+        r["split"]: r
+        for r in corpus_manifest(
+            bins, by=("split",), tokens_col="seq_ids"
+        ).collect()
+    }
+    assert rows["train"]["n_docs"] == 2
+    assert rows["train"]["n_tokens"] == 4
+    assert rows["train"]["n_chars"] is None
+    assert rows["test"]["n_tokens"] == 2
+    assert abs(rows["train"]["token_frac"] - 4 / 6) < 1e-6

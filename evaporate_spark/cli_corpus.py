@@ -419,6 +419,13 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.pack_ids and args.seq_len is None:
+        print(
+            "--pack-ids requires --seq-len (ids are produced by the "
+            "packing stage)",
+            file=sys.stderr,
+        )
+        return 2
     needs_lossless = [
         f for f, on in (
             ("--pack-ids", args.pack_ids),
@@ -464,6 +471,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="evaporate-spark-corpus")
     docs = spark.read.parquet(args.documents_parquet)
+    if args.pack_sft and args.text_col in docs.columns:
+        # prepare_corpus would raise the same refusal — but only
+        # AFTER the eager vocabulary scan below; check it here first
+        print(
+            f"--pack-sft derives {args.text_col!r} from the "
+            "prompt/completion pair; the input already has that "
+            "column — rename it or pick another --text-col",
+            file=sys.stderr,
+        )
+        return 2
     eval_docs = None
     if args.eval_parquet:
         eval_docs = spark.read.parquet(args.eval_parquet)
@@ -633,13 +650,15 @@ def main(argv: list[str] | None = None) -> int:
             export_training_shards,
         )
 
-        # parquet preserves the array<int> id/mask types exactly;
-        # json inference would widen them to bigint (refused by the
-        # wire validator), so export from the live plan there
+        # read the just-written output back (never the live plan —
+        # that would re-execute the whole pipeline for the shard
+        # count job AND the tar write); json needs the plan's schema
+        # so array<int> ids don't inference-widen to bigint (refused
+        # by the wire validator)
         shard_src = (
             spark.read.parquet(args.output)
             if args.format == "parquet"
-            else out
+            else spark.read.schema(out.schema).json(args.output)
         )
         n_wds_shards = export_training_shards(
             shard_src,
@@ -659,22 +678,41 @@ def main(argv: list[str] | None = None) -> int:
             "seq_text" if "seq_text" in cleaned.columns else args.text_col
         )
         missing = [c for c in by if c not in cleaned.columns]
+        # token source, most-direct first: a token ARRAY (packed
+        # windows / ids bins), a per-row token COUNT (denoised
+        # examples carry n_tokens but no text), else re-encode/count
+        # the text column — and if none exists, skip instead of dying
+        # deep in the plan after the pipeline already ran
+        tokens_col = (
+            "seq_tokens" if "seq_tokens" in cleaned.columns
+            else "seq_ids" if "seq_ids" in cleaned.columns
+            else None
+        )
+        count_col = (
+            "n_tokens"
+            if tokens_col is None and "n_tokens" in cleaned.columns
+            else None
+        )
         if missing:
             print(
                 f"--manifest: columns {missing} not in output; skipped",
+                file=sys.stderr,
+            )
+        elif (
+            tokens_col is None
+            and count_col is None
+            and text_col not in cleaned.columns
+        ):
+            print(
+                "--manifest: output has no token array, token count, "
+                f"or text column {text_col!r}; skipped",
                 file=sys.stderr,
             )
         else:
             corpus_manifest(
                 cleaned, text_col=text_col, by=by,
                 merges=bpe_merges, lossless=args.bpe_lossless,
-                tokens_col=(
-                    "seq_tokens" if "seq_tokens" in cleaned.columns
-                    # ids-mode frames: count the id arrays directly
-                    # (n_chars reports NULL — there is no text)
-                    else "seq_ids" if "seq_ids" in cleaned.columns
-                    else None
-                ),
+                tokens_col=tokens_col, count_col=count_col,
             ).coalesce(1).write.mode("overwrite").json(args.manifest)
     print(
         json.dumps(

@@ -336,10 +336,23 @@ def prepare_corpus(
         raise ValueError(
             f"denoise must be None, 'span', or 'ul2', got {denoise!r}"
         )
-    if denoise is not None and pack_ids and denoise_extra_ids < 1:
+    if pack_ids and seq_len is None:
+        # previously silently ignored; with denoise set the caller
+        # would get TEXT-mode examples while expecting ids — refuse
+        raise ValueError(
+            "pack_ids requires seq_len — integer ids are produced by "
+            "the packing stage"
+        )
+    if (
+        denoise is not None
+        and pack_ids
+        and bpe_vocab is None
+        and denoise_extra_ids < 1
+    ):
         raise ValueError(
             "denoise in ids mode needs denoise_extra_ids >= 1 "
-            "sentinel ids in the default vocabulary"
+            "sentinel ids in the default vocabulary (or pass a "
+            "bpe_vocab that already carries <extra_id_0>)"
         )
     if denoise is not None and sft:
         raise ValueError(
@@ -675,6 +688,29 @@ def prepare_corpus(
             ride.append("epoch")
         if split_fractions is not None:
             ride.append("split")
+        if curriculum_score is not None:
+            # a DOC-level score must reach the curriculum stage past
+            # packing: windows mode carries it (each window is one
+            # doc, so the score is well-defined); the multi-doc
+            # layouts (documents/bins/sft) can only order by their
+            # own window-intrinsic columns — a doc score has no
+            # meaning for a window spanning several docs, so refuse
+            # loudly instead of failing deep in the plan
+            intrinsic = {
+                "n_tokens", "n_padding", "n_docs", "bin_id",
+                "seq_index", id_col, *ride,
+            }
+            if curriculum_score not in intrinsic:
+                if pack_mode == "windows":
+                    ride.append(curriculum_score)
+                else:
+                    raise ValueError(
+                        f"curriculum_score {curriculum_score!r} is a "
+                        f"document-level column, but pack_mode="
+                        f"{pack_mode!r} windows span several "
+                        "documents — order by a window-intrinsic "
+                        f"column instead ({sorted(intrinsic)})"
+                    )
         if pack_ids:
             if bpe_merges is None or not bpe_lossless:
                 raise ValueError(
@@ -845,6 +881,20 @@ def prepare_corpus(
                 for c in ("split", "epoch")
                 if c in d.columns
             ]
+            if (
+                curriculum_score is not None
+                and curriculum_score in d.columns
+                and curriculum_score not in keep
+                # the operator emits its own columns under these
+                # names — keeping the input's would collide
+                and curriculum_score
+                not in (
+                    "n_tokens", "n_corrupted", "n_spans", "denoiser",
+                    "example_id", "inputs", "targets", "inputs_ids",
+                    "targets_ids",
+                )
+            ):
+                keep.append(curriculum_score)
             if seq_len is not None and pack_vocab is not None:
                 payload = dict(
                     ids_col="seq_ids",
@@ -899,6 +949,12 @@ def prepare_corpus(
         from evaporate_spark.operators.mixing import curriculum_order
 
         def _curriculum(d: DataFrame) -> DataFrame:
+            if curriculum_score not in d.columns:
+                raise ValueError(
+                    f"curriculum_score {curriculum_score!r} is not a "
+                    "column at the curriculum stage — available: "
+                    f"{sorted(d.columns)}"
+                )
             d = _order_key(d, "_curr_key")
             return curriculum_order(
                 d, id_col="_curr_key", score_col=curriculum_score,
@@ -996,6 +1052,16 @@ def prepare_corpus(
         ),
         "bpe_merges_sha256": _merges_digest(bpe_merges),
         "bpe_lossless": bpe_lossless if bpe_merges is not None else None,
+        # tokenization is a function of (merges, PRE-TOKENIZER): a
+        # pattern revision re-tokenizes identical inputs differently,
+        # so snapshots from an older pattern must refuse to resume
+        # (None when no BPE stage runs — non-BPE checkpoints stay
+        # resumable across engine upgrades)
+        "bpe_pretokenizer": (
+            _pretokenizer_version()
+            if bpe_merges is not None and bpe_lossless
+            else None
+        ),
         # None (not False) when off, so r12-era checkpoints — whose
         # fingerprints lack these keys — still resume (the guard
         # compares via .get)
@@ -1067,6 +1133,12 @@ def default_pack_vocab(
         build_vocab(merges, extra_ids=extra_ids, alphabet=alphabet),
         digest,
     )
+
+
+def _pretokenizer_version() -> str:
+    from evaporate_spark.operators.bpe import PRETOKENIZER_VERSION
+
+    return PRETOKENIZER_VERSION
 
 
 def _merges_digest(merges) -> str | None:
@@ -1158,12 +1230,16 @@ def _run_materialized(
                 "different pipelines. Use a fresh directory per "
                 "configuration."
             )
-        if prev["params"] != fingerprint["params"]:
-            changed = sorted(
-                k
-                for k in set(prev["params"]) | set(fingerprint["params"])
-                if prev["params"].get(k) != fingerprint["params"].get(k)
-            )
+        # .get-based compare so a parameter ADDED since the checkpoint
+        # with value None (the "feature off" convention) still
+        # resumes: absent == None. A plain dict != would refuse every
+        # pre-upgrade checkpoint the moment any new knob exists.
+        changed = sorted(
+            k
+            for k in set(prev["params"]) | set(fingerprint["params"])
+            if prev["params"].get(k) != fingerprint["params"].get(k)
+        )
+        if changed:
             raise ValueError(
                 f"materialize_dir {root!r} was checkpointed with "
                 f"different stage parameters (changed: {changed}) — "

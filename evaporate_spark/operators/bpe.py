@@ -70,6 +70,15 @@ _LOSSLESS_CORE = (
     r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+"
     r"| ?(?:_|[^\s\w])+|\s+(?!\S)|\s+"
 )
+
+#: bump on ANY change to the pre-tokenizer: identical (corpus, merge
+#: count) inputs tokenize differently across pattern revisions, so
+#: the version joins prepare_corpus's resume fingerprint — a
+#: checkpoint materialized under an older pattern refuses to resume
+#: into stages that would re-tokenize with the new one. v2 = the
+#: GPT-2 \s+(?!\S) whitespace rule (round 14); v1 (unversioned) was
+#: the lookahead-free pattern.
+PRETOKENIZER_VERSION = "lossless-v2-gpt2-ws"
 _LOSSLESS_JAVA = "(?U)" + _LOSSLESS_CORE
 
 

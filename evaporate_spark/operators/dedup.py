@@ -869,6 +869,66 @@ def _write_semdedup_codebook(spark, store_dir: str, meta: dict) -> None:
     stream.close()
 
 
+def _pq_batch_dropped(
+    spark, ranked: DataFrame, threshold: float,
+    pq_codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Within-batch one-pass drops under the PQ-coded store metric:
+    lower-priority ``a`` drops against higher-priority batch-mate
+    ``b`` iff EITHER ADC direction (a's vector vs b's codes, or b's
+    vector vs a's codes) clears ``(1−threshold)·2e6`` micros — the
+    symmetric-min rule that makes a surviving pair clear BOTH
+    directions, so a replayed batch's store join can never add a
+    drop (byte-identical replay, the exactly-once prerequisite).
+    Zero vectors never participate (cosine scores them 0)."""
+    from evaporate_spark.operators.similarity import (
+        _pq_codes_col,
+        pq_adc_micros,
+    )
+
+    limit = int(round((1.0 - float(threshold)) * 2_000_000))
+    coded = ranked.withColumn(
+        "_pq", _pq_codes_col(spark, _unit_vec(F.col("_v")), pq_codebooks)
+    ).withColumn("_zv", _vec_is_zero(F.col("_v")))
+    left = coded.select(
+        "cluster",
+        F.col("_id").alias("_aid"),
+        F.col("_v").alias("_av"),
+        F.col("_pq").alias("_apq"),
+        F.col("_zv").alias("_azv"),
+        F.col("_rank").alias("_arank"),
+    )
+    right = coded.select(
+        "cluster",
+        F.col("_v").alias("_bv"),
+        F.col("_pq").alias("_bpq"),
+        F.col("_zv").alias("_bzv"),
+        F.col("_rank").alias("_brank"),
+    )
+    hit = (
+        pq_adc_micros(
+            spark, _unit_vec(F.col("_av")), F.col("_bpq"), pq_codebooks
+        )
+        <= F.lit(limit)
+    ) | (
+        pq_adc_micros(
+            spark, _unit_vec(F.col("_bv")), F.col("_apq"), pq_codebooks
+        )
+        <= F.lit(limit)
+    )
+    return (
+        left.join(right, "cluster")
+        .where(
+            (F.col("_brank") < F.col("_arank"))
+            & ~F.col("_azv")
+            & ~F.col("_bzv")
+            & hit
+        )
+        .select(F.col("_aid").alias("_did"))
+        .distinct()
+    )
+
+
 def _unit_vec(v):
     """Row-wise L2 normalization as pure JVM HOFs (norm bound ONCE
     per row — the bind_once rule; zero vectors pass through, matching
@@ -926,7 +986,18 @@ def build_semdedup_index(
         _pq_codes_col(
             docs.sparkSession, _unit_vec(F.col("_v")), pq_codebooks
         ).alias("pq_code"),
+        # zero embeddings score cosine 0 by convention and must never
+        # ADC-drop anything (their code is just the min-norm codeword,
+        # indistinguishable from a real vector's) — flag them so the
+        # incremental pass can skip them on the STORE side too
+        _vec_is_zero(F.col("_v")).alias("zvec"),
     )
+
+
+def _vec_is_zero(v) -> "F.Column":
+    return F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    ) == F.lit(0.0)
 
 
 def incremental_semdedup(
@@ -968,13 +1039,19 @@ def incremental_semdedup(
     ``pq_codebooks`` opts into the PQ-CODED store
     (:func:`build_semdedup_index`'s coded layout): the store carries
     ``pq_code ARRAY<INT>`` (m small ints/doc, 10-50x smaller than
-    full vectors at d=768) and batch-vs-store pairs score by
-    asymmetric PQ distance over unit-normalized vectors — an
-    APPROXIMATE pairwise cosine (``cos ≈ 1 − adc/2e6``), which is the
-    documented contract of the coded store; within-batch dedup stays
-    exact. Like the centroids, the first batch PINS the books in the
-    sidecar; later batches load them (passing conflicting books, or
-    books against an exact store, raises).
+    full vectors at d=768) and EVERY pairwise score — batch-vs-store
+    AND within-batch — uses the asymmetric PQ distance over
+    unit-normalized vectors, an APPROXIMATE cosine
+    (``cos ≈ 1 − adc/2e6``): one metric per store mode, which is what
+    keeps replays byte-identical (an exact within-batch pass could
+    let a near-boundary pair both survive into the store, and the
+    replay's ADC store join would then drop one). The within-batch
+    rule is the symmetric-min of the two ADC directions, so surviving
+    pairs clear both and the store join can never add a drop on
+    replay; zero vectors never drop anything (the exact path's
+    cosine-0 convention). Like the centroids, the first batch PINS
+    the books in the sidecar; later batches load them (passing
+    conflicting books, or books against an exact store, raises).
 
     Scale shape: assignment is scan-stage; the store join is keyed on
     ``cluster`` and quadratic only within a cluster (SemDeDup's
@@ -1056,31 +1133,54 @@ def incremental_semdedup(
     )
     ranked = assigned.withColumn("_rank", F.row_number().over(w))
     big = len(centroids) * len(centroids[0]) > _LITERAL_CODEBOOK_MAX
-    batch_drops = _semdedup_dropped(ranked, float(threshold), arrow=big)
+    if pq_codebooks is not None:
+        # ONE metric per store mode: with a PQ-coded store the
+        # within-batch pass must use the SAME asymmetric-PQ score as
+        # the store join — scored EXACTLY (cosine), a mutually-
+        # near-boundary pair could both survive the batch, both land
+        # in the store as codes, and a redelivered batch would then
+        # ADC-drop one of them (replay no longer byte-identical,
+        # breaking the foreachBatch exactly-once argument). The
+        # batch rule is the SYMMETRIC-MIN of the two ADC directions:
+        # lower-priority a drops against b iff EITHER
+        # adc(a_vec, b_code) or adc(b_vec, a_code) clears the
+        # threshold — so every surviving pair clears BOTH directions
+        # and the replay's store join (which sees one direction per
+        # row) can never add a drop. Approximate like the store join
+        # — the documented contract of the coded store.
+        batch_drops = _pq_batch_dropped(
+            spark, ranked, float(threshold), pq_codebooks
+        )
+    else:
+        batch_drops = _semdedup_dropped(
+            ranked, float(threshold), arrow=big
+        )
     if _store_has_parquet(spark, store_dir):
         store = spark.read.parquet(store_dir)
         if pq_codebooks is not None:
-            # PQ-coded store: the batch-vs-store score is ASYMMETRIC
-            # PQ distance (exact-micros ADC of the batch's normalized
-            # vector against the store row's codes). For unit vectors
+            # batch-vs-store: ADC of the batch row's normalized
+            # vector against the store row's codes; for unit vectors
             # cos = 1 − L2²/2, so `cos >= threshold` is the INTEGER
-            # test adc_micros <= (1−threshold)·2e6 — approximate by
-            # the codebooks' quantization error, which is the
-            # documented trade of the coded store (within-batch drops
-            # above remain exact)
+            # test adc_micros <= (1−threshold)·2e6. Zero vectors on
+            # EITHER side never drop (the exact path's cosine scores
+            # them 0 by convention)
             from evaporate_spark.operators.similarity import (
                 pq_adc_micros,
             )
 
             limit = int(round((1.0 - float(threshold)) * 2_000_000))
             store_hit = (
-                pq_adc_micros(
-                    spark,
-                    _unit_vec(F.col("_v")),
-                    F.col("pq_code"),
-                    pq_codebooks,
+                ~F.col("zvec")
+                & ~_vec_is_zero(F.col("_v"))
+                & (
+                    pq_adc_micros(
+                        spark,
+                        _unit_vec(F.col("_v")),
+                        F.col("pq_code"),
+                        pq_codebooks,
+                    )
+                    <= F.lit(limit)
                 )
-                <= F.lit(limit)
             )
         else:
             # ONE quantization rule per pass: the store-join cosine
@@ -1136,16 +1236,19 @@ def incremental_semdedup(
     if pq_codebooks is not None:
         from evaporate_spark.operators.similarity import _pq_codes_col
 
-        payload = _pq_codes_col(
-            spark, _unit_vec(F.col("_v")), pq_codebooks
-        ).alias("pq_code")
+        payload = [
+            _pq_codes_col(
+                spark, _unit_vec(F.col("_v")), pq_codebooks
+            ).alias("pq_code"),
+            _vec_is_zero(F.col("_v")).alias("zvec"),
+        ]
     else:
-        payload = F.col("_v").alias("vec")
+        payload = [F.col("_v").alias("vec")]
     idx = survivors.select(
         F.col("_id").cast("string").alias("doc_id"),
         "cluster",
         "centroid_sim",
-        payload,
+        *payload,
     )
     if existing is not None:
         idx = idx.join(existing, "doc_id", "left_anti")

@@ -29,6 +29,7 @@ def corpus_manifest(
     merges: list[tuple[str, str]] | None = None,
     lossless: bool = False,
     tokens_col: str | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """``(by..., n_docs, n_tokens, n_chars, doc_frac, token_frac)``
     per slice — whitespace token counts (the ``token_count_ws``
@@ -40,9 +41,13 @@ def corpus_manifest(
     already carries a token ARRAY (packed windows' ``seq_tokens``, or
     ids-mode ``seq_ids``) to count it directly instead of re-encoding
     text — integer-id frames carry no text, so ``n_chars`` is then
-    NULL when ``text_col`` is absent. Fractions of the whole corpus
-    either way."""
-    if tokens_col is not None:
+    NULL when ``text_col`` is absent; pass ``count_col`` when the
+    frame carries a per-row token COUNT instead of an array (the
+    denoised-example layouts' ``n_tokens``). Fractions of the whole
+    corpus either way."""
+    if count_col is not None:
+        tok_count = F.col(count_col)
+    elif tokens_col is not None:
         tok_count = F.size(tokens_col)
     elif merges is not None:
         from evaporate_spark.operators.bpe import bpe_encode_tokens

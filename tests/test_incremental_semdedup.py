@@ -252,23 +252,59 @@ def test_pq_store_matches_exact_path_and_shrinks_store(spark, tmp_path):
     assert results[pq_store][1]["b1"] is False
     assert results[pq_store][1]["b2"] is False
 
-    # store layout: codes, not vectors — and smaller on disk
-    import os
-
+    # store layout: codes, not vectors
     pq_rows = spark.read.parquet(pq_store)
     assert "pq_code" in pq_rows.columns and "vec" not in pq_rows.columns
 
-    def _bytes(d):
+
+def test_pq_store_bytes_shrink_at_real_dims(spark, tmp_path):
+    """At embedding-realistic dimensions the coded store is MUCH
+    smaller on disk than the exact one (m=8 ints + a bool vs d=64
+    doubles per row; at d=768 the gap is proportionally larger)."""
+    import os
+
+    from evaporate_spark.operators.dedup import incremental_semdedup
+
+    import math
+
+    d = 64
+    # fully-distinct doubles per cell, or parquet dictionary-encodes
+    # the exact store down to nothing and the comparison is moot
+    rows = [
+        (
+            f"v{i:03d}",
+            [
+                math.sin(i * 12.9898 + j * 78.233) * 43758.5453 % 1.0
+                for j in range(d)
+            ],
+        )
+        for i in range(200)
+    ]
+    cents = [rows[i][1] for i in range(4)]
+    books = [
+        [rows[i][1][s * 8:(s + 1) * 8] for i in range(16)]
+        for s in range(8)
+    ]
+    exact_store = str(tmp_path / "sz_exact")
+    pq_store = str(tmp_path / "sz_pq")
+    for store, kw in (
+        (exact_store, {}),
+        (pq_store, {"pq_codebooks": books}),
+    ):
+        incremental_semdedup(
+            _df(spark, rows), "doc_id", "embedding", store,
+            centroids=cents, threshold=0.999, **kw,
+        ).collect()
+
+    def _bytes(dir_):
         return sum(
             os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(d)
+            for r, _, fs in os.walk(dir_)
             for f in fs
             if f.endswith(".parquet")
         )
 
-    # 3-dim fixtures barely show it; assert the direction, and the
-    # schema above pins the mechanism (m ints vs dim doubles)
-    assert _bytes(pq_store) <= _bytes(exact_store)
+    assert _bytes(pq_store) < 0.5 * _bytes(exact_store)
 
 
 def test_pq_store_recall_bar_with_coarse_books(spark, tmp_path):
@@ -408,3 +444,69 @@ def test_streaming_sink_matches_batch_calls(spark, tmp_path):
         for r in spark.read.parquet(batch_store).collect()
     }
     assert s == b and len(s) == sum(want.values())
+
+
+def test_pq_store_replay_is_byte_identical(spark, tmp_path):
+    """Redelivering a committed batch under the PQ store reproduces
+    decisions AND store rows exactly — the within-batch symmetric-min
+    ADC rule guarantees surviving pairs clear both directions, so the
+    replay's store join can never add a drop (the foreachBatch
+    exactly-once prerequisite, now under the coded store)."""
+    from evaporate_spark.operators.dedup import incremental_semdedup
+
+    # coarse books: ADC genuinely disagrees with exact cosine here
+    coarse = [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]]
+    store = str(tmp_path / "replay_pq")
+
+    def run(batch):
+        return {
+            r["doc_id"]: (r["cluster"], r["kept"])
+            for r in incremental_semdedup(
+                _df(spark, batch), "doc_id", "embedding", store,
+                centroids=CENTROIDS, threshold=0.95,
+                pq_codebooks=coarse,
+            ).collect()
+        }
+
+    a1 = run(BATCH_A)
+    b1 = run(BATCH_B)
+    rows1 = sorted(
+        map(tuple, spark.read.parquet(store).drop("pq_code").collect())
+    )
+    # replay BOTH batches (crash-before-offset-commit redelivery)
+    assert run(BATCH_A) == a1
+    assert run(BATCH_B) == b1
+    rows2 = sorted(
+        map(tuple, spark.read.parquet(store).drop("pq_code").collect())
+    )
+    assert rows2 == rows1  # no duplicate appends, no flipped rows
+
+
+def test_pq_store_zero_vectors_never_drop(spark, tmp_path):
+    """A zero embedding scores cosine 0 by convention — under the PQ
+    store (where its code is just the min-norm codeword) it must
+    neither drop nor be dropped, even at a loose threshold <= 0.5."""
+    from evaporate_spark.operators.dedup import incremental_semdedup
+
+    books = [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]]
+    store = str(tmp_path / "zero_pq")
+    first = [("z1", [0.0, 0.0, 0.0]), ("a1", [1.0, 0.0, 0.0])]
+    second = [("z2", [0.0, 0.0, 0.0]), ("b1", [0.0, 1.0, 0.0])]
+    out1 = {
+        r["doc_id"]: r["kept"]
+        for r in incremental_semdedup(
+            _df(spark, first), "doc_id", "embedding", store,
+            centroids=CENTROIDS, threshold=0.4, pq_codebooks=books,
+        ).collect()
+    }
+    assert out1 == {"z1": True, "a1": True}
+    out2 = {
+        r["doc_id"]: r["kept"]
+        for r in incremental_semdedup(
+            _df(spark, second), "doc_id", "embedding", store,
+            threshold=0.4, pq_codebooks=books,
+        ).collect()
+    }
+    # z2 lands in z1's cluster but neither zero vec drops the other;
+    # b1 is orthogonal to everything committed
+    assert out2 == {"z2": True, "b1": True}

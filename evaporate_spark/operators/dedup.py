@@ -1553,27 +1553,67 @@ def incremental_exact_dedup(
 
     Returns the batch's surviving rows and APPENDS their fingerprints
     to ``store_dir``. Scale shape: the store never ships content —
-    only 32-byte md5 fingerprints — and the anti-join shuffles on the
-    fingerprint key like any keyed join (AQE broadcast when the store
-    is still small). Crash-safety: fingerprints are appended AFTER the
-    surviving rows are computed and materialized; a crash between the
-    two re-admits at most one batch (at-least-once store semantics —
-    re-running the batch is idempotent since its rows re-dedup against
-    themselves).
+    only 32-byte md5 fingerprints (+ the survivor's id) — and the
+    store join shuffles on the fingerprint key like any keyed join
+    (AQE broadcast when the store is still small).
+
+    Replay-safe (round 14): store rows carry the SURVIVOR's id, and a
+    batch row whose fingerprint maps to ITSELF in the store is the
+    committed copy and survives — so re-running a batch after a
+    COMPLETED append is byte-identical (previously the fp-only store
+    anti-joined the batch's own rows away, which is fatal under
+    at-least-once delivery, e.g. a foreachBatch sink). The append
+    skips fingerprints already committed, so replays never grow the
+    store. Stores written before the upgrade (fp-only schema) keep
+    the legacy anti-join semantics and fp-only appends — upgrade by
+    starting a fresh store. A crash BETWEEN the survivor
+    materialization and the append re-admits at most one batch, as
+    before.
     """
     spark = batch.sparkSession
     deduped = exact_dedup(batch, id_col, text_col).withColumn(
         "_fp", fingerprint(text_col)
     )
+    legacy = False
     if _store_has_parquet(spark, store_dir):
-        seen = spark.read.parquet(store_dir).select("fp").dropDuplicates(["fp"])
-        deduped = deduped.join(
-            seen, deduped["_fp"] == seen["fp"], "left_anti"
-        )
+        store = spark.read.parquet(store_dir)
+        legacy = "doc_id" not in store.columns
+        if legacy:  # pre-upgrade fp-only store: original semantics
+            seen = store.select("fp").dropDuplicates(["fp"])
+            deduped = deduped.join(
+                seen, deduped["_fp"] == seen["fp"], "left_anti"
+            )
+        else:
+            seen = store.select(
+                F.col("fp").alias("_sfp"),
+                F.col("doc_id").alias("_sid"),
+            ).dropDuplicates(["_sfp"])
+            deduped = (
+                deduped.join(
+                    seen, deduped["_fp"] == F.col("_sfp"), "left"
+                )
+                .where(
+                    F.col("_sid").isNull()
+                    | (F.col("_sid") == F.col(id_col).cast("string"))
+                )
+                .drop("_sfp", "_sid")
+            )
     # materialize the survivors BEFORE appending their fingerprints,
     # so the store append cannot observe (and exclude) its own batch
     out = deduped.localCheckpoint(eager=True)
-    out.select(F.col("_fp").alias("fp")).write.mode("append").parquet(store_dir)
+    idx = (
+        out.select(F.col("_fp").alias("fp"))
+        if legacy
+        else out.select(
+            F.col("_fp").alias("fp"),
+            F.col(id_col).cast("string").alias("doc_id"),
+        )
+    )
+    if _store_has_parquet(spark, store_dir):
+        idx = idx.join(
+            spark.read.parquet(store_dir).select("fp"), "fp", "left_anti"
+        )
+    idx.write.mode("append").parquet(store_dir)
     return out.drop("_fp")
 
 
@@ -1811,15 +1851,39 @@ def near_dedup_against_index(
     kept = digested.withColumn("_min_id", F.min(id_col).over(w)).where(
         F.col("_shh1").isNull() | (F.col(id_col) == F.col("_min_id"))
     )
-    seen = index.select("shh1", "shh2").dropDuplicates(["shh1", "shh2"])
-    # plain (non-null-safe) equality: short docs' NULL digests never
-    # match, so they pass the anti-join untouched
-    survivors = kept.join(
-        seen,
-        (kept["_shh1"] == seen["shh1"]) & (kept["_shh2"] == seen["shh2"]),
-        "left_anti",
+    # one row per digest with the ids holding it in the index: a
+    # batch doc drops iff some OTHER doc holds its digest — a doc
+    # whose digest maps to ITSELF is the committed copy and survives,
+    # so re-running a batch after a completed store append is
+    # byte-identical (the replay-safety rule shared with
+    # incremental_exact_dedup / incremental_semdedup; index rows have
+    # always carried doc_id, so pre-upgrade stores work unchanged)
+    seen = index.groupBy("shh1", "shh2").agg(
+        F.collect_set(F.col("doc_id").cast("string")).alias("_sids")
     )
-    return survivors.drop("_shh1", "_shh2", "_min_id")
+    # plain (non-null-safe) equality: short docs' NULL digests never
+    # match, so they pass the join untouched
+    survivors = (
+        kept.join(
+            seen,
+            (kept["_shh1"] == seen["shh1"])
+            & (kept["_shh2"] == seen["shh2"]),
+            "left",
+        )
+        .where(
+            F.col("_sids").isNull()
+            | (
+                F.size(
+                    F.array_remove(
+                        F.col("_sids"), F.col(id_col).cast("string")
+                    )
+                )
+                == 0
+            )
+        )
+        .drop("_shh1", "_shh2", "_min_id", "shh1", "shh2", "_sids")
+    )
+    return survivors
 
 
 def near_dup_candidates_vs_index(
@@ -1880,8 +1944,12 @@ def incremental_near_dedup(
 
     Crash-safety matches the exact twin: survivors are materialized
     before the store append, so the append cannot exclude its own
-    batch, and a crash between the two re-admits at most one batch
-    (re-running is idempotent — the batch re-dedups against itself).
+    batch, and a crash between the two re-admits at most one batch.
+    Replay-safe (round 14): a batch doc whose digest maps to ITSELF
+    in the index survives (near_dedup_against_index's self rule) and
+    the append skips doc ids already committed — re-running a batch
+    after a completed append is byte-identical, the at-least-once
+    prerequisite for the foreachBatch sink composition.
     """
     spark = batch.sparkSession
     if _store_has_parquet(spark, store_dir):
@@ -1892,7 +1960,12 @@ def incremental_near_dedup(
         )
     survivors = near_dedup_against_index(batch, id_col, text_col, index, k)
     out = survivors.localCheckpoint(eager=True)
-    build_near_dup_index(out, id_col, text_col, num_hashes, bands, k).write.mode(
-        "append"
-    ).parquet(store_dir)
+    idx = build_near_dup_index(out, id_col, text_col, num_hashes, bands, k)
+    if _store_has_parquet(spark, store_dir):
+        idx = idx.join(
+            spark.read.parquet(store_dir).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    idx.write.mode("append").parquet(store_dir)
     return out

@@ -252,12 +252,16 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against a persisted signature INDEX of the even-id half of the "
     "corpus, at shingle-set-equality level: a batch doc survives iff "
     "it is too short to shingle, or it holds the minimum id of its "
-    "128-bit shingle-set digest within the batch AND the digest is "
-    "absent from the index. The corpus text is never rescanned — the "
-    "index side prunes to the two digest columns at its parquet-shaped "
-    "scan; one window shuffle + one digest-keyed anti-join. The oracle "
-    "replays the rule with DuckDB list algebra (set equality, not "
-    "hashes, so digest collisions would surface as a mismatch).",
+    "128-bit shingle-set digest within the batch AND no OTHER doc "
+    "holds its digest in the index — a doc whose digest maps to "
+    "ITSELF is the committed copy and stays (the engine-wide "
+    "replay-safety rule shared with incremental_semdedup: re-running "
+    "a committed batch is byte-identical, the at-least-once "
+    "prerequisite). The corpus text is never rescanned — the index "
+    "side prunes to (digest, doc_id) at its parquet-shaped scan; one "
+    "window shuffle + one digest-keyed join. The oracle replays the "
+    "rule with DuckDB list algebra (set equality, not hashes, so "
+    "digest collisions would surface as a mismatch).",
     oracle=f"""
         WITH batch AS ({_DOUBLED_SQL}),
         store AS (
@@ -277,16 +281,21 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                    )) END AS s
             FROM bt
         ),
-        st AS (
-            SELECT DISTINCT list_sort(list_distinct(
-                       list_transform(
-                           range(1, len(toks) - 1),
-                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                       )
-                   )) AS s
+        sth AS (
+            SELECT s, list(DISTINCT doc_id) AS ids
             FROM (
-                SELECT string_split_regex(trim(text), '\\s+') AS toks FROM store
-            ) WHERE len(toks) >= 3
+                SELECT doc_id, list_sort(list_distinct(
+                           list_transform(
+                               range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           )
+                       )) AS s
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(trim(text), '\\s+') AS toks
+                    FROM store
+                ) WHERE len(toks) >= 3
+            ) GROUP BY s
         ),
         ranked AS (
             SELECT doc_id, nt, s,
@@ -295,8 +304,14 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT r.doc_id
         FROM ranked r
-        LEFT JOIN st ON r.s = st.s
-        WHERE r.nt < 3 OR (r.doc_id = r.min_id AND st.s IS NULL)
+        LEFT JOIN sth ON r.s = sth.s
+        WHERE r.nt < 3 OR (
+            r.doc_id = r.min_id
+            AND (
+                sth.s IS NULL
+                OR len(list_filter(sth.ids, x -> x <> r.doc_id)) = 0
+            )
+        )
     """,
     tags=("dedup",),
 )
@@ -314,6 +329,80 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index = build_near_dup_index(store, "doc_id", "text")
     return near_dedup_against_index(batch, "doc_id", "text", index).select("doc_id")
+
+
+@register(
+    "q_stream_exact_dedup_sink_twin",
+    "Streaming twin of the lexical crawl dedup (streaming/"
+    "incremental.py::incremental_dedup_sink(method='exact') over "
+    "operators/dedup.py::incremental_exact_dedup): even-doc_id "
+    "documents arrive as micro-batch 0 and odds as micro-batch 1 "
+    "(two availableNow runs over a file source sharing one "
+    "checkpoint); the query returns every SURVIVING row across both "
+    "batches from the per-batch clean log. Survivor rule (the "
+    "replay-safe round-14 semantics): min-id per canonical "
+    "fingerprint within the batch, and no OTHER doc holds the "
+    "fingerprint in the committed store. The oracle replays the "
+    "canonical fingerprint (lowercase, collapse whitespace, md5) and "
+    "both batch passes in SQL. Side effects: /tmp store/checkpoint/"
+    "clean/src dirs, reset per invocation.",
+    oracle=r"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS f
+            FROM documents
+        ),
+        ev AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 0),
+        od AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1),
+        ev_surv AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, f,
+                       MIN(doc_id) OVER (PARTITION BY f) AS m
+                FROM ev
+            ) WHERE doc_id = m
+        ),
+        od_surv AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, f,
+                       MIN(doc_id) OVER (PARTITION BY f) AS m
+                FROM od
+            ) WHERE doc_id = m AND f NOT IN (SELECT f FROM ev)
+        )
+        SELECT doc_id FROM ev_surv
+        UNION ALL
+        SELECT doc_id FROM od_surv
+    """,
+    tags=("dedup", "streaming"),
+)
+def q_stream_exact_dedup_sink_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from evaporate_spark.streaming.incremental import (
+        incremental_dedup_sink,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/spark_graft_exsink_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    src, store = f"{root}/src", f"{root}/store"
+    ckpt, clean = f"{root}/ckpt", f"{root}/clean"
+
+    def run_sink():
+        q = incremental_dedup_sink(
+            spark.readStream.schema(d.schema).parquet(src),
+            store, ckpt, clean, method="exact",
+        )
+        q.awaitTermination(300)
+
+    d.where(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+    run_sink()
+    d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    run_sink()
+    return spark.read.parquet(clean).select("doc_id")
 
 
 @register(

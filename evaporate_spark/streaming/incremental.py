@@ -165,3 +165,60 @@ def incremental_semdedup_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_dedup_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    clean_root: str,
+    method: str = "exact",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Lexical crawl-stream dedup — the :func:`incremental_semdedup_sink`
+    shape for the LEXICAL incrementals: every micro-batch runs
+    ``incremental_exact_dedup`` (``method="exact"``, canonical-
+    fingerprint store) or ``incremental_near_dedup`` (``method=
+    "near"``, shingle-digest/LSH signature index) against the
+    persisted store at ``store_dir`` and overwrites the SURVIVING
+    rows to ``<clean_root>/batch_id=N``.
+
+    Effectively exactly-once although foreachBatch is at-least-once:
+    both operators' stores now carry the survivor's id, so a
+    replayed batch keeps its own committed copies (byte-identical
+    replay) and the per-batch-id overwrite is idempotent. Earlier
+    batches win (micro-batches process serially per query)."""
+    if method not in ("exact", "near"):
+        raise ValueError(f"method must be 'exact' or 'near', got {method!r}")
+    from evaporate_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_near_dedup,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if method == "exact":
+            out = incremental_exact_dedup(
+                batch_df, id_col, text_col, store_dir
+            )
+        else:
+            out = incremental_near_dedup(
+                batch_df, id_col, text_col, store_dir,
+                num_hashes=num_hashes, bands=bands, k=k,
+            )
+        out.write.mode("overwrite").parquet(
+            f"{clean_root}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,139 @@
+"""Replay safety of the LEXICAL incremental dedups (round 14): the
+exact-fingerprint and shingle-digest stores now carry the survivor's
+id, so re-running a batch after a COMPLETED store append reproduces
+the same survivors (previously the batch anti-joined its own rows
+away — fatal under at-least-once delivery), and the foreachBatch
+sink composition equals the direct batch calls."""
+
+from __future__ import annotations
+
+import pytest  # noqa: F401
+
+BATCH_A = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "pack my box with five dozen liquor jugs today"),
+]
+BATCH_B = [
+    (4, "the quick brown fox jumps over the lazy dog"),  # dup of batch A
+    (5, "sphinx of black quartz judge my vow tonight"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _run(spark, fn, batch, store):
+    return sorted(
+        (r["doc_id"], r["text"]) for r in fn(
+            _df(spark, batch), "doc_id", "text", store
+        ).collect()
+    )
+
+
+@pytest.mark.parametrize("method", ["exact", "near"])
+def test_replay_after_completed_append_is_byte_identical(
+    spark, tmp_path, method
+):
+    from evaporate_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_near_dedup,
+    )
+
+    fn = (
+        incremental_exact_dedup
+        if method == "exact"
+        else incremental_near_dedup
+    )
+    store = str(tmp_path / f"store_{method}")
+    a1 = _run(spark, fn, BATCH_A, store)
+    assert [i for i, _ in a1] == [1, 3]  # 2 deduped within the batch
+    b1 = _run(spark, fn, BATCH_B, store)
+    assert [i for i, _ in b1] == [5]  # 4 deduped against the store
+    rows1 = sorted(map(tuple, spark.read.parquet(store).collect()))
+
+    # redeliver BOTH batches (crash-before-offset-commit)
+    assert _run(spark, fn, BATCH_A, store) == a1
+    assert _run(spark, fn, BATCH_B, store) == b1
+    rows2 = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert rows2 == rows1  # replays never grow the store
+
+
+def test_exact_legacy_fp_only_store_keeps_old_semantics(spark, tmp_path):
+    """A pre-upgrade fingerprint-only store still works: the legacy
+    anti-join semantics apply and appends stay fp-only (no schema
+    mixing); replay under a legacy store drops the batch (the old
+    behavior, preserved rather than silently changed)."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.functions.text_stats import fingerprint
+    from evaporate_spark.operators.dedup import incremental_exact_dedup
+
+    store = str(tmp_path / "legacy_store")
+    _df(spark, BATCH_A).select(
+        fingerprint("text").alias("fp")
+    ).dropDuplicates(["fp"]).write.parquet(store)
+    out = _run(spark, incremental_exact_dedup, BATCH_B, store)
+    assert [i for i, _ in out] == [5]
+    cols = spark.read.parquet(store).columns
+    assert cols == ["fp"]  # appends did not widen the legacy schema
+    # legacy replay: batch 5's fp is now committed, so it drops —
+    # the documented legacy limitation
+    assert _run(spark, incremental_exact_dedup, BATCH_B, store) == []
+    assert (
+        spark.read.parquet(store).where(F.col("fp").isNull()).count() == 0
+    )
+
+
+@pytest.mark.parametrize("method", ["exact", "near"])
+def test_streaming_sink_matches_batch_calls(spark, tmp_path, method):
+    import json
+
+    from evaporate_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_near_dedup,
+    )
+    from evaporate_spark.streaming.incremental import (
+        incremental_dedup_sink,
+    )
+
+    src = tmp_path / f"crawl_{method}"
+    src.mkdir()
+    ckpt = str(tmp_path / f"ckpt_{method}")
+    s_store = str(tmp_path / f"sstore_{method}")
+    b_store = str(tmp_path / f"bstore_{method}")
+    clean = str(tmp_path / f"clean_{method}")
+
+    def arrive(name, rows):
+        with open(src / name, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run_sink():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).json(str(src))
+        q = incremental_dedup_sink(
+            stream, s_store, ckpt, clean, method=method
+        )
+        q.awaitTermination(120)
+
+    arrive("day0.json", BATCH_A)
+    run_sink()
+    arrive("day1.json", BATCH_B)
+    run_sink()
+
+    fn = (
+        incremental_exact_dedup
+        if method == "exact"
+        else incremental_near_dedup
+    )
+    want = sorted(
+        _run(spark, fn, BATCH_A, b_store)
+        + _run(spark, fn, BATCH_B, b_store)
+    )
+    got_rows = spark.read.parquet(clean).collect()
+    got = sorted((r["doc_id"], r["text"]) for r in got_rows)
+    assert got == want
+    assert {r["batch_id"] for r in got_rows} == {0, 1}

@@ -670,9 +670,14 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     out2 = incremental_exact_dedup(b2, "id", "content", store)
     assert sorted(r["id"] for r in out2.collect()) == [11]
 
-    # idempotent re-run: everything already in the store
+    # re-run (at-least-once redelivery): 11's fingerprint maps to
+    # ITSELF in the store, so the replay is byte-identical instead of
+    # dropping the batch's own committed copy (round 14)
     out2b = incremental_exact_dedup(b2, "id", "content", store)
-    assert out2b.count() == 0
+    assert sorted(r["id"] for r in out2b.collect()) == [11]
+    # a DIFFERENT doc re-submitting committed content still drops
+    b3 = spark.createDataFrame([(20, "gamma text")], ["id", "content"])
+    assert incremental_exact_dedup(b3, "id", "content", store).count() == 0
 
 
 def test_incremental_near_dedup_across_batches(spark, tmp_path):
@@ -707,11 +712,19 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path):
     out2 = incremental_near_dedup(b2, "id", "content", store)
     assert sorted(r["id"] for r in out2.collect()) == [11, 12]
 
-    # re-run: 11 is now indexed; the short doc has no signature and
-    # passes again (near-dedup never sees sub-shingle docs — chain
-    # incremental_exact_dedup first, the module's cheapest-first order)
+    # re-run (at-least-once redelivery): 11's digest maps to ITSELF
+    # in the index, so it survives again — replay is byte-identical
+    # (round 14; previously the fp-blind anti-join dropped it). The
+    # short doc has no signature and passes as always (near-dedup
+    # never sees sub-shingle docs — chain incremental_exact_dedup
+    # first, the module's cheapest-first order).
     out2b = incremental_near_dedup(b2, "id", "content", store)
-    assert sorted(r["id"] for r in out2b.collect()) == [12]
+    assert sorted(r["id"] for r in out2b.collect()) == [11, 12]
+    # a DIFFERENT doc re-submitting an indexed set still drops
+    b3 = spark.createDataFrame(
+        [(20, "brand new content words entirely")], ["id", "content"]
+    )
+    assert incremental_near_dedup(b3, "id", "content", store).count() == 0
 
 
 def test_near_dup_candidates_vs_index(spark):

@@ -876,10 +876,13 @@ def _pq_batch_dropped(
     """Within-batch one-pass drops under the PQ-coded store metric:
     lower-priority ``a`` drops against higher-priority batch-mate
     ``b`` iff EITHER ADC direction (a's vector vs b's codes, or b's
-    vector vs a's codes) clears ``(1−threshold)·2e6`` micros — the
-    symmetric-min rule that makes a surviving pair clear BOTH
-    directions, so a replayed batch's store join can never add a
-    drop (byte-identical replay, the exactly-once prerequisite).
+    vector vs a's codes) clears ``(1−threshold)·2e6`` micros. The
+    code tests the two directions with OR — equivalent to testing
+    ``min(adc_ab, adc_ba) <= limit`` (min ≤ L ⇔ either ≤ L), which is
+    why the prose elsewhere calls it the symmetric-min rule: a
+    surviving pair clears BOTH directions, so a replayed batch's
+    store join can never add a drop (byte-identical replay, the
+    exactly-once prerequisite).
     Zero vectors never participate (cosine scores them 0)."""
     from evaporate_spark.operators.similarity import (
         _pq_codes_col,
@@ -995,9 +998,12 @@ def build_semdedup_index(
 
 
 def _vec_is_zero(v) -> "F.Column":
-    return F.aggregate(
-        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x
-    ) == F.lit(0.0)
+    """TRUE iff every element is exactly 0.0 — tested ELEMENT-WISE,
+    not via a sum of squares: squared sub-normal magnitudes (elements
+    below ~1e-154) underflow to 0.0, and a sum-of-squares test would
+    misflag such real vectors as zero, silently exempting them from
+    PQ semantic dedup on both the batch and store sides."""
+    return F.forall(v, lambda x: x.cast("double") == F.lit(0.0))
 
 
 def incremental_semdedup(
@@ -1251,7 +1257,11 @@ def incremental_semdedup(
         *payload,
     )
     if existing is not None:
-        idx = idx.join(existing, "doc_id", "left_anti")
+        # materialize before the append — the anti-join scans the
+        # directory the write targets (see incremental_exact_dedup)
+        idx = idx.join(existing, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
     idx.write.mode("append").parquet(store_dir)
     return out
 
@@ -1565,10 +1575,20 @@ def incremental_exact_dedup(
     at-least-once delivery, e.g. a foreachBatch sink). The append
     skips fingerprints already committed, so replays never grow the
     store. Stores written before the upgrade (fp-only schema) keep
-    the legacy anti-join semantics and fp-only appends — upgrade by
-    starting a fresh store. A crash BETWEEN the survivor
-    materialization and the append re-admits at most one batch, as
-    before.
+    the legacy anti-join semantics and fp-only appends — upgrade
+    in place with :func:`upgrade_exact_store`, or start a fresh
+    store. A crash BETWEEN the survivor materialization and the
+    append re-admits at most one batch, as before.
+
+    The self-survival trade-off, stated plainly: the store cannot
+    distinguish a REPLAY of batch N from a GENUINE re-delivery of the
+    same (id, content) in a later batch M — a recrawled document with
+    a stable id self-survives again and is emitted in batch M's clean
+    output too, so the raw union of per-batch clean logs can carry
+    the same id more than once (the pre-r14 anti-join dropped it, at
+    the cost of destroying replays). Cross-batch consumers must
+    therefore dedup the union on the id, keeping the EARLIEST batch —
+    :func:`streaming.incremental.read_clean_log` is that reader.
     """
     spark = batch.sparkSession
     deduped = exact_dedup(batch, id_col, text_col).withColumn(
@@ -1610,11 +1630,94 @@ def incremental_exact_dedup(
         )
     )
     if _store_has_parquet(spark, store_dir):
+        # materialize the dedup-append BEFORE writing: the anti-join
+        # scans the same directory the write appends to, which is
+        # only safe because parquet file listing resolves at plan
+        # time — fragile if the store is ever fronted by a catalog or
+        # lazily-listed table source, so force the scan to finish
+        # first (the append frame is batch-sized, never store-sized)
         idx = idx.join(
             spark.read.parquet(store_dir).select("fp"), "fp", "left_anti"
-        )
+        ).localCheckpoint(eager=True)
     idx.write.mode("append").parquet(store_dir)
     return out.drop("_fp")
+
+
+def upgrade_exact_store(
+    clean_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+) -> int:
+    """Rewrite a pre-r14 fp-only exact-dedup store at ``store_dir``
+    into the survivor-id schema ``(fp, doc_id)`` IN PLACE, so an
+    existing corpus gains :func:`incremental_exact_dedup`'s replay
+    safety without a fresh ingest. Returns the row count rewritten
+    (0 when the store is already upgraded — a no-op).
+
+    ``clean_docs`` is the COMMITTED clean corpus — the union of every
+    batch's surviving rows, e.g. ``streaming.incremental.
+    read_clean_log`` over the sink's clean root, or the corpus table
+    itself. Each store fingerprint's survivor id is recovered by
+    re-fingerprinting the survivors (one fp-keyed join; the min id is
+    taken per fingerprint, which matches :func:`exact_dedup`'s keeper
+    rule and is a no-op when the clean corpus is properly deduped).
+
+    Refuses with ``ValueError`` when:
+
+    - the store is MIXED-schema (a ``doc_id`` column with NULL rows —
+      legacy files appended alongside upgraded ones): the two halves
+      carry different replay semantics and a partial upgrade would
+      silently keep the destructive half;
+    - any store fingerprint has NO surviving document in
+      ``clean_docs`` — the store and the clean corpus disagree, and
+      inventing a survivor would corrupt replay decisions.
+
+    Operational contract: run OFFLINE with the sink stopped, and keep
+    a copy of the store — the rewrite overwrites the directory after
+    an eager materialization, which is not crash-atomic (a failure
+    mid-write loses the store, not the corpus)."""
+    spark = clean_docs.sparkSession
+    if not _store_has_parquet(spark, store_dir):
+        raise ValueError(
+            f"upgrade_exact_store: no parquet store at {store_dir}"
+        )
+    store = spark.read.parquet(store_dir)
+    if "doc_id" in store.columns:
+        n_null = store.where(F.col("doc_id").isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"upgrade_exact_store: store at {store_dir} is "
+                f"MIXED-schema ({n_null} fp-only rows alongside "
+                "survivor-id rows) — restore it from a consistent "
+                "copy before upgrading"
+            )
+        return 0  # already upgraded
+    survivors = (
+        clean_docs.select(
+            fingerprint(text_col).alias("fp"),
+            F.col(id_col).cast("string").alias("doc_id"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    joined = store.select("fp").dropDuplicates(["fp"]).join(
+        survivors, "fp", "left"
+    )
+    n_missing = joined.where(F.col("doc_id").isNull()).count()
+    if n_missing:
+        raise ValueError(
+            f"upgrade_exact_store: {n_missing} store fingerprints "
+            "have no surviving document in clean_docs — pass the "
+            "full committed clean corpus (e.g. read_clean_log over "
+            "the sink's clean root)"
+        )
+    # materialize BEFORE the overwrite: the plan reads the directory
+    # the write replaces
+    upgraded = joined.localCheckpoint(eager=True)
+    n = upgraded.count()
+    upgraded.write.mode("overwrite").parquet(store_dir)
+    return n
 
 
 def incremental_selfdedup_spans(
@@ -1693,11 +1796,14 @@ def incremental_selfdedup_spans(
     out = _excise_hit_starts(
         batch, hits, id_col, text_col, k, marker
     ).localCheckpoint(eager=True)
+    # materialize before the append: firsts derives from the join
+    # against the store scan, and the write appends to that same
+    # directory (see incremental_exact_dedup's append note)
     firsts.select(
         F.col("_h").alias("h"),
         F.col("_first._id").cast("string").alias("fid"),
         F.col("_first._i").alias("fpos"),
-    ).write.mode("append").parquet(store_dir)
+    ).localCheckpoint(eager=True).write.mode("append").parquet(store_dir)
     return out
 
 
@@ -1949,7 +2055,12 @@ def incremental_near_dedup(
     in the index survives (near_dedup_against_index's self rule) and
     the append skips doc ids already committed — re-running a batch
     after a completed append is byte-identical, the at-least-once
-    prerequisite for the foreachBatch sink composition.
+    prerequisite for the foreachBatch sink composition. Same
+    trade-off as :func:`incremental_exact_dedup`: a GENUINE later
+    re-delivery of a committed (id, digest) also self-survives, so
+    the union of per-batch clean logs can repeat an id — cross-batch
+    consumers dedup on the id keeping the earliest batch
+    (:func:`streaming.incremental.read_clean_log`).
     """
     spark = batch.sparkSession
     if _store_has_parquet(spark, store_dir):
@@ -1962,10 +2073,12 @@ def incremental_near_dedup(
     out = survivors.localCheckpoint(eager=True)
     idx = build_near_dup_index(out, id_col, text_col, num_hashes, bands, k)
     if _store_has_parquet(spark, store_dir):
+        # materialize before the append — the anti-join scans the
+        # directory the write targets (see incremental_exact_dedup)
         idx = idx.join(
             spark.read.parquet(store_dir).select("doc_id"),
             "doc_id",
             "left_anti",
-        )
+        ).localCheckpoint(eager=True)
     idx.write.mode("append").parquet(store_dir)
     return out

@@ -74,17 +74,24 @@ def _open_fs(path: str):
 
 #: array element type → numpy wire dtype for tar members. int32 and
 #: narrower serialize little-endian int32 (the memory-mappable id
-#: layout); float/double serialize little-endian float32 EXPLICITLY
-#: (an embedding column written as <i4 would silently truncate).
-#: bigint is deliberately ABSENT: int64 ids can overflow int32
-#: silently — callers must cast to int or accept a raise.
+#: layout); float serializes little-endian float32, double
+#: little-endian float64 — each width-preserving EXPLICITLY (an
+#: embedding column written as <i4 would silently truncate, and a
+#: double column written as <f4 would silently lose precision / inf
+#: out past float32 range). bigint is deliberately ABSENT: int64 ids
+#: can overflow int32 silently — the refuse-silent-narrowing rule is
+#: uniform: callers cast down explicitly or accept a raise.
 _ARRAY_WIRE_DTYPES = {
     "tinyint": "<i4",
     "smallint": "<i4",
     "int": "<i4",
     "float": "<f4",
-    "double": "<f4",
+    "double": "<f8",
 }
+
+#: wire dtype → bytes per element (the byte-budget sharder's cost
+#: model must match what _member_bytes actually writes)
+_WIRE_ELEM_BYTES = {"<i4": 4, "<f4": 4, "<f8": 8}
 
 
 def _member_wire(dtype: str, colname: str) -> tuple[str, str]:
@@ -104,9 +111,10 @@ def _member_wire(dtype: str, colname: str) -> tuple[str, str]:
             raise ValueError(
                 f"content column {colname!r} is {dtype}: no defined "
                 "tar-member wire format — int arrays up to int32 "
-                "serialize as little-endian int32, float/double as "
-                "little-endian float32; cast bigint ids to int "
-                "explicitly (silent int32 truncation is refused)"
+                "serialize as little-endian int32, float as "
+                "little-endian float32, double as little-endian "
+                "float64; cast bigint ids to int explicitly (silent "
+                "int32 truncation is refused)"
             )
         return "array", wire
     # scalar non-string columns stringify through the cast below —
@@ -117,8 +125,9 @@ def _member_wire(dtype: str, colname: str) -> tuple[str, str]:
 def _member_bytes(val, kind: str = "", wire: str = "") -> bytes | None:
     """Column value → member payload: str encodes utf-8, bytes pass
     through, numeric arrays serialize via the wire dtype resolved by
-    :func:`_member_wire` (int32 little-endian for id columns, float32
-    little-endian for embeddings). NULL → None (skip the member)."""
+    :func:`_member_wire` (little-endian int32 for id columns,
+    float32/float64 for float/double embeddings — width-preserving).
+    NULL → None (skip the member)."""
     import numpy as np
     import pandas as pd
 
@@ -154,10 +163,12 @@ def write_webdataset(
     "txt", "image": "jpg"}``): string columns encode utf-8, binary
     columns pass through byte-exact, ``ARRAY<INT>`` columns (token
     ids, loss masks) serialize as little-endian int32,
-    ``ARRAY<FLOAT|DOUBLE>`` columns (embeddings) as little-endian
-    float32 — EXPLICITLY, never via a silent int cast —
-    ``ARRAY<BIGINT>`` raises (int32 truncation is refused; cast ids
-    to int first), NULLs skip that member.
+    ``ARRAY<FLOAT>`` columns (embeddings) as little-endian float32,
+    ``ARRAY<DOUBLE>`` as little-endian float64 — width-preserving,
+    never via a silent narrowing cast (cast doubles to float
+    explicitly for the <f4 wire) — ``ARRAY<BIGINT>`` raises (int32
+    truncation is refused; cast ids to int first), NULLs skip that
+    member.
     Keys stringify and must not contain ``.`` or ``/`` (the
     WebDataset sample-grouping characters).
 
@@ -310,16 +321,17 @@ def _byte_budget_shards(
     spark = keyed.sparkSession
 
     # per-member on-tar bytes: header block + data rounded to blocks;
-    # every ALLOWED array wire type (_ARRAY_WIRE_DTYPES: int32 and
-    # float32) is 4 bytes/element — wider element types were rejected
-    # by _member_wire before this runs
+    # array element width comes from the SAME wire table the
+    # serializer uses (<i4/<f4 = 4 B, <f8 = 8 B) — disallowed element
+    # types were already rejected by _member_wire before this runs
     def member_cost(colname: str) -> Column:
         c = F.col(colname)
         t = dict(keyed.dtypes)[colname]
         if t == "binary":
             nbytes = F.octet_length(c)
         elif t.startswith("array<"):
-            nbytes = F.size(c) * 4
+            wire = _ARRAY_WIRE_DTYPES[t[len("array<"):-1]]
+            nbytes = F.size(c) * _WIRE_ELEM_BYTES[wire]
         else:
             nbytes = F.octet_length(c.cast("string"))
         blocks = F.ceil(nbytes / _TAR_BLOCK) * _TAR_BLOCK
@@ -475,8 +487,12 @@ def export_training_shards(
     wants), then ``example_id`` (denoised examples), ``bin_id``
     (bins/sft), ``(doc_id, seq_index)`` (windows), ``seq_index``
     (documents-mode streams), else ``doc_id``. Keys are sanitized for
-    the WebDataset grouping characters (``.`` → ``_``, ``/`` → ``-``)
-    — prefer ``pos``, which needs none.
+    the WebDataset grouping characters by PERCENT-ENCODING (``%`` →
+    ``%25`` first, then ``.`` → ``%2E``, ``/`` → ``%2F``) — an
+    injective escape, so distinct raw keys can never collide into one
+    tar sample (a lossy ``.``→``_`` mapping would merge ``a.b`` with
+    ``a_b`` under the loader's first-period grouping). Prefer
+    ``pos``, which needs no escaping.
 
     Members: ``seq_ids → .ids``, ``loss_mask → .mask``,
     ``inputs_ids → .in``, ``targets_ids → .tgt`` (int32 wire),
@@ -507,9 +523,11 @@ def export_training_shards(
             "export_training_shards: no key column among pos/"
             f"example_id/bin_id/doc_id/seq_index in {sorted(cols)}"
         )
-    key = F.regexp_replace(
-        F.regexp_replace(key, r"\.", "_"), "/", "-"
-    )
+    # injective percent-encoding: escape the escape char first, so
+    # decoding is unambiguous and distinct raw keys never collide
+    key = F.regexp_replace(key, "%", "%25")
+    key = F.regexp_replace(key, r"\.", "%2E")
+    key = F.regexp_replace(key, "/", "%2F")
     content: dict[str, str] = {}
     for col, ext in TRAINING_MEMBERS:
         if col in cols and ext is not None and ext not in content.values():

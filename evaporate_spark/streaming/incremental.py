@@ -37,6 +37,10 @@ __all__ = [
     "read_rollup",
     "compact_rollup",
     "incremental_semdedup_sink",
+    "incremental_dedup_sink",
+    "compact_decisions",
+    "read_decisions",
+    "read_clean_log",
 ]
 
 
@@ -192,7 +196,15 @@ def incremental_dedup_sink(
     both operators' stores now carry the survivor's id, so a
     replayed batch keeps its own committed copies (byte-identical
     replay) and the per-batch-id overwrite is idempotent. Earlier
-    batches win (micro-batches process serially per query)."""
+    batches win (micro-batches process serially per query).
+
+    Consuming the clean log: read it through :func:`read_clean_log`,
+    not a raw union — the self-survivor rule also re-admits a GENUINE
+    later re-delivery of a committed (id, content), so the per-batch
+    outputs can repeat an id across batches (the documented
+    ``incremental_exact_dedup`` trade-off); the reader keeps the
+    earliest batch's copy. :func:`compact_decisions` bounds the
+    one-directory-per-batch growth."""
     if method not in ("exact", "near"):
         raise ValueError(f"method must be 'exact' or 'near', got {method!r}")
     from evaporate_spark.operators.dedup import (
@@ -222,3 +234,110 @@ def incremental_dedup_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+def compact_decisions(
+    spark: SparkSession, root: str, snapshot_root: str
+) -> int:
+    """Fold the per-batch dedup logs under ``root`` (the
+    ``batch_id=N`` layout both :func:`incremental_dedup_sink` and
+    :func:`incremental_semdedup_sink` write — decision rows or clean
+    survivor rows alike) into ONE committed snapshot version at
+    ``snapshot_root`` (``sources/versioned.py`` atomic markers) and
+    return the version.
+
+    The per-batch layout grows one directory per micro-batch forever;
+    this is its compaction step (``compact_rollup``'s role for the
+    rollup log). Rows keep their ``batch_id`` column, and the
+    snapshot's MAX batch id is the fold boundary: ``read_decisions``
+    merges the snapshot with only the batch directories BEYOND it, so
+
+    - a batch REDELIVERED after compaction (foreachBatch replays the
+      batch and rewrites its ``batch_id=N`` dir even though N is
+      already folded) is ignored by readers instead of double-counted
+      — the per-batch-id overwrite plus the boundary filter keep the
+      merged view exactly-once across compactions;
+    - the folded directories can be deleted at leisure once the
+      snapshot commits (readers never need them again) — deletion is
+      left to the caller so a crash mid-compaction never loses rows.
+    """
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    return VersionedTable(spark, snapshot_root).write_snapshot(
+        spark.read.parquet(root)
+    )
+
+
+def read_decisions(
+    spark: SparkSession, root: str, snapshot_root: str | None = None
+) -> DataFrame:
+    """Merge-on-read over a dedup sink's per-batch log: every row
+    under ``root`` (``batch_id`` from the partition layout), or —
+    when ``snapshot_root`` holds a committed :func:`compact_decisions`
+    snapshot — the snapshot plus only the batch directories AFTER its
+    fold boundary (replayed-then-compacted batch dirs are ignored;
+    see ``compact_decisions``)."""
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    snap = None
+    if snapshot_root is not None:
+        t = VersionedTable(spark, snapshot_root)
+        if t.latest_committed_version() is not None:
+            snap = t.read()
+    if snap is None:
+        return spark.read.parquet(root)
+    if not _has_batch_dirs(spark, root):
+        return snap  # every folded dir already deleted
+    mx = snap.agg(F.max("batch_id")).first()[0]
+    tail = spark.read.parquet(root).where(F.col("batch_id") > F.lit(mx))
+    return snap.unionByName(tail)
+
+
+def _has_batch_dirs(spark: SparkSession, root: str) -> bool:
+    """True iff ``root`` holds at least one ``batch_id=N`` partition
+    directory — the sinks' log-layout emptiness probe
+    (``dedup._store_has_parquet`` checks for direct ``.parquet``
+    children, which a partitioned log has none of). Hadoop FS API, so
+    object-store roots work."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        if st.isDirectory() and st.getPath().getName().startswith(
+            "batch_id="
+        ):
+            return True
+    return False
+
+
+def read_clean_log(
+    spark: SparkSession,
+    clean_root: str,
+    id_col: str = "doc_id",
+    snapshot_root: str | None = None,
+) -> DataFrame:
+    """The duplicate-free union of :func:`incremental_dedup_sink`'s
+    per-batch clean outputs: one row per ``id_col``, keeping the
+    EARLIEST batch's copy.
+
+    Why a plain union is not enough: the replay-safe self-survivor
+    rule (``incremental_exact_dedup`` / ``incremental_near_dedup``)
+    cannot distinguish a replayed batch from a GENUINE re-delivery of
+    the same (id, content) in a later batch — a recrawled document
+    with a stable id survives dedup again and is emitted in the new
+    batch's clean output too, so the raw cross-batch union can repeat
+    an id. This reader applies the documented consumer-side rule:
+    drop later copies per id (ids are unique WITHIN a batch — the
+    sink's document-identity contract — so earliest-batch-wins is
+    deterministic). One keyed window shuffle on the id; composes with
+    ``snapshot_root`` compaction like :func:`read_decisions`."""
+    from pyspark.sql.window import Window
+
+    rows = read_decisions(spark, clean_root, snapshot_root)
+    w = Window.partitionBy(id_col).orderBy(F.asc("batch_id"))
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,245 @@
+"""Round-15 maintenance layer for the incremental dedup family:
+
+- ``upgrade_exact_store`` — migrate a pre-r14 fp-only store to the
+  survivor-id schema in place (replay safety without a fresh ingest);
+- ``compact_decisions`` / ``read_decisions`` — fold the sinks'
+  one-directory-per-batch logs into a committed snapshot, with
+  redelivery-after-compaction staying exactly-once;
+- ``read_clean_log`` — the duplicate-free cross-batch clean-log
+  reader (the self-survivor rule re-admits a genuine later
+  re-delivery of a committed (id, content), so raw unions repeat ids);
+- ``_vec_is_zero`` — element-wise zero test (sub-normal magnitudes
+  must not be misflagged as zero vectors).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+BATCH_A = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "pack my box with five dozen liquor jugs today"),
+]
+BATCH_B = [
+    (4, "the quick brown fox jumps over the lazy dog"),  # dup of batch A
+    (5, "sphinx of black quartz judge my vow tonight"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _run(spark, fn, batch, store):
+    return sorted(
+        (r["doc_id"], r["text"]) for r in fn(
+            _df(spark, batch), "doc_id", "text", store
+        ).collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# upgrade_exact_store
+# ---------------------------------------------------------------------------
+
+
+def test_upgrade_legacy_store_restores_replay_safety(spark, tmp_path):
+    """Legacy fp-only store → upgrade → a replayed batch is
+    byte-identical (the r14 contract), where the un-upgraded store
+    would have dropped the batch's own rows."""
+    from evaporate_spark.operators.dedup import (
+        incremental_exact_dedup,
+        upgrade_exact_store,
+    )
+    from evaporate_spark.functions.text_stats import fingerprint
+
+    store = str(tmp_path / "legacy")
+    # a legacy ingest: batches A then B through an fp-only store
+    _df(spark, BATCH_A).select(
+        fingerprint("text").alias("fp")
+    ).dropDuplicates(["fp"]).write.parquet(store)
+    b1 = _run(spark, incremental_exact_dedup, BATCH_B, store)
+    assert [i for i, _ in b1] == [5]
+    assert spark.read.parquet(store).columns == ["fp"]
+
+    # the committed clean corpus so far: A's survivors + B's
+    clean = _df(spark, [BATCH_A[0], BATCH_A[2], BATCH_B[1]])
+    n = upgrade_exact_store(clean, "doc_id", "text", store)
+    assert n == 3
+    upgraded = {
+        (r["fp"], r["doc_id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert {d for _, d in upgraded} == {"1", "3", "5"}
+
+    # replaying batch B is now byte-identical, and the store is stable
+    rows1 = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert _run(spark, incremental_exact_dedup, BATCH_B, store) == b1
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == rows1
+
+    # idempotent: upgrading an upgraded store is a no-op
+    assert upgrade_exact_store(clean, "doc_id", "text", store) == 0
+
+
+def test_upgrade_refuses_mixed_schema_and_missing_survivors(
+    spark, tmp_path
+):
+    from evaporate_spark.functions.text_stats import fingerprint
+    from evaporate_spark.operators.dedup import upgrade_exact_store
+
+    # mixed: one legacy fp-only file alongside one survivor-id file
+    mixed = str(tmp_path / "mixed")
+    _df(spark, BATCH_A[:1]).select(
+        fingerprint("text").alias("fp")
+    ).write.parquet(mixed)
+    from pyspark.sql import functions as F
+
+    _df(spark, BATCH_B[1:]).select(
+        fingerprint("text").alias("fp"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    ).write.mode("append").parquet(mixed)
+    with pytest.raises(ValueError, match="MIXED-schema"):
+        upgrade_exact_store(
+            _df(spark, BATCH_A), "doc_id", "text", mixed
+        )
+
+    # a store fp with no surviving doc in clean_docs refuses
+    legacy = str(tmp_path / "legacy2")
+    _df(spark, BATCH_A).select(
+        fingerprint("text").alias("fp")
+    ).dropDuplicates(["fp"]).write.parquet(legacy)
+    with pytest.raises(ValueError, match="no surviving document"):
+        upgrade_exact_store(
+            _df(spark, BATCH_A[:1]), "doc_id", "text", legacy
+        )
+
+    # no store at all refuses
+    with pytest.raises(ValueError, match="no parquet store"):
+        upgrade_exact_store(
+            _df(spark, BATCH_A), "doc_id", "text",
+            str(tmp_path / "nowhere"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# compact_decisions / read_decisions / read_clean_log
+# ---------------------------------------------------------------------------
+
+
+def test_compact_decisions_redelivery_after_compaction(spark, tmp_path):
+    """A batch redelivered AFTER compaction rewrites its batch_id=N
+    directory, but the reader merges snapshot + only batches beyond
+    the fold boundary — the merged view stays exactly-once."""
+    from evaporate_spark.streaming.incremental import (
+        compact_decisions,
+        read_decisions,
+    )
+
+    root = str(tmp_path / "clean")
+    _df(spark, [BATCH_A[0], BATCH_A[2]]).write.parquet(
+        f"{root}/batch_id=0"
+    )
+    _df(spark, BATCH_B[1:]).write.parquet(f"{root}/batch_id=1")
+    snap = str(tmp_path / "snap")
+    v = compact_decisions(spark, root, snap)
+    assert v == 0
+
+    before = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in read_decisions(spark, root, snap).collect()
+    )
+    assert before == [(1, 0), (3, 0), (5, 1)]
+
+    # redeliver batch 1 (foreachBatch overwrite) — reader unchanged
+    _df(spark, BATCH_B[1:]).write.mode("overwrite").parquet(
+        f"{root}/batch_id=1"
+    )
+    assert sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in read_decisions(spark, root, snap).collect()
+    ) == before
+
+    # a NEW batch after compaction shows up through the tail
+    _df(spark, [(7, "completely new text here")]).write.parquet(
+        f"{root}/batch_id=2"
+    )
+    assert sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in read_decisions(spark, root, snap).collect()
+    ) == before + [(7, 2)]
+
+    # folded dirs may be deleted once the snapshot commits
+    import shutil
+
+    shutil.rmtree(f"{root}/batch_id=0")
+    shutil.rmtree(f"{root}/batch_id=1")
+    assert sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in read_decisions(spark, root, snap).collect()
+    ) == before + [(7, 2)]
+
+    # without a snapshot the reader is the raw union
+    assert sorted(
+        r["doc_id"] for r in read_decisions(spark, root).collect()
+    ) == [7]
+
+
+def test_read_clean_log_drops_cross_batch_redelivered_ids(
+    spark, tmp_path
+):
+    """A genuine later re-delivery of a committed (id, content)
+    self-survives by design (the replay-safety trade-off), so the raw
+    clean-log union repeats the id; read_clean_log keeps the earliest
+    batch's copy."""
+    from evaporate_spark.operators.dedup import incremental_exact_dedup
+    from evaporate_spark.streaming.incremental import read_clean_log
+
+    store = str(tmp_path / "store")
+    clean = str(tmp_path / "clean")
+    out_a = incremental_exact_dedup(
+        _df(spark, BATCH_A), "doc_id", "text", store
+    )
+    out_a.write.parquet(f"{clean}/batch_id=0")
+    # batch B: doc 1 recrawled with identical content + a fresh doc
+    recrawl = [BATCH_A[0], (9, "a genuinely new document body")]
+    out_b = incremental_exact_dedup(
+        _df(spark, recrawl), "doc_id", "text", store
+    )
+    out_b.write.parquet(f"{clean}/batch_id=1")
+
+    raw = spark.read.parquet(clean)
+    assert raw.where("doc_id = 1").count() == 2  # the documented dup
+    got = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in read_clean_log(spark, clean).collect()
+    )
+    assert got == [(1, 0), (3, 0), (9, 1)]
+
+
+# ---------------------------------------------------------------------------
+# _vec_is_zero
+# ---------------------------------------------------------------------------
+
+
+def test_vec_is_zero_is_element_wise(spark):
+    """Sub-normal magnitudes (squares underflow to 0.0) are NOT zero
+    vectors; only true all-zero (or empty) vectors flag."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.dedup import _vec_is_zero
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0]),
+            (2, [1e-200, 0.0, 0.0]),  # sum of squares underflows
+            (3, [0.5, -0.5, 0.0]),
+            (4, []),
+        ],
+        "id int, v array<double>",
+    )
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", _vec_is_zero(F.col("v")).alias("z")).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True}

@@ -270,6 +270,20 @@ def test_member_wire_dtypes(spark, tmp_path):
     assert struct.unpack("<2f", got["k0"]["emb"]) == (0.5, -1.25)
     assert struct.unpack("<2f", got["k1"]["emb"]) == (2.0, 3.5)
 
+    # double arrays keep full width on the wire (<f8): 1e-40 is
+    # sub-float32 and 1e300 is beyond float32 range — both must
+    # round-trip exactly instead of flushing to 0/inf
+    out_d = str(tmp_path / "wds_wire_d")
+    dbl = spark.createDataFrame(
+        [("k0", [1e-40, 1e300, -2.5])], "key string, emb array<double>"
+    )
+    write_webdataset(dbl, out_d, "key", {"emb": "emb"}, n_shards=1).collect()
+    got_d = {
+        r["key"]: r["files"]
+        for r in webdataset_samples(read_webdataset(spark, out_d)).collect()
+    }
+    assert struct.unpack("<3d", got_d["k0"]["emb"]) == (1e-40, 1e300, -2.5)
+
     big = spark.createDataFrame(
         [("k0", [1 << 40])], "key string, ids array<bigint>"
     )
@@ -284,15 +298,18 @@ def test_member_wire_dtypes(spark, tmp_path):
 
 
 def test_byte_budget_counts_float_members(spark, tmp_path):
-    """shard_bytes cost model covers float32 members (4 B/element,
-    same as ids): shards stay within budget + one-sample overshoot."""
+    """shard_bytes cost model matches the wire widths: float32
+    members cost 4 B/element (same as ids), float64 members 8 —
+    shards stay within budget + one-sample overshoot either way."""
+    from pyspark.sql import functions as F
+
     from evaporate_spark.sources.webdataset import write_webdataset
 
     out = str(tmp_path / "wds_fbudget")
     df = spark.createDataFrame(
         [(f"k{i:02d}", [float(j) for j in range(256)]) for i in range(20)],
         "key string, emb array<double>",
-    )
+    ).withColumn("emb", F.col("emb").cast("array<float>"))
     man = write_webdataset(
         df, out, "key", {"emb": "emb"}, shard_bytes=8192
     ).collect()
@@ -300,6 +317,16 @@ def test_byte_budget_counts_float_members(spark, tmp_path):
     # each sample costs 512 (header) + 1024 (2 blocks of f4 data);
     # budget 8192 -> at most ceil(8192/1536)+1 samples per shard
     assert all(r["n_samples"] <= 6 for r in man)
+
+    out_d = str(tmp_path / "wds_dbudget")
+    man_d = write_webdataset(
+        df.withColumn("emb", F.col("emb").cast("array<double>")),
+        out_d, "key", {"emb": "emb"}, shard_bytes=8192,
+    ).collect()
+    # f8 doubles the data blocks: 512 + 2048 per sample -> at most
+    # ceil(8192/2560)+1 = 5 samples per shard, and more shards total
+    assert len(man_d) >= len(man)
+    assert all(r["n_samples"] <= 5 for r in man_d)
 
 
 def test_export_training_shards_layouts(spark, tmp_path):
@@ -335,7 +362,8 @@ def test_export_training_shards_layouts(spark, tmp_path):
     assert set(got) == {"1", "3"}
     assert struct.unpack("<2i", got["3"]["ids"]) == (5, 6)
 
-    # sft bins: bin_id '0/2' sanitized to '0-2'; paired ids+mask
+    # sft bins: bin_id '0/2' percent-encoded to '0%2F2'; paired
+    # ids+mask
     sft = spark.createDataFrame(
         [("0/2", [1, 2, 9], [0, 1, 1])],
         "bin_id string, seq_ids array<int>, loss_mask array<int>",
@@ -343,9 +371,9 @@ def test_export_training_shards_layouts(spark, tmp_path):
     p2 = str(tmp_path / "w2")
     export_training_shards(sft, p2, n_shards=1)
     got = samples(p2)
-    assert set(got) == {"0-2"}
-    assert struct.unpack("<3i", got["0-2"]["ids"]) == (1, 2, 9)
-    assert struct.unpack("<3i", got["0-2"]["mask"]) == (0, 1, 1)
+    assert set(got) == {"0%2F2"}
+    assert struct.unpack("<3i", got["0%2F2"]["ids"]) == (1, 2, 9)
+    assert struct.unpack("<3i", got["0%2F2"]["mask"]) == (0, 1, 1)
 
     # denoised ul2 examples: in/tgt/den members, example_id key
     ul2 = spark.createDataFrame(
@@ -360,14 +388,20 @@ def test_export_training_shards_layouts(spark, tmp_path):
     assert struct.unpack("<2i", got["7#0"]["tgt"]) == (30, 2)
     assert got["7#0"]["den"] == b"R"
 
-    # plain documents: doc_id key (dots/slashes sanitized), .txt
+    # plain documents: doc_id key percent-encoded (injective — the
+    # r14 '.'→'_' mapping would collide 'a.b' with 'a_b'), .txt
     docs = spark.createDataFrame(
-        [("a/b.txt", "hello")], "doc_id string, text string"
+        [("a/b.txt", "hello"), ("a-b_txt", "other"), ("50%", "pct")],
+        "doc_id string, text string",
     )
     p4 = str(tmp_path / "w4")
     export_training_shards(docs, p4, n_shards=1)
     got = samples(p4)
-    assert got == {"a-b_txt": {"txt": b"hello"}}
+    assert got == {
+        "a%2Fb%2Etxt": {"txt": b"hello"},
+        "a-b_txt": {"txt": b"other"},
+        "50%25": {"txt": b"pct"},
+    }
 
     # no recognizable payload -> raise
     import pytest
@@ -438,10 +472,10 @@ def test_read_training_shards_round_trip(spark, tmp_path):
     p1 = str(tmp_path / "r1")
     export_training_shards(sft, p1, n_shards=1)
     back = {r["key"]: r for r in read_training_shards(spark, p1).collect()}
-    assert list(back["0-2"]["seq_ids"]) == [1, 2, 9]
-    assert list(back["0-2"]["loss_mask"]) == [0, 1, 1]
-    assert back["0-2"]["inputs_ids"] is None
-    assert back["0-2"]["text"] is None
+    assert list(back["0%2F2"]["seq_ids"]) == [1, 2, 9]
+    assert list(back["0%2F2"]["loss_mask"]) == [0, 1, 1]
+    assert back["0%2F2"]["inputs_ids"] is None
+    assert back["0%2F2"]["text"] is None
 
     # denoised ids layout with tag
     ul2 = spark.createDataFrame(

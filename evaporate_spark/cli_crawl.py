@@ -1,0 +1,349 @@
+"""Continuous-crawl CLI — the streaming/incremental dedup family and
+the persistent frontier from the command line, no Python required
+(the round-14 gap: ``incremental_dedup_sink`` /
+``incremental_semdedup_sink`` / ``FrontierStore`` were library-only).
+
+Two subcommands, each printing ONE JSON summary line:
+
+``dedup`` — drain a crawl drop directory through the chosen
+incremental dedup sink, exactly-once across restarts::
+
+    python -m evaporate_spark.cli_crawl dedup \\
+        --input /crawl/incoming --input-format json \\
+        --store /crawl/store --checkpoint /crawl/ckpt \\
+        --clean-root /crawl/clean --method exact
+
+Files that arrive between invocations are picked up where the last
+run left off (the Structured Streaming checkpoint is the resume
+cursor); a killed run resumes without double-admitting or dropping a
+batch (the sinks' replay-idempotent store contract). ``--method``
+selects ``exact`` / ``near`` (lexical stores, clean survivor rows
+out) or ``semantic`` (SemDeDup cluster index, per-document keep/drop
+decisions out); ``--pq-m`` opts the semantic store into PQ codes
+(trained here on the launch snapshot when the store is fresh,
+sidecar-pinned afterwards). ``--compact-snapshot`` folds the
+per-batch output log into one committed snapshot after the drain
+(``streaming.incremental.compact_decisions``).
+
+``frontier`` — run ONE committed crawl round against the persistent
+frontier store (``operators/frontier_store.py``)::
+
+    python -m evaporate_spark.cli_crawl frontier \\
+        --root /crawl/frontier --crawled-parquet /crawl/round3 \\
+        --robots-parquet /crawl/robots --per-host-limit 100
+
+Re-running a completed round is a read-back no-op; a crash between
+the seen/frontier commits resumes exactly (the store's two-stage
+commit order). The loop a crawler runs: fetch the exported frontier →
+drop pages into ``--input`` → ``dedup`` → ``frontier`` → repeat.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "evaporate-spark-crawl",
+        description="Continuous-crawl loop: incremental dedup sinks "
+        "and the persistent frontier, operable from the shell",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser(
+        "dedup",
+        help="drain a crawl drop directory through an incremental "
+        "dedup sink (exactly-once across restarts)",
+    )
+    d.add_argument(
+        "--input", required=True,
+        help="directory crawl batch files arrive in (the streaming "
+        "source; new files between invocations are processed on the "
+        "next run)",
+    )
+    d.add_argument(
+        "--input-format", choices=("parquet", "json"), default="parquet",
+    )
+    d.add_argument("--store", required=True, help="dedup store/index dir")
+    d.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    d.add_argument(
+        "--clean-root", required=True,
+        help="per-batch output log root (clean survivor rows for "
+        "exact/near, keep/drop decisions for semantic)",
+    )
+    d.add_argument(
+        "--method", choices=("exact", "near", "semantic"), default="exact",
+    )
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument(
+        "--vec-col", default="embedding",
+        help="with --method semantic: the embedding column",
+    )
+    d.add_argument("--num-hashes", type=int, default=32)
+    d.add_argument("--bands", type=int, default=8)
+    d.add_argument("--k", type=int, default=3)
+    d.add_argument(
+        "--threshold", type=float, default=0.95,
+        help="with --method semantic: pairwise-cosine drop threshold",
+    )
+    d.add_argument(
+        "--clusters", type=int, default=16,
+        help="with --method semantic: codebook size when the first "
+        "batch trains it (sidecar-pinned afterwards)",
+    )
+    d.add_argument(
+        "--iterations", type=int, default=0,
+        help="with --method semantic: spherical k-means rounds for "
+        "the first-batch codebook (0 = deterministic hash-sample)",
+    )
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument(
+        "--pq-m", type=int,
+        help="with --method semantic: opt into the PQ-coded store "
+        "with this many subspaces — the index carries m small ints "
+        "per doc instead of dim floats; pairwise scores become the "
+        "documented approximate ADC cosine. Trained on the launch "
+        "snapshot of --input when the store is fresh; loaded from "
+        "the store sidecar afterwards",
+    )
+    d.add_argument(
+        "--pq-codes", type=int, default=16,
+        help="with --pq-m: codewords per subspace",
+    )
+    d.add_argument(
+        "--pq-iterations", type=int, default=0,
+        help="with --pq-m: Lloyd rounds per subspace",
+    )
+    d.add_argument(
+        "--max-files-per-batch", type=int,
+        help="cap files per micro-batch (maxFilesPerTrigger) so one "
+        "invocation drains a large backlog in bounded batches",
+    )
+    d.add_argument(
+        "--compact-snapshot",
+        help="after the drain, fold the per-batch output log into one "
+        "committed snapshot version under this directory "
+        "(compact_decisions); readers merge snapshot + tail",
+    )
+    d.add_argument(
+        "--timeout-s", type=float, default=3600.0,
+        help="awaitTermination bound for the availableNow drain",
+    )
+
+    f = sub.add_parser(
+        "frontier",
+        help="run one committed crawl round against the persistent "
+        "frontier store",
+    )
+    f.add_argument("--root", required=True, help="FrontierStore root")
+    f.add_argument(
+        "--crawled-parquet", required=True,
+        help="this round's fetched pages (url, html)",
+    )
+    f.add_argument(
+        "--robots-parquet", required=True,
+        help="robots rules (host, robots_txt)",
+    )
+    f.add_argument(
+        "--sitemaps-parquet",
+        help="optional sitemap files (path, content)",
+    )
+    f.add_argument("--agent", default="*")
+    f.add_argument("--url-col", default="url")
+    f.add_argument("--html-col", default="html")
+    f.add_argument("--per-host-limit", type=int)
+    f.add_argument(
+        "--round", type=int,
+        help="explicit round id (default: the next uncommitted "
+        "round; a completed id is a read-back no-op)",
+    )
+    f.add_argument(
+        "--export",
+        help="also write the committed frontier as parquet here "
+        "(the fetch list for the next crawl round)",
+    )
+    return p
+
+
+def _dedup(args) -> int:
+    from evaporate_spark.session import get_spark
+    from evaporate_spark.streaming.incremental import (
+        compact_decisions,
+        incremental_dedup_sink,
+        incremental_semdedup_sink,
+        read_clean_log,
+        read_decisions,
+    )
+
+    spark = get_spark(app_name="evaporate-spark-crawl")
+    # the launch snapshot fixes the stream schema (and, for a fresh
+    # PQ store, the codebook training sample)
+    static = (
+        spark.read.parquet(args.input)
+        if args.input_format == "parquet"
+        else spark.read.json(args.input)
+    )
+    reader = spark.readStream.schema(static.schema)
+    if args.max_files_per_batch:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(args.max_files_per_batch)
+        )
+    stream = (
+        reader.parquet(args.input)
+        if args.input_format == "parquet"
+        else reader.json(args.input)
+    )
+
+    if args.method == "semantic":
+        pq_books = None
+        if args.pq_m:
+            from evaporate_spark.operators.dedup import (
+                _read_semdedup_codebook,
+            )
+
+            meta = _read_semdedup_codebook(spark, args.store)
+            if meta is not None:
+                if meta.get("pq_codebooks") is None:
+                    print(
+                        f"--pq-m: the store at {args.store} was "
+                        "committed EXACT (full vectors); use a fresh "
+                        "--store for the PQ-coded index",
+                        file=sys.stderr,
+                    )
+                    return 2
+                # sidecar pins the books; the operator loads them
+            else:
+                from pyspark.sql import functions as F
+
+                from evaporate_spark.operators.dedup import _unit_vec
+                from evaporate_spark.operators.similarity import (
+                    train_pq_codebooks,
+                )
+
+                first = static.select(args.vec_col).first()
+                if first is None:
+                    print(
+                        "--pq-m needs at least one input row to "
+                        "train the codebooks (fresh store)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                dim = len(first[0])
+                # codes are computed over unit-normalized embeddings
+                # (build_semdedup_index's contract) — train the books
+                # in the same space
+                pq_books = train_pq_codebooks(
+                    static.select(
+                        F.col(args.id_col).alias("_tid"),
+                        _unit_vec(
+                            F.col(args.vec_col).cast("array<double>")
+                        ).alias("_tv"),
+                    ),
+                    "_tid", "_tv", dim,
+                    m=args.pq_m, n_codes=args.pq_codes,
+                    seed=args.seed, iterations=args.pq_iterations,
+                )
+        q = incremental_semdedup_sink(
+            stream, args.store, args.checkpoint, args.clean_root,
+            id_col=args.id_col, vec_col=args.vec_col,
+            n_clusters=args.clusters, threshold=args.threshold,
+            iterations=args.iterations, seed=args.seed,
+            pq_codebooks=pq_books,
+        )
+    else:
+        q = incremental_dedup_sink(
+            stream, args.store, args.checkpoint, args.clean_root,
+            method=args.method, id_col=args.id_col,
+            text_col=args.text_col, num_hashes=args.num_hashes,
+            bands=args.bands, k=args.k,
+        )
+    q.awaitTermination(args.timeout_s)
+
+    compacted = None
+    if args.compact_snapshot:
+        compacted = compact_decisions(
+            spark, args.clean_root, args.compact_snapshot
+        )
+    from pyspark.sql import functions as F
+
+    log = read_decisions(
+        spark, args.clean_root,
+        snapshot_root=args.compact_snapshot,
+    )
+    n_batches, n_rows = log.agg(
+        F.countDistinct("batch_id"), F.count(F.lit(1))
+    ).first()
+    summary = {
+        "method": args.method,
+        "batches_committed": n_batches,
+        "log_rows": n_rows,
+        "store": args.store,
+        "clean_root": args.clean_root,
+        "compacted_version": compacted,
+    }
+    if args.method in ("exact", "near"):
+        summary["unique_clean_docs"] = read_clean_log(
+            spark, args.clean_root, id_col=args.id_col,
+            snapshot_root=args.compact_snapshot,
+        ).count()
+    else:
+        summary["kept_decisions"] = log.where("kept").count()
+    print(json.dumps(summary))
+    return 0
+
+
+def _frontier(args) -> int:
+    from evaporate_spark.operators.frontier_store import FrontierStore
+    from evaporate_spark.session import get_spark
+
+    spark = get_spark(app_name="evaporate-spark-crawl")
+    store = FrontierStore(spark, args.root)
+    crawled = spark.read.parquet(args.crawled_parquet)
+    robots = spark.read.parquet(args.robots_parquet)
+    sitemaps = (
+        spark.read.parquet(args.sitemaps_parquet)
+        if args.sitemaps_parquet
+        else None
+    )
+    rid = store.next_round() if args.round is None else args.round
+    frontier = store.run_round(
+        crawled, robots,
+        round_id=args.round,
+        sitemap_files=sitemaps,
+        agent=args.agent,
+        url_col=args.url_col,
+        html_col=args.html_col,
+        per_host_limit=args.per_host_limit,
+    )
+    if args.export:
+        frontier.write.mode("overwrite").parquet(args.export)
+    seen = store.seen()
+    print(
+        json.dumps(
+            {
+                "round": min(rid, store.next_round() - 1),
+                "frontier_rows": frontier.count(),
+                "seen_urls": 0 if seen is None else seen.count(),
+                "export": args.export,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "dedup":
+        if args.pq_m is not None and args.method != "semantic":
+            print("--pq-m requires --method semantic", file=sys.stderr)
+            return 2
+        return _dedup(args)
+    return _frontier(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

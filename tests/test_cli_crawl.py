@@ -1,0 +1,211 @@
+"""Crawl-loop CLI (cli_crawl.py): the round-15 operable entry point
+for the incremental dedup sinks and the persistent frontier —
+smoke-tested in-process the way cli_corpus is. Restart semantics are
+the core claim: a second invocation with the same checkpoint picks up
+exactly where the first stopped (only NEW files process, batch ids
+continue, the stores carry forward), which is the CLI shape of the
+operators' replay/kill-resume pytest contracts."""
+
+from __future__ import annotations
+
+import json
+
+BATCH_A = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "pack my box with five dozen liquor jugs today"),
+]
+BATCH_B = [
+    (4, "the quick brown fox jumps over the lazy dog"),  # dup of batch A
+    (5, "sphinx of black quartz judge my vow tonight"),
+]
+
+
+def _arrive(src, name, rows):
+    with open(src / name, "w") as fh:
+        for doc_id, text in rows:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _summary(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_dedup_cli_two_invocations_resume(spark, tmp_path, capsys):
+    """Two CLI runs over an accumulating drop directory: run 2
+    processes only the new file (the checkpoint is the resume
+    cursor), survivors match the direct batch operator, and
+    --compact-snapshot folds the clean log."""
+    from evaporate_spark.cli_crawl import main
+    from evaporate_spark.operators.dedup import incremental_exact_dedup
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    args = [
+        "dedup",
+        "--input", str(src), "--input-format", "json",
+        "--store", str(tmp_path / "store"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--clean-root", str(tmp_path / "clean"),
+        "--method", "exact",
+    ]
+
+    _arrive(src, "day0.json", BATCH_A)
+    assert main(args) == 0
+    s1 = _summary(capsys)
+    assert s1["batches_committed"] == 1
+    assert s1["log_rows"] == 2  # 1 and 3 survive batch A
+    assert s1["unique_clean_docs"] == 2
+
+    _arrive(src, "day1.json", BATCH_B)
+    snap = str(tmp_path / "snap")
+    assert main(args + ["--compact-snapshot", snap]) == 0
+    s2 = _summary(capsys)
+    assert s2["batches_committed"] == 2  # day0's batch NOT re-run
+    assert s2["log_rows"] == 3
+    assert s2["unique_clean_docs"] == 3
+    assert s2["compacted_version"] == 0
+
+    # survivors equal the direct operator chain on a fresh store
+    b_store = str(tmp_path / "bstore")
+    want = sorted(
+        r["doc_id"]
+        for batch in (BATCH_A, BATCH_B)
+        for r in incremental_exact_dedup(
+            spark.createDataFrame(batch, ["doc_id", "text"]),
+            "doc_id", "text", b_store,
+        ).collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    )
+    assert got == want == [1, 3, 5]
+
+
+def test_dedup_cli_semantic_pq(spark, tmp_path, capsys):
+    """--method semantic --pq-m: a fresh store trains PQ codebooks on
+    the launch snapshot and pins them in the sidecar; the second
+    invocation loads the committed books (no retrain, no conflict
+    raise) and dedups the new batch against the coded store."""
+    from evaporate_spark.cli_crawl import main
+    from evaporate_spark.operators.dedup import _read_semdedup_codebook
+
+    src = tmp_path / "emb_incoming"
+    src.mkdir()
+
+    def arrive_vec(name, rows):
+        with open(src / name, "w") as fh:
+            for doc_id, vec in rows:
+                fh.write(
+                    json.dumps({"doc_id": doc_id, "embedding": vec}) + "\n"
+                )
+
+    args = [
+        "dedup",
+        "--input", str(src), "--input-format", "json",
+        "--store", str(tmp_path / "semstore"),
+        "--checkpoint", str(tmp_path / "semckpt"),
+        "--clean-root", str(tmp_path / "semclean"),
+        "--method", "semantic", "--clusters", "2",
+        "--threshold", "0.95", "--pq-m", "2", "--pq-codes", "4",
+    ]
+    arrive_vec("day0.json", [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ])
+    assert main(args) == 0
+    s1 = _summary(capsys)
+    assert s1["batches_committed"] == 1
+    assert s1["kept_decisions"] == 2  # one of the near-pair drops
+    meta = _read_semdedup_codebook(spark, str(tmp_path / "semstore"))
+    assert meta is not None and meta.get("pq_codebooks") is not None
+    assert len(meta["pq_codebooks"]) == 2  # m subspaces
+
+    arrive_vec("day1.json", [
+        (9, [1.0, 0.0005, 0.0, 0.0]),  # dup of the committed cluster
+        (10, [0.0, 1.0, 0.0, 0.0]),
+    ])
+    assert main(args) == 0
+    s2 = _summary(capsys)
+    assert s2["batches_committed"] == 2
+    decided = {
+        r["doc_id"]: r["kept"]
+        for r in spark.read.parquet(str(tmp_path / "semclean"))
+        .where("batch_id = 1").collect()
+    }
+    assert decided[9] is False  # dropped against the committed store
+    assert decided[10] is True
+
+
+def test_dedup_cli_pq_requires_semantic(tmp_path, capsys):
+    from evaporate_spark.cli_crawl import main
+
+    rc = main([
+        "dedup", "--input", str(tmp_path), "--store", "s",
+        "--checkpoint", "c", "--clean-root", "r", "--pq-m", "4",
+    ])
+    assert rc == 2
+    assert "requires --method semantic" in capsys.readouterr().err
+
+
+def test_frontier_cli_rounds_and_noop_replay(spark, tmp_path, capsys):
+    """Two frontier rounds through the CLI, then a replay of round 0:
+    the committed store makes the replay a read-back no-op, and
+    --export writes the fetch list."""
+    from evaporate_spark.cli_crawl import main
+
+    robots_p = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /tmp/\n")],
+        "host string, robots_txt string",
+    ).write.parquet(robots_p)
+    r0 = str(tmp_path / "r0")
+    spark.createDataFrame(
+        [(
+            "http://a.example/",
+            '<a href="/one.html">1</a> <a href="/two.html">2</a>'
+            ' <a href="/tmp/x.html">blocked</a>',
+        )],
+        "url string, html string",
+    ).write.parquet(r0)
+    root = str(tmp_path / "frontier")
+    export = str(tmp_path / "fetchlist")
+
+    assert main([
+        "frontier", "--root", root, "--crawled-parquet", r0,
+        "--robots-parquet", robots_p, "--export", export,
+    ]) == 0
+    s0 = _summary(capsys)
+    assert s0["round"] == 0
+    assert s0["frontier_rows"] == 2  # one+two, /tmp/ blocked
+    assert s0["seen_urls"] == 1
+    assert sorted(
+        r["url"] for r in spark.read.parquet(export).collect()
+    ) == ["http://a.example/one.html", "http://a.example/two.html"]
+
+    r1 = str(tmp_path / "r1")
+    spark.createDataFrame(
+        [(
+            "http://a.example/one.html",
+            '<a href="/three.html">3</a> <a href="/">home</a>',
+        )],
+        "url string, html string",
+    ).write.parquet(r1)
+    assert main([
+        "frontier", "--root", root, "--crawled-parquet", r1,
+        "--robots-parquet", robots_p,
+    ]) == 0
+    s1 = _summary(capsys)
+    assert s1["round"] == 1
+    assert s1["frontier_rows"] == 1  # only three.html is new
+    assert s1["seen_urls"] == 2
+
+    # replaying round 0 reads back the committed frontier
+    assert main([
+        "frontier", "--root", root, "--crawled-parquet", r0,
+        "--robots-parquet", robots_p, "--round", "0",
+    ]) == 0
+    sr = _summary(capsys)
+    assert sr["round"] == 0 and sr["frontier_rows"] == 2

@@ -103,6 +103,25 @@ def build_parser() -> argparse.ArgumentParser:
         "(0 = deterministic hash-sample init)",
     )
     p.add_argument(
+        "--semdedup-store",
+        help="store-backed SemDeDup: also dedup against every "
+        "previously-committed corpus in this persisted index and "
+        "append this run's survivors (the recurring-ingest shape; a "
+        "fresh store makes one-shot decisions)",
+    )
+    p.add_argument(
+        "--semdedup-pq-m", type=int,
+        help="with --semdedup-store: PQ-coded index with this many "
+        "subspaces — m small ints per doc instead of dim floats "
+        "(10-50x smaller at d=768); ALL pairwise similarities become "
+        "the approximate ADC cosine. Books train on this corpus when "
+        "the store is fresh, sidecar-pinned afterwards",
+    )
+    p.add_argument(
+        "--semdedup-pq-codes", type=int, default=16,
+        help="with --semdedup-pq-m: codewords per subspace",
+    )
+    p.add_argument(
         "--selfdedup-spans-k", type=int,
         help="corpus-vs-itself duplicate-SPAN excision (ExactSubstr): "
         "word k-grams occurring twice anywhere keep their first "
@@ -356,6 +375,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.shuffle_shards and not args.shuffle_seed:
         print("--shuffle-shards requires --shuffle-seed", file=sys.stderr)
         return 2
+    if args.semdedup_store and args.semdedup_threshold is None:
+        print(
+            "--semdedup-store requires --semdedup-threshold",
+            file=sys.stderr,
+        )
+        return 2
+    if args.semdedup_pq_m is not None and not args.semdedup_store:
+        print(
+            "--semdedup-pq-m requires --semdedup-store (the PQ-coded "
+            "layout is a property of the persisted index)",
+            file=sys.stderr,
+        )
+        return 2
     pack_flags = [
         f for f, on in (
             ("--pack-docs", args.pack_docs),
@@ -593,6 +625,9 @@ def main(argv: list[str] | None = None) -> int:
         semdedup_vec_col=args.semdedup_vec_col,
         semdedup_clusters=args.semdedup_clusters,
         semdedup_iterations=args.semdedup_iterations,
+        semdedup_store_dir=args.semdedup_store,
+        semdedup_pq_m=args.semdedup_pq_m,
+        semdedup_pq_codes=args.semdedup_pq_codes,
         selfdedup_spans_k=args.selfdedup_spans_k,
         split_fractions=_parse_fractions(args.split_fractions),
         eval_docs=eval_docs,

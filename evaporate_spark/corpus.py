@@ -42,6 +42,9 @@ def prepare_corpus(
     semdedup_vec_col: str = "embedding",
     semdedup_clusters: int = 16,
     semdedup_iterations: int = 0,
+    semdedup_store_dir: str | None = None,
+    semdedup_pq_m: int | None = None,
+    semdedup_pq_codes: int = 16,
     selfdedup_spans_k: int | None = None,
     split_fractions: dict[str, float] | None = None,
     eval_docs: DataFrame | None = None,
@@ -219,7 +222,24 @@ def prepare_corpus(
     cluster-scoped cosine dedup that drops paraphrases and
     re-encodings lexical passes can't see (``semdedup_clusters`` /
     ``semdedup_iterations`` size and optionally k-means-train the
-    codebook). ``selfdedup_spans_k`` adds the
+    codebook). ``semdedup_store_dir`` switches the stage to the
+    STORE-BACKED form (:func:`operators.dedup.incremental_semdedup`):
+    the run also dedups against every previously-committed corpus in
+    the store and appends its survivors' index rows — the facade
+    shape of a recurring ingest (the first run against a fresh store
+    makes the same decisions as the one-shot pass). With a store,
+    ``semdedup_pq_m`` opts into the PQ-CODED index: the store carries
+    ``pq_code ARRAY<INT>`` (``semdedup_pq_m`` small ints per doc,
+    ``semdedup_pq_codes`` codewords per subspace) instead of full
+    vectors — 10-50x smaller at d=768. The contract, stated plainly:
+    EVERY pairwise similarity in the stage becomes the APPROXIMATE
+    asymmetric-PQ cosine (``cos ≈ 1 − adc/2e6`` over unit-normalized
+    embeddings) — keep decisions can differ from the exact pass near
+    the threshold boundary; codebooks train HERE on the corpus when
+    the store is fresh and load sidecar-pinned afterwards
+    (``semdedup_pq_m`` without ``semdedup_store_dir`` raises — the
+    coded layout is a property of the persisted index).
+    ``selfdedup_spans_k`` adds the
     SPAN-level corpus-vs-itself pass after it
     (:func:`operators.dedup.self_dedup_spans`, ExactSubstr
     semantics): word ``k``-grams occurring twice anywhere in the
@@ -519,7 +539,60 @@ def prepare_corpus(
             )
 
         stages.append(("near_dedup", _near_dedup))
-    if semdedup_threshold is not None:
+    if semdedup_pq_m is not None and semdedup_store_dir is None:
+        raise ValueError(
+            "semdedup_pq_m requires semdedup_store_dir — the PQ-coded "
+            "layout is a property of the persisted index"
+        )
+    if semdedup_threshold is not None and semdedup_store_dir is not None:
+        from evaporate_spark.operators.dedup import (
+            _read_semdedup_codebook,
+            _unit_vec,
+            incremental_semdedup,
+        )
+
+        def _semdedup(d: DataFrame) -> DataFrame:
+            spark = d.sparkSession
+            books = None
+            if semdedup_pq_m and (
+                _read_semdedup_codebook(spark, semdedup_store_dir)
+                is None
+            ):
+                # fresh store: train the PQ books on THIS corpus in
+                # unit-normalized space (build_semdedup_index's code
+                # contract); the operator pins them in the sidecar
+                from evaporate_spark.operators.similarity import (
+                    train_pq_codebooks,
+                )
+
+                first = d.select(semdedup_vec_col).first()
+                if first is None:
+                    raise ValueError(
+                        "semdedup_pq_m needs at least one corpus row "
+                        "to train the codebooks (fresh store)"
+                    )
+                books = train_pq_codebooks(
+                    d.select(
+                        F.col(id_col).alias("_tid"),
+                        _unit_vec(
+                            F.col(semdedup_vec_col).cast("array<double>")
+                        ).alias("_tv"),
+                    ),
+                    "_tid", "_tv", len(first[0]),
+                    m=semdedup_pq_m, n_codes=semdedup_pq_codes,
+                )
+            flags = incremental_semdedup(
+                d, id_col, semdedup_vec_col, semdedup_store_dir,
+                n_clusters=semdedup_clusters,
+                threshold=semdedup_threshold,
+                iterations=semdedup_iterations,
+                pq_codebooks=books,
+            )
+            keep = flags.where(F.col("kept")).select(id_col)
+            return d.join(keep, id_col, "left_semi")
+
+        stages.append(("semdedup", _semdedup))
+    elif semdedup_threshold is not None:
         from evaporate_spark.operators.dedup import semdedup
 
         def _semdedup(d: DataFrame) -> DataFrame:
@@ -1016,6 +1089,23 @@ def prepare_corpus(
         ),
         "semdedup_iterations": (
             semdedup_iterations if semdedup_threshold is not None else None
+        ),
+        # None (not False) when off, so pre-r15 checkpoints — whose
+        # fingerprints lack these keys — still resume (.get compare)
+        "semdedup_store": (
+            True
+            if (semdedup_threshold is not None
+                and semdedup_store_dir is not None)
+            else None
+        ),
+        "semdedup_pq_m": (
+            semdedup_pq_m if semdedup_threshold is not None else None
+        ),
+        "semdedup_pq_codes": (
+            semdedup_pq_codes
+            if (semdedup_threshold is not None
+                and semdedup_pq_m is not None)
+            else None
         ),
         "selfdedup_spans_k": selfdedup_spans_k,
         "decontam_k": decontam_k if eval_docs is not None else None,

@@ -1,0 +1,203 @@
+"""Facade reach for the store-backed / PQ-coded SemDeDup index
+(round 15): ``prepare_corpus(semdedup_store_dir=..., semdedup_pq_m=
+...)`` and the matching ``--semdedup-store`` / ``--semdedup-pq-m``
+CLI flags — the r14 PQ store was library-only."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, text string, embedding array<double>"
+    )
+
+
+#: two tight near-dup pairs (cosine ~0.99999) + two singletons —
+#: exact and ADC metrics agree decisively on every pair
+ROWS = [
+    ("a1", "alpha one", [1.0, 0.0, 0.0, 0.0]),
+    ("a2", "alpha two", [0.99999, 0.00447, 0.0, 0.0]),
+    ("b1", "beta one", [0.0, 1.0, 0.0, 0.0]),
+    ("b2", "beta two", [0.00447, 0.99999, 0.0, 0.0]),
+    ("c1", "gamma", [0.0, 0.0, 1.0, 0.0]),
+    ("d1", "delta", [0.0, 0.0, 0.0, 1.0]),
+]
+
+
+def _prep(spark, rows, **kw):
+    from evaporate_spark.corpus import prepare_corpus
+
+    out = prepare_corpus(
+        _docs(spark, rows),
+        normalize=False, redact=False, dedup=False,
+        semdedup_threshold=0.95, semdedup_clusters=2, **kw,
+    )
+    return sorted(r["doc_id"] for r in out.collect())
+
+
+def test_store_backed_stage_matches_one_shot_then_remembers(
+    spark, tmp_path
+):
+    """A fresh store makes one-shot decisions; a SECOND corpus run
+    against the same store also drops near-dups of the committed
+    corpus — the recurring-ingest shape the one-shot stage can't
+    express."""
+    store = str(tmp_path / "semstore")
+    kept_store = _prep(spark, ROWS, semdedup_store_dir=store)
+    kept_oneshot = _prep(spark, ROWS)
+    assert kept_store == kept_oneshot
+    assert len(kept_store) == 4  # one of each near-pair dropped
+    idx = spark.read.parquet(store)
+    assert "vec" in idx.columns  # exact store by default
+    assert idx.count() == 4
+
+    # second ingest: a near-dup of committed a1 drops, fresh doc stays
+    second = [
+        ("e1", "echo", [0.99998, 0.00632, 0.0, 0.0]),
+        ("f1", "foxtrot", [0.5, 0.5, 0.5, 0.5]),
+    ]
+    kept2 = _prep(spark, second, semdedup_store_dir=store)
+    assert kept2 == ["f1"]
+    assert spark.read.parquet(store).count() == 5
+
+
+def test_pq_facade_store_layout_bytes_and_decision_overlap(
+    spark, tmp_path
+):
+    """semdedup_pq_m through the facade: codebooks train on the
+    corpus and pin in the sidecar, the store carries codes (smaller
+    on disk at real dims), and keep decisions overlap the exact
+    store's on a decisive fixture."""
+    from evaporate_spark.operators.dedup import _read_semdedup_codebook
+
+    pq_store = str(tmp_path / "pq")
+    exact_store = str(tmp_path / "exact")
+    kept_pq = _prep(
+        spark, ROWS, semdedup_store_dir=pq_store, semdedup_pq_m=2,
+        semdedup_pq_codes=4,
+    )
+    kept_exact = _prep(spark, ROWS, semdedup_store_dir=exact_store)
+    # decision-overlap bar: the documented approximate metric must
+    # agree with the exact one away from the threshold boundary
+    inter = set(kept_pq) & set(kept_exact)
+    assert len(inter) / len(set(kept_pq) | set(kept_exact)) >= 0.9
+
+    idx = spark.read.parquet(pq_store)
+    assert "pq_code" in idx.columns and "vec" not in idx.columns
+    meta = _read_semdedup_codebook(spark, pq_store)
+    assert meta is not None and len(meta["pq_codebooks"]) == 2
+
+    # second run loads the pinned books (no retrain, no conflict)
+    kept2 = _prep(
+        spark,
+        [("z1", "zulu", [0.99997, 0.00775, 0.0, 0.0])],
+        semdedup_store_dir=pq_store, semdedup_pq_m=2,
+        semdedup_pq_codes=4,
+    )
+    assert kept2 == []  # ADC-dropped against the committed corpus
+
+
+def test_pq_store_bytes_shrink_through_facade(spark, tmp_path):
+    """The 10-50x store-size win reaches the facade: at d=64 with
+    fully-distinct values the coded store is <0.5x the exact one."""
+    d = 64
+    rows = [
+        (
+            f"v{i:03d}",
+            f"doc {i}",
+            [
+                math.sin(i * 12.9898 + j * 78.233) * 43758.5453 % 1.0
+                for j in range(d)
+            ],
+        )
+        for i in range(200)
+    ]
+    pq_store = str(tmp_path / "sz_pq")
+    exact_store = str(tmp_path / "sz_exact")
+    _prep(
+        spark, rows, semdedup_store_dir=pq_store, semdedup_pq_m=8,
+    )
+    _prep(spark, rows, semdedup_store_dir=exact_store)
+
+    def _bytes(dir_):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(dir_)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert _bytes(pq_store) < 0.5 * _bytes(exact_store)
+
+
+def test_pq_m_requires_store_dir(spark):
+    from evaporate_spark.corpus import prepare_corpus
+
+    with pytest.raises(ValueError, match="semdedup_store_dir"):
+        prepare_corpus(
+            _docs(spark, ROWS),
+            semdedup_threshold=0.95, semdedup_pq_m=4,
+        )
+
+
+def test_fingerprint_covers_pq_params(spark, tmp_path):
+    """Changing semdedup_pq_m against a materialize_dir checkpoint
+    refuses to resume (the changed-param rule)."""
+    from evaporate_spark.corpus import prepare_corpus
+
+    mat = str(tmp_path / "mat")
+    prepare_corpus(
+        _docs(spark, ROWS),
+        normalize=False, redact=False, dedup=False,
+        semdedup_threshold=0.95, semdedup_clusters=2,
+        semdedup_store_dir=str(tmp_path / "s1"), semdedup_pq_m=2,
+        semdedup_pq_codes=4, materialize_dir=mat,
+    ).collect()
+    with pytest.raises(ValueError, match="different pipelines"):
+        prepare_corpus(
+            _docs(spark, ROWS),
+            normalize=False, redact=False, dedup=False,
+            semdedup_threshold=0.95, semdedup_clusters=2,
+            semdedup_store_dir=str(tmp_path / "s1"), semdedup_pq_m=4,
+            semdedup_pq_codes=4, materialize_dir=mat,
+        )
+
+
+def test_cli_semdedup_store_flags(spark, tmp_path, capsys):
+    """--semdedup-store / --semdedup-pq-m from the corpus CLI, plus
+    the validation paths."""
+    from evaporate_spark.cli_corpus import main
+
+    src = str(tmp_path / "docs")
+    _docs(spark, ROWS).write.parquet(src)
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "clistore")
+    rc = main([
+        "--documents-parquet", src, "--output", out,
+        "--no-normalize", "--no-redact", "--no-dedup",
+        "--semdedup-threshold", "0.95", "--semdedup-clusters", "2",
+        "--semdedup-store", store,
+        "--semdedup-pq-m", "2", "--semdedup-pq-codes", "4",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_out"] == 4
+    assert summary["stages"]["semdedup"] is True
+    assert "pq_code" in spark.read.parquet(store).columns
+
+    assert main([
+        "--documents-parquet", src, "--output", out,
+        "--semdedup-threshold", "0.95", "--semdedup-pq-m", "2",
+    ]) == 2
+    assert "--semdedup-pq-m requires" in capsys.readouterr().err
+    assert main([
+        "--documents-parquet", src, "--output", out,
+        "--semdedup-store", store,
+    ]) == 2
+    assert "--semdedup-store requires" in capsys.readouterr().err

@@ -589,6 +589,59 @@ def _sft_pack_bench(spark, sf_dir: str):
     )
 
 
+#: per-sf (merges, vocab) for the UL2 bench row — built once outside
+#: the timed region (a real trainer run reuses a persisted tokenizer;
+#: the row pins the UL2 chain, not train_bpe)
+_UL2_TOK_CACHE: dict[str, tuple] = {}
+
+
+def _ul2_tok(spark, sf_dir: str):
+    if sf_dir not in _UL2_TOK_CACHE:
+        from evaporate_spark.corpus import default_pack_vocab
+        from evaporate_spark.operators.bpe import train_bpe
+
+        base = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        merges = train_bpe(base, "text", num_merges=200, lossless=True)
+        docs = spark.read.parquet(_corpus_10x_dir(spark, sf_dir)).select(
+            "doc_id", "text"
+        )
+        vocab, _ = default_pack_vocab(docs, "text", merges, extra_ids=100)
+        _UL2_TOK_CACHE[sf_dir] = (merges, vocab)
+    return _UL2_TOK_CACHE[sf_dir]
+
+
+def _ul2_bench(spark, sf_dir: str):
+    """Bench-only row (round 15): the UL2 trainer chain in INTEGER-ID
+    mode — cross-document id windows (pack_documents + Arrow BPE
+    encode) -> R/X/S mixture-of-denoisers in id space (scan-stage JVM
+    HOFs, sentinels from the corpus-alphabet vocabulary) — over the
+    10x documents table, reduced to per-denoiser counts. The one
+    trainer chain that had no per-round pin (its 100x probe wall was
+    recorded under loadavg 27.6 in r14); merges + vocabulary come
+    from the per-sf cache built outside the timed region."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.corpus import prepare_corpus
+
+    merges, vocab = _ul2_tok(spark, sf_dir)
+    docs = spark.read.parquet(_corpus_10x_dir(spark, sf_dir)).select(
+        "doc_id", "text"
+    )
+    out = prepare_corpus(
+        docs, normalize=False, redact=False, dedup=False,
+        seq_len=512, pack_mode="documents", pack_seed="bench",
+        bpe_merges=merges, bpe_lossless=True, pack_ids=True,
+        bpe_vocab=vocab, denoise="ul2", denoise_seed="bench",
+    )
+    return out.groupBy("denoiser").agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_corrupted").alias("corrupted_tokens"),
+    )
+
+
 def _doc_ingest_dir() -> str:
     """Deterministic document-ingest corpus (generated once per
     machine): 600 two-page PDFs, 20 .warc.gz shards x 60 HTTP
@@ -755,6 +808,7 @@ BENCH_ONLY = {
     "pack_docs_10x": _pack_docs_bench,
     "pack_bins_10x": _pack_bins_bench,
     "sft_pack_10x": _sft_pack_bench,
+    "ul2_10x": _ul2_bench,
     "modern_chain_10x": _modern_chain_bench,
 }
 
@@ -769,6 +823,7 @@ REP_CAP = {
     "pack_docs_10x": 3,
     "pack_bins_10x": 3,
     "sft_pack_10x": 3,
+    "ul2_10x": 3,
     "modern_chain_10x": 3,
 }
 
@@ -816,6 +871,7 @@ def main() -> None:
     _media_bench_dir()  # generate outside the timed region
     _corpus_10x_dir(spark, sf_dir)  # likewise for the 10x corpus table
     _doc_ingest_dir()  # likewise for the pdf/warc/zip ingest corpus
+    _ul2_tok(spark, sf_dir)  # likewise for the UL2 row's tokenizer
     for name in RELATIONAL:
         REGISTRY[name].spark(spark, sf_dir).count()
     # warm the Arrow/pandas-UDF worker pool with a trivial pass so the

@@ -406,6 +406,133 @@ def q_stream_exact_dedup_sink_twin(
 
 
 @register(
+    "q_clean_log_compacted_reader",
+    "The round-15 clean-log maintenance pair end to end (streaming/"
+    "incremental.py::compact_decisions + read_clean_log): batch 0 "
+    "(even ids) dedups through incremental_exact_dedup into "
+    "clean/batch_id=0, the log COMPACTS into a versioned snapshot, "
+    "then batch 1 (odd ids PLUS a genuine re-delivery of the "
+    "doc_id%10==0 committed survivors — stable id, identical "
+    "content) lands as batch_id=1 AND batch 0's directory is "
+    "rewritten (a post-compaction foreachBatch replay). The reader "
+    "must (a) ignore the replayed pre-boundary directory via the "
+    "snapshot's fold boundary and (b) collapse the genuinely "
+    "re-delivered ids to their EARLIEST batch — the documented "
+    "self-survival trade-off. Returns (doc_id, batch_id) per "
+    "surviving document. The oracle replays the canonical "
+    "fingerprint and both batch passes in SQL; re-delivered ids "
+    "appear once, at batch 0. Side effects: /tmp clean/snapshot "
+    "dirs, reset per invocation.",
+    oracle=r"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS f
+            FROM documents
+        ),
+        ev AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 0),
+        od AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1),
+        ev_surv AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, f,
+                       MIN(doc_id) OVER (PARTITION BY f) AS m
+                FROM ev
+            ) WHERE doc_id = m
+        ),
+        od_surv AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, f,
+                       MIN(doc_id) OVER (PARTITION BY f) AS m
+                FROM od
+            ) WHERE doc_id = m AND f NOT IN (SELECT f FROM ev)
+        )
+        SELECT doc_id, CAST(0 AS INT) AS batch_id FROM ev_surv
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INT) AS batch_id FROM od_surv
+    """,
+    tags=("dedup", "streaming"),
+)
+def q_clean_log_compacted_reader(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from evaporate_spark.operators.dedup import incremental_exact_dedup
+    from evaporate_spark.streaming.incremental import (
+        compact_decisions,
+        read_clean_log,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/spark_graft_cleanlog_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    store, clean, snap = f"{root}/store", f"{root}/clean", f"{root}/snap"
+
+    batch0 = d.where(F.col("doc_id") % 2 == 0)
+    out0 = incremental_exact_dedup(batch0, "doc_id", "text", store)
+    out0.write.parquet(f"{clean}/batch_id=0")
+    compact_decisions(spark, clean, snap)
+    # batch 1: odds + a genuine re-delivery of committed survivors
+    redelivered = batch0.where(F.col("doc_id") % 10 == 0)
+    out1 = incremental_exact_dedup(
+        d.where(F.col("doc_id") % 2 == 1).unionByName(redelivered),
+        "doc_id", "text", store,
+    )
+    out1.write.parquet(f"{clean}/batch_id=1")
+    # post-compaction replay: batch 0's directory rewritten
+    out0.write.mode("overwrite").parquet(f"{clean}/batch_id=0")
+    return read_clean_log(spark, clean, snapshot_root=snap).select(
+        "doc_id", F.col("batch_id").cast("int").alias("batch_id")
+    )
+
+
+@register(
+    "q_upgrade_exact_store",
+    "Legacy exact-store migration (operators/dedup.py::"
+    "upgrade_exact_store, round 15): a pre-r14 fingerprint-only store "
+    "is built from the even-id documents, then rewritten in place to "
+    "the survivor-id schema by re-fingerprinting the committed clean "
+    "corpus (exact_dedup's min-id survivors). Returns the upgraded "
+    "store rows (fp, doc_id). The oracle recomputes the canonical "
+    "fingerprint (lowercase, collapse whitespace, md5) and the min-id "
+    "survivor per fingerprint in SQL. Side effects: /tmp store dir, "
+    "reset per invocation.",
+    oracle=r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   AS fp,
+               CAST(MIN(doc_id) AS VARCHAR) AS doc_id
+        FROM documents
+        WHERE doc_id % 2 = 0
+        GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def q_upgrade_exact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from evaporate_spark.functions.text_stats import fingerprint
+    from evaporate_spark.operators.dedup import (
+        exact_dedup,
+        upgrade_exact_store,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 2 == 0)
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    store = f"/tmp/spark_graft_upstore_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    d.select(fingerprint("text").alias("fp")).dropDuplicates(
+        ["fp"]
+    ).write.parquet(store)
+    upgrade_exact_store(exact_dedup(d, "doc_id", "text"), "doc_id", "text", store)
+    return spark.read.parquet(store).select("fp", "doc_id")
+
+
+@register(
     "q_simhash_dups",
     "SimHash near-dup pairs (Hamming ≤ 3) over the doubled corpus via "
     "4×16-bit pigeonhole banding. xxhash64-based fingerprints are not "

@@ -77,6 +77,11 @@ def replicated_docs_dir(spark, sf_dir: str, factor: int) -> str:
 
 
 def main() -> None:
+    # capture BEFORE any Spark work: the probe's own 32 threads push
+    # the 1-minute average past 20 by the end, so the end reading
+    # says nothing about EXTERNAL load (the r14 record's ambiguity)
+    load_start = round(os.getloadavg()[0], 2)
+
     from pyspark.sql import functions as F
 
     from evaporate_spark.corpus import default_pack_vocab, prepare_corpus
@@ -178,6 +183,7 @@ def main() -> None:
             for k, v in sorted(ul2_rows.items())
         },
         "ul2_plan_health": ul2_health,
+        "loadavg_1m_start": load_start,
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(record, indent=2))

@@ -278,6 +278,24 @@ q_semantic_closed_ie 5.584 / q_semantic_openie 13.455 with tokens
 unchanged (6718 / 29640). The lazy-checkpoint GATING landed this
 round (barriers only before multi-referencing stages) shows no
 regression on either chain row.
+
+Round-15 pins (gated, start loadavg 0.08 — the quietest start on
+record): relational 2.258 (q1 0.441 / q3 0.707 / q5 1.110);
+q_exact_dedup_groups 0.309, q_minhash_lsh_dups 1.748, q_dup_clusters
+2.203, q_dup_passage_stats 3.087, q_token_rarity 0.788, q_knn_cosine
+0.739, q8_market_share 1.121, q_semantic_closed_ie 5.779,
+q_semantic_openie 14.538 (host-variance band), media_decode_300
+0.551, corpus_chain_10x 11.169, doc_ingest 0.895, code_lake_20x
+1.809, gopher_full_10x 2.869, pack_docs_10x 4.842, pack_bins_10x
+3.081, sft_pack_10x 3.844, modern_chain_10x 9.033 (best on record),
+ul2_10x 18.347 (FIRST pin — the UL2 id-mode trainer chain over the
+10x table: cross-document id windows through the Arrow BPE encode +
+scan-stage R/X/S denoiser algebra; merges/vocab built once per sf
+outside the timed region, so the row prices the chain, not
+train_bpe). The round's store-append eager materializations and the
+element-wise _vec_is_zero cost nothing measurable — every legacy row
+is inside or below its r12-r14 band. Tokens unchanged (6718 /
+29640).
 """
 
 from __future__ import annotations

@@ -75,7 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
         "exact/near, keep/drop decisions for semantic)",
     )
     d.add_argument(
-        "--method", choices=("exact", "near", "semantic"), default="exact",
+        "--method",
+        choices=("exact", "near", "spans", "semantic"),
+        default="exact",
+        help="exact/near emit surviving rows; spans (crawl-mode "
+        "ExactSubstr) emits every row with duplicated word runs "
+        "excised; semantic emits keep/drop decisions",
     )
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
@@ -86,6 +91,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--num-hashes", type=int, default=32)
     d.add_argument("--bands", type=int, default=8)
     d.add_argument("--k", type=int, default=3)
+    d.add_argument(
+        "--spans-k", type=int, default=8,
+        help="with --method spans: word-gram window for span excision",
+    )
+    d.add_argument(
+        "--marker",
+        help="with --method spans: replace each excised run with this "
+        "single token instead of deleting it",
+    )
     d.add_argument(
         "--threshold", type=float, default=0.95,
         help="with --method semantic: pairwise-cosine drop threshold",
@@ -128,6 +142,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="after the drain, fold the per-batch output log into one "
         "committed snapshot version under this directory "
         "(compact_decisions); readers merge snapshot + tail",
+    )
+    d.add_argument(
+        "--prune-compacted", action="store_true",
+        help="with --compact-snapshot: also delete the folded "
+        "batch_id=N directories once the snapshot commits",
     )
     d.add_argument(
         "--timeout-s", type=float, default=3600.0,
@@ -259,15 +278,25 @@ def _dedup(args) -> int:
             stream, args.store, args.checkpoint, args.clean_root,
             method=args.method, id_col=args.id_col,
             text_col=args.text_col, num_hashes=args.num_hashes,
-            bands=args.bands, k=args.k,
+            bands=args.bands, k=args.k, spans_k=args.spans_k,
+            marker=args.marker,
         )
     q.awaitTermination(args.timeout_s)
 
     compacted = None
+    pruned = None
     if args.compact_snapshot:
         compacted = compact_decisions(
             spark, args.clean_root, args.compact_snapshot
         )
+        if args.prune_compacted:
+            from evaporate_spark.streaming.incremental import (
+                prune_compacted,
+            )
+
+            pruned = prune_compacted(
+                spark, args.clean_root, args.compact_snapshot
+            )
     from pyspark.sql import functions as F
 
     log = read_decisions(
@@ -284,8 +313,9 @@ def _dedup(args) -> int:
         "store": args.store,
         "clean_root": args.clean_root,
         "compacted_version": compacted,
+        "pruned_batches": pruned,
     }
-    if args.method in ("exact", "near"):
+    if args.method in ("exact", "near", "spans"):
         summary["unique_clean_docs"] = read_clean_log(
             spark, args.clean_root, id_col=args.id_col,
             snapshot_root=args.compact_snapshot,
@@ -340,6 +370,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "dedup":
         if args.pq_m is not None and args.method != "semantic":
             print("--pq-m requires --method semantic", file=sys.stderr)
+            return 2
+        if args.marker is not None and args.method != "spans":
+            print("--marker requires --method spans", file=sys.stderr)
+            return 2
+        if args.prune_compacted and not args.compact_snapshot:
+            print(
+                "--prune-compacted requires --compact-snapshot",
+                file=sys.stderr,
+            )
             return 2
         return _dedup(args)
     return _frontier(args)

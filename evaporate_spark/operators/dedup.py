@@ -1682,7 +1682,11 @@ def upgrade_exact_store(
         raise ValueError(
             f"upgrade_exact_store: no parquet store at {store_dir}"
         )
-    store = spark.read.parquet(store_dir)
+    # mergeSchema: plain reads infer the schema from ONE sampled file,
+    # so a mixed store could masquerade as pure-legacy (or as fully
+    # upgraded) depending on which file wins — the union schema makes
+    # the mixed-store detection deterministic
+    store = spark.read.option("mergeSchema", "true").parquet(store_dir)
     if "doc_id" in store.columns:
         n_null = store.where(F.col("doc_id").isNull()).count()
         if n_null:

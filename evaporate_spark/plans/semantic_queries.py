@@ -3833,18 +3833,12 @@ def q_selfdedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_incremental_selfdedup",
-    "Crawl-mode ExactSubstr (operators/dedup.py::"
-    "incremental_selfdedup_spans): documents ingest as two batches "
-    "(even doc_ids, then odd) through a fresh persisted gram store; "
-    "the query returns batch 2's excised rows — an odd doc's 8-gram "
-    "excises if ANY even doc used it (earlier batch wins) or a "
-    "lower-(id,pos) odd occurrence did (within-batch keep-first). "
-    "The oracle replays batch-1-gram membership + within-batch-2 "
-    "rank/count windows -> covered-position union -> token rebuild. "
-    "Side effect: /tmp store, reset per invocation.",
-    oracle=r"""
+#: batch-2 span-excision replay in DuckDB list algebra — shared by
+#: q_incremental_selfdedup (direct batch calls) and
+#: q_stream_selfdedup_sink_twin (the foreachBatch sink): both ingest
+#: even doc_ids then odds through a fresh gram store and return
+#: batch 2's excised rows, so one oracle serves both witnesses.
+_SELFDEDUP_B2_ORACLE = r"""
         WITH toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
             FROM documents
@@ -3896,7 +3890,21 @@ def q_selfdedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                             s -> p - 1 >= s AND p - 1 <= s + 7)) = 0)
                )) AS BIGINT) AS n_spans_removed
         FROM x
-    """,
+"""
+
+
+@register(
+    "q_incremental_selfdedup",
+    "Crawl-mode ExactSubstr (operators/dedup.py::"
+    "incremental_selfdedup_spans): documents ingest as two batches "
+    "(even doc_ids, then odd) through a fresh persisted gram store; "
+    "the query returns batch 2's excised rows — an odd doc's 8-gram "
+    "excises if ANY even doc used it (earlier batch wins) or a "
+    "lower-(id,pos) odd occurrence did (within-batch keep-first). "
+    "The oracle replays batch-1-gram membership + within-batch-2 "
+    "rank/count windows -> covered-position union -> token rebuild. "
+    "Side effect: /tmp store, reset per invocation.",
+    oracle=_SELFDEDUP_B2_ORACLE,
     tags=("dedup", "corpus"),
 )
 def q_incremental_selfdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3915,6 +3923,62 @@ def q_incremental_selfdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     return incremental_selfdedup_spans(
         batch_b, "doc_id", "text", store, k=8
+    )
+
+
+@register(
+    "q_stream_selfdedup_sink_twin",
+    "Streaming twin of crawl-mode ExactSubstr (streaming/"
+    "incremental.py::incremental_dedup_sink(method='spans') over "
+    "operators/dedup.py::incremental_selfdedup_spans, round 15 — the "
+    "last incremental dedup family member without a streaming form): "
+    "even-doc_id documents arrive as micro-batch 0 and odds as "
+    "micro-batch 1 (two availableNow runs sharing one checkpoint); "
+    "the query returns batch 1's excised rows from the per-batch "
+    "clean log — an odd doc's 8-gram excises if ANY even doc used it "
+    "(earlier batch wins, via the persisted gram store) or a "
+    "lower-(id,pos) odd occurrence did. Shares "
+    "q_incremental_selfdedup's oracle — the sink must reproduce the "
+    "direct batch calls exactly. Side effects: /tmp store/checkpoint/"
+    "clean/src dirs, reset per invocation.",
+    oracle=_SELFDEDUP_B2_ORACLE,
+    tags=("dedup", "streaming", "corpus"),
+)
+def q_stream_selfdedup_sink_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from evaporate_spark.streaming.incremental import (
+        incremental_dedup_sink,
+    )
+
+    (d0,) = _t(spark, sf_dir, "documents")
+    d = d0.select("doc_id", "text")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/spark_graft_sdsink_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    src, store = f"{root}/src", f"{root}/store"
+    ckpt, clean = f"{root}/ckpt", f"{root}/clean"
+
+    def run_sink():
+        q = incremental_dedup_sink(
+            spark.readStream.schema(d.schema).parquet(src),
+            store, ckpt, clean, method="spans", spans_k=8,
+        )
+        q.awaitTermination(300)
+
+    d.where(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+    run_sink()
+    d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    run_sink()
+    return (
+        spark.read.parquet(clean)
+        .where(F.col("batch_id") == 1)
+        .select(
+            "doc_id", "text", "n_tokens", "n_tokens_removed",
+            "n_spans_removed",
+        )
     )
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "compact_decisions",
     "read_decisions",
     "read_clean_log",
+    "prune_compacted",
 ]
 
 
@@ -182,21 +183,30 @@ def incremental_dedup_sink(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    spans_k: int = 8,
+    marker: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Lexical crawl-stream dedup — the :func:`incremental_semdedup_sink`
     shape for the LEXICAL incrementals: every micro-batch runs
     ``incremental_exact_dedup`` (``method="exact"``, canonical-
-    fingerprint store) or ``incremental_near_dedup`` (``method=
-    "near"``, shingle-digest/LSH signature index) against the
-    persisted store at ``store_dir`` and overwrites the SURVIVING
-    rows to ``<clean_root>/batch_id=N``.
+    fingerprint store), ``incremental_near_dedup`` (``method=
+    "near"``, shingle-digest/LSH signature index), or
+    ``incremental_selfdedup_spans`` (``method="spans"``, crawl-mode
+    ExactSubstr over a persisted first-occurrence gram store —
+    ``spans_k``-gram window, optional excision ``marker``) against
+    the persisted store at ``store_dir`` and overwrites the batch's
+    output rows to ``<clean_root>/batch_id=N``. The document-level
+    methods emit SURVIVING rows; ``spans`` emits EVERY batch row with
+    duplicated runs excised (id, text, n_tokens, n_tokens_removed,
+    n_spans_removed).
 
     Effectively exactly-once although foreachBatch is at-least-once:
-    both operators' stores now carry the survivor's id, so a
-    replayed batch keeps its own committed copies (byte-identical
-    replay) and the per-batch-id overwrite is idempotent. Earlier
-    batches win (micro-batches process serially per query).
+    all three stores carry enough identity to keep a replayed batch's
+    own committed rows (survivor id for exact/near, the first
+    occurrence's (id, position) for spans), so replays are
+    byte-identical and the per-batch-id overwrite is idempotent.
+    Earlier batches win (micro-batches process serially per query).
 
     Consuming the clean log: read it through :func:`read_clean_log`,
     not a raw union — the self-survivor rule also re-admits a GENUINE
@@ -204,12 +214,16 @@ def incremental_dedup_sink(
     outputs can repeat an id across batches (the documented
     ``incremental_exact_dedup`` trade-off); the reader keeps the
     earliest batch's copy. :func:`compact_decisions` bounds the
-    one-directory-per-batch growth."""
-    if method not in ("exact", "near"):
-        raise ValueError(f"method must be 'exact' or 'near', got {method!r}")
+    one-directory-per-batch growth; :func:`prune_compacted` deletes
+    the folded directories."""
+    if method not in ("exact", "near", "spans"):
+        raise ValueError(
+            f"method must be 'exact', 'near', or 'spans', got {method!r}"
+        )
     from evaporate_spark.operators.dedup import (
         incremental_exact_dedup,
         incremental_near_dedup,
+        incremental_selfdedup_spans,
     )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -219,10 +233,15 @@ def incremental_dedup_sink(
             out = incremental_exact_dedup(
                 batch_df, id_col, text_col, store_dir
             )
-        else:
+        elif method == "near":
             out = incremental_near_dedup(
                 batch_df, id_col, text_col, store_dir,
                 num_hashes=num_hashes, bands=bands, k=k,
+            )
+        else:
+            out = incremental_selfdedup_spans(
+                batch_df, id_col, text_col, store_dir,
+                k=spans_k, marker=marker,
             )
         out.write.mode("overwrite").parquet(
             f"{clean_root}/batch_id={batch_id}"
@@ -257,13 +276,17 @@ def compact_decisions(
       — the per-batch-id overwrite plus the boundary filter keep the
       merged view exactly-once across compactions;
     - the folded directories can be deleted at leisure once the
-      snapshot commits (readers never need them again) — deletion is
-      left to the caller so a crash mid-compaction never loses rows.
+      snapshot commits (:func:`prune_compacted`; deletion is left out
+      of this call so a crash mid-compaction never loses rows);
+    - RE-compaction folds the MERGED view (previous snapshot + tail),
+      not the raw root — so compact → prune → more batches → compact
+      never loses the already-folded rows, and a replayed pre-boundary
+      directory never re-enters the new snapshot.
     """
     from evaporate_spark.sources.versioned import VersionedTable
 
     return VersionedTable(spark, snapshot_root).write_snapshot(
-        spark.read.parquet(root)
+        read_decisions(spark, root, snapshot_root)
     )
 
 
@@ -309,6 +332,47 @@ def _has_batch_dirs(spark: SparkSession, root: str) -> bool:
         ):
             return True
     return False
+
+
+def prune_compacted(
+    spark: SparkSession, root: str, snapshot_root: str
+) -> list[int]:
+    """Delete the ``batch_id=N`` directories a committed
+    :func:`compact_decisions` snapshot has folded (N ≤ the snapshot's
+    fold boundary) and return the pruned batch ids. Readers never
+    need them again — ``read_decisions`` serves those rows from the
+    snapshot — and a foreachBatch replay that RE-creates a pruned
+    directory is still ignored by the boundary filter, so pruning
+    cannot un-do exactly-once. Refuses (``ValueError``) when
+    ``snapshot_root`` holds no committed snapshot: pruning without a
+    durable fold would lose rows."""
+    from evaporate_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, snapshot_root)
+    if t.latest_committed_version() is None:
+        raise ValueError(
+            f"prune_compacted: no committed snapshot at {snapshot_root}"
+            " — run compact_decisions first (pruning without a durable"
+            " fold would lose rows)"
+        )
+    mx = t.read().agg(F.max("batch_id")).first()[0]
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    pruned: list[int] = []
+    if not fs.exists(jroot):
+        return pruned
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid <= mx:
+                fs.delete(st.getPath(), True)
+                pruned.append(bid)
+    return sorted(pruned)
 
 
 def read_clean_log(

@@ -148,6 +148,62 @@ def test_dedup_cli_pq_requires_semantic(tmp_path, capsys):
     ])
     assert rc == 2
     assert "requires --method semantic" in capsys.readouterr().err
+    rc = main([
+        "dedup", "--input", str(tmp_path), "--store", "s",
+        "--checkpoint", "c", "--clean-root", "r", "--marker", "<DUP>",
+    ])
+    assert rc == 2
+    assert "requires --method spans" in capsys.readouterr().err
+    rc = main([
+        "dedup", "--input", str(tmp_path), "--store", "s",
+        "--checkpoint", "c", "--clean-root", "r", "--prune-compacted",
+    ])
+    assert rc == 2
+    assert "requires --compact-snapshot" in capsys.readouterr().err
+
+
+def test_dedup_cli_spans_with_prune(spark, tmp_path, capsys):
+    """--method spans end to end with --compact-snapshot
+    --prune-compacted: excised rows land per batch, the folded dirs
+    are deleted after the snapshot commits, and the merged reader
+    still serves every batch."""
+    import os
+
+    from evaporate_spark.cli_crawl import main
+
+    src = tmp_path / "spans_incoming"
+    src.mkdir()
+    clean = str(tmp_path / "spanclean")
+    snap = str(tmp_path / "spansnap")
+    args = [
+        "dedup",
+        "--input", str(src), "--input-format", "json",
+        "--store", str(tmp_path / "spanstore"),
+        "--checkpoint", str(tmp_path / "spanckpt"),
+        "--clean-root", clean,
+        "--method", "spans", "--spans-k", "3",
+        "--compact-snapshot", snap, "--prune-compacted",
+    ]
+    _arrive(src, "day0.json", [
+        (1, "alpha beta gamma delta unique tail one"),
+        (2, "alpha beta gamma delta other words here"),
+    ])
+    assert main(args) == 0
+    s1 = _summary(capsys)
+    assert s1["batches_committed"] == 1
+    assert s1["log_rows"] == 2  # spans emit EVERY row
+    assert s1["compacted_version"] == 0
+    assert s1["pruned_batches"] == [0]
+    assert os.listdir(clean) == []  # folded dir deleted
+
+    _arrive(src, "day1.json", [
+        (3, "alpha beta gamma delta crawled again later"),
+    ])
+    assert main(args) == 0
+    s2 = _summary(capsys)
+    assert s2["batches_committed"] == 2
+    assert s2["log_rows"] == 3
+    assert s2["pruned_batches"] == [1]
 
 
 def test_frontier_cli_rounds_and_noop_replay(spark, tmp_path, capsys):

@@ -137,3 +137,72 @@ def test_streaming_sink_matches_batch_calls(spark, tmp_path, method):
     got = sorted((r["doc_id"], r["text"]) for r in got_rows)
     assert got == want
     assert {r["batch_id"] for r in got_rows} == {0, 1}
+
+
+def test_streaming_spans_sink_matches_batch_calls(spark, tmp_path):
+    """method='spans' (round 15 — the last incremental without a
+    streaming form): the foreachBatch sink reproduces the direct
+    incremental_selfdedup_spans calls exactly, including the replayed
+    second invocation processing only the new file."""
+    import json
+
+    from evaporate_spark.operators.dedup import (
+        incremental_selfdedup_spans,
+    )
+    from evaporate_spark.streaming.incremental import (
+        incremental_dedup_sink,
+    )
+
+    src = tmp_path / "crawl_spans"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_spans")
+    s_store = str(tmp_path / "sstore_spans")
+    b_store = str(tmp_path / "bstore_spans")
+    clean = str(tmp_path / "clean_spans")
+    # k=3 grams shared across and within batches
+    span_a = [
+        (1, "alpha beta gamma delta unique tail one"),
+        (2, "alpha beta gamma delta other words here"),  # shares a run
+    ]
+    span_b = [
+        (3, "alpha beta gamma delta crawled again later"),  # vs store
+        (4, "completely fresh content with no repeats"),
+    ]
+
+    def arrive(name, rows):
+        with open(src / name, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run_sink():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).json(str(src))
+        incremental_dedup_sink(
+            stream, s_store, ckpt, clean, method="spans", spans_k=3,
+        ).awaitTermination(120)
+
+    arrive("day0.json", span_a)
+    run_sink()
+    arrive("day1.json", span_b)
+    run_sink()
+
+    def direct(batch):
+        return sorted(
+            (r["doc_id"], r["text"], r["n_tokens_removed"])
+            for r in incremental_selfdedup_spans(
+                _df(spark, batch), "doc_id", "text", b_store, k=3
+            ).collect()
+        )
+
+    want = sorted(direct(span_a) + direct(span_b))
+    got_rows = spark.read.parquet(clean).collect()
+    got = sorted(
+        (r["doc_id"], r["text"], r["n_tokens_removed"]) for r in got_rows
+    )
+    assert got == want
+    assert {r["batch_id"] for r in got_rows} == {0, 1}
+    # the cross-batch rule did real work: doc 3's run excised vs store
+    by_id = {r["doc_id"]: r for r in got_rows}
+    assert by_id[3]["n_tokens_removed"] > 0
+    assert by_id[4]["n_tokens_removed"] == 0

@@ -185,6 +185,57 @@ def test_compact_decisions_redelivery_after_compaction(spark, tmp_path):
     ) == [7]
 
 
+def test_prune_compacted_deletes_only_folded_dirs(spark, tmp_path):
+    """prune_compacted removes batch dirs <= the fold boundary (and
+    only those), the merged view is unchanged, a replay that
+    RE-creates a pruned dir stays ignored, and pruning without a
+    committed snapshot refuses."""
+    import os
+
+    from evaporate_spark.streaming.incremental import (
+        compact_decisions,
+        prune_compacted,
+        read_decisions,
+    )
+
+    root = str(tmp_path / "clean")
+    _df(spark, [BATCH_A[0]]).write.parquet(f"{root}/batch_id=0")
+    _df(spark, [BATCH_B[1]]).write.parquet(f"{root}/batch_id=1")
+    snap = str(tmp_path / "snap")
+
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        prune_compacted(spark, root, snap)
+
+    compact_decisions(spark, root, snap)
+    _df(spark, [(7, "new text")]).write.parquet(f"{root}/batch_id=2")
+    assert prune_compacted(spark, root, snap) == [0, 1]
+    assert sorted(os.listdir(root)) == ["batch_id=2"]
+    view = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in read_decisions(spark, root, snap).collect()
+    )
+    assert view == [(1, 0), (5, 1), (7, 2)]
+
+    # a foreachBatch replay re-creates a pruned dir: still ignored
+    _df(spark, [BATCH_A[0]]).write.parquet(f"{root}/batch_id=0")
+    assert sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in read_decisions(spark, root, snap).collect()
+    ) == view
+    # a second prune clears it again
+    assert prune_compacted(spark, root, snap) == [0]
+
+    # RE-compaction after pruning folds the MERGED view — the rows
+    # already served from the snapshot are not lost
+    assert compact_decisions(spark, root, snap) == 1
+    assert prune_compacted(spark, root, snap) == [2]
+    assert os.listdir(root) == []
+    assert sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in read_decisions(spark, root, snap).collect()
+    ) == view
+
+
 def test_read_clean_log_drops_cross_batch_redelivered_ids(
     spark, tmp_path
 ):

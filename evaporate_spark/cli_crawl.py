@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --method spans: word-gram window for span excision",
     )
     d.add_argument(
+        "--store-buckets", type=int,
+        help="with --method exact: bucket the fingerprint store on fp "
+        "(a bucketed table at --store) so each batch's store join "
+        "exchanges only the batch, never the corpus-sized store; size "
+        "near the cluster's shuffle parallelism. Pinned at first use",
+    )
+    d.add_argument(
         "--marker",
         help="with --method spans: replace each excised run with this "
         "single token instead of deleting it",
@@ -279,7 +286,7 @@ def _dedup(args) -> int:
             method=args.method, id_col=args.id_col,
             text_col=args.text_col, num_hashes=args.num_hashes,
             bands=args.bands, k=args.k, spans_k=args.spans_k,
-            marker=args.marker,
+            marker=args.marker, store_buckets=args.store_buckets,
         )
     q.awaitTermination(args.timeout_s)
 
@@ -373,6 +380,12 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         if args.marker is not None and args.method != "spans":
             print("--marker requires --method spans", file=sys.stderr)
+            return 2
+        if args.store_buckets is not None and args.method != "exact":
+            print(
+                "--store-buckets requires --method exact",
+                file=sys.stderr,
+            )
             return 2
         if args.prune_compacted and not args.compact_snapshot:
             print(

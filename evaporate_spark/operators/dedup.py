@@ -1549,11 +1549,67 @@ def self_dedup_spans(
 # ---------------------------------------------------------------------------
 
 
+def _bucket_spec_path(store_dir: str) -> str:
+    # underscore prefix: hidden from Spark's parquet/bucketed reader
+    return store_dir.rstrip("/") + "/_bucket_spec.json"
+
+
+def _ensure_bucketed_fp_store(spark, store_dir: str, num_buckets: int) -> str:
+    """Session-catalog table name for the bucketed fingerprint store
+    at ``store_dir``, creating or re-registering it as needed.
+
+    Spark's in-memory catalog scopes table NAMES to the session while
+    the bucketed parquet files are durable — a restarted crawl must
+    re-register the existing layout (CREATE TABLE ... CLUSTERED BY ...
+    LOCATION, the external-table DDL) before appends and bucketed
+    reads resume. The bucket count is pinned in a ``_bucket_spec.json``
+    sidecar at first creation; a later call with a different
+    ``num_buckets`` RAISES — appending with a mismatched spec would
+    silently void the co-location the store exists to provide."""
+    import hashlib
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_bucket_spec_path(store_dir))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        stream = fs.open(p)
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
+        committed = json.loads(bytes(sink.toByteArray()).decode("utf-8"))
+        if committed["num_buckets"] != int(num_buckets):
+            raise ValueError(
+                f"bucketed fp store at {store_dir} was committed with "
+                f"{committed['num_buckets']} buckets; got "
+                f"{num_buckets} — a mismatched append would void the "
+                "bucket co-location"
+            )
+    else:
+        stream = fs.create(p, True)
+        stream.write(
+            bytearray(
+                json.dumps({"num_buckets": int(num_buckets)}).encode()
+            )
+        )
+        stream.close()
+    name = "fp_store_" + hashlib.md5(
+        store_dir.rstrip("/").encode()
+    ).hexdigest()[:12]
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} (fp STRING, doc_id STRING) "
+            f"USING parquet CLUSTERED BY (fp) INTO {int(num_buckets)} "
+            f"BUCKETS LOCATION '{store_dir}'"
+        )
+    return name
+
+
 def incremental_exact_dedup(
     batch: DataFrame,
     id_col: str,
     text_col: str,
     store_dir: str,
+    store_buckets: int | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against BOTH itself and every previous
     batch, via a persisted canonical-fingerprint store — the
@@ -1589,14 +1645,43 @@ def incremental_exact_dedup(
     the cost of destroying replays). Cross-batch consumers must
     therefore dedup the union on the id, keeping the EARLIEST batch —
     :func:`streaming.incremental.read_clean_log` is that reader.
+
+    ``store_buckets`` (round 15) switches the store to a BUCKETED
+    parquet table hashed on ``fp`` — the 100 TB lever: a plain
+    directory store makes every batch's store join shuffle the WHOLE
+    store (corpus-sized — at 10B committed docs that is ~300 GB of
+    fingerprint rows re-shuffled per daily batch), while the bucketed
+    layout pays its shuffle once at write time, so each batch join
+    and dedup-append anti-join exchanges only the BATCH side (the
+    store scan arrives pre-partitioned; so does its dropDuplicates).
+    Size it near the cluster's shuffle parallelism. The bucket count
+    pins in a ``_bucket_spec.json`` sidecar (mismatched reuse
+    raises), the session-catalog name re-registers from the durable
+    files after a restart, and semantics — survivor rule, replay
+    safety, crash window — are byte-identical to the directory store
+    (asserted in pytest). Bucketed stores always use the survivor-id
+    schema (no legacy form exists for them).
     """
     spark = batch.sparkSession
+    table = (
+        _ensure_bucketed_fp_store(spark, store_dir, store_buckets)
+        if store_buckets is not None
+        else None
+    )
+
+    def read_store() -> DataFrame:
+        return (
+            spark.table(table)
+            if table is not None
+            else spark.read.parquet(store_dir)
+        )
+
     deduped = exact_dedup(batch, id_col, text_col).withColumn(
         "_fp", fingerprint(text_col)
     )
     legacy = False
     if _store_has_parquet(spark, store_dir):
-        store = spark.read.parquet(store_dir)
+        store = read_store()
         legacy = "doc_id" not in store.columns
         if legacy:  # pre-upgrade fp-only store: original semantics
             seen = store.select("fp").dropDuplicates(["fp"])
@@ -1637,9 +1722,14 @@ def incremental_exact_dedup(
         # lazily-listed table source, so force the scan to finish
         # first (the append frame is batch-sized, never store-sized)
         idx = idx.join(
-            spark.read.parquet(store_dir).select("fp"), "fp", "left_anti"
+            read_store().select("fp"), "fp", "left_anti"
         ).localCheckpoint(eager=True)
-    idx.write.mode("append").parquet(store_dir)
+    if table is not None:
+        idx.write.format("parquet").bucketBy(
+            int(store_buckets), "fp"
+        ).mode("append").option("path", store_dir).saveAsTable(table)
+    else:
+        idx.write.mode("append").parquet(store_dir)
     return out.drop("_fp")
 
 

@@ -331,22 +331,12 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_against_index(batch, "doc_id", "text", index).select("doc_id")
 
 
-@register(
-    "q_stream_exact_dedup_sink_twin",
-    "Streaming twin of the lexical crawl dedup (streaming/"
-    "incremental.py::incremental_dedup_sink(method='exact') over "
-    "operators/dedup.py::incremental_exact_dedup): even-doc_id "
-    "documents arrive as micro-batch 0 and odds as micro-batch 1 "
-    "(two availableNow runs over a file source sharing one "
-    "checkpoint); the query returns every SURVIVING row across both "
-    "batches from the per-batch clean log. Survivor rule (the "
-    "replay-safe round-14 semantics): min-id per canonical "
-    "fingerprint within the batch, and no OTHER doc holds the "
-    "fingerprint in the committed store. The oracle replays the "
-    "canonical fingerprint (lowercase, collapse whitespace, md5) and "
-    "both batch passes in SQL. Side effects: /tmp store/checkpoint/"
-    "clean/src dirs, reset per invocation.",
-    oracle=r"""
+#: two-batch exact-dedup replay in SQL (evens as batch 0, odds as
+#: batch 1): min-id per canonical fingerprint within each batch,
+#: odds drop when their fingerprint is committed — shared by the
+#: foreachBatch sink twin and the bucketed-store twin, which must
+#: both reproduce the direct batch calls exactly.
+_EXACT_TWO_BATCH_ORACLE = r"""
         WITH fp AS (
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
@@ -372,7 +362,25 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id FROM ev_surv
         UNION ALL
         SELECT doc_id FROM od_surv
-    """,
+"""
+
+
+@register(
+    "q_stream_exact_dedup_sink_twin",
+    "Streaming twin of the lexical crawl dedup (streaming/"
+    "incremental.py::incremental_dedup_sink(method='exact') over "
+    "operators/dedup.py::incremental_exact_dedup): even-doc_id "
+    "documents arrive as micro-batch 0 and odds as micro-batch 1 "
+    "(two availableNow runs over a file source sharing one "
+    "checkpoint); the query returns every SURVIVING row across both "
+    "batches from the per-batch clean log. Survivor rule (the "
+    "replay-safe round-14 semantics): min-id per canonical "
+    "fingerprint within the batch, and no OTHER doc holds the "
+    "fingerprint in the committed store. The oracle replays the "
+    "canonical fingerprint (lowercase, collapse whitespace, md5) and "
+    "both batch passes in SQL. Side effects: /tmp store/checkpoint/"
+    "clean/src dirs, reset per invocation.",
+    oracle=_EXACT_TWO_BATCH_ORACLE,
     tags=("dedup", "streaming"),
 )
 def q_stream_exact_dedup_sink_twin(
@@ -403,6 +411,52 @@ def q_stream_exact_dedup_sink_twin(
     d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
     run_sink()
     return spark.read.parquet(clean).select("doc_id")
+
+
+@register(
+    "q_bucketed_fp_store",
+    "Bucketed fingerprint store (operators/dedup.py::"
+    "incremental_exact_dedup(store_buckets=), round 15 — the 100 TB "
+    "store-join lever): even-id documents ingest as batch 0 and odds "
+    "as batch 1 through a store bucketed on fp, so each batch's "
+    "store join and dedup-append anti-join exchange only the BATCH "
+    "side (the store scan arrives pre-partitioned — plan-asserted in "
+    "tests/test_bucketed_fp_store.py); the query returns BOTH "
+    "batches' survivors. Shares the sink twin's two-batch SQL oracle "
+    "— the bucketed layout must reproduce the directory store "
+    "exactly. Side effects: /tmp store dir + a session-catalog "
+    "table, reset per invocation.",
+    oracle=_EXACT_TWO_BATCH_ORACLE,
+    tags=("dedup",),
+)
+def q_bucketed_fp_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from evaporate_spark.operators.dedup import (
+        _ensure_bucketed_fp_store,
+        incremental_exact_dedup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    store = f"/tmp/spark_graft_bfpstore_{tag}"
+    # reset BOTH halves of the store: files and the catalog name
+    # (a stale table over a deleted directory would poison the run)
+    try:
+        name = _ensure_bucketed_fp_store(spark, store, 16)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    except ValueError:
+        pass  # spec sidecar from a different bucket count
+    shutil.rmtree(store, ignore_errors=True)
+    out0 = incremental_exact_dedup(
+        d.where(F.col("doc_id") % 2 == 0), "doc_id", "text", store,
+        store_buckets=16,
+    ).select("doc_id")
+    out1 = incremental_exact_dedup(
+        d.where(F.col("doc_id") % 2 == 1), "doc_id", "text", store,
+        store_buckets=16,
+    ).select("doc_id")
+    return out0.unionByName(out1)
 
 
 @register(

@@ -185,6 +185,7 @@ def incremental_dedup_sink(
     k: int = 3,
     spans_k: int = 8,
     marker: str | None = None,
+    store_buckets: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Lexical crawl-stream dedup — the :func:`incremental_semdedup_sink`
@@ -215,10 +216,21 @@ def incremental_dedup_sink(
     ``incremental_exact_dedup`` trade-off); the reader keeps the
     earliest batch's copy. :func:`compact_decisions` bounds the
     one-directory-per-batch growth; :func:`prune_compacted` deletes
-    the folded directories."""
+    the folded directories.
+
+    ``store_buckets`` (``method="exact"`` only) switches the
+    fingerprint store to the bucketed-table layout — each
+    micro-batch's store join then exchanges only the batch side
+    instead of re-shuffling the corpus-sized store (the
+    ``incremental_exact_dedup`` docstring's 100 TB argument)."""
     if method not in ("exact", "near", "spans"):
         raise ValueError(
             f"method must be 'exact', 'near', or 'spans', got {method!r}"
+        )
+    if store_buckets is not None and method != "exact":
+        raise ValueError(
+            "store_buckets applies to method='exact' only (the near "
+            "index and gram store have their own key layouts)"
         )
     from evaporate_spark.operators.dedup import (
         incremental_exact_dedup,
@@ -231,7 +243,8 @@ def incremental_dedup_sink(
             return
         if method == "exact":
             out = incremental_exact_dedup(
-                batch_df, id_col, text_col, store_dir
+                batch_df, id_col, text_col, store_dir,
+                store_buckets=store_buckets,
             )
         elif method == "near":
             out = incremental_near_dedup(

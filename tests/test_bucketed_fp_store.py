@@ -1,0 +1,123 @@
+"""Bucketed fingerprint store for incremental_exact_dedup (round 15):
+the plain directory store re-shuffles the corpus-sized fp table on
+EVERY batch join; the bucketed layout pays that shuffle once at write
+time. These tests pin (a) semantics byte-identical to the directory
+store — survivors, replay, append dedup — (b) restart re-registration
+from the durable files, (c) the bucket-spec pin, and (d) the plan
+property itself: the store-side scan is bucketed and carries no
+Exchange."""
+
+from __future__ import annotations
+
+import pytest
+
+BATCH_A = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "pack my box with five dozen liquor jugs today"),
+]
+BATCH_B = [
+    (4, "the quick brown fox jumps over the lazy dog"),  # dup of batch A
+    (5, "sphinx of black quartz judge my vow tonight"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _run(spark, batch, store, **kw):
+    from evaporate_spark.operators.dedup import incremental_exact_dedup
+
+    return sorted(
+        (r["doc_id"], r["text"]) for r in incremental_exact_dedup(
+            _df(spark, batch), "doc_id", "text", store, **kw
+        ).collect()
+    )
+
+
+def test_bucketed_store_matches_directory_store(spark, tmp_path):
+    b_store = str(tmp_path / "bucketed")
+    d_store = str(tmp_path / "plain")
+    for batch, want in ((BATCH_A, [1, 3]), (BATCH_B, [5])):
+        got_b = _run(spark, batch, b_store, store_buckets=8)
+        got_d = _run(spark, batch, d_store)
+        assert got_b == got_d
+        assert [i for i, _ in got_b] == want
+    # identical committed state (as a set of rows)
+    rows_b = {
+        (r["fp"], r["doc_id"])
+        for r in spark.read.parquet(b_store).collect()
+    }
+    rows_d = {
+        (r["fp"], r["doc_id"])
+        for r in spark.read.parquet(d_store).collect()
+    }
+    assert rows_b == rows_d
+
+    # replay: byte-identical output, store does not grow
+    assert _run(spark, BATCH_A, b_store, store_buckets=8) == [
+        (i, t) for i, t in [BATCH_A[0], BATCH_A[2]]
+    ]
+    assert {
+        (r["fp"], r["doc_id"])
+        for r in spark.read.parquet(b_store).collect()
+    } == rows_b
+
+
+def test_bucketed_store_survives_catalog_restart(spark, tmp_path):
+    """The session catalog loses the table NAME on restart while the
+    bucketed files persist — a later call re-registers via external
+    DDL and continues exactly."""
+    from evaporate_spark.operators.dedup import _ensure_bucketed_fp_store
+
+    store = str(tmp_path / "restart")
+    _run(spark, BATCH_A, store, store_buckets=8)
+    name = _ensure_bucketed_fp_store(spark, store, 8)
+    spark.sql(f"DROP TABLE {name}")  # simulate a fresh session
+
+    out = _run(spark, BATCH_B, store, store_buckets=8)
+    assert [i for i, _ in out] == [5]  # 4 deduped vs the committed store
+    assert spark.read.parquet(store).count() == 3
+
+
+def test_bucket_spec_is_pinned(spark, tmp_path):
+    store = str(tmp_path / "pinned")
+    _run(spark, BATCH_A, store, store_buckets=8)
+    with pytest.raises(ValueError, match="8 buckets"):
+        _run(spark, BATCH_B, store, store_buckets=16)
+
+
+def test_bucketed_store_join_exchanges_only_the_batch(spark, tmp_path):
+    """The plan property the layout exists for: with broadcast
+    disabled, the batch-vs-store fp join reads the store bucketed
+    (no Exchange above its scan) and exchanges exactly the batch
+    side."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.dedup import _ensure_bucketed_fp_store
+
+    store = str(tmp_path / "planstore")
+    _run(spark, BATCH_A, store, store_buckets=8)
+    name = _ensure_bucketed_fp_store(spark, store, 8)
+    batch = spark.createDataFrame(
+        [(f"h{i}", i) for i in range(10)], "fp string, doc_id long"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = spark.table(name).select(
+            F.col("fp").alias("_sfp"), F.col("doc_id").alias("_sid")
+        ).dropDuplicates(["_sfp"])
+        j = batch.join(seen, batch["fp"] == F.col("_sfp"), "left")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, plan  # the batch side only
+    assert "fp" in exchanges[0] and "_sfp" not in exchanges[0]

@@ -1,0 +1,193 @@
+"""Bucketed-fingerprint-store scale probe (round 15): quantify the
+store-join shuffle the bucketed layout removes.
+
+Setup: commit a LARGE corpus (the sf0.1 documents table replicated
+400x with per-copy unique texts → ~2M distinct fingerprints) into
+both store layouts, then run ONE small daily batch (5k docs, half
+already committed) through ``incremental_exact_dedup`` against each
+and record the executed-plan shuffle totals of the whole call.
+
+The number that matters at 100 TB: the directory store's batch call
+shuffles O(store) bytes (the corpus-sized fp table re-exchanged for
+the survivor join AND the dedup-append anti-join), while the
+bucketed store's call shuffles O(batch) — the store side reads its
+buckets in place. Store growth moves the directory cost linearly and
+the bucketed cost not at all. Broadcast is disabled for the
+measurement (at real scale the store could never broadcast anyway;
+AQE's broadcast of the tiny test batch would hide the asymmetry this
+probe exists to show).
+
+Run:  PYTHONPATH=/root/repo python scripts/scale_probe_bucketed_store.py
+Writes scripts/SCALE_PROBE_BUCKETED_STORE.json unless --stdout-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTOR = 400
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_JSON = os.path.join(REPO, "scripts", "SCALE_PROBE_BUCKETED_STORE.json")
+BUCKETS = 64
+
+
+def corpus(spark):
+    """~2M docs with distinct texts (md5-prefixed per copy, so every
+    row carries a unique fingerprint — a dedup store's steady state)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text")
+    k = F.col("_k")
+    return (
+        base.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))).alias("_k"),
+        )
+        .withColumn("doc_id", F.col("doc_id") * FACTOR + k)
+        .withColumn(
+            "text",
+            F.concat(
+                F.md5(F.concat(F.col("text"), k.cast("string"))),
+                F.lit(" "),
+                F.col("text"),
+            ),
+        )
+        .drop("_k")
+        .repartition(64)
+    )
+
+
+def main() -> None:
+    load_start = round(os.getloadavg()[0], 2)
+
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.dedup import (
+        _ensure_bucketed_fp_store,
+        incremental_exact_dedup,
+    )
+    from evaporate_spark.plans.metrics import query_summary
+    from evaporate_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-bucketed-store")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    root = "/tmp/spark_graft_probe_bstore"
+    shutil.rmtree(root, ignore_errors=True)
+    dir_store = f"{root}/dir"
+    bkt_store = f"{root}/bucketed"
+    try:
+        name = _ensure_bucketed_fp_store(spark, bkt_store, BUCKETS)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    except ValueError:
+        pass
+    shutil.rmtree(bkt_store, ignore_errors=True)
+
+    big = corpus(spark).localCheckpoint(eager=True)
+    n_corpus = big.count()
+
+    # ---- commit the corpus into both layouts (one big batch each)
+    t0 = time.perf_counter()
+    incremental_exact_dedup(big, "doc_id", "text", dir_store).count()
+    commit_dir_s = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    incremental_exact_dedup(
+        big, "doc_id", "text", bkt_store, store_buckets=BUCKETS
+    ).count()
+    commit_bkt_s = round(time.perf_counter() - t0, 1)
+
+    # ---- the daily batch: 5k docs, half of them already committed
+    batch = (
+        big.where(F.col("doc_id") % 800 == 0)  # ~2.5k committed docs
+        .unionByName(
+            big.where(F.col("doc_id") % 800 == 1).withColumn(
+                "doc_id", F.col("doc_id") + 10_000_000_000
+            ).withColumn(
+                "text", F.concat(F.lit("fresh "), F.col("text"))
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_batch = batch.count()
+
+    results = {}
+    for label, store, kw in (
+        ("directory", dir_store, {}),
+        ("bucketed", bkt_store, {"store_buckets": BUCKETS}),
+    ):
+        t0 = time.perf_counter()
+        out = incremental_exact_dedup(
+            batch, "doc_id", "text", store, **kw
+        )
+        n_surv = out.count()
+        wall = round(time.perf_counter() - t0, 1)
+        # the operator materializes internally (localCheckpoint), so
+        # the returned frame's plan carries no join metrics — the
+        # isolated store-join measurement below is the probe's
+        # headline; here we record wall + survivors only
+        results[label] = {"wall_s": wall, "survivors": n_surv}
+
+    # ---- the isolated store-join measurement (the probe's headline):
+    # batch fps vs each store layout, identical join, executed plans
+    from evaporate_spark.functions.text_stats import fingerprint
+
+    fp_batch = batch.select(
+        fingerprint("text").alias("fp")
+    ).localCheckpoint(eager=True)
+    joins = {}
+    for label, reader in (
+        ("directory", lambda: spark.read.parquet(dir_store)),
+        ("bucketed", lambda: spark.table(
+            _ensure_bucketed_fp_store(spark, bkt_store, BUCKETS)
+        )),
+    ):
+        j = fp_batch.join(reader(), "fp", "left_semi")
+        t0 = time.perf_counter()
+        # collect THIS frame (not a derived count) so query_summary
+        # reads the executed join's own metrics
+        hits = len(j.collect())
+        joins[label] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "hits": hits,
+            **query_summary(j),
+        }
+
+    record = {
+        "probe": "bucketed_store",
+        "sf_dir": SF_DIR,
+        "n_corpus_docs": n_corpus,
+        "n_batch_docs": n_batch,
+        "buckets": BUCKETS,
+        "commit_dir_s": commit_dir_s,
+        "commit_bucketed_s": commit_bkt_s,
+        "batch_call": results,
+        "store_join": joins,
+        "store_join_shuffle_ratio": (
+            round(
+                joins["directory"]["shuffle_bytes"]
+                / max(1, joins["bucketed"]["shuffle_bytes"]),
+                1,
+            )
+        ),
+        "loadavg_1m_start": load_start,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(record, indent=2))
+    if "--stdout-only" not in sys.argv:
+        with open(OUT_JSON, "w") as fh:
+            fh.write(json.dumps(record, indent=2) + "\n")
+        print(f"recorded -> {OUT_JSON}")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

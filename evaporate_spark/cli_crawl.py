@@ -97,10 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     d.add_argument(
         "--store-buckets", type=int,
-        help="with --method exact: bucket the fingerprint store on fp "
-        "(a bucketed table at --store) so each batch's store join "
-        "exchanges only the batch, never the corpus-sized store; size "
-        "near the cluster's shuffle parallelism. Pinned at first use",
+        help="with --method exact/near: bucket the store (fingerprint "
+        "table on fp, signature index on shh1) so each batch's store "
+        "join exchanges only the batch, never the corpus-sized store; "
+        "size near the cluster's shuffle parallelism. Pinned at "
+        "first use",
     )
     d.add_argument(
         "--marker",
@@ -381,9 +382,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.marker is not None and args.method != "spans":
             print("--marker requires --method spans", file=sys.stderr)
             return 2
-        if args.store_buckets is not None and args.method != "exact":
+        if args.store_buckets is not None and args.method not in (
+            "exact", "near"
+        ):
             print(
-                "--store-buckets requires --method exact",
+                "--store-buckets requires --method exact or near",
                 file=sys.stderr,
             )
             return 2

@@ -1554,9 +1554,16 @@ def _bucket_spec_path(store_dir: str) -> str:
     return store_dir.rstrip("/") + "/_bucket_spec.json"
 
 
-def _ensure_bucketed_fp_store(spark, store_dir: str, num_buckets: int) -> str:
-    """Session-catalog table name for the bucketed fingerprint store
-    at ``store_dir``, creating or re-registering it as needed.
+def _ensure_bucketed_store(
+    spark,
+    store_dir: str,
+    num_buckets: int,
+    columns_ddl: str,
+    bucket_col: str,
+    prefix: str,
+) -> str:
+    """Session-catalog table name for a bucketed dedup store at
+    ``store_dir``, creating or re-registering it as needed.
 
     Spark's in-memory catalog scopes table NAMES to the session while
     the bucketed parquet files are durable — a restarted crawl must
@@ -1579,7 +1586,7 @@ def _ensure_bucketed_fp_store(spark, store_dir: str, num_buckets: int) -> str:
         committed = json.loads(bytes(sink.toByteArray()).decode("utf-8"))
         if committed["num_buckets"] != int(num_buckets):
             raise ValueError(
-                f"bucketed fp store at {store_dir} was committed with "
+                f"bucketed store at {store_dir} was committed with "
                 f"{committed['num_buckets']} buckets; got "
                 f"{num_buckets} — a mismatched append would void the "
                 "bucket co-location"
@@ -1592,16 +1599,37 @@ def _ensure_bucketed_fp_store(spark, store_dir: str, num_buckets: int) -> str:
             )
         )
         stream.close()
-    name = "fp_store_" + hashlib.md5(
+    name = prefix + hashlib.md5(
         store_dir.rstrip("/").encode()
     ).hexdigest()[:12]
     if not spark.catalog.tableExists(name):
         spark.sql(
-            f"CREATE TABLE {name} (fp STRING, doc_id STRING) "
-            f"USING parquet CLUSTERED BY (fp) INTO {int(num_buckets)} "
-            f"BUCKETS LOCATION '{store_dir}'"
+            f"CREATE TABLE {name} ({columns_ddl}) "
+            f"USING parquet CLUSTERED BY ({bucket_col}) INTO "
+            f"{int(num_buckets)} BUCKETS LOCATION '{store_dir}'"
         )
     return name
+
+
+def _ensure_bucketed_fp_store(spark, store_dir: str, num_buckets: int) -> str:
+    return _ensure_bucketed_store(
+        spark, store_dir, num_buckets,
+        "fp STRING, doc_id STRING", "fp", "fp_store_",
+    )
+
+
+def _ensure_bucketed_near_index(
+    spark, store_dir: str, num_buckets: int
+) -> str:
+    # bucketed near indexes standardize doc_id to STRING (the
+    # comparison type the survivor rule uses anyway); shh1 is the
+    # bucket key — the digest join and groupBy both cluster on it
+    return _ensure_bucketed_store(
+        spark, store_dir, num_buckets,
+        "doc_id STRING, shh1 BIGINT, shh2 BIGINT, "
+        "sig ARRAY<BIGINT>, buckets ARRAY<BIGINT>",
+        "shh1", "near_index_",
+    )
 
 
 def incremental_exact_dedup(
@@ -2136,6 +2164,7 @@ def incremental_near_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    store_buckets: int | None = None,
 ) -> DataFrame:
     """Near-dup twin of :func:`incremental_exact_dedup`: dedup an
     incoming batch against itself and every previous batch at
@@ -2155,10 +2184,32 @@ def incremental_near_dedup(
     the union of per-batch clean logs can repeat an id — cross-batch
     consumers dedup on the id keeping the earliest batch
     (:func:`streaming.incremental.read_clean_log`).
-    """
+
+    ``store_buckets`` (round 15) stores the index as a parquet table
+    bucketed on ``shh1`` — the :func:`incremental_exact_dedup`
+    ``store_buckets`` argument applied to the ~300 B/doc signature
+    index: the digest join and the index-side groupBy both cluster on
+    ``shh1`` (the engine session enables subset co-partitioning, so
+    the two-key digest join accepts the single-key bucketing), and
+    each batch call exchanges only the batch side instead of the
+    corpus-sized index. Bucketed indexes standardize ``doc_id`` to
+    STRING; semantics are unchanged (parity pytest)."""
     spark = batch.sparkSession
+    table = (
+        _ensure_bucketed_near_index(spark, store_dir, store_buckets)
+        if store_buckets is not None
+        else None
+    )
+
+    def read_store() -> DataFrame:
+        return (
+            spark.table(table)
+            if table is not None
+            else spark.read.parquet(store_dir)
+        )
+
     if _store_has_parquet(spark, store_dir):
-        index = spark.read.parquet(store_dir)
+        index = read_store()
     else:
         index = build_near_dup_index(
             batch.limit(0), id_col, text_col, num_hashes, bands, k
@@ -2166,13 +2217,20 @@ def incremental_near_dedup(
     survivors = near_dedup_against_index(batch, id_col, text_col, index, k)
     out = survivors.localCheckpoint(eager=True)
     idx = build_near_dup_index(out, id_col, text_col, num_hashes, bands, k)
+    if table is not None:
+        idx = idx.withColumn("doc_id", F.col("doc_id").cast("string"))
     if _store_has_parquet(spark, store_dir):
         # materialize before the append — the anti-join scans the
         # directory the write targets (see incremental_exact_dedup)
         idx = idx.join(
-            spark.read.parquet(store_dir).select("doc_id"),
+            read_store().select("doc_id"),
             "doc_id",
             "left_anti",
         ).localCheckpoint(eager=True)
-    idx.write.mode("append").parquet(store_dir)
+    if table is not None:
+        idx.write.format("parquet").bucketBy(
+            int(store_buckets), "shh1"
+        ).mode("append").option("path", store_dir).saveAsTable(table)
+    else:
+        idx.write.mode("append").parquet(store_dir)
     return out

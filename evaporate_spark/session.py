@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for pandas UDF / toPandas boundaries.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # A side hash-partitioned on a SUBSET of the join keys (e.g. a
+        # store bucketed on shh1 joined on (shh1, shh2)) already
+        # co-locates equal keys; the default refuses it and re-shuffles
+        # the bucketed side — plan-level only, results identical, and
+        # our subset keys are 64-bit hashes so the skew trade is moot.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long and
         # convert in the catalog (DuckDB equivalently truncates to micros).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -218,19 +218,20 @@ def incremental_dedup_sink(
     one-directory-per-batch growth; :func:`prune_compacted` deletes
     the folded directories.
 
-    ``store_buckets`` (``method="exact"`` only) switches the
-    fingerprint store to the bucketed-table layout — each
-    micro-batch's store join then exchanges only the batch side
-    instead of re-shuffling the corpus-sized store (the
-    ``incremental_exact_dedup`` docstring's 100 TB argument)."""
+    ``store_buckets`` (``method="exact"`` / ``"near"``) switches the
+    fingerprint store / signature index to the bucketed-table layout
+    — each micro-batch's store join then exchanges only the batch
+    side instead of re-shuffling the corpus-sized store (the
+    ``incremental_exact_dedup`` docstring's 100 TB argument; the near
+    index buckets on ``shh1``)."""
     if method not in ("exact", "near", "spans"):
         raise ValueError(
             f"method must be 'exact', 'near', or 'spans', got {method!r}"
         )
-    if store_buckets is not None and method != "exact":
+    if store_buckets is not None and method == "spans":
         raise ValueError(
-            "store_buckets applies to method='exact' only (the near "
-            "index and gram store have their own key layouts)"
+            "store_buckets applies to method='exact'/'near' (the gram "
+            "store's append pattern has its own layout)"
         )
     from evaporate_spark.operators.dedup import (
         incremental_exact_dedup,
@@ -250,6 +251,7 @@ def incremental_dedup_sink(
             out = incremental_near_dedup(
                 batch_df, id_col, text_col, store_dir,
                 num_hashes=num_hashes, bands=bands, k=k,
+                store_buckets=store_buckets,
             )
         else:
             out = incremental_selfdedup_spans(

@@ -88,6 +88,83 @@ def test_bucket_spec_is_pinned(spark, tmp_path):
         _run(spark, BATCH_B, store, store_buckets=16)
 
 
+def test_bucketed_near_index_matches_directory_index(spark, tmp_path):
+    """incremental_near_dedup(store_buckets=): survivors, replay, and
+    committed digests equal the directory layout's (doc_id
+    standardizes to STRING in the bucketed index)."""
+    from evaporate_spark.operators.dedup import incremental_near_dedup
+
+    def run(batch, store, **kw):
+        return sorted(
+            r["doc_id"] for r in incremental_near_dedup(
+                _df(spark, batch), "doc_id", "text", store, **kw
+            ).collect()
+        )
+
+    b_store = str(tmp_path / "near_bucketed")
+    d_store = str(tmp_path / "near_plain")
+    for batch in (BATCH_A, BATCH_B):
+        assert run(batch, b_store, store_buckets=8) == run(batch, d_store)
+    assert run(BATCH_B, b_store, store_buckets=8) == run(BATCH_B, d_store)  # replay
+    rows_b = {
+        (r["doc_id"], r["shh1"], r["shh2"])
+        for r in spark.read.parquet(b_store).collect()
+    }
+    rows_d = {
+        (str(r["doc_id"]), r["shh1"], r["shh2"])
+        for r in spark.read.parquet(d_store).collect()
+    }
+    assert rows_b == rows_d
+
+
+def test_bucketed_near_digest_join_exchanges_only_the_batch(
+    spark, tmp_path
+):
+    """The two-key digest join accepts the single-key (shh1)
+    bucketing: with broadcast disabled the index side reads its
+    buckets in place (subset co-partitioning — the session enables
+    requireAllClusterKeysForCoPartition=false) and only the batch
+    side exchanges."""
+    from pyspark.sql import functions as F
+
+    from evaporate_spark.operators.dedup import (
+        _ensure_bucketed_near_index,
+        incremental_near_dedup,
+    )
+
+    store = str(tmp_path / "near_plan")
+    incremental_near_dedup(
+        _df(spark, BATCH_A), "doc_id", "text", store, store_buckets=8
+    ).collect()
+    name = _ensure_bucketed_near_index(spark, store, 8)
+    batch = spark.createDataFrame(
+        [(i * 7, i * 13) for i in range(10)], "_shh1 long, _shh2 long"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = spark.table(name).groupBy("shh1", "shh2").agg(
+            F.collect_set("doc_id").alias("_sids")
+        )
+        j = batch.join(
+            seen,
+            (batch["_shh1"] == seen["shh1"])
+            & (batch["_shh2"] == seen["shh2"]),
+            "left",
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, plan
+    assert "_shh1" in exchanges[0]  # the batch side
+
+
 def test_bucketed_store_join_exchanges_only_the_batch(spark, tmp_path):
     """The plan property the layout exists for: with broadcast
     disabled, the batch-vs-store fp join reads the store bucketed

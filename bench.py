@@ -295,7 +295,13 @@ outside the timed region, so the row prices the chain, not
 train_bpe). The round's store-append eager materializations and the
 element-wise _vec_is_zero cost nothing measurable — every legacy row
 is inside or below its r12-r14 band. Tokens unchanged (6718 /
-29640).
+29640). Late-round sanity after the session gained
+requireAllClusterKeysForCoPartition=false (the bucketed-store
+subset-co-partitioning enabler): an n=2 run with 15-min load still
+at 7.7 from the preceding full suite read every CHAIN row at pin
+level (corpus_chain 11.0, modern_chain 9.4, ul2 18.65, sft 3.9) with
+the relational rows in the documented load-inflation band — the
+config changes no benched plan.
 """
 
 from __future__ import annotations

@@ -148,7 +148,12 @@ def incremental_semdedup_sink(
     Micro-batches process serially per query, preserving the
     batch-order priority the store semantics assume. The first
     non-empty batch fixes the codebook (sidecar-pinned); empty
-    batches are skipped (nothing to assign, nothing to append)."""
+    batches are skipped (nothing to assign, nothing to append).
+
+    The decisions log shares the lexical sinks' maintenance layer:
+    :func:`read_decisions` merges it (optionally over a
+    :func:`compact_decisions` snapshot), and :func:`prune_compacted`
+    deletes folded batch directories."""
     from evaporate_spark.operators.dedup import incremental_semdedup
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:

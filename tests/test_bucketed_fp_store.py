@@ -88,6 +88,60 @@ def test_bucket_spec_is_pinned(spark, tmp_path):
         _run(spark, BATCH_B, store, store_buckets=16)
 
 
+def test_sink_with_bucketed_store(spark, tmp_path):
+    """store_buckets threads through the streaming sink: two
+    micro-batches through incremental_dedup_sink(method='exact',
+    store_buckets=8) produce the directory-store survivors, and the
+    store at rest is the bucketed table layout."""
+    import json
+
+    from evaporate_spark.streaming.incremental import (
+        incremental_dedup_sink,
+    )
+
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    store = str(tmp_path / "sink_store")
+    ckpt = str(tmp_path / "sink_ckpt")
+    clean = str(tmp_path / "sink_clean")
+
+    def arrive(name, rows):
+        with open(src / name, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run_sink():
+        incremental_dedup_sink(
+            spark.readStream.schema("doc_id long, text string").json(
+                str(src)
+            ),
+            store, ckpt, clean, method="exact", store_buckets=8,
+        ).awaitTermination(120)
+
+    arrive("day0.json", BATCH_A)
+    run_sink()
+    arrive("day1.json", BATCH_B)
+    run_sink()
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(clean).collect()
+    )
+    assert got == [1, 3, 5]
+    assert spark.read.parquet(store).count() == 3
+    import os
+
+    assert os.path.exists(f"{store}/_bucket_spec.json")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="gram store"):
+        incremental_dedup_sink(
+            spark.readStream.schema("doc_id long, text string").json(
+                str(src)
+            ),
+            store, ckpt, clean, method="spans", store_buckets=8,
+        )
+
+
 def test_bucketed_near_index_matches_directory_index(spark, tmp_path):
     """incremental_near_dedup(store_buckets=): survivors, replay, and
     committed digests equal the directory layout's (doc_id

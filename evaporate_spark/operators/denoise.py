@@ -30,6 +30,161 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _corrupt_render(
+    toks: Column,
+    n: Column,
+    seeds: Column,
+    sl1: Column,
+    *,
+    ids_mode: bool,
+    sentinel_base: int | None,
+    pre: str,
+    post: str,
+):
+    """Render one document's (inputs, targets, n, nc, ns) struct from
+    the bound ``seeds`` array via MERGED COVERED RUNS — O(n + k) per
+    row instead of the per-position coverage probe's O(n · k) (every
+    position running ``exists`` over the seeds array, ×5 passes — the
+    dominant cost of the r15 ul2_10x bench row at 512-token windows).
+
+    ``seeds`` ascends (filter of an ascending sequence), so the union
+    of the per-seed ranges ``[s, s+sl1]`` is computed directly: a seed
+    opens a NEW run iff its gap to the predecessor exceeds ``sl1 + 1``
+    (adjacent/overlapping coverage merges — the documented run-merge
+    rule), each run ends ``sl1`` past its last member seed, capped at
+    ``n``. Gap/run token stretches then render as O(1)-per-run
+    ``slice`` calls, so realized work is proportional to tokens
+    touched, not tokens × seeds. Semantics are bit-identical to the
+    per-position formulation (same runs, same sentinel numbering, same
+    order); the oracled rows q_span_corrupt / q_ul2_mix replay both."""
+    from evaporate_spark.functions.text_stats import bind_once
+
+    empty_i = F.array().cast("array<int>")
+    k = F.size(seeds)
+    kseq = F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(empty_i)
+    # seed indices (1-based) that OPEN a merged run
+    start_idx_expr = F.filter(
+        kseq,
+        lambda i: (i == 1)
+        | ((F.element_at(seeds, i) - F.get(seeds, i - 2)) > sl1 + 1),
+    )
+
+    def with_start_idx(sidx: Column) -> Column:
+        m = F.size(sidx)
+        mseq = F.when(m > 0, F.sequence(F.lit(1), m)).otherwise(empty_i)
+        # run j: starts at its opening seed; ends sl1 past the run's
+        # LAST seed (the one before the next run's opener), capped at n
+        runs_expr = F.transform(
+            mseq,
+            lambda j: F.struct(
+                F.element_at(seeds, F.element_at(sidx, j)).alias("a"),
+                F.least(
+                    F.element_at(
+                        seeds, F.coalesce(F.get(sidx, j) - 1, k)
+                    )
+                    + sl1,
+                    n,
+                ).alias("b"),
+            ),
+        )
+
+        def with_runs(runs: Column) -> Column:
+            m = F.size(runs)
+            # gap before run j (trailing gap at j = m+1): tokens
+            # strictly between the previous run's end and run j's start
+            gap = lambda j: bind_once(  # noqa: E731
+                F.coalesce(F.get(runs, j - 2)["b"] + 1, F.lit(1)),
+                lambda lo: bind_once(
+                    F.coalesce(F.get(runs, j - 1)["a"] - 1, n),
+                    lambda hi: F.when(
+                        hi >= lo,
+                        F.slice(toks, lo.cast("int"), (hi - lo + 1).cast("int")),
+                    ).otherwise(
+                        empty_i if ids_mode else F.array().cast("array<string>")
+                    ),
+                ),
+            )
+            n_cov = F.aggregate(
+                runs,
+                F.lit(0).cast("bigint"),
+                lambda acc, r: acc + (r["b"] - r["a"] + 1),
+            )
+            if ids_mode:
+                sent = lambda j0: (  # noqa: E731
+                    F.lit(int(sentinel_base)) + j0
+                ).cast("int")
+                inputs = F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), m + 1),
+                        lambda j: F.concat(
+                            gap(j),
+                            F.when(j <= m, F.array(sent(j - 1))).otherwise(
+                                empty_i
+                            ),
+                        ),
+                    )
+                )
+                targets = F.flatten(
+                    F.transform(
+                        runs,
+                        lambda r, j0: F.concat(
+                            F.array(sent(j0)),
+                            F.slice(
+                                toks,
+                                r["a"].cast("int"),
+                                (r["b"] - r["a"] + 1).cast("int"),
+                            ),
+                        ),
+                    )
+                )
+            else:
+                empty_s = F.array().cast("array<string>")
+                sent_s = lambda j0: F.concat(  # noqa: E731
+                    F.lit(pre), j0.cast("string"), F.lit(post)
+                )
+                inputs = F.concat_ws(
+                    " ",
+                    F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(1), m + 1),
+                            lambda j: F.concat(
+                                gap(j),
+                                F.when(
+                                    j <= m, F.array(sent_s(j - 1))
+                                ).otherwise(empty_s),
+                            ),
+                        )
+                    ),
+                )
+                targets = F.concat_ws(
+                    " ",
+                    F.flatten(
+                        F.transform(
+                            runs,
+                            lambda r, j0: F.concat(
+                                F.array(sent_s(j0)),
+                                F.slice(
+                                    toks,
+                                    r["a"].cast("int"),
+                                    (r["b"] - r["a"] + 1).cast("int"),
+                                ),
+                            ),
+                        )
+                    ),
+                )
+            return F.struct(
+                inputs.alias("i"),
+                targets.alias("t"),
+                n.cast("bigint").alias("n"),
+                n_cov.alias("nc"),
+                m.cast("bigint").alias("ns"),
+            )
+
+        return bind_once(runs_expr, with_runs)
+
+    return bind_once(start_idx_expr, with_start_idx)
+
+
 def span_corrupt(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -107,105 +262,16 @@ def span_corrupt(
         )
 
         def with_seeds(seeds: Column) -> Column:
-            cov = lambda p: F.exists(  # noqa: E731
-                seeds, lambda s: (p >= s) & (p <= s + (span_len - 1))
+            return _corrupt_render(
+                toks,
+                n,
+                seeds,
+                F.lit(span_len - 1),
+                ids_mode=ids_col is not None,
+                sentinel_base=sentinel_base,
+                pre=pre,
+                post=post,
             )
-            # a start = covered position whose predecessor is uncovered
-            is_start = lambda p: cov(p) & (  # noqa: E731
-                (p == 1) | ~cov(p - 1)
-            )
-            starts_expr = F.filter(seq, is_start)
-
-            def with_starts(starts: Column) -> Column:
-                # span index = position within the bound starts array
-                sentinel = lambda p: F.concat(  # noqa: E731
-                    F.lit(pre),
-                    (F.array_position(starts, p) - 1).cast("string"),
-                    F.lit(post),
-                )
-                is_st = lambda p: F.array_position(  # noqa: E731
-                    starts, p
-                ) > 0
-                if ids_col is not None:
-                    # integer-id render: flatten per-position arrays —
-                    # a start contributes [sentinel] / [sentinel, tok]
-                    sent_id = lambda p: (  # noqa: E731
-                        F.lit(int(sentinel_base))
-                        + (F.array_position(starts, p) - 1)
-                    ).cast("int")
-                    empty = F.array().cast("array<int>")
-                    inputs_ids = F.flatten(
-                        F.transform(
-                            seq,
-                            lambda p: F.when(is_st(p), F.array(sent_id(p)))
-                            .when(cov(p), empty)
-                            .otherwise(F.array(F.element_at(toks, p))),
-                        )
-                    )
-                    targets_ids = F.flatten(
-                        F.transform(
-                            seq,
-                            lambda p: F.when(
-                                is_st(p),
-                                F.array(
-                                    sent_id(p), F.element_at(toks, p)
-                                ),
-                            )
-                            .when(
-                                cov(p), F.array(F.element_at(toks, p))
-                            )
-                            .otherwise(empty),
-                        )
-                    )
-                    n_cov = F.size(F.filter(seq, cov))
-                    return F.struct(
-                        inputs_ids.alias("i"),
-                        targets_ids.alias("t"),
-                        n.cast("bigint").alias("n"),
-                        n_cov.cast("bigint").alias("nc"),
-                        F.size(starts).cast("bigint").alias("ns"),
-                    )
-                inputs = F.concat_ws(
-                    " ",
-                    F.filter(
-                        F.transform(
-                            seq,
-                            lambda p: F.when(is_st(p), sentinel(p))
-                            .when(cov(p), F.lit(""))
-                            .otherwise(F.element_at(toks, p)),
-                        ),
-                        lambda x: x != "",
-                    ),
-                )
-                targets = F.concat_ws(
-                    " ",
-                    F.filter(
-                        F.transform(
-                            seq,
-                            lambda p: F.when(
-                                is_st(p),
-                                F.concat(
-                                    sentinel(p),
-                                    F.lit(" "),
-                                    F.element_at(toks, p),
-                                ),
-                            )
-                            .when(cov(p), F.element_at(toks, p))
-                            .otherwise(F.lit("")),
-                        ),
-                        lambda x: x != "",
-                    ),
-                )
-                n_cov = F.size(F.filter(seq, cov))
-                return F.struct(
-                    inputs.alias("i"),
-                    targets.alias("t"),
-                    n.cast("bigint").alias("n"),
-                    n_cov.cast("bigint").alias("nc"),
-                    F.size(starts).cast("bigint").alias("ns"),
-                )
-
-            return bind_once(starts_expr, with_starts)
 
         return bind_once(seeds_expr, with_seeds)
 
@@ -335,106 +401,16 @@ def ul2_mix(
             )
 
             def with_seeds(seeds: Column) -> Column:
-                cov = lambda p: F.exists(  # noqa: E731
-                    seeds, lambda s: (p >= s) & (p <= s + sl1)
+                return _corrupt_render(
+                    toks,
+                    n,
+                    seeds,
+                    sl1,
+                    ids_mode=ids_col is not None,
+                    sentinel_base=sentinel_base,
+                    pre=pre,
+                    post=post,
                 )
-                is_start = lambda p: cov(p) & (  # noqa: E731
-                    (p == 1) | ~cov(p - 1)
-                )
-                starts_expr = F.filter(seq, is_start)
-
-                def with_starts(starts: Column) -> Column:
-                    sentinel = lambda p: F.concat(  # noqa: E731
-                        F.lit(pre),
-                        (F.array_position(starts, p) - 1).cast("string"),
-                        F.lit(post),
-                    )
-                    is_st = lambda p: F.array_position(  # noqa: E731
-                        starts, p
-                    ) > 0
-                    if ids_col is not None:
-                        sent_id = lambda p: (  # noqa: E731
-                            F.lit(int(sentinel_base))
-                            + (F.array_position(starts, p) - 1)
-                        ).cast("int")
-                        empty = F.array().cast("array<int>")
-                        inputs_ids = F.flatten(
-                            F.transform(
-                                seq,
-                                lambda p: F.when(
-                                    is_st(p), F.array(sent_id(p))
-                                )
-                                .when(cov(p), empty)
-                                .otherwise(
-                                    F.array(F.element_at(toks, p))
-                                ),
-                            )
-                        )
-                        targets_ids = F.flatten(
-                            F.transform(
-                                seq,
-                                lambda p: F.when(
-                                    is_st(p),
-                                    F.array(
-                                        sent_id(p), F.element_at(toks, p)
-                                    ),
-                                )
-                                .when(
-                                    cov(p),
-                                    F.array(F.element_at(toks, p)),
-                                )
-                                .otherwise(empty),
-                            )
-                        )
-                        n_cov = F.size(F.filter(seq, cov))
-                        return F.struct(
-                            inputs_ids.alias("i"),
-                            targets_ids.alias("t"),
-                            n.cast("bigint").alias("n"),
-                            n_cov.cast("bigint").alias("nc"),
-                            F.size(starts).cast("bigint").alias("ns"),
-                        )
-                    inputs = F.concat_ws(
-                        " ",
-                        F.filter(
-                            F.transform(
-                                seq,
-                                lambda p: F.when(is_st(p), sentinel(p))
-                                .when(cov(p), F.lit(""))
-                                .otherwise(F.element_at(toks, p)),
-                            ),
-                            lambda x: x != "",
-                        ),
-                    )
-                    targets = F.concat_ws(
-                        " ",
-                        F.filter(
-                            F.transform(
-                                seq,
-                                lambda p: F.when(
-                                    is_st(p),
-                                    F.concat(
-                                        sentinel(p),
-                                        F.lit(" "),
-                                        F.element_at(toks, p),
-                                    ),
-                                )
-                                .when(cov(p), F.element_at(toks, p))
-                                .otherwise(F.lit("")),
-                            ),
-                            lambda x: x != "",
-                        ),
-                    )
-                    n_cov = F.size(F.filter(seq, cov))
-                    return F.struct(
-                        inputs.alias("i"),
-                        targets.alias("t"),
-                        n.cast("bigint").alias("n"),
-                        n_cov.cast("bigint").alias("nc"),
-                        F.size(starts).cast("bigint").alias("ns"),
-                    )
-
-                return bind_once(starts_expr, with_starts)
 
             return bind_once(seeds_expr, with_seeds)
 

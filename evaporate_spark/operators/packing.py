@@ -261,37 +261,46 @@ def pack_documents(
         )
     else:
         toked = docs.withColumn("_t", _ws_tokens_keep_case(text_col))
-    toked = (
-        toked.withColumn("_n", F.size("_t").cast("bigint"))
-        .where(F.col("_n") > 0)
-        .withColumn(
-            "_h",
-            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
-        )
+    meta_src = toked.withColumn(
+        "_n", F.size("_t").cast("bigint")
+    ).withColumn(
+        "_h",
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
     )
 
     # -- two-phase per-group stream offset over a TOKEN-COUNT meta
     # frame (no token arrays ride through the rank machinery). The
-    # persist is correctness-critical: the totals job and the offset
-    # job must see identical range boundaries (operators/ranking.py).
-    meta = toked.select(*groups, id_col, "_h", "_n")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # partitioning key is a DETERMINISTIC prefix of the shuffle hash
+    # (first 3 hex chars of the md5 → 4096 buckets, monotone in _h so
+    # the per-group stream order stays exactly (_h, id)): unlike the
+    # former repartitionByRange, no range-sampling pass re-executes
+    # the tokenize subtree, and the totals/offsets jobs agree on
+    # bucket boundaries by construction rather than via a persist.
+    # The empty-doc filter sits ABOVE the persisted meta frame: a
+    # filter on a Python-UDF-derived column below it would make
+    # Catalyst evaluate the UDF twice per pass (pushed-filter copy +
+    # projection copy — the plans/r15 q_pack_* _before plans show the
+    # doubled ArrowEvalPython nodes).
+    meta = meta_src.select(*groups, id_col, "_h", "_n")
     rep = (
-        meta.repartitionByRange(n_part, *groups, "_h", id_col)
-        .withColumn("_pid", F.spark_partition_id())
+        meta.withColumn(
+            "_bkt",
+            F.conv(F.substring("_h", 1, 3), 16, 10).cast("int"),
+        )
         .persist()
     )
-    totals = rep.groupBy("_pid", *groups).agg(
+    live = rep.where(F.col("_n") > 0)
+    totals = live.groupBy("_bkt", *groups).agg(
         F.sum(F.col("_n") + 1).alias("_tot")
     ).collect()
     acc: dict[tuple, int] = {}
     off_rows = []
     for r in sorted(
-        totals, key=lambda r: (tuple(str(r[g]) for g in groups), r["_pid"])
+        totals, key=lambda r: (tuple(str(r[g]) for g in groups), r["_bkt"])
     ):
         gkey = tuple(r[g] for g in groups)
         off_rows.append(
-            (r["_pid"],) + tuple(r[g] for g in groups) + (acc.get(gkey, 0),)
+            (r["_bkt"],) + tuple(r[g] for g in groups) + (acc.get(gkey, 0),)
         )
         acc[gkey] = acc.get(gkey, 0) + r["_tot"]
     if not off_rows:
@@ -322,26 +331,29 @@ def pack_documents(
     off_df = F.broadcast(
         spark.createDataFrame(
             off_rows,
-            rep.select("_pid", *groups).limit(0).schema.add("_poff", "long"),
+            rep.select("_bkt", *groups).limit(0).schema.add("_poff", "long"),
         )
     )
-    w_local = Window.partitionBy("_pid", *groups).orderBy("_h", id_col)
+    w_local = Window.partitionBy("_bkt", *groups).orderBy("_h", id_col)
     offsets = (
-        rep.join(off_df, ["_pid", *groups])
+        live.join(off_df, ["_bkt", *groups])
         .withColumn(
             "_off",
             F.sum(F.col("_n") + 1).over(w_local)
             - (F.col("_n") + 1)
             + F.col("_poff"),
         )
-        .select(*groups, id_col, "_off")
+        .select(*groups, id_col, "_off", "_n")
         .localCheckpoint(eager=True)
     )
     rep.unpersist(False)
 
     # -- fragment generation: each doc contributes a slice (plus its
     # EOS in the window where the stream position off+n falls) to every
-    # window it touches — all scan-stage array expressions
+    # window it touches — all scan-stage array expressions. The join
+    # carries (_off, _n) from the checkpointed meta side, so the
+    # tokenize/encode subtree on THIS side is evaluated exactly once
+    # (empty docs drop via the inner join — no UDF-column filter here).
     d = toked.join(offsets, [*groups, id_col])
     g0 = F.expr(f"_off div {L}")  # first window touched
     g1 = F.expr(f"(_off + _n) div {L}")  # window holding the EOS

@@ -1,0 +1,56 @@
+"""Dump .explain('formatted') for named registry queries (or bench-only
+rows) to plans/r15/<name>_<tag>.txt — the optimization round's plan
+evidence. Usage:
+
+    PYTHONPATH=/root/repo python scripts/opt_plan_dump.py before q1_pricing_summary ...
+    PYTHONPATH=/root/repo python scripts/opt_plan_dump.py after ul2_10x ...
+
+Bench-only rows (bench.BENCH_ONLY) resolve through bench.py's builders
+at $SPARK_GRAFT_SF_DIR (default sf0.1); registry queries through
+REGISTRY[name].spark. Plan capture is driver-side only (no action), but
+EAGER queries (semantic pipelines) run their sample-stage jobs at plan
+build time — expect those to take seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from evaporate_spark.plans import REGISTRY  # noqa: E402
+from evaporate_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r15")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="opt-plan-dump")
+    import bench
+
+    for name in names:
+        if name in REGISTRY:
+            df = REGISTRY[name].spark(spark, sf_dir)
+        elif name in bench.BENCH_ONLY:
+            df = bench.BENCH_ONLY[name](spark, sf_dir)
+        else:
+            print(f"SKIP unknown {name}")
+            continue
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan.splitlines())} lines)")
+
+
+if __name__ == "__main__":
+    main()

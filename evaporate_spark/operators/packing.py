@@ -458,6 +458,19 @@ def _ffd_assignments(meta: DataFrame, L: int, groups: list[str]) -> DataFrame:
     def _ffd(pdf):
         import pandas as pd
 
+        # emptiness/overflow live HERE, not as JVM filters on the
+        # tokenized column: a Filter on a (UDF-)derived array column
+        # makes Catalyst evaluate the tokenize/encode subtree twice
+        # per branch (pushed-filter copy + projection copy — see the
+        # plans/r15 pack_bins_10x_before plan's doubled split calls).
+        # _cost == 1 ⟺ zero tokens; _cost > L ⟺ document longer than
+        # the drop-mode budget (truncate mode never ships those). An
+        # optional _np column (pack_sft_examples) drops examples whose
+        # prompt alone leaves no room for a completion/EOS token.
+        pdf = pdf[pdf["_cost"] > 1]
+        pdf = pdf[pdf["_cost"] <= L]
+        if "_np" in pdf.columns:
+            pdf = pdf[pdf["_np"] <= L - 2]
         pdf = pdf.sort_values(
             ["_cost", "_aid"], ascending=[False, True], kind="mergesort"
         )
@@ -583,25 +596,21 @@ def pack_bins(
         )
     else:
         toked = docs.withColumn("_t", _ws_tokens_keep_case(text_col))
-    toked = toked.where(F.size("_t") > 0)
-    if long_docs == "drop":
-        toked = toked.where(F.size("_t") <= L - 1)
-    else:
+    if long_docs != "drop":
         toked = toked.withColumn("_t", F.slice("_t", 1, L - 1))
-    toked = (
-        toked.withColumn("_n", F.size("_t").cast("bigint"))
-        .withColumn(
-            "_packer",
-            F.pmod(
-                F.xxhash64(
-                    F.concat(F.lit(seed), F.col(id_col).cast("string"))
-                ),
-                F.lit(int(n_packers)),
-            ).cast("int"),
-        )
-    )
+    packer_expr = F.pmod(
+        F.xxhash64(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+        F.lit(int(n_packers)),
+    ).cast("int")
+    toked = toked.withColumn(
+        "_n", F.size("_t").cast("bigint")
+    ).withColumn("_packer", packer_expr)
 
-    # -- FFD per packer group over (cost, id) META rows only
+    # -- FFD per packer group over (cost, id) META rows only. No
+    # emptiness/length filters on this side: _ffd drops them from the
+    # cost column (1 = empty, > L = over the drop budget), so the
+    # tokenize subtree is evaluated once per branch instead of twice
+    # (a Filter on the derived column gets pushed below and copied).
     meta = toked.select(
         *groups,
         F.col("_packer"),
@@ -611,7 +620,8 @@ def pack_bins(
     asg = _ffd_assignments(meta, L, groups)
 
     # -- join assignments back and assemble bins in placement order
-    # (decreasing length, ties by id — the same FFD sort key)
+    # (decreasing length, ties by id — the same FFD sort key); docs
+    # the FFD dropped simply have no assignment row to join to
     d = toked.withColumn("_aid", F.col(id_col).cast("string")).join(
         asg, [*groups, "_packer", "_aid"]
     )
@@ -776,20 +786,27 @@ def pack_sft_examples(
         toked = docs.withColumn(
             "_p", _ws_tokens_keep_case(prompt_col)
         ).withColumn("_c", _ws_tokens_keep_case(completion_col))
-    toked = (
-        toked.withColumn("_np", F.size("_p"))
-        .withColumn("_nc", F.size("_c"))
-        .where(F.col("_np") + F.col("_nc") > 0)
-        # prompt must fit with room for >= 1 completion/EOS token
-        .where(F.col("_np") <= L - 2)
+    toked = toked.withColumn("_np", F.size("_p")).withColumn(
+        "_nc", F.size("_c")
     )
-    if long_docs == "drop":
-        toked = toked.where(F.col("_np") + F.col("_nc") <= L - 1)
-    else:  # truncate the completion's tail, never the prompt
+    # NO row filters on the tokenized frame: the emptiness, prompt-fit
+    # (_np <= L-2) and drop-budget rules are applied by _ffd over the
+    # meta rows (so a Filter on a derived/UDF column never doubles the
+    # tokenize subtree), and filtered-out examples simply have no
+    # assignment row for the payload side to join to.
+    if long_docs != "drop":  # truncate the completion's tail, never the prompt
         toked = toked.withColumn(
             "_c",
             F.slice(
-                "_c", 1, F.least(F.col("_nc"), F.lit(L - 1) - F.col("_np"))
+                "_c",
+                1,
+                F.least(
+                    F.col("_nc"),
+                    # unfiltered frame: an over-long prompt would make
+                    # the budget negative (ANSI slice error) — clamp to
+                    # 0; those rows get no assignment and join away
+                    F.greatest(F.lit(0), F.lit(L - 1) - F.col("_np")),
+                ),
             ),
         ).withColumn("_nc", F.size("_c"))
     toked = (
@@ -809,6 +826,7 @@ def pack_sft_examples(
         F.col("_packer"),
         (F.col("_n") + 1).alias("_cost"),
         F.col(id_col).cast("string").alias("_aid"),
+        F.col("_np"),
     )
     asg = _ffd_assignments(meta, L, groups)
     d = toked.withColumn("_aid", F.col(id_col).cast("string")).join(

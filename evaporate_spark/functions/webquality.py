@@ -292,36 +292,55 @@ def gopher_ngram_columns(df, text_col: str = "text"):
         words = [w for w in re.split(r"\W+", (text or "").lower()) if w]
         lens = [len(w) for w in words]
         total = sum(lens)
+        # int-id word stream: gram counting hashes small int tuples
+        # instead of constructing a joined string per position (the
+        # dominant cost of this kernel — counts are identical, and the
+        # top-gram tie-break reconstructs strings only for the few
+        # top-count candidates; word chars all sort above ' ', so the
+        # joined-string order the tie-break needs is preserved)
+        wid: dict[str, int] = {}
+        ids = [wid.setdefault(w, len(wid)) for w in words]
+        # prefix char sums for O(1) covered-range character totals
+        plens = [0]
+        for ln in lens:
+            plens.append(plens[-1] + ln)
         vals: list[float] = []
         for n in top_ns:
-            grams = Counter(
-                " ".join(words[i : i + n])
-                for i in range(len(words) - n + 1)
-            )
-            if not grams or total == 0:
+            gl = list(zip(*(ids[i:] for i in range(n))))
+            if not gl or total == 0:
                 vals.append(0.0)
                 continue
+            grams = Counter(gl)
             top = max(grams.values())
             if top < 2:  # a gram seen once is not repetition
                 vals.append(0.0)
                 continue
-            best = min(g for g, c in grams.items() if c == top)
+            best = min(
+                " ".join(words[i : i + n])
+                for i, g in enumerate(gl)
+                if grams[g] == top
+            )
             chars = (len(best) - (n - 1)) * top
             vals.append(_half_up_f(chars / total))
         for n in dup_ns:
-            gl = [
-                " ".join(words[i : i + n])
-                for i in range(len(words) - n + 1)
-            ]
+            gl = list(zip(*(ids[i:] for i in range(n))))
             if not gl or total == 0:
                 vals.append(0.0)
                 continue
             counts = Counter(gl)
-            covered = [False] * len(words)
+            dup = {g for g, c in counts.items() if c >= 2}
+            # position-coverage union via merged runs over the
+            # ascending start positions (each char counted once)
+            chars = 0
+            end = 0
             for i, g in enumerate(gl):
-                if counts[g] >= 2:
-                    covered[i : i + n] = [True] * n
-            chars = sum(l for l, c in zip(lens, covered) if c)
+                if g in dup:
+                    s = i if i >= end else end
+                    e = i + n
+                    if e > s:
+                        chars += plens[e] - plens[s]
+                    if e > end:
+                        end = e
             vals.append(_half_up_f(chars / total))
         return vals
 

@@ -302,6 +302,23 @@ at 7.7 from the preceding full suite read every CHAIN row at pin
 level (corpus_chain 11.0, modern_chain 9.4, ul2 18.65, sft 3.9) with
 the relational rows in the documented load-inflation band — the
 config changes no benched plan.
+Round-15 OPTIMIZATION-round session pins (the host ran 2-3x SLOWER
+than the build-round pins at identical code all session — compare the
+two same-session runs, not the absolute values; raw JSONs committed
+at plans/r15/bench_session_{baseline,after}.json): baseline median →
+after median at comparable load: ul2_10x 41.9 → 6.8 (denoiser
+merged-runs algebra + single-eval pack_documents meta pass),
+pack_docs_10x 12.2 → 4.0, pack_bins_10x 5.3 → 2.9, sft_pack_10x
+6.7 → 3.7 (filters folded into the FFD instead of the plan),
+q_semantic_openie 50.5 → 28.1 (adaptive profile-kernel thread pool),
+corpus_chain_10x 18.6 → 10.6, modern_chain_10x 16.7 → 11.5 (span
+excision merged-runs), gopher_full_10x 12.3 → 4.0 (partly host
+variance — the isolated kernel win is ~15%), total 211.4 → 106.8.
+A quiet-host confirmation run (start load 0.10,
+plans/r15/bench_quiet_confirm.json) reproduced the after-state at
+total 101.1 (ul2 6.85, pack_docs 5.19, pack_bins 3.08, sft 4.36,
+gopher 4.16, relational 4.10).
+Tokens unchanged (6718 / 29640); full sweep 151/151 before AND after.
 """
 
 from __future__ import annotations

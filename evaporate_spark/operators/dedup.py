@@ -820,12 +820,22 @@ def _semdedup_dropped(
         ranks = pdf["_rank"].to_numpy()
         drop = np.zeros(n, dtype=bool)
         step = 1024
+        # tile BOTH axes: the similarity block is step × step (≤ 8 MB)
+        # instead of step × cluster, so a skewed 1e6-row cluster peaks
+        # at tile cost, not an 8 GB row-stripe; per-element rounding
+        # makes the result tiling-invariant
         for lo in range(0, n, step):
             hi = min(lo + step, n)
-            s = vn[lo:hi] @ vn.T  # (chunk, n)
-            s = np.floor(s * 1e6 + 0.5) / 1e6
-            hit = (s >= thr) & (ranks[None, :] < ranks[lo:hi, None])
-            drop[lo:hi] = hit.any(axis=1)
+            row_hit = np.zeros(hi - lo, dtype=bool)
+            for jlo in range(0, n, step):
+                jhi = min(jlo + step, n)
+                s = vn[lo:hi] @ vn[jlo:jhi].T  # (tile, tile)
+                s = np.floor(s * 1e6 + 0.5) / 1e6
+                hit = (s >= thr) & (
+                    ranks[None, jlo:jhi] < ranks[lo:hi, None]
+                )
+                row_hit |= hit.any(axis=1)
+            drop[lo:hi] = row_hit
         return pd.DataFrame({"_did": pdf["_id"].to_numpy()[drop]})
 
     return (

@@ -203,28 +203,44 @@ def _plan_attribute(
             df_.unpersist(False)
         return ProfileResult(attribute, None, dropped=True, gold_key=gold_key)
 
-    # PREDICT: gold votes (direct LLM on sample) + function synthesis
-    gold_votes = direct_extract(
-        sample_chunks,
-        attribute,
-        gold_client,
-        voter_name=gold_key,
-        collecting_preds=True,
-        max_tokens=cfg.max_extract_tokens,
-        cache_dir=cfg.cache_dir,
-        token_accumulator=tokens,
-    )
-    gold_rows = gold_votes.collect()  # train_size rows
-    gold_map = _pick_gold_values(gold_rows, attribute, gold_client, tokens)
+    # PREDICT: gold votes (direct LLM on sample) + function synthesis.
+    # The two legs read only the persisted sample_chunks and share no
+    # other state, so they run as two concurrent driver jobs (the
+    # scheduler interleaves their tiny stages; with a real LLM backend
+    # the request latencies overlap). Results are order-independent:
+    # each leg fully materializes its own frame and the token
+    # accumulator is commutative.
+    def _gold_leg() -> dict[str, str]:
+        gold_votes = direct_extract(
+            sample_chunks,
+            attribute,
+            gold_client,
+            voter_name=gold_key,
+            collecting_preds=True,
+            max_tokens=cfg.max_extract_tokens,
+            cache_dir=cfg.cache_dir,
+            token_accumulator=tokens,
+        )
+        gold_rows = gold_votes.collect()  # train_size rows
+        return _pick_gold_values(gold_rows, attribute, gold_client, tokens)
 
-    functions, _promptsource = synthesize_functions(
-        sample_chunks,
-        attribute,
-        client,
-        max_tokens=cfg.max_synth_tokens,
-        cache_dir=cfg.cache_dir,
-        token_accumulator=tokens,
-    )
+    def _synth_leg():
+        return synthesize_functions(
+            sample_chunks,
+            attribute,
+            client,
+            max_tokens=cfg.max_synth_tokens,
+            cache_dir=cfg.cache_dir,
+            token_accumulator=tokens,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _predict_pool:
+        _gold_fut = _predict_pool.submit(_gold_leg)
+        _synth_fut = _predict_pool.submit(_synth_leg)
+        gold_map = _gold_fut.result()
+        functions, _promptsource = _synth_fut.result()
 
     # sibling dir, NOT a subdir: a nested dir inside the prompt cache
     # would pollute that parquet directory's file listing

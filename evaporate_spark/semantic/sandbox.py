@@ -50,6 +50,21 @@ from evaporate_spark.semantic.values import (
 VOTES_SCHEMA = "path string, voter string, value string"
 
 
+def _widen_for_python(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow frame up to the session's
+    default parallelism before a Python-heavy ``mapInPandas`` pass.
+
+    A small lake (one parquet file → one input split) would otherwise
+    run the whole sandbox pass on a single core; at warehouse scale the
+    input already has ≥ cores splits and this is a no-op. Votes are
+    per-row, so the result is partitioning-invariant (the 2-timeout
+    circuit breaker stays per task either way, as documented)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def function_field_name(attribute: str) -> str:
     """Attribute → identifier used in the synthesized function name
     (``reference/evaporate/profiler.py:350-351``)."""
@@ -421,7 +436,7 @@ def run_functions_multi(
 
     multi_schema = "path string, attribute string, voter string, value string"
     if cache_dir is None:
-        return contents.select(path_col, content_col).mapInPandas(
+        return _widen_for_python(contents.select(path_col, content_col)).mapInPandas(
             apply_partition, schema=multi_schema
         )
 
@@ -483,7 +498,7 @@ def run_functions_multi(
         misses = distinct_fp.join(full, "_fp", "left_anti")
 
     fresh = (
-        misses.withColumnRenamed("_fp", path_col)
+        _widen_for_python(misses.withColumnRenamed("_fp", path_col))
         .mapInPandas(apply_partition, schema=multi_schema)
         .withColumnRenamed("path", "fp")
         .localCheckpoint(eager=True)
@@ -572,7 +587,7 @@ def run_functions(
                 runner.close()
 
     if cache_dir is None:
-        return contents.select(path_col, content_col).mapInPandas(
+        return _widen_for_python(contents.select(path_col, content_col)).mapInPandas(
             apply_partition, schema=VOTES_SCHEMA
         )
 
@@ -608,7 +623,7 @@ def run_functions(
     # compute per distinct content (exact-dup docs execute once), then
     # materialize exactly once (see llm.apply on why localCheckpoint)
     fresh = (
-        misses.withColumnRenamed("_fp", path_col)
+        _widen_for_python(misses.withColumnRenamed("_fp", path_col))
         .mapInPandas(apply_partition, schema=VOTES_SCHEMA)
         .withColumnRenamed("path", "fp")
         .localCheckpoint(eager=True)

@@ -1,0 +1,49 @@
+"""Isolate merges-mode pack_bins over the 10x table (noop sink).
+
+Usage: PYTHONPATH=/root/repo python scripts/iso_pack_bins_merges.py [reps]
+Prints one JSON line with per-rep seconds. The BPE merges are trained
+once outside the timed region (a real trainer reuses a persisted
+tokenizer; the measurement prices the pack, not train_bpe).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from evaporate_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
+    import bench
+
+    from evaporate_spark.operators.bpe import train_bpe
+    from evaporate_spark.operators.packing import pack_bins
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(base, "text", num_merges=200, lossless=True)
+    docs = spark.read.parquet(bench._corpus_10x_dir(spark, sf_dir)).select(
+        "doc_id", "text"
+    )
+    times = []
+    for i in range(reps):
+        spark.sparkContext.setJobDescription(f"iso pack_bins merges rep{i}")
+        t0 = time.monotonic()
+        out = pack_bins(
+            docs, "doc_id", "text", seq_len=512, seed="bench", merges=merges
+        )
+        out.write.format("noop").mode("overwrite").save()
+        times.append(round(time.monotonic() - t0, 3))
+    print(json.dumps({"metric": "iso_pack_bins_merges", "times": times}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Isolate one registry query with the noop sink (guide §1.4).
+
+Usage: PYTHONPATH=/root/repo python scripts/iso_query.py q_name [reps]
+Honors SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1). Prints one
+JSON line with per-rep seconds; also writes the formatted plan to
+/tmp/iso_<name>_plan.txt.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from evaporate_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    name = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark()
+    import __spark_entry__ as e
+
+    fn = e.queries()[name]
+    times = []
+    for i in range(reps):
+        spark.sparkContext.setJobDescription(f"iso {name} rep{i}")
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times.append(round(time.monotonic() - t0, 3))
+    # re-build once for the plan capture (plan build is cheap for
+    # non-eager queries; eager ones re-run their build jobs)
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    with open(f"/tmp/iso_{name}_plan.txt", "w") as f:
+        f.write(plan)
+    print(json.dumps({"metric": f"iso_{name}", "times": times}))
+
+
+if __name__ == "__main__":
+    main()

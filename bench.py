@@ -319,6 +319,11 @@ plans/r15/bench_quiet_confirm.json) reproduced the after-state at
 total 101.1 (ul2 6.85, pack_docs 5.19, pack_bins 3.08, sft 4.36,
 gopher 4.16, relational 4.10).
 Tokens unchanged (6718 / 29640); full sweep 151/151 before AND after.
+Late-round addition (plans/r15/bench_post_change10.json): the
+q_dup_passage_stats single-scan rewrite (one corpus scan + reused
+(h,id) exchange instead of two scans + a window-row join) — stash-
+toggled A/B warm medians ~3.9 → ~2.6 s; full-bench row 4.84 → 3.04 on
+a rising-load host; sweep 151/151 after.
 """
 
 from __future__ import annotations

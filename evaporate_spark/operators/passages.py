@@ -183,21 +183,44 @@ def dup_passage_stats(
 ) -> DataFrame:
     """Per-document summary ``(id, n_windows, n_dup_windows,
     dup_window_frac)`` — the filter statistic (drop or trim documents
-    dominated by cross-document boilerplate)."""
+    dominated by cross-document boilerplate).
+
+    Single-scan shape: the summary only needs per-``(h, id)`` window
+    COUNTS, never the window rows back, so the corpus is scanned (and
+    the windows hashed) ONCE into the ``(h, id) → count`` aggregate;
+    the hot-hash side is a second, skew-safe (partial-aggregated)
+    rollup of that same aggregate, and Catalyst reuses the one
+    ``(h, id)`` exchange for both consumers. The re-attach join ships
+    only distinct hashes with their doc counts (AQE broadcasts it when
+    small, and its skew handling applies otherwise) — the double scan
+    documented in the module docstring remains only where per-window
+    rows are genuinely needed (``dup_passages``)."""
     wins = passage_windows(df, id_col, text_col, window, stride, anchor)
+    # `_c` is sum(1), not count(1): sum is NULLABLE, so the hot
+    # rollup's count("_c") below cannot be rewritten to count(1) and
+    # column-pruned — which would specialize the hot subtree to a
+    # distinct-only aggregate and break exchange reuse. With the
+    # nullable sum both consumers plan the IDENTICAL (h, id) aggregate
+    # subtree and ReusedExchange fires: one corpus scan + one window
+    # shuffle at runtime. Values are unchanged (groups are never
+    # empty, so sum(1) == count(1) row for row).
+    byh = wins.groupBy("h", "id").agg(F.sum(F.lit(1)).alias("_c"))
     hot = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("id").alias("n_docs"))
+        byh.groupBy("h")
+        .agg(F.count("_c").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
-    flagged = wins.join(hot, "h", "left")
+    flagged = byh.join(hot, "h", "left")
+    dup_c = F.when(F.col("n_docs").isNotNull(), F.col("_c")).otherwise(
+        F.lit(0).cast("bigint")
+    )
     return flagged.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.col("n_docs").isNotNull().cast("int")).alias("n_dup_windows"),
+        F.sum("_c").alias("n_windows"),
+        F.sum(dup_c).alias("n_dup_windows"),
         (
             F.floor(
-                F.sum(F.col("n_docs").isNotNull().cast("int")).cast("double")
-                / F.count(F.lit(1))
+                F.sum(dup_c).cast("double")
+                / F.sum("_c")
                 * 10000
                 + F.lit(0.5)
             )

@@ -324,6 +324,10 @@ q_dup_passage_stats single-scan rewrite (one corpus scan + reused
 (h,id) exchange instead of two scans + a window-row join) — stash-
 toggled A/B warm medians ~3.9 → ~2.6 s; full-bench row 4.84 → 3.04 on
 a rising-load host; sweep 151/151 after.
+End-of-round quiet run (start load 0.03, plans/r15/bench_final.json):
+total 98.26 — relational 3.30, ul2 7.67, pack_docs 4.33, pack_bins
+3.19, sft 4.31, gopher 3.47, dup_passage_stats 2.83, corpus_chain
+11.74, modern_chain 12.64, openie 24.78.
 """
 
 from __future__ import annotations

@@ -205,9 +205,17 @@ class EvaporateData:
         subprocesses, so the wall is round-trip latency, not CPU —
         measured 69 s → 34 s at 4 → 12 threads on the sf0.1 OpenIE
         row, identical results (kernels are independent and
-        deterministic; pool.map preserves order)."""
+        deterministic; pool.map preserves order).
+
+        NOTE: a wider pool also widens concurrent in-flight LLM
+        requests and sandbox subprocesses; against a real rate-limited
+        backend set ``$SPARK_GRAFT_PROFILE_PARALLEL`` (or pass
+        ``max_parallel``) to match the backend's limits."""
         if max_parallel is None:
-            max_parallel = min(16, os.cpu_count() or 4)
+            env = os.environ.get("SPARK_GRAFT_PROFILE_PARALLEL")
+            max_parallel = (
+                int(env) if env else min(16, os.cpu_count() or 4)
+            )
         discovered = attributes is None
         if attributes is None:
             if topic is None:
@@ -239,23 +247,28 @@ class EvaporateData:
                     )
                 )
         if validity_check and topic is not None:
-            kept = []
-            for r in results:
+            # per-attribute checks are independent (each reads its own
+            # persisted extractions + makes its own LLM probes), so run
+            # them through the same pool instead of a sequential loop
+            # of 2-3 tiny driver actions per attribute (guide §2.6)
+            def _keep(r: ProfileResult) -> bool:
                 if r.extractions is None:
-                    continue
+                    return False
                 fraction = next(
                     (m["extraction_fraction"] for m in r.metrics.values()), 1.0
                 )
-                if check_remove_attribute(
+                return check_remove_attribute(
                     r.extractions,
                     r.attribute,
                     topic,
                     self.gold_client,
                     fraction,
                     train_values=list(r.train_gold.values()) or None,
-                ):
-                    kept.append(r)
-            results = kept
+                )
+
+            with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+                keep_flags = list(pool.map(_keep, results))
+            results = [r for r, k in zip(results, keep_flags) if k]
         if discovered:
             # attribute dedup is an OPENIE cleanup for machine-discovered
             # schemas; explicitly requested (ClosedIE) attributes are

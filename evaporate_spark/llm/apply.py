@@ -84,6 +84,8 @@ def llm_map(
     err_col: str | None = None,
     breaker_threshold: int = 10,
     api_keys: list[str] | None = None,
+    group_col: str | None = None,
+    token_accumulators: dict | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = client completion of ``prompt_col``.
 
@@ -130,9 +132,16 @@ def llm_map(
 
     spark = df.sparkSession
     keyed = df.withColumn("_ck", _cache_key(client.name, F.col(prompt_col), max_tokens))
-    distinct_prompts = keyed.select("_ck", F.col(prompt_col).alias("_prompt")).dropDuplicates(
-        ["_ck"]
-    )
+    # group_col + token_accumulators: per-group token accounting for
+    # BATCHED calls (one llm_map over several attributes' prompts) —
+    # each distinct prompt's tokens are added to its group's
+    # accumulator, exactly what per-group llm_map calls would count
+    # (callers guarantee prompts never collide across groups, so the
+    # distinct set of the union equals the union of distinct sets)
+    grp_cols = [F.col(group_col).alias("_grp")] if group_col else []
+    distinct_prompts = keyed.select(
+        "_ck", F.col(prompt_col).alias("_prompt"), *grp_cols
+    ).dropDuplicates(["_ck"])
 
     cached: DataFrame | None = None
     if cache_dir is not None:
@@ -200,6 +209,14 @@ def llm_map(
             ]
             if token_accumulator is not None:
                 token_accumulator.add(int(sum(ntoks)))
+            if token_accumulators is not None and "_grp" in pdf.columns:
+                grp_sums: dict = {}
+                for g, nt in zip(pdf["_grp"], ntoks):
+                    grp_sums[g] = grp_sums.get(g, 0) + nt
+                for g, s in grp_sums.items():
+                    acc = token_accumulators.get(g)
+                    if acc is not None and s:
+                        acc.add(int(s))
             yield pdf.assign(_completion=outs, _ntok=ntoks, _err=errs)[
                 ["_ck", "_completion", "_ntok", "_err"]
             ]
@@ -239,22 +256,26 @@ def llm_map(
                 F.lit(None).cast("string").alias("_err"),
             )
         )
-    # the cached leg's lazy scan may re-list the directory AFTER this
-    # call's own append (a later llm_map on the same dir refreshes the
-    # listing), in which case miss keys would appear in both legs.
-    # Dedup with an explicit priority — successes before errored rows —
-    # so a fresh '' + _err row can never shadow a good cached
-    # completion (arbitrary dropDuplicates could pick either)
-    from pyspark.sql.window import Window
+        # the cached leg's lazy scan may re-list the directory AFTER
+        # this call's own append (a later llm_map on the same dir
+        # refreshes the listing), in which case miss keys would appear
+        # in both legs. Dedup with an explicit priority — successes
+        # before errored rows — so a fresh '' + _err row can never
+        # shadow a good cached completion (arbitrary dropDuplicates
+        # could pick either). Without a cache leg the answers frame is
+        # the checkpointed misses alone — already distinct on _ck by
+        # construction — so the window (a whole extra shuffle on every
+        # downstream consumption) is skipped (guide §2.4).
+        from pyspark.sql.window import Window
 
-    pick_first = Window.partitionBy("_ck").orderBy(
-        F.col("_err").isNotNull().cast("int")
-    )
-    answers = (
-        answers.withColumn("_rn", F.row_number().over(pick_first))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+        pick_first = Window.partitionBy("_ck").orderBy(
+            F.col("_err").isNotNull().cast("int")
+        )
+        answers = (
+            answers.withColumn("_rn", F.row_number().over(pick_first))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     out = (
         keyed.join(answers, "_ck", "left")

@@ -125,6 +125,134 @@ def _finalize_udf():
     return _finalize
 
 
+def direct_extract_multi(
+    chunks_by_attr: dict[str, DataFrame],
+    client: LLMClient,
+    voter_name: str | None = None,
+    zero_shot: bool = False,
+    collecting_preds: bool = False,
+    max_tokens: int = 100,
+    cache_dir: str | None = None,
+    token_accumulators: dict | None = None,
+) -> DataFrame:
+    """Batched :func:`direct_extract` over SEVERAL attributes' chunk
+    frames: each pass (main / trim-retry / fallback) is ONE ``llm_map``
+    call instead of one per attribute — the multi-attribute sample
+    stage was dominated by per-call driver round trips (every llm_map
+    is an eager materialize job plus a cache join; guide §2.6), not by
+    LLM work. Output: votes(attribute, path, voter, value, candidates),
+    row-identical per attribute to separate ``direct_extract`` calls —
+    prompts embed the attribute name, so the union's distinct-prompt
+    set (and with ``token_accumulators``, each attribute's token count)
+    equals the per-attribute runs'."""
+    template = (EXTRACT_ZERO_SHOT if zero_shot else EXTRACT_WITH_CONTEXT)[0]
+    limited = getattr(client, "max_context_tokens", None) is not None
+
+    def one_pass(
+        chunk_frames: dict[str, DataFrame],
+        tmpl: str,
+        prompt_idx: int,
+        err_col: str | None = None,
+    ) -> DataFrame:
+        frames = []
+        for attr, ch in sorted(chunk_frames.items()):
+            filled = tmpl.replace("{attribute}", attr)
+            pre, post = filled.split("{chunk}")
+            frames.append(
+                ch.select(
+                    F.lit(attr).alias("_attr"),
+                    "path",
+                    "chunk_id",
+                    F.concat(F.lit(pre), F.col("chunk"), F.lit(post)).alias(
+                        "prompt"
+                    ),
+                )
+            )
+        prompts = frames[0]
+        for f_ in frames[1:]:
+            prompts = prompts.unionByName(f_)
+        done = llm_map(
+            prompts,
+            client,
+            cache_dir=cache_dir,
+            max_tokens=max_tokens,
+            group_col="_attr",
+            token_accumulators=token_accumulators,
+            err_col=err_col,
+        )
+        cols = [
+            F.col("_attr"),
+            F.col("path"),
+            F.col("chunk_id"),
+            F.lit(prompt_idx).alias("prompt_idx"),
+            _parse_completion().alias("extraction"),
+        ]
+        if err_col is not None:
+            cols.append(F.col(err_col))
+        return done.select(*cols)
+
+    parsed = one_pass(
+        chunks_by_attr, template, 0, err_col="_llm_err" if limited else None
+    )
+    if limited:
+        failed = parsed.where(F.col("_llm_err") == "context_length").select(
+            "_attr", "path", "chunk_id"
+        )
+        ok = parsed.where(
+            F.col("_llm_err").isNull() | (F.col("_llm_err") != "context_length")
+        ).drop("_llm_err")
+        trimmed_by_attr = {
+            attr: ch.join(
+                failed.where(F.col("_attr") == attr).select("path", "chunk_id"),
+                ["path", "chunk_id"],
+                "left_semi",
+            ).withColumn("chunk", _trim_chunk_udf(attr)(F.col("chunk")))
+            for attr, ch in sorted(chunks_by_attr.items())
+        }
+        retried = one_pass(trimmed_by_attr, template, 0)
+        parsed = ok.unionByName(retried)
+
+    if collecting_preds:
+        non_empty = F.size(F.filter("extraction", lambda x: x != "")) > 0
+        got_nothing = (
+            parsed.groupBy("_attr", "path")
+            .agg(F.max(non_empty.cast("int")).alias("_any"))
+            .where(F.col("_any") == 0)
+            .select("_attr", "path")
+        )
+        retry_by_attr = {
+            attr: ch.join(
+                got_nothing.where(F.col("_attr") == attr).select("path"),
+                "path",
+                "left_semi",
+            )
+            for attr, ch in sorted(chunks_by_attr.items())
+        }
+        fallback = one_pass(retry_by_attr, EXTRACT_FALLBACK[0], 1)
+        parsed = parsed.unionByName(fallback)
+
+    ordered_lists = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("chunk_id", "prompt_idx", "extraction"))
+        ),
+        lambda s: s["extraction"],
+    )
+    agg = parsed.groupBy("_attr", "path").agg(ordered_lists.alias("_lists"))
+    out = agg.select(
+        "_attr",
+        "path",
+        F.lit(voter_name or client.name).alias("voter"),
+        _finalize_udf()(F.col("_attr"), F.col("_lists")).alias("_fin"),
+    )
+    return out.select(
+        F.col("_attr").alias("attribute"),
+        "path",
+        "voter",
+        "_fin.value",
+        "_fin.candidates",
+    )
+
+
 def direct_extract(
     chunks: DataFrame,
     attribute: str,

@@ -107,6 +107,19 @@ def _pick_gold_values(
     return out
 
 
+class _DriverTokenCounter:
+    """Driver-side token tally added to a Spark accumulator ONCE after
+    the concurrent legs resolve: pyspark Accumulator.add is a
+    non-atomic read-modify-write, so a driver-thread add racing the
+    accumulator server thread's task updates could drop a count."""
+
+    def __init__(self) -> None:
+        self.total = 0
+
+    def add(self, n: int) -> None:
+        self.total += int(n)
+
+
 @dataclass
 class _PlanState:
     """Sample-stage output waiting for its lake pass (internal)."""
@@ -210,6 +223,8 @@ def _plan_attribute(
     # the request latencies overlap). Results are order-independent:
     # each leg fully materializes its own frame and the token
     # accumulator is commutative.
+    _gold_driver_tokens = _DriverTokenCounter()
+
     def _gold_leg() -> dict[str, str]:
         gold_votes = direct_extract(
             sample_chunks,
@@ -222,7 +237,9 @@ def _plan_attribute(
             token_accumulator=tokens,
         )
         gold_rows = gold_votes.collect()  # train_size rows
-        return _pick_gold_values(gold_rows, attribute, gold_client, tokens)
+        return _pick_gold_values(
+            gold_rows, attribute, gold_client, _gold_driver_tokens
+        )
 
     def _synth_leg():
         return synthesize_functions(
@@ -241,6 +258,10 @@ def _plan_attribute(
         _synth_fut = _predict_pool.submit(_synth_leg)
         gold_map = _gold_fut.result()
         functions, _promptsource = _synth_fut.result()
+    if _gold_driver_tokens.total:
+        # both legs' Spark jobs have completed, so no server-thread
+        # update can interleave with this one driver-side add
+        tokens.add(_gold_driver_tokens.total)
 
     # sibling dir, NOT a subdir: a nested dir inside the prompt cache
     # would pollute that parquet directory's file listing
@@ -456,6 +477,219 @@ def _apply_combine(
     )
 
 
+def _plan_attributes_batched(
+    docs: DataFrame,
+    attributes: list[str],
+    client: LLMClient,
+    cfg: ProfileConfig,
+    gold_client: LLMClient | None,
+    chunks: DataFrame | None,
+    extra_clients: list[LLMClient] | None,
+) -> "list[_PlanState | ProfileResult]":
+    """PREDICT + SCORE for MANY attributes with BATCHED sample-stage
+    passes: where the per-attribute planner issues ~8 tiny driver
+    actions per attribute (emptiness probe, gold extract + fallback,
+    two synthesis prompts, sample function votes — each an eager
+    llm_map/collect round trip, ~0.5-2 s of pure job overhead apiece
+    on local mode and one network round trip each against a real
+    backend), this planner runs ONE action per KERNEL across every
+    attribute (guide §2.6/§1.2: fewer driver round trips, same work).
+    Per-attribute votes, metrics, selections, and token counts are
+    identical to the per-attribute path: prompts embed the attribute
+    name so batched dedup/caching/token grouping decompose exactly,
+    and scoring stays per attribute on the driver."""
+    from collections import defaultdict
+
+    from evaporate_spark.semantic.extraction import direct_extract_multi
+    from evaporate_spark.semantic.sandbox import run_functions_multi
+    from evaporate_spark.semantic.synthesis import synthesize_functions_multi
+
+    gold_client = gold_client or client
+    gold_key = gold_client.name
+    model_clients = {
+        c.name: c for c in (extra_clients or []) if c.name != gold_key
+    }
+    spark = docs.sparkSession
+    attrs = [a.lower() for a in attributes]
+    if chunks is None:
+        chunks = chunk_documents(
+            docs, cfg.chunk_size, cfg.html_remove_tables, cfg.html_body_only
+        )
+
+    tokens = {a: spark.sparkContext.accumulator(0) for a in attrs}
+    filtered = {
+        a: filter_chunks_for_attribute(chunks, a).persist() for a in attrs
+    }
+    # per-attribute sample copies (not one shared frame): _apply_combine
+    # unpersists its attribute's sample when that attribute finishes,
+    # which must not evict a frame other attributes still read
+    sample = {
+        a: sample_documents(docs, cfg.train_size, cfg.seed).persist()
+        for a in attrs
+    }
+    sample_paths = {a: sample[a].select("path") for a in attrs}
+    sample_chunks = {
+        a: filtered[a].join(sample_paths[a], "path", "left_semi").persist()
+        for a in attrs
+    }
+
+    # batched emptiness probe: ONE job unions every attribute's 1-row
+    # head (also materializing the sample_chunks persists) instead of
+    # one limit(1).count() job per attribute
+    heads = [
+        sample_chunks[a].select(F.lit(a).alias("_attr")).limit(1)
+        for a in attrs
+    ]
+    probe = heads[0]
+    for h in heads[1:]:
+        probe = probe.unionByName(h)
+    with_chunks = {r["_attr"] for r in probe.collect()}
+    live = [a for a in attrs if a in with_chunks]
+    live_chunks = {a: sample_chunks[a] for a in live}
+
+    # PREDICT: batched gold chain ∥ batched synthesis (the same two
+    # independent legs as the per-attribute planner, §2.6)
+    gold_driver_tokens = {a: _DriverTokenCounter() for a in live}
+
+    def _gold_chain() -> dict[str, dict[str, str]]:
+        votes = direct_extract_multi(
+            live_chunks,
+            gold_client,
+            voter_name=gold_key,
+            collecting_preds=True,
+            max_tokens=cfg.max_extract_tokens,
+            cache_dir=cfg.cache_dir,
+            token_accumulators=tokens,
+        )
+        by_attr: dict[str, list] = defaultdict(list)
+        for row in votes.collect():
+            by_attr[row["attribute"]].append(row)
+        return {
+            a: _pick_gold_values(
+                by_attr.get(a, []), a, gold_client, gold_driver_tokens[a]
+            )
+            for a in live
+        }
+
+    def _synth_leg():
+        return synthesize_functions_multi(
+            live_chunks,
+            client,
+            max_tokens=cfg.max_synth_tokens,
+            cache_dir=cfg.cache_dir,
+            token_accumulators=tokens,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _predict_pool:
+        _gold_fut = _predict_pool.submit(_gold_chain)
+        _synth_fut = _predict_pool.submit(_synth_leg)
+        gold_maps = _gold_fut.result()
+        synth_out = _synth_fut.result()
+    for a in live:
+        if gold_driver_tokens[a].total:
+            tokens[a].add(gold_driver_tokens[a].total)
+
+    fn_cache = f"{cfg.cache_dir.rstrip('/')}_fn" if cfg.cache_dir else None
+
+    # candidate functions on the SAMPLE: one multi-attribute pass (the
+    # per-attribute path runs one run_functions job per attribute; the
+    # fnset cache hash is per attribute in both, so caches interoperate)
+    cand_by_attr = {a: synth_out[a][0] for a in live if synth_out[a][0]}
+    sample_fn_rows: list = []
+    if cand_by_attr:
+        any_sample = sample[next(iter(cand_by_attr))]
+        sample_fn_rows = run_functions_multi(
+            any_sample, cand_by_attr, cache_dir=fn_cache, mode=cfg.sandbox_mode
+        ).collect()
+
+    # model voters (§2A#25): one batched extract pass per extra client
+    model_rows_by_client: dict[str, list] = {}
+    for mc in model_clients.values():
+        model_rows_by_client[mc.name] = direct_extract_multi(
+            live_chunks,
+            mc,
+            voter_name=mc.name,
+            collecting_preds=True,
+            max_tokens=cfg.max_extract_tokens,
+            cache_dir=cfg.cache_dir,
+            token_accumulators=tokens,
+        ).collect()
+
+    # SCORE + top-k per attribute (driver-side, unchanged semantics)
+    planned: list[_PlanState | ProfileResult] = []
+    for a in attrs:
+        if a not in with_chunks:
+            for df_ in (filtered[a], sample[a], sample_chunks[a]):
+                df_.unpersist(False)
+            planned.append(
+                ProfileResult(a, None, dropped=True, gold_key=gold_key)
+            )
+            continue
+        gold_map = gold_maps[a]
+        functions, _promptsource = synth_out[a]
+        votes: dict[str, dict[str, str]] = {gold_key: gold_map}
+        for row in sample_fn_rows:
+            if row["attribute"] == a:
+                votes.setdefault(row["voter"], {})[row["path"]] = row["value"]
+        for name, rows in model_rows_by_client.items():
+            votes[name] = {
+                r["path"]: r["value"] for r in rows if r["attribute"] == a
+            }
+        metrics = evaluate_voters(
+            votes,
+            gold_key,
+            a,
+            combiner_mode=cfg.combiner_mode,
+            extraction_fraction_thresh=cfg.extraction_fraction_thresh,
+            use_abstention=cfg.use_abstention,
+        )
+        selected = select_topk(
+            metrics,
+            gold_key,
+            k=cfg.num_top_k_scripts,
+            do_end_to_end=cfg.do_end_to_end,
+            keep_thresh=cfg.keep_thresh,
+            function_keys=set(functions),
+        )
+        extraction_fraction = next(
+            (m["extraction_fraction"] for m in metrics.values()), 0.0
+        )
+        if not selected and cfg.do_end_to_end:
+            for df_ in (filtered[a], sample[a], sample_chunks[a]):
+                df_.unpersist(False)
+            planned.append(
+                ProfileResult(
+                    a, None, metrics, [], functions, gold_key, dropped=True,
+                    total_tokens=tokens[a].value, train_gold=gold_map,
+                )
+            )
+            continue
+        planned.append(
+            _PlanState(
+                attribute=a,
+                cfg=cfg,
+                client=client,
+                gold_client=gold_client,
+                model_clients=model_clients,
+                tokens=tokens[a],
+                filtered=filtered[a],
+                sample=sample[a],
+                sample_paths=sample_paths[a],
+                sample_chunks=sample_chunks[a],
+                gold_map=gold_map,
+                functions=functions,
+                fn_cache=fn_cache,
+                metrics=metrics,
+                selected=selected,
+                extraction_fraction=extraction_fraction,
+                gold_key=gold_key,
+            )
+        )
+    return planned
+
+
 def profile_attributes_single_scan(
     docs: DataFrame,
     attributes: list[str],
@@ -486,15 +720,26 @@ def profile_attributes_single_scan(
     from evaporate_spark.semantic.sandbox import run_functions_multi
 
     cfg = config or ProfileConfig()
-    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
-        planned = list(
-            pool.map(
-                lambda a: _plan_attribute(
-                    docs, a, client, cfg, gold_client, chunks, extra_clients
-                ),
-                attributes,
-            )
+    if len(set(a.lower() for a in attributes)) == len(attributes):
+        # batched sample stage: one driver action per KERNEL across all
+        # attributes instead of ~8 tiny actions per attribute — votes,
+        # metrics, and per-attribute token counts identical (see
+        # _plan_attributes_batched)
+        planned = _plan_attributes_batched(
+            docs, attributes, client, cfg, gold_client, chunks, extra_clients
         )
+    else:
+        # duplicate attribute names: keep the independent per-attribute
+        # planners (each duplicate gets its own persisted frames)
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            planned = list(
+                pool.map(
+                    lambda a: _plan_attribute(
+                        docs, a, client, cfg, gold_client, chunks, extra_clients
+                    ),
+                    attributes,
+                )
+            )
     fns_by_attr = {
         st.attribute: {k: st.functions[k] for k in st.selected if k in st.functions}
         for st in planned

@@ -28,6 +28,75 @@ from evaporate_spark.semantic.sandbox import (
 )
 
 
+def synthesize_functions_multi(
+    chunks_by_attr: dict[str, "DataFrame"],
+    client: LLMClient,
+    max_tokens: int = 500,
+    cache_dir: str | None = None,
+    token_accumulators: dict | None = None,
+) -> dict[str, tuple[dict[str, str], dict[str, int]]]:
+    """Batched :func:`synthesize_functions` over several attributes:
+    ONE llm_map + ONE collect for every (attribute × template) prompt
+    set instead of one call per attribute (guide §2.6 — the calls were
+    only sequential because the driver made them sequentially).
+    Returns {attr: (functions, promptsource)}, entry-identical to
+    per-attribute calls: prompts embed the attribute and function
+    field, so completions, cache keys, per-attribute token counts, and
+    the (path, chunk_id, prompt_idx)-ordered function numbering are
+    all unchanged."""
+    frames = []
+    for attr, sample_chunks in sorted(chunks_by_attr.items()):
+        field = function_field_name(attr)
+        for idx, template in enumerate(SYNTHESIZE_FUNCTION):
+            filled = (
+                template.replace("{attribute}", attr).replace(
+                    "{function_field}", field
+                )
+            )
+            pre, post = filled.split("{chunk}")
+            frames.append(
+                sample_chunks.select(
+                    F.lit(attr).alias("_attr"),
+                    "path",
+                    "chunk_id",
+                    F.lit(idx).alias("prompt_idx"),
+                    F.concat(
+                        F.lit(pre), F.col("chunk"), F.lit(post)
+                    ).alias("prompt"),
+                )
+            )
+    out: dict[str, tuple[dict[str, str], dict[str, int]]] = {
+        attr: ({}, {}) for attr in chunks_by_attr
+    }
+    if not frames:
+        return out
+    prompts = frames[0]
+    for p in frames[1:]:
+        prompts = prompts.unionByName(p)
+    all_done = llm_map(
+        prompts,
+        client,
+        cache_dir=cache_dir,
+        max_tokens=max_tokens,
+        group_col="_attr",
+        token_accumulators=token_accumulators,
+    )
+    rows = (
+        all_done.select("_attr", "path", "chunk_id", "prompt_idx", "completion")
+        .orderBy("_attr", "path", "chunk_id", "prompt_idx")
+        .collect()
+    )
+    for row in rows:
+        functions, promptsource = out[row["_attr"]]
+        script = sanitize_function_source(row["completion"], row["_attr"])
+        if script is None:
+            continue
+        key = f"function_{len(functions)}"
+        functions[key] = script
+        promptsource[key] = row["prompt_idx"]
+    return out
+
+
 def synthesize_functions(
     sample_chunks: DataFrame,
     attribute: str,
@@ -38,7 +107,15 @@ def synthesize_functions(
 ) -> tuple[dict[str, str], dict[str, int]]:
     """→ (functions: key→source, promptsource: key→template index)."""
     field = function_field_name(attribute)
-    passes = []
+    # ONE llm_map over the union of both prompt templates (was one
+    # call per template): every llm_map call is an eager materialize
+    # job plus a cache join, so merging the passes halves the
+    # sample-stage round trips (guide §2.6 — the jobs were only
+    # sequential because the driver called them sequentially). Rows,
+    # cache keys, and token counts are identical: prompts from
+    # different templates differ textually, so the distinct-prompt set
+    # of the union equals the union of the per-pass distinct sets.
+    prompt_frames = []
     for idx, template in enumerate(SYNTHESIZE_FUNCTION):
         filled = (
             template.replace("{attribute}", attribute).replace(
@@ -46,24 +123,24 @@ def synthesize_functions(
             )
         )
         pre, post = filled.split("{chunk}")
-        prompts = sample_chunks.select(
-            "path",
-            "chunk_id",
-            F.lit(idx).alias("prompt_idx"),
-            F.concat(F.lit(pre), F.col("chunk"), F.lit(post)).alias("prompt"),
-        )
-        passes.append(
-            llm_map(
-                prompts,
-                client,
-                cache_dir=cache_dir,
-                max_tokens=max_tokens,
-                token_accumulator=token_accumulator,
+        prompt_frames.append(
+            sample_chunks.select(
+                "path",
+                "chunk_id",
+                F.lit(idx).alias("prompt_idx"),
+                F.concat(F.lit(pre), F.col("chunk"), F.lit(post)).alias("prompt"),
             )
         )
-    all_done = passes[0]
-    for p in passes[1:]:
-        all_done = all_done.unionByName(p)
+    prompts = prompt_frames[0]
+    for p in prompt_frames[1:]:
+        prompts = prompts.unionByName(p)
+    all_done = llm_map(
+        prompts,
+        client,
+        cache_dir=cache_dir,
+        max_tokens=max_tokens,
+        token_accumulator=token_accumulator,
+    )
 
     rows = (
         all_done.select("path", "chunk_id", "prompt_idx", "completion")

@@ -1,0 +1,88 @@
+"""Paired A/B of the semantic rows between two checkouts (guide §1).
+
+Usage: python scripts/ab_semantic.py <repo_a> <repo_b> [rounds]
+
+Runs q_semantic_closed_ie + q_semantic_openie through iso-style timing
+in ALTERNATING subprocess sessions (A, B, A, B, ...) so host drift taxes
+both sides equally — the only valid design on this host (documented
+2-5x swings at equal loadavg). Prints one JSON line per session plus a
+final summary with per-row medians and the loadavg bracket.
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, sys.argv[1])
+os.chdir(sys.argv[1])
+from evaporate_spark.session import get_spark
+spark = get_spark(app_name="ab-semantic")
+import importlib
+e = importlib.import_module("__spark_entry__")
+q = e.queries()
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+out = {}
+for name in ("q_semantic_closed_ie", "q_semantic_openie"):
+    fn = q[name]
+    times = []
+    for i in range(3):
+        spark.sparkContext.setJobDescription(f"ab {name} rep{i}")
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times.append(round(time.monotonic() - t0, 3))
+    out[name] = times
+from evaporate_spark.plans import semantic_queries
+out["tokens"] = {
+    k: v["tokens"] for k, v in semantic_queries.LAST_SEMANTIC_STATS.items()
+}
+print("ABRESULT " + json.dumps(out))
+"""
+
+
+def run_session(repo: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    t0 = time.monotonic()
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD, repo],
+        capture_output=True, text=True, env=env, cwd=repo,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("ABRESULT "):
+            d = json.loads(line[len("ABRESULT "):])
+            d["wall"] = round(time.monotonic() - t0, 1)
+            return d
+    sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-3000:] + "\n")
+    raise RuntimeError(f"session in {repo} produced no result")
+
+
+def main() -> None:
+    repo_a, repo_b = sys.argv[1], sys.argv[2]
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    acc: dict[str, dict[str, list[float]]] = {"A": {}, "B": {}}
+    for r in range(rounds):
+        for label, repo in (("A", repo_a), ("B", repo_b)):
+            load0 = os.getloadavg()[0]
+            res = run_session(repo)
+            print(json.dumps({
+                "round": r, "side": label, "repo": repo,
+                "load_start": round(load0, 2), **res,
+            }), flush=True)
+            for k in ("q_semantic_closed_ie", "q_semantic_openie"):
+                acc[label].setdefault(k, []).extend(res[k][1:])  # warm reps
+    summary = {
+        side: {k: round(statistics.median(v), 3) for k, v in rows.items()}
+        for side, rows in acc.items()
+    }
+    print(json.dumps({"summary_warm_medians": summary,
+                      "A": repo_a, "B": repo_b}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

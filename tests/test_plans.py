@@ -263,7 +263,11 @@ def test_single_scan_profile_reads_corpus_once(spark, tmp_path, monkeypatch):
         KeyValueMockLLM(),
         pl.ProfileConfig(train_size=5, chunk_size=500),
     )
-    assert len(calls) == 1  # ONE multi-attribute function pass
+    # exactly TWO multi-attribute function passes: one over the
+    # train-size SAMPLE (the batched planner's candidate scoring) and
+    # ONE over the lake — the content-scan assertion below is the
+    # real read-corpus-once guarantee
+    assert len(calls) == 2
     long = pl.results_long(results)
     assert long is not None
 

@@ -521,17 +521,65 @@ def prepare_corpus(
 
         stages.append(("dedup", lambda d: exact_dedup(d, id_col, text_col)))
     if near_dedup:
-        from evaporate_spark.operators.clustering import dup_clusters
-        from evaporate_spark.operators.dedup import lsh_exact_dup_edges
+        from pyspark.sql import Window
+
+        from evaporate_spark.functions.text_stats import (
+            rolling_hash_shingles,
+            ws_tokens,
+        )
+        from evaporate_spark.operators.dedup import _DIGEST_SEED2, _widen
 
         def _near_dedup(d: DataFrame) -> DataFrame:
-            edges = lsh_exact_dup_edges(d, id_col, text_col)
-            clusters = dup_clusters(d, id_col, edges)
-            keepers = clusters.where(F.col("is_keeper") == 1).select(
-                F.col("id").alias(id_col),
-                F.col("component").alias("_dup_component"),
+            # Set-equality near-dup groups ARE the digest equivalence
+            # classes: lsh_exact_dup_edges' spanning edges only ever
+            # link ids sharing the 128-bit shingle-set digest, so the
+            # components the former dup_clusters(lsh_exact_dup_edges())
+            # pass computed are exactly {min id per digest group} — no
+            # edge materialization, no connected-components rounds
+            # (with their eager checkpoint + star-forest probe driver
+            # actions, each re-running this scan), no node re-join
+            # (guide §2.4: same answer, 4 fewer exchanges). Keepers,
+            # components, and kept rows are provably identical. Docs
+            # under k tokens have no digest row and stay singleton
+            # keepers via the left join's null branch; only MULTI-member
+            # groups enter the join, so the probe side is the (tiny)
+            # duplicate map and AQE broadcasts it instead of
+            # sort-merging the whole corpus (guide §3.2).
+            k = 3  # lsh_exact_dup_edges' default shingle width
+            base = _widen(
+                d.select(
+                    F.col(id_col).cast("long").alias("_nid"),
+                    F.col(text_col).alias("_ntext"),
+                ).where(F.size(ws_tokens(F.col(text_col))) >= k)
             )
-            d = d.join(keepers, id_col)
+            shg = rolling_hash_shingles(F.col("_ntext"), k)
+            sig = base.select(
+                "_nid",
+                F.xxhash64(F.array_sort(shg)).alias("_shh1"),
+                F.xxhash64(F.array_sort(shg), F.lit(_DIGEST_SEED2)).alias(
+                    "_shh2"
+                ),
+            )
+            w = Window.partitionBy("_shh1", "_shh2")
+            dupmap = (
+                sig.select(
+                    "_nid",
+                    F.min("_nid").over(w).alias("_dup_component"),
+                    F.count(F.lit(1)).over(w).alias("_gn"),
+                )
+                .where(F.col("_gn") > 1)
+                .select(F.col("_nid"), "_dup_component")
+            )
+            d = d.join(
+                dupmap, F.col(id_col).cast("long") == F.col("_nid"), "left"
+            ).drop("_nid")
+            d = d.where(
+                F.col("_dup_component").isNull()
+                | (F.col("_dup_component") == F.col(id_col).cast("long"))
+            ).withColumn(
+                "_dup_component",
+                F.coalesce("_dup_component", F.col(id_col).cast("long")),
+            )
             # the component rides to the split stage as the leakage
             # key; without a split stage it has no consumer
             return d if split_fractions is not None else d.drop(

@@ -58,11 +58,36 @@ def _widen_for_python(df: DataFrame) -> DataFrame:
     run the whole sandbox pass on a single core; at warehouse scale the
     input already has ≥ cores splits and this is a no-op. Votes are
     per-row, so the result is partitioning-invariant (the 2-timeout
-    circuit breaker stays per task either way, as documented)."""
+    circuit breaker stays per task either way, as documented).
+
+    SCAN-STAGE FRAMES ONLY: the ``.rdd`` width probe is free on a file
+    scan, but on a frame with an upstream exchange it finalizes the
+    adaptive plan and EXECUTES those shuffle stages just to read a
+    partition count — work the subsequent action repeats. Post-shuffle
+    frames (the cached-path misses) use :func:`_repartition_wide`."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _repartition_wide(df: DataFrame) -> DataFrame:
+    """Unconditional round-robin repartition for the cached-path MISSES
+    frame before its Python pass — small by construction (fingerprints
+    absent from a warm store), and probing its width via ``.rdd`` would
+    execute the dedup/anti-join shuffle stages once just to read the
+    partition count, then again for the pass itself (the r15 advisor
+    finding). An explicit-count repartition is exempt from AQE
+    coalescing, so the Python pass keeps its width even when the misses
+    byte size rounds to one coalesced partition."""
+    spark = df.sparkSession
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = 0
+    return df.repartition(
+        max(spark.sparkContext.defaultParallelism, shuffle_n)
+    )
 
 
 def function_field_name(attribute: str) -> str:
@@ -498,7 +523,7 @@ def run_functions_multi(
         misses = distinct_fp.join(full, "_fp", "left_anti")
 
     fresh = (
-        _widen_for_python(misses.withColumnRenamed("_fp", path_col))
+        _repartition_wide(misses.withColumnRenamed("_fp", path_col))
         .mapInPandas(apply_partition, schema=multi_schema)
         .withColumnRenamed("path", "fp")
         .localCheckpoint(eager=True)
@@ -623,7 +648,7 @@ def run_functions(
     # compute per distinct content (exact-dup docs execute once), then
     # materialize exactly once (see llm.apply on why localCheckpoint)
     fresh = (
-        _widen_for_python(misses.withColumnRenamed("_fp", path_col))
+        _repartition_wide(misses.withColumnRenamed("_fp", path_col))
         .mapInPandas(apply_partition, schema=VOTES_SCHEMA)
         .withColumnRenamed("path", "fp")
         .localCheckpoint(eager=True)

@@ -281,7 +281,24 @@ def pack_documents(
     # Catalyst evaluate the UDF twice per pass (pushed-filter copy +
     # projection copy — the plans/r15 q_pack_* _before plans show the
     # doubled ArrowEvalPython nodes).
-    meta = meta_src.select(*groups, id_col, "_h", "_n")
+    #
+    # ids/merges modes CARRY the token arrays through the meta pass:
+    # the Arrow BPE encode is the chain's most expensive kernel, and
+    # the lean-meta shape evaluated it twice — once under this persist
+    # (for _n) and once on the payload side of the join-back. Riding
+    # _t through the persist + offsets checkpoint makes the payload
+    # side read the checkpoint directly: ONE encode, and the join-back
+    # exchange disappears (the _t bytes that used to ship through the
+    # join's shuffle ship through the offset window's instead — net
+    # shuffled bytes unchanged, one full exchange + one ArrowEvalPython
+    # fewer; guide §2.4/§4). The cost is the checkpoint storing the
+    # encoded corpus (~4 B/token local disk) for the query's lifetime
+    # — cheaper than re-encoding at every scale we measured. ws/
+    # tokens_col modes keep the lean meta: their re-tokenize is a
+    # near-free JVM split, not worth a fat checkpoint.
+    carry_t = ids_col is not None or merges is not None
+    meta_cols = [*groups, id_col, "_h", "_n"] + (["_t"] if carry_t else [])
+    meta = meta_src.select(*meta_cols)
     rep = (
         meta.withColumn(
             "_bkt",
@@ -343,18 +360,22 @@ def pack_documents(
             - (F.col("_n") + 1)
             + F.col("_poff"),
         )
-        .select(*groups, id_col, "_off", "_n")
+        .select(
+            *groups, id_col, "_off", "_n", *(["_t"] if carry_t else [])
+        )
         .localCheckpoint(eager=True)
     )
     rep.unpersist(False)
 
     # -- fragment generation: each doc contributes a slice (plus its
     # EOS in the window where the stream position off+n falls) to every
-    # window it touches — all scan-stage array expressions. The join
-    # carries (_off, _n) from the checkpointed meta side, so the
-    # tokenize/encode subtree on THIS side is evaluated exactly once
-    # (empty docs drop via the inner join — no UDF-column filter here).
-    d = toked.join(offsets, [*groups, id_col])
+    # window it touches — all scan-stage array expressions. ids/merges
+    # modes read (_off, _n, _t) straight off the checkpoint (no
+    # join-back, encode already done); ws/tokens_col modes join the
+    # cheap re-tokenized side against the checkpointed offsets, which
+    # still evaluates their tokenize exactly once per side (empty docs
+    # drop via the inner join — no UDF-column filter here).
+    d = offsets if carry_t else toked.join(offsets, [*groups, id_col])
     g0 = F.expr(f"_off div {L}")  # first window touched
     g1 = F.expr(f"(_off + _n) div {L}")  # window holding the EOS
     n = F.col("_n")

@@ -1,0 +1,90 @@
+"""Paired A/B of arbitrary bench rows between two checkouts (guide §1).
+
+Usage: python scripts/ab_rows.py <repo_a> <repo_b> <rounds> row [row ...]
+
+Alternating subprocess sessions (A, B, A, B, ...) so host drift taxes
+both sides equally — the only valid design on this host (documented
+2-5x swings at equal loadavg). Rows resolve through bench.BENCH_ONLY
+or the registry; timing is the bench's own collect()-based methodology.
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+CHILD = r"""
+import json, os, sys, time
+repo = sys.argv[1]
+names = sys.argv[2:]
+sys.path.insert(0, repo)
+os.chdir(repo)
+from evaporate_spark.session import get_spark
+spark = get_spark(app_name="ab-rows")
+import bench
+from evaporate_spark.plans import REGISTRY
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+bench._corpus_10x_dir(spark, sf_dir)
+if "ul2_10x" in names:
+    bench._ul2_tok(spark, sf_dir)
+warm = spark.range(64).selectExpr("id", "cast(id as string) as s")
+warm.mapInPandas(lambda it: it, "id long, s string").count()
+out = {}
+for name in names:
+    fn = bench.BENCH_ONLY.get(name) or REGISTRY[name].spark
+    times = []
+    for i in range(3):
+        spark.sparkContext.setJobDescription(f"ab {name} rep{i}")
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = len(df.collect())
+        times.append(round(time.monotonic() - t0, 3))
+    out[name] = times
+print("ABRESULT " + json.dumps(out))
+"""
+
+
+def run_session(repo: str, names: list[str]) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    t0 = time.monotonic()
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD, repo, *names],
+        capture_output=True, text=True, env=env, cwd=repo,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("ABRESULT "):
+            d = json.loads(line[len("ABRESULT "):])
+            d["wall"] = round(time.monotonic() - t0, 1)
+            return d
+    sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-3000:] + "\n")
+    raise RuntimeError(f"session in {repo} produced no result")
+
+
+def main() -> None:
+    repo_a, repo_b = sys.argv[1], sys.argv[2]
+    rounds = int(sys.argv[3])
+    names = sys.argv[4:]
+    acc: dict[str, dict[str, list[float]]] = {"A": {}, "B": {}}
+    for r in range(rounds):
+        for label, repo in (("A", repo_a), ("B", repo_b)):
+            load0 = os.getloadavg()[0]
+            res = run_session(repo, names)
+            print(json.dumps({
+                "round": r, "side": label, "repo": repo,
+                "load_start": round(load0, 2), **res,
+            }), flush=True)
+            for k in names:
+                acc[label].setdefault(k, []).extend(res[k][1:])  # warm reps
+    summary = {
+        side: {k: round(statistics.median(v), 3) for k, v in rows.items()}
+        for side, rows in acc.items()
+    }
+    print(json.dumps({"summary_warm_medians": summary,
+                      "A": repo_a, "B": repo_b}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -902,7 +902,72 @@ def _wait_for_quiet_machine(max_load: float, timeout_s: float) -> dict:
     }
 
 
+def _paired_main(ref_repo: str) -> None:
+    """Opt-in PAIRED benchmark (guide §1.3: this host's wall clocks
+    swing 2-5x at equal loadavg, so unpaired round-over-round numbers
+    are not comparable — r15 verdict). Alternates full bench sessions
+    between THIS checkout and ``ref_repo`` (A, B, A, B, …) as
+    subprocesses so host drift taxes both sides equally, then prints
+    ONE JSON line: this checkout's normal bench fields plus a
+    ``paired`` block with per-row medians for both sides and the
+    speedup ratio. Never active unless the caller exports
+    ``SPARK_GRAFT_BENCH_PAIRED_REPO`` — the driver's runs are
+    byte-identical to the unpaired contract."""
+    import subprocess
+    import sys
+
+    rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PAIRED_ROUNDS", "2")))
+    sides = {"head": os.path.dirname(os.path.abspath(__file__)), "ref": ref_repo}
+    runs: dict[str, list[dict]] = {"head": [], "ref": []}
+    for _r in range(rounds):
+        for label, repo in sides.items():
+            env = dict(os.environ)
+            env.pop("SPARK_GRAFT_BENCH_PAIRED_REPO", None)
+            env["PYTHONPATH"] = repo
+            p = subprocess.run(
+                [sys.executable, os.path.join(repo, "bench.py")],
+                capture_output=True, text=True, env=env, cwd=repo,
+            )
+            parsed = None
+            for line in reversed(p.stdout.splitlines()):
+                try:
+                    parsed = json.loads(line)
+                    break
+                except (ValueError, TypeError):
+                    continue
+            if parsed is None:
+                sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-3000:])
+                raise RuntimeError(f"paired bench child in {repo} printed no JSON")
+            runs[label].append(parsed)
+    paired = {}
+    for name in runs["head"][0]["queries"]:
+        h = [r["queries"][name] for r in runs["head"] if name in r["queries"]]
+        f = [r["queries"][name] for r in runs["ref"] if name in r.get("queries", {})]
+        if not f:
+            continue
+        hm, fm = statistics.median(h), statistics.median(f)
+        paired[name] = {
+            "head": round(hm, 3),
+            "ref": round(fm, 3),
+            "speedup": round(fm / hm, 3) if hm else None,
+        }
+    out = dict(runs["head"][0])
+    out["paired"] = {
+        "ref_repo": ref_repo,
+        "rounds": rounds,
+        "rows": paired,
+        "loads": {
+            label: [r.get("loadavg_1m") for r in rs] for label, rs in runs.items()
+        },
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
+    ref_repo = os.environ.get("SPARK_GRAFT_BENCH_PAIRED_REPO")
+    if ref_repo:
+        _paired_main(ref_repo)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -461,6 +461,26 @@ def test_q8_plan_broadcasts_dims_and_pushes_filters(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_dup_passage_stats_reuses_exchange(spark):
+    """q_dup_passage_stats computes its hot-passage rollup AND the
+    per-doc stats from ONE (h, id) aggregate (r15 rewrite): both
+    consumers must plan an identical subtree so the executed plan
+    carries a ReusedExchange instead of scanning the corpus twice.
+    The single-scan shape rests on Catalyst NOT rewriting the
+    deliberately-nullable sum(lit(1)) — a Spark upgrade could silently
+    regress it back to two scans with values intact, which is exactly
+    what this plan-shape pin exists to catch (r15 advisor item)."""
+    from evaporate_spark.plans import REGISTRY
+
+    df = REGISTRY["q_dup_passage_stats"].spark(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in plan, plan[:3000]
+
+
 def test_run_expectations_empty_rules(spark):
     from evaporate_spark.operators.expectations import run_expectations
 

@@ -11,12 +11,15 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 
 def _vec(deg: float) -> list[float]:
     c, s = math.cos(math.radians(deg)), math.sin(math.radians(deg))
     return [c, s, c / 2, s / 2, -c / 3, s / 3, 0.1, -0.1]
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_mine_bitext_ivf_pq_candidate_seam(spark, tmp_path):
     from evaporate_spark.operators.similarity import (
         ivf_pq_search,

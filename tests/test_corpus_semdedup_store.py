@@ -103,6 +103,7 @@ def test_pq_facade_store_layout_bytes_and_decision_overlap(
     assert kept2 == []  # ADC-dropped against the committed corpus
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_pq_store_bytes_shrink_through_facade(spark, tmp_path):
     """The 10-50x store-size win reaches the facade: at d=64 with
     fully-distinct values the coded store is <0.5x the exact one."""

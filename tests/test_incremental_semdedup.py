@@ -257,6 +257,7 @@ def test_pq_store_matches_exact_path_and_shrinks_store(spark, tmp_path):
     assert "pq_code" in pq_rows.columns and "vec" not in pq_rows.columns
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_pq_store_bytes_shrink_at_real_dims(spark, tmp_path):
     """At embedding-realistic dimensions the coded store is MUCH
     smaller on disk than the exact one (m=8 ints + a bool vs d=64

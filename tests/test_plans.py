@@ -86,6 +86,7 @@ def test_q5_broadcasts_only_constant_dims(spark, sf_dir):
     )
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_no_rowwise_python_in_relational_plans(spark, sf_dir):
     """Row-at-a-time Python UDFs (BatchEvalPython) are banned; Python
     appears only Arrow-batched (ArrowEvalPython / mapInPandas /
@@ -407,6 +408,7 @@ def test_query_summary_measures_pruning_and_shuffle(spark, tmp_path):
     assert "Exchange" in nodes
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_lint_entire_query_catalog(spark):
     """Every registry query's EXECUTED plan passes the linter at
     sf0.001 (the one deliberate exception: the 5x5 theta-join demo is

@@ -21,6 +21,7 @@ def test_query_matches_oracle(spark, oracle, sf_dir, name):
     assert diff is None, f"{name}: {diff}"
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_all_queries_return_rows(spark, sf_dir):
     for name, spec in REGISTRY.items():
         n = spec.spark(spark, sf_dir).count()

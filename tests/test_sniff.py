@@ -18,7 +18,12 @@ def _fixture_bytes() -> dict[str, bytes]:
 
     out = {}
     for name in sorted(os.listdir(DOCS_DIR)):
-        with open(os.path.join(DOCS_DIR, name), "rb") as fh:
+        path = os.path.join(DOCS_DIR, name)
+        # skip stray directories (a __pycache__ appears whenever some
+        # process imports the committed .py code fixture)
+        if not os.path.isfile(path):
+            continue
+        with open(path, "rb") as fh:
             out[name] = fh.read()
     return out
 

@@ -842,6 +842,7 @@ def test_int8_quantization_and_topk(spark, sf_dir):
     assert len(s8 & s32) / len(s32) >= 0.8  # quantization keeps the top-k
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_ivf_pq_index_build_and_search(spark, tmp_path):
     """IVF-PQ: the persisted index stores only (id, cell, codes) — no
     vectors; probing partition-prunes to the probed cells; ADC over
@@ -1978,6 +1979,7 @@ def test_prepare_corpus_upsample_and_shuffle(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, run()))
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_trained_ivf_codebook_recall(spark, sf_dir, tmp_path):
     """K-means-trained codebook (train_ivf_codebook / build_ivf_index
     train_iterations=): recall@10 vs the exact brute-force answer must
@@ -2472,6 +2474,7 @@ def test_pq_encode_and_adc_topk(spark):
     assert total_err(b2) <= total_err(b0)
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_mine_bitext_planted_pairs(spark):
     """Margin mining recovers planted translations: tgt vectors that
     are small rotations of a src vector out-margin unrelated
@@ -2511,6 +2514,7 @@ def test_mine_bitext_planted_pairs(spark):
     )
 
 
+@pytest.mark.slow  # full ground-truth recompute; builder tier (pytest.ini)
 def test_mine_bitext_lsh_candidate_seam(spark):
     """The at-scale route end to end: LSH top-k probes generate the
     candidate pairs, mine_bitext scores only those — the planted

@@ -626,6 +626,18 @@ def pack_bins(
     toked = toked.withColumn(
         "_n", F.size("_t").cast("bigint")
     ).withColumn("_packer", packer_expr)
+    # ids/merges modes evaluate the encode subtree twice (FFD meta
+    # branch + assignment join-back) — DELIBERATELY. A localCheckpoint
+    # carry (the pack_documents r16 shape) was paired-A/B-measured at
+    # 10x (−9%) AND at the 100x/500k-doc probe (−30%, 42.5/34.6 s lazy
+    # vs 49.5/49.5 s checkpointed, outputs identical): unlike
+    # pack_documents — whose checkpoint REPLACED a join-back exchange
+    # and a range-sampling pass — pack_bins keeps its FFD join-back
+    # either way, so the checkpoint is pure added materialization of
+    # the encoded corpus, while the per-TASK word cache
+    # (operators/bpe.py iterator-form UDFs) makes the second encode
+    # cheap. Revisit only if a profile shows cache-miss-dominated
+    # encodes (very high word entropy).
 
     # -- FFD per packer group over (cost, id) META rows only. No
     # emptiness/length filters on this side: _ffd drops them from the
@@ -842,6 +854,11 @@ def pack_sft_examples(
             ).cast("int"),
         )
     )
+    # ids mode evaluates its two upstream Arrow encodes twice (meta
+    # branch + join-back) — deliberately lazy: see the pack_bins
+    # measurement note above (checkpoint carry lost −19% at 10x and
+    # −30% at the 100x probe; the per-task word cache is the cheaper
+    # mitigation for the second evaluation).
     meta = toked.select(
         *groups,
         F.col("_packer"),

@@ -483,6 +483,31 @@ def test_dup_passage_stats_reuses_exchange(spark):
     assert "ReusedExchange" in plan, plan[:3000]
 
 
+def test_pack_bins_stays_lazy_no_checkpoint(spark, sf_dir):
+    """pack_bins deliberately does NOT checkpoint its tokenized frame
+    (r16 measurement: a localCheckpoint carry lost −9% at 10x and
+    −30% at the 100x probe vs re-evaluating the encode, because the
+    FFD join-back remains either way and the per-task word cache
+    makes the second encode cheap). This pins the lazy shape: the
+    plan reads from the source, not from stored checkpoint blocks —
+    if someone reintroduces the carry, this fails and the A/B above
+    must be re-run to justify it."""
+    from evaporate_spark.operators.bpe import train_bpe
+    from evaporate_spark.operators.packing import pack_bins
+
+    docs = spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "text")
+    merges = train_bpe(docs, "text", num_merges=30, lossless=True)
+    out = pack_bins(
+        docs, seq_len=64, seed="t", merges=merges, lossless=True,
+        n_packers=4,
+    )
+    assert "ScanExistingRDD" not in plan_str(out)
+    ws = pack_bins(docs, seq_len=64, seed="t", n_packers=4)
+    assert "ScanExistingRDD" not in plan_str(ws)
+
+
 def test_run_expectations_empty_rules(spark):
     from evaporate_spark.operators.expectations import run_expectations
 

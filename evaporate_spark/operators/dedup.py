@@ -1303,16 +1303,16 @@ def decontaminate(
     groupBy(id) count, which AQE handles like any keyed agg.
     """
     etext = eval_text_col or text_col
-    from evaporate_spark.functions.text_stats import rolling_hash_shingles
-
+    # token-hash gram formula (internal equality keys only — see
+    # _token_hash_shingle_set; ~3.3x cheaper than joined-string grams)
     eval_sh = (
         eval_docs.select(
-            F.explode(rolling_hash_shingles(F.col(etext), k)).alias("_h")
+            F.explode(_token_hash_shingle_set(F.col(etext), k)).alias("_h")
         ).distinct()
     )
     doc_sh = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(rolling_hash_shingles(F.col(text_col), k)).alias("_h"),
+        F.explode_outer(_token_hash_shingle_set(F.col(text_col), k)).alias("_h"),
     )
     overlap = (
         doc_sh.join(F.broadcast(eval_sh).withColumn("_hit", F.lit(1)), "_h", "left")
@@ -1340,33 +1340,100 @@ def decontaminate(
 
 
 def _positional_shingles(
-    docs: DataFrame, id_col: str, text_col: str, k: int
+    docs: DataFrame, id_col: str, text_col: str, k: int,
+    legacy_hash: bool = False,
 ) -> DataFrame:
     """``(_id, _i, _h)`` — every word ``k``-gram of every document as
-    (1-based start position, xxhash64 of the space-joined gram).
-    Computed in the scan stage (array HOFs over one bound ``split``);
-    shared by the span-excision operators below."""
+    (1-based start position, 64-bit gram hash). Computed in the scan
+    stage (array HOFs over one bound ``split``); shared by the
+    span-excision operators below.
+
+    The gram hash is ``xxhash64`` over the gram's k per-token
+    xxhash64 values (each token hashed ONCE per row, then k long
+    reads per position) — equality-equivalent to hashing the joined
+    gram string but ~3.3x faster at k=8 (r16 isolation on the 10x
+    table: 2.0 s → 0.6 s warm; the joined-string form re-copies ~k
+    tokens' characters per position, O(n·k) char work per doc). The
+    values are internal join/group keys only, never output.
+
+    ``legacy_hash`` keeps the original space-joined-string formula:
+    :func:`incremental_selfdedup_spans` PERSISTS gram hashes in its
+    durable store, so its hash universe is frozen — a formula change
+    would silently stop recognizing grams already committed by
+    earlier sessions."""
     from evaporate_spark.functions.text_stats import bind_once, ws_tokens
 
-    def _pos_shingles(toks: Column) -> Column:
-        n = F.size(toks)
-        idx = F.when(
+    def _starts(n: Column) -> Column:
+        return F.when(
             n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
         ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                i.alias("i"),
-                F.xxhash64(
-                    F.concat_ws(" ", F.slice(toks, i, F.lit(k)))
-                ).alias("_h"),
-            ),
-        )
+
+    if legacy_hash:
+        def _pos_shingles(toks: Column) -> Column:
+            return F.transform(
+                _starts(F.size(toks)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(toks, i, F.lit(k)))
+                    ).alias("_h"),
+                ),
+            )
+    else:
+        def _from_token_hashes(th: Column) -> Column:
+            return F.transform(
+                _starts(F.size(th)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.xxhash64(
+                        *[F.element_at(th, i + F.lit(j)) for j in range(k)]
+                    ).alias("_h"),
+                ),
+            )
+
+        def _pos_shingles(toks: Column) -> Column:
+            # token-hash array bound once per row (a bare transform
+            # inside the position lambda would re-hash every token
+            # per position)
+            return bind_once(
+                F.transform(toks, lambda t: F.xxhash64(t)),
+                _from_token_hashes,
+            )
 
     return docs.select(
         F.col(id_col).alias("_id"),
         F.explode(bind_once(ws_tokens(text_col), _pos_shingles)).alias("_s"),
     ).select("_id", F.col("_s.i").alias("_i"), F.col("_s._h").alias("_h"))
+
+
+def _token_hash_shingle_set(col: Column | str, k: int) -> Column:
+    """Distinct gram hashes of one document under
+    :func:`_positional_shingles`' token-hash formula — the eval-side
+    twin for :func:`decontaminate_spans` (both sides of its join must
+    hash grams identically). NOT interchangeable with
+    ``rolling_hash_shingles``: that formula's VALUES feed MinHash
+    signatures and are frozen by the LSH oracles."""
+    from evaporate_spark.functions.text_stats import bind_once, ws_tokens
+
+    def _per_hashes(th: Column) -> Column:
+        n = F.size(th)
+        idx = F.when(
+            n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(th, i + F.lit(j)) for j in range(k)]
+                ),
+            )
+        )
+
+    def _tok(toks: Column) -> Column:
+        return bind_once(F.transform(toks, lambda t: F.xxhash64(t)), _per_hashes)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return bind_once(ws_tokens(c), _tok)
 
 
 def _excise_hit_starts(
@@ -1517,11 +1584,11 @@ def decontaminate_spans(
     collect each doc's match starts (bounded by the doc's own
     length), one join back, and the excision itself is pure JVM array
     HOFs over the bound token array."""
-    from evaporate_spark.functions.text_stats import rolling_hash_shingles
-
     etext = eval_text_col or text_col
+    # eval side MUST hash grams with _positional_shingles' token-hash
+    # formula (join equality across the two sides)
     eval_sh = eval_docs.select(
-        F.explode(rolling_hash_shingles(F.col(etext), k)).alias("_h")
+        F.explode(_token_hash_shingle_set(F.col(etext), k)).alias("_h")
     ).distinct()
 
     pos = _positional_shingles(docs, id_col, text_col, k)
@@ -1924,7 +1991,11 @@ def incremental_selfdedup_spans(
     HOF excision. Store appends are parquet, read back deduplicated
     on the hash."""
     spark = batch.sparkSession
-    pos = _positional_shingles(batch, id_col, text_col, k)
+    # legacy_hash: the store PERSISTS gram hashes across sessions, so
+    # this operator's hash universe is frozen at the original
+    # joined-string formula — the r16 token-hash speedup must not
+    # change what already-committed store rows mean
+    pos = _positional_shingles(batch, id_col, text_col, k, legacy_hash=True)
     if _store_has_parquet(spark, store_dir):
         seen = (
             spark.read.parquet(store_dir).dropDuplicates(["h"])
